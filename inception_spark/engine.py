@@ -1,0 +1,217 @@
+"""EmbeddingEngine — the engine facade.
+
+One object over a SparkSession exposing the reference service's full
+computational surface (SURVEY.md §2) as DataFrame transforms:
+
+=============================  =============================================
+reference endpoint / concern    engine method
+=============================  =============================================
+POST /api/v1/embed/batch        :meth:`embed_documents`  (S1,V1,C1-C5,C7)
+POST /api/v1/embed/text         :meth:`embed_text`       (S2 single-doc path)
+POST /api/v1/embed/query        :meth:`embed_query`      (C6, P2/P4, CPU path)
+POST /api/v1/validate/text      :meth:`validate_text`    (M5)
+GET  /health                    :meth:`health`           (M3)
+Prometheus counters             :meth:`metrics` via df.observe  (M1/M2)
+=============================  =============================================
+
+Batch-path parity notes (reference routes/embedding.py:95-124,
+embedding_service.py:167-252): documents are length-validated *raw* and
+chunked *raw* (cleaning is NOT applied on the batch path — §3.1 stage 6);
+queries are cleaned (preprocess_text) before encoding.  Strict mode raises
+on the first invalid document with the reference's exact per-doc message
+("Document {id}: ..."); quarantine mode routes invalid rows to a side
+output instead, which is the scalable default for 100 TB runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from inception_spark.config import DEFAULT_CONFIG, EngineConfig
+from inception_spark.functions.cleaning import (
+    clean_text_expr,
+    clean_text_py,
+    validate_text_length_py,
+    validation_error_expr,
+)
+from inception_spark.operators.chunking import chunk_documents
+from inception_spark.operators.encoding import (
+    Encoder,
+    HashingStubEncoder,
+    default_encoder,
+    make_embed_udf,
+)
+
+
+@dataclass
+class EngineMetrics:
+    """Reference metric names preserved (metrics.py:3-32)."""
+
+    request_count: int = 0
+    error_count: dict = field(default_factory=dict)   # (endpoint, error_type) → n
+    chunk_count: int = 0
+    processing_seconds: list = field(default_factory=list)
+
+
+class EmbeddingEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig = DEFAULT_CONFIG,
+        encoder: Encoder | None = None,
+        encoder_kind: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        # driver-side encoder (query path); executor side rebuilds by kind
+        self.encoder = encoder if encoder is not None else HashingStubEncoder(
+            dim=config.embedding_dim
+        )
+        self.encoder_kind = encoder_kind or (
+            "stub" if isinstance(self.encoder, HashingStubEncoder) else "real"
+        )
+        self.metrics = EngineMetrics()
+
+    # -- V1 strict/quarantine validation ------------------------------------
+    def _validation_error(self, text_col) -> F.Column:
+        return validation_error_expr(
+            text_col,
+            min_len=self.config.min_text_length,
+            max_len=self.config.max_text_length,
+            label="Text",
+            check_clean=False,  # batch path: raw text is chunked, not cleaned
+        )
+
+    def validate_documents(
+        self, df: DataFrame, *, mode: str = "quarantine"
+    ) -> tuple[DataFrame, DataFrame]:
+        """→ (valid, quarantined).  ``mode="strict"`` raises the reference's
+        per-document error on the first invalid row
+        (routes/embedding.py:113-115 + utils.py:95-116)."""
+        err = self._validation_error(F.col("text"))
+        tagged = df.withColumn("_error", err)
+        bad = tagged.filter(F.col("_error").isNotNull())
+        if mode == "strict":
+            first = bad.select("id", "_error").orderBy("id").limit(1).collect()
+            if first:
+                r = first[0]
+                raise ValueError(f"Document {r['id']}: {r['_error']}")
+        good = tagged.filter(F.col("_error").isNull()).drop("_error")
+        return good, bad.withColumnRenamed("_error", "error")
+
+    # -- the main pipeline ---------------------------------------------------
+    def chunk(self, df: DataFrame) -> DataFrame:
+        """documents(id,text) → CHUNKS (no embedding) — C1-C4."""
+        return chunk_documents(df, self.config)
+
+    def embed_documents(
+        self, df: DataFrame, *, validate: str = "quarantine"
+    ) -> DataFrame:
+        """documents(id,text) → CHUNK_EMBEDDINGS(doc_id, chunk_number,
+        chunk, n_tokens, embedding) — the /embed/batch pipeline."""
+        good, _bad = self.validate_documents(df, mode=validate)
+        chunks = self.chunk(good)
+        embed = make_embed_udf(
+            self.config,
+            encoder_kind=self.encoder_kind,
+            prefix=self.config.lead_document,
+        )
+        return chunks.withColumn("embedding", embed(F.col("chunk")))
+
+    def embed_text(self, text: str) -> DataFrame:
+        """Single raw-text document (id=0, reference routes/embedding.py:78)."""
+        validate_text_length_py(
+            text,
+            min_len=self.config.min_text_length,
+            max_len=self.config.max_text_length,
+        )
+        df = self.spark.createDataFrame([(0, text)], "id long, text string")
+        return self.embed_documents(df, validate="strict")
+
+    def embed_query(self, text: str) -> list[float]:
+        """Low-latency single-query path — driver-local, no Spark job
+        (the reference routes queries to CPU-only instances; a scalar
+        driver call is the engine analogue — SURVEY.md §2.3 C6)."""
+        validate_text_length_py(
+            text,
+            min_len=self.config.min_text_length,
+            max_len=self.config.max_query_length,
+            label="Query",
+        )
+        cleaned = clean_text_py(text)
+        if not cleaned:
+            raise ValueError("Text is empty after cleaning.")
+        vec = self.encoder.encode(
+            [self.config.lead_query + cleaned], batch_size=1
+        )
+        return [float(x) for x in vec[0]]
+
+    def embed_queries(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Distributed query embedding (set-of-queries analogue of C6):
+        clean → prefix → encode, all on executors."""
+        embed = make_embed_udf(
+            self.config,
+            encoder_kind=self.encoder_kind,
+            prefix=self.config.lead_query,
+        )
+        return df.withColumn(
+            "embedding", embed(clean_text_expr(F.col(text_col)))
+        )
+
+    # -- M5 validation endpoint ---------------------------------------------
+    def validate_text(self, df: DataFrame) -> DataFrame:
+        """documents(id,text) → VALIDATED_TEXTS — never raises
+        (reference routes/embedding.py:130-150)."""
+        err = validation_error_expr(
+            F.col("text"),
+            min_len=self.config.min_text_length,
+            max_len=self.config.max_text_length,
+            label="Text",
+            check_clean=True,
+        )
+        return df.select(
+            F.col("id"),
+            F.col("text").alias("original_text"),
+            F.when(err.isNull(), clean_text_expr(F.col("text")))
+            .otherwise(F.lit(None))
+            .alias("processed_text"),
+            err.isNull().alias("is_valid"),
+            err.alias("error"),
+        )
+
+    # -- M1/M2 observability -------------------------------------------------
+    def embed_documents_observed(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, Observation]:
+        """Same as embed_documents but with an Observation recording
+        chunk_count / token totals (reference CHUNK_COUNT counter,
+        metrics.py:22-26) collected for free with the action."""
+        obs = Observation("inception_metrics")
+        out = self.embed_documents(df).observe(
+            obs,
+            F.count(F.lit(1)).alias("chunk_count"),
+            F.sum("n_tokens").alias("token_count"),
+            F.approx_count_distinct("doc_id").alias("doc_count"),
+        )
+        return out, obs
+
+    # -- M3 health ------------------------------------------------------------
+    def health(self) -> dict:
+        return {
+            "status": "healthy",
+            "model_loaded": self.encoder is not None,
+            "gpu_available": False if self.config.force_cpu else _gpu_available(),
+            "spark_version": self.spark.version,
+        }
+
+
+def _gpu_available() -> bool:
+    try:
+        import torch  # import-gated
+
+        return bool(torch.cuda.is_available())
+    except ImportError:
+        return False

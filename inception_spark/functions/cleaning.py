@@ -1,0 +1,126 @@
+"""Text cleaning & validation — pure Catalyst column expressions.
+
+Replicates ``clean_text_for_json`` / ``preprocess_text`` / ``validate_text_length``
+(``/root/reference/inception/utils.py:38-116``) with **zero UDFs**: every step
+is a built-in string expression, so the whole cleaning chain stays inside
+whole-stage codegen and is pushed through Catalyst like any other projection.
+
+A character-identical pure-Python twin (:func:`clean_text_py`) backs the
+driver-side single-query path and the three-way parity tests
+(Python == Spark == DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# P1: clean_text_for_json (reference utils.py:38-70)
+# ---------------------------------------------------------------------------
+# Step order matters and mirrors the reference exactly:
+#   1. keep only chars with 32 <= ord < 127, plus \n and \t
+#      (note: this already deletes \r, so the reference's \r\n→\n replace
+#       is a no-op by the time it runs; we keep only the meaningful steps)
+#   2. \t → space
+#   3. strip spaces at start/end of every line
+#   4. collapse 3+ consecutive \n into exactly 2
+#   5. strip leading/trailing whitespace of the whole text
+
+
+def clean_text_expr(col: Column) -> Column:
+    c = F.regexp_replace(col, r"[^\x20-\x7E\n\t]", "")       # 1
+    c = F.regexp_replace(c, r"\t", " ")                       # 2
+    c = F.regexp_replace(c, r"(?m)^ +| +$", "")               # 3
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")                # 4
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")                 # 5
+    return c
+
+
+def clean_text_py(text: str) -> str:
+    """Pure-Python twin of :func:`clean_text_expr` (same 5 steps)."""
+    if not text:
+        return ""
+    t = "".join(ch for ch in text if ch in "\n\t" or 32 <= ord(ch) < 127)
+    t = t.replace("\t", " ")
+    t = "\n".join(line.strip(" ") for line in t.split("\n"))
+    t = re.sub(r"\n{3,}", "\n\n", t)
+    return t.strip()
+
+
+#: DuckDB SQL twin — used by oracle_sql() in __spark_entry__.py.  RE2 needs
+#: the 'g' (global) option; Spark regexp_replace is always global.
+def clean_text_sql(col_sql: str) -> str:
+    # RE2 notes: multiline must be the inline (?m) flag (the 'm' option is a
+    # no-op for replace); replacement strings don't interpret \n, so build
+    # the double-newline replacement with chr(10).
+    c = f"regexp_replace({col_sql}, '[^\\x20-\\x7E\\n\\t]', '', 'g')"
+    c = f"regexp_replace({c}, '\\t', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?m)^ +| +$', '', 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', chr(10)||chr(10), 'g')"
+    c = f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
+    return c
+
+
+# ---------------------------------------------------------------------------
+# V1: validate_text_length (reference utils.py:84-116)
+# P2: preprocess = clean + empty-after-cleaning error (utils.py:73-81)
+# ---------------------------------------------------------------------------
+# Error strings are kept byte-identical to the reference so downstream
+# consumers (and the validation endpoint's contract, M5) see the same text.
+
+TEXT_EMPTY_AFTER_CLEANING = "Text is empty after cleaning."
+
+
+def _too_short_msg(length: Column, minimum: int) -> Column:
+    return F.concat(
+        F.lit("Text length ("), length.cast("string"),
+        F.lit(f") below minimum ({minimum})"),
+    )
+
+
+def _too_long_msg(label: str, length: Column, maximum: int) -> Column:
+    return F.concat(
+        F.lit(f"{label} length ("), length.cast("string"),
+        F.lit(f") exceeds maximum ({maximum})"),
+    )
+
+
+def validation_error_expr(
+    col: Column,
+    *,
+    min_len: int,
+    max_len: int,
+    label: str = "Text",
+    check_clean: bool = True,
+) -> Column:
+    """NULL when valid, else the reference's exact error message.
+
+    Mirrors the endpoint order: length-validate the *raw* text
+    (routes/embedding.py:113-115), then — on the query/validate paths —
+    fail texts that clean to empty (utils.py:79-80).
+    """
+    length = F.length(F.trim(col))
+    err = (
+        F.when(col.isNull(), F.lit("Text length (0) below minimum (1)"))
+        .when(length < min_len, _too_short_msg(length, min_len))
+        .when(length > max_len, _too_long_msg(label, length, max_len))
+    )
+    if check_clean:
+        err = err.when(
+            F.length(clean_text_expr(col)) == 0, F.lit(TEXT_EMPTY_AFTER_CLEANING)
+        )
+    return err.otherwise(F.lit(None).cast("string"))
+
+
+def validate_text_length_py(
+    text: str, *, min_len: int, max_len: int, label: str = "Text"
+) -> None:
+    """Driver-side strict validation (raises ValueError like utils.py:84-116)."""
+    n = len(text.strip())
+    if n < min_len:
+        raise ValueError(f"Text length ({n}) below minimum ({min_len})")
+    if n > max_len:
+        raise ValueError(f"{label} length ({n}) exceeds maximum ({max_len})")

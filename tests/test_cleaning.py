@@ -1,0 +1,93 @@
+"""Three-way parity tests for cleaning/validation: pure Python ==
+Spark Column expressions == DuckDB oracle SQL.  Golden cases from the
+reference behavior table in FIXTURES.md §1."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.functions.cleaning import (
+    clean_text_expr,
+    clean_text_py,
+    clean_text_sql,
+    validation_error_expr,
+)
+
+CASES = [
+    ("plain", "hello world", "hello world"),
+    ("tabs", "a\tb", "a b"),
+    ("crlf", "a\r\nb\rc", "a\nbc"),
+    ("messy", "a\tb\r\nc\r d\n\n\n\ne  \x00\x07", None),
+    ("unicode_only", "ñ😊", ""),
+    ("unicode_mixed", "héllo wörld", "hllo wrld"),
+    ("blank_lines", "x\n\n\n\n\ny", "x\n\ny"),
+    ("line_spaces", "  a  \n  b  ", "a\nb"),
+    ("empty", "", ""),
+    ("newline_edges", "\n\nabc\n\n", "abc"),
+]
+
+
+@pytest.mark.parametrize("name,raw,expected", CASES)
+def test_python_clean(name, raw, expected):
+    got = clean_text_py(raw)
+    if expected is not None:
+        assert got == expected
+    # invariants regardless of expected
+    assert got == got.strip()
+    assert "\t" not in got and "\r" not in got
+    assert "\n\n\n" not in got
+
+
+def test_reference_semantics_crlf():
+    # \r is a control char removed by step 1 (reference utils.py:51-55), so
+    # "a\r\nb" → "a\nb" and a bare "\r" disappears entirely.
+    assert clean_text_py("a\r\nb\rc") == "a\nbc"
+
+
+@pytest.mark.parametrize("name,raw,expected", CASES)
+def test_spark_matches_python(spark, name, raw, expected):
+    df = spark.createDataFrame([(raw,)], "text string")
+    got = df.select(clean_text_expr(F.col("text")).alias("c")).collect()[0]["c"]
+    assert got == clean_text_py(raw), name
+
+
+@pytest.mark.parametrize("name,raw,expected", CASES)
+def test_duckdb_oracle_matches_python(name, raw, expected):
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {clean_text_sql('?')} AS c", [raw]
+    ).fetchone()[0]
+    assert got == clean_text_py(raw), name
+
+
+# --- validation expression -----------------------------------------------------
+
+def _error_for(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        validation_error_expr(F.col("text"), **kw).alias("e")
+    ).collect()[0]["e"]
+
+
+def test_validation_messages(spark):
+    kw = dict(min_len=1, max_len=20, label="Text")
+    assert _error_for(spark, "ok", **kw) is None
+    assert _error_for(spark, "", **kw) == "Text length (0) below minimum (1)"
+    assert _error_for(spark, "   ", **kw) == "Text length (0) below minimum (1)"
+    assert (
+        _error_for(spark, "x" * 25, **kw)
+        == "Text length (25) exceeds maximum (20)"
+    )
+    # query label parity (reference utils.py:104-116)
+    assert (
+        _error_for(spark, "x" * 25, min_len=1, max_len=20, label="Query")
+        == "Query length (25) exceeds maximum (20)"
+    )
+
+
+def test_validation_empty_after_cleaning(spark):
+    e = _error_for(spark, "ñ😊", min_len=1, max_len=100, check_clean=True)
+    assert e == "Text is empty after cleaning."
+    # but raw-path (batch) validation lets it through (reference chunks raw)
+    e2 = _error_for(spark, "ñ😊", min_len=1, max_len=100, check_clean=False)
+    assert e2 is None

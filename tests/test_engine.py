@@ -1,0 +1,117 @@
+"""End-to-end engine tests with the deterministic stub encoder — the
+DataFrame analogue of the reference's endpoint tests
+(tests/test_embedding_service.py:82-262)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.config import DEFAULT_CONFIG, EngineConfig
+from inception_spark.engine import EmbeddingEngine
+from inception_spark.operators.encoding import HashingStubEncoder
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return EmbeddingEngine(spark)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_embed_documents_shape(spark, engine, sample_opinion):
+    df = docs_df(spark, [(1, sample_opinion), (2, "Short doc. Two sentences.")])
+    out = engine.embed_documents(df)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["chunk_number"] >= 1
+        assert len(r["embedding"]) == DEFAULT_CONFIG.embedding_dim
+        assert all(np.isfinite(x) for x in r["embedding"])
+        # unit-norm stub vectors
+        assert abs(float(np.linalg.norm(r["embedding"])) - 1.0) < 1e-3
+    # chunk numbers are 1..n contiguous per doc
+    for doc in (1, 2):
+        nums = sorted(r["chunk_number"] for r in rows if r["doc_id"] == doc)
+        assert nums == list(range(1, len(nums) + 1))
+
+
+def test_embeddings_deterministic_and_text_keyed(spark, engine):
+    df = docs_df(spark, [(1, "Same text here."), (2, "Same text here."),
+                         (3, "Different text here.")])
+    rows = engine.embed_documents(df).collect()
+    by_doc = {r["doc_id"]: r["embedding"] for r in rows}
+    assert by_doc[1] == by_doc[2]          # same text → same vector
+    assert by_doc[1] != by_doc[3]          # different text → different vector
+    # matches driver-side encoder exactly (prefix applied inside encoder)
+    enc = HashingStubEncoder(dim=DEFAULT_CONFIG.embedding_dim)
+    expected = enc.encode(["search_document: Same text here."])[0]
+    assert np.allclose(by_doc[1], expected, atol=1e-6)
+
+
+def test_strict_validation_raises_with_doc_id(spark, engine):
+    df = docs_df(spark, [(7, "")])
+    with pytest.raises(ValueError, match=r"Document 7: Text length \(0\) below minimum \(1\)"):
+        engine.embed_documents(df, validate="strict")
+
+
+def test_quarantine_mode(spark, engine, sample_opinion):
+    df = docs_df(spark, [(1, sample_opinion), (2, "")])
+    good, bad = engine.validate_documents(df)
+    assert good.count() == 1 and bad.count() == 1
+    assert bad.collect()[0]["error"] == "Text length (0) below minimum (1)"
+
+
+def test_embed_query(engine):
+    v = engine.embed_query("What constitutes copyright infringement?")
+    assert len(v) == DEFAULT_CONFIG.embedding_dim
+    # query prefix applied (differs from document encoding of same text)
+    enc = HashingStubEncoder(dim=DEFAULT_CONFIG.embedding_dim)
+    expected = enc.encode(
+        ["search_query: What constitutes copyright infringement?"]
+    )[0]
+    assert np.allclose(v, expected, atol=1e-6)
+
+
+def test_embed_query_validation(engine):
+    with pytest.raises(ValueError, match="below minimum"):
+        engine.embed_query("")
+    with pytest.raises(ValueError, match=r"Query length \(1500\) exceeds maximum \(1000\)"):
+        engine.embed_query("x" * 1500)
+    with pytest.raises(ValueError, match="empty after cleaning"):
+        engine.embed_query("ñ😊")
+
+
+def test_validate_text_never_raises(spark, engine):
+    df = docs_df(spark, [(1, "fine text"), (2, ""), (3, "ñ😊")])
+    rows = {r["id"]: r for r in engine.validate_text(df).collect()}
+    assert rows[1]["is_valid"] and rows[1]["processed_text"] == "fine text"
+    assert not rows[2]["is_valid"] and "below minimum" in rows[2]["error"]
+    assert not rows[3]["is_valid"]
+    assert rows[3]["error"] == "Text is empty after cleaning."
+
+
+def test_nested_response_shape(spark, engine, sample_opinion):
+    from inception_spark.schemas import nest_response
+
+    out = engine.embed_documents(docs_df(spark, [(1, sample_opinion)]))
+    nested = nest_response(out).collect()
+    assert len(nested) == 1
+    embs = nested[0]["embeddings"]
+    assert [e["chunk_number"] for e in embs] == list(range(1, len(embs) + 1))
+
+
+def test_observed_metrics(spark, engine, sample_opinion):
+    out, obs = engine.embed_documents_observed(
+        docs_df(spark, [(1, sample_opinion)])
+    )
+    n = out.count()
+    got = obs.get
+    assert got["chunk_count"] == n
+    assert got["token_count"] > 0
+
+
+def test_health(engine):
+    h = engine.health()
+    assert h["status"] == "healthy" and h["model_loaded"]
