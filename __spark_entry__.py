@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) to a ``(spark, sf_dir) → DataFrame``
+callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
+Column names and numeric representations are engineered to hash-match:
+integer outputs are BIGINT on both sides, money aggregates go through
+exact DECIMAL(12,2) sums before the final double cast, similarity scores
+are rounded to a fixed number of decimals before any ranking.
+
+Implementation lives in ``inception_spark/``; this file only wires names.
 """
 
 from __future__ import annotations
@@ -12,27 +16,563 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inception_spark.engine import EmbeddingEngine
+from inception_spark.functions import hashing as H
+from inception_spark.functions import text_analysis as TA
+from inception_spark.functions import vectors as V
+from inception_spark.functions.cleaning import clean_text_expr, clean_text_sql
+from inception_spark.operators import dedup as D
+from inception_spark.operators import similarity as S
+from inception_spark.operators.chunking import chunk_documents
+from inception_spark.plans import relational as R
+from inception_spark.tokenizer import TOKEN_PATTERN_SQL
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments for the oracle side
+# ---------------------------------------------------------------------------
+
+_DEC = "DECIMAL(12,2)"
+
+
+def _d(c: str) -> str:
+    return f"CAST({c} AS {_DEC})"
+
+
+_DISC_PRICE = f"{_d('l_extendedprice')} * (CAST(1 AS {_DEC}) - {_d('l_discount')})"
+_CHARGE = f"{_DISC_PRICE} * (CAST(1 AS {_DEC}) + {_d('l_tax')})"
+
+_WORDS = H.words_sql("text")
+_SHINGLES_FROM_W = H.shingles_cte_sql("w")
+_SIG_FROM_SH = H.minhash_signature_sql("sh", k=16)
+_BANDS_FROM_SIG = H.band_keys_sql("sig", 4, 4)
+
+
+def _dedup_cte() -> str:
+    """documents → words → shingles → signatures → exploded band keys."""
+    return f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_FROM_W} AS sh FROM wt),
+sig AS (SELECT doc_id, {_SIG_FROM_SH} AS sig FROM sh),
+bands AS (
+  SELECT doc_id,
+         unnest(range(0, 4)) AS band,
+         unnest({_BANDS_FROM_SIG}) AS key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# query wrappers (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TA.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TA.word_count(F.col("text")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TA.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def _q_doc_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        TA.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TA.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def _q_clean_text(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", clean_text_expr(F.col("text")).alias("cleaned")
+    )
+
+
+def _q_validate_text(spark, sf_dir):
+    eng = EmbeddingEngine(spark)
+    d = _docs(spark, sf_dir).selectExpr("doc_id AS id", "text")
+    out = eng.validate_text(d)
+    return out.select("id", "processed_text", "is_valid", "error")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    out = D.exact_dedup(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "fingerprint", "keeper_id",
+        F.col("group_size").cast("long").alias("group_size"), "is_duplicate",
+    )
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    sig = D.minhash_signatures(_docs(spark, sf_dir), k=16)
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("signature", lambda x: x.cast("string"))
+        ).alias("signature"),
+    )
+
+
+def _q_lsh_candidate_pairs(spark, sf_dir):
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir), k=16, bands=4)
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.0, k=16, bands=4
+    )
+
+
+def _q_simhash_docs(spark, sf_dir):
+    return D.simhash_docs(_docs(spark, sf_dir))
+
+
+def _q_simhash_dup_pairs(spark, sf_dir):
+    out = D.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=12)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_embedding_dup_pairs(spark, sf_dir):
+    return D.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.cosine_topk(emb, list(qv), k=10)
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    planes = S.lsh_hyperplanes(len(qv), bits=8)
+    bucketed = emb.withColumn(
+        "bucket", S.lsh_bucket_expr(F.col("embedding"), planes)
+    )
+    qb = bucketed.filter("vec_id = 0").select("bucket").head()[0]
+    out = S.cosine_topk(
+        bucketed.filter(F.col("bucket") == qb), qv, k=10
+    )
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_knn_label_join(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "label",
+    )
+    out = S.knn_join(
+        queries, emb, k=5, block_on=("label", "label")
+    )
+    return out.select(
+        "q_id", F.col("n_id").alias("n_id"), "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_chunk_documents(spark, sf_dir):
+    chunks = chunk_documents(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        F.md5("chunk").alias("chunk_md5"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _q_embed_documents(spark, sf_dir):
+    eng = EmbeddingEngine(spark)
+    d = _docs(spark, sf_dir).selectExpr("doc_id AS id", "text")
+    out = eng.embed_documents(d)
+    return out.select(
+        "doc_id",
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(V.norm(F.col("embedding")), 4).alias("vec_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the public contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full reference pipeline (validate → chunk → embed) on
+    sf0.001 documents — returns the exploded chunk-embedding table."""
+    eng = EmbeddingEngine(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return eng.embed_documents(docs.selectExpr("doc_id AS id", "text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational layer
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_revenue": R.q5_region_revenue,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "top3_orders_per_customer": R.top3_orders_per_customer,
+        "customer_running_revenue": R.customer_running_revenue,
+        "customers_without_orders": R.customers_without_orders,
+        "customer_order_stats": R.customer_order_stats,
+        "order_priority_pivot": R.order_priority_pivot,
+        "part_type_rollup": R.part_type_rollup,
+        "supplier_nation_balance": R.supplier_nation_balance,
+        "events_hourly": R.events_hourly,
+        "events_sessionization": R.events_sessionization,
+        "events_json_stats": R.events_json_stats,
+        "event_type_share": R.event_type_share,
+        # text analysis
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_quality_score": _q_doc_quality,
+        "clean_text": _q_clean_text,
+        "validate_text": _q_validate_text,
+        # dedup
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "simhash_docs": _q_simhash_docs,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        # similarity search
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "knn_label_join": _q_knn_label_join,
+        # embedding pipeline (non-SQL-expressible: chunker/encoder are UDFs)
+        "chunk_documents": _q_chunk_documents,
+        "embed_documents": _q_embed_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos_q = V.cosine_sql("embedding", "qv")
+    bucket_emb = _bucket_sql("embedding")
+    bucket_q = _bucket_sql("qv")
+    return {
+        "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({_d('l_quantity')}) AS DOUBLE) AS sum_qty,
+  CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+  CAST(SUM({_d('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM({_d('l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": f"""
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         SUM({_DISC_PRICE}) AS rev_dec
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+SELECT l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+FROM agg
+QUALIFY row_number() OVER (ORDER BY rev_dec DESC, l_orderkey) <= 10
+""",
+        "q5_region_revenue": f"""
+SELECT n_name,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+""",
+        "q6_forecast_revenue": f"""
+SELECT CAST(SUM({_d('l_extendedprice')} * {_d('l_discount')}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "top3_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+FROM orders
+QUALIFY rank <= 3
+""",
+        "customer_running_revenue": f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM({_d('o_totalprice')}) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "customer_order_stats": f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       coalesce(CAST(SUM({_d('o_totalprice')}) AS DOUBLE), 0.0) AS total_spent,
+       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_order_date
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+        "order_priority_pivot": """
+SELECT o_orderstatus,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_p1,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_p2,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_p3,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_p4,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_p5
+FROM orders GROUP BY o_orderstatus
+""",
+        "part_type_rollup": f"""
+SELECT p_type, p_brand, COUNT(*) AS n_parts,
+       CAST(SUM({_d('p_retailprice')}) AS DOUBLE) AS total_price,
+       MIN(p_size) AS min_size, MAX(p_size) AS max_size
+FROM part GROUP BY ROLLUP (p_type, p_brand)
+""",
+        "supplier_nation_balance": f"""
+SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM({_d('s_acctbal')}) AS DOUBLE) AS total_balance
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionization": """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, session_seq
+""",
+        "events_json_stats": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "event_type_share": """
+SELECT event_type, COUNT(*) AS n,
+       round(CAST(COUNT(*) AS DOUBLE) /
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6) AS share
+FROM events GROUP BY event_type
+""",
+        # --- text analysis ---
+        "doc_token_stats": f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}')) AS BIGINT) AS n_tokens,
+  CAST(len({_WORDS}) AS BIGINT) AS n_words,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "doc_fingerprint": f"""
+SELECT doc_id, {TA.fingerprint_sql('text')} AS fingerprint FROM documents
+""",
+        "doc_lang_id": f"""
+SELECT doc_id, lang AS declared_lang, {TA.lang_id_sql('text')} AS pred_lang
+FROM documents
+""",
+        "doc_quality_score": f"""
+SELECT doc_id, {TA.quality_score_sql('text')} AS quality FROM documents
+""",
+        "clean_text": f"""
+SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
+""",
+        "validate_text": f"""
+WITH v AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN text IS NULL THEN 'Text length (0) below minimum (1)'
+      WHEN length(trim(text, ' ')) < 1
+        THEN 'Text length (' || length(trim(text, ' ')) || ') below minimum (1)'
+      WHEN length(trim(text, ' ')) > 10000000
+        THEN 'Text length (' || length(trim(text, ' ')) || ') exceeds maximum (10000000)'
+      WHEN length({clean_text_sql('text')}) = 0 THEN 'Text is empty after cleaning.'
+      ELSE NULL
+    END AS error
+  FROM documents)
+SELECT doc_id AS id,
+       CASE WHEN error IS NULL THEN {clean_text_sql('text')} END AS processed_text,
+       error IS NULL AS is_valid,
+       error
+FROM v
+""",
+        # --- dedup ---
+        "exact_dedup": f"""
+WITH fp AS (SELECT doc_id, {TA.fingerprint_sql('text')} AS fingerprint FROM documents),
+g AS (SELECT fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+      FROM fp GROUP BY fingerprint)
+SELECT doc_id, fp.fingerprint, keeper_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       doc_id != keeper_id AS is_duplicate
+FROM fp JOIN g ON fp.fingerprint = g.fingerprint
+""",
+        "minhash_signatures": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_FROM_W} AS sh FROM wt),
+sig AS (SELECT doc_id, {_SIG_FROM_SH} AS sig FROM sh)
+SELECT doc_id,
+       list_aggregate(list_transform(sig, x -> CAST(x AS VARCHAR)),
+                      'string_agg', ',') AS signature
+FROM sig
+""",
+        "lsh_candidate_pairs": _dedup_cte() + "SELECT doc_a, doc_b FROM cand",
+        "ngram_jaccard_pairs": _dedup_cte() + """
+SELECT c.doc_a, c.doc_b,
+  round(CASE WHEN (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0
+        THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        ELSE 0.0 END, 4) AS jaccard
+FROM cand c
+JOIN sh sa ON c.doc_a = sa.doc_id
+JOIN sh sb ON c.doc_b = sb.doc_id
+""",
+        "simhash_docs": f"""
+SELECT doc_id, {H.simhash_sql(_WORDS)} AS simhash FROM documents
+""",
+        "simhash_dup_pairs": f"""
+WITH sh AS (SELECT doc_id, {H.simhash_sql(_WORDS)} AS simhash FROM documents),
+bands AS (
+  SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+         unnest([(simhash >> 0) & 255, (simhash >> 8) & 255,
+                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS key
+  FROM sh)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+""",
+        "embedding_dup_pairs": f"""
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.4
+""",
+        # --- similarity search ---
+        "cosine_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, round({cos_q}, 6) AS score FROM embeddings, q)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+""",
+        "ann_lsh_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket_q} AS qbucket FROM q),
+b AS (SELECT vec_id, embedding, {bucket_emb} AS bucket FROM embeddings),
+s AS (SELECT vec_id, round({cos_q}, 6) AS score
+      FROM b, q, qb WHERE b.bucket = qb.qbucket)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+""",
+        "knn_label_join": f"""
+WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec, label
+            FROM embeddings WHERE vec_id < 10),
+p AS (SELECT q.q_id, c.vec_id AS n_id,
+             round({V.cosine_sql('q.q_vec', 'c.embedding')}, 6) AS score
+      FROM qs q JOIN embeddings c ON q.label = c.label)
+SELECT q_id, n_id, score,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
+FROM p QUALIFY rank <= 5
+""",
+        # chunk_documents / embed_documents intentionally omitted:
+        # the chunker (sentence splitter + token-budget fold) and encoder
+        # are Python UDFs — not SQL-expressible; driver records rows-only.
+    }
+
+
+def _bucket_sql(vec: str) -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr with inlined hyperplanes."""
+    planes = S.lsh_hyperplanes(64, bits=8)
+    parts = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in p.tolist()) + "]"
+        parts.append(
+            f"(CASE WHEN {V.dot_sql(vec, lit)} > 0 THEN {2**i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"

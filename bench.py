@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query is materialized through the noop datasource sink — a full
+computation with zero serialization cost, so Catalyst can't short-circuit
+the measured work via count()-style column pruning (which would skip the
+embedding UDF entirely).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inception_spark.session import build_session  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries: every operator family, weighted toward the ones whose
+#: cost actually scales with the data (pair generation, UDF pipeline).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "top3_orders_per_customer",
+    "customer_order_stats",
+    "events_hourly",
+    "events_sessionization",
+    "events_json_stats",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "simhash_dup_pairs",
+    "embedding_dup_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "knn_label_join",
+    "chunk_documents",
+    "embed_documents",
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_session("inception_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / Arrow warmup so q1 doesn't pay one-time init costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Cross-engine deterministic hashing primitives.
+
+Everything in the dedup family (MinHash/LSH, SimHash, shingling) is built on
+ONE hash primitive that produces bit-identical results in Spark SQL, DuckDB,
+and Python: the first 7 hex chars of md5 parsed as an integer (28 bits).
+Staying under 2^28 keeps all downstream arithmetic (a*h+b mod p with
+a,b < 2^31) inside signed-64-bit range in every engine — no HUGEINT /
+DECIMAL detours.
+
+Spark-side expressions live next to their DuckDB SQL twins so the pair
+can't drift apart; __spark_entry__'s oracle strings are generated from the
+``*_sql`` functions here.
+
+Scale note: all of these are pure built-in column expressions — they run
+inside whole-stage codegen, shuffle only where the operator semantics
+require it (band-bucket joins), and never touch Python workers.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# the 28-bit md5 hash primitive
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def h28(col: Column) -> Column:
+    """28-bit integer hash of a string column (Spark)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def h28_sql(expr: str) -> str:
+    """Same hash in DuckDB SQL."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+def h28_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (word level)
+# ---------------------------------------------------------------------------
+
+#: word rule shared with DuckDB: lowercase alnum runs
+WORD_PATTERN = "[a-z0-9]+"
+
+
+def words(col: Column) -> Column:
+    """Lowercased word array (drops empty trailing splits)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_PATTERN), F.lit(0))
+
+
+def words_sql(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{WORD_PATTERN}')"
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, as strings joined by single spaces.
+
+    Spark arrays are 0-indexed via ``element_at``-free bracket access in
+    ``transform``; we index with ``F.element_at`` (1-based) to mirror
+    DuckDB's 1-based lists exactly.
+    """
+    w = words(col)
+    # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short inputs
+    # with an explicit empty array instead.
+    grams = F.when(F.size(w) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k) for k in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingles_cte_sql(words_alias: str = "w", n: int = 3) -> str:
+    """DuckDB list-comprehension over an already-computed word list column
+    ``words_alias``; 1-based list indexing matches the Spark expression."""
+    parts = " || ' ' || ".join(f"{words_alias}[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct([{parts} FOR i IN "
+        f"range(1, greatest(len({words_alias}) - {n - 2}, 1))])"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+
+def minhash_params(k: int = 16, seed: int = 1337) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for h_i(x) = (a*x + b) mod (2^31-1).
+    Generated from a fixed seed so Spark, DuckDB and tests agree."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(k)
+    ]
+
+
+def minhash_signature(shingle_col: Column, k: int = 16, seed: int = 1337) -> Column:
+    """array<long> MinHash signature over a distinct-shingle array column.
+    Empty shingle set → signature of all MERSENNE_P (sentinel max)."""
+    hashed = F.transform(shingle_col, lambda s: h28(s))
+    sig = [
+        F.coalesce(
+            F.array_min(
+                F.transform(hashed, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
+            ),
+            F.lit(MERSENNE_P),
+        )
+        for a, b in minhash_params(k, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_signature_sql(shingles_expr: str, k: int = 16, seed: int = 1337) -> str:
+    """DuckDB twin: list of k min-hash values over a shingle-list expression."""
+    hashed = f"list_transform({shingles_expr}, s -> {h28_sql('s')})"
+    parts = [
+        f"coalesce(list_min(list_transform({hashed}, "
+        f"h -> (h * {a} + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+        for a, b in minhash_params(k, seed)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """array<string> of LSH band keys: md5 of the comma-joined slice of the
+    signature for each band (bands × rows must equal the signature length)."""
+    keys = []
+    for b in range(bands):
+        sl = F.slice(sig_col, b * rows + 1, rows)
+        keys.append(F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))))
+    return F.array(*keys)
+
+
+def band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
+    parts = [
+        f"md5(list_aggregate(list_transform(list_slice({sig_expr}, "
+        f"{b * rows + 1}, {b * rows + rows}), x -> CAST(x AS VARCHAR)), "
+        f"'string_agg', ','))"
+        for b in range(bands)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, over word multiset)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(words_col: Column) -> Column:
+    """32-bit SimHash over a word array (duplicates contribute weight).
+
+    For each bit position b, tally +1/-1 by the b-th bit of each word's
+    h28; the simhash bit is 1 iff the tally is positive.  Pure aggregate
+    expressions — no explode, no shuffle, no Python.
+    """
+    hashed = F.transform(words_col, lambda w: h28(w))
+    total = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        tally = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        total = total + F.when(tally > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return total
+
+
+def simhash_sql(words_expr: str) -> str:
+    hashed = f"list_transform({words_expr}, w -> {h28_sql('w')})"
+    parts = []
+    for b in range(SIMHASH_BITS):
+        tally = (
+            f"list_sum(list_transform({hashed}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"(CASE WHEN {tally} > 0 THEN {2**b} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"

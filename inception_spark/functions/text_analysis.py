@@ -1,0 +1,180 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen, no Python), each
+with a DuckDB SQL twin for the correctness oracle.  These extend the
+reference's surface per the build brief (the reference itself has only the
+cleaning ops, SURVEY.md §2.5) — designed for the ``documents`` table but
+applicable to any string column at 100 TB (narrow projections, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from inception_spark.functions.hashing import words, words_sql
+from inception_spark.tokenizer import TOKEN_PATTERN_SQL
+
+# ---------------------------------------------------------------------------
+# token counting — same rule as the chunker's RegexTokenizer
+# ---------------------------------------------------------------------------
+
+
+def token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN_SQL), F.lit(0)))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_PATTERN_SQL}'))"
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def word_count_sql(expr: str) -> str:
+    return f"len({words_sql(expr)})"
+
+
+# ---------------------------------------------------------------------------
+# language ID — stopword-overlap heuristic
+# ---------------------------------------------------------------------------
+# Tiny curated stopword lists; the *argmax of overlap ratios* is the
+# prediction.  Deterministic tie-break: first language in LANGS order wins
+# (strict greater-than comparisons).
+
+LANGS = ["en", "de", "fr", "es"]
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "on", "be", "at", "by", "this", "have", "not", "are"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "mit",
+           "auf", "ein", "eine", "nicht", "im", "sich", "des", "auch", "es"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "en",
+           "que", "qui", "dans", "pour", "pas", "au", "plus", "par", "sur"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "una",
+           "es", "por", "con", "para", "del", "se", "no", "su", "al", "lo"],
+}
+
+
+def _lang_hits(w: Column, lang: str) -> Column:
+    return F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in STOPWORDS[lang]])))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language overlap count of distinct words with the stopword list."""
+    w = F.array_distinct(words(col))
+    return {lang: _lang_hits(w, lang) for lang in LANGS}
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language code, 'und' when nothing matched."""
+    scores = lang_scores(col)
+    # argmax with first-wins tie-break, expressed as nested CASE WHEN:
+    # lang L wins if score(L) > 0 and score(L) >= all later langs and
+    # score(L) > all earlier langs (strict) — equivalently evaluate in
+    # order with >= against the running best of the remaining.
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANGS):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _lang_hits_sql(w_expr: str, lang: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return f"len(list_intersect({w_expr}, [{lst}]))"
+
+
+def lang_id_sql(expr: str) -> str:
+    w = f"list_distinct({words_sql(expr)})"
+    hits = {lang: _lang_hits_sql(w, lang) for lang in LANGS}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    sql = "'und'"
+    for lang in reversed(LANGS):
+        sql = (
+            f"CASE WHEN {hits[lang]} > 0 AND {hits[lang]} = {best} "
+            f"THEN '{lang}' ELSE {sql} END"
+        )
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length/punct/stopword/digit ratios
+# ---------------------------------------------------------------------------
+# score in [0,1]: weighted blend of
+#   * length_ok: 1 if 50 <= n_chars <= 100_000 (ramps at the low end)
+#   * alpha_ratio: alphabetic chars / non-space chars
+#   * stopword_ratio hit: fraction of words that are (en) stopwords,
+#     capped at 0.4 (typical natural text sits 0.2-0.5)
+#   * digit penalty: fraction of digit chars
+# Arithmetic kept to plain +,*,/,least/greatest so both engines agree
+# bit-for-bit after rounding to 4 decimals.
+
+
+def quality_score(col: Column) -> Column:
+    n_chars = F.length(col).cast("double")
+    nonspace = F.length(F.regexp_replace(col, r"\s", "")).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", "")).cast("double")
+    w = words(col)
+    n_words = F.size(w).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(w),
+                          F.array(*[F.lit(s) for s in STOPWORDS["en"]]))
+    ).cast("double")
+
+    length_ok = F.least(n_chars / F.lit(50.0), F.lit(1.0))
+    alpha_ratio = F.when(nonspace > 0, alpha / nonspace).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, F.least(stop_hits / n_words * 2.5, F.lit(1.0))).otherwise(F.lit(0.0))
+    digit_pen = F.when(nonspace > 0, F.lit(1.0) - digits / nonspace).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.25) * length_ok
+        + F.lit(0.35) * alpha_ratio
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.2) * digit_pen,
+        4,
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n_chars = f"CAST(length({expr}) AS DOUBLE)"
+    nonspace = f"CAST(length(regexp_replace({expr}, '\\s', '', 'g')) AS DOUBLE)"
+    alpha = f"CAST(length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    digits = f"CAST(length(regexp_replace({expr}, '[^0-9]', '', 'g')) AS DOUBLE)"
+    w = words_sql(expr)
+    n_words = f"CAST(len({w}) AS DOUBLE)"
+    stop_hits = f"CAST({_lang_hits_sql(f'list_distinct({w})', 'en')} AS DOUBLE)"
+    length_ok = f"least({n_chars} / 50.0, 1.0)"
+    alpha_ratio = f"(CASE WHEN {nonspace} > 0 THEN {alpha} / {nonspace} ELSE 0.0 END)"
+    stop_ratio = (
+        f"(CASE WHEN {n_words} > 0 THEN least({stop_hits} / {n_words} * 2.5, 1.0) "
+        f"ELSE 0.0 END)"
+    )
+    digit_pen = f"(CASE WHEN {nonspace} > 0 THEN 1.0 - {digits} / {nonspace} ELSE 0.0 END)"
+    return (
+        f"round(0.25 * {length_ok} + 0.35 * {alpha_ratio} + "
+        f"0.2 * {stop_ratio} + 0.2 * {digit_pen}, 4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+# Normalized-content fingerprint: md5 over lowercased words joined by single
+# spaces — invariant to case, punctuation and whitespace layout.  This is
+# the exact-dedup key.
+
+
+def fingerprint(col: Column) -> Column:
+    return F.md5(F.concat_ws(" ", words(col)))
+
+
+def fingerprint_sql(expr: str) -> str:
+    # coalesce: DuckDB string_agg over an empty list yields NULL, while
+    # Spark's concat_ws over an empty array yields '' — align on ''.
+    return (
+        f"md5(coalesce(list_aggregate({words_sql(expr)}, "
+        f"'string_agg', ' '), ''))"
+    )

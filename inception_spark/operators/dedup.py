@@ -1,0 +1,330 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all Spark-first and shuffle-conscious:
+
+* **exact** — hash-groupBy on a normalized-content fingerprint.  One
+  shuffle on a 32-char key; at 100 TB this is the cheapest possible dedup
+  (map-side partial aggregation kicks in automatically).
+* **MinHash + LSH** — shingle → k-permutation minhash → band keys →
+  bucket self-join.  The self-join happens only *within band buckets*
+  (explode band keys, shuffle on (band, key)), never all-pairs.  Candidate
+  verification re-checks true n-gram Jaccard.
+* **SimHash** — 32-bit fingerprint via bitwise tallies; near-dup pairs
+  from 8-bit band blocking + hamming≤threshold verification.
+* **n-gram Jaccard** — exact pairwise similarity, but only over LSH/band
+  candidates (bounded), never the cartesian square.
+* **embedding cosine** — near-dup by vector similarity over an embedding
+  column; blocked by a coarse key to bound the pair count.
+
+Every operator is a pure built-in-expression pipeline (no Python UDFs),
+with DuckDB oracle twins assembled in __spark_entry__ from the same
+``functions.hashing`` SQL generators — so each one is hash-checked against
+an independent engine at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from inception_spark.functions import hashing as H
+from inception_spark.functions.text_analysis import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document fingerprint + group stats: (doc_id, fingerprint,
+    keeper_id, group_size, is_duplicate).  ``keeper_id`` is the smallest id
+    sharing the fingerprint; rows with ``is_duplicate`` are droppable.
+
+    Plan shape: one hash-aggregate shuffle on the fingerprint + one
+    broadcast-able join back (group table is |distinct| rows ≤ |df|)."""
+    fp = df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size")
+    )
+    return (
+        fp.join(groups, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "keeper_id",
+            "group_size",
+            (F.col("doc_id") != F.col("keeper_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, signature array<long>).
+
+    Explode-then-aggregate shape: each shingle is md5-hashed exactly ONCE,
+    then the k permutation minima are k ``min()`` aggregates over the same
+    hash column.  (The pure array-expression form re-evaluates the hashed
+    array per signature element — k× the md5 work — because CollapseProject
+    inlines the shared subexpression; measured 20× slower at sf0.01.)
+    Partial aggregation runs map-side, so the one shuffle carries k longs
+    per (partition, doc) — scale-safe.  ``explode_outer`` keeps empty
+    documents, whose signature is the sentinel MERSENNE_P everywhere."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(H.shingles(F.col(text_col), n=shingle_n)).alias("s"),
+    )
+    hashed = ex.select("doc_id", H.h28(F.col("s")).alias("h"))
+    params = H.minhash_params(k)
+    aggs = [
+        F.min(
+            (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(H.MERSENNE_P)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.coalesce(F.col(f"m{i}"), F.lit(H.MERSENNE_P))
+                for i in range(k)
+            ]
+        ).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    Scale shape: explode to |docs|×bands rows, shuffle on the band-key
+    hash, join within buckets only.  Hot buckets (boilerplate text) are
+    the skew risk — AQE skew-join handles moderate cases; for 100 TB add
+    a bucket-size cap filter before the join."""
+    rows = k // bands
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n
+    )
+    bk = sig.select(
+        "doc_id",
+        F.posexplode(H.band_keys(F.col("signature"), bands, rows)).alias(
+            "band", "key"
+        ),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by true n-gram Jaccard ≥ threshold:
+    (doc_a, doc_b, jaccard).  jaccard rounded to 4 decimals (exact
+    integer-ratio arithmetic; rounding only normalizes the double repr)."""
+    cand = lsh_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands, shingle_n=shingle_n
+    )
+    # shingle-level equi-join instead of array_intersect: n_inter(a,b) is a
+    # count over (pair, shared shingle) rows — all hash joins + partial
+    # aggregation, no wide array columns flowing through the shuffle.
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(H.shingles(F.col(text_col), n=shingle_n)).alias("s"),
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    exb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(exa, "doc_a")
+        .join(exb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a", "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b", "left")
+        .withColumn("ni", F.coalesce(F.col("n_inter"), F.lit(0)).cast("double"))
+        .withColumn(
+            "nu",
+            (
+                F.coalesce(F.col("n_a"), F.lit(0))
+                + F.coalesce(F.col("n_b"), F.lit(0))
+                - F.coalesce(F.col("n_inter"), F.lit(0))
+            ).cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(F.col("nu") > 0, F.col("ni") / F.col("nu")).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_docs(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 32-bit fingerprints.
+
+    Explode-then-aggregate (same rationale as minhash_signatures): one md5
+    per word occurrence, 32 conditional-sum aggregates for the bit tallies.
+    Empty documents (null word from explode_outer) tally -1 per bit →
+    simhash 0, matching the array-expression/DuckDB semantics."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(H.words(F.col(text_col))).alias("w"),
+    )
+    hashed = ex.select("doc_id", H.h28(F.col("w")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"t{b}")
+        for b in range(H.SIMHASH_BITS)
+    ]
+    tallies = hashed.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(H.SIMHASH_BITS):
+        term = F.when(F.col(f"t{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return tallies.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of the 4 bytes of the
+    fingerprint (a ≤max_hamming-bit difference must leave ≥1 of 4 bytes
+    intact when max_hamming ≤ 6 < 8... strictly: pigeonhole guarantees a
+    shared byte only when hamming ≤ 3; for recall at hamming ≤ 6 this is a
+    heuristic blocker, matching common production practice), then verify
+    with exact bit_count(xor) ≤ max_hamming."""
+    sh = simhash_docs(df, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup vector pairs (cosine ≥ threshold) within blocks.
+
+    Blocking on ``block_col`` bounds the pair count (all-pairs within a
+    block, never the global square).  For unlabeled corpora swap the block
+    key for an LSH sign-bucket (see similarity.ann_lsh_topk)."""
+    from inception_spark.functions.vectors import cosine
+
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

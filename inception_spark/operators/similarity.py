@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_topk` — brute-force exact top-k for one query vector.
+  The correctness baseline: a single narrow scan + JVM-side dot products
+  + one ``row_number`` (or a driver-side ``takeOrdered``-style limit).
+  At 100 TB this is a full scan — right answer, bounded memory, one pass.
+* :func:`ann_lsh_topk` — the scale path: random-hyperplane (sign) LSH
+  bucketing.  Probes only the query's bucket (plus optional multi-probe
+  neighbors), so the scan touches ~1/2^bits of the data.  Hyperplanes are
+  generated from a fixed seed and inlined as literals, which keeps the
+  operator deterministic and lets the DuckDB oracle replay it exactly.
+* :func:`knn_join` — batch k-NN: every query row gets its top-k neighbors
+  (window over blocked candidate pairs).
+
+No UDFs anywhere — ``aggregate``/``zip_with`` dot products vectorize in
+codegen; an Arrow pandas-UDF variant would only win past ~10k dims.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inception_spark.functions.vectors import cosine, dot
+
+
+def _query_vec_col(qv: list[float]):
+    return F.array(*[F.lit(float(x)) for x in qv])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (vec_id, score), deterministic tie-break on
+    id.  Score rounded to 6 decimals BEFORE ranking so the ordering (and
+    therefore the selected set) is reproducible across engines."""
+    q = _query_vec_col(query_vec)
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "score", "rank")
+    )
+
+
+def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 2024) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (bits × dim)."""
+    return np.random.RandomState(seed).standard_normal((bits, dim))
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Integer bucket id: sign bit per hyperplane, little-endian packed."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        acc = acc + F.when(dot(vec_col, lit) > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return acc
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 2024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's LSH
+    bucket.  Partition pruning analogue: with the table *written*
+    partitioned by bucket, Catalyst prunes 255/256 of the files."""
+    planes = lsh_hyperplanes(len(query_vec), bits=bits, seed=seed)
+    qbits = sum(
+        2**i for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0
+    )
+    bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == qbits),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    block_on: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Batch k-NN join: for every query row, its top-k corpus neighbors by
+    cosine.  ``block_on=(q_col, c_col)`` restricts candidates to matching
+    blocks (otherwise a full cross join — only for small corpora or after
+    LSH bucketing both sides)."""
+    cond = (
+        F.col(f"q.{block_on[0]}") == F.col(f"c.{block_on[1]}")
+        if block_on
+        else F.lit(True)
+    )
+    pairs = (
+        queries.alias("q")
+        .join(corpus.alias("c"), cond)
+        .select(
+            F.col(f"q.{q_id}").alias("q_id"),
+            F.col(f"c.{c_id}").alias("n_id"),
+            F.round(
+                cosine(F.col(f"q.{q_vec}"), F.col(f"c.{c_vec}")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

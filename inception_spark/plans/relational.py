@@ -1,0 +1,344 @@
+"""Relational query plans over the TPC-H-ish test schema.
+
+The reference has no relational surface (SURVEY.md §2.5); these are the
+engine's standard-analytics layer, written DataFrame-first so Catalyst owns
+the physical strategy.  Each builder takes ``(spark, sf_dir)`` and returns a
+DataFrame; the DuckDB oracle twins live in ``__spark_entry__.py``.
+
+Determinism engineering (the driver hash-compares values against DuckDB):
+
+* every SUM over a double column casts to ``DECIMAL(12,2)`` first — decimal
+  aggregation is exact and order-independent in both engines, so the final
+  ``CAST(... AS DOUBLE)`` is bit-identical regardless of partitioning;
+* averages are ``sum_decimal/count`` evaluated in double *after* the exact
+  decimal sum — never a native double ``avg`` (order-dependent);
+* timestamps in outputs are formatted to strings;
+* every top-k ranks on exact (decimal or raw-column) keys with an id
+  tie-break, so the *selected set* is stable, not just the values.
+
+Scale notes are on each builder — broadcast hints for dimension tables,
+partial-agg-friendly groupings, single-shuffle window plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,2)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects.  Read nanos as long and rebuild a timestamp_ntz truncated to
+    microseconds — exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP cast
+    does, so the two engines see identical wall-clock values.  Session TZ
+    pinned to UTC so the long → LTZ → NTZ hop is the identity."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+    )
+
+
+def _d(c) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+def _sum_money(col: F.Column, alias: str) -> F.Column:
+    return F.sum(col).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape): scan + filter + hash aggregate.
+# Catalyst pushes the shipdate filter into the parquet scan; partial
+# aggregation makes the shuffle carry ≤ |flags×status| rows per partition.
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _d("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_money(_d("l_quantity"), "sum_qty"),
+            _sum_money(_d("l_extendedprice"), "sum_base_price"),
+            _sum_money(disc_price, "sum_disc_price"),
+            _sum_money(charge, "sum_charge"),
+            (F.sum(_d("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_d("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_d("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shipping priority (Q3 shape): two joins + agg + deterministic top-10.
+# customer is tiny → broadcast; the orders⋈lineitem join shuffles on the
+# order key, which is also the aggregation key — one shuffle serves both.
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    agg = (
+        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)
+                            .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# region revenue (Q5 shape): the full star join.  region/nation/supplier/
+# customer all broadcast; only orders⋈lineitem shuffles.
+# ---------------------------------------------------------------------------
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # Q5's local-supplier condition: supplier and customer in same nation
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_sum_money(revenue, "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# forecast revenue (Q6 shape): pure scan-filter-agg — the pushdown showcase.
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _sum_money(_d("l_extendedprice") * _d("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window: one shuffle on the partition key."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum window over exact decimal, cast at the end."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(_d("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins beyond inner
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — NOT EXISTS."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + group: every customer, even order-less ones."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_d("o_totalprice")).cast("double"), F.lit(0.0)).alias("total_spent"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / rollup
+# ---------------------------------------------------------------------------
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot without the pivot API, so the oracle
+    SQL is plain ANSI)."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(
+            F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+        ).alias(f"n_p{i + 1}")
+        for i, p in enumerate(PRIORITIES)
+    ]
+    return orders.groupBy("o_orderstatus").agg(*aggs)
+
+
+def part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (type, brand) → type → grand total."""
+    part = load(spark, sf_dir, "part")
+    return part.rollup("p_type", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _sum_money(_d("p_retailprice"), "total_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _sum_money(_d("s_acctbal"), "total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: time-series aggregation, sessionization, JSON extraction
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via date_trunc (streaming-compatible
+    grouping — the structured-streaming twin uses window())."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap): the batch
+    twin of session_window().  Two stacked windows over one shuffle on
+    user_id."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # microsecond-exact gap on timestamp_ntz (TZ-independent in both engines)
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("session_value"),
+    )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column — stays in codegen."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op + ratio query: per-type share of total events, exact
+    integer arithmetic until the final division."""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias("share"),
+    )

@@ -1,0 +1,113 @@
+"""Mini-driver: replicates the harness's t2 correctness gate locally.
+
+For every query in ``__spark_entry__.queries()`` that has an
+``oracle_sql()`` entry, run the Spark DataFrame AND the DuckDB SQL on the
+same parquet tables and compare row count, column names, and values
+(order-insensitive, exact for non-floats, bit-tolerant-to-1e-9 for floats
+— the real driver hashes, so we also report whether exact equality held).
+"""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by stringified values (order-insensitive
+    compare), reset index."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        key = df.astype(str).agg("\x00".join, axis=1)
+        df = df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> tuple[bool, bool]:
+    """(exact, approx) equality for scalars."""
+    if a is None and b is None:
+        return True, True
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False, False
+        if math.isnan(a) and math.isnan(b):
+            return True, True
+        exact = a == b
+        approx = exact or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return exact, approx
+    return a == b, a == b
+
+
+def compare_frames(name, spark_pdf, duck_pdf):
+    sa, da = canon(spark_pdf), canon(duck_pdf)
+    assert list(sa.columns) == list(da.columns), (
+        f"{name}: columns differ: {list(sa.columns)} vs {list(da.columns)}"
+    )
+    assert len(sa) == len(da), f"{name}: row count {len(sa)} vs {len(da)}"
+    n_exact_fail = 0
+    first_approx_fail = None
+    for col in sa.columns:
+        for i, (x, y) in enumerate(zip(sa[col], da[col])):
+            exact, approx = values_equal(x, y)
+            if not approx and first_approx_fail is None:
+                first_approx_fail = (col, i, x, y)
+            if not exact:
+                n_exact_fail += 1
+    assert first_approx_fail is None, (
+        f"{name}: value mismatch at {first_approx_fail}"
+    )
+    # the real driver hashes → exact equality is what actually matters
+    assert n_exact_fail == 0, (
+        f"{name}: {n_exact_fail} values equal only approximately "
+        f"(driver hash would fail)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    assert name in QUERIES, f"oracle without query: {name}"
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    ddf = con.execute(ORACLES[name]).df()
+    compare_frames(name, sdf, ddf)
+
+
+def test_all_queries_run(spark):
+    """Queries without oracles (UDF-based) still must run with stable
+    schemas and ≥0 rows."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_DIR)
+        assert len(df.columns) > 0
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) >= {"doc_id", "chunk_number", "chunk", "embedding"}
