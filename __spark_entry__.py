@@ -258,6 +258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_pivot": R.order_priority_pivot,
         "part_type_rollup": R.part_type_rollup,
         "supplier_nation_balance": R.supplier_nation_balance,
+        "revenue_percentiles": R.revenue_percentiles,
+        "part_size_cube": R.part_size_cube,
+        "order_key_set_ops": R.order_key_set_ops,
+        "customer_name_stats": R.customer_name_stats,
+        "orders_above_avg": R.orders_above_avg,
+        "monthly_order_stats": R.monthly_order_stats,
         "events_hourly": R.events_hourly,
         "events_sessionization": R.events_sessionization,
         "events_json_stats": R.events_json_stats,
@@ -277,6 +283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "corpus_ngram_topk": lambda spark, sf: D.corpus_ngram_topk(
+            _docs(spark, sf)
+        ),
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -395,6 +404,51 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+""",
+        "revenue_percentiles": """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+        "part_size_cube": f"""
+SELECT p_type, CAST(floor(p_size / 10) AS BIGINT) AS size_decade,
+       COUNT(*) AS n_parts,
+       CAST(SUM({_d('p_retailprice')}) AS DOUBLE) AS total_price
+FROM part GROUP BY CUBE (p_type, CAST(floor(p_size / 10) AS BIGINT))
+""",
+        "order_key_set_ops": """
+WITH a AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'),
+b AS (SELECT o_orderkey AS okey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT
+  (SELECT COUNT(*) FROM (SELECT okey FROM a UNION SELECT okey FROM b)) AS n_union,
+  (SELECT COUNT(*) FROM (SELECT okey FROM a INTERSECT SELECT okey FROM b)) AS n_intersect,
+  (SELECT COUNT(*) FROM (SELECT okey FROM a EXCEPT SELECT okey FROM b)) AS n_except
+""",
+        "customer_name_stats": """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS cust_num,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substr(c_name, 1, 8) AS name_prefix,
+       upper(c_mktsegment) AS segment_upper,
+       c_mktsegment || '/' || CAST(c_nationkey AS VARCHAR) AS seg_nation
+FROM customer
+""",
+        "orders_above_avg": f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(SUM({_d('o_totalprice')}) AS DOUBLE) / COUNT(*) FROM orders)
+""",
+        "monthly_order_stats": f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_d('o_totalprice')}) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2, 3
 """,
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -530,6 +584,14 @@ SELECT * FROM (
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.4
+""",
+        "corpus_ngram_topk": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_FROM_W}) AS s FROM wt),
+c AS (SELECT s AS shingle, COUNT(*) AS doc_freq FROM sh GROUP BY s)
+SELECT shingle, doc_freq,
+       CAST(row_number() OVER (ORDER BY doc_freq DESC, shingle) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 20
 """,
         # --- similarity search ---
         "cosine_topk": f"""

@@ -373,3 +373,31 @@ def embedding_dup_pairs(
         .groupBy("_blk")
         .applyInPandas(block_pairs, "vec_a long, vec_b long, cosine double")
     )
+
+
+def corpus_ngram_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent word n-grams across the corpus (shingles are
+    per-document distinct, so this counts document frequency — the dedup
+    world's boilerplate detector).  Deterministic tie-break on the shingle
+    string."""
+    from pyspark.sql import Window
+
+    ex = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("s"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("s").alias("shingle"),
+            "doc_freq",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -342,3 +342,98 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# percentiles, cube, set ops, scalar subqueries, string/date functions
+# ---------------------------------------------------------------------------
+
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont bit-for-bit — verified; approx_percentile would NOT
+    match and is the knob to flip at 100 TB)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def part_size_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, size decade): all four grouping-set combinations."""
+    part = load(spark, sf_dir, "part")
+    # floor, not cast: Spark's int cast truncates but DuckDB's rounds
+    decade = F.floor(F.col("p_size") / 10).cast("long")
+    return (
+        part.withColumn("size_decade", decade)
+        .cube("p_type", "size_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _sum_money(_d("p_retailprice"), "total_price"),
+        )
+    )
+
+
+def order_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT cardinalities between two key sets:
+    orders containing returned items vs urgent-priority orders."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    u = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    i = a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect"))
+    e = a.distinct().exceptAll(b.distinct()).agg(
+        F.count(F.lit(1)).alias("n_except")
+    )
+    return u.crossJoin(i).crossJoin(e)
+
+
+def customer_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function projection layer: regex extraction, casing,
+    substring, length — all codegen'd Catalyst expressions."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)$", 1).cast("long").alias("cust_num"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.upper("c_mktsegment").alias("segment_upper"),
+        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: global exact average via broadcast cross
+    join (one row), then filter — no second scan of the fact table."""
+    orders = load(spark, sf_dir, "orders")
+    avg = orders.agg(
+        (F.sum(_d("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function extraction + aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_money(_d("o_totalprice"), "total_price"),
+        )
+    )

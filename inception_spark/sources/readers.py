@@ -1,0 +1,171 @@
+"""Document sources & sinks — the engine's scan layer.
+
+Generalizes the reference's two ingestion paths (SURVEY.md §2.1):
+
+* S1 JSON batch (``{documents: [{id, text}...]}``,
+  reference routes/embedding.py:95-96) → :func:`read_documents_json`
+  (both the nested batch shape and flat json-lines), plus parquet/CSV.
+* S2 raw text bodies (routes/embedding.py:75-78; invalid UTF-8 → 422,
+  utils.py:129-136) → :func:`read_documents_text` with ``wholetext`` and
+  binary-mode quarantine of undecodable files.
+
+Error handling maps the reference's error classifier (V4,
+utils.py:119-157) onto Spark's PERMISSIVE mode: malformed records land in
+a quarantine DataFrame with the reference's error_type labels instead of
+failing the job — the scalable analogue of per-request HTTP 422s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inception_spark.schemas import DOCUMENTS
+
+#: reference metric labels (metrics.py:16-20, utils.py:119-157)
+ERROR_DECODE = "decode_error"
+ERROR_VALIDATION = "validation_error"
+ERROR_PROCESSING = "processing_error"
+
+_DOCS_PERMISSIVE = T.StructType(
+    list(DOCUMENTS.fields)
+    + [T.StructField("_corrupt_record", T.StringType(), True)]
+)
+
+
+def read_documents_json(
+    spark: SparkSession, path: str, *, multiline_batch: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """→ (documents, quarantine).
+
+    ``multiline_batch=True`` parses the reference's nested request shape
+    ``{"documents": [{id, text}...]}`` (one request per file); the default
+    reads flat json-lines of ``{id, text}``.  Malformed records are
+    quarantined with ``error_type = validation_error`` instead of killing
+    the read (PERMISSIVE + corrupt-record column)."""
+    if multiline_batch:
+        nested = (
+            spark.read.option("multiLine", "true")
+            .schema("documents array<struct<id: long, text: string>>")
+            .json(path)
+        )
+        docs = nested.select(
+            F.explode("documents").alias("d")
+        ).select("d.id", "d.text")
+        return docs, docs.limit(0).withColumn(
+            "error_type", F.lit(None).cast("string")
+        )
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(_DOCS_PERMISSIVE)
+        .json(path)
+    )
+    good = raw.filter(
+        F.col("_corrupt_record").isNull() & F.col("id").isNotNull()
+    ).select("id", "text")
+    bad = raw.filter(
+        F.col("_corrupt_record").isNotNull() | F.col("id").isNull()
+    ).select(
+        F.col("_corrupt_record").alias("raw"),
+        F.lit(ERROR_VALIDATION).alias("error_type"),
+    )
+    return good, bad
+
+
+def read_documents_csv(
+    spark: SparkSession, path: str, *, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    raw = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(_DOCS_PERMISSIVE)
+        .csv(path)
+    )
+    good = raw.filter(
+        F.col("_corrupt_record").isNull() & F.col("id").isNotNull()
+    ).select("id", "text")
+    bad = raw.filter(
+        F.col("_corrupt_record").isNotNull() | F.col("id").isNull()
+    ).select(
+        F.col("_corrupt_record").alias("raw"),
+        F.lit(ERROR_VALIDATION).alias("error_type"),
+    )
+    return good, bad
+
+
+def read_documents_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar path — schema enforced by the file format itself."""
+    return spark.read.parquet(path).select("id", "text")
+
+
+def read_documents_text(
+    spark: SparkSession, path: str, *, wholetext: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Raw text files, one document per file (S2: the text/plain body).
+
+    Files are read as binary and decoded explicitly so invalid UTF-8 is
+    *quarantined* with the reference's ``decode_error`` label (utils.py:
+    129-136) rather than silently replaced — Spark's text reader would
+    substitute U+FFFD, losing the 422 semantics.  doc ids are assigned by
+    file order hash (the single-doc endpoint hardcodes id=0; a directory
+    scan needs distinct ids — we use a stable 28-bit path hash)."""
+    # decode() hard-fails on malformed input by default in Spark 4; the
+    # legacy coding action substitutes U+FFFD, which we then quarantine
+    # (files that legitimately contain U+FFFD are quarantined too — the
+    # conservative trade for preserving the reference's 422 semantics).
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    raw = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    decoded = raw.select(
+        "path",
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+        F.conv(F.substring(F.md5(F.col("path")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("id"),
+    )
+    good = decoded.filter(
+        F.col("text").isNotNull()
+        & (F.length(F.regexp_replace("text", "�", "")) == F.length("text"))
+    ).select("id", "text")
+    bad = decoded.filter(
+        F.col("text").isNull()
+        | (F.length(F.regexp_replace("text", "�", "")) != F.length("text"))
+    ).select(
+        F.col("path").alias("raw"),
+        F.lit(ERROR_DECODE).alias("error_type"),
+    )
+    return good, bad
+
+
+# ---------------------------------------------------------------------------
+# sinks (S4)
+# ---------------------------------------------------------------------------
+
+
+def write_chunk_embeddings(
+    df: DataFrame, path: str, *, partition_by_doc_bucket: int = 0
+) -> None:
+    """Parquet sink for the flat chunk table.  At 100 TB, bucket by doc_id
+    so downstream per-document reassembly joins are co-located."""
+    w = df.write.mode("overwrite")
+    if partition_by_doc_bucket > 0:
+        w = w.partitionBy()  # placeholder: bucketBy requires saveAsTable
+        (
+            df.write.mode("overwrite")
+            .bucketBy(partition_by_doc_bucket, "doc_id")
+            .sortBy("doc_id", "chunk_number")
+            .option("path", path)
+            .saveAsTable("chunk_embeddings_bucketed")
+        )
+        return
+    w.parquet(path)
+
+
+def write_nested_response_json(df: DataFrame, path: str) -> None:
+    """The reference's nested TextResponse shape as json-lines
+    (schemas.nest_response upstream)."""
+    df.write.mode("overwrite").json(path)

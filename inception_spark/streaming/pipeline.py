@@ -1,0 +1,165 @@
+"""Structured Streaming surface.
+
+The reference processes independent HTTP requests — in Spark terms, an
+unbounded stream of documents (SURVEY.md §7.2.8).  Because the batch
+operators (clean → chunk → embed) are stateless column transforms, they
+compose with ``readStream`` unchanged; this module adds the streaming-only
+concerns: sources, watermarks, windowed/session aggregation, and sinks.
+
+Scale design: the chunk/embed UDFs run per micro-batch with the same
+executor-cached singletons as batch; watermark + append mode keeps state
+bounded; ``foreachBatch`` gives exactly-once parquet output with the batch
+writer (idempotent by batch id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inception_spark.config import DEFAULT_CONFIG, EngineConfig
+from inception_spark.operators.chunking import make_chunk_udf, token_count_expr
+from inception_spark.operators.encoding import make_embed_udf
+from inception_spark.tokenizer import RegexTokenizer
+
+#: schema for streaming document sources (files dropped into a directory,
+#: Kafka value payloads, etc.) — TextRequest + event time.
+STREAM_DOCUMENTS = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("event_time", T.TimestampType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, fmt: str = "json"
+) -> DataFrame:
+    """File-drop document source (the streaming analogue of the batch
+    endpoint S1): each file is a batch of TextRequest rows."""
+    return (
+        spark.readStream.schema(STREAM_DOCUMENTS)
+        .format(fmt)
+        .option("maxFilesPerTrigger", 16)
+        .load(path)
+    )
+
+
+def embed_document_stream(
+    stream: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Streaming clean-skip → chunk → embed (same semantics as
+    EmbeddingEngine.embed_documents; validation quarantine upstream)."""
+    tok = RegexTokenizer()
+    lead_len = tok.count(config.lead_document)
+    chunk_udf = make_chunk_udf(config)
+    embed_udf = make_embed_udf(
+        config, encoder_kind="stub", prefix=config.lead_document
+    )
+    chunks = stream.select(
+        F.col("id").alias("doc_id"),
+        "event_time",
+        F.posexplode(chunk_udf(F.col("text"))).alias("pos", "chunk"),
+    ).select(
+        "doc_id",
+        "event_time",
+        (F.col("pos") + 1).cast("int").alias("chunk_number"),
+        "chunk",
+        (token_count_expr(F.col("chunk")) + F.lit(lead_len))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+    return chunks.withColumn("embedding", embed_udf(F.col("chunk")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding window aggregation with late-data watermark —
+    the streaming twin of relational.events_hourly."""
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming twin of
+    relational.events_sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def write_foreach_batch_parquet(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Exactly-once parquet sink via foreachBatch: idempotent overwrite
+    into a per-batch subdirectory keyed by epoch id."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={epoch_id}"
+            )
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1,0 +1,76 @@
+"""Multimodal plumbing tests: binary payload columns, metadata pruning,
+mapInPandas decode/feature/frame-sample shapes (decoders are deterministic
+fakes; the real paths raise DecoderUnavailable by design)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.operators.multimodal import (
+    DecoderUnavailable,
+    attach_media_meta,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, b"\x89PNG-fake-image-bytes-1"),
+        (2, b"\x89PNG-fake-image-bytes-22222"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    return attach_media_meta(df, modality="image", mime="image/png")
+
+
+def test_media_meta_schema(media_df):
+    r = media_df.collect()[0]
+    assert r["media_meta"]["modality"] == "image"
+    assert r["media_meta"]["n_bytes"] == 23
+    assert r["media_meta"]["width"] is None
+
+
+def test_metadata_filter_prunes_before_decode(media_df):
+    # metadata-only predicate: no binary column in the scan output
+    pruned = media_df.filter(
+        F.col("media_meta.modality") == "image"
+    ).select("id", "media_meta.n_bytes")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in pruned.columns
+    assert pruned.count() == 2
+
+
+def test_extract_features_deterministic(media_df):
+    out = extract_features(media_df, dim=32).collect()
+    assert len(out) == 2
+    by_id = {r["id"]: r["feature"] for r in out}
+    assert len(by_id[1]) == 32
+    # deterministic: re-run yields identical vectors
+    again = {r["id"]: r["feature"] for r in extract_features(media_df, dim=32).collect()}
+    assert by_id == again
+    # distinct payloads → distinct features
+    assert by_id[1] != by_id[2]
+
+
+def test_real_decode_path_raises(media_df):
+    with pytest.raises(Exception) as ei:
+        extract_features(media_df, fake=False).collect()
+    assert "DecoderUnavailable" in str(ei.value) or "media decoding" in str(
+        ei.value
+    )
+
+
+def test_sample_frames_explosion(spark):
+    df = spark.createDataFrame(
+        [(7, b"0123456789" * 10)], "id long, payload binary"
+    )
+    df = attach_media_meta(df, modality="video", mime="video/mp4")
+    df = df.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(5000).cast("long")),
+    )
+    frames = sample_frames(df, every_ms=1000).collect()
+    assert len(frames) == 5
+    assert [f["frame_number"] for f in frames] == [1, 2, 3, 4, 5]
+    total = b"".join(bytes(f["frame"]) for f in frames)
+    assert len(total) == 100  # full payload covered by slices

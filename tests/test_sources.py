@@ -1,0 +1,84 @@
+"""Source/sink layer tests: JSON/CSV/text/parquet readers with quarantine,
+nested-batch parsing, binary text decode errors (S1/S2/V4 parity)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.sources.readers import (
+    ERROR_DECODE,
+    read_documents_csv,
+    read_documents_json,
+    read_documents_parquet,
+    read_documents_text,
+    write_nested_response_json,
+)
+
+
+def test_json_lines_with_quarantine(spark, tmp_path):
+    p = tmp_path / "docs.json"
+    with open(p, "w") as f:
+        f.write(json.dumps({"id": 1, "text": "good doc"}) + "\n")
+        f.write('{"id": 2, "text": "also good"}\n')
+        f.write("{not json at all\n")
+        f.write(json.dumps({"text": "missing id"}) + "\n")
+    good, bad = read_documents_json(spark, str(p))
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    badr = bad.collect()
+    assert len(badr) == 2
+    assert all(r["error_type"] == "validation_error" for r in badr)
+
+
+def test_nested_batch_shape(spark, tmp_path):
+    p = tmp_path / "batch.json"
+    with open(p, "w") as f:
+        json.dump(
+            {"documents": [{"id": 10, "text": "a"}, {"id": 11, "text": "b"}]},
+            f,
+        )
+    good, _bad = read_documents_json(spark, str(p), multiline_batch=True)
+    assert {(r["id"], r["text"]) for r in good.collect()} == {
+        (10, "a"), (11, "b")
+    }
+
+
+def test_csv_reader(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text('id,text\n1,"hello world"\n2,"second, with comma"\n')
+    good, bad = read_documents_csv(spark, str(p))
+    rows = {r["id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "hello world", 2: "second, with comma"}
+    assert bad.count() == 0
+
+
+def test_text_reader_decode_quarantine(spark, tmp_path):
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "good.txt").write_text("A perfectly fine opinion text.")
+    (d / "bad.bin").write_bytes(b"\xff\xfe\xfd")  # invalid UTF-8 (FIXTURES §1)
+    good, bad = read_documents_text(spark, str(d))
+    g = good.collect()
+    assert len(g) == 1 and g[0]["text"].startswith("A perfectly")
+    b = bad.collect()
+    assert len(b) == 1
+    assert b[0]["error_type"] == ERROR_DECODE
+    assert b[0]["raw"].endswith("bad.bin")
+
+
+def test_parquet_roundtrip_and_nested_sink(spark, tmp_path, sample_opinion):
+    from inception_spark.engine import EmbeddingEngine
+    from inception_spark.schemas import nest_response
+
+    df = spark.createDataFrame(
+        [(1, sample_opinion)], "id long, text string"
+    )
+    df.write.parquet(str(tmp_path / "docs.parquet"))
+    back = read_documents_parquet(spark, str(tmp_path / "docs.parquet"))
+    assert back.collect()[0]["id"] == 1
+
+    out = EmbeddingEngine(spark).embed_documents(back)
+    write_nested_response_json(nest_response(out), str(tmp_path / "resp"))
+    resp = spark.read.json(str(tmp_path / "resp"))
+    row = resp.collect()[0]
+    assert row["id"] == 1 and len(row["embeddings"]) >= 1

@@ -1,0 +1,158 @@
+"""Structured Streaming tests: file-source document stream through the
+chunk→embed pipeline, and windowed/session aggregations, checked against
+their batch twins on the same data."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.streaming.pipeline import (
+    EVENTS_SCHEMA,
+    embed_document_stream,
+    read_document_stream,
+    session_event_counts,
+    windowed_event_counts,
+)
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def test_document_stream_pipeline(spark, tmp_path, sample_opinion):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"id": 1, "text": sample_opinion, "event_time": "2024-01-01T00:00:00"},
+        {"id": 2, "text": "Short document. Two sentences.", "event_time": "2024-01-01T00:01:00"},
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = read_document_stream(spark, str(src))
+    assert stream.isStreaming
+    out = embed_document_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("doc_stream")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT * FROM doc_stream").collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
+    for r in got:
+        assert len(r["embedding"]) == 768
+        assert r["n_tokens"] <= 512
+
+    # streaming output == batch output for the same input (stateless ops)
+    from inception_spark.engine import EmbeddingEngine
+
+    batch = EmbeddingEngine(spark).embed_documents(
+        spark.createDataFrame(
+            [(1, sample_opinion), (2, "Short document. Two sentences.")],
+            "id long, text string",
+        )
+    )
+    b = {(r["doc_id"], r["chunk_number"]): r["chunk"] for r in batch.collect()}
+    s = {(r["doc_id"], r["chunk_number"]): r["chunk"] for r in got}
+    assert b == s
+
+
+@pytest.fixture()
+def event_stream_dir(spark, tmp_path):
+    """events rows as a file-drop stream, one json file."""
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        # user 7: two sessions separated by > 30 min
+        (1, "2024-01-01T00:00:00", 7, "click", 1.0),
+        (2, "2024-01-01T00:10:00", 7, "click", 2.0),
+        (3, "2024-01-01T01:00:00", 7, "view", 4.0),
+        # user 8: single event
+        (4, "2024-01-01T00:30:00", 8, "click", 8.0),
+    ]
+    with open(src / "e.json", "w") as f:
+        for eid, ts, uid, et, v in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid,
+                     "event_type": et, "value": v, "props": "{}"}
+                )
+                + "\n"
+            )
+    return str(src)
+
+
+def test_windowed_event_counts(spark, event_stream_dir):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(event_stream_dir)
+    )
+    out = windowed_event_counts(stream, window="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    # append mode emits only watermark-closed windows; with a static file
+    # the final watermark closes all but the last — use complete-mode twin
+    q2 = (
+        windowed_event_counts(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("win_counts_c")
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q2)
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts_c").collect()
+    }
+    assert rows[("2024-01-01 00:00:00", "click")] == 3
+    assert rows[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_session_event_counts(spark, event_stream_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(event_stream_dir)
+    out = session_event_counts(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[7]) == 2  # two sessions (gap 50 min > 30 min)
+    assert len(by_user[8]) == 1
+    s1 = sorted(by_user[7], key=lambda r: r["session_start"])[0]
+    assert s1["n_events"] == 2 and s1["session_value"] == 3.0
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path, sample_opinion):
+    from inception_spark.streaming.pipeline import write_foreach_batch_parquet
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"id": 5, "text": "One sentence here.",
+                            "event_time": "2024-01-01T00:00:00"}) + "\n")
+    stream = read_document_stream(spark, str(src))
+    out = embed_document_stream(stream).drop("event_time")
+    q = write_foreach_batch_parquet(
+        out, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).start()
+    _drain(q)
+    batches = os.listdir(tmp_path / "out")
+    assert batches
+    got = spark.read.parquet(str(tmp_path / "out" / batches[0])).collect()
+    assert got[0]["doc_id"] == 5 and len(got[0]["embedding"]) == 768
