@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the plans we ship are the plans we designed.
+
+Catalyst must show (a) predicate pushdown into the parquet scan, (b)
+column pruning (ReadSchema carries only needed fields), (c) broadcast
+joins for dimension tables, (d) map-side partial aggregation, (e) no
+Python UDFs in pure-relational pipelines.  These tests pin the *shape* so
+a future refactor that silently de-optimizes a plan fails CI.
+"""
+
+import pytest
+
+from inception_spark.plans import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    df = R.q6_forecast_revenue(spark, SF)
+    f = formatted(df)
+    # shipdate/discount/quantity predicates reach the parquet scan
+    assert "PushedFilters" in f
+    assert "l_shipdate" in f.split("PushedFilters")[1][:400]
+    # column pruning: scan reads only the 4 referenced columns
+    read_schema = f.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # unused column NOT read
+
+
+def test_q5_broadcasts_dimensions(spark):
+    p = plan_of(R.q5_region_revenue(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3  # cust/supp/nation/region
+    # the fact-side join may be broadcast at this tiny SF; what must NOT
+    # happen is a cartesian product
+    assert "CartesianProduct" not in p
+
+
+def test_q1_partial_aggregation(spark):
+    p = plan_of(R.q1_pricing_summary(spark, SF))
+    # two-phase agg: partial_ functions before the exchange, final after
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_relational_plans_have_no_python_udf(spark):
+    for name, fn in [
+        ("q1", R.q1_pricing_summary),
+        ("q3", R.q3_shipping_priority),
+        ("q5", R.q5_region_revenue),
+        ("sessionization", R.events_sessionization),
+    ]:
+        p = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_dedup_minhash_single_md5_pass(spark):
+    """The shingle hash appears in ONE projection (the explode side), not
+    inside each of the 16 aggregate expressions."""
+    from inception_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(minhash_signatures(docs))
+    assert p.count("md5") <= 2  # one for shingle hash (+ possible reuse)
+    assert "partial_min" in p  # map-side combine before the shuffle
+
+
+def test_chunk_pipeline_uses_arrow_udf(spark):
+    """The chunker crosses to Python exactly once, via Arrow."""
+    from inception_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(chunk_documents(docs, id_col="doc_id", text_col="text"))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p  # never the row-at-a-time path
+
+
+def test_cosine_topk_no_python(spark):
+    from inception_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [0.1] * 64
+    p = plan_of(cosine_topk(emb, qv, k=5))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
