@@ -161,6 +161,16 @@ class EmbeddingEngine:
             "embedding", embed(clean_text_expr(F.col(text_col)))
         )
 
+    def search(
+        self, query_text: str, chunk_embeddings: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """End-to-end semantic search: embed the query (C6), rank the
+        chunk-embedding table by cosine — the reference's production use
+        case (retrieval over opinion chunks, SURVEY.md §7.3)."""
+        from inception_spark.operators.similarity import semantic_search
+
+        return semantic_search(chunk_embeddings, self.embed_query(query_text), k=k)
+
     # -- M5 validation endpoint ---------------------------------------------
     def validate_text(self, df: DataFrame) -> DataFrame:
         """documents(id,text) → VALIDATED_TEXTS — never raises

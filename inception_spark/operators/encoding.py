@@ -117,6 +117,24 @@ def default_encoder(config: EngineConfig = DEFAULT_CONFIG) -> Encoder:
 _ENCODER_CACHE: dict[tuple, Encoder] = {}
 
 
+def _load_with_retry(factory, *, retries: int = 3, delay: float = 5.0):
+    """Model-load retry loop — O9 parity (reference main.py:44-75: 3
+    attempts, 5 s apart, for flaky model downloads on cold executors)."""
+    import time
+
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            return factory()
+        except Exception as e:  # noqa: BLE001 — deliberate: retry anything
+            last = e
+            if attempt < retries - 1:
+                time.sleep(delay)
+    raise RuntimeError(
+        f"encoder failed to load after {retries} attempts: {last}"
+    ) from last
+
+
 def _worker_encoder(kind: str, dim: int, force_cpu: bool) -> Encoder:
     key = (kind, dim, force_cpu)
     enc = _ENCODER_CACHE.get(key)
@@ -124,7 +142,11 @@ def _worker_encoder(kind: str, dim: int, force_cpu: bool) -> Encoder:
         if kind == "stub":
             enc = HashingStubEncoder(dim=dim)
         else:
-            enc = SentenceTransformerEncoder(dim=dim, force_cpu=force_cpu)
+            enc = _load_with_retry(
+                lambda: SentenceTransformerEncoder(
+                    dim=dim, force_cpu=force_cpu
+                )
+            )
         _ENCODER_CACHE[key] = enc
     return enc
 

@@ -130,3 +130,29 @@ def knn_join(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_search(
+    chunk_embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_number"),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The reference's production flow (SURVEY.md §7.3): a query embedding
+    against the chunk-embedding table → top-k chunks by cosine.
+
+    Returns (*id_cols, score, rank).  Stub and real encoders both produce
+    L2-normalized vectors, so cosine reduces to the dot product — but we
+    normalize anyway to stay correct for arbitrary vector columns."""
+    q = _query_vec_col(query_vec)
+    scored = chunk_embeddings.select(
+        *id_cols,
+        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -163,3 +163,94 @@ def write_foreach_batch_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def running_user_totals(
+    events: DataFrame,
+    *,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + value total across micro-batches, with
+    processing-time state timeout (the pattern for any accumulating
+    per-key state Spark's built-in aggregations can't express — e.g.
+    online dedup caches or per-key model state).
+
+    Emits one row per user per micro-batch in which that user appeared:
+    (user_id, n_events, total_value, batch_events).
+
+    ``timeout_minutes=None`` (default) keeps state forever (NoTimeout) —
+    the deterministic mode; ``processAllAvailable`` terminates cleanly.
+    A processing-time timeout evicts idle users' state but makes Spark
+    schedule continual state-cleanup micro-batches, so
+    ``processAllAvailable`` never returns — only use it with long-running
+    queries driven by real triggers.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), False),
+            T.StructField("batch_events", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total", T.DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "batch_events": [batch_n],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content fingerprint
+    passes through; repeats within the watermark horizon are dropped.
+    State is bounded by the watermark (fingerprints older than the horizon
+    are evicted) — the streaming twin of dedup.exact_dedup."""
+    from inception_spark.functions.text_analysis import fingerprint
+
+    return (
+        docs.withColumn("fingerprint", fingerprint(F.col("text")))
+        .withWatermark("event_time", watermark)
+        .dropDuplicates(["fingerprint"])
+    )
