@@ -156,3 +156,46 @@ def semantic_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus, probe only the
+    ``n_probe`` centroids nearest the query, exact cosine within them.
+
+    The scale path for write-once/query-many corpora: persist the table
+    partitioned by ``prediction`` and each query scans n_probe/n_centroids
+    of the data with partition pruning.  Centroids are trained with a
+    fixed seed (deterministic per Spark version); recall is tunable via
+    n_probe.  Complements the hyperplane LSH variant (ann_lsh_topk)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=5).fit(feats)
+    assigned = model.transform(feats).select(id_col, "prediction")
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [
+        float(np.linalg.norm(np.asarray(c) - q))
+        for c in model.clusterCenters()
+    ]
+    probe = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+    cand = df.join(
+        assigned.filter(F.col("prediction").isin(probe)).select(id_col),
+        id_col,
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -35,6 +35,13 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # local-bench scan parallelism: the testdata tables are single
+        # ~0.1-10 MB parquet files, so the 128 MB default yields 1-3
+        # scan partitions on a 32-core box (measured q1: 3.3s → 0.9s at
+        # 1 MB splits).  On a real cluster with 100 MB+ files, leave the
+        # defaults — small splits there would explode task counts.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

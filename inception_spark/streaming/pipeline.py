@@ -254,3 +254,31 @@ def streaming_exact_dedup(
         .withWatermark("event_time", watermark)
         .dropDuplicates(["fingerprint"])
     )
+
+
+def read_document_stream_with_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming source with corrupt-record quarantine — closes the
+    batch/stream asymmetry where a schema'd stream silently drops
+    malformed lines (verify finding).  → (good, quarantined)."""
+    schema = T.StructType(
+        list(STREAM_DOCUMENTS.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 16)
+        .json(path)
+    )
+    good = raw.filter(
+        F.col("_corrupt_record").isNull() & F.col("id").isNotNull()
+    ).select("id", "text", "event_time")
+    bad = raw.filter(
+        F.col("_corrupt_record").isNotNull() | F.col("id").isNull()
+    ).select(
+        F.col("_corrupt_record").alias("raw"),
+        F.lit("validation_error").alias("error_type"),
+    )
+    return good, bad

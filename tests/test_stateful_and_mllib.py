@@ -140,3 +140,42 @@ def test_encoder_retry_succeeds_after_failures():
         return "model"
 
     assert _load_with_retry(flaky, retries=3, delay=0.01) == "model"
+
+
+def test_ivf_topk(spark):
+    from inception_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    ivf = ivf_topk(emb, qv, k=5, n_centroids=8, n_probe=3)
+    rows = ivf.collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0 and rows[0]["score"] == 1.0
+    # recall sanity vs exact: the probed buckets must contain the query's
+    # own bucket, and top-1 must match brute force
+    exact = cosine_topk(emb, qv, k=1).collect()[0]
+    assert rows[0]["vec_id"] == exact["vec_id"]
+
+
+def test_streaming_quarantine(spark, tmp_path):
+    import json as _json
+    from inception_spark.streaming.pipeline import (
+        read_document_stream_with_quarantine,
+    )
+
+    src = tmp_path / "sq"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({"id": 1, "text": "fine",
+                             "event_time": "2024-01-01T00:00:00"}) + "\n")
+        f.write("{broken line\n")
+    good, bad = read_document_stream_with_quarantine(spark, str(src))
+    qg = (good.writeStream.format("memory").queryName("sq_good")
+          .outputMode("append").start())
+    qb = (bad.writeStream.format("memory").queryName("sq_bad")
+          .outputMode("append").start())
+    qg.processAllAvailable(); qb.processAllAvailable()
+    qg.stop(); qb.stop()
+    assert spark.sql("SELECT * FROM sq_good").collect()[0]["id"] == 1
+    badr = spark.sql("SELECT * FROM sq_bad").collect()
+    assert len(badr) == 1 and badr[0]["error_type"] == "validation_error"
