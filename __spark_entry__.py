@@ -13,10 +13,42 @@ Implementation lives in ``inception_spark/``; this file only wires names.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to Spark's Python workers via addPyFile.
+
+    The driver harness owns the SparkSession; its workers don't
+    necessarily have this repo on PYTHONPATH, and UDF closures
+    (chunker/encoder) unpickle `inception_spark` modules worker-side.
+    addPyFile distributes a zip at runtime and prepends it to worker
+    sys.path — works regardless of how the session was built."""
+    if getattr(spark, "_inception_spark_shipped", False):
+        return
+    zpath = os.path.join(
+        spark._jvm.java.lang.System.getProperty("java.io.tmpdir") or "/tmp",
+        "inception_spark_pkg.zip",
+    )
+    pkg = os.path.join(_REPO, "inception_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    spark._inception_spark_shipped = True
 
 from inception_spark.engine import EmbeddingEngine
 from inception_spark.functions import hashing as H
@@ -162,6 +194,7 @@ def _q_simhash_dup_pairs(spark, sf_dir):
 
 
 def _q_embedding_dup_pairs(spark, sf_dir):
+    _ensure_workers_can_import(spark)  # applyInPandas closure
     return D.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
@@ -206,7 +239,39 @@ def _q_knn_label_join(spark, sf_dir):
     )
 
 
+def _q_asof_event_order(spark, sf_dir):
+    """As-of join: each event matched to the user's most recent prior
+    order (point-in-time lookup).  Oracle = DuckDB's native ASOF JOIN."""
+    from inception_spark.operators.asof import asof_join, dedupe_right
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    orders = R.load(spark, sf_dir, "orders")
+    r = dedupe_right(
+        orders, by="o_custkey", on="o_orderdate", tie_break_desc="o_orderkey"
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    out = asof_join(
+        ev,
+        r,
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        value_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
+    _ensure_workers_can_import(spark)
     chunks = chunk_documents(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text"
     )
@@ -219,6 +284,7 @@ def _q_chunk_documents(spark, sf_dir):
 
 
 def _q_embed_documents(spark, sf_dir):
+    _ensure_workers_can_import(spark)
     eng = EmbeddingEngine(spark)
     d = _docs(spark, sf_dir).selectExpr("doc_id AS id", "text")
     out = eng.embed_documents(d)
@@ -239,6 +305,7 @@ def _q_embed_documents(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full reference pipeline (validate → chunk → embed) on
     sf0.001 documents — returns the exploded chunk-embedding table."""
+    _ensure_workers_can_import(spark)
     eng = EmbeddingEngine(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     return eng.embed_documents(docs.selectExpr("doc_id AS id", "text"))
@@ -268,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": R.events_sessionization,
         "events_json_stats": R.events_json_stats,
         "event_type_share": R.event_type_share,
+        "asof_event_order": _q_asof_event_order,
         # text analysis
         "doc_token_stats": _q_doc_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -490,6 +558,20 @@ SELECT event_type, COUNT(*) AS n,
        round(CAST(COUNT(*) AS DOUBLE) /
              (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6) AS share
 FROM events GROUP BY event_type
+""",
+        "asof_event_order": """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_custkey, o_orderdate
+      ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+       r.o_orderkey, r.o_totalprice,
+       strftime(r.o_orderdate, '%Y-%m-%d') AS order_date
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """,
         # --- text analysis ---
         "doc_token_stats": f"""

@@ -1,0 +1,49 @@
+"""End-to-end example: the reference's production flow on Spark.
+
+Load documents → validate/quarantine → chunk → embed → semantic search,
+plus a dedup sweep — everything a user of the reference service does,
+as one Spark job.
+
+Run:  python examples/semantic_search.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inception_spark import EmbeddingEngine
+from inception_spark.operators import dedup
+from inception_spark.session import build_session
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = build_session("semantic_search_example", master="local[4]",
+                          shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = EmbeddingEngine(spark)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id AS id", "text")
+    )
+    good, quarantined = engine.validate_documents(docs)
+    print(f"documents: {good.count()} valid, {quarantined.count()} quarantined")
+
+    table = engine.embed_documents(good).cache()
+    print(f"chunk-embedding table: {table.count()} rows")
+    table.select("doc_id", "chunk_number", "n_tokens").show(3)
+
+    hits = engine.search("fast hash join on a customer table", table, k=5)
+    print("top-5 chunks for the query:")
+    hits.show(truncate=False)
+
+    dups = dedup.ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.3
+    )
+    print(f"near-duplicate candidate pairs (jaccard ≥ 0.3): {dups.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

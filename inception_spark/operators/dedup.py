@@ -300,24 +300,41 @@ def simhash_dup_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    # Single-pass pair expansion: group each band bucket, expand pairs
+    # inside the collected array.  A self-join would evaluate the whole
+    # simhash subplan twice (AQE turns one side into a broadcast exchange,
+    # so ReusedExchange never fires); this shape computes simhash ONCE and
+    # shuffles each doc only 4× (once per band).  Bucket arrays are small
+    # by construction (8-bit keys); a hot bucket means near-identical
+    # boilerplate and should be capped upstream at extreme scale.
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+        .withColumn("xs", F.array_sort("xs"))  # by doc_id → a < b ordering
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "xs",
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

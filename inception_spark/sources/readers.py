@@ -151,9 +151,7 @@ def write_chunk_embeddings(
 ) -> None:
     """Parquet sink for the flat chunk table.  At 100 TB, bucket by doc_id
     so downstream per-document reassembly joins are co-located."""
-    w = df.write.mode("overwrite")
     if partition_by_doc_bucket > 0:
-        w = w.partitionBy()  # placeholder: bucketBy requires saveAsTable
         (
             df.write.mode("overwrite")
             .bucketBy(partition_by_doc_bucket, "doc_id")
@@ -162,7 +160,7 @@ def write_chunk_embeddings(
             .saveAsTable("chunk_embeddings_bucketed")
         )
         return
-    w.parquet(path)
+    df.write.mode("overwrite").parquet(path)
 
 
 def write_nested_response_json(df: DataFrame, path: str) -> None:
