@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": R.events_json_stats,
         "event_type_share": R.event_type_share,
         "asof_event_order": _q_asof_event_order,
+        "quantity_price_corr": R.quantity_price_corr,
         # text analysis
         "doc_token_stats": _q_doc_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -558,6 +559,25 @@ SELECT event_type, COUNT(*) AS n,
        round(CAST(COUNT(*) AS DOUBLE) /
              (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6) AS share
 FROM events GROUP BY event_type
+""",
+        "quantity_price_corr": f"""
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM({_d('l_quantity')}) AS sx,
+         SUM({_d('l_discount')}) AS sy,
+         SUM({_d('l_quantity')} * {_d('l_discount')}) AS sxy,
+         SUM({_d('l_quantity')} * {_d('l_quantity')}) AS sxx,
+         SUM({_d('l_discount')} * {_d('l_discount')}) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  AS qty_discount_corr
+FROM m
 """,
         "asof_event_order": """
 WITH r AS (

@@ -300,37 +300,33 @@ def simhash_dup_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    # Single-pass pair expansion: group each band bucket, expand pairs
-    # inside the collected array.  A self-join would evaluate the whole
-    # simhash subplan twice (AQE turns one side into a broadcast exchange,
-    # so ReusedExchange never fires); this shape computes simhash ONCE and
-    # shuffles each doc only 4× (once per band).  Bucket arrays are small
-    # by construction (8-bit keys); a hot bucket means near-identical
-    # boilerplate and should be capped upstream at extreme scale.
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"))
-        .filter(F.size("xs") >= 2)
-        .withColumn("xs", F.array_sort("xs"))  # by doc_id → a < b ordering
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            "xs",
-            lambda x, i: F.transform(
-                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(
-                        x["simhash"].bitwiseXOR(y["simhash"])
-                    ).alias("hamming"),
-                ),
-            ),
-        )
-    )
+    # Distributed band-bucket self-join.  Two shapes were measured:
+    # (a) collect_list per bucket + in-array pair expansion — computes
+    #     simhash once but materializes O(|bucket|²) structs in single
+    #     rows; word-bag corpora have hot buckets (max 900 docs at sf0.1
+    #     → 400k-struct rows, 12.6s) — the skew bomb;
+    # (b) plain self-join — skew-safe (AQE splits hot buckets) but AQE's
+    #     broadcast conversion defeats ReusedExchange, so the simhash
+    #     subplan (the expensive part) evaluates twice.
+    # (b) + a lazy localCheckpoint on the bands table gets both: computed
+    # once (RDD-cached at first action, MEMORY_AND_DISK), joined
+    # distributed.  State is per-action scratch, proportional to |docs|×4.
+    bands = bands.localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
     pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -437,3 +437,35 @@ def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_money(_d("o_totalprice"), "total_price"),
         )
     )
+
+
+def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation via exact decimal moments.
+
+    Native ``corr()`` accumulates doubles in partition order — fine for
+    analytics, fatal for a cross-engine hash check.  Building the five
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) as exact decimal sums makes the
+    final double arithmetic bit-identical in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    x = _d("l_quantity")
+    y = _d("l_discount")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("qty_discount_corr")
+    )
