@@ -103,6 +103,7 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 16,
     shingle_n: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, signature array<long>).
 
@@ -114,8 +115,10 @@ def minhash_signatures(
     Partial aggregation runs map-side, so the one shuffle carries k longs
     per (partition, doc) — scale-safe.  Documents with no shingles get the
     sentinel MERSENNE_P signature via the closing left join."""
-    ex = exploded_shingles(
-        df, id_col=id_col, text_col=text_col, n=shingle_n
+    ex = (
+        _shingles
+        if _shingles is not None
+        else exploded_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n)
     )
     hashed = ex.select("doc_id", H.h28(F.col("s")).alias("h"))
     params = H.minhash_params(k)
@@ -146,6 +149,7 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
@@ -155,7 +159,8 @@ def lsh_candidate_pairs(
     a bucket-size cap filter before the join."""
     rows = k // bands
     sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n
+        df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n,
+        _shingles=_shingles,
     )
     bk = sig.select(
         "doc_id",
@@ -191,13 +196,19 @@ def ngram_jaccard_pairs(
     """LSH candidates verified by true n-gram Jaccard ≥ threshold:
     (doc_a, doc_b, jaccard).  jaccard rounded to 4 decimals (exact
     integer-ratio arithmetic; rounding only normalizes the double repr)."""
+    # One shingle table feeds the whole chain (signatures, sizes,
+    # intersections) — lazily checkpointed so the regex/explode work runs
+    # once per action instead of once per consumer branch.
+    ex = exploded_shingles(
+        df, id_col=id_col, text_col=text_col, n=shingle_n
+    ).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(
-        df, id_col=id_col, text_col=text_col, k=k, bands=bands, shingle_n=shingle_n
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands,
+        shingle_n=shingle_n, _shingles=ex,
     )
     # shingle-level equi-join instead of array_intersect: n_inter(a,b) is a
     # count over (pair, shared shingle) rows — all hash joins + partial
     # aggregation, no wide array columns flowing through the shuffle.
-    ex = exploded_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     exa = ex.select(F.col("doc_id").alias("doc_a"), "s")
     exb = ex.select(F.col("doc_id").alias("doc_b"), "s")

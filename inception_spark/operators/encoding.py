@@ -175,3 +175,44 @@ def make_embed_udf(
             yield pd.Series([v.tolist() for v in vecs])
 
     return embed_udf
+
+
+def make_embed_udf_ml(
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    encoder_kind: str = "stub",
+    prefix: str | None = None,
+):
+    """Alternative encode operator via ``pyspark.ml.functions
+    .predict_batch_udf`` (SURVEY.md §2.3 C5's suggested mapping).
+
+    predict_batch_udf handles Arrow batching + model caching itself
+    (make_predict_fn runs once per worker), and its ``batch_size``
+    mirrors the reference's processing micro-batch (O2).  Functionally
+    identical to :func:`make_embed_udf`; kept as the MLlib-idiomatic
+    integration point for `spark.ml` pipelines."""
+    import numpy as np
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql import types as T
+
+    dim, fcpu, bsz = (
+        config.embedding_dim,
+        config.force_cpu,
+        config.processing_batch_size,
+    )
+    lead = config.lead_document if prefix is None else prefix
+
+    def make_predict_fn():
+        enc = _worker_encoder(encoder_kind, dim, fcpu)
+
+        def predict(texts: np.ndarray) -> np.ndarray:
+            batch = [lead + (t if isinstance(t, str) else "") for t in texts]
+            return enc.encode(batch, batch_size=bsz)
+
+        return predict
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=T.ArrayType(T.FloatType()),
+        batch_size=bsz,
+    )

@@ -74,3 +74,14 @@ def test_sample_frames_explosion(spark):
     assert [f["frame_number"] for f in frames] == [1, 2, 3, 4, 5]
     total = b"".join(bytes(f["frame"]) for f in frames)
     assert len(total) == 100  # full payload covered by slices
+
+
+def test_resize_images(media_df):
+    from inception_spark.operators.multimodal import resize_images
+
+    out = resize_images(media_df, width=32, height=16).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["media_meta"]["width"] == 32
+        assert r["media_meta"]["height"] == 16
+        assert r["media_meta"]["n_bytes"] == len(bytes(r["payload"])) == 32 * 16
