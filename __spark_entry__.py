@@ -79,6 +79,7 @@ _WORDS = H.words_sql("text")
 _SHINGLES_FROM_W = H.shingles_cte_sql("w")
 _SIG_FROM_SH = H.minhash_signature_sql("sh", k=16)
 _BANDS_FROM_SIG = H.band_keys_sql("sig", 4, 4)
+h28_w = H.h28_sql("w")
 
 
 def _dedup_cte() -> str:
@@ -353,6 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "corpus_ngram_topk": lambda spark, sf: D.corpus_ngram_topk(
+            _docs(spark, sf)
+        ),
+        "winnowing_fingerprints": lambda spark, sf: D.winnowing_fingerprints(
             _docs(spark, sf)
         ),
         # similarity search
@@ -686,6 +690,22 @@ SELECT * FROM (
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.4
+""",
+        "winnowing_fingerprints": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wt),
+h AS (SELECT doc_id, pos, {h28_w} AS h FROM ex),
+r AS (
+  SELECT doc_id, pos,
+    (((h * 65539 + lead(h, 1) OVER win) % 2147483647) * 65539
+      + lead(h, 2) OVER win) % 2147483647 AS roll
+  FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+f AS (
+  SELECT doc_id,
+    min(roll) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM r WHERE roll IS NOT NULL)
+SELECT DISTINCT doc_id, fp FROM f
 """,
         "corpus_ngram_topk": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),

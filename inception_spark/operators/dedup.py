@@ -425,3 +425,53 @@ def corpus_ngram_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+ROLL_BASE = 65539          # keeps all rolling products inside int64
+WINNOW_WINDOW = 4
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): rolling hash over word n-grams, keep the minimum hash
+    of every sliding window of ``window`` consecutive n-grams, distinct.
+
+    → (doc_id, fp).  Guarantees: any shared run of ``window + ngram - 1``
+    words between two documents produces at least one shared fingerprint —
+    local dedup/plagiarism signal with output size ~|words|/window.
+
+    The rolling hash folds per-word 28-bit md5 hashes with stepwise-mod
+    polynomial arithmetic (base 65539 mod 2^31-1), so every intermediate
+    stays in int64 — bit-identical in Spark and the DuckDB oracle.
+    Plan shape: one explode + two windows over the same (doc, pos) sort —
+    a single shuffle on doc_id.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(H.words(F.col(text_col))).alias("pos", "w"),
+    ).select("doc_id", "pos", H.h28(F.col("w")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    roll = F.col("h")
+    for i in range(1, ngram):
+        roll = (roll * F.lit(ROLL_BASE) + F.lead("h", i).over(win)) % F.lit(
+            H.MERSENNE_P
+        )
+    rolled = ex.select("doc_id", "pos", roll.alias("roll")).filter(
+        F.col("roll").isNotNull()
+    )
+    wwin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        rolled.select("doc_id", F.min("roll").over(wwin).alias("fp"))
+        .distinct()
+    )

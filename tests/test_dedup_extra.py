@@ -1,0 +1,50 @@
+"""Winnowing fingerprint guarantees + dedup family edge cases."""
+
+from inception_spark.operators.dedup import (
+    corpus_ngram_topk,
+    exact_dedup,
+    winnowing_fingerprints,
+)
+
+
+def test_winnowing_shared_run_produces_shared_fingerprint(spark):
+    shared = "the quick brown fox jumps over seven lazy sleeping dogs today"
+    rows = [
+        (1, "intro words here. " + shared + " closing remarks."),
+        (2, "totally different opening. " + shared + " and another ending."),
+        (3, "no overlap with the others at all in any way whatsoever."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # the winnowing guarantee: a shared ≥(window+ngram-1)-word run ⇒
+    # at least one shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_winnowing_deterministic(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, winnowing_fingerprints(df).collect()))
+    b = sorted(map(tuple, winnowing_fingerprints(df).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [(1, "Alpha beta gamma."), (2, "alpha  BETA gamma"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    # case/whitespace/punct-invariant fingerprint groups 1 and 2
+    assert out[1]["keeper_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[2]["keeper_id"] == 1 and out[2]["is_duplicate"]
+    assert out[3]["group_size"] == 1
+
+
+def test_corpus_ngram_topk_ranks(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = corpus_ngram_topk(df, k=5).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    freqs = [r["doc_freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
