@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": R.events_json_stats,
         "event_type_share": R.event_type_share,
         "asof_event_order": _q_asof_event_order,
+        "high_value_customers": R.high_value_customers,
         "quantity_price_corr": R.quantity_price_corr,
         # text analysis
         "doc_token_stats": _q_doc_token_stats,
@@ -564,6 +565,9 @@ SELECT event_type, COUNT(*) AS n,
              (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6) AS share
 FROM events GROUP BY event_type
 """,
+        "high_value_customers": R.HIGH_VALUE_CUSTOMERS_SQL.format(
+            customer="customer", nation="nation", orders="orders"
+        ),
         "quantity_price_corr": f"""
 WITH m AS (
   SELECT l_returnflag, COUNT(*) AS n,

@@ -469,3 +469,29 @@ def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("qty_discount_corr")
     )
+
+
+HIGH_VALUE_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM {customer} c
+JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+JOIN {orders} o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+HAVING COUNT(o.o_orderkey) >= 12
+"""
+
+
+def high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API-authored query (every other plan uses the DataFrame API;
+    Catalyst produces the same plans from either — this one demonstrates
+    the spark.sql surface, HAVING included).  The oracle runs the same
+    text with DuckDB's view names."""
+    for t in ("customer", "nation", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"isq_{t}")
+    return spark.sql(
+        HIGH_VALUE_CUSTOMERS_SQL.format(
+            customer="isq_customer", nation="isq_nation", orders="isq_orders"
+        )
+    )
