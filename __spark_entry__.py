@@ -627,10 +627,10 @@ WITH v AS (
   SELECT doc_id, text,
     CASE
       WHEN text IS NULL THEN 'Text length (0) below minimum (1)'
-      WHEN length(trim(text, ' ')) < 1
-        THEN 'Text length (' || length(trim(text, ' ')) || ') below minimum (1)'
-      WHEN length(trim(text, ' ')) > 10000000
-        THEN 'Text length (' || length(trim(text, ' ')) || ') exceeds maximum (10000000)'
+      WHEN length(regexp_replace(text, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')) < 1
+        THEN 'Text length (' || length(regexp_replace(text, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')) || ') below minimum (1)'
+      WHEN length(regexp_replace(text, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')) > 10000000
+        THEN 'Text length (' || length(regexp_replace(text, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')) || ') exceeds maximum (10000000)'
       WHEN length({clean_text_sql('text')}) = 0 THEN 'Text is empty after cleaning.'
       ELSE NULL
     END AS error

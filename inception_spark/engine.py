@@ -70,10 +70,32 @@ class EmbeddingEngine:
         self.encoder = encoder if encoder is not None else HashingStubEncoder(
             dim=config.embedding_dim
         )
-        self.encoder_kind = encoder_kind or (
-            "stub" if isinstance(self.encoder, HashingStubEncoder) else "real"
-        )
+        if encoder_kind:
+            self.encoder_kind = encoder_kind
+        elif isinstance(self.encoder, HashingStubEncoder):
+            self.encoder_kind = "stub"
+        else:
+            # unknown/custom encoder instances are shipped to executors in
+            # the UDF closure ("custom"); only the known model class maps
+            # to the worker-rebuilt "real" path
+            from inception_spark.operators.encoding import (
+                SentenceTransformerEncoder,
+            )
+
+            self.encoder_kind = (
+                "real"
+                if isinstance(self.encoder, SentenceTransformerEncoder)
+                else "custom"
+            )
         self.metrics = EngineMetrics()
+
+    def _embed_udf(self, prefix: str):
+        return make_embed_udf(
+            self.config,
+            encoder_kind=self.encoder_kind,
+            prefix=prefix,
+            encoder=self.encoder if self.encoder_kind == "custom" else None,
+        )
 
     # -- V1 strict/quarantine validation ------------------------------------
     def _validation_error(self, text_col) -> F.Column:
@@ -114,11 +136,7 @@ class EmbeddingEngine:
         chunk, n_tokens, embedding) — the /embed/batch pipeline."""
         good, _bad = self.validate_documents(df, mode=validate)
         chunks = self.chunk(good)
-        embed = make_embed_udf(
-            self.config,
-            encoder_kind=self.encoder_kind,
-            prefix=self.config.lead_document,
-        )
+        embed = self._embed_udf(self.config.lead_document)
         return chunks.withColumn("embedding", embed(F.col("chunk")))
 
     def embed_text(self, text: str) -> DataFrame:
@@ -152,11 +170,7 @@ class EmbeddingEngine:
     def embed_queries(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Distributed query embedding (set-of-queries analogue of C6):
         clean → prefix → encode, all on executors."""
-        embed = make_embed_udf(
-            self.config,
-            encoder_kind=self.encoder_kind,
-            prefix=self.config.lead_query,
-        )
+        embed = self._embed_udf(self.config.lead_query)
         return df.withColumn(
             "embedding", embed(clean_text_expr(F.col(text_col)))
         )

@@ -102,9 +102,17 @@ def validation_error_expr(
     (routes/embedding.py:113-115), then — on the query/validate paths —
     fail texts that clean to empty (utils.py:79-80).
     """
-    length = F.length(F.trim(col))
+    # strip ALL whitespace like the reference's len(text.strip()) — F.trim
+    # removes ASCII spaces only, which made "\n\n" valid here but invalid
+    # on the driver path.  Explicit class (no \x0B) so Spark's Java regex
+    # and the DuckDB oracle's RE2 agree; \x0B-only texts are the one
+    # documented deviation from Python's str.strip().
+    length = F.length(F.regexp_replace(col, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""))
     err = (
-        F.when(col.isNull(), F.lit("Text length (0) below minimum (1)"))
+        F.when(
+            col.isNull(),
+            F.lit(f"Text length (0) below minimum ({min_len})"),
+        )
         .when(length < min_len, _too_short_msg(length, min_len))
         .when(length > max_len, _too_long_msg(label, length, max_len))
     )

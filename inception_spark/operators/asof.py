@@ -52,10 +52,15 @@ def asof_join(
     l_tagged = left.withColumn("_k", F.col(by_left)).withColumn(
         "_t", F.col(left_on)
     ).withColumn("_is_left", F.lit(1))
+    # carry ALL value columns as ONE struct: per-column last(ignorenulls)
+    # would backfill a NULL member of the matched row from an *older* right
+    # row, attributing values across different source rows.  The struct is
+    # non-null for every right row (even when members are null), so the
+    # carried value is always exactly the matched row.
     r_tagged = right.select(
         F.col(by_right).alias("_k"),
         F.col(right_on).alias("_t"),
-        *value_cols,
+        F.struct(*value_cols).alias("_vals"),
     ).withColumn("_is_left", F.lit(0))
 
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -65,12 +70,10 @@ def asof_join(
         .orderBy(F.asc("_t"), F.asc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = both
-    for c in value_cols:
-        carried = carried.withColumn(
-            c, F.last(F.col(c), ignorenulls=True).over(w)
-        )
-    return (
-        carried.filter(F.col("_is_left") == 1)
-        .drop("_k", "_t", "_is_left")
+    carried = both.withColumn(
+        "_vals", F.last(F.col("_vals"), ignorenulls=True).over(w)
     )
+    out = carried.filter(F.col("_is_left") == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"_vals.{c}"))
+    return out.drop("_k", "_t", "_is_left", "_vals")

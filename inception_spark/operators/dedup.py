@@ -415,15 +415,13 @@ def corpus_ngram_topk(
 
     ex = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
     counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # distributed top-k (TakeOrderedAndProject), then rank the k rows
+    top = counts.orderBy(F.desc("doc_freq"), F.asc("s")).limit(k)
     w = Window.orderBy(F.desc("doc_freq"), F.asc("s"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("s").alias("shingle"),
-            "doc_freq",
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("s").alias("shingle"),
+        "doc_freq",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

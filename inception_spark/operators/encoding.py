@@ -156,19 +156,27 @@ def make_embed_udf(
     *,
     encoder_kind: str = "stub",
     prefix: str | None = None,
+    encoder: Encoder | None = None,
 ):
     """``chunk:string → embedding:array<float>`` iterator pandas UDF.
 
     The prefix (document or query lead) is applied here, immediately before
     encoding, mirroring reference embedding_service.py:90 — and the encoder
     singleton persists across batches within a worker.
+
+    ``encoder``: an explicit (picklable) encoder instance shipped in the
+    UDF closure — the path for user-supplied encoders, which executors
+    could not otherwise reconstruct from a kind string.  Without it the
+    worker builds/caches its own encoder from ``encoder_kind``.
     """
     dim, fcpu, bsz = config.embedding_dim, config.force_cpu, config.processing_batch_size
     lead = config.lead_document if prefix is None else prefix
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        enc = _worker_encoder(encoder_kind, dim, fcpu)
+        enc = encoder if encoder is not None else _worker_encoder(
+            encoder_kind, dim, fcpu
+        )
         for s in batches:
             texts = [lead + (t if isinstance(t, str) else "") for t in s]
             vecs = enc.encode(texts, batch_size=bsz)

@@ -45,11 +45,14 @@ def cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.round(cosine(F.col(vec_col), q), 6).alias("score"),
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-k + k-row merge); a global row_number window would
+    # shuffle EVERY scored row into one task.  The rank window then runs
+    # on only k rows.
+    top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "score", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "score", "rank"
     )
 
 
@@ -151,11 +154,10 @@ def semantic_search(
         *id_cols,
         F.round(cosine(F.col(vec_col), q), 6).alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    order = [F.desc("score")] + [F.asc(c) for c in id_cols]
+    top = scored.orderBy(*order).limit(k)  # TakeOrderedAndProject
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def ivf_topk(

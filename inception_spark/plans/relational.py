@@ -103,10 +103,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).alias("rev_dec"))
     )
-    w = Window.orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+    # orderBy+limit = distributed TakeOrderedAndProject; a global
+    # row_number window would funnel every aggregated row into one task
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        agg.orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+        .limit(10)
         .select(
             "l_orderkey",
             F.col("rev_dec").cast("double").alias("revenue"),

@@ -40,9 +40,11 @@ def salted_join(
     salted_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
+    # qualify key refs through the DataFrames: bare F.col() raises
+    # AMBIGUOUS_REFERENCE when both sides use the same key name
     out = salted_l.join(
         salted_s,
-        (F.col(key_large) == F.col(key_small))
+        (salted_l[key_large] == salted_s[key_small])
         & (salted_l["_salt"] == salted_s["_salt"]),
         how,
     )

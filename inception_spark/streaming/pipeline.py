@@ -249,10 +249,13 @@ def streaming_exact_dedup(
     are evicted) — the streaming twin of dedup.exact_dedup."""
     from inception_spark.functions.text_analysis import fingerprint
 
+    # dropDuplicatesWithinWatermark, not dropDuplicates: with a subset
+    # that excludes the event-time column, plain dropDuplicates ignores
+    # the watermark for eviction and the fingerprint state grows forever.
     return (
         docs.withColumn("fingerprint", fingerprint(F.col("text")))
         .withWatermark("event_time", watermark)
-        .dropDuplicates(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )
 
 

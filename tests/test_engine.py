@@ -115,3 +115,26 @@ def test_observed_metrics(spark, engine, sample_opinion):
 def test_health(engine):
     h = engine.health()
     assert h["status"] == "healthy" and h["model_loaded"]
+
+
+def test_custom_encoder_reaches_executors(spark):
+    """A user-supplied encoder must be used on the executors, not
+    silently replaced by the default model (review finding)."""
+    import numpy as np
+
+    class ConstantEncoder:
+        dim = 8
+
+        def encode(self, texts, batch_size=8):
+            return np.full((len(texts), 8), 0.5, dtype=np.float32)
+
+    from inception_spark.config import EngineConfig
+
+    eng = EmbeddingEngine(
+        spark, EngineConfig(embedding_dim=8), encoder=ConstantEncoder()
+    )
+    assert eng.encoder_kind == "custom"
+    df = spark.createDataFrame([(1, "Some text here.")], "id long, text string")
+    row = eng.embed_documents(df).collect()[0]
+    assert row["embedding"] == [0.5] * 8          # executor used OUR encoder
+    assert eng.embed_query("q")[0] == 0.5          # driver path too
