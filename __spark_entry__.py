@@ -136,6 +136,23 @@ def _q_doc_lang_id(spark, sf_dir):
     )
 
 
+def _q_nation_segments(spark, sf_dir):
+    """Array-aggregation surface: sorted distinct set per group, emitted
+    as a joined string so the hash compare is representation-stable."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("c_mktsegment"))
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+        )
+    )
+
+
 def _q_doc_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TA.quality_score(F.col("text")).alias("quality")
@@ -344,6 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_lang_id": _q_doc_lang_id,
         "doc_quality_score": _q_doc_quality,
+        "tfidf_top_terms": lambda spark, sf: TA.tfidf_top_terms(
+            _docs(spark, sf)
+        ),
+        "nation_segments": _q_nation_segments,
         "clean_text": _q_clean_text,
         "validate_text": _q_validate_text,
         # dedup
@@ -618,6 +639,32 @@ FROM documents
 """,
         "doc_quality_score": f"""
 SELECT doc_id, {TA.quality_score_sql('text')} AS quality FROM documents
+""",
+        "tfidf_top_terms": f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, COUNT(*) AS df_docs
+  FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln(nd.n_docs / CAST(dfreq.df_docs AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), nd)
+SELECT doc_id, term, tf, df_docs, tfidf,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS term_rank
+FROM scored QUALIFY term_rank <= 3
+""",
+        "nation_segments": """
+SELECT n_name,
+       list_aggregate(list_sort(list(DISTINCT c_mktsegment)),
+                      'string_agg', ',') AS segments,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
 """,
         "clean_text": f"""
 SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents

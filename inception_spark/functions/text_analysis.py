@@ -178,3 +178,57 @@ def fingerprint_sql(expr: str) -> str:
         f"md5(coalesce(list_aggregate({words_sql(expr)}, "
         f"'string_agg', ' '), ''))"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(df, *, id_col="doc_id", text_col="text", top_n=3):
+    """Top-n characteristic terms per document by TF-IDF:
+    (doc_id, term, tf, df_docs, tfidf, term_rank).
+
+    tf = in-document count, idf = ln(N / df) with exact integer counts, so
+    the only float op is one log+multiply per (doc, term) — deterministic
+    and oracle-checkable.  Plan: one explode + two hash aggregates + a
+    per-doc window; the corpus-size scalar rides a broadcast cross join.
+    Ties broken alphabetically for reproducible top-n sets."""
+    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        ex.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    n_docs = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df_docs").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_n)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf", "term_rank")
+    )

@@ -89,3 +89,13 @@ def test_cosine_topk_no_python(spark):
     qv = [0.1] * 64
     p = plan_of(cosine_topk(emb, qv, k=5))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_topk_uses_take_ordered_not_global_window(spark):
+    """Pin the review fix: single-query top-k compiles to the distributed
+    TakeOrderedAndProject, never a global-window shuffle of all rows."""
+    from inception_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(cosine_topk(emb, [0.1] * 64, k=5))
+    assert "TakeOrderedAndProject" in p
