@@ -288,6 +288,15 @@ def _q_asof_event_order(spark, sf_dir):
     )
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup pairs -> duplicate groups via iterative connected
+    components (min-label propagation).  Oracle: DuckDB transitive
+    closure with WITH RECURSIVE + min over the reachable set."""
+    docs = _docs(spark, sf_dir)
+    edges = D.lsh_candidate_pairs(docs, k=16, bands=4)
+    return D.connected_components(docs.select("doc_id"), edges)
+
+
 def _q_chunk_documents(spark, sf_dir):
     _ensure_workers_can_import(spark)
     chunks = chunk_documents(
@@ -381,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": lambda spark, sf: D.winnowing_fingerprints(
             _docs(spark, sf)
         ),
+        "dedup_components": _q_dedup_components,
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -757,6 +767,19 @@ f AS (
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
   FROM r WHERE roll IS NOT NULL)
 SELECT DISTINCT doc_id, fp FROM f
+""",
+        "dedup_components": _dedup_cte().replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + """,
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u)
+SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
 """,
         "corpus_ngram_topk": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),

@@ -473,3 +473,66 @@ def winnowing_fingerprints(
         rolled.select("doc_id", F.min("roll").over(wwin).alias("fp"))
         .distinct()
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (doc_id, component_id) where component_id = min doc_id in the
+    component; singletons get their own id.
+
+    The canonical dedup post-processing step: near-dup PAIRS from
+    LSH/SimHash become duplicate GROUPS (keep component_id, drop the
+    rest).  This is the engine's iterative-algorithm surface — each
+    round is one join + one aggregate, lineage truncated per round with
+    localCheckpoint (20 rounds of lazy lineage would otherwise stack into
+    an exponential plan), terminating early when no label changes.
+    Label convergence takes O(diameter) rounds; for dedup graphs
+    (boilerplate cliques + short chains) that is ≤ ~5.
+    """
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=False)
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("component_id")
+    )

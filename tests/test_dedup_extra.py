@@ -48,3 +48,30 @@ def test_corpus_ngram_topk_ranks(spark):
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
     freqs = [r["doc_freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_connected_components_known_graph(spark):
+    from inception_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # components: {1,2,3,4} (chain), {5,6} (pair), {7}, {8} (singletons)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from inception_spark.operators.dedup import connected_components
+
+    n = 30  # diameter 29 > default propagation per round → tests iteration
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = connected_components(nodes, edges, max_iterations=40).collect()
+    assert all(r["component_id"] == 0 for r in got)
