@@ -239,3 +239,26 @@ def _gpu_available() -> bool:
         return bool(torch.cuda.is_available())
     except ImportError:
         return False
+
+
+def register_sql_functions(
+    spark: SparkSession, config: EngineConfig = DEFAULT_CONFIG
+) -> None:
+    """Expose the engine's UDF surface to pure SQL users:
+
+    ``chunk_text(text) → array<string>`` and
+    ``embed_text_vec(text) → array<float>`` (document prefix applied),
+    so the whole pipeline is writable as
+    ``SELECT posexplode(chunk_text(text)) FROM docs`` etc.
+    Built-in-expression operators (cleaning, hashing, token counts) need
+    no registration — they are plain SQL already.
+    """
+    from inception_spark.operators.chunking import make_chunk_udf
+
+    spark.udf.register("chunk_text", make_chunk_udf(config))
+    spark.udf.register(
+        "embed_text_vec",
+        make_embed_udf(
+            config, encoder_kind="stub", prefix=config.lead_document
+        ),
+    )

@@ -138,3 +138,35 @@ def test_custom_encoder_reaches_executors(spark):
     row = eng.embed_documents(df).collect()[0]
     assert row["embedding"] == [0.5] * 8          # executor used OUR encoder
     assert eng.embed_query("q")[0] == 0.5          # driver path too
+
+
+def test_embed_queries_distributed(spark, engine):
+    df = spark.createDataFrame(
+        [("What is consideration?",), ("  Define estoppel.  ",)],
+        "text string",
+    )
+    out = engine.embed_queries(df).collect()
+    assert all(len(r["embedding"]) == DEFAULT_CONFIG.embedding_dim for r in out)
+    # query path cleans text first: padded text == clean text embedding
+    enc = HashingStubEncoder(dim=DEFAULT_CONFIG.embedding_dim)
+    want = enc.encode(["search_query: Define estoppel."])[0]
+    got = next(r for r in out if "estoppel" in r["text"])["embedding"]
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_sql_function_registration(spark, sample_opinion):
+    from inception_spark.engine import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [(1, sample_opinion)], "id long, text string"
+    ).createOrReplaceTempView("sql_docs")
+    rows = spark.sql(
+        """
+        SELECT id, posexplode(chunk_text(text)) AS (pos, chunk),
+               embed_text_vec(text) AS vec
+        FROM sql_docs
+        """
+    ).collect()
+    assert rows and len(rows[0]["vec"]) == 768
+    assert all(r["chunk"] for r in rows)
