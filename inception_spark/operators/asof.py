@@ -57,11 +57,22 @@ def asof_join(
     # row, attributing values across different source rows.  The struct is
     # non-null for every right row (even when members are null), so the
     # carried value is always exactly the matched row.
-    r_tagged = right.select(
-        F.col(by_right).alias("_k"),
-        F.col(right_on).alias("_t"),
-        F.struct(*value_cols).alias("_vals"),
-    ).withColumn("_is_left", F.lit(0))
+    # NULL-key / NULL-time right rows can never legitimately match (SQL
+    # equality and 'NULL <= t' are both never-true) — drop them so window
+    # partitioning can't pair NULL with NULL.  Left rows with NULL time
+    # are safe without special-casing: asc ordering sorts NULLs first, so
+    # they precede every right row and carry nothing.
+    r_tagged = (
+        right.filter(
+            F.col(by_right).isNotNull() & F.col(right_on).isNotNull()
+        )
+        .select(
+            F.col(by_right).alias("_k"),
+            F.col(right_on).alias("_t"),
+            F.struct(*value_cols).alias("_vals"),
+        )
+        .withColumn("_is_left", F.lit(0))
+    )
 
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows sort before left rows at equal time → inclusive (<=) match

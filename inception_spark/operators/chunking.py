@@ -145,23 +145,29 @@ def chunk_documents(
     *,
     id_col: str = "id",
     text_col: str = "text",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """documents(id, text) → CHUNKS(doc_id, chunk_number, chunk, n_tokens).
+    """documents(id, text) → CHUNKS(doc_id, [passthrough...], chunk_number,
+    chunk, n_tokens).
 
     ``posexplode`` runs JVM-side after the Python UDF returns arrays, so the
     expensive downstream stages see row-per-chunk granularity.  ``n_tokens``
     counts chunk tokens + lead tokens (what the encoder will actually see).
+    ``passthrough_cols`` ride along unchanged (e.g. event_time on the
+    streaming path) so batch and streaming share ONE chunk-row contract.
     """
     tok = RegexTokenizer()
     lead_len = tok.count(config.lead_document)
     chunked = df.select(
         F.col(id_col).alias("doc_id"),
+        *passthrough_cols,
         F.posexplode(make_chunk_udf(config)(F.col(text_col))).alias(
             "pos", "chunk"
         ),
     )
     out = chunked.select(
         "doc_id",
+        *passthrough_cols,
         (F.col("pos") + 1).cast("int").alias("chunk_number"),
         "chunk",
         (token_count_expr(F.col("chunk")) + F.lit(lead_len))

@@ -157,6 +157,12 @@ def lsh_candidate_pairs(
     hash, join within buckets only.  Hot buckets (boilerplate text) are
     the skew risk — AQE skew-join handles moderate cases; for 100 TB add
     a bucket-size cap filter before the join."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands} — otherwise "
+            f"{k % bands} signature element(s) would be silently dropped "
+            "from banding and recall would degrade"
+        )
     rows = k // bands
     sig = minhash_signatures(
         df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n,
@@ -497,6 +503,8 @@ def connected_components(
     Label convergence takes O(diameter) rounds; for dedup graphs
     (boilerplate cliques + short chains) that is ≤ ~5.
     """
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=False)
@@ -533,6 +541,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would report one component as several —
+        # fail loudly instead (min-label needs O(diameter) rounds; raise
+        # max_iterations for pathological chain graphs)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); "
+            "increase max_iterations"
+        )
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component_id")
     )

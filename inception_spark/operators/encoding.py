@@ -43,6 +43,17 @@ class Encoder(Protocol):
     def encode(self, texts: list[str], batch_size: int = 8) -> np.ndarray: ...
 
 
+def seeded_unit_vector(data: bytes, dim: int) -> np.ndarray:
+    """L2-normalized N(0,1) float32 vector seeded by md5(data) — THE
+    deterministic fake-embedding contract, shared by the stub text encoder
+    and the multimodal fake feature extractor so cross-modal determinism
+    assumptions can't drift."""
+    seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
+    v = np.random.RandomState(seed).standard_normal(dim)
+    n = float(np.linalg.norm(v))
+    return (v / (n or 1.0)).astype(np.float32)
+
+
 class HashingStubEncoder:
     """Deterministic stand-in encoder.
 
@@ -58,12 +69,7 @@ class HashingStubEncoder:
         self.dim = dim
 
     def _one(self, text: str) -> np.ndarray:
-        seed = int.from_bytes(
-            hashlib.md5(text.encode("utf-8")).digest()[:4], "big"
-        )
-        v = np.random.RandomState(seed).standard_normal(self.dim)
-        n = float(np.linalg.norm(v))
-        return (v / (n or 1.0)).astype(np.float32)
+        return seeded_unit_vector(text.encode("utf-8"), self.dim)
 
     def encode(self, texts: list[str], batch_size: int = 8) -> np.ndarray:
         if not texts:

@@ -29,9 +29,11 @@ def _shingle_vectors(
     from inception_spark.operators.dedup import exploded_shingles
 
     ex = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    # no .distinct() here: collect_set deduplicates, and a pre-distinct
+    # would add a full extra shuffle of the widest intermediate
     idx = ex.select(
         "doc_id", (H.h28(F.col("s")) % F.lit(dim)).alias("i")
-    ).distinct()
+    )
     grouped = idx.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("i")).alias("indices")
     )

@@ -77,9 +77,10 @@ def attach_media_meta(
 
 
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
-    v = np.random.RandomState(seed).standard_normal(dim)
-    return (v / (np.linalg.norm(v) or 1.0)).astype(np.float32)
+    # the shared deterministic contract — see encoding.seeded_unit_vector
+    from inception_spark.operators.encoding import seeded_unit_vector
+
+    return seeded_unit_vector(payload, dim)
 
 
 def extract_features(

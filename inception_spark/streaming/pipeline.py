@@ -19,9 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from inception_spark.config import DEFAULT_CONFIG, EngineConfig
-from inception_spark.operators.chunking import make_chunk_udf, token_count_expr
 from inception_spark.operators.encoding import make_embed_udf
-from inception_spark.tokenizer import RegexTokenizer
 
 #: schema for streaming document sources (files dropped into a directory,
 #: Kafka value payloads, etc.) — TextRequest + event time.
@@ -62,25 +60,16 @@ def embed_document_stream(
     stream: DataFrame, config: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Streaming clean-skip → chunk → embed (same semantics as
-    EmbeddingEngine.embed_documents; validation quarantine upstream)."""
-    tok = RegexTokenizer()
-    lead_len = tok.count(config.lead_document)
-    chunk_udf = make_chunk_udf(config)
+    EmbeddingEngine.embed_documents; validation quarantine upstream).
+    Reuses the batch chunk_documents so the chunk-row contract can't
+    drift between the two paths; event_time rides through."""
+    from inception_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        stream, config, passthrough_cols=("event_time",)
+    )
     embed_udf = make_embed_udf(
         config, encoder_kind="stub", prefix=config.lead_document
-    )
-    chunks = stream.select(
-        F.col("id").alias("doc_id"),
-        "event_time",
-        F.posexplode(chunk_udf(F.col("text"))).alias("pos", "chunk"),
-    ).select(
-        "doc_id",
-        "event_time",
-        (F.col("pos") + 1).cast("int").alias("chunk_number"),
-        "chunk",
-        (token_count_expr(F.col("chunk")) + F.lit(lead_len))
-        .cast("int")
-        .alias("n_tokens"),
     )
     return chunks.withColumn("embedding", embed_udf(F.col("chunk")))
 
