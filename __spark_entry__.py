@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dedup_components": _q_dedup_components,
+        "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -767,6 +768,21 @@ f AS (
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
   FROM r WHERE roll IS NOT NULL)
 SELECT DISTINCT doc_id, fp FROM f
+""",
+        "corpus_filter": f"""
+WITH fp AS (SELECT doc_id, {TA.fingerprint_sql('text')} AS fingerprint FROM documents),
+g AS (SELECT fingerprint, MIN(doc_id) AS keeper_id FROM fp GROUP BY fingerprint),
+d AS (SELECT fp.doc_id, fp.doc_id != g.keeper_id AS is_duplicate
+      FROM fp JOIN g ON fp.fingerprint = g.fingerprint),
+sc AS (SELECT doc_id, {TA.quality_score_sql('text')} AS quality,
+              CAST(len({_WORDS}) AS BIGINT) AS n_words
+       FROM documents)
+SELECT sc.doc_id, sc.quality, sc.n_words,
+  CASE WHEN d.is_duplicate THEN 'duplicate'
+       WHEN sc.n_words < 10 THEN 'too_short'
+       WHEN sc.quality < 0.5 THEN 'low_quality'
+  END AS reason
+FROM sc JOIN d ON sc.doc_id = d.doc_id
 """,
         "dedup_components": _dedup_cte().replace(
             "WITH ", "WITH RECURSIVE ", 1

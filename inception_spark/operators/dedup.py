@@ -553,3 +553,55 @@ def connected_components(
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component_id")
     )
+
+
+def keep_component_heads(
+    df: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply near-dup grouping: keep only each component's head (minimum
+    id).  ``components`` is connected_components output; docs absent from
+    it are kept (no edges → singleton)."""
+    heads = components.filter(
+        F.col(id_col) == F.col("component_id")
+    ).select(id_col)
+    absent = df.join(components, id_col, "left_anti").select(id_col)
+    keep = heads.union(absent).distinct()
+    return df.join(keep, id_col, "left_semi")
+
+
+def corpus_filter(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_words: int = 10,
+) -> DataFrame:
+    """The training-corpus gate: exact-dedup keepers only, quality score ≥
+    threshold, ≥ min_words words — the composed filter every LLM data
+    pipeline runs before tokenization.  Returns (doc_id, quality, n_words,
+    reason) for ALL docs with reason NULL for survivors, so rejected rows
+    stay auditable (quarantine pattern, like validation)."""
+    from inception_spark.functions.text_analysis import (
+        quality_score,
+        word_count,
+    )
+
+    base = exact_dedup(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", "is_duplicate"
+    )
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score(F.col(text_col)).alias("quality"),
+        word_count(F.col(text_col)).cast("long").alias("n_words"),
+    ).join(base, "doc_id")
+    reason = (
+        F.when(F.col("is_duplicate"), F.lit("duplicate"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return scored.select("doc_id", "quality", "n_words", reason.alias("reason"))

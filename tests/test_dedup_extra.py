@@ -75,3 +75,33 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = connected_components(nodes, edges, max_iterations=40).collect()
     assert all(r["component_id"] == 0 for r in got)
+
+
+def test_keep_component_heads(spark):
+    from inception_spark.operators.dedup import (
+        connected_components,
+        keep_component_heads,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    comps = connected_components(df.select("doc_id"), edges)
+    kept = sorted(r["doc_id"] for r in keep_component_heads(df, comps).collect())
+    assert kept == [1, 4, 5, 6]  # 2,3 merged into component 1
+
+
+def test_corpus_filter_reasons(spark):
+    from inception_spark.operators.dedup import corpus_filter
+
+    rows = [
+        (1, "the and of to in is that it was for with as on be at by this have not are good long document words here"),
+        (2, "the and of to in is that it was for with as on be at by this have not are good long document words here"),  # dup of 1
+        (3, "short text"),  # too few words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["reason"] for r in corpus_filter(df).collect()}
+    assert got[1] is None
+    assert got[2] == "duplicate"
+    assert got[3] == "too_short"
