@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_share": R.event_type_share,
         "asof_event_order": _q_asof_event_order,
         "high_value_customers": R.high_value_customers,
+        "order_price_histogram": R.order_price_histogram,
         "quantity_price_corr": R.quantity_price_corr,
         # text analysis
         "doc_token_stats": _q_doc_token_stats,
@@ -596,6 +597,12 @@ SELECT event_type, COUNT(*) AS n,
        round(CAST(COUNT(*) AS DOUBLE) /
              (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6) AS share
 FROM events GROUP BY event_type
+""",
+        "order_price_histogram": f"""
+SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11) AS BIGINT) + 1 AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_d('o_totalprice')}) AS DOUBLE) AS bucket_total
+FROM orders GROUP BY 1
 """,
         "high_value_customers": R.HIGH_VALUE_CUSTOMERS_SQL.format(
             customer="customer", nation="nation", orders="orders"

@@ -496,3 +496,25 @@ def high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer="isq_customer", nation="isq_nation", orders="isq_orders"
         )
     )
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via explicit floor arithmetic (width_bucket
+    isn't portable to the DuckDB oracle): 12 buckets of 50k over
+    o_totalprice, clamped at the top."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.least(
+            F.greatest(F.floor(F.col("o_totalprice") / 50000.0), F.lit(0)),
+            F.lit(11),
+        ).cast("long")
+        + 1
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_money(_d("o_totalprice"), "bucket_total"),
+        )
+    )
