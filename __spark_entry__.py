@@ -36,10 +36,14 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     sys.path — works regardless of how the session was built."""
     if getattr(spark, "_inception_spark_shipped", False):
         return
-    zpath = os.path.join(
-        spark._jvm.java.lang.System.getProperty("java.io.tmpdir") or "/tmp",
-        "inception_spark_pkg.zip",
+    import tempfile
+
+    # per-process temp name: a fixed shared path races when two drivers
+    # (bench + tests, or parallel harness workers) rebuild it concurrently
+    fd, zpath = tempfile.mkstemp(
+        prefix="inception_spark_pkg_", suffix=".zip"
     )
+    os.close(fd)
     pkg = os.path.join(_REPO, "inception_spark")
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg):
@@ -228,14 +232,12 @@ def _q_cosine_topk(spark, sf_dir):
 def _q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
-    planes = S.lsh_hyperplanes(len(qv), bits=8)
-    bucketed = emb.withColumn(
-        "bucket", S.lsh_bucket_expr(F.col("embedding"), planes)
+    # oracle hyperplanes are generated for this dim (see _bucket_sql) —
+    # fail loudly instead of hash-mismatching if the table ever changes
+    assert len(qv) == _EMB_DIM, (
+        f"embeddings dim {len(qv)} != oracle hyperplane dim {_EMB_DIM}"
     )
-    qb = bucketed.filter("vec_id = 0").select("bucket").head()[0]
-    out = S.cosine_topk(
-        bucketed.filter(F.col("bucket") == qb), qv, k=10
-    )
+    out = S.ann_lsh_topk(emb, qv, k=10, bits=8)
     return out.select(
         "vec_id", "score", F.col("rank").cast("long").alias("rank")
     )
@@ -847,9 +849,15 @@ FROM p QUALIFY rank <= 5
     }
 
 
+#: embedding dimensionality of the harness's embeddings.parquet — the
+#: oracle's inlined hyperplanes are generated for exactly this dim; the
+#: Spark wrapper asserts it at runtime so a table change fails loudly.
+_EMB_DIM = 64
+
+
 def _bucket_sql(vec: str) -> str:
     """DuckDB twin of similarity.lsh_bucket_expr with inlined hyperplanes."""
-    planes = S.lsh_hyperplanes(64, bits=8)
+    planes = S.lsh_hyperplanes(_EMB_DIM, bits=8)
     parts = []
     for i, p in enumerate(planes):
         lit = "[" + ", ".join(f"{x!r}" for x in p.tolist()) + "]"

@@ -54,7 +54,10 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # cosmetic metadata; never worth crashing the bench over
     spark = build_session("inception_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -68,7 +71,7 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    queries = entry_mod.queries()
+    queries = queries_all
     timings: dict[str, float] = {}
     # min of 2 runs per query: single-run local[32] timings swing up to 2×
     # (JIT/GC noise at these sub-second scales); min-of-2 reports the

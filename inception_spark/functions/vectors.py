@@ -15,10 +15,13 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    # coalesce(product, 0): DuckDB's list_sum SKIPS NULL elements, so a
+    # NULL element (or length-mismatch zip padding) must contribute 0 on
+    # the Spark side too, or the engines' scores diverge on corrupt rows.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
     )
 
 
@@ -27,13 +30,19 @@ def norm(a: Column) -> Column:
         F.aggregate(
             a,
             F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            lambda acc, x: acc
+            + F.coalesce(x.cast("double") * x.cast("double"), F.lit(0.0)),
         )
     )
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # NULL (not crash) on zero norms: this Spark build defaults to ANSI
+    # mode where x/0 throws, while DuckDB returns NULL — guard to match.
+    den = norm(a) * norm(b)
+    return F.when(den != 0.0, dot(a, b) / den).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 # --- DuckDB twins -----------------------------------------------------------

@@ -84,10 +84,16 @@ def ann_lsh_topk(
     bucket.  Partition pruning analogue: with the table *written*
     partitioned by bucket, Catalyst prunes 255/256 of the files."""
     planes = lsh_hyperplanes(len(query_vec), bits=bits, seed=seed)
-    qbits = sum(
-        2**i for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0
-    )
     bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    # Query bucket computed with the SAME Catalyst expression as the
+    # corpus rows (a one-row DataFrame), not numpy: sign(dot) must use
+    # identical summation or a borderline dot flips the probed bucket.
+    qdf = df.sparkSession.createDataFrame(
+        [([float(x) for x in query_vec],)], f"{vec_col} array<double>"
+    )
+    qbits = qdf.select(
+        lsh_bucket_expr(F.col(vec_col), planes).alias("b")
+    ).head()["b"]
     return cosine_topk(
         bucketed.filter(F.col("bucket") == qbits),
         query_vec,

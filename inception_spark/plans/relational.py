@@ -96,10 +96,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
     revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    # broadcast ONLY the filtered customer table (customer-grain, truly
+    # small); the orders side is fact-grain and must shuffle — a broadcast
+    # hint on the customer⋈orders result would replicate ~30% of orders
     agg = (
-        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)
-                            .select("o_orderkey", "o_orderdate", "o_orderpriority")),
-                F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).alias("rev_dec"))
     )
@@ -464,8 +466,11 @@ def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # NULL for zero-variance groups (ANSI Spark would throw on /0;
+    # DuckDB returns NULL — match it)
+    corr = F.when(den != 0.0, (n * sxy - sx * sy) / den).otherwise(
+        F.lit(None).cast("double")
     )
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("qty_discount_corr")
