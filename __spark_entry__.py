@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_avg": R.orders_above_avg,
         "monthly_order_stats": R.monthly_order_stats,
         "events_hourly": R.events_hourly,
+        "events_sliding_windows": R.events_sliding_windows,
         "events_sessionization": R.events_sessionization,
         "events_json_stats": R.events_json_stats,
         "event_type_share": R.event_type_share,
@@ -566,6 +567,14 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding_windows": """
+WITH e AS (SELECT *, epoch_us(ts) // 1800000000 AS slot FROM events),
+w AS (SELECT e.*, slot - k AS ws FROM e, (SELECT unnest([0, 1]) AS k))
+SELECT strftime(make_timestamp(ws * 1800000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM w GROUP BY 1, 2
 """,
         "events_sessionization": """
 WITH g AS (

@@ -523,3 +523,36 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_money(_d("o_totalprice"), "bucket_total"),
         )
     )
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes, in batch: each event
+    belongs to exactly window/slide = 2 windows, assigned by exploding
+    slot offsets (the batch twin of streaming F.window(ts, '1h', '30m')).
+    Microsecond integer arithmetic end to end — oracle-exact."""
+    slide_us = 1_800_000_000  # 30 min
+    ev = load_events(spark, sf_dir)
+    slot = F.expr(
+        "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        " div 1800000000"
+    )
+    w = (
+        ev.withColumn("slot", slot)
+        .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("ws_us", (F.col("slot") - F.col("k")) * F.lit(slide_us))
+    )
+    return (
+        w.groupBy(
+            F.date_format(
+                F.timestamp_micros(F.col("ws_us")).cast("timestamp_ntz"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
