@@ -178,3 +178,42 @@ def chunk_documents(
         # rebalance skew from huge documents before the embed stage (§4a)
         out = out.repartition(config.chunk_partitions)
     return out
+
+
+def make_chunk_udtf(config: EngineConfig = DEFAULT_CONFIG):
+    """The chunker as a Spark 4 Python UDTF — SURVEY.md §2.5 observes the
+    reference 'is, in Spark terms, one UDTF (chunker) + one scalar UDF
+    (encoder)'; this makes that literal.  Register and use laterally:
+
+        spark.udtf.register("chunk_table", make_chunk_udtf())
+        spark.sql("SELECT d.id, c.* FROM docs d, "
+                  "LATERAL chunk_table(d.text) c")
+
+    yields (chunk_number, chunk, n_tokens) rows per document.  The
+    arrow-optimized pandas-UDF path (make_chunk_udf + posexplode) remains
+    the high-throughput default; the UDTF form is the SQL-ergonomic one.
+    """
+    from pyspark.sql.functions import udtf
+
+    max_tokens = config.max_tokens
+    n_overlap = config.num_overlap_sentences
+    lead = config.lead_document
+
+    @udtf(returnType="chunk_number int, chunk string, n_tokens int")
+    class ChunkUDTF:
+        def __init__(self):
+            self._tok = RegexTokenizer()
+            self._lead_len = self._tok.count(lead)
+
+        def eval(self, text: str):
+            chunks = split_text_into_chunks(
+                text if isinstance(text, str) else "",
+                tokenizer=self._tok,
+                max_tokens=max_tokens,
+                num_overlap_sentences=n_overlap,
+                lead_text=lead,
+            )
+            for i, chunk in enumerate(chunks):
+                yield i + 1, chunk, self._tok.count(chunk) + self._lead_len
+
+    return ChunkUDTF
