@@ -85,15 +85,22 @@ def ann_lsh_topk(
     partitioned by bucket, Catalyst prunes 255/256 of the files."""
     planes = lsh_hyperplanes(len(query_vec), bits=bits, seed=seed)
     bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
-    # Query bucket computed with the SAME Catalyst expression as the
-    # corpus rows (a one-row DataFrame), not numpy: sign(dot) must use
-    # identical summation or a borderline dot flips the probed bucket.
-    qdf = df.sparkSession.createDataFrame(
-        [([float(x) for x in query_vec],)], f"{vec_col} array<double>"
+    # Query bucket via a driver-side SEQUENTIAL fold — the same IEEE-754
+    # operation order as Catalyst's aggregate left fold, so the sign (and
+    # bucket) is bit-identical to running the expression, without paying
+    # a one-row Spark job.  (numpy.dot would use pairwise/BLAS summation,
+    # which can flip a borderline sign.)
+    def _seq_dot(p, v):
+        acc = 0.0
+        for x, y in zip(p, v):
+            acc += float(x) * float(y)
+        return acc
+
+    qbits = sum(
+        2**i
+        for i, p in enumerate(planes)
+        if _seq_dot(p, query_vec) > 0
     )
-    qbits = qdf.select(
-        lsh_bucket_expr(F.col(vec_col), planes).alias("b")
-    ).head()["b"]
     return cosine_topk(
         bucketed.filter(F.col("bucket") == qbits),
         query_vec,
