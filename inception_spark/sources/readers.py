@@ -102,7 +102,7 @@ def read_documents_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_documents_text(
-    spark: SparkSession, path: str, *, wholetext: bool = True
+    spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
     """Raw text files, one document per file (S2: the text/plain body).
 

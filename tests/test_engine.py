@@ -170,3 +170,13 @@ def test_sql_function_registration(spark, sample_opinion):
     ).collect()
     assert rows and len(rows[0]["vec"]) == 768
     assert all(r["chunk"] for r in rows)
+
+
+def test_embed_text_single_doc_path(spark, engine, sample_opinion):
+    """The /embed/text analogue: raw string in, id=0, strict validation
+    (reference routes/embedding.py:68-92)."""
+    rows = engine.embed_text(sample_opinion).collect()
+    assert all(r["doc_id"] == 0 for r in rows)
+    assert [r["chunk_number"] for r in rows] == list(range(1, len(rows) + 1))
+    with pytest.raises(ValueError, match="below minimum"):
+        engine.embed_text("")

@@ -156,3 +156,17 @@ def test_foreach_batch_parquet_sink(spark, tmp_path, sample_opinion):
     assert batches
     got = spark.read.parquet(str(tmp_path / "out" / batches[0])).collect()
     assert got[0]["doc_id"] == 5 and len(got[0]["embedding"]) == 768
+
+
+def test_sliding_windows_streaming(spark, event_stream_dir):
+    """Sliding-window path of windowed_event_counts (1h window / 30m
+    slide): each event lands in exactly two windows."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(event_stream_dir)
+    out = windowed_event_counts(stream, window="1 hour", slide="30 minutes")
+    q = (out.writeStream.format("memory").queryName("slide_counts")
+         .outputMode("complete").start())
+    _drain(q)
+    rows = spark.sql("SELECT * FROM slide_counts").collect()
+    # event at 00:00 belongs to windows starting 23:30 and 00:00
+    starts = {str(r["window_start"]) for r in rows}
+    assert "2024-01-01 00:00:00" in starts and "2023-12-31 23:30:00" in starts
