@@ -33,7 +33,24 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the large side salted and the small side replicated
     n_salts×.  Output columns = large columns + small columns (join keys
-    both kept, as in a plain join on expressions)."""
+    both kept, as in a plain join on expressions).
+
+    Only join types that never emit unmatched SMALL-side rows are legal:
+    the small side is replicated per salt, so a right/full outer join
+    would duplicate every unmatched small row n_salts× (advisor finding,
+    round 1) — rejected loudly instead."""
+    allowed = {
+        "inner", "cross", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace("_", "") not in {
+        a.replace("_", "") for a in allowed
+    }:
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left/semi/anti joins "
+            "are correct under small-side replication (right/full outer "
+            "would emit each unmatched small-side row n_salts times)"
+        )
     salted_l = large.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )

@@ -116,17 +116,30 @@ def read_documents_text(
     # legacy coding action substitutes U+FFFD, which we then quarantine
     # (files that legitimately contain U+FFFD are quarantined too — the
     # conservative trade for preserving the reference's 422 semantics).
-    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
-    raw = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
-    )
-    decoded = raw.select(
-        "path",
-        F.decode(F.col("content"), "UTF-8").alias("text"),
-        F.conv(F.substring(F.md5(F.col("path")), 1, 7), 16, 10)
-        .cast("long")
-        .alias("id"),
-    )
+    # The conf flip is scoped to THIS read: the previous value is restored
+    # after the eager localCheckpoint below, so unrelated queries in the
+    # same session keep strict decode() semantics (advisor finding, r1).
+    key = "spark.sql.legacy.codingErrorAction"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.format("binaryFile").load(path).select(
+            "path", "content"
+        )
+        decoded = raw.select(
+            "path",
+            F.decode(F.col("content"), "UTF-8").alias("text"),
+            F.conv(F.substring(F.md5(F.col("path")), 1, 7), 16, 10)
+            .cast("long")
+            .alias("id"),
+        # materialize while the legacy action is active — decode() must
+        # not lazily evaluate after the conf is restored
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     good = decoded.filter(
         F.col("text").isNotNull()
         & (F.length(F.regexp_replace("text", "�", "")) == F.length("text"))

@@ -154,6 +154,43 @@ def write_foreach_batch_parquet(
     )
 
 
+def make_running_totals_update(timeout_minutes: int | None):
+    """The applyInPandasWithState callback for :func:`running_user_totals`,
+    exposed module-level so the timeout-eviction branch is unit-testable
+    (a ProcessingTimeTimeout can't be driven deterministically through
+    ``processAllAvailable``)."""
+
+    def update(key, pdfs, state):
+        # Timeout firing = this user was idle for a full timeout window:
+        # evict the state WITHOUT re-arming it (falling through would
+        # update+re-arm and the state would never be released — advisor
+        # finding, round 1).  No row is emitted for the eviction.
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "batch_events": [batch_n],
+            }
+        )
+
+    return update
+
+
 def running_user_totals(
     events: DataFrame,
     *,
@@ -175,7 +212,7 @@ def running_user_totals(
     ``processAllAvailable`` never returns — only use it with long-running
     queries driven by real triggers.
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -192,26 +229,7 @@ def running_user_totals(
         ]
     )
 
-    def update(key, pdfs, state: "GroupState"):
-        n, total = state.get if state.exists else (0, 0.0)
-        batch_n = 0
-        for pdf in pdfs:
-            batch_n += len(pdf)
-            n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
-        if timeout_minutes is not None:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        import pandas as pd
-
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [round(total, 4)],
-                "batch_events": [batch_n],
-            }
-        )
+    update = make_running_totals_update(timeout_minutes)
 
     return (
         events.groupBy("user_id")

@@ -27,9 +27,16 @@ import re
 from typing import Protocol
 
 #: Keep in sync with TOKEN_REGEX_SQL below and oracle SQL in __spark_entry__.
-TOKEN_PATTERN = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
-#: Same pattern, escaped for embedding in Spark/DuckDB SQL string literals.
-TOKEN_PATTERN_SQL = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+#: Whitespace is an EXPLICIT ASCII class, not ``\s``: Python ``re`` treats
+#: ``\s`` as Unicode-aware while Java regex and RE2 default to ASCII-only,
+#: so ``\s`` made the Python chunker and the JVM/DuckDB token counters
+#: disagree on text containing U+00A0 etc. (advisor finding, round 1).
+#: With the explicit class all three engines tokenize identically: Unicode
+#: whitespace counts as a single punctuation-class token everywhere.
+TOKEN_PATTERN = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]"
+#: Same pattern for embedding in Spark/DuckDB SQL string literals (escape
+#: sequences spelled out so the literal survives SQL quoting verbatim).
+TOKEN_PATTERN_SQL = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 

@@ -170,3 +170,53 @@ def test_sliding_windows_streaming(spark, event_stream_dir):
     # event at 00:00 belongs to windows starting 23:30 and 00:00
     starts = {str(r["window_start"]) for r in rows}
     assert "2024-01-01 00:00:00" in starts and "2023-12-31 23:30:00" in starts
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the update callback."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._value = value
+        self.hasTimedOut = has_timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_running_totals_timeout_evicts_state():
+    """A fired ProcessingTimeTimeout must evict state without re-arming
+    or emitting a spurious zero-event row (advisor finding, round 1)."""
+    from inception_spark.streaming.pipeline import make_running_totals_update
+
+    update = make_running_totals_update(timeout_minutes=5)
+    state = _FakeState(value=(3, 7.5), has_timed_out=True)
+    rows = list(update((42,), iter([]), state))
+    assert rows == []                  # no spurious batch_events=0 row
+    assert state.removed               # state actually released
+    assert state.timeout_set is None   # not re-armed
+
+    # the normal path still accumulates and re-arms
+    import pandas as pd
+
+    state2 = _FakeState(value=(3, 7.5))
+    pdf = pd.DataFrame({"value": [1.0, 2.0]})
+    out = list(update((42,), iter([pdf]), state2))
+    assert state2._value == (5, 10.5)
+    assert state2.timeout_set == 5 * 60 * 1000
+    assert out[0]["n_events"][0] == 5 and out[0]["batch_events"][0] == 2
