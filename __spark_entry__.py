@@ -209,7 +209,11 @@ def _q_simhash_docs(spark, sf_dir):
 
 
 def _q_simhash_dup_pairs(spark, sf_dir):
-    out = D.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=12)
+    # max_hamming=3 is the guaranteed-recall regime for 4-band blocking;
+    # max_bucket mirrors the oracle CTE's bucket-population cap
+    out = D.simhash_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=3, max_bucket=1000
+    )
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -753,15 +757,16 @@ SELECT doc_id, {H.simhash_sql(_WORDS)} AS simhash FROM documents
         "simhash_dup_pairs": f"""
 WITH sh AS (SELECT doc_id, {H.simhash_sql(_WORDS)} AS simhash FROM documents),
 bands AS (
-  SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
-         unnest([(simhash >> 0) & 255, (simhash >> 8) & 255,
-                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS key
-  FROM sh)
+  SELECT doc_id, simhash, unnest(range(0, {H.SIMHASH_BANDS})) AS band,
+         unnest({H.simhash_band_keys_sql('simhash')}) AS key
+  FROM sh),
+bc AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+bok AS (SELECT bands.* FROM bands JOIN bc USING (band, key) WHERE bc.n <= 1000)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM bands a JOIN bands b
+FROM bok a JOIN bok b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         "embedding_dup_pairs": f"""
 SELECT * FROM (

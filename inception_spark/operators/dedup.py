@@ -9,8 +9,9 @@ Five dedup families, all Spark-first and shuffle-conscious:
   bucket self-join.  The self-join happens only *within band buckets*
   (explode band keys, shuffle on (band, key)), never all-pairs.  Candidate
   verification re-checks true n-gram Jaccard.
-* **SimHash** — 32-bit fingerprint via bitwise tallies; near-dup pairs
-  from 8-bit band blocking + hamming≤threshold verification.
+* **SimHash** — 60-bit fingerprint via bitwise tallies; near-dup pairs
+  from 15-bit band blocking (32768 keys/band) + hamming≤threshold
+  verification, with a bucket-population cap before the self-join.
 * **n-gram Jaccard** — exact pairwise similarity, but only over LSH/band
   candidates (bounded), never the cartesian square.
 * **embedding cosine** — near-dup by vector similarity over an embedding
@@ -257,17 +258,17 @@ def ngram_jaccard_pairs(
 def simhash_docs(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash) — 32-bit fingerprints.
+    """(doc_id, simhash) — 60-bit fingerprints (H.SIMHASH_BITS).
 
     Explode-then-aggregate (same rationale as minhash_signatures): one md5
-    per word occurrence, 32 conditional-sum aggregates for the bit tallies.
+    per word occurrence, 60 conditional-sum aggregates for the bit tallies.
     Empty documents (null word from explode_outer) tally -1 per bit →
     simhash 0, matching the array-expression/DuckDB semantics."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(H.words(F.col(text_col))).alias("w"),
     )
-    hashed = ex.select("doc_id", H.h28(F.col("w")).alias("h"))
+    hashed = ex.select("doc_id", H.h60(F.col("w")).alias("h"))
     aggs = [
         F.sum(
             F.when(
@@ -291,32 +292,48 @@ def simhash_dup_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on each of the 4 bytes of the
-    fingerprint (a ≤max_hamming-bit difference must leave ≥1 of 4 bytes
-    intact when max_hamming ≤ 6 < 8... strictly: pigeonhole guarantees a
-    shared byte only when hamming ≤ 3; for recall at hamming ≤ 6 this is a
-    heuristic blocker, matching common production practice), then verify
-    with exact bit_count(xor) ≤ max_hamming."""
+    """Near-dup pairs by SimHash: block on the 4 fifteen-bit bands of the
+    60-bit fingerprint, verify with exact bit_count(xor) ≤ max_hamming.
+
+    Recall guarantee (pigeonhole over H.SIMHASH_BANDS = 4 bands): a pair
+    at hamming ≤ 3 always shares ≥1 intact band.  ``max_hamming`` above 3
+    is allowed but is heuristic-recall (pairs whose differing bits spread
+    across all 4 bands are missed) — a warning makes the opt-in explicit
+    (advisor finding, round 1).
+
+    Scale shape: 15-bit bands give 32768 keys per band (the round-1 8-bit
+    bands had 256 — O(n²/1024) global pair blowup).  ``max_bucket`` drops
+    degenerate buckets (near-empty docs all hash to simhash 0, boilerplate
+    collapses to one fingerprint) before the self-join, bounding any
+    single bucket's pair count at max_bucket²; dropped buckets lose only
+    pairs that exact_dedup already catches (identical fingerprints)."""
+    if max_hamming > H.SIMHASH_BANDS - 1:
+        import warnings
+
+        warnings.warn(
+            f"simhash_dup_pairs(max_hamming={max_hamming}): "
+            f"{H.SIMHASH_BANDS}-band blocking only guarantees recall for "
+            f"hamming <= {H.SIMHASH_BANDS - 1}; pairs with more differing "
+            "bits spread across all bands will be missed",
+            stacklevel=2,
+        )
+    from pyspark.sql import Window
+
     sh = simhash_docs(df, id_col=id_col, text_col=text_col)
     bands = sh.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(H.simhash_band_structs(F.col("simhash"))).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    bw = Window.partitionBy("band", "key")
+    bands = (
+        bands.withColumn("_bn", F.count(F.lit(1)).over(bw))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
     # Distributed band-bucket self-join.  Two shapes were measured:
     # (a) collect_list per bucket + in-array pair expansion — computes
     #     simhash once but materializes O(|bucket|²) structs in single

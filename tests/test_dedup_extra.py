@@ -105,3 +105,45 @@ def test_corpus_filter_reasons(spark):
     assert got[1] is None
     assert got[2] == "duplicate"
     assert got[3] == "too_short"
+
+
+def test_simhash_near_dup_found_and_bucket_cap_drops(spark):
+    """Planted near-dup pair is recovered at hamming<=3; identical docs
+    flooding one bucket are dropped once the bucket exceeds max_bucket."""
+    from inception_spark.operators.dedup import simhash_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "judges review twelve appellate briefs before noon recess ") * 10
+    rows = [(1, base), (2, base + " extra"), (3, "entirely unrelated words "
+            "about cooking pasta sauce with garlic tomatoes and basil")]
+    # a hot clique: 8 identical docs → every band bucket holds all 8
+    rows += [(100 + i, "identical boilerplate footer text repeated")
+             for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = simhash_dup_pairs(df, max_hamming=3, max_bucket=1000).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in uncapped}
+    assert (1, 2) in pairs                      # planted near-dup recovered
+    assert (100, 101) in pairs                  # clique present uncapped
+    assert not any(a in (1, 2) and b == 3 for a, b in pairs)
+
+    capped = simhash_dup_pairs(df, max_hamming=3, max_bucket=5).collect()
+    cpairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (1, 2) in cpairs                     # small buckets untouched
+    assert not any(a >= 100 for a, _ in cpairs)  # hot bucket dropped
+
+
+def test_simhash_heuristic_recall_warns(spark):
+    import warnings
+
+    from inception_spark.operators.dedup import simhash_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_dup_pairs(df, max_hamming=8)
+        assert any("guarantees recall" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_dup_pairs(df, max_hamming=3)
+        assert not w

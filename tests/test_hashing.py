@@ -93,7 +93,7 @@ def test_simhash_parity(spark, con):
     s = spark_vals(spark, H.simhash(H.words(F.col("text"))))
     d = duck_vals(con, H.simhash_sql(H.words_sql("text")))
     assert s == d
-    assert all(0 <= x < 2**32 for x in s)
+    assert all(0 <= x < 2**H.SIMHASH_BITS for x in s)
     # near-identical texts → small hamming distance; disjoint texts → large
     ham = lambda a, b: bin(a ^ b).count("1")
-    assert ham(s[0], s[1]) <= 10
+    assert ham(s[0], s[1]) <= 10 * H.SIMHASH_BITS // 32
