@@ -87,7 +87,11 @@ h28_w = H.h28_sql("w")
 
 
 def _dedup_cte() -> str:
-    """documents → words → shingles → signatures → exploded band keys."""
+    """documents → words → shingles → signatures → exploded band keys.
+
+    ``bok`` mirrors the Spark side's hot-bucket cap (max_bucket=1000):
+    band buckets above the population threshold are dropped before the
+    candidate self-join."""
     return f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_FROM_W} AS sh FROM wt),
@@ -97,9 +101,11 @@ bands AS (
          unnest(range(0, 4)) AS band,
          unnest({_BANDS_FROM_SIG}) AS key
   FROM sig),
+bc AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+bok AS (SELECT bands.* FROM bands JOIN bc USING (band, key) WHERE bc.n <= 1000),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bok a JOIN bok b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 """
 

@@ -1,5 +1,7 @@
 """Winnowing fingerprint guarantees + dedup family edge cases."""
 
+from pyspark.sql import functions as F
+
 from inception_spark.operators.dedup import (
     corpus_ngram_topk,
     exact_dedup,
@@ -147,3 +149,54 @@ def test_simhash_heuristic_recall_warns(spark):
         warnings.simplefilter("always")
         simhash_dup_pairs(df, max_hamming=3)
         assert not w
+
+
+def test_embedding_dup_pairs_hot_block_grid_exact(spark):
+    """A block larger than max_block goes through the chunk-pair grid
+    decomposition; results must be bit-identical to the single-group
+    path, and no grid task ever holds more than 2*chunk vectors."""
+    from inception_spark.operators.dedup import embedding_dup_pairs
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # one pathological hot block: every vector shares a label
+        .withColumn("label", F.lit(0))
+    )
+    whole = embedding_dup_pairs(emb, threshold=0.2)          # single group
+    grid = embedding_dup_pairs(
+        emb, threshold=0.2, max_block=16, chunk=7            # forced grid
+    )
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, grid.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_lsh_hot_bucket_cap_and_observation(spark):
+    """Buckets above max_bucket are dropped before the self-join (the
+    boilerplate-clique skew bomb); the Observation reports how many band
+    rows sat in dropped buckets."""
+    from pyspark.sql import Observation
+
+    from inception_spark.operators.dedup import lsh_candidate_pairs
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo ") * 3
+    rows = [(1, base), (2, base + " sierra tango")]
+    # 12 identical boilerplate docs: every band bucket holds all 12
+    rows += [(100 + i, "common footer disclaimer repeated verbatim text "
+              "for every single document in this corpus")
+             for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation("lsh_skew")
+    capped = lsh_candidate_pairs(df, max_bucket=8, observation=obs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1, 2) in pairs                       # small buckets untouched
+    assert not any(a >= 100 for a, _ in pairs)   # clique dropped
+    # 12 docs × 4 bands of identical keys = 48 rows in dropped buckets
+    assert obs.get["rows_in_dropped_buckets"] == 48
+    assert obs.get["band_rows"] == 14 * 4
+
+    uncapped = lsh_candidate_pairs(df, max_bucket=None)
+    upairs = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    assert (100, 101) in upairs and (1, 2) in upairs
