@@ -70,6 +70,24 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return acc
 
 
+def query_bucket(planes: np.ndarray, query_vec: list[float]) -> int:
+    """The query's LSH bucket, computed with a driver-side SEQUENTIAL
+    fold — the same IEEE-754 operation order as Catalyst's aggregate left
+    fold, so the sign (and bucket) is bit-identical to running the
+    expression, without paying a one-row Spark job.  (numpy.dot would use
+    pairwise/BLAS summation, which can flip a borderline sign.)"""
+
+    def _seq_dot(p, v):
+        acc = 0.0
+        for x, y in zip(p, v):
+            acc += float(x) * float(y)
+        return acc
+
+    return sum(
+        2**i for i, p in enumerate(planes) if _seq_dot(p, query_vec) > 0
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -81,26 +99,13 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scan to the query's LSH
-    bucket.  Partition pruning analogue: with the table *written*
-    partitioned by bucket, Catalyst prunes 255/256 of the files."""
+    bucket.  The bucket filter here is computed per-query over the raw
+    table (full scan, pruned rows); for the write-once/query-many layout
+    that prunes at the FILE level see :func:`write_bucketed_embeddings` +
+    :func:`ann_lsh_topk_pruned`."""
     planes = lsh_hyperplanes(len(query_vec), bits=bits, seed=seed)
     bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
-    # Query bucket via a driver-side SEQUENTIAL fold — the same IEEE-754
-    # operation order as Catalyst's aggregate left fold, so the sign (and
-    # bucket) is bit-identical to running the expression, without paying
-    # a one-row Spark job.  (numpy.dot would use pairwise/BLAS summation,
-    # which can flip a borderline sign.)
-    def _seq_dot(p, v):
-        acc = 0.0
-        for x, y in zip(p, v):
-            acc += float(x) * float(y)
-        return acc
-
-    qbits = sum(
-        2**i
-        for i, p in enumerate(planes)
-        if _seq_dot(p, query_vec) > 0
-    )
+    qbits = query_bucket(planes, query_vec)
     return cosine_topk(
         bucketed.filter(F.col("bucket") == qbits),
         query_vec,
@@ -108,6 +113,51 @@ def ann_lsh_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def write_bucketed_embeddings(
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    bits: int = 8,
+    seed: int = 2024,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus PARTITIONED BY its LSH sign-bucket
+    (``path/bucket=N/...``).  The scale path for write-once/query-many
+    ANN: each probe then reads ~1/2^bits of the files via Catalyst
+    partition pruning (asserted in tests/test_plans.py) instead of
+    scanning everything and discarding rows post-scan."""
+    planes = lsh_hyperplanes(dim, bits=bits, seed=seed)
+    (
+        df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_lsh_topk_pruned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 2024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN probe over a :func:`write_bucketed_embeddings` layout: the
+    ``bucket = q`` predicate is a partition filter, so only the query
+    bucket's files are listed and read.  Bit-identical results to
+    :func:`ann_lsh_topk` on the raw table (same hyperplanes, same
+    sequential-fold query bucket)."""
+    planes = lsh_hyperplanes(len(query_vec), bits=bits, seed=seed)
+    qbits = query_bucket(planes, query_vec)
+    probe = spark.read.parquet(path).filter(F.col("bucket") == qbits)
+    return cosine_topk(probe, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def knn_join(

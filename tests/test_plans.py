@@ -99,3 +99,31 @@ def test_topk_uses_take_ordered_not_global_window(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     p = plan_of(cosine_topk(emb, [0.1] * 64, k=5))
     assert "TakeOrderedAndProject" in p
+
+
+def test_ann_bucketed_layout_prunes_partitions(spark, tmp_path):
+    """The write-once/query-many ANN layout: probing a bucketed table
+    must prune at the FILE level (PartitionFilters on the scan, only the
+    query bucket's partition read) and return exactly what the raw-table
+    probe returns."""
+    from inception_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_pruned,
+        write_bucketed_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    path = str(tmp_path / "emb_bucketed")
+    write_bucketed_embeddings(emb, path, dim=len(qv))
+
+    pruned = ann_lsh_topk_pruned(spark, path, qv, k=5)
+    f = formatted(pruned)
+    part_filters = f.split("PartitionFilters")[1][:200]
+    assert "bucket" in part_filters  # bucket=q is a partition filter
+    assert "ArrowEvalPython" not in f and "BatchEvalPython" not in f
+
+    raw = ann_lsh_topk(emb, qv, k=5)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
