@@ -309,6 +309,67 @@ def _q_dedup_components(spark, sf_dir):
     return D.connected_components(docs.select("doc_id"), edges)
 
 
+def _q_streaming_events_hourly(spark, sf_dir):
+    """Hourly event counts executed through Structured Streaming (real
+    watermark, windowed state, availableNow drain, foreachBatch parquet
+    sink) — the batch twin is events_hourly.  A far-future sentinel row
+    closes every real window before the final flush batch; the sentinel's
+    own window never closes, so exactly the batch-equivalent rows emerge."""
+    import datetime
+
+    from inception_spark.streaming.pipeline import (
+        run_stream_to_parquet,
+        windowed_event_counts,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    mx = ev.agg(F.max("ts")).head()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(days=30), -1, "__sentinel__", 0.0, "{}")],
+        ev.schema,
+    )
+    out = run_stream_to_parquet(
+        spark,
+        ev.unionByName(sentinel),
+        lambda s: windowed_event_counts(s, window="1 hour", watermark="2 hours"),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
+def _q_streaming_exact_dedup(spark, sf_dir):
+    """Streaming dedup state (dropDuplicatesWithinWatermark) driven end to
+    end; output reduced to the deterministic column (first-seen row choice
+    within a fingerprint group is arrival-order-dependent, the fingerprint
+    set itself is not).  Batch twin: SELECT DISTINCT fingerprint."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_to_parquet,
+        streaming_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        "text",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("event_time"),
+    )
+    out = run_stream_to_parquet(spark, docs, streaming_exact_dedup)
+    return out.select("fingerprint")
+
+
 def _q_chunk_documents(spark, sf_dir):
     _ensure_workers_can_import(spark)
     chunks = chunk_documents(
@@ -410,6 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "knn_label_join": _q_knn_label_join,
+        # streaming (executed through Structured Streaming, materialized
+        # via foreachBatch parquet, then oracle-checked like any batch op)
+        "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
         # embedding pipeline (non-SQL-expressible: chunker/encoder are UDFs)
         "chunk_documents": _q_chunk_documents,
         "embed_documents": _q_embed_documents,
@@ -862,6 +927,19 @@ SELECT q_id, n_id, score,
        CAST(row_number() OVER (
          PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
 FROM p QUALIFY rank <= 5
+""",
+        # --- streaming (batch twins of the streaming executions) ---
+        "streaming_events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+        "streaming_exact_dedup": f"""
+SELECT DISTINCT {TA.fingerprint_sql('text')} AS fingerprint FROM documents
 """,
         # chunk_documents / embed_documents intentionally omitted:
         # the chunker (sentence splitter + token-budget fold) and encoder

@@ -266,6 +266,57 @@ def streaming_exact_dedup(
     )
 
 
+def run_stream_to_parquet(
+    spark: SparkSession,
+    staged: DataFrame,
+    transform,
+    *,
+    work_dir: str | None = None,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Execute a streaming transform END TO END and hand back the
+    materialized result as a batch DataFrame — the bridge that lets the
+    correctness oracle check a genuinely streaming execution.
+
+    ``staged`` is written to a parquet directory, re-opened as a
+    file-source STREAM, pushed through ``transform`` (watermarks, windowed
+    aggregation, dropDuplicatesWithinWatermark, ... — real streaming
+    operators with real state), and drained under
+    ``Trigger.AvailableNow`` into an idempotent per-batch ``foreachBatch``
+    parquet sink.  AvailableNow runs the no-data flush micro-batch after
+    the last file, so append-mode windows whose end falls behind the
+    final watermark ARE emitted (callers close the remaining windows by
+    staging a far-future sentinel row; the sentinel's own window never
+    closes, so it never appears in the output).
+
+    Returns the union of all emitted batches, re-read from parquet."""
+    import tempfile
+
+    work = work_dir or tempfile.mkdtemp(prefix="inception_stream_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    staged.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(staged.schema).parquet(src)
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, eid: bdf.write.mode("overwrite").parquet(
+                f"{out}/batch={eid}"
+            )
+        )
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_sec}s"
+        )
+    # batch=N discovery adds a partition column — not part of the result
+    return spark.read.parquet(out).drop("batch")
+
+
 def read_document_stream_with_quarantine(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -220,3 +220,47 @@ def test_running_totals_timeout_evicts_state():
     assert state2._value == (5, 10.5)
     assert state2.timeout_set == 5 * 60 * 1000
     assert out[0]["n_events"][0] == 5 and out[0]["batch_events"][0] == 2
+
+
+def test_run_stream_to_parquet_matches_batch_twin(spark):
+    """The stream-to-parquet bridge: windowed streaming aggregation over
+    a staged corpus + far-future sentinel equals the batch groupBy, and
+    the sentinel's own (never-closed) window is withheld."""
+    import datetime
+
+    from inception_spark.plans.relational import load_events
+    from inception_spark.streaming.pipeline import (
+        run_stream_to_parquet,
+        windowed_event_counts,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    mx = ev.agg(F.max("ts")).head()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(days=30), -1, "sentinel", 0.0, "{}")],
+        ev.schema,
+    )
+    got = run_stream_to_parquet(
+        spark, ev.unionByName(sentinel),
+        lambda s: windowed_event_counts(s, watermark="2 hours"),
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+    assert not any(r[2] == "sentinel" for r in a)
