@@ -46,14 +46,128 @@ from inception_spark.operators.encoding import (
 )
 
 
+#: reference histogram buckets (metrics.py:8-14, 28-32)
+PROCESSING_BUCKETS = (0.1, 0.5, 1.0, 2.0, 5.0, 10.0)
+MODEL_LOAD_BUCKETS = (1.0, 5.0, 10.0, 30.0, 60.0)
+
+
 @dataclass
 class EngineMetrics:
-    """Reference metric names preserved (metrics.py:3-32)."""
+    """Reference metric names and label sets preserved (metrics.py:3-32):
+    ``inception_requests_total{endpoint}``,
+    ``inception_errors_total{endpoint,error_type}``,
+    ``inception_chunks_total{endpoint}``,
+    ``inception_processing_seconds{endpoint}`` (histogram),
+    ``inception_model_load_seconds`` (histogram).
 
-    request_count: int = 0
-    error_count: dict = field(default_factory=dict)   # (endpoint, error_type) → n
-    chunk_count: int = 0
-    processing_seconds: list = field(default_factory=list)
+    Driver-side counters: per-request increments are trivial next to a
+    Spark action, and :meth:`to_prometheus` renders the text exposition
+    format (M4) so the dict never has to leave the process unserialized."""
+
+    request_count: dict = field(default_factory=dict)        # endpoint → n
+    error_count: dict = field(default_factory=dict)          # (endpoint, error_type) → n
+    chunk_count: dict = field(default_factory=dict)          # endpoint → n
+    processing_seconds: dict = field(default_factory=dict)   # endpoint → [sec]
+    model_load_seconds: list = field(default_factory=list)   # [sec]
+
+    # -- recording ----------------------------------------------------------
+    def record_request(self, endpoint: str) -> None:
+        self.request_count[endpoint] = self.request_count.get(endpoint, 0) + 1
+
+    def record_chunks(self, endpoint: str, n: int) -> None:
+        self.chunk_count[endpoint] = self.chunk_count.get(endpoint, 0) + int(n)
+
+    def record_processing(self, endpoint: str, seconds: float) -> None:
+        self.processing_seconds.setdefault(endpoint, []).append(float(seconds))
+
+    def record_model_load(self, seconds: float) -> None:
+        self.model_load_seconds.append(float(seconds))
+
+    # -- M4: Prometheus text exposition format ------------------------------
+    def to_prometheus(self) -> str:
+        """Render in the Prometheus text format with the reference's
+        metric names, labels, and histogram buckets
+        (reference routes/monitoring.py:30-35 serves this via
+        ``prometheus_client.generate_latest``; here it is a pure string
+        so any HTTP layer — or none — can expose it)."""
+        out: list[str] = []
+
+        def counter(name: str, help_: str, series: dict) -> None:
+            out.append(f"# HELP {name} {help_}")
+            out.append(f"# TYPE {name} counter")
+            for labels, n in sorted(series.items()):
+                out.append(f"{name}{{{labels}}} {float(n)}")
+
+        counter(
+            "inception_requests_total",
+            "Total number of embedding requests",
+            {
+                f'endpoint="{e}"': n
+                for e, n in self.request_count.items()
+            },
+        )
+        counter(
+            "inception_errors_total",
+            "Total number of errors",
+            {
+                f'endpoint="{e}",error_type="{t}"': n
+                for (e, t), n in self.error_count.items()
+            },
+        )
+        counter(
+            "inception_chunks_total",
+            "Total number of text chunks processed",
+            {
+                f'endpoint="{e}"': n
+                for e, n in self.chunk_count.items()
+            },
+        )
+
+        def histogram(
+            name: str, help_: str, buckets: tuple, series: dict
+        ) -> None:
+            out.append(f"# HELP {name} {help_}")
+            out.append(f"# TYPE {name} histogram")
+            def series_name(suffix: str, label: str, extra: str = "") -> str:
+                lbl = ",".join(x for x in (label, extra) if x)
+                return (
+                    f"{name}_{suffix}{{{lbl}}}" if lbl else f"{name}_{suffix}"
+                )
+
+            for label, vals in sorted(series.items()):
+                for b in buckets:
+                    n = sum(1 for v in vals if v <= b)
+                    le = 'le="%s"' % b
+                    out.append(
+                        series_name("bucket", label, le) + " " + str(float(n))
+                    )
+                out.append(
+                    series_name("bucket", label, 'le="+Inf"')
+                    + " " + str(float(len(vals)))
+                )
+                out.append(
+                    series_name("count", label) + " " + str(float(len(vals)))
+                )
+                out.append(
+                    series_name("sum", label) + " " + str(float(sum(vals)))
+                )
+
+        histogram(
+            "inception_processing_seconds",
+            "Time spent processing embedding requests",
+            PROCESSING_BUCKETS,
+            {
+                f'endpoint="{e}"': v
+                for e, v in self.processing_seconds.items()
+            },
+        )
+        histogram(
+            "inception_model_load_seconds",
+            "Time spent loading the model",
+            MODEL_LOAD_BUCKETS,
+            {"": self.model_load_seconds} if self.model_load_seconds else {},
+        )
+        return "\n".join(out) + "\n"
 
 
 class EmbeddingEngine:
@@ -134,6 +248,7 @@ class EmbeddingEngine:
     ) -> DataFrame:
         """documents(id,text) → CHUNK_EMBEDDINGS(doc_id, chunk_number,
         chunk, n_tokens, embedding) — the /embed/batch pipeline."""
+        self.metrics.record_request("batch")
         good, _bad = self.validate_documents(df, mode=validate)
         chunks = self.chunk(good)
         embed = self._embed_udf(self.config.lead_document)
@@ -153,6 +268,10 @@ class EmbeddingEngine:
         """Low-latency single-query path — driver-local, no Spark job
         (the reference routes queries to CPU-only instances; a scalar
         driver call is the engine analogue — SURVEY.md §2.3 C6)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        self.metrics.record_request("query")
         validate_text_length_py(
             text,
             min_len=self.config.min_text_length,
@@ -165,6 +284,7 @@ class EmbeddingEngine:
         vec = self.encoder.encode(
             [self.config.lead_query + cleaned], batch_size=1
         )
+        self.metrics.record_processing("query", _time.perf_counter() - _t0)
         return [float(x) for x in vec[0]]
 
     def embed_queries(self, df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -189,6 +309,7 @@ class EmbeddingEngine:
     def validate_text(self, df: DataFrame) -> DataFrame:
         """documents(id,text) → VALIDATED_TEXTS — never raises
         (reference routes/embedding.py:130-150)."""
+        self.metrics.record_request("validate")
         err = validation_error_expr(
             F.col("text"),
             min_len=self.config.min_text_length,

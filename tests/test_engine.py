@@ -180,3 +180,53 @@ def test_embed_text_single_doc_path(spark, engine, sample_opinion):
     assert [r["chunk_number"] for r in rows] == list(range(1, len(rows) + 1))
     with pytest.raises(ValueError, match="below minimum"):
         engine.embed_text("")
+
+
+def test_prometheus_text_format(spark):
+    """M4: metrics render in the Prometheus text exposition format with
+    the reference's metric names, labels, and histogram buckets."""
+    from inception_spark.engine import EngineMetrics
+    from inception_spark.errors import handle_exception
+
+    m = EngineMetrics()
+    m.record_request("batch")
+    m.record_request("batch")
+    m.record_chunks("batch", 7)
+    m.record_processing("batch", 0.3)
+    m.record_processing("batch", 3.0)
+    m.record_model_load(4.2)
+    handle_exception(ValueError("bad"), "query", metrics=m)
+
+    text = m.to_prometheus()
+    assert "# TYPE inception_requests_total counter" in text
+    assert 'inception_requests_total{endpoint="batch"} 2.0' in text
+    assert 'inception_chunks_total{endpoint="batch"} 7.0' in text
+    assert (
+        'inception_errors_total{endpoint="query",error_type="validation_error"} 1.0'
+        in text
+    )
+    assert "# TYPE inception_processing_seconds histogram" in text
+    # cumulative buckets: 0.3 ≤ 0.5; both ≤ 5.0; +Inf carries all
+    assert 'inception_processing_seconds_bucket{endpoint="batch",le="0.5"} 1.0' in text
+    assert 'inception_processing_seconds_bucket{endpoint="batch",le="5.0"} 2.0' in text
+    assert 'inception_processing_seconds_bucket{endpoint="batch",le="+Inf"} 2.0' in text
+    assert 'inception_processing_seconds_count{endpoint="batch"} 2.0' in text
+    assert 'inception_processing_seconds_sum{endpoint="batch"} 3.3' in text
+    # unlabeled histogram renders without braces
+    assert "inception_model_load_seconds_count 1.0" in text
+    assert 'inception_model_load_seconds_bucket{le="5.0"} 1.0' in text
+
+
+def test_engine_endpoints_count_requests(spark):
+    from inception_spark.engine import EmbeddingEngine
+
+    eng = EmbeddingEngine(spark)  # fresh metrics, not the shared fixture
+    df = spark.createDataFrame([(1, "Some valid text.")], "id long, text string")
+    eng.validate_text(df).collect()
+    eng.embed_documents(df).collect()
+    eng.embed_query("a question")
+    m = eng.metrics
+    assert m.request_count.get("validate") == 1
+    assert m.request_count.get("batch") == 1
+    assert m.request_count.get("query") == 1
+    assert len(m.processing_seconds.get("query", [])) == 1
