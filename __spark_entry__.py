@@ -418,6 +418,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_revenue": R.q5_region_revenue,
         "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q4_priority_exists": R.q4_priority_exists,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q8_market_share": R.q8_market_share,
+        "q9_product_profit": R.q9_product_type_profit,
+        "q10_returned_items": R.q10_returned_items,
+        "q13_customer_distribution": R.q13_customer_distribution,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q17_small_quantity": R.q17_small_quantity_revenue,
+        "q18_large_volume": R.q18_large_volume_customers,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "q22_dormant_customers": R.q22_dormant_customers,
         "top3_orders_per_customer": R.top3_orders_per_customer,
         "customer_running_revenue": R.customer_running_revenue,
         "customers_without_orders": R.customers_without_orders,
@@ -537,6 +549,166 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.03 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "q4_priority_exists": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "q7_volume_shipping": f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year, {_DISC_PRICE} AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+        "q8_market_share": f"""
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+         {_DISC_PRICE} AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'),
+a AS (
+  SELECT CAST(o_year AS BIGINT) AS o_year,
+         SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                  ELSE CAST(0 AS {_DEC}) END) AS nation_rev,
+         SUM(rev) AS total_rev
+  FROM base GROUP BY 1)
+SELECT o_year,
+       round(CASE WHEN total_rev > 0
+                  THEN CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+             END, 6) AS mkt_share,
+       CAST(total_rev AS DOUBLE) AS total_revenue
+FROM a
+""",
+        "q9_product_profit": f"""
+SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+        "q10_returned_items": f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name, SUM({_DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1, 2, 3)
+SELECT c_custkey, c_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue
+FROM agg
+QUALIFY row_number() OVER (ORDER BY rev_dec DESC, c_custkey) <= 20
+""",
+        "q13_customer_distribution": """
+WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY 1
+""",
+        "q14_promo_revenue": f"""
+WITH a AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                  ELSE CAST(0 AS {_DEC}) END) AS promo_rev,
+         SUM({_DISC_PRICE}) AS total_rev,
+         COUNT(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT round(CASE WHEN total_rev > 0
+                  THEN 100.0 * CAST(promo_rev AS DOUBLE)
+                       / CAST(total_rev AS DOUBLE) END, 6) AS promo_share_pct,
+       CAST(total_rev AS DOUBLE) AS total_revenue, n_items
+FROM a
+""",
+        "q15_top_supplier": f"""
+WITH ps AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM ps JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM ps)
+""",
+        "q17_small_quantity": f"""
+WITH ap AS (
+  SELECT l_partkey,
+         CAST(SUM({_d('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN ap USING (l_partkey)
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+""",
+        "q18_large_volume": f"""
+WITH big AS (
+  SELECT l_orderkey, SUM({_d('l_quantity')}) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM({_d('l_quantity')}) > 250)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "q19_disjunctive_revenue": f"""
+SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+        "q22_dormant_customers": f"""
+WITH ab AS (
+  SELECT CAST(SUM({_d('c_acctbal')}) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0),
+dormant AS (
+  SELECT c.* FROM customer c, ab
+  WHERE c.c_acctbal > ab.avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c.c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM({_d('c_acctbal')}) AS DOUBLE) AS total_acctbal
+FROM dormant JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
 """,
         "top3_orders_per_customer": """
 SELECT o_custkey, o_orderkey, o_totalprice,

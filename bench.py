@@ -30,6 +30,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_large_volume",
     "top3_orders_per_customer",
     "customer_order_stats",
     "events_hourly",

@@ -556,3 +556,356 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape completion (adapted to the harness's reduced schemas: no
+# partsupp table, no commit/receipt dates, no ship modes/containers/
+# phones).  Each query keeps its namesake's SHAPE — the join topology,
+# correlation pattern, and aggregation style — with predicates rewritten
+# onto existing columns.  Money math follows the module's decimal
+# discipline; shares are rounded to 6 dp; every top-k tie-breaks on a key.
+# ---------------------------------------------------------------------------
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS-correlated semi join.  Orders in a quarter having
+    at least one lineitem shipped after the order date, counted by
+    priority.  The semi join keeps the probe side duplicate-free without
+    a distinct."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the two-nation trade-flow join — supplier nation and
+    customer nation resolved through separate broadcast dimension chains,
+    revenue by (supp_nation, cust_nation, year) for both directions of
+    one nation pair."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_sum_money(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: market share — one nation's fraction of a region's
+    revenue for one part type, per year.  Conditional aggregation over
+    the full star join; the share division is guarded (a year with no
+    revenue yields NULL, matching SQL semantics in both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = base.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_1", revenue).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("nation_rev"),
+        F.sum(revenue).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.when(
+                F.col("total_rev") > 0,
+                F.col("nation_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+            ),
+            6,
+        ).alias("mkt_share"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (sans partsupp): revenue from parts matching a name
+    pattern, by supplier nation and order year."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_sum_money(revenue, "sum_profit"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter.  Deterministic top-k: rank on the exact decimal revenue with
+    a key tie-break BEFORE the double cast."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    return (
+        agg.orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: two-level aggregation — orders per customer (left join
+    keeps zero-order customers), then the distribution of those counts."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share — conditional sum over a month
+    range, one output row, share as 100× ratio of exact decimal sums
+    evaluated in double after the cast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ).alias("promo_rev"),
+            F.sum(revenue).alias("total_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.when(
+                F.col("total_rev") > 0,
+                F.lit(100.0)
+                * F.col("promo_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+            ),
+            6,
+        ).alias("promo_share_pct"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+        "n_items",
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue —
+    the scalar-subquery-on-aggregate pattern.  The max comparison runs on
+    EXACT decimals (order-independent), so ties and the selected set are
+    engine-stable; doubles appear only in the output."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("rev_dec"))
+    mx = per_supp.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        per_supp.join(F.broadcast(mx), per_supp.rev_dec == mx.max_rev)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part average — lineitems of one brand
+    whose quantity is below half the part's average quantity.  The
+    correlated subquery becomes a broadcast join against the per-part
+    aggregate; the avg is an exact decimal sum divided in double, in the
+    same operation order as the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (
+            F.sum(_d("l_quantity")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            _sum_money(revenue, "small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold, with
+    their customers — HAVING on a grouped fact, then dimension joins."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_d("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive multi-branch predicate (brand × size band ×
+    quantity band) — the optimizer-stress pattern where OR branches must
+    not defeat join pushdown."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 15)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 25)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return j.filter(branch1 | branch2 | branch3).agg(
+        _sum_money(revenue, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average account balances with an anti join on
+    recent activity — customers richer than the positive-balance average
+    with no orders since 1999, counted per nation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    nation = load(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_d("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _sum_money(_d("c_acctbal"), "total_acctbal"),
+        )
+    )

@@ -127,3 +127,25 @@ def test_ann_bucketed_layout_prunes_partitions(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, raw.collect())
     )
+
+
+def test_q7_broadcasts_all_dimensions(spark):
+    """Q7 shape: both nation resolution chains broadcast; the only
+    shuffle join is lineitem⋈orders."""
+    p = plan_of(R.q7_volume_shipping(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 4  # supp/cust/n1/n2
+    assert "CartesianProduct" not in p
+
+
+def test_q4_exists_is_semi_join(spark):
+    """The EXISTS correlation compiles to a semi join, never a distinct
+    over an inner join."""
+    p = plan_of(R.q4_priority_exists(spark, SF))
+    assert "LeftSemi" in p
+
+
+def test_q17_correlated_avg_is_broadcast(spark):
+    """The per-part average (correlated subquery in TPC-H Q17) joins back
+    broadcast — the fact table never shuffles for it."""
+    p = plan_of(R.q17_small_quantity_revenue(spark, SF))
+    assert "BroadcastHashJoin" in p
