@@ -59,8 +59,10 @@ from inception_spark.functions import hashing as H
 from inception_spark.functions import text_analysis as TA
 from inception_spark.functions import vectors as V
 from inception_spark.functions.cleaning import clean_text_expr, clean_text_sql
+from inception_spark.functions.sketches import hll_ndv_sql
 from inception_spark.operators import dedup as D
 from inception_spark.operators import similarity as S
+from inception_spark.operators.packing import pack_sequences_sql
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.plans import relational as R
 from inception_spark.tokenizer import TOKEN_PATTERN_SQL
@@ -309,6 +311,34 @@ def _q_dedup_components(spark, sf_dir):
     return D.connected_components(docs.select("doc_id"), edges)
 
 
+def _q_approx_ndv(spark, sf_dir):
+    """Deterministic HyperLogLog NDV of events.user_id, next to the exact
+    answer — the 100 TB cardinality question without a distinct shuffle.
+    Both engines run the same md5-register sketch, so even the ESTIMATE
+    hash-matches."""
+    from inception_spark.functions.sketches import hll_ndv
+
+    ev = R.load_events(spark, sf_dir)
+    est = hll_ndv(ev, "user_id")
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_ndv"))
+    return est.crossJoin(exact).select(
+        "estimate",
+        "n_registers",
+        "exact_ndv",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_ndv").cast("double"))
+            / F.col("exact_ndv").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from inception_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
 def _q_streaming_events_hourly(spark, sf_dir):
     """Hourly event counts executed through Structured Streaming (real
     watermark, windowed state, availableNow drain, foreachBatch parquet
@@ -460,6 +490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda spark, sf: TA.tfidf_top_terms(
             _docs(spark, sf)
         ),
+        "doc_unigram_logprob": lambda spark, sf: TA.doc_unigram_logprob(
+            _docs(spark, sf)
+        ),
+        "approx_ndv": _q_approx_ndv,
+        "pack_sequences": _q_pack_sequences,
         "nation_segments": _q_nation_segments,
         "clean_text": _q_clean_text,
         "validate_text": _q_validate_text,
@@ -1100,6 +1135,17 @@ SELECT q_id, n_id, score,
          PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
 FROM p QUALIFY rank <= 5
 """,
+        "doc_unigram_logprob": TA.doc_unigram_logprob_sql("documents"),
+        "approx_ndv": f"""
+WITH ex AS (SELECT COUNT(DISTINCT user_id) AS exact_ndv FROM events)
+SELECT estimate, n_registers, exact_ndv,
+       round(abs(estimate - CAST(exact_ndv AS DOUBLE))
+             / CAST(exact_ndv AS DOUBLE), 4) AS rel_err
+FROM ({hll_ndv_sql("events", "user_id")}) est, ex
+""",
+        "pack_sequences": pack_sequences_sql(
+            "documents", TA.token_count_sql("text"), budget=2048
+        ),
         # --- streaming (batch twins of the streaming executions) ---
         "streaming_events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

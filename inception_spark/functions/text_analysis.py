@@ -185,6 +185,68 @@ def fingerprint_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def doc_unigram_logprob(df, *, id_col="doc_id", text_col="text"):
+    """CCNet-style corpus-LM quality signal: per-document mean unigram
+    log-probability under the corpus's own word distribution —
+    (doc_id, n_words, mean_logprob).  Documents full of rare/garbled
+    tokens score low; formulaic boilerplate scores high; both tails are
+    filter candidates.
+
+    Determinism discipline: each word's ln(freq/total) is rounded to 6 dp
+    and summed as DECIMAL(28,6) — exact, order-independent — then divided
+    by the word count in double and rounded to 4.  (A raw double sum over
+    a shuffle would be partition-order-dependent and could never
+    hash-match the oracle.)  Plan: one explode, two hash aggregates, one
+    broadcast of the |vocab|-row frequency table's totals — no shuffle
+    beyond the semantics."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+    total = ex.agg(F.count(F.lit(1)).cast("double").alias("total_words"))
+    scored = (
+        ex.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("wf").cast("double") / F.col("total_words")), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_logprob"),
+    )
+
+
+def doc_unigram_logprob_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`doc_unigram_logprob`."""
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS w FROM {table}),
+freq AS (SELECT w, COUNT(*) AS wf FROM ex GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_words FROM ex),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(wf AS DOUBLE) / total_words), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM ex JOIN freq USING (w), tot)
+SELECT doc_id, COUNT(*) AS n_words,
+       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 def tfidf_top_terms(df, *, id_col="doc_id", text_col="text", top_n=3):
     """Top-n characteristic terms per document by TF-IDF:
     (doc_id, term, tf, df_docs, tfidf, term_rank).

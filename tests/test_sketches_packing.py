@@ -1,0 +1,54 @@
+"""Deterministic HLL sketch + sequence-packing operator tests."""
+
+from pyspark.sql import functions as F
+
+from inception_spark.functions.sketches import HLL_M, hll_ndv, hll_ndv_py
+from inception_spark.operators.packing import pack_sequences
+
+
+def test_hll_matches_python_twin_and_is_accurate(spark):
+    n = 5000
+    df = spark.range(n).select((F.col("id") % 1300).alias("v"))
+    est = hll_ndv(df, "v").head()
+    py = hll_ndv_py([i % 1300 for i in range(n)])
+    assert est["estimate"] == py           # engine-stable estimate
+    assert est["n_registers"] == HLL_M
+    # standard error for m=256 is ~6.5%; allow 3 sigma
+    assert abs(est["estimate"] - 1300) / 1300 < 0.2
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    est = hll_ndv(df, "v").head()["estimate"]
+    py = hll_ndv_py(list(range(10)))
+    assert est == py
+    assert abs(est - 10) <= 1              # linear counting is near-exact
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    rows = [
+        # part 'a': token counts 3, 4, 5 → offsets 0, 3, 7
+        (1, "a", "one two three"),
+        (2, "a", "one two three four"),
+        (3, "a", "one two three four five"),
+        # part 'b': independent stream
+        (4, "b", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=5).collect()}
+    # regex tokenizer splits runs > 4 letters ("three" → "thre","e"), so
+    # token counts are 4, 5, 6 → offsets 0, 4, 9
+    assert [out[i]["n_tokens"] for i in (1, 2, 3)] == [4, 5, 6]
+    assert [out[i]["start_offset"] for i in (1, 2, 3)] == [0, 4, 9]
+    assert [out[i]["seq_id"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert out[4]["start_offset"] == 0 and out[4]["seq_id"] == 0
+    assert not out[1]["oversize"] and not out[2]["oversize"]
+    assert out[3]["oversize"]  # 6 tokens > budget 5
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, lang string, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
