@@ -52,10 +52,136 @@ MEDIA_DOCUMENTS = T.StructType(
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the real decode path: media libraries are not installed
-    in this environment.  The Spark plumbing is exercised with
-    ``fake=True`` decoders, which produce deterministic feature vectors
-    from payload bytes."""
+    """Raised by the real decode path when no decoder can handle the
+    payload: compressed formats (JPEG/PNG/video) need PIL/ffmpeg, which
+    are not installed in this environment.  Uncompressed BMP decodes
+    NATIVELY (struct + numpy, below) — so the real path is exercised end
+    to end on real pixels; the ``fake=True`` decoders remain for
+    format-agnostic plumbing tests."""
+
+
+# ---------------------------------------------------------------------------
+# native BMP codec — zero dependencies, real pixels
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bpp BMP → (h, w, 3) uint8 RGB array.
+
+    BMP is a fixed little-endian header + raw BGR(A) rows padded to 4
+    bytes, bottom-up — fully parseable with struct/numpy, no PIL."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise DecoderUnavailable("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise DecoderUnavailable(
+            f"only uncompressed 24/32-bpp BMP decodes natively "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    bottom_up, h = h > 0, abs(h)
+    nch = bpp // 8
+    row_size = ((w * nch + 3) // 4) * 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        arr = arr[::-1]
+    return np.ascontiguousarray(arr[:, :, [2, 1, 0]])  # BGR(A)→RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bpp BMP bytes."""
+    import struct
+
+    h, w, _ = img.shape
+    row_size = ((w * 3 + 3) // 4) * 4
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = img[:, :, [2, 1, 0]]
+    body = b"".join(bytes(r.tobytes()) + pad for r in bgr[::-1])
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    return struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off) + info + body
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index maps — deterministic."""
+    src_h, src_w = img.shape[:2]
+    yi = np.arange(height) * src_h // height
+    xi = np.arange(width) * src_w // width
+    return np.ascontiguousarray(img[yi][:, xi])
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic real image features: per-channel mean/std + a 4×4
+    grayscale thumbnail grid, L2-normalized and padded/truncated to
+    ``dim`` — the library-free analogue of an image-embedding model."""
+    gray = img.astype(np.float64).mean(axis=2)
+    grid = resize_nearest(gray[..., None], 4, 4)[..., 0].ravel() / 255.0
+    feats = np.concatenate(
+        [
+            img.astype(np.float64).mean(axis=(0, 1)) / 255.0,
+            img.astype(np.float64).std(axis=(0, 1)) / 255.0,
+            grid,
+        ]
+    )
+    feats = (
+        np.pad(feats, (0, dim - len(feats)))
+        if len(feats) < dim
+        else feats[:dim]
+    )
+    n = float(np.linalg.norm(feats))
+    return (feats / (n or 1.0)).astype(np.float32)
+
+
+def probe_bmp_dims(
+    df: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """Fill media_meta.width/height by parsing the BMP header JVM-SIDE
+    (substring → byte-reverse → hex → conv): metadata probing over 100 TB
+    of blobs must not round-trip payloads through Python."""
+
+    def _le32(pos: int):  # 1-based substring position
+        return F.conv(
+            F.hex(F.reverse(F.substring(F.col(payload_col), pos, 4))), 16, 10
+        ).cast("int")
+
+    is_bmp = F.substring(F.col(payload_col), 1, 2) == F.lit(b"BM")
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.modality").alias("modality"),
+            F.col("media_meta.mime").alias("mime"),
+            F.when(is_bmp, _le32(19)).alias("width"),
+            F.when(is_bmp, _le32(23)).alias("height"),
+            F.col("media_meta.duration_ms").alias("duration_ms"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decode: native BMP first; PIL fallback for compressed formats
+    when installed; DecoderUnavailable otherwise."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    try:
+        import io
+
+        from PIL import Image  # import-gated
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        raise DecoderUnavailable(
+            "compressed image decode requires PIL — not installed; "
+            "uncompressed BMP decodes natively"
+        )
 
 
 def attach_media_meta(
@@ -91,7 +217,9 @@ def extract_features(
 
     ``mapInPandas`` so each Arrow batch is one decode loop with worker-
     level init; output schema (id, media_meta, feature) keeps metadata for
-    downstream filtering.  Real decode raises DecoderUnavailable."""
+    downstream filtering.  ``fake=False`` decodes REAL pixels (native BMP,
+    PIL when installed) and extracts :func:`image_features`; unsupported
+    formats raise DecoderUnavailable."""
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -102,14 +230,16 @@ def extract_features(
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise DecoderUnavailable(
-                    "media decoding requires PIL/ffmpeg — not installed"
-                )
-            feats = [
-                _fake_feature(bytes(p), dim).tolist()
-                for p in pdf[payload_col]
-            ]
+            if fake:
+                feats = [
+                    _fake_feature(bytes(p), dim).tolist()
+                    for p in pdf[payload_col]
+                ]
+            else:
+                feats = [
+                    image_features(decode_image(bytes(p)), dim).tolist()
+                    for p in pdf[payload_col]
+                ]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
@@ -164,19 +294,30 @@ def resize_images(
     df: DataFrame, *, width: int, height: int, fake: bool = True,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """image payload → resized payload + updated metadata.  Fake resize
+    """image payload → resized payload + updated metadata.
+
+    ``fake=False`` is a REAL resize: decode (native BMP / PIL), nearest-
+    neighbor index-map resample, re-encode as 24-bpp BMP.  Fake resize
     re-hashes the payload to a deterministic pseudo-image of the target
-    size (w*h bytes, capped) so byte-size accounting is testable."""
+    size (w*h bytes, capped) so byte-size accounting stays testable for
+    formats the environment can't decode."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise DecoderUnavailable("image resize requires PIL")
             out = []
             for p in pdf[payload_col]:
-                seed = hashlib.md5(bytes(p)).digest()
-                n = min(width * height, 4096)
-                out.append((seed * (n // len(seed) + 1))[:n])
+                if fake:
+                    seed = hashlib.md5(bytes(p)).digest()
+                    n = min(width * height, 4096)
+                    out.append((seed * (n // len(seed) + 1))[:n])
+                else:
+                    out.append(
+                        encode_bmp(
+                            resize_nearest(
+                                decode_image(bytes(p)), width, height
+                            )
+                        )
+                    )
             pdf = pdf.copy()
             pdf[payload_col] = out
             meta = pd.json_normalize(pdf["media_meta"]).to_dict("records")

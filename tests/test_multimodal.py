@@ -85,3 +85,79 @@ def test_resize_images(media_df):
         assert r["media_meta"]["width"] == 32
         assert r["media_meta"]["height"] == 16
         assert r["media_meta"]["n_bytes"] == len(bytes(r["payload"])) == 32 * 16
+
+
+def _gradient_bmp(w=8, h=6):
+    """Build a real 24-bpp BMP with a deterministic RGB gradient."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import encode_bmp
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.arange(w, dtype=np.uint8) * 30          # R by column
+    img[..., 1] = (np.arange(h, dtype=np.uint8) * 40)[:, None]  # G by row
+    img[..., 2] = 7
+    return img, encode_bmp(img)
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from inception_spark.operators.multimodal import decode_bmp
+
+    img, payload = _gradient_bmp(5, 3)  # odd width exercises row padding
+    back = decode_bmp(payload)
+    assert back.shape == (3, 5, 3)
+    assert np.array_equal(back, img)
+
+
+def test_real_resize_and_features_on_bmp(spark):
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_bmp,
+        extract_features,
+        probe_bmp_dims,
+        resize_images,
+        resize_nearest,
+    )
+
+    img, payload = _gradient_bmp(8, 6)
+    df = attach_media_meta(
+        spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary"),
+        modality="image", mime="image/bmp",
+    )
+
+    # JVM-side header probe fills width/height without touching Python
+    probed = probe_bmp_dims(df).select("media_meta.*").head()
+    assert (probed["width"], probed["height"]) == (8, 6)
+
+    # real resize: decode → nearest-neighbor → re-encode, verified pixel-
+    # exact against the numpy reference
+    out = resize_images(df, width=4, height=3, fake=False).head()
+    resized = decode_bmp(bytes(out["payload"]))
+    assert np.array_equal(resized, resize_nearest(img, 4, 3))
+    assert out["media_meta"]["width"] == 4 and out["media_meta"]["height"] == 3
+
+    # real features: unit-norm, deterministic across calls
+    f1 = extract_features(df, dim=32, fake=False).head()["feature"]
+    f2 = extract_features(df, dim=32, fake=False).head()["feature"]
+    assert f1 == f2 and abs(float(np.linalg.norm(f1)) - 1.0) < 1e-5
+
+
+def test_decode_image_unsupported_format_raises():
+    import pytest
+
+    from inception_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_image,
+    )
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed — compressed formats decode for real")
+    except ImportError:
+        pass
+    with pytest.raises(DecoderUnavailable):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
