@@ -1,0 +1,82 @@
+"""End-to-end training-corpus preparation — the workflow this engine is
+for, composed from the shipped operators:
+
+    raw documents
+      → quality/length/exact-dup gate        (dedup.corpus_filter)
+      → near-dup edges                       (dedup.lsh_candidate_pairs)
+      → duplicate groups                     (dedup.connected_components)
+      → keep one doc per group               (dedup.keep_component_heads)
+      → corpus language/quality stats        (text_analysis, sketches)
+      → fixed-token training sequences       (packing.pack_sequences)
+
+Run:  python examples/corpus_pipeline.py [sf_dir]
+(defaults to /root/testdata/sf0.001; everything is deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from inception_spark.functions.sketches import hll_ndv  # noqa: E402
+from inception_spark.functions.text_analysis import (  # noqa: E402
+    doc_unigram_logprob,
+)
+from inception_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    corpus_filter,
+    keep_component_heads,
+    lsh_candidate_pairs,
+)
+from inception_spark.operators.packing import pack_sequences  # noqa: E402
+from inception_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = build_session(
+        "corpus-pipeline", master="local[4]", shuffle_partitions=4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. gate: exact dups, too-short, low-quality — with audit reasons
+    gate = corpus_filter(docs)
+    survivors = docs.join(
+        gate.filter(F.col("reason").isNull()).select("doc_id"), "doc_id"
+    )
+    rejected = gate.filter(F.col("reason").isNotNull())
+    print("gate rejections by reason:")
+    rejected.groupBy("reason").count().show()
+
+    # 2-4. near-dup edges → components → one keeper per group
+    edges = lsh_candidate_pairs(survivors)
+    comps = connected_components(survivors.select("doc_id"), edges)
+    kept = keep_component_heads(survivors, comps)
+    n_kept = kept.count()
+    print(f"{n0} docs → {n_kept} after exact+near dedup")
+
+    # 5. corpus stats: distinct-fingerprint NDV sketch + LM quality tails
+    hll_ndv(kept, "doc_id").show()
+    lp = doc_unigram_logprob(kept)
+    print("lowest-quality tail by corpus-LM logprob:")
+    lp.orderBy("mean_logprob").limit(5).show()
+
+    # 6. pack into fixed-token training sequences, per language
+    packed = pack_sequences(kept, budget=2048)
+    packed.groupBy("part").agg(
+        F.countDistinct("seq_id").alias("n_sequences"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max("oversize").alias("any_oversize"),
+    ).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

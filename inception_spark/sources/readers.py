@@ -101,6 +101,12 @@ def read_documents_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("id", "text")
 
 
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC twin of the parquet path (both columnar formats ship in
+    Spark's core; same predicate-pushdown/column-pruning machinery)."""
+    return spark.read.orc(path).select("id", "text")
+
+
 def read_documents_text(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -82,3 +82,15 @@ def test_parquet_roundtrip_and_nested_sink(spark, tmp_path, sample_opinion):
     resp = spark.read.json(str(tmp_path / "resp"))
     row = resp.collect()[0]
     assert row["id"] == 1 and len(row["embeddings"]) >= 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from inception_spark.sources.readers import read_documents_orc
+
+    df = spark.createDataFrame(
+        [(1, "first document"), (2, "second document")], "id long, text string"
+    )
+    path = str(tmp_path / "docs_orc")
+    df.write.mode("overwrite").orc(path)
+    got = sorted(map(tuple, read_documents_orc(spark, path).collect()))
+    assert got == [(1, "first document"), (2, "second document")]
