@@ -512,6 +512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": lambda spark, sf: D.winnowing_fingerprints(
             _docs(spark, sf)
         ),
+        "winnowing_overlap_pairs": lambda spark, sf: D.winnowing_overlap_pairs(
+            _docs(spark, sf)
+        ),
         "dedup_components": _q_dedup_components,
         "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
         # similarity search
@@ -1069,6 +1072,26 @@ f AS (
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
   FROM r WHERE roll IS NOT NULL)
 SELECT DISTINCT doc_id, fp FROM f
+""",
+        "winnowing_overlap_pairs": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wt),
+h AS (SELECT doc_id, pos, {h28_w} AS h FROM ex),
+r AS (
+  SELECT doc_id, pos,
+    (((h * 65539 + lead(h, 1) OVER win) % 2147483647) * 65539
+      + lead(h, 2) OVER win) % 2147483647 AS roll
+  FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+f AS (
+  SELECT doc_id,
+    min(roll) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM r WHERE roll IS NOT NULL),
+fps AS (SELECT DISTINCT doc_id, fp FROM f)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
 """,
         "corpus_filter": f"""
 WITH fp AS (SELECT doc_id, {TA.fingerprint_sql('text')} AS fingerprint FROM documents),

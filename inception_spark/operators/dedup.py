@@ -653,6 +653,40 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    window: int = WINNOW_WINDOW,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Local-overlap (plagiarism/quotation) pairs from winnowing
+    fingerprints: (doc_a, doc_b, n_shared) for pairs sharing ≥
+    ``min_shared`` fingerprints — the MOSS match step over
+    :func:`winnowing_fingerprints`.
+
+    Scale shape: equi-join on the fingerprint value (each fingerprint is
+    its own bucket — no all-pairs), partial-aggregated count per pair.
+    A fingerprint shared by m documents emits m²/2 pair rows; ubiquitous
+    boilerplate fingerprints are the skew knob — drop fingerprints above
+    ``max_docs_per_fp`` upstream if that bites (same cap pattern as
+    lsh_candidate_pairs)."""
+    fp = winnowing_fingerprints(
+        df, id_col=id_col, text_col=text_col, ngram=ngram, window=window
+    ).localCheckpoint(eager=False)  # feeds both join sides
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -200,3 +200,21 @@ def test_lsh_hot_bucket_cap_and_observation(spark):
     uncapped = lsh_candidate_pairs(df, max_bucket=None)
     upairs = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
     assert (100, 101) in upairs and (1, 2) in upairs
+
+
+def test_winnowing_overlap_pairs_finds_shared_run(spark):
+    from inception_spark.operators.dedup import winnowing_overlap_pairs
+
+    shared = ("the quick brown fox jumps over seven lazy sleeping dogs "
+              "while appellate judges review briefs today in court")
+    rows = [
+        (1, "intro words here first. " + shared + " closing remarks."),
+        (2, "different opening text. " + shared + " another ending."),
+        (3, "no overlap with the others at all in any way whatsoever "
+            "cooking pasta sauce garlic tomato basil dinner tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnowing_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
