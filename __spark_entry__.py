@@ -448,7 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_revenue": R.q5_region_revenue,
         "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q2_best_supplier": R.q2_best_supplier,
         "q4_priority_exists": R.q4_priority_exists,
+        "q16_supplier_part_counts": R.q16_supplier_part_counts,
         "q7_volume_shipping": R.q7_volume_shipping,
         "q8_market_share": R.q8_market_share,
         "q9_product_profit": R.q9_product_type_profit,
@@ -587,6 +589,30 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.03 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "q2_best_supplier": """
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, n_name, s_acctbal
+  FROM rel
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 5 AND r_name = 'EUROPE')
+SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, n_name, s_acctbal
+FROM j
+QUALIFY row_number() OVER (
+  PARTITION BY p_partkey ORDER BY s_acctbal DESC, s_suppkey) = 1
+""",
+        "q16_supplier_part_counts": """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1'
+GROUP BY 1, 2, 3
 """,
         "q4_priority_exists": """
 SELECT o_orderpriority, COUNT(*) AS order_count

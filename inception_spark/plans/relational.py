@@ -909,3 +909,52 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_money(_d("c_acctbal"), "total_acctbal"),
         )
     )
+
+
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (sans partsupp): for each small part in one region, the
+    best supplier among those who actually shipped it — the correlated
+    max-per-group subquery, expressed as a window over the
+    lineitem-derived part↔supplier relationship."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rel = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey,
+            "left_semi",
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        rel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey", "p_brand", "p_size",
+            "s_suppkey", "s_name", "n_name", "s_acctbal",
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (partsupp replaced by the lineitem-observed
+    relationship): distinct-supplier counts per (brand, type, size) for
+    non-excluded brands."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
