@@ -42,12 +42,16 @@ HEADLINE = [
     "doc_token_stats",
     "doc_quality_score",
     "doc_fingerprint",
+    "doc_unigram_logprob",
+    "approx_ndv",
+    "pack_sequences",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash_docs",
     "simhash_dup_pairs",
+    "winnowing_overlap_pairs",
     "embedding_dup_pairs",
     "cosine_topk",
     "ann_lsh_topk",
@@ -80,6 +84,8 @@ def main() -> None:
     # min of 2 runs per query: single-run local[32] timings swing up to 2×
     # (JIT/GC noise at these sub-second scales); min-of-2 reports the
     # steady-state cost, which is what extrapolates to cluster scale.
+    import gc
+
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
@@ -88,6 +94,11 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # several dedup operators localCheckpoint scratch tables; dropping
+        # the Python refs here lets Spark's ContextCleaner unpersist their
+        # RDD blocks between queries instead of accumulating them across
+        # the whole run (block-manager pressure skews later timings)
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
