@@ -311,6 +311,48 @@ def _q_dedup_components(spark, sf_dir):
     return D.connected_components(docs.select("doc_id"), edges)
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Binned range join: every event inside a same-user 2-hour window
+    anchored at each purchase event.  The bin equi-join restores hash-join
+    execution (a naive interval join would be a nested-loop); the exact
+    containment predicate re-verifies, so results equal the oracle's
+    naive inequality join."""
+    from inception_spark.operators.range_join import binned_range_join
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    joined = binned_range_join(
+        ev,
+        anchors,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bin_width_sec=3600,
+        extra_keys=("user_id", "a_user"),
+    )
+    return joined.select(
+        "event_id",
+        "anchor_id",
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, start_ts, ts) div 1000000")
+        .cast("long")
+        .alias("seconds_after"),
+    )
+
+
 def _q_approx_ndv(spark, sf_dir):
     """Deterministic HyperLogLog NDV of events.user_id, next to the exact
     answer — the 100 TB cardinality question without a distinct shuffle.
@@ -497,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "approx_ndv": _q_approx_ndv,
         "pack_sequences": _q_pack_sequences,
+        "events_range_join": _q_events_range_join,
         "nation_segments": _q_nation_segments,
         "clean_text": _q_clean_text,
         "validate_text": _q_validate_text,
@@ -1195,6 +1238,18 @@ FROM ({hll_ndv_sql("events", "user_id")}) est, ex
         "pack_sequences": pack_sequences_sql(
             "documents", TA.token_count_sql("text"), budget=2048
         ),
+        "events_range_join": """
+WITH iv AS (
+  SELECT event_id AS anchor_id, user_id AS a_user, ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase')
+SELECT e.event_id, iv.anchor_id, e.user_id,
+       date_diff('microsecond', iv.start_ts, e.ts) // 1000000
+         AS seconds_after
+FROM events e
+JOIN iv ON e.user_id = iv.a_user
+       AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+""",
         # --- streaming (batch twins of the streaming executions) ---
         "streaming_events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
