@@ -423,6 +423,50 @@ def _q_streaming_events_hourly(spark, sf_dir):
     )
 
 
+def _q_streaming_sessionization(spark, sf_dir):
+    """Native session windows (F.session_window, gap 30 min) executed
+    through Structured Streaming with watermarked state; sentinel closes
+    every real session.  Oracle: gaps-and-islands CTE with the SAME merge
+    rule — session_window merges events strictly WITHIN the gap, so a
+    new island starts at diff >= gap (not > gap)."""
+    import datetime
+
+    from inception_spark.streaming.pipeline import (
+        run_stream_to_parquet,
+        session_event_counts,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    mx = ev.agg(F.max("ts")).head()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(days=30), -1, "__sentinel__", 0.0, "{}")],
+        ev.schema,
+    )
+    out = run_stream_to_parquet(
+        spark,
+        ev.unionByName(sentinel),
+        lambda s: session_event_counts(s, gap="30 minutes", watermark="2 hours"),
+    )
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_value",
+    )
+
+
 def _q_streaming_exact_dedup(spark, sf_dir):
     """Streaming dedup state (dropDuplicatesWithinWatermark) driven end to
     end; output reduced to the deterministic column (first-seen row choice
@@ -569,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (executed through Structured Streaming, materialized
         # via foreachBatch parquet, then oracle-checked like any batch op)
         "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_sessionization": _q_streaming_sessionization,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         # embedding pipeline (non-SQL-expressible: chunker/encoder are UDFs)
         "chunk_documents": _q_chunk_documents,
@@ -1259,6 +1304,26 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2, 3
+""",
+        "streaming_sessionization": """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS seq
+  FROM g)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, seq
 """,
         "streaming_exact_dedup": f"""
 SELECT DISTINCT {TA.fingerprint_sql('text')} AS fingerprint FROM documents

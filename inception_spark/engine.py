@@ -226,7 +226,18 @@ class EmbeddingEngine:
     ) -> tuple[DataFrame, DataFrame]:
         """→ (valid, quarantined).  ``mode="strict"`` raises the reference's
         per-document error on the first invalid row
-        (routes/embedding.py:113-115 + utils.py:95-116)."""
+        (routes/embedding.py:113-115 + utils.py:95-116) and enforces the
+        V2 batch-size cap with the reference's message
+        (routes/embedding.py:103-110) — in quarantine mode the cap is
+        advisory, because bounded request batches are an HTTP concern
+        Spark scales past."""
+        if mode == "strict":
+            n = df.limit(self.config.max_batch_size + 1).count()
+            if n > self.config.max_batch_size:
+                raise ValueError(
+                    f"Batch size exceeds maximum of "
+                    f"{self.config.max_batch_size} documents"
+                )
         err = self._validation_error(F.col("text"))
         tagged = df.withColumn("_error", err)
         bad = tagged.filter(F.col("_error").isNotNull())

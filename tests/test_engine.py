@@ -230,3 +230,21 @@ def test_engine_endpoints_count_requests(spark):
     assert m.request_count.get("batch") == 1
     assert m.request_count.get("query") == 1
     assert len(m.processing_seconds.get("query", [])) == 1
+
+
+def test_strict_mode_enforces_batch_size_cap(spark):
+    """V2: strict mode rejects oversized batches with the reference's
+    message; quarantine mode scales past the cap (advisory)."""
+    import pytest
+
+    from inception_spark.config import EngineConfig
+    from inception_spark.engine import EmbeddingEngine
+
+    eng = EmbeddingEngine(spark, EngineConfig(max_batch_size=3))
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(5)], "id long, text string"
+    )
+    with pytest.raises(ValueError, match="Batch size exceeds maximum of 3"):
+        eng.validate_documents(df, mode="strict")
+    good, bad = eng.validate_documents(df, mode="quarantine")
+    assert good.count() == 5 and bad.count() == 0
