@@ -59,7 +59,11 @@ from inception_spark.functions import hashing as H
 from inception_spark.functions import text_analysis as TA
 from inception_spark.functions import vectors as V
 from inception_spark.functions.cleaning import clean_text_expr, clean_text_sql
-from inception_spark.functions.sketches import hll_ndv_sql
+from inception_spark.functions.sketches import (
+    cms_estimate_topk,
+    cms_estimate_topk_sql,
+    hll_ndv_sql,
+)
 from inception_spark.operators import dedup as D
 from inception_spark.operators import similarity as S
 from inception_spark.operators.packing import pack_sequences_sql
@@ -582,6 +586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "approx_ndv": _q_approx_ndv,
+        "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
+            R.load_events(spark, sf), "user_id", k=10
+        ),
         "pack_sequences": _q_pack_sequences,
         "events_range_join": _q_events_range_join,
         "nation_segments": _q_nation_segments,
@@ -1280,6 +1287,7 @@ SELECT estimate, n_registers, exact_ndv,
              / CAST(exact_ndv AS DOUBLE), 4) AS rel_err
 FROM ({hll_ndv_sql("events", "user_id")}) est, ex
 """,
+        "cms_heavy_hitters": cms_estimate_topk_sql("events", "user_id", k=10),
         "pack_sequences": pack_sequences_sql(
             "documents", TA.token_count_sql("text"), budget=2048
         ),

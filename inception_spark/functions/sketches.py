@@ -146,6 +146,130 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+# d independent md5-derived hash rows × w counters; est(v) = min_i
+# counter[i][h_i(v) mod w].  Never under-estimates; over-estimates by
+# ≤ εN with probability 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.  The sketch
+# build is one explode to d rows per value + one groupBy on (row,
+# bucket) — the shuffle carries ≤ d×w counter rows per partition, the
+# same bounded-state shape as the HLL registers.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(col: Column, row: int) -> Column:
+    # independent hash per row: salt the value with the row index
+    return h28(F.concat(F.lit(f"cms{row}\x1f"), col)) % F.lit(CMS_WIDTH)
+
+
+def cms_counters(df: DataFrame, col: str) -> DataFrame:
+    """Build the sketch: (row, bucket, n) counter table."""
+    src = df.select(F.col(col).cast("string").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    rows = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(F.col("_v"), i).alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate_topk(
+    df: DataFrame, col: str, *, k: int = 10
+) -> DataFrame:
+    """Heavy hitters with sketch-estimated counts next to exact ones:
+    (value, exact_n, cms_n) for the exact top-k values (deterministic
+    tie-break on the value).  cms_n ≥ exact_n always; equality when no
+    bucket collisions — both engines build the identical sketch, so the
+    estimates hash-match."""
+    from pyspark.sql import Window
+
+    src = df.select(F.col(col).cast("string").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    counters = cms_counters(df, col)
+    exact = src.groupBy("_v").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        exact.orderBy(F.desc("exact_n"), F.asc("_v")).limit(k)
+    )
+    probes = top.select(
+        "_v",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(F.col("_v"), i).alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("_v", "exact_n", "rb.row", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("_v", "exact_n")
+        .agg(F.min("n").alias("cms_n"))
+    )
+    w = Window.orderBy(F.desc("exact_n"), F.asc("_v"))
+    return est.select(
+        F.col("_v").alias("value"),
+        "exact_n",
+        "cms_n",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def cms_estimate_topk_sql(table: str, col: str, *, k: int = 10) -> str:
+    """DuckDB twin of :func:`cms_estimate_topk`."""
+    cv = f"CAST({col} AS VARCHAR)"
+
+    def bucket(expr: str, row: int) -> str:
+        salted = "'cms%d' || chr(31) || %s" % (row, expr)
+        return f"({h28_sql(salted)} % {CMS_WIDTH})"
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT _v, exact_n, {i} AS row, {bucket('_v', i)} AS bucket FROM top"
+        for i in range(CMS_DEPTH)
+    )
+    counter_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {bucket('_v', i)} AS bucket FROM src"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH src AS (
+  SELECT {cv} AS _v FROM {table} WHERE {col} IS NOT NULL),
+counters AS (
+  SELECT row, bucket, COUNT(*) AS n
+  FROM ({counter_rows}) GROUP BY row, bucket),
+exact AS (SELECT _v, COUNT(*) AS exact_n FROM src GROUP BY _v),
+top AS (
+  SELECT _v, exact_n FROM exact
+  QUALIFY row_number() OVER (ORDER BY exact_n DESC, _v) <= {k}),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p._v, p.exact_n, MIN(c.n) AS cms_n
+  FROM probes p JOIN counters c USING (row, bucket)
+  GROUP BY p._v, p.exact_n)
+SELECT _v AS value, exact_n, cms_n,
+       CAST(row_number() OVER (ORDER BY exact_n DESC, _v) AS BIGINT) AS rank
+FROM est
+"""
+
+
 def hll_ndv_py(values) -> float:
     """Reference Python implementation (tests): same registers/corrections."""
     from inception_spark.functions.hashing import h28_py

@@ -1,0 +1,99 @@
+"""Synthetic corpus generator as a Spark 4 Python DataSource.
+
+``spark.read.format("synthetic_docs")`` — the scale-testing source: N
+deterministic documents generated ACROSS P partitions with no input
+files, no driver-side materialization, and no shuffle.  Each partition
+generates its own id range, so a 1000-executor cluster synthesizes a
+trillion-token corpus in parallel; every document is a pure function of
+its id (md5-seeded), so runs are reproducible anywhere.
+
+This exercises Spark 4's Python DataSource extension surface (the
+``pyspark.sql.datasource`` API) — the modern way to add custom sources
+without JVM code.
+
+Options
+-------
+n_docs          total documents (default 1000)
+n_partitions    parallelism (default 8)
+words_per_doc   approximate document length (default 80)
+seed            corpus seed folded into every document hash (default 0)
+
+Usage::
+
+    from inception_spark.sources.synthetic import SyntheticDocsDataSource
+    spark.dataSource.register(SyntheticDocsDataSource)
+    docs = (spark.read.format("synthetic_docs")
+            .option("n_docs", 100_000).option("n_partitions", 64).load())
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: small word vocabulary — overlapping draws create realistic shingle
+#: collisions for the dedup operators
+_VOCAB = [
+    "court", "order", "filing", "motion", "appeal", "brief", "judge",
+    "ruling", "statute", "clause", "party", "claim", "record", "notice",
+    "hearing", "docket", "opinion", "review", "remand", "vacate",
+    "data", "table", "query", "join", "group", "index", "scan", "merge",
+    "batch", "stream", "window", "filter", "column", "row", "spark",
+]
+
+_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def _doc_for_id(doc_id: int, words_per_doc: int, seed: int) -> tuple:
+    """(id, text, lang) — a pure deterministic function of the id."""
+    h = hashlib.md5(f"synth:{seed}:{doc_id}".encode()).digest()
+    rng_state = int.from_bytes(h[:8], "big")
+    n_words = max(5, words_per_doc // 2 + rng_state % words_per_doc)
+    words = []
+    x = rng_state
+    for _ in range(n_words):
+        # xorshift64 — no numpy needed worker-side, fully deterministic
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        words.append(_VOCAB[x % len(_VOCAB)])
+    lang = _LANGS[h[8] % len(_LANGS)]
+    return doc_id, " ".join(words), lang
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_partitions = max(1, int(options.get("n_partitions", 8)))
+        self.words_per_doc = int(options.get("words_per_doc", 80))
+        self.seed = int(options.get("seed", 0))
+
+    def partitions(self):
+        per = -(-self.n_docs // self.n_partitions)  # ceil
+        return [
+            _RangePartition(i * per, min((i + 1) * per, self.n_docs))
+            for i in range(self.n_partitions)
+            if i * per < self.n_docs
+        ]
+
+    def read(self, partition: _RangePartition):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_for_id(doc_id, self.words_per_doc, self.seed)
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id long, text string, lang string"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)

@@ -52,3 +52,19 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "a", "x")], "doc_id long, lang string, text string")
     with pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_cms_never_underestimates(spark):
+    from inception_spark.functions.sketches import cms_estimate_topk
+
+    # zipf-ish: value v appears (200 - v) times for v in 0..99
+    rows = [(v,) for v in range(100) for _ in range(200 - v)]
+    df = spark.createDataFrame(rows, "v long")
+    out = cms_estimate_topk(df, "v", k=15).collect()
+    assert len(out) == 15
+    assert [r["rank"] for r in out] != []
+    for r in out:
+        assert r["cms_n"] >= r["exact_n"]          # CMS property
+        assert r["cms_n"] - r["exact_n"] <= 200    # and tight at this scale
+    top = min(out, key=lambda r: r["rank"])
+    assert top["value"] == "0" and top["exact_n"] == 200

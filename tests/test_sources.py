@@ -94,3 +94,38 @@ def test_orc_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").orc(path)
     got = sorted(map(tuple, read_documents_orc(spark, path).collect()))
     assert got == [(1, "first document"), (2, "second document")]
+
+
+def test_synthetic_docs_datasource(spark):
+    """Spark 4 Python DataSource: deterministic partition-parallel corpus
+    generation with no input files, composing with the dedup operators."""
+    from inception_spark.sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    reader = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("n_partitions", 7)
+    )
+    docs = reader.load()
+    assert docs.count() == 500
+    assert docs.rdd.getNumPartitions() == 7
+    assert docs.select("doc_id").distinct().count() == 500
+
+    # pure function of id ⇒ two independent reads are identical
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, reader.load().collect()))
+    assert a == b
+
+    # composes with the engine's operators
+    from inception_spark.operators.dedup import exact_dedup
+
+    assert exact_dedup(docs).count() == 500
+
+    # different seed ⇒ different corpus
+    c = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500).option("n_partitions", 7).option("seed", 9)
+        .load()
+    )
+    assert sorted(map(tuple, c.collect())) != a
