@@ -87,6 +87,44 @@ class SyntheticDocsReader(DataSourceReader):
             yield _doc_for_id(doc_id, self.words_per_doc, self.seed)
 
 
+class SyntheticDocsStreamReader:
+    """Micro-batch stream of the same deterministic corpus
+    (``spark.readStream.format("synthetic_docs")``): each batch advances
+    the id offset by ``docs_per_batch``; offsets are plain dicts, so
+    restarts resume exactly (the source is a pure function of the id
+    range).  Implements Spark 4's SimpleDataSourceStreamReader contract."""
+
+    def __init__(self, options: dict):
+        self.docs_per_batch = int(options.get("docs_per_batch", 100))
+        self.words_per_doc = int(options.get("words_per_doc", 80))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def latestOffset(self) -> dict:
+        # unbounded synthetic stream: one batch of docs is always ready
+        return {"next_id": None}  # unused; read() drives via start offset
+
+    def read(self, start: dict):
+        lo = int(start["next_id"])
+        hi = lo + self.docs_per_batch
+        rows = [
+            _doc_for_id(i, self.words_per_doc, self.seed)
+            for i in range(lo, hi)
+        ]
+        return iter(rows), {"next_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            _doc_for_id(i, self.words_per_doc, self.seed)
+            for i in range(int(start["next_id"]), int(end["next_id"]))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -97,3 +135,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)

@@ -68,3 +68,48 @@ def test_cms_never_underestimates(spark):
         assert r["cms_n"] - r["exact_n"] <= 200    # and tight at this scale
     top = min(out, key=lambda r: r["rank"])
     assert top["value"] == "0" and top["exact_n"] == 200
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000),
+             min_size=1, max_size=400)
+)
+def test_hll_python_reference_properties(values):
+    """HLL reference impl: deterministic, and within 5σ of the true NDV
+    (σ = 1.04/√m ≈ 6.5% for m=256) — the distributed version equals this
+    implementation exactly (separately pinned against Spark/DuckDB)."""
+    from inception_spark.functions.sketches import HLL_M, hll_ndv_py
+
+    est, est2 = hll_ndv_py(values), hll_ndv_py(list(values))
+    assert est == est2
+    truth = len(set(values))
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert abs(est - truth) <= max(3.0, 5 * sigma * truth)
+
+
+def test_pack_sequences_prefix_sum_invariants(spark):
+    """Offsets are exactly the prefix sums in id order within each
+    partition, seq_id is monotone, and every non-oversize doc's tokens
+    start strictly inside its sequence's budget window."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 512
+    out = pack_sequences(docs, budget=budget).collect()
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r["part"], []).append(r)
+    assert sum(len(v) for v in by_part.values()) == docs.count()
+    for part, rows in by_part.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        prev_seq = 0
+        for r in rows:
+            assert r["start_offset"] == run
+            assert r["seq_id"] == run // budget
+            assert r["seq_id"] >= prev_seq
+            assert r["oversize"] == (r["n_tokens"] > budget)
+            prev_seq = r["seq_id"]
+            run += r["n_tokens"]

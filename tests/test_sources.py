@@ -129,3 +129,41 @@ def test_synthetic_docs_datasource(spark):
         .load()
     )
     assert sorted(map(tuple, c.collect())) != a
+
+
+def test_synthetic_docs_stream(spark, tmp_path):
+    """The streaming face of the Python DataSource: micro-batches of the
+    same deterministic corpus, drained for a fixed number of batches."""
+    from inception_spark.sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("docs_per_batch", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        n = spark.sql("SELECT COUNT(*) FROM synth_stream").head()[0]
+        if n >= 150:
+            break
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.sql(
+        "SELECT doc_id, text FROM synth_stream ORDER BY doc_id LIMIT 150"
+    ).collect()
+    assert len(rows) == 150
+    # ids are the contiguous prefix and content matches the batch source
+    assert [r["doc_id"] for r in rows] == list(range(150))
+    from inception_spark.sources.synthetic import _doc_for_id
+
+    assert rows[7]["text"] == _doc_for_id(7, 80, 0)[1]
