@@ -490,6 +490,16 @@ def _q_streaming_exact_dedup(spark, sf_dir):
     return out.select("fingerprint")
 
 
+def _q_dedup_keep_heads(spark, sf_dir):
+    """The applied end of the near-dup pipeline: the corpus with only
+    each duplicate component's head retained (keep_component_heads over
+    connected_components over LSH edges)."""
+    docs = _docs(spark, sf_dir)
+    edges = D.lsh_candidate_pairs(docs, k=16, bands=4)
+    comps = D.connected_components(docs.select("doc_id"), edges)
+    return D.keep_component_heads(docs, comps).select("doc_id")
+
+
 def _q_chunk_documents(spark, sf_dir):
     _ensure_workers_can_import(spark)
     chunks = chunk_documents(
@@ -612,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dedup_components": _q_dedup_components,
+        "dedup_keep_heads": _q_dedup_keep_heads,
         "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
         # similarity search
         "cosine_topk": _q_cosine_topk,
@@ -1241,6 +1252,20 @@ reach AS (
   UNION
   SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u)
 SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
+""",
+        "dedup_keep_heads": _dedup_cte().replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + """,
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u),
+comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)
+SELECT doc_id FROM comp WHERE doc_id = component_id
 """,
         "corpus_ngram_topk": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),

@@ -44,7 +44,9 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_unigram_logprob",
     "approx_ndv",
+    "cms_heavy_hitters",
     "pack_sequences",
+    "events_range_join",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
