@@ -67,6 +67,14 @@ from inception_spark.functions.sketches import (
 from inception_spark.operators import dedup as D
 from inception_spark.operators import similarity as S
 from inception_spark.operators.packing import pack_sequences_sql
+from inception_spark.operators.sampling import (
+    build_vocab,
+    build_vocab_sql,
+    stable_sample,
+    stable_sample_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.plans import relational as R
 from inception_spark.tokenizer import TOKEN_PATTERN_SQL
@@ -601,6 +609,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pack_sequences": _q_pack_sequences,
         "events_range_join": _q_events_range_join,
+        "stable_sample": lambda spark, sf: stable_sample(
+            _docs(spark, sf), 0.25
+        ).select("doc_id"),
+        "stratified_sample": lambda spark, sf: stratified_sample(
+            _docs(spark, sf),
+            {"en": 0.9, "de": 0.5, "zh": 0.1},
+            default_rate=0.3,
+        ).select("doc_id", "lang"),
+        "build_vocab": lambda spark, sf: build_vocab(
+            _docs(spark, sf), min_count=3, max_size=500
+        ),
         "nation_segments": _q_nation_segments,
         "clean_text": _q_clean_text,
         "validate_text": _q_validate_text,
@@ -1315,6 +1334,18 @@ FROM ({hll_ndv_sql("events", "user_id")}) est, ex
         "cms_heavy_hitters": cms_estimate_topk_sql("events", "user_id", k=10),
         "pack_sequences": pack_sequences_sql(
             "documents", TA.token_count_sql("text"), budget=2048
+        ),
+        "stable_sample": f"""
+SELECT doc_id FROM documents WHERE {stable_sample_sql('doc_id', 0.25)}
+""",
+        "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {stratified_sample_sql('doc_id', 'lang',
+                             {'en': 0.9, 'de': 0.5, 'zh': 0.1},
+                             default_rate=0.3)}
+""",
+        "build_vocab": build_vocab_sql(
+            "documents", min_count=3, max_size=500
         ),
         "events_range_join": """
 WITH iv AS (

@@ -1,0 +1,157 @@
+"""Deterministic sampling & corpus-mixing primitives.
+
+``df.sample()`` is seed-dependent on partitioning (resampling on every
+plan change) — useless for reproducible pipeline development and
+impossible to oracle-check.  These operators sample by CONTENT HASH:
+a row is in the sample iff ``h28(key) < rate × 2^28``, which is
+
+* deterministic across engines, partitionings, and runs,
+* stable under corpus growth (a row's membership never changes when
+  other rows appear — the property that makes hash sampling the
+  standard for train/validation splits),
+* a pure Catalyst filter: predicate-pushdown-friendly, no shuffle.
+
+``stratified_sample`` extends it with a per-stratum rate map — the
+data-mixing knob of LLM corpus construction (e.g. upsample rare
+languages, downsample boilerplate-heavy sources).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inception_spark.functions.hashing import h28, h28_sql
+
+_H_MAX = 1 << 28
+
+
+def _sample_pred(key: Column, rate: float, salt: str) -> Column:
+    return h28(F.concat(F.lit(salt + "\x1f"), key.cast("string"))) < F.lit(
+        int(rate * _H_MAX)
+    )
+
+
+def stable_sample(
+    df: DataFrame, rate: float, *, key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ``rate``-fraction sample keyed on ``key_col``.
+    Different ``salt`` values give independent samples (e.g. train vs
+    validation splits that can never overlap for salt-disjoint rates)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_sample_pred(F.col(key_col), rate, salt))
+
+
+def stable_sample_sql(
+    expr: str, rate: float, *, salt: str = "sample"
+) -> str:
+    """DuckDB twin of the membership predicate."""
+    salted = f"'{salt}' || chr(31) || CAST({expr} AS VARCHAR)"
+    return f"({h28_sql(salted)} < {int(rate * _H_MAX)})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing operator.
+    ``rates`` maps stratum value → keep fraction; unlisted strata use
+    ``default_rate``.  One Catalyst CASE expression, no shuffle."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    rate_expr = None
+    for value, r in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        rate_expr = (
+            F.when(cond, F.lit(int(r * _H_MAX)))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(int(r * _H_MAX)))
+        )
+    rate_expr = (
+        rate_expr.otherwise(F.lit(int(default_rate * _H_MAX)))
+        if rate_expr is not None
+        else F.lit(int(default_rate * _H_MAX))
+    )
+    h = h28(
+        F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string"))
+    )
+    return df.filter(h < rate_expr)
+
+
+def stratified_sample_sql(
+    key_expr: str,
+    strata_expr: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`'s predicate."""
+    salted = f"'{salt}' || chr(31) || CAST({key_expr} AS VARCHAR)"
+    case = "CASE "
+    for value, r in sorted(rates.items()):
+        case += f"WHEN {strata_expr} = '{value}' THEN {int(r * _H_MAX)} "
+    case += f"ELSE {int(default_rate * _H_MAX)} END"
+    return f"({h28_sql(salted)} < {case})"
+
+
+def build_vocab(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Corpus word vocabulary: (term, term_id, n) with ids assigned by
+    descending frequency (alphabetical tie-break) — the tokenizer-vocab
+    construction step of an LLM data pipeline.  One explode + one hash
+    aggregate; the id-assignment window runs over the (small) vocab, not
+    the corpus."""
+    from pyspark.sql import Window
+
+    from inception_spark.functions.hashing import words
+
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    if max_size is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("term")).limit(max_size)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return counts.select(
+        "term",
+        (F.row_number().over(w) - 1).cast("long").alias("term_id"),
+        "n",
+    )
+
+
+def build_vocab_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_size: int | None = None,
+) -> str:
+    from inception_spark.functions.hashing import words_sql
+
+    limit = f"QUALIFY row_number() OVER (ORDER BY n DESC, term) <= {max_size}" \
+        if max_size is not None else ""
+    return f"""
+WITH ex AS (SELECT unnest({words_sql(text_col)}) AS term FROM {table}),
+c AS (SELECT term, COUNT(*) AS n FROM ex GROUP BY term HAVING COUNT(*) >= {min_count}),
+lim AS (SELECT * FROM c {limit})
+SELECT term,
+       CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS term_id,
+       n
+FROM lim
+"""

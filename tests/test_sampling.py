@@ -1,0 +1,69 @@
+"""Deterministic sampling & vocab operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.operators.sampling import (
+    build_vocab,
+    stable_sample,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stable_sample_deterministic_and_nested(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s25 = {r["doc_id"] for r in stable_sample(docs, 0.25).select("doc_id").collect()}
+    s25b = {r["doc_id"] for r in stable_sample(docs, 0.25).select("doc_id").collect()}
+    s50 = {r["doc_id"] for r in stable_sample(docs, 0.50).select("doc_id").collect()}
+    assert s25 == s25b                      # run-to-run deterministic
+    assert s25 <= s50                       # rates nest (same hash, bigger cut)
+    n = docs.count()
+    assert 0.1 * n < len(s25) < 0.4 * n     # roughly the asked fraction
+
+    # membership is stable under corpus growth: sampling half the corpus
+    # keeps exactly the intersection
+    half = docs.filter(F.col("doc_id") < 250)
+    sh = {r["doc_id"] for r in stable_sample(half, 0.25).select("doc_id").collect()}
+    assert sh == {d for d in s25 if d < 250}
+
+
+def test_stable_sample_salt_independence(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"] for r in stable_sample(docs, 0.5, salt="train").select("doc_id").collect()}
+    b = {r["doc_id"] for r in stable_sample(docs, 0.5, salt="valid").select("doc_id").collect()}
+    assert a != b                            # different salts → different cuts
+    with pytest.raises(ValueError):
+        stable_sample(docs, 1.5)
+
+
+def test_stratified_rates_respected(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, default_rate=0.5
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == totals["en"]     # rate 1.0 keeps everything
+    assert "de" not in by_lang               # rate 0.0 keeps nothing
+    for lang in totals:
+        if lang not in ("en", "de"):
+            assert 0 < by_lang.get(lang, 0) < totals[lang]
+
+
+def test_build_vocab_ids_by_rank(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    v = build_vocab(docs, min_count=2, max_size=50).collect()
+    assert 0 < len(v) <= 50  # the tiny-SF corpus vocab may be < max_size
+    assert [
+        r["term_id"] for r in sorted(v, key=lambda r: r["term_id"])
+    ] == list(range(len(v)))
+    ns = [r["n"] for r in sorted(v, key=lambda r: r["term_id"])]
+    assert ns == sorted(ns, reverse=True)    # ids follow frequency rank
