@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": R.events_json_stats,
         "event_type_share": R.event_type_share,
         "asof_event_order": _q_asof_event_order,
+        "event_funnel": R.event_funnel,
         "high_value_customers": R.high_value_customers,
         "order_price_histogram": R.order_price_histogram,
         "quantity_price_corr": R.quantity_price_corr,
@@ -1072,6 +1073,31 @@ SELECT l_returnflag, n,
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
   AS qty_discount_corr
 FROM m
+""",
+        "event_funnel": """
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT t1 IS NOT NULL AS s1,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1) AS s2,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+          AND t3 IS NOT NULL AND t3 > t2) AS s3
+  FROM pu),
+a AS (
+  SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM g)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step, n1 AS n_users FROM a
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'signup>click', n2 FROM a
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'signup>click>purchase', n3 FROM a)
 """,
         "asof_event_order": """
 WITH r AS (

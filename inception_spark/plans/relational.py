@@ -958,3 +958,50 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup → click → purchase): per-user
+    first-occurrence timestamps per step, chained by strict temporal
+    order; one row per funnel stage with the user count reaching it.
+
+    Shape: one conditional-min aggregation per user (single shuffle),
+    then stage gates as CASE chains — the product-analytics pattern that
+    usually gets pushed to a specialized engine, expressed as two hash
+    aggregates."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    )
+    # strict order: step N counts only if it happens after step N-1's
+    # first occurrence (first click after first signup, etc.)
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+    gated = per_user.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    agg = gated.agg(
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n3"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.lit("signup").alias("step"),
+                         F.col("n1").alias("n_users")),
+                F.struct(F.lit(2).alias("stage"), F.lit("signup>click").alias("step"),
+                         F.col("n2").alias("n_users")),
+                F.struct(F.lit(3).alias("stage"), F.lit("signup>click>purchase").alias("step"),
+                         F.col("n3").alias("n_users")),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.stage").cast("long").alias("stage"),
+        F.col("s.step").alias("step"),
+        F.col("s.n_users").alias("n_users"),
+    )
+    return stages
