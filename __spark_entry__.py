@@ -643,6 +643,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_components": _q_dedup_components,
         "dedup_keep_heads": _q_dedup_keep_heads,
+        "doc_shingle_novelty": lambda spark, sf: D.doc_shingle_novelty(
+            _docs(spark, sf)
+        ),
+        "benchmark_contamination": lambda spark, sf: (
+            D.benchmark_contamination(
+                _docs(spark, sf).filter(F.col("doc_id") >= 50),
+                _docs(spark, sf).filter(F.col("doc_id") < 50),
+            )
+        ),
         "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
         # similarity search
         "cosine_topk": _q_cosine_topk,
@@ -1311,6 +1320,33 @@ reach AS (
   SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u),
 comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)
 SELECT doc_id FROM comp WHERE doc_id = component_id
+""",
+        "doc_shingle_novelty": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_FROM_W}) AS s FROM wt),
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+pd AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN first USING (s) GROUP BY sh.doc_id)
+SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_shingles, 4) AS novelty
+FROM pd
+""",
+        "benchmark_contamination": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_FROM_W}) AS s FROM wt),
+train AS (SELECT * FROM sh WHERE doc_id >= 50),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM train WHERE s IN (SELECT s FROM bench) GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+SELECT sizes.doc_id, n_shingles,
+       CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_shingles, 4)
+         AS contamination
+FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
 """,
         "corpus_ngram_topk": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),

@@ -778,6 +778,87 @@ def keep_component_heads(
     return df.join(keep, id_col, "left_semi")
 
 
+def doc_shingle_novelty(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    shingles not seen in any LOWER-id document — the incremental-crawl
+    quality signal (a feed of rehashed boilerplate scores ~0, fresh
+    content ~1).  → (doc_id, n_shingles, n_novel, novelty).
+
+    Shape: one shingle explode + a first-owner aggregate per shingle
+    (min doc_id), joined back — two hash aggregates, no window over the
+    corpus."""
+    ex = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+        ).alias("novelty"),
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination screen: per training document, the fraction of
+    its distinct shingles that also appear in ANY benchmark document —
+    the standard n-gram-overlap check run before an eval release.
+    → (doc_id, n_shingles, n_contaminated, contamination).
+
+    The benchmark shingle set is distinct (usually small → broadcast
+    semi-join); training shingles stream past it once."""
+    train = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    bench = (
+        exploded_shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("s")
+        .distinct()
+    )
+    hits = train.join(F.broadcast(bench), "s", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    sizes = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                4,
+            ).alias("contamination"),
+        )
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     *,

@@ -218,3 +218,35 @@ def test_winnowing_overlap_pairs_finds_shared_run(spark):
              for r in winnowing_overlap_pairs(df, min_shared=2).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p for p in pairs)
+
+
+def test_shingle_novelty_ordering_semantics(spark):
+    from inception_spark.operators.dedup import doc_shingle_novelty
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [(1, base), (2, base), (3, "totally different words forming "
+            "their own unique shingle population here today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_shingle_novelty(df).collect()}
+    assert out[1]["novelty"] == 1.0        # first owner of its shingles
+    assert out[2]["novelty"] == 0.0        # exact rehash of doc 1
+    assert out[3]["novelty"] == 1.0        # disjoint content
+
+
+def test_benchmark_contamination_detects_overlap(spark):
+    from inception_spark.operators.dedup import benchmark_contamination
+
+    bench_text = "the quick brown fox jumps over the lazy dog again"
+    rows_b = [(1, bench_text)]
+    rows_t = [
+        (10, bench_text),                                  # fully leaked
+        (11, "half leak: the quick brown fox jumps plus novel "
+             "training words appended here"),
+        (12, "completely clean training document with fresh content"),
+    ]
+    bench = spark.createDataFrame(rows_b, "doc_id long, text string")
+    train = spark.createDataFrame(rows_t, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in benchmark_contamination(train, bench).collect()}
+    assert out[10]["contamination"] == 1.0
+    assert 0.0 < out[11]["contamination"] < 1.0
+    assert out[12]["contamination"] == 0.0
