@@ -16,4 +16,4 @@ __all__ = [
     "build_session",
     "register_sql_functions",
 ]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
