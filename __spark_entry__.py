@@ -604,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": lambda spark, sf: TA.doc_unigram_logprob(
             _docs(spark, sf)
         ),
+        "doc_word_entropy": lambda spark, sf: TA.doc_word_entropy(
+            _docs(spark, sf)
+        ),
+        "events_rolling_avg": R.events_rolling_avg,
         "approx_ndv": _q_approx_ndv,
         "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
             R.load_events(spark, sf), "user_id", k=10
@@ -1386,6 +1390,16 @@ SELECT q_id, n_id, score,
 FROM p QUALIFY rank <= 5
 """,
         "doc_unigram_logprob": TA.doc_unigram_logprob_sql("documents"),
+        "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
+        "events_rolling_avg": """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS rolling_avg_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
         "approx_ndv": f"""
 WITH ex AS (SELECT COUNT(DISTINCT user_id) AS exact_ndv FROM events)
 SELECT estimate, n_registers, exact_ndv,

@@ -221,11 +221,15 @@ def doc_unigram_logprob(df, *, id_col="doc_id", text_col="text"):
             .alias("lp"),
         )
     )
+    # no final round: the decimal sum and the count are engine-identical,
+    # so the IEEE quotient already matches bit-for-bit — while rounding
+    # a quotient of an exact decimal can land on the half-boundary where
+    # Spark's and DuckDB's round() disagree (see doc_word_entropy)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.round(
-            F.sum("lp").cast("double") / F.count(F.lit(1)), 4
-        ).alias("mean_logprob"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
+            "mean_logprob"
+        ),
     )
 
 
@@ -242,8 +246,70 @@ scored AS (
               AS DECIMAL(28,6)) AS lp
   FROM ex JOIN freq USING (w), tot)
 SELECT doc_id, COUNT(*) AS n_words,
-       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_logprob
 FROM scored GROUP BY doc_id
+"""
+
+
+def doc_word_entropy(df, *, id_col="doc_id", text_col="text"):
+    """Per-document word-distribution entropy (nats):
+    (doc_id, n_words, n_distinct, entropy).  Low entropy flags
+    repetitive/boilerplate text, abnormally high entropy flags gibberish
+    — both standard corpus-quality gates.
+
+    Same determinism discipline as :func:`doc_unigram_logprob`: each
+    term's −p·ln(p) is rounded to 6 dp and summed as DECIMAL(28,6)
+    (order-independent); the entropy is that exact 6-dp sum cast to
+    double, NOT re-rounded — re-rounding an exactly-representable
+    decimal hits the x.xxxx50 half-boundary on ~1% of documents, where
+    Spark's round (BigDecimal.valueOf → shortest-string HALF_UP) and
+    DuckDB's (binary-double) disagree.  Plan: one explode + two hash
+    aggregates."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    wc = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+    terms = wc.join(totals, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            -(F.col("c").cast("double") / F.col("n_words"))
+            * F.log(F.col("c").cast("double") / F.col("n_words")),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("h_term"),
+    )
+    return terms.groupBy("doc_id", "n_words").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("h_term").cast("double").alias("entropy"),
+    ).select("doc_id", "n_words", "n_distinct", "entropy")
+
+
+def doc_word_entropy_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`doc_word_entropy`."""
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS w FROM {table}),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM ex GROUP BY doc_id, w),
+tot AS (SELECT doc_id, COUNT(*) AS n_words FROM ex GROUP BY doc_id),
+terms AS (
+  SELECT wc.doc_id, tot.n_words,
+         CAST(round(-(CAST(c AS DOUBLE) / n_words)
+                    * ln(CAST(c AS DOUBLE) / n_words), 6)
+              AS DECIMAL(28,6)) AS h_term
+  FROM wc JOIN tot ON wc.doc_id = tot.doc_id)
+SELECT doc_id, n_words, COUNT(*) AS n_distinct,
+       CAST(SUM(h_term) AS DOUBLE) AS entropy
+FROM terms GROUP BY doc_id, n_words
 """
 
 

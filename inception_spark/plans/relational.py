@@ -1005,3 +1005,26 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_users").alias("n_users"),
     )
     return stages
+
+
+def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 5-event mean of the value column — the row-frame
+    window shape (time-series smoothing).  Exact decimal sum over the
+    frame divided by the frame's row count, so partial-frame rows at the
+    start of each user's history are exact too."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("rolling_avg_5"),
+    )
