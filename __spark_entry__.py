@@ -590,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_share": R.event_type_share,
         "asof_event_order": _q_asof_event_order,
         "event_funnel": R.event_funnel,
+        "events_cohort_retention": R.events_cohort_retention,
         "high_value_customers": R.high_value_customers,
         "order_price_histogram": R.order_price_histogram,
         "quantity_price_corr": R.quantity_price_corr,
@@ -1086,6 +1087,19 @@ SELECT l_returnflag, n,
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
   AS qty_discount_corr
 FROM m
+""",
+        "events_cohort_retention": """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_ts
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id,
+         strftime(f.cohort_ts, '%Y-%m-%d') AS cohort_day,
+         date_diff('day', f.cohort_ts, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM act GROUP BY 1, 2
 """,
         "event_funnel": """
 WITH pu AS (

@@ -1028,3 +1028,27 @@ def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rolling_avg_5"),
     )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort), counted by how many distinct days-since-cohort they were
+    active — (cohort_day, day_offset, n_users).  Two hash aggregates +
+    one broadcast-able join (per-user firsts are |users| rows)."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_ts")
+    )
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_ts"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
