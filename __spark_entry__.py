@@ -608,6 +608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_entropy": lambda spark, sf: TA.doc_word_entropy(
             _docs(spark, sf)
         ),
+        "doc_repetition_stats": lambda spark, sf: TA.doc_repetition_stats(
+            _docs(spark, sf)
+        ),
         "events_rolling_avg": R.events_rolling_avg,
         "approx_ndv": _q_approx_ndv,
         "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
@@ -658,6 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
+        "frequent_ngram_scrub": lambda spark, sf: D.frequent_ngram_scrub(
+            _docs(spark, sf)
+        ),
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1405,6 +1411,35 @@ FROM p QUALIFY rank <= 5
 """,
         "doc_unigram_logprob": TA.doc_unigram_logprob_sql("documents"),
         "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
+        "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),
+        "frequent_ngram_scrub": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+ex AS (SELECT doc_id, unnest(ws) AS w,
+              generate_subscripts(ws, 1) - 1 AS pos FROM wt),
+g AS (SELECT doc_id, pos,
+        w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+          || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS s,
+        lead(w, 4) OVER win AS lastw
+      FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+gg AS (SELECT doc_id, pos, s FROM g WHERE lastw IS NOT NULL),
+freq AS (SELECT s FROM (
+  SELECT s, COUNT(DISTINCT doc_id) AS nd FROM gg GROUP BY s) WHERE nd >= 3),
+hits AS (SELECT doc_id, pos FROM gg JOIN freq USING (s)),
+cov AS (SELECT DISTINCT doc_id, pos + k AS pos
+        FROM hits, (SELECT unnest(range(0, 5)) AS k) t),
+kept AS (SELECT e.doc_id, e.pos, e.w
+         FROM ex e LEFT JOIN cov c
+           ON e.doc_id = c.doc_id AND e.pos = c.pos
+         WHERE c.doc_id IS NULL),
+ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+              string_agg(w, ' ' ORDER BY pos) AS clean_text
+       FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_words FROM ex GROUP BY doc_id)
+SELECT t.doc_id, t.n_words,
+       t.n_words - COALESCE(ka.n_kept, 0) AS n_removed,
+       COALESCE(ka.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id
+""",
         "events_rolling_avg": """
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,

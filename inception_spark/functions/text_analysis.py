@@ -313,6 +313,152 @@ FROM terms GROUP BY doc_id, n_words
 """
 
 
+def doc_repetition_stats(df, *, id_col="doc_id", text_col="text"):
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1):
+    per-document fraction of word-character mass captured by the most
+    common word / 2-gram / 3-gram, and by *duplicated* 5-grams —
+    (doc_id, n_words, top_word_frac, top_2gram_frac, top_3gram_frac,
+    dup_5gram_frac).  High values flag boilerplate and degenerate
+    repetition; standard pretraining-corpus quality gates.
+
+    Character mass of an n-gram = occurrences × length (spaces included)
+    over the summed mass of all n-grams at that level; levels missing for
+    short documents (fewer than n words) yield NULL fractions.  "Most
+    common" ties break on the lexicographically smallest gram
+    (min over struct(-count, gram) — same rule as the oracle's
+    ``ORDER BY cnt DESC, gram``).
+
+    Plan: ONE posexplode of the word array + window leads builds all four
+    gram levels in a single pass (the same shape as
+    ``dedup.exploded_shingles`` — higher-order-function gram builders
+    re-evaluate the words subtree per element and measure ~5× slower);
+    then two hash aggregates, both keyed by doc_id-prefixed keys with
+    map-side partial aggregation.  No join — scale-safe at 100 TB.
+    Documents with zero words vanish (no gram rows); the harness corpus
+    has none."""
+    from pyspark.sql import Window
+
+    pw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    # windows can't appear inside a generator — materialize the leads
+    # first, then build the gram levels from plain columns
+    pw = pw.select(
+        "doc_id",
+        "w",
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, 5)],
+    )
+    lead = [F.col("w")] + [F.col(f"w{i}") for i in range(1, 5)]
+
+    def gram(n: int) -> Column:
+        # concat_ws skips NULLs, so gate on the LAST lead: within a doc the
+        # leads are contiguous — lead(n-1) non-null implies all earlier are.
+        return F.when(
+            lead[n - 1].isNotNull(), F.concat_ws(" ", *lead[:n])
+        ).otherwise(F.lit(None))
+
+    levels = pw.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("level"), gram(n).alias("gram")
+                    )
+                    for n in (1, 2, 3, 5)
+                ]
+            )
+        ).alias("lg"),
+    ).select(
+        "doc_id", F.col("lg.level").alias("level"), F.col("lg.gram").alias("gram")
+    ).filter(F.col("gram").isNotNull())
+
+    counts = levels.groupBy("doc_id", "level", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mass = F.col("cnt") * F.length("gram").cast("long")
+    per_level = counts.groupBy("doc_id", "level").agg(
+        F.sum("cnt").alias("n_occ"),
+        F.sum(mass).alias("total_mass"),
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("negc"),
+                F.col("gram").alias("g"),
+                mass.alias("m"),
+            )
+        ).getField("m").alias("top_mass"),
+        F.sum(F.when(F.col("cnt") > 1, mass)).alias("dup_mass"),
+    )
+
+    def at(level: int, col: str) -> Column:
+        return F.max(F.when(F.col("level") == level, F.col(col)))
+
+    def frac(num: Column, den: Column) -> Column:
+        # int/int ratio: binary-exact halves only — round(6) is
+        # engine-stable (see doc_word_entropy for the decimal caveat)
+        return F.round(num.cast("double") / den.cast("double"), 6)
+
+    return per_level.groupBy("doc_id").agg(
+        at(1, "n_occ").alias("n_words"),
+        frac(at(1, "top_mass"), at(1, "total_mass")).alias("top_word_frac"),
+        frac(at(2, "top_mass"), at(2, "total_mass")).alias("top_2gram_frac"),
+        frac(at(3, "top_mass"), at(3, "total_mass")).alias("top_3gram_frac"),
+        frac(
+            F.coalesce(at(5, "dup_mass"), F.lit(0)), at(5, "total_mass")
+        ).alias("dup_5gram_frac"),
+    )
+
+
+def doc_repetition_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`doc_repetition_stats`."""
+    leads = ["w"] + [f"lead(w, {i}) OVER win" for i in range(1, 5)]
+
+    def gram(n: int) -> str:
+        cat = " || ' ' || ".join(leads[:n])
+        return (
+            f"CASE WHEN {leads[n - 1]} IS NOT NULL THEN {cat} END"
+        )
+
+    return f"""
+WITH wt AS (SELECT doc_id, {words_sql('text')} AS ws FROM {table}),
+ex AS (SELECT doc_id, unnest(ws) AS w,
+              generate_subscripts(ws, 1) AS pos FROM wt),
+g AS (SELECT doc_id, {gram(1)} AS g1, {gram(2)} AS g2,
+             {gram(3)} AS g3, {gram(5)} AS g5
+      FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+lv AS (
+  SELECT doc_id, 1 AS level, g1 AS gram FROM g WHERE g1 IS NOT NULL
+  UNION ALL SELECT doc_id, 2, g2 FROM g WHERE g2 IS NOT NULL
+  UNION ALL SELECT doc_id, 3, g3 FROM g WHERE g3 IS NOT NULL
+  UNION ALL SELECT doc_id, 5, g5 FROM g WHERE g5 IS NOT NULL),
+c AS (SELECT doc_id, level, gram, COUNT(*) AS cnt
+      FROM lv GROUP BY 1, 2, 3),
+r AS (SELECT doc_id, level, cnt, cnt * length(gram) AS m,
+             row_number() OVER (PARTITION BY doc_id, level
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM c),
+pl AS (SELECT doc_id, level,
+              CAST(SUM(cnt) AS BIGINT) AS n_occ,
+              CAST(SUM(m) AS BIGINT) AS total_mass,
+              MAX(CASE WHEN rn = 1 THEN m END) AS top_mass,
+              SUM(CASE WHEN cnt > 1 THEN m END) AS dup_mass
+       FROM r GROUP BY 1, 2)
+SELECT doc_id,
+  MAX(CASE WHEN level = 1 THEN n_occ END) AS n_words,
+  round(CAST(MAX(CASE WHEN level = 1 THEN top_mass END) AS DOUBLE)
+        / MAX(CASE WHEN level = 1 THEN total_mass END), 6) AS top_word_frac,
+  round(CAST(MAX(CASE WHEN level = 2 THEN top_mass END) AS DOUBLE)
+        / MAX(CASE WHEN level = 2 THEN total_mass END), 6) AS top_2gram_frac,
+  round(CAST(MAX(CASE WHEN level = 3 THEN top_mass END) AS DOUBLE)
+        / MAX(CASE WHEN level = 3 THEN total_mass END), 6) AS top_3gram_frac,
+  round(CAST(COALESCE(MAX(CASE WHEN level = 5 THEN dup_mass END), 0) AS DOUBLE)
+        / MAX(CASE WHEN level = 5 THEN total_mass END), 6) AS dup_5gram_frac
+FROM pl GROUP BY doc_id
+"""
+
+
 def tfidf_top_terms(df, *, id_col="doc_id", text_col="text", top_n=3):
     """Top-n characteristic terms per document by TF-IDF:
     (doc_id, term, tf, df_docs, tfidf, term_rank).

@@ -892,3 +892,84 @@ def corpus_filter(
         .otherwise(F.lit(None).cast("string"))
     )
     return scored.select("doc_id", "quality", "n_words", reason.alias("reason"))
+
+
+def frequent_ngram_scrub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level exact-substring scrub (the span-removal step of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, at word-n-gram granularity): drop every word position
+    covered by an n-gram that occurs in ≥ ``min_docs`` distinct
+    documents, and rebuild the text from the surviving words —
+    (doc_id, n_words, n_removed, clean_text).  Removes cross-document
+    boilerplate (headers, license blurbs, navigation chrome) while
+    keeping each document's unique content.
+
+    Scale shape: one posexplode of the word array; the frequent-gram set
+    is built from the DISTINCT (gram, doc) pairs with two-stage partial
+    aggregation, and is SMALL by construction (thresholded) — AQE
+    broadcasts the gram join.  Coverage expansion is a bounded explode
+    (n rows per hit), and every other step is a doc_id-keyed hash
+    aggregate or anti join — no all-pairs anything, survives 100 TB.
+    Fully scrubbed documents keep their row with clean_text = ''."""
+    from pyspark.sql import Window
+
+    pw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(H.words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    grams = (
+        pw.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "s")
+    )
+    frequent = (
+        grams.select("s", "doc_id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("s")
+    )
+    covered = (
+        grams.join(frequent, "s", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pw.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.struct("pos", "w"))
+            ).getField("w"),
+        ).alias("clean_text"),
+    )
+    totals = pw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

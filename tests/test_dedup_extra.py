@@ -250,3 +250,70 @@ def test_benchmark_contamination_detects_overlap(spark):
     assert out[10]["contamination"] == 1.0
     assert 0.0 < out[11]["contamination"] < 1.0
     assert out[12]["contamination"] == 0.0
+
+
+def test_frequent_ngram_scrub_removes_shared_boilerplate(spark):
+    from inception_spark.operators.dedup import frequent_ngram_scrub
+
+    boiler = "all rights reserved contact us today"  # 6 words → two 5-grams
+    rows = [
+        (1, "unique opening words here " + boiler),
+        (2, boiler + " some distinct tail content"),
+        (3, "entirely original text with " + boiler),
+        (4, "nothing shared in this one at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in frequent_ngram_scrub(df, n=5, min_docs=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # the 6 boilerplate words vanish from every carrier, order preserved
+    assert out[1]["clean_text"] == "unique opening words here"
+    assert out[2]["clean_text"] == "some distinct tail content"
+    assert out[3]["clean_text"] == "entirely original text with"
+    assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+    # the non-carrier is untouched
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "nothing shared in this one at all"
+
+
+def test_frequent_ngram_scrub_fully_scrubbed_doc_keeps_row(spark):
+    from inception_spark.operators.dedup import frequent_ngram_scrub
+
+    same = "one two three four five"
+    df = spark.createDataFrame(
+        [(i, same) for i in range(3)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in frequent_ngram_scrub(df).collect()}
+    assert all(r["clean_text"] == "" and r["n_removed"] == 5
+               for r in out.values())
+
+
+def test_doc_repetition_stats_hand_computed(spark):
+    from inception_spark.functions.text_analysis import doc_repetition_stats
+
+    # "a a a b": words a×3 b×1 → top word mass 3/4; 2-grams "a a"×2,
+    # "a b"×1 → top 2-gram mass 2*3/(3*3)=6/9; 3 words of 3-grams:
+    # "a a a", "a a b" each once → top 1/2; no 5-grams → NULL dup frac
+    df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    r = doc_repetition_stats(df).collect()[0]
+    assert r["n_words"] == 4
+    assert r["top_word_frac"] == 0.75
+    assert r["top_2gram_frac"] == round(6 / 9, 6)
+    assert r["top_3gram_frac"] == 0.5
+    assert r["dup_5gram_frac"] is None
+
+
+def test_doc_repetition_stats_dup_5gram(spark):
+    from inception_spark.functions.text_analysis import doc_repetition_stats
+
+    # ten words = the same 5 repeated twice → every 5-gram window that
+    # repeats contributes; "v w x y z" occurs at pos 0 and 5 (cnt 2)
+    df = spark.createDataFrame(
+        [(1, "v w x y z v w x y z")], "doc_id long, text string"
+    )
+    r = doc_repetition_stats(df).collect()[0]
+    # 6 windows: "v w x y z"×2 plus 4 distinct rotations → dup mass
+    # = 2*9, total = 6*9
+    assert r["dup_5gram_frac"] == round(2 / 6, 6)
