@@ -70,6 +70,8 @@ from inception_spark.operators.packing import pack_sequences_sql
 from inception_spark.operators.sampling import (
     build_vocab,
     build_vocab_sql,
+    cap_per_group,
+    cap_per_group_sql,
     stable_sample,
     stable_sample_sql,
     stratified_sample,
@@ -629,6 +631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": lambda spark, sf: build_vocab(
             _docs(spark, sf), min_count=3, max_size=500
         ),
+        "cap_per_group": lambda spark, sf: cap_per_group(
+            _docs(spark, sf), cap=15
+        ).select("doc_id", "source"),
         "nation_segments": _q_nation_segments,
         "clean_text": _q_clean_text,
         "validate_text": _q_validate_text,
@@ -1472,6 +1477,10 @@ WHERE {stratified_sample_sql('doc_id', 'lang',
         "build_vocab": build_vocab_sql(
             "documents", min_count=3, max_size=500
         ),
+        "cap_per_group": f"""
+WITH capped AS ({cap_per_group_sql('documents', cap=15)})
+SELECT doc_id, source FROM capped
+""",
         "events_range_join": """
 WITH iv AS (
   SELECT event_id AS anchor_id, user_id AS a_user, ts AS start_ts,

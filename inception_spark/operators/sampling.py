@@ -155,3 +155,55 @@ SELECT term,
        n
 FROM lim
 """
+
+
+def cap_per_group(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    cap: int = 100,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group document cap — the "max N documents per
+    domain/source" curation rule every web-scale corpus applies so a
+    single crawler-friendly site can't dominate the mixture.  Keeps the
+    ``cap`` rows with the SMALLEST salted content hash per group (ties
+    broken on the key), so the kept set is reproducible across runs and
+    engines and approximately uniform within each group.
+
+    One window shuffle keyed on the group column.  Skew note: a hot
+    group (one domain = half the crawl) concentrates on one task; at
+    100 TB pre-aggregate with a two-phase cap — a per-partition local
+    row_number prune to ``cap`` rows first (cheap, no shuffle) bounds
+    what the global window sees, since a row outside any partition-local
+    top-``cap`` can never be in the global top-``cap``."""
+    from pyspark.sql import Window
+
+    h = h28(
+        F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def cap_per_group_sql(
+    table: str = "documents",
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    cap: int = 100,
+    salt: str = "cap",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` (same hash ranking)."""
+    salted = f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)"
+    return f"""
+SELECT * FROM {table}
+QUALIFY row_number() OVER (
+  PARTITION BY {group_col}
+  ORDER BY {h28_sql(salted)}, {key_col}) <= {cap}
+"""

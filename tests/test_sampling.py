@@ -67,3 +67,26 @@ def test_build_vocab_ids_by_rank(spark):
     ] == list(range(len(v)))
     ns = [r["n"] for r in sorted(v, key=lambda r: r["term_id"])]
     assert ns == sorted(ns, reverse=True)    # ids follow frequency rank
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from inception_spark.operators.sampling import cap_per_group
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = cap_per_group(df, cap=5)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts and all(n <= 5 for n in counts.values())
+    # groups smaller than the cap are untouched
+    orig = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s, n in orig.items():
+        assert counts[s] == min(n, 5)
+    # deterministic kept set across runs
+    a = sorted(r["doc_id"] for r in cap_per_group(df, cap=5).collect())
+    b = sorted(r["doc_id"] for r in cap_per_group(df, cap=5).collect())
+    assert a == b
