@@ -78,6 +78,7 @@ from inception_spark.operators.sampling import (
     stratified_sample_sql,
 )
 from inception_spark.operators.chunking import chunk_documents
+from inception_spark.functions.pii import pii_stats, pii_stats_sql
 from inception_spark.plans import relational as R
 from inception_spark.tokenizer import TOKEN_PATTERN_SQL
 
@@ -183,6 +184,48 @@ def _q_doc_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TA.quality_score(F.col("text")).alias("quality")
     )
+
+
+def _pii_aug_expr() -> F.Column:
+    """Deterministic synthetic PII derived from doc_id.
+
+    The fixture corpus is digit-free word salad, so a PII query over raw
+    ``text`` would hash over all-zeros.  Instead the entry augments each
+    document with id-derived PII spans (email + phone always; SSN / IPv4 /
+    card on id residues) — built identically in Spark and the DuckDB twin
+    so the detector/redactor logic is what the hash actually checks."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    pad4 = F.lpad((d % 10000).cast("string"), 4, "0")
+    return F.concat(
+        F.col("text"),
+        F.lit(" mail u"), ds, F.lit("@ex.org"),
+        F.lit(" call 415-555-"), pad4,
+        F.when((d % 3) == 0, F.concat(F.lit(" ssn 219-09-"), pad4))
+         .otherwise(F.lit("")),
+        F.when((d % 5) == 0,
+               F.concat(F.lit(" host 10.0."), (d % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when((d % 7) == 0, F.lit(" card 4111-1111-1111-1111"))
+         .otherwise(F.lit("")),
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'"
+    " || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 219-09-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111'"
+    " ELSE '' END"
+)
+
+
+def _q_doc_pii_scrub(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", _pii_aug_expr().alias("text"))
+    return pii_stats(docs)
 
 
 def _q_clean_text(spark, sf_dir):
@@ -613,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": lambda spark, sf: TA.doc_repetition_stats(
             _docs(spark, sf)
         ),
+        "doc_pii_scrub": _q_doc_pii_scrub,
         "events_rolling_avg": R.events_rolling_avg,
         "approx_ndv": _q_approx_ndv,
         "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
@@ -1415,6 +1459,10 @@ SELECT q_id, n_id, score,
 FROM p QUALIFY rank <= 5
 """,
         "doc_unigram_logprob": TA.doc_unigram_logprob_sql("documents"),
+        "doc_pii_scrub": (
+            f"WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text"
+            " FROM documents)\n" + pii_stats_sql("aug")
+        ),
         "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
         "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),
         "frequent_ngram_scrub": f"""
