@@ -710,6 +710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
+        # fixture corpus has no newlines: the articles stand in for
+        # paragraph boundaries so the dedup logic is actually exercised
+        "paragraph_dedup": lambda spark, sf: D.paragraph_dedup(
+            _docs(spark, sf), boundary=" the ", sep="\n"
+        ),
         "frequent_ngram_scrub": lambda spark, sf: D.frequent_ngram_scrub(
             _docs(spark, sf)
         ),
@@ -1465,6 +1470,9 @@ FROM p QUALIFY rank <= 5
         ),
         "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
         "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),
+        "paragraph_dedup": D.paragraph_dedup_sql(
+            "documents", boundary=" the ", sep="\n"
+        ),
         "frequent_ngram_scrub": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 ex AS (SELECT doc_id, unnest(ws) AS w,

@@ -973,3 +973,110 @@ def frequent_ngram_scrub(
         .alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level corpus dedup
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary: str = r"\n\n+",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup with document reassembly (the
+    paragraph-granularity variant of Lee et al. 2022): split every
+    document on ``boundary``, keep only the globally-FIRST occurrence of
+    each distinct paragraph (ordered by (doc_id, position) — also
+    collapses repeats within one document), and rebuild each document
+    from its surviving paragraphs joined by ``sep``.
+
+    Output: (doc_id, n_segments, n_kept, deduped_text); documents whose
+    every paragraph appeared earlier elsewhere come back with
+    deduped_text = ''.
+
+    Scale shape: paragraphs shuffle on their 128-bit md5 digest, never on
+    the raw bytes (a paragraph can be 100 KB; the digest is 32 chars).
+    The first-owner is found with groupBy(digest).min(struct(doc, pos)) —
+    map-side partial aggregation absorbs hot boilerplate paragraphs,
+    unlike a row_number window which would sort every occurrence of a hot
+    digest inside one task.  The flag-back join is digest-keyed (AQE
+    splits residual skew); reassembly is one doc_id-keyed aggregate.
+    Two shuffled aggregates + one join total — no all-pairs anything."""
+    segs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), boundary)).alias(
+                "seg_idx", "seg"
+            ),
+        )
+        .filter(F.trim(F.col("seg")) != "")
+        .withColumn("digest", F.md5(F.col("seg")))
+    )
+    owners = segs.groupBy("digest").agg(
+        F.min(
+            F.struct(
+                F.col("doc_id").alias("o_id"), F.col("seg_idx").alias("o_idx")
+            )
+        ).alias("owner")
+    )
+    flagged = segs.join(owners, "digest").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("owner.o_id"))
+        & (F.col("seg_idx") == F.col("owner.o_idx")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(F.col("keep"), F.struct("seg_idx", "seg")))
+            ).getField("seg"),
+            sep,
+        ).alias("deduped_text"),
+    )
+
+
+def paragraph_dedup_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary: str = r"\n\n+",
+    sep: str = "\n\n",
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup`.  The oracle uses a
+    row_number window (simpler; the oracle doesn't need to scale) —
+    semantically identical to the Spark side's min-struct owner.
+    ``sep`` goes through chr() concatenation because DuckDB string
+    literals don't interpret backslash escapes."""
+    sep_sql = " || ".join(f"chr({ord(c)})" for c in sep) if sep else "''"
+    return f"""
+WITH parts_t AS (
+  SELECT {id_col} AS doc_id,
+         regexp_split_to_array({text_col}, '{boundary}') AS parts
+  FROM {table}),
+segs0 AS (
+  SELECT doc_id, unnest(parts) AS seg,
+         generate_subscripts(parts, 1) - 1 AS seg_idx
+  FROM parts_t),
+segs AS (
+  SELECT doc_id, seg_idx, seg
+  FROM segs0 WHERE trim(seg) <> ''),
+flagged AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, {sep_sql} ORDER BY seg_idx)
+                FILTER (WHERE rn = 1), '') AS deduped_text
+FROM flagged
+GROUP BY doc_id
+"""

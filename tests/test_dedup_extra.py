@@ -317,3 +317,55 @@ def test_doc_repetition_stats_dup_5gram(spark):
     # 6 windows: "v w x y z"×2 plus 4 distinct rotations → dup mass
     # = 2*9, total = 6*9
     assert r["dup_5gram_frac"] == round(2 / 6, 6)
+
+
+def test_paragraph_dedup_first_owner_and_reassembly(spark):
+    from inception_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+        (2, "shared boilerplate\n\ndelta"),          # para 0 owned by doc 1
+        (3, "shared boilerplate"),                    # fully scrubbed
+        (4, "echo\n\necho\n\nfoxtrot"),               # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["n_segments"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["deduped_text"] == "alpha beta\n\nshared boilerplate\n\ngamma"
+    assert out[2]["n_kept"] == 1
+    assert out[2]["deduped_text"] == "delta"
+    assert out[3]["n_kept"] == 0 and out[3]["deduped_text"] == ""
+    assert out[4]["n_kept"] == 2
+    assert out[4]["deduped_text"] == "echo\n\nfoxtrot"
+
+
+def test_paragraph_dedup_duckdb_parity(spark, tmp_path):
+    import duckdb
+
+    from inception_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_sql,
+    )
+
+    rows = [
+        (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+        (2, "shared boilerplate\n\ndelta"),
+        (3, "shared boilerplate"),
+        (4, "echo\n\n\n\necho\n\nfoxtrot\n\n"),      # blank paragraphs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    got_o = {
+        r[0]: r
+        for r in con.execute(paragraph_dedup_sql("documents")).fetchall()
+    }
+    got_s = {
+        r["doc_id"]: (r["doc_id"], r["n_segments"], r["n_kept"], r["deduped_text"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got_s == got_o
