@@ -228,6 +228,21 @@ def _q_doc_pii_scrub(spark, sf_dir):
     return pii_stats(docs)
 
 
+def _q_bloom_screen(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    probe = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return D.bloom_screen(corpus, probe, m=1024, k=4)
+
+
 def _q_clean_text(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", clean_text_expr(F.col("text")).alias("cleaned")
@@ -715,6 +730,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": lambda spark, sf: D.paragraph_dedup(
             _docs(spark, sf), boundary=" the ", sep="\n"
         ),
+        # incremental-ingest screen: corpus = doc_id<400, probe = the rest
+        # plus 50 replayed corpus docs (guaranteed true members); m=1024
+        # keeps the filter saturated enough that false positives appear
+        # and the FP column is exercised at fixture scale
+        "bloom_screen": _q_bloom_screen,
         "frequent_ngram_scrub": lambda spark, sf: D.frequent_ngram_scrub(
             _docs(spark, sf)
         ),
@@ -1472,6 +1492,14 @@ FROM p QUALIFY rank <= 5
         "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),
         "paragraph_dedup": D.paragraph_dedup_sql(
             "documents", boundary=" the ", sep="\n"
+        ),
+        "bloom_screen": D.bloom_screen_sql(
+            "SELECT text FROM documents WHERE doc_id < 400",
+            "SELECT doc_id, text FROM documents WHERE doc_id >= 400"
+            " UNION ALL SELECT doc_id + 1000 AS doc_id, text"
+            " FROM documents WHERE doc_id < 50",
+            m=1024,
+            k=4,
         ),
         "frequent_ngram_scrub": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

@@ -1080,3 +1080,121 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership screen (incremental dedup)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(fp_col, m: int, k: int):
+    """k bit positions for one fingerprint: h28(fp || '#i') mod m."""
+    return [
+        H.h28(F.concat(fp_col, F.lit(f"#{i}"))) % F.lit(m) for i in range(k)
+    ]
+
+
+def bloom_screen(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    m: int = 1 << 24,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probabilistic membership screen for INCREMENTAL dedup: does each
+    probe document *maybe* already exist in the corpus?
+
+    The classic streaming-ingest shape — screen a day's crawl against a
+    100 TB corpus without joining against it.  A deterministic Bloom
+    filter over the exact-dedup fingerprint: the corpus contributes k
+    hash positions per document (h28(fp||'#i') mod m); a probe is
+    ``maybe_dup`` iff all k of its positions are present.  No false
+    negatives by construction; false positives at rate ≈ fill_ratio^k.
+
+    Output: (doc_id, maybe_dup, is_dup_exact, false_positive) per probe
+    document, where is_dup_exact is ground truth (fingerprint equi-join)
+    so the screen's FP behavior is itself observable and oracle-checked.
+
+    Scale shape: the materialized filter is ≤ m DISTINCT positions —
+    independent of corpus size (262 K rows at the m=2^24 default after
+    saturation) — so the position join broadcasts; the probe side never
+    shuffles.  The ground-truth join is fingerprint-keyed on the (small)
+    probe increment, not corpus×corpus.  Deterministic md5 arithmetic
+    means the same filter can be rebuilt or persisted incrementally with
+    identical bits on any engine."""
+    from inception_spark.functions.text_analysis import fingerprint
+
+    c_fp = corpus.select(fingerprint(F.col(text_col)).alias("fp"))
+    p_fp = probe.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    c_pos = (
+        c_fp.select(
+            F.explode(F.array(*_bloom_positions(F.col("fp"), m, k))).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    p_pos = p_fp.select(
+        "doc_id",
+        F.explode(F.array(*_bloom_positions(F.col("fp"), m, k))).alias("pos"),
+    )
+    screened = (
+        p_pos.join(F.broadcast(c_pos), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1).alias("maybe_dup")
+        )
+    )
+    exact = (
+        p_fp.join(c_fp.distinct().withColumn("ex", F.lit(1)), "fp", "left")
+        .groupBy("doc_id")
+        .agg((F.max(F.coalesce(F.col("ex"), F.lit(0))) == 1).alias("is_dup_exact"))
+    )
+    return (
+        screened.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            "is_dup_exact",
+            (F.col("maybe_dup") & ~F.col("is_dup_exact")).alias("false_positive"),
+        )
+    )
+
+
+def bloom_screen_sql(
+    corpus_sql: str,
+    probe_sql: str,
+    *,
+    m: int = 1 << 24,
+    k: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bloom_screen`.  ``corpus_sql`` / ``probe_sql``
+    must select (text) resp. (doc_id, text)."""
+    from inception_spark.functions.text_analysis import fingerprint_sql
+
+    def pos(i: int) -> str:
+        return f"({H.h28_sql(f'''fp || '#{i}' ''')} % {m})"
+
+    plist = ", ".join(pos(i) for i in range(k))
+    return f"""
+WITH corpus AS (
+  SELECT {fingerprint_sql('text')} AS fp FROM ({corpus_sql})),
+probe AS (
+  SELECT doc_id, {fingerprint_sql('text')} AS fp FROM ({probe_sql})),
+cpos AS (SELECT DISTINCT unnest([{plist}]) AS pos FROM corpus),
+ppos AS (SELECT doc_id, unnest([{plist}]) AS pos FROM probe),
+hits AS (
+  SELECT p.doc_id,
+         MIN(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS allhit
+  FROM ppos p LEFT JOIN cpos c USING (pos)
+  GROUP BY p.doc_id),
+ex AS (SELECT DISTINCT p.doc_id
+       FROM probe p JOIN (SELECT DISTINCT fp FROM corpus) c USING (fp))
+SELECT h.doc_id,
+       h.allhit = 1 AS maybe_dup,
+       e.doc_id IS NOT NULL AS is_dup_exact,
+       (h.allhit = 1 AND e.doc_id IS NULL) AS false_positive
+FROM hits h LEFT JOIN ex e ON h.doc_id = e.doc_id
+"""

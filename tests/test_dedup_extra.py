@@ -369,3 +369,45 @@ def test_paragraph_dedup_duckdb_parity(spark, tmp_path):
         for r in paragraph_dedup(df).collect()
     }
     assert got_s == got_o
+
+
+def test_bloom_screen_no_false_negatives_and_fp_observable(spark):
+    from inception_spark.operators.dedup import bloom_screen
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} unique words {i * 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    # probes: 10 true members (replayed text) + 40 fresh
+    rows = [(100 + i, f"corpus document number {i} unique words {i * 7}")
+            for i in range(10)]
+    rows += [(200 + i, f"fresh probe {i} never seen before {i * 13}")
+             for i in range(40)]
+    probe = spark.createDataFrame(rows, "doc_id long, text string")
+    # tiny m saturates the filter -> false positives likely but bounded
+    out = {r["doc_id"]: r for r in bloom_screen(corpus, probe, m=64, k=3).collect()}
+    assert len(out) == 50
+    # Bloom guarantee: every true member is flagged (no false negatives)
+    for i in range(10):
+        r = out[100 + i]
+        assert r["maybe_dup"] and r["is_dup_exact"] and not r["false_positive"]
+    for i in range(40):
+        r = out[200 + i]
+        assert not r["is_dup_exact"]
+        assert r["false_positive"] == r["maybe_dup"]
+    # with a roomy filter the fresh probes come back clean
+    roomy = {r["doc_id"]: r
+             for r in bloom_screen(corpus, probe, m=1 << 20, k=4).collect()}
+    assert not any(roomy[200 + i]["maybe_dup"] for i in range(40))
+
+
+def test_bloom_screen_broadcasts_filter(spark):
+    from inception_spark.operators.dedup import bloom_screen
+
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    probe = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    plan = (
+        bloom_screen(corpus, probe, m=256, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
