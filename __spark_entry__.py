@@ -453,6 +453,44 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=2048)
 
 
+def _q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (click→purchase within 30 min per
+    user) executed through Structured Streaming — both sides watermarked,
+    both time-bounds present so join state is evictable.  Inner-join
+    rows emit as soon as both sides arrive, so no sentinel is needed.
+    Oracle: the identical batch join in DuckDB."""
+    from inception_spark.streaming.pipeline import (
+        interval_join_streams,
+        run_stream_to_parquet,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out = run_stream_to_parquet(
+        spark,
+        ev,
+        lambda s: interval_join_streams(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+            within="30 minutes",
+        ),
+    )
+    return out.select(
+        "user_id",
+        "left_event_id",
+        "right_event_id",
+        F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts"),
+        "delay_s",
+    )
+
+
 def _q_streaming_events_hourly(spark, sf_dir):
     """Hourly event counts executed through Structured Streaming (real
     watermark, windowed state, availableNow drain, foreachBatch parquet
@@ -747,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessionization": _q_streaming_sessionization,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_interval_join": _q_streaming_interval_join,
         # embedding pipeline (non-SQL-expressible: chunker/encoder are UDFs)
         "chunk_documents": _q_chunk_documents,
         "embed_documents": _q_embed_documents,
@@ -1609,6 +1648,20 @@ FROM s GROUP BY user_id, seq
 """,
         "streaming_exact_dedup": f"""
 SELECT DISTINCT {TA.fingerprint_sql('text')} AS fingerprint FROM documents
+""",
+        "streaming_interval_join": """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT l.user_id,
+       l.event_id AS left_event_id,
+       r.event_id AS right_event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS left_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS right_ts,
+       date_diff('microsecond', l.ts, r.ts) // 1000000 AS delay_s
+FROM l JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 30 MINUTE
 """,
         # chunk_documents / embed_documents intentionally omitted:
         # the chunker (sentence splitter + token-budget fold) and encoder

@@ -266,6 +266,49 @@ def streaming_exact_dedup(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    every right event of the same ``key`` arriving within ``within`` AFTER
+    it (click→purchase attribution, impression→conversion, …).
+
+    State is provably bounded: both inputs carry a watermark and the join
+    condition brackets ``r.ts`` into [l.ts, l.ts + within], so Spark
+    evicts a buffered left row once the right watermark passes
+    l.ts + within, and a buffered right row once the left watermark
+    passes r.ts — without both bounds a stream-stream join buffers one
+    side forever.  Inner-join results are emitted as soon as both rows
+    have arrived (no watermark wait), so an AvailableNow drain needs no
+    sentinel.  delay_s is the floor of the true gap in seconds, computed
+    from the microsecond difference — NOT unix_timestamp subtraction,
+    whose per-operand second-truncation disagrees with a floored division
+    whenever the two sub-second parts straddle each other."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+        F.expr("timestampdiff(MICROSECOND, l.ts, r.ts) div 1000000")
+        .cast("long")
+        .alias("delay_s"),
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     staged: DataFrame,

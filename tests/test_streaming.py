@@ -264,3 +264,88 @@ def test_run_stream_to_parquet_matches_batch_twin(spark):
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
     assert not any(r[2] == "sentinel" for r in a)
+
+
+def test_interval_join_streams_executed_matches_batch(spark):
+    """Stream-stream interval join run through a REAL streaming query
+    (availableNow drain) equals the batch join with the same condition."""
+    from inception_spark.plans.relational import load_events
+    from inception_spark.streaming.pipeline import (
+        interval_join_streams,
+        run_stream_to_parquet,
+    )
+
+    ev = (
+        load_events(spark, "/root/testdata/sf0.001")
+        .select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        # keep the pair count bounded for the tiny fixture
+        .filter(F.col("user_id") < 40)
+    )
+    types = [r[0] for r in
+             ev.select("event_type").distinct().orderBy("event_type").collect()]
+    lt, rt = types[0], types[1]
+
+    got = run_stream_to_parquet(
+        spark, ev,
+        lambda s: interval_join_streams(
+            s.filter(F.col("event_type") == lt),
+            s.filter(F.col("event_type") == rt),
+            within="30 minutes",
+        ),
+    )
+    l = ev.filter(F.col("event_type") == lt).alias("l")
+    r = ev.filter(F.col("event_type") == rt).alias("r")
+    batch = l.join(
+        r,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts "
+            "AND r.ts <= l.ts + INTERVAL 30 minutes"
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+    )
+    a = sorted((r["user_id"], r["left_event_id"], r["right_event_id"])
+               for r in got.collect())
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_interval_join_streams_delay_bounds(spark, tmp_path):
+    """Crafted matches: within-window purchase joins, outside does not."""
+    import json as _json
+
+    from inception_spark.streaming.pipeline import interval_join_streams
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01T00:00:00", 7, "click", 1.0),
+        (2, "2024-01-01T00:10:00", 7, "purchase", 5.0),   # +10 min: match
+        (3, "2024-01-01T00:50:00", 7, "purchase", 9.0),   # +50 min: no
+        (4, "2024-01-01T00:00:00", 8, "purchase", 3.0),   # other user
+    ]
+    with open(src / "e.json", "w") as f:
+        for eid, ts, uid, et, v in rows:
+            f.write(_json.dumps(
+                {"event_id": eid, "ts": ts, "user_id": uid,
+                 "event_type": et, "value": v, "props": "{}"}) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = interval_join_streams(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (out.writeStream.format("memory").queryName("ivj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ivj").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["left_event_id"], r["right_event_id"]) == (7, 1, 2)
+    assert r["delay_s"] == 600
