@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "doc_pii_scrub": _q_doc_pii_scrub,
+        "corpus_report": lambda spark, sf: TA.corpus_report(_docs(spark, sf)),
         "events_rolling_avg": R.events_rolling_avg,
         "approx_ndv": _q_approx_ndv,
         "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
@@ -1527,6 +1528,7 @@ FROM p QUALIFY rank <= 5
             f"WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text"
             " FROM documents)\n" + pii_stats_sql("aug")
         ),
+        "corpus_report": TA.corpus_report_sql("documents"),
         "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
         "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),
         "paragraph_dedup": D.paragraph_dedup_sql(

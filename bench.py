@@ -48,6 +48,9 @@ HEADLINE = [
     "pack_sequences",
     "events_range_join",
     "exact_dedup",
+    "paragraph_dedup",
+    "bloom_screen",
+    "doc_pii_scrub",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -506,3 +506,77 @@ def tfidf_top_terms(df, *, id_col="doc_id", text_col="text", top_n=3):
         .filter(F.col("term_rank") <= top_n)
         .select("doc_id", "term", "tf", "df_docs", "tfidf", "term_rank")
     )
+
+
+def corpus_report(df, *, source_col="source", text_col="text",
+                  lang_col="lang"):
+    """Per-source corpus profile — the curation dashboard query: document
+    count, size, mean words, mean quality, language mix, and the modal
+    language per source.
+
+    Determinism engineering: avg_words is a ratio of integers (safe to
+    round — a decimal-half quotient of ints is binary-exact in both
+    engines); avg_quality sums the already-4dp-rounded per-doc scores
+    through DECIMAL(18,4) (exact, order-independent) and divides in
+    double LAST, output unrounded (re-rounding a decimal-derived double
+    diverges across engines on representability halves).  top_lang is
+    the modal ``lang`` with alphabetical tie-break.
+
+    Scale shape: one hash aggregate by source (map-side combine over
+    whatever partitioning the scan yields), plus a tiny (source × lang)
+    aggregate for the mode — both shuffle only group keys, never text."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+        F.round(
+            F.sum(word_count(F.col(text_col))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_words"),
+        (
+            F.sum(quality_score(F.col(text_col)).cast("decimal(18,4)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+        F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+    )
+    lc = df.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return base.join(top, "source")
+
+
+def corpus_report_sql(table: str = "documents", *, source_col="source",
+                      text_col="text", lang_col="lang") -> str:
+    q = quality_score_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {source_col} AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length({text_col})) AS BIGINT) AS total_chars,
+         round(CAST(SUM({word_count_sql(text_col)}) AS DOUBLE)
+               / COUNT(*), 4) AS avg_words,
+         CAST(SUM(CAST({q} AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_quality,
+         CAST(COUNT(DISTINCT {lang_col}) AS BIGINT) AS n_langs
+  FROM {table} GROUP BY {source_col}),
+lc AS (
+  SELECT {source_col} AS source, {lang_col} AS lang, COUNT(*) AS n
+  FROM {table} GROUP BY {source_col}, {lang_col}),
+top AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+        FROM lc)
+  WHERE rn = 1)
+SELECT b.*, t.top_lang FROM base b JOIN top t USING (source)
+"""
