@@ -86,15 +86,17 @@ def main() -> None:
 
     queries = queries_all
     timings: dict[str, float] = {}
-    # min of 2 runs per query: single-run local[32] timings swing up to 2×
-    # (JIT/GC noise at these sub-second scales); min-of-2 reports the
-    # steady-state cost, which is what extrapolates to cluster scale.
+    # min of 3 runs per query: single-run local[32] timings swing up to 2×
+    # (JIT/GC noise at these sub-second scales), and an occasional VM-level
+    # stall can span two back-to-back runs (observed: a 0.6 s query reading
+    # 7 s twice in a row); min-of-3 reports the steady-state cost, which is
+    # what extrapolates to cluster scale.
     import gc
 
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
