@@ -228,6 +228,46 @@ def _q_doc_pii_scrub(spark, sf_dir):
     return pii_stats(docs)
 
 
+def _q_supplier_pagerank(spark, sf_dir):
+    """PageRank over the undirected customer↔supplier purchase graph
+    (edges = distinct (custkey, suppkey) pairs via orders⋈lineitem) —
+    integer picorank arithmetic, bit-identical to the oracle's unrolled
+    CTE iteration."""
+    from inception_spark.operators.graph import pagerank
+
+    li = R.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = R.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, n_iter=3)
+
+
+_PAGERANK_EDGES_SQL = """
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT c AS src, s AS dst FROM p
+UNION ALL
+SELECT s AS src, c AS dst FROM p
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    from inception_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(_PAGERANK_EDGES_SQL, n_iter=3)
+
+
 def _q_bloom_screen(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") < 400)
@@ -711,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_pii_scrub": _q_doc_pii_scrub,
         "corpus_report": lambda spark, sf: TA.corpus_report(_docs(spark, sf)),
+        "supplier_pagerank": _q_supplier_pagerank,
         "events_rolling_avg": R.events_rolling_avg,
         "approx_ndv": _q_approx_ndv,
         "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
@@ -1529,6 +1570,7 @@ FROM p QUALIFY rank <= 5
             " FROM documents)\n" + pii_stats_sql("aug")
         ),
         "corpus_report": TA.corpus_report_sql("documents"),
+        "supplier_pagerank": _pagerank_oracle_sql(),
         "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
         "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),
         "paragraph_dedup": D.paragraph_dedup_sql(

@@ -1,0 +1,133 @@
+"""Graph analytics over entity/similarity graphs: PageRank.
+
+Complements dedup.connected_components (the other iterative-algorithm
+surface): where components ANSWER "which docs are the same", PageRank
+RANKS nodes by link structure — supplier importance from who-buys-from-
+whom, document centrality in a similarity graph, user influence in an
+interaction graph.
+
+Determinism engineering — integer "picorank" arithmetic: all rank mass
+lives in int64 units of 1e-12, per-page convention (every node starts
+at 1.0; ranks sum to n on dangling-free graphs).  Contributions use
+integer division (``div`` in Spark == ``//`` in DuckDB for non-negative
+operands), the damping step is ``(15·10^10) + (85·Σcontrib) div 100``
+— pure int64 throughout (needs 85·n·10^12 < 2^63, i.e. ≤ ~10^8 nodes;
+shrink PICO for larger graphs), so every engine produces bit-identical
+ranks with NO float arithmetic until the final display column.  The
+cost is a ≤ out_degree·1e-12 truncation per node per round — far below
+any ranking-relevant signal.
+
+This is the simplified formulation without dangling-mass redistribution
+(rank flowing into sink nodes leaves circulation, as in the original
+sparse formulation); total mass therefore decays slightly unless the
+graph is symmetric.  For dedup/similarity graphs edges are undirected —
+pass both directions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PICO = 10**12  # 1.0 of rank mass, in integer units
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank_i, rank) after ``n_iter`` damped power iterations.
+
+    Scale shape per round: edges ⋈ ranks on src (fact-side shuffle on
+    the join key), one dst-keyed hash aggregate with map-side combine,
+    one left join back to the (small relative to edges) node list.
+    Lineage is truncated per round with localCheckpoint — n_iter lazy
+    rounds would otherwise stack into an exponential plan.  Hot dst
+    nodes (celebrity pages) partial-aggregate map-side, so skew lands
+    after combining, not in the shuffle."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    # checkpoint the edge list ONCE: nodes, degrees and the join input
+    # all derive from it — without this the (possibly expensive) edge
+    # derivation re-executes for each derived table
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    # per-page convention: every node starts at 1.0 and the teleport term
+    # is a flat 0.15, so ranks sum to n on dangling-free graphs — no
+    # node-count job needed, and the int arithmetic needs no 1/n division
+    ranks = nodes.select("node", F.lit(PICO).alias("rank_i"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_i div deg").alias("c"),
+            )
+        )
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # lazy checkpoint: truncates lineage immediately, materializes on
+        # demand — eager=True would run one extra job per round (measured
+        # ~20% slower end-to-end at sf0.1)
+        ranks = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(15 * PICO // 100)
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).cast("long").alias("rank_i"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "rank_i",
+        (F.col("rank_i").cast("double") / F.lit(float(PICO))).alias("rank"),
+    )
+
+
+def pagerank_sql(edges_sql: str, *, n_iter: int = 5) -> str:
+    """DuckDB twin: the same integer iteration unrolled into CTEs.
+    ``edges_sql`` must select (src, dst).  Sums are cast back to BIGINT
+    (DuckDB widens SUM(BIGINT) to HUGEINT, which would change the
+    result dtype)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({PICO} AS BIGINT) AS rank_i FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(r.rank_i // d.deg) AS BIGINT) AS s"
+            f" FROM edges e JOIN deg d ON e.src = d.src"
+            f" JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST({15 * PICO // 100} + (85 * COALESCE(c.s, 0)) // 100"
+            f" AS BIGINT) AS rank_i"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, rank_i,
+       CAST(rank_i AS DOUBLE) / CAST({PICO} AS DOUBLE) AS rank
+FROM r{n_iter}
+"""
+    )

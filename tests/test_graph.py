@@ -1,0 +1,57 @@
+"""PageRank: integer-arithmetic determinism against a Python reference
+simulation and the DuckDB unrolled-CTE twin."""
+
+import duckdb
+
+from inception_spark.operators.graph import PICO, pagerank, pagerank_sql
+
+EDGES = [
+    # a tiny web: hub (1) pointed at by everyone, chain 2->3->4, 4->1
+    (2, 1), (3, 1), (4, 1), (2, 3), (3, 4), (4, 2),
+]
+
+
+def _py_pagerank(edges, n_iter):
+    nodes = sorted({u for e in edges for u in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: PICO for v in nodes}
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // deg[u]
+        rank = {v: 15 * PICO // 100 + (85 * s[v]) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_simulation(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank_i"] for r in pagerank(df, n_iter=4).collect()}
+    assert got == _py_pagerank(EDGES, 4)
+    # the hub outranks the chain nodes
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_duckdb_parity(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got_s = sorted(
+        (r["node"], r["rank_i"], r["rank"])
+        for r in pagerank(df, n_iter=3).collect()
+    )
+    vals = ", ".join(f"({s}, {d})" for s, d in EDGES)
+    sql = pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", n_iter=3
+    )
+    got_o = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got_s == got_o
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    # undirected (both directions): no dangling nodes, so total mass
+    # stays within integer-truncation slack of n (per-page convention)
+    sym = EDGES + [(v, u) for u, v in EDGES]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = pagerank(df, n_iter=5).collect()
+    total = sum(r["rank_i"] for r in got)
+    assert abs(total - PICO * len(got)) < 100 * len(got)
