@@ -353,6 +353,15 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_flat_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.ivf_flat_topk(emb, list(qv), k=10)
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
@@ -821,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_flat_topk": _q_ivf_flat_topk,
         "knn_label_join": _q_knn_label_join,
         # streaming (executed through Structured Streaming, materialized
         # via foreachBatch parquet, then oracle-checked like any batch op)
@@ -1549,6 +1559,40 @@ qb AS (SELECT {bucket_q} AS qbucket FROM q),
 b AS (SELECT vec_id, embedding, {bucket_emb} AS bucket FROM embeddings),
 s AS (SELECT vec_id, round({cos_q}, 6) AS score
       FROM b, q, qb WHERE b.bucket = qb.qbucket)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+""",
+        "ivf_flat_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings)
+  WHERE cid < 8),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         COALESCE(round({V.cosine_sql('e.embedding', 'c.cvec')}, 6),
+                  CAST(-2 AS DOUBLE)) AS cs
+  FROM embeddings e CROSS JOIN cent c),
+cell AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM asg) WHERE rn = 1),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           COALESCE(round({V.cosine_sql('c.cvec', 'q.qv')}, 6),
+                    CAST(-2 AS DOUBLE)) AS qs
+    FROM cent c, q ORDER BY qs DESC, c.cid LIMIT 2)),
+s AS (
+  SELECT e.vec_id, round({cos_q}, 6) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id IN (SELECT vec_id FROM cell JOIN probe USING (cid)))
 SELECT vec_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
 FROM s QUALIFY rank <= 10

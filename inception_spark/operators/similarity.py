@@ -223,6 +223,83 @@ def semantic_search(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def ivf_flat_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF-flat ANN, oracle-replayable end to end.
+
+    Unlike :func:`ivf_topk` (MLlib KMeans — deterministic per Spark
+    version but not reproducible in another engine), every step here is
+    plain relational algebra over deterministic hashes, so DuckDB can
+    replay the exact index:
+
+    1. centroid seeds = the ``n_centroids`` rows with the smallest
+       (md5(vec_id), vec_id) — a deterministic pseudo-random draw,
+       selected via orderBy+limit (TakeOrderedAndProject, no global
+       sort shuffle);
+    2. cell assignment = argmax of the rounded cosine to each seed
+       (broadcast cross join with the tiny centroid table, one
+       vec_id-keyed argmax aggregate);
+    3. probe = the ``n_probe`` cells nearest the query, chosen inside
+       the engine by the same rounded-cosine ordering;
+    4. exact :func:`cosine_topk` over the ~n_probe/n_centroids fraction
+       of rows landing in probed cells.
+
+    No Lloyd iterations — seeds ARE the centroids (IVF recall comes from
+    n_probe, not centroid quality).  For write-once/query-many corpora,
+    persist step 2's assignment partitioned by cell and step 4 prunes at
+    the file level (see write_bucketed_embeddings for the LSH analog)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    cent = (
+        df.select(h.alias("h"), F.col(id_col), F.col(vec_col))
+        .orderBy("h", id_col)
+        .limit(n_centroids)
+    )
+    wc = Window.orderBy("h", id_col)
+    cent = cent.select(
+        (F.row_number().over(wc) - 1).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+    )
+    # coalesce(-2): cosine is NULL on zero-norm rows; pin NULL below the
+    # [-1, 1] range so the argmax/tie-break ordering is engine-identical
+    # (NULL-in-struct comparison vs NULLS LAST would otherwise differ)
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.coalesce(
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 6), F.lit(-2.0)
+        ).alias("cs"),
+    )
+    # argmax with min-cid tie-break: max of (cs, -cid) struct
+    cell = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select(F.col(id_col), (-F.col("m.ncid")).alias("cid"))
+    )
+    q = _query_vec_col(query_vec)
+    probe = (
+        cent.select(
+            "cid",
+            F.coalesce(
+                F.round(cosine(F.col("cvec"), q), 6), F.lit(-2.0)
+            ).alias("qs"),
+        )
+        .orderBy(F.desc("qs"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand_ids = cell.join(F.broadcast(probe), "cid").select(id_col)
+    cand = df.join(cand_ids, id_col)
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -157,6 +157,26 @@ def test_ivf_topk(spark):
     assert rows[0]["vec_id"] == exact["vec_id"]
 
 
+def test_ivf_flat_topk_deterministic_and_top1(spark):
+    from inception_spark.operators.similarity import (
+        cosine_topk,
+        ivf_flat_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    out = ivf_flat_topk(emb, qv, k=5, n_centroids=8, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    # the query's own vector lives in a probed cell (its cell IS the
+    # nearest-to-query cell), so top-1 must equal brute force
+    exact = cosine_topk(emb, qv, k=1).collect()[0]
+    assert rows[0]["vec_id"] == exact["vec_id"] == 0
+    # deterministic: a second run returns the identical list
+    again = ivf_flat_topk(emb, qv, k=5, n_centroids=8, n_probe=2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
 def test_streaming_quarantine(spark, tmp_path):
     import json as _json
     from inception_spark.streaming.pipeline import (
