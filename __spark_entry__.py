@@ -762,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": lambda spark, sf: TA.corpus_report(_docs(spark, sf)),
         "supplier_pagerank": _q_supplier_pagerank,
         "events_rolling_avg": R.events_rolling_avg,
+        "events_anomaly": R.events_anomaly,
         "approx_ndv": _q_approx_ndv,
         "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
             R.load_events(spark, sf), "user_id", k=10
@@ -1655,6 +1656,25 @@ SELECT t.doc_id, t.n_words,
        t.n_words - COALESCE(ka.n_kept, 0) AS n_removed,
        COALESCE(ka.clean_text, '') AS clean_text
 FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id
+""",
+        "events_anomaly": """
+WITH st AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s1,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2
+  FROM events GROUP BY event_type),
+ms AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+              / (n - 1)) AS std
+  FROM st)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.mean) / m.std, 4) AS z
+FROM events e JOIN ms m ON e.event_type = m.event_type
+WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) >= CAST(3.0 AS DOUBLE)
 """,
         "events_rolling_avg": """
 SELECT event_id, user_id,

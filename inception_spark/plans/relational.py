@@ -347,6 +347,51 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers — the monitoring/feature-engineering
+    standardization op.  Moments come from EXACT decimal sums (s1, s2),
+    then mean/var/std are derived in double with the identical expression
+    shape in both engines, so z is deterministic without quantizing the
+    raw values.  The 5-row stats table broadcasts back onto the fact
+    scan; the filter uses the unrounded z (the rounded display value
+    could flip at a .5 boundary).
+
+    Scale shape: one partial-agg'd aggregate over the fact + one
+    broadcast join — the standardization pattern that works at any
+    fact size."""
+    ev = load_events(spark, sf_dir)
+    d = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("std") > 0) & (F.abs(z) >= 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # percentiles, cube, set ops, scalar subqueries, string/date functions
 # ---------------------------------------------------------------------------
