@@ -268,6 +268,19 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_sql(_PAGERANK_EDGES_SQL, n_iter=3)
 
 
+def _q_corpus_upsert(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    v1 = docs.select("doc_id", "text", F.lit(1).alias("version"))
+    v2 = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    return D.latest_version_dedup(v1.unionAll(v2)).select(
+        "doc_id", "version", "text"
+    )
+
+
 def _q_bloom_screen(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") < 400)
@@ -825,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the filter saturated enough that false positives appear
         # and the FP column is exercised at fixture scale
         "bloom_screen": _q_bloom_screen,
+        # recrawl upsert: snapshot 2 revises doc_id < 100; latest wins
+        "corpus_upsert": _q_corpus_upsert,
         "frequent_ngram_scrub": lambda spark, sf: D.frequent_ngram_scrub(
             _docs(spark, sf)
         ),
@@ -1621,6 +1636,15 @@ FROM p QUALIFY rank <= 5
         "paragraph_dedup": D.paragraph_dedup_sql(
             "documents", boundary=" the ", sep="\n"
         ),
+        "corpus_upsert": """
+WITH snap AS (
+  SELECT doc_id, text, 1 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' [rev2]' AS text, 2 AS version
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id, version, text FROM snap
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+""",
         "bloom_screen": D.bloom_screen_sql(
             "SELECT text FROM documents WHERE doc_id < 400",
             "SELECT doc_id, text FROM documents WHERE doc_id >= 400"

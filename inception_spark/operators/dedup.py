@@ -1083,6 +1083,37 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# snapshot upsert (latest version wins)
+# ---------------------------------------------------------------------------
+
+def latest_version_dedup(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    version_col: str = "version",
+) -> DataFrame:
+    """Merge corpus snapshots: keep the highest-``version`` row per key —
+    the recrawl/upsert primitive (union all snapshots, take the latest of
+    each document).
+
+    A row_number window per key is the right shape here (unlike
+    paragraph_dedup's first-owner): partition size equals the number of
+    snapshots a key appears in — a small constant — so there is no hot
+    key to absorb; one shuffle on the key, full rows carried once.
+    Version ties are broken arbitrarily-but-deterministically only if the
+    caller ensures (key, version) is unique — assert upstream or add a
+    tiebreak column to ``version_col`` ordering before relying on it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.desc(version_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter membership screen (incremental dedup)
 # ---------------------------------------------------------------------------
 
