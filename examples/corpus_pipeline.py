@@ -2,10 +2,14 @@
 for, composed from the shipped operators:
 
     raw documents
+      → merge recrawl snapshots              (dedup.latest_version_dedup)
+      → PII redaction                        (pii.pii_stats)
       → quality/length/exact-dup gate        (dedup.corpus_filter)
+      → cross-doc boilerplate paragraphs     (dedup.paragraph_dedup)
       → near-dup edges                       (dedup.lsh_candidate_pairs)
       → duplicate groups                     (dedup.connected_components)
       → keep one doc per group               (dedup.keep_component_heads)
+      → screen tomorrow's crawl              (dedup.bloom_screen)
       → corpus language/quality stats        (text_analysis, sketches)
       → fixed-token training sequences       (packing.pack_sequences)
 
@@ -26,11 +30,17 @@ from inception_spark.functions.sketches import hll_ndv  # noqa: E402
 from inception_spark.functions.text_analysis import (  # noqa: E402
     doc_unigram_logprob,
 )
+from inception_spark.functions.pii import pii_stats  # noqa: E402
+from inception_spark.functions.text_analysis import (  # noqa: E402
+    corpus_report,
+)
 from inception_spark.operators.dedup import (  # noqa: E402
+    bloom_screen,
     connected_components,
     corpus_filter,
     keep_component_heads,
     lsh_candidate_pairs,
+    paragraph_dedup,
 )
 from inception_spark.operators.packing import pack_sequences  # noqa: E402
 from inception_spark.session import build_session  # noqa: E402
@@ -42,8 +52,31 @@ def main() -> None:
         "corpus-pipeline", master="local[4]", shuffle_partitions=4
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 0a. merge snapshots: replay the newest crawl over the corpus —
+    # here both snapshots are the fixture itself, so latest-wins is a
+    # no-op that still exercises the merge path
+    from inception_spark.operators.dedup import latest_version_dedup
+
+    snap = raw.withColumn("version", F.lit(1))
+    docs = latest_version_dedup(snap).drop("version")
     n0 = docs.count()
+
+    # 0b. PII scrub: redact before anything else touches the text
+    scrubbed = pii_stats(docs)
+    n_pii = scrubbed.filter(F.col("has_pii")).count()
+    print(f"PII: {n_pii} documents redacted")
+    docs = docs.join(
+        scrubbed.select("doc_id", "redacted"), "doc_id"
+    ).select("doc_id", F.col("redacted").alias("text"), "lang", "source",
+             "n_chars")
+
+    # 0c. cross-document boilerplate: keep first owner of each repeated
+    # paragraph (word-salad fixture has no newlines — split on articles)
+    para = paragraph_dedup(docs, boundary=" the ", sep=" the ")
+    n_scrubbed = para.filter(F.col("n_kept") < F.col("n_segments")).count()
+    print(f"boilerplate: {n_scrubbed} documents lost repeated paragraphs")
 
     # 1. gate: exact dups, too-short, low-quality — with audit reasons
     gate = corpus_filter(docs)
@@ -66,6 +99,17 @@ def main() -> None:
     lp = doc_unigram_logprob(kept)
     print("lowest-quality tail by corpus-LM logprob:")
     lp.orderBy("mean_logprob").limit(5).show()
+
+    # 5b. per-source curation dashboard
+    corpus_report(kept).orderBy("source").show(5)
+
+    # 5c. incremental path for tomorrow: screen a new crawl against the
+    # kept corpus without joining against it (Bloom, no false negatives)
+    tomorrow = docs.limit(50).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    screen = bloom_screen(kept, tomorrow, m=1 << 16, k=4)
+    screen.groupBy("maybe_dup", "is_dup_exact").count().show()
 
     # 6. pack into fixed-token training sequences, per language
     packed = pack_sequences(kept, budget=2048)
