@@ -262,6 +262,22 @@ SELECT s AS src, c AS dst FROM p
 """
 
 
+def _normalize_oracle_sql() -> str:
+    from inception_spark.functions.cleaning import normalize_text_sql
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+              THEN translate(text, 'aeiou', 'áéíóü')
+              ELSE text END AS accented
+  FROM documents)
+SELECT doc_id, accented,
+       {normalize_text_sql('accented')} AS normalized
+FROM aug
+"""
+
+
 def _pagerank_oracle_sql() -> str:
     from inception_spark.operators.graph import pagerank_sql
 
@@ -299,6 +315,20 @@ def _q_bloom_screen(spark, sf_dir):
 def _q_clean_text(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", clean_text_expr(F.col("text")).alias("cleaned")
+    )
+
+
+def _q_normalize_text(spark, sf_dir):
+    from inception_spark.functions.cleaning import normalize_text_expr
+
+    aug = F.when(
+        (F.col("doc_id") % 2) == 1,
+        F.translate(F.col("text"), "aeiou", "áéíóü"),
+    ).otherwise(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        aug.alias("accented"),
+        normalize_text_expr(aug).alias("normalized"),
     )
 
 
@@ -798,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source"),
         "nation_segments": _q_nation_segments,
         "clean_text": _q_clean_text,
+        # odd doc_ids get their vowels accented, then the fold recovers
+        # them — the hash covers both the accented input and the fold
+        "normalize_text": _q_normalize_text,
         "validate_text": _q_validate_text,
         # dedup
         "exact_dedup": _q_exact_dedup,
@@ -1374,6 +1407,7 @@ GROUP BY n_name
         "clean_text": f"""
 SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
 """,
+        "normalize_text": _normalize_oracle_sql(),
         "validate_text": f"""
 WITH v AS (
   SELECT doc_id, text,

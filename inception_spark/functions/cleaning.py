@@ -132,3 +132,44 @@ def validate_text_length_py(
         raise ValueError(f"Text length ({n}) below minimum ({min_len})")
     if n > max_len:
         raise ValueError(f"{label} length ({n}) exceeds maximum ({max_len})")
+
+
+# ---------------------------------------------------------------------------
+# Unicode accent folding + canonical whitespace (pre-hash normalization)
+# ---------------------------------------------------------------------------
+# Dedup fingerprints, shingles and vocabularies should not split on "café"
+# vs "cafe" or on exotic whitespace.  The fold is an EXPLICIT character
+# map (not ICU/NFKD — neither engine exposes that identically), applied
+# with translate() which both Spark and DuckDB implement codepoint-wise,
+# then lowercase, then whitespace-run collapse.  Deterministic by
+# construction; extend the map, never swap in locale-dependent APIs.
+
+ACCENT_FROM = (
+    "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūçñýÿ"
+    "ÁÀÂÄÃÅĀÉÈÊËĒÍÌÎÏĪÓÒÔÖÕØŌÚÙÛÜŪÇÑÝ"
+)
+ACCENT_TO = (
+    "aaaaaaaeeeeeiiiiiooooooouuuuucnyy"
+    "AAAAAAAEEEEEIIIIIOOOOOOOUUUUUCNY"
+)
+assert len(ACCENT_FROM) == len(ACCENT_TO)
+
+
+def normalize_text_expr(col: Column) -> Column:
+    """Accent-fold → lowercase → collapse whitespace runs → trim."""
+    folded = F.lower(F.translate(col, ACCENT_FROM, ACCENT_TO))
+    return F.trim(F.regexp_replace(folded, r"\s+", " "))
+
+
+def normalize_text_sql(col_sql: str) -> str:
+    return (
+        f"trim(regexp_replace(lower(translate({col_sql}, "
+        f"'{ACCENT_FROM}', '{ACCENT_TO}')), '\\s+', ' ', 'g'))"
+    )
+
+
+def normalize_text_py(text: str) -> str:
+    import re as _re
+
+    folded = text.translate(str.maketrans(ACCENT_FROM, ACCENT_TO)).lower()
+    return _re.sub(r"[ \t\n\x0b\f\r]+", " ", folded).strip()

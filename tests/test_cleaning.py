@@ -91,3 +91,43 @@ def test_validation_empty_after_cleaning(spark):
     # but raw-path (batch) validation lets it through (reference chunks raw)
     e2 = _error_for(spark, "ñ😊", min_len=1, max_len=100, check_clean=False)
     assert e2 is None
+
+
+# --- accent-fold normalization -------------------------------------------------
+
+NORM_CASES = [
+    ("accents", "Café RÉSUMÉ naïve", "cafe resume naive"),
+    ("nordic", "Ångström møller", "angstrom moller"),
+    ("macrons", "Tōkyō rōmaji", "tokyo romaji"),
+    ("ws_runs", "a\t\tb\n\n c  d", "a b c d"),
+    ("already_clean", "plain text", "plain text"),
+    ("mixed", "  ÑOÑO  über\tnaïf ", "nono uber naif"),
+]
+
+
+@pytest.mark.parametrize("name,raw,expected", NORM_CASES)
+def test_normalize_python(name, raw, expected):
+    from inception_spark.functions.cleaning import normalize_text_py
+
+    assert normalize_text_py(raw) == expected, name
+
+
+@pytest.mark.parametrize("name,raw,expected", NORM_CASES)
+def test_normalize_spark_matches(spark, name, raw, expected):
+    from inception_spark.functions.cleaning import normalize_text_expr
+
+    df = spark.createDataFrame([(raw,)], "text string")
+    got = df.select(normalize_text_expr(F.col("text")).alias("n")).collect()
+    assert got[0]["n"] == expected, name
+
+
+@pytest.mark.parametrize("name,raw,expected", NORM_CASES)
+def test_normalize_duckdb_matches(name, raw, expected):
+    import duckdb as _duckdb
+
+    from inception_spark.functions.cleaning import normalize_text_sql
+
+    got = _duckdb.connect().execute(
+        f"SELECT {normalize_text_sql('?')} AS n", [raw]
+    ).fetchone()[0]
+    assert got == expected, name
