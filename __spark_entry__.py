@@ -76,6 +76,8 @@ from inception_spark.operators.sampling import (
     stable_sample_sql,
     stratified_sample,
     stratified_sample_sql,
+    temperature_mix,
+    temperature_mix_sql,
 )
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.functions.pii import pii_stats, pii_stats_sql
@@ -826,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": lambda spark, sf: cap_per_group(
             _docs(spark, sf), cap=15
         ).select("doc_id", "source"),
+        "temperature_mix": lambda spark, sf: temperature_mix(
+            _docs(spark, sf)
+        ).select("doc_id", "source", "keep_threshold"),
         "nation_segments": _q_nation_segments,
         "clean_text": _q_clean_text,
         # odd doc_ids get their vowels accented, then the fold recovers
@@ -1769,6 +1774,10 @@ WHERE {stratified_sample_sql('doc_id', 'lang',
         "cap_per_group": f"""
 WITH capped AS ({cap_per_group_sql('documents', cap=15)})
 SELECT doc_id, source FROM capped
+""",
+        "temperature_mix": f"""
+WITH mixed AS ({temperature_mix_sql('documents')})
+SELECT doc_id, source, keep_threshold FROM mixed
 """,
         "events_range_join": """
 WITH iv AS (

@@ -207,3 +207,68 @@ QUALIFY row_number() OVER (
   PARTITION BY {group_col}
   ORDER BY {h28_sql(salted)}, {key_col}) <= {cap}
 """
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-balanced corpus mixing at T = 0.5: downsample each
+    group so group masses follow n_g^0.5 instead of n_g — the standard
+    rebalancing between head domains and tail domains in pretraining
+    mixes.  Keep rate r_g = sqrt(n_min / n_g), so the smallest group is
+    kept whole and a group 100× larger keeps 10% of its docs.
+
+    The temperature is FIXED at 0.5 by design: ``sqrt`` is required by
+    IEEE 754 to be correctly rounded, so the per-group integer threshold
+    floor(r_g · 2^28) is bit-identical in every engine; a generic
+    ``pow(n, alpha)`` is correctly rounded in none of them and could
+    flip membership of a boundary hash.  Membership itself is the same
+    content-hash predicate as :func:`stable_sample` — deterministic,
+    partitioning-independent, and stable as the corpus grows.
+
+    Scale shape: one partial-agg'd group count, a #groups-row rate table
+    broadcast back onto the scan — the fact side never shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    nmin = counts.agg(F.min("n_g").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_g").cast("double"))
+            * F.lit(float(_H_MAX))
+        ).cast("long").alias("keep_threshold"),
+    )
+    keyed = h28(
+        F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(keyed < F.col("keep_threshold"))
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "tmix",
+) -> str:
+    """DuckDB twin of :func:`temperature_mix`.  Float constants are cast
+    to DOUBLE (bare literals parse as DECIMAL in DuckDB)."""
+    salted = f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)"
+    return f"""
+WITH c AS (SELECT {group_col}, COUNT(*) AS n_g FROM {table} GROUP BY {group_col}),
+m AS (SELECT MIN(n_g) AS n_min FROM c),
+r AS (SELECT {group_col},
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE))
+                        * CAST({_H_MAX} AS DOUBLE)) AS BIGINT)
+                 AS keep_threshold
+      FROM c, m)
+SELECT t.* , r.keep_threshold
+FROM {table} t JOIN r USING ({group_col})
+WHERE {h28_sql(salted)} < r.keep_threshold
+"""

@@ -90,3 +90,21 @@ def test_cap_per_group_bounds_and_determinism(spark):
     a = sorted(r["doc_id"] for r in cap_per_group(df, cap=5).collect())
     b = sorted(r["doc_id"] for r in cap_per_group(df, cap=5).collect())
     assert a == b
+
+
+def test_temperature_mix_rebalances_skewed_groups(spark):
+    from inception_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "head") for i in range(900)] + [
+        (1000 + i, "tail") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    # tail (smallest group) is kept whole; head keeps ~sqrt(9/900)=10%
+    assert got["tail"] == 9
+    assert 45 <= got["head"] <= 135  # 90 expected, hash-noise tolerance
+    # deterministic: same membership on a second run
+    again = {r["source"]: r["count"]
+             for r in temperature_mix(df).groupBy("source").count().collect()}
+    assert got == again
