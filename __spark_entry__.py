@@ -320,6 +320,48 @@ def _q_clean_text(spark, sf_dir):
     )
 
 
+def _q_extract_citations(spark, sf_dir):
+    """Citation inventory over id-derived synthetic citations (the
+    fixture corpus is digit-free, like the PII entry)."""
+    d = F.col("doc_id")
+
+    def s(expr):
+        return expr.cast("string")
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see "), s(d % 999 + 1), F.lit(" U.S. "), s(d % 1999 + 1),
+        F.when(
+            (d % 3) == 0,
+            F.concat(F.lit(", "), s(d % 163 + 1), F.lit(" F.3d "),
+                     s(d % 900 + 1)),
+        ).otherwise(F.lit("")),
+        F.when((d % 4) == 0,
+               F.concat(F.lit(" § "), s(d % 89 + 1))).otherwise(F.lit("")),
+        F.when(
+            (d % 5) == 0,
+            F.concat(F.lit(" and "), s(d % 120 + 1), F.lit(" N.E.2d "),
+                     s(d % 800 + 1)),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    return TA.extract_citations(docs)
+
+
+_CITE_AUG_SQL = (
+    "text || ' see ' || CAST(doc_id % 999 + 1 AS VARCHAR)"
+    " || ' U.S. ' || CAST(doc_id % 1999 + 1 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN ', ' ||"
+    " CAST(doc_id % 163 + 1 AS VARCHAR) || ' F.3d ' ||"
+    " CAST(doc_id % 900 + 1 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' § ' ||"
+    " CAST(doc_id % 89 + 1 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' and ' ||"
+    " CAST(doc_id % 120 + 1 AS VARCHAR) || ' N.E.2d ' ||"
+    " CAST(doc_id % 800 + 1 AS VARCHAR) ELSE '' END"
+)
+
+
 def _q_normalize_text(spark, sf_dir):
     from inception_spark.functions.cleaning import normalize_text_expr
 
@@ -836,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # odd doc_ids get their vowels accented, then the fold recovers
         # them — the hash covers both the accented input and the fold
         "normalize_text": _q_normalize_text,
+        "extract_citations": _q_extract_citations,
         "validate_text": _q_validate_text,
         # dedup
         "exact_dedup": _q_exact_dedup,
@@ -1413,6 +1456,10 @@ GROUP BY n_name
 SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
 """,
         "normalize_text": _normalize_oracle_sql(),
+        "extract_citations": (
+            f"WITH aug AS (SELECT doc_id, {_CITE_AUG_SQL} AS text"
+            " FROM documents)\n" + TA.extract_citations_sql("aug")
+        ),
         "validate_text": f"""
 WITH v AS (
   SELECT doc_id, text,

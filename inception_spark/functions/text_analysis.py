@@ -580,3 +580,69 @@ top AS (
   WHERE rn = 1)
 SELECT b.*, t.top_lang FROM base b JOIN top t USING (source)
 """
+
+
+# ---------------------------------------------------------------------------
+# legal citation extraction (the reference's home domain: court opinions)
+# ---------------------------------------------------------------------------
+# The reference embeds legal opinions (freelawproject/inception serves
+# CourtListener); a corpus pipeline over that domain wants the citation
+# graph.  Patterns live in the Java-regex ∩ RE2 subset like pii.py.
+
+CITATION_PATTERNS: dict[str, str] = {
+    # 347 U.S. 483  (U.S. Supreme Court reporter)
+    "us": r"\b\d{1,3} U\.S\. \d{1,4}\b",
+    # 163 F.3d 952 / 98 F. Supp. 797  (federal reporters)
+    "fed": r"\b\d{1,3} F\.(?: Supp\.)?(?:[23]d)? \d{1,4}\b",
+    # 410 P.2d 535 / 12 N.E.3d 44  (regional reporters, common series)
+    "regional": r"\b\d{1,3} (?:P|N\.E|N\.W|S\.E|S\.W|A|So)\.(?:[23]d)? \d{1,4}\b",
+    # § 1983 statute sections
+    "section": r"§ ?\d+[a-z]?\b",
+}
+
+
+def citation_count(col: Column, kind: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(col, F.lit(CITATION_PATTERNS[kind]), F.lit(0))
+    ).cast("bigint")
+
+
+def citation_count_sql(expr: str, kind: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, "
+        f"'{CITATION_PATTERNS[kind]}')) AS BIGINT)"
+    )
+
+
+def extract_citations(df, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document citation inventory: counts per reporter family plus
+    the ordered '|'-joined list of extracted citation strings — the
+    input to a citation-graph build (explode on split('|') downstream).
+    One codegen projection, no shuffle."""
+    c = F.col(text_col)
+    counts = {f"n_{k}": citation_count(c, k) for k in CITATION_PATTERNS}
+    all_pat = "|".join(f"(?:{p})" for p in CITATION_PATTERNS.values())
+    return df.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in counts.items()],
+        F.array_join(
+            F.regexp_extract_all(c, F.lit(all_pat), F.lit(0)), "|"
+        ).alias("citations"),
+    )
+
+
+def extract_citations_sql(table: str = "documents", *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    counts = ",\n       ".join(
+        f"{citation_count_sql(text_col, k)} AS n_{k}"
+        for k in CITATION_PATTERNS
+    )
+    all_pat = "|".join(f"(?:{p})" for p in CITATION_PATTERNS.values())
+    return f"""
+SELECT {id_col},
+       {counts},
+       COALESCE(list_aggregate(regexp_extract_all({text_col}, '{all_pat}'),
+                               'string_agg', '|'), '') AS citations
+FROM {table}
+"""

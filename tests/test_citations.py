@@ -1,0 +1,68 @@
+"""Legal citation extraction: Spark == Python re == DuckDB."""
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.functions.text_analysis import (
+    CITATION_PATTERNS,
+    citation_count,
+    citation_count_sql,
+    extract_citations,
+)
+
+CASES = [
+    ("brown", "Brown v. Board, 347 U.S. 483 (1954)", {"us": 1}),
+    ("fed3d", "aff'd 163 F.3d 952", {"fed": 1}),
+    ("fsupp", "98 F. Supp. 797 on remand", {"fed": 1}),
+    ("regional", "see 410 P.2d 535 and 12 N.E.3d 44",
+     {"regional": 2}),
+    ("section", "under § 1983 and §12", {"section": 2}),
+    ("none", "no citations in this text", {}),
+    ("mixed", "347 U.S. 483, 163 F.3d 952, § 1983",
+     {"us": 1, "fed": 1, "section": 1}),
+]
+
+
+@pytest.mark.parametrize("name,text,expected", CASES)
+def test_python_counts(name, text, expected):
+    for kind, pat in CITATION_PATTERNS.items():
+        assert len(re.findall(pat, text)) == expected.get(kind, 0), (
+            name, kind,
+        )
+
+
+@pytest.mark.parametrize("name,text,expected", CASES)
+def test_spark_counts(spark, name, text, expected):
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        *[citation_count(F.col("text"), k).alias(k)
+          for k in CITATION_PATTERNS]
+    ).collect()[0]
+    for kind in CITATION_PATTERNS:
+        assert row[kind] == expected.get(kind, 0), (name, kind)
+
+
+@pytest.mark.parametrize("name,text,expected", CASES)
+def test_duckdb_counts(name, text, expected):
+    con = duckdb.connect()
+    sel = ", ".join(
+        f"{citation_count_sql('?', k)} AS c_{k}" for k in CITATION_PATTERNS
+    )
+    got = con.execute(
+        f"SELECT {sel}", [text] * len(CITATION_PATTERNS)
+    ).fetchone()
+    for i, kind in enumerate(CITATION_PATTERNS):
+        assert got[i] == expected.get(kind, 0), (name, kind)
+
+
+def test_extract_citations_ordered_list(spark):
+    df = spark.createDataFrame(
+        [(1, "see 347 U.S. 483 then 163 F.3d 952 under § 1983")],
+        "doc_id long, text string",
+    )
+    row = extract_citations(df).collect()[0]
+    assert row["citations"] == "347 U.S. 483|163 F.3d 952|§ 1983"
+    assert row["n_us"] == 1 and row["n_fed"] == 1 and row["n_section"] == 1
