@@ -149,3 +149,42 @@ def test_q17_correlated_avg_is_broadcast(spark):
     broadcast — the fact table never shuffles for it."""
     p = plan_of(R.q17_small_quantity_revenue(spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_paragraph_dedup_partial_agg_no_nested_loop(spark):
+    from inception_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(paragraph_dedup(docs, boundary=" the ", sep=" "))
+    # first-owner must be a partial-agg'd groupBy-min, never a sorted
+    # window over the raw digest stream, and the flag-back join must be
+    # an equi join
+    assert "partial_min" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_temperature_mix_broadcasts_rate_table(spark):
+    from inception_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(temperature_mix(docs))
+    # the #groups-row rate table rides a broadcast; the fact side of the
+    # membership filter must not shuffle through a sort-merge join
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_events_anomaly_broadcasts_stats(spark):
+    p = plan_of(R.events_anomaly(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p  # decimal moments are two-phase
+
+
+def test_pagerank_iteration_no_cartesian(spark):
+    from inception_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    p = plan_of(pagerank(edges, n_iter=2))
+    assert "CartesianProduct" not in p
