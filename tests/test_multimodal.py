@@ -161,3 +161,115 @@ def test_decode_image_unsupported_format_raises():
         pass
     with pytest.raises(DecoderUnavailable):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+# --- native WAV codec ----------------------------------------------------------
+
+def _tone(rate=8000, secs=0.25, hz=440.0):
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    return 0.5 * np.sin(2 * np.pi * hz * t)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from inception_spark.operators.multimodal import decode_wav, encode_wav
+
+    x = _tone()
+    payload = encode_wav(x, 8000)
+    y, rate = decode_wav(payload)
+    assert rate == 8000 and len(y) == len(x)
+    assert float(np.max(np.abs(x - y))) < 1e-3  # 16-bit quantization
+
+
+def test_wav_stereo_downmix_and_guards():
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from inception_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_wav,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        pcm = (np.tile([0.5, -0.5], 100) * 32767).astype("<i2")
+        w.writeframes(pcm.tobytes())
+    y, rate = decode_wav(buf.getvalue())
+    assert rate == 8000 and len(y) == 100
+    assert abs(float(np.max(np.abs(y)))) < 1e-4  # L/R cancel to ~0
+    with _pytest.raises(DecoderUnavailable):
+        decode_wav(b"\x00" * 64)
+
+
+def test_audio_features_shape_and_determinism():
+    import numpy as np
+
+    from inception_spark.operators.multimodal import audio_features
+
+    x = _tone()
+    f1 = audio_features(x, 8000, 16)
+    f2 = audio_features(x, 8000, 16)
+    assert f1.shape == (16,) and np.array_equal(f1, f2)
+    assert abs(f1[0] - 0.25) < 1e-6          # duration
+    assert abs(f1[1] - 0.5 / 2 ** 0.5) < 1e-2  # sine RMS = A/sqrt(2)
+
+
+def test_resample_audio_np_length():
+    from inception_spark.operators.multimodal import resample_audio_np
+
+    x = _tone(rate=8000, secs=0.5)
+    y = resample_audio_np(x, 8000, 4000)
+    assert abs(len(y) - len(x) / 2) <= 1
+
+
+def test_probe_wav_meta_jvm_side(spark):
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        encode_wav,
+        probe_wav_meta,
+    )
+
+    payload = encode_wav(_tone(rate=8000, secs=0.25), 8000)
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    out = probe_wav_meta(attach_media_meta(df, modality="audio", mime="audio/wav"))
+    row = out.select("media_meta.*").collect()[0]
+    assert row["width"] == 8000          # sample rate via header probe
+    assert row["duration_ms"] == 250
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extract_audio_features_real_and_resample(spark):
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+        resample_audio,
+    )
+
+    rows = [
+        (1, bytearray(encode_wav(_tone(hz=440.0), 8000))),
+        (2, bytearray(encode_wav(_tone(hz=880.0), 8000))),
+    ]
+    df = attach_media_meta(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        modality="audio", mime="audio/wav",
+    )
+    feats = {r["id"]: r["feature"]
+             for r in extract_audio_features(df, dim=16, fake=False).collect()}
+    assert len(feats[1]) == 16
+    # different pitch -> different spectral bands
+    assert feats[1][3:] != feats[2][3:]
+    res = resample_audio(df, rate=4000, fake=False).collect()
+    y, rate = decode_wav(bytes(res[0]["payload"]))
+    assert rate == 4000 and abs(len(y) - 1000) <= 1
