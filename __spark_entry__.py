@@ -1777,9 +1777,11 @@ WITH st AS (
 ms AS (
   SELECT event_type,
          CAST(s1 AS DOUBLE) / n AS mean,
-         sqrt((CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-              / (n - 1)) AS std
+         CASE WHEN n > 1 THEN
+           sqrt((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                / (n - 1))
+         END AS std
   FROM st)
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - m.mean) / m.std, 4) AS z

@@ -51,6 +51,9 @@ HEADLINE = [
     "paragraph_dedup",
     "bloom_screen",
     "doc_pii_scrub",
+    "corpus_report",
+    "events_anomaly",
+    "temperature_mix",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -369,14 +369,19 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("s1").cast("double") / F.col("n")).alias("mean"),
-        F.sqrt(
-            (
-                F.col("s2").cast("double")
-                - F.col("s1").cast("double")
-                * F.col("s1").cast("double")
-                / F.col("n")
-            )
-            / (F.col("n") - 1)
+        # n > 1 guard: ANSI mode makes /0 throw (DuckDB yields NULL) — a
+        # single-row group must produce NULL std, filtered out below
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ),
         ).alias("std"),
     )
     z = (F.col("value") - F.col("mean")) / F.col("std")
