@@ -63,6 +63,8 @@ from inception_spark.functions.sketches import (
     cms_estimate_topk,
     cms_estimate_topk_sql,
     hll_ndv_sql,
+    sampled_quantiles,
+    sampled_quantiles_sql,
 )
 from inception_spark.operators import dedup as D
 from inception_spark.operators import similarity as S
@@ -851,6 +853,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": R.events_rolling_avg,
         "events_anomaly": R.events_anomaly,
         "approx_ndv": _q_approx_ndv,
+        "sampled_quantiles": lambda spark, sf: sampled_quantiles(
+            R.load(spark, sf, "orders"),
+            "o_totalprice",
+            key_col="o_orderkey",
+            rate=0.2,
+        ),
         "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
             R.load_events(spark, sf), "user_id", k=10
         ),
@@ -1797,6 +1805,9 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
+        "sampled_quantiles": sampled_quantiles_sql(
+            "orders", "o_totalprice", key_col="o_orderkey", rate=0.2
+        ),
         "approx_ndv": f"""
 WITH ex AS (SELECT COUNT(DISTINCT user_id) AS exact_ndv FROM events)
 SELECT estimate, n_registers, exact_ndv,

@@ -289,3 +289,69 @@ def hll_ndv_py(values) -> float:
     if e_raw <= 2.5 * m and n_zero > 0:
         return round(m * math.log(m / n_zero), 4)
     return round(e_raw, 4)
+
+
+# ---------------------------------------------------------------------------
+# sampled quantiles — deterministic approx-quantile at scale
+# ---------------------------------------------------------------------------
+# Exact percentile() needs a per-group sort of every value; at 100 TB the
+# standard dodge is approx_percentile, but its sketch is merge-order-
+# dependent (answers change with executor count).  This variant keeps
+# determinism: a content-hash sample (same rows regardless of
+# partitioning or corpus growth) + EXACT percentile on the sample —
+# error ~ O(1/sqrt(rate·n)), reproducible bit-for-bit, and the DuckDB
+# twin replays it exactly (Spark percentile == quantile_cont, verified).
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str,
+    rate: float = 0.1,
+    probs: tuple = (0.25, 0.5, 0.9),
+    salt: str = "sq",
+) -> DataFrame:
+    """(p, quantile) rows from an exact percentile over a deterministic
+    ``rate``-fraction content-hash sample."""
+    from inception_spark.functions.hashing import h28
+
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    thresh = int(rate * (1 << 28))
+    sample = df.filter(
+        h28(F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string")))
+        < F.lit(thresh)
+    )
+    aggs = [
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"), *aggs
+    )
+
+
+def sampled_quantiles_sql(
+    table: str,
+    value_col: str,
+    *,
+    key_col: str,
+    rate: float = 0.1,
+    probs: tuple = (0.25, 0.5, 0.9),
+    salt: str = "sq",
+) -> str:
+    from inception_spark.functions.hashing import h28_sql
+
+    thresh = int(rate * (1 << 28))
+    salted = f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)"
+    qs = ",\n       ".join(
+        f"quantile_cont({value_col}, CAST({p} AS DOUBLE)) AS p{int(p * 100)}"
+        for p in probs
+    )
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       {qs}
+FROM {table}
+WHERE {h28_sql(salted)} < {thresh}
+"""
