@@ -76,6 +76,8 @@ from inception_spark.operators.sampling import (
     cap_per_group_sql,
     stable_sample,
     stable_sample_sql,
+    leakage_safe_split,
+    leakage_safe_split_sql,
     stratified_sample,
     stratified_sample_sql,
     temperature_mix,
@@ -521,6 +523,15 @@ def _q_dedup_components(spark, sf_dir):
     return D.connected_components(docs.select("doc_id"), edges)
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    """Train/val/test split hashed from the near-dup COMPONENT id, so no
+    near-duplicate pair straddles train and eval."""
+    docs = _docs(spark, sf_dir)
+    edges = D.lsh_candidate_pairs(docs, k=16, bands=4)
+    comps = D.connected_components(docs.select("doc_id"), edges)
+    return leakage_safe_split(docs.select("doc_id"), comps)
+
+
 def _q_events_range_join(spark, sf_dir):
     """Binned range join: every event inside a same-user 2-hour window
     anchored at each purchase event.  The bin equi-join restores hash-join
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_components": _q_dedup_components,
         "dedup_keep_heads": _q_dedup_keep_heads,
+        "leakage_safe_split": _q_leakage_safe_split,
         "doc_shingle_novelty": lambda spark, sf: D.doc_shingle_novelty(
             _docs(spark, sf)
         ),
@@ -1620,6 +1632,19 @@ reach AS (
 comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)
 SELECT doc_id FROM comp WHERE doc_id = component_id
 """,
+        "leakage_safe_split": leakage_safe_split_sql(
+            _dedup_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+            + """,
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u),
+comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)"""
+        ),
         "doc_shingle_novelty": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES_FROM_W}) AS s FROM wt),

@@ -272,3 +272,63 @@ SELECT t.* , r.keep_threshold
 FROM {table} t JOIN r USING ({group_col})
 WHERE {h28_sql(salted)} < r.keep_threshold
 """
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    *,
+    fractions: tuple = (0.8, 0.1),
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment WITHOUT near-duplicate leakage: the
+    split is hashed from the dedup COMPONENT id, not the document id, so
+    every member of a near-dup group lands in the same split — a
+    near-duplicate of a training document can never sit in the eval set
+    (the silent eval-inflation bug in naive per-doc splits).
+
+    ``components`` is (doc_id, component_id) from
+    dedup.connected_components; fractions = (train, val), remainder is
+    test.  Content-hash assignment means the split is deterministic,
+    engine-independent, and STABLE as the corpus grows: adding documents
+    never reshuffles existing assignments (unless new edges merge
+    components — which is exactly when reassignment is correct).
+
+    Scale shape: one id-keyed equi join + a pure projection; the
+    component table is doc-grain but narrow (two longs)."""
+    t1 = int(fractions[0] * _H_MAX)
+    t2 = int((fractions[0] + fractions[1]) * _H_MAX)
+    h = h28(
+        F.concat(
+            F.lit(salt + "\x1f"), F.col("component_id").cast("string")
+        )
+    )
+    return docs.join(components, id_col).select(
+        F.col(id_col),
+        F.col("component_id"),
+        F.when(h < t1, F.lit("train"))
+        .when(h < t2, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def leakage_safe_split_sql(
+    comp_cte_body: str,
+    *,
+    fractions: tuple = (0.8, 0.1),
+    salt: str = "split",
+) -> str:
+    """DuckDB twin: ``comp_cte_body`` must end with a CTE named ``comp``
+    selecting (doc_id, component_id)."""
+    t1 = int(fractions[0] * _H_MAX)
+    t2 = int((fractions[0] + fractions[1]) * _H_MAX)
+    salted = f"'{salt}' || chr(31) || CAST(component_id AS VARCHAR)"
+    return f"""{comp_cte_body}
+SELECT doc_id, component_id,
+       CASE WHEN {h28_sql(salted)} < {t1} THEN 'train'
+            WHEN {h28_sql(salted)} < {t2} THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""

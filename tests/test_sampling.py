@@ -108,3 +108,23 @@ def test_temperature_mix_rebalances_skewed_groups(spark):
     again = {r["source"]: r["count"]
              for r in temperature_mix(df).groupBy("source").count().collect()}
     assert got == again
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    from inception_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # components: pairs (2k, 2k+1) are near-dups sharing a component
+    comps = spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(200)],
+        "doc_id long, component_id long",
+    )
+    out = leakage_safe_split(docs, comps).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    for k in range(0, 200, 2):
+        assert split_of[k] == split_of[k + 1], k   # no straddling pairs
+    frac_train = sum(1 for s in split_of.values() if s == "train") / 200
+    assert 0.6 < frac_train < 0.95                 # ~0.8 with hash noise
+    assert set(split_of.values()) <= {"train", "val", "test"}
