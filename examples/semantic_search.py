@@ -42,6 +42,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.3
     )
     print(f"near-duplicate candidate pairs (jaccard ≥ 0.3): {dups.count()}")
+
+    # ANN over a precomputed embedding table: deterministic IVF-flat
+    # (probe 2 of 8 hash-seeded cells instead of scanning everything)
+    from inception_spark.operators.similarity import ivf_flat_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    print("IVF-flat top-5 neighbors of vec 0:")
+    ivf_flat_topk(emb, qv, k=5).show()
     spark.stop()
 
 
