@@ -268,6 +268,18 @@ SELECT s AS src, c AS dst FROM p
 """
 
 
+def _q_shard_manifest(spark, sf_dir):
+    from inception_spark.sources.readers import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
+def _shard_manifest_oracle() -> str:
+    from inception_spark.sources.readers import shard_manifest_sql
+
+    return shard_manifest_sql("documents", n_shards=16)
+
+
 def _normalize_oracle_sql() -> str:
     from inception_spark.functions.cleaning import normalize_text_sql
 
@@ -860,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_pii_scrub": _q_doc_pii_scrub,
         "corpus_report": lambda spark, sf: TA.corpus_report(_docs(spark, sf)),
+        "shard_manifest": _q_shard_manifest,
         "supplier_pagerank": _q_supplier_pagerank,
         "events_rolling_avg": R.events_rolling_avg,
         "events_anomaly": R.events_anomaly,
@@ -1749,6 +1762,7 @@ FROM p QUALIFY rank <= 5
             " FROM documents)\n" + pii_stats_sql("aug")
         ),
         "corpus_report": TA.corpus_report_sql("documents"),
+        "shard_manifest": _shard_manifest_oracle(),
         "supplier_pagerank": _pagerank_oracle_sql(),
         "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
         "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),

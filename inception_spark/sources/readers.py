@@ -186,3 +186,72 @@ def write_nested_response_json(df: DataFrame, path: str) -> None:
     """The reference's nested TextResponse shape as json-lines
     (schemas.nest_response upstream)."""
     df.write.mode("overwrite").json(path)
+
+
+def shard_assignment(
+    df: DataFrame, *, n_shards: int, key_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Stable content-hash shard id in [0, n_shards): the same document
+    lands in the same shard on every run, on any engine, at any
+    partitioning — the property that makes incremental re-publication
+    and cross-run diffing possible (Spark's own repartition is
+    round-robin/hash over an exchange and promises none of that)."""
+    from inception_spark.functions.hashing import h28
+
+    return df.withColumn(
+        "shard",
+        (
+            h28(F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string")))
+            % F.lit(n_shards)
+        ).cast("int"),
+    )
+
+
+def shard_manifest(
+    df: DataFrame, *, n_shards: int, key_col: str = "doc_id",
+    text_col: str = "text", salt: str = "shard",
+) -> DataFrame:
+    """Per-shard manifest (shard, n_docs, total_chars) — published next
+    to the shards so a consumer can verify completeness without listing
+    files.  One hash aggregate; map-side combine makes the shuffle carry
+    n_shards rows per task."""
+    return (
+        shard_assignment(df, n_shards=n_shards, key_col=key_col, salt=salt)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+        )
+    )
+
+
+def write_sharded_corpus(
+    df: DataFrame, path: str, *, n_shards: int, key_col: str = "doc_id",
+) -> None:
+    """Write the corpus partitioned by stable shard id (partitionBy, so
+    each shard is its own directory and partition pruning serves
+    shard-targeted reads), plus the manifest alongside."""
+    sharded = shard_assignment(df, n_shards=n_shards, key_col=key_col)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/data"
+    )
+    shard_manifest(df, n_shards=n_shards, key_col=key_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/manifest")
+
+
+def shard_manifest_sql(
+    table: str = "documents", *, n_shards: int, key_col: str = "doc_id",
+    text_col: str = "text", salt: str = "shard",
+) -> str:
+    from inception_spark.functions.hashing import h28_sql
+
+    salted = f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)"
+    return f"""
+SELECT CAST({h28_sql(salted)} % {n_shards} AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length({text_col})) AS BIGINT) AS total_chars
+FROM {table}
+GROUP BY 1
+"""
