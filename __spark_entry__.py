@@ -544,6 +544,66 @@ def _q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(docs.select("doc_id"), comps)
 
 
+def _q_lsh_eval_report(spark, sf_dir):
+    """LSH tuning harness on a 100-doc sample: candidate precision and
+    recall against exact shingle-Jaccard ground truth.  The fixture has
+    no organic near-dups in this range, so 20 planted near-duplicates
+    (same text + a 3-word trailer, Jaccard ≈ 0.9) make the
+    precision/recall columns discriminating."""
+    docs = _docs(spark, sf_dir)
+    sample = docs.filter(F.col("doc_id") < 100).unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 500).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return D.lsh_eval_report(sample, threshold=0.3)
+
+
+def _lsh_eval_oracle() -> str:
+    cte = _dedup_cte().replace("FROM documents", "FROM samp")
+    cte = cte.replace(
+        "WITH ",
+        "WITH samp AS ("
+        "SELECT * FROM documents WHERE doc_id < 100"
+        " UNION ALL"
+        " SELECT doc_id + 500 AS doc_id, text || ' zz yy xx' AS text,"
+        " lang, source, n_chars"
+        " FROM documents WHERE doc_id < 20),\n",
+        1,
+    )
+    return cte + """,
+exs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sz AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+tr AS (SELECT doc_a, doc_b FROM it
+       JOIN sz sa ON it.doc_a = sa.doc_id
+       JOIN sz sb ON it.doc_b = sb.doc_id
+       WHERE round(CAST(n_inter AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_inter), 4)
+             >= CAST(0.3 AS DOUBLE)),
+nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+nh AS (SELECT COUNT(*) AS n_hit FROM tr t JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_cand > 0
+            THEN round(CAST(n_hit AS DOUBLE) / n_cand, 4)
+       END AS cand_precision,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_hit AS DOUBLE) / n_truth, 4)
+       END AS cand_recall
+FROM nt, nc, nh
+"""
+
+
 def _q_events_range_join(spark, sf_dir):
     """Binned range join: every event inside a same-user 2-hour window
     anchored at each purchase event.  The bin equi-join restores hash-join
@@ -932,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_keep_heads": _q_dedup_keep_heads,
         "leakage_safe_split": _q_leakage_safe_split,
+        "lsh_eval_report": _q_lsh_eval_report,
         "doc_shingle_novelty": lambda spark, sf: D.doc_shingle_novelty(
             _docs(spark, sf)
         ),
@@ -1645,6 +1706,7 @@ reach AS (
 comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)
 SELECT doc_id FROM comp WHERE doc_id = component_id
 """,
+        "lsh_eval_report": _lsh_eval_oracle(),
         "leakage_safe_split": leakage_safe_split_sql(
             _dedup_cte().replace("WITH ", "WITH RECURSIVE ", 1)
             + """,

@@ -290,6 +290,97 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def lsh_eval_report(
+    df: DataFrame,
+    *,
+    threshold: float = 0.3,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH tuning harness: precision/recall of candidate generation
+    against EXACT Jaccard ground truth — one row (n_truth, n_cand,
+    n_hit, cand_precision, cand_recall).
+
+    This is how you pick (k, bands, max_bucket) before a 100 TB run:
+    evaluate on a bounded sample, then ship the setting.  EVAL-ONLY on a
+    sample — ground truth enumerates every pair sharing ≥ 1 shingle via
+    the shingle self-join (pairs with zero overlap have Jaccard 0, below
+    any positive threshold, so no cartesian is ever formed, but the
+    shared-shingle pair count is quadratic in sample near-dup density).
+    """
+    ex = exploded_shingles(
+        df, id_col=id_col, text_col=text_col, n=shingle_n
+    ).localCheckpoint(eager=False)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    exb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        exa.join(exb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                .cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        lsh_candidate_pairs(
+            df, id_col=id_col, text_col=text_col, k=k, bands=bands,
+            shingle_n=shingle_n, max_bucket=max_bucket, _shingles=ex,
+            _checkpoint_bands=False,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(F.col("n_hit") / F.col("n_cand"), 4),
+            ).alias("cand_precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hit") / F.col("n_truth"), 4),
+            ).alias("cand_recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

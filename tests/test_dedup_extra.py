@@ -411,3 +411,20 @@ def test_bloom_screen_broadcasts_filter(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_eval_report_planted_dups(spark):
+    from inception_spark.operators.dedup import lsh_eval_report
+
+    # mutually-distinct base docs (per-doc word vocabulary) so the ONLY
+    # ground-truth pairs are the 5 planted near-identical copies
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(16))) for i in range(10)
+    ]
+    dups = [(100 + i, base[i][1] + " zulu") for i in range(5)]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    r = lsh_eval_report(df, threshold=0.5).collect()[0]
+    assert r["n_truth"] == 5                    # exactly the planted pairs
+    assert r["n_hit"] == 5                      # recall 1.0 at jaccard~0.9
+    assert r["cand_recall"] == 1.0
+    assert r["cand_precision"] is not None and r["cand_precision"] > 0
