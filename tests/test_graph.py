@@ -55,3 +55,21 @@ def test_pagerank_mass_conserved_on_symmetric_graph(spark):
     got = pagerank(df, n_iter=5).collect()
     total = sum(r["rank_i"] for r in got)
     assert abs(total - PICO * len(got)) < 100 * len(got)
+
+
+def test_pagerank_partitioning_independent(spark):
+    """The integer-arithmetic claim, tested: changing the shuffle width
+    cannot change a single rank bit (no float sum exists to reorder)."""
+    sym = EDGES + [(v, u) for u, v in EDGES]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted((r["node"], r["rank_i"])
+                   for r in pagerank(df, n_iter=4).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted((r["node"], r["rank_i"])
+                   for r in pagerank(df.repartition(5), n_iter=4).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
