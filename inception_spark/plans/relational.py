@@ -33,18 +33,40 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects.  Read nanos as long and rebuild a timestamp_ntz truncated to
-    microseconds — exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP cast
-    does, so the two engines see identical wall-clock values.  Session TZ
-    pinned to UTC so the long → LTZ → NTZ hop is the identity."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Schema-adaptive events loader.
+
+    The driver owns ``events.parquet`` and has shipped it with two different
+    physical types for ``ts`` across regenerations: TIMESTAMP(NANOS) (which
+    Spark's parquet reader rejects unless read as raw longs) and plain
+    ``timestamp[us]``.  Never assume a frozen physical schema for
+    driver-owned data — probe and adapt:
+
+    * plain read succeeds → ``ts`` is a real timestamp; cast to
+      ``timestamp_ntz`` (identity when already NTZ, TZ-pinned when LTZ);
+    * plain read rejects the file (Illegal Parquet type: INT64
+      TIMESTAMP(NANOS)) → re-read with ``nanosAsLong`` and rebuild the
+      timestamp truncated to micros, matching DuckDB's TIMESTAMP_NS →
+      TIMESTAMP cast.
+
+    ``nanosAsLong`` is only set on the fallback path (and must then stay
+    set for the lifetime of the lazy plan — execution-side parquet readers
+    consult it again).  Session TZ is pinned to UTC either way so any
+    LTZ↔NTZ hop is the identity; the whole repo formats timestamps
+    assuming UTC."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-    )
+    path = f"{sf_dir}/events.parquet"
+    try:
+        raw = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) variant: only readable as raw nano longs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def _d(c) -> F.Column:
