@@ -827,11 +827,29 @@ def _q_dedup_keep_heads(spark, sf_dir):
     return D.keep_component_heads(docs, comps).select("doc_id")
 
 
+#: Deterministic sentence-ification of the punctuation-free documents
+#: fixture, applied identically in Spark and the DuckDB oracle: each doc
+#: becomes 8 repetitions of "Begin <text with ' the '→'. The '>. ", i.e.
+#: real multi-sentence prose (~8-80 sentences, 300-1300 tokens) so the
+#: sentence splitter, the greedy token-budget fold, the 2-sentence
+#: overlap, and the over-budget truncation branch (docs whose text ends
+#: in a single-letter word suppress the '. Begin' boundary via the
+#: initials rule and fold into one >506-token sentence) are ALL exercised
+#: and oracle-checked — not just the 1-chunk degenerate case.
+_CHUNK_AMPLIFY_SQL = (
+    "repeat(concat('Begin ', replace(trim(text), ' the ', '. The '), '. '), 8)"
+)
+
+
 def _q_chunk_documents(spark, sf_dir):
+    """The reference chunker (embedding_service.py:80-150) end-to-end,
+    hash-compared against a recursive-CTE DuckDB twin of the splitter +
+    fold (see oracle_sql()['chunk_documents'])."""
     _ensure_workers_can_import(spark)
-    chunks = chunk_documents(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CHUNK_AMPLIFY_SQL).alias("text")
     )
+    chunks = chunk_documents(docs, id_col="doc_id", text_col="text")
     return chunks.select(
         "doc_id",
         F.col("chunk_number").cast("long").alias("chunk_number"),
@@ -869,7 +887,122 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is deliberate: the driver's correctness window runs
+    the FIRST 50 entries, so the 50 slots rotate each round to the entries
+    with the least driver signal.  Round 4: the embedding pipeline (first
+    oracle ever) + the round-2 operator families (streaming, sketches,
+    sampling/mixing, dedup, similarity, PII, pagerank — never
+    driver-checked).  The relational/events block (driver-green in r2/r3)
+    and text analysis (green in r3) sit after the window; the in-repo
+    mini-driver (tests/test_entry.py) still verifies every oracle pair at
+    sf0.001 regardless of position."""
     return {
+        # embedding pipeline — the reference's own surface; chunker fold
+        # + splitter hash-verified against a recursive-CTE oracle, encoder
+        # verified on its model-free projection (chunk shape, dim, norm)
+        "chunk_documents": _q_chunk_documents,
+        "embed_documents": _q_embed_documents,
+        # text / corpus operators
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "corpus_report": lambda spark, sf: TA.corpus_report(_docs(spark, sf)),
+        "shard_manifest": _q_shard_manifest,
+        "supplier_pagerank": _q_supplier_pagerank,
+        "events_rolling_avg": R.events_rolling_avg,
+        "events_anomaly": R.events_anomaly,
+        "approx_ndv": _q_approx_ndv,
+        "sampled_quantiles": lambda spark, sf: sampled_quantiles(
+            R.load(spark, sf, "orders"),
+            "o_totalprice",
+            key_col="o_orderkey",
+            rate=0.2,
+        ),
+        "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
+            R.load_events(spark, sf), "user_id", k=10
+        ),
+        "pack_sequences": _q_pack_sequences,
+        "events_range_join": _q_events_range_join,
+        "stable_sample": lambda spark, sf: stable_sample(
+            _docs(spark, sf), 0.25
+        ).select("doc_id"),
+        "stratified_sample": lambda spark, sf: stratified_sample(
+            _docs(spark, sf),
+            {"en": 0.9, "de": 0.5, "zh": 0.1},
+            default_rate=0.3,
+        ).select("doc_id", "lang"),
+        "build_vocab": lambda spark, sf: build_vocab(
+            _docs(spark, sf), min_count=3, max_size=500
+        ),
+        "cap_per_group": lambda spark, sf: cap_per_group(
+            _docs(spark, sf), cap=15
+        ).select("doc_id", "source"),
+        "temperature_mix": lambda spark, sf: temperature_mix(
+            _docs(spark, sf)
+        ).select("doc_id", "source", "keep_threshold"),
+        "nation_segments": _q_nation_segments,
+        # odd doc_ids get their vowels accented, then the fold recovers
+        # them — the hash covers both the accented input and the fold
+        "normalize_text": _q_normalize_text,
+        "extract_citations": _q_extract_citations,
+        # dedup
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "simhash_docs": _q_simhash_docs,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "corpus_ngram_topk": lambda spark, sf: D.corpus_ngram_topk(
+            _docs(spark, sf)
+        ),
+        "winnowing_fingerprints": lambda spark, sf: D.winnowing_fingerprints(
+            _docs(spark, sf)
+        ),
+        "winnowing_overlap_pairs": lambda spark, sf: D.winnowing_overlap_pairs(
+            _docs(spark, sf)
+        ),
+        "dedup_components": _q_dedup_components,
+        "dedup_keep_heads": _q_dedup_keep_heads,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "lsh_eval_report": _q_lsh_eval_report,
+        "doc_shingle_novelty": lambda spark, sf: D.doc_shingle_novelty(
+            _docs(spark, sf)
+        ),
+        "benchmark_contamination": lambda spark, sf: (
+            D.benchmark_contamination(
+                _docs(spark, sf).filter(F.col("doc_id") >= 50),
+                _docs(spark, sf).filter(F.col("doc_id") < 50),
+            )
+        ),
+        "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
+        # fixture corpus has no newlines: the articles stand in for
+        # paragraph boundaries so the dedup logic is actually exercised
+        "paragraph_dedup": lambda spark, sf: D.paragraph_dedup(
+            _docs(spark, sf), boundary=" the ", sep="\n"
+        ),
+        # incremental-ingest screen: corpus = doc_id<400, probe = the rest
+        # plus 50 replayed corpus docs (guaranteed true members); m=1024
+        # keeps the filter saturated enough that false positives appear
+        # and the FP column is exercised at fixture scale
+        "bloom_screen": _q_bloom_screen,
+        # recrawl upsert: snapshot 2 revises doc_id < 100; latest wins
+        "corpus_upsert": _q_corpus_upsert,
+        "frequent_ngram_scrub": lambda spark, sf: D.frequent_ngram_scrub(
+            _docs(spark, sf)
+        ),
+        # similarity search
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_flat_topk": _q_ivf_flat_topk,
+        "knn_label_join": _q_knn_label_join,
+        # streaming (executed through Structured Streaming, materialized
+        # via foreachBatch parquet, then oracle-checked like any batch op)
+        "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_sessionization": _q_streaming_sessionization,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_interval_join": _q_streaming_interval_join,
+        # --- driver window boundary (50 entries above) -------------------
+        "clean_text": _q_clean_text,
+        "validate_text": _q_validate_text,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -930,108 +1063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": lambda spark, sf: TA.doc_repetition_stats(
             _docs(spark, sf)
         ),
-        "doc_pii_scrub": _q_doc_pii_scrub,
-        "corpus_report": lambda spark, sf: TA.corpus_report(_docs(spark, sf)),
-        "shard_manifest": _q_shard_manifest,
-        "supplier_pagerank": _q_supplier_pagerank,
-        "events_rolling_avg": R.events_rolling_avg,
-        "events_anomaly": R.events_anomaly,
-        "approx_ndv": _q_approx_ndv,
-        "sampled_quantiles": lambda spark, sf: sampled_quantiles(
-            R.load(spark, sf, "orders"),
-            "o_totalprice",
-            key_col="o_orderkey",
-            rate=0.2,
-        ),
-        "cms_heavy_hitters": lambda spark, sf: cms_estimate_topk(
-            R.load_events(spark, sf), "user_id", k=10
-        ),
-        "pack_sequences": _q_pack_sequences,
-        "events_range_join": _q_events_range_join,
-        "stable_sample": lambda spark, sf: stable_sample(
-            _docs(spark, sf), 0.25
-        ).select("doc_id"),
-        "stratified_sample": lambda spark, sf: stratified_sample(
-            _docs(spark, sf),
-            {"en": 0.9, "de": 0.5, "zh": 0.1},
-            default_rate=0.3,
-        ).select("doc_id", "lang"),
-        "build_vocab": lambda spark, sf: build_vocab(
-            _docs(spark, sf), min_count=3, max_size=500
-        ),
-        "cap_per_group": lambda spark, sf: cap_per_group(
-            _docs(spark, sf), cap=15
-        ).select("doc_id", "source"),
-        "temperature_mix": lambda spark, sf: temperature_mix(
-            _docs(spark, sf)
-        ).select("doc_id", "source", "keep_threshold"),
-        "nation_segments": _q_nation_segments,
-        "clean_text": _q_clean_text,
-        # odd doc_ids get their vowels accented, then the fold recovers
-        # them — the hash covers both the accented input and the fold
-        "normalize_text": _q_normalize_text,
-        "extract_citations": _q_extract_citations,
-        "validate_text": _q_validate_text,
-        # dedup
-        "exact_dedup": _q_exact_dedup,
-        "minhash_signatures": _q_minhash_signatures,
-        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "simhash_docs": _q_simhash_docs,
-        "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "corpus_ngram_topk": lambda spark, sf: D.corpus_ngram_topk(
-            _docs(spark, sf)
-        ),
-        "winnowing_fingerprints": lambda spark, sf: D.winnowing_fingerprints(
-            _docs(spark, sf)
-        ),
-        "winnowing_overlap_pairs": lambda spark, sf: D.winnowing_overlap_pairs(
-            _docs(spark, sf)
-        ),
-        "dedup_components": _q_dedup_components,
-        "dedup_keep_heads": _q_dedup_keep_heads,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "lsh_eval_report": _q_lsh_eval_report,
-        "doc_shingle_novelty": lambda spark, sf: D.doc_shingle_novelty(
-            _docs(spark, sf)
-        ),
-        "benchmark_contamination": lambda spark, sf: (
-            D.benchmark_contamination(
-                _docs(spark, sf).filter(F.col("doc_id") >= 50),
-                _docs(spark, sf).filter(F.col("doc_id") < 50),
-            )
-        ),
-        "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
-        # fixture corpus has no newlines: the articles stand in for
-        # paragraph boundaries so the dedup logic is actually exercised
-        "paragraph_dedup": lambda spark, sf: D.paragraph_dedup(
-            _docs(spark, sf), boundary=" the ", sep="\n"
-        ),
-        # incremental-ingest screen: corpus = doc_id<400, probe = the rest
-        # plus 50 replayed corpus docs (guaranteed true members); m=1024
-        # keeps the filter saturated enough that false positives appear
-        # and the FP column is exercised at fixture scale
-        "bloom_screen": _q_bloom_screen,
-        # recrawl upsert: snapshot 2 revises doc_id < 100; latest wins
-        "corpus_upsert": _q_corpus_upsert,
-        "frequent_ngram_scrub": lambda spark, sf: D.frequent_ngram_scrub(
-            _docs(spark, sf)
-        ),
-        # similarity search
-        "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ivf_flat_topk": _q_ivf_flat_topk,
-        "knn_label_join": _q_knn_label_join,
-        # streaming (executed through Structured Streaming, materialized
-        # via foreachBatch parquet, then oracle-checked like any batch op)
-        "streaming_events_hourly": _q_streaming_events_hourly,
-        "streaming_sessionization": _q_streaming_sessionization,
-        "streaming_exact_dedup": _q_streaming_exact_dedup,
-        "streaming_interval_join": _q_streaming_interval_join,
-        # embedding pipeline (non-SQL-expressible: chunker/encoder are UDFs)
-        "chunk_documents": _q_chunk_documents,
-        "embed_documents": _q_embed_documents,
     }
 
 
@@ -1999,10 +2030,144 @@ FROM l JOIN r
  AND r.ts >= l.ts
  AND r.ts <= l.ts + INTERVAL 30 MINUTE
 """,
-        # chunk_documents / embed_documents intentionally omitted:
-        # the chunker (sentence splitter + token-budget fold) and encoder
-        # are Python UDFs — not SQL-expressible; driver records rows-only.
+        "chunk_documents": _chunk_oracle_sql(),
+        # embed_documents: the encoder itself needs no model to verify —
+        # the deterministic stub L2-normalizes every vector, so the
+        # model-free projection (chunk shape + dim + unit norm) is fully
+        # SQL-expressible.  At the oracle SFs every document is a single
+        # sentence (the fixture has no punctuation/uppercase) under the
+        # 506-token content budget (max observed 158), hence exactly one
+        # untruncated chunk per valid document.
+        "embed_documents": f"""
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS chunk_number,
+       CAST(length(regexp_extract_all(trim(text), '{TOKEN_PATTERN_SQL}')) + 6
+            AS BIGINT) AS n_tokens,
+       CAST(768 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS vec_norm
+FROM documents
+WHERE length(text) >= 1 AND length(text) <= 10000000 AND trim(text) <> ''
+""",
     }
+
+
+#: Abbreviation alternation for the oracle's sentence-splitter twin —
+#: mirrors inception_spark.sentences._ABBREVS plus the single-letter
+#: initials rule ([a-z] arm).  Multi-dot entries spelled with escaped dots.
+_ABBREV_SQL = (
+    r"mr|mrs|ms|dr|prof|rev|hon|jr|sr|st|v|vs|etc|e\.g|i\.e|cf|al|inc|ltd|co"
+    r"|corp|no|nos|vol|ch|sec|fig|art|approx|dept|est|jan|feb|mar|apr|jun|jul"
+    r"|aug|sep|sept|oct|nov|dec|u\.s|u\.s\.a|d\.c|f\.supp|f\.2d|f\.3d|s\.ct"
+    r"|l\.ed|u\.k|p\.m|a\.m|[a-z]"
+)
+
+
+def _chunk_oracle_sql() -> str:
+    """Recursive-CTE DuckDB twin of the chunker pipeline
+    (sentences.split_sentences + chunking.split_text_into_chunks).
+
+    Stage 1 (splitter): protect abbreviation/initial periods with '#',
+    mark sentence boundaries (punct run + optional closing quotes +
+    whitespace + opener) with '@' — neither char can occur in the corpus
+    alphabet ([a-z ] plus the inserted '. The'/'. Begin') — then split,
+    restore dots, trim, drop empties.  RE2 has no lookahead, so the
+    boundary's opener is captured and re-inserted; safe because
+    consecutive boundaries are ≥3 chars apart and an opener char can
+    never start a boundary match.
+
+    Stage 2 (fold): one recursion step per sentence; state = (current
+    chunk sentence-list, running token count incl. 6 lead tokens, emitted
+    chunks).  Budget 512; overlap = last 2 sentences (int(512*0.004)).
+    The over-budget branch truncates to 506 tokens with span-preserving
+    substring semantics: tokens never contain whitespace, so
+    whitespace-inclusive token matches concatenate back to the exact
+    original prefix."""
+    TOK = TOKEN_PATTERN_SQL
+    trunc = (
+        "array_to_string(list_slice(regexp_extract_all(ss[i+1],"
+        f" '[ \\t\\n\\r\\f\\x0B]*(?:{TOK})'), 1, 506), '')"
+    )
+    ov = "list_slice(cur, greatest(length(cur)-1,1), length(cur))"
+    ov_tok = (
+        "length(regexp_extract_all("
+        f"array_to_string({ov}, ' '), '{TOK}'))"
+    )
+    return f"""
+WITH RECURSIVE
+docs2 AS (
+  SELECT doc_id, {_CHUNK_AMPLIFY_SQL} AS t FROM documents
+),
+sents AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split(
+               regexp_replace(
+                 regexp_replace(t, '(?i)\\b({_ABBREV_SQL})\\.', '\\1#', 'g'),
+                 '([.!?]+["'')\\]]*)[ \\t\\n\\r\\f]+(["''(\\[]?[A-Z0-9])',
+                 '\\1@\\2', 'g'),
+               '@'),
+             s -> trim(replace(s, '#', '.'))),
+           s -> s <> '') AS ss
+  FROM docs2
+),
+sl AS (
+  SELECT doc_id, ss,
+         list_transform(ss, s -> length(regexp_extract_all(s, '{TOK}'))) AS tl
+  FROM sents
+),
+fold AS (
+  SELECT doc_id, 0 AS i,
+         []::VARCHAR[] AS cur, 6 AS cur_tok, []::VARCHAR[] AS chunks, ss, tl
+  FROM sl
+  UNION ALL
+  SELECT doc_id, i + 1,
+         CASE
+           WHEN 6 + tl[i+1] > 512 THEN []::VARCHAR[]
+           WHEN cur_tok + tl[i+1] > 512 THEN
+             CASE WHEN 6 + {ov_tok} + tl[i+1] > 512
+                  THEN [ss[i+1]]
+                  ELSE list_append({ov}, ss[i+1])
+             END
+           ELSE list_append(cur, ss[i+1])
+         END AS cur,
+         CASE
+           WHEN 6 + tl[i+1] > 512 THEN 6
+           WHEN cur_tok + tl[i+1] > 512 THEN
+             CASE WHEN 6 + {ov_tok} + tl[i+1] > 512
+                  THEN 6 + tl[i+1]
+                  ELSE 6 + {ov_tok} + tl[i+1]
+             END
+           ELSE cur_tok + tl[i+1]
+         END AS cur_tok,
+         CASE
+           WHEN 6 + tl[i+1] > 512 THEN
+             chunks
+             || (CASE WHEN length(cur) > 0 THEN [array_to_string(cur, ' ')]
+                      ELSE []::VARCHAR[] END)
+             || [{trunc}]
+           WHEN cur_tok + tl[i+1] > 512
+             THEN list_append(chunks, array_to_string(cur, ' '))
+           ELSE chunks
+         END AS chunks,
+         ss, tl
+  FROM fold
+  WHERE i < length(ss)
+),
+done AS (
+  SELECT doc_id,
+         chunks || (CASE WHEN length(cur) > 0 THEN [array_to_string(cur, ' ')]
+                         ELSE []::VARCHAR[] END) AS chunks
+  FROM fold
+  WHERE i = length(ss)
+)
+SELECT doc_id,
+       CAST(generate_subscripts(chunks, 1) AS BIGINT) AS chunk_number,
+       md5(unnest(chunks)) AS chunk_md5,
+       CAST(length(regexp_extract_all(unnest(chunks), '{TOK}')) + 6
+            AS BIGINT) AS n_tokens
+FROM done
+"""
 
 
 #: embedding dimensionality of the harness's embeddings.parquet — the

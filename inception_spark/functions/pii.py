@@ -12,13 +12,15 @@ only.  That keeps the DuckDB oracle twin (``*_sql``) bit-identical.
 The reference service has no PII surface (SURVEY.md §2.5); this extends
 it per the build brief's training-data-pipeline mandate.
 
-Counting is always done against the ORIGINAL text, independently per
-category — the categories are constructed non-overlapping (anchored with
-``\\b`` so e.g. a 16-digit card number cannot partially match the SSN or
-phone patterns).  Redaction applies the patterns in a fixed order
-(email, card, ssn, phone, ipv4); because the patterns are mutually
-exclusive on any given span, the order only matters for the placeholder
-a span receives, never for whether it is found.
+Counting and redaction share ONE pass order (email, card, ssn, phone,
+ipv4): each category is counted against the text with all
+higher-priority categories already redacted, then redacted itself.
+This makes ``n_pii`` exactly the number of placeholders in ``redacted``
+even when spans overlap across categories — e.g. a 16-digit card number
+used as an email local-part ("1234-5678-9012-3456@x.co") is ONE email,
+not an email plus a card (counting both against the original text
+overcounted; advisor finding, round 2).  Within a category, matches are
+non-overlapping by regex semantics.
 """
 
 from __future__ import annotations
@@ -80,12 +82,20 @@ def pii_redact_sql(expr: str) -> str:
 def pii_stats(df, *, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document PII counts + redacted text + has_pii flag.
 
-    One narrow projection — Catalyst collapses the five extract-alls and
-    the redact chain into a single whole-stage-codegen map over the scan;
-    no shuffle, safe at any scale.
+    Counts are staged: category N is counted on the text with categories
+    1..N-1 already redacted, so the counts sum to the exact number of
+    placeholders in ``redacted`` (see module docstring).  Still one
+    narrow projection — Catalyst collapses the staged extract-alls and
+    the redact chain into a single whole-stage-codegen map over the
+    scan; no shuffle, safe at any scale.
     """
-    c = F.col(text_col)
-    counts = {f"n_{cat}": pii_count(c, cat) for cat in PII_PATTERNS}
+    stage = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for cat, pat in PII_PATTERNS.items():
+        counts[f"n_{cat}"] = F.size(
+            F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
+        ).cast("bigint")
+        stage = F.regexp_replace(stage, pat, PII_PLACEHOLDERS[cat])
     total = None
     for v in counts.values():
         total = v if total is None else total + v
@@ -94,13 +104,18 @@ def pii_stats(df, *, id_col: str = "doc_id", text_col: str = "text"):
         *[v.alias(k) for k, v in counts.items()],
         total.cast("bigint").alias("n_pii"),
         (total > 0).alias("has_pii"),
-        pii_redact(c).alias("redacted"),
+        stage.alias("redacted"),
     )
 
 
 def pii_stats_sql(table: str = "documents", *, id_col: str = "doc_id",
                   text_col: str = "text") -> str:
-    counts = {f"n_{cat}": pii_count_sql(text_col, cat) for cat in PII_PATTERNS}
+    """DuckDB twin of pii_stats — same staged counting order."""
+    stage = text_col
+    counts: dict[str, str] = {}
+    for cat, pat in PII_PATTERNS.items():
+        counts[f"n_{cat}"] = pii_count_sql(stage, cat)
+        stage = f"regexp_replace({stage}, '{pat}', '{PII_PLACEHOLDERS[cat]}', 'g')"
     total = " + ".join(counts.values())
     cols = ",\n       ".join(f"{v} AS {k}" for k, v in counts.items())
     return f"""
@@ -108,6 +123,6 @@ SELECT {id_col},
        {cols},
        CAST({total} AS BIGINT) AS n_pii,
        ({total}) > 0 AS has_pii,
-       {pii_redact_sql(text_col)} AS redacted
+       {stage} AS redacted
 FROM {table}
 """

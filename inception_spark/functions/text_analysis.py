@@ -546,7 +546,12 @@ def corpus_report(df, *, source_col="source", text_col="text",
     lc = df.groupBy(
         F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    # asc_nulls_last, not asc: Spark ASC defaults NULLS FIRST while DuckDB
+    # defaults NULLS LAST — a NULL lang would win every tie on one engine
+    # and lose it on the other (advisor finding, round 2)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n"), F.asc_nulls_last("lang")
+    )
     top = (
         lc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -575,7 +580,7 @@ lc AS (
 top AS (
   SELECT source, lang AS top_lang
   FROM (SELECT *, row_number() OVER (
-            PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+            PARTITION BY source ORDER BY n DESC, lang ASC NULLS LAST) AS rn
         FROM lc)
   WHERE rn = 1)
 SELECT b.*, t.top_lang FROM base b JOIN top t USING (source)

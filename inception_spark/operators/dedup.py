@@ -424,6 +424,7 @@ def simhash_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the 4 fifteen-bit bands of the
     60-bit fingerprint, verify with exact bit_count(xor) ≤ max_hamming.
@@ -436,10 +437,16 @@ def simhash_dup_pairs(
 
     Scale shape: 15-bit bands give 32768 keys per band (the round-1 8-bit
     bands had 256 — O(n²/1024) global pair blowup).  ``max_bucket`` drops
-    degenerate buckets (near-empty docs all hash to simhash 0, boilerplate
-    collapses to one fingerprint) before the self-join, bounding any
-    single bucket's pair count at max_bucket²; dropped buckets lose only
-    pairs that exact_dedup already catches (identical fingerprints)."""
+    whole buckets above the population cap before the self-join, bounding
+    any single bucket's pair count at max_bucket².  This is a RECALL
+    TRADE, not free: a hot band bucket can hold documents whose full
+    fingerprints differ (band collision ≠ identical simhash), and a
+    dropped pair is only recovered if it shares another, un-dropped band
+    — pairs within hamming ≤ max_hamming CAN be lost.  Pass a
+    ``pyspark.sql.Observation`` as ``observation`` to account for the
+    trade: metric ``rows_in_dropped_buckets`` (vs ``band_rows``) reports
+    how much blocking mass the cap discarded, collected for free with
+    the first action (same instrument as lsh_candidate_pairs)."""
     if max_hamming > H.SIMHASH_BANDS - 1:
         import warnings
 
@@ -459,11 +466,7 @@ def simhash_dup_pairs(
         F.explode(H.simhash_band_structs(F.col("simhash"))).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
     bw = Window.partitionBy("band", "key")
-    bands = (
-        bands.withColumn("_bn", F.count(F.lit(1)).over(bw))
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
-    )
+    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(bw))
     # Distributed band-bucket self-join.  Two shapes were measured:
     # (a) collect_list per bucket + in-array pair expansion — computes
     #     simhash once but materializes O(|bucket|²) structs in single
@@ -475,7 +478,18 @@ def simhash_dup_pairs(
     # (b) + a lazy localCheckpoint on the bands table gets both: computed
     # once (RDD-cached at first action, MEMORY_AND_DISK), joined
     # distributed.  State is per-action scratch, proportional to |docs|×4.
+    # Checkpoint BEFORE observe/filter: checkpoint materialization runs as
+    # an RDD job that bypasses CollectMetrics, so observe must sit below.
     bands = bands.localCheckpoint(eager=False)
+    if observation is not None:
+        bands = bands.observe(
+            observation,
+            F.sum(
+                F.when(F.col("_bn") > max_bucket, 1).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+            F.count(F.lit(1)).alias("band_rows"),
+        )
+    bands = bands.filter(F.col("_bn") <= max_bucket).drop("_bn")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

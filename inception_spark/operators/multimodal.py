@@ -439,9 +439,14 @@ def probe_wav_meta(
     channels = _le16(23)
     bps = _le16(35)
     data_bytes = _le32(41)
-    dur_ms = F.floor(
-        data_bytes * F.lit(8000) / (rate * channels * bps)
-    ).cast("long")
+    # a file can carry valid RIFF/WAVE/data magics with zeroed fmt fields;
+    # under ANSI mode the division would throw, so gate on a positive
+    # denominator and emit NULL duration for such degenerate headers
+    byte_rate = rate * channels * bps
+    dur_ms = F.when(
+        byte_rate > 0,
+        F.floor(data_bytes * F.lit(8000) / byte_rate).cast("long"),
+    )
     return df.withColumn(
         "media_meta",
         F.struct(

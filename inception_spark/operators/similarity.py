@@ -174,7 +174,18 @@ def knn_join(
     """Batch k-NN join: for every query row, its top-k corpus neighbors by
     cosine.  ``block_on=(q_col, c_col)`` restricts candidates to matching
     blocks (otherwise a full cross join — only for small corpora or after
-    LSH bucketing both sides)."""
+    LSH bucketing both sides; an explicit warning marks the opt-in, same
+    precedent as simhash_dup_pairs' heuristic-recall warning)."""
+    if block_on is None:
+        import warnings
+
+        warnings.warn(
+            "knn_join(block_on=None) computes a FULL |queries|x|corpus| "
+            "cross join — O(n*m) dot products in one unblocked stage. "
+            "Fine for small corpora; at scale, block both sides first "
+            "(LSH bucket or label) and pass block_on=(q_col, c_col)",
+            stacklevel=2,
+        )
     cond = (
         F.col(f"q.{block_on[0]}") == F.col(f"c.{block_on[1]}")
         if block_on
