@@ -64,6 +64,10 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_topk",
     "knn_label_join",
+    # r4+: chunk_documents runs on an 8x multi-sentence amplification of
+    # the fixture (the price of a full recursive-CTE oracle over the
+    # splitter+fold) — ~5x the r2 timing by construction, not regression;
+    # raw-document chunk+embed throughput is what embed_documents times.
     "chunk_documents",
     "embed_documents",
 ]
