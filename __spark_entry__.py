@@ -827,6 +827,48 @@ def _q_dedup_keep_heads(spark, sf_dir):
     return D.keep_component_heads(docs, comps).select("doc_id")
 
 
+def _q_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN probe — integer scores, so the oracle
+    match needs no rounding discipline at all."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.sq_topk(emb, list(qv), k=10)
+    return out.select(
+        "vec_id", "qdot", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_embed_delta(spark, sf_dir):
+    """Recrawl scenario over the single-chunk fixture regime: a prior run
+    embedded docs with doc_id%10 != 7; the new crawl revises docs with
+    doc_id%10 == 3 (appended text changes the chunk fingerprint) and adds
+    the %10 == 7 docs.  embed_documents_delta must carry 80% of chunks
+    (fresh=false, stored embeddings reused) and embed only the 20% delta."""
+    _ensure_workers_can_import(spark)
+    eng = EmbeddingEngine(spark)
+    old = (
+        _docs(spark, sf_dir)
+        .filter("doc_id % 10 != 7")
+        .selectExpr("doc_id AS id", "text")
+    )
+    existing = eng.embed_documents(old).withColumn("chunk_md5", F.md5("chunk"))
+    new = _docs(spark, sf_dir).selectExpr(
+        "doc_id AS id",
+        "CASE WHEN doc_id % 10 = 3 THEN concat(text, ' revised') "
+        "ELSE text END AS text",
+    )
+    out = eng.embed_documents_delta(new, existing)
+    return out.select(
+        "doc_id",
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        "chunk_md5",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "fresh",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(V.norm(F.col("embedding")), 4).alias("vec_norm"),
+    )
+
+
 #: Deterministic sentence-ification of the punctuation-free documents
 #: fixture, applied identically in Spark and the DuckDB oracle: each doc
 #: becomes 8 repetitions of "Begin <text with ' the '→'. The '>. ", i.e.
@@ -1003,6 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver window boundary (50 entries above) -------------------
         "clean_text": _q_clean_text,
         "validate_text": _q_validate_text,
+        # round-4 additions (post-window this round; rotate in next round)
+        "sq_topk": _q_sq_topk,
+        "embed_delta": _q_embed_delta,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -2047,6 +2092,57 @@ SELECT doc_id,
        CAST(1.0 AS DOUBLE) AS vec_norm
 FROM documents
 WHERE length(text) >= 1 AND length(text) <= 10000000 AND trim(text) <> ''
+""",
+        # integer quantized dot products: no float summation anywhere, so
+        # the scores and selected set match bit-for-bit with zero rounding
+        "sq_topk": """
+WITH s AS (
+  SELECT CAST(127.0 AS DOUBLE) /
+         max(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))))) AS scale
+  FROM embeddings),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT list_transform(qv, x -> greatest(-127, least(127,
+             CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS qqv
+       FROM q, s),
+enc AS (SELECT vec_id,
+               list_transform(embedding, x -> greatest(-127, least(127,
+                   CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS cq
+        FROM embeddings, s),
+sc AS (SELECT vec_id,
+              CAST(list_sum(list_transform(list_zip(cq, qqv),
+                   p -> p[1] * p[2])) AS BIGINT) AS qdot
+       FROM enc, qq)
+SELECT vec_id, qdot,
+       CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
+FROM sc QUALIFY rank <= 10
+""",
+        # single-chunk regime (see embed_documents): prior run = %10 != 7,
+        # revision = %10 == 3 → fresh iff revised-or-new, carried otherwise
+        "embed_delta": f"""
+WITH newc AS (
+  SELECT doc_id,
+         trim(CASE WHEN doc_id % 10 = 3 THEN text || ' revised'
+                   ELSE text END) AS chunk
+  FROM documents
+  WHERE length(CASE WHEN doc_id % 10 = 3 THEN text || ' revised'
+                    ELSE text END) BETWEEN 1 AND 10000000
+    AND trim(text) <> ''),
+old AS (
+  SELECT doc_id, md5(trim(text)) AS m
+  FROM documents
+  WHERE doc_id % 10 != 7
+    AND length(text) BETWEEN 1 AND 10000000 AND trim(text) <> '')
+SELECT n.doc_id,
+       CAST(1 AS BIGINT) AS chunk_number,
+       md5(n.chunk) AS chunk_md5,
+       CAST(length(regexp_extract_all(n.chunk, '{TOKEN_PATTERN_SQL}')) + 6
+            AS BIGINT) AS n_tokens,
+       (o.m IS NULL) AS fresh,
+       CAST(768 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS vec_norm
+FROM newc n LEFT JOIN old o
+  ON n.doc_id = o.doc_id AND md5(n.chunk) = o.m
 """,
     }
 

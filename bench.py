@@ -62,6 +62,7 @@ HEADLINE = [
     "winnowing_overlap_pairs",
     "embedding_dup_pairs",
     "cosine_topk",
+    "sq_topk",  # r4+: int8 scalar-quantized probe (integer scores)
     "ann_lsh_topk",
     "knn_label_join",
     # r4+: chunk_documents runs on an 8x multi-sentence amplification of

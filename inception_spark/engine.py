@@ -265,6 +265,49 @@ class EmbeddingEngine:
         embed = self._embed_udf(self.config.lead_document)
         return chunks.withColumn("embedding", embed(F.col("chunk")))
 
+    def embed_documents_delta(
+        self,
+        df: DataFrame,
+        existing: DataFrame,
+        *,
+        validate: str = "quarantine",
+    ) -> DataFrame:
+        """Incremental /embed/batch: the recrawl path.
+
+        Chunk everything (cheap), then embed ONLY the chunks not already
+        present in ``existing`` — a prior run's output with at least
+        (doc_id, chunk_md5, embedding).  At 100 TB recrawl scale ~99% of
+        chunks are unchanged, and the encoder (the dominant cost by
+        orders of magnitude) runs on just the delta; the price is one
+        (doc_id, chunk_md5)-keyed hash join.  Carried rows reuse the
+        stored embedding; stale rows in ``existing`` (chunks the new
+        corpus no longer produces) drop out via the join direction.
+
+        Returns CHUNK_EMBEDDINGS + ``fresh`` boolean.  ``existing`` is
+        deduped on (doc_id, chunk_md5) first: the encoder is a pure
+        function of chunk text, so any stored row with the same
+        fingerprint carries the same embedding and the survivor choice
+        cannot affect results.
+        """
+        self.metrics.record_request("batch")
+        good, _bad = self.validate_documents(df, mode=validate)
+        chunks = self.chunk(good).withColumn("chunk_md5", F.md5("chunk"))
+        ex = existing.select(
+            "doc_id", "chunk_md5", F.col("embedding").alias("_prev_emb")
+        ).dropDuplicates(["doc_id", "chunk_md5"])
+        joined = chunks.join(ex, ["doc_id", "chunk_md5"], "left")
+        carried = joined.filter(F.col("_prev_emb").isNotNull()).select(
+            *chunks.columns,
+            F.col("_prev_emb").alias("embedding"),
+            F.lit(False).alias("fresh"),
+        )
+        todo = joined.filter(F.col("_prev_emb").isNull()).drop("_prev_emb")
+        embed = self._embed_udf(self.config.lead_document)
+        fresh = todo.withColumn("embedding", embed(F.col("chunk"))).withColumn(
+            "fresh", F.lit(True)
+        )
+        return carried.unionByName(fresh)
+
     def embed_text(self, text: str) -> DataFrame:
         """Single raw-text document (id=0, reference routes/embedding.py:78)."""
         validate_text_length_py(

@@ -352,3 +352,90 @@ def ivf_topk(
         id_col,
     )
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (FAISS-SQ8 shape) — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+def sq_scale(df, *, vec_col: str = "embedding"):
+    """Corpus-wide symmetric quantization scale: ``127 / max(|x|)``.
+
+    One scalar max aggregate (exact — no summation-order sensitivity),
+    broadcast back over the corpus.  Returns a 1-row DataFrame
+    ``(scale double)``."""
+    maxabs = F.max(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    )
+    return df.agg(
+        F.when(maxabs > 0.0, F.lit(127.0) / maxabs).alias("scale")
+    )
+
+
+def _sq_quant(vec, scale):
+    """floor(x*scale + 0.5) clamped to [-127, 127] — explicit half-up
+    rounding (identical in Spark, DuckDB, and Python for negatives, where
+    the engines' ``round`` builtins disagree)."""
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+
+
+def sq_encode(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: (id, qvec array<int>, scale).
+
+    100 TB rationale: the ANN scan is memory-bandwidth-bound; int8 codes
+    cut bytes-per-vector 4× vs float32 (and the integer dot products stay
+    in codegen).  The scale is a broadcast scalar — the crossJoin below
+    is a broadcast of a 1-row aggregate, the same shape as the corpus-
+    stats joins in plans/relational.py, never a real cartesian."""
+    s = sq_scale(df, vec_col=vec_col)
+    return df.crossJoin(F.broadcast(s)).select(
+        F.col(id_col),
+        _sq_quant(F.col(vec_col), F.col("scale")).alias("qvec"),
+        F.col("scale"),
+    )
+
+
+def sq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by INTEGER quantized dot product: (vec_id, qdot, rank).
+
+    The query is quantized with the corpus scale inside the plan, so the
+    whole operator is one scan + TakeOrderedAndProject — and because the
+    ranking key is an exact integer (no float summation anywhere), the
+    selected set and scores are bit-identical across engines and
+    partitionings with NO rounding step.  Recipe at scale: take top-3k
+    by qdot, exactly rerank that short list with float cosine."""
+    q = _query_vec_col(query_vec)
+    enc = sq_encode(df, id_col=id_col, vec_col=vec_col)
+    scored = enc.select(
+        F.col(id_col).alias("vec_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"),
+                _sq_quant(q, F.col("scale")),
+                lambda a, b: a.cast("long") * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0).cast("long")),
+        ).alias("qdot"),
+    )
+    top = scored.orderBy(F.desc("qdot"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -188,3 +188,18 @@ def test_pagerank_iteration_no_cartesian(spark):
     )
     p = plan_of(pagerank(edges, n_iter=2))
     assert "CartesianProduct" not in p
+
+
+def test_sq_topk_all_jvm_take_ordered(spark):
+    """Quantized ANN: encode + integer dot + top-k must stay entirely in
+    codegen (no Python UDF), use TakeOrderedAndProject (never a global
+    sort/window over all scored rows), and broadcast the 1-row scale."""
+    from inception_spark.operators.similarity import sq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    p = plan_of(sq_topk(emb, list(qv), k=10))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p  # scale joins via broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

@@ -1,0 +1,133 @@
+"""Round-4 additions: int8 scalar quantization ANN + incremental embedding.
+
+sq_encode/sq_topk: the memory-bound ANN scale path (4x scan reduction,
+integer scores — exact across engines with no rounding discipline).
+embed_documents_delta: the recrawl path (embed only chunks whose
+(doc_id, chunk_md5) is new; carry stored embeddings otherwise).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.engine import EmbeddingEngine
+from inception_spark.operators.similarity import (
+    cosine_topk,
+    sq_encode,
+    sq_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_sq_encode_range_and_scale(emb):
+    enc = sq_encode(emb).collect()
+    assert all(-127 <= v <= 127 for r in enc for v in r["qvec"])
+    scales = {r["scale"] for r in enc}
+    assert len(scales) == 1  # one corpus-wide scale, broadcast
+    # at least one component must hit the clamp boundary (the max element)
+    assert any(abs(v) == 127 for r in enc for v in r["qvec"])
+
+
+def test_sq_topk_approximates_exact_cosine(emb):
+    qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, list(qv), k=10).collect()]
+    quant = [r["vec_id"] for r in sq_topk(emb, list(qv), k=10).collect()]
+    # int8 over 16-dim gaussians: the top result must survive quantization
+    # and the top-10 sets should overlap heavily
+    assert quant[0] == exact[0] == 0
+    assert len(set(exact) & set(quant)) >= 7
+
+
+def test_sq_topk_integer_scores_partitioning_independent(emb):
+    qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    a = sq_topk(emb, list(qv), k=10).collect()
+    b = sq_topk(emb.repartition(13), list(qv), k=10).collect()
+    assert [(r["vec_id"], r["qdot"]) for r in a] == [
+        (r["vec_id"], r["qdot"]) for r in b
+    ]
+    assert all(isinstance(r["qdot"], int) for r in a)
+
+
+def test_sq_quant_half_up_rounding_matches_duckdb(spark):
+    """floor(x*scale+0.5) on negative midpoints: Spark, DuckDB, and the
+    docstring must agree (builtin round() differs between engines)."""
+    vals = [-2.5, -1.5, -0.5, 0.5, 1.5, 2.5]
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in vals])], "vec_id long, embedding array<float>"
+    )
+    # scale -> 127/2.5 ; q = floor(v*scale+0.5)
+    enc = sq_encode(df).collect()[0]
+    duck = duckdb.sql(
+        """
+        WITH s AS (SELECT CAST(127.0 AS DOUBLE) / 2.5 AS scale)
+        SELECT list_transform(
+            [-2.5, -1.5, -0.5, 0.5, 1.5, 2.5],
+            x -> greatest(-127, least(127,
+                 CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))))
+        FROM s
+        """
+    ).fetchone()[0]
+    assert list(enc["qvec"]) == [int(v) for v in duck]
+
+
+def test_embed_delta_carries_and_embeds(spark):
+    eng = EmbeddingEngine(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta"),
+            (2, "echo foxtrot golf hotel"),
+            (3, "india juliet kilo lima"),
+        ],
+        "id long, text string",
+    )
+    existing = eng.embed_documents(docs.filter("id < 3")).withColumn(
+        "chunk_md5", F.md5("chunk")
+    )
+    # doc 2 revised, doc 3 brand-new, doc 1 untouched
+    new = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta"),
+            (2, "echo foxtrot golf hotel REVISED"),
+            (3, "india juliet kilo lima"),
+        ],
+        "id long, text string",
+    )
+    out = eng.embed_documents_delta(new, existing)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["fresh"] is False
+    assert rows[2]["fresh"] is True and rows[3]["fresh"] is True
+    # carried embedding is byte-identical to the stored one
+    stored = existing.filter("doc_id = 1").collect()[0]["embedding"]
+    assert list(rows[1]["embedding"]) == list(stored)
+    # fresh embedding matches what a full re-embed would produce
+    full = {
+        r["doc_id"]: r["embedding"]
+        for r in eng.embed_documents(new).collect()
+    }
+    assert list(rows[2]["embedding"]) == list(full[2])
+
+
+def test_embed_delta_drops_stale_rows(spark):
+    """Chunks the new corpus no longer produces must not appear."""
+    eng = EmbeddingEngine(spark)
+    old_docs = spark.createDataFrame(
+        [(1, "old text gone now"), (2, "kept text")], "id long, text string"
+    )
+    existing = eng.embed_documents(old_docs).withColumn(
+        "chunk_md5", F.md5("chunk")
+    )
+    new = spark.createDataFrame([(2, "kept text")], "id long, text string")
+    out = eng.embed_documents_delta(new, existing)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    assert out.collect()[0]["fresh"] is False
