@@ -3,9 +3,9 @@
 Extends the engine beyond the reference's text-only surface (per the build
 brief): the Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 UDF signatures — is real and tested.  Decoding is REAL where zero-dependency
-codecs exist — uncompressed BMP (native codec below) and 16-bit PCM WAV
-(stdlib ``wave``) decode, re-encode, resize/resample and featurize with
-actual pixels/samples; compressed formats (JPEG/MP3/MP4) stay behind
+codecs exist — uncompressed BMP, binary netpbm (P6 PPM / P5 PGM), and
+16-bit PCM WAV (stdlib ``wave``) decode, re-encode, resize/resample and
+featurize with actual pixels/samples; compressed formats (JPEG/MP3/MP4) stay behind
 ``DecoderUnavailable`` with a deterministic fake used by tests (this
 container has no PIL/ffmpeg).
 
@@ -169,11 +169,55 @@ def probe_bmp_dims(
     )
 
 
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P6 RGB / P5 grayscale) → (h, w, 3) uint8 RGB.
+
+    Second zero-dependency image codec next to BMP: magic, then
+    whitespace/``#``-comment-separated width/height/maxval tokens, one
+    whitespace byte, then raw samples.  Grayscale replicates to 3
+    channels so every native decoder feeds the same (h, w, 3) contract."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise DecoderUnavailable("not a binary netpbm payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise DecoderUnavailable("truncated netpbm header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from samples
+    w, h, maxval = vals
+    if maxval > 255:
+        raise DecoderUnavailable("16-bit netpbm does not decode natively")
+    nch = 3 if payload[:2] == b"P6" else 1
+    arr = np.frombuffer(
+        payload, np.uint8, count=w * h * nch, offset=pos
+    ).reshape(h, w, nch)
+    if nch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return np.ascontiguousarray(arr)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary P6 PPM bytes."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode: native BMP first; PIL fallback for compressed formats
-    when installed; DecoderUnavailable otherwise."""
+    """Real decode: native BMP / binary netpbm first; PIL fallback for
+    compressed formats when installed; DecoderUnavailable otherwise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_netpbm(payload)
     try:
         import io
 

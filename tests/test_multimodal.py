@@ -273,3 +273,62 @@ def test_extract_audio_features_real_and_resample(spark):
     res = resample_audio(df, rate=4000, fake=False).collect()
     y, rate = decode_wav(bytes(res[0]["payload"]))
     assert rate == 4000 and abs(len(y) - 1000) <= 1
+
+
+def test_netpbm_roundtrip_and_gray_replication():
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        decode_netpbm,
+        encode_ppm,
+    )
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_netpbm(encode_ppm(img)) == img).all()
+    # header comments + extra whitespace parse like the spec says
+    p6 = b"P6\n# a comment\n 3 2\n255\n" + img.tobytes()
+    assert (decode_netpbm(p6) == img).all()
+    # P5 grayscale replicates to (h, w, 3)
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    p5 = b"P5\n3 2\n255\n" + gray.tobytes()
+    out = decode_netpbm(p5)
+    assert out.shape == (2, 3, 3)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 1] == gray).all()
+
+
+def test_netpbm_16bit_refused():
+    import pytest as _pytest
+
+    from inception_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_netpbm,
+    )
+
+    with _pytest.raises(DecoderUnavailable):
+        decode_netpbm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_resize_images_accepts_ppm_input(spark):
+    """decode_image dispatches netpbm natively, so the real (fake=False)
+    resize path works on PPM payloads end to end."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_bmp,
+        encode_ppm,
+        resize_images,
+    )
+
+    img = np.random.RandomState(0).randint(0, 255, (8, 6, 3), np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "id long, payload binary"
+    )
+    out = resize_images(
+        attach_media_meta(df, modality="image", mime="image/x-portable-pixmap"),
+        width=3,
+        height=4,
+        fake=False,
+    ).collect()[0]
+    got = decode_bmp(bytes(out["payload"]))  # re-encoded as BMP
+    assert got.shape == (4, 3, 3)
