@@ -105,6 +105,23 @@ def split_text_into_chunks(
     return chunks
 
 
+class _CountCachedTokenizer:
+    """RegexTokenizer with an LRU cache on ``count`` — boilerplate
+    sentences (headers, disclaimers, repeated paragraphs) recur heavily
+    in real corpora, and the chunker counts each sentence at least once
+    plus once per overlap join; caching turns the repeats into dict hits.
+    ``truncate`` stays uncached (rare path, returns big strings)."""
+
+    def __init__(self, maxsize: int = 4096):
+        from functools import lru_cache
+
+        self._tok = RegexTokenizer()
+        self.count = lru_cache(maxsize=maxsize)(self._tok.count)
+
+    def truncate(self, text: str, max_tokens: int) -> str:
+        return self._tok.truncate(text, max_tokens)
+
+
 def make_chunk_udf(config: EngineConfig = DEFAULT_CONFIG):
     """Arrow-vectorized ``text → array<string>`` chunker UDF.
 
@@ -118,7 +135,7 @@ def make_chunk_udf(config: EngineConfig = DEFAULT_CONFIG):
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def chunk_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        tok = RegexTokenizer()  # per-worker singleton (O4)
+        tok = _CountCachedTokenizer()  # per-worker singleton (O4)
         for s in batches:
             yield s.map(
                 lambda t: split_text_into_chunks(
