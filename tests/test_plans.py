@@ -203,3 +203,31 @@ def test_sq_topk_all_jvm_take_ordered(spark):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p  # scale joins via broadcast
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_registry_udf_free_entries_have_no_python_eval(spark):
+    """Repo-wide pin of the 'stay JVM-side' rule: every registry entry
+    outside the known Python-UDF families (embedding pipeline, streaming
+    bridges, which materialize via foreachBatch) must compile to a plan
+    with no Python evaluation nodes."""
+    import __spark_entry__ as entry_mod
+
+    UDF_FAMILIES = {
+        # the encoder/chunker ARE pandas UDFs — that's their design
+        "chunk_documents", "embed_documents", "embed_delta",
+        # streaming bridges execute eagerly inside the builder
+        "streaming_events_hourly", "streaming_sessionization",
+        "streaming_exact_dedup", "streaming_interval_join",
+        # bounded applyInPandas block grid (documented hot-block path)
+        "embedding_dup_pairs",
+    }
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        if name in UDF_FAMILIES:
+            continue
+        plan = plan_of(fn(spark, SF))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == [], (
+        f"Python eval nodes in supposedly JVM-only plans: {offenders}"
+    )
