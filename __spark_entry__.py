@@ -869,6 +869,65 @@ def _q_embed_delta(spark, sf_dir):
     )
 
 
+def _q_learn_bpe(spark, sf_dir):
+    """First 10 BPE merges learned from the documents corpus — integer
+    pair counts + binary-collation tie-breaks, so the learned merge
+    table hash-matches the DuckDB replay exactly."""
+    from inception_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=10)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of learn_bpe_merges: each iteration unrolled as a
+    CTE chain (symbols → adjacent-pair counts → argmax → literal
+    delimiter replace).  'left'/'right' are aliased l/r internally
+    (reserved words) and quoted only in the final projection."""
+    ctes = [
+        """
+w0 AS (
+  SELECT '|' || array_to_string(string_split(w, ''), '||') || '|' AS repr,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE w <> '' AND w NOT LIKE '%|%'
+  GROUP BY w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = i - 1
+        ctes.append(f"""
+s{i} AS (
+  SELECT string_split(substring(repr, 2, length(repr) - 2), '||') AS syms,
+         freq
+  FROM w{prev}),
+e{i} AS (
+  SELECT syms, freq,
+         unnest(generate_series(1, length(syms) - 1)) AS u
+  FROM s{i}),
+p{i} AS (
+  SELECT syms[u] AS l, syms[u + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM e{i} GROUP BY 1, 2),
+b{i} AS (
+  SELECT CAST({i} AS BIGINT) AS merge_rank, l, r, pair_count
+  FROM p{i} ORDER BY pair_count DESC, l, r LIMIT 1),
+w{i} AS (
+  SELECT replace(repr, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS repr, freq
+  FROM w{prev}, b{i} b)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, l, r, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT merge_rank, l AS "left", r AS "right", l || r AS merged, pair_count
+FROM ({union})
+"""
+    )
+
+
 #: Deterministic sentence-ification of the punctuation-free documents
 #: fixture, applied identically in Spark and the DuckDB oracle: each doc
 #: becomes 8 repetitions of "Begin <text with ' the '→'. The '>. ", i.e.
@@ -1048,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (post-window this round; rotate in next round)
         "sq_topk": _q_sq_topk,
         "embed_delta": _q_embed_delta,
+        "learn_bpe": _q_learn_bpe,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -2144,6 +2204,7 @@ SELECT n.doc_id,
 FROM newc n LEFT JOIN old o
   ON n.doc_id = o.doc_id AND md5(n.chunk) = o.m
 """,
+        "learn_bpe": _bpe_oracle_sql(10),
     }
 
 

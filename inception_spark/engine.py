@@ -296,6 +296,10 @@ class EmbeddingEngine:
             "doc_id", "chunk_md5", F.col("embedding").alias("_prev_emb")
         ).dropDuplicates(["doc_id", "chunk_md5"])
         joined = chunks.join(ex, ["doc_id", "chunk_md5"], "left")
+        # the carried/fresh branches both consume `joined`; without a
+        # lineage cut the chunker UDF and the join would execute TWICE
+        # (once per branch) — checkpoint so chunking runs once
+        joined = joined.localCheckpoint(eager=False)
         carried = joined.filter(F.col("_prev_emb").isNotNull()).select(
             *chunks.columns,
             F.col("_prev_emb").alias("embedding"),
