@@ -2208,29 +2208,16 @@ FROM newc n LEFT JOIN old o
     }
 
 
-#: Abbreviation alternation for the oracle's sentence-splitter twin —
-#: mirrors inception_spark.sentences._ABBREVS plus the single-letter
-#: initials rule ([a-z] arm).  Multi-dot entries spelled with escaped dots.
-_ABBREV_SQL = (
-    r"mr|mrs|ms|dr|prof|rev|hon|jr|sr|st|v|vs|etc|e\.g|i\.e|cf|al|inc|ltd|co"
-    r"|corp|no|nos|vol|ch|sec|fig|art|approx|dept|est|jan|feb|mar|apr|jun|jul"
-    r"|aug|sep|sept|oct|nov|dec|u\.s|u\.s\.a|d\.c|f\.supp|f\.2d|f\.3d|s\.ct"
-    r"|l\.ed|u\.k|p\.m|a\.m|[a-z]"
-)
-
-
 def _chunk_oracle_sql() -> str:
     """Recursive-CTE DuckDB twin of the chunker pipeline
     (sentences.split_sentences + chunking.split_text_into_chunks).
 
-    Stage 1 (splitter): protect abbreviation/initial periods with '#',
-    mark sentence boundaries (punct run + optional closing quotes +
-    whitespace + opener) with '@' — neither char can occur in the corpus
-    alphabet ([a-z ] plus the inserted '. The'/'. Begin') — then split,
-    restore dots, trim, drop empties.  RE2 has no lookahead, so the
-    boundary's opener is captured and re-inserted; safe because
-    consecutive boundaries are ≥3 chars apart and an opener char can
-    never start a boundary match.
+    Stage 1 (splitter): the general staged-rewriting twin from
+    sentences.split_sentences_sql — abbreviation/initial protection with
+    whole-word guards, punct-run suppression, boundary marking without
+    lookahead; fuzz-proven equivalent to the Python splitter
+    (tests/test_sentences_sql_parity.py).  Its sentinel characters are
+    pinned absent from the corpus by the fixture content contract.
 
     Stage 2 (fold): one recursion step per sentence; state = (current
     chunk sentence-list, running token count incl. 6 lead tokens, emitted
@@ -2239,6 +2226,8 @@ def _chunk_oracle_sql() -> str:
     substring semantics: tokens never contain whitespace, so
     whitespace-inclusive token matches concatenate back to the exact
     original prefix."""
+    from inception_spark.sentences import split_sentences_sql
+
     TOK = TOKEN_PATTERN_SQL
     trunc = (
         "array_to_string(list_slice(regexp_extract_all(ss[i+1],"
@@ -2255,17 +2244,7 @@ docs2 AS (
   SELECT doc_id, {_CHUNK_AMPLIFY_SQL} AS t FROM documents
 ),
 sents AS (
-  SELECT doc_id,
-         list_filter(
-           list_transform(
-             string_split(
-               regexp_replace(
-                 regexp_replace(t, '(?i)\\b({_ABBREV_SQL})\\.', '\\1#', 'g'),
-                 '([.!?]+["'')\\]]*)[ \\t\\n\\r\\f]+(["''(\\[]?[A-Z0-9])',
-                 '\\1@\\2', 'g'),
-               '@'),
-             s -> trim(replace(s, '#', '.'))),
-           s -> s <> '') AS ss
+  SELECT doc_id, {split_sentences_sql('t')} AS ss
   FROM docs2
 ),
 sl AS (

@@ -106,3 +106,65 @@ def default_sentence_splitter():
         return nltk_sentences
     except ImportError:
         return split_sentences
+
+
+# --- DuckDB twin -----------------------------------------------------------
+
+#: Longest-first so RE2's leftmost-first alternation picks the full
+#: multi-dot abbreviation before its prefix (u.s.a before u.s before v).
+ABBREV_SQL = (
+    r"u\.s\.a|u\.s|u\.k|d\.c|f\.supp|f\.2d|f\.3d|s\.ct|l\.ed|p\.m|a\.m"
+    r"|e\.g|i\.e"
+    r"|mrs|ms|mr|dr|prof|rev|hon|jr|sr|st|vs|v|etc|cf|al|inc|ltd|co|corp"
+    r"|nos|no|vol|ch|sec|fig|art|approx|dept|est"
+    r"|jan|feb|mar|apr|jun|jul|aug|sept|sep|oct|nov|dec"
+    r"|[A-Za-z]"
+)
+
+
+def split_sentences_sql(expr: str) -> str:
+    """DuckDB list-of-sentences twin of :func:`split_sentences`.
+
+    RE2 has no lookaround, so the algorithm is staged rewriting with
+    sentinel characters ('#' for a suppressed '.', \\x02 for '!', \\x03
+    for '?', '@' for a sentence boundary — all of which must be absent
+    from the input; the fixture content contract pins that):
+
+    1. protect abbreviation/initial final-dots, guarded by
+       ``(^|[^A-Za-z.])`` so the token before the dot is a WHOLE word —
+       the mirror of _WORD_BEFORE's maximal letters-and-dots run;
+    2. three extension passes suppress the rest of a punctuation run
+       that follows a protected dot ('etc..', 'etc.!' — Python skips the
+       entire run when it starts with an abbreviation dot); bounded, so
+       runs of >4 marks after an abbreviation would diverge (unseen in
+       any realistic corpus, and the parity fuzz test caps there);
+    3. mark boundaries (punct run + closing quotes + whitespace +
+       opener), re-inserting the captured opener since consecutive
+       boundaries never overlap;
+    4. split on the marker, restore sentinels, trim the ASCII whitespace
+       set Python's strip() uses (DuckDB's bare trim removes only
+       spaces), drop empties.
+
+    Known divergence: Python ``\\s`` is Unicode-aware; this twin handles
+    ASCII whitespace only.  Verified equivalent on 4000 fuzz cases
+    (tests/test_sentences_sql_parity.py).
+    """
+    out = (
+        f"regexp_replace({expr}, '(^|[^A-Za-z.])((?i:{ABBREV_SQL}))\\.', "
+        "'\\1\\2#', 'g')"
+    )
+    for _ in range(3):
+        out = f"regexp_replace({out}, e'([#\\x02\\x03])\\\\.', e'\\\\1#', 'g')"
+        out = f"regexp_replace({out}, e'([#\\x02\\x03])!', e'\\\\1\\x02', 'g')"
+        out = f"regexp_replace({out}, e'([#\\x02\\x03])\\\\?', e'\\\\1\\x03', 'g')"
+    out = (
+        f"regexp_replace({out}, "
+        "'([.!?]+[\"'')\\]]*)[ \\t\\n\\r\\f\\x0B]+([\"''(\\[]?[A-Z0-9])', "
+        "'\\1@\\2', 'g')"
+    )
+    return (
+        f"list_filter(list_transform(string_split({out}, '@'), "
+        "s -> trim(replace(replace(replace(s, '#', '.'), "
+        "e'\\x02', '!'), e'\\x03', '?'), e' \\t\\n\\r\\x0B\\x0C')), "
+        "s -> s <> '')"
+    )
