@@ -827,6 +827,18 @@ def _q_dedup_keep_heads(spark, sf_dir):
     return D.keep_component_heads(docs, comps).select("doc_id")
 
 
+def _q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH at r=1: recall dial over the single-bucket probe,
+    same deterministic hyperplanes, oracle replays the
+    bit_count(xor) <= 1 predicate verbatim."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.ann_lsh_multiprobe_topk(emb, list(qv), k=10, probe_hamming=1)
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_sq_topk(spark, sf_dir):
     """Int8 scalar-quantized ANN probe — integer scores, so the oracle
     match needs no rounding discipline at all."""
@@ -1108,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": _q_sq_topk,
         "embed_delta": _q_embed_delta,
         "learn_bpe": _q_learn_bpe,
+        "ann_multiprobe_topk": _q_ann_multiprobe,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -2205,6 +2218,19 @@ FROM newc n LEFT JOIN old o
   ON n.doc_id = o.doc_id AND md5(n.chunk) = o.m
 """,
         "learn_bpe": _bpe_oracle_sql(10),
+        "ann_multiprobe_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_bucket_sql('qv')} AS qbucket FROM q),
+b AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+s AS (SELECT vec_id, round({V.cosine_sql('embedding', 'qv')}, 6) AS score
+      FROM b, q, qb
+      WHERE bit_count(xor(CAST(b.bucket AS BIGINT),
+                          CAST(qb.qbucket AS BIGINT))) <= 1)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+""",
     }
 
 

@@ -5,8 +5,9 @@
   + one ``row_number`` (or a driver-side ``takeOrdered``-style limit).
   At 100 TB this is a full scan — right answer, bounded memory, one pass.
 * :func:`ann_lsh_topk` — the scale path: random-hyperplane (sign) LSH
-  bucketing.  Probes only the query's bucket (plus optional multi-probe
-  neighbors), so the scan touches ~1/2^bits of the data.  Hyperplanes are
+  bucketing.  Probes only the query's bucket, so the scan touches
+  ~1/2^bits of the data; :func:`ann_lsh_multiprobe_topk` widens the probe
+  to buckets within r bit flips (the recall dial).  Hyperplanes are
   generated from a fixed seed and inlined as literals, which keeps the
   operator deterministic and lets the DuckDB oracle replay it exactly.
 * :func:`knn_join` — batch k-NN: every query row gets its top-k neighbors
@@ -113,6 +114,40 @@ def ann_lsh_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def ann_lsh_multiprobe_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 2024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: exact top-k over every bucket within
+    ``probe_hamming`` bit flips of the query's bucket.
+
+    The standard recall/cost dial for hyperplane LSH — a near neighbor
+    that lands one sign-flip away is recovered by probing the 1 + bits
+    adjacent buckets (scan fraction ≈ (1+bits)/2^bits at r=1) instead of
+    re-hashing with more tables.  The probe set is expressed as a single
+    ``bit_count(bucket XOR q) <= r`` predicate: one scan, JVM-side, and
+    replayable verbatim in DuckDB (bit_count(xor(...)))."""
+    planes = lsh_hyperplanes(len(query_vec), bits=bits, seed=seed)
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket_expr(F.col(vec_col), planes)
+    )
+    qbits = query_bucket(planes, query_vec)
+    cand = bucketed.filter(
+        F.bit_count(
+            F.col("bucket").bitwiseXOR(F.lit(qbits).cast("long"))
+        )
+        <= probe_hamming
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def write_bucketed_embeddings(

@@ -131,3 +131,32 @@ def test_embed_delta_drops_stale_rows(spark):
     out = eng.embed_documents_delta(new, existing)
     assert [r["doc_id"] for r in out.collect()] == [2]
     assert out.collect()[0]["fresh"] is False
+
+
+def test_multiprobe_recall_superset_of_single_bucket(emb):
+    from inception_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+        ann_lsh_topk,
+    )
+
+    qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, list(qv), k=10).collect()]
+    single = [r["vec_id"] for r in ann_lsh_topk(emb, list(qv), k=10).collect()]
+    multi = [
+        r["vec_id"]
+        for r in ann_lsh_multiprobe_topk(
+            emb, list(qv), k=10, probe_hamming=1
+        ).collect()
+    ]
+    # r=1 probing scans a strict superset of the query bucket, so recall
+    # against the exact answer can only improve
+    assert len(set(multi) & set(exact)) >= len(set(single) & set(exact))
+    assert multi[0] == 0  # the query row itself always survives
+    # r=bits degenerates to the exact scan
+    full = [
+        r["vec_id"]
+        for r in ann_lsh_multiprobe_topk(
+            emb, list(qv), k=10, probe_hamming=8
+        ).collect()
+    ]
+    assert full == exact
