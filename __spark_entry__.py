@@ -850,6 +850,16 @@ def _q_sq_topk(spark, sf_dir):
     )
 
 
+def _q_sq_rerank(spark, sf_dir):
+    """Quantized prescan (top-50 by int8 qdot) → exact cosine rerank."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.sq_topk_rerank(emb, list(qv), k=10, prescan=50)
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_embed_delta(spark, sf_dir):
     """Recrawl scenario over the single-chunk fixture regime: a prior run
     embedded docs with doc_id%10 != 7; the new crawl revises docs with
@@ -1121,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_delta": _q_embed_delta,
         "learn_bpe": _q_learn_bpe,
         "ann_multiprobe_topk": _q_ann_multiprobe,
+        "sq_topk_rerank": _q_sq_rerank,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -2189,6 +2200,35 @@ sc AS (SELECT vec_id,
 SELECT vec_id, qdot,
        CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
 FROM sc QUALIFY rank <= 10
+""",
+        "sq_topk_rerank": f"""
+WITH s AS (
+  SELECT CAST(127.0 AS DOUBLE) /
+         max(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))))) AS scale
+  FROM embeddings),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT list_transform(qv, x -> greatest(-127, least(127,
+             CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS qqv
+       FROM q, s),
+enc AS (SELECT vec_id,
+               list_transform(embedding, x -> greatest(-127, least(127,
+                   CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS cq
+        FROM embeddings, s),
+sc AS (SELECT vec_id,
+              CAST(list_sum(list_transform(list_zip(cq, qqv),
+                   p -> p[1] * p[2])) AS BIGINT) AS qdot
+       FROM enc, qq),
+short AS (
+  SELECT vec_id FROM sc
+  QUALIFY row_number() OVER (ORDER BY qdot DESC, vec_id) <= 50),
+r AS (
+  SELECT e.vec_id,
+         round({V.cosine_sql('e.embedding', 'qv')}, 6) AS score
+  FROM embeddings e JOIN short USING (vec_id), q)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+FROM r QUALIFY rank <= 10
 """,
         # single-chunk regime (see embed_documents): prior run = %10 != 7,
         # revision = %10 == 3 → fresh iff revised-or-new, carried otherwise

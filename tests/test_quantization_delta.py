@@ -160,3 +160,20 @@ def test_multiprobe_recall_superset_of_single_bucket(emb):
         ).collect()
     ]
     assert full == exact
+
+
+def test_sq_rerank_degenerates_to_exact_and_broadcasts(emb):
+    from inception_spark.operators.similarity import sq_topk_rerank
+
+    qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    exact = cosine_topk(emb, list(qv), k=10).collect()
+    rer = sq_topk_rerank(emb, list(qv), k=10, prescan=200).collect()
+    assert [(r["vec_id"], r["score"]) for r in rer] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+    plan = sq_topk_rerank(emb, list(qv), k=10, prescan=50)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # tight prescan still recovers the true top hit
+    tight = sq_topk_rerank(emb, list(qv), k=10, prescan=30).collect()
+    assert tight[0]["vec_id"] == 0
