@@ -1012,14 +1012,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 4: the embedding pipeline (first
-    oracle ever) + the round-2 operator families (streaming, sketches,
-    sampling/mixing, dedup, similarity, PII, pagerank — never
-    driver-checked).  The relational/events block (driver-green in r2/r3)
-    and text analysis (green in r3) sit after the window; the in-repo
+    with the least driver signal.  Round 5 (see ``_WINDOW_R5`` below): the
+    five round-4 additions that have never seen a driver row (sq_topk,
+    sq_topk_rerank, embed_delta, learn_bpe, ann_multiprobe_topk), any
+    operators added THIS round, the eight ``events_*`` entries repaired in
+    round 4 but last driver-checked in their broken r3 state, the two
+    round-1-era entries (clean_text/validate_text), then the
+    least-recently-checked relational block (last green r3).  Everything
+    driver-green in round 4 moves after the boundary; the in-repo
     mini-driver (tests/test_entry.py) still verifies every oracle pair at
-    sf0.001 regardless of position."""
-    return {
+    sf0.001 regardless of position.  The dict literal below keeps its
+    stable grouped-by-family order; ``_WINDOW_R5`` does the rotation at
+    return time so slot moves are one-line edits."""
+    reg = {
         # embedding pipeline — the reference's own surface; chunker fold
         # + splitter hash-verified against a recursive-CTE oracle, encoder
         # verified on its model-free projection (chunk shape, dim, norm)
@@ -1193,6 +1198,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
+    missing = [k for k in _WINDOW_R5 if k not in reg]
+    assert not missing, f"window names unknown entries: {missing}"
+    head = {k: reg[k] for k in _WINDOW_R5}
+    tail = {k: v for k, v in reg.items() if k not in head}
+    return head | tail
+
+
+# Round-5 driver-window priority order (first 50 dict entries are the
+# driver's correctness window).  Ranked by staleness of driver signal:
+#   1-5   round-4 additions — never in any driver window
+#   6-13  events_* — repaired in r4, last driver-checked broken (r3)
+#   14-15 clean_text/validate_text — last green round 1
+#   16-50 relational + tfidf — last green round 3
+# Entries added in round 5 get inserted right after slot 5; the list may
+# then exceed 50 — only the first 50 land in the window, tail order is
+# still the priority order.
+_WINDOW_R5 = [
+    "sq_topk",
+    "sq_topk_rerank",
+    "embed_delta",
+    "learn_bpe",
+    "ann_multiprobe_topk",
+    "events_hourly",
+    "events_sliding_windows",
+    "events_sessionization",
+    "events_json_stats",
+    "event_type_share",
+    "asof_event_order",
+    "event_funnel",
+    "events_cohort_retention",
+    "clean_text",
+    "validate_text",
+    "q1_pricing_summary",
+    "q2_best_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "top3_orders_per_customer",
+    "customer_running_revenue",
+    "customers_without_orders",
+    "customer_order_stats",
+    "order_priority_pivot",
+    "part_type_rollup",
+    "supplier_nation_balance",
+    "revenue_percentiles",
+    "part_size_cube",
+    "order_key_set_ops",
+    "customer_name_stats",
+    "orders_above_avg",
+    "monthly_order_stats",
+    "high_value_customers",
+    "order_price_histogram",
+    "quantity_price_corr",
+    "tfidf_top_terms",
+]
 
 
 def oracle_sql() -> dict[str, str]:
