@@ -860,6 +860,46 @@ def _q_sq_rerank(spark, sf_dir):
     )
 
 
+def _q_sq_topk_codes(spark, sf_dir):
+    """The write-once/query-many SQ8 layout end to end: int8 codes
+    materialized to parquet (write_sq_codes), probe scans codes ONLY —
+    the float column is absent from the probe's ReadSchema (pinned in
+    tests/test_plans.py).  Bit-identical to sq_topk by construction, so
+    the oracle replays the same quantization from the float table."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    path = tempfile.mkdtemp(prefix="inception_sq_codes_") + "/codes"
+    S.write_sq_codes(emb, path)
+    out = S.sq_topk_over_codes(spark, path, list(qv), k=10)
+    return out.select(
+        "vec_id", "qdot", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_ann_multiprobe_pruned(spark, sf_dir):
+    """Multi-probe ANN over the partitioned-by-bucket layout: the r=1
+    probe set is a 9-value partition IN-filter, so only those partitions'
+    files are read (file-level pruning, the 100 TB path).  Same
+    hyperplanes as ann_multiprobe_topk → same oracle."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    assert len(qv) == _EMB_DIM, (
+        f"embeddings dim {len(qv)} != oracle hyperplane dim {_EMB_DIM}"
+    )
+    path = tempfile.mkdtemp(prefix="inception_bucketed_") + "/emb"
+    S.write_bucketed_embeddings(emb, path, dim=len(qv), bits=8)
+    out = S.ann_lsh_multiprobe_topk_pruned(
+        spark, path, list(qv), k=10, bits=8, probe_hamming=1
+    )
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_embed_delta(spark, sf_dir):
     """Recrawl scenario over the single-chunk fixture regime: a prior run
     embedded docs with doc_id%10 != 7; the new crawl revises docs with
@@ -1137,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learn_bpe": _q_learn_bpe,
         "ann_multiprobe_topk": _q_ann_multiprobe,
         "sq_topk_rerank": _q_sq_rerank,
+        # round-5 additions: materialized write-once/query-many layouts
+        "sq_topk_codes": _q_sq_topk_codes,
+        "ann_multiprobe_pruned": _q_ann_multiprobe_pruned,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1220,6 +1263,9 @@ _WINDOW_R5 = [
     "embed_delta",
     "learn_bpe",
     "ann_multiprobe_topk",
+    # round-5 additions land in-window the round they ship (ADVICE r4)
+    "sq_topk_codes",
+    "ann_multiprobe_pruned",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -1272,7 +1318,7 @@ def oracle_sql() -> dict[str, str]:
     cos_q = V.cosine_sql("embedding", "qv")
     bucket_emb = _bucket_sql("embedding")
     bucket_q = _bucket_sql("qv")
-    return {
+    d = {
         "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM({_d('l_quantity')}) AS DOUBLE) AS sum_qty,
@@ -2254,17 +2300,20 @@ WHERE length(text) >= 1 AND length(text) <= 10000000 AND trim(text) <> ''
         # the scores and selected set match bit-for-bit with zero rounding
         "sq_topk": """
 WITH s AS (
-  SELECT CAST(127.0 AS DOUBLE) /
-         max(list_max(list_transform(embedding,
-             x -> abs(CAST(x AS DOUBLE))))) AS scale
+  SELECT CASE WHEN max(list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE))))) > 0
+         THEN CAST(127.0 AS DOUBLE) /
+              max(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))))
+         ELSE CAST(0.0 AS DOUBLE) END AS scale
   FROM embeddings),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qq AS (SELECT list_transform(qv, x -> greatest(-127, least(127,
-             CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS qqv
+qq AS (SELECT list_transform(qv, x -> coalesce(greatest(-127, least(127,
+             CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))), 0)) AS qqv
        FROM q, s),
 enc AS (SELECT vec_id,
-               list_transform(embedding, x -> greatest(-127, least(127,
-                   CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS cq
+               list_transform(embedding, x -> coalesce(greatest(-127, least(127,
+                   CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))), 0)) AS cq
         FROM embeddings, s),
 sc AS (SELECT vec_id,
               CAST(list_sum(list_transform(list_zip(cq, qqv),
@@ -2276,17 +2325,20 @@ FROM sc QUALIFY rank <= 10
 """,
         "sq_topk_rerank": f"""
 WITH s AS (
-  SELECT CAST(127.0 AS DOUBLE) /
-         max(list_max(list_transform(embedding,
-             x -> abs(CAST(x AS DOUBLE))))) AS scale
+  SELECT CASE WHEN max(list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE))))) > 0
+         THEN CAST(127.0 AS DOUBLE) /
+              max(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))))
+         ELSE CAST(0.0 AS DOUBLE) END AS scale
   FROM embeddings),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qq AS (SELECT list_transform(qv, x -> greatest(-127, least(127,
-             CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS qqv
+qq AS (SELECT list_transform(qv, x -> coalesce(greatest(-127, least(127,
+             CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))), 0)) AS qqv
        FROM q, s),
 enc AS (SELECT vec_id,
-               list_transform(embedding, x -> greatest(-127, least(127,
-                   CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS cq
+               list_transform(embedding, x -> coalesce(greatest(-127, least(127,
+                   CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))), 0)) AS cq
         FROM embeddings, s),
 sc AS (SELECT vec_id,
               CAST(list_sum(list_transform(list_zip(cq, qqv),
@@ -2345,6 +2397,12 @@ SELECT vec_id, score,
 FROM s QUALIFY rank <= 10
 """,
     }
+    # materialized-layout variants (write_sq_codes / bucketed multiprobe)
+    # are bit-identical to their in-plan twins by construction — the
+    # oracle replays the same math from the float table
+    d["sq_topk_codes"] = d["sq_topk"]
+    d["ann_multiprobe_pruned"] = d["ann_multiprobe_topk"]
+    return d
 
 
 def _chunk_oracle_sql() -> str:

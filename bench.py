@@ -63,6 +63,9 @@ HEADLINE = [
     "embedding_dup_pairs",
     "cosine_topk",
     "sq_topk",  # r4+: int8 scalar-quantized probe (integer scores)
+    # r5+: write-once/query-many SQ8 — times codes materialization AND
+    # the codes-only probe (the probe alone is the steady-state cost)
+    "sq_topk_codes",
     "ann_lsh_topk",
     "knn_label_join",
     # r4+: chunk_documents runs on an 8x multi-sentence amplification of
@@ -124,6 +127,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # regime metadata so cross-round totals can't silently mix
+                # query sets: bump queryset whenever HEADLINE changes.
+                # r2=40 queries; r4=41 (+sq_topk, chunk amplified 8x);
+                # r5=42 (+sq_topk_codes)
+                "queryset": "r5",
+                "n_queries": len(HEADLINE),
+                "chunk_amplification": 8,
             }
         )
     )

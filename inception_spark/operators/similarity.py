@@ -195,6 +195,53 @@ def ann_lsh_topk_pruned(
     return cosine_topk(probe, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def probe_buckets(
+    qbits: int, *, bits: int, probe_hamming: int
+) -> list[int]:
+    """All bucket ids within ``probe_hamming`` bit flips of ``qbits``,
+    ascending — sum(C(bits, r)) values (1+bits at r=1)."""
+    from itertools import combinations
+
+    out = []
+    for r in range(probe_hamming + 1):
+        for flips in combinations(range(bits), r):
+            b = qbits
+            for i in flips:
+                b ^= 1 << i
+            out.append(b)
+    return sorted(out)
+
+
+def ann_lsh_multiprobe_topk_pruned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 2024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN over a :func:`write_bucketed_embeddings` layout —
+    the variant you'd actually run at 100 TB.
+
+    The probe set is enumerated driver-side (:func:`probe_buckets`, a
+    sum(C(bits, r))-element list — 9 values at bits=8/r=1) and pushed as
+    a ``bucket IN (...)`` PARTITION filter, so Catalyst lists and reads
+    only those partitions' files: scan fraction ≈ (1+bits)/2^bits at r=1
+    via real file-level pruning, not post-scan row filtering.
+    Bit-identical results to :func:`ann_lsh_multiprobe_topk` on the raw
+    table (same hyperplanes, same sequential-fold query bucket; pinned in
+    tests/test_plans.py along with the ≤1+bits partitions-read bound)."""
+    planes = lsh_hyperplanes(len(query_vec), bits=bits, seed=seed)
+    qbits = query_bucket(planes, query_vec)
+    probes = probe_buckets(qbits, bits=bits, probe_hamming=probe_hamming)
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -402,23 +449,35 @@ def sq_scale(df, *, vec_col: str = "embedding"):
     maxabs = F.max(
         F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
     )
+    # .otherwise(0.0): an all-zero (or empty) corpus must yield scale=0 —
+    # a NULL scale would slip through least/greatest (which SKIP nulls)
+    # and quantize every element to 127 instead of 0
     return df.agg(
-        F.when(maxabs > 0.0, F.lit(127.0) / maxabs).alias("scale")
+        F.when(maxabs > 0.0, F.lit(127.0) / maxabs)
+        .otherwise(F.lit(0.0))
+        .alias("scale")
     )
 
 
 def _sq_quant(vec, scale):
     """floor(x*scale + 0.5) clamped to [-127, 127] — explicit half-up
     rounding (identical in Spark, DuckDB, and Python for negatives, where
-    the engines' ``round`` builtins disagree)."""
+    the engines' ``round`` builtins disagree).  NULL elements (and a NULL
+    scale) quantize to 0 — least/greatest skip NULLs, so without the
+    coalesce a NULL would clamp to 127 and silently corrupt qdot."""
     return F.transform(
         vec,
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+        lambda x: F.coalesce(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                        "int"
+                    ),
+                ),
             ),
+            F.lit(0),
         ),
     )
 
@@ -441,24 +500,14 @@ def sq_encode(
     )
 
 
-def sq_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    *,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _sq_topk_over_encoded(
+    enc: DataFrame, query_vec: list[float], *, k: int, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Top-k by INTEGER quantized dot product: (vec_id, qdot, rank).
-
-    The query is quantized with the corpus scale inside the plan, so the
-    whole operator is one scan + TakeOrderedAndProject — and because the
-    ranking key is an exact integer (no float summation anywhere), the
-    selected set and scores are bit-identical across engines and
-    partitionings with NO rounding step.  Recipe at scale: take top-3k
-    by qdot, exactly rerank that short list with float cosine."""
+    """Shared SQ8 ranking tail: integer dot of stored ``qvec`` codes with
+    the query quantized by the stored ``scale``, TakeOrderedAndProject
+    top-k.  ``enc`` is any (id, qvec, scale) relation — built in-plan by
+    :func:`sq_topk` or read from a :func:`write_sq_codes` layout."""
     q = _query_vec_col(query_vec)
-    enc = sq_encode(df, id_col=id_col, vec_col=vec_col)
     scored = enc.select(
         F.col(id_col).alias("vec_id"),
         F.aggregate(
@@ -474,6 +523,105 @@ def sq_topk(
     top = scored.orderBy(F.desc("qdot"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("qdot"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def sq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by INTEGER quantized dot product: (vec_id, qdot, rank).
+
+    The query is quantized with the corpus scale inside the plan, so the
+    whole operator is one scan + TakeOrderedAndProject — and because the
+    ranking key is an exact integer (no float summation anywhere), the
+    selected set and scores are bit-identical across engines and
+    partitionings with NO rounding step.  Recipe at scale: take top-3k
+    by qdot, exactly rerank that short list with float cosine.
+
+    NOTE this variant quantizes the FLOAT corpus on the fly — one query
+    pays one float scan.  The 4× scan-bandwidth win of int8 only
+    materializes on the write-once/query-many layout: persist codes with
+    :func:`write_sq_codes` and probe them with
+    :func:`sq_topk_over_codes`."""
+    enc = sq_encode(df, id_col=id_col, vec_col=vec_col)
+    return _sq_topk_over_encoded(enc, query_vec, k=k, id_col=id_col)
+
+
+def write_sq_codes(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the int8 code table ONCE: ``(id, qvec array<tinyint>,
+    scale)`` parquet at ``path``.
+
+    This is the layout that actually delivers SQ8's memory-bandwidth
+    claim: codes are 1 byte/dim (parquet stores the tinyint leaves
+    bit-packed) vs 4-8 for the float vectors, and every subsequent query
+    scans codes ONLY — the float column never appears in the probe's
+    ReadSchema (pinned in tests/test_plans.py).  The scale rides along
+    per-row (constant ⇒ RLE-compressed to nothing) so the codes file is
+    self-contained."""
+    enc = sq_encode(df, id_col=id_col, vec_col=vec_col)
+    (
+        enc.select(
+            F.col(id_col),
+            F.col("qvec").cast("array<tinyint>").alias("qvec"),
+            F.col("scale"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def sq_topk_over_codes(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SQ8 probe over a :func:`write_sq_codes` layout: scans the int8
+    codes only (¼ the bytes of the float corpus; the float column isn't
+    even in the schema), quantizes the query with the STORED scale, and
+    ranks by exact integer dot — bit-identical results to running
+    :func:`sq_topk` on the raw table, since the codes and scale are the
+    same values by construction."""
+    codes = spark.read.parquet(path)
+    return _sq_topk_over_encoded(codes, query_vec, k=k, id_col=id_col)
+
+
+def sq_topk_rerank_over_codes(
+    spark,
+    path: str,
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    prescan: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production SQ8 recipe at scale: int8 prescan over the
+    materialized codes (memory-bound, no float bytes), then exact float
+    cosine over only the ``prescan``-row shortlist — fetched from the raw
+    table via a broadcast semi-join, so the float column is read for
+    ~prescan rows, not the corpus."""
+    short = sq_topk_over_codes(
+        spark, path, query_vec, k=prescan, id_col=id_col
+    )
+    cand = df.join(
+        F.broadcast(short.select(F.col("vec_id").alias("_sq_id"))),
+        F.col(id_col) == F.col("_sq_id"),
+    ).drop("_sq_id")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def sq_topk_rerank(

@@ -231,3 +231,92 @@ def test_registry_udf_free_entries_have_no_python_eval(spark):
     assert offenders == [], (
         f"Python eval nodes in supposedly JVM-only plans: {offenders}"
     )
+
+
+def test_sq_codes_probe_reads_codes_only(spark, tmp_path):
+    """The materialized SQ8 layout must deliver its bandwidth claim in
+    the plan: the probe's parquet scan reads (vec_id, qvec, scale) ONLY —
+    the float `embedding` column is absent from ReadSchema — stays fully
+    in codegen, and returns bit-identical results to quantizing the float
+    corpus on the fly."""
+    from inception_spark.operators.similarity import (
+        sq_topk,
+        sq_topk_over_codes,
+        sq_topk_rerank,
+        sq_topk_rerank_over_codes,
+        write_sq_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    path = str(tmp_path / "sq_codes")
+    write_sq_codes(emb, path)
+
+    probe = sq_topk_over_codes(spark, path, qv, k=10)
+    f = formatted(probe)
+    read_schema = f.split("ReadSchema")[1][:400]
+    assert "qvec" in read_schema
+    assert "embedding" not in read_schema  # float bytes never scanned
+    assert "ArrowEvalPython" not in f and "BatchEvalPython" not in f
+    assert "TakeOrderedAndProject" in f
+
+    raw = sq_topk(emb, qv, k=10)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
+
+    # full recipe: codes prescan + float rerank restricted to shortlist
+    rr = sq_topk_rerank_over_codes(spark, path, emb, qv, k=10, prescan=50)
+    rr_raw = sq_topk_rerank(emb, qv, k=10, prescan=50)
+    assert sorted(map(tuple, rr.collect())) == sorted(
+        map(tuple, rr_raw.collect())
+    )
+
+
+def test_multiprobe_bucketed_layout_prunes_partitions(spark, tmp_path):
+    """Multi-probe ANN over the bucketed layout: the r-flip probe set is
+    a partition IN-filter, so at most 1+bits partitions' files are listed
+    and read (verified on the actual files scanned, not just the plan
+    string), and results are bit-identical to the raw-table multiprobe."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from inception_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+        ann_lsh_multiprobe_topk_pruned,
+        lsh_hyperplanes,
+        probe_buckets,
+        query_bucket,
+        write_bucketed_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    path = str(tmp_path / "emb_bucketed")
+    bits = 8
+    write_bucketed_embeddings(emb, path, dim=len(qv), bits=bits)
+
+    pruned = ann_lsh_multiprobe_topk_pruned(
+        spark, path, qv, k=5, bits=bits, probe_hamming=1
+    )
+    f = formatted(pruned)
+    part_filters = f.split("PartitionFilters")[1][:200]
+    assert "bucket" in part_filters  # probe set is a partition filter
+
+    # runtime proof of the ≤ 1+bits bound: the candidate scan touches
+    # files from at most 1+bits distinct bucket= directories
+    qbits = query_bucket(lsh_hyperplanes(len(qv), bits=bits), qv)
+    probes = probe_buckets(qbits, bits=bits, probe_hamming=1)
+    assert len(probes) == 1 + bits
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    touched = {
+        re.search(r"bucket=(\d+)", r[0]).group(1)
+        for r in cand.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) <= 1 + bits
+
+    raw = ann_lsh_multiprobe_topk(emb, qv, k=5, bits=bits, probe_hamming=1)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
