@@ -3,11 +3,12 @@
 Extends the engine beyond the reference's text-only surface (per the build
 brief): the Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 UDF signatures — is real and tested.  Decoding is REAL where zero-dependency
-codecs exist — uncompressed BMP, binary netpbm (P6 PPM / P5 PGM), and
-16-bit PCM WAV (stdlib ``wave``) decode, re-encode, resize/resample and
-featurize with actual pixels/samples; compressed formats (JPEG/MP3/MP4) stay behind
-``DecoderUnavailable`` with a deterministic fake used by tests (this
-container has no PIL/ffmpeg).
+codecs exist — uncompressed BMP, binary netpbm (P6 PPM / P5 PGM), 8-bit
+PNG (stdlib ``zlib`` inflate + scanline unfilter), and 16-bit PCM WAV
+(stdlib ``wave``) decode, re-encode, resize/resample and featurize with
+actual pixels/samples; formats needing real codec libraries (JPEG/MP3/MP4)
+stay behind ``DecoderUnavailable`` with a deterministic fake used by tests
+(this container has no PIL/ffmpeg).
 
 Design for 100 TB of media:
 
@@ -56,11 +57,11 @@ MEDIA_DOCUMENTS = T.StructType(
 
 class DecoderUnavailable(NotImplementedError):
     """Raised by the real decode path when no decoder can handle the
-    payload: compressed formats (JPEG/PNG/video) need PIL/ffmpeg, which
-    are not installed in this environment.  Uncompressed BMP decodes
-    NATIVELY (struct + numpy, below) — so the real path is exercised end
-    to end on real pixels; the ``fake=True`` decoders remain for
-    format-agnostic plumbing tests."""
+    payload: JPEG/WebP/video need PIL/ffmpeg, which are not installed in
+    this environment.  BMP, binary netpbm, 8-bit PNG and 16-bit PCM WAV
+    decode NATIVELY (struct/zlib/wave + numpy, below) — so the real path
+    is exercised end to end on real pixels/samples; the ``fake=True``
+    decoders remain for format-agnostic plumbing tests."""
 
 
 # ---------------------------------------------------------------------------
@@ -194,12 +195,24 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
         vals.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte separates header from samples
     w, h, maxval = vals
-    if maxval > 255:
-        raise DecoderUnavailable("16-bit netpbm does not decode natively")
+    if maxval > 255 or maxval <= 0:
+        raise DecoderUnavailable(
+            f"only 8-bit netpbm decodes natively (maxval={maxval})"
+        )
     nch = 3 if payload[:2] == b"P6" else 1
+    if len(payload) - pos < w * h * nch:
+        # np.frombuffer would raise a bare ValueError; keep the codec
+        # layer's refusal contract instead
+        raise DecoderUnavailable("truncated netpbm samples")
     arr = np.frombuffer(
         payload, np.uint8, count=w * h * nch, offset=pos
     ).reshape(h, w, nch)
+    if maxval != 255:
+        # netpbm samples are 0..maxval; the (h, w, 3) contract is uint8
+        # 0..255 — rescale with round-half-up integer division
+        arr = (
+            (arr.astype(np.uint32) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
     if nch == 1:
         arr = np.repeat(arr, 3, axis=2)
     return np.ascontiguousarray(arr)
@@ -211,13 +224,176 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# native PNG codec — stdlib zlib, real pixels, zero dependencies
+# ---------------------------------------------------------------------------
+# The most common training-corpus image format.  PNG is chunked
+# (len/type/data/crc), pixels are zlib-deflated scanlines, each prefixed
+# with a filter byte (None/Sub/Up/Average/Paeth) — all reachable with
+# stdlib zlib + numpy, unlike JPEG's DCT pipeline.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Reverse per-scanline filtering: ``raw`` is h rows of
+    (1 filter byte + w*nch sample bytes); returns (h, w*nch) uint8."""
+    stride = w * nch
+    if len(raw) < h * (1 + stride):
+        raise DecoderUnavailable("truncated PNG scanlines")
+    rows = np.frombuffer(raw, np.uint8, count=h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype, cur = int(rows[y, 0]), rows[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            line = cur
+        elif ftype == 1:  # Sub — sequential in x, vectorized per pixel col
+            line = cur.copy()
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (cur + up) & 0xFF
+        elif ftype == 3:  # Average
+            line = cur.copy()
+            for x in range(stride):
+                left = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((left + up[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                b = int(up[x])
+                c = int(up[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise DecoderUnavailable(f"unknown PNG filter type {ftype}")
+        out[y] = line.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA / palette)
+    → (h, w, 3) uint8 RGB.  stdlib zlib inflate + per-scanline unfilter;
+    alpha is dropped (same contract as 32-bpp BMP), palette indices are
+    resolved through PLTE."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise DecoderUnavailable("not a PNG payload")
+    pos, w = len(_PNG_SIG), 0
+    h = depth = ctype = interlace = 0
+    idat, plte = [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat.append(data)
+        elif ctag == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if not idat or w == 0:
+        raise DecoderUnavailable("PNG missing IHDR/IDAT")
+    if depth != 8 or interlace != 0:
+        raise DecoderUnavailable(
+            f"only 8-bit non-interlaced PNG decodes natively "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise DecoderUnavailable(f"unknown PNG color type {ctype}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise DecoderUnavailable(f"corrupt PNG deflate stream: {exc}")
+    px = _png_unfilter(raw, w, h, nch).reshape(h, w, nch)
+    if ctype == 3:  # palette
+        if plte is None:
+            raise DecoderUnavailable("palette PNG without PLTE chunk")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    if nch == 1:  # gray
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if nch == 2:  # gray + alpha → drop alpha
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (color type 2, filter 0 rows)."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    body = b"".join(
+        b"\x00" + np.ascontiguousarray(img[y]).tobytes() for y in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+def probe_png_dims(
+    df: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """Fill media_meta.width/height from the PNG IHDR JVM-SIDE (IHDR is
+    mandated first chunk: big-endian u32 pair at bytes 17-24) — same
+    no-Python-round-trip rule as probe_bmp_dims."""
+
+    def _be32(pos: int):  # 1-based substring position
+        return F.conv(
+            F.hex(F.substring(F.col(payload_col), pos, 4)), 16, 10
+        ).cast("int")
+
+    is_png = F.substring(F.col(payload_col), 1, 8) == F.lit(_PNG_SIG)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.modality").alias("modality"),
+            F.col("media_meta.mime").alias("mime"),
+            F.when(is_png, _be32(17)).alias("width"),
+            F.when(is_png, _be32(21)).alias("height"),
+            F.col("media_meta.duration_ms").alias("duration_ms"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+        ),
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode: native BMP / binary netpbm first; PIL fallback for
-    compressed formats when installed; DecoderUnavailable otherwise."""
+    """Real decode: native BMP / binary netpbm / PNG (stdlib zlib) first;
+    PIL fallback for other compressed formats when installed;
+    DecoderUnavailable otherwise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     try:
         import io
 
@@ -226,8 +402,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise DecoderUnavailable(
-            "compressed image decode requires PIL — not installed; "
-            "uncompressed BMP decodes natively"
+            "JPEG/WebP decode requires PIL — not installed; "
+            "BMP, netpbm and PNG decode natively"
         )
 
 

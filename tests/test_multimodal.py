@@ -160,6 +160,10 @@ def test_decode_image_unsupported_format_raises():
     except ImportError:
         pass
     with pytest.raises(DecoderUnavailable):
+        decode_image(b"\xff\xd8\xff\xe0jpeg-needs-PIL")
+    # a PNG-signed payload with no chunks dispatches to the NATIVE PNG
+    # decoder (PIL not involved) and refuses with the same contract
+    with pytest.raises(DecoderUnavailable):
         decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
@@ -332,3 +336,260 @@ def test_resize_images_accepts_ppm_input(spark):
     ).collect()[0]
     got = decode_bmp(bytes(out["payload"]))  # re-encoded as BMP
     assert got.shape == (4, 3, 3)
+
+
+# --- native PNG codec ----------------------------------------------------------
+
+
+def _grad_img(h=13, w=17):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7) % 256, (y * 11) % 256, (x * 3 + y * 5) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    from inception_spark.operators.multimodal import decode_png, encode_png
+
+    img = _grad_img()
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-build a PNG whose scanlines use every filter type (None, Sub,
+    Up, Average, Paeth) by applying the forward filters per the spec —
+    decode must recover the original pixels exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from inception_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    img = _grad_img(h=10, w=9)
+    h, w, nch = img.shape
+    flat = img.reshape(h, w * nch).astype(np.int32)
+    body = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        cur = flat[y]
+        up = flat[y - 1] if y else np.zeros(w * nch, np.int32)
+        out = np.zeros(w * nch, np.int32)
+        for x in range(w * nch):
+            a = int(cur[x - nch]) if x >= nch else 0
+            b = int(up[x])
+            c = int(up[x - nch]) if x >= nch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (int(cur[x]) - pred) & 0xFF
+        body += bytes([ftype]) + bytes(out.astype(np.uint8).tobytes())
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_gray_rgba_palette_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from inception_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    def build(w, h, ctype, raw, extra=b""):
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + extra
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # gray (ctype 0): value replicates across RGB
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    out = decode_png(build(4, 3, 0, raw))
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+    # RGBA (ctype 6): alpha dropped
+    img = _grad_img(h=3, w=4)
+    rgba = np.dstack([img, np.full((3, 4), 128, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    assert np.array_equal(decode_png(build(4, 3, 6, raw)), img)
+
+    # palette (ctype 3): indices resolve through PLTE
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2, 1]], np.uint8)
+    raw = b"\x00" + idx.tobytes()
+    out = decode_png(
+        build(4, 1, 3, raw, extra=chunk(b"PLTE", plte.tobytes()))
+    )
+    assert np.array_equal(out, plte[idx[0]].reshape(1, 4, 3))
+
+
+def test_png_refusals():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import pytest
+
+    from inception_spark.operators.multimodal import (
+        _PNG_SIG,
+        DecoderUnavailable,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(DecoderUnavailable):
+        decode_png(b"not a png")
+    with pytest.raises(DecoderUnavailable):
+        decode_png(_PNG_SIG + b"\x00\x00")  # no chunks
+    # corrupt deflate stream
+    good = bytearray(encode_png(_grad_img(4, 4)))
+    good[40] ^= 0xFF
+    with pytest.raises(DecoderUnavailable):
+        decode_png(bytes(good))
+    # truncated scanlines: valid deflate of too-few bytes
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    short = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(DecoderUnavailable):
+        decode_png(short)
+    # 16-bit depth refused
+    deep = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(DecoderUnavailable):
+        decode_png(deep)
+
+
+def test_real_resize_and_features_on_png(spark):
+    """End-to-end fake=False pipeline on REAL PNG payloads: decode →
+    nearest resize → re-encode (BMP out), and decode → image_features."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_bmp,
+        decode_png,
+        encode_png,
+        extract_features,
+        image_features,
+        resize_images,
+    )
+
+    imgs = {1: _grad_img(16, 12), 2: _grad_img(9, 21)}
+    rows = [(i, encode_png(img)) for i, img in imgs.items()]
+    df = attach_media_meta(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        modality="image",
+        mime="image/png",
+    )
+    resized = resize_images(df, width=8, height=8, fake=False).collect()
+    for r in resized:
+        arr = decode_bmp(bytes(r["payload"]))
+        assert arr.shape == (8, 8, 3)
+        assert r["media_meta"]["width"] == 8
+
+    feats = {
+        r["id"]: np.asarray(r["feature"])
+        for r in extract_features(df, dim=32, fake=False).collect()
+    }
+    for i, img in imgs.items():
+        expect = image_features(decode_png(encode_png(img)), 32)
+        assert np.allclose(feats[i], expect, atol=1e-6)
+
+
+def test_probe_png_dims_jvm_side(spark):
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        encode_png,
+        probe_png_dims,
+    )
+
+    rows = [(1, encode_png(_grad_img(5, 7))), (2, b"BMnot-a-png")]
+    df = attach_media_meta(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        modality="image",
+    )
+    out = {r["id"]: r["media_meta"] for r in probe_png_dims(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (7, 5)
+    assert out[2]["width"] is None
+    plan = probe_png_dims(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # header probe stays JVM-side
+
+
+def test_netpbm_truncated_and_maxval_rescale():
+    import numpy as np
+
+    import pytest
+
+    from inception_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_netpbm,
+    )
+
+    # truncated samples must refuse with the codec contract, not a bare
+    # numpy ValueError
+    with pytest.raises(DecoderUnavailable, match="truncated netpbm samples"):
+        decode_netpbm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    # maxval < 255 rescales to the uint8 0-255 contract (round half up)
+    img = decode_netpbm(b"P5\n3 1\n15\n" + bytes([0, 7, 15]))
+    assert img.shape == (1, 3, 3)
+    assert list(img[0, :, 0]) == [0, 119, 255]  # (7*255+7)//15 == 119
+    # maxval 0 refused
+    with pytest.raises(DecoderUnavailable):
+        decode_netpbm(b"P5\n1 1\n0\n\x00")
