@@ -300,6 +300,7 @@ def lsh_eval_report(
     max_bucket: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_eval_rows: int | None = 20_000,
 ) -> DataFrame:
     """LSH tuning harness: precision/recall of candidate generation
     against EXACT Jaccard ground truth — one row (n_truth, n_cand,
@@ -311,7 +312,24 @@ def lsh_eval_report(
     the shingle self-join (pairs with zero overlap have Jaccard 0, below
     any positive threshold, so no cartesian is ever formed, but the
     shared-shingle pair count is quadratic in sample near-dup density).
+
+    The sample contract is ENFORCED: inputs over ``max_eval_rows`` raise
+    instead of silently launching the quadratic ground-truth join —
+    downsample first (``sampling.stable_sample``) or raise the cap
+    explicitly if you accept the cost (``max_eval_rows=None`` disables).
     """
+    if max_eval_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_eval_rows:
+            raise ValueError(
+                f"lsh_eval_report is EVAL-ONLY: exact ground truth "
+                f"enumerates every shared-shingle pair (quadratic in "
+                f"near-dup density) and the input has {n_rows} rows > "
+                f"max_eval_rows={max_eval_rows}.  Evaluate on a sample "
+                f"(e.g. stable_sample(df, rate)) and ship the chosen "
+                f"(k, bands, max_bucket) — or pass a higher "
+                f"max_eval_rows / max_eval_rows=None to accept the cost."
+            )
     ex = exploded_shingles(
         df, id_col=id_col, text_col=text_col, n=shingle_n
     ).localCheckpoint(eager=False)

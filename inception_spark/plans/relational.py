@@ -57,7 +57,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     try:
         raw = spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # Fall back ONLY for the known TIMESTAMP(NANOS) rejection —
+        # anything else (missing file, corrupt footer, permissions) must
+        # surface as itself, not as a confusing secondary error under
+        # nanosAsLong.  Schema probing raises AnalysisException in some
+        # Spark versions and SparkUpgrade/IllegalArgument wrappers in
+        # others, so match on the message, not the class.
+        msg = str(exc)
+        if "TIMESTAMP(NANOS" not in msg and "NANOS" not in msg:
+            raise
         # TIMESTAMP(NANOS) variant: only readable as raw nano longs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)

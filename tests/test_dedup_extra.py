@@ -428,3 +428,21 @@ def test_lsh_eval_report_planted_dups(spark):
     assert r["n_hit"] == 5                      # recall 1.0 at jaccard~0.9
     assert r["cand_recall"] == 1.0
     assert r["cand_precision"] is not None and r["cand_precision"] > 0
+
+
+def test_lsh_eval_report_enforces_sample_contract(spark):
+    """Full-corpus misuse must fail LOUD before the quadratic ground-
+    truth join launches, with downsample guidance; an explicit higher cap
+    (or None) opts in."""
+    import pytest
+
+    from inception_spark.operators.dedup import lsh_eval_report
+
+    docs = spark.range(30).selectExpr(
+        "id AS doc_id", "concat('tok', id, ' a b c d e f g') AS text"
+    )
+    with pytest.raises(ValueError, match="EVAL-ONLY.*stable_sample"):
+        lsh_eval_report(docs, max_eval_rows=10)
+    # explicit opt-in runs
+    row = lsh_eval_report(docs, max_eval_rows=None).head()
+    assert row["n_cand"] >= 0

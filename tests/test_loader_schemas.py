@@ -104,3 +104,21 @@ def test_loaded_schema_events(spark):
     """load_events must deliver ts as timestamp_ntz whatever the physical
     encoding (plain timestamp[us] today; TIMESTAMP(NANOS) in rounds 1-2)."""
     assert R.load_events(spark, SF_DIR).dtypes == EXPECTED_EVENTS
+
+
+def test_load_events_unrelated_failures_surface_as_themselves(spark, tmp_path):
+    """A missing events file must raise the real path error immediately —
+    NOT be retried under nanosAsLong and surface a confusing secondary
+    error (ADVICE r4)."""
+    import pytest
+
+    from inception_spark.plans.relational import load_events
+
+    # make sure a previous fallback didn't leave the flag set
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    with pytest.raises(Exception) as ei:
+        load_events(spark, str(tmp_path / "nowhere"))
+    msg = str(ei.value)
+    assert "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+    # and the fallback flag was NOT flipped on by the failed probe
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
