@@ -940,11 +940,46 @@ def _q_learn_bpe(spark, sf_dir):
     return learn_bpe_merges(_docs(spark, sf_dir), n_merges=10)
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """DuckDB replay of learn_bpe_merges: each iteration unrolled as a
-    CTE chain (symbols → adjacent-pair counts → argmax → literal
-    delimiter replace).  'left'/'right' are aliased l/r internally
-    (reserved words) and quoted only in the final projection."""
+def _q_apply_bpe(spark, sf_dir):
+    """Tokenize the corpus with its OWN learned merges: train (10 merges,
+    driver-side control plane), then apply_bpe_merges — the merge list
+    becomes plan literals, the whole tokenization stays in whole-stage
+    codegen.  One row per word occurrence (doc_id, toks, n_tokens); the
+    oracle re-derives the merge chain and replays the literal replaces."""
+    from inception_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, n_merges=10)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # pre-split to word occurrences (mirroring the oracle's unnest) so
+    # pipe-containing words are excluded the same way training excludes
+    # them; each word then rides through the operator's own path
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
+        )
+        .filter((F.col("w") != "") & (~F.col("w").contains("|")))
+        .select("doc_id", F.col("w").alias("text"))
+    )
+    out = apply_bpe_merges(words, merges)
+    return out.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("toks"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _bpe_merge_ctes(n_merges: int) -> list[str]:
+    """The shared DuckDB replay of learn_bpe_merges' training loop: CTEs
+    w0..w{n} (word table after each merge) and b1..b{n} (the rank-i merge
+    row), used by both the learn_bpe and apply_bpe oracles."""
     ctes = [
         """
 w0 AS (
@@ -976,6 +1011,15 @@ w{i} AS (
   SELECT replace(repr, '|' || b.l || '||' || b.r || '|',
                  '|' || b.l || b.r || '|') AS repr, freq
   FROM w{prev}, b{i} b)""")
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of learn_bpe_merges: each iteration unrolled as a
+    CTE chain (symbols → adjacent-pair counts → argmax → literal
+    delimiter replace).  'left'/'right' are aliased l/r internally
+    (reserved words) and quoted only in the final projection."""
+    ctes = _bpe_merge_ctes(n_merges)
     union = "\nUNION ALL\n".join(
         f"SELECT merge_rank, l, r, pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
@@ -986,6 +1030,41 @@ w{i} AS (
         + f"""
 SELECT merge_rank, l AS "left", r AS "right", l || r AS merged, pair_count
 FROM ({union})
+"""
+    )
+
+
+def _apply_bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of apply_bpe_merges over the learned merge chain:
+    re-derives b1..b{n} (training), then applies each merge in rank order
+    to every word OCCURRENCE of the corpus (aw0..aw{n}) — the same
+    literal delimiter-replace semantics as the Spark plan literals."""
+    ctes = _bpe_merge_ctes(n_merges)
+    ctes.append(
+        """
+aw0 AS (
+  SELECT doc_id,
+         '|' || array_to_string(string_split(w, ''), '||') || '|' AS repr
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' AND w NOT LIKE '%|%')"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+aw{i} AS (
+  SELECT doc_id,
+         replace(repr, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS repr
+  FROM aw{i - 1}, b{i} b)""")
+    body = "substring(repr, 2, length(repr) - 2)"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT doc_id,
+       array_to_string(string_split({body}, '||'), ' ') AS toks,
+       CAST(length(string_split({body}, '||')) AS BIGINT) AS n_tokens
+FROM aw{n_merges}
 """
     )
 
@@ -1178,8 +1257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": _q_ann_multiprobe,
         "sq_topk_rerank": _q_sq_rerank,
         # round-5 additions: materialized write-once/query-many layouts
+        # + BPE apply (plan-literal codegen tokenization)
         "sq_topk_codes": _q_sq_topk_codes,
         "ann_multiprobe_pruned": _q_ann_multiprobe_pruned,
+        "apply_bpe": _q_apply_bpe,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1266,6 +1347,7 @@ _WINDOW_R5 = [
     # round-5 additions land in-window the round they ship (ADVICE r4)
     "sq_topk_codes",
     "ann_multiprobe_pruned",
+    "apply_bpe",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2383,6 +2465,7 @@ FROM newc n LEFT JOIN old o
   ON n.doc_id = o.doc_id AND md5(n.chunk) = o.m
 """,
         "learn_bpe": _bpe_oracle_sql(10),
+        "apply_bpe": _apply_bpe_oracle_sql(10),
         "ann_multiprobe_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 qb AS (SELECT {_bucket_sql('qv')} AS qbucket FROM q),
