@@ -176,7 +176,9 @@ def make_running_totals_update(timeout_minutes: int | None):
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
         if timeout_minutes is not None:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            # int(): fractional minutes are legal (integration tests
+            # drive real sub-second evictions) but the API takes ms
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         import pandas as pd
 
         yield pd.DataFrame(

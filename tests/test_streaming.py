@@ -349,3 +349,78 @@ def test_interval_join_streams_delay_bounds(spark, tmp_path):
     r = rows[0]
     assert (r["user_id"], r["left_event_id"], r["right_event_id"]) == (7, 1, 2)
     assert r["delay_s"] == 600
+
+
+def test_processing_time_timeout_eviction_live(spark, tmp_path):
+    """Integration proof of ProcessingTimeTimeout eviction through a LIVE
+    StreamingQuery (upgrades the callback-only unit test): a user's state
+    materializes, the timeout fires between triggers with NO new input
+    (state-store numRowsTotal drops to 0), and the user's next event
+    starts a FRESH total — the running count does not resume."""
+    import time
+
+    from inception_spark.streaming.pipeline import running_user_totals
+
+    schema = "user_id long, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(42, 1.0), (42, 2.0)], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = running_user_totals(stream, timeout_minutes=0.005)  # 300 ms
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_live")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+
+        def emitted():
+            return spark.sql("SELECT * FROM evict_live").collect()
+
+        def state_rows():
+            p = q.lastProgress
+            ops = (p or {}).get("stateOperators") or []
+            return ops[0].get("numRowsTotal") if ops else None
+
+        # 1. the first batch lands: running total 3.0 over 2 events
+        while time.time() < deadline:
+            if any(r["batch_events"] == 2 for r in emitted()):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("first micro-batch never emitted")
+        first = [r for r in emitted() if r["batch_events"] == 2][0]
+        assert (first["n_events"], first["total_value"]) == (2, 3.0)
+
+        # 2. with NO new input, the timeout fires on a state-cleanup
+        #    micro-batch and the state store empties
+        while time.time() < deadline:
+            if state_rows() == 0:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError(
+                f"state never evicted; numRowsTotal={state_rows()}"
+            )
+
+        # 3. the user re-appears → totals restart from zero (resumed
+        #    state would report n_events=3 / total 8.0)
+        spark.createDataFrame([(42, 5.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        while time.time() < deadline:
+            fresh = [r for r in emitted() if r["batch_events"] == 1]
+            if fresh:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("post-eviction batch never emitted")
+        assert (fresh[0]["n_events"], fresh[0]["total_value"]) == (1, 5.0)
+    finally:
+        q.stop()
