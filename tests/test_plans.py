@@ -320,3 +320,15 @@ def test_multiprobe_bucketed_layout_prunes_partitions(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, raw.collect())
     )
+
+
+def test_lsh_pairs_plan_no_cartesian(spark):
+    """Band-bucket candidate generation must stay an equi-join on the
+    band/bucket key — never an all-pairs product."""
+    from inception_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(lsh_candidate_pairs(docs, k=16, bands=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
