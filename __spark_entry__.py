@@ -878,6 +878,130 @@ def _q_sq_topk_codes(spark, sf_dir):
     )
 
 
+def _q_pq_topk(spark, sf_dir):
+    """PQ/ADC ANN probe: integer micro-unit LUT sums, so like sq_topk
+    the scores and selected set are engine-exact with no rounding."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.pq_topk(emb, list(qv), k=10)
+    return out.select(
+        "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_pq_codes(spark, sf_dir):
+    """ADC probe over the materialized m-bytes-per-vector code layout —
+    bit-identical to pq_topk by construction, same oracle."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    path = tempfile.mkdtemp(prefix="inception_pq_") + "/idx"
+    S.write_pq_codes(emb, path)
+    out = S.pq_topk_over_codes(spark, path, list(qv), k=10)
+    return out.select(
+        "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_pq_rerank(spark, sf_dir):
+    """ADC prescan (top-50) → exact cosine rerank of the shortlist."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.pq_topk_rerank(emb, list(qv), k=10, prescan=50)
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _pq_l2_units_sql(a: str, b: str) -> str:
+    """Micro-unit squared L2 — the DuckDB twin of _pq_sub_dist_units."""
+    return (
+        f"CAST(floor(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) "
+        f"* CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+
+
+def _pq_sc_ctes(m: int, ksub: int, dsub: int) -> str:
+    """Shared PQ oracle CTE chain ending in sc(vec_id, adc_dist):
+    codebook seeds → per-(vec, subspace) assignment → query LUT → ADC."""
+
+    def sl(col: str) -> str:
+        return f"list_slice({col}, j * {dsub} + 1, j * {dsub} + {dsub})"
+
+    return f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings)
+  WHERE cid < {ksub}),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+asg AS (
+  SELECT e.vec_id, j, c.cid,
+         {_pq_l2_units_sql(sl('e.embedding'), sl('c.cvec'))} AS d
+  FROM embeddings e CROSS JOIN cent c CROSS JOIN subs),
+code AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM asg) WHERE rn = 1),
+lut AS (
+  SELECT j, c.cid, {_pq_l2_units_sql(sl('qv'), sl('c.cvec'))} AS qd
+  FROM cent c CROSS JOIN subs CROSS JOIN q),
+sc AS (
+  SELECT code.vec_id, CAST(SUM(lut.qd) AS BIGINT) AS adc_dist
+  FROM code JOIN lut ON code.j = lut.j AND code.cid = lut.cid
+  GROUP BY code.vec_id)"""
+
+
+def _pq_oracle_sql(m: int = 8, ksub: int = 8, dsub: int = 8, k: int = 10) -> str:
+    return f"""
+WITH {_pq_sc_ctes(m, ksub, dsub)}
+SELECT vec_id, adc_dist,
+       CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+FROM sc QUALIFY rank <= {k}
+"""
+
+
+def _pq_rerank_oracle_sql(
+    m: int = 8, ksub: int = 8, dsub: int = 8, prescan: int = 50, k: int = 10
+) -> str:
+    return f"""
+WITH {_pq_sc_ctes(m, ksub, dsub)},
+short AS (
+  SELECT vec_id FROM sc
+  QUALIFY row_number() OVER (ORDER BY adc_dist, vec_id) <= {prescan}),
+r AS (
+  SELECT e.vec_id,
+         round({V.cosine_sql('e.embedding', 'qv')}, 6) AS score
+  FROM embeddings e JOIN short USING (vec_id), q)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+FROM r QUALIFY rank <= {k}
+"""
+
+
+def _q_ivf_pruned(spark, sf_dir):
+    """IVF probe over the materialized cell-partitioned layout — n_probe
+    cells read via file-level pruning; bit-identical to ivf_flat_topk by
+    construction, so the oracle replays the deterministic index from the
+    float table."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    path = tempfile.mkdtemp(prefix="inception_ivf_") + "/ivf"
+    S.write_ivf_layout(emb, path, n_centroids=8)
+    out = S.ivf_flat_topk_pruned(spark, path, list(qv), k=10, n_probe=2)
+    return out.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_ann_multiprobe_pruned(spark, sf_dir):
     """Multi-probe ANN over the partitioned-by-bucket layout: the r=1
     probe set is a 9-value partition IN-filter, so only those partitions'
@@ -1260,7 +1384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + BPE apply (plan-literal codegen tokenization)
         "sq_topk_codes": _q_sq_topk_codes,
         "ann_multiprobe_pruned": _q_ann_multiprobe_pruned,
+        "ivf_pruned": _q_ivf_pruned,
         "apply_bpe": _q_apply_bpe,
+        # product quantization: ADC probe, materialized codes, rerank
+        "pq_topk": _q_pq_topk,
+        "pq_topk_codes": _q_pq_codes,
+        "pq_topk_rerank": _q_pq_rerank,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1347,7 +1476,11 @@ _WINDOW_R5 = [
     # round-5 additions land in-window the round they ship (ADVICE r4)
     "sq_topk_codes",
     "ann_multiprobe_pruned",
+    "ivf_pruned",
     "apply_bpe",
+    "pq_topk",
+    "pq_topk_codes",
+    "pq_topk_rerank",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2485,6 +2618,10 @@ FROM s QUALIFY rank <= 10
     # oracle replays the same math from the float table
     d["sq_topk_codes"] = d["sq_topk"]
     d["ann_multiprobe_pruned"] = d["ann_multiprobe_topk"]
+    d["ivf_pruned"] = d["ivf_flat_topk"]
+    d["pq_topk"] = _pq_oracle_sql()
+    d["pq_topk_codes"] = d["pq_topk"]
+    d["pq_topk_rerank"] = _pq_rerank_oracle_sql()
     return d
 
 

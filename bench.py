@@ -66,6 +66,7 @@ HEADLINE = [
     # r5+: write-once/query-many SQ8 — times codes materialization AND
     # the codes-only probe (the probe alone is the steady-state cost)
     "sq_topk_codes",
+    "pq_topk",  # r5+: product quantization ADC scan (integer LUT sums)
     "ann_lsh_topk",
     "knn_label_join",
     # r4+: chunk_documents runs on an 8x multi-sentence amplification of
@@ -130,7 +131,7 @@ def main() -> None:
                 # regime metadata so cross-round totals can't silently mix
                 # query sets: bump queryset whenever HEADLINE changes.
                 # r2=40 queries; r4=41 (+sq_topk, chunk amplified 8x);
-                # r5=42 (+sq_topk_codes)
+                # r5=43 (+sq_topk_codes, +pq_topk)
                 "queryset": "r5",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,

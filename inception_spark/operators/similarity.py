@@ -12,6 +12,14 @@
   operator deterministic and lets the DuckDB oracle replay it exactly.
 * :func:`knn_join` — batch k-NN: every query row gets its top-k neighbors
   (window over blocked candidate pairs).
+* quantization ladder — :func:`sq_topk` (int8 scalar quantization, 4×
+  scan-bandwidth cut) and :func:`pq_topk` (product quantization + ADC,
+  ~32× at dim 64); both have materialized write-once/query-many layouts
+  (:func:`write_sq_codes`, :func:`write_pq_codes`) whose probes never
+  read the float column, and exact-rerank recipes.
+* every ANN family has a file-level-pruned layout: LSH buckets
+  (:func:`write_bucketed_embeddings` + single/multi-probe), IVF cells
+  (:func:`write_ivf_layout`).
 
 No UDFs anywhere — ``aggregate``/``zip_with`` dot products vectorize in
 codegen; an Arrow pandas-UDF variant would only win past ~10k dims.
@@ -316,6 +324,51 @@ def semantic_search(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def _ivf_cells(
+    df: DataFrame,
+    *,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index construction shared by the in-plan probe
+    and the materialized layout: returns ``(cent(cid, cvec),
+    cell(id, cid))`` — seeds are the ``n_centroids`` smallest
+    (md5(id), id) rows, assignment is the rounded-cosine argmax."""
+    h = F.md5(F.col(id_col).cast("string"))
+    cent = (
+        df.select(h.alias("h"), F.col(id_col), F.col(vec_col))
+        .orderBy("h", id_col)
+        .limit(n_centroids)
+    )
+    wc = Window.orderBy("h", id_col)
+    cent = cent.select(
+        (F.row_number().over(wc) - 1).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+    )
+    # coalesce(-2): cosine is NULL on zero-norm rows; pin NULL below the
+    # [-1, 1] range so the argmax/tie-break ordering is engine-identical
+    # (NULL-in-struct comparison vs NULLS LAST would otherwise differ)
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.coalesce(
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 6), F.lit(-2.0)
+        ).alias("cs"),
+    )
+    # argmax with min-cid tie-break: max of (cs, -cid) struct
+    cell = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))
+            ).alias("m")
+        )
+        .select(F.col(id_col), (-F.col("m.ncid")).alias("cid"))
+    )
+    return cent, cell
+
+
 def ivf_flat_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -347,34 +400,11 @@ def ivf_flat_topk(
 
     No Lloyd iterations — seeds ARE the centroids (IVF recall comes from
     n_probe, not centroid quality).  For write-once/query-many corpora,
-    persist step 2's assignment partitioned by cell and step 4 prunes at
-    the file level (see write_bucketed_embeddings for the LSH analog)."""
-    h = F.md5(F.col(id_col).cast("string"))
-    cent = (
-        df.select(h.alias("h"), F.col(id_col), F.col(vec_col))
-        .orderBy("h", id_col)
-        .limit(n_centroids)
-    )
-    wc = Window.orderBy("h", id_col)
-    cent = cent.select(
-        (F.row_number().over(wc) - 1).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-    )
-    # coalesce(-2): cosine is NULL on zero-norm rows; pin NULL below the
-    # [-1, 1] range so the argmax/tie-break ordering is engine-identical
-    # (NULL-in-struct comparison vs NULLS LAST would otherwise differ)
-    scored = df.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col),
-        F.col("cid"),
-        F.coalesce(
-            F.round(cosine(F.col(vec_col), F.col("cvec")), 6), F.lit(-2.0)
-        ).alias("cs"),
-    )
-    # argmax with min-cid tie-break: max of (cs, -cid) struct
-    cell = (
-        scored.groupBy(id_col)
-        .agg(F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"))
-        .select(F.col(id_col), (-F.col("m.ncid")).alias("cid"))
+    :func:`write_ivf_layout` persists step 2's assignment partitioned by
+    cell and :func:`ivf_flat_topk_pruned` prunes at the file level (the
+    IVF analog of write_bucketed_embeddings / ann_lsh_topk_pruned)."""
+    cent, cell = _ivf_cells(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
     q = _query_vec_col(query_vec)
     probe = (
@@ -390,6 +420,69 @@ def ivf_flat_topk(
     )
     cand_ids = cell.join(F.broadcast(probe), "cid").select(id_col)
     cand = df.join(cand_ids, id_col)
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def write_ivf_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the deterministic IVF index as the write-once/query-
+    many layout :func:`ivf_flat_topk`'s docstring promises: the corpus
+    partitioned by cell (``path/data/cell=N/``) plus the tiny centroid
+    table (``path/centroids``).  Each query then reads ~n_probe/
+    n_centroids of the data via real file-level partition pruning."""
+    cent, cell = _ivf_cells(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        df.join(cell, id_col)
+        .withColumnRenamed("cid", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/data")
+    )
+
+
+def ivf_flat_topk_pruned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over a :func:`write_ivf_layout` corpus: the ``n_probe``
+    nearest cells are picked from the materialized centroid table (a
+    driver-side collect of n_centroids rows — control plane, same
+    precedent as query_bucket) and pushed as a ``cell IN (...)``
+    PARTITION filter, so only those cells' files are listed and read.
+    Bit-identical to :func:`ivf_flat_topk` on the raw table: same seeds,
+    same rounded-cosine probe ordering, same exact rescore."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = _query_vec_col(query_vec)
+    probe = [
+        r["cid"]
+        for r in cent.select(
+            "cid",
+            F.coalesce(
+                F.round(cosine(F.col("cvec"), q), 6), F.lit(-2.0)
+            ).alias("qs"),
+        )
+        .orderBy(F.desc("qs"), F.asc("cid"))
+        .limit(n_probe)
+        .collect()
+    ]
+    cand = spark.read.parquet(f"{path}/data").filter(
+        F.col("cell").isin(probe)
+    )
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -647,4 +740,268 @@ def sq_topk_rerank(
         F.broadcast(short.select(F.col("vec_id").alias("_sq_id"))),
         F.col(id_col) == F.col("_sq_id"),
     ).drop("_sq_id")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (FAISS-PQ shape) — m-subspace codebooks, ADC scan
+# ---------------------------------------------------------------------------
+# The quantization family's scale ladder: SQ8 (above) cuts scan bytes 4x
+# with per-element int8; PQ cuts them ~dim*4/m (64 dims -> 8 bytes = 32x
+# vs float32) by coding each of m subvectors as its nearest of ksub
+# codebook centroids, and scoring via Asymmetric Distance Computation —
+# the query's distance to every (subspace, centroid) pair is an
+# m x ksub lookup table, so the corpus scan is pure table lookups over
+# the code bytes.  Everything is deterministic relational math (seed-row
+# codebooks, integer micro-unit distances) so DuckDB replays the index
+# bit-for-bit — no Lloyd iterations, same design stance as ivf_flat_topk.
+
+
+def pq_codebook(
+    df: DataFrame,
+    *,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ codebook: the ``ksub`` rows with the smallest
+    (md5(id), id) — the same pseudo-random seed draw as
+    :func:`ivf_flat_topk` — collected driver-side (control plane,
+    ksub rows).  Centroid ``cid``'s subspace-j centroid is the j-th
+    subvector slice of seed row ``cid``."""
+    h = F.md5(F.col(id_col).cast("string"))
+    rows = (
+        df.select(h.alias("h"), F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("h", "i")
+        .limit(ksub)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _pq_sub_dist_units(vec, centroid: list[float], j: int, dsub: int):
+    """Squared L2 between ``vec``'s j-th subvector and a literal centroid
+    subvector, in integer MICRO-UNITS (floor(d*1e6 + 0.5)) — half-up like
+    _sq_quant, so scores are engine-exact integers with no float ranking
+    anywhere."""
+    sub = F.slice(vec, j * dsub + 1, dsub)
+    lit = F.array(
+        *[F.lit(float(x)) for x in centroid[j * dsub : (j + 1) * dsub]]
+    )
+    d = F.aggregate(
+        F.zip_with(
+            sub,
+            lit,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    return F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[float]],
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> of length m) — code j is the argmin-distance
+    centroid for subvector j (ties break on smaller cid via the struct
+    array_min ordering).
+
+    ZERO joins and zero shuffles: the codebook rides as plan literals, so
+    encoding 100 TB is an embarrassingly parallel codegen scan — m*ksub
+    fused subvector distances per row, nothing crosses stage bounds."""
+    dim = len(codebook[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    codes = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _pq_sub_dist_units(
+                                F.col(vec_col), c, j, dsub
+                            ).alias("d"),
+                            F.lit(cid).alias("cid"),
+                        )
+                        for cid, c in enumerate(codebook)
+                    ]
+                )
+            )["cid"]
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def _pq_lut_units(
+    codebook: list[list[float]], query_vec: list[float], m: int
+) -> list[list[int]]:
+    """The ADC lookup table: lut[j][cid] = micro-unit squared L2 between
+    the query's subvector j and centroid cid's subvector j.  Driver-side
+    SEQUENTIAL float fold — the same operation order as the Catalyst
+    aggregate and DuckDB's list_sum (query_bucket precedent), so the
+    integer units agree across engines."""
+    import math
+
+    dim = len(query_vec)
+    dsub = dim // m
+    lut = []
+    for j in range(m):
+        row = []
+        for c in codebook:
+            acc = 0.0
+            for x, y in zip(
+                query_vec[j * dsub : (j + 1) * dsub],
+                c[j * dsub : (j + 1) * dsub],
+            ):
+                acc += (float(x) - float(y)) * (float(x) - float(y))
+            row.append(int(math.floor(acc * 1e6 + 0.5)))
+        lut.append(row)
+    return lut
+
+
+def _pq_topk_over_encoded(
+    enc: DataFrame,
+    lut: list[list[int]],
+    *,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Shared ADC ranking tail over any (id, codes) relation: per row,
+    sum the m LUT entries its codes select (integer adds over literal
+    arrays — pure codegen), TakeOrderedAndProject the k smallest."""
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            F.element_at(F.col("codes"), j + 1) + F.lit(1),
+        )
+        for j, row in enumerate(lut)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    scored = enc.select(
+        F.col(id_col).alias("vec_id"), adc.alias("adc_dist")
+    )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k by PQ/ADC: (vec_id, adc_dist, rank), smaller = nearer.
+
+    Scores are exact integers end to end (micro-unit LUT entries summed
+    per row), so the selected set is bit-identical across engines and
+    partitionings with no rounding discipline — same property as sq_topk.
+    This variant encodes the float corpus in-plan (one query pays one
+    float scan); the 32x bandwidth win materializes on the
+    :func:`write_pq_codes` / :func:`pq_topk_over_codes` layout."""
+    codebook = pq_codebook(df, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(df, codebook, m=m, id_col=id_col, vec_col=vec_col)
+    lut = _pq_lut_units(codebook, [float(x) for x in query_vec], m)
+    return _pq_topk_over_encoded(enc, lut, k=k, id_col=id_col)
+
+
+def write_pq_codes(
+    df: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index once: ``path/codes`` (id, codes
+    array<tinyint> — m bytes/vector, ksub <= 127) and ``path/codebook``
+    (cid, cvec).  Probes then scan the code bytes only; the float column
+    never appears in the probe's ReadSchema (pinned in test_plans)."""
+    codebook = pq_codebook(df, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(codebook)],
+        "cid int, cvec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    (
+        pq_encode(df, codebook, m=m, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col),
+            F.col("codes").cast("array<tinyint>").alias("codes"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+
+
+def pq_topk_over_codes(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC probe over a :func:`write_pq_codes` layout: reads m code bytes
+    per vector (the 32x-at-dim-64 scan-bandwidth path), rebuilds the LUT
+    from the materialized codebook (driver-side, ksub rows), and ranks by
+    the same exact integer sums — bit-identical to :func:`pq_topk`."""
+    cb_rows = (
+        spark.read.parquet(f"{path}/codebook").orderBy("cid").collect()
+    )
+    codebook = [[float(x) for x in r["cvec"]] for r in cb_rows]
+    codes = spark.read.parquet(f"{path}/codes")
+    m = _pq_infer_m(codes)
+    lut = _pq_lut_units(codebook, [float(x) for x in query_vec], m)
+    enc = codes.select(
+        F.col(id_col), F.col("codes").cast("array<int>").alias("codes")
+    )
+    return _pq_topk_over_encoded(enc, lut, k=k, id_col=id_col)
+
+
+def _pq_infer_m(codes: DataFrame) -> int:
+    """m = the stored code length (schema-stable; read from one row)."""
+    row = codes.select(F.size("codes").alias("m")).head()
+    return int(row["m"])
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    prescan: int = 50,
+    m: int = 8,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ recipe: ADC prescan selects ``prescan``
+    candidates (code-bytes-bound over the corpus), exact float cosine
+    reranks only that shortlist via a broadcast semi-join — the same
+    two-stage shape as :func:`sq_topk_rerank`."""
+    short = pq_topk(
+        df, query_vec, k=prescan, m=m, ksub=ksub,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cand = df.join(
+        F.broadcast(short.select(F.col("vec_id").alias("_pq_id"))),
+        F.col(id_col) == F.col("_pq_id"),
+    ).drop("_pq_id")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

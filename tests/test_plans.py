@@ -332,3 +332,97 @@ def test_lsh_pairs_plan_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ivf_layout_prunes_to_n_probe_cells(spark, tmp_path):
+    """The materialized IVF layout: probing reads files from at most
+    n_probe cell= partitions (verified on the actual files scanned) and
+    returns bit-identical results to the in-plan ivf_flat_topk."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.vectors import cosine
+    from inception_spark.operators.similarity import (
+        _query_vec_col,
+        ivf_flat_topk,
+        ivf_flat_topk_pruned,
+        write_ivf_layout,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(emb, path, n_centroids=8)
+
+    pruned = ivf_flat_topk_pruned(spark, path, qv, k=10, n_probe=2)
+    f = formatted(pruned)
+    part_filters = f.split("PartitionFilters")[1][:200]
+    assert "cell" in part_filters  # probe set is a partition filter
+
+    # runtime bound: replicate the probe selection and assert the
+    # filtered scan touches files from <= n_probe cell= directories
+    cent = spark.read.parquet(f"{path}/centroids")
+    probe = [
+        r["cid"]
+        for r in cent.select(
+            "cid",
+            F.round(cosine(F.col("cvec"), _query_vec_col(qv)), 6).alias(
+                "qs"
+            ),
+        )
+        .orderBy(F.desc("qs"), F.asc("cid"))
+        .limit(2)
+        .collect()
+    ]
+    touched = {
+        re.search(r"cell=(\d+)", r[0]).group(1)
+        for r in spark.read.parquet(f"{path}/data")
+        .filter(F.col("cell").isin(probe))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert len(touched) <= 2
+
+    raw = ivf_flat_topk(emb, qv, k=10, n_probe=2)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
+
+
+def test_pq_encode_join_free_and_codes_probe_reads_codes_only(spark, tmp_path):
+    """PQ's two scale claims, pinned: (a) encoding is a pure codegen scan
+    — NO join/shuffle anywhere in the plan (the codebook rides as
+    literals); (b) the materialized-codes ADC probe scans the m-byte
+    codes only — the float embedding column is absent from ReadSchema —
+    and returns bit-identical results to the in-plan variant."""
+    from inception_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+        pq_topk_over_codes,
+        write_pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+
+    cb = pq_codebook(emb, ksub=8)
+    p = plan_of(pq_encode(emb, cb, m=8))
+    assert "Join" not in p and "Exchange" not in p  # embarrassingly parallel
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    path = str(tmp_path / "pq")
+    write_pq_codes(emb, path)
+    probe = pq_topk_over_codes(spark, path, qv, k=10)
+    f = formatted(probe)
+    read_schema = f.split("ReadSchema")[1][:400]
+    assert "codes" in read_schema
+    assert "embedding" not in read_schema  # float bytes never scanned
+    assert "TakeOrderedAndProject" in f
+
+    raw = pq_topk(emb, qv, k=10)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
