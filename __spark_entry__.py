@@ -817,6 +817,32 @@ def _q_streaming_exact_dedup(spark, sf_dir):
     return out.select("fingerprint")
 
 
+def _q_streaming_embed(spark, sf_dir):
+    """The reference's WHOLE pipeline (validate → chunk → embed) executed
+    through Structured Streaming: documents staged to parquet, re-opened
+    as a file-source stream, pushed through EmbeddingEngine.embed_documents
+    (pandas-UDF chunker + iterator-UDF encoder run INSIDE micro-batches),
+    drained via foreachBatch — then oracle-checked on the same model-free
+    projection as the batch twin (embed_documents), whose SQL it reuses
+    verbatim.  This is the Spark-first answer to the reference's
+    always-on service shape: same operator graph, streaming execution."""
+    _ensure_workers_can_import(spark)
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    eng = EmbeddingEngine(spark)
+    docs = _docs(spark, sf_dir).selectExpr("doc_id AS id", "text")
+    out = run_stream_to_parquet(
+        spark, docs, lambda s: eng.embed_documents(s)
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(V.norm(F.col("embedding")), 4).alias("vec_norm"),
+    )
+
+
 def _q_dedup_keep_heads(spark, sf_dir):
     """The applied end of the near-dup pipeline: the corpus with only
     each duplicate component's head retained (keep_component_heads over
@@ -1390,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "pq_topk_codes": _q_pq_codes,
         "pq_topk_rerank": _q_pq_rerank,
+        # the reference pipeline under Structured Streaming
+        "streaming_embed_documents": _q_streaming_embed,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1481,6 +1509,7 @@ _WINDOW_R5 = [
     "pq_topk",
     "pq_topk_codes",
     "pq_topk_rerank",
+    "streaming_embed_documents",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2622,6 +2651,8 @@ FROM s QUALIFY rank <= 10
     d["pq_topk"] = _pq_oracle_sql()
     d["pq_topk_codes"] = d["pq_topk"]
     d["pq_topk_rerank"] = _pq_rerank_oracle_sql()
+    # streaming execution of the batch pipeline → identical projection
+    d["streaming_embed_documents"] = d["embed_documents"]
     return d
 
 

@@ -218,6 +218,7 @@ def test_registry_udf_free_entries_have_no_python_eval(spark):
         # streaming bridges execute eagerly inside the builder
         "streaming_events_hourly", "streaming_sessionization",
         "streaming_exact_dedup", "streaming_interval_join",
+        "streaming_embed_documents",
         # bounded applyInPandas block grid (documented hot-block path)
         "embedding_dup_pairs",
     }
