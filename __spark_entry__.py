@@ -904,6 +904,20 @@ def _q_sq_topk_codes(spark, sf_dir):
     )
 
 
+def _q_knn_join_lsh(spark, sf_dir):
+    """Batch kNN over LSH blocking: 10 query rows × multi-probe bucket
+    equi-join (never an all-pairs cross join) — the scale path for
+    knn_join; the oracle replays buckets and the r=1 probe predicate."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.knn_join_lsh(queries, emb, dim=_EMB_DIM, k=5)
+    return out.select(
+        "q_id", "n_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_pq_topk(spark, sf_dir):
     """PQ/ADC ANN probe: integer micro-unit LUT sums, so like sq_topk
     the scores and selected set are engine-exact with no rounding."""
@@ -1418,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_rerank": _q_pq_rerank,
         # the reference pipeline under Structured Streaming
         "streaming_embed_documents": _q_streaming_embed,
+        "knn_join_lsh": _q_knn_join_lsh,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1510,6 +1525,7 @@ _WINDOW_R5 = [
     "pq_topk_codes",
     "pq_topk_rerank",
     "streaming_embed_documents",
+    "knn_join_lsh",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2653,6 +2669,22 @@ FROM s QUALIFY rank <= 10
     d["pq_topk_rerank"] = _pq_rerank_oracle_sql()
     # streaming execution of the batch pipeline → identical projection
     d["streaming_embed_documents"] = d["embed_documents"]
+    d["knn_join_lsh"] = f"""
+WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+qb AS (SELECT q_id, q_vec, {_bucket_sql('q_vec')} AS qbk FROM qs),
+cb AS (SELECT vec_id AS n_id, embedding,
+              {_bucket_sql('embedding')} AS cbk
+       FROM embeddings),
+p AS (SELECT q_id, n_id,
+             round({V.cosine_sql('q_vec', 'embedding')}, 6) AS score
+      FROM qb JOIN cb
+        ON bit_count(xor(CAST(qbk AS BIGINT), CAST(cbk AS BIGINT))) <= 1)
+SELECT q_id, n_id, score,
+       CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
+FROM p QUALIFY rank <= 5
+"""
     return d
 
 

@@ -299,6 +299,63 @@ def knn_join(
     )
 
 
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 2024,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN at scale: LSH-blocked :func:`knn_join` — both sides
+    bucket with the SAME hyperplanes, each query row explodes into its
+    multi-probe bucket set (sum(C(bits, r)) rows — 9 at r=1), and
+    candidates come from one shuffle EQUI-join on the bucket key.
+
+    The crucial plan property: the probe condition is an equi join, never
+    the ``bit_count(xor) <= r`` predicate as a join condition (which
+    would compile to a nested-loop cross product).  Each corpus row has
+    exactly one bucket and the probe masks are distinct, so no (q, c)
+    pair is generated twice.  Cost ≈ |Q| * (1+bits) * avg bucket size
+    dot products, spread across bucket-key partitions."""
+    planes = lsh_hyperplanes(dim, bits=bits, seed=seed)
+    masks = probe_buckets(0, bits=bits, probe_hamming=probe_hamming)
+    qb = queries.withColumn("_qb", lsh_bucket_expr(F.col(q_vec), planes))
+    qprobe = qb.withColumn(
+        "_pb",
+        F.explode(
+            F.array(
+                *[
+                    F.col("_qb").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in masks
+                ]
+            )
+        ),
+    )
+    cb = corpus.withColumn("_cb", lsh_bucket_expr(F.col(c_vec), planes))
+    pairs = (
+        qprobe.alias("q")
+        .join(cb.alias("c"), F.col("q._pb") == F.col("c._cb"))
+        .select(
+            F.col(f"q.{q_id}").alias("q_id"),
+            F.col(f"c.{c_id}").alias("n_id"),
+            F.round(
+                cosine(F.col(f"q.{q_vec}"), F.col(f"c.{c_vec}")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def semantic_search(
     chunk_embeddings: DataFrame,
     query_vec: list[float],

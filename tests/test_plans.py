@@ -427,3 +427,26 @@ def test_pq_encode_join_free_and_codes_probe_reads_codes_only(spark, tmp_path):
     assert sorted(map(tuple, probe.collect())) == sorted(
         map(tuple, raw.collect())
     )
+
+
+def test_knn_join_lsh_is_equi_join(spark):
+    """The LSH-blocked batch kNN must join on the bucket KEY (hash/merge
+    equi join) — the bit_count(xor)<=r predicate as a join condition
+    would compile to a nested-loop cross product."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.operators.similarity import knn_join_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    p = plan_of(knn_join_lsh(queries, emb, dim=64, k=5))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
