@@ -904,6 +904,36 @@ def _q_sq_topk_codes(spark, sf_dir):
     )
 
 
+def _q_random_projection(spark, sf_dir):
+    """JL projection 64→16: seeded plane literals, zero-shuffle codegen
+    map; oracle replays the plane matrix verbatim.  Output exploded to
+    scalar (vec_id, pos, val) rows — array cells hash differently across
+    pandas/duckdb frames, scalars don't."""
+    emb = _emb(spark, sf_dir)
+    proj = S.random_projection(emb, dim=_EMB_DIM, out_dim=16)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("pos"), "val")
+
+
+def _q_embedding_outliers(spark, sf_dir):
+    """Per-row cosine to its label-group centroid (drift/outlier
+    diagnostic) — decimal-quantized sums make centroid and score
+    engine-exact."""
+    emb = _emb(spark, sf_dir)
+    return S.group_centroid_outliers(emb, group_col="label")
+
+
+def _proj_sql(vec: str, out_dim: int = 16) -> str:
+    """DuckDB twin of similarity.random_projection's plane literals."""
+    planes = S.projection_planes(_EMB_DIM, out_dim=out_dim)
+    elems = []
+    for p in planes:
+        lit = "[" + ", ".join(f"{x!r}" for x in p.tolist()) + "]"
+        elems.append(f"round({V.dot_sql(vec, lit)}, 6)")
+    return "[" + ", ".join(elems) + "]"
+
+
 def _q_knn_join_lsh(spark, sf_dir):
     """Batch kNN over LSH blocking: 10 query rows × multi-probe bucket
     equi-join (never an all-pairs cross join) — the scale path for
@@ -1433,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference pipeline under Structured Streaming
         "streaming_embed_documents": _q_streaming_embed,
         "knn_join_lsh": _q_knn_join_lsh,
+        "random_projection": _q_random_projection,
+        "embedding_outliers": _q_embedding_outliers,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1526,6 +1558,8 @@ _WINDOW_R5 = [
     "pq_topk_rerank",
     "streaming_embed_documents",
     "knn_join_lsh",
+    "random_projection",
+    "embedding_outliers",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2684,6 +2718,37 @@ SELECT q_id, n_id, score,
        CAST(row_number() OVER (
            PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
 FROM p QUALIFY rank <= 5
+"""
+    d["random_projection"] = f"""
+SELECT vec_id,
+       CAST(unnest(generate_series(1, 16)) AS BIGINT) AS pos,
+       unnest({_proj_sql('embedding')}) AS val
+FROM embeddings
+"""
+    d["embedding_outliers"] = """
+WITH pos AS (
+  SELECT label AS grp, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, length(embedding))) AS pos
+  FROM embeddings),
+cent AS (
+  SELECT grp, pos,
+         CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS c
+  FROM pos GROUP BY grp, pos),
+cc AS (
+  SELECT grp, CAST(SUM(CAST(c * c AS DECIMAL(20,10))) AS DOUBLE) AS cc
+  FROM cent GROUP BY grp),
+per_doc AS (
+  SELECT p.grp, p.vec_id,
+         CAST(SUM(CAST(p.x * cent.c AS DECIMAL(20,10))) AS DOUBLE) AS dv,
+         CAST(SUM(CAST(p.x * p.x AS DECIMAL(20,10))) AS DOUBLE) AS vv
+  FROM pos p JOIN cent ON p.grp = cent.grp AND p.pos = cent.pos
+  GROUP BY p.grp, p.vec_id)
+SELECT per_doc.vec_id, per_doc.grp AS label,
+       CASE WHEN sqrt(vv * cc) <> 0
+            THEN round(dv / sqrt(vv * cc), 6) END AS score
+FROM per_doc JOIN cc ON per_doc.grp = cc.grp
 """
     return d
 

@@ -91,7 +91,16 @@ def main() -> None:
     # first measured query doesn't pay one-time init costs.
     queries_all = entry_mod.queries()
     warm_sf = "/root/testdata/sf0.001"
-    for wq in ("q1_pricing_summary", "doc_fingerprint", "chunk_documents"):
+    # pq_topk warms too: its 64 higher-order-function lambdas evaluate
+    # OUTSIDE whole-stage codegen (HOFs are interpreted), so the first
+    # execution pays ~4x JIT warm-up (measured 5.0 s cold vs 1.05 s warm
+    # at sf0.1) that min-of-3 at full SF alone doesn't shed
+    for wq in (
+        "q1_pricing_summary",
+        "doc_fingerprint",
+        "chunk_documents",
+        "pq_topk",
+    ):
         queries_all[wq](spark, warm_sf).write.format("noop").mode(
             "overwrite"
         ).save()

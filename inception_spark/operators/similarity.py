@@ -1062,3 +1062,105 @@ def pq_topk_rerank(
         F.col(id_col) == F.col("_pq_id"),
     ).drop("_pq_id")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# dimensionality reduction + corpus diagnostics
+# ---------------------------------------------------------------------------
+
+
+def projection_planes(
+    dim: int, out_dim: int = 16, seed: int = 4096
+) -> np.ndarray:
+    """Deterministic Johnson-Lindenstrauss projection: Gaussian rows
+    scaled by 1/sqrt(out_dim) (the JL norm-preserving convention)."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, proj array<double> of out_dim) — JL random projection.
+
+    The standard pre-reduce for ANN at scale: distances are preserved
+    within (1±eps) w.h.p., and a 64→16 projection cuts exact-scan flops
+    and candidate-rerank bandwidth 4×.  The plane matrix is seeded and
+    inlined as plan literals, so the operator is a ZERO-shuffle codegen
+    map (same execution shape as pq_encode) and the DuckDB oracle
+    replays it verbatim.  Elements rounded to 6 dp like every score."""
+    planes = projection_planes(dim, out_dim=out_dim, seed=seed)
+    proj = F.array(
+        *[
+            F.round(
+                dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in p]),
+                ),
+                6,
+            )
+            for p in planes
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def group_centroid_outliers(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row cosine to its GROUP's centroid: (id, group, score) —
+    the corpus-drift/outlier diagnostic (rows far from their source's
+    centroid are mislabeled, contaminated, or genuinely novel).
+
+    Engine-exact without materializing centroid arrays: cos(v, c) needs
+    only dot(v, c), |v|² and |c|², all of which are sums over the
+    exploded (group, pos) grid — so the whole operator is two hash
+    aggregates and one equi-join on (group, pos).  Float products are
+    quantized to DECIMAL(20,10) before summation (order-independent,
+    exact — the same discipline as the money aggregates), so centroids
+    and scores are bit-identical across engines and partitionings.
+
+    Scale shape: |groups|×dim centroid table (tiny — broadcast back),
+    explode is dim rows/vector but narrow (three numeric columns); no
+    all-pairs anything."""
+    dec = "decimal(20,10)"
+    pos = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = pos.groupBy("grp", "pos").agg(
+        (
+            F.sum(F.col("x").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+    cc = cent.groupBy("grp").agg(
+        F.sum((F.col("c") * F.col("c")).cast(dec)).cast("double").alias("cc")
+    )
+    j = pos.join(cent, ["grp", "pos"])
+    per_doc = j.groupBy("grp", F.col(id_col)).agg(
+        F.sum((F.col("x") * F.col("c")).cast(dec)).cast("double").alias("dv"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("vv"),
+    )
+    den = F.sqrt(F.col("vv") * F.col("cc"))
+    return (
+        per_doc.join(cc, "grp")
+        .select(
+            F.col(id_col),
+            F.col("grp").alias(group_col),
+            F.when(den != 0.0, F.round(F.col("dv") / den, 6))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("score"),
+        )
+    )
