@@ -66,6 +66,7 @@ from inception_spark.functions.sketches import (
     sampled_quantiles,
     sampled_quantiles_sql,
 )
+from inception_spark.operators import clustering as CL
 from inception_spark.operators import dedup as D
 from inception_spark.operators import similarity as S
 from inception_spark.operators.packing import pack_sequences_sql
@@ -493,6 +494,20 @@ def _q_knn_label_join(spark, sf_dir):
         "q_id", F.col("n_id").alias("n_id"), "score",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _q_kmeans_train(spark, sf_dir):
+    """Bit-exact integer Lloyd k-means (operators/clustering.py): md5
+    seed draw, micro-unit distances, div-based centroid means — the
+    oracle replays every round as unrolled CTEs."""
+    return CL.kmeans_train(_emb(spark, sf_dir), k=8, n_iter=2)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means clusters + within-cluster rounded-cosine drop
+    of smaller-id near-duplicates (eps=0.4 — the embedding_dup_pairs
+    threshold convention; this fixture corpus has pairs above it)."""
+    return CL.semantic_dedup(_emb(spark, sf_dir), k=8, n_iter=2, eps=0.4)
 
 
 def _q_asof_event_order(spark, sf_dir):
@@ -1465,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": _q_knn_join_lsh,
         "random_projection": _q_random_projection,
         "embedding_outliers": _q_embedding_outliers,
+        "kmeans_train": _q_kmeans_train,
+        "semantic_dedup": _q_semantic_dedup,
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1560,6 +1577,8 @@ _WINDOW_R5 = [
     "knn_join_lsh",
     "random_projection",
     "embedding_outliers",
+    "kmeans_train",
+    "semantic_dedup",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2725,6 +2744,12 @@ SELECT vec_id,
        unnest({_proj_sql('embedding')}) AS val
 FROM embeddings
 """
+    d["kmeans_train"] = CL.kmeans_train_sql(
+        "embeddings", k=8, n_iter=2, dim=_EMB_DIM
+    )
+    d["semantic_dedup"] = CL.semantic_dedup_sql(
+        "embeddings", k=8, n_iter=2, eps=0.4, dim=_EMB_DIM
+    )
     d["embedding_outliers"] = """
 WITH pos AS (
   SELECT label AS grp, vec_id,
