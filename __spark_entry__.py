@@ -66,6 +66,7 @@ from inception_spark.functions.sketches import (
     sampled_quantiles,
     sampled_quantiles_sql,
 )
+from inception_spark.operators import classify as NB
 from inception_spark.operators import clustering as CL
 from inception_spark.operators import dedup as D
 from inception_spark.operators import similarity as S
@@ -1482,6 +1483,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "kmeans_train": _q_kmeans_train,
         "semantic_dedup": _q_semantic_dedup,
+        # trained-on-the-corpus classifiers + higher-order LM quality
+        "nb_lang_classify": lambda spark, sf: NB.nb_lang_classify(
+            _docs(spark, sf)
+        ),
+        "doc_bigram_logprob": lambda spark, sf: TA.doc_bigram_logprob(
+            _docs(spark, sf)
+        ),
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1579,6 +1587,8 @@ _WINDOW_R5 = [
     "embedding_outliers",
     "kmeans_train",
     "semantic_dedup",
+    "nb_lang_classify",
+    "doc_bigram_logprob",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2744,6 +2754,8 @@ SELECT vec_id,
        unnest({_proj_sql('embedding')}) AS val
 FROM embeddings
 """
+    d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
+    d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["kmeans_train"] = CL.kmeans_train_sql(
         "embeddings", k=8, n_iter=2, dim=_EMB_DIM
     )

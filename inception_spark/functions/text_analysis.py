@@ -251,6 +251,98 @@ FROM scored GROUP BY doc_id
 """
 
 
+def doc_bigram_logprob(df, *, id_col="doc_id", text_col="text"):
+    """Markov-order-2 corpus-LM quality signal: per-document mean
+    conditional bigram log-probability ln p(w2|w1) under the corpus's
+    own bigram counts — (doc_id, n_bigrams, mean_logprob).  The bigram
+    model separates "plausible word sequences" from "bag of frequent
+    words", which the unigram score cannot: shuffled text keeps its
+    unigram score but craters here.  KenLM-style pipelines (CCNet) use
+    a 5-gram; order 2 is the in-engine analog with the same filtering
+    power at corpus scale.
+
+    MLE probabilities (no smoothing) are total on resubstitution: every
+    bigram being scored was counted, so c12 ≥ 1 and the ratio never hits
+    zero.  Same determinism discipline as :func:`doc_unigram_logprob`
+    (6-dp rounded terms, exact DECIMAL sum, one final double divide).
+    Plan: bigram explode → two hash aggregates (c12, c1) → join back →
+    per-doc aggregate → left join onto the doc list so 0/1-word docs
+    surface with n_bigrams=0 instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    bg = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bg).alias("bg")
+    ).select(
+        "doc_id",
+        "bg",
+        F.substring_index(F.col("bg"), " ", 1).alias("w1"),
+    )
+    c12 = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        ex.join(c12, "bg")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c12").cast("double") / F.col("c1")), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nb"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("mlp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nb"), F.lit(0)).alias("n_bigrams"),
+            F.col("mlp").alias("mean_logprob"),
+        )
+    )
+
+
+def doc_bigram_logprob_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`doc_bigram_logprob`."""
+    w = words_sql("text")
+    return f"""
+WITH ws AS (SELECT doc_id, {w} AS ws FROM {table}),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+           p -> p[1] || ' ' || p[2])) AS bg
+  FROM ws),
+ex2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM ex),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM ex2 GROUP BY bg),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM ex2 GROUP BY w1),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM ex2 JOIN c12 USING (bg) JOIN c1 USING (w1)),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS nb,
+         CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mlp
+  FROM scored GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(p.nb, 0) AS n_bigrams, p.mlp AS mean_logprob
+FROM {table} t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
 def doc_word_entropy(df, *, id_col="doc_id", text_col="text"):
     """Per-document word-distribution entropy (nats):
     (doc_id, n_words, n_distinct, entropy).  Low entropy flags

@@ -1,0 +1,203 @@
+"""Trainable document classifiers: distributed naive Bayes.
+
+A large-scale training-data pipeline needs *trained-on-the-corpus*
+classifiers, not just heuristics: language ID for mixing ratios, quality
+gates learned from labeled seed sets (the CCNet / fastText pattern).
+This module implements multinomial naive Bayes the Spark-first way —
+
+* **fit** is nothing but aggregates: one token explode, a vocabulary
+  count, per-(label, token) counts, per-label totals — all map-side
+  combinable hash aggregates, no iteration;
+* **the model is a table**: (label, token, logprob) plus per-label
+  smoothing defaults — it joins back onto the corpus like any dimension
+  (small → broadcast; huge vocab → ordinary shuffle join, Catalyst/AQE
+  picks);
+* **predict** is one join + one argmax aggregate — whole-stage codegen,
+  zero UDFs.
+
+Determinism discipline (the repo convention from doc_unigram_logprob):
+every token log-probability is ``round(ln(p), 6)`` cast to
+DECIMAL(28,6), so per-document sums are exact and order-independent;
+the argmax ties break on the lexicographically smallest label via
+``min(struct(-score, label))``.  ln() itself is not guaranteed
+correctly rounded across libms, but at 6 dp only exact half-boundary
+values could diverge — the same accepted risk as every logprob operator
+here.
+
+Evaluation is resubstitution (train and score the same corpus): the
+operator's contract is the fit/score machinery, not a holdout
+methodology — split upstream with ``sampling.stable_sample`` for a real
+eval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from inception_spark.functions.hashing import words, words_sql
+
+
+def nb_lang_classify(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    min_count: int = 3,
+) -> DataFrame:
+    """Fit multinomial NB on (words(text) → label) and score every doc:
+    returns (doc_id, label, pred, correct, score).
+
+    Add-one smoothing over the ``min_count``-pruned vocabulary; tokens
+    outside the vocabulary are dropped (standard NB practice — they
+    carry no class signal and would blow the model up with hapaxes).
+    Documents with no in-vocab tokens fall back to the class prior.
+
+    Plan: explode → 3 hash aggregates (vocab, per-(label,w) counts,
+    per-label totals) → per-token scoring join ⨯ |labels| → one
+    (doc, label) sum aggregate → one doc argmax.  The ⨯|labels| factor
+    is the label cardinality (a handful for language ID) — the classic
+    dense-scoring blowup, bounded and map-side combinable."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    vocab = (
+        ex.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.col("wf") >= min_count)
+        .select("w")
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    exv = ex.join(vocab, "w")  # in-vocab token occurrences
+    cnt = (
+        df.select(F.col(label_col).alias("lbl"), F.col(id_col).alias("doc_id"))
+        .join(exv, "doc_id")
+        .groupBy("lbl", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nl = cnt.groupBy("lbl").agg(F.sum("c").alias("n_l"))
+    # class priors from document counts
+    docs_per = df.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    total_docs = df.agg(F.count(F.lit(1)).alias("ndt"))
+    labels = (
+        docs_per.crossJoin(F.broadcast(total_docs))
+        .join(nl, "lbl", "left")
+        .withColumn("n_l", F.coalesce(F.col("n_l"), F.lit(0)))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "lbl",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("ndt")), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("prior"),
+            F.col("n_l"),
+            F.col("v"),
+        )
+    )
+    # score every in-vocab token occurrence against every label
+    tok = (
+        exv.crossJoin(F.broadcast(labels.select("lbl", "n_l", "v")))
+        .join(cnt, ["lbl", "w"], "left")
+        .select(
+            "doc_id",
+            "lbl",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("n_l") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("lp"),
+        )
+    )
+    tok_sum = tok.groupBy("doc_id", "lbl").agg(F.sum("lp").alias("tlp"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("label")
+    ).crossJoin(F.broadcast(labels.select("lbl", "prior")))
+    scored = base.join(tok_sum, ["doc_id", "lbl"], "left").select(
+        "doc_id",
+        "label",
+        "lbl",
+        (
+            F.col("prior")
+            + F.coalesce(F.col("tlp"), F.lit(0).cast("decimal(28,6)"))
+        ).alias("score"),
+    )
+    best = (
+        scored.groupBy("doc_id", "label")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), "lbl")).alias("m"))
+        .select(
+            "doc_id",
+            "label",
+            F.col("m.lbl").alias("pred"),
+            (F.col("m.lbl") == F.col("label")).alias("correct"),
+            (-F.col("m.ns")).cast("double").alias("score"),
+        )
+    )
+    return best
+
+
+def nb_lang_classify_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    min_count: int = 3,
+) -> str:
+    """DuckDB twin of :func:`nb_lang_classify`."""
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS doc_id, unnest({words_sql(text_col)}) AS w
+  FROM {table}),
+vocab AS (SELECT w FROM ex GROUP BY w HAVING COUNT(*) >= {min_count}),
+vsize AS (SELECT COUNT(*) AS v FROM vocab),
+exv AS (SELECT doc_id, w FROM ex JOIN vocab USING (w)),
+cnt AS (
+  SELECT t.{label_col} AS lbl, e.w, COUNT(*) AS c
+  FROM {table} t JOIN exv e ON t.{id_col} = e.doc_id
+  GROUP BY t.{label_col}, e.w),
+nl AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS n_l FROM cnt GROUP BY lbl),
+docs_per AS (
+  SELECT {label_col} AS lbl, COUNT(*) AS nd FROM {table} GROUP BY 1),
+total_docs AS (SELECT COUNT(*) AS ndt FROM {table}),
+labels AS (
+  SELECT d.lbl,
+         CAST(round(ln(CAST(d.nd AS DOUBLE) / t.ndt), 6)
+              AS DECIMAL(28,6)) AS prior,
+         COALESCE(n.n_l, 0) AS n_l, s.v
+  FROM docs_per d
+  CROSS JOIN total_docs t
+  CROSS JOIN vsize s
+  LEFT JOIN nl n ON n.lbl = d.lbl),
+tok AS (
+  SELECT e.doc_id, l.lbl,
+         CAST(round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(l.n_l + l.v AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM exv e CROSS JOIN labels l
+  LEFT JOIN cnt c ON c.lbl = l.lbl AND c.w = e.w),
+tok_sum AS (
+  SELECT doc_id, lbl, SUM(lp) AS tlp FROM tok GROUP BY doc_id, lbl),
+scored AS (
+  SELECT t.{id_col} AS doc_id, t.{label_col} AS label, l.lbl,
+         l.prior + COALESCE(s.tlp, CAST(0 AS DECIMAL(28,6))) AS score
+  FROM {table} t CROSS JOIN labels l
+  LEFT JOIN tok_sum s ON s.doc_id = t.{id_col} AND s.lbl = l.lbl),
+r AS (
+  SELECT doc_id, label, lbl, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lbl) AS rn
+  FROM scored)
+SELECT doc_id, label, lbl AS pred, lbl = label AS correct,
+       CAST(score AS DOUBLE) AS score
+FROM r WHERE rn = 1
+"""

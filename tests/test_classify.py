@@ -1,0 +1,79 @@
+"""Naive Bayes classifier: oracle parity + operator contracts."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.operators.classify import (
+    nb_lang_classify,
+    nb_lang_classify_sql,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_nb_matches_duckdb_oracle(spark, docs):
+    res = sorted(
+        (r["doc_id"], r["label"], r["pred"], r["correct"], r["score"])
+        for r in nb_lang_classify(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    orc = sorted(
+        tuple(r) for r in con.execute(nb_lang_classify_sql()).fetchall()
+    )
+    assert res == orc
+
+
+def test_nb_one_prediction_per_doc_and_beats_chance(spark, docs):
+    res = nb_lang_classify(docs)
+    n = docs.count()
+    assert res.count() == n
+    assert res.select("doc_id").distinct().count() == n
+    n_labels = docs.select("lang").distinct().count()
+    acc = res.where("correct").count() / n
+    assert acc > 1.5 / n_labels, f"accuracy {acc} not above chance"
+
+
+def test_nb_partitioning_independent(spark, docs):
+    a = {
+        (r["doc_id"], r["pred"], r["score"])
+        for r in nb_lang_classify(docs).collect()
+    }
+    b = {
+        (r["doc_id"], r["pred"], r["score"])
+        for r in nb_lang_classify(docs.repartition(17)).collect()
+    }
+    assert a == b
+
+
+def test_nb_empty_doc_falls_back_to_prior(spark):
+    """A doc with no in-vocab tokens gets the majority-prior class."""
+    rows = [(i, "common words repeated here", "en") for i in range(6)]
+    rows += [(10 + i, "andere worte ganz anders", "de") for i in range(2)]
+    rows.append((99, "", "de"))  # empty text → prior argmax = en
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res = {r["doc_id"]: r["pred"] for r in nb_lang_classify(df, min_count=2).collect()}
+    assert res[99] == "en"
+    assert len(res) == 9
+
+
+def test_bigram_logprob_edge_docs(spark):
+    """0/1-word docs surface with n_bigrams=0 (not dropped); repeated
+    bigrams of a deterministic corpus score ln(1)=0."""
+    from inception_spark.functions.text_analysis import doc_bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words"), (4, "a b a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in doc_bigram_logprob(df).collect()
+    }
+    assert got == {1: (0, None), 2: (0, None), 3: (1, 0.0), 4: (3, 0.0)}
