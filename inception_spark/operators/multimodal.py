@@ -384,16 +384,205 @@ def probe_png_dims(
     )
 
 
+# GIF — the other zero-dependency compressed format: LZW is specified
+# fully in GIF89a and needs no codec library.  Decodes the FIRST image
+# frame (training corpora treat animated GIFs as stills) with global or
+# local color table and interlace handling.
+
+
+def _gif_lzw(data: bytes, min_size: int, expect: int) -> bytes:
+    """GIF-variant LZW: variable-width codes, LSB-first bit packing,
+    clear/EOI codes, dictionary capped at 12 bits."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    code_size = min_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < expect:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code not in table:
+                raise DecoderUnavailable("corrupt GIF LZW stream")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise DecoderUnavailable("corrupt GIF LZW stream")
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expect:
+        raise DecoderUnavailable("truncated GIF pixel data")
+    return bytes(out[:expect])
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (h, w, 3) uint8 RGB: first image frame, global or
+    local palette, interlace deshuffle.  Pure stdlib (LZW in Python)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise DecoderUnavailable("not a GIF payload")
+    if len(payload) < 13:
+        raise DecoderUnavailable("truncated GIF header")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags >> 7:
+        n = 2 ** ((flags & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension block — skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise DecoderUnavailable("truncated GIF image descriptor")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            lflags = payload[pos + 9]
+            pos += 10
+            palette = gct
+            if lflags >> 7:
+                n = 2 ** ((lflags & 7) + 1)
+                palette = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if palette is None:
+                raise DecoderUnavailable("GIF image without color table")
+            if pos >= len(payload):
+                raise DecoderUnavailable("truncated GIF image data")
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise DecoderUnavailable(
+                    f"bad GIF LZW min code size {min_code_size}"
+                )
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = np.frombuffer(
+                _gif_lzw(bytes(data), min_code_size, w * h), dtype=np.uint8
+            )
+            if int(idx.max(initial=0)) * 3 + 2 >= len(palette):
+                raise DecoderUnavailable("GIF index outside color table")
+            pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            img = pal[idx].reshape(h, w, 3)
+            if (lflags >> 6) & 1:  # interlaced: 4-pass row shuffle
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return np.ascontiguousarray(img)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise DecoderUnavailable(f"unknown GIF block 0x{b:02x}")
+    raise DecoderUnavailable("GIF contains no image block")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → GIF89a bytes.  Palette = the image's unique
+    colors (≤ 256 required); LZW stream uses the spec's clear-code-per-
+    pixel degenerate form — valid GIF, zero compression, tiny encoder.
+    Exists so decode_gif has a real round-trip partner in tests."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <= 256 unique colors")
+    cbits = max(2, int(len(colors) - 1).bit_length())
+    psize = 1 << cbits
+    pal = np.zeros((psize, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    header = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (cbits - 1), 0, 0])
+        + pal.tobytes()
+    )
+    desc = (
+        b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"
+    )
+    min_size = cbits
+    clear = 1 << min_size
+    eoi = clear + 1
+    code_size = min_size + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code: int):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    for v in inverse.ravel():
+        put(clear)  # reset before every pixel: code width never grows
+        put(int(v))
+    put(eoi)
+    if nacc:
+        bits.append(acc & 0xFF)
+    sub = b"".join(
+        bytes([len(bits[i : i + 255])]) + bytes(bits[i : i + 255])
+        for i in range(0, len(bits), 255)
+    )
+    return header + desc + bytes([min_size]) + sub + b"\x00" + b"\x3b"
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode: native BMP / binary netpbm / PNG (stdlib zlib) first;
-    PIL fallback for other compressed formats when installed;
-    DecoderUnavailable otherwise."""
+    """Real decode: native BMP / binary netpbm / PNG (stdlib zlib) /
+    GIF (pure-Python LZW) first; PIL fallback for other compressed
+    formats when installed; DecoderUnavailable otherwise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     try:
         import io
 
@@ -403,7 +592,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     except ImportError:
         raise DecoderUnavailable(
             "JPEG/WebP decode requires PIL — not installed; "
-            "BMP, netpbm and PNG decode natively"
+            "BMP, netpbm, PNG and GIF decode natively"
         )
 
 

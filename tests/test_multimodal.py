@@ -593,3 +593,134 @@ def test_netpbm_truncated_and_maxval_rescale():
     # maxval 0 refused
     with pytest.raises(DecoderUnavailable):
         decode_netpbm(b"P5\n1 1\n0\n\x00")
+
+
+def test_gif_roundtrip_exact():
+    """decode(encode(img)) == img for an RGB image with <=256 colors."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(16, 3), dtype=np.uint8)  # 16 colors
+    idx = rng.integers(0, 16, size=(13, 9))
+    img = base[idx]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_real_lzw_dictionary_growth():
+    """A hand-built GIF with a genuinely compressed LZW stream (no
+    per-pixel clears) exercises dictionary growth and the code==next_code
+    ('KwKwK') special case."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import decode_gif
+
+    # 2-color image, pixels: 0 0 0 1 1 0 0 0 (w=8, h=1)
+    # encode by hand with min_code_size=2 (clear=4, eoi=5)
+    pixels = [0, 0, 0, 1, 1, 0, 0, 0]
+    codes = [4]  # clear
+    # LZW: 0 -> emit 0 (prev=0); 00 new entry 6; read 0 emit; ... encode
+    # greedily with a real encoder table to produce growing codes
+    table = {bytes([i]): i for i in range(4)}
+    next_code = 6
+    buf = b""
+    for p in pixels:
+        cand = buf + bytes([p])
+        if cand in table:
+            buf = cand
+        else:
+            codes.append(table[buf])
+            table[cand] = next_code
+            next_code += 1
+            buf = bytes([p])
+    codes.append(table[buf])
+    codes.append(5)  # eoi
+    # pack LSB-first at 3 bits (next_code stays < 8)
+    acc = nacc = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nacc
+        nacc += 3
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    pal = bytes([0, 0, 0, 255, 255, 255] + [0] * 6)  # 4-entry table
+    payload = (
+        b"GIF89a" + (8).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x81, 0, 0]) + pal
+        + b"\x2c\x00\x00\x00\x00" + (8).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + b"\x00"
+        + bytes([2, len(out)]) + bytes(out) + b"\x00\x3b"
+    )
+    img = decode_gif(payload)
+    expect = np.array(
+        [[0, 0, 0], [0, 0, 0], [0, 0, 0], [255, 255, 255],
+         [255, 255, 255], [0, 0, 0], [0, 0, 0], [0, 0, 0]],
+        dtype=np.uint8,
+    ).reshape(1, 8, 3)
+    assert np.array_equal(img, expect)
+
+
+def test_gif_interlaced_rows_deshuffled():
+    import numpy as np
+
+    from inception_spark.operators.multimodal import decode_gif, encode_gif
+
+    # build a non-interlaced gif, then rewrite it as interlaced by
+    # reordering rows into pass order and setting the interlace flag
+    h, w = 10, 4
+    img = np.stack(
+        [np.full((w, 3), 20 * y, dtype=np.uint8) for y in range(h)]
+    )
+    plain = bytearray(encode_gif(img))
+    # rows in interlace pass order
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    shuffled = img[order]
+    inter = bytearray(encode_gif(shuffled))
+    # image descriptor starts right after header+gct (identical for both)
+    di = bytes(inter).index(b"\x2c")
+    assert inter[di + 9] == 0
+    inter[di + 9] = 0x40  # set interlace flag
+    out = decode_gif(bytes(inter))
+    assert np.array_equal(out, img)
+    assert not np.array_equal(decode_gif(bytes(plain)), out.copy()[order])
+
+
+def test_gif_refusals():
+    import pytest as _pytest
+
+    from inception_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_gif,
+        encode_gif,
+    )
+    import numpy as np
+
+    with _pytest.raises(DecoderUnavailable, match="not a GIF"):
+        decode_gif(b"JFIF....")
+    with _pytest.raises(DecoderUnavailable, match="truncated GIF header"):
+        decode_gif(b"GIF89a\x01\x00")
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(encode_gif(img))
+    with _pytest.raises(DecoderUnavailable, match="truncated GIF pixel"):
+        decode_gif(bytes(good[:-6]) + b"\x00\x3b")
+    with _pytest.raises(ValueError, match="256 unique colors"):
+        rng = np.random.default_rng(0)
+        encode_gif(rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8))
+
+
+def test_decode_image_dispatches_gif():
+    import numpy as np
+
+    from inception_spark.operators.multimodal import decode_image, encode_gif
+
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    img[1, 1] = (255, 0, 0)
+    assert np.array_equal(decode_image(encode_gif(img)), img)
