@@ -76,6 +76,10 @@ from inception_spark.operators.sampling import (
     build_vocab_sql,
     cap_per_group,
     cap_per_group_sql,
+    curriculum_bins,
+    curriculum_bins_sql,
+    epoch_shuffle,
+    epoch_shuffle_sql,
     stable_sample,
     stable_sample_sql,
     leakage_safe_split,
@@ -1490,6 +1494,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": lambda spark, sf: TA.doc_bigram_logprob(
             _docs(spark, sf)
         ),
+        # epoch-reproducible training shuffle + curriculum binning
+        "epoch_shuffle": lambda spark, sf: epoch_shuffle(
+            _docs(spark, sf), epoch=3
+        ),
+        "curriculum_bins": lambda spark, sf: curriculum_bins(
+            _docs(spark, sf), "n_chars"
+        ),
         # relational layer
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -1589,6 +1600,8 @@ _WINDOW_R5 = [
     "semantic_dedup",
     "nb_lang_classify",
     "doc_bigram_logprob",
+    "epoch_shuffle",
+    "curriculum_bins",
     "events_hourly",
     "events_sliding_windows",
     "events_sessionization",
@@ -2754,6 +2767,8 @@ SELECT vec_id,
        unnest({_proj_sql('embedding')}) AS val
 FROM embeddings
 """
+    d["epoch_shuffle"] = epoch_shuffle_sql("documents", epoch=3)
+    d["curriculum_bins"] = curriculum_bins_sql("documents", "n_chars")
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["kmeans_train"] = CL.kmeans_train_sql(

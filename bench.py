@@ -75,6 +75,13 @@ HEADLINE = [
     # raw-document chunk+embed throughput is what embed_documents times.
     "chunk_documents",
     "embed_documents",
+    # r5+: clustering / trained classifiers — kmeans and semantic_dedup
+    # time TRAIN + final assignment (2 Lloyd rounds, the operator's
+    # real cost); nb and bigram are pure agg/join plans
+    "kmeans_train",
+    "semantic_dedup",
+    "nb_lang_classify",
+    "doc_bigram_logprob",
 ]
 
 
@@ -140,7 +147,8 @@ def main() -> None:
                 # regime metadata so cross-round totals can't silently mix
                 # query sets: bump queryset whenever HEADLINE changes.
                 # r2=40 queries; r4=41 (+sq_topk, chunk amplified 8x);
-                # r5=43 (+sq_topk_codes, +pq_topk)
+                # r5=47 (+sq_topk_codes, pq_topk, kmeans_train,
+                # semantic_dedup, nb_lang_classify, doc_bigram_logprob)
                 "queryset": "r5",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,

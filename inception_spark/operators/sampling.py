@@ -332,3 +332,154 @@ SELECT doc_id, component_id,
             ELSE 'test' END AS split
 FROM comp
 """
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    *,
+    epoch: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic per-epoch training shuffle: (id, shard, pos).
+
+    Training loaders need a different-but-reproducible permutation per
+    epoch, materialized as shards so loading stays parallel.  Hashing
+    (salt, epoch, id) gives both: shard = h mod n_shards spreads docs
+    uniformly, pos = rank of a second hash within the shard orders them
+    — change ``epoch`` and every doc gets a fresh shard+position, same
+    epoch twice gives byte-identical shards on any engine.
+
+    Scale shape: one shuffle on shard + a per-shard sort bounded by
+    n/n_shards rows (exactly the work of writing shuffled shards); no
+    global sort, no driver state."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hs = h28(
+        F.concat(
+            F.lit(f"{salt}\x1f{epoch}\x1f"), F.col(id_col).cast("string")
+        )
+    )
+    hp = h28(
+        F.concat(
+            F.lit(f"{salt}p\x1f{epoch}\x1f"), F.col(id_col).cast("string")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("hp", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            (hs % F.lit(n_shards)).alias("shard"),
+            hp.alias("hp"),
+        )
+        .select(
+            id_col,
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+def epoch_shuffle_sql(
+    table: str,
+    *,
+    epoch: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle`."""
+    ks = f"'{salt}' || chr(31) || '{epoch}' || chr(31) || CAST({id_col} AS VARCHAR)"
+    kp = f"'{salt}p' || chr(31) || '{epoch}' || chr(31) || CAST({id_col} AS VARCHAR)"
+    return f"""
+WITH h AS (
+  SELECT {id_col},
+         {h28_sql(ks)} % {n_shards} AS shard,
+         {h28_sql(kp)} AS hp
+  FROM {table})
+SELECT {id_col}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hp, {id_col})
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+def curriculum_bins(
+    df: DataFrame,
+    score_col: str,
+    *,
+    key_col: str = "doc_id",
+    n_bins: int = 4,
+    rate: float = 0.2,
+    salt: str = "cur",
+) -> DataFrame:
+    """Difficulty binning for curriculum schedules: (key, score, bin)
+    with bin ∈ 1..n_bins by corpus quantiles of ``score_col``.
+
+    Thresholds come from an exact percentile over a deterministic
+    content-hash sample (the ``sampled_quantiles`` recipe) — a bounded
+    sort instead of a full-corpus global sort — then broadcast back, so
+    assignment is a pure codegen projection.  Sampling error only
+    shifts boundary docs one bin, which curriculum schedules tolerate
+    by design; determinism is exact (same sample, same thresholds,
+    every engine and partitioning)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    thresh = int(rate * _H_MAX)
+    sample = df.filter(
+        h28(F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string")))
+        < F.lit(thresh)
+    )
+    th = sample.agg(
+        *[
+            F.expr(f"percentile({score_col}, {i / n_bins!r})").alias(
+                f"t{i}"
+            )
+            for i in range(1, n_bins)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, n_bins):
+        bin_expr = bin_expr + F.when(
+            F.col(score_col).cast("double") > F.col(f"t{i}"), 1
+        ).otherwise(0)
+    return df.crossJoin(F.broadcast(th)).select(
+        F.col(key_col),
+        F.col(score_col).cast("double").alias("score"),
+        bin_expr.cast("long").alias("bin"),
+    )
+
+
+def curriculum_bins_sql(
+    table: str,
+    score_col: str,
+    *,
+    key_col: str = "doc_id",
+    n_bins: int = 4,
+    rate: float = 0.2,
+    salt: str = "cur",
+) -> str:
+    """DuckDB twin of :func:`curriculum_bins`."""
+    thresh = int(rate * _H_MAX)
+    salted = f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)"
+    qs = ", ".join(
+        f"quantile_cont(CAST({score_col} AS DOUBLE), CAST({i / n_bins!r} AS DOUBLE)) AS t{i}"
+        for i in range(1, n_bins)
+    )
+    cases = " + ".join(
+        f"(CASE WHEN CAST({score_col} AS DOUBLE) > t{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n_bins)
+    )
+    return f"""
+WITH s AS (
+  SELECT * FROM {table} WHERE {h28_sql(salted)} < {thresh}),
+th AS (SELECT {qs} FROM s)
+SELECT {key_col}, CAST({score_col} AS DOUBLE) AS score,
+       CAST(1 + {cases} AS BIGINT) AS bin
+FROM {table} CROSS JOIN th
+"""

@@ -128,3 +128,56 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     frac_train = sum(1 for s in split_of.values() if s == "train") / 200
     assert 0.6 < frac_train < 0.95                 # ~0.8 with hash noise
     assert set(split_of.values()) <= {"train", "val", "test"}
+
+
+def test_epoch_shuffle_permutation_properties(spark, sf_dir):
+    from inception_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    e0 = epoch_shuffle(docs, epoch=0, n_shards=8).collect()
+    assert len(e0) == n
+    # positions are 1..len(shard) contiguous within each shard
+    by_shard = {}
+    for r in e0:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    assert set(by_shard) <= set(range(8))
+    # a different epoch produces a different permutation, same epoch is stable
+    e1 = epoch_shuffle(docs, epoch=1, n_shards=8).collect()
+    k0 = {(r["doc_id"], r["shard"], r["pos"]) for r in e0}
+    k1 = {(r["doc_id"], r["shard"], r["pos"]) for r in e1}
+    assert k0 != k1
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(docs.repartition(11), epoch=0, n_shards=8).collect()
+    }
+    assert again == k0
+
+
+def test_curriculum_bins_monotone_in_score(spark, sf_dir):
+    from inception_spark.operators.sampling import curriculum_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = curriculum_bins(docs, "n_chars", n_bins=4).collect()
+    assert len(rows) == docs.count()
+    assert {r["bin"] for r in rows} <= {1, 2, 3, 4}
+    # bin must be monotone in score: sort by score, bins never decrease
+    srt = sorted(rows, key=lambda r: r["score"])
+    for a, b in zip(srt, srt[1:]):
+        assert a["bin"] <= b["bin"]
+    # all bins populated on this fixture
+    assert {r["bin"] for r in rows} == {1, 2, 3, 4}
+
+
+def test_curriculum_bins_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from inception_spark.operators.sampling import curriculum_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError):
+        curriculum_bins(docs, "n_chars", n_bins=1)
+    with _pytest.raises(ValueError):
+        curriculum_bins(docs, "n_chars", rate=0.0)
