@@ -446,3 +446,57 @@ def test_lsh_eval_report_enforces_sample_contract(spark):
     # explicit opt-in runs
     row = lsh_eval_report(docs, max_eval_rows=None).head()
     assert row["n_cand"] >= 0
+
+
+def test_simhash_packed_lane_guard_is_loud(spark):
+    """A >2^21-word document must error (ANSI lane-sum overflow or the
+    explicit word-count guard), never silently corrupt the packed
+    tallies."""
+    import pytest as _pytest
+
+    from inception_spark.operators.dedup import simhash_docs
+
+    big = spark.createDataFrame(
+        [(1, "w " * (2**21))], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="overflow|packed-tally bound"):
+        simhash_docs(big).collect()
+
+
+def test_simhash_packed_matches_legacy_sixty_sum(spark, sf_dir):
+    """The packed 21-bit-lane tallies reproduce the old ±1 conditional-
+    sum fingerprints bit for bit."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions import hashing as H
+    from inception_spark.operators.dedup import simhash_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = docs.select(
+        F.col("doc_id"),
+        F.explode_outer(H.words(F.col("text"))).alias("w"),
+    )
+    hashed = ex.select("doc_id", H.h60(F.col("w")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"t{b}")
+        for b in range(H.SIMHASH_BITS)
+    ]
+    tallies = hashed.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(H.SIMHASH_BITS):
+        term = F.when(
+            F.col(f"t{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    legacy = {
+        r["doc_id"]: r["simhash"]
+        for r in tallies.select("doc_id", sim.alias("simhash")).collect()
+    }
+    packed = {
+        r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()
+    }
+    assert packed == legacy
