@@ -47,20 +47,28 @@ UNIT = 1_000_000  # micro-units per 1.0 of coordinate
 OFF = 1 << 21     # shift making every quantized coordinate non-negative
 
 
+def _uvec_expr(vec):
+    """Column expr: half-up micro-unit quantization of a float vector,
+    shifted non-negative — usable inline so callers can assign cluster
+    ids in the SAME scan that reads the floats (no quantize-then-join)."""
+    return F.transform(
+        vec,
+        lambda x: (
+            F.floor(x.cast("double") * F.lit(float(UNIT)) + F.lit(0.5))
+            + F.lit(OFF)
+        ).cast("long"),
+    )
+
+
 def quantize_units(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, uvec array<long>): half-up micro-unit quantization, shifted
     non-negative.  Requires coordinates in (-2, 2) — true for the
     unit-norm embeddings this engine produces (OFF/UNIT ≈ 2.097)."""
-    u = F.transform(
-        F.col(vec_col),
-        lambda x: (
-            F.floor(x.cast("double") * F.lit(float(UNIT)) + F.lit(0.5))
-            + F.lit(OFF)
-        ).cast("long"),
+    return df.select(
+        F.col(id_col).alias("id"), _uvec_expr(F.col(vec_col)).alias("uvec")
     )
-    return df.select(F.col(id_col).alias("id"), u.alias("uvec"))
 
 
 def _dist2(uvec, cent: list[int]):
@@ -73,19 +81,34 @@ def _dist2(uvec, cent: list[int]):
     )
 
 
-def _argmin_expr(cents: list[list[int]]):
-    """struct(d, cid) of the nearest literal centroid (min-cid ties)."""
+def _argmin_on(uvec, cents: list[list[int]]):
+    """struct(d, cid) of the nearest literal centroid (min-cid ties).
+
+    The centroid matrix rides as ONE 2-D array literal probed by a
+    single indexed ``transform`` lambda, instead of k per-centroid
+    expression expansions — identical arithmetic, but the expression
+    tree (and Catalyst analysis time, which dominates when the plan is
+    built per query) stays O(k·d literals + 1 lambda), not O(k lambdas).
+    Python ints lower to LongType, so the literal is array<array<bigint>>
+    exactly like the per-element F.lit path it replaces."""
+    lit2 = F.lit([[int(v) for v in c] for c in cents])
     return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _dist2(F.col("uvec"), c).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in enumerate(cents)
-            ]
+        F.transform(
+            lit2,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(uvec, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("cid"),  # transform index is INT, same as F.lit(cid) was
+            ),
         )
     )
+
+
+def _argmin_expr(cents: list[list[int]]):
+    return _argmin_on(F.col("uvec"), cents)
 
 
 def kmeans_seeds(u: DataFrame, k: int) -> list[list[int]]:
@@ -102,28 +125,25 @@ def kmeans_seeds(u: DataFrame, k: int) -> list[list[int]]:
     return [[int(v) for v in r["uvec"]] for r in rows]
 
 
-def kmeans_train(
+def kmeans_fit(
     df: DataFrame,
     *,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means, bit-exact across engines: returns the final
-    assignment ``(id, cid, dist2_units)``.
-
-    Each round: one literal-centroid codegen scan (no join, no shuffle)
-    + one k-row hash aggregate collected to the driver.  The returned
-    DataFrame is a pure plan over the input with the final centroids as
-    literals — re-executable without re-training."""
+) -> list[list[int]]:
+    """Run Lloyd's rounds and return the final centroids (driver-side
+    control plane, k·d int64 micro-units).  Each round: one
+    literal-centroid codegen scan (no join, no shuffle) + one k-row hash
+    aggregate collected to the driver."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     u = quantize_units(df, id_col=id_col, vec_col=vec_col).localCheckpoint(
         eager=False
     )
-    dim = len(u.select("uvec").first()["uvec"])
     cents = kmeans_seeds(u, k)
+    dim = len(cents[0])
     for _ in range(n_iter):
         m = _argmin_expr(cents)
         agg = (
@@ -143,9 +163,30 @@ def kmeans_train(
             n = int(r["n"])
             new[int(r["cid"])] = [int(r[f"s{i}"]) // n for i in range(dim)]
         cents = new
-    m = _argmin_expr(cents)
-    return u.select(
-        F.col("id").alias(id_col),
+    return cents
+
+
+def kmeans_train(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, bit-exact across engines: returns the final
+    assignment ``(id, cid, dist2_units)``.
+
+    The returned DataFrame is a pure plan over the input with the final
+    centroids as literals — re-executable without re-training, and the
+    assignment scan quantizes inline (one pass over the floats, zero
+    joins, zero shuffles)."""
+    cents = kmeans_fit(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    m = _argmin_on(_uvec_expr(F.col(vec_col)), cents)
+    return df.select(
+        F.col(id_col),
         m["cid"].alias("cid"),
         m["d"].alias("dist2_units"),
     )
@@ -239,43 +280,43 @@ def semantic_dedup(
     for "keep one representative per semantic-duplicate set".  Returns
     ``(id, cid, keep)`` for every input row.
 
-    Scale shape: the quadratic step is cluster-blocked (self-join keyed
-    on cid) — with k sized ~sqrt(n) clusters stay small and the pair work
-    is bounded per task; a pathological hot cluster wants the exact
-    chunk-grid decomposition used by ``dedup.embedding_dup_pairs``, which
-    spreads an n² block over (n/chunk)² tasks.  Cosine runs on the
-    original float vectors (rounded to 6 dp before the threshold compare,
-    the repo-wide score discipline)."""
-    from inception_spark.functions.vectors import cosine
+    Scale shape: (1) cluster assignment is an INLINE literal-centroid
+    expression on the float scan (fit collects centroids driver-side) —
+    no quantize-then-join; (2) the quadratic within-cluster step
+    delegates to :func:`dedup.embedding_dup_pairs` with the cluster id
+    as the block key — the declared grid-matmul family: bounded
+    ``applyInPandas`` groups for small clusters, and the EXACT
+    chunk-pair-grid decomposition for hot ones, so a pathological
+    cluster spreads over (n/chunk)² tasks instead of landing O(n²) on
+    one worker.  A row-at-a-time JVM pair join was measured 6× slower
+    here: 250k pairs × 64-dim interpreted higher-order-function dots vs
+    one numpy matmul per grid cell.  Cosine is rounded to 6 dp before
+    the threshold compare (the repo-wide score discipline, same as the
+    ``embedding_dup_pairs`` oracle).  ``id_col`` must be integral (the
+    pair schema is long — the embedding_dup_pairs contract)."""
+    from inception_spark.operators.dedup import embedding_dup_pairs
 
-    assign = kmeans_train(
+    cents = kmeans_fit(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cid")
-    a = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
-    left = a.select(
-        F.col("cid"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
     )
-    right = a.select(
-        F.col("cid"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+    cid = _argmin_on(_uvec_expr(F.col(vec_col)), cents)["cid"]
+    pairs = embedding_dup_pairs(
+        df.select(F.col(id_col), F.col(vec_col), cid.alias("_sd_cid")),
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="_sd_cid",
+        threshold=eps,
     )
+    # drop every id with a SMALLER-id cluster-mate at/above eps: pairs
+    # come back vec_a < vec_b, so the drop set is exactly {vec_b}
     dups = (
-        left.join(right, "cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.coalesce(
-                F.round(cosine(F.col("va"), F.col("vb")), 6), F.lit(-2.0)
-            )
-            >= F.lit(float(eps))
-        )
-        .select(F.col("id_b").alias(id_col))
+        pairs.select(F.col("vec_b").alias(id_col))
         .distinct()
+        .withColumn("dup", F.lit(True))
     )
+    assign = df.select(F.col(id_col), cid.alias("cid"))
     return (
-        assign.join(dups.withColumn("dup", F.lit(True)), id_col, "left")
+        assign.join(dups, id_col, "left")
         .select(
             id_col,
             "cid",

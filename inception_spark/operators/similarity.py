@@ -836,28 +836,6 @@ def pq_codebook(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
-def _pq_sub_dist_units(vec, centroid: list[float], j: int, dsub: int):
-    """Squared L2 between ``vec``'s j-th subvector and a literal centroid
-    subvector, in integer MICRO-UNITS (floor(d*1e6 + 0.5)) — half-up like
-    _sq_quant, so scores are engine-exact integers with no float ranking
-    anywhere."""
-    sub = F.slice(vec, j * dsub + 1, dsub)
-    lit = F.array(
-        *[F.lit(float(x)) for x in centroid[j * dsub : (j + 1) * dsub]]
-    )
-    d = F.aggregate(
-        F.zip_with(
-            sub,
-            lit,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
-    )
-    return F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-
-
 def pq_encode(
     df: DataFrame,
     codebook: list[list[float]],
@@ -872,29 +850,53 @@ def pq_encode(
 
     ZERO joins and zero shuffles: the codebook rides as plan literals, so
     encoding 100 TB is an embarrassingly parallel codegen scan — m*ksub
-    fused subvector distances per row, nothing crosses stage bounds."""
+    fused subvector distances per row, nothing crosses stage bounds.
+    Per subspace the ksub centroid subvectors ride as ONE 2-D array
+    literal probed by a single indexed ``transform`` lambda (the
+    ``clustering._argmin_on`` shape): same arithmetic as the expanded
+    per-centroid form, but the expression tree — and the per-query
+    Catalyst analysis time that dominated the in-plan encode — is
+    O(m lambdas), not O(m·ksub)."""
     dim = len(codebook[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    codes = F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _pq_sub_dist_units(
-                                F.col(vec_col), c, j, dsub
-                            ).alias("d"),
-                            F.lit(cid).alias("cid"),
-                        )
-                        for cid, c in enumerate(codebook)
-                    ]
-                )
-            )["cid"]
-            for j in range(m)
-        ]
-    )
+
+    def code_j(j: int):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        lit2 = F.lit(
+            [
+                [float(x) for x in c[j * dsub : (j + 1) * dsub]]
+                for c in codebook
+            ]
+        )
+        # integer MICRO-UNITS (floor(d2*1e6 + 0.5)) — half-up like
+        # _sq_quant, so scores are engine-exact with no float ranking
+        d = lambda c: F.floor(  # noqa: E731
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    c,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+        return F.array_min(
+            F.transform(
+                lit2,
+                lambda c, i: F.struct(
+                    d(c).alias("d"),
+                    i.alias("cid"),  # transform index is INT, same as F.lit(cid) was
+                ),
+            )
+        )["cid"]
+
+    codes = F.array(*[code_j(j) for j in range(m)])
     return df.select(F.col(id_col), codes.alias("codes"))
 
 

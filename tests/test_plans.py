@@ -221,6 +221,8 @@ def test_registry_udf_free_entries_have_no_python_eval(spark):
         "streaming_embed_documents",
         # bounded applyInPandas block grid (documented hot-block path)
         "embedding_dup_pairs",
+        # delegates its within-cluster pair scan to the same block grid
+        "semantic_dedup",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
