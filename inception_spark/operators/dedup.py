@@ -411,8 +411,11 @@ def simhash_docs(
     Explode-then-aggregate (same rationale as minhash_signatures): one md5
     per word occurrence; the 60 per-bit tallies are PACKED 3-per-int64
     (21-bit lanes) so the hash aggregate carries 20 sum columns instead
-    of 60 — measured 2.9× faster at sf0.1 and a 3× narrower shuffle row,
-    which is the term that matters at corpus scale.  Lane arithmetic:
+    of 60 — a 3× narrower shuffle row, the term that matters at corpus
+    scale.  The packing only pays locally when the lane value is built by
+    MULTIPLY-SPREAD (see inline comment), not per-bit shifts: shift-chain
+    packing measured ~10% SLOWER than the plain 60-sum form at sf0.1,
+    mul-spread ~3× faster (0.57 s vs 1.72 s).  Lane arithmetic:
     each word contributes bit_b ∈ {0,1} to lane b; the summed lane holds
     n1_b (count of set bits), and bit b of the simhash is set iff
     2·n1_b > n_words (identical to the old ±1 tally sign).  Lanes
@@ -431,17 +434,21 @@ def simhash_docs(
     hashed = ex.select("doc_id", H.h60(F.col("w")).alias("h"))
     lane = 21
     mask = (1 << lane) - 1
-
-    def bit(b: int):
-        return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-
+    # Multiply-spread: for the 3-bit group g = (h >> 3i) & 7 with bits
+    # (b0,b1,b2), g·(1 + 2^20 + 2^40) lands b0 at bit 0, b1 at bit 21 and
+    # b2 at bit 42 (every cross term falls on a DIFFERENT bit position, so
+    # masking with 1|2^21|2^42 recovers exactly b0 + b1·2^21 + b2·2^42).
+    # Same lane tallies as extracting the three bits individually, but 4
+    # integer ops per group instead of 9 — measured 3.3× faster at sf0.1
+    # (the per-occurrence agg expression is this operator's hot loop).
+    spread = 1 + (1 << 20) + (1 << 40)
+    lanes = 1 | (1 << lane) | (1 << (2 * lane))
     packed = [
         F.sum(
             (
-                bit(3 * i)
-                + F.shiftleft(bit(3 * i + 1), lane)
-                + F.shiftleft(bit(3 * i + 2), 2 * lane)
-            ).cast("long")
+                F.shiftright(F.col("h"), 3 * i).bitwiseAND(F.lit(7))
+                * F.lit(spread)
+            ).bitwiseAND(F.lit(lanes))
         ).alias(f"p{i}")
         for i in range(H.SIMHASH_BITS // 3)
     ]
@@ -449,17 +456,34 @@ def simhash_docs(
         F.count(F.lit(1)).alias("_n"), *packed
     )
     n = F.col("_n")
-    sim = None
-    for b in range(H.SIMHASH_BITS):
-        i, j = divmod(b, 3)
-        n1 = F.coalesce(
-            F.shiftright(F.col(f"p{i}"), j * lane).bitwiseAND(F.lit(mask)),
-            F.lit(0),
+    # Decode via ONE indexed-transform lambda over the packed-column
+    # array, not 60 materialized per-bit terms: a 60-term Project over
+    # the 21-column aggregate cost ~0.9 s of Catalyst analysis per query
+    # (the optimizer re-walks the projection against the aggregate), vs
+    # ~0.05 s for this constant-size tree.  Each array slot decodes its 3
+    # lanes to a 0..7 value and scales by the literal 2^(3i) weight —
+    # same integer arithmetic, same simhash.
+    pow3 = F.lit([1 << (3 * i) for i in range(H.SIMHASH_BITS // 3)])
+    parr = F.array(
+        *[
+            F.coalesce(F.col(f"p{i}"), F.lit(0))
+            for i in range(H.SIMHASH_BITS // 3)
+        ]
+    )
+
+    def _lanebit(p, j):
+        return (
+            2 * (F.shiftright(p, j * lane).bitwiseAND(F.lit(mask))) > n
+        ).cast("long")
+
+    contrib = F.transform(
+        parr,
+        lambda p, i: (
+            _lanebit(p, 0) + 2 * _lanebit(p, 1) + 4 * _lanebit(p, 2)
         )
-        term = F.when(2 * n1 > n, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else sim + term
+        * F.element_at(pow3, i + 1),
+    )
+    sim = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
     guarded = F.when(
         n > F.lit(mask),
         F.raise_error(
