@@ -286,6 +286,56 @@ def _shard_manifest_oracle() -> str:
     return shard_manifest_sql("documents", n_shards=16)
 
 
+_HTML_ODD_EXTRA = (
+    '<script type="text/javascript">if (a<b && c>d) { alert("x&y"); }'
+    "</script><style>.c{margin:0}</style><!-- drop me -->"
+    "<div>tail &lt;b&gt;&nbsp;rest &amp;amp; on</div>"
+)
+_HTML_EVEN_EXTRA = "<br><ul><li>alpha</li><li>beta</li></ul>"
+_HTML_HEAD = '<html><head><title>D</title></head><body><h1>Doc '
+
+
+def _q_html_to_text(spark, sf_dir):
+    """Web-boilerplate strip (cleaning.html_to_text_expr): every doc is
+    wrapped in deterministic HTML — odd ids gain script/style payloads,
+    comments and encoded entities — and the text is recovered.  The hash
+    covers both the synthesized HTML and the extraction."""
+    from inception_spark.functions.cleaning import html_to_text_expr
+
+    extra = F.when(
+        (F.col("doc_id") % 2) == 1, F.lit(_HTML_ODD_EXTRA)
+    ).otherwise(F.lit(_HTML_EVEN_EXTRA))
+    html = F.concat(
+        F.lit(_HTML_HEAD),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        extra,
+        F.lit("</body></html>"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", html.alias("html"), html_to_text_expr(html).alias("text")
+    )
+
+
+def _html_to_text_oracle_sql() -> str:
+    from inception_spark.functions.cleaning import html_to_text_sql
+
+    odd = _HTML_ODD_EXTRA.replace("'", "''")
+    even = _HTML_EVEN_EXTRA.replace("'", "''")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         '{_HTML_HEAD}' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+         || '</p>'
+         || CASE WHEN doc_id % 2 = 1 THEN '{odd}' ELSE '{even}' END
+         || '</body></html>' AS html
+  FROM documents)
+SELECT doc_id, html, {html_to_text_sql('html')} AS text FROM aug
+"""
+
+
 def _normalize_oracle_sql() -> str:
     from inception_spark.functions.cleaning import normalize_text_sql
 
@@ -1403,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # odd doc_ids get their vowels accented, then the fold recovers
         # them — the hash covers both the accented input and the fold
         "normalize_text": _q_normalize_text,
+        "html_to_text": _q_html_to_text,
         "extract_citations": _q_extract_citations,
         # dedup
         "exact_dedup": _q_exact_dedup,
@@ -1492,6 +1543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "doc_bigram_logprob": lambda spark, sf: TA.doc_bigram_logprob(
+            _docs(spark, sf)
+        ),
+        # stupid-backoff trigram LM: trains on even doc_ids, scores all
+        "doc_trigram_logprob": lambda spark, sf: TA.doc_trigram_logprob(
             _docs(spark, sf)
         ),
         # epoch-reproducible training shuffle + curriculum binning
@@ -1589,6 +1644,8 @@ _WINDOW_R5 = [
     "ann_multiprobe_pruned",
     "ivf_pruned",
     "apply_bpe",
+    "html_to_text",
+    "doc_trigram_logprob",
     "pq_topk",
     "pq_topk_codes",
     "pq_topk_rerank",
@@ -2165,6 +2222,7 @@ GROUP BY n_name
 SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
 """,
         "normalize_text": _normalize_oracle_sql(),
+        "html_to_text": _html_to_text_oracle_sql(),
         "extract_citations": (
             f"WITH aug AS (SELECT doc_id, {_CITE_AUG_SQL} AS text"
             " FROM documents)\n" + TA.extract_citations_sql("aug")
@@ -2771,6 +2829,7 @@ FROM embeddings
     d["curriculum_bins"] = curriculum_bins_sql("documents", "n_chars")
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
+    d["doc_trigram_logprob"] = TA.doc_trigram_logprob_sql("documents")
     d["kmeans_train"] = CL.kmeans_train_sql(
         "embeddings", k=8, n_iter=2, dim=_EMB_DIM
     )

@@ -173,3 +173,64 @@ def normalize_text_py(text: str) -> str:
 
     folded = text.translate(str.maketrans(ACCENT_FROM, ACCENT_TO)).lower()
     return _re.sub(r"[ \t\n\x0b\f\r]+", " ", folded).strip()
+
+
+# ---------------------------------------------------------------------------
+# HTML → text (boilerplate strip for web-crawl training corpora)
+# ---------------------------------------------------------------------------
+# The first step of every web-derived training pipeline (C4/CCNet-style):
+# drop script/style/comment payloads, keep block structure as newlines,
+# strip tags, decode the common entities, collapse whitespace.  Pure
+# Catalyst regexp_replace chain — every pattern sits in the Java-regex ∩
+# RE2 subset (inline (?is) flags, non-greedy, NO backreferences — script
+# and style need separate passes for exactly that reason), so the DuckDB
+# twin replays it verbatim.  Entities decode AFTER tag stripping, the
+# standard extractor order; &amp; decodes LAST so "&amp;lt;" yields the
+# literal "&lt;" instead of double-decoding.
+
+_HTML_BLOCK_BREAKS = r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>"
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text_expr(col: Column) -> Column:
+    x = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?i)<(?:br|hr)\s*/?\s*>", "\n")
+    x = F.regexp_replace(x, _HTML_BLOCK_BREAKS, "\n")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.regexp_replace(x, r"[ \t\r]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n+", "\n")
+    return F.btrim(x, F.lit(" \n"))
+
+
+def html_to_text_sql(col_sql: str) -> str:
+    """DuckDB twin — same pattern chain, 'g' flag per pass."""
+    x = col_sql
+    x = f"regexp_replace({x}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    x = f"regexp_replace({x}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    x = f"regexp_replace({x}, '(?s)<!--.*?-->', ' ', 'g')"
+    x = f"regexp_replace({x}, '(?i)<(?:br|hr)\\s*/?\\s*>', chr(10), 'g')"
+    x = (
+        f"regexp_replace({x}, "
+        f"'{_HTML_BLOCK_BREAKS}', chr(10), 'g')"
+    )
+    x = f"regexp_replace({x}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{lit}')"
+    x = f"regexp_replace({x}, '[ \\t\\r]+', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '\\n+', chr(10), 'g')"
+    return f"trim({x}, ' ' || chr(10))"

@@ -743,3 +743,197 @@ SELECT {id_col},
                                'string_agg', '|'), '') AS citations
 FROM {table}
 """
+
+
+def doc_trigram_logprob(
+    df,
+    *,
+    id_col="doc_id",
+    text_col="text",
+    train_mod=2,
+    alpha=0.4,
+):
+    """Stupid-backoff trigram LM quality score (Brants et al. 2007, the
+    web-scale LM recipe built from nothing but counts): per-document mean
+    ln S(w3|w1,w2) — (doc_id, n_trigrams, mean_logprob).
+
+    S(w3|w1w2) = c123/c12 when the trigram was seen, else α·c23/c2, else
+    α²·c3/N, else the α²/(N+1) OOV floor.  Unlike the resubstitution
+    bigram score (where every n-gram was counted and backoff is dead
+    code), the model here trains on the ``doc_id % train_mod == 0`` slice
+    and scores EVERY document, so the backoff chain is genuinely
+    exercised on held-out docs.  Each denominator is ≥1 whenever its
+    branch is taken (a seen trigram implies its prefix bigram was seen,
+    etc.), so the ANSI division never trips.
+
+    Scale shape: ONE words() regex pass per side — the train slice's
+    word arrays are lazily checkpointed and the trigram/bigram/unigram
+    count tables all derive from that relation; scoring is 5 left joins
+    against count tables (broadcast when small, ordinary shuffle joins
+    for web-scale vocabularies — Catalyst/AQE picks) + one per-doc
+    aggregate.  Same 6-dp DECIMAL determinism as
+    :func:`doc_unigram_logprob`."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
+    )
+    tws = base.filter(
+        (F.col("doc_id") % train_mod) == 0
+    ).localCheckpoint(eager=False)
+
+    def grams(rel, n):
+        sz = F.size(F.col("ws"))
+        cols = [
+            F.slice(F.col("ws"), i + 1, F.greatest(sz - (n - 1), F.lit(0)))
+            for i in range(n)
+        ]
+        g = cols[0]
+        for c in cols[1:]:
+            g = F.zip_with(g, c, lambda a, b: F.concat(a, F.lit(" "), b))
+        return rel.select("doc_id", F.explode(g).alias("g"))
+
+    t123 = grams(tws, 3).groupBy("g").agg(F.count(F.lit(1)).alias("c123"))
+    tb = grams(tws, 2).groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    tu = (
+        tws.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    ntot = tws.select(F.explode("ws").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+
+    ex = grams(base, 3).select(
+        "doc_id",
+        F.col("g"),
+        F.substring_index(F.col("g"), " ", 2).alias("bg12"),
+        F.substring_index(F.col("g"), " ", -2).alias("bg23"),
+        F.substring_index(F.col("g"), " ", -1).alias("w3"),
+        F.substring_index(
+            F.substring_index(F.col("g"), " ", 2), " ", -1
+        ).alias("w2"),
+    )
+    j = (
+        ex.join(t123.withColumnRenamed("g", "_t"), ex["g"] == F.col("_t"), "left")
+        .join(
+            tb.select(F.col("g").alias("_b12"), F.col("cb").alias("c12")),
+            F.col("bg12") == F.col("_b12"),
+            "left",
+        )
+        .join(
+            tb.select(F.col("g").alias("_b23"), F.col("cb").alias("c23")),
+            F.col("bg23") == F.col("_b23"),
+            "left",
+        )
+        .join(
+            tu.select(F.col("w").alias("_w2"), F.col("cu").alias("c2")),
+            F.col("w2") == F.col("_w2"),
+            "left",
+        )
+        .join(
+            tu.select(F.col("w").alias("_w3"), F.col("cu").alias("c3")),
+            F.col("w3") == F.col("_w3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(ntot))
+    )
+    a = F.lit(float(alpha))
+    a2 = F.lit(float(alpha) * float(alpha))
+    s = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            a * (F.col("c23").cast("double") / F.col("c2")),
+        )
+        .when(
+            F.col("c3").isNotNull(),
+            a2 * (F.col("c3").cast("double") / F.col("n_train")),
+        )
+        .otherwise(a2 / (F.col("n_train") + F.lit(1)).cast("double"))
+    )
+    scored = j.select(
+        "doc_id",
+        F.round(F.log(s), 6).cast("decimal(28,6)").alias("lp"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nt"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("mlp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nt"), F.lit(0)).alias("n_trigrams"),
+            F.col("mlp").alias("mean_logprob"),
+        )
+    )
+
+
+def doc_trigram_logprob_sql(
+    table: str = "documents", *, train_mod: int = 2, alpha: float = 0.4
+) -> str:
+    """DuckDB twin of :func:`doc_trigram_logprob`."""
+    w = words_sql("text")
+    a = f"CAST({alpha} AS DOUBLE)"
+    a2 = f"CAST({alpha * alpha} AS DOUBLE)"
+    return f"""
+WITH base AS (SELECT doc_id, {w} AS ws FROM {table}),
+tws AS (SELECT * FROM base WHERE doc_id % {train_mod} = 0),
+t123 AS (
+  SELECT g, COUNT(*) AS c123 FROM (
+    SELECT unnest(list_transform(
+      list_zip(ws[1:len(ws)-2], ws[2:len(ws)-1], ws[3:len(ws)]),
+      p -> p[1] || ' ' || p[2] || ' ' || p[3])) AS g FROM tws)
+  GROUP BY g),
+tb AS (
+  SELECT g, COUNT(*) AS cb FROM (
+    SELECT unnest(list_transform(
+      list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+      p -> p[1] || ' ' || p[2])) AS g FROM tws)
+  GROUP BY g),
+tu AS (
+  SELECT w, COUNT(*) AS cu FROM (SELECT unnest(ws) AS w FROM tws)
+  GROUP BY w),
+ntot AS (SELECT COUNT(*) AS n_train FROM (SELECT unnest(ws) FROM tws)),
+ex AS (
+  SELECT doc_id, g,
+         split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS bg12,
+         split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS bg23,
+         split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_zip(ws[1:len(ws)-2], ws[2:len(ws)-1], ws[3:len(ws)]),
+      p -> p[1] || ' ' || p[2] || ' ' || p[3])) AS g FROM base)),
+scored AS (
+  SELECT e.doc_id,
+         CAST(round(ln(
+           CASE
+             WHEN t.c123 IS NOT NULL
+               THEN CAST(t.c123 AS DOUBLE) / b12.cb
+             WHEN b23.cb IS NOT NULL
+               THEN {a} * (CAST(b23.cb AS DOUBLE) / u2.cu)
+             WHEN u3.cu IS NOT NULL
+               THEN {a2} * (CAST(u3.cu AS DOUBLE) / n.n_train)
+             ELSE {a2} / CAST(n.n_train + 1 AS DOUBLE)
+           END), 6) AS DECIMAL(28,6)) AS lp
+  FROM ex e
+  LEFT JOIN t123 t ON t.g = e.g
+  LEFT JOIN tb b12 ON b12.g = e.bg12
+  LEFT JOIN tb b23 ON b23.g = e.bg23
+  LEFT JOIN tu u2 ON u2.w = e.w2
+  LEFT JOIN tu u3 ON u3.w = e.w3
+  CROSS JOIN ntot n),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS nt,
+         CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mlp
+  FROM scored GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(p.nt, 0) AS n_trigrams, p.mlp AS mean_logprob
+FROM {table} t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""

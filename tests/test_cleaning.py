@@ -131,3 +131,45 @@ def test_normalize_duckdb_matches(name, raw, expected):
         f"SELECT {normalize_text_sql('?')} AS n", [raw]
     ).fetchone()[0]
     assert got == expected, name
+
+
+HTML_CASES = [
+    (
+        "full_page",
+        '<html><head><script>if (a < b && c > 1) { x("s"); }</script>'
+        "<style>.c{}</style></head><body><!-- c --><h1>T</h1>"
+        "<p>hello &amp; bye</p><br><div>tail &lt;b&gt;&nbsp;x</div>"
+        "</body></html>",
+        "T\nhello & bye\ntail <b> x",
+    ),
+    ("plain_text_untouched", "no tags at   all\twith  spaces",
+     "no tags at all with spaces"),
+    ("blocks_to_newlines", "<p>one</p><p>two</p><ul><li>a</li><li>b</li></ul>",
+     "one\ntwo\na\nb"),
+    ("case_insensitive", "<SCRIPT>x</SCRIPT><P>upper</P><BR/>next",
+     "upper\nnext"),
+    # &amp;lt; must yield the LITERAL "&lt;", not double-decode to "<"
+    ("no_double_decode", "a &amp;lt;tag&amp;gt; b", "a &lt;tag&gt; b"),
+    ("empty", "", ""),
+]
+
+
+@pytest.mark.parametrize("name,raw,expected", HTML_CASES)
+def test_html_to_text_spark(spark, name, raw, expected):
+    from inception_spark.functions.cleaning import html_to_text_expr
+
+    df = spark.createDataFrame([(raw,)], "text string")
+    got = df.select(html_to_text_expr(F.col("text")).alias("t")).collect()
+    assert got[0]["t"] == expected, name
+
+
+@pytest.mark.parametrize("name,raw,expected", HTML_CASES)
+def test_html_to_text_duckdb_parity(name, raw, expected):
+    import duckdb as _duckdb
+
+    from inception_spark.functions.cleaning import html_to_text_sql
+
+    got = _duckdb.connect().execute(
+        f"SELECT {html_to_text_sql('?')} AS t", [raw]
+    ).fetchone()[0]
+    assert got == expected, name
