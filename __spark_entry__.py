@@ -295,6 +295,40 @@ _HTML_EVEN_EXTRA = "<br><ul><li>alpha</li><li>beta</li></ul>"
 _HTML_HEAD = '<html><head><title>D</title></head><body><h1>Doc '
 
 
+def _q_zorder_key(spark, sf_dir):
+    """Morton/Z-order clustering key (operators/layout.py): the 2-D and
+    3-D magic-number interleaves over modulo cell coordinates, the key
+    that write_zorder_layout partitions by for multi-dimensional file
+    skipping.  DuckDB replays the identical shift/mask chain."""
+    from inception_spark.operators.layout import zorder_key_expr
+
+    ev = R.load_events(spark, sf_dir)
+    m = F.lit(1 << 16)
+    cx = F.pmod(F.col("user_id"), m)
+    cy = F.pmod(F.col("event_id"), m)
+    cz = F.pmod(F.col("user_id") * F.lit(7) + F.col("event_id"), m)
+    return ev.select(
+        "event_id",
+        cx.alias("cx"),
+        cy.alias("cy"),
+        zorder_key_expr([cx, cy]).alias("zkey2"),
+        zorder_key_expr([cx, cy, cz]).alias("zkey3"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from inception_spark.operators.layout import zorder_key_sql
+
+    cx, cy = "(user_id % 65536)", "(event_id % 65536)"
+    cz = "((user_id * 7 + event_id) % 65536)"
+    return f"""
+SELECT event_id, {cx} AS cx, {cy} AS cy,
+       {zorder_key_sql([cx, cy])} AS zkey2,
+       {zorder_key_sql([cx, cy, cz])} AS zkey3
+FROM events
+"""
+
+
 def _q_html_to_text(spark, sf_dir):
     """Web-boilerplate strip (cleaning.html_to_text_expr): every doc is
     wrapped in deterministic HTML — odd ids gain script/style payloads,
@@ -1454,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them — the hash covers both the accented input and the fold
         "normalize_text": _q_normalize_text,
         "html_to_text": _q_html_to_text,
+        "zorder_key": _q_zorder_key,
         "extract_citations": _q_extract_citations,
         # dedup
         "exact_dedup": _q_exact_dedup,
@@ -1646,6 +1681,7 @@ _WINDOW_R5 = [
     "apply_bpe",
     "html_to_text",
     "doc_trigram_logprob",
+    "zorder_key",
     "pq_topk",
     "pq_topk_codes",
     "pq_topk_rerank",
@@ -2223,6 +2259,7 @@ SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
 """,
         "normalize_text": _normalize_oracle_sql(),
         "html_to_text": _html_to_text_oracle_sql(),
+        "zorder_key": _zorder_oracle_sql(),
         "extract_citations": (
             f"WITH aug AS (SELECT doc_id, {_CITE_AUG_SQL} AS text"
             " FROM documents)\n" + TA.extract_citations_sql("aug")

@@ -82,6 +82,10 @@ HEADLINE = [
     "semantic_dedup",
     "nb_lang_classify",
     "doc_bigram_logprob",
+    # r5+: web-extraction, held-out trigram LM, Z-order clustering key
+    "html_to_text",
+    "doc_trigram_logprob",
+    "zorder_key",
 ]
 
 

@@ -1,0 +1,145 @@
+"""Z-order layout: Morton key correctness, engine parity, file pruning."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from inception_spark.operators.layout import (
+    _spread_py,
+    scale_to_cells,
+    write_zorder_layout,
+    zorder_box_prefixes,
+    zorder_key_expr,
+    zorder_key_sql,
+    zorder_pruned_scan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_interleave(vals, bits):
+    key = 0
+    for i in range(bits):
+        for d, v in enumerate(vals):
+            key |= ((v >> i) & 1) << (i * len(vals) + d)
+    return key
+
+
+def _key_py(vals, bits):
+    d = len(vals)
+    key = 0
+    for i, v in enumerate(vals):
+        key |= _spread_py(v, d, bits) << i
+    return key
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_spread_matches_naive_interleave(dims):
+    import random
+
+    rng = random.Random(7)
+    for _ in range(500):
+        vals = [rng.randrange(1 << 16) for _ in range(dims)]
+        assert _key_py(vals, 16) == _naive_interleave(vals, 16), vals
+    # corners
+    top = (1 << 16) - 1
+    for vals in ([0] * dims, [top] * dims, [top] + [0] * (dims - 1)):
+        assert _key_py(vals, 16) == _naive_interleave(vals, 16), vals
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_zorder_key_three_way_parity(spark, dims):
+    """Spark expression == DuckDB SQL == python reference."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        tuple([i] + [rng.randrange(1 << 16) for _ in range(dims)])
+        for i in range(200)
+    ]
+    schema = "id long, " + ", ".join(f"c{d} long" for d in range(dims))
+    df = spark.createDataFrame(rows, schema)
+    cols = [F.col(f"c{d}") for d in range(dims)]
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", zorder_key_expr(cols).alias("z")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (id BIGINT, "
+        + ", ".join(f"c{d} BIGINT" for d in range(dims))
+        + ")"
+    )
+    con.executemany(
+        f"INSERT INTO t VALUES ({', '.join('?' * (dims + 1))})", rows
+    )
+    sql = zorder_key_sql([f"c{d}" for d in range(dims)])
+    oracle = {r[0]: r[1] for r in con.execute(f"SELECT id, {sql} FROM t").fetchall()}
+    ref = {r[0]: _key_py(list(r[1:]), 16) for r in rows}
+    assert got == oracle == ref
+
+
+def test_scale_to_cells_exact(spark):
+    df = spark.createDataFrame(
+        [(0, -50), (1, 0), (2, 949), (3, 950), (4, 10_000)], "id long, v long"
+    )
+    # range [0, 950], bits=4 -> cell = (clamp(v)-0)*15 // 950
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", scale_to_cells(F.col("v"), 0, 950, bits=4).alias("c")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 14, 3: 15, 4: 15}
+    with pytest.raises(ValueError):
+        scale_to_cells(F.col("v"), 5, 5)
+
+
+def test_box_prefixes_cover_space():
+    # the full box must select every cell; a point box selects exactly 1
+    allp = zorder_box_prefixes([(0, 65535), (0, 65535)], bits=16, prefix_bits=8)
+    assert allp == list(range(256))
+    one = zorder_box_prefixes([(0, 0), (0, 0)], bits=16, prefix_bits=8)
+    assert one == [0]
+    # a thin column in x intersects exactly the 16 cells of that x-strip
+    strip = zorder_box_prefixes([(0, 4095), (0, 65535)], bits=16, prefix_bits=8)
+    assert len(strip) == 16
+
+
+def test_zorder_layout_prunes_and_matches(spark, tmp_path):
+    """Pruned scan == raw filter, and the scan's PartitionFilters prune
+    to only the intersecting zprefix cells."""
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(1 << 16)).alias("cx"),
+            F.pmod(F.xxhash64("event_id"), F.lit(1 << 16)).alias("cy"),
+        )
+    )
+    path = str(tmp_path / "zorder")
+    write_zorder_layout(ev, path, ["cx", "cy"], bits=16, prefix_bits=8)
+
+    box = [(0, 2000), (0, 20000)]
+    pruned = zorder_pruned_scan(spark, path, ["cx", "cy"], box)
+    f = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "zprefix" in f  # partition filter present
+
+    raw = ev.where(
+        (F.col("cx") >= 0) & (F.col("cx") <= 2000)
+        & (F.col("cy") >= 0) & (F.col("cy") <= 20000)
+    )
+    assert sorted(
+        (r["event_id"], r["cx"], r["cy"]) for r in pruned.collect()
+    ) == sorted((r["event_id"], r["cx"], r["cy"]) for r in raw.collect())
+
+    # file-level pruning is real: the box intersects a strict subset of
+    # cells, and the scan reads at most that many partition directories
+    n_cells = len(zorder_box_prefixes(box, bits=16, prefix_bits=8))
+    assert n_cells < 256
+    import re
+
+    m = re.search(r"partition count: (\d+)|(\d+) partitions", f)
+    if m:  # plan-format dependent; the data check above is the contract
+        read = int(m.group(1) or m.group(2))
+        assert read <= n_cells
