@@ -573,8 +573,9 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real decode: native BMP / binary netpbm / PNG (stdlib zlib) /
-    GIF (pure-Python LZW) first; PIL fallback for other compressed
-    formats when installed; DecoderUnavailable otherwise."""
+    GIF (pure-Python LZW) / baseline JPEG (operators/jpeg.py) first;
+    PIL fallback for other compressed formats when installed;
+    DecoderUnavailable otherwise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
@@ -583,6 +584,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from inception_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
         import io
 
@@ -591,8 +596,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise DecoderUnavailable(
-            "JPEG/WebP decode requires PIL — not installed; "
-            "BMP, netpbm, PNG and GIF decode natively"
+            "WebP/TIFF decode requires PIL — not installed; BMP, netpbm, "
+            "PNG, GIF and baseline JPEG decode natively"
         )
 
 

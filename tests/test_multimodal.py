@@ -724,3 +724,118 @@ def test_decode_image_dispatches_gif():
     img = np.zeros((3, 3, 3), dtype=np.uint8)
     img[1, 1] = (255, 0, 0)
     assert np.array_equal(decode_image(encode_gif(img)), img)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def _smooth_img(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+         (xx + yy) * 255 // max(h + w - 2, 1)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Encoder↔decoder round-trip across 4:4:4 / 4:2:0, restart
+    intervals and odd dimensions — decode correctness established
+    without any third-party codec (the GIF/PNG proof pattern)."""
+    import numpy as np
+
+    from inception_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_img(41, 53)
+    for subsample in (False, True):
+        for restart in (0, 2):
+            enc = encode_jpeg(
+                img, quality=90, subsample=subsample,
+                restart_interval=restart,
+            )
+            assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+            dec = decode_jpeg(enc)
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int)).mean()
+            # smooth content at q90: tiny quantization error only
+            assert err < (2.5 if subsample else 1.2), (subsample, restart)
+
+
+def test_jpeg_solid_color_exact_and_gray():
+    import numpy as np
+
+    from inception_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    solid = np.full((16, 24, 3), 127, np.uint8)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(solid, quality=95)).astype(int) - 127
+    ).max() <= 1
+    g = _smooth_img(20, 20)[..., 0]
+    dec = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dec.shape == (20, 20, 3)
+    # grayscale replicates into all three channels
+    assert (dec[..., 0] == dec[..., 1]).all()
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).mean() < 1.5
+
+
+def test_jpeg_refusals():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from inception_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from inception_spark.operators.multimodal import DecoderUnavailable
+
+    enc = bytearray(encode_jpeg(_smooth_img(16, 16)))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
+    with _pytest.raises(DecoderUnavailable):
+        decode_jpeg(prog)
+    with _pytest.raises(DecoderUnavailable):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with _pytest.raises(DecoderUnavailable):
+        decode_jpeg(bytes(enc[:40]))  # truncated before any scan
+
+
+def test_decode_image_dispatches_jpeg_and_pipeline(spark):
+    """decode_image routes FFD8 payloads to the native decoder, and the
+    real (fake=False) resize/feature pipeline runs on JPEG inputs."""
+    import numpy as np
+
+    from inception_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_bmp,
+        decode_image,
+        extract_features,
+        image_features,
+        resize_images,
+    )
+
+    imgs = {1: _smooth_img(16, 12), 2: _smooth_img(9, 21)}
+    payloads = {i: encode_jpeg(img, quality=92) for i, img in imgs.items()}
+    assert np.array_equal(
+        decode_image(payloads[1]), decode_jpeg(payloads[1])
+    )
+    df = attach_media_meta(
+        spark.createDataFrame(
+            [(i, p) for i, p in payloads.items()], "id long, payload binary"
+        ),
+        modality="image",
+        mime="image/jpeg",
+    )
+    resized = resize_images(df, width=8, height=8, fake=False).collect()
+    for r in resized:
+        assert decode_bmp(bytes(r["payload"])).shape == (8, 8, 3)
+    feats = {
+        r["id"]: np.asarray(r["feature"])
+        for r in extract_features(df, dim=32, fake=False).collect()
+    }
+    for i in imgs:
+        expect = image_features(decode_jpeg(payloads[i]), 32)
+        assert np.allclose(feats[i], expect, atol=1e-6)
