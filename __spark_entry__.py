@@ -1159,6 +1159,75 @@ FROM r QUALIFY rank <= {k}
 """
 
 
+def _q_ivf_pq(spark, sf_dir):
+    """Composed IVF+PQ (the FAISS IVFx,PQy shape): IVF probe cuts the
+    candidate set, integer ADC ranks it — engine-exact scores."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    out = S.ivf_pq_topk(emb, list(qv), k=10, n_centroids=8, n_probe=2)
+    return out.select(
+        "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_ivf_pq_codes(spark, sf_dir):
+    """IVFPQ probe over the materialized cell-partitioned byte-code
+    layout — bit-identical to ivf_pq_topk by construction."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    path = tempfile.mkdtemp(prefix="inception_ivfpq_") + "/idx"
+    S.write_ivf_pq_layout(emb, path, n_centroids=8)
+    out = S.ivf_pq_topk_over_codes(spark, path, list(qv), k=10, n_probe=2)
+    return out.select(
+        "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _ivf_pq_oracle_sql(
+    m: int = 8, ksub: int = 8, dsub: int = 8,
+    n_centroids: int = 8, n_probe: int = 2, k: int = 10,
+) -> str:
+    """IVF candidate CTEs (cosine argmax cells + probe) composed with
+    the PQ ADC chain: a candidate's ADC distance is probe-independent,
+    so sc scores every row and the candidate set filters at the end."""
+    from inception_spark.functions import vectors as V
+
+    return f"""
+WITH {_pq_sc_ctes(m, ksub, dsub)},
+icent AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings)
+  WHERE cid < {n_centroids}),
+iasg AS (
+  SELECT e.vec_id, c.cid,
+         COALESCE(round({V.cosine_sql('e.embedding', 'c.cvec')}, 6),
+                  CAST(-2 AS DOUBLE)) AS cs
+  FROM embeddings e CROSS JOIN icent c),
+icell AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM iasg) WHERE rn = 1),
+iprobe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           COALESCE(round({V.cosine_sql('c.cvec', 'q.qv')}, 6),
+                    CAST(-2 AS DOUBLE)) AS qs
+    FROM icent c, q ORDER BY qs DESC, c.cid LIMIT {n_probe})),
+cand AS (SELECT vec_id FROM icell JOIN iprobe USING (cid))
+SELECT sc.vec_id, sc.adc_dist,
+       CAST(row_number() OVER (ORDER BY sc.adc_dist, sc.vec_id) AS BIGINT)
+         AS rank
+FROM sc JOIN cand USING (vec_id) QUALIFY rank <= {k}
+"""
+
+
 def _q_ivf_pruned(spark, sf_dir):
     """IVF probe over the materialized cell-partitioned layout — n_probe
     cells read via file-level pruning; bit-identical to ivf_flat_topk by
@@ -1561,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk_codes": _q_sq_topk_codes,
         "ann_multiprobe_pruned": _q_ann_multiprobe_pruned,
         "ivf_pruned": _q_ivf_pruned,
+        "ivf_pq_topk": _q_ivf_pq,
+        "ivf_pq_codes": _q_ivf_pq_codes,
         "apply_bpe": _q_apply_bpe,
         # product quantization: ADC probe, materialized codes, rerank
         "pq_topk": _q_pq_topk,
@@ -1682,6 +1753,8 @@ _WINDOW_R5 = [
     "html_to_text",
     "doc_trigram_logprob",
     "zorder_key",
+    "ivf_pq_topk",
+    "ivf_pq_codes",
     "pq_topk",
     "pq_topk_codes",
     "pq_topk_rerank",
@@ -2835,6 +2908,8 @@ FROM s QUALIFY rank <= 10
     d["sq_topk_codes"] = d["sq_topk"]
     d["ann_multiprobe_pruned"] = d["ann_multiprobe_topk"]
     d["ivf_pruned"] = d["ivf_flat_topk"]
+    d["ivf_pq_topk"] = _ivf_pq_oracle_sql()
+    d["ivf_pq_codes"] = _ivf_pq_oracle_sql()
     d["pq_topk"] = _pq_oracle_sql()
     d["pq_topk_codes"] = d["pq_topk"]
     d["pq_topk_rerank"] = _pq_rerank_oracle_sql()

@@ -452,3 +452,35 @@ def test_knn_join_lsh_is_equi_join(spark):
         or "BroadcastHashJoin" in p
     )
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ivf_pq_codes_probe_prunes_cells_and_reads_bytes_only(spark, tmp_path):
+    """The composed IVFPQ layout delivers both economics in one plan:
+    the probe's scan is partition-filtered to the probed cells AND its
+    ReadSchema is the tinyint code bytes (no float column exists in the
+    layout), ranking stays in codegen, results bit-identical to the
+    in-plan ivf_pq_topk."""
+    from inception_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_over_codes,
+        write_ivf_pq_layout,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_layout(emb, path, n_centroids=8)
+
+    probe = ivf_pq_topk_over_codes(spark, path, qv, k=10, n_probe=2)
+    f = formatted(probe)
+    part_filters = f.split("PartitionFilters")[1][:200]
+    assert "cell" in part_filters
+    read_schema = f.split("ReadSchema")[1][:400]
+    assert "codes" in read_schema and "embedding" not in read_schema
+    assert "ArrowEvalPython" not in f and "BatchEvalPython" not in f
+    assert "TakeOrderedAndProject" in f
+
+    raw = ivf_pq_topk(emb, qv, k=10, n_centroids=8, n_probe=2)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
