@@ -1655,6 +1655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trigram_logprob": lambda spark, sf: TA.doc_trigram_logprob(
             _docs(spark, sf)
         ),
+        # full-batch GD logistic regression, kmeans-style driver rounds
+        "lr_quality_classify": lambda spark, sf: NB.lr_quality_classify(
+            _docs(spark, sf)
+        ),
         # epoch-reproducible training shuffle + curriculum binning
         "epoch_shuffle": lambda spark, sf: epoch_shuffle(
             _docs(spark, sf), epoch=3
@@ -1755,6 +1759,7 @@ _WINDOW_R5 = [
     "zorder_key",
     "ivf_pq_topk",
     "ivf_pq_codes",
+    "lr_quality_classify",
     "pq_topk",
     "pq_topk_codes",
     "pq_topk_rerank",
@@ -2942,6 +2947,7 @@ FROM embeddings
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["doc_trigram_logprob"] = TA.doc_trigram_logprob_sql("documents")
+    d["lr_quality_classify"] = NB.lr_quality_classify_sql("documents")
     d["kmeans_train"] = CL.kmeans_train_sql(
         "embeddings", k=8, n_iter=2, dim=_EMB_DIM
     )

@@ -86,6 +86,9 @@ HEADLINE = [
     "html_to_text",
     "doc_trigram_logprob",
     "zorder_key",
+    # r5+: composed IVFPQ probe + trained LR gate (3 GD rounds)
+    "ivf_pq_topk",
+    "lr_quality_classify",
 ]
 
 

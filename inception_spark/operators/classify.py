@@ -219,3 +219,167 @@ SELECT doc_id, label, lbl AS pred, lbl = label AS correct,
        CAST(score AS DOUBLE) AS score
 FROM r WHERE rn = 1
 """
+
+
+def _lr_feats(df, id_col, text_col, label_col, positive):
+    """Shared feature projection: (doc_id, f0=1, f1, f2, f3, y)."""
+    from inception_spark.functions.hashing import words
+
+    nw = F.size(words(F.col(text_col)))
+    ln = F.length(F.col(text_col)).cast("double")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(1.0).alias("f0"),
+        (ln / F.lit(1000.0)).alias("f1"),
+        (nw.cast("double") / F.lit(100.0)).alias("f2"),
+        F.when(nw == 0, F.lit(0.0))
+        .otherwise(ln / nw.cast("double"))
+        .alias("f3"),
+        F.when(F.col(label_col) == positive, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def lr_quality_classify(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    n_iter: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Binary logistic regression trained IN the engine by full-batch
+    gradient descent, then scored: (doc_id, y, prob, pred, correct).
+    The fastText/CCNet "learned quality gate" slot with the same
+    determinism engineering as k-means:
+
+    * one feature projection (length, token count, mean token length —
+      pure codegen, shared with the oracle);
+    * each GD round is ONE aggregate: per-row gradient contributions
+      ``round((sigmoid(w·x) − y)·x_j, 6)`` summed as DECIMAL(28,6) —
+      order-independent, engine-exact modulo the accepted last-ulp
+      ``exp`` libm risk (the doc_unigram_logprob class);
+    * weights live DRIVER-side (control plane, 4 doubles) and update as
+      ``w_j − lr·(sum_j / n)`` — IEEE double ops in a pinned order the
+      DuckDB oracle replays with the same unrolled-CTE pattern as
+      ``kmeans_train_sql``;
+    * the returned frame is a pure plan with the final weights as
+      literals — re-executable without re-training, zero joins.
+
+    Resubstitution scoring (the NB contract): the deliverable is the
+    distributed fit/score machinery, not a holdout methodology."""
+    f = _lr_feats(df, id_col, text_col, label_col, positive).localCheckpoint(
+        eager=False
+    )
+    names = ["f0", "f1", "f2", "f3"]
+    w = [0.0, 0.0, 0.0, 0.0]
+
+    def zp(weights):
+        z = None
+        for wj, nm in zip(weights, names):
+            term = F.lit(float(wj)) * F.col(nm)
+            z = term if z is None else z + term
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    n = None
+    for _ in range(max(1, int(n_iter))):
+        p = zp(w)
+        row = f.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.round((p - F.col("y")) * F.col(nm), 6).cast(
+                        "decimal(28,6)"
+                    )
+                ).alias(f"g{j}")
+                for j, nm in enumerate(names)
+            ],
+        ).collect()[0]
+        n = int(row["n"])
+        w = [
+            w[j] - float(lr) * (float(row[f"g{j}"]) / n)
+            for j in range(len(names))
+        ]
+    p = zp(w)
+    prob = F.round(p, 6)
+    return f.select(
+        "doc_id",
+        "y",
+        prob.alias("prob"),
+        (prob >= F.lit(0.5)).alias("pred"),
+        ((prob >= F.lit(0.5)) == (F.col("y") == F.lit(1.0))).alias(
+            "correct"
+        ),
+    )
+
+
+def lr_quality_classify_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    n_iter: int = 3,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB twin: the same GD rounds unrolled as CTEs (the
+    kmeans_train_sql pattern) — each round computes the DECIMAL gradient
+    sums under the previous round's weights and derives the next weights
+    with the identical double arithmetic."""
+    from inception_spark.functions.hashing import words_sql
+
+    w = words_sql(text_col)
+    lrs = f"CAST({lr} AS DOUBLE)"
+    sig = (
+        "(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-("
+        "{a}*f0 + {b}*f1 + {c}*f2 + {d}*f3))))"
+    )
+    ctes = [
+        f"""f AS (
+  SELECT {id_col} AS doc_id,
+         CAST(1 AS DOUBLE) AS f0,
+         CAST(length({text_col}) AS DOUBLE) / CAST(1000 AS DOUBLE) AS f1,
+         CAST(len({w}) AS DOUBLE) / CAST(100 AS DOUBLE) AS f2,
+         CASE WHEN len({w}) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(length({text_col}) AS DOUBLE)
+                   / CAST(len({w}) AS DOUBLE) END AS f3,
+         CASE WHEN {label_col} = '{positive}' THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS y
+  FROM {table})""",
+        "nn AS (SELECT COUNT(*) AS n FROM f)",
+        (
+            "w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b,"
+            " CAST(0 AS DOUBLE) AS c, CAST(0 AS DOUBLE) AS d)"
+        ),
+    ]
+    for r in range(1, max(1, int(n_iter)) + 1):
+        s = sig.format(a="w.a", b="w.b", c="w.c", d="w.d")
+        gsums = ", ".join(
+            f"SUM(CAST(round(({s} - y) * f{j} , 6) AS DECIMAL(28,6)))"
+            f" AS g{j}"
+            for j in range(4)
+        )
+        ctes.append(f"g{r} AS (SELECT {gsums} FROM f, w{r - 1} w)")
+        ctes.append(
+            f"""w{r} AS (
+  SELECT w.a - {lrs} * (CAST(g.g0 AS DOUBLE) / nn.n) AS a,
+         w.b - {lrs} * (CAST(g.g1 AS DOUBLE) / nn.n) AS b,
+         w.c - {lrs} * (CAST(g.g2 AS DOUBLE) / nn.n) AS c,
+         w.d - {lrs} * (CAST(g.g3 AS DOUBLE) / nn.n) AS d
+  FROM w{r - 1} w, g{r} g, nn)"""
+        )
+    s = sig.format(a="w.a", b="w.b", c="w.c", d="w.d")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, y, round({s}, 6) AS prob,
+       round({s}, 6) >= CAST(0.5 AS DOUBLE) AS pred,
+       (round({s}, 6) >= CAST(0.5 AS DOUBLE)) = (y = CAST(1 AS DOUBLE))
+         AS correct
+FROM f, w{max(1, int(n_iter))} w"""
+    )

@@ -77,3 +77,53 @@ def test_bigram_logprob_edge_docs(spark):
         for r in doc_bigram_logprob(df).collect()
     }
     assert got == {1: (0, None), 2: (0, None), 3: (1, 0.0), 4: (3, 0.0)}
+
+
+def test_lr_gd_matches_hand_computation(spark):
+    """Three GD rounds replicated in plain Python on a tiny frame: the
+    engine's decimal gradient sums and driver weight updates must equal
+    the reference float loop exactly."""
+    import math
+    from decimal import Decimal
+
+    from inception_spark.operators.classify import lr_quality_classify
+
+    rows = [
+        (0, "alpha beta gamma", "en"),
+        (1, "un deux trois quatre", "fr"),
+        (2, "tiny", "en"),
+        (3, "ein zwei drei vier funf sechs", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # reference loop (same feature defs, same rounding discipline)
+    feats = []
+    for _id, text, lang in rows:
+        nw = len(text.split())
+        ln = float(len(text))
+        feats.append((
+            _id,
+            [1.0, ln / 1000.0, nw / 100.0, (ln / nw) if nw else 0.0],
+            1.0 if lang == "en" else 0.0,
+        ))
+    w = [0.0] * 4
+    for _ in range(3):
+        gs = [Decimal(0)] * 4
+        for _id, x, y in feats:
+            z = sum(wj * xj for wj, xj in zip(w, x))
+            p = 1.0 / (1.0 + math.exp(-z))
+            for j in range(4):
+                q = Decimal(repr(round((p - y) * x[j], 6)))
+                gs[j] += q.quantize(Decimal("0.000001"))
+        w = [w[j] - 0.5 * (float(gs[j]) / len(feats)) for j in range(4)]
+    expect = {}
+    for _id, x, y in feats:
+        z = sum(wj * xj for wj, xj in zip(w, x))
+        p = round(1.0 / (1.0 + math.exp(-z)), 6)
+        expect[_id] = (y, p, p >= 0.5, (p >= 0.5) == (y == 1.0))
+
+    got = {
+        r["doc_id"]: (r["y"], r["prob"], r["pred"], r["correct"])
+        for r in lr_quality_classify(df).collect()
+    }
+    assert got == expect
