@@ -273,6 +273,8 @@ def semantic_dedup(
     eps: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int = 4096,
+    chunk: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then within each cluster drop every item whose rounded cosine to a
@@ -306,6 +308,8 @@ def semantic_dedup(
         vec_col=vec_col,
         block_col="_sd_cid",
         threshold=eps,
+        max_block=max_block,
+        chunk=chunk,
     )
     # drop every id with a SMALLER-id cluster-mate at/above eps: pairs
     # come back vec_a < vec_b, so the drop set is exactly {vec_b}

@@ -139,3 +139,21 @@ def test_semantic_dedup_matches_duckdb_oracle(spark, emb):
         ).fetchall()
     )
     assert res == [tuple(r) for r in orc]
+
+
+def test_semantic_dedup_hot_cluster_grid_path(spark):
+    """k=1 sends EVERY row into one cluster; with max_block forced tiny
+    the quadratic step must take embedding_dup_pairs' chunk-grid
+    decomposition and still produce exactly the single-group answer."""
+    from inception_spark.operators.clustering import semantic_dedup
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    base = semantic_dedup(emb, k=1, n_iter=1, eps=0.4)
+    grid = semantic_dedup(
+        emb, k=1, n_iter=1, eps=0.4, max_block=64, chunk=32
+    )
+    assert sorted(map(tuple, grid.collect())) == sorted(
+        map(tuple, base.collect())
+    )
