@@ -1228,6 +1228,133 @@ FROM sc JOIN cand USING (vec_id) QUALIFY rank <= {k}
 """
 
 
+def _q_ann_recall(spark, sf_dir):
+    """Index-selection harness: recall@k of every ANN family vs exact
+    cosine, batched in one plan (the ANN analog of lsh_eval_report)."""
+    emb = _emb(spark, sf_dir)
+    return S.ann_recall_report(emb, n_queries=10, k=10)
+
+
+def _ann_recall_oracle_sql(
+    nq: int = 10, k: int = 10, bits: int = 8,
+    n_centroids: int = 8, n_probe: int = 2, m: int = 8, ksub: int = 8,
+    dsub: int = 8,
+) -> str:
+    from inception_spark.functions import vectors as V
+
+    cosq = (
+        f"COALESCE(round({V.cosine_sql('q.q_vec', 'e.embedding')}, 6), "
+        f"CAST(-2 AS DOUBLE))"
+    )
+    masks = ", ".join(str(v) for v in [0] + [1 << b for b in range(bits)])
+    possible = nq * k
+
+    def sl(col: str) -> str:
+        return f"list_slice({col}, j * {dsub} + 1, j * {dsub} + {dsub})"
+
+    def topk(src: str, order: str) -> str:
+        return (
+            f"SELECT q_id, vec_id FROM ("
+            f"SELECT q_id, vec_id, row_number() OVER ("
+            f"PARTITION BY q_id ORDER BY {order}) AS rn FROM {src}"
+            f") WHERE rn <= {k}"
+        )
+
+    def hits(name: str, cte: str) -> str:
+        return (
+            f"SELECT '{name}' AS method, CAST(COUNT(*) AS BIGINT) AS hits,"
+            f" CAST({possible} AS BIGINT) AS possible,"
+            f" round(COUNT(*) / CAST({possible} AS DOUBLE), 6) AS recall"
+            f" FROM {cte} t JOIN exact x"
+            f" ON t.q_id = x.q_id AND t.vec_id = x.vec_id"
+        )
+
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+  ORDER BY vec_id LIMIT {nq}),
+exact_s AS (
+  SELECT q.q_id, e.vec_id, {cosq} AS s
+  FROM qs q CROSS JOIN embeddings e),
+exact AS ({topk('exact_s', 's DESC, vec_id')}),
+cbk AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+qbk AS (SELECT q_id, q_vec, {_bucket_sql('q_vec')} AS qbucket FROM qs),
+lsh1_s AS (
+  SELECT q.q_id, e.vec_id, {cosq} AS s
+  FROM qbk q JOIN cbk e ON e.bucket = q.qbucket),
+lsh1 AS ({topk('lsh1_s', 's DESC, vec_id')}),
+probes AS (
+  SELECT q_id, q_vec, xor(qbucket, mk.mk) AS bucket
+  FROM qbk, unnest([{masks}]) AS mk(mk)),
+lshmp_s AS (
+  SELECT q.q_id, e.vec_id, {cosq} AS s
+  FROM probes q JOIN cbk e ON e.bucket = q.bucket),
+lshmp AS ({topk('lshmp_s', 's DESC, vec_id')}),
+icent AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings)
+  WHERE cid < {n_centroids}),
+iasg AS (
+  SELECT e.vec_id, c.cid,
+         COALESCE(round({V.cosine_sql('e.embedding', 'c.cvec')}, 6),
+                  CAST(-2 AS DOUBLE)) AS cs
+  FROM embeddings e CROSS JOIN icent c),
+icell AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM iasg) WHERE rn = 1),
+qcell AS (
+  SELECT q_id, q_vec, cid FROM (
+    SELECT q.q_id, q.q_vec, c.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             COALESCE(round({V.cosine_sql('q.q_vec', 'c.cvec')}, 6),
+                      CAST(-2 AS DOUBLE)) DESC, c.cid) AS rn
+    FROM qs q CROSS JOIN icent c) WHERE rn <= {n_probe}),
+ivf_s AS (
+  SELECT q.q_id, e.vec_id, {cosq} AS s
+  FROM qcell q JOIN icell ic ON ic.cid = q.cid
+  JOIN embeddings e ON e.vec_id = ic.vec_id),
+ivfk AS ({topk('ivf_s', 's DESC, vec_id')}),
+pcent AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings)
+  WHERE cid < {ksub}),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+pasg AS (
+  SELECT e.vec_id, j, c.cid,
+         {_pq_l2_units_sql(sl('e.embedding'), sl('c.cvec'))} AS d
+  FROM embeddings e CROSS JOIN pcent c CROSS JOIN subs),
+pcode AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM pasg) WHERE rn = 1),
+lutq AS (
+  SELECT q.q_id, c.cid, j,
+         {_pq_l2_units_sql(sl('q.q_vec'), sl('c.cvec'))} AS qd
+  FROM qs q CROSS JOIN pcent c CROSS JOIN subs),
+pq_s AS (
+  SELECT l.q_id, pcode.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc
+  FROM pcode JOIN lutq l ON pcode.j = l.j AND pcode.cid = l.cid
+  GROUP BY l.q_id, pcode.vec_id),
+pqk AS ({topk('pq_s', 'adc, vec_id')})
+{hits('lsh', 'lsh1')}
+UNION ALL {hits('lsh_multiprobe', 'lshmp')}
+UNION ALL {hits('ivf', 'ivfk')}
+UNION ALL {hits('pq_adc', 'pqk')}
+"""
+
+
 def _q_ivf_pruned(spark, sf_dir):
     """IVF probe over the materialized cell-partitioned layout — n_probe
     cells read via file-level pruning; bit-identical to ivf_flat_topk by
@@ -1632,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pruned": _q_ivf_pruned,
         "ivf_pq_topk": _q_ivf_pq,
         "ivf_pq_codes": _q_ivf_pq_codes,
+        "ann_recall_report": _q_ann_recall,
         "apply_bpe": _q_apply_bpe,
         # product quantization: ADC probe, materialized codes, rerank
         "pq_topk": _q_pq_topk,
@@ -1760,6 +1888,7 @@ _WINDOW_R5 = [
     "ivf_pq_topk",
     "ivf_pq_codes",
     "lr_quality_classify",
+    "ann_recall_report",
     "pq_topk",
     "pq_topk_codes",
     "pq_topk_rerank",
@@ -2915,6 +3044,7 @@ FROM s QUALIFY rank <= 10
     d["ivf_pruned"] = d["ivf_flat_topk"]
     d["ivf_pq_topk"] = _ivf_pq_oracle_sql()
     d["ivf_pq_codes"] = _ivf_pq_oracle_sql()
+    d["ann_recall_report"] = _ann_recall_oracle_sql()
     d["pq_topk"] = _pq_oracle_sql()
     d["pq_topk_codes"] = d["pq_topk"]
     d["pq_topk_rerank"] = _pq_rerank_oracle_sql()

@@ -1295,3 +1295,191 @@ def ivf_pq_topk_over_codes(
     m = _pq_infer_m(codes)
     lut = _pq_lut_units(cb, [float(x) for x in query_vec], m)
     return _pq_topk_over_encoded(codes, lut, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# index-selection harness: recall@k of every ANN family vs exact
+# ---------------------------------------------------------------------------
+
+def ann_recall_report(
+    df: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 10,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 2024,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of each ANN family against exact cosine, batched fully
+    in-engine: (method, hits, possible, recall) for ``lsh``,
+    ``lsh_multiprobe``, ``ivf`` and ``pq_adc`` — how you pick an index
+    (and its dials) before committing to a 100 TB build, the ANN analog
+    of ``dedup.lsh_eval_report``.
+
+    EVAL-ONLY shape, like that harness: the exact ground truth is a
+    ``n_queries × corpus`` scored cross join — linear in the corpus and
+    fine for a sampled eval, never the production probe path.  The
+    queries are the ``n_queries`` smallest ids (corpus members; the
+    self-match is included, deterministically, for every method alike).
+    Every stage is relational: multi-probe explodes the r≤1 flip masks
+    and equi-joins on bucket, IVF assigns cells to both sides and joins
+    on the probed cells, PQ scores via posexplode(codes) ⋈ a
+    (query × subspace × centroid) LUT relation — integer ADC, no
+    per-query literals, so ONE plan scores all queries."""
+    qs = (
+        df.orderBy(F.col(id_col))
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    ).localCheckpoint(eager=False)
+    base = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+        eager=False
+    )
+
+    def topk_per_q(scored, order_cols):
+        w = Window.partitionBy("q_id").orderBy(*order_cols)
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", id_col)
+        )
+
+    cos = F.coalesce(
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6), F.lit(-2.0)
+    )
+    exact = topk_per_q(
+        qs.crossJoin(base).select("q_id", id_col, cos.alias("s")),
+        [F.desc("s"), F.asc(id_col)],
+    ).localCheckpoint(eager=False)
+
+    planes = lsh_hyperplanes(
+        len(df.select(vec_col).first()[0]), bits=bits, seed=seed
+    )
+    corpus_b = base.withColumn(
+        "bucket", lsh_bucket_expr(F.col(vec_col), planes)
+    ).localCheckpoint(eager=False)
+    qb = qs.withColumn("qbucket", lsh_bucket_expr(F.col("q_vec"), planes))
+
+    def lsh_method(masks):
+        probes = qb.select(
+            "q_id",
+            "q_vec",
+            F.explode(
+                F.transform(
+                    F.lit(masks),
+                    lambda mk: F.col("qbucket").bitwiseXOR(mk),
+                )
+            ).alias("bucket"),
+        )
+        cand = probes.join(corpus_b, "bucket").select(
+            "q_id", id_col, cos.alias("s")
+        )
+        return topk_per_q(cand, [F.desc("s"), F.asc(id_col)])
+
+    lsh_1 = lsh_method([0])
+    lsh_mp = lsh_method([0] + [1 << b for b in range(bits)])
+
+    cent, cell = _ivf_cells(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    # rank cells per query (n_probe of them, ordered like ivf_flat_topk)
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("cs"), F.asc("cid")
+    )
+    qcell = (
+        qs.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "q_vec",
+            "cid",
+            F.coalesce(
+                F.round(cosine(F.col("q_vec"), F.col("cvec")), 6),
+                F.lit(-2.0),
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_vec", "cid")
+    )
+    ivf_cand = (
+        qcell.join(cell, "cid").join(base, id_col)
+        .select("q_id", id_col, cos.alias("s"))
+    )
+    ivf = topk_per_q(ivf_cand, [F.desc("s"), F.asc(id_col)])
+
+    cb = pq_codebook(df, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    dim = len(cb[0])
+    dsub = dim // m
+    enc = pq_encode(base, cb, m=m, id_col=id_col, vec_col=vec_col)
+    cbdf = df.sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(cb)], "cid int, cvec array<double>"
+    )
+    subs = df.sparkSession.range(m).select(F.col("id").cast("int").alias("j"))
+
+    def _d_units(a, b):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(
+                    a, b,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    lut = (
+        qs.crossJoin(F.broadcast(cbdf))
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "q_id",
+            "cid",
+            "j",
+            _d_units(
+                F.slice(
+                    F.col("q_vec"), F.col("j") * dsub + 1, dsub
+                ),
+                F.slice(F.col("cvec"), F.col("j") * dsub + 1, dsub),
+            ).alias("qd"),
+        )
+    )
+    codes_x = enc.select(
+        F.col(id_col), F.posexplode("codes").alias("j", "cid")
+    )
+    pq_scores = (
+        codes_x.join(F.broadcast(lut), ["j", "cid"])
+        .groupBy("q_id", id_col)
+        .agg(F.sum("qd").alias("adc"))
+    )
+    pq = topk_per_q(pq_scores, [F.asc("adc"), F.asc(id_col)])
+
+    possible = n_queries * k
+    out = None
+    for name, hits_df in (
+        ("lsh", lsh_1),
+        ("lsh_multiprobe", lsh_mp),
+        ("ivf", ivf),
+        ("pq_adc", pq),
+    ):
+        h = hits_df.join(exact, ["q_id", id_col]).agg(
+            F.count(F.lit(1)).alias("hits")
+        ).select(
+            F.lit(name).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.lit(possible).cast("long").alias("possible"),
+            F.round(F.col("hits") / F.lit(float(possible)), 6).alias(
+                "recall"
+            ),
+        )
+        out = h if out is None else out.unionAll(h)
+    return out
