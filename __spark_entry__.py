@@ -947,6 +947,22 @@ def _q_streaming_embed(spark, sf_dir):
     )
 
 
+def _q_streaming_lr_gate(spark, sf_dir):
+    """Fit-in-batch / score-in-stream — the production shape for a
+    learned quality gate: weights train via lr_quality_fit's driver
+    GD rounds, then the stateless scoring projection runs INSIDE
+    Structured Streaming micro-batches; the oracle is the batch twin
+    (identical output by construction)."""
+    docs = _docs(spark, sf_dir)
+    w = NB.lr_quality_fit(docs)
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    out = run_stream_to_parquet(
+        spark, docs, lambda s: NB.lr_quality_score(s, w)
+    )
+    return out.select("doc_id", "y", "prob", "pred", "correct")
+
+
 def _q_dedup_keep_heads(spark, sf_dir):
     """The applied end of the near-dup pipeline: the corpus with only
     each duplicate component's head retained (keep_component_heads over
@@ -1760,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": _q_ivf_pq,
         "ivf_pq_codes": _q_ivf_pq_codes,
         "ann_recall_report": _q_ann_recall,
+        "streaming_lr_gate": _q_streaming_lr_gate,
         "apply_bpe": _q_apply_bpe,
         # product quantization: ADC probe, materialized codes, rerank
         "pq_topk": _q_pq_topk,
@@ -1889,6 +1906,7 @@ _WINDOW_R5 = [
     "ivf_pq_codes",
     "lr_quality_classify",
     "ann_recall_report",
+    "streaming_lr_gate",
     "pq_topk",
     "pq_topk_codes",
     "pq_topk_rerank",
@@ -3045,6 +3063,7 @@ FROM s QUALIFY rank <= 10
     d["ivf_pq_topk"] = _ivf_pq_oracle_sql()
     d["ivf_pq_codes"] = _ivf_pq_oracle_sql()
     d["ann_recall_report"] = _ann_recall_oracle_sql()
+    d["streaming_lr_gate"] = NB.lr_quality_classify_sql("documents")
     d["pq_topk"] = _pq_oracle_sql()
     d["pq_topk_codes"] = d["pq_topk"]
     d["pq_topk_rerank"] = _pq_rerank_oracle_sql()

@@ -271,22 +271,47 @@ def lr_quality_classify(
 
     Resubstitution scoring (the NB contract): the deliverable is the
     distributed fit/score machinery, not a holdout methodology."""
+    w = lr_quality_fit(
+        df, id_col=id_col, text_col=text_col, label_col=label_col,
+        positive=positive, n_iter=n_iter, lr=lr,
+    )
+    return lr_quality_score(
+        df, w, id_col=id_col, text_col=text_col, label_col=label_col,
+        positive=positive,
+    )
+
+
+_LR_FEAT_NAMES = ["f0", "f1", "f2", "f3"]
+
+
+def _lr_sigmoid(weights):
+    z = None
+    for wj, nm in zip(weights, _LR_FEAT_NAMES):
+        term = F.lit(float(wj)) * F.col(nm)
+        z = term if z is None else z + term
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def lr_quality_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    n_iter: int = 3,
+    lr: float = 0.5,
+) -> list[float]:
+    """The GD rounds alone: returns the trained weights (driver-side
+    control plane, 4 doubles) — feed them to :func:`lr_quality_score`,
+    including over a STREAMING frame (the score is a stateless
+    projection, so fit-in-batch / score-in-stream works unchanged)."""
     f = _lr_feats(df, id_col, text_col, label_col, positive).localCheckpoint(
         eager=False
     )
-    names = ["f0", "f1", "f2", "f3"]
     w = [0.0, 0.0, 0.0, 0.0]
-
-    def zp(weights):
-        z = None
-        for wj, nm in zip(weights, names):
-            term = F.lit(float(wj)) * F.col(nm)
-            z = term if z is None else z + term
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-
-    n = None
     for _ in range(max(1, int(n_iter))):
-        p = zp(w)
+        p = _lr_sigmoid(w)
         row = f.agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -295,16 +320,30 @@ def lr_quality_classify(
                         "decimal(28,6)"
                     )
                 ).alias(f"g{j}")
-                for j, nm in enumerate(names)
+                for j, nm in enumerate(_LR_FEAT_NAMES)
             ],
         ).collect()[0]
         n = int(row["n"])
         w = [
             w[j] - float(lr) * (float(row[f"g{j}"]) / n)
-            for j in range(len(names))
+            for j in range(len(_LR_FEAT_NAMES))
         ]
-    p = zp(w)
-    prob = F.round(p, 6)
+    return w
+
+
+def lr_quality_score(
+    df: DataFrame,
+    weights: list[float],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+) -> DataFrame:
+    """Stateless scoring projection under literal ``weights`` — pure
+    codegen, valid on batch AND streaming DataFrames."""
+    f = _lr_feats(df, id_col, text_col, label_col, positive)
+    prob = F.round(_lr_sigmoid(weights), 6)
     return f.select(
         "doc_id",
         "y",
