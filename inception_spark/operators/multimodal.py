@@ -4,11 +4,13 @@ Extends the engine beyond the reference's text-only surface (per the build
 brief): the Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 UDF signatures — is real and tested.  Decoding is REAL where zero-dependency
 codecs exist — uncompressed BMP, binary netpbm (P6 PPM / P5 PGM), 8-bit
-PNG (stdlib ``zlib`` inflate + scanline unfilter), and 16-bit PCM WAV
-(stdlib ``wave``) decode, re-encode, resize/resample and featurize with
-actual pixels/samples; formats needing real codec libraries (JPEG/MP3/MP4)
-stay behind ``DecoderUnavailable`` with a deterministic fake used by tests
-(this container has no PIL/ffmpeg).
+PNG (stdlib ``zlib`` inflate + scanline unfilter), GIF (pure-Python LZW),
+baseline JPEG (operators/jpeg.py) and 16-bit PCM WAV decode, re-encode,
+resize/resample and featurize with actual pixels/samples.  MP4 and MP3
+expose real CONTAINER metadata (box walk / frame-header scan — duration,
+dims, rates) without decoding; frame/sample decode for them stays behind
+``DecoderUnavailable`` with a deterministic fake used by tests (this
+container has no ffmpeg).
 
 Design for 100 TB of media:
 
@@ -945,3 +947,190 @@ def resample_audio(
             )
 
     return df.mapInPandas(mapper, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# container-metadata probes: MP4 boxes, MP3 frame headers (no decode)
+# ---------------------------------------------------------------------------
+# A training pipeline needs duration/dimensions/rate for filtering and
+# budgeting long before (or instead of) decoding: these walk the
+# CONTAINER structure only — stdlib struct parsing, no codec — so the
+# "video/audio metadata" columns are real even though frame/sample
+# decode honestly refuses without ffmpeg.
+
+_MP3_BITRATES = {  # kbps, MPEG1 Layer III
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96,
+    8: 112, 9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def probe_mp4_meta(payload: bytes) -> dict:
+    """Walk the ISO-BMFF box tree: ftyp brand, mvhd timescale/duration,
+    first video tkhd width/height.  Returns {} keys None when absent;
+    raises DecoderUnavailable when the payload is not an MP4."""
+    import struct as _s
+
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        raise DecoderUnavailable("mp4: missing ftyp box")
+    out = {
+        "brand": payload[8:12].decode("latin1"),
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+    }
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        pos = lo
+        while pos + 8 <= hi:
+            size = _s.unpack(">I", payload[pos:pos + 4])[0]
+            tag = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > hi:
+                    break
+                size = _s.unpack(">Q", payload[body:body + 8])[0]
+                body += 8
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                break
+            if tag == b"moov":
+                walk(body, pos + size, depth + 1)
+            elif tag == b"trak":
+                out["n_tracks"] += 1
+                walk(body, pos + size, depth + 1)
+            elif tag == b"mvhd" and body + 4 <= hi:
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = _s.unpack(
+                        ">IQ", payload[body + 20:body + 32]
+                    )
+                else:
+                    ts, dur = _s.unpack(
+                        ">II", payload[body + 12:body + 20]
+                    )
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif tag == b"tkhd" and out["width"] is None:
+                ver = payload[body]
+                off = body + (88 if ver == 1 else 76)
+                if off + 8 <= hi:
+                    w16, h16 = _s.unpack(
+                        ">II", payload[off:off + 8]
+                    )
+                    if w16 and h16:  # 16.16 fixed point
+                        out["width"] = w16 >> 16
+                        out["height"] = h16 >> 16
+            pos += size
+
+    walk(0, n)
+    return out
+
+
+def probe_mp3_meta(payload: bytes) -> dict:
+    """Find the first MPEG-1 Layer III frame header (skipping any ID3v2
+    tag), return bitrate/sample-rate and a CBR duration estimate.
+    Raises DecoderUnavailable when no valid frame sync exists."""
+    pos = 0
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        sz = 0
+        for b in payload[6:10]:  # syncsafe 28-bit
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    while pos + 4 <= n:
+        b0, b1, b2, _b3 = payload[pos:pos + 4]
+        if (
+            b0 == 0xFF
+            and (b1 & 0xE0) == 0xE0
+            and (b1 & 0x18) == 0x18  # MPEG-1
+            and (b1 & 0x06) == 0x02  # Layer III
+        ):
+            br_i = (b2 >> 4) & 0xF
+            sr_i = (b2 >> 2) & 0x3
+            if br_i in _MP3_BITRATES and sr_i in _MP3_RATES:
+                kbps = _MP3_BITRATES[br_i]
+                rate = _MP3_RATES[sr_i]
+                audio = n - pos
+                return {
+                    "bitrate_kbps": kbps,
+                    "sample_rate": rate,
+                    "duration_ms": int(audio * 8 // kbps),
+                    "frame_bytes": (144 * kbps * 1000 // rate)
+                    + ((b2 >> 1) & 1),
+                }
+        pos += 1
+    raise DecoderUnavailable("mp3: no MPEG-1 Layer III frame sync found")
+
+
+def enrich_media_meta(
+    df: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """Fill media_meta's width/height/duration_ms from the PAYLOAD via
+    the native probes (image headers, MP4 boxes, MP3 frame headers,
+    WAV) — mapInPandas, one pass, unknown formats keep their NULLs."""
+    out_fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(out_fields)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for _, row in pdf.iterrows():
+                m = row["media_meta"]
+                meta = dict(m) if isinstance(m, dict) else m.asDict()
+                p = bytes(row[payload_col])
+                try:
+                    if p[4:8] == b"ftyp":
+                        m = probe_mp4_meta(p)
+                        meta["duration_ms"] = m["duration_ms"]
+                        meta["width"] = m["width"]
+                        meta["height"] = m["height"]
+                    elif p[:3] == b"ID3" or (
+                        len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+                    ):
+                        meta["duration_ms"] = probe_mp3_meta(p)[
+                            "duration_ms"
+                        ]
+                    elif p[:4] == b"RIFF":
+                        rate, n_samp, _ch = probe_wav_meta_py(p)
+                        meta["duration_ms"] = int(n_samp * 1000 // rate)
+                    else:
+                        img = decode_image(p)
+                        meta["height"], meta["width"] = (
+                            int(img.shape[0]), int(img.shape[1])
+                        )
+                except DecoderUnavailable:
+                    pass
+                metas.append(meta)
+            pdf = pdf.copy()
+            pdf["media_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(mapper, out_schema)
+
+
+def probe_wav_meta_py(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_samples, n_channels) from the RIFF/fmt headers —
+    worker-side twin of the JVM probe."""
+    import struct as _s
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecoderUnavailable("wav: not RIFF/WAVE")
+    pos = 12
+    rate = ch = bits = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        sz = _s.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if tag == b"fmt ":
+            ch, rate = _s.unpack("<HI", payload[pos + 10:pos + 16])
+            bits = _s.unpack("<H", payload[pos + 22:pos + 24])[0]
+        elif tag == b"data":
+            data_len = sz
+        pos += 8 + sz + (sz & 1)
+    if not rate or not ch or not bits or data_len is None:
+        raise DecoderUnavailable("wav: missing fmt/data chunks")
+    return rate, data_len // (ch * (bits // 8)), ch

@@ -839,3 +839,112 @@ def test_decode_image_dispatches_jpeg_and_pipeline(spark):
     for i in imgs:
         expect = image_features(decode_jpeg(payloads[i]), 32)
         assert np.allclose(feats[i], expect, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# container-metadata probes (MP4 / MP3)
+# ---------------------------------------------------------------------------
+
+def _box(tag, body):
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _minimal_mp4(duration_ms=2500, w=640, h=360):
+    import struct
+
+    ts = 1000
+    mvhd = bytes([0, 0, 0, 0]) + struct.pack(
+        ">IIII", 0, 0, ts, duration_ms * ts // 1000
+    ) + b"\x00" * 80
+    tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 + struct.pack(
+        ">II", w << 16, h << 16
+    )
+    trak = _box(b"trak", _box(b"tkhd", tkhd))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def _minimal_mp3(n_frames=8, kbps=128, rate=44100, id3=True):
+    frame_len = 144 * kbps * 1000 // rate
+    # FF FB: MPEG-1 Layer III no-CRC; bitrate idx 9 (128), rate idx 0
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = hdr + b"\x00" * (frame_len - 4)
+    tag = b""
+    if id3:
+        body = b"junkmetadata"
+        sz = len(body)
+        tag = b"ID3\x03\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + body
+    return tag + frame * n_frames
+
+
+def test_probe_mp4_meta_boxes():
+    from inception_spark.operators.multimodal import (
+        DecoderUnavailable,
+        probe_mp4_meta,
+    )
+
+    m = probe_mp4_meta(_minimal_mp4(duration_ms=2500, w=640, h=360))
+    assert m["brand"] == "isom"
+    assert m["duration_ms"] == 2500
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_tracks"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(DecoderUnavailable):
+        probe_mp4_meta(b"not an mp4 at all....")
+
+
+def test_probe_mp3_meta_frames():
+    from inception_spark.operators.multimodal import (
+        DecoderUnavailable,
+        probe_mp3_meta,
+    )
+
+    p = _minimal_mp3(n_frames=8, id3=True)
+    m = probe_mp3_meta(p)
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    audio_bytes = len(p) - 22  # ID3 header 10 + body 12
+    assert m["duration_ms"] == audio_bytes * 8 // 128
+    # no ID3 variant
+    assert probe_mp3_meta(_minimal_mp3(id3=False))["bitrate_kbps"] == 128
+    import pytest as _pytest
+
+    with _pytest.raises(DecoderUnavailable):
+        probe_mp3_meta(b"\x00" * 64)
+
+
+def test_enrich_media_meta_mixed_batch(spark):
+    """One pass fills duration for MP4/MP3/WAV and dims for images;
+    unknown payloads keep their NULLs."""
+    import numpy as np
+
+    from inception_spark.operators.jpeg import encode_jpeg
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        encode_wav,
+        enrich_media_meta,
+    )
+
+    wav = encode_wav(np.zeros(4410, dtype=np.int16), 44100)
+    rows = [
+        (1, _minimal_mp4(duration_ms=1234, w=320, h=200)),
+        (2, _minimal_mp3(n_frames=4)),
+        (3, wav),
+        (4, encode_jpeg(_smooth_img(24, 32))),
+        (5, b"unknown-format-payload"),
+    ]
+    df = attach_media_meta(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        modality="mixed",
+    )
+    got = {r["id"]: r["media_meta"] for r in enrich_media_meta(df).collect()}
+    assert got[1]["duration_ms"] == 1234
+    assert (got[1]["width"], got[1]["height"]) == (320, 200)
+    assert got[2]["duration_ms"] is not None and got[2]["duration_ms"] > 0
+    assert got[3]["duration_ms"] == 100  # 4410 samples @ 44100 Hz
+    assert (got[4]["height"], got[4]["width"]) == (24, 32)
+    assert got[5]["duration_ms"] is None and got[5]["width"] is None
