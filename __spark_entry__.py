@@ -1816,6 +1816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_revenue": R.q5_region_revenue,
         "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q11_part_value": R.q11_part_value_concentration,
+        "q12_late_priority": R.q12_late_shipment_priority,
+        "q20_promo_suppliers": R.q20_promo_part_suppliers,
+        "q21_waiting_suppliers": R.q21_waiting_suppliers,
         "q2_best_supplier": R.q2_best_supplier,
         "q4_priority_exists": R.q4_priority_exists,
         "q16_supplier_part_counts": R.q16_supplier_part_counts,
@@ -1936,6 +1940,12 @@ _WINDOW_R5 = [
     "q4_priority_exists",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    # round-5 late additions: the four queries completing the 22-query
+    # TPC-H-shape set land in-window the round they ship (ADVICE r4)
+    "q11_part_value",
+    "q12_late_priority",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
@@ -2015,6 +2025,65 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE s_nationkey = c_nationkey AND r_name = 'ASIA'
 GROUP BY n_name
+""",
+        "q11_part_value": f"""
+WITH v AS (
+  SELECT l_partkey, SUM({_DISC_PRICE}) AS val_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey)
+SELECT l_partkey AS part_key, CAST(val_dec AS DOUBLE) AS value
+FROM v, (SELECT SUM(val_dec) AS tot FROM v)
+WHERE val_dec * 1000 > tot
+""",
+        "q12_late_priority": """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY
+GROUP BY l_linestatus
+""",
+        "q20_promo_suppliers": f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM({_d('l_quantity')}) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(qty) AS tq FROM ps GROUP BY 1),
+excess AS (
+  SELECT l_suppkey, COUNT(*) AS n_excess_parts
+  FROM ps JOIN tot USING (l_partkey)
+  WHERE qty * 20 > tq * 3
+  GROUP BY 1)
+SELECT s_suppkey, s_name, n_name, n_excess_parts
+FROM excess
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+""",
+        "q21_waiting_suppliers": """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lo GROUP BY 1),
+cand AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order USING (l_orderkey)
+  WHERE lo.late AND per_order.n_supp > 1 AND per_order.n_late = 1)
+SELECT s_suppkey, s_name, n_name, COUNT(*) AS numwait
+FROM cand
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2, 3
 """,
         "q6_forecast_revenue": f"""
 SELECT CAST(SUM({_d('l_extendedprice')} * {_d('l_discount')}) AS DOUBLE) AS revenue,

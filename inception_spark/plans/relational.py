@@ -197,6 +197,150 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (partsupp replaced by the lineitem-observed value): per-part
+    discounted revenue from suppliers of one nation, keeping parts whose
+    value exceeds 0.1% of that nation's total — the group-aggregate
+    filtered against a global scalar.
+
+    Scale: supplier×nation is a broadcast semi-join (dim tables), the
+    per-part aggregate is one shuffle with map-side partial sums, and the
+    global total is a single-row broadcast, so the threshold filter adds
+    no extra shuffle.  The comparison is done in exact decimal
+    (``1000 * val > tot``) so engines agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+    )
+    disc = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    v = (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(disc).alias("val_dec"))
+    )
+    tot = v.agg(F.sum("val_dec").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_dec") * 1000 > F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("val_dec").cast("double").alias("value"),
+        )
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (no l_shipmode/commitdate in this schema): for lineitems
+    shipped >180 days after their order date, count high-priority
+    (URGENT/HIGH) vs lower-priority orders per line status.
+
+    Scale: one shuffle join on the order key (AQE picks the strategy),
+    then a 2-group hash aggregate whose partial sums collapse the shuffle
+    to ≤|linestatus| rows per task.  Counts are integers — engine-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (availqty replaced by observed shipped share): suppliers
+    holding an outsized share (>15%) of any PROMO part's shipped quantity
+    — the nested correlated-threshold semi-join chain.
+
+    Scale: part is a broadcast filter, the (part, supplier) aggregate and
+    the per-part total reuse the same shuffle key, and the share test is
+    exact decimal (``20 * qty > 3 * tq`` — 0.15 with no float rounding).
+    Supplier/nation decorations are broadcast joins."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_d("l_quantity")).alias("qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("qty").alias("tq"))
+    excess = ps.join(tot, "l_partkey").filter(
+        F.col("qty") * 20 > F.col("tq") * 3
+    )
+    return (
+        excess.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_excess_parts")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (late = shipped >365 days after order date): on finished
+    multi-supplier orders, the supplier who was the ONLY late one —
+    the exists/not-exists double-correlated pattern, expressed as one
+    per-order aggregate (distinct suppliers, distinct late suppliers)
+    joined back to the late lineitems.
+
+    Scale: lineitem⋈orders shuffles on the order key and BOTH follow-up
+    aggregates (per-order counts, distinct candidate pairs) reuse that
+    key, so Catalyst/AQE can avoid re-partitioning; the final per-supplier
+    count is a 100-row aggregate with broadcast decorations."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    cand = (
+        lo.filter("late")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+            ),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "numwait")
+    )
+
+
 # ---------------------------------------------------------------------------
 # windows
 # ---------------------------------------------------------------------------

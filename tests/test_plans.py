@@ -484,3 +484,41 @@ def test_ivf_pq_codes_probe_prunes_cells_and_reads_bytes_only(spark, tmp_path):
     assert sorted(map(tuple, probe.collect())) == sorted(
         map(tuple, raw.collect())
     )
+
+
+def test_q11_threshold_is_broadcast_no_udf(spark):
+    """Q11 shape: the global-total threshold must arrive as a broadcast
+    (single-row scalar), never a shuffle; dimension semi-joins broadcast;
+    the whole plan stays in codegen."""
+    p = plan_of(R.q11_part_value_concentration(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_q12_pushdown_and_partial_agg(spark):
+    """Q12 shape: two-phase aggregation and no Python anywhere; the
+    late-shipment predicate is a join-time filter (depends on both
+    sides, so it can't be pushed to one scan)."""
+    p = plan_of(R.q12_late_shipment_priority(spark, SF))
+    assert "partial_sum" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_q20_share_join_reuses_part_key_no_cartesian(spark):
+    """Q20 shape: the (part, supplier) aggregate and the per-part total
+    join on the same key — no cartesian, broadcast decorations only."""
+    p = plan_of(R.q20_promo_part_suppliers(spark, SF))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # supplier + nation
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_q21_exists_pattern_single_fact_join(spark):
+    """Q21 shape: exists/not-exists collapses to per-order aggregates +
+    a semi join; supplier/nation decorate via broadcast; no Python."""
+    p = plan_of(R.q21_waiting_suppliers(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
