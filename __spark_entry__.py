@@ -778,6 +778,39 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=2048)
 
 
+_DQ_RULES = [
+    ("doc_id_not_null", "not_null", "doc_id"),
+    ("doc_id_unique", "unique", "doc_id"),
+    ("lang_known", "in_set", "lang", ("en", "de", "fr", "zh")),
+    ("n_chars_range", "in_range", "n_chars", 0, 300),
+    ("text_min_len", "min_length", "text", 100),
+    ("text_ascii", "matches", "text", "^[ -~]+$"),
+]
+
+
+def _q_dq_check(spark, sf_dir):
+    """Declarative expectations audit: 6 rules (null / unique / domain /
+    range / length / regex) compiled into ONE conditional aggregate over
+    the documents table — one scan regardless of rule count.  The 'es'
+    rows violate lang_known and long docs violate n_chars_range, so the
+    report is discriminative, not vacuously green."""
+    from inception_spark.operators.expectations import check_expectations
+
+    return check_expectations(_docs(spark, sf_dir), _DQ_RULES)
+
+
+def _q_dq_quarantine(spark, sf_dir):
+    """Row router: documents violating any row-level rule, tagged with
+    the comma-joined rule names (deterministic rule order; concat_ws
+    skips NULLs identically in Spark and DuckDB).  Zero shuffles — a
+    filter+project the scanner can push down."""
+    from inception_spark.operators.expectations import quarantine_violations
+
+    row_rules = [r for r in _DQ_RULES if r[1] != "unique"]
+    out = quarantine_violations(_docs(spark, sf_dir), row_rules)
+    return out.select("doc_id", "lang", "n_chars", "violated_rules")
+
+
 def _q_streaming_interval_join(spark, sf_dir):
     """Stream-stream interval join (click→purchase within 30 min per
     user) executed through Structured Streaming — both sides watermarked,
@@ -1677,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             R.load_events(spark, sf), "user_id", k=10
         ),
         "pack_sequences": _q_pack_sequences,
+        "dq_check": _q_dq_check,
+        "dq_quarantine": _q_dq_quarantine,
         "events_range_join": _q_events_range_join,
         "stable_sample": lambda spark, sf: stable_sample(
             _docs(spark, sf), 0.25
@@ -1946,6 +1981,8 @@ _WINDOW_R5 = [
     "q12_late_priority",
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
+    "dq_check",
+    "dq_quarantine",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
@@ -2924,6 +2961,49 @@ FROM ({hll_ndv_sql("events", "user_id")}) est, ex
         "pack_sequences": pack_sequences_sql(
             "documents", TA.token_count_sql("text"), budget=2048
         ),
+        "dq_check": """
+WITH a AS (
+  SELECT COUNT(*) AS total,
+    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_not_null,
+    COUNT(doc_id) - COUNT(DISTINCT doc_id) AS v_unique,
+    SUM(CASE WHEN lang IS NOT NULL
+             AND lang NOT IN ('en', 'de', 'fr', 'zh')
+        THEN 1 ELSE 0 END) AS v_lang,
+    SUM(CASE WHEN n_chars IS NOT NULL
+             AND n_chars NOT BETWEEN 0 AND 300
+        THEN 1 ELSE 0 END) AS v_range,
+    SUM(CASE WHEN text IS NOT NULL AND length(text) < 100
+        THEN 1 ELSE 0 END) AS v_len,
+    SUM(CASE WHEN text IS NOT NULL
+             AND NOT regexp_matches(text, '^[ -~]+$')
+        THEN 1 ELSE 0 END) AS v_ascii
+  FROM documents)
+SELECT rule, kind, col, violations, total, violations = 0 AS passed
+FROM (
+  SELECT 'doc_id_not_null' AS rule, 'not_null' AS kind, 'doc_id' AS col,
+         v_not_null AS violations, total FROM a
+  UNION ALL SELECT 'doc_id_unique', 'unique', 'doc_id', v_unique, total FROM a
+  UNION ALL SELECT 'lang_known', 'in_set', 'lang', v_lang, total FROM a
+  UNION ALL SELECT 'n_chars_range', 'in_range', 'n_chars', v_range, total FROM a
+  UNION ALL SELECT 'text_min_len', 'min_length', 'text', v_len, total FROM a
+  UNION ALL SELECT 'text_ascii', 'matches', 'text', v_ascii, total FROM a)
+""",
+        "dq_quarantine": """
+SELECT doc_id, lang, n_chars, violated_rules FROM (
+  SELECT doc_id, lang, n_chars,
+    concat_ws(',',
+      CASE WHEN doc_id IS NULL THEN 'doc_id_not_null' END,
+      CASE WHEN lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr', 'zh')
+           THEN 'lang_known' END,
+      CASE WHEN n_chars IS NOT NULL AND n_chars NOT BETWEEN 0 AND 300
+           THEN 'n_chars_range' END,
+      CASE WHEN text IS NOT NULL AND length(text) < 100
+           THEN 'text_min_len' END,
+      CASE WHEN text IS NOT NULL AND NOT regexp_matches(text, '^[ -~]+$')
+           THEN 'text_ascii' END) AS violated_rules
+  FROM documents)
+WHERE violated_rules != ''
+""",
         "stable_sample": f"""
 SELECT doc_id FROM documents WHERE {stable_sample_sql('doc_id', 0.25)}
 """,
