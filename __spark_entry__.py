@@ -1969,20 +1969,22 @@ _WINDOW_R5 = [
     "events_cohort_retention",
     "clean_text",
     "validate_text",
-    "q1_pricing_summary",
-    "q2_best_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    # round-5 late additions: the four queries completing the 22-query
-    # TPC-H-shape set land in-window the round they ship (ADVICE r4)
+    # round-5 late additions land in-window the round they ship (ADVICE
+    # r4): the four queries completing the 22-shape TPC-H set + the two
+    # data-quality entries take slots 41-46, displacing re-checks of
+    # entries already driver-green in earlier rounds
     "q11_part_value",
     "q12_late_priority",
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "dq_check",
     "dq_quarantine",
+    "q1_pricing_summary",
+    "q2_best_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
