@@ -1284,6 +1284,64 @@ def _q_ann_recall(spark, sf_dir):
     return S.ann_recall_report(emb, n_queries=10, k=10)
 
 
+def _q_retrieval_quality(spark, sf_dir):
+    """Search-quality scorecard (MRR / P@k / NDCG@k, relevance = shared
+    label, self-match excluded) over exact cosine top-k — the companion
+    to ann_recall_report: recall grades the INDEX, this grades the
+    RETRIEVAL."""
+    emb = _emb(spark, sf_dir)
+    return S.retrieval_quality_report(emb, n_queries=10, k=10)
+
+
+def _retrieval_quality_oracle_sql(nq: int = 10, k: int = 10) -> str:
+    from inception_spark.operators.similarity import ndcg_gain_table
+
+    gains = ndcg_gain_table(k)
+    cum, acc = [], 0.0
+    for g in gains:
+        acc = round(acc + g, 6)
+        cum.append(acc)
+    gains_lit = "[" + ", ".join(f"{g!r}" for g in gains) + "]"
+    cum_lit = "[" + ", ".join(f"{c!r}" for c in cum) + "]"
+    cosq = (
+        f"COALESCE(round({V.cosine_sql('q.q_vec', 'e.embedding')}, 6), "
+        f"CAST(-2 AS DOUBLE))"
+    )
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+  FROM embeddings ORDER BY vec_id LIMIT {nq}),
+label_n AS (
+  SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY label),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label AS r_label, {cosq} AS s
+  FROM qs q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.q_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY s DESC, vec_id) AS rank
+  FROM scored QUALIFY rank <= {k}),
+per_q AS (
+  SELECT q_id, q_label,
+    SUM(CASE WHEN r_label = q_label THEN 1 ELSE 0 END) AS n_rel_topk,
+    SUM(CASE WHEN r_label = q_label
+        THEN CAST({gains_lit}[rank] AS DECIMAL(12,6))
+        ELSE CAST(0 AS DECIMAL(12,6)) END) AS dcg_dec,
+    MIN(CASE WHEN r_label = q_label THEN rank END) AS first_rel
+  FROM ranked GROUP BY 1, 2)
+SELECT p.q_id,
+  CAST(n_rel_topk AS BIGINT) AS n_rel_topk,
+  CAST(n_label - 1 AS BIGINT) AS total_rel,
+  round(n_rel_topk / CAST({k} AS DOUBLE), 6) AS precision_at_k,
+  round(COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0), 6) AS mrr,
+  CASE WHEN n_label - 1 <= 0 THEN 0.0
+       ELSE round(CAST(dcg_dec AS DOUBLE)
+                  / {cum_lit}[least({k}, n_label - 1)], 6)
+  END AS ndcg_at_k
+FROM per_q p JOIN label_n l ON p.q_label = l.label
+"""
+
+
 def _ann_recall_oracle_sql(
     nq: int = 10, k: int = 10, bits: int = 8,
     n_centroids: int = 8, n_probe: int = 2, m: int = 8, ksub: int = 8,
@@ -1811,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": _q_ivf_pq,
         "ivf_pq_codes": _q_ivf_pq_codes,
         "ann_recall_report": _q_ann_recall,
+        "retrieval_quality": _q_retrieval_quality,
         "streaming_lr_gate": _q_streaming_lr_gate,
         "apply_bpe": _q_apply_bpe,
         # product quantization: ADC probe, materialized codes, rerank
@@ -1979,6 +2038,7 @@ _WINDOW_R5 = [
     "q21_waiting_suppliers",
     "dq_check",
     "dq_quarantine",
+    "retrieval_quality",
     "q1_pricing_summary",
     "q2_best_supplier",
     "q3_shipping_priority",
@@ -3214,6 +3274,7 @@ FROM s QUALIFY rank <= 10
     d["ivf_pq_topk"] = _ivf_pq_oracle_sql()
     d["ivf_pq_codes"] = _ivf_pq_oracle_sql()
     d["ann_recall_report"] = _ann_recall_oracle_sql()
+    d["retrieval_quality"] = _retrieval_quality_oracle_sql()
     d["streaming_lr_gate"] = NB.lr_quality_classify_sql("documents")
     d["pq_topk"] = _pq_oracle_sql()
     d["pq_topk_codes"] = d["pq_topk"]

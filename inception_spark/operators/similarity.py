@@ -1483,3 +1483,130 @@ def ann_recall_report(
         )
         out = h if out is None else out.unionAll(h)
     return out
+
+
+def ndcg_gain_table(k: int) -> list[float]:
+    """Rank-discount gains for NDCG@k as 6-dp literals: ``g[i] =
+    round(1/log2(i+2), 6)`` for rank i+1.  Computed driver-side once so
+    Spark and the DuckDB oracle consume the IDENTICAL constants — no
+    cross-engine log() in the hot path."""
+    import math
+
+    return [round(1.0 / math.log2(r + 1), 6) for r in range(1, k + 1)]
+
+
+def retrieval_quality_report(
+    df: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-relevance retrieval metrics over exact cosine top-k:
+    (q_id, n_rel_topk, total_rel, precision_at_k, mrr, ndcg_at_k) — the
+    search-quality scorecard (MRR / P@k / NDCG@k) that sits next to
+    ``ann_recall_report``'s index-selection recall: recall tells you how
+    faithful the ANN is to exact search, THIS tells you whether exact
+    search itself surfaces relevant items (relevance = shared label,
+    self-match excluded so rank 1 isn't a freebie).
+
+    EVAL-ONLY shape like the recall harness: ground truth is an
+    ``n_queries × corpus`` scored cross join — fine for a sampled eval,
+    never a production probe.  Everything else is one window + one
+    aggregate per query group.
+
+    Determinism: ranks order on 6-dp-rounded cosine with id tie-breaks;
+    DCG sums 6-dp literal gains as exact decimals; NDCG divides the two
+    decimal sums in double and rounds to 6 dp.  The ideal-DCG lookup is
+    a driver-side prefix-sum literal indexed by min(k, total_rel), so
+    both engines read the same constant."""
+    gains = ndcg_gain_table(k)
+    # prefix sums of the gain table: idcg for j relevant items in top-k
+    cum = []
+    acc = 0.0
+    for g in gains:
+        acc = round(acc + g, 6)
+        cum.append(acc)
+
+    qs = (
+        df.orderBy(F.col(id_col))
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = df.select(id_col, vec_col, label_col).localCheckpoint(
+        eager=False
+    )
+    # total relevant per query label (excluding the query row itself):
+    # a broadcastable |labels|-row aggregate, not a per-query pass
+    label_n = base.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    cos = F.coalesce(
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6), F.lit(-2.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc(id_col))
+    topk = (
+        qs.crossJoin(base)
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col(id_col),
+            F.col(label_col).alias("r_label"),
+            cos.alias("s"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    rel = (F.col("r_label") == F.col("q_label")).cast("int")
+    gain = F.element_at(F.lit(gains), F.col("rank")).cast(
+        "decimal(12,6)"
+    )
+    per_q = topk.groupBy("q_id", "q_label").agg(
+        F.sum(rel).alias("n_rel_topk"),
+        F.sum(F.when(rel == 1, gain).otherwise(F.lit(0).cast("decimal(12,6)")))
+        .alias("dcg_dec"),
+        F.min(F.when(rel == 1, F.col("rank"))).alias("first_rel"),
+    )
+    return (
+        per_q.join(
+            F.broadcast(label_n),
+            per_q.q_label == label_n[label_col],
+        )
+        .select(
+            "q_id",
+            F.col("n_rel_topk").cast("long").alias("n_rel_topk"),
+            # the query's own row never counts as retrievable
+            (F.col("n_label") - 1).cast("long").alias("total_rel"),
+            F.round(
+                F.col("n_rel_topk") / F.lit(float(k)), 6
+            ).alias("precision_at_k"),
+            F.round(
+                F.coalesce(
+                    1.0 / F.col("first_rel").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.when(
+                (F.col("n_label") - 1) <= 0, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.col("dcg_dec").cast("double")
+                    / F.element_at(
+                        F.lit(cum),
+                        F.least(
+                            F.lit(k), F.col("n_label") - 1
+                        ).cast("int"),
+                    ),
+                    6,
+                )
+            ).alias("ndcg_at_k"),
+        )
+    )
