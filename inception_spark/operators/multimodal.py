@@ -1134,3 +1134,133 @@ def probe_wav_meta_py(payload: bytes) -> tuple[int, int, int]:
     if not rate or not ch or not bits or data_len is None:
         raise DecoderUnavailable("wav: missing fmt/data chunks")
     return rate, data_len // (ch * (bits // 8)), ch
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup: the multimodal member of the dedup family
+# ---------------------------------------------------------------------------
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: integer-luma grayscale → 9×8 nearest
+    thumbnail → row-major adjacent-column comparisons.  Every step is
+    integer arithmetic, so the hash is bit-identical across platforms
+    (no float resize, no library luma).  Returned as the two's-complement
+    int64 so it stores in a Spark ``long``."""
+    if img.ndim == 3:
+        r = img[..., 0].astype(np.int64)
+        g = img[..., 1].astype(np.int64)
+        b = img[..., 2].astype(np.int64)
+        gray = (299 * r + 587 * g + 114 * b) // 1000
+    else:
+        gray = img.astype(np.int64)
+    thumb = resize_nearest(gray[..., None], 9, 8)[..., 0]
+    bits = (thumb[:, 1:] > thumb[:, :-1]).ravel()  # 8 rows × 8 diffs
+    acc = np.uint64(0)
+    for i, bit in enumerate(bits):
+        if bit:
+            acc |= np.uint64(1) << np.uint64(i)
+    return int(acc.astype(np.int64))
+
+
+def phash_images(
+    df: DataFrame, *, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """→ (id, phash): 64-bit dHash per image via one ``mapInPandas``
+    decode pass (native BMP/netpbm/PNG/GIF/baseline-JPEG codecs; other
+    formats raise DecoderUnavailable like every decode path here).
+
+    The hash computation is the ONLY Python step in the image-dedup
+    pipeline — everything downstream (banding, blocking, verification)
+    is relational, same discipline as text SimHash."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "phash": [
+                        dhash64(decode_image(bytes(p)))
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(mapper, out_schema)
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate image pairs: block on the 4 sixteen-bit bands of
+    the 64-bit dHash, verify with exact ``bit_count(xor) ≤ max_hamming``
+    — the text SimHash recipe (``dedup.simhash_dup_pairs``) applied to
+    pixels, so image dedup scales exactly like text dedup: the only
+    quadratic term is within band buckets, and ``max_bucket`` drops
+    pathological buckets (solid-color thumbnails are the image analogue
+    of boilerplate) before the self-join.
+
+    Pigeonhole over 4 bands guarantees recall for hamming ≤ 3; larger
+    ``max_hamming`` is heuristic recall (same warning contract as
+    SimHash).  → (id_a, id_b, hamming)."""
+    if max_hamming > 3:
+        import warnings
+
+        warnings.warn(
+            f"image_dup_pairs(max_hamming={max_hamming}): 4-band blocking "
+            "only guarantees recall for hamming <= 3; pairs with more "
+            "differing bits spread across all bands will be missed",
+            stacklevel=2,
+        )
+    from pyspark.sql import Window
+
+    ph = phash_images(df, id_col=id_col, payload_col=payload_col)
+    bands = ph.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "phash", "bk.band", "bk.key")
+    bw = Window.partitionBy("band", "key")
+    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(bw)).filter(
+        F.col("_bn") <= max_bucket
+    )
+    a = bands.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"),
+    )
+    ham = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).alias("hamming")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -2,6 +2,7 @@
 mapInPandas decode/feature/frame-sample shapes (decoders are deterministic
 fakes; the real paths raise DecoderUnavailable by design)."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -948,3 +949,82 @@ def test_enrich_media_meta_mixed_batch(spark):
     assert got[3]["duration_ms"] == 100  # 4410 samples @ 44100 Hz
     assert (got[4]["height"], got[4]["width"]) == (24, 32)
     assert got[5]["duration_ms"] is None and got[5]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+def _gradient_img(seed: int, h: int = 32, w: int = 32) -> np.ndarray:
+    """Deterministic structured test image: per-seed diagonal gradient."""
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * (seed % 7 + 1) + y * (seed % 5 + 2)) % 256
+    img = np.stack([base, (base * 2) % 256, (base * 3) % 256], axis=-1)
+    return img.astype(np.uint8)
+
+
+def test_dhash64_deterministic_and_robust():
+    from inception_spark.operators.multimodal import dhash64, resize_nearest
+
+    img = _gradient_img(1)
+    h1 = dhash64(img)
+    assert h1 == dhash64(img.copy())
+    assert isinstance(h1, int)
+    # downscaling the same image keeps the hash close (dHash's point)
+    small = resize_nearest(img, 16, 16)
+    d = bin((h1 ^ dhash64(small)) & (2**64 - 1)).count("1")
+    assert d <= 6
+    # a structurally different image is far away
+    other = dhash64(_gradient_img(4))
+    d2 = bin((h1 ^ other) & (2**64 - 1)).count("1")
+    assert d2 > 6
+
+
+def test_image_dup_pairs_finds_near_dups_across_codecs(spark):
+    """The same image stored as BMP and as PNG (lossless: identical
+    pixels → identical dHash) must pair up; unrelated images must not.
+    Exercises decode dispatch inside one phash_images pass."""
+    from inception_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_dup_pairs,
+        phash_images,
+    )
+
+    img_a = _gradient_img(1)
+    img_b = _gradient_img(4)
+    rows = [
+        (0, bytearray(encode_bmp(img_a))),
+        (1, bytearray(encode_png(img_a))),   # same pixels, other codec
+        (2, bytearray(encode_bmp(img_b))),   # different image
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+
+    ph = {r["id"]: r["phash"] for r in phash_images(df).collect()}
+    assert ph[0] == ph[1]
+    assert ph[0] != ph[2]
+
+    pairs = image_dup_pairs(df, max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_image_dup_pairs_bucket_cap_and_warning(spark):
+    import warnings
+
+    from inception_spark.operators.multimodal import (
+        encode_bmp,
+        image_dup_pairs,
+    )
+
+    # identical solid-color images: one hot bucket per band
+    solid = np.full((8, 8, 3), 128, dtype=np.uint8)
+    rows = [(i, bytearray(encode_bmp(solid))) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    # cap below the bucket population drops the whole bucket → no pairs
+    assert image_dup_pairs(df, max_bucket=5).count() == 0
+    # uncapped: all 15 unordered pairs at hamming 0
+    assert image_dup_pairs(df, max_bucket=100).count() == 15
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        image_dup_pairs(df, max_hamming=5, max_bucket=100)
+        assert any("guarantees recall" in str(x.message) for x in w)
