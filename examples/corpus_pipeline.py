@@ -54,6 +54,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    # -1. schema contract: assert ingest invariants BEFORE any compute —
+    # all rules ride one conditional aggregate (one scan)
+    from inception_spark.operators.expectations import check_expectations
+
+    dq = check_expectations(
+        raw,
+        [
+            ("doc_id_not_null", "not_null", "doc_id"),
+            ("doc_id_unique", "unique", "doc_id"),
+            ("text_not_null", "not_null", "text"),
+            ("lang_known", "in_set", "lang", ("en", "de", "fr", "es", "zh")),
+        ],
+    )
+    print("data-quality expectations:")
+    dq.show(truncate=False)
+    failed = [r["rule"] for r in dq.collect() if not r["passed"]]
+    if failed:
+        raise SystemExit(f"ingest contract violated: {failed}")
+
     # 0a. merge snapshots: replay the newest crawl over the corpus —
     # here both snapshots are the fixture itself, so latest-wins is a
     # no-op that still exercises the merge path
