@@ -1194,6 +1194,73 @@ def phash_images(
     return df.select(id_col, payload_col).mapInPandas(mapper, out_schema)
 
 
+def hamming64_dup_pairs(
+    hashes: DataFrame,
+    *,
+    hash_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    id_col: str = "id",
+) -> DataFrame:
+    """Shared banded-Hamming blocking over any 64-bit fingerprint column:
+    4×16-bit band keys → bucket-capped equi self-join → exact
+    ``bit_count(xor) ≤ max_hamming`` verify.  The text-SimHash recipe
+    (``dedup.simhash_dup_pairs``) as a reusable primitive, so every
+    modality's near-dup detector (image dHash, audio spectral prints)
+    scales the same way: the only quadratic term is within band buckets.
+
+    Pigeonhole over 4 bands guarantees recall for hamming ≤ 3; larger
+    radii warn (heuristic recall).  → (id_a, id_b, hamming)."""
+    if max_hamming > 3:
+        import warnings
+
+        warnings.warn(
+            f"hamming64_dup_pairs(max_hamming={max_hamming}): 4-band "
+            "blocking only guarantees recall for hamming <= 3; pairs with "
+            "more differing bits spread across all bands will be missed",
+            stacklevel=3,
+        )
+    from pyspark.sql import Window
+
+    bands = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "_h", "bk.band", "bk.key")
+    bw = Window.partitionBy("band", "key")
+    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(bw)).filter(
+        F.col("_bn") <= max_bucket
+    )
+    a = bands.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_a"), F.col("_h").alias("h_a"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_b"), F.col("_h").alias("h_b"),
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def image_dup_pairs(
     df: DataFrame,
     *,
@@ -1213,54 +1280,78 @@ def image_dup_pairs(
     Pigeonhole over 4 bands guarantees recall for hamming ≤ 3; larger
     ``max_hamming`` is heuristic recall (same warning contract as
     SimHash).  → (id_a, id_b, hamming)."""
-    if max_hamming > 3:
-        import warnings
-
-        warnings.warn(
-            f"image_dup_pairs(max_hamming={max_hamming}): 4-band blocking "
-            "only guarantees recall for hamming <= 3; pairs with more "
-            "differing bits spread across all bands will be missed",
-            stacklevel=2,
-        )
-    from pyspark.sql import Window
-
     ph = phash_images(df, id_col=id_col, payload_col=payload_col)
-    bands = ph.select(
-        "id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
+    return hamming64_dup_pairs(
+        ph, hash_col="phash", max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def afp64(samples: np.ndarray, rate: int) -> int:
+    """64-bit audio spectral fingerprint: resample to a canonical 8 kHz
+    (so the print is rate-invariant), split into 16 equal frames, and
+    record each frame's dominant-frequency band quantized to 4 bits
+    (16 log-ish bands over 0–4 kHz) — a miniature Shazam-style
+    constellation collapsed to one word.  Amplitude scaling never moves
+    an argmax, so volume-normalized re-encodes fingerprint identically;
+    mild edits move few frames → small Hamming distance."""
+    x = resample_audio_np(
+        np.asarray(samples, dtype=np.float64), int(rate), 8000
+    )
+    if len(x) < 16:
+        x = np.pad(x, (0, 16 - len(x)))
+    acc = np.uint64(0)
+    frames = np.array_split(x, 16)
+    for fi, fr in enumerate(frames):
+        spec = np.abs(np.fft.rfft(fr))
+        if len(spec) > 1:
+            spec = spec[1:]  # drop DC: silence/offset should not vote
+        peak = int(np.argmax(spec))
+        # quantize peak position to 4 bits of its frame's band space
+        band = peak * 16 // max(1, len(spec))
+        acc |= np.uint64(band & 0xF) << np.uint64(4 * fi)
+    return int(acc.astype(np.int64))
+
+
+def fingerprint_audio(
+    df: DataFrame, *, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """→ (id, afp): 64-bit spectral fingerprint per clip via one
+    ``mapInPandas`` decode pass (native 16-bit PCM WAV codec; other
+    formats raise DecoderUnavailable).  Python touches each payload
+    once; everything downstream is relational."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            prints = []
+            for p in pdf[payload_col]:
+                samples, rate = decode_wav(bytes(p))
+                prints.append(afp64(samples, rate))
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "afp": prints}
             )
-        ).alias("bk"),
-    ).select("id", "phash", "bk.band", "bk.key")
-    bw = Window.partitionBy("band", "key")
-    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(bw)).filter(
-        F.col("_bn") <= max_bucket
-    )
-    a = bands.select(
-        F.col("band"), F.col("key"),
-        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"),
-    )
-    b = bands.select(
-        F.col("band"), F.col("key"),
-        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"),
-    )
-    ham = F.bit_count(
-        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
-    ).alias("hamming")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+
+    return df.select(id_col, payload_col).mapInPandas(mapper, out_schema)
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate audio pairs — :func:`fingerprint_audio` feeding the
+    shared :func:`hamming64_dup_pairs` blocking, so audio dedup scales
+    exactly like image and text dedup.  → (id_a, id_b, hamming)."""
+    fp = fingerprint_audio(df, id_col=id_col, payload_col=payload_col)
+    return hamming64_dup_pairs(
+        fp, hash_col="afp", max_hamming=max_hamming, max_bucket=max_bucket
     )

@@ -1028,3 +1028,43 @@ def test_image_dup_pairs_bucket_cap_and_warning(spark):
         warnings.simplefilter("always")
         image_dup_pairs(df, max_hamming=5, max_bucket=100)
         assert any("guarantees recall" in str(x.message) for x in w)
+
+
+def _tone_wav(freqs, *, rate=16000, dur=0.5, amp=0.5):
+    from inception_spark.operators.multimodal import encode_wav
+
+    t = np.arange(int(rate * dur)) / rate
+    x = sum(np.sin(2 * np.pi * f * t) for f in freqs)
+    x = amp * x / max(1, len(freqs))
+    return encode_wav(x, rate)
+
+
+def test_afp64_invariances():
+    from inception_spark.operators.multimodal import afp64, decode_wav
+
+    a, r = decode_wav(_tone_wav([440, 1200]))
+    h = afp64(a, r)
+    assert h == afp64(a, r)
+    # amplitude scaling never moves an argmax
+    assert afp64(a * 0.25, r) == h
+    # rate canonicalization: same tones at another sample rate land close
+    b, r2 = decode_wav(_tone_wav([440, 1200], rate=8000))
+    d = bin((h ^ afp64(b, r2)) & (2**64 - 1)).count("1")
+    assert d <= 6
+    # different spectral content is far away
+    c, r3 = decode_wav(_tone_wav([3000]))
+    assert bin((h ^ afp64(c, r3)) & (2**64 - 1)).count("1") > 6
+
+
+def test_audio_dup_pairs_blocks_and_verifies(spark):
+    from inception_spark.operators.multimodal import audio_dup_pairs
+
+    rows = [
+        (0, bytearray(_tone_wav([440, 1200]))),
+        (1, bytearray(_tone_wav([440, 1200], amp=0.2))),  # volume re-encode
+        (2, bytearray(_tone_wav([3000]))),                # other content
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    pairs = audio_dup_pairs(df).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["hamming"] <= 3
