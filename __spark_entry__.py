@@ -996,6 +996,24 @@ def _q_streaming_lr_gate(spark, sf_dir):
     return out.select("doc_id", "y", "prob", "pred", "correct")
 
 
+def _q_streaming_dq_gate(spark, sf_dir):
+    """The ingest contract enforced IN STREAM: quarantine_violations is
+    a stateless filter+project, so the same rule set that audits a
+    batch corpus routes bad rows out of Structured Streaming
+    micro-batches with zero state; the oracle is dq_quarantine's batch
+    twin (identical output by construction)."""
+    from inception_spark.operators.expectations import quarantine_violations
+
+    docs = _docs(spark, sf_dir)
+    row_rules = [r for r in _DQ_RULES if r[1] != "unique"]
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    out = run_stream_to_parquet(
+        spark, docs, lambda s: quarantine_violations(s, row_rules)
+    )
+    return out.select("doc_id", "lang", "n_chars", "violated_rules")
+
+
 def _q_dedup_keep_heads(spark, sf_dir):
     """The applied end of the near-dup pipeline: the corpus with only
     each duplicate component's head retained (keep_component_heads over
@@ -1770,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "dq_check": _q_dq_check,
         "dq_quarantine": _q_dq_quarantine,
+        "streaming_dq_gate": _q_streaming_dq_gate,
         "events_range_join": _q_events_range_join,
         "stable_sample": lambda spark, sf: stable_sample(
             _docs(spark, sf), 0.25
@@ -2038,6 +2057,7 @@ _WINDOW_R5 = [
     "q21_waiting_suppliers",
     "dq_check",
     "dq_quarantine",
+    "streaming_dq_gate",
     "retrieval_quality",
     "q1_pricing_summary",
     "q2_best_supplier",
@@ -3276,6 +3296,8 @@ FROM s QUALIFY rank <= 10
     d["ann_recall_report"] = _ann_recall_oracle_sql()
     d["retrieval_quality"] = _retrieval_quality_oracle_sql()
     d["streaming_lr_gate"] = NB.lr_quality_classify_sql("documents")
+    # stateless gate: the streaming execution must equal the batch twin
+    d["streaming_dq_gate"] = d["dq_quarantine"]
     d["pq_topk"] = _pq_oracle_sql()
     d["pq_topk_codes"] = d["pq_topk"]
     d["pq_topk_rerank"] = _pq_rerank_oracle_sql()
