@@ -522,3 +522,24 @@ def test_q21_exists_pattern_single_fact_join(spark):
     assert "BroadcastHashJoin" in p
     assert "partial_count" in p or "partial_sum" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_hamming_dup_pairs_blocked_join_no_cartesian(spark):
+    """Multimodal near-dup pairs must go through the banded equi-join
+    (the SimHash shape), never a cross join; the only Python in the
+    plan is the single fingerprint mapInPandas pass."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        encode_bmp,
+        image_dup_pairs,
+    )
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    rows = [(i, bytearray(encode_bmp(img))) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    p = plan_of(image_dup_pairs(df, max_bucket=100))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # exactly one fingerprint computation feeding both join sides
+    assert p.count("MapInPandas") <= 2  # self-join may re-evaluate source
