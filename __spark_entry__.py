@@ -996,6 +996,17 @@ def _q_streaming_lr_gate(spark, sf_dir):
     return out.select("doc_id", "y", "prob", "pred", "correct")
 
 
+def _q_corpus_drift(spark, sf_dir):
+    """Crawl-monitoring drift: split the corpus into deterministic
+    even/odd-doc_id 'snapshots' and report per-dimension (lang, source,
+    100-char length bucket) count + share deltas — the accept/reject
+    query for a new dump."""
+    docs = _docs(spark, sf_dir)
+    return TA.corpus_drift_report(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
 def _q_streaming_dq_gate(spark, sf_dir):
     """The ingest contract enforced IN STREAM: quarantine_violations is
     a stateless filter+project, so the same rule set that audits a
@@ -1789,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_check": _q_dq_check,
         "dq_quarantine": _q_dq_quarantine,
         "streaming_dq_gate": _q_streaming_dq_gate,
+        "corpus_drift": _q_corpus_drift,
         "events_range_join": _q_events_range_join,
         "stable_sample": lambda spark, sf: stable_sample(
             _docs(spark, sf), 0.25
@@ -2058,6 +2070,7 @@ _WINDOW_R5 = [
     "dq_check",
     "dq_quarantine",
     "streaming_dq_gate",
+    "corpus_drift",
     "retrieval_quality",
     "q1_pricing_summary",
     "q2_best_supplier",
@@ -3298,6 +3311,10 @@ FROM s QUALIFY rank <= 10
     d["streaming_lr_gate"] = NB.lr_quality_classify_sql("documents")
     # stateless gate: the streaming execution must equal the batch twin
     d["streaming_dq_gate"] = d["dq_quarantine"]
+    d["corpus_drift"] = TA.corpus_drift_report_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+    )
     d["pq_topk"] = _pq_oracle_sql()
     d["pq_topk_codes"] = d["pq_topk"]
     d["pq_topk_rerank"] = _pq_rerank_oracle_sql()

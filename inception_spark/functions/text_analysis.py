@@ -937,3 +937,112 @@ per_doc AS (
 SELECT t.doc_id, COALESCE(p.nt, 0) AS n_trigrams, p.mlp AS mean_logprob
 FROM {table} t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot-over-snapshot drift: the crawl-monitoring query
+# ---------------------------------------------------------------------------
+
+def corpus_drift_report(old_df, new_df, *, lang_col="lang",
+                        source_col="source", chars_col="n_chars"):
+    """Distribution shift between two corpus snapshots — the query a
+    crawl pipeline runs before accepting a new dump: per (dimension,
+    key) document counts and share deltas across three dimensions
+    (language mix, source mix, length-bucket histogram at 100-char
+    granularity).  → (dim, key, old_n, new_n, old_share, new_share,
+    delta_share).
+
+    Shape: each row melts to three (dim, key) structs, both snapshots
+    union behind a 0/1 tag, and ONE hash aggregate (map-side combined)
+    produces every dimension's counts — one scan per snapshot, one
+    shuffle of (dim, key) rows total.  Shares divide by the per-dim
+    snapshot totals via a window over the tiny report, not a second
+    pass over the data.
+
+    Determinism: counts are exact; shares are round(int/int, 6) — the
+    quotient of identical integers is the identical double in both
+    engines, so the 6-dp round matches bit-for-bit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def melt(df, tag):
+        return df.select(
+            F.lit(tag).alias("snap"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lang").alias("dim"),
+                        F.col(lang_col).cast("string").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit("source").alias("dim"),
+                        F.col(source_col).cast("string").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit("len_bucket").alias("dim"),
+                        (F.col(chars_col).cast("long") / F.lit(100))
+                        .cast("long")
+                        .cast("string")
+                        .alias("key"),
+                    ),
+                )
+            ).alias("dk"),
+        ).select("snap", "dk.dim", "dk.key")
+
+    melted = melt(old_df, 0).unionByName(melt(new_df, 1))
+    counts = melted.groupBy("dim", "key").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("old_n"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("new_n"),
+    )
+    w = Window.partitionBy("dim")
+    shares = counts.select(
+        "dim",
+        "key",
+        F.col("old_n").cast("long").alias("old_n"),
+        F.col("new_n").cast("long").alias("new_n"),
+        F.round(
+            F.col("old_n") / F.sum("old_n").over(w).cast("double"), 6
+        ).alias("old_share"),
+        F.round(
+            F.col("new_n") / F.sum("new_n").over(w).cast("double"), 6
+        ).alias("new_share"),
+    )
+    return shares.withColumn(
+        "delta_share",
+        F.round(F.col("new_share") - F.col("old_share"), 6),
+    )
+
+
+def corpus_drift_report_sql(old_rel: str, new_rel: str, *,
+                            lang_col="lang", source_col="source",
+                            chars_col="n_chars") -> str:
+    """DuckDB twin of :func:`corpus_drift_report` — ``old_rel`` /
+    ``new_rel`` are parenthesized relations or table names."""
+    def melt(rel, tag):
+        return f"""
+  SELECT {tag} AS snap, 'lang' AS dim, CAST({lang_col} AS VARCHAR) AS key
+  FROM {rel}
+  UNION ALL
+  SELECT {tag}, 'source', CAST({source_col} AS VARCHAR) FROM {rel}
+  UNION ALL
+  SELECT {tag}, 'len_bucket',
+         CAST(CAST({chars_col} AS BIGINT) // 100 AS VARCHAR) FROM {rel}"""
+
+    return f"""
+WITH melted AS ({melt(old_rel, 0)}
+  UNION ALL{melt(new_rel, 1)}),
+counts AS (
+  SELECT dim, key,
+         SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS old_n,
+         SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS new_n
+  FROM melted GROUP BY dim, key),
+shares AS (
+  SELECT dim, key,
+         CAST(old_n AS BIGINT) AS old_n, CAST(new_n AS BIGINT) AS new_n,
+         round(old_n / CAST(SUM(old_n) OVER (PARTITION BY dim) AS DOUBLE),
+               6) AS old_share,
+         round(new_n / CAST(SUM(new_n) OVER (PARTITION BY dim) AS DOUBLE),
+               6) AS new_share
+  FROM counts)
+SELECT *, round(new_share - old_share, 6) AS delta_share FROM shares
+"""
