@@ -79,3 +79,44 @@ def test_unknown_kind_raises(spark, df):
 def test_quarantine_requires_row_rule(spark, df):
     with pytest.raises(ValueError, match="row-level rule"):
         quarantine_violations(df, [("u", "unique", "id")])
+
+
+def test_report_matches_python_reference(spark):
+    """Cross-check the aggregate against a row-by-row Python evaluation
+    on a randomized-but-seeded frame."""
+    import random
+
+    rnd = random.Random(7)
+    langs = ["en", "de", None, "fr", "xx"]
+    rows = [
+        (
+            rnd.choice([i, None]) if i % 7 == 0 else i,
+            rnd.choice(langs),
+            rnd.choice([rnd.randint(-5, 15), None]),
+            rnd.choice(["ok", "Bad1", "x", None]),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, lang string, score int, name string")
+    out = {
+        r["rule"]: r["violations"]
+        for r in check_expectations(df, RULES).collect()
+    }
+
+    def viol(pred):
+        return sum(1 for r in rows if pred(r))
+
+    assert out["id_not_null"] == viol(lambda r: r[0] is None)
+    ids = [r[0] for r in rows if r[0] is not None]
+    assert out["id_unique"] == len(ids) - len(set(ids))
+    assert out["lang_ok"] == viol(
+        lambda r: r[1] is not None and r[1] not in ("en", "de")
+    )
+    assert out["score_range"] == viol(
+        lambda r: r[2] is not None and not (0 <= r[2] <= 10)
+    )
+    assert out["name_shape"] == viol(
+        lambda r: r[3] is not None
+        and not __import__("re").fullmatch("[a-z]+", r[3])
+    )
+    assert out["name_len"] == viol(lambda r: r[3] is not None and len(r[3]) < 3)
