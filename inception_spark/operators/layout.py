@@ -30,7 +30,7 @@ with no floats anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 # Magic spreading steps (shift, mask): the classic Morton "part1by1" /
 # "part1by2" sequences.  Stride 2 places bit i of a 16-bit value at bit
@@ -205,3 +205,93 @@ def zorder_pruned_scan(
             (F.col(c) >= F.lit(int(lo))) & (F.col(c) <= F.lit(int(hi)))
         )
     return scan
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction: the 100 TB table-maintenance operator
+# ---------------------------------------------------------------------------
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under ``path``, via the JVM
+    Hadoop FileSystem — works for any FS the cluster mounts (local,
+    HDFS, object stores), no Python filesystem assumptions."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compaction_plan(
+    files: list[tuple[str, int]], *, target_bytes: int
+) -> dict:
+    """Decide what to rewrite: files ≥ target stay untouched (rewriting
+    healthy files is wasted IO — the mistake naive 'repartition the
+    whole table' compaction makes); undersized files group into
+    ``ceil(small_bytes / target)`` output files."""
+    small = [(p, n) for p, n in files if n < target_bytes]
+    keep = [(p, n) for p, n in files if n >= target_bytes]
+    small_bytes = sum(n for _, n in small)
+    n_out = max(1, -(-small_bytes // target_bytes)) if small else 0
+    return {
+        "keep": keep,
+        "rewrite": small,
+        "rewrite_bytes": small_bytes,
+        "n_output_files": n_out,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> dict:
+    """Compact a fragmented parquet directory: coalesce every file
+    smaller than ``target_bytes`` into ~target-sized files, copying
+    healthy files through untouched.
+
+    The small-file problem is THE silent killer of big parquet tables
+    (one task + one open/close per file; a 100 TB table fragmented into
+    1 MB files is 10⁸ scheduler rounds), and streaming sinks create it
+    constantly.  This is the maintenance pass: list (driver-side FS
+    metadata, no data read), plan (only undersized files rewrite), then
+    one job whose shuffle moves ONLY the undersized bytes.
+
+    Writes the compacted table to ``out_path`` (default
+    ``path + "_compacted"`` — caller swaps directories atomically at
+    the catalog/rename layer; compacting in place would race readers).
+    Returns the plan dict plus ``out_path`` for verification."""
+    files = list_data_files(spark, path)
+    plan = compaction_plan(files, target_bytes=target_bytes)
+    dst = out_path or path.rstrip("/") + "_compacted"
+    small_paths = [p for p, _ in plan["rewrite"]]
+    keep_paths = [p for p, _ in plan["keep"]]
+    writes = []
+    if small_paths:
+        small_df = spark.read.parquet(*small_paths).coalesce(
+            plan["n_output_files"]
+        )
+        writes.append((small_df, "small"))
+    if keep_paths:
+        # healthy files pass through one task each (no shuffle): read
+        # with one partition per file and write back 1:1
+        keep_df = spark.read.parquet(*keep_paths)
+        writes.append((keep_df, "keep"))
+    mode = "overwrite"
+    for df, _sub in writes:
+        # flat layout: a key=value subdir would surface as a partition
+        # column and change the table schema
+        df.write.mode(mode).parquet(dst)
+        mode = "append"
+    plan["out_path"] = dst
+    return plan

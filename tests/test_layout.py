@@ -143,3 +143,73 @@ def test_zorder_layout_prunes_and_matches(spark, tmp_path):
     if m:  # plan-format dependent; the data check above is the contract
         read = int(m.group(1) or m.group(2))
         assert read <= n_cells
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_only_rewrites_small():
+    from inception_spark.operators.layout import compaction_plan
+
+    files = [("a", 10), ("b", 20), ("c", 500), ("d", 35)]
+    plan = compaction_plan(files, target_bytes=100)
+    assert [p for p, _ in plan["keep"]] == ["c"]
+    assert sorted(p for p, _ in plan["rewrite"]) == ["a", "b", "d"]
+    assert plan["rewrite_bytes"] == 65
+    assert plan["n_output_files"] == 1
+    # empty / all-healthy cases
+    assert compaction_plan([], target_bytes=100)["n_output_files"] == 0
+    assert compaction_plan([("x", 200)], target_bytes=100)["rewrite"] == []
+
+
+def test_compact_small_files_end_to_end(spark, tmp_path):
+    from inception_spark.operators.layout import (
+        compact_small_files,
+        list_data_files,
+    )
+
+    src = str(tmp_path / "frag")
+    docs = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    docs.repartition(32).write.parquet(src)  # 32 tiny files
+    n_before = len(list_data_files(spark, src))
+    assert n_before >= 32
+
+    plan = compact_small_files(spark, src, target_bytes=64 * 1024)
+    assert len(plan["rewrite"]) == n_before  # everything undersized
+    out = plan["out_path"]
+    n_after = len(list_data_files(spark, out))
+    assert n_after < n_before
+    # data identical (same rows, nothing lost or duplicated)
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert a == b
+
+
+def test_compact_passes_healthy_files_through(spark, tmp_path):
+    from inception_spark.operators.layout import (
+        compact_small_files,
+        list_data_files,
+    )
+
+    src = str(tmp_path / "mixed")
+    # one big file
+    spark.range(200000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(src)
+    # plus tiny appended files
+    spark.range(10).selectExpr(
+        "id + 1000000 AS id", "repeat('y', 4) AS pad"
+    ).repartition(8).write.mode("append").parquet(src)
+
+    files = list_data_files(spark, src)
+    target = 256 * 1024
+    big = [p for p, n in files if n >= target]
+    assert big, "fixture needs one healthy file"
+
+    plan = compact_small_files(spark, src, target_bytes=target)
+    assert [p for p, _ in plan["keep"]] == big
+    out = plan["out_path"]
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert a == b
