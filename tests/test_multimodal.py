@@ -1068,3 +1068,39 @@ def test_audio_dup_pairs_blocks_and_verifies(spark):
     pairs = audio_dup_pairs(df).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
     assert pairs[0]["hamming"] <= 3
+
+
+def test_hamming64_blocking_equals_brute_force(spark):
+    """Pigeonhole guarantee, proven: at max_hamming <= 3 the banded
+    blocking finds EXACTLY the brute-force pair set over random-ish
+    64-bit fingerprints (including negative int64 values)."""
+    import random
+
+    from inception_spark.operators.multimodal import hamming64_dup_pairs
+
+    rnd = random.Random(42)
+    base = [rnd.getrandbits(64) for _ in range(40)]
+    hashes = []
+    for i, h in enumerate(base):
+        hashes.append(h)
+        if i % 4 == 0:  # plant near-dups at hamming 1-3
+            flipped = h
+            for _ in range(rnd.randint(1, 3)):
+                flipped ^= 1 << rnd.randrange(64)
+            hashes.append(flipped)
+    signed = [(i, h - (1 << 64) if h >= 1 << 63 else h)
+              for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(signed, "id long, h long")
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming64_dup_pairs(df, hash_col="h").collect()
+    )
+    expect = sorted(
+        (a, b, bin((ha ^ hb) & (2**64 - 1)).count("1"))
+        for (a, ha), (b, hb) in __import__("itertools").combinations(
+            [(i, h & (2**64 - 1)) for i, h in signed], 2
+        )
+        if bin((ha ^ hb) & (2**64 - 1)).count("1") <= 3
+    )
+    assert got == expect and len(expect) >= 8
