@@ -996,6 +996,61 @@ def _q_streaming_lr_gate(spark, sf_dir):
     return out.select("doc_id", "y", "prob", "pred", "correct")
 
 
+_BM25_TERMS = ["spark", "join", "filter"]
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Okapi BM25 lexical top-10 for a fixed term query — the keyword
+    half of hybrid retrieval; per-term scores rounded then
+    decimal-summed so the ranking is engine-exact."""
+    return TA.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+def _q_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid search: BM25 top-50 + exact-cosine top-50 fused by
+    reciprocal-rank fusion (c=60) — doc_id and vec_id are the same key
+    space in the harness tables.  Decimal contribution sums keep the
+    fused ranking deterministic."""
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").select("embedding").head()[0]
+    lex = TA.bm25_topk(docs, _BM25_TERMS, k=50).select(
+        F.col("doc_id").alias("vec_id"), "rank"
+    )
+    vec = S.cosine_topk(emb, list(qv), k=50).select("vec_id", "rank")
+    return S.rrf_fuse([lex, vec], k=10)
+
+
+def _hybrid_rrf_oracle_sql(k: int = 10, c: int = 60) -> str:
+    lex = TA.bm25_topk_sql("documents", _BM25_TERMS, k=50)
+    cos = (
+        f"COALESCE(round({V.cosine_sql('e.embedding', 'q.qv')}, 6), "
+        f"CAST(-2 AS DOUBLE))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+lex AS ({lex}),
+vecs AS (
+  SELECT vec_id, CAST(row_number() OVER (
+           ORDER BY s DESC, vec_id) AS BIGINT) AS rank
+  FROM (SELECT e.vec_id, {cos} AS s FROM embeddings e, q)
+  QUALIFY rank <= 50),
+contrib AS (
+  SELECT doc_id AS vec_id,
+         CAST(round(1.0 / ({c} + rank), 6) AS DECIMAL(18,6)) AS contrib
+  FROM lex
+  UNION ALL
+  SELECT vec_id,
+         CAST(round(1.0 / ({c} + rank), 6) AS DECIMAL(18,6)) FROM vecs),
+scored AS (
+  SELECT vec_id, SUM(contrib) AS rrf_dec FROM contrib GROUP BY vec_id)
+SELECT vec_id, CAST(rrf_dec AS DOUBLE) AS rrf_score,
+       CAST(row_number() OVER (
+         ORDER BY rrf_dec DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY rrf_dec DESC, vec_id LIMIT {k}
+"""
+
+
 def _q_corpus_drift(spark, sf_dir):
     """Crawl-monitoring drift: split the corpus into deterministic
     even/odd-doc_id 'snapshots' and report per-dimension (lang, source,
@@ -1801,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_quarantine": _q_dq_quarantine,
         "streaming_dq_gate": _q_streaming_dq_gate,
         "corpus_drift": _q_corpus_drift,
+        "bm25_search": _q_bm25_search,
+        "hybrid_rrf_search": _q_hybrid_rrf_search,
         "events_range_join": _q_events_range_join,
         "stable_sample": lambda spark, sf: stable_sample(
             _docs(spark, sf), 0.25
@@ -2071,6 +2128,8 @@ _WINDOW_R5 = [
     "dq_quarantine",
     "streaming_dq_gate",
     "corpus_drift",
+    "bm25_search",
+    "hybrid_rrf_search",
     "retrieval_quality",
     "q1_pricing_summary",
     "q2_best_supplier",
@@ -3311,6 +3370,8 @@ FROM s QUALIFY rank <= 10
     d["streaming_lr_gate"] = NB.lr_quality_classify_sql("documents")
     # stateless gate: the streaming execution must equal the batch twin
     d["streaming_dq_gate"] = d["dq_quarantine"]
+    d["bm25_search"] = TA.bm25_topk_sql("documents", _BM25_TERMS, k=10)
+    d["hybrid_rrf_search"] = _hybrid_rrf_oracle_sql()
     d["corpus_drift"] = TA.corpus_drift_report_sql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",

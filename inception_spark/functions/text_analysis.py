@@ -1046,3 +1046,138 @@ shares AS (
   FROM counts)
 SELECT *, round(new_share - old_share, 6) AS delta_share FROM shares
 """
+
+
+# ---------------------------------------------------------------------------
+# lexical retrieval: BM25 — the keyword half of hybrid search
+# ---------------------------------------------------------------------------
+
+def bm25_topk(df, query_terms, *, k=10, k1=1.2, b=0.75,
+              id_col="doc_id", text_col="text"):
+    """Okapi BM25 top-k for a term-list query:
+    (doc_id, score, rank) — the lexical complement to
+    ``similarity.cosine_topk``.
+
+    Scoring: ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the
+    non-negative BM25+ idf), ``tf`` component with k1/b length
+    normalization against the corpus average document length.
+
+    Determinism engineering: per-(doc, term) partial scores are rounded
+    to 6 dp and summed as exact DECIMAL(18,6) (order-independent), and
+    ranking orders on the exact decimal with id tie-breaks.  All float
+    inputs to the rounded expression are ratios of identical integers in
+    both engines, so the 6-dp round matches bit-for-bit.
+
+    Scale shape: one explode over the corpus (the inverted-index pass),
+    a per-doc length aggregate reusing the same scan, term df from a
+    distinct-pairs aggregate, the avgdl/N scalars ride one broadcast,
+    and the query terms are an IN-filter pushed against the exploded
+    term column — candidate set is only docs containing ≥1 query term.
+    Top-k compiles to TakeOrderedAndProject, never a global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    terms = sorted(set(query_terms))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    doclen = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = doclen.agg(
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    dfreq = (
+        ex.filter(F.col("term").isin(terms))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    tf = (
+        ex.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 6)
+            .cast("decimal(18,6)")
+            .alias("s_dec"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("s_dec").alias("score_dec")
+    )
+    top = scored.orderBy(F.desc("score_dec"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        F.col("score_dec").cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def bm25_topk_sql(table, terms, *, k=10, k1=1.2, b=0.75,
+                  text_col="text") -> str:
+    """DuckDB twin of :func:`bm25_topk` (same rounding discipline)."""
+    from inception_spark.functions.hashing import words_sql
+
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({words_sql(text_col)}) AS term FROM {table}),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id),
+scalars AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(COUNT(*) AS DOUBLE) AS n_docs
+  FROM doclen),
+dfreq AS (
+  SELECT term, COUNT(*) AS df_docs
+  FROM (SELECT DISTINCT doc_id, term FROM ex WHERE term IN ({tl}))
+  GROUP BY term),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ex
+  WHERE term IN ({tl}) GROUP BY doc_id, term),
+per_term AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      ln(1.0 + (s.n_docs - d.df_docs + 0.5) / (d.df_docs + 0.5))
+      * (tf.tf * CAST({k1 + 1.0!r} AS DOUBLE)
+         / (tf.tf + CAST({k1!r} AS DOUBLE)
+            * (CAST({1.0 - b!r} AS DOUBLE)
+               + CAST({b!r} AS DOUBLE) * dl.dl / s.avgdl))),
+      6) AS DECIMAL(18,6)) AS s_dec
+  FROM tf JOIN dfreq d USING (term) JOIN doclen dl USING (doc_id),
+       scalars s),
+scored AS (
+  SELECT doc_id, SUM(s_dec) AS score_dec FROM per_term GROUP BY doc_id)
+SELECT doc_id, CAST(score_dec AS DOUBLE) AS score,
+       CAST(row_number() OVER (
+         ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY score_dec DESC, doc_id LIMIT {k}
+"""

@@ -1610,3 +1610,50 @@ def retrieval_quality_report(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion over any number of ranked lists
+    (Cormack et al. 2009): ``score(d) = Σ 1/(c + rank_i(d))`` — the
+    standard zero-tuning way to combine lexical (BM25) and vector
+    (cosine/ANN) retrieval into hybrid search.  → (vec_id, rrf_score,
+    rank).
+
+    Determinism: each contribution is round(1/(c+rank), 6) as exact
+    DECIMAL — ranks are small integers, so the quotient is the identical
+    double in every engine — summed order-independently; final ranking
+    orders on the exact decimal sum with id tie-breaks.  Scale: the
+    inputs are already top-k lists (k rows each), so fusion is
+    driver-trivial relative to retrieval; expressed relationally anyway
+    so it composes into one plan."""
+    contribs = [
+        r.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col)), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("contrib"),
+        )
+        for r in ranked
+    ]
+    allc = contribs[0]
+    for nxt in contribs[1:]:
+        allc = allc.unionByName(nxt)
+    scored = allc.groupBy("vec_id").agg(
+        F.sum("contrib").alias("rrf_dec")
+    )
+    top = scored.orderBy(F.desc("rrf_dec"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("rrf_dec"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id",
+        F.col("rrf_dec").cast("double").alias("rrf_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
