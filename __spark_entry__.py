@@ -2114,12 +2114,11 @@ _WINDOW_R5 = [
     "asof_event_order",
     "event_funnel",
     "events_cohort_retention",
-    "clean_text",
-    "validate_text",
     # round-5 late additions land in-window the round they ship (ADVICE
-    # r4): the four queries completing the 22-shape TPC-H set + the two
-    # data-quality entries take slots 41-46, displacing re-checks of
-    # entries already driver-green in earlier rounds
+    # r4): the four TPC-H-completing queries, the data-quality family,
+    # drift, BM25/hybrid retrieval and the retrieval scorecard take
+    # slots 39-49 — displacing clean_text/validate_text (driver-green
+    # since round 1) and re-checks of relational entries green in r1/r3
     "q11_part_value",
     "q12_late_priority",
     "q20_promo_suppliers",
@@ -2132,6 +2131,8 @@ _WINDOW_R5 = [
     "hybrid_rrf_search",
     "retrieval_quality",
     "q1_pricing_summary",
+    "clean_text",
+    "validate_text",
     "q2_best_supplier",
     "q3_shipping_priority",
     "q4_priority_exists",
