@@ -51,6 +51,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     print("IVF-flat top-5 neighbors of vec 0:")
     ivf_flat_topk(emb, qv, k=5).show()
+
+    # hybrid retrieval: BM25 keywords + cosine vectors fused by RRF
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.text_analysis import bm25_topk
+    from inception_spark.operators.similarity import cosine_topk, rrf_fuse
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(raw, ["spark", "join", "filter"], k=20).select(
+        F.col("doc_id").alias("vec_id"), "rank"
+    )
+    vec = cosine_topk(emb, qv, k=20).select("vec_id", "rank")
+    print("hybrid (BM25 + cosine, RRF-fused) top-5:")
+    rrf_fuse([lex, vec], k=5).show()
     spark.stop()
 
 
