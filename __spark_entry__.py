@@ -1006,6 +1006,19 @@ def _q_bm25_search(spark, sf_dir):
     return TA.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_bm25_index_search(spark, sf_dir):
+    """The write-once/query-many lexical layout end to end: inverted
+    index materialized to parquet (term-sorted for row-group pruning),
+    probe reads the index tables only — no corpus scan, no explode.
+    Bit-identical to bm25_search by construction, so the oracle replays
+    the in-plan scorer."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="inception_bm25_") + "/idx"
+    TA.write_inverted_index(_docs(spark, sf_dir), path)
+    return TA.bm25_topk_over_index(spark, path, _BM25_TERMS, k=10)
+
+
 def _q_hybrid_rrf_search(spark, sf_dir):
     """Hybrid search: BM25 top-50 + exact-cosine top-50 fused by
     reciprocal-rank fusion (c=60) — doc_id and vec_id are the same key
@@ -1857,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dq_gate": _q_streaming_dq_gate,
         "corpus_drift": _q_corpus_drift,
         "bm25_search": _q_bm25_search,
+        "bm25_index_search": _q_bm25_index_search,
         "hybrid_rrf_search": _q_hybrid_rrf_search,
         "events_range_join": _q_events_range_join,
         "stable_sample": lambda spark, sf: stable_sample(
@@ -2128,6 +2142,7 @@ _WINDOW_R5 = [
     "streaming_dq_gate",
     "corpus_drift",
     "bm25_search",
+    "bm25_index_search",
     "hybrid_rrf_search",
     "retrieval_quality",
     "q1_pricing_summary",
@@ -3372,6 +3387,8 @@ FROM s QUALIFY rank <= 10
     # stateless gate: the streaming execution must equal the batch twin
     d["streaming_dq_gate"] = d["dq_quarantine"]
     d["bm25_search"] = TA.bm25_topk_sql("documents", _BM25_TERMS, k=10)
+    # materialized layout must equal the in-plan scorer bit for bit
+    d["bm25_index_search"] = d["bm25_search"]
     d["hybrid_rrf_search"] = _hybrid_rrf_oracle_sql()
     d["corpus_drift"] = TA.corpus_drift_report_sql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",

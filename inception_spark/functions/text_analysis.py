@@ -1181,3 +1181,89 @@ SELECT doc_id, CAST(score_dec AS DOUBLE) AS score,
 FROM scored
 ORDER BY score_dec DESC, doc_id LIMIT {k}
 """
+
+
+def write_inverted_index(df, path, *, id_col="doc_id", text_col="text"):
+    """Materialize the BM25 inverted index — the write-once/query-many
+    layout (the lexical sibling of ``similarity.write_sq_codes`` /
+    ``write_ivf_layout``): three parquet tables under ``path``:
+
+    * ``index/``  — (term, doc_id, tf), sorted by term within files so
+      parquet row-group min/max stats prune query terms at scan time;
+    * ``doclen/`` — (doc_id, dl);
+    * ``scalars/`` — 1 row: (avgdl, n_docs).
+
+    At 100 TB the corpus explode happens ONCE here; each query then
+    reads only the row groups whose term range intersects its IN-list —
+    the economics a search service actually needs."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    tf = ex.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    tf.sortWithinPartitions("term").write.mode("overwrite").parquet(
+        f"{path}/index"
+    )
+    doclen = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    ).write.mode("overwrite").parquet(f"{path}/scalars")
+
+
+def bm25_topk_over_index(spark, path, query_terms, *, k=10, k1=1.2,
+                         b=0.75):
+    """BM25 top-k over a :func:`write_inverted_index` layout: no corpus
+    scan, no explode — the query's IN-filter pushes into the (term,
+    doc_id, tf) parquet scan (row-group pruned via the sorted-term
+    stats), df comes from a |terms|-row aggregate of the same scan, and
+    the scalars table is a 1-row broadcast.  Bit-identical to
+    :func:`bm25_topk` on the source corpus by construction (same
+    rounding discipline)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    terms = sorted(set(query_terms))
+    tf = spark.read.parquet(f"{path}/index").filter(
+        F.col("term").isin(terms)
+    )
+    doclen = spark.read.parquet(f"{path}/doclen")
+    scalars = spark.read.parquet(f"{path}/scalars")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 6).cast("decimal(18,6)").alias("s_dec"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("s_dec").alias("score_dec")
+    )
+    top = scored.orderBy(F.desc("score_dec"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        F.col("score_dec").cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -543,3 +543,29 @@ def test_hamming_dup_pairs_blocked_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
     # exactly one fingerprint computation feeding both join sides
     assert p.count("MapInPandas") <= 2  # self-join may re-evaluate source
+
+
+def test_bm25_index_probe_pushes_term_filter(spark, tmp_path):
+    """The materialized inverted-index probe must read index tables
+    only: the query's IN-list lands in the (term, doc_id, tf) scan's
+    PushedFilters and no text column appears anywhere in the plan —
+    plus bit-identical results to the in-plan scorer."""
+    from inception_spark.functions.text_analysis import (
+        bm25_topk,
+        bm25_topk_over_index,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+
+    probe = bm25_topk_over_index(spark, path, ["spark", "join"], k=10)
+    f = formatted(probe)
+    pushed = f.split("PushedFilters")[1][:300]
+    assert "term" in pushed and ("In(" in pushed or "EqualTo" in pushed)
+    assert "text" not in f.split("ReadSchema")[1][:800]
+    assert "ArrowEvalPython" not in f and "BatchEvalPython" not in f
+
+    raw = bm25_topk(docs, ["spark", "join"], k=10)
+    assert probe.collect() == raw.collect()
