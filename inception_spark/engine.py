@@ -363,6 +363,64 @@ class EmbeddingEngine:
 
         return semantic_search(chunk_embeddings, self.embed_query(query_text), k=k)
 
+    def hybrid_search(
+        self,
+        query_text: str,
+        chunk_embeddings: DataFrame,
+        k: int = 10,
+        *,
+        fuse_k: int = 50,
+    ) -> DataFrame:
+        """Lexical + semantic hybrid: BM25 over the chunk TEXT and
+        cosine over the chunk EMBEDDINGS, fused by reciprocal-rank
+        fusion — the zero-tuning retrieval upgrade over either alone
+        (keyword queries rescue vector misses and vice versa).
+        → (doc_id, chunk_number, rrf_score, rank).
+
+        Ranks within each list are deterministic (rounded scores, id
+        tie-breaks), and RRF contributions sum as exact decimals, so
+        the fused set is reproducible across runs and partitionings."""
+        from inception_spark.functions.text_analysis import bm25_topk
+        from inception_spark.operators.similarity import (
+            cosine_topk,
+            rrf_fuse,
+        )
+
+        keyed = chunk_embeddings.select(
+            F.concat_ws(
+                "#",
+                F.col("doc_id").cast("string"),
+                F.col("chunk_number").cast("string"),
+            ).alias("chunk_key"),
+            "chunk",
+            "embedding",
+        )
+        # tokenize the query driver-side with the same regex the corpus
+        # tokenizer uses (no Spark job needed)
+        import re
+
+        from inception_spark.functions.hashing import WORD_PATTERN
+
+        terms = re.findall(WORD_PATTERN, query_text.lower())
+        lex = bm25_topk(
+            keyed, terms, k=fuse_k, id_col="chunk_key", text_col="chunk"
+        ).select(F.col("doc_id").alias("vec_id"), "rank")
+        vec = cosine_topk(
+            keyed,
+            self.embed_query(query_text),
+            k=fuse_k,
+            id_col="chunk_key",
+            vec_col="embedding",
+        ).select("vec_id", "rank")
+        fused = rrf_fuse([lex, vec], k=k)
+        parts = F.split(F.col("vec_id"), "#")
+        return fused.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).cast("long").alias("chunk_number"),
+            "rrf_score",
+            "rank",
+        )
+
     # -- M5 validation endpoint ---------------------------------------------
     def validate_text(self, df: DataFrame) -> DataFrame:
         """documents(id,text) → VALIDATED_TEXTS — never raises

@@ -248,3 +248,22 @@ def test_strict_mode_enforces_batch_size_cap(spark):
         eng.validate_documents(df, mode="strict")
     good, bad = eng.validate_documents(df, mode="quarantine")
     assert good.count() == 5 and bad.count() == 0
+
+
+def test_hybrid_search_fuses_lexical_and_vector(spark):
+    from inception_spark.engine import EmbeddingEngine
+
+    eng = EmbeddingEngine(spark)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id AS id", "text")
+        .limit(100)
+    )
+    table = eng.embed_documents(docs)
+    out = eng.hybrid_search("spark join filter", table, k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert all(r["rrf_score"] > 0 for r in out)
+    # deterministic across invocations
+    again = eng.hybrid_search("spark join filter", table, k=5).collect()
+    assert out == again
