@@ -17,3 +17,50 @@ def test_corpus_drift_shares_sum_to_one(spark):
         assert sum(r["old_n"] for r in sub) == docs.filter("doc_id % 2 = 0").count()
     for r in rows:
         assert abs(r["delta_share"] - round(r["new_share"] - r["old_share"], 6)) < 1e-9
+
+
+def test_bm25_matches_python_reference(spark):
+    """BM25 scores cross-checked against a from-scratch Python
+    implementation on a tiny corpus — oracle agreement alone can't
+    catch a bug shared by both SQL twins."""
+    import math
+    import re
+
+    from inception_spark.functions.text_analysis import bm25_topk
+
+    corpus = {
+        1: "spark join filter spark spark",
+        2: "join filter group window",
+        3: "table scan parquet filter",
+        4: "unrelated words entirely here",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    terms, k1, b = ["spark", "filter"], 1.2, 0.75
+
+    toks = {d: re.findall(r"[0-9a-z]+", t.lower()) for d, t in corpus.items()}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / N
+
+    def ref_score(d):
+        s = 0.0
+        for t in set(terms):
+            dfreq = sum(1 for v in toks.values() if t in v)
+            if not dfreq or t not in toks[d]:
+                continue
+            idf = math.log(1.0 + (N - dfreq + 0.5) / (dfreq + 0.5))
+            tf = toks[d].count(t)
+            dl = len(toks[d])
+            s += round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+                6,
+            )
+        return round(s, 6)
+
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, terms, k=4).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no query term
+    for d, s in got.items():
+        assert abs(s - ref_score(d)) < 1e-9, (d, s, ref_score(d))
+    # doc 1 (3x spark + filter) must outrank the single-term docs
+    assert got[1] == max(got.values())
