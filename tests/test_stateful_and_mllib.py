@@ -199,3 +199,63 @@ def test_streaming_quarantine(spark, tmp_path):
     assert spark.sql("SELECT * FROM sq_good").collect()[0]["id"] == 1
     badr = spark.sql("SELECT * FROM sq_bad").collect()
     assert len(badr) == 1 and badr[0]["error_type"] == "validation_error"
+
+
+def test_retrieval_quality_matches_python_reference(spark):
+    """MRR / P@k / NDCG@k cross-checked against an independent Python
+    computation on a constructed corpus with known neighbor structure."""
+    import math
+
+    import numpy as np
+
+    from inception_spark.operators.similarity import (
+        retrieval_quality_report,
+    )
+
+    rng = np.random.RandomState(11)
+    # two well-separated label clusters in 8-d
+    centers = {0: rng.randn(8) * 0.1 + 5, 1: rng.randn(8) * 0.1 - 5}
+    rows = []
+    for i in range(20):
+        lab = i % 2
+        v = centers[lab] + rng.randn(8) * 0.05
+        rows.append((i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    k, nq = 5, 4
+    out = {r["q_id"]: r for r in
+           retrieval_quality_report(df, n_queries=nq, k=k).collect()}
+    assert set(out) == {0, 1, 2, 3}
+
+    # independent reference
+    vecs = {i: np.array(v, dtype=np.float32) for i, v, _ in rows}
+    labs = {i: l for i, _, l in rows}
+    gains = [round(1.0 / math.log2(r + 1), 6) for r in range(1, k + 1)]
+    cum, acc = [], 0.0
+    for g in gains:
+        acc = round(acc + g, 6)
+        cum.append(acc)
+    for q in range(nq):
+        scored = sorted(
+            (
+                (-round(float(
+                    np.dot(vecs[q].astype(np.float64), vecs[i].astype(np.float64))
+                    / (np.linalg.norm(vecs[q].astype(np.float64))
+                       * np.linalg.norm(vecs[i].astype(np.float64)))), 6), i)
+                for i in vecs if i != q
+            )
+        )[:k]
+        rel = [1 if labs[i] == labs[q] else 0 for _, i in scored]
+        n_rel = sum(rel)
+        first = next((r + 1 for r, x in enumerate(rel) if x), None)
+        total_rel = sum(1 for i in labs if i != q and labs[i] == labs[q])
+        dcg = round(sum(g for g, x in zip(gains, rel) if x), 6)
+        idcg = cum[min(k, total_rel) - 1]
+        r = out[q]
+        assert r["n_rel_topk"] == n_rel
+        assert r["total_rel"] == total_rel
+        assert abs(r["precision_at_k"] - round(n_rel / k, 6)) < 1e-9
+        assert abs(r["mrr"] - (round(1.0 / first, 6) if first else 0.0)) < 1e-9
+        assert abs(r["ndcg_at_k"] - round(dcg / idcg, 6)) < 1e-6
+        # well-separated clusters: every neighbor shares the label
+        assert n_rel == k and r["ndcg_at_k"] == 1.0
