@@ -1201,6 +1201,7 @@ def hamming64_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 1000,
     id_col: str = "id",
+    observation=None,
 ) -> DataFrame:
     """Shared banded-Hamming blocking over any 64-bit fingerprint column:
     4×16-bit band keys → bucket-capped equi self-join → exact
@@ -1210,7 +1211,17 @@ def hamming64_dup_pairs(
     scales the same way: the only quadratic term is within band buckets.
 
     Pigeonhole over 4 bands guarantees recall for hamming ≤ 3; larger
-    radii warn (heuristic recall).  → (id_a, id_b, hamming)."""
+    radii warn (heuristic recall).  → (id_a, id_b, hamming).
+
+    ``observation``: optional ``pyspark.sql.Observation`` — records
+    ``rows_in_dropped_buckets`` (band rows discarded by the bucket cap)
+    and ``band_rows`` (total band rows), the same observed-drop contract
+    as the text ancestors (``dedup.simhash_dup_pairs``), so a 100 TB run
+    can see what the cap cost instead of a silent filter.  Caveat shared
+    with that ancestor: if the final pair set is EMPTY Spark may prune
+    the whole subtree (empty-relation propagation) and the Observation
+    never materializes — read it only after a non-empty action, or
+    attach the observation to a count over the band table instead."""
     if max_hamming > 3:
         import warnings
 
@@ -1240,9 +1251,21 @@ def hamming64_dup_pairs(
         ).alias("bk"),
     ).select("id", "_h", "bk.band", "bk.key")
     bw = Window.partitionBy("band", "key")
-    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(bw)).filter(
-        F.col("_bn") <= max_bucket
-    )
+    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(bw))
+    # checkpoint BEFORE observe (the dedup.py contract): the band table
+    # feeds both self-join sides, and without the checkpoint the
+    # CollectMetrics node is duplicated into each side — the metrics row
+    # is then collected twice and Observation.get fails
+    if observation is not None:
+        bands = bands.localCheckpoint(eager=False)
+        bands = bands.observe(
+            observation,
+            F.sum(
+                F.when(F.col("_bn") > max_bucket, 1).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+            F.count(F.lit(1)).alias("band_rows"),
+        )
+    bands = bands.filter(F.col("_bn") <= max_bucket).drop("_bn")
     a = bands.select(
         F.col("band"), F.col("key"),
         F.col("id").alias("id_a"), F.col("_h").alias("h_a"),

@@ -69,6 +69,20 @@ def compare_frames(name, spark_pdf, duck_pdf):
         f"{name}: columns differ: {list(sa.columns)} vs {list(da.columns)}"
     )
     assert len(sa) == len(da), f"{name}: row count {len(sa)} vs {len(da)}"
+    # The real driver hashes TYPED values: an integral Spark column matched
+    # by a float oracle column (e.g. DuckDB SUM(int) -> HUGEINT -> float64)
+    # hash-mismatches even when every value compares equal in Python
+    # (5281 == 5281.0). Fail on numeric-kind drift, not just values.
+    for col in sa.columns:
+        s_int = pd.api.types.is_integer_dtype(sa[col])
+        d_int = pd.api.types.is_integer_dtype(da[col])
+        s_flt = pd.api.types.is_float_dtype(sa[col])
+        d_flt = pd.api.types.is_float_dtype(da[col])
+        assert not (s_int and d_flt) and not (s_flt and d_int), (
+            f"{name}.{col}: numeric kind differs — spark {sa[col].dtype} vs "
+            f"oracle {da[col].dtype} (driver hash would fail; a DuckDB "
+            f"HUGEINT usually means a missing CAST(... AS BIGINT))"
+        )
     n_exact_fail = 0
     first_approx_fail = None
     for col in sa.columns:
@@ -105,6 +119,27 @@ def test_all_queries_run(spark):
         df = fn(spark, SF_DIR)
         assert len(df.columns) > 0
         assert df.count() >= 0, name
+
+
+def test_dtype_drift_caught(con):
+    """Regression for the round-5 q12_late_priority / dq_check reds: an
+    uncast DuckDB SUM(CASE...) returns HUGEINT (float64 in pandas) while
+    Spark returns int64 — values equal, driver hash differs.  The
+    mini-driver must fail that pairing."""
+    duck = con.execute(
+        "SELECT SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n "
+        "FROM orders"
+    ).df()
+    assert str(duck["n"].dtype) == "float64"  # HUGEINT surfaces as float64
+    spark_like = pd.DataFrame({"n": duck["n"].astype("int64")})
+    with pytest.raises(AssertionError, match="numeric kind differs"):
+        compare_frames("hugeint_regression", spark_like, duck)
+    # and the cast form passes
+    cast = con.execute(
+        "SELECT CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n FROM orders"
+    ).df()
+    compare_frames("hugeint_regression_cast", spark_like, cast)
 
 
 def test_entry_smoke(spark):
