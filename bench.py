@@ -109,11 +109,14 @@ def main() -> None:
     # OUTSIDE whole-stage codegen (HOFs are interpreted), so the first
     # execution pays ~4x JIT warm-up (measured 5.0 s cold vs 1.05 s warm
     # at sf0.1) that min-of-3 at full SF alone doesn't shed
+    # ivf_pq_topk shares the interpreted-HOF warm-up problem (VERDICT r5:
+    # its headline number was partly cold-start with only pq_topk warmed)
     for wq in (
         "q1_pricing_summary",
         "doc_fingerprint",
         "chunk_documents",
         "pq_topk",
+        "ivf_pq_topk",
     ):
         queries_all[wq](spark, warm_sf).write.format("noop").mode(
             "overwrite"

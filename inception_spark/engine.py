@@ -363,30 +363,11 @@ class EmbeddingEngine:
 
         return semantic_search(chunk_embeddings, self.embed_query(query_text), k=k)
 
-    def hybrid_search(
-        self,
-        query_text: str,
-        chunk_embeddings: DataFrame,
-        k: int = 10,
-        *,
-        fuse_k: int = 50,
-    ) -> DataFrame:
-        """Lexical + semantic hybrid: BM25 over the chunk TEXT and
-        cosine over the chunk EMBEDDINGS, fused by reciprocal-rank
-        fusion — the zero-tuning retrieval upgrade over either alone
-        (keyword queries rescue vector misses and vice versa).
-        → (doc_id, chunk_number, rrf_score, rank).
-
-        Ranks within each list are deterministic (rounded scores, id
-        tie-breaks), and RRF contributions sum as exact decimals, so
-        the fused set is reproducible across runs and partitionings."""
-        from inception_spark.functions.text_analysis import bm25_topk
-        from inception_spark.operators.similarity import (
-            cosine_topk,
-            rrf_fuse,
-        )
-
-        keyed = chunk_embeddings.select(
+    @staticmethod
+    def _keyed_chunks(chunk_embeddings: DataFrame) -> DataFrame:
+        """(doc_id, chunk_number, chunk, embedding) → one string key per
+        chunk so both retrieval legs rank the same id space."""
+        return chunk_embeddings.select(
             F.concat_ws(
                 "#",
                 F.col("doc_id").cast("string"),
@@ -395,6 +376,88 @@ class EmbeddingEngine:
             "chunk",
             "embedding",
         )
+
+    def write_search_indexes(
+        self,
+        chunk_embeddings: DataFrame,
+        path: str,
+        *,
+        ann_bits: int = 8,
+        ann_seed: int = 2024,
+    ) -> None:
+        """Materialize the write-once/query-many serving layouts for
+        :meth:`hybrid_search` under ``path``: ``path/lexical`` — the
+        BM25 inverted index (term-sorted row groups), ``path/ann`` —
+        the LSH-bucket-partitioned embedding table.  At 100 TB the
+        corpus explode and the bucket assignment each happen ONCE here;
+        every subsequent query reads only its terms' row groups and its
+        probe buckets' files."""
+        from inception_spark.functions.text_analysis import (
+            write_inverted_index,
+        )
+        from inception_spark.operators.similarity import (
+            write_bucketed_embeddings,
+        )
+
+        keyed = self._keyed_chunks(chunk_embeddings)
+        write_inverted_index(
+            keyed, f"{path}/lexical", id_col="chunk_key", text_col="chunk"
+        )
+        write_bucketed_embeddings(
+            keyed.select("chunk_key", "embedding"),
+            f"{path}/ann",
+            dim=self.config.embedding_dim,
+            bits=ann_bits,
+            seed=ann_seed,
+        )
+
+    def hybrid_search(
+        self,
+        query_text: str,
+        chunk_embeddings: DataFrame | None = None,
+        k: int = 10,
+        *,
+        fuse_k: int = 50,
+        index_path: str | None = None,
+        ann_bits: int = 8,
+        ann_seed: int = 2024,
+    ) -> DataFrame:
+        """Lexical + semantic hybrid: BM25 over the chunk TEXT and
+        cosine over the chunk EMBEDDINGS, fused by reciprocal-rank
+        fusion — the zero-tuning retrieval upgrade over either alone
+        (keyword queries rescue vector misses and vice versa).
+        → (doc_id, chunk_number, rrf_score, rank).
+
+        Two serving shapes:
+
+        * ``chunk_embeddings`` given — in-plan: BM25 explodes the chunk
+          text and cosine scans every embedding.  Fine for one-off jobs;
+          at 100 TB every query re-pays the corpus scan.
+        * ``index_path`` given (a :meth:`write_search_indexes` layout) —
+          the lexical leg probes the materialized inverted index (no
+          corpus text scan, term row-group pruning) and the vector leg
+          probes the LSH bucket partitions (file-level pruning, reads
+          ~1/2^bits of the table; the vector leg is then the documented
+          LSH approximation of exact cosine, identical to the in-plan
+          ``ann_lsh_topk`` on the same corpus/seed).
+
+        Ranks within each list are deterministic (rounded scores, id
+        tie-breaks), and RRF contributions sum as exact decimals, so
+        the fused set is reproducible across runs and partitionings."""
+        from inception_spark.functions.text_analysis import (
+            bm25_topk,
+            bm25_topk_over_index,
+        )
+        from inception_spark.operators.similarity import (
+            ann_lsh_topk_pruned,
+            cosine_topk,
+            rrf_fuse,
+        )
+
+        if chunk_embeddings is None and index_path is None:
+            raise ValueError(
+                "hybrid_search needs chunk_embeddings or index_path"
+            )
         # tokenize the query driver-side with the same regex the corpus
         # tokenizer uses (no Spark job needed)
         import re
@@ -402,16 +465,34 @@ class EmbeddingEngine:
         from inception_spark.functions.hashing import WORD_PATTERN
 
         terms = re.findall(WORD_PATTERN, query_text.lower())
-        lex = bm25_topk(
-            keyed, terms, k=fuse_k, id_col="chunk_key", text_col="chunk"
-        ).select(F.col("doc_id").alias("vec_id"), "rank")
-        vec = cosine_topk(
-            keyed,
-            self.embed_query(query_text),
-            k=fuse_k,
-            id_col="chunk_key",
-            vec_col="embedding",
-        ).select("vec_id", "rank")
+        qvec = self.embed_query(query_text)
+        if index_path is not None:
+            lex = bm25_topk_over_index(
+                self.spark, f"{index_path}/lexical", terms, k=fuse_k
+            ).select(F.col("doc_id").alias("vec_id"), "rank")
+            vec = ann_lsh_topk_pruned(
+                self.spark,
+                f"{index_path}/ann",
+                qvec,
+                k=fuse_k,
+                bits=ann_bits,
+                seed=ann_seed,
+                id_col="chunk_key",
+                vec_col="embedding",
+            ).select("vec_id", "rank")
+        else:
+            keyed = self._keyed_chunks(chunk_embeddings)
+            lex = bm25_topk(
+                keyed, terms, k=fuse_k, id_col="chunk_key",
+                text_col="chunk",
+            ).select(F.col("doc_id").alias("vec_id"), "rank")
+            vec = cosine_topk(
+                keyed,
+                qvec,
+                k=fuse_k,
+                id_col="chunk_key",
+                vec_col="embedding",
+            ).select("vec_id", "rank")
         fused = rrf_fuse([lex, vec], k=k)
         parts = F.split(F.col("vec_id"), "#")
         return fused.select(

@@ -1064,9 +1064,17 @@ def bm25_topk(df, query_terms, *, k=10, k1=1.2, b=0.75,
 
     Determinism engineering: per-(doc, term) partial scores are rounded
     to 6 dp and summed as exact DECIMAL(18,6) (order-independent), and
-    ranking orders on the exact decimal with id tie-breaks.  All float
-    inputs to the rounded expression are ratios of identical integers in
-    both engines, so the 6-dp round matches bit-for-bit.
+    ranking orders on the exact decimal with id tie-breaks.  The tf/
+    length inputs are ratios of identical integers in both engines, so
+    they are the identical doubles; the idf term, however, goes through
+    ``ln()``, which the JVM and an external oracle's libm are not
+    guaranteed to agree on to the last ulp — a partial score sitting
+    exactly on a 0.0000005 rounding boundary could therefore round
+    differently across engines.  No such boundary value exists in the
+    test corpora (hash-verified), but bit-for-bit parity is engineered
+    ONLY up to that ln() caveat; for guaranteed parity compute the
+    |terms|-row idf table driver-side as 6-dp literals (the
+    ``ndcg_gain_table`` pattern) at the cost of an eager job.
 
     Scale shape: one explode over the corpus (the inverted-index pass),
     a per-doc length aggregate reusing the same scan, term df from a

@@ -76,6 +76,16 @@ def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     multi-distinct rewrite (one Expand, still one logical pass).  The
     per-rule rows are assembled driver-side from the 1-row aggregate —
     |rules| is small by definition; the DATA is never collected."""
+    names = [rule[0] for rule in rules]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # aggregate aliases key on rule name: a duplicate would silently
+        # report the FIRST rule's count for both (Row[name] returns the
+        # first match, no error)
+        raise ValueError(
+            f"check_expectations: duplicate rule name(s) {dupes}; "
+            "rule names must be unique"
+        )
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__total")]
     for rule in rules:
         name, kind, col = rule[0], rule[1], rule[2]

@@ -268,30 +268,97 @@ def compact_small_files(
     one job whose shuffle moves ONLY the undersized bytes.
 
     Writes the compacted table to ``out_path`` (default
-    ``path + "_compacted"`` — caller swaps directories atomically at
-    the catalog/rename layer; compacting in place would race readers).
-    Returns the plan dict plus ``out_path`` for verification."""
+    ``path + "_compacted"`` — swap with ``finalize_compaction`` or at
+    the catalog layer; compacting in place would race readers).
+    Returns the plan dict plus ``out_path`` for verification.
+
+    Cost model (the point of the plan step): the only bytes that move
+    through Spark tasks are the undersized ones — healthy files are
+    copied at the filesystem layer (``FileUtil.copy``, a metadata +
+    stream copy, no decode/re-encode).  A 100 TB table that is 99%
+    healthy compacts by moving ~1 TB, not by rewriting 100 TB.
+
+    Hive-partitioned layouts (``key=value`` subdirectories) are
+    REFUSED: a flat ``read.parquet(files)`` would silently drop the
+    partition columns from the compacted copy.  Compact each leaf
+    partition directory instead."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    root_uri = str(fs.makeQualified(root))
+
     files = list_data_files(spark, path)
+    for p, _ in files:
+        rel = p[len(root_uri):] if p.startswith(root_uri) else p
+        if any("=" in part for part in rel.strip("/").split("/")[:-1]):
+            raise ValueError(
+                f"compact_small_files: {path} is Hive-partitioned "
+                f"(found data file under a key=value directory: {p}); "
+                "a flat compaction would drop the partition columns — "
+                "compact each leaf partition directory instead"
+            )
     plan = compaction_plan(files, target_bytes=target_bytes)
     dst = out_path or path.rstrip("/") + "_compacted"
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
     small_paths = [p for p, _ in plan["rewrite"]]
     keep_paths = [p for p, _ in plan["keep"]]
-    writes = []
+    if fs.exists(dst_p):
+        fs.delete(dst_p, True)
     if small_paths:
-        small_df = spark.read.parquet(*small_paths).coalesce(
+        # the ONLY Spark job: shuffle-free coalesce over just the
+        # undersized bytes
+        spark.read.parquet(*small_paths).coalesce(
             plan["n_output_files"]
+        ).write.mode("overwrite").parquet(dst)
+    else:
+        fs.mkdirs(dst_p)  # empty or all-healthy source still gets a dir
+    copied = 0
+    seen_names = set()
+    for i, (p, n) in enumerate(plan["keep"]):
+        src_p = jvm.org.apache.hadoop.fs.Path(p)
+        name = src_p.getName()
+        if name in seen_names:  # nested non-partition subdirs flatten
+            name = f"keep-{i}-{name}"
+        seen_names.add(name)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src_p, fs, jvm.org.apache.hadoop.fs.Path(dst_p, name),
+            False, conf,
         )
-        writes.append((small_df, "small"))
-    if keep_paths:
-        # healthy files pass through one task each (no shuffle): read
-        # with one partition per file and write back 1:1
-        keep_df = spark.read.parquet(*keep_paths)
-        writes.append((keep_df, "keep"))
-    mode = "overwrite"
-    for df, _sub in writes:
-        # flat layout: a key=value subdir would surface as a partition
-        # column and change the table schema
-        df.write.mode(mode).parquet(dst)
-        mode = "append"
+        copied += n
     plan["out_path"] = dst
+    plan["copied_bytes"] = copied
     return plan
+
+
+def finalize_compaction(
+    spark: SparkSession, path: str, out_path: str
+) -> str:
+    """Swap the compacted directory into place: ``path`` →
+    ``path + "_precompact"``, ``out_path`` → ``path``.  Each step is a
+    single filesystem rename — atomic on HDFS/local within one
+    directory, NOT on object stores (S3 renames are copies; use a
+    catalog/manifest pointer swap there).  The displaced original is
+    kept (not deleted) so a concurrent reader mid-scan keeps its open
+    file handles and the caller controls when to reclaim the bytes.
+    Returns the backup path."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = src.getFileSystem(conf)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_precompact")
+    if fs.exists(backup):
+        raise ValueError(
+            f"finalize_compaction: backup dir {backup} already exists — "
+            "a previous swap was not reclaimed; remove it first"
+        )
+    if not fs.rename(src, backup):
+        raise RuntimeError(f"finalize_compaction: rename {path} -> {backup} failed")
+    if not fs.rename(out, src):
+        fs.rename(backup, src)  # roll back so the table stays readable
+        raise RuntimeError(
+            f"finalize_compaction: rename {out_path} -> {path} failed; "
+            "original restored"
+        )
+    return str(backup)

@@ -1633,6 +1633,8 @@ def rrf_fuse(
     inputs are already top-k lists (k rows each), so fusion is
     driver-trivial relative to retrieval; expressed relationally anyway
     so it composes into one plan."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs >= 1 ranked list")
     contribs = [
         r.select(
             F.col(id_col).alias("vec_id"),

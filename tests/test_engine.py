@@ -267,3 +267,84 @@ def test_hybrid_search_fuses_lexical_and_vector(spark):
     # deterministic across invocations
     again = eng.hybrid_search("spark join filter", table, k=5).collect()
     assert out == again
+
+
+def test_hybrid_search_over_materialized_indexes(spark, tmp_path):
+    """The write-once/query-many serving shape (VERDICT r5 ask 6): with
+    an index_path the lexical leg probes the inverted index and the
+    vector leg probes the LSH bucket partitions — NO scan of the chunk
+    corpus — and the result equals the same legs computed in-plan."""
+    from inception_spark.engine import EmbeddingEngine
+    from inception_spark.functions.text_analysis import bm25_topk
+    from inception_spark.operators.similarity import (
+        ann_lsh_topk,
+        rrf_fuse,
+    )
+    from pyspark.sql import functions as F
+
+    eng = EmbeddingEngine(spark)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id AS id", "text")
+        .limit(100)
+    )
+    table = eng.embed_documents(docs).localCheckpoint()
+    idx = str(tmp_path / "serve")
+    eng.write_search_indexes(table, idx, ann_bits=4)
+
+    out = eng.hybrid_search(
+        "spark join filter", k=5, index_path=idx, ann_bits=4
+    )
+    # no corpus scan: the only parquet locations in the plan are the
+    # two index layouts (formatted explain prints untruncated Location
+    # lines; toString truncates them)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    locs = _re.findall(r"Location: \S+ \[file:(\S+?)\]", plan)
+    assert locs, "expected parquet scans in plan"
+    assert all("/serve/" in loc for loc in locs), locs
+    got = out.collect()
+
+    # equals the in-plan twins of the SAME legs (bm25 exact twin; the
+    # vector leg's in-plan twin is ann_lsh_topk, the documented LSH
+    # approximation)
+    import re
+
+    from inception_spark.functions.hashing import WORD_PATTERN
+
+    keyed = EmbeddingEngine._keyed_chunks(table)
+    terms = re.findall(WORD_PATTERN, "spark join filter")
+    lex = bm25_topk(
+        keyed, terms, k=50, id_col="chunk_key", text_col="chunk"
+    ).select(F.col("doc_id").alias("vec_id"), "rank")
+    vec = ann_lsh_topk(
+        keyed.select("chunk_key", "embedding"),
+        eng.embed_query("spark join filter"),
+        k=50,
+        bits=4,
+        id_col="chunk_key",
+        vec_col="embedding",
+    ).select("vec_id", "rank")
+    fused = rrf_fuse([lex, vec], k=5)
+    parts = F.split(F.col("vec_id"), "#")
+    want = fused.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).cast("long").alias("chunk_number"),
+        "rrf_score",
+        "rank",
+    ).collect()
+    assert got == want
+
+
+def test_rrf_fuse_empty_input_rejected():
+    """An empty ranked-list argument raised an opaque IndexError
+    (ADVICE r5) — now a usable ValueError."""
+    import pytest
+
+    from inception_spark.operators.similarity import rrf_fuse
+
+    with pytest.raises(ValueError, match="rrf_fuse needs"):
+        rrf_fuse([])

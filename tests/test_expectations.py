@@ -120,3 +120,16 @@ def test_report_matches_python_reference(spark):
         and not __import__("re").fullmatch("[a-z]+", r[3])
     )
     assert out["name_len"] == viol(lambda r: r[3] is not None and len(r[3]) < 3)
+
+
+def test_duplicate_rule_names_rejected(spark, df):
+    """Aggregate aliases key on rule name: a duplicate would silently
+    misreport the second rule (ADVICE r5) — refuse up front."""
+    from inception_spark.operators.expectations import check_expectations
+
+    rules = [
+        ("r", "not_null", "doc_id"),
+        ("r", "min_length", "text", 5),
+    ]
+    with pytest.raises(ValueError, match="duplicate rule name"):
+        check_expectations(df, rules)

@@ -213,3 +213,59 @@ def test_compact_passes_healthy_files_through(spark, tmp_path):
     a = sorted(r["id"] for r in spark.read.parquet(src).collect())
     b = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert a == b
+    # healthy bytes are FS-copied, not re-encoded: the kept file appears
+    # in the output byte-identical (same name, same size)
+    out_files = dict(
+        (p.rsplit("/", 1)[-1], n) for p, n in list_data_files(spark, out)
+    )
+    for p, n in plan["keep"]:
+        assert out_files[p.rsplit("/", 1)[-1]] == n
+    assert plan["copied_bytes"] == sum(n for _, n in plan["keep"])
+
+
+def test_compact_refuses_hive_partitioned(spark, tmp_path):
+    from inception_spark.operators.layout import compact_small_files
+
+    src = str(tmp_path / "hive")
+    spark.range(100).selectExpr(
+        "id", "id % 3 AS k"
+    ).write.partitionBy("k").parquet(src)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_small_files(spark, src, target_bytes=1024)
+
+
+def test_compact_empty_source_creates_output(spark, tmp_path):
+    from inception_spark.operators.layout import (
+        compact_small_files,
+        list_data_files,
+    )
+
+    src = tmp_path / "empty"
+    src.mkdir()
+    plan = compact_small_files(spark, str(src), target_bytes=1024)
+    assert plan["rewrite"] == [] and plan["keep"] == []
+    assert (tmp_path / "empty_compacted").is_dir()
+    assert list_data_files(spark, plan["out_path"]) == []
+
+
+def test_finalize_compaction_swaps_atomically(spark, tmp_path):
+    from inception_spark.operators.layout import (
+        compact_small_files,
+        finalize_compaction,
+    )
+
+    src = str(tmp_path / "t")
+    spark.range(500).selectExpr("id").repartition(8).write.parquet(src)
+    plan = compact_small_files(spark, src, target_bytes=1 << 20)
+    backup = finalize_compaction(spark, src, plan["out_path"])
+    # table path now serves the compacted copy; original preserved
+    assert sorted(
+        r["id"] for r in spark.read.parquet(src).collect()
+    ) == list(range(500))
+    assert backup.endswith("_precompact")
+    assert sorted(
+        r["id"] for r in spark.read.parquet(backup).collect()
+    ) == list(range(500))
+    # a second swap without reclaiming the backup is refused
+    with pytest.raises(ValueError, match="already exists"):
+        finalize_compaction(spark, src, plan["out_path"])
