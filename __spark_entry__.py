@@ -2036,9 +2036,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trigram_logprob": lambda spark, sf: TA.doc_trigram_logprob(
             _docs(spark, sf)
         ),
+        # DSIR importance resampling: en-slice as the target domain,
+        # everything else as the source; one explode, one conditional agg
+        "dsir_scores": lambda spark, sf: TA.dsir_scores(
+            _docs(spark, sf), F.col("lang") == "en"
+        ),
         # full-batch GD logistic regression, kmeans-style driver rounds
         "lr_quality_classify": lambda spark, sf: NB.lr_quality_classify(
             _docs(spark, sf)
+        ),
+        # quality-gate scorecard over the trained LR: exact rank-sum
+        # AUC, PR sweep, reliability bins — one corpus aggregate each
+        "lr_roc_auc": lambda spark, sf: NB.roc_auc(
+            NB.lr_quality_classify(_docs(spark, sf))
+        ),
+        "lr_pr_curve": lambda spark, sf: NB.pr_curve(
+            NB.lr_quality_classify(_docs(spark, sf))
+        ),
+        "lr_calibration": lambda spark, sf: NB.calibration_bins(
+            NB.lr_quality_classify(_docs(spark, sf))
         ),
         # epoch-reproducible training shuffle + curriculum binning
         "epoch_shuffle": lambda spark, sf: epoch_shuffle(
@@ -3485,7 +3501,12 @@ FROM embeddings
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["doc_trigram_logprob"] = TA.doc_trigram_logprob_sql("documents")
+    d["dsir_scores"] = TA.dsir_scores_sql("documents", "lang = 'en'")
     d["lr_quality_classify"] = NB.lr_quality_classify_sql("documents")
+    _lr_rel = f"({NB.lr_quality_classify_sql('documents')})"
+    d["lr_roc_auc"] = NB.roc_auc_sql(_lr_rel)
+    d["lr_pr_curve"] = NB.pr_curve_sql(_lr_rel)
+    d["lr_calibration"] = NB.calibration_bins_sql(_lr_rel)
     d["kmeans_train"] = CL.kmeans_train_sql(
         "embeddings", k=8, n_iter=2, dim=_EMB_DIM
     )

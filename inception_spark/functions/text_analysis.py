@@ -1275,3 +1275,121 @@ def bm25_topk_over_index(spark, path, query_terms, *, k=10, k1=1.2,
         F.col("score_dec").cast("double").alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# importance-weighted data selection (DSIR-style)
+# ---------------------------------------------------------------------------
+
+def dsir_scores(df, is_target, *, id_col="doc_id", text_col="text",
+                alpha=0.5):
+    """Importance-resampling scores for target-domain data selection
+    (the DSIR recipe — Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling" — with unigram LM importance
+    weights): every document gets the mean per-token log-likelihood
+    ratio ln(p_target(w)/p_source(w)) between an add-α-smoothed unigram
+    LM fit on the TARGET slice (rows where ``is_target``) and one fit on
+    the rest.  → (doc_id, is_target, n_tokens, avg_llr) — positive
+    avg_llr means "reads like the target domain"; feed it to a
+    threshold or a top-k to select pretraining data that matches a
+    high-quality target (the published use: select Common-Crawl-like
+    source data that resembles Wikipedia/books).
+
+    Smoothing is what makes cross-domain scoring total: add-α over the
+    JOINT vocabulary guarantees both models assign every observed token
+    non-zero mass (MLE would zero out source-only tokens under the
+    target model).
+
+    Determinism: counts and vocab size are integers, each token's llr
+    term is a 6-dp round summed as exact DECIMAL, one final double
+    divide — the ``doc_unigram_logprob`` discipline (same accepted
+    last-ulp ``ln`` libm caveat).  Plan shape: ONE token explode, ONE
+    conditional hash aggregate for both models' counts (no second
+    corpus scan for the source model), scalars broadcast, join back,
+    per-doc aggregate.  Scales like every logprob operator here."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    a = float(alpha)
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.cast("int").alias("t"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    wc = ex.groupBy("w").agg(
+        F.sum("t").alias("c_t"),
+        F.sum(F.lit(1) - F.col("t")).alias("c_s"),
+    )
+    scal = wc.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_s").alias("n_s"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_t = (F.col("c_t") + F.lit(a)) / (
+        F.col("n_t") + F.lit(a) * F.col("v")
+    )
+    p_s = (F.col("c_s") + F.lit(a)) / (
+        F.col("n_s") + F.lit(a) * F.col("v")
+    )
+    scored = (
+        ex.join(wc, "w")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(F.log(p_t / p_s), 6)
+            .cast("decimal(28,6)")
+            .alias("llr"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("llr").cast("double") / F.count(F.lit(1))).alias(
+            "avg_llr"
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), is_target.alias("is_target"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.col("avg_llr"),
+        )
+    )
+
+
+def dsir_scores_sql(table: str = "documents", target_pred: str =
+                    "lang = 'en'", *, alpha=0.5) -> str:
+    """DuckDB twin of :func:`dsir_scores` under ``target_pred``."""
+    w = words_sql("text")
+    a = float(alpha)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, CAST({target_pred} AS INT) AS t, unnest({w}) AS w
+  FROM {table}),
+wc AS (
+  SELECT w, SUM(t) AS c_t, SUM(1 - t) AS c_s FROM ex GROUP BY w),
+scal AS (
+  SELECT SUM(c_t) AS n_t, SUM(c_s) AS n_s, COUNT(*) AS v FROM wc),
+scored AS (
+  SELECT ex.doc_id,
+    CAST(round(ln(
+      ((wc.c_t + CAST({a!r} AS DOUBLE))
+        / (scal.n_t + CAST({a!r} AS DOUBLE) * scal.v))
+      / ((wc.c_s + CAST({a!r} AS DOUBLE))
+        / (scal.n_s + CAST({a!r} AS DOUBLE) * scal.v))), 6)
+      AS DECIMAL(28,6)) AS llr
+  FROM ex JOIN wc USING (w), scal),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(llr) AS DOUBLE) / COUNT(*) AS avg_llr
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, {target_pred.replace('lang', 'd.lang')} AS is_target,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       p.avg_llr
+FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

@@ -422,3 +422,215 @@ SELECT doc_id, y, round({s}, 6) AS prob,
          AS correct
 FROM f, w{max(1, int(n_iter))} w"""
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: the quality-gate scorecard
+# ---------------------------------------------------------------------------
+#
+# A learned quality/language gate (fastText/CCNet style — the
+# lr_quality_classify / nb_lang_classify slots above) is only usable at
+# 100 TB if you can measure it: AUC to pick a model, the PR curve to pick
+# the operating threshold, calibration to trust the probabilities as
+# sampling weights.  All three compile to the same scale shape:
+# ONE hash aggregate over the scored corpus (group by distinct score —
+# bounded by 10^6+1 values at the engine's 6-dp score discipline, usually
+# far fewer) followed by a window over that tiny aggregate.  The corpus
+# is scanned once; nothing quadratic, nothing collected.
+
+def roc_auc(
+    scored: DataFrame, *, label_col: str = "y", score_col: str = "prob"
+) -> DataFrame:
+    """→ 1 row (auc, n_pos, n_neg) — ROC-AUC by the Mann-Whitney
+    rank-sum identity with average-rank tie handling (the exact value,
+    not a trapezoid approximation):
+
+        AUC = (R_pos − P(P+1)/2) / (P·N)
+
+    where R_pos is the sum of (average) ranks of the positives under
+    ascending score order.  Determinism: ranks of a tied score group
+    are kept as INTEGERS by working with 2·rank (2·cum_before + n + 1),
+    so the numerator is exact integer arithmetic and the single final
+    division is a ratio of identical integers in every engine.  The
+    global window runs over the per-score aggregate (≤ distinct scores
+    rows), not the corpus."""
+    from pyspark.sql import Window
+
+    per = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("cum_before") + F.col("n")
+                            + F.lit(1))
+        ).alias("r2"),          # 2 · Σ avg-ranks of positives
+        F.sum("pos").alias("p"),
+        F.sum("n").alias("t"),
+    )
+    p, t = F.col("p"), F.col("t")
+    auc2_num = F.col("r2") - p * (p + F.lit(1))   # 2·U, exact bigint
+    return agg.select(
+        F.when(
+            (p > 0) & (t - p > 0),
+            F.round(
+                auc2_num.cast("double")
+                / (F.lit(2) * p * (t - p)).cast("double"),
+                6,
+            ),
+        ).alias("auc"),
+        p.cast("long").alias("n_pos"),
+        (t - p).cast("long").alias("n_neg"),
+    )
+
+
+def roc_auc_sql(scored_rel: str, *, label_col: str = "y",
+                score_col: str = "prob") -> str:
+    """DuckDB twin of :func:`roc_auc` — ``scored_rel`` is a
+    parenthesized relation or CTE name with the scored rows."""
+    return f"""
+WITH per AS (
+  SELECT {score_col} AS s, COUNT(*) AS n,
+         SUM(CAST({label_col} AS BIGINT)) AS pos
+  FROM {scored_rel} GROUP BY {score_col}),
+ranked AS (
+  SELECT *, COALESCE(SUM(n) OVER (ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM per),
+agg AS (
+  SELECT SUM(pos * (2 * cum_before + n + 1)) AS r2,
+         SUM(pos) AS p, SUM(n) AS t
+  FROM ranked)
+SELECT CASE WHEN p > 0 AND t - p > 0 THEN
+         round(CAST(r2 - p * (p + 1) AS DOUBLE)
+               / CAST(2 * p * (t - p) AS DOUBLE), 6)
+       END AS auc,
+       CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg
+FROM agg
+"""
+
+
+def pr_curve(
+    scored: DataFrame, *, label_col: str = "y", score_col: str = "prob"
+) -> DataFrame:
+    """→ (threshold, tp, fp, precision, recall) — one point per
+    distinct score, classifying positive at ``score ≥ threshold``
+    (descending-threshold sweep).  Precision/recall are 6-dp rounds of
+    integer ratios — engine-exact.  Same scale shape as
+    :func:`roc_auc`: corpus-sized aggregate, score-sized window."""
+    from pyspark.sql import Window
+
+    per = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    wd = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = per.select(
+        "threshold",
+        F.sum("pos").over(wd).alias("tp"),
+        (F.sum("n").over(wd) - F.sum("pos").over(wd)).alias("fp"),
+        F.sum("pos").over(wall).alias("p_all"),
+    )
+    return cur.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+            6,
+        ).alias("precision"),
+        F.when(
+            F.col("p_all") > 0,
+            F.round(
+                F.col("tp").cast("double") / F.col("p_all").cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+    )
+
+
+def pr_curve_sql(scored_rel: str, *, label_col: str = "y",
+                 score_col: str = "prob") -> str:
+    """DuckDB twin of :func:`pr_curve`."""
+    return f"""
+WITH per AS (
+  SELECT {score_col} AS threshold, COUNT(*) AS n,
+         SUM(CAST({label_col} AS BIGINT)) AS pos
+  FROM {scored_rel} GROUP BY {score_col}),
+cur AS (
+  SELECT threshold,
+         SUM(pos) OVER (ORDER BY threshold DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(n) OVER (ORDER BY threshold DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - SUM(pos) OVER (ORDER BY threshold DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         SUM(pos) OVER () AS p_all
+  FROM per)
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+         AS precision,
+       CASE WHEN p_all > 0 THEN
+         round(CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE), 6)
+       END AS recall
+FROM cur
+"""
+
+
+def calibration_bins(
+    scored: DataFrame, *, label_col: str = "y", score_col: str = "prob",
+    n_bins: int = 10,
+) -> DataFrame:
+    """→ (bin, n, n_pos, mean_prob, frac_pos) — reliability-diagram
+    bins: a well-calibrated gate has mean_prob ≈ frac_pos per bin,
+    which is what justifies using its probabilities as sampling/mixing
+    weights downstream.  ONE hash aggregate (n_bins rows out);
+    mean_prob sums the 6-dp scores as exact DECIMAL before the single
+    division, frac_pos is an integer ratio."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    agg = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        F.sum(F.col(score_col).cast("decimal(18,6)")).alias("s_dec"),
+    )
+    return agg.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(
+            F.col("s_dec").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean_prob"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac_pos"),
+    )
+
+
+def calibration_bins_sql(scored_rel: str, *, label_col: str = "y",
+                         score_col: str = "prob", n_bins: int = 10) -> str:
+    """DuckDB twin of :func:`calibration_bins`."""
+    return f"""
+WITH agg AS (
+  SELECT LEAST(CAST(FLOOR({score_col} * {n_bins}) AS BIGINT),
+               {int(n_bins) - 1}) AS bin,
+         COUNT(*) AS n, SUM(CAST({label_col} AS BIGINT)) AS n_pos,
+         SUM(CAST({score_col} AS DECIMAL(18,6))) AS s_dec
+  FROM {scored_rel} GROUP BY 1)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(s_dec AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_prob,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
+FROM agg
+"""

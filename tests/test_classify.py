@@ -127,3 +127,65 @@ def test_lr_gd_matches_hand_computation(spark):
         for r in lr_quality_classify(df).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation scorecard
+# ---------------------------------------------------------------------------
+
+def test_roc_auc_matches_brute_force_pairs(spark):
+    """AUC from the rank-sum identity == P(score_pos > score_neg)
+    + 0.5·P(tie), counted pairwise from scratch (tie handling proven,
+    not assumed)."""
+    import itertools
+    import random
+
+    from inception_spark.operators.classify import roc_auc
+
+    rnd = random.Random(11)
+    rows = [
+        (float(rnd.randint(0, 1)), round(rnd.choice([0.1, 0.3, 0.5, 0.7]) +
+                                         rnd.randint(0, 2) * 0.1, 6))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "y double, prob double")
+    got = roc_auc(df).collect()[0]
+
+    pos = [s for y, s in rows if y == 1.0]
+    neg = [s for y, s in rows if y == 0.0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    want = round(wins / (len(pos) * len(neg)), 6)
+    assert float(got["auc"]) == want
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+
+
+def test_pr_curve_endpoints_and_monotone_recall(spark):
+    from inception_spark.operators.classify import pr_curve
+
+    rows = [(1.0, 0.9), (1.0, 0.8), (0.0, 0.8), (0.0, 0.2), (1.0, 0.1)]
+    df = spark.createDataFrame(rows, "y double, prob double")
+    pts = sorted(pr_curve(df).collect(), key=lambda r: -r["threshold"])
+    # descending thresholds: recall non-decreasing, last point recall=1
+    recalls = [r["recall"] for r in pts]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    top = pts[0]
+    assert (top["threshold"], top["tp"], top["fp"]) == (0.9, 1, 0)
+    assert top["precision"] == 1.0
+
+
+def test_calibration_bins_integer_ratios(spark):
+    from inception_spark.operators.classify import calibration_bins
+
+    rows = [(1.0, 0.95), (0.0, 0.91), (1.0, 0.12), (0.0, 0.18),
+            (0.0, 0.15), (1.0, 1.0)]
+    df = spark.createDataFrame(rows, "y double, prob double")
+    out = {r["bin"]: r for r in calibration_bins(df).collect()}
+    # prob=1.0 clamps into the top bin
+    assert out[9]["n"] == 3 and out[9]["n_pos"] == 2
+    assert out[1]["n"] == 3 and out[1]["n_pos"] == 1
+    assert out[1]["frac_pos"] == round(1 / 3, 6)
+    assert out[1]["mean_prob"] == 0.15

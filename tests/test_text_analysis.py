@@ -64,3 +64,30 @@ def test_bm25_matches_python_reference(spark):
         assert abs(s - ref_score(d)) < 1e-9, (d, s, ref_score(d))
     # doc 1 (3x spark + filter) must outrank the single-term docs
     assert got[1] == max(got.values())
+
+
+def test_dsir_scores_rank_target_like_text_higher(spark):
+    """Docs written in the target domain's vocabulary get positive
+    avg_llr; source-vocabulary docs negative — the selection signal the
+    DSIR recipe relies on."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.text_analysis import dsir_scores
+
+    tgt = "court appeal judgment statute ruling opinion"
+    src = "pizza recipe cheese oven tomato basil"
+    rows = (
+        [(i, "t", tgt) for i in range(10)]
+        + [(100 + i, "s", src) for i in range(10)]
+        # held-out docs, one per domain vocabulary
+        + [(900, "s", "court statute ruling"), (901, "t", "pizza cheese oven")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(df, F.col("grp") == "t").collect()
+    }
+    assert out[0]["avg_llr"] > 0 and out[100]["avg_llr"] < 0
+    # held-out docs score by their VOCABULARY, not their label
+    assert out[900]["avg_llr"] > 0 > out[901]["avg_llr"]
+    assert out[900]["n_tokens"] == 3
