@@ -1865,17 +1865,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 5 (see ``_WINDOW_R5`` below): the
-    five round-4 additions that have never seen a driver row (sq_topk,
-    sq_topk_rerank, embed_delta, learn_bpe, ann_multiprobe_topk), any
-    operators added THIS round, the eight ``events_*`` entries repaired in
-    round 4 but last driver-checked in their broken r3 state, the two
-    round-1-era entries (clean_text/validate_text), then the
-    least-recently-checked relational block (last green r3).  Everything
-    driver-green in round 4 moves after the boundary; the in-repo
+    with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
+    the two round-5 hash-reds whose oracle casts were fixed this round
+    (q12_late_priority, dq_check), the newly-oracled multimodal blocking
+    (hamming64_dup_pairs), the four round-6 additions (lr_roc_auc,
+    lr_pr_curve, lr_calibration, dsir_scores), then the 42 entries whose
+    last driver-green is round 3 — the stalest signal in the registry —
+    and the first round-4 entry.  clean_text/validate_text (green since
+    r1, trivial) stay below per the round-5 standing note.  Everything
+    driver-green in rounds 4-5 moves after the boundary; the in-repo
     mini-driver (tests/test_entry.py) still verifies every oracle pair at
     sf0.001 regardless of position.  The dict literal below keeps its
-    stable grouped-by-family order; ``_WINDOW_R5`` does the rotation at
+    stable grouped-by-family order; ``_WINDOW_R6`` does the rotation at
     return time so slot moves are one-line edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
@@ -2128,9 +2129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    missing = [k for k in _WINDOW_R5 if k not in reg]
+    missing = [k for k in _WINDOW_R6 if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
-    head = {k: reg[k] for k in _WINDOW_R5}
+    head = {k: reg[k] for k in _WINDOW_R6}
     tail = {k: v for k, v in reg.items() if k not in head}
     return head | tail
 
@@ -2144,74 +2145,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Entries added in round 5 get inserted right after slot 5; the list may
 # then exceed 50 — only the first 50 land in the window, tail order is
 # still the priority order.
-_WINDOW_R5 = [
-    "sq_topk",
-    "sq_topk_rerank",
-    "embed_delta",
-    "learn_bpe",
-    "ann_multiprobe_topk",
-    # round-5 additions land in-window the round they ship (ADVICE r4)
-    "sq_topk_codes",
-    "ann_multiprobe_pruned",
-    "ivf_pruned",
-    "apply_bpe",
-    "html_to_text",
-    "doc_trigram_logprob",
-    "zorder_key",
-    "ivf_pq_topk",
-    "ivf_pq_codes",
-    "lr_quality_classify",
-    "ann_recall_report",
-    "streaming_lr_gate",
-    "pq_topk",
-    "pq_topk_codes",
-    "pq_topk_rerank",
-    "streaming_embed_documents",
-    "knn_join_lsh",
-    "random_projection",
-    "embedding_outliers",
-    "kmeans_train",
-    "semantic_dedup",
-    "nb_lang_classify",
-    "doc_bigram_logprob",
-    "epoch_shuffle",
-    "curriculum_bins",
-    "events_hourly",
-    "events_sliding_windows",
-    "events_sessionization",
-    "events_json_stats",
-    "event_type_share",
-    "asof_event_order",
-    "event_funnel",
-    "events_cohort_retention",
-    # round-5 late additions land in-window the round they ship (ADVICE
-    # r4): the four TPC-H-completing queries, the data-quality family,
-    # drift, BM25/hybrid retrieval and the retrieval scorecard take
-    # slots 39-49 — displacing clean_text/validate_text (driver-green
-    # since round 1) and re-checks of relational entries green in r1/r3
-    "q11_part_value",
+_WINDOW_R6 = [
+    # slots 1-2: the two round-5 hash-reds (oracle BIGINT casts
+    # applied this round — VERDICT r5 ask 1)
     "q12_late_priority",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
     "dq_check",
-    "dq_quarantine",
-    "streaming_dq_gate",
-    "corpus_drift",
-    "bm25_search",
-    "bm25_index_search",
-    "hybrid_rrf_search",
-    "retrieval_quality",
-    "q1_pricing_summary",
-    "clean_text",
-    "validate_text",
-    "q2_best_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
+    # slot 3: the multimodal dedup blocking, newly oracled over the
+    # deterministic fingerprint fixture (ask 3)
+    "hamming64_dup_pairs",
+    # slots 4-7: round-6 additions land in-window the round they ship
+    "lr_roc_auc",
+    "lr_pr_curve",
+    "lr_calibration",
+    "dsir_scores",
+    # slots 8-49: every entry whose last driver-green is round 3 (the
+    # stalest signal in the registry — ask 7); clean_text/validate_text
+    # stay below per the standing r5 note (green since r1, trivial,
+    # re-verified every round by the in-repo mini-driver)
+    "customer_name_stats",
+    "customer_order_stats",
+    "customer_running_revenue",
+    "customers_without_orders",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_token_stats",
+    "doc_unigram_logprob",
+    "doc_word_entropy",
+    "high_value_customers",
+    "monthly_order_stats",
+    "order_key_set_ops",
+    "order_price_histogram",
+    "order_priority_pivot",
+    "orders_above_avg",
+    "part_size_cube",
+    "part_type_rollup",
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
@@ -2220,24 +2189,24 @@ _WINDOW_R5 = [
     "q17_small_quantity",
     "q18_large_volume",
     "q19_disjunctive_revenue",
+    "q1_pricing_summary",
     "q22_dormant_customers",
-    "top3_orders_per_customer",
-    "customer_running_revenue",
-    "customers_without_orders",
-    "customer_order_stats",
-    "order_priority_pivot",
-    "part_type_rollup",
-    "supplier_nation_balance",
-    "revenue_percentiles",
-    "part_size_cube",
-    "order_key_set_ops",
-    "customer_name_stats",
-    "orders_above_avg",
-    "monthly_order_stats",
-    "high_value_customers",
-    "order_price_histogram",
+    "q2_best_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "quantity_price_corr",
+    "revenue_percentiles",
+    "supplier_nation_balance",
     "tfidf_top_terms",
+    "top3_orders_per_customer",
+    # slot 50: the alphabetically-first round-4 entry starts the next
+    # staleness band
+    "ann_lsh_topk",
 ]
 
 
