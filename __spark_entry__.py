@@ -58,7 +58,12 @@ from inception_spark.engine import EmbeddingEngine
 from inception_spark.functions import hashing as H
 from inception_spark.functions import text_analysis as TA
 from inception_spark.functions import vectors as V
-from inception_spark.functions.cleaning import clean_text_expr, clean_text_sql
+from inception_spark.functions.cleaning import (
+    c4_line_clean,
+    c4_line_clean_sql,
+    clean_text_expr,
+    clean_text_sql,
+)
 from inception_spark.functions.sketches import (
     cms_estimate_topk,
     cms_estimate_topk_sql,
@@ -1868,10 +1873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the four round-6 additions (lr_roc_auc,
-    lr_pr_curve, lr_calibration, dsir_scores), then the 42 entries whose
-    last driver-green is round 3 — the stalest signal in the registry —
-    and the first round-4 entry.  clean_text/validate_text (green since
+    (hamming64_dup_pairs), the five round-6 additions (lr_roc_auc,
+    lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean), then the 42
+    entries whose last driver-green is round 3 — the stalest signal in
+    the registry.  clean_text/validate_text (green since
     r1, trivial) stay below per the round-5 standing note.  Everything
     driver-green in rounds 4-5 moves after the boundary; the in-repo
     mini-driver (tests/test_entry.py) still verifies every oracle pair at
@@ -1932,6 +1937,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them — the hash covers both the accented input and the fold
         "normalize_text": _q_normalize_text,
         "html_to_text": _q_html_to_text,
+        # C4 line/page cleaning over line-ified fixture text (the word-bag
+        # corpus has no newlines: ' and ' -> '.\n' in BOTH engines gives
+        # real multi-line pages with terminal punctuation to filter on)
+        "c4_line_clean": lambda spark, sf: c4_line_clean(
+            _docs(spark, sf).select(
+                "doc_id",
+                F.replace(
+                    F.col("text"), F.lit(" and "), F.lit(".\n")
+                ).alias("text"),
+            )
+        ),
         "zorder_key": _q_zorder_key,
         "extract_citations": _q_extract_citations,
         # dedup
@@ -2153,12 +2169,13 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-7: round-6 additions land in-window the round they ship
+    # slots 4-8: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
     "dsir_scores",
-    # slots 8-49: every entry whose last driver-green is round 3 (the
+    "c4_line_clean",
+    # slots 9-50: every entry whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -2204,9 +2221,6 @@ _WINDOW_R6 = [
     "supplier_nation_balance",
     "tfidf_top_terms",
     "top3_orders_per_customer",
-    # slot 50: the alphabetically-first round-4 entry starts the next
-    # staleness band
-    "ann_lsh_topk",
 ]
 
 
@@ -3470,6 +3484,10 @@ FROM embeddings
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["doc_trigram_logprob"] = TA.doc_trigram_logprob_sql("documents")
+    d["c4_line_clean"] = c4_line_clean_sql(
+        "(SELECT doc_id, replace(text, ' and ', '.' || chr(10)) AS text"
+        " FROM documents)"
+    )
     d["dsir_scores"] = TA.dsir_scores_sql("documents", "lang = 'en'")
     d["lr_quality_classify"] = NB.lr_quality_classify_sql("documents")
     _lr_rel = f"({NB.lr_quality_classify_sql('documents')})"

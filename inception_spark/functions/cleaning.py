@@ -234,3 +234,99 @@ def html_to_text_sql(col_sql: str) -> str:
     x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
     x = f"regexp_replace({x}, '\\n+', chr(10), 'g')"
     return f"trim({x}, ' ' || chr(10))"
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level web cleaning (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+# The published C4 recipe, line rules: keep only lines that end in a
+# terminal punctuation mark and contain >= 5 words; drop lines mentioning
+# javascript.  Page rules: drop pages containing '{' or 'lorem ipsum',
+# or with fewer than `min_kept_lines` surviving lines.  All pure Catalyst
+# higher-order array functions — no UDF, no shuffle, scales as a
+# projection over the corpus.
+
+_C4_TERMINAL = r'[.!?"’”]$'
+
+
+def _c4_line_keep(line: Column, min_words: int) -> Column:
+    t = F.btrim(line, F.lit(" \t"))
+    words_n = F.size(
+        F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    )
+    return (
+        t.rlike(_C4_TERMINAL)
+        & (words_n >= F.lit(int(min_words)))
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_line_clean(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+):
+    """→ (doc_id, n_lines, n_kept, keep_page, text_clean) — the C4
+    line-and-page cleaning pass.  ``text_clean`` rejoins the surviving
+    lines; ``keep_page`` applies the page-level rules (brace /
+    lorem-ipsum boilerplate markers, minimum surviving lines).  Rejected
+    pages keep their cleaned text so the filter decision stays
+    auditable (the corpus_filter quarantine pattern)."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(lines, lambda l: _c4_line_keep(l, min_words))
+    cleaned = F.array_join(
+        F.transform(kept, lambda l: F.btrim(l, F.lit(" \t"))), "\n"
+    )
+    n_kept = F.size(kept)
+    low = F.lower(F.col(text_col))
+    keep_page = (
+        (n_kept >= F.lit(int(min_kept_lines)))
+        & ~low.contains("{")
+        & ~low.contains("lorem ipsum")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        keep_page.alias("keep_page"),
+        cleaned.alias("text_clean"),
+    )
+
+
+def c4_line_clean_sql(
+    table: str = "documents",
+    *,
+    text_expr: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> str:
+    """DuckDB twin of :func:`c4_line_clean`."""
+    keep = (
+        "regexp_matches(trim(l, ' ' || chr(9)), '[.!?\"’”]$') AND "
+        "len(list_filter(regexp_split_to_array(trim(l, ' ' || chr(9)),"
+        " '\\s+'), w -> length(w) > 0)) >= {mw} AND "
+        "NOT contains(lower(trim(l, ' ' || chr(9))), 'javascript')"
+    ).format(mw=int(min_words))
+    return f"""
+WITH lx AS (
+  SELECT doc_id, {text_expr} AS t,
+         regexp_split_to_array({text_expr}, '\\n') AS lines
+  FROM {table}),
+k AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines, l -> {keep}) AS kept
+  FROM lx)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (len(kept) >= {int(min_kept_lines)}
+        AND NOT contains(lower(t), '{{')
+        AND NOT contains(lower(t), 'lorem ipsum')) AS keep_page,
+       coalesce(list_aggregate(
+         list_transform(kept, l -> trim(l, ' ' || chr(9))),
+         'string_agg', chr(10)), '') AS text_clean
+FROM k
+"""

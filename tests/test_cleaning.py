@@ -173,3 +173,30 @@ def test_html_to_text_duckdb_parity(name, raw, expected):
         f"SELECT {html_to_text_sql('?')} AS t", [raw]
     ).fetchone()[0]
     assert got == expected, name
+
+
+def test_c4_line_clean_applies_published_rules(spark):
+    """The C4 §2.2 line rules: terminal punctuation, >=5 words, no
+    javascript; page rules: brace / lorem ipsum / minimum kept lines."""
+    from inception_spark.functions.cleaning import c4_line_clean
+
+    good = ("Alpha beta gamma delta epsilon.\n"
+            "Second proper sentence sits right here!\n"
+            "Third good line closes the page out.")
+    rows = [
+        (1, good),
+        (2, good + "\nshort.\nEnable javascript to continue reading."),
+        (3, "Only one good line survives in this page.\nbad\nbad"),
+        (4, good + "\nvar x = {a: 1};"),          # brace -> page dropped
+        (5, good.replace("Second", "Lorem ipsum")),  # boilerplate marker
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+    assert out[1]["keep_page"] and out[1]["n_kept"] == 3
+    assert out[1]["text_clean"] == good
+    # bad lines stripped but page survives (still 3 good lines)
+    assert out[2]["keep_page"] and out[2]["n_kept"] == 3
+    assert "javascript" not in out[2]["text_clean"]
+    assert not out[3]["keep_page"] and out[3]["n_kept"] == 1
+    assert not out[4]["keep_page"]  # '{' page rule
+    assert not out[5]["keep_page"]  # lorem ipsum page rule
