@@ -590,6 +590,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from inception_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from inception_spark.operators.vp8l import decode_webp
+
+        return decode_webp(payload)[..., :3]  # lossless VP8L; VP8 refuses
     try:
         import io
 
@@ -598,8 +602,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise DecoderUnavailable(
-            "WebP/TIFF decode requires PIL — not installed; BMP, netpbm, "
-            "PNG, GIF and baseline JPEG decode natively"
+            "TIFF decode requires PIL — not installed; BMP, netpbm, "
+            "PNG, GIF, baseline JPEG and lossless WebP decode natively"
         )
 
 
