@@ -67,6 +67,8 @@ from inception_spark.functions.cleaning import (
 from inception_spark.functions.sketches import (
     cms_estimate_topk,
     cms_estimate_topk_sql,
+    hll_ndv_by_group,
+    hll_ndv_by_group_sql,
     hll_ndv_sql,
     sampled_quantiles,
     sampled_quantiles_sql,
@@ -1873,8 +1875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the five round-6 additions (lr_roc_auc,
-    lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean), then the 42
+    (hamming64_dup_pairs), the six round-6 additions (lr_roc_auc,
+    lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
+    events_ndv_by_type), then the stalest-signal entries (last
+    driver-green round 3); the final r3 entries that no longer fit sit
+    immediately after the boundary in priority order, then the 42
     entries whose last driver-green is round 3 — the stalest signal in
     the registry.  clean_text/validate_text (green since
     r1, trivial) stay below per the round-5 standing note.  Everything
@@ -1897,6 +1902,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": R.events_rolling_avg,
         "events_anomaly": R.events_anomaly,
         "approx_ndv": _q_approx_ndv,
+        # grouped mergeable-sketch NDV: one pass, <=m register rows per
+        # group through the shuffle (vs COUNT(DISTINCT)'s full values)
+        "events_ndv_by_type": lambda spark, sf: hll_ndv_by_group(
+            R.load_events(spark, sf), "event_type", "user_id"
+        ),
         "sampled_quantiles": lambda spark, sf: sampled_quantiles(
             R.load(spark, sf, "orders"),
             "o_totalprice",
@@ -2169,13 +2179,14 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-8: round-6 additions land in-window the round they ship
+    # slots 4-9: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
     "dsir_scores",
     "c4_line_clean",
-    # slots 9-50: every entry whose last driver-green is round 3 (the
+    "events_ndv_by_type",
+    # slots 10-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -3185,6 +3196,9 @@ SELECT estimate, n_registers, exact_ndv,
 FROM ({hll_ndv_sql("events", "user_id")}) est, ex
 """,
         "cms_heavy_hitters": cms_estimate_topk_sql("events", "user_id", k=10),
+        "events_ndv_by_type": hll_ndv_by_group_sql(
+            "events", "event_type", "user_id"
+        ),
         "pack_sequences": pack_sequences_sql(
             "documents", TA.token_count_sql("text"), budget=2048
         ),

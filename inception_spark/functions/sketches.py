@@ -355,3 +355,86 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
 FROM {table}
 WHERE {h28_sql(salted)} < {thresh}
 """
+
+
+def hll_ndv_by_group(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group NDV estimates from ONE pass: (group, estimate,
+    n_registers) — the grouped form of :func:`hll_ndv` and the shape a
+    100 TB rollup actually needs (NDV per day/region/source without a
+    per-group COUNT(DISTINCT), whose shuffle carries every distinct
+    value; here the shuffle carries ≤ m register rows per group).
+
+    The register table IS the mergeable sketch: ``groupBy(group, reg)
+    max(rank)`` partials combine map-side, and re-aggregating the same
+    table at a coarser grouping (day → month) gives the exact same
+    estimates a fresh scan would — the classic sketch-rollup property,
+    pinned in tests."""
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(col).cast("string").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    regs = (
+        src.select(
+            "grp",
+            hll_register(F.col("_v")).alias("reg"),
+            hll_rank(F.col("_v")).alias("rank"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    m = float(HLL_M)
+    est = agg.select(
+        "grp",
+        (F.col("present_sum") + (F.lit(m) - F.col("n_present"))).alias("s"),
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero"),
+    ).select(
+        "grp",
+        (F.lit(HLL_ALPHA) * F.lit(m) * F.lit(m) / F.col("s")).alias("e_raw"),
+        "n_zero",
+    )
+    lc = F.lit(m) * F.log(F.lit(m) / F.col("n_zero"))
+    return est.select(
+        "grp",
+        F.round(
+            F.when(
+                (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("n_zero") > 0),
+                lc,
+            ).otherwise(F.col("e_raw")),
+            4,
+        ).alias("estimate"),
+        F.lit(HLL_M).cast("long").alias("n_registers"),
+    )
+
+
+def hll_ndv_by_group_sql(table: str, group_col: str, col: str) -> str:
+    """DuckDB twin of :func:`hll_ndv_by_group`."""
+    m = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+    cv = f"CAST({col} AS VARCHAR)"
+    return f"""
+WITH regs AS (
+  SELECT {group_col} AS grp, {hll_register_sql(cv)} AS reg,
+         MAX({hll_rank_sql(cv)}) AS mx
+  FROM {table} WHERE {col} IS NOT NULL
+  GROUP BY 1, 2),
+a AS (
+  SELECT grp, SUM(power(CAST(2.0 AS DOUBLE), -mx)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY grp),
+e AS (
+  SELECT grp, (present_sum + ({m} - n_present)) AS s,
+         ({HLL_M} - n_present) AS n_zero
+  FROM a),
+r AS (
+  SELECT grp, ({alpha} * {m} * {m} / s) AS e_raw, n_zero FROM e)
+SELECT grp,
+       round(CASE WHEN e_raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                  AND n_zero > 0
+             THEN {m} * ln({m} / n_zero) ELSE e_raw END, 4) AS estimate,
+       CAST({HLL_M} AS BIGINT) AS n_registers
+FROM r
+"""

@@ -113,3 +113,83 @@ def test_pack_sequences_prefix_sum_invariants(spark):
             assert r["oversize"] == (r["n_tokens"] > budget)
             prev_seq = r["seq_id"]
             run += r["n_tokens"]
+
+
+def test_hll_grouped_rollup_property(spark):
+    """The grouped register table is a mergeable sketch: re-aggregating
+    fine-grained registers to a coarser grouping yields EXACTLY the
+    estimates a direct coarse scan produces — the property that lets a
+    100 TB pipeline keep per-day sketches and roll them up to months
+    without rescanning."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_ndv_by_group,
+        hll_rank,
+        hll_register,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # fine grouping: (event_type, user bucket); coarse: event_type
+    fine = ev.select(
+        F.col("event_type").alias("t"),
+        (F.col("event_id") % 3).alias("sub"),
+        F.col("user_id").cast("string").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    fine_regs = (
+        fine.select(
+            "t", "sub",
+            hll_register(F.col("_v")).alias("reg"),
+            hll_rank(F.col("_v")).alias("rank"),
+        )
+        .groupBy("t", "sub", "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    # roll up: max-merge registers across sub-groups, then estimate
+    merged = fine_regs.groupBy("t", "reg").agg(F.max("mx").alias("mx"))
+    agg = merged.groupBy("t").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("ps"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    m = float(HLL_M)
+    lc = F.lit(m) * F.log(F.lit(m) / F.col("n_zero"))
+    rolled = {
+        r["t"]: r["estimate"]
+        for r in agg.select(
+            "t",
+            (F.col("ps") + (F.lit(m) - F.col("np"))).alias("s"),
+            (F.lit(HLL_M) - F.col("np")).alias("n_zero"),
+        ).select(
+            "t",
+            (F.lit(HLL_ALPHA) * F.lit(m) * F.lit(m) / F.col("s")).alias(
+                "e_raw"
+            ),
+            "n_zero",
+        ).select(
+            "t",
+            F.round(
+                F.when(
+                    (F.col("e_raw") <= F.lit(2.5 * m))
+                    & (F.col("n_zero") > 0),
+                    lc,
+                ).otherwise(F.col("e_raw")),
+                4,
+            ).alias("estimate"),
+        ).collect()
+    }
+    direct = {
+        r["grp"]: r["estimate"]
+        for r in hll_ndv_by_group(ev, "event_type", "user_id").collect()
+    }
+    assert rolled == direct and len(direct) >= 2
+    # estimates are in a sane band around exact NDV (rel err < 25%)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    for t, est in direct.items():
+        assert abs(est - exact[t]) / exact[t] < 0.25, (t, est, exact[t])
