@@ -89,6 +89,15 @@ HEADLINE = [
     # r5+: composed IVFPQ probe + trained LR gate (3 GD rounds)
     "ivf_pq_topk",
     "lr_quality_classify",
+    # r6+: retrieval/eval/selection additions — BM25 one-explode search,
+    # exact rank-sum AUC, DSIR LM-ratio selection, C4 line cleaning,
+    # grouped mergeable-sketch NDV, banded-Hamming fixture blocking
+    "bm25_search",
+    "lr_roc_auc",
+    "dsir_scores",
+    "c4_line_clean",
+    "events_ndv_by_type",
+    "hamming64_dup_pairs",
 ]
 
 
@@ -158,8 +167,12 @@ def main() -> None:
                 # query sets: bump queryset whenever HEADLINE changes.
                 # r2=40 queries; r4=41 (+sq_topk, chunk amplified 8x);
                 # r5=47 (+sq_topk_codes, pq_topk, kmeans_train,
-                # semantic_dedup, nb_lang_classify, doc_bigram_logprob)
-                "queryset": "r5",
+                # semantic_dedup, nb_lang_classify, doc_bigram_logprob);
+                # r6=58 (+bm25_search, lr_roc_auc, dsir_scores,
+                # c4_line_clean, events_ndv_by_type, hamming64_dup_pairs;
+                # ivf_pq_topk newly in the warm list — its r5 number was
+                # part cold-start)
+                "queryset": "r6",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
             }

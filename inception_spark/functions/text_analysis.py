@@ -1303,10 +1303,13 @@ def dsir_scores(df, is_target, *, id_col="doc_id", text_col="text",
     Determinism: counts and vocab size are integers, each token's llr
     term is a 6-dp round summed as exact DECIMAL, one final double
     divide — the ``doc_unigram_logprob`` discipline (same accepted
-    last-ulp ``ln`` libm caveat).  Plan shape: ONE token explode, ONE
-    conditional hash aggregate for both models' counts (no second
-    corpus scan for the source model), scalars broadcast, join back,
-    per-doc aggregate.  Scales like every logprob operator here."""
+    last-ulp ``ln`` libm caveat).  Plan shape: ONE token explode
+    (lazily checkpointed — the exploded table feeds both the count
+    aggregate and the join-back, and without the checkpoint Catalyst
+    re-evaluates the explode subtree per consumer; the dedup.py
+    band-table pattern), ONE conditional hash aggregate fits BOTH
+    models' counts (no separate target/source scans), scalars
+    broadcast, join back, per-doc aggregate."""
     from pyspark.sql import functions as F
 
     from inception_spark.functions.hashing import words
@@ -1316,7 +1319,7 @@ def dsir_scores(df, is_target, *, id_col="doc_id", text_col="text",
         F.col(id_col).alias("doc_id"),
         is_target.cast("int").alias("t"),
         F.explode(words(F.col(text_col))).alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     wc = ex.groupBy("w").agg(
         F.sum("t").alias("c_t"),
         F.sum(F.lit(1) - F.col("t")).alias("c_s"),
