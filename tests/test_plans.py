@@ -569,3 +569,40 @@ def test_bm25_index_probe_pushes_term_filter(spark, tmp_path):
 
     raw = bm25_topk(docs, ["spark", "join"], k=10)
     assert probe.collect() == raw.collect()
+
+
+def test_r6_eval_ops_plan_shapes(spark):
+    """Round-6 operator plan pins: the scorecard and selection ops keep
+    their designed scale shapes."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.cleaning import c4_line_clean
+    from inception_spark.functions.sketches import hll_ndv_by_group
+    from inception_spark.functions.text_analysis import dsir_scores
+    from inception_spark.operators.classify import (
+        lr_quality_classify,
+        roc_auc,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+
+    # c4_line_clean is a pure projection: NO shuffle, no UDF
+    p = plan_of(c4_line_clean(docs))
+    assert "Exchange" not in p and "ArrowEvalPython" not in p
+
+    # grouped NDV: register max combines map-side before the exchange
+    p = plan_of(hll_ndv_by_group(ev, "event_type", "user_id"))
+    assert "partial_max" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    # roc_auc: corpus-level per-score aggregate is partial (map-side
+    # combine); the only window runs over that tiny table
+    p = plan_of(roc_auc(lr_quality_classify(docs)))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "ArrowEvalPython" not in p
+
+    # dsir: the token explode is computed ONCE (lazy checkpoint) — the
+    # final plan reads the cached RDD, no Generate node per consumer
+    p = plan_of(dsir_scores(docs, F.col("lang") == "en"))
+    assert "Generate" not in p, "explode re-evaluated per consumer"
