@@ -540,6 +540,21 @@ def _q_simhash_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_lsh_index_probe(spark, sf_dir):
+    """Incremental ingest: corpus = doc_id < 400 materialized once as
+    the band-table layout, probe = the rest; candidates = new x corpus
+    pairs sharing >=1 LSH band.  The index scan reads only the probed
+    keys' row groups (pinned in tests/test_plans.py)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    probe = docs.filter(F.col("doc_id") >= 400)
+    path = tempfile.mkdtemp(prefix="inception_lsh_idx_") + "/bands"
+    D.write_lsh_index(corpus, path)
+    return D.lsh_probe_pairs(spark, path, probe)
+
+
 # Deterministic 64-bit fingerprint fixture for the multimodal dedup
 # blocking (VERDICT r5 ask 3): the dHash/aFP computation is necessarily
 # Python, but the banded-Hamming blocking is pure relational — so the
@@ -1875,9 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the six round-6 additions (lr_roc_auc,
+    (hamming64_dup_pairs), the seven round-6 additions (lr_roc_auc,
     lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
-    events_ndv_by_type), then the stalest-signal entries (last
+    events_ndv_by_type, lsh_index_probe), then the stalest-signal
+    entries (last
     driver-green round 3); the final r3 entries that no longer fit sit
     immediately after the boundary in priority order, then the 42
     entries whose last driver-green is round 3 — the stalest signal in
@@ -1971,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over a deterministic fingerprint fixture (dHash itself is the
         # Python decode step; everything the driver checks is relational)
         "hamming64_dup_pairs": _q_hamming64_dup_pairs,
+        # write-once/query-many incremental near-dup probe
+        "lsh_index_probe": _q_lsh_index_probe,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "corpus_ngram_topk": lambda spark, sf: D.corpus_ngram_topk(
             _docs(spark, sf)
@@ -2179,14 +2197,15 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-9: round-6 additions land in-window the round they ship
+    # slots 4-10: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
     "dsir_scores",
     "c4_line_clean",
     "events_ndv_by_type",
-    # slots 10-50: entries whose last driver-green is round 3 (the
+    "lsh_index_probe",
+    # slots 11-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -2854,6 +2873,20 @@ SELECT doc_id,
 FROM sig
 """,
         "lsh_candidate_pairs": _dedup_cte() + "SELECT doc_a, doc_b FROM cand",
+        "lsh_index_probe": f"""
+WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_FROM_W} AS sh FROM wt),
+sig AS (SELECT doc_id, {_SIG_FROM_SH} AS sig FROM sh),
+bands AS (
+  SELECT doc_id,
+         unnest(range(0, 4)) AS band,
+         unnest({_BANDS_FROM_SIG}) AS key
+  FROM sig)
+SELECT DISTINCT p.doc_id AS probe_doc, c.doc_id AS corpus_doc
+FROM (SELECT * FROM bands WHERE doc_id >= 400) p
+JOIN (SELECT * FROM bands WHERE doc_id < 400) c
+  ON p.band = c.band AND p.key = c.key
+""",
         "ngram_jaccard_pairs": _dedup_cte() + """
 SELECT c.doc_a, c.doc_b,
   round(CASE WHEN (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0

@@ -1417,3 +1417,110 @@ SELECT h.doc_id,
        (h.allhit = 1 AND e.doc_id IS NULL) AS false_positive
 FROM hits h LEFT JOIN ex e ON h.doc_id = e.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup probe: the write-once/query-many LSH layout
+# ---------------------------------------------------------------------------
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the corpus's MinHash band table — (band, key, doc_id),
+    partitioned by ``band`` and range-sorted by ``key`` within files —
+    the dedup sibling of ``similarity.write_bucketed_embeddings`` /
+    ``text_analysis.write_inverted_index``.
+
+    The recrawl/ingest problem this solves: every published near-dup
+    pipeline re-shuffles the WHOLE corpus per batch (signatures + bands
+    + self-join over old∪new).  With the band table on disk, a new
+    batch only computes its OWN signatures and probes the index with a
+    pushed-down key filter — the corpus is never re-scanned, let alone
+    re-shuffled.  Range partitioning on (band, key) at write time gives
+    each file a tight key min/max, so the probe's IN-list prunes row
+    groups (same economics as the inverted index's term sort)."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n
+    )
+    bk = sig.select(
+        "doc_id",
+        F.posexplode(
+            H.band_keys(F.col("signature"), bands, k // bands)
+        ).alias("band", "key"),
+    )
+    (
+        bk.repartitionByRange(F.col("band"), F.col("key"))
+        .sortWithinPartitions("band", "key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def lsh_probe_pairs(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_probe_keys: int = 100_000,
+) -> DataFrame:
+    """Probe a :func:`write_lsh_index` layout with a new document batch:
+    → (probe_doc, corpus_doc) candidate near-dup pairs, the incremental
+    form of :func:`lsh_candidate_pairs` (candidates share ≥1 band — the
+    identical recall contract, restricted to new×corpus pairs; id
+    spaces are assumed disjoint, enforce upstream).
+
+    The probe batch's distinct (band, key) set is collected driver-side
+    (bounded by |batch|×bands; ``max_probe_keys`` guards the contract —
+    a "batch" the size of the corpus should rebuild the index instead)
+    and pushed as partition + key filters into the index scan, so the
+    scan reads only the probed bands' matching row groups.  The batch
+    side broadcasts into the join — zero shuffle of index data."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    sig = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, k=k,
+        shingle_n=shingle_n,
+    )
+    nb = sig.select(
+        F.col("doc_id").alias("probe_doc"),
+        F.posexplode(
+            H.band_keys(F.col("signature"), bands, k // bands)
+        ).alias("band", "key"),
+    ).localCheckpoint(eager=False)
+    keys = nb.select("band", "key").distinct().collect()
+    if len(keys) > max_probe_keys:
+        raise ValueError(
+            f"lsh_probe_pairs: probe batch produced {len(keys)} distinct "
+            f"band keys (> max_probe_keys={max_probe_keys}); a batch this "
+            "large should be folded into write_lsh_index instead"
+        )
+    by_band: dict[int, list] = {}  # keys are md5-hex strings
+    for r in keys:
+        by_band.setdefault(int(r["band"]), []).append(r["key"])
+    cond = None
+    for b in sorted(by_band):
+        c = (F.col("band") == b) & F.col("key").isin(
+            sorted(by_band[b])
+        )
+        cond = c if cond is None else cond | c
+    idx = spark.read.parquet(index_path).where(cond)
+    return (
+        idx.join(F.broadcast(nb), ["band", "key"])
+        .select("probe_doc", F.col("doc_id").alias("corpus_doc"))
+        .distinct()
+    )

@@ -500,3 +500,55 @@ def test_simhash_packed_matches_legacy_sixty_sum(spark, sf_dir):
         r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()
     }
     assert packed == legacy
+
+
+def test_lsh_index_probe_matches_batch_candidates(spark, tmp_path):
+    """Incremental probe ≡ batch LSH restricted to new×corpus pairs:
+    probing the materialized band table finds EXACTLY the candidates the
+    full (uncapped) self-join would emit across the boundary."""
+    from inception_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_pairs,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id < 300")
+    probe = docs.filter("doc_id >= 300")
+    path = str(tmp_path / "bands")
+    write_lsh_index(corpus, path)
+    got = {
+        (r["probe_doc"], r["corpus_doc"])
+        for r in lsh_probe_pairs(spark, path, probe).collect()
+    }
+    full = lsh_candidate_pairs(docs, max_bucket=None).collect()
+    want = {
+        (b, a) for r in full
+        for a, b in [(r["doc_a"], r["doc_b"])]
+        if a < 300 <= b
+    }
+    assert got == want and len(want) > 0
+
+
+def test_lsh_probe_scan_is_pruned(spark, tmp_path):
+    """The probe reads the index with pushed key filters and band
+    partition filters — not a full scan."""
+    from inception_spark.operators.dedup import (
+        lsh_probe_pairs,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "bands")
+    write_lsh_index(docs.filter("doc_id < 300"), path)
+    out = lsh_probe_pairs(spark, path, docs.filter("doc_id >= 490"))
+    f = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    scan = f[f.index("bands"):]
+    assert "PushedFilters" in scan
+    pushed = scan.split("PushedFilters")[1][:400]
+    assert "key" in pushed and "In(" in pushed
+    assert "PartitionFilters" in scan
+    # broadcast probe side: no shuffle of index rows into the join
+    assert "BroadcastHashJoin" in f
