@@ -1151,6 +1151,23 @@ def _q_streaming_dq_gate(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars", "violated_rules")
 
 
+def _q_streaming_c4_gate(spark, sf_dir):
+    """C4 web cleaning IN STREAM: c4_line_clean is a stateless
+    higher-order-array projection, so the published line/page rules run
+    unchanged over Structured Streaming micro-batches; oracle = the
+    batch twin over the same line-ified fixture text (identical by
+    construction)."""
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    lined = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" and "), F.lit(".\n")).alias(
+            "text"
+        ),
+    )
+    return run_stream_to_parquet(spark, lined, c4_line_clean)
+
+
 def _q_dedup_keep_heads(spark, sf_dir):
     """The applied end of the near-dup pipeline: the corpus with only
     each duplicate component's head retained (keep_component_heads over
@@ -1890,9 +1907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the seven round-6 additions (lr_roc_auc,
+    (hamming64_dup_pairs), the eight round-6 additions (lr_roc_auc,
     lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
-    events_ndv_by_type, lsh_index_probe), then the stalest-signal
+    events_ndv_by_type, lsh_index_probe, streaming_c4_gate), then
+    the stalest-signal
     entries (last
     driver-green round 3); the final r3 entries that no longer fit sit
     immediately after the boundary in priority order, then the 42
@@ -1936,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_check": _q_dq_check,
         "dq_quarantine": _q_dq_quarantine,
         "streaming_dq_gate": _q_streaming_dq_gate,
+        "streaming_c4_gate": _q_streaming_c4_gate,
         "corpus_drift": _q_corpus_drift,
         "bm25_search": _q_bm25_search,
         "bm25_index_search": _q_bm25_index_search,
@@ -2197,7 +2216,7 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-10: round-6 additions land in-window the round they ship
+    # slots 4-11: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
@@ -2205,7 +2224,8 @@ _WINDOW_R6 = [
     "c4_line_clean",
     "events_ndv_by_type",
     "lsh_index_probe",
-    # slots 11-50: entries whose last driver-green is round 3 (the
+    "streaming_c4_gate",
+    # slots 12-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -3535,6 +3555,7 @@ FROM embeddings
         "(SELECT doc_id, replace(text, ' and ', '.' || chr(10)) AS text"
         " FROM documents)"
     )
+    d["streaming_c4_gate"] = d["c4_line_clean"]
     d["dsir_scores"] = TA.dsir_scores_sql("documents", "lang = 'en'")
     d["lr_quality_classify"] = NB.lr_quality_classify_sql("documents")
     _lr_rel = f"({NB.lr_quality_classify_sql('documents')})"
