@@ -1151,6 +1151,52 @@ def _q_streaming_dq_gate(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars", "violated_rules")
 
 
+def _q_asof_event_next_order(spark, sf_dir):
+    """Forward as-of with tolerance: each event matched to the user's
+    NEXT order within 30 days (conversion attribution).  Oracle =
+    DuckDB LATERAL min-pick, same inclusive bounds.  The fixture's
+    events live in 2024 and orders in 1995-2001, so the event clock is
+    shifted back 29 calendar years in BOTH engines — otherwise every
+    forward match is vacuously NULL and the entry tests nothing."""
+    from inception_spark.operators.asof import asof_join, dedupe_right
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 29 YEARS")).alias("ts"),
+        "event_type",
+    )
+    orders = R.load(spark, sf_dir, "orders")
+    r = dedupe_right(
+        orders, by="o_custkey", on="o_orderdate", tie_break_desc="o_orderkey"
+    ).select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ots"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    out = asof_join(
+        ev,
+        r,
+        left_on="ts",
+        right_on="o_ots",
+        by_left="user_id",
+        by_right="o_custkey",
+        value_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 30 DAYS"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
 def _q_streaming_c4_gate(spark, sf_dir):
     """C4 web cleaning IN STREAM: c4_line_clean is a stateless
     higher-order-array projection, so the published line/page rules run
@@ -1907,9 +1953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the eight round-6 additions (lr_roc_auc,
+    (hamming64_dup_pairs), the nine round-6 additions (lr_roc_auc,
     lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
-    events_ndv_by_type, lsh_index_probe, streaming_c4_gate), then
+    events_ndv_by_type, lsh_index_probe, streaming_c4_gate,
+    asof_event_next_order), then
     the stalest-signal
     entries (last
     driver-green round 3); the final r3 entries that no longer fit sit
@@ -2169,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": R.events_json_stats,
         "event_type_share": R.event_type_share,
         "asof_event_order": _q_asof_event_order,
+        "asof_event_next_order": _q_asof_event_next_order,
         "event_funnel": R.event_funnel,
         "events_cohort_retention": R.events_cohort_retention,
         "high_value_customers": R.high_value_customers,
@@ -2216,7 +2264,7 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-11: round-6 additions land in-window the round they ship
+    # slots 4-12: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
@@ -2225,7 +2273,8 @@ _WINDOW_R6 = [
     "events_ndv_by_type",
     "lsh_index_probe",
     "streaming_c4_gate",
-    # slots 12-50: entries whose last driver-green is round 3 (the
+    "asof_event_next_order",
+    # slots 13-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -2799,6 +2848,26 @@ SELECT e.event_id, e.user_id,
        strftime(r.o_orderdate, '%Y-%m-%d') AS order_date
 FROM events e
 ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+""",
+        "asof_event_next_order": """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_custkey, o_orderdate
+      ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+       n.o_orderkey, n.o_totalprice,
+       strftime(n.o_orderdate, '%Y-%m-%d') AS order_date
+FROM (SELECT event_id, user_id, ts - INTERVAL 29 YEAR AS ts
+      FROM events) e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM r
+  WHERE r.o_custkey = e.user_id
+    AND CAST(r.o_orderdate AS TIMESTAMP) >= e.ts
+    AND CAST(r.o_orderdate AS TIMESTAMP) <= e.ts + INTERVAL 30 DAY
+  ORDER BY r.o_orderdate ASC LIMIT 1) n ON TRUE
 """,
         # --- text analysis ---
         "doc_token_stats": f"""
