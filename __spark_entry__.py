@@ -95,6 +95,8 @@ from inception_spark.operators.sampling import (
     stratified_sample_sql,
     temperature_mix,
     temperature_mix_sql,
+    token_budget_sample,
+    token_budget_sample_sql,
 )
 from inception_spark.operators import multimodal as MM
 from inception_spark.operators.chunking import chunk_documents
@@ -1953,10 +1955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the nine round-6 additions (lr_roc_auc,
+    (hamming64_dup_pairs), the ten round-6 additions (lr_roc_auc,
     lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
     events_ndv_by_type, lsh_index_probe, streaming_c4_gate,
-    asof_event_next_order), then
+    asof_event_next_order, token_budget_mix), then
     the stalest-signal
     entries (last
     driver-green round 3); the final r3 entries that no longer fit sit
@@ -2021,6 +2023,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": lambda spark, sf: cap_per_group(
             _docs(spark, sf), cap=15
         ).select("doc_id", "source"),
+        # deterministic "build an N-token mix at these domain weights"
+        # (weighted over three fixture sources + the uniform remainder
+        # exercises the ELSE-0 branch for every other source)
+        "token_budget_mix": lambda spark, sf: token_budget_sample(
+            _docs(spark, sf),
+            20_000,
+            weights={"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        ).select("doc_id", "source", "n_tokens", "cum_tokens", "selected"),
         "temperature_mix": lambda spark, sf: temperature_mix(
             _docs(spark, sf)
         ).select("doc_id", "source", "keep_threshold"),
@@ -2264,7 +2274,7 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-12: round-6 additions land in-window the round they ship
+    # slots 4-13: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
@@ -2274,7 +2284,8 @@ _WINDOW_R6 = [
     "lsh_index_probe",
     "streaming_c4_gate",
     "asof_event_next_order",
-    # slots 13-50: entries whose last driver-green is round 3 (the
+    "token_budget_mix",
+    # slots 14-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -3620,6 +3631,14 @@ FROM embeddings
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["doc_trigram_logprob"] = TA.doc_trigram_logprob_sql("documents")
+    d["token_budget_mix"] = (
+        "SELECT doc_id, source, n_tokens, cum_tokens, selected FROM ("
+        + token_budget_sample_sql(
+            "documents", 20_000,
+            weights={"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        )
+        + ")"
+    )
     d["c4_line_clean"] = c4_line_clean_sql(
         "(SELECT doc_id, replace(text, ' and ', '.' || chr(10)) AS text"
         " FROM documents)"

@@ -483,3 +483,123 @@ SELECT {key_col}, CAST({score_col} AS DOUBLE) AS score,
        CAST(1 + {cases} AS BIGINT) AS bin
 FROM {table} CROSS JOIN th
 """
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    *,
+    source_col: str = "source",
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic "build me an N-token corpus" sampler: → the input
+    plus (n_tokens, cum_tokens, selected) — docs are ranked inside each
+    source by their salted content hash (fully deterministic for a
+    fixed corpus; NOTE unlike ``stable_sample``'s rate predicate, a
+    budget is a RANK cutoff, so corpus growth can shift the boundary —
+    pin the corpus snapshot when reproducibility across snapshots
+    matters) and selected while the
+    running token total stays within the source's share of ``budget``
+    (``weights`` normalized over the sources present; uniform when
+    omitted).  The standard pretraining ask — "a 1B-token mix at these
+    domain weights" — as ONE window over a hash sort per source.
+
+    A doc that straddles its source's boundary is INCLUDED (the budget
+    is met-or-just-exceeded, never silently undershot by a whole doc);
+    callers wanting hard caps compose with ``pack_sequences``.
+
+    Scale: the window partitions by source — the sort is per-source,
+    parallel across sources; no global sort, no collect.  Skewed source
+    sizes parallelize the same way every per-source window here does."""
+    from pyspark.sql import Window
+
+    from inception_spark.functions.text_analysis import token_count
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if weights is not None:
+        bad = [k for k, v in weights.items() if v < 0]
+        if bad:
+            raise ValueError(f"negative weights for {bad}")
+    tok = (
+        token_count_col
+        if token_count_col is not None
+        else token_count(F.col("text"))
+    )
+    h = h28(
+        F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string"))
+    )
+    base = df.withColumn("n_tokens", tok.cast("long")).withColumn("_h", h)
+    if weights is None:
+        # uniform over the distinct sources present (tiny count job —
+        # control plane, like the kmeans/LR driver scalars)
+        nsrc = base.select(source_col).distinct().count()
+        per_source_budget = F.lit(int(budget) // max(1, nsrc))
+    else:
+        tot = sum(weights.values())
+        if tot <= 0:
+            raise ValueError("weights must sum to a positive value")
+        mapping = None
+        for k, v in weights.items():
+            b = F.lit(int(budget * (v / tot)))
+            mapping = (
+                F.when(F.col(source_col) == k, b)
+                if mapping is None
+                else mapping.when(F.col(source_col) == k, b)
+            )
+        per_source_budget = mapping.otherwise(F.lit(0))
+    w = Window.partitionBy(source_col).orderBy(
+        F.asc("_h"), F.asc(key_col)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    out = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    selected = (
+        F.col("cum_tokens") - F.col("n_tokens")
+    ) < per_source_budget  # straddling doc included
+    return out.withColumn("selected", selected).drop("_h")
+
+
+def token_budget_sample_sql(
+    table: str = "documents",
+    budget: int = 10_000,
+    *,
+    source_col: str = "source",
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    token_count_sql_expr: str | None = None,
+    salt: str = "budget",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample` (explicit weights)."""
+    from inception_spark.functions.text_analysis import token_count_sql
+
+    tok = token_count_sql_expr or token_count_sql("text")
+    h = h28_sql(f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)")
+    if weights is None:
+        per = (
+            f"(SELECT CAST({int(budget)} // COUNT(DISTINCT {source_col})"
+            f" AS BIGINT) FROM {table})"
+        )
+        share = f"({per})"
+    else:
+        tot = sum(weights.values())
+        cases = " ".join(
+            f"WHEN '{k}' THEN {int(budget * (v / tot))}"
+            for k, v in weights.items()
+        )
+        share = f"(CASE {source_col} {cases} ELSE 0 END)"
+    return f"""
+WITH b AS (
+  SELECT *, CAST({tok} AS BIGINT) AS n_tokens, {h} AS _h
+  FROM {table}),
+c AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+    PARTITION BY {source_col} ORDER BY _h ASC, {key_col} ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens
+  FROM b)
+SELECT * EXCLUDE (_h),
+       (cum_tokens - n_tokens) < {share} AS selected
+FROM c
+"""

@@ -181,3 +181,49 @@ def test_curriculum_bins_validation(spark, sf_dir):
         curriculum_bins(docs, "n_chars", n_bins=1)
     with _pytest.raises(ValueError):
         curriculum_bins(docs, "n_chars", rate=0.0)
+
+
+def test_token_budget_sample_respects_shares(spark):
+    """Each source's selected token mass lands at-or-just-over its share
+    of the budget (the straddling doc is included, never silently
+    undershot); zero-weight sources select nothing; deterministic."""
+    from inception_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (i, "a" if i < 40 else "b" if i < 80 else "c",
+         "tok " * (5 + i % 7))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(
+        df, 300, weights={"a": 2.0, "b": 1.0}
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    shares = {"a": 200, "b": 100}
+    for s, share in shares.items():
+        sel = sorted(
+            (r for r in by_src[s] if r["selected"]),
+            key=lambda r: r["cum_tokens"],
+        )
+        got = sum(r["n_tokens"] for r in sel)
+        assert got >= share, (s, got)                     # met
+        assert got - sel[-1]["n_tokens"] < share, (s, got)  # just barely
+    assert not any(r["selected"] for r in by_src["c"])    # unweighted
+    again = token_budget_sample(df, 300, weights={"a": 2.0, "b": 1.0}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_budget_sample_uniform_split(spark):
+    from inception_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"s{i % 3}", "w " * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(df, 60).collect()  # 20 tokens per source
+    per = {}
+    for r in out:
+        if r["selected"]:
+            per[r["source"]] = per.get(r["source"], 0) + r["n_tokens"]
+    assert set(per) == {"s0", "s1", "s2"}
+    assert all(v == 20 for v in per.values())  # 2 docs × 10 tokens each
