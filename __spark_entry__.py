@@ -1955,10 +1955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the ten round-6 additions (lr_roc_auc,
+    (hamming64_dup_pairs), the eleven round-6 additions (lr_roc_auc,
     lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
     events_ndv_by_type, lsh_index_probe, streaming_c4_gate,
-    asof_event_next_order, token_budget_mix), then
+    asof_event_next_order, token_budget_mix, gopher_quality), then
     the stalest-signal
     entries (last
     driver-green round 3); the final r3 entries that no longer fit sit
@@ -2089,6 +2089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "corpus_filter": lambda spark, sf: D.corpus_filter(_docs(spark, sf)),
+        # published Gopher heuristic gate (Rae et al. 2021 Table A1) —
+        # fixture docs are short synthetic word-bags (no English
+        # stopwords), so min_words drops to 30 and the stopword rule to
+        # 0 so BOTH keep (~395) and reject (~105) branches execute
+        "gopher_quality": lambda spark, sf: TA.gopher_quality_filter(
+            _docs(spark, sf), min_words=30, min_stopword_hits=0
+        ),
         # fixture corpus has no newlines: the articles stand in for
         # paragraph boundaries so the dedup logic is actually exercised
         "paragraph_dedup": lambda spark, sf: D.paragraph_dedup(
@@ -2274,7 +2281,7 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-13: round-6 additions land in-window the round they ship
+    # slots 4-14: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
@@ -2285,7 +2292,8 @@ _WINDOW_R6 = [
     "streaming_c4_gate",
     "asof_event_next_order",
     "token_budget_mix",
-    # slots 14-50: entries whose last driver-green is round 3 (the
+    "gopher_quality",
+    # slots 15-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -3645,6 +3653,9 @@ FROM embeddings
     )
     d["streaming_c4_gate"] = d["c4_line_clean"]
     d["dsir_scores"] = TA.dsir_scores_sql("documents", "lang = 'en'")
+    d["gopher_quality"] = TA.gopher_quality_filter_sql(
+        "documents", min_words=30, min_stopword_hits=0
+    )
     d["lr_quality_classify"] = NB.lr_quality_classify_sql("documents")
     _lr_rel = f"({NB.lr_quality_classify_sql('documents')})"
     d["lr_roc_auc"] = NB.roc_auc_sql(_lr_rel)

@@ -1396,3 +1396,161 @@ SELECT d.doc_id, {target_pred.replace('lang', 'd.lang')} AS is_target,
        p.avg_llr
 FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1)
+# ---------------------------------------------------------------------------
+
+def gopher_quality_filter(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> "DataFrame":
+    """The published Gopher document-quality rule set as ONE Catalyst
+    projection — the heuristic complement to the learned LR gate and
+    the line-level C4 cleaner:
+
+    * word count in [min_words, max_words];
+    * mean word length in [min_mean_word_len, max_mean_word_len];
+    * ``#``/``...`` symbol-to-word ratio ≤ max_symbol_word_ratio;
+    * ≥ min_alpha_word_ratio of words contain an alphabetic character;
+    * ≥ min_stopword_hits distinct common English stopwords present
+      (Gopher uses "the, be, to, of, and, that, have, with" — the
+      "contains real prose" test).
+
+    → (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    stopword_hits, reason, keep) with ``reason`` the FIRST failed rule
+    (reading order above) and NULL for keepers — the quarantine
+    auditability contract of ``corpus_filter``.  No UDF, no shuffle;
+    at 100 TB this is one narrow scan you were already paying."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    ws = words(F.col(text_col))
+    n_words = F.size(ws)
+    total_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = F.when(
+        n_words > 0, F.round(total_chars.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    sym_ratio = F.when(
+        n_words > 0,
+        F.round((n_hash + n_ellipsis).cast("double") / n_words, 6),
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, F.round(alpha_words.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    gopher_stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(s) for s in gopher_stops]),
+        )
+    )
+    reason = (
+        F.when(n_words < min_words, F.lit("too_few_words"))
+        .when(n_words > max_words, F.lit("too_many_words"))
+        .when(mean_wl < min_mean_word_len, F.lit("mean_word_len_low"))
+        .when(mean_wl > max_mean_word_len, F.lit("mean_word_len_high"))
+        .when(sym_ratio > max_symbol_word_ratio, F.lit("symbol_ratio"))
+        .when(alpha_ratio < min_alpha_word_ratio, F.lit("alpha_ratio"))
+        .when(stop_hits < min_stopword_hits, F.lit("stopwords"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        reason.alias("reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def gopher_quality_filter_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_filter`."""
+    w = words_sql(text_col)
+    stops = ", ".join(
+        f"'{s}'" for s in
+        ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, {w} AS ws, {text_col} AS t FROM {table}),
+m AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) > 0 THEN round(
+      CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+      / len(ws), 6) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(ws) > 0 THEN round(
+      CAST((len(string_split(t, '#')) - 1)
+           + (len(string_split(t, '...')) - 1) AS DOUBLE)
+      / len(ws), 6) ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(ws) > 0 THEN round(
+      CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+           AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS alpha_word_ratio,
+    len(list_intersect(list_distinct(ws), [{stops}])) AS stopword_hits
+  FROM b)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  mean_word_len, symbol_ratio, alpha_word_ratio,
+  CAST(stopword_hits AS BIGINT) AS stopword_hits,
+  CASE
+    WHEN n_words < {min_words} THEN 'too_few_words'
+    WHEN n_words > {max_words} THEN 'too_many_words'
+    WHEN mean_word_len < CAST({min_mean_word_len!r} AS DOUBLE)
+      THEN 'mean_word_len_low'
+    WHEN mean_word_len > CAST({max_mean_word_len!r} AS DOUBLE)
+      THEN 'mean_word_len_high'
+    WHEN symbol_ratio > CAST({max_symbol_word_ratio!r} AS DOUBLE)
+      THEN 'symbol_ratio'
+    WHEN alpha_word_ratio < CAST({min_alpha_word_ratio!r} AS DOUBLE)
+      THEN 'alpha_ratio'
+    WHEN stopword_hits < {min_stopword_hits} THEN 'stopwords'
+  END AS reason,
+  (CASE
+    WHEN n_words < {min_words} THEN 'too_few_words'
+    WHEN n_words > {max_words} THEN 'too_many_words'
+    WHEN mean_word_len < CAST({min_mean_word_len!r} AS DOUBLE)
+      THEN 'mean_word_len_low'
+    WHEN mean_word_len > CAST({max_mean_word_len!r} AS DOUBLE)
+      THEN 'mean_word_len_high'
+    WHEN symbol_ratio > CAST({max_symbol_word_ratio!r} AS DOUBLE)
+      THEN 'symbol_ratio'
+    WHEN alpha_word_ratio < CAST({min_alpha_word_ratio!r} AS DOUBLE)
+      THEN 'alpha_ratio'
+    WHEN stopword_hits < {min_stopword_hits} THEN 'stopwords'
+  END) IS NULL AS keep
+FROM m
+"""

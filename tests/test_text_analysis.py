@@ -91,3 +91,35 @@ def test_dsir_scores_rank_target_like_text_higher(spark):
     # held-out docs score by their VOCABULARY, not their label
     assert out[900]["avg_llr"] > 0 > out[901]["avg_llr"]
     assert out[900]["n_tokens"] == 3
+
+
+def test_gopher_rules_on_characteristic_documents(spark):
+    """Each published Gopher rule fires on a document built to violate
+    exactly it; real prose passes."""
+    from inception_spark.functions.text_analysis import (
+        gopher_quality_filter,
+    )
+
+    prose = (
+        "The committee said that it would have to be fair with every "
+        "member of the public and that the decision would be made "
+        "before the end of the year. " * 5
+    )
+    rows = [
+        (1, prose),
+        (2, "short text here"),                               # too few words
+        (3, " ".join("ab" for _ in range(60))),               # mean len low
+        (4, " ".join("strengthlessnesses" for _ in range(60))),  # len high
+        (5, prose + " " + "# " * 20),                         # symbol ratio
+        (6, prose + " " + "42 17 99 " * 40),                  # alpha ratio
+        (7, " ".join(f"w{i:04d}xyz" for i in range(80))),     # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert out[1]["keep"] and out[1]["reason"] is None
+    assert out[2]["reason"] == "too_few_words"
+    assert out[3]["reason"] == "mean_word_len_low"
+    assert out[4]["reason"] == "mean_word_len_high"
+    assert out[5]["reason"] == "symbol_ratio"
+    assert out[6]["reason"] == "alpha_ratio"
+    assert out[7]["reason"] == "stopwords"
