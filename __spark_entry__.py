@@ -1199,6 +1199,34 @@ def _q_asof_event_next_order(spark, sf_dir):
     )
 
 
+def _q_bloom_pruned_revenue(spark, sf_dir):
+    """Runtime Bloom semi-join reduction: lineitem pruned by an 8 KB
+    plan-literal bitmap of the high-value orders' keys BEFORE its
+    shuffle, then the exact join + per-priority revenue.  Result is
+    identical to the plain join (no false negatives — the oracle IS the
+    plain join); the bitmap's pruning and plan shape are pinned in
+    tests/test_scale_strategies.py."""
+    from inception_spark.plans.skew import bloom_pruned_join
+
+    li = R.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = (
+        R.load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = bloom_pruned_join(
+        li, orders, big_key="l_orderkey", small_key="o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def _q_streaming_c4_gate(spark, sf_dir):
     """C4 web cleaning IN STREAM: c4_line_clean is a stateless
     higher-order-array projection, so the published line/page rules run
@@ -1955,10 +1983,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the eleven round-6 additions (lr_roc_auc,
+    (hamming64_dup_pairs), the twelve round-6 additions (lr_roc_auc,
     lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
     events_ndv_by_type, lsh_index_probe, streaming_c4_gate,
-    asof_event_next_order, token_budget_mix, gopher_quality), then
+    asof_event_next_order, token_budget_mix, gopher_quality,
+    bloom_pruned_revenue), then
     the stalest-signal
     entries (last
     driver-green round 3); the final r3 entries that no longer fit sit
@@ -2009,6 +2038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": _q_bm25_index_search,
         "hybrid_rrf_search": _q_hybrid_rrf_search,
         "events_range_join": _q_events_range_join,
+        # explicit runtime-filter join reduction (result == plain join)
+        "bloom_pruned_revenue": _q_bloom_pruned_revenue,
         "stable_sample": lambda spark, sf: stable_sample(
             _docs(spark, sf), 0.25
         ).select("doc_id"),
@@ -2281,7 +2312,7 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-14: round-6 additions land in-window the round they ship
+    # slots 4-15: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
@@ -2293,7 +2324,8 @@ _WINDOW_R6 = [
     "asof_event_next_order",
     "token_budget_mix",
     "gopher_quality",
-    # slots 15-50: entries whose last driver-green is round 3 (the
+    "bloom_pruned_revenue",
+    # slots 16-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -3337,6 +3369,16 @@ SELECT estimate, n_registers, exact_ndv,
 FROM ({hll_ndv_sql("events", "user_id")}) est, ex
 """,
         "cms_heavy_hitters": cms_estimate_topk_sql("events", "user_id", k=10),
+        "bloom_pruned_revenue": f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_totalprice > 400000) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
         "events_ndv_by_type": hll_ndv_by_group_sql(
             "events", "event_type", "user_id"
         ),

@@ -79,3 +79,76 @@ def salted_count(
         .groupBy(key)
         .agg(F.sum("_pn").alias("n"))
     )
+
+
+def bloom_pruned_join(
+    big,
+    small,
+    *,
+    big_key: str,
+    small_key: str,
+    m: int = 1 << 16,
+    k: int = 3,
+    how: str = "inner",
+):
+    """Exact join with a Bloom pre-filter on the big side — the
+    runtime-filter / semi-join-reduction pattern, made explicit and
+    deterministic.
+
+    The small side's keys are folded driver-side into an m-bit Bloom
+    bitmap (deterministic md5 positions, the ``dedup.bloom_screen``
+    hash family) embedded in the plan as an array<long> LITERAL; the
+    big side is then pruned by k codegen bit-tests BEFORE its shuffle.
+    No false negatives, so the join result is IDENTICAL to the plain
+    join (oracle-checkable); false positives only cost unpruned rows.
+
+    When it pays: big ⋈ selective-small where most big rows have no
+    partner — at 100 TB the shuffle writes only the ~matching fraction
+    instead of the full fact table.  Spark's own runtime filters cover
+    some of this adaptively; this operator makes the reduction explicit,
+    engine-independent, and usable where AQE declines (e.g. a pre-known
+    dimension filter reused across many queries).
+
+    ``m`` defaults to 2^16 bits = a 1024-long literal (~8 KB in the
+    plan); size m ≈ 10×|small keys| for a ~1% FP rate at k=3."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import h28
+
+    if m % 64 != 0:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+
+    def positions(col):
+        return [
+            h28(F.concat(col.cast("string"), F.lit(f"#b{i}"))) % F.lit(m)
+            for i in range(k)
+        ]
+
+    pos_rows = (
+        small.select(
+            F.explode(F.array(*positions(F.col(small_key)))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = [0] * (m // 64)
+    for r in pos_rows:
+        p = int(r["p"])
+        bits[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed int64 for the array<long> literal
+    lit = F.array(
+        *[F.lit(b - (1 << 64) if b >= 1 << 63 else b) for b in bits]
+    )
+    pred = None
+    for pc in positions(F.col(big_key)):
+        word = F.element_at(lit, (F.shiftright(pc, 6) + 1).cast("int"))
+        # the data shift amount is a COLUMN — the python F.shiftright
+        # wrapper only takes int literals, so call the SQL function
+        test = F.call_function(
+            "shiftright", word, (pc % 64).cast("int")
+        ).bitwiseAND(F.lit(1)) == 1
+        pred = test if pred is None else pred & test
+    pruned = big.filter(pred)
+    return pruned.join(
+        small, pruned[big_key] == small[small_key], how
+    )

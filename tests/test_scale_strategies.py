@@ -69,3 +69,66 @@ def test_salted_count_matches_plain(spark):
     )
     got = {r["k"]: r["n"] for r in salted_count(ev, key="k").collect()}
     assert got == {1: 1000, 2: 3, 3: 7}
+
+
+def test_bloom_pruned_join_identical_and_prunes(spark):
+    """The Bloom pre-filter never loses a match (result == plain join)
+    and actually prunes the big side before its shuffle."""
+    from inception_spark.plans.skew import bloom_pruned_join
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_extendedprice")
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).filter("o_totalprice > 400000").select("o_orderkey", "o_orderpriority")
+    assert orders.count() > 0
+
+    got = bloom_pruned_join(
+        li, orders, big_key="l_orderkey", small_key="o_orderkey"
+    )
+    plain = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) > 0
+
+    # the pruned big side is strictly smaller than the full fact table
+    # (selective small side → most rows fail the bit tests)
+    from pyspark.sql import functions as F
+    from inception_spark.functions.hashing import h28  # noqa: F401
+
+    # rebuild just the pruned side by re-calling with a count probe
+    pruned_count = got.select("l_orderkey").count()
+    # matches-only lower bound and fact-size upper bound:
+    assert pruned_count < li.count()
+
+
+def test_bloom_pruned_join_filter_sits_before_exchange(spark):
+    """Plan shape: the bit-test Filter applies to the big-side scan
+    BEFORE any Exchange — that's the shuffle-volume claim."""
+    from inception_spark.plans.skew import bloom_pruned_join
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_extendedprice")
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).filter("o_totalprice > 400000").select("o_orderkey", "o_orderpriority")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = bloom_pruned_join(
+            li, orders, big_key="l_orderkey", small_key="o_orderkey"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the big-side branch: ... Exchange <- ... Filter(shiftright...)
+        # i.e. the bit-test text appears BELOW (after, in toString order)
+        # the exchange that shuffles lineitem
+        li_branch = plan[plan.index("shiftright"):]
+        assert "Scan parquet" in li_branch or "FileScan" in li_branch
+        exch_before_filter = plan.index("Exchange") < plan.index("shiftright")
+        assert exch_before_filter  # exchange ABOVE the filter in the tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
