@@ -403,3 +403,37 @@ def test_decode_image_dispatches_webp(spark):
     from inception_spark.operators.multimodal import encode_bmp
 
     assert dhash64(rgb) == dhash64(decode_image(encode_bmp(img[..., :3])))
+
+
+# --------------------------------------------------------------------------
+# property-based fuzz: any image, any encoder configuration, bit-exact
+# --------------------------------------------------------------------------
+
+def test_round_trip_fuzz():
+    """200 random (shape, palette-size, lz77, cache) configurations —
+    every one must round-trip bit-exactly.  Catches interactions the
+    targeted tests can't enumerate (e.g. a simple code for one channel
+    alongside a deep normal code for another, runs crossing row
+    boundaries under a small cache)."""
+    import random
+
+    rnd = random.Random(99)
+    for trial in range(200):
+        h = rnd.randint(1, 12)
+        w = rnd.randint(1, 40)
+        n_colors = rnd.choice([1, 2, 3, 8, 64, 256])
+        palette = [
+            tuple(rnd.randrange(256) for _ in range(4))
+            for _ in range(n_colors)
+        ]
+        img = np.array(
+            [[palette[rnd.randrange(n_colors)] for _ in range(w)]
+             for _ in range(h)],
+            dtype=np.uint8,
+        )
+        kw = {
+            "use_lz77": rnd.random() < 0.5,
+            "cache_bits": rnd.choice([0, 0, 1, 4, 8]),
+        }
+        got = decode_webp(encode_webp_lossless(img, **kw))
+        assert np.array_equal(got, img), (trial, img.shape, kw)
