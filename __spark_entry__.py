@@ -1983,11 +1983,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
     the two round-5 hash-reds whose oracle casts were fixed this round
     (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the twelve round-6 additions (lr_roc_auc,
+    (hamming64_dup_pairs), the thirteen round-6 additions (lr_roc_auc,
     lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
     events_ndv_by_type, lsh_index_probe, streaming_c4_gate,
     asof_event_next_order, token_budget_mix, gopher_quality,
-    bloom_pruned_revenue), then
+    bloom_pruned_revenue, lr_best_threshold), then
     the stalest-signal
     entries (last
     driver-green round 3); the final r3 entries that no longer fit sit
@@ -2215,6 +2215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr_calibration": lambda spark, sf: NB.calibration_bins(
             NB.lr_quality_classify(_docs(spark, sf))
         ),
+        "lr_best_threshold": lambda spark, sf: NB.best_f1_threshold(
+            NB.lr_quality_classify(_docs(spark, sf))
+        ),
         # epoch-reproducible training shuffle + curriculum binning
         "epoch_shuffle": lambda spark, sf: epoch_shuffle(
             _docs(spark, sf), epoch=3
@@ -2312,7 +2315,7 @@ _WINDOW_R6 = [
     # slot 3: the multimodal dedup blocking, newly oracled over the
     # deterministic fingerprint fixture (ask 3)
     "hamming64_dup_pairs",
-    # slots 4-15: round-6 additions land in-window the round they ship
+    # slots 4-16: round-6 additions land in-window the round they ship
     "lr_roc_auc",
     "lr_pr_curve",
     "lr_calibration",
@@ -2325,7 +2328,8 @@ _WINDOW_R6 = [
     "token_budget_mix",
     "gopher_quality",
     "bloom_pruned_revenue",
-    # slots 16-50: entries whose last driver-green is round 3 (the
+    "lr_best_threshold",
+    # slots 17-50: entries whose last driver-green is round 3 (the
     # stalest signal in the registry — ask 7); clean_text/validate_text
     # stay below per the standing r5 note (green since r1, trivial,
     # re-verified every round by the in-repo mini-driver)
@@ -3703,6 +3707,7 @@ FROM embeddings
     d["lr_roc_auc"] = NB.roc_auc_sql(_lr_rel)
     d["lr_pr_curve"] = NB.pr_curve_sql(_lr_rel)
     d["lr_calibration"] = NB.calibration_bins_sql(_lr_rel)
+    d["lr_best_threshold"] = NB.best_f1_threshold_sql(_lr_rel)
     d["kmeans_train"] = CL.kmeans_train_sql(
         "embeddings", k=8, n_iter=2, dim=_EMB_DIM
     )

@@ -634,3 +634,50 @@ SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
        round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
 FROM agg
 """
+
+
+def best_f1_threshold(
+    scored: DataFrame, *, label_col: str = "y", score_col: str = "prob"
+) -> DataFrame:
+    """→ 1 row (threshold, tp, fp, precision, recall, f1) — the
+    operating point a deployed quality gate actually needs: the
+    :func:`pr_curve` sweep reduced to its max-F1 threshold (highest
+    threshold wins ties, so the chosen gate is the most conservative of
+    the equally-good ones).  F1 is computed from the 6-dp rounded
+    precision/recall — identical doubles in every engine — and itself
+    rounded to 6 dp before the arg-max."""
+    from pyspark.sql import Window
+
+    pts = pr_curve(scored, label_col=label_col, score_col=score_col)
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        F.round(
+            F.lit(2.0) * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    w = Window.orderBy(F.desc("f1"), F.desc("threshold"))
+    return (
+        pts.withColumn("f1", f1)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("threshold", "tp", "fp", "precision", "recall", "f1")
+    )
+
+
+def best_f1_threshold_sql(scored_rel: str, *, label_col: str = "y",
+                          score_col: str = "prob") -> str:
+    """DuckDB twin of :func:`best_f1_threshold`."""
+    inner = pr_curve_sql(scored_rel, label_col=label_col,
+                         score_col=score_col)
+    return f"""
+WITH pts AS ({inner}),
+f AS (
+  SELECT *, CASE WHEN precision + recall > 0 THEN
+      round(2.0 * precision * recall / (precision + recall), 6)
+    ELSE 0.0 END AS f1
+  FROM pts)
+SELECT threshold, tp, fp, precision, recall, f1
+FROM f ORDER BY f1 DESC, threshold DESC LIMIT 1
+"""

@@ -189,3 +189,25 @@ def test_calibration_bins_integer_ratios(spark):
     assert out[1]["n"] == 3 and out[1]["n_pos"] == 1
     assert out[1]["frac_pos"] == round(1 / 3, 6)
     assert out[1]["mean_prob"] == 0.15
+
+
+def test_best_f1_threshold_matches_brute_force(spark):
+    from inception_spark.operators.classify import best_f1_threshold
+
+    rows = [(1.0, 0.9), (1.0, 0.8), (0.0, 0.8), (0.0, 0.6),
+            (1.0, 0.5), (0.0, 0.2), (1.0, 0.1)]
+    df = spark.createDataFrame(rows, "y double, prob double")
+    got = best_f1_threshold(df).collect()[0]
+
+    best = None
+    npos = sum(1 for y, _ in rows if y == 1.0)
+    for t in sorted({s for _, s in rows}, reverse=True):
+        tp = sum(1 for y, s in rows if s >= t and y == 1.0)
+        fp = sum(1 for y, s in rows if s >= t and y == 0.0)
+        p = round(tp / (tp + fp), 6)
+        r = round(tp / npos, 6)
+        f1 = round(2 * p * r / (p + r), 6) if p + r > 0 else 0.0
+        if best is None or f1 > best[5] or (f1 == best[5] and t > best[0]):
+            best = (t, tp, fp, p, r, f1)
+    assert (got["threshold"], got["tp"], got["fp"], got["precision"],
+            got["recall"], got["f1"]) == best
