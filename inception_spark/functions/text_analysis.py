@@ -1367,13 +1367,19 @@ def dsir_scores(df, is_target, *, id_col="doc_id", text_col="text",
 
 def dsir_scores_sql(table: str = "documents", target_pred: str =
                     "lang = 'en'", *, alpha=0.5) -> str:
-    """DuckDB twin of :func:`dsir_scores` under ``target_pred``."""
+    """DuckDB twin of :func:`dsir_scores` under ``target_pred``.
+
+    ``target_pred`` is evaluated ONCE, unqualified, in a ``base`` CTE
+    over ``{table}`` — it may reference any of the table's columns (no
+    string-rewrite qualification, which corrupted predicates where a
+    column name occurred inside another identifier)."""
     w = words_sql("text")
     a = float(alpha)
     return f"""
-WITH ex AS (
-  SELECT doc_id, CAST({target_pred} AS INT) AS t, unnest({w}) AS w
-  FROM {table}),
+WITH base AS (
+  SELECT doc_id, CAST({target_pred} AS INT) AS t, text FROM {table}),
+ex AS (
+  SELECT doc_id, t, unnest({w}) AS w FROM base),
 wc AS (
   SELECT w, SUM(t) AS c_t, SUM(1 - t) AS c_s FROM ex GROUP BY w),
 scal AS (
@@ -1391,10 +1397,10 @@ per_doc AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
          CAST(SUM(llr) AS DOUBLE) / COUNT(*) AS avg_llr
   FROM scored GROUP BY doc_id)
-SELECT d.doc_id, {target_pred.replace('lang', 'd.lang')} AS is_target,
+SELECT b.doc_id, CAST(b.t AS BOOLEAN) AS is_target,
        CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
        p.avg_llr
-FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 """
 
 

@@ -26,6 +26,7 @@ an independent engine at sf0.01.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from inception_spark.functions import hashing as H
 from inception_spark.functions.text_analysis import fingerprint
@@ -1508,6 +1509,18 @@ def lsh_probe_pairs(
             f"lsh_probe_pairs: probe batch produced {len(keys)} distinct "
             f"band keys (> max_probe_keys={max_probe_keys}); a batch this "
             "large should be folded into write_lsh_index instead"
+        )
+    if not keys:
+        # empty probe batch (or all-null text): nothing to probe — an
+        # empty pair set, not a null-predicate scan
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("probe_doc", T.LongType()),
+                    T.StructField("corpus_doc", T.LongType()),
+                ]
+            ),
         )
     by_band: dict[int, list] = {}  # keys are md5-hex strings
     for r in keys:

@@ -90,6 +90,7 @@ def bloom_pruned_join(
     m: int = 1 << 16,
     k: int = 3,
     how: str = "inner",
+    max_small_rows: int = 1_000_000,
 ):
     """Exact join with a Bloom pre-filter on the big side — the
     runtime-filter / semi-join-reduction pattern, made explicit and
@@ -110,13 +111,39 @@ def bloom_pruned_join(
     dimension filter reused across many queries).
 
     ``m`` defaults to 2^16 bits = a 1024-long literal (~8 KB in the
-    plan); size m ≈ 10×|small keys| for a ~1% FP rate at k=3."""
+    plan); size m ≈ 10×|small keys| for a ~1% FP rate at k=3.
+
+    Guards (both raise with a remediation message instead of silently
+    degrading):
+
+    * ``how`` must be ``inner`` or ``left_semi`` — pruning the big side
+      before an outer join would drop preserved-side rows that should
+      survive with NULLs, breaking the identical-result contract.
+    * ``max_small_rows`` caps the driver-side bit-position collect (the
+      same shape as ``lsh_probe_pairs.max_probe_keys``): the small side
+      is counted first, and a side bigger than the cap raises — at that
+      size the Bloom literal stops being "small dimension" and a plain
+      shuffle join (or AQE's own runtime filter) is the right plan."""
     from pyspark.sql import functions as F
 
     from inception_spark.functions.hashing import h28
 
     if m % 64 != 0:
         raise ValueError(f"m must be a multiple of 64, got {m}")
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_pruned_join supports how='inner'/'left_semi', got "
+            f"{how!r}: pruning the big side before a {how} join would "
+            "drop rows the outer join must preserve — use a plain join"
+        )
+    n_small = small.count()
+    if n_small > max_small_rows:
+        raise ValueError(
+            f"small side has {n_small} rows > max_small_rows="
+            f"{max_small_rows}; the driver-side Bloom build would "
+            "collect k*n distinct bit positions — use a plain shuffle "
+            "join (or raise the cap deliberately)"
+        )
 
     def positions(col):
         return [

@@ -13,17 +13,33 @@ Crawl ships ~1 GB gzipped segments, tens of thousands per crawl), so the
 natural Spark decomposition is ONE TASK PER FILE — the same shape every
 published Common Crawl Spark pipeline uses (e.g. cc-pyspark).  Files
 load through the built-in ``binaryFile`` source and records stream out
-of an Arrow-batched ``mapInPandas``, so a 100 TB crawl parallelizes
-across however many segment files it has, with no shuffle.  The .gz
-framing (one gzip member per record, members concatenated) decompresses
-incrementally — a segment never needs its INFLATED size in memory at
-once, only the compressed bytes binaryFile hands the task.
+of an Arrow-batched ``mapInPandas``.
+
+Memory contract (per task, enforced by tests/test_warc.py):
+
+* the COMPRESSED segment bytes (that is ``binaryFile``'s contract — it
+  hands the task one in-memory ``content`` column value);
+* ONE inflate chunk (``_CHUNK`` = 1 MiB) fed to ``zlib.decompressobj``
+  at a time — the inflated stream is never materialized;
+* ONE in-flight record (header block + ``Content-Length`` payload) in
+  the reassembly buffer — records are parsed and released as the
+  inflater produces bytes, so peak buffering is
+  ``O(chunk + largest_record)``, not ``O(inflated_segment)``;
+* ONE pending Arrow batch (``batch_rows`` rows / ``batch_bytes`` payload
+  bytes, whichever fills first) — records stream out in bounded pandas
+  frames instead of one frame per file.
+
+So a 100 TB crawl parallelizes across however many segment files it
+has, with no shuffle, and a task's footprint is the compressed segment
+plus small constants — a pathological single record (one giant page) is
+the only way to grow it, and ``max_payload_bytes`` caps what leaves the
+parser even then.
 """
 
 from __future__ import annotations
 
 import zlib
-from collections.abc import Iterator
+from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -42,92 +58,190 @@ WARC_SCHEMA = T.StructType(
     ]
 )
 
+_CHUNK = 1 << 20  # compressed bytes fed to the inflater per step
+_MAX_HEADER_BYTES = 1 << 20  # a WARC header block larger than this is garbage
+
 
 class WarcFormatError(ValueError):
     """Raised on a structurally invalid WARC record."""
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Inflate a stream of CONCATENATED gzip members (the WARC .gz
-    convention: one member per record) into one plain-bytes stream."""
-    out = []
+def _iter_inflated_chunks(
+    data: bytes, *, chunk_size: int = _CHUNK, strict: bool = True
+) -> Iterator[bytes]:
+    """Incrementally inflate a stream of CONCATENATED gzip members (the
+    WARC .gz convention: one member per record), yielding plain-bytes
+    chunks as they decompress.
+
+    Never materializes the inflated stream: compressed input is fed to
+    ``zlib.decompressobj`` ``chunk_size`` bytes at a time via a moving
+    ``memoryview`` (no tail re-slicing), and member boundaries hand
+    ``unused_data`` straight to a fresh decompressor.  A corrupt member
+    (bad CRC / garbage bytes) raises :class:`WarcFormatError` when
+    ``strict``, else ends the stream after the bytes inflated so far
+    (quarantine semantics).  A TRUNCATED final member simply ends the
+    stream — the record parser downstream reports the truncated record.
+    """
+    view = memoryview(data)
     pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(data[pos:]))
-        out.append(d.flush())
-        tail = d.unused_data
-        if not tail:
-            break
-        pos = len(data) - len(tail)
-    return b"".join(out)
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    feed: bytes | memoryview = b""
+    while True:
+        if not len(feed):
+            if pos >= len(view):
+                break
+            feed = view[pos : pos + chunk_size]
+            pos += len(feed)
+        try:
+            out = d.decompress(feed)
+        except zlib.error as exc:
+            if strict:
+                raise WarcFormatError(f"corrupt gzip member: {exc}") from exc
+            return
+        feed = b""
+        if out:
+            yield out
+        if d.eof:
+            feed = d.unused_data  # start of the NEXT member (may be b"")
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
 
 
-def parse_warc_records(
-    data: bytes, *, strict: bool = True
+class _RecordBuffer:
+    """Bounded reassembly buffer between the inflater and the record
+    parser: holds the not-yet-parsed tail of the stream, which the
+    parser keeps to at most one in-flight record (+ one chunk of
+    lookahead).  ``peak`` records the high-water mark so tests can
+    assert the bound."""
+
+    __slots__ = ("_chunks", "buf", "base", "eof", "peak")
+
+    def __init__(self, chunks: Iterable[bytes]):
+        self._chunks = iter(chunks)
+        self.buf = bytearray()
+        self.base = 0  # absolute stream offset of buf[0]
+        self.eof = False
+        self.peak = 0
+
+    def _pull(self) -> bool:
+        try:
+            chunk = next(self._chunks)
+        except StopIteration:
+            self.eof = True
+            return False
+        self.buf += chunk
+        if len(self.buf) > self.peak:
+            self.peak = len(self.buf)
+        return True
+
+    def ensure(self, n: int) -> bool:
+        """Buffer at least ``n`` bytes; False if the stream ends first."""
+        while len(self.buf) < n and not self.eof:
+            self._pull()
+        return len(self.buf) >= n
+
+    def find(self, pat: bytes, *, limit: int) -> int:
+        """Index of ``pat`` in the buffer, pulling chunks as needed; -1
+        at EOF or once more than ``limit`` bytes were scanned without a
+        match (malformed input guard)."""
+        scan_from = 0
+        while True:
+            i = self.buf.find(pat, scan_from)
+            if i >= 0:
+                return i
+            if len(self.buf) > limit:
+                return -1
+            scan_from = max(0, len(self.buf) - len(pat) + 1)
+            if not self._pull():
+                return -1
+
+    def consume(self, n: int) -> None:
+        del self.buf[:n]
+        self.base += n
+
+
+def iter_warc_records(
+    chunks: Iterable[bytes], *, strict: bool = True, stats: dict | None = None
 ) -> Iterator[dict]:
-    """Yield one dict per WARC record from raw (already-inflated) bytes.
+    """Yield one dict per WARC record from an iterator of (inflated)
+    byte chunks, buffering at most one in-flight record at a time.
 
     A record is ``WARC/1.x CRLF`` + ``Name: value CRLF`` header block +
     empty line + exactly ``Content-Length`` payload bytes + two CRLFs.
     Header names are case-insensitive per the spec.  ``strict=False``
     stops at the first malformed record instead of raising (quarantine
-    semantics for truncated segments)."""
-    if data[:2] == b"\x1f\x8b":  # gzipped segment
-        data = _gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record padding
-        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
-            return
-        start = pos
-        if not data.startswith(b"WARC/", pos):
-            if strict:
-                raise WarcFormatError(
-                    f"expected WARC/ version line at offset {pos}"
+    semantics for truncated segments).  ``stats``, if given, receives
+    ``peak_buffer_bytes`` — the reassembly buffer's high-water mark —
+    when iteration finishes."""
+    rb = _RecordBuffer(chunks)
+    try:
+        while True:
+            # skip inter-record CRLF padding
+            while rb.ensure(1) and rb.buf[0] in (0x0D, 0x0A):
+                rb.consume(1)
+            if not rb.ensure(1):
+                return  # clean EOF
+            start = rb.base
+            rb.ensure(5)
+            if bytes(rb.buf[:5]) != b"WARC/":
+                if strict:
+                    raise WarcFormatError(
+                        f"expected WARC/ version line at offset {start}"
+                    )
+                return
+            hdr_end = rb.find(b"\r\n\r\n", limit=_MAX_HEADER_BYTES)
+            if hdr_end < 0:
+                if strict:
+                    raise WarcFormatError("unterminated WARC header block")
+                return
+            headers: dict[str, str] = {}
+            for line in bytes(rb.buf[:hdr_end]).split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
                 )
-            return
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            if strict:
-                raise WarcFormatError("unterminated WARC header block")
-            return
-        headers: dict[str, str] = {}
-        lines = data[pos:hdr_end].split(b"\r\n")
-        for line in lines[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("ascii", "replace")] = (
-                v.strip().decode("utf-8", "replace")
-            )
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            if strict:
-                raise WarcFormatError(
-                    f"missing/invalid Content-Length at offset {start}"
-                )
-            return
-        body_start = hdr_end + 4
-        if body_start + length > n:
-            if strict:
-                raise WarcFormatError(
-                    f"truncated payload at offset {start}"
-                )
-            return
-        yield {
-            "record_offset": start,
-            "warc_type": headers.get("warc-type"),
-            "record_id": headers.get("warc-record-id"),
-            "target_uri": headers.get("warc-target-uri"),
-            "warc_date": headers.get("warc-date"),
-            "content_type": headers.get("content-type"),
-            "content_length": length,
-            "payload": data[body_start : body_start + length],
-        }
-        pos = body_start + length
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                if strict:
+                    raise WarcFormatError(
+                        f"missing/invalid Content-Length at offset {start}"
+                    )
+                return
+            body_start = hdr_end + 4
+            if not rb.ensure(body_start + length):
+                if strict:
+                    raise WarcFormatError(
+                        f"truncated payload at offset {start}"
+                    )
+                return
+            yield {
+                "record_offset": start,
+                "warc_type": headers.get("warc-type"),
+                "record_id": headers.get("warc-record-id"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": length,
+                "payload": bytes(rb.buf[body_start : body_start + length]),
+            }
+            rb.consume(body_start + length)
+    finally:
+        if stats is not None:
+            stats["peak_buffer_bytes"] = rb.peak
+
+
+def parse_warc_records(
+    data: bytes, *, strict: bool = True, stats: dict | None = None
+) -> Iterator[dict]:
+    """Yield one dict per WARC record from raw segment bytes (gzipped or
+    plain — sniffed from the magic).  Thin composition of the streaming
+    inflater and the streaming record parser; peak memory is
+    ``O(chunk + largest record)`` past the compressed input."""
+    if data[:2] == b"\x1f\x8b":
+        chunks: Iterable[bytes] = _iter_inflated_chunks(data, strict=strict)
+    else:
+        chunks = (data,)
+    yield from iter_warc_records(chunks, strict=strict, stats=stats)
 
 
 def read_warc(
@@ -137,6 +251,8 @@ def read_warc(
     record_types: list[str] | None = None,
     max_payload_bytes: int | None = None,
     strict: bool = True,
+    batch_rows: int = 1024,
+    batch_bytes: int = 64 << 20,
 ) -> DataFrame:
     """WARC directory/glob → one row per record (``WARC_SCHEMA``).
 
@@ -147,9 +263,14 @@ def read_warc(
       payload bytes into Arrow batches at all.
     * ``max_payload_bytes`` — truncate oversized payloads (a single
       outlier page must not blow the Arrow batch budget).
-    * ``strict=False`` — per-file quarantine semantics: a malformed or
-      truncated segment yields its valid prefix instead of failing the
-      task (the bad-UTF8 contract of ``read_documents_text``).
+    * ``strict=False`` — per-file quarantine semantics: a malformed,
+      truncated, or gzip-corrupt segment yields its valid prefix instead
+      of failing the task (the bad-UTF8 contract of
+      ``read_documents_text``).
+    * ``batch_rows`` / ``batch_bytes`` — Arrow batch bounds: a pandas
+      frame is emitted when either fills, so a million-record segment
+      streams out as many small frames instead of one giant one (the
+      module-docstring memory contract).
 
     Downstream composition is ordinary DataFrame code: filter
     content_type, decode payload, ``html_to_text`` the markup, feed the
@@ -161,7 +282,8 @@ def read_warc(
     def mapper(batches):
         for pdf in batches:
             for fname, content in zip(pdf["path"], pdf["content"]):
-                rows = []
+                rows: list[dict] = []
+                nbytes = 0
                 for rec in parse_warc_records(bytes(content), strict=strict):
                     if keep is not None and rec["warc_type"] not in keep:
                         continue
@@ -171,8 +293,37 @@ def read_warc(
                     ):
                         rec["payload"] = rec["payload"][:max_payload_bytes]
                     rows.append({"warc_file": fname, **rec})
+                    nbytes += len(rec["payload"])
+                    if len(rows) >= batch_rows or nbytes >= batch_bytes:
+                        yield pd.DataFrame(rows)
+                        rows, nbytes = [], 0
                 if rows:
                     yield pd.DataFrame(rows)
 
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(mapper, WARC_SCHEMA)
+
+
+def build_warc_record(
+    warc_type: str,
+    payload: bytes,
+    *,
+    target_uri: str | None = None,
+    record_id: str = "<urn:uuid:0>",
+    warc_date: str = "2024-01-01T00:00:00Z",
+    content_type: str = "application/octet-stream",
+) -> bytes:
+    """Serialize one WARC/1.1 record (the write side of the grammar
+    ``parse_warc_records`` reads).  Pure function — used by tests and by
+    fixture synthesis for the driver's ``warc_record_stats`` oracle."""
+    head = (
+        "WARC/1.1\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        + (f"WARC-Target-URI: {target_uri}\r\n" if target_uri else "")
+        + f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"

@@ -552,3 +552,20 @@ def test_lsh_probe_scan_is_pruned(spark, tmp_path):
     assert "PartitionFilters" in scan
     # broadcast probe side: no shuffle of index rows into the join
     assert "BroadcastHashJoin" in f
+
+
+def test_lsh_probe_empty_batch(spark, tmp_path):
+    """An empty (or all-filtered) probe batch returns an empty pair
+    frame with the contract schema instead of raising on a null
+    predicate."""
+    from inception_spark.operators.dedup import (
+        lsh_probe_pairs,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "bands")
+    write_lsh_index(docs.filter("doc_id < 100"), path)
+    out = lsh_probe_pairs(spark, path, docs.filter("doc_id < 0"))
+    assert out.columns == ["probe_doc", "corpus_doc"]
+    assert out.count() == 0

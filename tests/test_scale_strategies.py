@@ -132,3 +132,43 @@ def test_bloom_pruned_join_filter_sits_before_exchange(spark):
         assert exch_before_filter  # exchange ABOVE the filter in the tree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_pruned_join_guards(spark):
+    """The outer-join and unbounded-collect footguns raise with
+    remediation messages instead of silently corrupting/collecting."""
+    import pytest
+
+    from inception_spark.plans.skew import bloom_pruned_join
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey")
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey")
+    # outer joins would drop preserved-side rows the prune removed
+    for how in ("left", "right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="inner"):
+            bloom_pruned_join(
+                li, orders, big_key="l_orderkey",
+                small_key="o_orderkey", how=how,
+            )
+    # driver-collect cap, mirroring lsh_probe_pairs.max_probe_keys
+    with pytest.raises(ValueError, match="max_small_rows"):
+        bloom_pruned_join(
+            li, orders, big_key="l_orderkey", small_key="o_orderkey",
+            max_small_rows=10,
+        )
+    # left_semi stays allowed and correct (no false negatives)
+    semi = bloom_pruned_join(
+        li.distinct(), orders.filter("o_orderkey < 100"),
+        big_key="l_orderkey", small_key="o_orderkey", how="left_semi",
+    )
+    plain = li.distinct().join(
+        orders.filter("o_orderkey < 100"),
+        li["l_orderkey"] == orders["o_orderkey"], "left_semi",
+    )
+    assert sorted(r[0] for r in semi.collect()) == sorted(
+        r[0] for r in plain.collect()
+    )
