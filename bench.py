@@ -93,6 +93,12 @@ HEADLINE = [
     # exact rank-sum AUC, DSIR LM-ratio selection, C4 line cleaning,
     # grouped mergeable-sketch NDV, banded-Hamming fixture blocking
     "bm25_search",
+    # r7+: hybrid retrieval, in-plan vs served-from-materialized-indexes
+    # (the write-once/query-many claim, measured side by side; the index
+    # entry caches its layout per sf_dir, so min-of-3 reports the
+    # steady-state probe cost — the build is the first call only)
+    "hybrid_rrf_search",
+    "hybrid_index_search",
     "lr_roc_auc",
     "dsir_scores",
     "c4_line_clean",

@@ -362,3 +362,47 @@ def finalize_compaction(
             "original restored"
         )
     return str(backup)
+
+
+def compaction_plan_stats(
+    listing: DataFrame, *, target_bytes: int
+) -> DataFrame:
+    """Relational twin of :func:`compaction_plan` over a
+    ``(path, bytes)`` file-listing relation → ONE accounting row:
+    ``(n_small, n_keep, small_bytes, keep_bytes, n_output_files)``.
+
+    Same decision rule as the dict planner (files ≥ target keep,
+    undersized files group into ``ceil(small_bytes / target)`` outputs,
+    zero outputs when nothing is undersized) expressed as a single
+    conditional aggregate, so the plan a 100 TB table-maintenance pass
+    would execute is auditable as a query over the catalog's file
+    listing — and DuckDB-oracle-able.  ``keep_bytes`` equals
+    :func:`compact_small_files`'s ``copied_bytes`` (healthy files are
+    FS-copied byte-for-byte); tests pin the dict/relational agreement
+    over a real directory listing."""
+    t = int(target_bytes)
+    small = F.col("bytes") < t
+    agg = listing.agg(
+        F.coalesce(F.sum(small.cast("long")), F.lit(0))
+        .cast("long").alias("n_small"),
+        F.coalesce(F.sum((~small).cast("long")), F.lit(0))
+        .cast("long").alias("n_keep"),
+        F.coalesce(F.sum(F.when(small, F.col("bytes"))), F.lit(0))
+        .cast("long").alias("small_bytes"),
+        F.coalesce(F.sum(F.when(~small, F.col("bytes"))), F.lit(0))
+        .cast("long").alias("keep_bytes"),
+    )
+    n_out = (
+        F.when(F.col("n_small") == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(1),
+                F.expr(f"(small_bytes + {t - 1}) DIV {t}"),
+            )
+        )
+        .cast("long")
+        .alias("n_output_files")
+    )
+    return agg.select(
+        "n_small", "n_keep", "small_bytes", "keep_bytes", n_out
+    )

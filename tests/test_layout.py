@@ -269,3 +269,47 @@ def test_finalize_compaction_swaps_atomically(spark, tmp_path):
     # a second swap without reclaiming the backup is refused
     with pytest.raises(ValueError, match="already exists"):
         finalize_compaction(spark, src, plan["out_path"])
+
+
+def test_compaction_plan_stats_matches_dict_planner(spark, tmp_path):
+    """The relational plan accounting == the dict planner == the real
+    compaction's observed accounting, over a real mixed directory."""
+    from inception_spark.operators.layout import (
+        compact_small_files,
+        compaction_plan,
+        compaction_plan_stats,
+        list_data_files,
+    )
+
+    src = str(tmp_path / "mixed")
+    spark.range(200000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(src)
+    spark.range(10).selectExpr(
+        "id + 1000000 AS id", "repeat('y', 4) AS pad"
+    ).repartition(8).write.mode("append").parquet(src)
+
+    target = 256 * 1024
+    files = list_data_files(spark, src)
+    listing = spark.createDataFrame(files, "path string, bytes long")
+    [row] = compaction_plan_stats(listing, target_bytes=target).collect()
+    d = compaction_plan(files, target_bytes=target)
+    assert row["n_small"] == len(d["rewrite"]) > 0
+    assert row["n_keep"] == len(d["keep"]) > 0
+    assert row["small_bytes"] == d["rewrite_bytes"]
+    assert row["n_output_files"] == d["n_output_files"]
+    real = compact_small_files(spark, src, target_bytes=target)
+    assert row["keep_bytes"] == real["copied_bytes"]
+
+
+def test_compaction_plan_stats_empty_and_all_healthy(spark):
+    from inception_spark.operators.layout import compaction_plan_stats
+
+    empty = spark.createDataFrame([], "path string, bytes long")
+    [r] = compaction_plan_stats(empty, target_bytes=100).collect()
+    assert tuple(r) == (0, 0, 0, 0, 0)
+    healthy = spark.createDataFrame(
+        [("a", 500), ("b", 900)], "path string, bytes long"
+    )
+    [r] = compaction_plan_stats(healthy, target_bytes=100).collect()
+    assert tuple(r) == (0, 2, 0, 1400, 0)
