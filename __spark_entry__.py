@@ -61,14 +61,18 @@ from inception_spark.functions import vectors as V
 from inception_spark.functions.cleaning import (
     c4_line_clean,
     c4_line_clean_sql,
+    canonical_url_sql,
     clean_text_expr,
     clean_text_sql,
 )
 from inception_spark.functions.sketches import (
     cms_estimate_topk,
     cms_estimate_topk_sql,
+    hll_estimate_from_registers,
+    hll_merge_registers,
     hll_ndv_by_group,
     hll_ndv_by_group_sql,
+    hll_registers_by_group,
     hll_ndv_sql,
     sampled_quantiles,
     sampled_quantiles_sql,
@@ -100,7 +104,10 @@ from inception_spark.operators.sampling import (
 )
 from inception_spark.operators import multimodal as MM
 from inception_spark.operators.chunking import chunk_documents
-from inception_spark.operators.layout import compaction_plan_stats
+from inception_spark.operators.layout import (
+    compaction_plan_stats,
+    parquet_rowgroup_stats,
+)
 from inception_spark.sources.warc import read_warc
 from inception_spark.functions.pii import pii_stats, pii_stats_sql
 from inception_spark.plans import relational as R
@@ -632,6 +639,98 @@ def _q_warc_record_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_records"),
         F.sum("content_length").cast("long").alias("total_len"),
         F.countDistinct("target_uri").cast("long").alias("n_uris"),
+    )
+
+
+def _q_doc_script_profile(spark, sf_dir):
+    """Unicode-script char profile.  The fixture corpus is pure ASCII,
+    so docs get deterministic script injection in BOTH engines first
+    (doc_id%3==1: 'a'→Cyrillic а, doc_id%3==2: 'e'→CJK 中) — all four
+    dominant-script branches and every fraction column execute."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.replace(F.col("text"), F.lit("a"), F.lit("а")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.replace(F.col("text"), F.lit("e"), F.lit("中")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TA.doc_script_profile(docs)
+
+
+_URL_CASE = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'https://www.docs.example.com/p/' "
+    "|| CAST(doc_id {d} 4 AS {s}) || '?utm_source=feed&b=2&a=1' "
+    "WHEN 1 THEN 'http://docs.example.com/p/' "
+    "|| CAST(doc_id {d} 4 AS {s}) || '/?a=1&b=2' "
+    "WHEN 2 THEN 'HTTPS://DOCS.example.com/p/' "
+    "|| CAST(doc_id {d} 4 AS {s}) || '?b=2&a=1#frag' "
+    "ELSE 'https://docs.example.com/u/' || CAST(doc_id AS {s}) END"
+)
+
+
+def _q_url_dedup(spark, sf_dir):
+    """Crawl URL dedup over a deterministic refetch fixture: doc_id%4
+    variants 0/1/2 of the same page key differ only in scheme case,
+    www., trailing slash, utm param, query order, and fragment — the
+    canonicalizer collapses all three; %4==3 stays unique.  Exercises
+    every normalization rule plus the n_dups>1 and singleton branches."""
+    urls = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_CASE.format(d="DIV", s="STRING")).alias("url")
+    )
+    return D.url_dedup(urls)
+
+
+def _q_hll_incremental_ndv(spark, sf_dir):
+    """Incremental NDV: the event stream arrives as two batches
+    (event_id parity); each batch sketches independently
+    (hll_registers_by_group), the register tables merge
+    (register-wise max), and the estimate over the merged state equals
+    a fresh full scan EXACTLY — which is what the oracle computes.
+    The write-once/merge-many shape a 100 TB rollup persists per
+    ingest batch instead of rescanning history."""
+    ev = R.load_events(spark, sf_dir)
+    b1 = hll_registers_by_group(
+        ev.filter("event_id % 2 = 0"), "event_type", "user_id"
+    )
+    b2 = hll_registers_by_group(
+        ev.filter("event_id % 2 = 1"), "event_type", "user_id"
+    )
+    return hll_estimate_from_registers(hll_merge_registers(b1, b2))
+
+
+def _q_parquet_rowgroup_stats(spark, sf_dir):
+    """Layout audit: write doc_ids SORTED into 100-row row groups
+    (pyarrow fixture synthesis — the layout a clustered write
+    produces), then the distributed footer scan must report exactly
+    the min/max fences the sort promises — which the oracle derives
+    from the data alone (rank DIV 100 windows over sorted doc_ids).
+    A shuffled layout would fail the hash match: the fences ARE the
+    pruning contract."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = _docs(spark, sf_dir).select("doc_id").sort("doc_id").toPandas()
+    d = tempfile.mkdtemp(prefix="inception_rg_")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        d + "/docs_sorted.parquet",
+        row_group_size=100,
+    )
+    out = parquet_rowgroup_stats(spark, d, column="doc_id")
+    return out.select(
+        "rg",
+        "n_rows",
+        F.col("min_v").alias("min_doc"),
+        F.col("max_v").alias("max_doc"),
     )
 
 
@@ -2148,26 +2247,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 6 (see ``_WINDOW_R6`` below):
-    the two round-5 hash-reds whose oracle casts were fixed this round
-    (q12_late_priority, dq_check), the newly-oracled multimodal blocking
-    (hamming64_dup_pairs), the thirteen round-6 additions (lr_roc_auc,
-    lr_pr_curve, lr_calibration, dsir_scores, c4_line_clean,
-    events_ndv_by_type, lsh_index_probe, streaming_c4_gate,
-    asof_event_next_order, token_budget_mix, gopher_quality,
-    bloom_pruned_revenue, lr_best_threshold), then
-    the stalest-signal
-    entries (last
-    driver-green round 3); the final r3 entries that no longer fit sit
-    immediately after the boundary in priority order, then the 42
-    entries whose last driver-green is round 3 — the stalest signal in
-    the registry.  clean_text/validate_text (green since
-    r1, trivial) stay below per the round-5 standing note.  Everything
-    driver-green in rounds 4-5 moves after the boundary; the in-repo
-    mini-driver (tests/test_entry.py) still verifies every oracle pair at
-    sf0.001 regardless of position.  The dict literal below keeps its
-    stable grouped-by-family order; ``_WINDOW_R6`` does the rotation at
-    return time so slot moves are one-line edits."""
+    with the least driver signal.  Round 7 (see ``_WINDOW_R7`` below):
+    slots 1-8 are the eight relational entries whose last driver-green
+    is round 3 (they fell past slot 50 in the r6 rotation), slots 9-10
+    retire the clean_text/validate_text standing exception (green since
+    r1 — the stalest signal in the registry), slots 11-18 are the
+    round-7 additions (warc_record_stats, compaction_plan_stats,
+    hybrid_index_search, parquet_rowgroup_stats, doc_script_profile,
+    url_dedup, hll_incremental_ndv, events_gap_fill), and slots 19-50
+    draw from the round-4-green cohort in deterministic name order; the
+    cohort's remaining 18 entries sit immediately past the boundary as
+    the round-8 head.  Everything green in rounds 5-6 moves after them;
+    the in-repo mini-driver (tests/test_entry.py) still verifies every
+    oracle pair at sf0.001 regardless of position.  The dict literal
+    below keeps its stable grouped-by-family order; ``_WINDOW_R7`` does
+    the rotation at return time so slot moves are one-line edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
         # + splitter hash-verified against a recursive-CTE oracle, encoder
@@ -2272,6 +2366,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_record_stats": _q_warc_record_stats,
         # table-maintenance accounting: the compaction plan as a query
         "compaction_plan_stats": _q_compaction_plan_stats,
+        # distributed parquet footer audit over a sorted fixture layout
+        "parquet_rowgroup_stats": _q_parquet_rowgroup_stats,
+        # unicode-script char profile (script-injection fixture)
+        "doc_script_profile": _q_doc_script_profile,
+        # crawl URL canonicalization + first-fetch dedup
+        "url_dedup": _q_url_dedup,
+        # mergeable-sketch incremental NDV (batch registers -> merge)
+        "hll_incremental_ndv": _q_hll_incremental_ndv,
+        # hourly spine + forward-filled gaps per event type
+        "events_gap_fill": R.events_gap_fill,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "corpus_ngram_topk": lambda spark, sf: D.corpus_ngram_topk(
             _docs(spark, sf)
@@ -2467,90 +2571,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    missing = [k for k in _WINDOW_R6 if k not in reg]
+    missing = [k for k in _WINDOW_R7 if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
-    head = {k: reg[k] for k in _WINDOW_R6}
+    head = {k: reg[k] for k in _WINDOW_R7}
     tail = {k: v for k, v in reg.items() if k not in head}
     return head | tail
 
 
-# Round-5 driver-window priority order (first 50 dict entries are the
-# driver's correctness window).  Ranked by staleness of driver signal:
-#   1-5   round-4 additions — never in any driver window
-#   6-13  events_* — repaired in r4, last driver-checked broken (r3)
-#   14-15 clean_text/validate_text — last green round 1
-#   16-50 relational + tfidf — last green round 3
-# Entries added in round 5 get inserted right after slot 5; the list may
-# then exceed 50 — only the first 50 land in the window, tail order is
-# still the priority order.
-_WINDOW_R6 = [
-    # slots 1-2: the two round-5 hash-reds (oracle BIGINT casts
-    # applied this round — VERDICT r5 ask 1)
-    "q12_late_priority",
-    "dq_check",
-    # slot 3: the multimodal dedup blocking, newly oracled over the
-    # deterministic fingerprint fixture (ask 3)
-    "hamming64_dup_pairs",
-    # slots 4-16: round-6 additions land in-window the round they ship
-    "lr_roc_auc",
-    "lr_pr_curve",
-    "lr_calibration",
-    "dsir_scores",
-    "c4_line_clean",
-    "events_ndv_by_type",
-    "lsh_index_probe",
-    "streaming_c4_gate",
-    "asof_event_next_order",
-    "token_budget_mix",
-    "gopher_quality",
-    "bloom_pruned_revenue",
-    "lr_best_threshold",
-    # slots 17-50: entries whose last driver-green is round 3 (the
-    # stalest signal in the registry — ask 7); clean_text/validate_text
-    # stay below per the standing r5 note (green since r1, trivial,
-    # re-verified every round by the in-repo mini-driver)
-    "customer_name_stats",
-    "customer_order_stats",
-    "customer_running_revenue",
-    "customers_without_orders",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_token_stats",
-    "doc_unigram_logprob",
-    "doc_word_entropy",
-    "high_value_customers",
-    "monthly_order_stats",
-    "order_key_set_ops",
-    "order_price_histogram",
-    "order_priority_pivot",
-    "orders_above_avg",
-    "part_size_cube",
-    "part_type_rollup",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q22_dormant_customers",
-    "q2_best_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "quantity_price_corr",
-    "revenue_percentiles",
-    "supplier_nation_balance",
+# Round-7 driver-window priority order (the driver's correctness window
+# runs the FIRST 50 dict entries; entries listed beyond slot 50 head the
+# post-boundary tail so they rotate in first next round).  Ranked by
+# staleness of driver signal (VERDICT r6 ask 1):
+#   1-8   last driver-green round 3 (fell past slot 50 in the r6 window)
+#   9-10  clean_text/validate_text — green since r1; the r5 standing
+#         exception is RETIRED (5 rounds stale is too long)
+#   11-18 round-7 additions (driver signal the round they ship)
+#   19-50 the round-4-green cohort, deterministic name order; its last
+#         18 entries sit just past the boundary as the r8 head
+_WINDOW_R7 = [
+    # slots 1-8: last green r3
     "tfidf_top_terms",
     "top3_orders_per_customer",
+    "supplier_nation_balance",
+    "revenue_percentiles",
+    "quantity_price_corr",
+    "q9_product_profit",
+    "q8_market_share",
+    "q7_volume_shipping",
+    # slots 9-10: last green r1
+    "clean_text",
+    "validate_text",
+    # slots 11-18: new in r7
+    "warc_record_stats",
+    "compaction_plan_stats",
+    "hybrid_index_search",
+    "parquet_rowgroup_stats",
+    "doc_script_profile",
+    "url_dedup",
+    "hll_incremental_ndv",
+    "events_gap_fill",
+    # slots 19-50 + r8 head: the r4-green cohort
+    "ann_lsh_topk",
+    "approx_ndv",
+    "benchmark_contamination",
+    "bloom_screen",
+    "build_vocab",
+    "cap_per_group",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "corpus_filter",
+    "corpus_ngram_topk",
+    "corpus_report",
+    "corpus_upsert",
+    "cosine_topk",
+    "dedup_components",
+    "dedup_keep_heads",
+    "doc_pii_scrub",
+    "doc_shingle_novelty",
+    "embed_documents",
+    "embedding_dup_pairs",
+    "events_anomaly",
+    "events_range_join",
+    "events_rolling_avg",
+    "exact_dedup",
+    "extract_citations",
+    "frequent_ngram_scrub",
+    "ivf_flat_topk",
+    "knn_label_join",
+    "leakage_safe_split",
+    "lsh_candidate_pairs",
+    "lsh_eval_report",
+    "minhash_signatures",
+    "nation_segments",
+    "ngram_jaccard_pairs",
+    "normalize_text",
+    "pack_sequences",
+    "paragraph_dedup",
+    "sampled_quantiles",
+    "shard_manifest",
+    "simhash_docs",
+    "simhash_dup_pairs",
+    "stable_sample",
+    "stratified_sample",
+    "streaming_events_hourly",
+    "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_sessionization",
+    "supplier_pagerank",
+    "temperature_mix",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 
@@ -3243,6 +3353,18 @@ SELECT n_small, n_keep, small_bytes, keep_bytes,
        AS BIGINT) AS n_output_files
 FROM agg
 """,
+        # the fixture writes sorted doc_ids in 100-row row groups, so
+        # footer stats must equal rank-window min/max over the data
+        "parquet_rowgroup_stats": """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents)
+SELECT CAST(rk // 100 AS BIGINT) AS rg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM r GROUP BY 1
+""",
         "ngram_jaccard_pairs": _dedup_cte() + """
 SELECT c.doc_a, c.doc_b,
   round(CASE WHEN (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0
@@ -3862,6 +3984,53 @@ FROM s QUALIFY rank <= 10
     d["bm25_index_search"] = d["bm25_search"]
     d["hybrid_rrf_search"] = _hybrid_rrf_oracle_sql()
     d["hybrid_index_search"] = _hybrid_index_oracle_sql()
+    d["doc_script_profile"] = TA.doc_script_profile_sql(
+        "(SELECT doc_id,"
+        " CASE WHEN doc_id % 3 = 1 THEN replace(text, 'a', 'а')"
+        "      WHEN doc_id % 3 = 2 THEN replace(text, 'e', '中')"
+        "      ELSE text END AS text FROM documents)"
+    )
+    d["url_dedup"] = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_CASE.format(d='//', s='VARCHAR')} AS url
+  FROM documents),
+c AS (SELECT doc_id, {canonical_url_sql('url')} AS canon_url FROM u)
+SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM c GROUP BY canon_url
+"""
+    # merged-batch registers == full-scan registers (register-wise max
+    # is associative/idempotent), so the incremental path shares the
+    # one-pass oracle exactly
+    d["hll_incremental_ndv"] = hll_ndv_by_group_sql(
+        "events", "event_type", "user_id"
+    )
+    d["events_gap_fill"] = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT event_type, hour_ts FROM hours CROSS JOIN types),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_value
+  FROM events GROUP BY 1, 2)
+SELECT s.event_type,
+       strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       last_value(h.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS avg_value_ffill,
+       h.n_events IS NULL AS is_gap
+FROM spine s LEFT JOIN hourly h USING (event_type, hour_ts)
+"""
     d["corpus_drift"] = TA.corpus_drift_report_sql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",

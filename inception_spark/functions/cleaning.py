@@ -330,3 +330,81 @@ SELECT doc_id,
          'string_agg', chr(10)), '') AS text_clean
 FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl dedup keying)
+# ---------------------------------------------------------------------------
+#
+# The standard first-stage dedup key of every web-crawl pipeline: the
+# same page gets fetched as http/https, with/without "www.", with
+# tracking params, reordered query strings, fragments, and trailing
+# slashes.  Rules (RFC 3986 §6 syntax-based normalization + the usual
+# crawl extensions):
+#   1. drop the fragment (#...)
+#   2. drop the scheme (http vs https: same resource)
+#   3. lowercase the host, strip a leading "www."
+#   4. drop utm_* tracking params, sort the remaining query params
+#   5. strip trailing "/" from the path
+# Pure codegen'd Catalyst (regexp + higher-order array ops on the query
+# string) — a projection: no UDF, no shuffle, runs unchanged in-stream.
+
+def canonical_url_expr(col: Column) -> Column:
+    u = F.regexp_replace(col, r"#.*$", "")                       # 1
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")  # 2
+    host = F.lower(F.substring_index(u, "/", 1))
+    host = F.regexp_replace(host, r"^www\.", "")                 # 3
+    return F.concat(host, _canon_pathq(u))
+
+
+def _canon_pathq(u: Column) -> Column:
+    pathq = F.substring(u, F.length(F.substring_index(u, "/", 1)) + 1,
+                        F.length(u))
+    path = F.substring_index(pathq, "?", 1)
+    has_q = F.instr(pathq, "?") > 0
+    query = F.when(
+        has_q, F.substring(pathq, F.length(path) + 2, F.length(pathq))
+    ).otherwise(F.lit(""))
+    path_c = F.regexp_replace(path, r"/+$", "")                  # 5
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (~x.startswith("utm_")) & (x != ""),
+    )
+    q_c = F.array_join(F.array_sort(params), "&")                # 4
+    return F.concat(
+        path_c, F.when(q_c != "", F.concat(F.lit("?"), q_c)).otherwise("")
+    )
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url_expr` (same rule order;
+    list_filter/list_sort for the query params)."""
+    u = (
+        f"regexp_replace(regexp_replace({url_expr}, '#.*$', ''), "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://', '')"
+    )
+    return f"""(
+  WITH x AS (SELECT {u} AS u),
+  parts AS (
+    SELECT regexp_replace(lower(split_part(u, '/', 1)), '^www\\.', '')
+             AS host,
+           CASE WHEN position('/' IN u) > 0
+                THEN substr(u, length(split_part(u, '/', 1)) + 1)
+                ELSE '' END AS pathq
+    FROM x),
+  pq AS (
+    SELECT host, split_part(pathq, '?', 1) AS path,
+           CASE WHEN position('?' IN pathq) > 0
+                THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+                ELSE '' END AS query
+    FROM parts)
+  SELECT host || regexp_replace(path, '/+$', '') ||
+         CASE WHEN q <> '' THEN '?' || q ELSE '' END
+  FROM (
+    SELECT host, path,
+           coalesce(list_aggregate(list_sort(list_filter(
+             string_split(query, '&'),
+             p -> NOT starts_with(p, 'utm_') AND p <> '')),
+             'string_agg', '&'), '') AS q
+    FROM pq)
+)"""

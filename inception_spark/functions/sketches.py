@@ -369,11 +369,25 @@ def hll_ndv_by_group(df: DataFrame, group_col: str, col: str) -> DataFrame:
     table at a coarser grouping (day → month) gives the exact same
     estimates a fresh scan would — the classic sketch-rollup property,
     pinned in tests."""
+    regs = hll_registers_by_group(df, group_col, col)
+    return hll_estimate_from_registers(regs)
+
+
+def hll_registers_by_group(
+    df: DataFrame, group_col: str, col: str
+) -> DataFrame:
+    """The materializable sketch state behind :func:`hll_ndv_by_group`:
+    (grp, reg, mx) — ≤ m rows per group, the table a 100 TB pipeline
+    persists per ingest batch.  Merge batches with
+    :func:`hll_merge_registers` (register-wise max — associative,
+    commutative, idempotent), estimate any time with
+    :func:`hll_estimate_from_registers`; merged-then-estimated equals a
+    fresh full scan EXACTLY (pinned in tests + driver oracle)."""
     src = df.select(
         F.col(group_col).alias("grp"),
         F.col(col).cast("string").alias("_v"),
     ).filter(F.col("_v").isNotNull())
-    regs = (
+    return (
         src.select(
             "grp",
             hll_register(F.col("_v")).alias("reg"),
@@ -382,6 +396,24 @@ def hll_ndv_by_group(df: DataFrame, group_col: str, col: str) -> DataFrame:
         .groupBy("grp", "reg")
         .agg(F.max("rank").alias("mx"))
     )
+
+
+def hll_merge_registers(*register_dfs: DataFrame) -> DataFrame:
+    """Merge any number of (grp, reg, mx) register tables into one:
+    union + register-wise max.  The incremental-NDV primitive — new
+    data folds in without rescanning history, and the shuffle carries
+    ≤ m rows per group per batch, never raw values."""
+    if not register_dfs:
+        raise ValueError("hll_merge_registers needs >= 1 register table")
+    out = register_dfs[0]
+    for r in register_dfs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("grp", "reg").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(grp, estimate, n_registers) from a (grp, reg, mx) register
+    table — the estimator half of :func:`hll_ndv_by_group`."""
     agg = regs.groupBy("grp").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("present_sum"),
         F.count(F.lit(1)).alias("n_present"),

@@ -1560,3 +1560,97 @@ SELECT doc_id,
   END) IS NULL AS keep
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script character profile (language/script ID signal)
+# ---------------------------------------------------------------------------
+
+def doc_script_profile(
+    df, *, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Per-document Unicode-script character profile → fractions of
+    Latin letters, digits, Cyrillic, CJK-ideograph, and whitespace
+    characters, plus a dominant-script call.
+
+    The char-class signal complements :func:`doc_lang_id`'s word-level
+    n-gram heuristic: script mixing (latin text shot through with CJK,
+    mojibake, ransom-note spam) is invisible to token models but leaps
+    out of a character histogram — it's the standard first-pass router
+    in multilingual crawl pipelines (e.g. choose tokenizer / language
+    model family by script before any word-level work).
+
+    Pure Catalyst: each class count is ``length(text) -
+    length(regexp_replace(text, class, ''))`` — codegen'd, no UDF, no
+    shuffle (a projection).  Fractions round to 4 decimals; the
+    dominant call breaks ties by fixed priority latin > cyrillic > cjk
+    > digit (deterministic, oracle-matchable)."""
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def cnt(pattern):
+        return n - F.length(F.regexp_replace(t, pattern, ""))
+
+    latin = cnt(r"[A-Za-z]")
+    digit = cnt(r"[0-9]")
+    cyr = cnt(r"[Ѐ-ӿ]")
+    cjk = cnt(r"[一-鿿]")
+    space = cnt(r"\s")
+
+    def frac(c):
+        return F.when(n > 0, F.round(c.cast("double") / n, 4))
+
+    dominant = (
+        F.when((latin >= cyr) & (latin >= cjk) & (latin >= digit), "latin")
+        .when((cyr >= cjk) & (cyr >= digit), "cyrillic")
+        .when(cjk >= digit, "cjk")
+        .otherwise("digit")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars_total"),
+        frac(latin).alias("latin_frac"),
+        frac(digit).alias("digit_frac"),
+        frac(cyr).alias("cyrillic_frac"),
+        frac(cjk).alias("cjk_frac"),
+        frac(space).alias("space_frac"),
+        dominant.alias("dominant_script"),
+    )
+
+
+def doc_script_profile_sql(
+    table: str = "documents", *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`doc_script_profile` (RE2 ``\\x{...}``
+    char-class syntax instead of Java's ``\\uXXXX``; ``'g'`` flag since
+    DuckDB's regexp_replace is single-match by default)."""
+    classes = {
+        "latin": "[A-Za-z]",
+        "digit": "[0-9]",
+        "cyr": r"[\x{0400}-\x{04FF}]",
+        "cjk": r"[\x{4E00}-\x{9FFF}]",
+        "space": r"[\s]",
+    }
+    cnts = ",\n  ".join(
+        f"length({text_col}) - length(regexp_replace({text_col}, "
+        f"'{pat}', '', 'g')) AS {name}"
+        for name, pat in classes.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS doc_id, length({text_col}) AS n,
+  {cnts}
+  FROM {table})
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_total,
+  CASE WHEN n > 0 THEN round(CAST(latin AS DOUBLE) / n, 4) END AS latin_frac,
+  CASE WHEN n > 0 THEN round(CAST(digit AS DOUBLE) / n, 4) END AS digit_frac,
+  CASE WHEN n > 0 THEN round(CAST(cyr AS DOUBLE) / n, 4) END AS cyrillic_frac,
+  CASE WHEN n > 0 THEN round(CAST(cjk AS DOUBLE) / n, 4) END AS cjk_frac,
+  CASE WHEN n > 0 THEN round(CAST(space AS DOUBLE) / n, 4) END AS space_frac,
+  CASE WHEN latin >= cyr AND latin >= cjk AND latin >= digit THEN 'latin'
+       WHEN cyr >= cjk AND cyr >= digit THEN 'cyrillic'
+       WHEN cjk >= digit THEN 'cjk'
+       ELSE 'digit' END AS dominant_script
+FROM c
+"""

@@ -1537,3 +1537,31 @@ def lsh_probe_pairs(
         .select("probe_doc", F.col("doc_id").alias("corpus_doc"))
         .distinct()
     )
+
+
+def url_dedup(
+    df: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl URL dedup — the first-stage key of every web pipeline:
+    canonicalize each URL (:func:`~inception_spark.functions.cleaning.
+    canonical_url_expr`: fragment/scheme/www/utm-param/trailing-slash
+    normalization, pure Catalyst projection) and keep the first fetch
+    per canonical URL → (canon_url, n_dups, keep_id).
+
+    ONE hash aggregate on the canon key (map-side partial combine
+    absorbs hot URLs); no raw-URL shuffle beyond the key itself.  At
+    crawl scale this runs BEFORE any content-based dedup — it removes
+    the bulk of refetches for the cost of a projection + one shuffle."""
+    from inception_spark.functions.cleaning import canonical_url_expr
+
+    return (
+        df.select(
+            canonical_url_expr(F.col(url_col)).alias("canon_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("_id").cast("long").alias("keep_id"),
+        )
+    )

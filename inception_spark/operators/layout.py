@@ -406,3 +406,70 @@ def compaction_plan_stats(
     return agg.select(
         "n_small", "n_keep", "small_bytes", "keep_bytes", n_out
     )
+
+
+def parquet_rowgroup_stats(
+    spark: SparkSession, path: str, *, column: str | None = None
+) -> DataFrame:
+    """Distributed parquet FOOTER scan → one row per (file, row group):
+    ``(file, rg, n_rows, total_byte_size[, min_v, max_v])`` with
+    ``min_v``/``max_v`` the written statistics of ``column`` (integer
+    columns; cast to long).
+
+    This is the metadata layer row-group pruning runs on — auditing it
+    as a query is how you verify a layout actually carries the min/max
+    fences a sorted write promises (a table whose row groups all span
+    the full key range prunes NOTHING, and no scan-side flag fixes
+    that).  Shape: the FILE LIST is the DataFrame (one task per file
+    batch), each task reads only footers via pyarrow — bytes read ≈
+    footer size per file, never data pages; a 100 k-file table audits
+    in seconds."""
+    import pyarrow  # noqa: F401 — fail fast driver-side if absent
+
+    files = [
+        p
+        for p, _ in list_data_files(spark, path)
+        if p.endswith(".parquet")
+    ]
+    fields = "file string, rg long, n_rows long, total_byte_size long"
+    if column is not None:
+        fields += ", min_v long, max_v long"
+    paths_df = spark.createDataFrame([(p,) for p in files], "file string")
+
+    def mapper(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                local = f[len("file:"):] if f.startswith("file:") else f
+                md = pq.ParquetFile(local).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    rec = {
+                        "file": f,
+                        "rg": g,
+                        "n_rows": rg.num_rows,
+                        "total_byte_size": rg.total_byte_size,
+                    }
+                    if column is not None:
+                        for j in range(rg.num_columns):
+                            col = rg.column(j)
+                            if col.path_in_schema == column:
+                                st = col.statistics
+                                rec["min_v"] = (
+                                    int(st.min) if st and st.has_min_max
+                                    else None
+                                )
+                                rec["max_v"] = (
+                                    int(st.max) if st and st.has_min_max
+                                    else None
+                                )
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return paths_df.repartition(
+        max(1, min(len(files), 64))
+    ).mapInPandas(mapper, fields)

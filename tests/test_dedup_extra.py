@@ -569,3 +569,27 @@ def test_lsh_probe_empty_batch(spark, tmp_path):
     out = lsh_probe_pairs(spark, path, docs.filter("doc_id < 0"))
     assert out.columns == ["probe_doc", "corpus_doc"]
     assert out.count() == 0
+
+
+def test_url_dedup_collapses_refetch_variants(spark):
+    """scheme/www/utm/query-order/slash/fragment variants of one page
+    collapse to one canonical key; distinct pages stay distinct."""
+    from inception_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "https://www.Site.com/a/b?utm_c=x&z=1&a=2"),
+        (2, "http://site.com/a/b/?a=2&z=1"),
+        (3, "HTTPS://SITE.com/a/b?z=1&a=2#sec"),
+        (4, "https://site.com/a/c"),
+        (5, "https://other.com/a/b?a=2&z=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["canon_url"]: (r["n_dups"], r["keep_id"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "site.com/a/b?a=2&z=1": (3, 1),
+        "site.com/a/c": (1, 4),
+        "other.com/a/b?a=2&z=1": (1, 5),
+    }

@@ -313,3 +313,36 @@ def test_compaction_plan_stats_empty_and_all_healthy(spark):
     )
     [r] = compaction_plan_stats(healthy, target_bytes=100).collect()
     assert tuple(r) == (0, 2, 0, 1400, 0)
+
+
+def test_parquet_rowgroup_stats_multifile(spark, tmp_path):
+    """Footer audit over a multi-file dir: per-row-group fences match
+    the written sort, and only footers are read (metadata-sized I/O is
+    implied by the pyarrow API used — asserted here at the row level)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from inception_spark.operators.layout import parquet_rowgroup_stats
+
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": list(range(100))}), str(d / "a.parquet"),
+        row_group_size=40,
+    )
+    pq.write_table(
+        pa.table({"k": list(range(100, 130))}), str(d / "b.parquet"),
+        row_group_size=40,
+    )
+    out = parquet_rowgroup_stats(spark, str(d), column="k").collect()
+    by_key = {
+        (r["file"].rsplit("/", 1)[-1], r["rg"]):
+            (r["n_rows"], r["min_v"], r["max_v"])
+        for r in out
+    }
+    assert by_key == {
+        ("a.parquet", 0): (40, 0, 39),
+        ("a.parquet", 1): (40, 40, 79),
+        ("a.parquet", 2): (20, 80, 99),
+        ("b.parquet", 0): (30, 100, 129),
+    }

@@ -606,3 +606,41 @@ def test_r6_eval_ops_plan_shapes(spark):
     # final plan reads the cached RDD, no Generate node per consumer
     p = plan_of(dsir_scores(docs, F.col("lang") == "en"))
     assert "Generate" not in p, "explode re-evaluated per consumer"
+
+
+def test_r7_ops_plan_shapes(spark):
+    """Round-7 operator plan pins."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.cleaning import canonical_url_expr
+    from inception_spark.functions.text_analysis import doc_script_profile
+    from inception_spark.operators.dedup import url_dedup
+    from inception_spark.plans.relational import events_gap_fill
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # script profile: pure projection — NO shuffle, no Python
+    p = plan_of(doc_script_profile(docs))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    # url_dedup: canonicalization is in-projection; exactly the ONE
+    # aggregate exchange, with map-side partial combine
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://x.com/"), "doc_id").alias("url")
+    )
+    p = plan_of(url_dedup(urls))
+    assert p.count("Exchange") == 1
+    assert "partial_count" in p or "partial_min" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the canonicalizer alone adds no exchange at all
+    assert "Exchange" not in plan_of(
+        urls.select(canonical_url_expr(F.col("url")))
+    )
+
+    # gap fill: the spine side is metadata-sized; the raw events scan
+    # aggregates partially map-side before its exchange, and the
+    # distinct-types side broadcasts into the spine cross join
+    p = plan_of(events_gap_fill(spark, SF))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

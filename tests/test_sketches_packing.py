@@ -193,3 +193,41 @@ def test_hll_grouped_rollup_property(spark):
     }
     for t, est in direct.items():
         assert abs(est - exact[t]) / exact[t] < 0.25, (t, est, exact[t])
+
+
+def test_hll_register_merge_equals_full_scan(spark):
+    """Register-wise max merge of per-batch sketches == one-pass sketch
+    over the union — exactly (the mergeable-sketch contract), and a
+    batch merged with itself is a no-op (idempotent)."""
+    from inception_spark.functions.sketches import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_ndv_by_group,
+        hll_registers_by_group,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    full = {
+        r["grp"]: r["estimate"]
+        for r in hll_ndv_by_group(ev, "event_type", "user_id").collect()
+    }
+    b1 = hll_registers_by_group(
+        ev.filter("event_id % 2 = 0"), "event_type", "user_id"
+    )
+    b2 = hll_registers_by_group(
+        ev.filter("event_id % 2 = 1"), "event_type", "user_id"
+    )
+    merged = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_from_registers(
+            hll_merge_registers(b1, b2)
+        ).collect()
+    }
+    assert merged == full and len(full) > 0
+    twice = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_from_registers(
+            hll_merge_registers(b1, b2, b1, b2)
+        ).collect()
+    }
+    assert twice == full

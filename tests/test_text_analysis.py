@@ -123,3 +123,27 @@ def test_gopher_rules_on_characteristic_documents(spark):
     assert out[5]["reason"] == "symbol_ratio"
     assert out[6]["reason"] == "alpha_ratio"
     assert out[7]["reason"] == "stopwords"
+
+
+def test_doc_script_profile_branches(spark):
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.text_analysis import doc_script_profile
+
+    rows = [
+        (1, "hello world 42"),
+        (2, "привет мир"),
+        (3, "你好 世界"),
+        (4, "12345"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in doc_script_profile(df).collect()}
+    assert got[1]["dominant_script"] == "latin"
+    assert got[2]["dominant_script"] == "cyrillic"
+    assert got[2]["cyrillic_frac"] > 0.8
+    assert got[3]["dominant_script"] == "cjk"
+    assert got[4]["dominant_script"] == "digit"
+    assert got[4]["digit_frac"] == 1.0
+    # empty doc: fractions NULL (no division by zero), total 0
+    assert got[5]["n_chars_total"] == 0 and got[5]["latin_frac"] is None
