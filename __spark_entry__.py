@@ -73,6 +73,8 @@ from inception_spark.functions.sketches import (
     hll_ndv_by_group,
     hll_ndv_by_group_sql,
     hll_registers_by_group,
+    quantile_sample,
+    quantiles_from_samples,
     hll_ndv_sql,
     sampled_quantiles,
     sampled_quantiles_sql,
@@ -734,6 +736,25 @@ def _q_parquet_rowgroup_stats(spark, sf_dir):
     )
 
 
+def _q_incremental_quantiles(spark, sf_dir):
+    """Incremental quantiles: orders arrive as two disjoint batches
+    (o_custkey parity); each batch persists its content-hash sample,
+    the report unions the samples — and equals a fresh full-scan
+    sampled_quantiles EXACTLY (membership is a row property), which is
+    what the oracle computes.  Same mergeable-state shape as
+    hll_incremental_ndv, for quantiles."""
+    od = R.load(spark, sf_dir, "orders")
+    s1 = quantile_sample(
+        od.filter("o_custkey % 2 = 0"), "o_totalprice",
+        key_col="o_orderkey", rate=0.2,
+    )
+    s2 = quantile_sample(
+        od.filter("o_custkey % 2 = 1"), "o_totalprice",
+        key_col="o_orderkey", rate=0.2,
+    )
+    return quantiles_from_samples(s1, s2)
+
+
 def _q_compaction_plan_stats(spark, sf_dir):
     """Table-maintenance accounting as a query: the compaction plan
     over a deterministic (path, bytes) listing derived from documents
@@ -1207,6 +1228,27 @@ def _q_streaming_exact_dedup(spark, sf_dir):
     )
     out = run_stream_to_parquet(spark, docs, streaming_exact_dedup)
     return out.select("fingerprint")
+
+
+def _q_streaming_url_dedup(spark, sf_dir):
+    """The URL canonicalizer + first-fetch dedup executed as a REAL
+    stream (state keyed on the canonical form, watermark-bounded);
+    output reduced to the deterministic column — the canonical-URL set
+    (which row of a refetch group survives is arrival-order-dependent,
+    the set is not).  Batch twin: DISTINCT canon over the same fixture
+    URLs url_dedup's oracle uses."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_to_parquet,
+        streaming_url_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.expr(_URL_CASE.format(d="DIV", s="STRING")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("event_time"),
+    )
+    out = run_stream_to_parquet(spark, docs, streaming_url_dedup)
+    return out.select("canon_url")
 
 
 def _q_streaming_embed(spark, sf_dir):
@@ -2374,6 +2416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         # mergeable-sketch incremental NDV (batch registers -> merge)
         "hll_incremental_ndv": _q_hll_incremental_ndv,
+        # union-of-samples == sample-of-union exact quantile merging
+        "incremental_quantiles": _q_incremental_quantiles,
+        # data-free LSH banding design table (engine-exact S-curves)
+        "lsh_tuning_curve": lambda spark, sf: D.lsh_tuning_curve(spark),
         # hourly spine + forward-filled gaps per event type
         "events_gap_fill": R.events_gap_fill,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2432,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_sessionization": _q_streaming_sessionization,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_url_dedup": _q_streaming_url_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
         # --- driver window boundary (50 entries above) -------------------
         "clean_text": _q_clean_text,
@@ -2610,7 +2657,11 @@ _WINDOW_R7 = [
     "url_dedup",
     "hll_incremental_ndv",
     "events_gap_fill",
-    # slots 19-50 + r8 head: the r4-green cohort
+    "streaming_url_dedup",
+    "incremental_quantiles",
+    "lsh_tuning_curve",
+    # slots 21-50 + r8 head: the r4-green cohort (the last 21 land past
+    # the boundary and head the round-8 rotation)
     "ann_lsh_topk",
     "approx_ndv",
     "benchmark_contamination",
@@ -3999,12 +4050,25 @@ SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id
 FROM c GROUP BY canon_url
 """
+    d["streaming_url_dedup"] = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_CASE.format(d='//', s='VARCHAR')} AS url
+  FROM documents)
+SELECT DISTINCT {canonical_url_sql('url')} AS canon_url FROM u
+"""
     # merged-batch registers == full-scan registers (register-wise max
     # is associative/idempotent), so the incremental path shares the
     # one-pass oracle exactly
     d["hll_incremental_ndv"] = hll_ndv_by_group_sql(
         "events", "event_type", "user_id"
     )
+    # union of per-batch content-hash samples == sample of the union
+    # (membership is a row property), so the incremental path shares
+    # the full-scan oracle exactly
+    d["incremental_quantiles"] = sampled_quantiles_sql(
+        "orders", "o_totalprice", key_col="o_orderkey", rate=0.2
+    )
+    d["lsh_tuning_curve"] = D.lsh_tuning_curve_sql()
     d["events_gap_fill"] = """
 WITH bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo,

@@ -178,7 +178,7 @@ def main() -> None:
                 # c4_line_clean, events_ndv_by_type, hamming64_dup_pairs;
                 # ivf_pq_topk newly in the warm list — its r5 number was
                 # part cold-start)
-                "queryset": "r6",
+                "queryset": "r7",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
             }

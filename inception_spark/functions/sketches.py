@@ -316,18 +316,60 @@ def sampled_quantiles(
     ``rate``-fraction content-hash sample."""
     from inception_spark.functions.hashing import h28
 
+    sample = quantile_sample(
+        df, value_col, key_col=key_col, rate=rate, salt=salt
+    )
+    return quantiles_from_samples(sample, probs=probs)
+
+
+def quantile_sample(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str,
+    rate: float = 0.1,
+    salt: str = "sq",
+) -> DataFrame:
+    """The materializable half of :func:`sampled_quantiles`: the
+    deterministic content-hash sample as a (key, value) relation.
+
+    Membership is a pure row property (``h28(salt ⊕ key) < rate·2²⁸``),
+    so for DISJOINT batches the union of per-batch samples IS the
+    sample of the union — exactly, not approximately.  That makes this
+    the incremental-quantiles primitive: persist each ingest batch's
+    few-percent sample, and any later quantile report unions sample
+    tables instead of rescanning history (:func:`quantiles_from_samples`
+    then equals a fresh full-corpus :func:`sampled_quantiles` — pinned
+    by the ``incremental_quantiles`` driver oracle)."""
+    from inception_spark.functions.hashing import h28
+
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
     thresh = int(rate * (1 << 28))
-    sample = df.filter(
+    return df.filter(
         h28(F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string")))
         < F.lit(thresh)
+    ).select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("value")
     )
+
+
+def quantiles_from_samples(
+    *samples: DataFrame, probs: tuple = (0.25, 0.5, 0.9)
+) -> DataFrame:
+    """(n_sampled, p25, p50, p90, ...) from one or more
+    :func:`quantile_sample` tables — union + ONE exact percentile
+    aggregate over the (small) sample union."""
+    if not samples:
+        raise ValueError("quantiles_from_samples needs >= 1 sample table")
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
     aggs = [
-        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100)}")
+        F.expr(f"percentile(value, {p})").alias(f"p{int(p * 100)}")
         for p in probs
     ]
-    return sample.agg(
+    return out.agg(
         F.count(F.lit(1)).cast("long").alias("n_sampled"), *aggs
     )
 

@@ -1565,3 +1565,67 @@ def url_dedup(
             F.min("_id").cast("long").alias("keep_id"),
         )
     )
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """``expr`` multiplied by itself ``n`` times, left-associated — the
+    SAME IEEE double product in any engine (unlike pow(), which is not
+    correctly rounded and differs across libm implementations)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return "(" + " * ".join([f"({expr})"] * n) + ")"
+
+
+def lsh_tuning_curve(spark, *, k: int = 16, grid: int = 20) -> DataFrame:
+    """The banding design table for MinHash LSH: for every (bands b,
+    rows-per-band r) factorization of a k-hash signature and a grid of
+    true Jaccard similarities s, the collision probability
+    ``p = 1 - (1 - s^r)^b`` (share ≥1 band).  This is the curve you
+    tune ``bands`` against before committing a 100 TB signature +
+    band-table layout — steeper around the target threshold means fewer
+    false candidates to verify and fewer true pairs missed
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+
+    → (bands, rows_per_band, s, p_collide), s on a 1/grid lattice.
+    Engine-exact on purpose: s = i/grid in IEEE double and both powers
+    are explicit left-associated multiply chains (:func:`_pow_chain`)
+    — pow() is not correctly rounded and may differ between libms, a
+    plain product cannot.  Data-free (a design-time operator): the
+    whole table is |factorizations| × grid rows of literal arithmetic."""
+    parts = []
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        s = f"(CAST(id AS DOUBLE) / {grid})"
+        p = f"round(1.0 - {_pow_chain(f'1.0 - {_pow_chain(s, r)}', b)}, 6)"
+        parts.append(
+            spark.range(1, grid).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.expr(s).alias("s"),
+                F.expr(p).alias("p_collide"),
+            )
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
+
+
+def lsh_tuning_curve_sql(*, k: int = 16, grid: int = 20) -> str:
+    """DuckDB twin of :func:`lsh_tuning_curve` — same multiply chains."""
+    selects = []
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        s = f"(CAST(i AS DOUBLE) / {grid})"
+        p = f"round(1.0 - {_pow_chain(f'1.0 - {_pow_chain(s, r)}', b)}, 6)"
+        selects.append(
+            f"SELECT CAST({b} AS BIGINT) AS bands, "
+            f"CAST({r} AS BIGINT) AS rows_per_band, {s} AS s, "
+            f"{p} AS p_collide "
+            f"FROM (SELECT unnest(range(1, {grid})) AS i)"
+        )
+    return "\nUNION ALL\n".join(selects)

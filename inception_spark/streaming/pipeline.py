@@ -388,3 +388,23 @@ def read_document_stream_with_quarantine(
         F.lit("validation_error").alias("error_type"),
     )
     return good, bad
+
+
+def streaming_url_dedup(
+    docs: DataFrame, *, url_col: str = "url", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming crawl-frontier URL dedup: canonicalize each fetched URL
+    (``canonical_url_expr`` — a stateless projection, so the full RFC
+    3986-style normalization runs unchanged in-stream) and pass only the
+    FIRST fetch per canonical URL within the watermark horizon; refetch
+    variants (scheme/www/utm/query-order/fragment) are dropped by state
+    keyed on the canonical form, evicted past the horizon — the
+    streaming twin of ``dedup.url_dedup`` and the dedup gate a live
+    crawler puts in front of content processing."""
+    from inception_spark.functions.cleaning import canonical_url_expr
+
+    return (
+        docs.withColumn("canon_url", canonical_url_expr(F.col(url_col)))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["canon_url"])
+    )
