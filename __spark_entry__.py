@@ -66,8 +66,10 @@ from inception_spark.functions.cleaning import (
     clean_text_sql,
 )
 from inception_spark.functions.sketches import (
+    cms_counters,
     cms_estimate_topk,
     cms_estimate_topk_sql,
+    cms_merge_counters,
     hll_estimate_from_registers,
     hll_merge_registers,
     hll_ndv_by_group,
@@ -755,6 +757,21 @@ def _q_incremental_quantiles(spark, sf_dir):
     return quantiles_from_samples(s1, s2)
 
 
+def _q_cms_incremental_topk(spark, sf_dir):
+    """Incremental heavy hitters: the event stream arrives as two
+    batches (event_id parity); each batch builds its own d×w count-min
+    counter table, the tables merge by counter-wise SUM — exact, the
+    merged sketch IS the whole-stream sketch — and the top-k probe
+    runs against the merged counters.  Same oracle as
+    cms_heavy_hitters by that identity."""
+    ev = R.load_events(spark, sf_dir)
+    merged = cms_merge_counters(
+        cms_counters(ev.filter("event_id % 2 = 0"), "user_id"),
+        cms_counters(ev.filter("event_id % 2 = 1"), "user_id"),
+    )
+    return cms_estimate_topk(ev, "user_id", k=10, counters=merged)
+
+
 def _q_compaction_plan_stats(spark, sf_dir):
     """Table-maintenance accounting as a query: the compaction plan
     over a deterministic (path, bytes) listing derived from documents
@@ -1314,6 +1331,25 @@ def _q_bm25_index_search(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="inception_bm25_") + "/idx"
     TA.write_inverted_index(_docs(spark, sf_dir), path)
     return TA.bm25_topk_over_index(spark, path, _BM25_TERMS, k=10)
+
+
+def _q_bm25_segmented_search(spark, sf_dir):
+    """LSM-style lexical serving: the corpus arrives as two disjoint
+    batches (doc_id parity), each writes its OWN index segment, and the
+    query probes both segments scored as-if-one-index — exactly (tf
+    rows identical, df counted over the union, avgdl from integer sums
+    over the unioned doclen).  Same oracle as bm25_search by that
+    identity; ingest never rescans history, merge is ordinary layout
+    compaction."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="inception_bm25_seg_")
+    TA.write_inverted_index(docs.filter("doc_id % 2 = 0"), base + "/s0")
+    TA.write_inverted_index(docs.filter("doc_id % 2 = 1"), base + "/s1")
+    return TA.bm25_topk_over_indexes(
+        spark, [base + "/s0", base + "/s1"], _BM25_TERMS, k=10
+    )
 
 
 def _q_hybrid_rrf_search(spark, sf_dir):
@@ -2340,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": _q_corpus_drift,
         "bm25_search": _q_bm25_search,
         "bm25_index_search": _q_bm25_index_search,
+        # LSM-style disjoint index segments probed as one
+        "bm25_segmented_search": _q_bm25_segmented_search,
         "hybrid_rrf_search": _q_hybrid_rrf_search,
         # serving shape: both legs probe materialized index layouts
         "hybrid_index_search": _q_hybrid_index_search,
@@ -2418,6 +2456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental_ndv": _q_hll_incremental_ndv,
         # union-of-samples == sample-of-union exact quantile merging
         "incremental_quantiles": _q_incremental_quantiles,
+        # counter-wise-sum CMS merge == sketch of the whole stream
+        "cms_incremental_topk": _q_cms_incremental_topk,
         # data-free LSH banding design table (engine-exact S-curves)
         "lsh_tuning_curve": lambda spark, sf: D.lsh_tuning_curve(spark),
         # hourly spine + forward-filled gaps per event type
@@ -2660,7 +2700,9 @@ _WINDOW_R7 = [
     "streaming_url_dedup",
     "incremental_quantiles",
     "lsh_tuning_curve",
-    # slots 21-50 + r8 head: the r4-green cohort (the last 21 land past
+    "cms_incremental_topk",
+    "bm25_segmented_search",
+    # slots 23-50 + r8 head: the r4-green cohort (the last 23 land past
     # the boundary and head the round-8 rotation)
     "ann_lsh_topk",
     "approx_ndv",
@@ -4033,6 +4075,8 @@ FROM s QUALIFY rank <= 10
     d["bm25_search"] = TA.bm25_topk_sql("documents", _BM25_TERMS, k=10)
     # materialized layout must equal the in-plan scorer bit for bit
     d["bm25_index_search"] = d["bm25_search"]
+    # disjoint segments scored as-if-one-index == the one-index scorer
+    d["bm25_segmented_search"] = d["bm25_search"]
     d["hybrid_rrf_search"] = _hybrid_rrf_oracle_sql()
     d["hybrid_index_search"] = _hybrid_index_oracle_sql()
     d["doc_script_profile"] = TA.doc_script_profile_sql(
@@ -4069,6 +4113,8 @@ SELECT DISTINCT {canonical_url_sql('url')} AS canon_url FROM u
         "orders", "o_totalprice", key_col="o_orderkey", rate=0.2
     )
     d["lsh_tuning_curve"] = D.lsh_tuning_curve_sql()
+    # counter-wise sum merge is exact -> shares the one-pass oracle
+    d["cms_incremental_topk"] = cms_estimate_topk_sql("events", "user_id")
     d["events_gap_fill"] = """
 WITH bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo,

@@ -186,20 +186,42 @@ def cms_counters(df: DataFrame, col: str) -> DataFrame:
     return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+def cms_merge_counters(*counter_dfs: DataFrame) -> DataFrame:
+    """Merge any number of :func:`cms_counters` tables: union +
+    counter-wise SUM per (row, bucket) — count-min merge is EXACT (the
+    merged sketch equals the sketch of the concatenated stream), so
+    per-ingest-batch counter tables (d×w rows each, data-size
+    independent) fold together without rescanning history.  The
+    count-min member of the mergeable-sketch triad next to
+    :func:`hll_merge_registers` (max) and
+    :func:`quantiles_from_samples` (union)."""
+    if not counter_dfs:
+        raise ValueError("cms_merge_counters needs >= 1 counter table")
+    out = counter_dfs[0]
+    for c in counter_dfs[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
 def cms_estimate_topk(
-    df: DataFrame, col: str, *, k: int = 10
+    df: DataFrame, col: str, *, k: int = 10, counters: DataFrame | None = None
 ) -> DataFrame:
     """Heavy hitters with sketch-estimated counts next to exact ones:
     (value, exact_n, cms_n) for the exact top-k values (deterministic
     tie-break on the value).  cms_n ≥ exact_n always; equality when no
     bucket collisions — both engines build the identical sketch, so the
-    estimates hash-match."""
+    estimates hash-match.
+
+    ``counters`` overrides the sketch side (e.g. a
+    :func:`cms_merge_counters` of per-batch tables); by default the
+    sketch is built from ``df`` in the same pass."""
     from pyspark.sql import Window
 
     src = df.select(F.col(col).cast("string").alias("_v")).filter(
         F.col("_v").isNotNull()
     )
-    counters = cms_counters(df, col)
+    if counters is None:
+        counters = cms_counters(df, col)
     exact = src.groupBy("_v").agg(F.count(F.lit(1)).alias("exact_n"))
     top = (
         exact.orderBy(F.desc("exact_n"), F.asc("_v")).limit(k)

@@ -1242,6 +1242,54 @@ def bm25_topk_over_index(spark, path, query_terms, *, k=10, k1=1.2,
     )
     doclen = spark.read.parquet(f"{path}/doclen")
     scalars = spark.read.parquet(f"{path}/scalars")
+    return _bm25_score_index(tf, doclen, scalars, k=k, k1=k1, b=b)
+
+
+def bm25_topk_over_indexes(spark, paths, query_terms, *, k=10, k1=1.2,
+                           b=0.75):
+    """BM25 top-k over SEVERAL :func:`write_inverted_index` layouts of
+    DISJOINT document batches — the LSM-style segment probe: each
+    ingest batch writes its own index segment, queries probe all live
+    segments, and the occasional segment merge is ordinary layout
+    compaction.  Nothing rescans history on ingest.
+
+    Scoring is as-if-one-index EXACTLY: batches are doc-disjoint, so
+    the unioned (term, doc_id, tf) rows are the merged index's rows,
+    per-term df is a count over the union, and avgdl/n_docs are
+    recomputed from the unioned doclen — integer sums, so the double
+    division is bit-identical to a fresh single-index build (pinned by
+    the ``bm25_segmented_search`` driver oracle, which replays the
+    ONE-index scorer)."""
+    from functools import reduce
+
+    terms = sorted(set(query_terms))
+    tf = reduce(
+        lambda a, b_: a.unionByName(b_),
+        [
+            spark.read.parquet(f"{p}/index").filter(
+                F.col("term").isin(terms)
+            )
+            for p in paths
+        ],
+    )
+    doclen = reduce(
+        lambda a, b_: a.unionByName(b_),
+        [spark.read.parquet(f"{p}/doclen") for p in paths],
+    )
+    scalars = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    return _bm25_score_index(tf, doclen, scalars, k=k, k1=k1, b=b)
+
+
+def _bm25_score_index(tf, doclen, scalars, *, k, k1, b):
+    """Shared scoring body of the index probes: (term, doc_id, tf) ⋈
+    doclen ⋈ broadcast scalars → rounded decimal per-term scores →
+    one doc aggregate → top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     idf = F.log(
         F.lit(1.0)

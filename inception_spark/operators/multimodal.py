@@ -594,6 +594,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         from inception_spark.operators.vp8l import decode_webp
 
         return decode_webp(payload)[..., :3]  # lossless VP8L; VP8 refuses
+    if payload[:4] == b"qoif":
+        from inception_spark.operators.qoi import decode_qoi
+
+        out = decode_qoi(payload)
+        if out.shape[2] == 4:
+            out = out[..., :3]
+        return out
     try:
         import io
 
