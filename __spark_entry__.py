@@ -757,6 +757,43 @@ def _q_incremental_quantiles(spark, sf_dir):
     return quantiles_from_samples(s1, s2)
 
 
+def _q_supplier_triangles(spark, sf_dir):
+    """Exact triangle census of the supplier co-purchase graph
+    (suppliers sharing ≥1 customer, via orders⋈lineitem): the
+    degree-ordered-orientation count — the non-bipartite companion to
+    supplier_pagerank's graph.  The co-purchase edge DERIVATION is a
+    per-customer quadratic; production caps suppliers-per-customer
+    before the pair join (fixture customers are small), the COUNT
+    itself is the O(m^1.5)-wedge oriented shape."""
+    from inception_spark.operators.graph import triangle_count
+
+    li = R.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def _q_cms_incremental_topk(spark, sf_dir):
     """Incremental heavy hitters: the event stream arrives as two
     batches (event_id parity); each batch builds its own d×w count-min
@@ -2351,6 +2388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": lambda spark, sf: TA.corpus_report(_docs(spark, sf)),
         "shard_manifest": _q_shard_manifest,
         "supplier_pagerank": _q_supplier_pagerank,
+        # exact triangle census, degree-ordered orientation
+        "supplier_triangles": _q_supplier_triangles,
         "events_rolling_avg": R.events_rolling_avg,
         "events_anomaly": R.events_anomaly,
         "approx_ndv": _q_approx_ndv,
@@ -2702,7 +2741,8 @@ _WINDOW_R7 = [
     "lsh_tuning_curve",
     "cms_incremental_topk",
     "bm25_segmented_search",
-    # slots 23-50 + r8 head: the r4-green cohort (the last 23 land past
+    "supplier_triangles",
+    # slots 24-50 + r8 head: the r4-green cohort (the last 24 land past
     # the boundary and head the round-8 rotation)
     "ann_lsh_topk",
     "approx_ndv",
@@ -4115,6 +4155,34 @@ SELECT DISTINCT {canonical_url_sql('url')} AS canon_url FROM u
     d["lsh_tuning_curve"] = D.lsh_tuning_curve_sql()
     # counter-wise sum merge is exact -> shares the one-pass oracle
     d["cms_incremental_topk"] = cms_estimate_topk_sql("events", "user_id")
+    d["supplier_triangles"] = """
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.v = bc.u
+       JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+st AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS n_wedges)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6)
+       END AS clustering_coeff
+FROM st, tri
+"""
     d["events_gap_fill"] = """
 WITH bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo,

@@ -104,6 +104,15 @@ HEADLINE = [
     "c4_line_clean",
     "events_ndv_by_type",
     "hamming64_dup_pairs",
+    # r7+: crawl-key dedup, script routing, time-series spine, the
+    # mergeable-state triad's incremental paths, triangle census
+    "url_dedup",
+    "doc_script_profile",
+    "events_gap_fill",
+    "hll_incremental_ndv",
+    "incremental_quantiles",
+    "cms_incremental_topk",
+    "supplier_triangles",
 ]
 
 

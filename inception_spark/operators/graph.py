@@ -131,3 +131,92 @@ SELECT node, rank_i,
 FROM r{n_iter}
 """
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count + clustering coefficient over an
+    undirected graph → ONE row ``(n_nodes, n_edges, n_triangles,
+    n_wedges, clustering_coeff)``.
+
+    ``edges``: (src, dst) in ANY orientation/duplication — canonicalized
+    to distinct ``u < v`` pairs first.
+
+    Scale shape — the degree-ordered orientation (the standard
+    distributed-triangle trick, cf. Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"): each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, which makes the oriented out-degree O(√m) even for
+    celebrity nodes, so the wedge join (oriented ⋈ oriented on the
+    common tail) generates Σ outdeg² = O(m^1.5) wedge candidates
+    instead of the Σ deg² blowup a naive shared-neighbor join suffers
+    on hot nodes — the "last reducer" that kills web-scale runs.  The
+    closing check is one equi-join of wedges against the canonical edge
+    set; counts and the wedge denominator (Σ deg·(deg−1)/2) stay in
+    exact integer arithmetic, the coefficient rounds at 6 dp."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient low-(deg, id) -> high-(deg, id)
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("dv")
+    )
+    keyed = e.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("tail"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("head"),
+    )
+    o1 = oriented.select(
+        F.col("tail"), F.col("head").alias("h1")
+    )
+    o2 = oriented.select(
+        F.col("tail"), F.col("head").alias("h2")
+    )
+    wedges = o1.join(o2, "tail").filter(F.col("h1") < F.col("h2"))
+    tri = wedges.join(
+        e,
+        (F.least("h1", "h2") == F.col("u"))
+        & (F.greatest("h1", "h2") == F.col("v")),
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                F.expr("CAST(deg AS BIGINT) * (deg - 1) DIV 2")
+            ).cast("long").alias("n_wedges"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_tri))
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("n_triangles").cast("long"),
+            F.col("n_wedges").cast("long"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                    6,
+                ),
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -73,3 +73,31 @@ def test_pagerank_partitioning_independent(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant: C(4,3)=4 triangles; wedges and coefficient by
+    hand.  Input arrives duplicated and in mixed orientation to prove
+    canonicalization."""
+    from inception_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [("d", "e"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    [row] = triangle_count(df).collect()
+    # degrees: a,b,c=3, d=4, e=1 -> wedges = 3*3 + 6 + 0 = 15
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"],
+            row["n_wedges"]) == (5, 7, 4, 15)
+    assert row["clustering_coeff"] == 0.8
+
+
+def test_triangle_count_triangle_free(spark):
+    from inception_spark.operators.graph import triangle_count
+
+    # a star is triangle-free but wedge-rich
+    df = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "src string, dst string"
+    )
+    [row] = triangle_count(df).collect()
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 10
+    assert row["clustering_coeff"] == 0.0
