@@ -1,0 +1,42 @@
+"""Closed-form OLS: the Cramer solve equals numpy least squares, R²
+behaves, degenerate inputs stay defined."""
+
+import numpy as np
+
+
+def test_ols_matches_numpy(spark):
+    from inception_spark.operators.regression import ols_fit
+
+    rng = np.random.default_rng(7)
+    x1 = rng.uniform(0, 10, 300)
+    x2 = rng.uniform(-5, 5, 300)
+    y = 2.5 + 1.25 * x1 - 0.75 * x2 + rng.normal(0, 0.5, 300)
+    rows = [
+        (round(float(a), 4), round(float(b), 4), round(float(c), 4))
+        for a, b, c in zip(y, x1, x2)
+    ]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    [row] = ols_fit(df, y_col="y", x1_col="x1", x2_col="x2").collect()
+    X = np.column_stack(
+        [np.ones(300), [r[1] for r in rows], [r[2] for r in rows]]
+    )
+    beta, *_ = np.linalg.lstsq(X, np.array([r[0] for r in rows]),
+                               rcond=None)
+    assert abs(row["beta0"] - beta[0]) < 1e-4
+    assert abs(row["beta1"] - beta[1]) < 1e-4
+    assert abs(row["beta2"] - beta[2]) < 1e-4
+    assert 0.9 < row["r2"] <= 1.0
+    assert row["n"] == 300
+
+
+def test_ols_perfect_fit_and_null_rows(spark):
+    from inception_spark.operators.regression import ols_fit
+
+    rows = [(1.0 + 2.0 * i + 3.0 * (i % 5), float(i), float(i % 5))
+            for i in range(50)]
+    rows.append((None, 1.0, 1.0))  # dropped
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    [row] = ols_fit(df, y_col="y", x1_col="x1", x2_col="x2").collect()
+    assert row["n"] == 50
+    assert (row["beta0"], row["beta1"], row["beta2"]) == (1.0, 2.0, 3.0)
+    assert row["r2"] == 1.0
