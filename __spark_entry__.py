@@ -780,6 +780,32 @@ def _q_ols_order_price(spark, sf_dir):
     )
 
 
+def _q_ols_by_priority(spark, sf_dir):
+    """The per-group trend-line claim, driver-proven: one grouped
+    moment aggregate fits all five order-priority models at once
+    (grouped Cramer solve, NULL-safe on singular groups)."""
+    from inception_spark.operators.regression import ols_fit_by
+
+    li = R.load(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+    od = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    j = od.join(feats, od["o_orderkey"] == feats["l_orderkey"])
+    return ols_fit_by(
+        j,
+        group_col="o_orderpriority",
+        y_col="o_totalprice",
+        x1_col="n_items",
+        x2_col="sum_qty",
+    )
+
+
 def _q_supplier_triangles(spark, sf_dir):
     """Exact triangle census of the supplier co-purchase graph
     (suppliers sharing ≥1 customer, via orders⋈lineitem): the
@@ -2415,6 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_triangles": _q_supplier_triangles,
         # closed-form one-pass OLS (normal equations + Cramer solve)
         "ols_order_price": _q_ols_order_price,
+        # grouped variant: every group's model from ONE aggregate
+        "ols_by_priority": _q_ols_by_priority,
         "events_rolling_avg": R.events_rolling_avg,
         "events_anomaly": R.events_anomaly,
         "approx_ndv": _q_approx_ndv,
@@ -2768,7 +2796,8 @@ _WINDOW_R7 = [
     "bm25_segmented_search",
     "supplier_triangles",
     "ols_order_price",
-    # slots 25-50 + r8 head: the r4-green cohort (the last 25 land past
+    "ols_by_priority",
+    # slots 26-50 + r8 head: the r4-green cohort (the last 26 land past
     # the boundary and head the round-8 rotation)
     "ann_lsh_topk",
     "approx_ndv",
@@ -4181,8 +4210,24 @@ SELECT DISTINCT {canonical_url_sql('url')} AS canon_url FROM u
     d["lsh_tuning_curve"] = D.lsh_tuning_curve_sql()
     # counter-wise sum merge is exact -> shares the one-pass oracle
     d["cms_incremental_topk"] = cms_estimate_topk_sql("events", "user_id")
-    from inception_spark.operators.regression import ols_fit_sql
+    from inception_spark.operators.regression import (
+        ols_fit_by_sql,
+        ols_fit_sql,
+    )
 
+    d["ols_by_priority"] = ols_fit_by_sql(
+        "(SELECT o.o_orderpriority, o.o_totalprice, f.n_items, f.sum_qty"
+        " FROM orders o JOIN"
+        " (SELECT l_orderkey, COUNT(*) AS n_items,"
+        "   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+        "   AS sum_qty"
+        "  FROM lineitem GROUP BY l_orderkey) f"
+        " ON o.o_orderkey = f.l_orderkey)",
+        group_col="o_orderpriority",
+        y_col="o_totalprice",
+        x1_col="n_items",
+        x2_col="sum_qty",
+    )
     d["ols_order_price"] = ols_fit_sql(
         "(SELECT o.o_totalprice, f.n_items, f.sum_qty"
         " FROM orders o JOIN"

@@ -40,3 +40,30 @@ def test_ols_perfect_fit_and_null_rows(spark):
     assert row["n"] == 50
     assert (row["beta0"], row["beta1"], row["beta2"]) == (1.0, 2.0, 3.0)
     assert row["r2"] == 1.0
+
+
+def test_ols_fit_by_groups_and_singular(spark):
+    from inception_spark.operators.regression import ols_fit, ols_fit_by
+
+    rows = []
+    for i in range(60):
+        rows.append(("a", 1.0 + 2.0 * i + 0.5 * (i % 7), float(i),
+                     float(i % 7)))
+        rows.append(("b", 5.0 - 1.0 * i + 3.0 * (i % 4), float(i),
+                     float(i % 4)))
+    # singular group: x1 constant
+    rows += [("c", float(i), 1.0, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    got = {r["g"]: r for r in ols_fit_by(
+        df, group_col="g", y_col="y", x1_col="x1", x2_col="x2"
+    ).collect()}
+    assert (got["a"]["beta0"], got["a"]["beta1"], got["a"]["beta2"]) == (
+        1.0, 2.0, 0.5)
+    assert got["b"]["beta1"] == -1.0 and got["b"]["r2"] == 1.0
+    assert got["c"]["beta0"] is None and got["c"]["r2"] is None
+    # grouped fit of a single group == ungrouped fit
+    [single] = ols_fit(
+        df.filter("g = 'a'"), y_col="y", x1_col="x1", x2_col="x2"
+    ).collect()
+    assert (single["beta0"], single["beta1"], single["beta2"]) == (
+        got["a"]["beta0"], got["a"]["beta1"], got["a"]["beta2"])
