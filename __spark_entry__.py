@@ -1354,6 +1354,39 @@ def _q_streaming_url_dedup(spark, sf_dir):
     return out.select("canon_url")
 
 
+def _q_streaming_hll_ndv(spark, sf_dir):
+    """Sketch maintenance IN STREAM: each micro-batch emits its
+    (grp, reg, rank) register rows as a stateless projection (no
+    streaming aggregate, no unbounded state), the sink appends them,
+    and the read-side register-wise max merges all deltas — the
+    estimate over the merged registers equals the batch one-pass
+    sketch exactly, which is what the oracle computes.  The streaming
+    face of hll_incremental_ndv: live NDV whose state is the few-KB
+    register table, never the value stream."""
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    ev = R.load_events(spark, sf_dir).select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").cast("string").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    from inception_spark.functions.sketches import (
+        hll_rank,
+        hll_register,
+    )
+
+    deltas = run_stream_to_parquet(
+        spark,
+        ev,
+        lambda s: s.select(
+            "grp",
+            hll_register(F.col("_v")).alias("reg"),
+            hll_rank(F.col("_v")).alias("rank"),
+        ),
+    )
+    regs = deltas.groupBy("grp", "reg").agg(F.max("rank").alias("mx"))
+    return hll_estimate_from_registers(regs)
+
+
 def _q_streaming_embed(spark, sf_dir):
     """The reference's WHOLE pipeline (validate → chunk → embed) executed
     through Structured Streaming: documents staged to parquet, re-opened
@@ -2611,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionization": _q_streaming_sessionization,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_url_dedup": _q_streaming_url_dedup,
+        # live NDV: per-batch register deltas, merged on read
+        "streaming_hll_ndv": _q_streaming_hll_ndv,
         "streaming_interval_join": _q_streaming_interval_join,
         # --- driver window boundary (50 entries above) -------------------
         "clean_text": _q_clean_text,
@@ -2797,8 +2832,9 @@ _WINDOW_R7 = [
     "supplier_triangles",
     "ols_order_price",
     "ols_by_priority",
-    # slots 26-50 + r8 head: the r4-green cohort (the last 26 land past
-    # the boundary and head the round-8 rotation)
+    "streaming_hll_ndv",
+    # slots 28-50 + r8 head: the r4-green cohort (the cohort's last
+    # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
     "approx_ndv",
     "benchmark_contamination",
@@ -4201,6 +4237,8 @@ SELECT DISTINCT {canonical_url_sql('url')} AS canon_url FROM u
     d["hll_incremental_ndv"] = hll_ndv_by_group_sql(
         "events", "event_type", "user_id"
     )
+    # appended register deltas max-merged on read == the one-pass sketch
+    d["streaming_hll_ndv"] = d["hll_incremental_ndv"]
     # union of per-batch content-hash samples == sample of the union
     # (membership is a row property), so the incremental path shares
     # the full-scan oracle exactly
