@@ -540,6 +540,14 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_jaccard_prefix_pairs(spark, sf_dir):
+    # 3/4 keeps the output sparse on the vocab-dense synthetic corpus;
+    # threshold compares are all-integer so the pair SET is exact
+    return D.jaccard_prefix_pairs(
+        _docs(spark, sf_dir), threshold_num=3, threshold_den=4
+    )
+
+
 def _q_simhash_docs(spark, sf_dir):
     return D.simhash_docs(_docs(spark, sf_dir))
 
@@ -2557,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -2833,7 +2842,8 @@ _WINDOW_R7 = [
     "ols_order_price",
     "ols_by_priority",
     "streaming_hll_ndv",
-    # slots 28-50 + r8 head: the r4-green cohort (the cohort's last
+    "jaccard_prefix_pairs",
+    # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
     "approx_ndv",
@@ -3599,6 +3609,9 @@ FROM cand c
 JOIN sh sa ON c.doc_a = sa.doc_id
 JOIN sh sb ON c.doc_b = sb.doc_id
 """,
+        "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
+            threshold_num=3, threshold_den=4
+        ),
         "simhash_docs": f"""
 SELECT doc_id, {H.simhash_sql(_WORDS)} AS simhash FROM documents
 """,

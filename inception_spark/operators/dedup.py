@@ -1629,3 +1629,158 @@ def lsh_tuning_curve_sql(*, k: int = 16, grid: int = 20) -> str:
             f"FROM (SELECT unnest(range(1, {grid})) AS i)"
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (SSJoin /
+    PPJoin family, Chaudhuri 2006 / Xiao 2008): every pair of documents
+    whose word-set Jaccard is >= threshold_num/threshold_den, with zero
+    false negatives and no LSH probabilism — the exact complement to
+    :func:`ngram_jaccard_pairs`' banded-MinHash recall regime.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    to 4 decimals; the threshold COMPARISON is pure integer arithmetic
+    (``i * den >= num * u``), so the result set is bit-identical across
+    engines regardless of float representation of the threshold.
+
+    Scale shape (the reason this survives 100 TB where all-pairs dies):
+      * tokens are globally ordered rarest-first (document frequency from
+        a small vocab aggregate, broadcast);
+      * each doc emits only its PREFIX — the ``n - ceil(t*n) + 1`` rarest
+        tokens — so the equi-join buckets are keyed on RARE tokens by
+        construction: a stopword appearing in every doc lands in almost
+        no prefix, killing the quadratic bucket the naive shared-token
+        join would build;
+      * candidate pairs then pass the length filter
+        ``min(na, nb) * den >= max(na, nb) * num`` (J <= min/max) before
+        the exact verify, which is the same shingle-level count-over-
+        shared-tokens shape as :func:`ngram_jaccard_pairs` — hash joins
+        plus partial aggregation, no wide arrays through the shuffle.
+
+    Prefix-filter correctness: with both docs' token lists sorted by the
+    same global order, J(a,b) >= t implies an overlap of at least
+    ceil(t * max(na, nb)) tokens, and by pigeonhole the two prefixes of
+    length ``n_x - ceil(t * n_x) + 1`` must share at least one token —
+    so the prefix join is a strict superset of the truth and the exact
+    verify makes the whole thing lossless.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    num, den = int(threshold_num), int(threshold_den)
+    from pyspark.sql import Window
+
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(H.words(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # global document frequency -- vocab-sized, broadcast to order tokens
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
+    win = Window.partitionBy("doc_id").orderBy("df_tok", "tok")
+    pref = (
+        tok.join(F.broadcast(freq), "tok")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(win))
+        # p = n - ceil(n*num/den) + 1, all-integer
+        .withColumn(
+            "p",
+            F.col("n")
+            - F.expr(f"(n * {num} + {den} - 1) div {den}")
+            + F.lit(1),
+        )
+        .filter(F.col("rk") <= F.col("p"))
+        .select("doc_id", "tok", "n")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * den
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * num
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .filter(F.col("n_inter") * den >= F.col("n_union") * num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_prefix_pairs_sql(
+    *, threshold_num: int = 2, threshold_den: int = 5
+) -> str:
+    """DuckDB twin of :func:`jaccard_prefix_pairs` — mirrors the prefix
+    filter (so the oracle stays cheap at sf0.01 instead of joining every
+    shared-stopword pair) and the all-integer threshold compare."""
+    num, den = int(threshold_num), int(threshold_den)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({H.words_sql('text')}) AS tok
+  FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+freq AS (SELECT tok, COUNT(*) AS df_tok FROM tok GROUP BY tok),
+pref AS (
+  SELECT doc_id, tok, n FROM (
+    SELECT t.doc_id, t.tok, s.n,
+           row_number() OVER (
+             PARTITION BY t.doc_id ORDER BY f.df_tok, t.tok) AS rk,
+           s.n - ((s.n * {num} + {den} - 1) // {den}) + 1 AS p
+    FROM tok t JOIN freq f USING (tok) JOIN sizes s USING (doc_id))
+  WHERE rk <= p),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND least(a.n, b.n) * {den} >= greatest(a.n, b.n) * {num}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_inter AS DOUBLE) /
+             (sa.n + sb.n - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter * {den} >= (sa.n + sb.n - i.n_inter) * {num}
+"""

@@ -593,3 +593,49 @@ def test_url_dedup_collapses_refetch_variants(spark):
         "site.com/a/c": (1, 4),
         "other.com/a/b?a=2&z=1": (1, 5),
     }
+
+
+def test_jaccard_prefix_pairs_lossless(spark):
+    """Prefix filtering must be EXACT: result equals brute-force
+    all-pairs Jaccard at the same threshold, including ties exactly
+    at the threshold (integer compare, no float slop)."""
+    from itertools import combinations
+
+    from inception_spark.operators.dedup import jaccard_prefix_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),          # J=3/5 with 1
+        (3, "alpha beta gamma delta"),            # J=1 with 1
+        (4, "zeta eta theta iota kappa"),
+        (5, "zeta eta theta iota kappa lambda"),  # J=5/6 with 4
+        (6, "completely different words here"),
+        (7, "alpha alpha beta beta gamma delta"), # dup tokens collapse
+        (8, ""),                                  # empty doc: no tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(
+            df, threshold_num=3, threshold_den=5
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows if t}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if i * 5 >= u * 3:
+            want[(a, b)] = round(i / u, 4)
+    assert got == want
+    # the J=3/5 tie must be INCLUDED (>= semantics, integer-exact)
+    assert (1, 2) in got and got[(1, 2)] == 0.6
+
+
+def test_jaccard_prefix_pairs_empty(spark):
+    from inception_spark.operators.dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = jaccard_prefix_pairs(df)
+    assert out.columns == ["doc_a", "doc_b", "jaccard"]
+    assert out.count() == 0
