@@ -109,6 +109,7 @@ from inception_spark.operators.sampling import (
 from inception_spark.operators import multimodal as MM
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.operators.layout import (
+    assign_global_ids,
     compaction_plan_stats,
     parquet_rowgroup_stats,
 )
@@ -715,6 +716,17 @@ def _q_hll_incremental_ndv(spark, sf_dir):
         ev.filter("event_id % 2 = 1"), "event_type", "user_id"
     )
     return hll_estimate_from_registers(hll_merge_registers(b1, b2))
+
+
+def _q_assign_global_ids(spark, sf_dir):
+    """Two-phase ordered ID assignment (range shuffle + per-partition
+    ranks + broadcast offsets) must equal the single-reducer
+    row_number() the oracle runs — with enough partitions that the
+    offsets path is actually exercised at sf0.001."""
+    out = assign_global_ids(
+        _docs(spark, sf_dir), ["n_chars", "doc_id"], num_partitions=8
+    )
+    return out.select("doc_id", "row_id")
 
 
 def _q_parquet_rowgroup_stats(spark, sf_dir):
@@ -2582,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan_stats": _q_compaction_plan_stats,
         # distributed parquet footer audit over a sorted fixture layout
         "parquet_rowgroup_stats": _q_parquet_rowgroup_stats,
+        "assign_global_ids": _q_assign_global_ids,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
@@ -2843,6 +2856,7 @@ _WINDOW_R7 = [
     "ols_by_priority",
     "streaming_hll_ndv",
     "jaccard_prefix_pairs",
+    "assign_global_ids",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3589,6 +3603,11 @@ FROM agg
 """,
         # the fixture writes sorted doc_ids in 100-row row groups, so
         # footer stats must equal rank-window min/max over the data
+        "assign_global_ids": """
+SELECT doc_id,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS row_id
+FROM documents
+""",
         "parquet_rowgroup_stats": """
 WITH r AS (
   SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk

@@ -30,7 +30,7 @@ with no floats anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 # Magic spreading steps (shift, mask): the classic Morton "part1by1" /
 # "part1by2" sequences.  Stride 2 places bit i of a 16-bit value at bit
@@ -473,3 +473,67 @@ def parquet_rowgroup_stats(
     return paths_df.repartition(
         max(1, min(len(files), 64))
     ).mapInPandas(mapper, fields)
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_by: list[str],
+    *,
+    id_name: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ordered row numbering WITHOUT a single-reducer window.
+
+    ``row_number() OVER (ORDER BY ...)`` is the classic 100 TB trap: an
+    empty ``partitionBy`` collapses the whole table onto ONE task (Spark
+    even warns ``No Partition Defined for Window operation``).  This is
+    the standard two-phase replacement:
+
+      1. ``repartitionByRange(order_by)`` — parallel range shuffle; each
+         partition holds a contiguous key range, partition index is
+         monotone in the key.
+      2. ``spark_partition_id()`` is stamped and the lineage is lazily
+         checkpointed — the range boundaries come from a SAMPLED job, so
+         without the pin the offsets job and the ranks job could see
+         DIFFERENT partitionings (a silent correctness bug, not a perf
+         detail).
+      3. Per-partition counts (one row per partition — control-plane
+         collect, bounded by the partition count by construction) give
+         exclusive prefix-sum offsets, broadcast back.
+      4. A window partitioned BY PARTITION ID computes local ranks in
+         parallel; ``row_id = offset + local rank``.
+
+    The result is bit-identical to ``row_number() OVER (ORDER BY
+    order_by)`` whenever the ordering key is unique (callers append a
+    tiebreaker column otherwise — same contract as row_number's own
+    determinism).  Total cost: one range shuffle + one hash(pid)
+    shuffle, both fully parallel; no stage ever sees more than one
+    partition's rows.  IDs are 1-based to match SQL row_number.
+    """
+    cols = [F.col(c) for c in order_by]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
+    win = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_name, (F.row_number().over(win) + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )

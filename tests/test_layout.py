@@ -346,3 +346,37 @@ def test_parquet_rowgroup_stats_multifile(spark, tmp_path):
         ("a.parquet", 2): (20, 80, 99),
         ("b.parquet", 0): (30, 100, 129),
     }
+
+
+def test_assign_global_ids_matches_row_number(spark):
+    """Two-phase IDs == row_number() OVER (ORDER BY k) for unique keys,
+    across partition counts (1 partition = degenerate offsets path)."""
+    from pyspark.sql import Window, functions as F
+
+    from inception_spark.operators.layout import assign_global_ids
+
+    df = spark.range(0, 257).select(
+        F.col("id"), ((F.col("id") * 37) % 257).alias("k")
+    )
+    want = [
+        (r.k, r.rn)
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("k")).alias("rn")
+        ).collect()
+    ]
+    for nparts in (1, 5, 64):
+        got = sorted(
+            (r.k, r.row_id)
+            for r in assign_global_ids(
+                df, ["k"], num_partitions=nparts
+            ).collect()
+        )
+        assert got == sorted(want), nparts
+
+
+def test_assign_global_ids_empty(spark):
+    from inception_spark.operators.layout import assign_global_ids
+
+    e = spark.createDataFrame([], "a long")
+    out = assign_global_ids(e, ["a"])
+    assert out.count() == 0 and "row_id" in out.columns
