@@ -74,6 +74,8 @@ from inception_spark.functions.sketches import (
     hll_merge_registers,
     hll_ndv_by_group,
     hll_ndv_by_group_sql,
+    hll_overlap,
+    hll_overlap_sql,
     hll_registers_by_group,
     quantile_sample,
     quantiles_from_samples,
@@ -727,6 +729,36 @@ def _q_assign_global_ids(spark, sf_dir):
         _docs(spark, sf_dir), ["n_chars", "doc_id"], num_partitions=8
     )
     return out.select("doc_id", "row_id")
+
+
+def _q_scd2_user_history(spark, sf_dir):
+    """SCD type-2 validity intervals from the event log: one row per
+    run of equal event_type per user, gaps-and-islands windows
+    partitioned by user — no global sort anywhere."""
+    out = R.scd2_history(
+        R.load_events(spark, sf_dir),
+        key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+    )
+    # open intervals use the SCD2 high-date sentinel (pandas ns-timestamps cap at 2262): NULL
+    # timestamps don't hash-compare (NaT != NaT)
+    return out.withColumn(
+        "valid_to",
+        F.coalesce(
+            F.col("valid_to"),
+            F.lit("2199-12-31 00:00:00").cast("timestamp"),
+        ),
+    )
+
+
+def _q_hll_user_overlap(spark, sf_dir):
+    """Audience overlap of click vs purchase users by HLL
+    inclusion-exclusion: both sides reduce to <= m register rows before
+    combining, and the union sketch is a register-wise max — no raw
+    values cross the sketch boundary."""
+    return hll_overlap(
+        R.load_events(spark, sf_dir), "event_type", "user_id",
+        "click", "purchase",
+    )
 
 
 def _q_parquet_rowgroup_stats(spark, sf_dir):
@@ -1711,6 +1743,33 @@ def _q_bloom_pruned_revenue(spark, sf_dir):
     )
 
 
+def _q_salted_join_revenue(spark, sf_dir):
+    """Hot-key-safe join: the large side salted (rand spreads each hot
+    key over n_salts tasks), the dimension replicated n_salts x, then
+    the same per-priority revenue rollup.  The result SET is invariant
+    to the salt values, so the oracle is the plain join — what the
+    salting buys is that no single task ever owns a whole hot key's
+    rows (the AQE-independent skew remedy for 100 TB fact joins)."""
+    from inception_spark.plans.skew import salted_join
+
+    li = R.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, key_large="l_orderkey", key_small="o_orderkey",
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def _q_streaming_c4_gate(spark, sf_dir):
     """C4 web cleaning IN STREAM: c4_line_clean is a stateless
     higher-order-array projection, so the published line/page rules run
@@ -2529,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         # explicit runtime-filter join reduction (result == plain join)
         "bloom_pruned_revenue": _q_bloom_pruned_revenue,
+        "salted_join_revenue": _q_salted_join_revenue,
         "stable_sample": lambda spark, sf: stable_sample(
             _docs(spark, sf), 0.25
         ).select("doc_id"),
@@ -2595,6 +2655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed parquet footer audit over a sorted fixture layout
         "parquet_rowgroup_stats": _q_parquet_rowgroup_stats,
         "assign_global_ids": _q_assign_global_ids,
+        "hll_user_overlap": _q_hll_user_overlap,
+        "scd2_user_history": _q_scd2_user_history,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
@@ -2857,6 +2919,9 @@ _WINDOW_R7 = [
     "streaming_hll_ndv",
     "jaccard_prefix_pairs",
     "assign_global_ids",
+    "salted_join_revenue",
+    "hll_user_overlap",
+    "scd2_user_history",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3603,6 +3668,18 @@ FROM agg
 """,
         # the fixture writes sorted doc_ids in 100-row row groups, so
         # footer stats must equal rank-window min/max over the data
+        "scd2_user_history": f"""
+SELECT user_id, event_type, valid_from,
+       coalesce(valid_to, TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
+       is_current
+FROM ({R.scd2_history_sql(
+            "events", key="user_id", attr="event_type", ts="ts",
+            tiebreak="event_id",
+        )})
+""",
+        "hll_user_overlap": hll_overlap_sql(
+            "events", "event_type", "user_id", "click", "purchase"
+        ),
         "assign_global_ids": """
 SELECT doc_id,
        row_number() OVER (ORDER BY n_chars, doc_id) AS row_id
@@ -3971,6 +4048,14 @@ FROM lineitem l
 JOIN (SELECT o_orderkey, o_orderpriority FROM orders
       WHERE o_totalprice > 400000) o
   ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+        "salted_join_revenue": f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """,
         "events_ndv_by_type": hll_ndv_by_group_sql(

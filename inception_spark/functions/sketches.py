@@ -534,3 +534,114 @@ SELECT grp,
        CAST({HLL_M} AS BIGINT) AS n_registers
 FROM r
 """
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Distinct-set OVERLAP of two groups by inclusion-exclusion over
+    HLL registers: one row (ndv_a, ndv_b, ndv_union, ndv_overlap).
+
+    The union sketch is just the register-wise max of the two groups'
+    register tables (HLL union is exact at the sketch level — unlike
+    intersection, which is why the overlap goes through
+    |A| + |B| - |A u B| instead of trying to intersect registers).
+    This is the audience-overlap / cross-source-contamination primitive:
+    at 100 TB both sides reduce to <= m register rows before anything
+    meets anything, and the same arithmetic works on PERSISTED register
+    tables from different ingest batches without touching raw data.
+
+    Estimates reuse :func:`hll_estimate_from_registers` (rounded to 4
+    decimals), and the overlap is computed from the rounded estimates —
+    bit-reproducible across engines.  Overlap is clamped at 0 (the
+    estimator's noise can push inclusion-exclusion slightly negative on
+    disjoint sets).
+    """
+    # grp goes to string up front so the "__union__" sentinel unions
+    # cleanly for non-string group columns too
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).withColumn(
+        group_col, F.col(group_col).cast("string")
+    )
+    regs = hll_registers_by_group(two, group_col, col)
+    union_regs = regs.select(
+        F.lit("__union__").alias("grp"), "reg", "mx"
+    ).groupBy("grp", "reg").agg(F.max("mx").alias("mx"))
+    est = hll_estimate_from_registers(
+        regs.unionByName(union_regs)
+    )
+    ga, gb = F.lit(group_a).cast("string"), F.lit(group_b).cast("string")
+    one = est.agg(
+        F.max(
+            F.when(F.col("grp").cast("string") == ga, F.col("estimate"))
+        ).alias("ndv_a"),
+        F.max(
+            F.when(F.col("grp").cast("string") == gb, F.col("estimate"))
+        ).alias("ndv_b"),
+        F.max(
+            F.when(F.col("grp") == "__union__", F.col("estimate"))
+        ).alias("ndv_union"),
+    )
+    return one.select(
+        "ndv_a",
+        "ndv_b",
+        "ndv_union",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.col("ndv_a") + F.col("ndv_b") - F.col("ndv_union"),
+            ),
+            4,
+        ).alias("ndv_overlap"),
+    )
+
+
+def _hll_estimate_sql(regs_cte: str) -> str:
+    """Estimator SQL over a (reg, mx) CTE — shared by the overlap twin."""
+    m = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+    return f"""(
+  SELECT round(CASE WHEN e_raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                    AND n_zero > 0
+               THEN {m} * ln({m} / n_zero) ELSE e_raw END, 4)
+  FROM (
+    SELECT ({alpha} * {m} * {m} /
+            (SUM(power(CAST(2.0 AS DOUBLE), -mx)) + ({m} - COUNT(*))))
+             AS e_raw,
+           ({HLL_M} - COUNT(*)) AS n_zero
+    FROM {regs_cte})
+)"""
+
+
+def hll_overlap_sql(
+    table: str, group_col: str, col: str, group_a, group_b
+) -> str:
+    """DuckDB twin of :func:`hll_overlap`."""
+    cv = f"CAST({col} AS VARCHAR)"
+
+    def lit(v) -> str:
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    def regs(pred: str) -> str:
+        return f"""(
+  SELECT {hll_register_sql(cv)} AS reg, MAX({hll_rank_sql(cv)}) AS mx
+  FROM {table}
+  WHERE {col} IS NOT NULL AND {pred}
+  GROUP BY 1)"""
+
+    ra = regs(f"{group_col} = {lit(group_a)}")
+    rb = regs(f"{group_col} = {lit(group_b)}")
+    ru = regs(f"{group_col} IN ({lit(group_a)}, {lit(group_b)})")
+    return f"""
+WITH est AS (
+  SELECT {_hll_estimate_sql(ra)} AS ndv_a,
+         {_hll_estimate_sql(rb)} AS ndv_b,
+         {_hll_estimate_sql(ru)} AS ndv_union)
+SELECT ndv_a, ndv_b, ndv_union,
+       round(greatest(CAST(0.0 AS DOUBLE),
+                      ndv_a + ndv_b - ndv_union), 4) AS ndv_overlap
+FROM est
+"""

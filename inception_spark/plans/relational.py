@@ -1331,3 +1331,85 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log:
+    (key, attr, valid_from, valid_to, is_current) — one row per RUN of
+    equal attribute values, gaps-and-islands style.
+
+    The island id is the classic two-window trick: flag rows where the
+    attribute differs from its predecessor, running-sum the flags, then
+    group by (key, island).  ``valid_to`` is the next island's start
+    (NULL for the open current row), so intervals tile the key's
+    timeline exactly — the standard point-in-time-join feed.
+
+    Scale shape: every window is partitioned by ``key`` — no global
+    ordering anywhere, the per-key sequential scan is exactly the work
+    SCD semantics require, and the final aggregate shrinks the output
+    to one row per change.  100 TB of events with bounded per-key
+    cardinality runs this without any single-task stage.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = df.select(
+        F.col(key), F.col(attr), F.col(ts),
+        *( [F.col(tiebreak)] if tiebreak else [] ),
+    ).withColumn(
+        "_chg",
+        F.when(
+            F.lag(attr).over(w).isNull()
+            | (F.lag(attr).over(w) != F.col(attr)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_isl", F.sum("_chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    runs = flagged.groupBy(key, "_isl").agg(
+        F.first(attr).alias(attr),  # constant within the island
+        F.min(ts).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(key).orderBy("_isl")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_isl")
+        .select(key, attr, "valid_from", "valid_to", "is_current")
+    )
+
+
+def scd2_history_sql(
+    table: str, *, key: str, attr: str, ts: str, tiebreak: str | None = None
+) -> str:
+    """DuckDB twin of :func:`scd2_history`."""
+    tb = f", {tiebreak}" if tiebreak else ""
+    return f"""
+WITH flagged AS (
+  SELECT {key}, {attr}, {ts}{tb},
+         CASE WHEN lag({attr}) OVER w IS NULL
+                OR lag({attr}) OVER w <> {attr}
+              THEN 1 ELSE 0 END AS chg
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key} ORDER BY {ts}{tb})),
+isl AS (
+  SELECT {key}, {attr}, {ts}{tb},
+         SUM(chg) OVER (PARTITION BY {key} ORDER BY {ts}{tb}
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged),
+runs AS (
+  SELECT {key}, isl, MIN({attr}) AS {attr}, MIN({ts}) AS valid_from
+  FROM isl GROUP BY {key}, isl)
+SELECT {key}, {attr}, valid_from,
+       lead(valid_from) OVER (PARTITION BY {key} ORDER BY isl)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY {key} ORDER BY isl) IS NULL
+         AS is_current
+FROM runs
+"""

@@ -644,3 +644,32 @@ def test_r7_ops_plan_shapes(spark):
     p = plan_of(events_gap_fill(spark, SF))
     assert "partial_count" in p or "partial_sum" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_scd2_history_islands(spark):
+    """Runs collapse, intervals tile the timeline, reopened values get a
+    NEW interval (type-2, not type-1), open row has NULL valid_to."""
+    from datetime import datetime as dt
+
+    from inception_spark.plans.relational import scd2_history
+
+    rows = [
+        (1, "a", dt(2024, 1, 1), 1),
+        (1, "a", dt(2024, 1, 2), 2),   # same run
+        (1, "b", dt(2024, 1, 3), 3),   # change
+        (1, "a", dt(2024, 1, 4), 4),   # back to a -> NEW interval
+        (2, "x", dt(2024, 1, 1), 5),   # single-run key
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, i long")
+    got = [
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(df, key="k", attr="attr", ts="ts", tiebreak="i")
+        .orderBy("k", "valid_from")
+        .collect()
+    ]
+    assert got == [
+        (1, "a", dt(2024, 1, 1), dt(2024, 1, 3), False),
+        (1, "b", dt(2024, 1, 3), dt(2024, 1, 4), False),
+        (1, "a", dt(2024, 1, 4), None, True),
+        (2, "x", dt(2024, 1, 1), None, True),
+    ]

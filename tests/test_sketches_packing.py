@@ -231,3 +231,23 @@ def test_hll_register_merge_equals_full_scan(spark):
         ).collect()
     }
     assert twice == full
+
+
+def test_hll_overlap_identical_and_disjoint(spark):
+    """Identical groups: overlap == each side's NDV and union == side.
+    Disjoint groups: union == a+b (exact at this cardinality), overlap
+    clamps at >= 0."""
+    from inception_spark.functions.sketches import hll_overlap
+
+    rows = [("a", i) for i in range(40)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    r = hll_overlap(df, "grp", "v", "a", "b").collect()[0]
+    assert r.ndv_a == r.ndv_b == r.ndv_union
+    assert abs(r.ndv_overlap - r.ndv_a) < 1e-6
+
+    rows2 = [("a", i) for i in range(40)] + [("b", 1000 + i) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "grp string, v long")
+    r2 = hll_overlap(df2, "grp", "v", "a", "b").collect()[0]
+    assert r2.ndv_union > max(r2.ndv_a, r2.ndv_b)
+    assert r2.ndv_overlap >= 0.0
+    assert r2.ndv_overlap < 0.2 * r2.ndv_union
