@@ -109,6 +109,7 @@ from inception_spark.operators.sampling import (
     token_budget_sample_sql,
 )
 from inception_spark.operators import multimodal as MM
+from inception_spark.operators import pca as PCA
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.operators.layout import (
     assign_global_ids,
@@ -729,6 +730,17 @@ def _q_assign_global_ids(spark, sf_dir):
         _docs(spark, sf_dir), ["n_chars", "doc_id"], num_partitions=8
     )
     return out.select("doc_id", "row_id")
+
+
+def _q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance of the embedding matrix via
+    round-then-DECIMAL(38,9) sums — exact arithmetic after the per-row
+    float products, so partitioning cannot move a digit (the oracle
+    replays the identical decimal pipeline).  The numpy Gram scale
+    twin is pinned approx-equal in tests/test_pca.py."""
+    return PCA.embedding_covariance(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def _q_scd2_user_history(spark, sf_dir):
@@ -2657,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_global_ids": _q_assign_global_ids,
         "hll_user_overlap": _q_hll_user_overlap,
         "scd2_user_history": _q_scd2_user_history,
+        "embedding_covariance": _q_embedding_covariance,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
@@ -2922,6 +2935,7 @@ _WINDOW_R7 = [
     "salted_join_revenue",
     "hll_user_overlap",
     "scd2_user_history",
+    "embedding_covariance",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3668,6 +3682,7 @@ FROM agg
 """,
         # the fixture writes sorted doc_ids in 100-row row groups, so
         # footer stats must equal rank-window min/max over the data
+        "embedding_covariance": PCA.embedding_covariance_sql(),
         "scd2_user_history": f"""
 SELECT user_id, event_type, valid_from,
        coalesce(valid_to, TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
