@@ -732,6 +732,10 @@ def _q_assign_global_ids(spark, sf_dir):
     return out.select("doc_id", "row_id")
 
 
+def _q_events_twap(spark, sf_dir):
+    return R.events_twap(spark, sf_dir)
+
+
 def _q_embedding_covariance(spark, sf_dir):
     """Upper-triangle covariance of the embedding matrix via
     round-then-DECIMAL(38,9) sums — exact arithmetic after the per-row
@@ -2670,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_overlap": _q_hll_user_overlap,
         "scd2_user_history": _q_scd2_user_history,
         "embedding_covariance": _q_embedding_covariance,
+        "events_twap": _q_events_twap,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
@@ -2936,6 +2941,7 @@ _WINDOW_R7 = [
     "hll_user_overlap",
     "scd2_user_history",
     "embedding_covariance",
+    "events_twap",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3683,6 +3689,7 @@ FROM agg
         # the fixture writes sorted doc_ids in 100-row row groups, so
         # footer stats must equal rank-window min/max over the data
         "embedding_covariance": PCA.embedding_covariance_sql(),
+        "events_twap": R.EVENTS_TWAP_SQL,
         "scd2_user_history": f"""
 SELECT user_id, event_type, valid_from,
        coalesce(valid_to, TIMESTAMP '2199-12-31 00:00:00') AS valid_to,

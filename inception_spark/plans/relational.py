@@ -1413,3 +1413,70 @@ SELECT {key}, {attr}, valid_from,
          AS is_current
 FROM runs
 """
+
+
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user: each event's value
+    holds until the user's next event (lead over a per-user window),
+    weight = holding seconds.  TWAP = sum(value*dt)/sum(dt) — the
+    right average for irregularly-sampled series, where a plain AVG
+    over-weights bursts.
+
+    Determinism: dt is integer epoch seconds, each value*dt product is
+    rounded then summed as DECIMAL(38,6) — exact arithmetic, immune to
+    partition-order float drift.  Windows partition by user; no global
+    sort."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer MICROseconds: unix_timestamp would truncate sub-second
+    # precision differently than the oracle's epoch rounding.  The NTZ
+    # parquet timestamps cast through TIMESTAMP (identity under the
+    # pinned-UTC session TZ) because unix_micros rejects NTZ.
+    usec = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    dt = (usec(F.lead("ts").over(w)) - usec(F.col("ts"))).cast("long")
+    weighted = (
+        ev.withColumn("dt", dt)
+        .filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .select(
+            "user_id",
+            F.round(F.col("value") * F.col("dt"), 6)
+            .cast("decimal(38,6)")
+            .alias("vdt"),
+            "dt",
+        )
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum("vdt").alias("svdt"),
+            F.sum("dt").cast("long").alias("total_usecs"),
+        )
+        .select(
+            "user_id",
+            F.round(
+                F.col("svdt").cast("double")
+                / F.col("total_usecs").cast("double"),
+                6,
+            ).alias("twap"),
+            "total_usecs",
+        )
+    )
+
+
+EVENTS_TWAP_SQL = """
+WITH d AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+         - epoch_us(ts) AS dt
+  FROM events),
+w AS (
+  SELECT user_id,
+         CAST(round(value * dt, 6) AS DECIMAL(38,6)) AS vdt, dt
+  FROM d WHERE dt IS NOT NULL AND dt > 0)
+SELECT user_id,
+       round(CAST(SUM(vdt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+         AS twap,
+       CAST(SUM(dt) AS BIGINT) AS total_usecs
+FROM w GROUP BY user_id
+"""

@@ -673,3 +673,34 @@ def test_scd2_history_islands(spark):
         (1, "a", dt(2024, 1, 4), None, True),
         (2, "x", dt(2024, 1, 1), None, True),
     ]
+
+
+def test_events_twap_weights_by_holding_time(spark, tmp_path):
+    """A value held 9x longer dominates the TWAP 9:1 regardless of how
+    many short-lived samples follow it."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_twap
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:09:00",
+                 "2024-01-01 00:10:00"]
+            ),
+            "user_id": [7, 7, 7],
+            "event_type": ["a"] * 3,
+            "value": [10.0, 100.0, 5.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    p = str(tmp_path / "events.parquet")
+    rows.to_parquet(p)
+    d = str(tmp_path)
+    import os, shutil
+    os.rename(p, os.path.join(d, "events.parquet"))
+    r = events_twap(spark, d).collect()[0]
+    # 9 min at 10 + 1 min at 100 -> (9*10+1*100)/10 = 19
+    assert r.user_id == 7 and abs(r.twap - 19.0) < 1e-6
+    assert r.total_usecs == 600 * 1_000_000
