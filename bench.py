@@ -113,6 +113,16 @@ HEADLINE = [
     "incremental_quantiles",
     "cms_incremental_topk",
     "supplier_triangles",
+    # r7+: exact prefix-filtered similarity join, fixed-point covariance,
+    # skew-salted fact join, SCD2 intervals, two-phase global IDs,
+    # time-weighted averages, sketch-level audience overlap
+    "jaccard_prefix_pairs",
+    "embedding_covariance",
+    "salted_join_revenue",
+    "scd2_user_history",
+    "assign_global_ids",
+    "events_twap",
+    "hll_user_overlap",
 ]
 
 
@@ -186,7 +196,11 @@ def main() -> None:
                 # r6=58 (+bm25_search, lr_roc_auc, dsir_scores,
                 # c4_line_clean, events_ndv_by_type, hamming64_dup_pairs;
                 # ivf_pq_topk newly in the warm list — its r5 number was
-                # part cold-start)
+                # part cold-start); r7=74 (+url_dedup..supplier_triangles
+                # block and the late-r7 block: jaccard_prefix_pairs,
+                # embedding_covariance, salted_join_revenue,
+                # scd2_user_history, assign_global_ids, events_twap,
+                # hll_user_overlap)
                 "queryset": "r7",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,

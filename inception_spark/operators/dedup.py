@@ -1638,12 +1638,21 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     threshold_num: int = 2,
     threshold_den: int = 5,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (SSJoin /
     PPJoin family, Chaudhuri 2006 / Xiao 2008): every pair of documents
-    whose word-set Jaccard is >= threshold_num/threshold_den, with zero
-    false negatives and no LSH probabilism — the exact complement to
-    :func:`ngram_jaccard_pairs`' banded-MinHash recall regime.
+    whose shingle-set Jaccard is >= threshold_num/threshold_den, with
+    zero false negatives and no LSH probabilism — the exact complement
+    to :func:`ngram_jaccard_pairs`' banded-MinHash recall regime.
+
+    Set elements are word ``shingle_n``-grams (``shingle_n=1`` = bare
+    words).  Shingles are the regime prefix filtering was built for: a
+    tiny-vocabulary corpus makes every WORD common (nothing is rare, so
+    no prefix prunes — measured 7.5M candidates on the 31-word synthetic
+    corpus), while the n-gram space is combinatorially larger and the
+    rarest-first ordering actually bites (same corpus: 70k candidates,
+    256 true pairs).
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     to 4 decimals; the threshold COMPARISON is pure integer arithmetic
@@ -1676,14 +1685,16 @@ def jaccard_prefix_pairs(
     num, den = int(threshold_num), int(threshold_den)
     from pyspark.sql import Window
 
-    tok = (
-        df.select(
+    if shingle_n > 1:
+        tok = exploded_shingles(
+            df, id_col=id_col, text_col=text_col, n=shingle_n
+        ).select("doc_id", F.col("s").alias("tok"))
+    else:
+        tok = df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(H.words(F.col(text_col))).alias("tok"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+        ).distinct()
+    tok = tok.localCheckpoint(eager=False)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # global document frequency -- vocab-sized, broadcast to order tokens
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
@@ -1745,16 +1756,25 @@ def jaccard_prefix_pairs(
 
 
 def jaccard_prefix_pairs_sql(
-    *, threshold_num: int = 2, threshold_den: int = 5
+    *, threshold_num: int = 2, threshold_den: int = 5, shingle_n: int = 3
 ) -> str:
     """DuckDB twin of :func:`jaccard_prefix_pairs` — mirrors the prefix
     filter (so the oracle stays cheap at sf0.01 instead of joining every
     shared-stopword pair) and the all-integer threshold compare."""
     num, den = int(threshold_num), int(threshold_den)
-    return f"""
+    if shingle_n > 1:
+        tok_cte = f"""
+WITH w AS (SELECT doc_id, {H.words_sql('text')} AS w FROM documents),
+tok AS (
+  SELECT doc_id, unnest({H.shingles_cte_sql('w', shingle_n)}) AS tok
+  FROM w WHERE len(w) >= {shingle_n}),"""
+    else:
+        tok_cte = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest({H.words_sql('text')}) AS tok
-  FROM documents),
+  FROM documents),"""
+    return f"""
+{tok_cte}
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 freq AS (SELECT tok, COUNT(*) AS df_tok FROM tok GROUP BY tok),
 pref AS (

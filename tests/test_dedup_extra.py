@@ -617,7 +617,7 @@ def test_jaccard_prefix_pairs_lossless(spark):
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in jaccard_prefix_pairs(
-            df, threshold_num=3, threshold_den=5
+            df, threshold_num=3, threshold_den=5, shingle_n=1
         ).collect()
     }
     sets = {i: set(t.split()) for i, t in rows if t}
@@ -639,3 +639,22 @@ def test_jaccard_prefix_pairs_empty(spark):
     out = jaccard_prefix_pairs(df)
     assert out.columns == ["doc_a", "doc_b", "jaccard"]
     assert out.count() == 0
+
+
+def test_jaccard_prefix_pairs_shingle_mode(spark):
+    """Shingle-set mode: near-identical docs pair up; docs sharing all
+    WORDS but no word ORDER don't (the word-level pathology the shingle
+    default exists to avoid)."""
+    from inception_spark.operators.dedup import jaccard_prefix_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "dog lazy the over jumps fox brown quick the today"),  # permuted
+        (4, "an entirely different sentence with other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in jaccard_prefix_pairs(
+        df, threshold_num=1, threshold_den=2, shingle_n=3).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
