@@ -732,6 +732,35 @@ def _q_assign_global_ids(spark, sf_dir):
     return out.select("doc_id", "row_id")
 
 
+def _kcore_oracle_sql() -> str:
+    from inception_spark.operators.graph import kcore_sql
+
+    edges = (
+        _dedup_cte() + "SELECT doc_a AS src, doc_b AS dst FROM cand"
+    )
+    return kcore_sql(edges, k=3, n_iter=6)
+
+
+def _q_phrase_search(spark, sf_dir):
+    """Quoted-phrase retrieval via positional postings offset-join —
+    the operator bag-of-words BM25 can't express; oracle replays the
+    identical postings algebra."""
+    return TA.phrase_search(_docs(spark, sf_dir), "key order")
+
+
+def _q_dup_graph_kcore(spark, sf_dir):
+    """3-core of the LSH near-dup candidate graph: the tight duplicate
+    communities that survive iterative peeling (chains of borderline
+    pairs fall away) — per-round degree counts + semi-joins, all
+    node-partitioned."""
+    from inception_spark.operators.graph import kcore
+
+    edges = D.lsh_candidate_pairs(_docs(spark, sf_dir), k=16, bands=4)
+    return kcore(
+        edges, k=3, n_iter=6, src_col="doc_a", dst_col="doc_b"
+    )
+
+
 def _q_events_twap(spark, sf_dir):
     return R.events_twap(spark, sf_dir)
 
@@ -874,39 +903,37 @@ def _q_ols_by_priority(spark, sf_dir):
     )
 
 
-def _q_supplier_triangles(spark, sf_dir):
-    """Exact triangle census of the supplier co-purchase graph
-    (suppliers sharing ≥1 customer, via orders⋈lineitem): the
-    degree-ordered-orientation count — the non-bipartite companion to
-    supplier_pagerank's graph.  The co-purchase edge DERIVATION is a
-    per-customer quadratic; production caps suppliers-per-customer
-    before the pair join (fixture customers are small), the COUNT
-    itself is the O(m^1.5)-wedge oriented shape."""
+def _q_part_basket_triangles(spark, sf_dir):
+    """Exact triangle census of the PART bought-together graph: parts
+    co-appearing on the same order in >= 2 distinct orders (the classic
+    market-basket graph).  The node set must be the HIGH-cardinality
+    key: the original supplier/share-a-customer derivation saturated
+    into the complete graph by sf0.1 (only ~1k suppliers → K1000, 166M
+    triangles, coeff 1.0 — a 60 s degenerate count measuring nothing),
+    while the part graph stays ~3.5k edges at every SF because the
+    repeat-co-occurrence threshold tracks real basket structure.
+    Per-order item lists are small (~4), so pair generation is a
+    bounded per-group quadratic; the COUNT is the O(m^1.5)-wedge
+    oriented shape."""
     from inception_spark.operators.graph import triangle_count
 
     li = R.load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = R.load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    cs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    a, b = cs.alias("a"), cs.alias("b")
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
             b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_coorders"))
+        .filter(F.col("n_coorders") >= 2)
+        .select("src", "dst")
     )
     return triangle_count(edges)
 
@@ -2566,7 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "supplier_pagerank": _q_supplier_pagerank,
         # exact triangle census, degree-ordered orientation
-        "supplier_triangles": _q_supplier_triangles,
+        "part_basket_triangles": _q_part_basket_triangles,
         # closed-form one-pass OLS (normal equations + Cramer solve)
         "ols_order_price": _q_ols_order_price,
         # grouped variant: every group's model from ONE aggregate
@@ -2675,6 +2702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_history": _q_scd2_user_history,
         "embedding_covariance": _q_embedding_covariance,
         "events_twap": _q_events_twap,
+        "dup_graph_kcore": _q_dup_graph_kcore,
+        "phrase_search": _q_phrase_search,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
@@ -2931,7 +2960,7 @@ _WINDOW_R7 = [
     "lsh_tuning_curve",
     "cms_incremental_topk",
     "bm25_segmented_search",
-    "supplier_triangles",
+    "part_basket_triangles",
     "ols_order_price",
     "ols_by_priority",
     "streaming_hll_ndv",
@@ -2942,6 +2971,8 @@ _WINDOW_R7 = [
     "scd2_user_history",
     "embedding_covariance",
     "events_twap",
+    "dup_graph_kcore",
+    "phrase_search",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3690,6 +3721,8 @@ FROM agg
         # footer stats must equal rank-window min/max over the data
         "embedding_covariance": PCA.embedding_covariance_sql(),
         "events_twap": R.EVENTS_TWAP_SQL,
+        "dup_graph_kcore": _kcore_oracle_sql(),
+        "phrase_search": TA.phrase_search_sql("key order"),
         "scd2_user_history": f"""
 SELECT user_id, event_type, valid_from,
        coalesce(valid_to, TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
@@ -4417,13 +4450,13 @@ SELECT DISTINCT {canonical_url_sql('url')} AS canon_url FROM u
         x1_col="n_items",
         x2_col="sum_qty",
     )
-    d["supplier_triangles"] = """
+    d["part_basket_triangles"] = """
 WITH cs AS (
-  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS s FROM lineitem),
 e AS (
-  SELECT DISTINCT a.s AS u, b.s AS v
-  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s),
+  SELECT a.s AS u, b.s AS v
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s HAVING COUNT(*) >= 2),
 deg AS (
   SELECT node, COUNT(*) AS deg
   FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)

@@ -112,7 +112,7 @@ HEADLINE = [
     "hll_incremental_ndv",
     "incremental_quantiles",
     "cms_incremental_topk",
-    "supplier_triangles",
+    "part_basket_triangles",
     # r7+: exact prefix-filtered similarity join, fixed-point covariance,
     # skew-salted fact join, SCD2 intervals, two-phase global IDs,
     # time-weighted averages, sketch-level audience overlap
@@ -123,6 +123,9 @@ HEADLINE = [
     "assign_global_ids",
     "events_twap",
     "hll_user_overlap",
+    # r7+: positional phrase retrieval, near-dup-graph k-core peeling
+    "phrase_search",
+    "dup_graph_kcore",
 ]
 
 
@@ -196,11 +199,12 @@ def main() -> None:
                 # r6=58 (+bm25_search, lr_roc_auc, dsir_scores,
                 # c4_line_clean, events_ndv_by_type, hamming64_dup_pairs;
                 # ivf_pq_topk newly in the warm list — its r5 number was
-                # part cold-start); r7=74 (+url_dedup..supplier_triangles
-                # block and the late-r7 block: jaccard_prefix_pairs,
-                # embedding_covariance, salted_join_revenue,
-                # scd2_user_history, assign_global_ids, events_twap,
-                # hll_user_overlap)
+                # part cold-start); r7=76 (+url_dedup..part_basket_
+                # triangles block and the late-r7 block:
+                # jaccard_prefix_pairs, embedding_covariance,
+                # salted_join_revenue, scd2_user_history,
+                # assign_global_ids, events_twap, hll_user_overlap,
+                # phrase_search, dup_graph_kcore)
                 "queryset": "r7",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,

@@ -1702,3 +1702,80 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_chars_total,
        ELSE 'digit' END AS dominant_script
 FROM c
 """
+
+
+def phrase_search(
+    df,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact phrase matching via a POSITIONAL postings join — the
+    operator behind quoted queries, which bag-of-words BM25
+    (:func:`bm25_topk`) cannot express: (doc_id, n_occurrences).
+
+    Build (doc, term, pos) postings with one posexplode, then join the
+    phrase's consecutive terms with position offsets (+1, +2, ...):
+    an occurrence exists where all terms line up.  Each join leg is an
+    equi-join on (doc, term-slot position) — hash-partitioned postings,
+    no per-doc scan of full text downstream of the explode, which is
+    how a positional inverted index answers phrases at corpus scale
+    (materialize the postings once, probe per query).
+
+    Terms go through the same word normalization as every other text
+    operator, so "Fast KEY order!" matches the phrase "fast key order".
+    """
+    from pyspark.sql import functions as F
+
+    from . import hashing as H
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    post = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(H.words(F.col(text_col))).alias("pos", "w"),
+    )
+    base = (
+        post.filter(F.col("w") == terms[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for off, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("w") == t).select(
+            F.col("doc_id"), (F.col("pos") - off).alias("p0")
+        )
+        base = base.join(nxt, ["doc_id", "p0"], "left_semi")
+    return base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def phrase_search_sql(
+    phrase: str, *, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`phrase_search` — same postings-offset
+    join over the shared word normalization."""
+    from . import hashing as H
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    joins = []
+    for off, t in enumerate(terms[1:], start=1):
+        joins.append(
+            f"JOIN post t{off} ON t{off}.doc_id = b.doc_id"
+            f" AND t{off}.w = '{t}' AND t{off}.pos = b.pos + {off}"
+        )
+    return f"""
+WITH w AS (SELECT doc_id, {H.words_sql('text')} AS ws FROM {table}),
+post AS (
+  SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS w
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+base AS (
+  SELECT DISTINCT b.doc_id, b.pos AS p0
+  FROM post b {' '.join(joins)}
+  WHERE b.w = '{terms[0]}')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM base GROUP BY doc_id
+"""

@@ -220,3 +220,101 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    n_iter: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling: nodes with
+    degree >= k after ``n_iter`` rounds of removing sub-k nodes —
+    (node, deg) with deg measured in the final surviving subgraph.
+
+    The dedup use: in a near-duplicate candidate graph the k-core
+    separates TIGHT duplicate communities (mutually-similar clusters
+    that survive peeling) from chains of borderline pairs that
+    connected-components would glue into one blob.
+
+    Each round is degree-count + two semi-joins — all hash-partitioned
+    by node id, no global structure anywhere, so a 100 TB edge list
+    peels in parallel.  Lineage is lazily checkpointed per round
+    (iterative-plan discipline, same as kmeans/pagerank).  ``n_iter``
+    bounds peeling DEPTH: peeling converges in O(longest removal
+    chain) rounds (typically < 8 on near-dup graphs); an unconverged
+    run is still deterministic — the final degree filter applies the
+    same definition both engines unroll.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("node"))
+            .unionAll(ed.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(n_iter):
+        keep = degrees(e).filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(e).filter(F.col("deg") >= k).select(
+        "node", F.col("deg").cast("long").alias("deg")
+    )
+
+
+def kcore_sql(edges_sql: str, *, k: int = 2, n_iter: int = 8) -> str:
+    """DuckDB twin of :func:`kcore`: the same peeling unrolled into
+    CTEs.  ``edges_sql`` must select (src, dst)."""
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs at every
+    # reference, and each round references the previous edge set three
+    # times — unrolled, that's 3^n_iter inlined copies of the whole
+    # upstream edge pipeline (observed as thousands of parquet re-scans)
+    ctes = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        " greatest(src, dst) AS v FROM raw WHERE src <> dst)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM"
+            f" (SELECT u AS node FROM e{p}"
+            f" UNION ALL SELECT v FROM e{p}) GROUP BY node)"
+        )
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e"
+            f" JOIN n{i} a ON e.u = a.node"
+            f" JOIN n{i} b ON e.v = b.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+  SELECT node, COUNT(*) AS deg FROM
+    (SELECT u AS node FROM e{n_iter} UNION ALL SELECT v FROM e{n_iter})
+  GROUP BY node)
+WHERE deg >= {k}
+"""
+    )

@@ -66,3 +66,24 @@ def test_extract_citations_ordered_list(spark):
     row = extract_citations(df).collect()[0]
     assert row["citations"] == "347 U.S. 483|163 F.3d 952|§ 1983"
     assert row["n_us"] == 1 and row["n_fed"] == 1 and row["n_section"] == 1
+
+
+def test_phrase_search_positions_and_counts(spark):
+    """Adjacent-in-order only: permutations and gapped words don't
+    match; overlapping occurrences all count; punctuation-normalized."""
+    from inception_spark.functions.text_analysis import phrase_search
+
+    rows = [
+        (1, "a b c d"),
+        (2, "b a c"),            # wrong order
+        (3, "a x b"),            # gap
+        (4, "a b a b a b"),      # overlapping: "a b" x3, "b a" x2
+        (5, "A, B! c"),          # normalization
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_occurrences
+           for r in phrase_search(df, "a b").collect()}
+    assert got == {1: 1, 4: 3, 5: 1}
+    got3 = {r.doc_id: r.n_occurrences
+            for r in phrase_search(df, "a b c").collect()}
+    assert got3 == {1: 1, 5: 1}

@@ -101,3 +101,35 @@ def test_triangle_count_triangle_free(spark):
     [row] = triangle_count(df).collect()
     assert row["n_triangles"] == 0 and row["n_wedges"] == 10
     assert row["clustering_coeff"] == 0.0
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """K4 with a pendant path: 3-core keeps exactly the clique; the
+    path (and the node it attaches through... which IS in K4) peels."""
+    from inception_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (1, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.deg) for r in kcore(df, k=3, n_iter=4).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_kcore_cascading_removal_needs_iterations(spark):
+    """A long chain into a triangle: each round peels ONE chain node, so
+    convergence takes as many rounds as the chain is long — with k=2 the
+    triangle alone survives."""
+    from inception_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(10, 15)]  # 10-11-...-15
+    tri = [(15, 16), (16, 17), (15, 17)]
+    df = spark.createDataFrame(chain + tri, "src long, dst long")
+    got = {r.node for r in kcore(df, k=2, n_iter=8).collect()}
+    assert got == {15, 16, 17}
+
+
+def test_kcore_empty_result(spark):
+    from inception_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = kcore(df, k=3, n_iter=3)
+    assert out.count() == 0 and out.columns == ["node", "deg"]
