@@ -741,6 +741,13 @@ def _kcore_oracle_sql() -> str:
     return kcore_sql(edges, k=3, n_iter=6)
 
 
+def _q_events_cusum(spark, sf_dir):
+    """One-sided CUSUM drift alarm over hourly event rates — the
+    max(0, s+x-k) recursion as its closed two-window form (running sum
+    minus running min), integer milli-units end to end."""
+    return R.events_cusum(spark, sf_dir)
+
+
 def _q_phrase_search(spark, sf_dir):
     """Quoted-phrase retrieval via positional postings offset-join —
     the operator bag-of-words BM25 can't express; oracle replays the
@@ -2704,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
+        "events_cusum": _q_events_cusum,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
@@ -2973,6 +2981,7 @@ _WINDOW_R7 = [
     "events_twap",
     "dup_graph_kcore",
     "phrase_search",
+    "events_cusum",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3723,6 +3732,7 @@ FROM agg
         "events_twap": R.EVENTS_TWAP_SQL,
         "dup_graph_kcore": _kcore_oracle_sql(),
         "phrase_search": TA.phrase_search_sql("key order"),
+        "events_cusum": R.events_cusum_sql(),
         "scd2_user_history": f"""
 SELECT user_id, event_type, valid_from,
        coalesce(valid_to, TIMESTAMP '2199-12-31 00:00:00') AS valid_to,

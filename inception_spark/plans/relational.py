@@ -1480,3 +1480,93 @@ SELECT user_id,
        CAST(SUM(dt) AS BIGINT) AS total_usecs
 FROM w GROUP BY user_id
 """
+
+
+def events_cusum(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k_milli: int = 500,
+    h_milli: int = 4000,
+) -> DataFrame:
+    """One-sided CUSUM change detection over the hourly event-rate
+    series, per event type: (event_type, hour_ts, n_events, cusum_milli,
+    alarm).
+
+    The CUSUM recursion s_t = max(0, s_{t-1} + x_t − k) looks
+    stateful-sequential, but it has a closed window form:
+    ``s_t = C_t − min_{τ<=t} C_τ`` where C is the running sum of
+    (x − k) — two ordered windows per event type, no recursion, no UDF,
+    no driver loop.  x is standardized as x_t/mean − 1 (per-type mean
+    via one aggregate joined back), in MILLI units so the whole
+    statistic is integer arithmetic: x_milli = (1000·n_t) div mean-num
+    trick avoided — instead x_milli = (n_t·1000·n_hours) div total_n −
+    1000, exact integer division identical in both engines.
+
+    100 TB shape: the windows are per event type over the HOURLY rollup
+    (bounded by the time span, not the raw event count); the raw scan
+    is one hash aggregate.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("total_n"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    cum = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (
+        hourly.join(totals, "event_type")
+        # deviation from the type's mean rate, milli-units, exact ints
+        .withColumn(
+            "x_milli",
+            F.expr("(n_events * 1000 * n_hours) div total_n") - F.lit(1000)
+            - F.lit(k_milli),
+        )
+        .withColumn("c", F.sum("x_milli").over(cum))
+        .withColumn("cmin", F.least(F.min("c").over(cum), F.lit(0)))
+        .withColumn("cusum_milli", (F.col("c") - F.col("cmin")).cast("long"))
+    )
+    return dev.select(
+        "event_type",
+        "hour_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        "cusum_milli",
+        (F.col("cusum_milli") > h_milli).alias("alarm"),
+    )
+
+
+def events_cusum_sql(*, k_milli: int = 500, h_milli: int = 4000) -> str:
+    """DuckDB twin of :func:`events_cusum`."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+totals AS (
+  SELECT event_type, SUM(n_events) AS total_n, COUNT(*) AS n_hours
+  FROM hourly GROUP BY 1),
+dev AS (
+  SELECT h.event_type, h.hour_ts, h.n_events,
+         (h.n_events * 1000 * t.n_hours) // t.total_n - 1000
+           - {k_milli} AS x_milli
+  FROM hourly h JOIN totals t USING (event_type)),
+c AS (
+  SELECT *, SUM(x_milli) OVER w AS c
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT *, least(MIN(c) OVER w, 0) AS cmin
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS UNBOUNDED PRECEDING))
+SELECT event_type, hour_ts, CAST(n_events AS BIGINT) AS n_events,
+       CAST(c - cmin AS BIGINT) AS cusum_milli,
+       (c - cmin) > {h_milli} AS alarm
+FROM s
+"""

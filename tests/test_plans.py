@@ -704,3 +704,46 @@ def test_events_twap_weights_by_holding_time(spark, tmp_path):
     # 9 min at 10 + 1 min at 100 -> (9*10+1*100)/10 = 19
     assert r.user_id == 7 and abs(r.twap - 19.0) < 1e-6
     assert r.total_usecs == 600 * 1_000_000
+
+
+def test_events_cusum_closed_form_equals_recursion(spark, tmp_path):
+    """The two-window closed form must equal the literal
+    max(0, s + x - k) recursion on a series with a planted level shift,
+    and the alarm must fire only after the shift."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_cusum
+
+    # 12 quiet hours at ~2 events, then 6 loud hours at 12 events
+    counts = [2] * 12 + [12] * 6
+    rows = []
+    eid = 0
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-03-01") + pd.Timedelta(hours=h, minutes=1),
+                    "user_id": 1,
+                    "event_type": "x",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.hour_ts.hour: (r.cusum_milli, r.alarm)
+        for r in events_cusum(spark, str(tmp_path)).collect()
+    }
+    # replay the recursion in python with the same integer arithmetic
+    total, n_hours, k = sum(counts), len(counts), 500
+    s, want = 0, {}
+    for h, n in enumerate(counts):
+        x = (n * 1000 * n_hours) // total - 1000 - k
+        s = max(0, s + x)
+        want[h] = (s, s > 4000)
+    assert out == want
+    assert not out[11][1] and out[17][1]  # quiet end vs post-shift alarm
