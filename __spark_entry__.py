@@ -658,6 +658,64 @@ def _q_warc_record_stats(spark, sf_dir):
     )
 
 
+def _write_tar_fixture(spark, sf_dir) -> str:
+    """Synthesize a deterministic 3-shard WebDataset corpus from the
+    documents table (driver-side fixture synthesis, same shape as the
+    WARC fixture): per document a ``.txt`` member (utf-8 text) and a
+    ``.cls`` member (the lang code), doc_id % 3 → shard; shard 2 uses
+    the ``.tar.gz`` convention so both stream-reader paths feed the
+    same aggregate."""
+    import io
+    import tarfile
+    import tempfile
+
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", "lang")
+        .where(F.col("text").isNotNull())
+        .sort("doc_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="inception_tar_fix_")
+    shards = [
+        tarfile.open(f"{d}/shard0.tar", "w"),
+        tarfile.open(f"{d}/shard1.tar", "w"),
+        tarfile.open(f"{d}/shard2.tar.gz", "w:gz"),
+    ]
+    try:
+        for r in rows:
+            sh = shards[int(r["doc_id"]) % 3]
+            for ext, payload in (
+                ("txt", r["text"].encode("utf-8")),
+                ("cls", (r["lang"] or "").encode("utf-8")),
+            ):
+                info = tarfile.TarInfo(f"{int(r['doc_id']):08d}.{ext}")
+                info.size = len(payload)
+                sh.addfile(info, io.BytesIO(payload))
+    finally:
+        for sh in shards:
+            sh.close()
+    return d
+
+
+def _q_tar_shard_stats(spark, sf_dir):
+    """WebDataset ingestion shape, driver-verified: parse a 3-shard tar
+    fixture derived from documents through read_tar_members (one task
+    per shard, sequential-stream tarfile, bounded Arrow batches),
+    aggregate per extension.  The oracle recomputes the same totals
+    straight from documents — txt bytes are strlen(text), cls bytes are
+    strlen(lang)."""
+    from inception_spark.sources.tar import read_tar_members
+
+    d = _write_tar_fixture(spark, sf_dir)
+    m = read_tar_members(spark, d + "/*.tar*")
+    return m.groupBy("ext").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.countDistinct("sample_key").cast("long").alias("n_samples"),
+    )
+
+
 def _q_doc_script_profile(spark, sf_dir):
     """Unicode-script char profile.  The fixture corpus is pure ASCII,
     so docs get deterministic script injection in BOTH engines first
@@ -2700,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record gzip) parsed through the streaming reader, aggregated
         # per record type against a straight-from-documents oracle
         "warc_record_stats": _q_warc_record_stats,
+        "tar_shard_stats": _q_tar_shard_stats,
         # table-maintenance accounting: the compaction plan as a query
         "compaction_plan_stats": _q_compaction_plan_stats,
         # distributed parquet footer audit over a sorted fixture layout
@@ -2982,6 +3041,7 @@ _WINDOW_R7 = [
     "dup_graph_kcore",
     "phrase_search",
     "events_cusum",
+    "tar_shard_stats",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3705,6 +3765,17 @@ SELECT 'request', CAST(COUNT(*) AS BIGINT),
 UNION ALL
 SELECT 'response', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(blen) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM d
+""",
+        "tar_shard_stats": """
+WITH d AS (
+  SELECT doc_id, strlen(text) AS tlen, strlen(coalesce(lang, '')) AS llen
+  FROM documents WHERE text IS NOT NULL)
+SELECT 'txt' AS ext, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(tlen) AS BIGINT) AS total_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_samples FROM d
+UNION ALL
+SELECT 'cls', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(llen) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM d
 """,
         "compaction_plan_stats": """
 WITH l AS (

@@ -198,3 +198,101 @@ def test_write_sharded_corpus_roundtrip_and_manifest(spark, tmp_path):
           for r in shard_assignment(docs, n_shards=8).collect()}
     assert a1 == a2
     assert shard_manifest(docs, n_shards=8).count() == 8
+
+
+def _write_shard(path, members, mode="w"):
+    import io
+    import tarfile
+
+    with tarfile.open(path, mode) as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+
+def test_tar_members_and_samples(spark, tmp_path):
+    """Plain + gzip shards parse member-per-row; WebDataset key split
+    groups multi-extension members into complete samples."""
+    from inception_spark.sources.tar import read_tar_members, tar_samples
+
+    _write_shard(
+        str(tmp_path / "s0.tar"),
+        [
+            ("000001.txt", b"hello"),
+            ("000001.seg.json", b"{}"),
+            ("000002.txt", b"world!"),
+        ],
+    )
+    _write_shard(
+        str(tmp_path / "s1.tar.gz"),
+        [("000003.txt", b"gz payload")],
+        mode="w:gz",
+    )
+    m = read_tar_members(spark, str(tmp_path) + "/*.tar*")
+    rows = {r.member_name: r for r in m.collect()}
+    assert set(rows) == {"000001.txt", "000001.seg.json", "000002.txt", "000003.txt"}
+    assert rows["000001.seg.json"].sample_key == "000001"
+    assert rows["000001.seg.json"].ext == "seg.json"
+    assert bytes(rows["000003.txt"].payload) == b"gz payload"
+    s = {r.sample_key: (r.exts, r.n_members, r.total_bytes)
+         for r in tar_samples(m).collect()}
+    assert s["000001"] == ("seg.json|txt", 2, 7)
+    assert s["000002"] == ("txt", 1, 6)
+
+
+def test_tar_extension_filter_and_truncation(spark, tmp_path):
+    from inception_spark.sources.tar import read_tar_members
+
+    _write_shard(
+        str(tmp_path / "s.tar"),
+        [("a.txt", b"x" * 100), ("a.bin", b"y" * 50)],
+    )
+    m = read_tar_members(
+        spark, str(tmp_path / "s.tar"), extensions=["txt"],
+        max_member_bytes=10,
+    ).collect()
+    assert len(m) == 1 and m[0].ext == "txt"
+    assert len(bytes(m[0].payload)) == 10 and m[0].size == 100
+
+
+def test_tar_quarantine_vs_strict(spark, tmp_path):
+    """A shard truncated mid-member yields its valid prefix under
+    strict=False and fails the task under strict=True.  (A garbage
+    TAIL after a valid member is silently treated as EOF by tarfile's
+    checksum logic in every mode — only truncation and unreadable
+    first headers are detectable.)"""
+    import io
+    import tarfile
+
+    import pytest
+
+    from inception_spark.sources.tar import read_tar_members
+
+    bad = str(tmp_path / "bad.tar")
+    _write_shard(bad, [("k.txt", b"ok")])
+    trunc = tarfile.TarInfo("trunc.txt")
+    trunc.size = 600  # claims 600 payload bytes; only 100 follow
+    # valid member block is 512B header + 512B padded payload
+    data = open(bad, "rb").read()[:1024] + trunc.tobuf() + b"x" * 100
+    open(bad, "wb").write(data)
+    got = read_tar_members(spark, bad, strict=False).collect()
+    assert [r.member_name for r in got] == ["k.txt"]
+    with pytest.raises(Exception):
+        read_tar_members(spark, bad, strict=True).collect()
+
+
+def test_tar_bounded_batches(spark, tmp_path):
+    """batch_rows=2 must split a 5-member shard into >= 3 Arrow
+    batches (observed via distinct pandas frame yields -> here just
+    row completeness under tiny bounds)."""
+    from inception_spark.sources.tar import read_tar_members
+
+    _write_shard(
+        str(tmp_path / "s.tar"),
+        [(f"{i:04d}.txt", bytes([65 + i]) * 3) for i in range(5)],
+    )
+    got = read_tar_members(
+        spark, str(tmp_path / "s.tar"), batch_rows=2, batch_bytes=4
+    ).collect()
+    assert sorted(r.sample_key for r in got) == [f"{i:04d}" for i in range(5)]
