@@ -799,6 +799,13 @@ def _kcore_oracle_sql() -> str:
     return kcore_sql(edges, k=3, n_iter=6)
 
 
+def _q_events_resample(spark, sf_dir):
+    """Hourly linear-interpolation resample via the union + two
+    ignore-nulls-window bracketing pass (no as-of probe per grid
+    point); per-row double interpolation, integer-microsecond time."""
+    return R.events_resample_linear(spark, sf_dir)
+
+
 def _q_events_cusum(spark, sf_dir):
     """One-sided CUSUM drift alarm over hourly event rates — the
     max(0, s+x-k) recursion as its closed two-window form (running sum
@@ -2771,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
         "events_cusum": _q_events_cusum,
+        "events_resample": _q_events_resample,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
@@ -3042,6 +3050,7 @@ _WINDOW_R7 = [
     "phrase_search",
     "events_cusum",
     "tar_shard_stats",
+    "events_resample",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3804,6 +3813,7 @@ FROM agg
         "dup_graph_kcore": _kcore_oracle_sql(),
         "phrase_search": TA.phrase_search_sql("key order"),
         "events_cusum": R.events_cusum_sql(),
+        "events_resample": R.EVENTS_RESAMPLE_LINEAR_SQL,
         "scd2_user_history": f"""
 SELECT user_id, event_type, valid_from,
        coalesce(valid_to, TIMESTAMP '2199-12-31 00:00:00') AS valid_to,

@@ -1570,3 +1570,120 @@ SELECT event_type, hour_ts, CAST(n_events AS BIGINT) AS n_events,
        (c - cmin) > {h_milli} AS alarm
 FROM s
 """
+
+
+def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's irregular `value` series resampled onto an hourly
+    grid by LINEAR interpolation between the surrounding events:
+    (user_id, hour_ts, value_interp) — the regularization step before
+    any fixed-step model, complementing :func:`events_gap_fill`'s
+    step-function fill.
+
+    Shape: the user's events and grid points UNION into one ordered
+    stream (grid rows carry NULL values), then two ignore-nulls
+    windows — last-before and first-after — give each grid point its
+    bracketing events in a single per-user pass; no as-of join, no
+    per-grid-point probe.  Timestamps are integer microseconds, the
+    interpolation itself is per-ROW double arithmetic (no cross-row
+    float sums anywhere), so the oracle reproduces it bit-for-bit.
+    Edge grid points clamp to the nearest event (the ffill/bfill
+    convention).
+    """
+    ev = load_events(spark, sf_dir)
+    usec = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    pts = ev.select(
+        "user_id",
+        F.col("ts"),
+        F.col("value"),
+        F.lit(0).alias("is_grid"),
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.max("ts").alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("ts"),
+        )
+        .select(
+            "user_id", "ts", F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    both = pts.unionByName(spine).withColumn("t_us", usec(F.col("ts")))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("value").isNotNull(), F.col("t_us"))
+    g = (
+        both.withColumn("pv", F.last("value", ignorenulls=True).over(wb))
+        .withColumn("pt", F.last(ev_ts, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(wf))
+        .withColumn("nt", F.first(ev_ts, ignorenulls=True).over(wf))
+        .filter(F.col("is_grid") == 1)
+    )
+    frac = (F.col("t_us") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return g.select(
+        "user_id",
+        F.col("ts").alias("hour_ts"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+EVENTS_RESAMPLE_LINEAR_SQL = """
+WITH pts AS (
+  SELECT user_id, ts, value, 0 AS is_grid FROM events),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
+  FROM events GROUP BY user_id),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts,
+         CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+  FROM bounds),
+both_s AS (
+  SELECT *, epoch_us(ts) AS t_us FROM
+    (SELECT * FROM pts UNION ALL SELECT * FROM spine)),
+g AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS)
+      OVER wb AS pt,
+    first_value(value IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS)
+      OVER wf AS nt
+  FROM both_s
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY t_us, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY t_us, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, ts AS hour_ts,
+       round(CASE WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) *
+                       (CAST(t_us - pt AS DOUBLE) /
+                        CAST(nt - pt AS DOUBLE))
+             END, 6) AS value_interp
+FROM g WHERE is_grid = 1
+"""

@@ -747,3 +747,34 @@ def test_events_cusum_closed_form_equals_recursion(spark, tmp_path):
         want[h] = (s, s > 4000)
     assert out == want
     assert not out[11][1] and out[17][1]  # quiet end vs post-shift alarm
+
+
+def test_events_resample_linear_interpolates(spark, tmp_path):
+    """Grid points between two events take the exact linear blend;
+    points before the first / after the last event clamp."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_resample_linear
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:30:00", "2024-01-01 04:30:00"]),
+            "user_id": [5, 5],
+            "event_type": ["a", "a"],
+            "value": [10.0, 50.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    rows.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.hour_ts.hour: r.value_interp
+        for r in events_resample_linear(spark, str(tmp_path)).collect()
+    }
+    # events at 00:30 (10) and 04:30 (50): slope 10/hour
+    assert got[0] == 10.0          # before first event -> clamp
+    assert got[1] == 15.0          # 0.5h after first
+    assert got[2] == 25.0
+    assert got[3] == 35.0
+    assert got[4] == 45.0

@@ -296,3 +296,57 @@ def test_tar_bounded_batches(spark, tmp_path):
         spark, str(tmp_path / "s.tar"), batch_rows=2, batch_bytes=4
     ).collect()
     assert sorted(r.sample_key for r in got) == [f"{i:04d}" for i in range(5)]
+
+
+def test_tar_multimodal_pipeline(spark, tmp_path):
+    """WebDataset end-to-end: a tar shard of (bmp, txt) samples flows
+    read_tar_members -> extension routing -> REAL bmp decode features
+    on one leg, text on the other, rejoined per sample key — the
+    multimodal training-data shape with zero shuffle before the final
+    sample join."""
+    import io
+    import tarfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        encode_bmp,
+        extract_features,
+    )
+    from inception_spark.sources.tar import read_tar_members
+
+    rng = np.random.default_rng(3)
+    with tarfile.open(str(tmp_path / "s.tar"), "w") as tf:
+        for i in range(6):
+            img = rng.integers(0, 255, (8, 6, 3), dtype=np.uint8)
+            for ext, payload in (
+                ("bmp", encode_bmp(img)),
+                ("txt", f"caption {i}".encode()),
+            ):
+                info = tarfile.TarInfo(f"{i:06d}.{ext}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+
+    members = read_tar_members(spark, str(tmp_path / "s.tar"))
+    imgs = attach_media_meta(
+        members.filter(F.col("ext") == "bmp").select(
+            F.col("sample_key"),
+            F.monotonically_increasing_id().alias("id"),
+            "payload",
+        ),
+        modality="image", mime="image/bmp",
+    )
+    feats = extract_features(
+        imgs.select("id", "payload", "media_meta"), dim=16, fake=False
+    ).join(
+        imgs.select("id", "sample_key"), "id"
+    )
+    caps = members.filter(F.col("ext") == "txt").select(
+        "sample_key", F.col("payload").cast("string").alias("caption")
+    )
+    out = feats.join(caps, "sample_key").collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(r.feature) == 16 and r.caption.startswith("caption ")
