@@ -778,3 +778,78 @@ def test_events_resample_linear_interpolates(spark, tmp_path):
     assert got[2] == 25.0
     assert got[3] == 35.0
     assert got[4] == 45.0
+
+
+def test_r7_late_ops_plan_shapes(spark):
+    """Late round-7 operator plan pins."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.text_analysis import phrase_search
+    from inception_spark.operators.dedup import jaccard_prefix_pairs
+    from inception_spark.operators.layout import assign_global_ids
+    from inception_spark.operators.pca import embedding_covariance
+    from inception_spark.plans.relational import (
+        events_cusum,
+        scd2_history,
+    )
+    from inception_spark.plans.skew import salted_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # covariance: NO join anywhere in the pair generation (double
+    # explode), marginal tables broadcast, no Python
+    p = plan_of(embedding_covariance(emb))
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Generate" in p  # the explode path, not a self-join
+
+    # prefix join: the doc-frequency table broadcasts; the candidate
+    # and verify joins are equi-joins — no cartesian anywhere
+    p = plan_of(jaccard_prefix_pairs(docs, threshold_num=3, threshold_den=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+    # global ids: the rank window partitions BY PARTITION ID (never the
+    # single-reducer empty partitionBy), offsets broadcast.  The range
+    # exchange itself sits above the localCheckpoint cut, so the visible
+    # plan starts at the checkpointed RDD scan.
+    p = plan_of(assign_global_ids(docs, ["n_chars", "doc_id"], num_partitions=4))
+    assert "windowspecdefinition(_pid" in p
+    assert "windowspecdefinition()" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+    # salted join: both sides exchange (it IS a shuffle join by
+    # design — the point is spreading, not broadcasting), no cartesian
+    li = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    sm = spark.range(10).select(F.col("id").alias("k2"), F.lit(2).alias("y"))
+    p = plan_of(
+        salted_join(li, sm, key_large="k", key_small="k2", n_salts=4)
+    )
+    assert "CartesianProduct" not in p
+
+    # scd2: windows partitioned by the key; one final aggregate
+    p = plan_of(
+        scd2_history(
+            spark.createDataFrame(
+                [(1, "a", 1)], "k long, attr string, ts long"
+            ),
+            key="k", attr="attr", ts="ts",
+        )
+    )
+    assert "windowspecdefinition(k" in p
+    assert "windowspecdefinition()" not in p
+
+    # cusum: hourly rollup aggregates partially before its exchange;
+    # windows partition by event_type
+    p = plan_of(events_cusum(spark, SF))
+    assert "partial_count" in p
+    assert "windowspecdefinition(event_type" in p
+
+    # phrase search: postings legs join as equi-joins (no cartesian,
+    # no Python), counts partial-aggregate map-side
+    p = plan_of(phrase_search(docs, "key order"))
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p
