@@ -149,7 +149,7 @@ SELECT CAST(agg.i AS BIGINT) AS i, CAST(agg.j AS BIGINT) AS j,
               - (CAST(mi.sx AS DOUBLE) / 1e9)
                 * (CAST(mj.sx AS DOUBLE) / 1e9)
                 / CAST(mi.n AS DOUBLE))
-             / CAST(mi.n AS DOUBLE), 6) AS cov
+             / CAST(mi.n AS DOUBLE), 6) + 0.0 AS cov
 FROM agg
 JOIN marg mi ON mi.dim = agg.i
 JOIN marg mj ON mj.dim = agg.j

@@ -1453,10 +1453,13 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.round(
-                F.col("svdt").cast("double")
-                / F.col("total_usecs").cast("double"),
-                6,
+            (
+                F.round(
+                    F.col("svdt").cast("double")
+                    / F.col("total_usecs").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)  # negative-zero canonicalization
             ).alias("twap"),
             "total_usecs",
         )
@@ -1476,7 +1479,7 @@ w AS (
   FROM d WHERE dt IS NOT NULL AND dt > 0)
 SELECT user_id,
        round(CAST(SUM(vdt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
-         AS twap,
+         + 0.0 AS twap,
        CAST(SUM(dt) AS BIGINT) AS total_usecs
 FROM w GROUP BY user_id
 """
@@ -1645,7 +1648,7 @@ def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id",
         F.col("ts").alias("hour_ts"),
-        F.round(interp, 6).alias("value_interp"),
+        (F.round(interp, 6) + F.lit(0.0)).alias("value_interp"),
     )
 
 
@@ -1684,6 +1687,6 @@ SELECT user_id, ts AS hour_ts,
                   ELSE pv + (nv - pv) *
                        (CAST(t_us - pt AS DOUBLE) /
                         CAST(nt - pt AS DOUBLE))
-             END, 6) AS value_interp
+             END, 6) + 0.0 AS value_interp
 FROM g WHERE is_grid = 1
 """
