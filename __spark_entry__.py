@@ -77,6 +77,8 @@ from inception_spark.functions.sketches import (
     hll_overlap,
     hll_overlap_sql,
     hll_registers_by_group,
+    kmv_overlap,
+    kmv_overlap_sql,
     quantile_sample,
     quantiles_from_samples,
     hll_ndv_sql,
@@ -845,6 +847,17 @@ def _q_embedding_covariance(spark, sf_dir):
     twin is pinned approx-equal in tests/test_pca.py."""
     return PCA.embedding_covariance(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+def _q_kmv_user_overlap(spark, sf_dir):
+    """KMV k-minimum-values overlap of click vs view users — the
+    set-expression sketch next to hll_user_overlap's
+    inclusion-exclusion; k=64 so the estimator path (not the exact
+    small-set path) executes at sf0.01."""
+    return kmv_overlap(
+        R.load_events(spark, sf_dir), "event_type", "user_id",
+        "click", "view", k=64,
     )
 
 
@@ -2772,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_rowgroup_stats": _q_parquet_rowgroup_stats,
         "assign_global_ids": _q_assign_global_ids,
         "hll_user_overlap": _q_hll_user_overlap,
+        "kmv_user_overlap": _q_kmv_user_overlap,
         "scd2_user_history": _q_scd2_user_history,
         "embedding_covariance": _q_embedding_covariance,
         "events_twap": _q_events_twap,
@@ -3051,6 +3065,7 @@ _WINDOW_R7 = [
     "events_cusum",
     "tar_shard_stats",
     "events_resample",
+    "kmv_user_overlap",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3823,6 +3838,9 @@ FROM ({R.scd2_history_sql(
             tiebreak="event_id",
         )})
 """,
+        "kmv_user_overlap": kmv_overlap_sql(
+            "events", "event_type", "user_id", "click", "view", k=64
+        ),
         "hll_user_overlap": hll_overlap_sql(
             "events", "event_type", "user_id", "click", "purchase"
         ),

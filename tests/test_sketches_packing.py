@@ -251,3 +251,23 @@ def test_hll_overlap_identical_and_disjoint(spark):
     assert r2.ndv_union > max(r2.ndv_a, r2.ndv_b)
     assert r2.ndv_overlap >= 0.0
     assert r2.ndv_overlap < 0.2 * r2.ndv_union
+
+
+def test_kmv_overlap_exact_small_and_disjoint(spark):
+    """Below k the sketch IS the set: identical groups give exact
+    counts and full overlap; disjoint groups give ~zero overlap and a
+    union near a+b."""
+    from inception_spark.functions.sketches import kmv_overlap
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    r = kmv_overlap(df, "grp", "v", "a", "b", k=64).collect()[0]
+    assert (r.ndv_a, r.ndv_b, r.ndv_union, r.ndv_overlap) == (30.0, 30.0, 30.0, 30.0)
+
+    rows2 = [("a", i) for i in range(300)] + [("b", 9000 + i) for i in range(300)]
+    df2 = spark.createDataFrame(rows2, "grp string, v long")
+    r2 = kmv_overlap(df2, "grp", "v", "a", "b", k=64).collect()[0]
+    assert r2.ndv_union > 1.5 * max(r2.ndv_a, r2.ndv_b)
+    assert r2.ndv_overlap < 0.15 * r2.ndv_union
+    # estimator accuracy sanity at k=64: within ~35%
+    assert 195 < r2.ndv_a < 405 and 195 < r2.ndv_b < 405
