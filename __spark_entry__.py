@@ -546,6 +546,14 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    # 4/5 containment: the asymmetric doc-in-doc metric; candidates
+    # from the shared banded-MinHash blocking, both directions emitted
+    return D.containment_pairs(
+        _docs(spark, sf_dir), threshold_num=4, threshold_den=5
+    )
+
+
 def _q_jaccard_prefix_pairs(spark, sf_dir):
     # 3/4 keeps the output sparse on the vocab-dense synthetic corpus;
     # threshold compares are all-integer so the pair SET is exact
@@ -2655,13 +2663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slots 1-8 are the eight relational entries whose last driver-green
     is round 3 (they fell past slot 50 in the r6 rotation), slots 9-10
     retire the clean_text/validate_text standing exception (green since
-    r1 — the stalest signal in the registry), slots 11-18 are the
-    round-7 additions (warc_record_stats, compaction_plan_stats,
-    hybrid_index_search, parquet_rowgroup_stats, doc_script_profile,
-    url_dedup, hll_incremental_ndv, events_gap_fill), and slots 19-50
-    draw from the round-4-green cohort in deterministic name order; the
-    cohort's remaining 18 entries sit immediately past the boundary as
-    the round-8 head.  Everything green in rounds 5-6 moves after them;
+    r1 — the stalest signal in the registry), slots 11-27 are the
+    round-7 session-1 additions (warc_record_stats through
+    streaming_hll_ndv), slots 28 onward are the round-7 session-2
+    additions (jaccard_prefix_pairs through kmv_user_overlap), and the
+    remaining slots to 50 draw from the round-4-green cohort in
+    deterministic name order; the cohort's remaining entries sit
+    immediately past the boundary as the round-8 head.  Everything
+    green in rounds 5-6 moves after them;
     the in-repo mini-driver (tests/test_entry.py) still verifies every
     oracle pair at sf0.001 regardless of position.  The dict literal
     below keeps its stable grouped-by-family order; ``_WINDOW_R7`` does
@@ -2766,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
+        "containment_pairs": _q_containment_pairs,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3066,6 +3076,7 @@ _WINDOW_R7 = [
     "tar_shard_stats",
     "events_resample",
     "kmv_user_overlap",
+    "containment_pairs",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3872,6 +3883,24 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
         ),
+        "containment_pairs": _dedup_cte() + """
+, cj AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id),
+both_dir AS (
+  SELECT doc_a AS contained_doc, doc_b AS container_doc,
+         n_inter, n_a AS n_contained FROM cj
+  UNION ALL
+  SELECT doc_b, doc_a, n_inter, n_b FROM cj)
+SELECT contained_doc, container_doc,
+       round(CAST(n_inter AS DOUBLE) / n_contained, 4) AS containment
+FROM both_dir
+WHERE n_inter * 5 >= n_contained * 4
+""",
         "simhash_docs": f"""
 SELECT doc_id, {H.simhash_sql(_WORDS)} AS simhash FROM documents
 """,

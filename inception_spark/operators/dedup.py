@@ -1804,3 +1804,81 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.n_inter * {den} >= (sa.n + sb.n - i.n_inter) * {num}
 """
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: (contained_doc, container_doc,
+    containment) where containment = |A∩B| / |A| >= num/den — the
+    metric that catches a short document EMBEDDED in a longer one
+    (quote farms, boilerplate wrappers, doc-in-doc concatenations),
+    which symmetric Jaccard structurally misses: a 50-shingle doc fully
+    contained in a 5000-shingle doc has J ~ 0.01 but containment 1.0.
+
+    Candidates come from the same banded-MinHash blocking as
+    :func:`ngram_jaccard_pairs` (recall caveat inherited and
+    documented there: MinHash collision probability tracks JACCARD, so
+    low-Jaccard/high-containment pairs are recalled only via their
+    shared-band luck — production raises bands or mixes in a
+    length-stratified pass when the contained side is tiny); the verify
+    is the shingle-level equi-join count, integer threshold compare,
+    both directions emitted (A-in-B and B-in-A are different facts).
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    num, den = int(threshold_num), int(threshold_den)
+    ex = exploded_shingles(
+        df, id_col=id_col, text_col=text_col, n=shingle_n
+    ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands,
+        shingle_n=shingle_n, max_bucket=max_bucket, _shingles=ex,
+        _checkpoint_bands=False,
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    exb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(exa, "doc_a")
+        .join(exb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = inter.join(na, "doc_a").join(nb, "doc_b")
+    ab = j.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.col("n_inter"),
+        F.col("n_a").alias("n_contained"),
+    )
+    ba = j.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        F.col("n_inter"),
+        F.col("n_b").alias("n_contained"),
+    )
+    return (
+        ab.unionByName(ba)
+        .filter(F.col("n_inter") * den >= F.col("n_contained") * num)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n_contained").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+    )

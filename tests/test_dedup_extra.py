@@ -658,3 +658,32 @@ def test_jaccard_prefix_pairs_shingle_mode(spark):
         df, threshold_num=1, threshold_den=2, shingle_n=3).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully inside a long one scores containment 1.0 in
+    the short->long direction even though Jaccard is tiny; the reverse
+    direction fails the threshold."""
+    from inception_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, short),
+        # one extra word: contains ALL of doc 1's shingles (containment
+        # 1.0 forward, 3/4 backward — under the 4/5 bar) and stays
+        # similar enough for the banded-MinHash blocking to recall
+        # deterministically (the low-Jaccard recall caveat is the
+        # operator docstring's own warning, not this test's subject)
+        (2, short + " zeta"),
+        (3, "totally unrelated words all over here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in containment_pairs(
+            df, threshold_num=4, threshold_den=5, max_bucket=None
+        ).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got
+    assert all(3 not in k for k in got)
