@@ -271,3 +271,42 @@ def test_kmv_overlap_exact_small_and_disjoint(spark):
     assert r2.ndv_overlap < 0.15 * r2.ndv_union
     # estimator accuracy sanity at k=64: within ~35%
     assert 195 < r2.ndv_a < 405 and 195 < r2.ndv_b < 405
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """The KMV merge property that makes it incremental-safe: the k
+    smallest hashes of a UNION of per-batch top-k sketches equal the
+    top-k over the full data — so per-ingest-batch sketches fold
+    without rescanning history (the min-k member of the mergeable
+    quartet: max-HLL, sum-CMS, union-sample, min-k-KMV)."""
+    from pyspark.sql import Window, functions as F
+
+    from inception_spark.functions import hashing as H
+
+    k = 32
+    full = spark.range(0, 1000).select(
+        H.h60(F.col("id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.orderBy("h")
+    topk_full = [
+        r.h for r in full.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k).collect()
+    ]
+    batches = []
+    for p in range(3):  # three disjoint ingest batches
+        b = spark.range(0, 1000).filter(F.col("id") % 3 == p).select(
+            H.h60(F.col("id").cast("string")).alias("h")
+        ).distinct()
+        batches.append(
+            b.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).select("h")
+        )
+    merged = batches[0]
+    for b in batches[1:]:
+        merged = merged.unionByName(b)
+    topk_merged = [
+        r.h for r in merged.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k).collect()
+    ]
+    assert topk_merged == topk_full
