@@ -853,3 +853,31 @@ def test_r7_late_ops_plan_shapes(spark):
     assert "CartesianProduct" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "partial_count" in p
+
+
+def test_cusum_resample_empty_events(spark, tmp_path):
+    """Empty event tables produce empty (not erroring) outputs for the
+    windowed time-series operators."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import (
+        events_cusum,
+        events_resample_linear,
+        events_twap,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="object"),
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    d = str(tmp_path)
+    assert events_cusum(spark, d).count() == 0
+    assert events_resample_linear(spark, d).count() == 0
+    assert events_twap(spark, d).count() == 0

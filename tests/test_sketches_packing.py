@@ -310,3 +310,16 @@ def test_kmv_sketch_is_mergeable(spark):
         .filter(F.col("rk") <= k).collect()
     ]
     assert topk_merged == topk_full
+
+
+def test_kmv_overlap_missing_group(spark):
+    """A group with no rows estimates 0 NDV and 0 overlap instead of
+    erroring — ingest gates call this before data exists."""
+    from inception_spark.functions.sketches import kmv_overlap
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)], "grp string, v long"
+    )
+    r = kmv_overlap(df, "grp", "v", "a", "nope", k=16).collect()[0]
+    assert r.ndv_a == 10.0 and r.ndv_b == 0.0
+    assert r.ndv_union == 10.0 and r.ndv_overlap == 0.0
