@@ -112,6 +112,7 @@ from inception_spark.operators.sampling import (
 )
 from inception_spark.operators import multimodal as MM
 from inception_spark.operators import pca as PCA
+from inception_spark.operators.linkage import fs_linkage_scores_sql
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.operators.layout import (
     assign_global_ids,
@@ -543,6 +544,20 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.0, k=16, bands=4
+    )
+
+
+def _q_fs_linkage(spark, sf_dir):
+    """Fellegi-Sunter blocked pair scoring on (lang, source) agreement
+    with exact integer-derived u-probabilities and a log-free
+    likelihood-ratio product; blocking on n_chars % 32."""
+    from inception_spark.operators.linkage import fs_linkage_scores
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "blk", F.expr("n_chars % 32")
+    )
+    return fs_linkage_scores(
+        docs, fields=["lang", "source"], block_col="blk"
     )
 
 
@@ -2776,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
         "containment_pairs": _q_containment_pairs,
+        "fs_linkage": _q_fs_linkage,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3077,6 +3093,7 @@ _WINDOW_R7 = [
     "events_resample",
     "kmv_user_overlap",
     "containment_pairs",
+    "fs_linkage",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3882,6 +3899,10 @@ JOIN sh sb ON c.doc_b = sb.doc_id
 """,
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
+        ),
+        "fs_linkage": fs_linkage_scores_sql(
+            "documents", fields=["lang", "source"],
+            block_sql="n_chars % 32",
         ),
         "containment_pairs": _dedup_cte() + """
 , cj AS (

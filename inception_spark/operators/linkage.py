@@ -1,0 +1,146 @@
+"""Fellegi–Sunter probabilistic record linkage, Spark-first.
+
+The classic entity-resolution scoring model (Fellegi & Sunter, JASA
+1969): candidate record pairs get a likelihood ratio built from
+per-field agreement — P(agree | match) = m vs P(agree | non-match) = u —
+and rank by the product of per-field ratios.  The reference has no
+entity-resolution surface (SURVEY.md §2.5); this is the
+training-pipeline extension for catalog/crawl identity reconciliation
+(same author/site/record under different keys).
+
+Spark-first decomposition:
+
+* **u-probabilities are data-derived, exactly**: u_f = Σ_v (n_v/n)² —
+  the chance two random records agree on field f — computed as EXACT
+  integer sums (Σ n_v², n²) per field in one aggregate each, then cast
+  to double (identical in any engine).  No sampling, no EM: this is the
+  standard "random agreement" u estimate.
+* **blocking before scoring**: candidate pairs come from an equi-join
+  on a caller-supplied blocking key (the same discipline as every other
+  pair operator in this repo — never all-pairs), id_a < id_b.
+* **no logarithms anywhere**: scores multiply the per-field ratios
+  directly (monotone-equivalent to the traditional log-weight sum) so
+  no cross-engine ``ln`` enters the plan — ln is not guaranteed
+  identically rounded across libms, products of identical doubles are.
+  Factor order is the caller's field order, left-associated, fixed.
+
+m (P(agree | true match)) is a fixed prior per field — the published
+default regime when no labeled matches exist; callers with labeled
+pairs can pass better values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def fs_linkage_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fields: list[str],
+    block_col: str,
+    m_num: int = 9,
+    m_den: int = 10,
+) -> DataFrame:
+    """Score blocked record pairs by the Fellegi–Sunter likelihood
+    ratio: (id_a, id_b, n_agree, score), score rounded to 6 dp.
+
+    ``block_col`` — the blocking key column (build it upstream with
+    ``withColumn``); pairs are generated only within blocks.
+    ``fields`` — columns compared for exact agreement (NULL never
+    agrees, matching SQL equality semantics).
+    """
+    if not fields:
+        raise ValueError("fs_linkage_scores needs >= 1 field")
+    m = float(m_num) / float(m_den)
+    base = df.select(id_col, block_col, *fields)
+    # exact per-field u = sum(n_v^2) / n^2 over non-null values
+    n_total = base.count()
+    u: dict[str, float] = {}
+    for f in fields:
+        row = (
+            base.filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n")).alias("num"))
+            .collect()[0]
+        )
+        num = int(row["num"] or 0)
+        # guard: u in (0, 1); an all-distinct field gets u = n/n^2 = 1/n
+        u[f] = max(num, 1) / float(n_total * n_total)
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    score: Column = F.lit(1.0)
+    agree_terms = []
+    for f in fields:
+        agree = F.col(f"a.{f}").isNotNull() & (
+            F.col(f"a.{f}") == F.col(f"b.{f}")
+        )
+        uf = u[f]
+        factor = F.when(agree, F.lit(m / uf)).otherwise(
+            F.lit((1.0 - m) / (1.0 - uf)) if uf < 1.0 else F.lit(1.0)
+        )
+        score = score * factor
+        agree_terms.append(agree.cast("int"))
+    n_agree = agree_terms[0]
+    for t in agree_terms[1:]:
+        n_agree = n_agree + t
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        n_agree.cast("long").alias("n_agree"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def fs_linkage_scores_sql(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    fields: list[str],
+    block_sql: str,
+    m_num: int = 9,
+    m_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`fs_linkage_scores` — recomputes the exact
+    integer u fractions in SQL and replays the identical left-assoc
+    double product.  ``block_sql`` is the blocking-key expression."""
+    if not fields:
+        raise ValueError("fs_linkage_scores_sql needs >= 1 field")
+    m = f"(CAST({m_num} AS DOUBLE) / {m_den})"
+    u_ctes = [
+        f"""u_{f} AS (
+  SELECT CAST(greatest(SUM(n * n), 1) AS DOUBLE) /
+         (SELECT CAST(COUNT(*) AS DOUBLE) * COUNT(*) FROM base) AS u
+  FROM (SELECT {f}, COUNT(*) AS n FROM base
+        WHERE {f} IS NOT NULL GROUP BY {f}))"""
+        for f in fields
+    ]
+    score = "CAST(1.0 AS DOUBLE)"
+    agree = []
+    for f in fields:
+        ag = f"(a.{f} IS NOT NULL AND a.{f} = b.{f})"
+        agree.append(f"CASE WHEN {ag} THEN 1 ELSE 0 END")
+        score = (
+            f"({score} * CASE WHEN {ag}"
+            f" THEN {m} / (SELECT u FROM u_{f})"
+            f" ELSE CASE WHEN (SELECT u FROM u_{f}) < 1.0"
+            f"      THEN (1.0 - {m}) / (1.0 - (SELECT u FROM u_{f}))"
+            f"      ELSE 1.0 END END)"
+        )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {block_sql} AS blk, {', '.join(fields)} FROM {table}),
+{','.join(u_ctes)}
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST({' + '.join(agree)} AS BIGINT) AS n_agree,
+       round({score}, 6) AS score
+FROM base a JOIN base b
+  ON a.blk = b.blk AND a.{id_col} < b.{id_col}
+"""

@@ -1,0 +1,59 @@
+"""Fellegi-Sunter record linkage: u-probabilities, score direction,
+blocking discipline."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from inception_spark.operators.linkage import fs_linkage_scores
+
+
+def test_fs_scores_rank_matches_above_nonmatches(spark):
+    """Pairs agreeing on rarer fields outscore chance agreements, and
+    the score equals the hand-computed likelihood-ratio product."""
+    rows = [
+        # (id, blk, city, phone)
+        (1, 0, "springfield", "555"),
+        (2, 0, "springfield", "555"),   # agrees with 1 on both
+        (3, 0, "springfield", "777"),   # agrees on city only
+        (4, 0, "shelbyville", "888"),   # agrees on nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blk int, city string, phone string")
+    out = {
+        (r.id_a, r.id_b): (r.n_agree, r.score)
+        for r in fs_linkage_scores(
+            df, fields=["city", "phone"], block_col="blk"
+        ).collect()
+    }
+    assert len(out) == 6  # all within-block pairs
+    # hand-compute u: city springfield 3, shelbyville 1 -> u_c = 10/16;
+    # phone 555x2,777,888 -> u_p = 6/16
+    u_c, u_p = 10 / 16, 6 / 16
+    m = 0.9
+    full = round((m / u_c) * (m / u_p), 6)
+    city_only = round((m / u_c) * ((1 - m) / (1 - u_p)), 6)
+    nothing = round(((1 - m) / (1 - u_c)) * ((1 - m) / (1 - u_p)), 6)
+    assert out[(1, 2)] == (2, full)
+    assert out[(1, 3)] == (1, city_only)
+    assert out[(1, 4)] == (0, nothing)
+    assert full > city_only > nothing
+
+
+def test_fs_blocking_limits_pairs(spark):
+    """Cross-block pairs never score — the all-pairs guard."""
+    rows = [(i, i % 3, "x") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, blk int, f string")
+    out = fs_linkage_scores(df, fields=["f"], block_col="blk").collect()
+    assert len(out) == 9  # 3 blocks x C(3,2)
+    ids = {(r.id_a, r.id_b) for r in out}
+    assert all((a % 3) == (b % 3) for a, b in ids)
+
+
+def test_fs_null_never_agrees(spark):
+    rows = [(1, 0, None), (2, 0, None), (3, 0, "v")]
+    df = spark.createDataFrame(rows, "doc_id long, blk int, f string")
+    out = {
+        (r.id_a, r.id_b): r.n_agree
+        for r in fs_linkage_scores(df, fields=["f"], block_col="blk").collect()
+    }
+    assert out == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
