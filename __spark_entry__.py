@@ -547,6 +547,51 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_streaming_cms_topk(spark, sf_dir):
+    """CMS maintenance IN STREAM: micro-batches emit stateless
+    (row, bucket) counter deltas, the sink appends, and the read side
+    SUM-merges — count-min merge is exact, so the live heavy-hitter
+    table equals the batch sketch, which is what the oracle computes.
+    The sum-merge member of the streaming sketch quartet next to
+    streaming_hll_ndv's max-merge."""
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+    from inception_spark.functions.sketches import (
+        CMS_DEPTH,
+        _cms_bucket,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+
+    def sketch(s):
+        rows = s.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            _cms_bucket(F.col("_v"), i).alias("bucket"),
+                        )
+                        for i in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("rb")
+        ).select("rb.row", "rb.bucket")
+        # per-batch partial counters would need a streaming aggregate;
+        # raw (row, bucket) increments are stateless and the read-side
+        # SUM is the merge
+        return rows
+
+    deltas = run_stream_to_parquet(spark, ev, sketch)
+    counters = deltas.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cms_estimate_topk(
+        R.load_events(spark, sf_dir), "user_id", k=10, counters=counters
+    )
+
+
 def _q_fs_linkage(spark, sf_dir):
     """Fellegi-Sunter blocked pair scoring on (lang, source) agreement
     with exact integer-derived u-probabilities and a log-free
@@ -2792,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
         "containment_pairs": _q_containment_pairs,
         "fs_linkage": _q_fs_linkage,
+        "streaming_cms_topk": _q_streaming_cms_topk,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3094,6 +3140,7 @@ _WINDOW_R7 = [
     "kmv_user_overlap",
     "containment_pairs",
     "fs_linkage",
+    "streaming_cms_topk",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3899,6 +3946,9 @@ JOIN sh sb ON c.doc_b = sb.doc_id
 """,
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
+        ),
+        "streaming_cms_topk": cms_estimate_topk_sql(
+            "events", "user_id", k=10
         ),
         "fs_linkage": fs_linkage_scores_sql(
             "documents", fields=["lang", "source"],
