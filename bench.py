@@ -126,6 +126,10 @@ HEADLINE = [
     # r7+: positional phrase retrieval, near-dup-graph k-core peeling
     "phrase_search",
     "dup_graph_kcore",
+    # r7+: doc-in-doc containment, linear resample, FS record linkage
+    "containment_pairs",
+    "events_resample",
+    "fs_linkage",
 ]
 
 
@@ -204,7 +208,8 @@ def main() -> None:
                 # jaccard_prefix_pairs, embedding_covariance,
                 # salted_join_revenue, scd2_user_history,
                 # assign_global_ids, events_twap, hll_user_overlap,
-                # phrase_search, dup_graph_kcore)
+                # phrase_search, dup_graph_kcore, containment_pairs,
+                # events_resample, fs_linkage — 79 total)
                 "queryset": "r7",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
