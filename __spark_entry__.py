@@ -608,9 +608,12 @@ def _q_fs_linkage(spark, sf_dir):
 
 def _q_containment_pairs(spark, sf_dir):
     # 4/5 containment: the asymmetric doc-in-doc metric; candidates
-    # from the shared banded-MinHash blocking, both directions emitted
+    # from banded-MinHash blocking PLUS the exact small-doc stratum
+    # (docs <= 20 shingles candidate via direct shingle equi-join, so
+    # the tiny-in-huge regime the metric exists for is exactly recalled)
     return D.containment_pairs(
-        _docs(spark, sf_dir), threshold_num=4, threshold_den=5
+        _docs(spark, sf_dir), threshold_num=4, threshold_den=5,
+        exact_below=20,
     )
 
 
@@ -3955,11 +3958,24 @@ JOIN sh sb ON c.doc_b = sb.doc_id
             block_sql="n_chars % 32",
         ),
         "containment_pairs": _dedup_cte() + """
-, cj AS (
+, sx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sdf AS (SELECT s FROM (SELECT s, COUNT(*) AS df_s FROM sx GROUP BY s)
+        WHERE df_s <= 1000),
+small_ok AS (
+  SELECT sx.doc_id, sx.s FROM sx
+  JOIN (SELECT doc_id FROM sh WHERE len(sh) <= 20) sm USING (doc_id)
+  JOIN sdf USING (s)),
+ec AS (
+  SELECT DISTINCT least(a.doc_id, o.doc_id) AS doc_a,
+                  greatest(a.doc_id, o.doc_id) AS doc_b
+  FROM small_ok a JOIN sx o ON a.s = o.s AND a.doc_id <> o.doc_id),
+cand2 AS (SELECT doc_a, doc_b FROM cand
+          UNION SELECT doc_a, doc_b FROM ec),
+cj AS (
   SELECT c.doc_a, c.doc_b,
          len(list_intersect(sa.sh, sb.sh)) AS n_inter,
          len(sa.sh) AS n_a, len(sb.sh) AS n_b
-  FROM cand c
+  FROM cand2 c
   JOIN sh sa ON c.doc_a = sa.doc_id
   JOIN sh sb ON c.doc_b = sb.doc_id),
 both_dir AS (

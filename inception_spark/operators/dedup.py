@@ -1817,6 +1817,7 @@ def containment_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = 1000,
+    exact_below: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: (contained_doc, container_doc,
     containment) where containment = |A∩B| / |A| >= num/den — the
@@ -1825,14 +1826,26 @@ def containment_pairs(
     which symmetric Jaccard structurally misses: a 50-shingle doc fully
     contained in a 5000-shingle doc has J ~ 0.01 but containment 1.0.
 
-    Candidates come from the same banded-MinHash blocking as
-    :func:`ngram_jaccard_pairs` (recall caveat inherited and
-    documented there: MinHash collision probability tracks JACCARD, so
-    low-Jaccard/high-containment pairs are recalled only via their
-    shared-band luck — production raises bands or mixes in a
-    length-stratified pass when the contained side is tiny); the verify
-    is the shingle-level equi-join count, integer threshold compare,
-    both directions emitted (A-in-B and B-in-A are different facts).
+    Candidate generation is two-stratum:
+
+    * banded-MinHash blocking (as :func:`ngram_jaccard_pairs`) — the
+      bulk path; its collision probability tracks JACCARD, so it
+      recalls pairs of comparable size but can miss the tiny-doc-in-
+      huge-doc regime the metric exists for;
+    * the ``exact_below`` stratum fixes exactly that: docs with at most
+      ``exact_below`` shingles ALSO candidate via a direct shingle
+      equi-join against the corpus shingle table — any shared shingle
+      produces the pair, so recall for the small stratum is EXACT
+      provided the contained doc has at least one shingle under the
+      ``max_bucket`` document-frequency cap (the cap keeps corpus
+      boilerplate from exploding the join; a small doc composed
+      entirely of super-common shingles is the documented residual).
+      Cost is |small-doc shingles| x per-shingle df — bounded by the
+      cap, scale-safe.
+
+    The verify is the shingle-level equi-join count, integer threshold
+    compare, both directions emitted (A-in-B and B-in-A are different
+    facts).
     """
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1]")
@@ -1845,6 +1858,31 @@ def containment_pairs(
         shingle_n=shingle_n, max_bucket=max_bucket, _shingles=ex,
         _checkpoint_bands=False,
     )
+    if exact_below is not None:
+        counts = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        small = ex.join(
+            counts.filter(F.col("n_sh") <= exact_below).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        sdf = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+        if max_bucket is not None:
+            sdf = sdf.filter(F.col("df_s") <= max_bucket)
+        small_ok = small.join(sdf.select("s"), "s", "left_semi")
+        other = ex
+        ec = (
+            small_ok.select(F.col("doc_id").alias("sd"), "s")
+            .join(
+                other.select(F.col("doc_id").alias("od"), "s"), "s"
+            )
+            .filter(F.col("sd") != F.col("od"))
+            .select(
+                F.least("sd", "od").alias("doc_a"),
+                F.greatest("sd", "od").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand = cand.unionByName(ec).distinct()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     exa = ex.select(F.col("doc_id").alias("doc_a"), "s")
     exb = ex.select(F.col("doc_id").alias("doc_b"), "s")

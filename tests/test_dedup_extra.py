@@ -687,3 +687,31 @@ def test_containment_pairs_asymmetric(spark):
     assert got.get((1, 2)) == 1.0
     assert (2, 1) not in got
     assert all(3 not in k for k in got)
+
+
+def test_containment_exact_below_finds_tiny_in_huge(spark):
+    """The exact small-doc stratum recalls the tiny-doc-in-huge-doc
+    pair that MinHash blocking (Jaccard-tracking) misses."""
+    from inception_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(150))
+    rows = [
+        (1, short),
+        (2, short + " " + filler),  # J ~ 0.02, containment(1->2) = 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # LSH-only: missed (documented)
+    lsh_only = containment_pairs(
+        df, threshold_num=4, threshold_den=5, max_bucket=None
+    ).collect()
+    assert lsh_only == []
+    # exact stratum: found, with containment 1.0 in one direction only
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in containment_pairs(
+            df, threshold_num=4, threshold_den=5, max_bucket=None,
+            exact_below=10,
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
