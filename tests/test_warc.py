@@ -218,3 +218,47 @@ def test_warc_feeds_html_pipeline(spark, tmp_path):
         "target_uri", html_to_text_expr(body).alias("text")
     ).collect()
     assert {r["text"].strip() for r in txt} == {"alpha page", "bravo page"}
+
+
+def test_warc_roundtrip_fuzz():
+    """Hypothesis-style deterministic fuzz: random record mixes (types,
+    payload sizes incl. 0, gzip/plain, unicode URIs) must round-trip
+    build_warc_record -> parse_warc_records with exact payloads."""
+    import gzip
+    import random
+
+    from inception_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_records,
+    )
+
+    rng = random.Random(42)
+    for trial in range(25):
+        n = rng.randint(1, 12)
+        recs = []
+        for i in range(n):
+            wt = rng.choice(["response", "request", "metadata", "warcinfo"])
+            payload = bytes(
+                rng.randrange(256) for _ in range(rng.choice([0, 1, 7, 512, 4096]))
+            )
+            recs.append(
+                (
+                    wt,
+                    payload,
+                    build_warc_record(
+                        wt,
+                        payload,
+                        target_uri=f"http://x.example/é{i}",
+                        record_id=f"<urn:uuid:f{trial}-{i}>",
+                    ),
+                )
+            )
+        raw = b"".join(r[2] for r in recs)
+        if trial % 2:
+            raw = b"".join(gzip.compress(r[2]) for r in recs)
+        parsed = list(parse_warc_records(raw))
+        assert len(parsed) == n
+        for (wt, payload, _), got in zip(recs, parsed):
+            assert got["warc_type"] == wt
+            assert bytes(got["payload"]) == payload
+            assert got["content_length"] == len(payload)
