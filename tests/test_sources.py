@@ -350,3 +350,40 @@ def test_tar_multimodal_pipeline(spark, tmp_path):
     assert len(out) == 6
     for r in out:
         assert len(r.feature) == 16 and r.caption.startswith("caption ")
+
+
+def test_tar_shards_datasource_streams_from_paths(spark, tmp_path):
+    """The Python-DataSource form: one partition per shard, rows equal
+    the binaryFile-based reader's, extension filter honored."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.sources.tar import (
+        TarShardsDataSource,
+        read_tar_members,
+    )
+
+    spark.dataSource.register(TarShardsDataSource)
+    _write_shard(
+        str(tmp_path / "a.tar"),
+        [("0001.txt", b"t1"), ("0001.cls", b"c"), ("0002.txt", b"t2")],
+    )
+    _write_shard(str(tmp_path / "b.tar.gz"), [("0003.txt", b"t3")], "w:gz")
+
+    ds = spark.read.format("tar_shards").load(str(tmp_path))
+    assert ds.rdd.getNumPartitions() == 2
+    via_ds = sorted(
+        (r.member_name, r.ext, r.size, bytes(r.payload))
+        for r in ds.collect()
+    )
+    via_bf = sorted(
+        (r.member_name, r.ext, r.size, bytes(r.payload))
+        for r in read_tar_members(spark, str(tmp_path) + "/*.tar*").collect()
+    )
+    assert via_ds == via_bf
+    only_cls = (
+        spark.read.format("tar_shards")
+        .option("extensions", "cls")
+        .load(str(tmp_path))
+        .collect()
+    )
+    assert [r.member_name for r in only_cls] == ["0001.cls"]
