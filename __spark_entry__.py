@@ -547,6 +547,35 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_streaming_kmv_overlap(spark, sf_dir):
+    """KMV maintenance IN STREAM: micro-batches emit stateless
+    (grp, h) hash deltas, the read side keeps the k smallest per group
+    — union-of-batch-hashes top-k equals the batch sketch top-k
+    exactly (the min-k merge identity pinned in tests), so the live
+    overlap equals batch kmv_overlap, which is what the oracle
+    computes.  Completes the streaming sketch quartet: max-merge HLL,
+    sum-merge CMS, union-merge samples, min-k KMV."""
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    ev = R.load_events(spark, sf_dir).filter(
+        F.col("event_type").isin(["click", "view"])
+        & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").cast("string").alias("_v"),
+    )
+    deltas = run_stream_to_parquet(
+        spark,
+        ev,
+        lambda s: s.select("grp", H.h60(F.col("_v")).alias("h")),
+    )
+    from inception_spark.functions.sketches import kmv_overlap_from_hashes
+
+    return kmv_overlap_from_hashes(
+        deltas.distinct(), "click", "view", k=64
+    )
+
+
 def _q_streaming_cms_topk(spark, sf_dir):
     """CMS maintenance IN STREAM: micro-batches emit stateless
     (row, bucket) counter deltas, the sink appends, and the read side
@@ -2841,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "fs_linkage": _q_fs_linkage,
         "streaming_cms_topk": _q_streaming_cms_topk,
+        "streaming_kmv_overlap": _q_streaming_kmv_overlap,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3144,6 +3174,7 @@ _WINDOW_R7 = [
     "containment_pairs",
     "fs_linkage",
     "streaming_cms_topk",
+    "streaming_kmv_overlap",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3949,6 +3980,9 @@ JOIN sh sb ON c.doc_b = sb.doc_id
 """,
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
+        ),
+        "streaming_kmv_overlap": kmv_overlap_sql(
+            "events", "event_type", "user_id", "click", "view", k=64
         ),
         "streaming_cms_topk": cms_estimate_topk_sql(
             "events", "user_id", k=10

@@ -681,17 +681,27 @@ def kmv_overlap(
     control-plane work at any corpus size; the per-group top-k window
     partitions by group.)
     """
-    from pyspark.sql import Window
-
     from . import hashing as H
 
     two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(col).cast("string").alias("_v"),
     ).filter(F.col("_v").isNotNull())
-    hashes = two.select(
-        "grp", H.h60(F.col("_v")).alias("h")
-    ).distinct()
+    hashes = two.select("grp", H.h60(F.col("_v")).alias("h")).distinct()
+    return kmv_overlap_from_hashes(
+        hashes, str(group_a), str(group_b), k=k
+    )
+
+
+def kmv_overlap_from_hashes(
+    hashes: DataFrame, group_a: str, group_b: str, *, k: int = 256
+) -> DataFrame:
+    """Estimator half of :func:`kmv_overlap` over a prebuilt (grp, h)
+    DISTINCT hash relation — the factoring that lets per-batch or
+    in-stream hash deltas (union-merge ≡ full scan, the min-k identity)
+    feed the identical estimate."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("grp").orderBy("h")
     topk = hashes.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
@@ -715,8 +725,8 @@ def kmv_overlap(
             "n_kept",
         )
 
-    ka = topk.filter(F.col("grp") == F.lit(group_a).cast("string"))
-    kb = topk.filter(F.col("grp") == F.lit(group_b).cast("string"))
+    ka = topk.filter(F.col("grp") == F.lit(group_a))
+    kb = topk.filter(F.col("grp") == F.lit(group_b))
     union_k = (
         ka.select("h")
         .unionByName(kb.select("h"))
