@@ -547,6 +547,40 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_ivm_rollup(spark, sf_dir):
+    """Incremental view maintenance (counting algorithm): the
+    per-priority revenue rollup built from a 2/3 base snapshot, then
+    maintained through an insert batch (the late-arriving third) AND a
+    retraction batch (orderkey%5 rows corrected away) — the maintained
+    state must equal recomputing over the final base (o_orderkey%5!=0),
+    which is exactly what the oracle does.  History is never re-read:
+    the folds are delta-sized aggregates + a keyed merge."""
+    from inception_spark.plans.ivm import ivm_apply, ivm_state
+
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.filter("o_orderkey % 3 != 0")
+    state = ivm_state(base, ["o_orderpriority"], "o_totalprice")
+    inserts = orders.filter(
+        "o_orderkey % 3 = 0 AND o_orderkey % 5 != 0"
+    ).withColumn("mult", F.lit(1))
+    deletes = orders.filter(
+        "o_orderkey % 3 != 0 AND o_orderkey % 5 = 0"
+    ).withColumn("mult", F.lit(-1))
+    final = ivm_apply(
+        state,
+        inserts.unionByName(deletes),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    return final.select(
+        "o_orderpriority",
+        F.col("s").cast("double").alias("sum_price"),
+        F.col("n").alias("n_orders"),
+    )
+
+
 def _q_streaming_kmv_overlap(spark, sf_dir):
     """KMV maintenance IN STREAM: micro-batches emit stateless
     (grp, h) hash deltas, the read side keeps the k smallest per group
@@ -2871,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": _q_fs_linkage,
         "streaming_cms_topk": _q_streaming_cms_topk,
         "streaming_kmv_overlap": _q_streaming_kmv_overlap,
+        "ivm_rollup": _q_ivm_rollup,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3175,6 +3210,7 @@ _WINDOW_R7 = [
     "fs_linkage",
     "streaming_cms_topk",
     "streaming_kmv_overlap",
+    "ivm_rollup",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -3981,6 +4017,15 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
         ),
+        "ivm_rollup": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderkey % 5 != 0
+GROUP BY o_orderpriority
+""",
         "streaming_kmv_overlap": kmv_overlap_sql(
             "events", "event_type", "user_id", "click", "view", k=64
         ),

@@ -1,0 +1,80 @@
+"""Incremental view maintenance for additive rollups (the counting
+algorithm — Gupta, Mumick & Subrahmanian, SIGMOD'93): a materialized
+SUM/COUNT aggregate is updated from DELTA rows (multiplicity +1 for
+inserts, -1 for deletes/retractions) without rescanning the base table.
+
+This is the maintenance story every 100 TB rollup needs: history is
+never re-read — an ingest batch (or a correction batch retracting bad
+rows) folds into the state with one delta-sized aggregate plus a merge
+keyed on the group columns.  SUM and COUNT are self-maintainable under
+both inserts and deletes; the state row disappears exactly when its
+multiplicity count reaches zero (full retraction), so
+apply(state, deltas) is IDENTICAL to recomputing over the updated base
+— the identity the driver oracle checks and tests pin.
+
+Determinism: values are summed as DECIMAL(18,2) (the money convention),
+counts as exact longs — merge order cannot move a digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEC = "decimal(18,2)"
+
+
+def ivm_state(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Build the maintainable state: (keys..., s DECIMAL, n LONG)."""
+    return df.groupBy(*keys).agg(
+        F.sum(F.col(value_col).cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def ivm_apply(
+    state: DataFrame,
+    deltas: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    mult_col: str = "mult",
+) -> DataFrame:
+    """Fold delta rows (each carrying ``mult_col`` in {+1, -1}) into the
+    state: one delta-sized aggregate + a keyed merge.  Groups whose
+    multiplicity count reaches zero vanish (full retraction); a negative
+    count means the caller retracted rows that were never in the state
+    — raised loudly rather than silently corrupted."""
+    dagg = deltas.groupBy(*keys).agg(
+        F.sum(
+            F.col(value_col).cast(_DEC) * F.col(mult_col).cast(_DEC)
+        ).alias("ds"),
+        F.sum(F.col(mult_col)).cast("long").alias("dn"),
+    )
+    merged = (
+        state.select(*keys, "s", "n")
+        .unionByName(
+            dagg.select(
+                *keys, F.col("ds").alias("s"), F.col("dn").alias("n")
+            )
+        )
+        .groupBy(*keys)
+        .agg(F.sum("s").cast(_DEC).alias("s"), F.sum("n").cast("long").alias("n"))
+    )
+    # the guard lives INSIDE the filter predicate: a separate
+    # assert_true projection gets reordered below the n>0 filter by
+    # Catalyst (projections don't change n), silently skipping the check
+    guard = (
+        F.when(
+            F.col("n") < 0,
+            F.raise_error(
+                F.lit(
+                    "ivm_apply: negative multiplicity — retraction of "
+                    "rows absent from the state"
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.col("n") > 0)
+    )
+    return merged.filter(guard)
