@@ -79,6 +79,8 @@ from inception_spark.functions.sketches import (
     hll_registers_by_group,
     kmv_overlap,
     kmv_overlap_sql,
+    grouped_quantiles,
+    grouped_quantiles_sql,
     quantile_sample,
     quantiles_from_samples,
     hll_ndv_sql,
@@ -544,6 +546,19 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.0, k=16, bands=4
+    )
+
+
+def _q_grouped_quantiles(spark, sf_dir):
+    """Per-priority order-price quantiles over the deterministic
+    content-hash sample — the grouped profile query, no merge-order
+    approx sketch anywhere."""
+    return grouped_quantiles(
+        R.load(spark, sf_dir, "orders"),
+        "o_totalprice",
+        group_col="o_orderpriority",
+        key_col="o_orderkey",
+        rate=0.2,
     )
 
 
@@ -2906,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_topk": _q_streaming_cms_topk,
         "streaming_kmv_overlap": _q_streaming_kmv_overlap,
         "ivm_rollup": _q_ivm_rollup,
+        "grouped_quantiles": _q_grouped_quantiles,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3211,6 +3227,7 @@ _WINDOW_R7 = [
     "streaming_cms_topk",
     "streaming_kmv_overlap",
     "ivm_rollup",
+    "grouped_quantiles",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -4016,6 +4033,10 @@ JOIN sh sb ON c.doc_b = sb.doc_id
 """,
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
+        ),
+        "grouped_quantiles": grouped_quantiles_sql(
+            "orders", "o_totalprice", group_col="o_orderpriority",
+            key_col="o_orderkey", rate=0.2,
         ),
         "ivm_rollup": """
 SELECT o_orderpriority,

@@ -823,3 +823,78 @@ SELECT
         / CAST((SELECT n_kept FROM ev WHERE side = 'u') AS DOUBLE)
         * (SELECT est FROM ev WHERE side = 'u'), 4) AS ndv_overlap
 """
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    key_col: str,
+    rate: float = 0.1,
+    probs: tuple = (0.25, 0.5, 0.9),
+    salt: str = "sq",
+) -> DataFrame:
+    """Per-GROUP deterministic quantiles: (group, n_sampled, p25, p50,
+    ...) — the grouped form of :func:`sampled_quantiles`, the shape a
+    100 TB profile actually asks for (median price per segment, p90
+    latency per service).
+
+    Same content-hash sample as :func:`quantile_sample` (membership is
+    a row property, so per-batch sample unions stay exact), then ONE
+    grouped exact-percentile aggregate over the small sample; no
+    per-group approx_percentile sketch whose merge order varies.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both
+    linear-interpolate, and the sample is identical row-for-row, so
+    the outputs hash-match.
+    """
+    from inception_spark.functions.hashing import h28
+
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    thresh = int(rate * (1 << 28))
+    sample = df.filter(
+        h28(F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string")))
+        < F.lit(thresh)
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    aggs = [
+        F.round(F.expr(f"percentile(value, {p})"), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return sample.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sampled"), *aggs
+    )
+
+
+def grouped_quantiles_sql(
+    table: str,
+    value_col: str,
+    *,
+    group_col: str,
+    key_col: str,
+    rate: float = 0.1,
+    probs: tuple = (0.25, 0.5, 0.9),
+    salt: str = "sq",
+) -> str:
+    """DuckDB twin of :func:`grouped_quantiles`."""
+    from inception_spark.functions.hashing import h28_sql
+
+    thresh = int(rate * (1 << 28))
+    h = h28_sql(f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)")
+    qs = ",\n       ".join(
+        f"round(quantile_cont(CAST({value_col} AS DOUBLE), "
+        f"CAST({p!r} AS DOUBLE)), 6) AS p{int(p * 100)}"
+        for p in probs
+    )
+    return f"""
+SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       {qs}
+FROM {table}
+WHERE {h} < {thresh}
+GROUP BY {group_col}
+"""
