@@ -84,10 +84,14 @@ def main() -> None:
         ["shard_file", "sample_key"],
         "left_semi",
     )
+    # id = the numeric sample key: deterministic, join-safe.  (A
+    # monotonically_increasing_id computed upstream of a self-join is
+    # evaluated independently per branch — a task retry can pair
+    # features with the wrong sample.)
     imgs = attach_media_meta(
         ok.filter(F.col("ext") == "bmp").select(
             "sample_key",
-            F.monotonically_increasing_id().alias("id"),
+            F.col("sample_key").cast("long").alias("id"),
             "payload",
         ),
         modality="image",
@@ -95,7 +99,9 @@ def main() -> None:
     )
     feats = extract_features(
         imgs.select("id", "payload", "media_meta"), dim=32, fake=False
-    ).join(imgs.select("id", "sample_key"), "id")
+    ).withColumn(
+        "sample_key", F.lpad(F.col("id").cast("string"), 8, "0")
+    )
     caps = ok.filter(F.col("ext") == "txt").select(
         "sample_key", F.col("payload").cast("string").alias("text")
     )

@@ -561,6 +561,11 @@ def hll_overlap(
     estimator's noise can push inclusion-exclusion slightly negative on
     disjoint sets).
     """
+    if "__union__" in (str(group_a), str(group_b)):
+        raise ValueError(
+            "hll_overlap: group value '__union__' collides with the "
+            "union sentinel — rename the group"
+        )
     # grp goes to string up front so the "__union__" sentinel unions
     # cleanly for non-string group columns too
     two = df.filter(F.col(group_col).isin([group_a, group_b])).withColumn(

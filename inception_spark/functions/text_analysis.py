@@ -1704,6 +1704,21 @@ FROM c
 """
 
 
+def _phrase_terms(phrase: str) -> list[str]:
+    """Phrase terms through the SAME word normalization the postings
+    use (``[a-z0-9]+`` runs of the lowercased text) — a naive split()
+    would leave punctuation stuck to terms ('fast,') that can never
+    equal a postings token, silently matching nothing."""
+    import re
+
+    from .hashing import WORD_PATTERN
+
+    terms = re.findall(WORD_PATTERN, phrase.lower())
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    return terms
+
+
 def phrase_search(
     df,
     phrase: str,
@@ -1730,9 +1745,7 @@ def phrase_search(
 
     from . import hashing as H
 
-    terms = [t for t in phrase.lower().split() if t]
-    if not terms:
-        raise ValueError("phrase_search: empty phrase")
+    terms = _phrase_terms(phrase)
     post = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(H.words(F.col(text_col))).alias("pos", "w"),
@@ -1758,9 +1771,7 @@ def phrase_search_sql(
     join over the shared word normalization."""
     from . import hashing as H
 
-    terms = [t for t in phrase.lower().split() if t]
-    if not terms:
-        raise ValueError("phrase_search: empty phrase")
+    terms = _phrase_terms(phrase)
     joins = []
     for off, t in enumerate(terms[1:], start=1):
         joins.append(

@@ -1699,8 +1699,11 @@ def jaccard_prefix_pairs(
     # global document frequency -- vocab-sized, broadcast to order tokens
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
     win = Window.partitionBy("doc_id").orderBy("df_tok", "tok")
+    # NO broadcast hint on freq: for shingle elements the distinct-set
+    # is corpus-sized, not vocab-sized — a forced broadcast OOMs at
+    # scale.  Catalyst/AQE still broadcasts it when stats allow.
     pref = (
-        tok.join(F.broadcast(freq), "tok")
+        tok.join(freq, "tok")
         .join(sizes, "doc_id")
         .withColumn("rk", F.row_number().over(win))
         # p = n - ceil(n*num/den) + 1, all-integer

@@ -12,8 +12,8 @@ Spark-first decomposition:
 
 * **u-probabilities are data-derived, exactly**: u_f = Σ_v (n_v/n)² —
   the chance two random records agree on field f — computed as EXACT
-  integer sums (Σ n_v², n²) per field in one aggregate each, then cast
-  to double (identical in any engine).  No sampling, no EM: this is the
+  integer sums (Σ n_v², n²) for every field in ONE melted aggregate,
+  then cast to double (identical in any engine).  No sampling, no EM: this is the
   standard "random agreement" u estimate.
 * **blocking before scoring**: candidate pairs come from an equi-join
   on a caller-supplied blocking key (the same discipline as every other
@@ -55,20 +55,49 @@ def fs_linkage_scores(
         raise ValueError("fs_linkage_scores needs >= 1 field")
     m = float(m_num) / float(m_den)
     base = df.select(id_col, block_col, *fields)
-    # exact per-field u = sum(n_v^2) / n^2 over non-null values
+    # exact per-field u = sum(n_v^2) / n^2 over non-null values — ONE
+    # melted aggregate job for every field (not one job per field):
+    # each row explodes to (field, value) structs, grouped counts fold
+    # to per-field sum-of-squares
+    melted = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("fld"),
+                        F.col(f).cast("string").alias("val"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.fld", "fv.val")
+    rows = (
+        melted.groupBy("fld", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("fld")
+        .agg(
+            F.sum(
+                F.when(F.col("val").isNotNull(), F.col("n") * F.col("n"))
+            ).alias("num"),
+            F.sum(F.when(F.col("val").isNotNull(), F.col("n"))).alias(
+                "n_rows"
+            ),
+        )
+        .collect()
+    )
+    stats = {r["fld"]: (int(r["num"] or 0)) for r in rows}
     n_total = base.count()
+    if n_total == 0:
+        # empty input: no pairs, clean empty result (u would be 0/0)
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, n_agree long, score double"
+        )
     u: dict[str, float] = {}
     for f in fields:
-        row = (
-            base.filter(F.col(f).isNotNull())
-            .groupBy(f)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.sum(F.col("n") * F.col("n")).alias("num"))
-            .collect()[0]
-        )
-        num = int(row["num"] or 0)
-        # guard: u in (0, 1); an all-distinct field gets u = n/n^2 = 1/n
-        u[f] = max(num, 1) / float(n_total * n_total)
+        # guard: u in (0, 1]; an all-distinct field gets u = n/n^2 = 1/n
+        u[f] = max(stats.get(f, 0), 1) / float(n_total * n_total)
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(

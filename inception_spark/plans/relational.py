@@ -1359,21 +1359,27 @@ def scd2_history(
     """
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
+    # NULL-safe change detection: a NULL attr is its own value (a run of
+    # NULLs is one island), via eqNullSafe + an explicit first-row flag
+    # — `lag != attr` alone evaluates NULL around NULL attrs and both
+    # merges NULL rows into the prior island and splits the run after
     flagged = df.select(
         F.col(key), F.col(attr), F.col(ts),
         *( [F.col(tiebreak)] if tiebreak else [] ),
     ).withColumn(
         "_chg",
         F.when(
-            F.lag(attr).over(w).isNull()
-            | (F.lag(attr).over(w) != F.col(attr)),
+            (F.row_number().over(w) == 1)
+            | ~F.lag(attr).over(w).eqNullSafe(F.col(attr)),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("_isl", F.sum("_chg").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ))
     runs = flagged.groupBy(key, "_isl").agg(
-        F.first(attr).alias(attr),  # constant within the island
+        # constant within the island; min matches the oracle's MIN and,
+        # unlike first(), is deterministic under partial aggregation
+        F.min(attr).alias(attr),
         F.min(ts).alias("valid_from"),
     )
     w2 = Window.partitionBy(key).orderBy("_isl")
@@ -1393,8 +1399,8 @@ def scd2_history_sql(
     return f"""
 WITH flagged AS (
   SELECT {key}, {attr}, {ts}{tb},
-         CASE WHEN lag({attr}) OVER w IS NULL
-                OR lag({attr}) OVER w <> {attr}
+         CASE WHEN row_number() OVER w = 1
+                OR lag({attr}) OVER w IS DISTINCT FROM {attr}
               THEN 1 ELSE 0 END AS chg
   FROM {table}
   WINDOW w AS (PARTITION BY {key} ORDER BY {ts}{tb})),
@@ -1594,11 +1600,15 @@ def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_events(spark, sf_dir)
     usec = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    # event_id rides along as the within-microsecond tiebreak: without
+    # it, two same-timestamp events make last_value/first_value pick an
+    # implementation-defined row (cross-engine and cross-run drift)
     pts = ev.select(
         "user_id",
         F.col("ts"),
         F.col("value"),
         F.lit(0).alias("is_grid"),
+        F.col("event_id").alias("_tb"),
     )
     spine = (
         ev.groupBy("user_id")
@@ -1615,17 +1625,18 @@ def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "ts", F.lit(None).cast("double").alias("value"),
             F.lit(1).alias("is_grid"),
+            F.lit(0).cast("long").alias("_tb"),
         )
     )
     both = pts.unionByName(spine).withColumn("t_us", usec(F.col("ts")))
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("t_us", "is_grid")
+        .orderBy("t_us", "is_grid", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("t_us", "is_grid")
+        .orderBy("t_us", "is_grid", "_tb")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     ev_ts = F.when(F.col("value").isNotNull(), F.col("t_us"))
@@ -1654,14 +1665,15 @@ def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_RESAMPLE_LINEAR_SQL = """
 WITH pts AS (
-  SELECT user_id, ts, value, 0 AS is_grid FROM events),
+  SELECT user_id, ts, value, 0 AS is_grid, event_id AS tb FROM events),
 bounds AS (
   SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
   FROM events GROUP BY user_id),
 spine AS (
   SELECT user_id,
          unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts,
-         CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+         CAST(NULL AS DOUBLE) AS value, 1 AS is_grid,
+         CAST(0 AS BIGINT) AS tb
   FROM bounds),
 both_s AS (
   SELECT *, epoch_us(ts) AS t_us FROM
@@ -1676,9 +1688,9 @@ g AS (
       OVER wf AS nt
   FROM both_s
   WINDOW
-    wb AS (PARTITION BY user_id ORDER BY t_us, is_grid
+    wb AS (PARTITION BY user_id ORDER BY t_us, is_grid, tb
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    wf AS (PARTITION BY user_id ORDER BY t_us, is_grid
+    wf AS (PARTITION BY user_id ORDER BY t_us, is_grid, tb
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
 SELECT user_id, ts AS hour_ts,
        round(CASE WHEN pv IS NULL THEN nv

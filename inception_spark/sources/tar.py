@@ -52,6 +52,34 @@ class TarFormatError(ValueError):
     """Raised on a structurally invalid shard when ``strict``."""
 
 
+def _verify_gzip_stream(chunks) -> None:
+    """Streaming gzip integrity check (constant memory): raises
+    :class:`TarFormatError` on a corrupt or TRUNCATED stream.
+
+    Needed because ``tarfile``'s ``r|*`` reader treats many gzip
+    truncations as a clean EOF (cut-position-dependent — verified: a
+    30%-cut shard iterates a prefix with no exception), so strict mode
+    cannot rely on the tar layer to notice."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    saw_any = False
+    try:
+        for chunk in chunks:
+            saw_any = True
+            d.decompress(chunk)
+            while d.eof and d.unused_data:
+                tail = d.unused_data
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                d.decompress(tail)
+    except zlib.error as exc:
+        raise TarFormatError(f"corrupt gzip shard: {exc}") from exc
+    if saw_any and not d.eof:
+        raise TarFormatError(
+            "truncated gzip shard: stream ends before the gzip trailer"
+        )
+
+
 def split_member_name(name: str) -> tuple[str, str]:
     """WebDataset key split: everything up to the FIRST dot of the
     basename is the sample key, the rest is the (possibly dotted)
@@ -100,9 +128,17 @@ def read_tar_members(
             for fname, content in zip(pdf["path"], pdf["content"]):
                 rows: list[dict] = []
                 nbytes = 0
+                raw = bytes(content)
+                if strict and raw[:2] == b"\x1f\x8b":
+                    # one extra constant-memory pass; the tar layer
+                    # alone cannot detect most gzip truncations
+                    _verify_gzip_stream(
+                        raw[i : i + (1 << 20)]
+                        for i in range(0, len(raw), 1 << 20)
+                    )
                 try:
                     tf = tarfile.open(
-                        fileobj=io.BytesIO(bytes(content)), mode="r|*"
+                        fileobj=io.BytesIO(raw), mode="r|*"
                     )
                 except tarfile.TarError as exc:
                     if strict:
@@ -118,12 +154,13 @@ def read_tar_members(
                         if keep is not None and ext not in keep:
                             continue
                         f = tf.extractfile(member)
-                        payload = f.read() if f is not None else b""
-                        if (
-                            max_member_bytes is not None
-                            and len(payload) > max_member_bytes
-                        ):
-                            payload = payload[:max_member_bytes]
+                        # cap INSIDE the read: read() of a pathological
+                        # member would materialize it before truncation
+                        payload = (
+                            f.read(max_member_bytes)
+                            if f is not None and max_member_bytes is not None
+                            else (f.read() if f is not None else b"")
+                        )
                         rows.append(
                             {
                                 "shard_file": fname,
@@ -216,8 +253,12 @@ class TarShardsReader(DataSourceReader):
     def partitions(self):
         pat = self.path
         if _os.path.isdir(pat):
-            pat = _os.path.join(pat, "*.tar*")
-        files = sorted(_glob.glob(pat))
+            files = sorted(
+                set(_glob.glob(_os.path.join(pat, "*.tar*")))
+                | set(_glob.glob(_os.path.join(pat, "*.tgz")))
+            )
+        else:
+            files = sorted(_glob.glob(pat))
         if not files:
             raise FileNotFoundError(f"tar_shards: no shards match {pat}")
         return [_ShardPartition(p) for p in files]
@@ -233,12 +274,11 @@ class TarShardsReader(DataSourceReader):
                 if self.extensions is not None and ext not in self.extensions:
                     continue
                 f = tf.extractfile(member)
-                payload = f.read() if f is not None else b""
-                if (
-                    self.max_member_bytes is not None
-                    and len(payload) > self.max_member_bytes
-                ):
-                    payload = payload[: self.max_member_bytes]
+                payload = (
+                    f.read(self.max_member_bytes)
+                    if f is not None and self.max_member_bytes is not None
+                    else (f.read() if f is not None else b"")
+                )
                 yield (
                     partition.path,
                     member.name,

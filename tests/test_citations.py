@@ -87,3 +87,15 @@ def test_phrase_search_positions_and_counts(spark):
     got3 = {r.doc_id: r.n_occurrences
             for r in phrase_search(df, "a b c").collect()}
     assert got3 == {1: 1, 5: 1}
+
+
+def test_phrase_search_normalizes_the_phrase_too(spark):
+    """Punctuated/cased PHRASES match: the phrase goes through the
+    same [a-z0-9]+ extraction as the postings."""
+    from inception_spark.functions.text_analysis import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "the fast key order wins")], "doc_id long, text string"
+    )
+    got = phrase_search(df, "Fast, KEY order!").collect()
+    assert [(r.doc_id, r.n_occurrences) for r in got] == [(1, 1)]

@@ -57,3 +57,10 @@ def test_fs_null_never_agrees(spark):
         for r in fs_linkage_scores(df, fields=["f"], block_col="blk").collect()
     }
     assert out == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+
+def test_fs_empty_input_returns_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, blk int, f string")
+    out = fs_linkage_scores(df, fields=["f"], block_col="blk")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "n_agree", "score"]

@@ -881,3 +881,61 @@ def test_cusum_resample_empty_events(spark, tmp_path):
     assert events_cusum(spark, d).count() == 0
     assert events_resample_linear(spark, d).count() == 0
     assert events_twap(spark, d).count() == 0
+
+
+def test_scd2_null_attr_is_its_own_run(spark):
+    """NULL attribute values form their own island (null-safe change
+    detection) and an all-NULL run reports attr NULL."""
+    from datetime import datetime as dt
+
+    from inception_spark.plans.relational import scd2_history
+
+    rows = [
+        (1, "a", dt(2024, 1, 1), 1),
+        (1, None, dt(2024, 1, 2), 2),
+        (1, None, dt(2024, 1, 3), 3),  # same NULL run
+        (1, "a", dt(2024, 1, 4), 4),   # new 'a' interval
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, i long")
+    got = [
+        (r.attr, r.valid_from, r.is_current)
+        for r in scd2_history(df, key="k", attr="attr", ts="ts", tiebreak="i")
+        .orderBy("valid_from")
+        .collect()
+    ]
+    assert got == [
+        ("a", dt(2024, 1, 1), False),
+        (None, dt(2024, 1, 2), False),
+        ("a", dt(2024, 1, 4), True),
+    ]
+
+
+def test_events_resample_same_microsecond_tiebreak(spark, tmp_path):
+    """Two events in the same microsecond: the event_id tiebreak makes
+    the bracketing values deterministic (higher id wins the 'last
+    before' slot)."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_resample_linear
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:00",
+                 "2024-01-01 02:00:00"]
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["a"] * 3,
+            "value": [10.0, 30.0, 30.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    rows.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.hour_ts.hour: r.value_interp
+        for r in events_resample_linear(spark, str(tmp_path)).collect()
+    }
+    # id=2 (value 30) is the last event at t0 -> flat 30 to the end
+    assert got == {0: 30.0, 1: 30.0, 2: 30.0}

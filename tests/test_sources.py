@@ -333,15 +333,16 @@ def test_tar_multimodal_pipeline(spark, tmp_path):
     imgs = attach_media_meta(
         members.filter(F.col("ext") == "bmp").select(
             F.col("sample_key"),
-            F.monotonically_increasing_id().alias("id"),
+            F.col("sample_key").cast("long").alias("id"),
             "payload",
         ),
         modality="image", mime="image/bmp",
     )
     feats = extract_features(
         imgs.select("id", "payload", "media_meta"), dim=16, fake=False
-    ).join(
-        imgs.select("id", "sample_key"), "id"
+    ).withColumn(
+        "sample_key",
+        F.lpad(F.col("id").cast("string"), 6, "0"),
     )
     caps = members.filter(F.col("ext") == "txt").select(
         "sample_key", F.col("payload").cast("string").alias("caption")
@@ -387,3 +388,47 @@ def test_tar_shards_datasource_streams_from_paths(spark, tmp_path):
         .collect()
     )
     assert [r.member_name for r in only_cls] == ["0001.cls"]
+
+
+def test_tar_gzip_truncation_detected_strict(spark, tmp_path):
+    """A .tar.gz shard truncated mid-stream must FAIL under strict
+    (tarfile alone treats many gzip cuts as clean EOF — the integrity
+    pre-pass catches them all) and quarantine under strict=False."""
+    import pytest
+
+    from inception_spark.sources.tar import read_tar_members
+
+    p = str(tmp_path / "t.tar.gz")
+    _write_shard(p, [(f"{i:04d}.txt", bytes(200)) for i in range(50)], "w:gz")
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: int(len(data) * 0.3)])  # 30% cut
+    with pytest.raises(Exception):
+        read_tar_members(spark, p, strict=True).collect()
+    got = read_tar_members(spark, p, strict=False).collect()
+    assert len(got) < 50  # valid prefix only
+
+
+def test_tar_member_cap_reads_bounded(spark, tmp_path):
+    """max_member_bytes caps what is READ, not post-hoc truncation —
+    payload is the prefix and following members still parse."""
+    from inception_spark.sources.tar import read_tar_members
+
+    _write_shard(
+        str(tmp_path / "s.tar"),
+        [("big.txt", b"z" * 100_000), ("after.txt", b"ok")],
+    )
+    rows = {r.member_name: r for r in read_tar_members(
+        spark, str(tmp_path / "s.tar"), max_member_bytes=16
+    ).collect()}
+    assert len(bytes(rows["big.txt"].payload)) == 16
+    assert rows["big.txt"].size == 100_000
+    assert bytes(rows["after.txt"].payload) == b"ok"
+
+
+def test_tar_shards_datasource_picks_up_tgz(spark, tmp_path):
+    from inception_spark.sources.tar import TarShardsDataSource
+
+    spark.dataSource.register(TarShardsDataSource)
+    _write_shard(str(tmp_path / "a.tgz"), [("1.txt", b"x")], "w:gz")
+    df = spark.read.format("tar_shards").load(str(tmp_path))
+    assert df.count() == 1
