@@ -79,6 +79,8 @@ from inception_spark.functions.sketches import (
     hll_registers_by_group,
     kmv_overlap,
     kmv_overlap_sql,
+    cumulative_ndv,
+    cumulative_ndv_sql,
     grouped_quantiles,
     grouped_quantiles_sql,
     quantile_sample,
@@ -546,6 +548,15 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.0, k=16, bands=4
+    )
+
+
+def _q_cumulative_ndv(spark, sf_dir):
+    """Daily audience-growth curve: cumulative distinct users per day
+    from a running max over the HLL REGISTER table (a window over
+    #days rows per register, never raw events)."""
+    return cumulative_ndv(
+        R.load_events(spark, sf_dir), time_col="ts", col="user_id"
     )
 
 
@@ -2922,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_overlap": _q_streaming_kmv_overlap,
         "ivm_rollup": _q_ivm_rollup,
         "grouped_quantiles": _q_grouped_quantiles,
+        "cumulative_ndv": _q_cumulative_ndv,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3228,6 +3240,7 @@ _WINDOW_R7 = [
     "streaming_kmv_overlap",
     "ivm_rollup",
     "grouped_quantiles",
+    "cumulative_ndv",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -4033,6 +4046,9 @@ JOIN sh sb ON c.doc_b = sb.doc_id
 """,
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
+        ),
+        "cumulative_ndv": cumulative_ndv_sql(
+            "events", time_col="ts", col="user_id"
         ),
         "grouped_quantiles": grouped_quantiles_sql(
             "orders", "o_totalprice", group_col="o_orderpriority",

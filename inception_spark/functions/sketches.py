@@ -903,3 +903,103 @@ FROM {table}
 WHERE {h} < {thresh}
 GROUP BY {group_col}
 """
+
+
+def cumulative_ndv(
+    df: DataFrame,
+    *,
+    time_col: str,
+    col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Cumulative distinct-count growth curve: (bucket_ts, estimate,
+    n_registers) — for each time bucket, the HLL estimate of distinct
+    ``col`` values seen UP TO AND INCLUDING that bucket (the audience /
+    vocabulary growth curve).
+
+    Scale shape: raw rows reduce to per-(bucket, register) maxima first
+    (the usual <= m rows per bucket), and the CUMULATIVE part runs as a
+    running max over the REGISTER TABLE — a window partitioned by
+    register over #buckets rows, never over raw data.  Buckets with no
+    rows of their own still inherit the running state via the
+    bucket x register spine, so the curve is defined at every bucket in
+    the observed range.
+    """
+    src = df.select(
+        F.date_trunc(bucket, F.col(time_col)).alias("b"),
+        F.col(col).cast("string").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    regs = (
+        src.select(
+            "b",
+            hll_register(F.col("_v")).alias("reg"),
+            hll_rank(F.col("_v")).alias("rank"),
+        )
+        .groupBy("b", "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    # bucket x register spine so empty buckets carry the running state
+    buckets = src.select("b").distinct()
+    spine = buckets.crossJoin(
+        F.broadcast(regs.select("reg").distinct())
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("reg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        spine.join(regs, ["b", "reg"], "left")
+        .withColumn("cmx", F.max("mx").over(w))
+        .filter(F.col("cmx").isNotNull())
+    )
+    est = hll_estimate_from_registers(
+        cum.select(F.col("b").alias("grp"), "reg", F.col("cmx").alias("mx"))
+    )
+    return est.select(
+        F.col("grp").alias("bucket_ts"), "estimate", "n_registers"
+    )
+
+
+def cumulative_ndv_sql(
+    table: str, *, time_col: str, col: str, bucket: str = "day"
+) -> str:
+    """DuckDB twin of :func:`cumulative_ndv`."""
+    m = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+    cv = f"CAST({col} AS VARCHAR)"
+    return f"""
+WITH src AS (
+  SELECT date_trunc('{bucket}', {time_col}) AS b, {cv} AS v
+  FROM {table} WHERE {col} IS NOT NULL),
+regs AS (
+  SELECT b, {hll_register_sql('v')} AS reg,
+         MAX({hll_rank_sql('v')}) AS mx
+  FROM src GROUP BY 1, 2),
+spine AS (
+  SELECT b, reg FROM (SELECT DISTINCT b FROM src)
+  CROSS JOIN (SELECT DISTINCT reg FROM regs)),
+cum AS (
+  SELECT s.b, s.reg,
+         MAX(r.mx) OVER (PARTITION BY s.reg ORDER BY s.b
+                         ROWS UNBOUNDED PRECEDING) AS cmx
+  FROM spine s LEFT JOIN regs r ON r.b = s.b AND r.reg = s.reg),
+live AS (SELECT b, reg, cmx AS mx FROM cum WHERE cmx IS NOT NULL),
+a AS (
+  SELECT b, SUM(power(CAST(2.0 AS DOUBLE), -mx)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM live GROUP BY b),
+e AS (
+  SELECT b, (present_sum + ({m} - n_present)) AS s,
+         ({HLL_M} - n_present) AS n_zero
+  FROM a),
+r AS (SELECT b, ({alpha} * {m} * {m} / s) AS e_raw, n_zero FROM e)
+SELECT b AS bucket_ts,
+       round(CASE WHEN e_raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                  AND n_zero > 0
+             THEN {m} * ln({m} / n_zero) ELSE e_raw END, 4) AS estimate,
+       CAST({HLL_M} AS BIGINT) AS n_registers
+FROM r
+"""

@@ -323,3 +323,33 @@ def test_kmv_overlap_missing_group(spark):
     r = kmv_overlap(df, "grp", "v", "a", "nope", k=16).collect()[0]
     assert r.ndv_a == 10.0 and r.ndv_b == 0.0
     assert r.ndv_union == 10.0 and r.ndv_overlap == 0.0
+
+
+def test_cumulative_ndv_monotone_and_final_equals_global(spark):
+    """The growth curve never decreases, its final point equals the
+    global one-shot estimate, and a gap day inherits the running
+    state."""
+    from datetime import datetime as dt
+
+    from inception_spark.functions.sketches import cumulative_ndv, hll_ndv
+
+    rows = []
+    # day 1: users 0-19; day 2: users 10-29; day 4: users 0-5 (no new)
+    for u in range(20):
+        rows.append((dt(2024, 1, 1, 10), u))
+    for u in range(10, 30):
+        rows.append((dt(2024, 1, 2, 10), u))
+    for u in range(6):
+        rows.append((dt(2024, 1, 4, 10), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    curve = {
+        r.bucket_ts.day: r.estimate
+        for r in cumulative_ndv(df, time_col="ts", col="user_id").collect()
+    }
+    assert sorted(curve) == [1, 2, 4]
+    assert curve[1] <= curve[2] <= curve[4] or (
+        curve[1] <= curve[2] and curve[2] == curve[4]
+    )
+    assert curve[4] == curve[2]  # day 4 adds no new users
+    glob = hll_ndv(df, "user_id").collect()[0].estimate
+    assert curve[4] == glob
