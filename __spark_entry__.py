@@ -551,6 +551,10 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_ab_conversion_z(spark, sf_dir):
+    return R.ab_conversion_z(spark, sf_dir)
+
+
 def _q_cumulative_ndv(spark, sf_dir):
     """Daily audience-growth curve: cumulative distinct users per day
     from a running max over the HLL REGISTER table (a window over
@@ -2934,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_rollup": _q_ivm_rollup,
         "grouped_quantiles": _q_grouped_quantiles,
         "cumulative_ndv": _q_cumulative_ndv,
+        "ab_conversion_z": _q_ab_conversion_z,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3241,6 +3246,7 @@ _WINDOW_R7 = [
     "ivm_rollup",
     "grouped_quantiles",
     "cumulative_ndv",
+    "ab_conversion_z",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -4047,6 +4053,7 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         "jaccard_prefix_pairs": D.jaccard_prefix_pairs_sql(
             threshold_num=3, threshold_den=4
         ),
+        "ab_conversion_z": R.ab_conversion_z_sql(),
         "cumulative_ndv": cumulative_ndv_sql(
             "events", time_col="ts", col="user_id"
         ),

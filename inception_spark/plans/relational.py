@@ -1702,3 +1702,121 @@ SELECT user_id, ts AS hour_ts,
              END, 6) + 0.0 AS value_interp
 FROM g WHERE is_grid = 1
 """
+
+
+def ab_conversion_z(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    expose_type: str = "view",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Two-proportion A/B test over the event log: users split into
+    variants by id parity (the deterministic stand-in for an assignment
+    column), conversion = user emitted ``convert_type`` after being
+    exposed to ``expose_type``; one row per variant pair —
+    (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_score, significant).
+
+    The pooled two-proportion z uses only +,-,*,/ and sqrt — all
+    IEEE-correctly-rounded primitives, so the statistic is engine-exact
+    (no erf/p-value: erf is NOT identically rounded across libms; the
+    1.96 two-sided 5% threshold is reported as the boolean instead).
+    Per-user flags are one conditional aggregate; nothing scales past
+    the user dimension.
+    """
+    ev = load_events(spark, sf_dir)
+    peru = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == expose_type, 1).otherwise(0)
+        ).alias("exposed"),
+        F.max(
+            F.when(F.col("event_type") == convert_type, 1).otherwise(0)
+        ).alias("converted"),
+    )
+    flags = peru.filter(F.col("exposed") == 1).select(
+        (F.col("user_id") % 2 == 0).alias("variant_a"),
+        F.col("converted"),
+    )
+    agg = flags.agg(
+        F.sum(F.when(F.col("variant_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("variant_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(~F.col("variant_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, (pa - pb) / se).otherwise(F.lit(0.0))
+    return agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+def ab_conversion_z_sql(
+    *, expose_type: str = "view", convert_type: str = "purchase"
+) -> str:
+    """DuckDB twin of :func:`ab_conversion_z`."""
+    return f"""
+WITH peru AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = '{expose_type}' THEN 1 ELSE 0 END)
+           AS exposed,
+         MAX(CASE WHEN event_type = '{convert_type}' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id),
+flags AS (
+  SELECT (user_id % 2 = 0) AS variant_a, converted
+  FROM peru WHERE exposed = 1),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN NOT variant_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant_a THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_a,
+    CAST(SUM(CASE WHEN NOT variant_a THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_b
+  FROM flags),
+c AS (
+  SELECT *,
+    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
+  FROM agg WHERE n_a > 0 AND n_b > 0),
+zc AS (
+  SELECT *,
+    sqrt(pool * (1.0 - pool)
+         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+  FROM c)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+       round(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END, 6)
+         AS z_score,
+       abs(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END) > 1.96
+         AS significant
+FROM zc
+"""

@@ -939,3 +939,35 @@ def test_events_resample_same_microsecond_tiebreak(spark, tmp_path):
     }
     # id=2 (value 30) is the last event at t0 -> flat 30 to the end
     assert got == {0: 30.0, 1: 30.0, 2: 30.0}
+
+
+def test_ab_conversion_z_hand_computed(spark, tmp_path):
+    """The z statistic matches the textbook two-proportion formula on a
+    constructed assignment (all exposed, known conversion counts)."""
+    import math
+
+    import pandas as pd
+
+    from inception_spark.plans.relational import ab_conversion_z
+
+    rows = []
+    eid = 0
+    # variant A (even ids): 10 users, 6 convert; B (odd): 10 users, 2
+    for u in range(20):
+        conv = (u % 2 == 0 and u < 12) or (u % 2 == 1 and u < 4)
+        rows.append({"event_id": eid, "ts": pd.Timestamp("2024-01-01"),
+                     "user_id": u, "event_type": "view", "value": 1.0,
+                     "props": "{}"}); eid += 1
+        if conv:
+            rows.append({"event_id": eid, "ts": pd.Timestamp("2024-01-02"),
+                         "user_id": u, "event_type": "purchase",
+                         "value": 1.0, "props": "{}"}); eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    r = ab_conversion_z(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (10, 10, 6, 2)
+    pa, pb, pool = 0.6, 0.2, 0.4
+    z = (pa - pb) / math.sqrt(pool * 0.6 * (0.1 + 0.1))
+    assert abs(r.z_score - round(z, 6)) < 1e-9
+    assert r.significant == (abs(z) > 1.96)
