@@ -551,6 +551,12 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_user_rfm_segments(spark, sf_dir):
+    """RFM terciles from broadcast content-hash-sample thresholds — no
+    global ntile window anywhere."""
+    return R.user_rfm_segments(spark, sf_dir)
+
+
 def _q_ab_conversion_z(spark, sf_dir):
     return R.ab_conversion_z(spark, sf_dir)
 
@@ -2939,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "cumulative_ndv": _q_cumulative_ndv,
         "ab_conversion_z": _q_ab_conversion_z,
+        "user_rfm_segments": _q_user_rfm_segments,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3247,6 +3254,7 @@ _WINDOW_R7 = [
     "grouped_quantiles",
     "cumulative_ndv",
     "ab_conversion_z",
+    "user_rfm_segments",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -4054,6 +4062,7 @@ JOIN sh sb ON c.doc_b = sb.doc_id
             threshold_num=3, threshold_den=4
         ),
         "ab_conversion_z": R.ab_conversion_z_sql(),
+        "user_rfm_segments": R.user_rfm_segments_sql(),
         "cumulative_ndv": cumulative_ndv_sql(
             "events", time_col="ts", col="user_id"
         ),

@@ -1820,3 +1820,131 @@ SELECT n_a, n_b, conv_a, conv_b,
          AS significant
 FROM zc
 """
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the event log: per user Recency (seconds
+    since last event, vs the corpus max timestamp), Frequency (events)
+    and Monetary (decimal-exact value sum), each scored 1-3 against
+    TERCILE thresholds — (user_id, recency_secs, frequency, monetary,
+    r_score, f_score, m_score, segment).
+
+    The 100 TB detail is how the terciles are cut: a global ntile()
+    would be a single-reducer window over every user, so thresholds
+    come instead from an exact percentile over the deterministic
+    content-hash USER sample (the curriculum_bins discipline) and ride
+    a broadcast 1-row table; scoring is a pure comparison projection.
+    Scores use > threshold (strictly-greater buckets), segment is the
+    concatenated digit string ("321" = best recency, mid frequency,
+    worst monetary).
+    """
+    from inception_spark.functions.hashing import h28
+
+    ev = load_events(spark, sf_dir)
+    usec = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("mon_dec"),
+    )
+    maxts = ev.agg(F.max("ts").alias("corpus_max"))
+    # integer `div`, not float /-then-cast: Spark's double->long cast
+    # TRUNCATES while DuckDB's rounds — div/// agree for non-negatives
+    base = (
+        per_user.crossJoin(F.broadcast(maxts))
+        .withColumn(
+            "_dus", usec(F.col("corpus_max")) - usec(F.col("last_ts"))
+        )
+        .select(
+            "user_id",
+            F.expr("_dus div 1000000").cast("long").alias("recency_secs"),
+            "frequency",
+            F.col("mon_dec").cast("double").alias("monetary"),
+        )
+    )
+    # tercile thresholds from the content-hash user sample (exact
+    # percentile over the sample — deterministic, broadcastable)
+    samp = base.filter(
+        h28(F.concat(F.lit("rfm\x1f"), F.col("user_id").cast("string")))
+        < F.lit(int(0.5 * (1 << 28)))
+    )
+    th = samp.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {p})"), 6).alias(
+                f"{c}_p{int(p * 100)}"
+            )
+            for c in ("recency_secs", "frequency", "monetary")
+            for p in (1 / 3, 2 / 3)
+        ]
+    )
+
+    def score(c, invert):
+        lo, hi = F.col(f"{c}_p33"), F.col(f"{c}_p66")
+        raw = (
+            F.when(F.col(c) > hi, 3)
+            .when(F.col(c) > lo, 2)
+            .otherwise(1)
+        )
+        return (4 - raw) if invert else raw
+
+    out = base.crossJoin(F.broadcast(th))
+    r_s = score("recency_secs", invert=True)  # recent = low secs = best
+    f_s = score("frequency", invert=False)
+    m_s = score("monetary", invert=False)
+    return out.select(
+        "user_id",
+        "recency_secs",
+        "frequency",
+        F.round(F.col("monetary"), 2).alias("monetary"),
+        r_s.cast("long").alias("r_score"),
+        f_s.cast("long").alias("f_score"),
+        m_s.cast("long").alias("m_score"),
+        F.concat(
+            r_s.cast("string"), f_s.cast("string"), m_s.cast("string")
+        ).alias("segment"),
+    )
+
+
+def user_rfm_segments_sql() -> str:
+    """DuckDB twin of :func:`user_rfm_segments`."""
+    from inception_spark.functions.hashing import h28_sql
+
+    h = h28_sql("'rfm' || chr(31) || CAST(user_id AS VARCHAR)")
+    thresh = int(0.5 * (1 << 28))
+    qcols = ", ".join(
+        f"round(quantile_cont(CAST({c} AS DOUBLE), "
+        f"CAST({p!r} AS DOUBLE)), 6) AS {c}_p{int(p * 100)}"
+        for c in ("recency_secs", "frequency", "monetary")
+        for p in (1 / 3, 2 / 3)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(value AS DECIMAL(18,2))) AS mon_dec
+  FROM events GROUP BY user_id),
+mx AS (SELECT MAX(ts) AS corpus_max FROM events),
+base AS (
+  SELECT user_id,
+         CAST((epoch_us(corpus_max) - epoch_us(last_ts)) // 1000000
+              AS BIGINT) AS recency_secs,
+         frequency, CAST(mon_dec AS DOUBLE) AS monetary
+  FROM per_user CROSS JOIN mx),
+th AS (SELECT {qcols} FROM base WHERE {h} < {thresh}),
+scored AS (
+  SELECT b.*,
+    (4 - CASE WHEN b.recency_secs > t.recency_secs_p66 THEN 3
+              WHEN b.recency_secs > t.recency_secs_p33 THEN 2
+              ELSE 1 END) AS r_score,
+    CASE WHEN b.frequency > t.frequency_p66 THEN 3
+         WHEN b.frequency > t.frequency_p33 THEN 2 ELSE 1 END AS f_score,
+    CASE WHEN b.monetary > t.monetary_p66 THEN 3
+         WHEN b.monetary > t.monetary_p33 THEN 2 ELSE 1 END AS m_score
+  FROM base b CROSS JOIN th t)
+SELECT user_id, recency_secs, frequency, round(monetary, 2) AS monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""

@@ -971,3 +971,33 @@ def test_ab_conversion_z_hand_computed(spark, tmp_path):
     z = (pa - pb) / math.sqrt(pool * 0.6 * (0.1 + 0.1))
     assert abs(r.z_score - round(z, 6)) < 1e-9
     assert r.significant == (abs(z) > 1.96)
+
+
+def test_rfm_scores_direction(spark, tmp_path):
+    """The heaviest/most-recent/most-frequent user lands in segment
+    '333'; a stale one-shot user gets r=1."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import user_rfm_segments
+
+    rows = []
+    eid = 0
+    # user 1: recent, frequent, big spender; user 2: middling;
+    # user 3: one stale cheap event; spread more users for thresholds
+    for u, (n, day, val) in enumerate(
+        [(20, 28, 100.0), (6, 15, 10.0), (1, 1, 1.0),
+         (3, 10, 5.0), (8, 20, 20.0), (2, 5, 2.0)], start=1
+    ):
+        for i in range(n):
+            rows.append({"event_id": eid,
+                         "ts": pd.Timestamp(f"2024-01-{day:02d}"),
+                         "user_id": u, "event_type": "view",
+                         "value": val, "props": "{}"})
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    seg = {r.user_id: r.segment
+           for r in user_rfm_segments(spark, str(tmp_path)).collect()}
+    assert seg[1] == "333"
+    assert seg[3].startswith("1")  # stalest user: worst recency score
