@@ -551,6 +551,14 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_contrastive_negatives(spark, sf_dir):
+    """Deterministic hard-negative mining from sign-LSH buckets: one
+    bucket equi-join + per-anchor top-k by the md5 pair hash — the
+    auditable contrastive-corpus sampler."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.contrastive_hard_negatives(emb, k=4, bits=8)
+
+
 def _q_user_rfm_segments(spark, sf_dir):
     """RFM terciles from broadcast content-hash-sample thresholds — no
     global ntile window anywhere."""
@@ -2946,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_ndv": _q_cumulative_ndv,
         "ab_conversion_z": _q_ab_conversion_z,
         "user_rfm_segments": _q_user_rfm_segments,
+        "contrastive_negatives": _q_contrastive_negatives,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -3255,6 +3264,7 @@ _WINDOW_R7 = [
     "cumulative_ndv",
     "ab_conversion_z",
     "user_rfm_segments",
+    "contrastive_negatives",
     # later slots + r8 head: the r4-green cohort (the cohort's last
     # entries land past the boundary and head the round-8 rotation)
     "ann_lsh_topk",
@@ -4063,6 +4073,22 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         ),
         "ab_conversion_z": R.ab_conversion_z_sql(),
         "user_rfm_segments": R.user_rfm_segments_sql(),
+        "contrastive_negatives": f"""
+WITH b AS (
+  SELECT vec_id, {_bucket_sql('embedding')} AS bk FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, n.vec_id AS negative_id,
+         {H.h28_sql("CAST(a.vec_id AS VARCHAR) || chr(31) || "
+                    "CAST(n.vec_id AS VARCHAR)")} AS ph
+  FROM b a JOIN b n ON a.bk = n.bk AND a.vec_id <> n.vec_id),
+ranked AS (
+  SELECT anchor_id, negative_id,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY ph, negative_id) AS neg_rank
+  FROM pairs)
+SELECT anchor_id, negative_id, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM ranked WHERE neg_rank <= 4
+""",
         "cumulative_ndv": cumulative_ndv_sql(
             "events", time_col="ts", col="user_id"
         ),

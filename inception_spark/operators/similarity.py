@@ -1659,3 +1659,70 @@ def rrf_fuse(
         F.col("rrf_dec").cast("double").alias("rrf_score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def contrastive_hard_negatives(
+    emb,
+    *,
+    k: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """Deterministic HARD-negative mining for contrastive training:
+    (anchor_id, negative_id, neg_rank) — for every anchor, the k
+    most-confusable OTHER vectors drawn from its sign-LSH bucket
+    (same-bucket vectors share the anchor's coarse direction — the
+    standard "hard negatives live near the anchor" recipe, e.g. DPR /
+    SimCLR-style sampling, computed relationally instead of per-batch
+    at training time).
+
+    Determinism contract: candidate order inside a bucket is the md5
+    pair hash (anchor, candidate) — stable across runs, partitionings
+    and engines — so the sampled negative SET is reproducible, which is
+    what makes a training corpus auditable.  Shape: one bucket
+    equi-join (never all-pairs) + a per-anchor top-k window over bucket
+    rows; bucket population is 2^bits-bounded in expectation, and a
+    degenerate hot bucket is visible in the neg_rank distribution.
+    """
+    from pyspark.sql import Window
+
+    from inception_spark.functions.hashing import h28
+
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    planes = lsh_hyperplanes(dim, bits=bits)
+    withb = emb.select(
+        F.col(id_col).alias("_id"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("_bk"),
+    )
+    a = withb.select(
+        F.col("_id").alias("anchor_id"), F.col("_bk").alias("bk")
+    )
+    b = withb.select(
+        F.col("_id").alias("negative_id"), F.col("_bk").alias("bk")
+    )
+    pairs = a.join(b, "bk").filter(
+        F.col("anchor_id") != F.col("negative_id")
+    )
+    w = Window.partitionBy("anchor_id").orderBy("ph", "negative_id")
+    return (
+        pairs.withColumn(
+            "ph",
+            h28(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("anchor_id").cast("string"),
+                    F.col("negative_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )

@@ -177,3 +177,37 @@ def test_sq_rerank_degenerates_to_exact_and_broadcasts(emb):
     # tight prescan still recovers the true top hit
     tight = sq_topk_rerank(emb, list(qv), k=10, prescan=30).collect()
     assert tight[0]["vec_id"] == 0
+
+
+def test_contrastive_negatives_deterministic_and_bucketed(spark):
+    """Negatives come from the anchor's own bucket, never itself, at
+    most k each, and two runs (different partitionings) agree exactly."""
+    from inception_spark.operators.similarity import (
+        contrastive_hard_negatives,
+        lsh_bucket_expr,
+        lsh_hyperplanes,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    out = contrastive_hard_negatives(emb, k=3, bits=6)
+    rows = out.collect()
+    assert all(r.anchor_id != r.negative_id for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r.anchor_id, []).append(r.neg_rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per.values())
+    planes = lsh_hyperplanes(64, bits=6)
+    bk = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", lsh_bucket_expr(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    assert all(bk[r.anchor_id] == bk[r.negative_id] for r in rows)
+    again = sorted(map(tuple, contrastive_hard_negatives(
+        emb.repartition(13), k=3, bits=6).collect()))
+    assert again == sorted(map(tuple, rows))
