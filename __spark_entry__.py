@@ -2835,12 +2835,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     retire the clean_text/validate_text standing exception (green since
     r1 — the stalest signal in the registry), slots 11-27 are the
     round-7 session-1 additions (warc_record_stats through
-    streaming_hll_ndv), slots 28 onward are the round-7 session-2
-    additions (jaccard_prefix_pairs through kmv_user_overlap), and the
-    remaining slots to 50 draw from the round-4-green cohort in
-    deterministic name order; the cohort's remaining entries sit
-    immediately past the boundary as the round-8 head.  Everything
-    green in rounds 5-6 moves after them;
+    streaming_hll_ndv) and slots 28-50 the session-2 additions
+    (jaccard_prefix_pairs through contrastive_negatives) — the window
+    is EXACTLY full, so the whole round-4-green cohort sits past the
+    boundary in deterministic name order as the round-8 head.
+    Everything green in rounds 5-6 moves after them;
     the in-repo mini-driver (tests/test_entry.py) still verifies every
     oracle pair at sf0.001 regardless of position.  The dict literal
     below keeps its stable grouped-by-family order; ``_WINDOW_R7`` does
