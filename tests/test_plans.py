@@ -1001,3 +1001,54 @@ def test_rfm_scores_direction(spark, tmp_path):
            for r in user_rfm_segments(spark, str(tmp_path)).collect()}
     assert seg[1] == "333"
     assert seg[3].startswith("1")  # stalest user: worst recency score
+
+
+def test_r7_final_ops_plan_shapes(spark):
+    """Plan pins for the last round-7 additions."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.sketches import cumulative_ndv
+    from inception_spark.operators.similarity import (
+        contrastive_hard_negatives,
+    )
+    from inception_spark.plans.ivm import ivm_apply, ivm_state
+    from inception_spark.plans.relational import (
+        ab_conversion_z,
+        user_rfm_segments,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # cumulative NDV: the running max windows over the REGISTER table,
+    # partitioned by register — never an empty partitionBy
+    p = plan_of(cumulative_ndv(ev, time_col="ts", col="user_id"))
+    assert "windowspecdefinition(reg" in p
+    assert "windowspecdefinition()" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    # RFM: thresholds ride broadcasts; no sort-merge join anywhere
+    from inception_spark.plans import relational as RR
+
+    p = plan_of(user_rfm_segments(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+    # A/B: one conditional aggregate chain, partial map-side, no joins
+    p = plan_of(ab_conversion_z(spark, SF))
+    assert "partial_max" in p or "partial_sum" in p
+    assert "SortMergeJoin" not in p
+
+    # IVM: the merge aggregates partially before its exchange
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, g string, v double")
+    st = ivm_state(df, ["g"], "v")
+    d = df.withColumn("mult", F.lit(1))
+    p = plan_of(ivm_apply(st, d, ["g"], "v"))
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+    # contrastive negatives: bucket equi-join (no cartesian), window
+    # partitioned by anchor
+    p = plan_of(contrastive_hard_negatives(emb, k=2, bits=4))
+    assert "CartesianProduct" not in p
+    assert "windowspecdefinition(anchor_id" in p
