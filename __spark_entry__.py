@@ -551,6 +551,19 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_systematic_sample(spark, sf_dir):
+    """Madow systematic weight-proportional sampling in pure integer
+    arithmetic — the exp/log-free weighted sampler (libm-safe); docs
+    weighted by n_chars, one pick per 4096 weight units."""
+    from inception_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    return systematic_weighted_sample(
+        _docs(spark, sf_dir), weight_col="n_chars", step_weight=4096
+    )
+
+
 def _q_contrastive_negatives(spark, sf_dir):
     """Deterministic hard-negative mining from sign-LSH buckets: one
     bucket equi-join + per-anchor top-k by the md5 pair hash — the
@@ -2954,6 +2967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_conversion_z": _q_ab_conversion_z,
         "user_rfm_segments": _q_user_rfm_segments,
         "contrastive_negatives": _q_contrastive_negatives,
+        # tail entries (past the full r7 window — driver signal in r8,
+        # mini-driver verified now)
+        "systematic_sample": _q_systematic_sample,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -4072,6 +4088,20 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         ),
         "ab_conversion_z": R.ab_conversion_z_sql(),
         "user_rfm_segments": R.user_rfm_segments_sql(),
+        "systematic_sample": f"""
+WITH w AS (
+  SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS weight,
+         {H.h28_sql("'sws' || chr(31) || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents WHERE n_chars > 0),
+c AS (
+  SELECT key, weight,
+         SUM(weight) OVER (ORDER BY h, key
+                           ROWS UNBOUNDED PRECEDING) AS cw
+  FROM w)
+SELECT key, weight,
+       CAST(cw // 4096 - (cw - weight) // 4096 AS BIGINT) AS n_units
+FROM c WHERE cw // 4096 - (cw - weight) // 4096 > 0
+""",
         "contrastive_negatives": f"""
 WITH b AS (
   SELECT vec_id, {_bucket_sql('embedding')} AS bk FROM embeddings),

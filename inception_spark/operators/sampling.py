@@ -603,3 +603,58 @@ SELECT * EXCLUDE (_h),
        (cum_tokens - n_tokens) < {share} AS selected
 FROM c
 """
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    step_weight: int,
+    key_col: str = "doc_id",
+    salt: str = "sws",
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT exp/log randomness (Madow's
+    systematic sampling): rows are laid on a line in deterministic
+    hash order, each occupying its integer weight; one selection per
+    ``target_weight`` units of line keeps every row with probability
+    proportional to its weight — exactly, in pure integer arithmetic
+    (the Gumbel/A-ES samplers need exp/log, which no two libms round
+    identically; this needs only div).
+
+    A row is selected when its weight interval crosses a step boundary:
+    ``(cum_w div step) > (prev_cum_w div step)`` — one selection per
+    ``step_weight`` units of line, so ~total_weight/step_weight rows
+    come out.  Rows heavier than the step can cross several boundaries
+    — ``n_units`` reports the multiplicity (the with-replacement
+    convention).  The cumulative sum is ONE hash-ordered window; at
+    corpus scale run it per source/shard partition upstream (the global
+    window is the documented small-candidate-set convenience).
+
+    Output: (key, weight, n_units) for selected rows only.
+    """
+    from pyspark.sql import Window
+
+    from inception_spark.functions.hashing import h28
+
+    if step_weight <= 0:
+        raise ValueError("step_weight must be > 0")
+    step = int(step_weight)
+    w = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        h28(
+            F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string"))
+        ).alias("_h"),
+    ).filter(F.col("weight") > 0)
+    win = Window.orderBy("_h", "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.withColumn("cw", F.sum("weight").over(win))
+    sel = cum.withColumn(
+        "n_units",
+        (
+            F.expr(f"cw div {step}")
+            - F.expr(f"(cw - weight) div {step}")
+        ).cast("long"),
+    ).filter(F.col("n_units") > 0)
+    return sel.select("key", "weight", "n_units")

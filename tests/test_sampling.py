@@ -227,3 +227,39 @@ def test_token_budget_sample_uniform_split(spark):
             per[r["source"]] = per.get(r["source"], 0) + r["n_tokens"]
     assert set(per) == {"s0", "s1", "s2"}
     assert all(v == 20 for v in per.values())  # 2 docs × 10 tokens each
+
+
+def test_systematic_weighted_sample_proportionality(spark):
+    """Selection count ~ total_weight/step; a row heavier than the step
+    is ALWAYS selected with multiplicity >= 1; zero-weight rows never."""
+    rows = [(i, 10) for i in range(500)] + [(999, 50_000), (1000, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    from inception_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    out = {
+        r.key: r.n_units
+        for r in systematic_weighted_sample(
+            df, weight_col="w", step_weight=1000, key_col="doc_id"
+        ).collect()
+    }
+    total = 500 * 10 + 50_000
+    assert sum(out.values()) == total // 1000  # exact line-length count
+    assert out.get(999, 0) >= 50_000 // 1000  # heavy row multiplicity
+    assert 1000 not in out                     # zero weight never
+
+
+def test_systematic_weighted_sample_deterministic(spark):
+    from inception_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7) for i in range(300)], "doc_id long, w long"
+    )
+    a = sorted(map(tuple, systematic_weighted_sample(
+        df, weight_col="w", step_weight=50).collect()))
+    b = sorted(map(tuple, systematic_weighted_sample(
+        df.repartition(11), weight_col="w", step_weight=50).collect()))
+    assert a == b and len(a) > 0
