@@ -551,6 +551,12 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_term_keyness(spark, sf_dir):
+    """Chi-squared keyness of the 'de' slice vs the rest — G²'s
+    ln-free sibling, pure +,-,*,/ so ranking is engine-exact."""
+    return TA.term_keyness_chi2(_docs(spark, sf_dir), group_value="de")
+
+
 def _q_systematic_sample(spark, sf_dir):
     """Madow systematic weight-proportional sampling in pure integer
     arithmetic — the exp/log-free weighted sampler (libm-safe); docs
@@ -2970,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail entries (past the full r7 window — driver signal in r8,
         # mini-driver verified now)
         "systematic_sample": _q_systematic_sample,
+        "term_keyness": _q_term_keyness,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -4088,6 +4095,7 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         ),
         "ab_conversion_z": R.ab_conversion_z_sql(),
         "user_rfm_segments": R.user_rfm_segments_sql(),
+        "term_keyness": TA.term_keyness_chi2_sql(group_value="de"),
         "systematic_sample": f"""
 WITH w AS (
   SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS weight,

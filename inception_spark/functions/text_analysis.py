@@ -1790,3 +1790,138 @@ base AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM base GROUP BY doc_id
 """
+
+
+def term_keyness_chi2(
+    df,
+    *,
+    group_value: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+):
+    """KEYNESS: the k terms most distinctive of one corpus slice vs the
+    rest, ranked by the chi-squared statistic over the 2x2 term
+    contingency table — the standard corpus-linguistics "what words
+    characterize this sublanguage" query (Dunning's G² is the other
+    usual choice, but G² needs ln; chi² is +,-,*,/ only, so the ranking
+    is engine-exact with no libm anywhere).
+
+    chi² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over a=term-in-slice,
+    b=term-out, c/d the complements — all from ONE token-count
+    aggregate; enrichment (a·N vs (a+b)·(a+c)) restricts output to
+    OVER-represented terms.  Scores are 4-dp rounded; ties break on the
+    term for a total order.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from . import hashing as H
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(group_col) == group_value).alias("in_slice"),
+        F.explode(H.words(F.col(text_col))).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("in_slice"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(~F.col("in_slice"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "a",
+        "b",
+        (F.col("ta") - F.col("a")).alias("c"),
+        (F.col("tb") - F.col("b")).alias("d"),
+        (F.col("ta") + F.col("tb")).alias("n"),
+    )
+    # (ad-bc)^2 as an explicit self-product: pow(x, 2) is not
+    # guaranteed correctly rounded by every libm; x*x is exact IEEE
+    adbc = (
+        F.col("a").cast("double") * F.col("d").cast("double")
+        - F.col("b").cast("double") * F.col("c").cast("double")
+    )
+    num = F.col("n").cast("double") * (adbc * adbc)
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    enriched = (
+        F.col("a").cast("double") * F.col("n").cast("double")
+        > (F.col("a") + F.col("b")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+    )
+    scored = j.select(
+        "term",
+        "a",
+        "b",
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4
+        ).alias("chi2"),
+    ).filter(enriched)
+    w = Window.orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "term",
+            F.col("a").alias("n_in_slice"),
+            F.col("b").alias("n_rest"),
+            "chi2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def term_keyness_chi2_sql(
+    *, group_value: str, group_col: str = "lang", k: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`term_keyness_chi2`."""
+    from . import hashing as H
+
+    words = H.words_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT ({group_col} = '{group_value}') AS in_slice,
+         unnest({words}) AS term
+  FROM {table}),
+counts AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN in_slice THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN NOT in_slice THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM tok GROUP BY term),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM counts),
+j AS (
+  SELECT term, a, b, (ta - a) AS c, (tb - b) AS d, (ta + tb) AS n
+  FROM counts CROSS JOIN tot),
+scored AS (
+  SELECT term, a, b,
+    round(CASE WHEN (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                     * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) > 0
+          THEN CAST(n AS DOUBLE)
+               * ((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                  * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                     - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+               / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                  * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+          ELSE 0.0 END, 4) AS chi2
+  FROM j
+  WHERE CAST(a AS DOUBLE) * CAST(n AS DOUBLE)
+        > CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE))
+SELECT term, a AS n_in_slice, b AS n_rest, chi2,
+       CAST(row_number() OVER (ORDER BY chi2 DESC, term) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -99,3 +99,24 @@ def test_phrase_search_normalizes_the_phrase_too(spark):
     )
     got = phrase_search(df, "Fast, KEY order!").collect()
     assert [(r.doc_id, r.n_occurrences) for r in got] == [(1, 1)]
+
+
+def test_term_keyness_finds_planted_term(spark):
+    """A term appearing only in the slice dominates the keyness
+    ranking; terms uniform across slices never rank (not enriched)."""
+    rows = [
+        (1, "de", "der kernel sehr " * 10 + "common word"),
+        (2, "de", "der kernel auch " * 10 + "common word"),
+        (3, "en", "the other text " * 10 + "common word"),
+        (4, "en", "more other text " * 10 + "common word"),
+    ]
+    from inception_spark.functions.text_analysis import term_keyness_chi2
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = term_keyness_chi2(df, group_value="de", k=5).collect()
+    terms = [r.term for r in out]
+    assert out[0].rank == 1 and terms[0] in {"der", "kernel"}
+    assert "common" not in terms and "word" not in terms
+    # planted term stats: appears only in-slice
+    top = out[0]
+    assert top.n_rest == 0 and top.n_in_slice >= 20
