@@ -551,6 +551,14 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_event_transitions(spark, sf_dir):
+    return R.event_transition_matrix(spark, sf_dir)
+
+
+def _q_monthly_yoy(spark, sf_dir):
+    return R.monthly_revenue_yoy(spark, sf_dir)
+
+
 def _q_term_keyness(spark, sf_dir):
     """Chi-squared keyness of the 'de' slice vs the rest — G²'s
     ln-free sibling, pure +,-,*,/ so ranking is engine-exact."""
@@ -2977,6 +2985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mini-driver verified now)
         "systematic_sample": _q_systematic_sample,
         "term_keyness": _q_term_keyness,
+        "event_transitions": _q_event_transitions,
+        "monthly_yoy": _q_monthly_yoy,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -4096,6 +4106,8 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         "ab_conversion_z": R.ab_conversion_z_sql(),
         "user_rfm_segments": R.user_rfm_segments_sql(),
         "term_keyness": TA.term_keyness_chi2_sql(group_value="de"),
+        "event_transitions": R.EVENT_TRANSITIONS_SQL,
+        "monthly_yoy": R.MONTHLY_YOY_SQL,
         "systematic_sample": f"""
 WITH w AS (
   SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS weight,

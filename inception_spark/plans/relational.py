@@ -1948,3 +1948,105 @@ SELECT user_id, recency_secs, frequency, round(monetary, 2) AS monetary,
          || CAST(m_score AS VARCHAR) AS segment
 FROM scored
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: P(next event type | current)
+    from per-user event sequences — (from_type, to_type, n, p).
+
+    One lag window per user (ts + event_id tiebreak) and one count
+    aggregate; probabilities are exact integer ratios rounded at 6 dp,
+    so the matrix hash-matches across engines.  The per-user window is
+    the only ordered pass — no global sequence anywhere.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n) AS row_n FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       round(CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
+FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-same-month-last-year revenue growth: (month_ts,
+    revenue, prev_year_revenue, yoy_pct) — the reporting staple, as a
+    12-row-lag month-key self-join over the (tiny) monthly rollup, with
+    decimal-exact revenue sums and a NULL yoy for months without a
+    prior-year twin.  Growth is an exact-ratio double rounded at 4 dp;
+    everything after the one fact-table aggregate is month-cardinality
+    work."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_ts")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    cur = monthly.select(
+        "month_ts", F.col("rev_dec").alias("cur_dec")
+    )
+    prv = monthly.select(
+        F.add_months(F.col("month_ts"), 12).alias("month_ts"),
+        F.col("rev_dec").alias("prev_dec"),
+    )
+    out = cur.join(prv, "month_ts", "left")
+    return out.select(
+        "month_ts",
+        F.col("cur_dec").cast("double").alias("revenue"),
+        F.col("prev_dec").cast("double").alias("prev_year_revenue"),
+        F.round(
+            (F.col("cur_dec").cast("double") - F.col("prev_dec").cast("double"))
+            / F.col("prev_dec").cast("double")
+            * 100.0,
+            4,
+        ).alias("yoy_pct"),
+    )
+
+
+MONTHLY_YOY_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month_ts,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1)
+SELECT c.month_ts,
+       CAST(c.rev_dec AS DOUBLE) AS revenue,
+       CAST(p.rev_dec AS DOUBLE) AS prev_year_revenue,
+       round((CAST(c.rev_dec AS DOUBLE) - CAST(p.rev_dec AS DOUBLE))
+             / CAST(p.rev_dec AS DOUBLE) * 100.0, 4) AS yoy_pct
+FROM monthly c
+LEFT JOIN monthly p ON p.month_ts + INTERVAL 12 MONTH = c.month_ts
+"""

@@ -1052,3 +1052,43 @@ def test_r7_final_ops_plan_shapes(spark):
     p = plan_of(contrastive_hard_negatives(emb, k=2, bits=4))
     assert "CartesianProduct" not in p
     assert "windowspecdefinition(anchor_id" in p
+
+
+def test_event_transitions_rows_sum_to_one(spark):
+    from inception_spark.plans.relational import event_transition_matrix
+
+    out = event_transition_matrix(spark, SF).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r.from_type, 0.0)
+        rows[r.from_type] += r.p
+    # per-row probabilities sum to 1 within rounding slack
+    assert all(abs(v - 1.0) < 1e-4 for v in rows.values())
+
+
+def test_monthly_yoy_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    from inception_spark.plans.relational import monthly_revenue_yoy
+
+    rows = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 1],
+            "o_orderstatus": ["F"] * 3,
+            "o_totalprice": [100.0, 150.0, 80.0],
+            "o_orderdate": pd.to_datetime(
+                ["2023-03-05", "2024-03-20", "2024-04-01"]
+            ),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    rows["o_orderdate"] = rows["o_orderdate"].astype("datetime64[us]")
+    rows.to_parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        (r.month_ts.year, r.month_ts.month): (r.yoy_pct, r.prev_year_revenue)
+        for r in monthly_revenue_yoy(spark, str(tmp_path)).collect()
+    }
+    assert got[(2024, 3)] == (50.0, 100.0)
+    assert got[(2024, 4)] == (None, None)
+    assert got[(2023, 3)] == (None, None)
