@@ -551,6 +551,10 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_basket_rules(spark, sf_dir):
+    return R.basket_rules(spark, sf_dir, min_pair_orders=2, k=50)
+
+
 def _q_event_transitions(spark, sf_dir):
     return R.event_transition_matrix(spark, sf_dir)
 
@@ -2987,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_keyness": _q_term_keyness,
         "event_transitions": _q_event_transitions,
         "monthly_yoy": _q_monthly_yoy,
+        "basket_rules": _q_basket_rules,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -4108,6 +4113,7 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         "term_keyness": TA.term_keyness_chi2_sql(group_value="de"),
         "event_transitions": R.EVENT_TRANSITIONS_SQL,
         "monthly_yoy": R.MONTHLY_YOY_SQL,
+        "basket_rules": R.basket_rules_sql(min_pair_orders=2, k=50),
         "systematic_sample": f"""
 WITH w AS (
   SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS weight,

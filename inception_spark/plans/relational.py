@@ -2050,3 +2050,120 @@ SELECT c.month_ts,
 FROM monthly c
 LEFT JOIN monthly p ON p.month_ts + INTERVAL 12 MONTH = c.month_ts
 """
+
+
+def basket_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_pair_orders: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Market-basket association rules over order line items:
+    (antecedent, consequent, n_both, support, confidence, lift) — the
+    classic bought-together miner (Agrawal/Srikant's support-confidence
+    framework), kept to pairwise rules so everything is exact ratios.
+
+    support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) —
+    all integer-count ratios in identical double arithmetic, 6-dp
+    rounded, so the top-k by lift is engine-exact (ties break on the
+    rule).  Shape: per-order item pairs (bounded per-group quadratic —
+    baskets are small), one count aggregate, a broadcast item-frequency
+    join; ``min_pair_orders`` is the standard min-support prune that
+    keeps the rule table from memorizing noise.  Both rule directions
+    emit (confidence is asymmetric).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item_n = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_orders)
+    )
+    na = item_n.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    no = float(n_orders)
+    scored = (
+        pair_n.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.lit(no), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.lit(no)
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "antecedent", "consequent", "n_both", "support",
+            "confidence", "lift", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def basket_rules_sql(*, min_pair_orders: int = 2, k: int = 50) -> str:
+    """DuckDB twin of :func:`basket_rules`."""
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM li),
+item_n AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM li GROUP BY 1),
+pair_n AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair_orders}),
+scored AS (
+  SELECT p.antecedent, p.consequent, p.n_both,
+    round(CAST(p.n_both AS DOUBLE) / no.n, 6) AS support,
+    round(CAST(p.n_both AS DOUBLE) / CAST(na.n_item AS DOUBLE), 6)
+      AS confidence,
+    round(CAST(p.n_both AS DOUBLE) * no.n
+          / (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE)), 6)
+      AS lift
+  FROM pair_n p
+  JOIN item_n na ON na.l_partkey = p.antecedent
+  JOIN item_n nb ON nb.l_partkey = p.consequent
+  CROSS JOIN no)
+SELECT antecedent, consequent, n_both, support, confidence, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, antecedent, consequent)
+            AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""

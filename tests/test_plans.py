@@ -1092,3 +1092,31 @@ def test_monthly_yoy_hand_case(spark, tmp_path):
     assert got[(2024, 3)] == (50.0, 100.0)
     assert got[(2024, 4)] == (None, None)
     assert got[(2023, 3)] == (None, None)
+
+
+def test_basket_rules_hand_case(spark, tmp_path):
+    """lift/confidence/support on a constructed basket set: a perfectly
+    co-occurring pair tops the ranking with lift = n_orders/n_item."""
+    import pandas as pd
+
+    rows = []
+    # orders 1-4: {10, 20} always together; orders 5-8: {30} alone with
+    # rotating partners 40..70 (no repeat pair)
+    for o in range(1, 5):
+        rows += [(o, 10), (o, 20)]
+    for i, o in enumerate(range(5, 9)):
+        rows += [(o, 30), (o, 40 + 10 * i)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    pdf["l_suppkey"] = 1
+    pdf["l_quantity"] = 1.0
+    pdf.to_parquet(str(tmp_path / "lineitem.parquet"))
+    from inception_spark.plans.relational import basket_rules
+
+    out = basket_rules(spark, str(tmp_path), min_pair_orders=2, k=10).collect()
+    top = out[0]
+    assert {top.antecedent, top.consequent} == {10, 20}
+    assert top.n_both == 4 and top.confidence == 1.0
+    assert top.support == 0.5          # 4 of 8 orders
+    assert top.lift == 2.0             # 4*8/(4*4)
+    # singles with no repeated partner never form a rule
+    assert all({r.antecedent, r.consequent} == {10, 20} for r in out)
