@@ -352,14 +352,16 @@ FROM k
 def canonical_url_expr(col: Column) -> Column:
     u = F.regexp_replace(col, r"#.*$", "")                       # 1
     u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")  # 2
-    host = F.lower(F.substring_index(u, "/", 1))
-    host = F.regexp_replace(host, r"^www\.", "")                 # 3
-    return F.concat(host, _canon_pathq(u))
+    # the authority ends at the FIRST of '/', '?' or '#' — splitting on
+    # '/' alone would swallow a pathless query ('example.com?b=2') into
+    # the host and lowercase/skip-normalize the whole query string
+    auth = F.regexp_extract(u, r"^[^/?#]*", 0)
+    host = F.regexp_replace(F.lower(auth), r"^www\.", "")        # 3
+    pathq = F.substring(u, F.length(auth) + 1, F.length(u))
+    return F.concat(host, _canon_pathq(pathq))
 
 
-def _canon_pathq(u: Column) -> Column:
-    pathq = F.substring(u, F.length(F.substring_index(u, "/", 1)) + 1,
-                        F.length(u))
+def _canon_pathq(pathq: Column) -> Column:
     path = F.substring_index(pathq, "?", 1)
     has_q = F.instr(pathq, "?") > 0
     query = F.when(
@@ -386,11 +388,9 @@ def canonical_url_sql(url_expr: str) -> str:
     return f"""(
   WITH x AS (SELECT {u} AS u),
   parts AS (
-    SELECT regexp_replace(lower(split_part(u, '/', 1)), '^www\\.', '')
-             AS host,
-           CASE WHEN position('/' IN u) > 0
-                THEN substr(u, length(split_part(u, '/', 1)) + 1)
-                ELSE '' END AS pathq
+    SELECT regexp_replace(lower(regexp_extract(u, '^[^/?#]*')),
+                          '^www\\.', '') AS host,
+           substr(u, length(regexp_extract(u, '^[^/?#]*')) + 1) AS pathq
     FROM x),
   pq AS (
     SELECT host, split_part(pathq, '?', 1) AS path,

@@ -70,9 +70,13 @@ def decode_qoi(payload: bytes) -> np.ndarray:
         byte = data[pos]
         pos += 1
         if byte == _OP_RGB:
+            if pos + 3 > end:  # operands must not eat the end marker
+                raise QoiFormatError("truncated QOI chunk stream")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif byte == _OP_RGBA:
+            if pos + 4 > end:
+                raise QoiFormatError("truncated QOI chunk stream")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         else:
@@ -85,6 +89,8 @@ def decode_qoi(payload: bytes) -> np.ndarray:
                 b = (b + (byte & 0x03) - 2) & 0xFF
             elif op == _OP_LUMA:
                 dg = (byte & 0x3F) - 32
+                if pos + 1 > end:
+                    raise QoiFormatError("truncated QOI chunk stream")
                 nxt = data[pos]
                 pos += 1
                 r = (r + dg + ((nxt >> 4) & 0x0F) - 8) & 0xFF

@@ -76,9 +76,12 @@ def ols_fit(
         )
 
     det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-    b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
-    b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
-    b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    # singular design (constant feature, n < 3, collinear x1/x2) →
+    # NULL betas, never ±Inf/NaN — mirrors ols_fit_by's guard
+    safe = F.when(det != 0, det)
+    b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / safe
+    b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / safe
+    b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / safe
     betas = m.select(
         F.col("n").cast("long").alias("n"),
         F.round(b0, 6).alias("beta0"),

@@ -2123,11 +2123,24 @@ def basket_rules(
             ).alias("lift"),
         )
     )
+    # the global top-k can contain at most k rules from any one
+    # antecedent, so a per-antecedent top-k (distributed window, same
+    # ordering) is a result-invariant pre-prune: the final global
+    # row_number sees <= k rows per antecedent instead of the whole
+    # item-pair-cardinality rule table on one reducer
+    wa = Window.partitionBy("antecedent").orderBy(
+        F.desc("lift"), F.asc("consequent")
+    )
+    pruned = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
     w = Window.orderBy(
         F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "antecedent", "consequent", "n_both", "support",

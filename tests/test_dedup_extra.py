@@ -715,3 +715,46 @@ def test_containment_exact_below_finds_tiny_in_huge(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_canonical_url_pathless_query_and_engine_parity(spark):
+    """ADVICE r7: the authority must end at the FIRST of '/', '?', '#'.
+    A pathless query ('example.com?B=2&a=1') previously lowercased the
+    whole query as part of the host and skipped param normalization.
+    Value pins + Spark == DuckDB on every adversarial shape."""
+    import duckdb
+
+    from inception_spark.functions.cleaning import (
+        canonical_url_expr,
+        canonical_url_sql,
+    )
+
+    urls = [
+        "https://Example.com?B=2&a=1",          # pathless query
+        "http://example.com/?a=1&B=2",          # slash variant, reordered
+        "https://WWW.Example.com?utm_x=1&B=2&a=1",  # utm in pathless query
+        "example.com?a=1&B=2",                  # schemeless
+        "https://example.com?B=2&a=1#frag",     # fragment after query
+        "https://example.com",                  # bare host
+        "https://example.com/p?Case=Q",         # query case preserved
+        "https://example.com:8080/p",           # port stays in authority
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r[0]
+        for r in df.select(canonical_url_expr(F.col("url"))).collect()
+    ]
+    # case-distinct pathless queries collapse to ONE key with the query
+    # case preserved and params sorted/stripped
+    assert got[0] == got[1] == got[2] == got[3] == got[4] \
+        == "example.com?B=2&a=1"
+    assert got[5] == "example.com"
+    assert got[6] == "example.com/p?Case=Q"
+    assert got[7] == "example.com:8080/p"
+
+    con = duckdb.connect()
+    for u, want in zip(urls, got):
+        o = con.execute(
+            f"SELECT {canonical_url_sql('?')}", [u]
+        ).fetchone()[0]
+        assert o == want, f"{u}: spark={want!r} duckdb={o!r}"

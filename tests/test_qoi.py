@@ -116,3 +116,15 @@ def test_cross_codec_same_pixels_as_png():
     assert np.array_equal(
         decode_image(encode_qoi(img)), decode_image(encode_png(img))
     )
+
+
+def test_final_op_missing_operands_refuses():
+    """ADVICE r7: an op byte whose operands would run into the 8-byte
+    end marker must raise, not decode marker bytes as pixel data."""
+    head = b"qoif" + struct.pack(">II", 2, 1) + bytes([4, 0])
+    end = b"\x00" * 7 + b"\x01"
+    rgba = bytes([0xFF, 1, 2, 3, 4])
+    for dangling in (b"\xfe", b"\xfe\x10", b"\xff\x01\x02\x03",
+                     bytes([0x80 | 5])):  # RGB / RGBA / LUMA sans operands
+        with pytest.raises(QoiFormatError, match="truncated QOI chunk"):
+            decode_qoi(head + rgba + dangling + end)

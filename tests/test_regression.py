@@ -67,3 +67,17 @@ def test_ols_fit_by_groups_and_singular(spark):
     ).collect()
     assert (single["beta0"], single["beta1"], single["beta2"]) == (
         got["a"]["beta0"], got["a"]["beta1"], got["a"]["beta2"])
+
+
+def test_ols_fit_ungrouped_singular_yields_null(spark):
+    """ADVICE r7: ungrouped ols_fit on a singular design (constant x1)
+    returns NULL betas like ols_fit_by, never ±Inf/NaN."""
+    from inception_spark.operators.regression import ols_fit
+
+    df = spark.createDataFrame(
+        [(float(i), 1.0, float(i)) for i in range(10)],
+        "y double, x1 double, x2 double",
+    )
+    [row] = ols_fit(df, y_col="y", x1_col="x1", x2_col="x2").collect()
+    assert row["beta0"] is None and row["beta1"] is None
+    assert row["beta2"] is None and row["r2"] is None
