@@ -130,6 +130,9 @@ HEADLINE = [
     "containment_pairs",
     "events_resample",
     "fs_linkage",
+    # r8: integer power-iteration PCA — covariance + map-only literal
+    # projection (the fit's distributed cost is the covariance pass)
+    "pca_project_top1",
 ]
 
 

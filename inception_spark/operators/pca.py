@@ -239,3 +239,212 @@ def pca_project(
             yield pdf
 
     return df.mapInPandas(proj, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-expressible top component: exact integer power iteration
+# ---------------------------------------------------------------------------
+#
+# numpy's eigh (pca_fit) cannot be replayed by a SQL oracle.  This is
+# the ORACLE twin: T power-iteration steps over the fixed-point exact
+# covariance, carried out ENTIRELY in integer arithmetic so both
+# engines produce bit-identical vectors:
+#
+#   C6[i][j] = round(cov * 1e6)          -- exact: cov is 6-dp rounded
+#   v_0      = [scale] * d
+#   w        = C6 @ v                    -- bigint products, exact sums
+#   v'       = sign(w) * (|w| * scale // max|w|)   -- trunc-div on abs
+#                                        -- (Python // floors, DuckDB //
+#                                        -- truncates: they agree only
+#                                        -- on non-negative operands)
+#   sign fix: the coordinate of largest |v| (ties -> lowest dim) ends
+#   positive.
+#
+# The iterate converges to the top eigenvector geometrically in the
+# spectral gap (pinned against numpy eigh on a gapped fixture in
+# tests/test_pca.py); on a near-isotropic corpus it is still a
+# well-defined deterministic operator (the driver checks parity, not
+# spectral optimality).  Spark-side the iteration is DRIVER-side over
+# the collected d(d+1)/2 covariance rows (control-plane, the kmeans
+# precedent); the corpus-sized work — covariance + projection — stays
+# distributed.
+
+def _power_iterate(
+    cov_rows, dim: int, *, n_iter: int = 16, scale: int = 10**9
+) -> list:
+    """(i, j, cov) upper-triangle rows -> integer component vector
+    (scale-normalized, max |coord| == scale, sign-fixed)."""
+    c6 = [[0] * dim for _ in range(dim)]
+    for i, j, cov in cov_rows:
+        q = int(round(cov * 1e6))
+        c6[i][j] = q
+        c6[j][i] = q
+    v = [scale] * dim
+    for _ in range(n_iter):
+        w = [sum(c6[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError("pca_power: zero covariance matrix")
+        v = [
+            (abs(x) * scale // m) * (1 if x >= 0 else -1) for x in w
+        ]
+    bi = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[bi] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def pca_power_component(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 16,
+    scale: int = 10**9,
+) -> DataFrame:
+    """(dim, loading): the sign-fixed T-step power iterate of the exact
+    fixed-point covariance.  loading = v/scale emitted WITHOUT further
+    rounding — v/1e9 is one IEEE division of exact integers, identical
+    in every engine (a 6-dp re-round would sit on half-ulp ties where
+    Python's bankers rounding and SQL round() disagree)."""
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    cov_rows = [
+        (r["i"], r["j"], r["cov"])
+        for r in embedding_covariance(
+            df, id_col=id_col, vec_col=vec_col
+        ).collect()
+    ]
+    v = _power_iterate(cov_rows, dim, n_iter=n_iter, scale=scale)
+    return spark.createDataFrame(
+        [(i, x / scale) for i, x in enumerate(v)],
+        "dim long, loading double",
+    )
+
+
+def pca_power_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 16,
+    scale: int = 10**9,
+) -> DataFrame:
+    """(id, pc1): project every vector onto the power-iteration
+    component — a LITERAL unrolled fixed-point dot product (the kmeans
+    literal-centroid pattern): per-term round(x_j * v_j/scale * 1e9)
+    -> int64, summed exactly, one division out.  Pure whole-stage
+    codegen projection: no shuffle, no explode amplification, no UDF;
+    at 100 TB this is a map-only pass.  sum9/1e9 stays < 2^53 so the
+    final division is one exact-rounded IEEE op, no rounding step."""
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    cov_rows = [
+        (r["i"], r["j"], r["cov"])
+        for r in embedding_covariance(
+            df, id_col=id_col, vec_col=vec_col
+        ).collect()
+    ]
+    v = _power_iterate(cov_rows, dim, n_iter=n_iter, scale=scale)
+    terms = [
+        F.round(
+            F.col(vec_col)[j].cast("double")
+            * F.lit(v[j] / scale)
+            * F.lit(1e9),
+            0,
+        ).cast("long")
+        for j in range(dim)
+    ]
+    sum9 = terms[0]
+    for t in terms[1:]:
+        sum9 = sum9 + t
+    return df.select(
+        F.col(id_col),
+        (sum9.cast("double") / F.lit(1e9)).alias("pc1"),
+    )
+
+
+def _power_cte_sql(
+    table: str, *, vec_col: str, dim: int, n_iter: int, scale: int
+) -> str:
+    """The shared CTE chain: covq (exact covariance) -> unrolled
+    integer power steps -> comp(dim, v).  AS MATERIALIZED throughout —
+    DuckDB inlines plain CTEs per reference and an unrolled iteration
+    explodes combinatorially otherwise."""
+    cov_sql = embedding_covariance_sql(table, vec_col=vec_col, dim=dim)
+    steps = [
+        f"""v0 AS MATERIALIZED (
+  SELECT i AS dim, CAST({scale} AS BIGINT) AS v
+  FROM (SELECT DISTINCT i FROM covq))"""
+    ]
+    for t in range(1, n_iter + 1):
+        steps.append(f"""w{t} AS MATERIALIZED (
+  SELECT c.i AS dim, CAST(SUM(c.c6 * v.v) AS BIGINT) AS w
+  FROM cmat c JOIN v{t - 1} v ON v.dim = c.j GROUP BY c.i)""")
+        steps.append(f"""v{t} AS MATERIALIZED (
+  SELECT dim, CAST(CASE WHEN w < 0
+    THEN -((CAST(-w AS HUGEINT) * {scale}) // m)
+    ELSE (CAST(w AS HUGEINT) * {scale}) // m END AS BIGINT) AS v
+  FROM w{t}, (SELECT MAX(abs(w)) AS m FROM w{t}))""")
+    return f"""covq AS MATERIALIZED ({cov_sql}),
+cmat AS MATERIALIZED (
+  SELECT i, j, CAST(round(cov * 1e6, 0) AS BIGINT) AS c6 FROM covq
+  UNION ALL
+  SELECT j, i, CAST(round(cov * 1e6, 0) AS BIGINT) FROM covq
+  WHERE i <> j),
+{','.join(steps)},
+sgn AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT v FROM v{n_iter}
+                    ORDER BY abs(v) DESC, dim ASC LIMIT 1) < 0
+         THEN -1 ELSE 1 END AS sg),
+comp AS MATERIALIZED (SELECT dim, v * sg AS v FROM v{n_iter}, sgn)"""
+
+
+def pca_power_component_sql(
+    table: str = "embeddings",
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 16,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB twin of :func:`pca_power_component`."""
+    ctes = _power_cte_sql(
+        table, vec_col=vec_col, dim=dim, n_iter=n_iter, scale=scale
+    )
+    return f"""
+WITH {ctes}
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(v AS DOUBLE) / {scale} AS loading
+FROM comp
+"""
+
+
+def pca_power_project_sql(
+    table: str = "embeddings",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 16,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB twin of :func:`pca_power_project` — same per-term
+    fixed-point rounding, same exact integer sum, same single final
+    division."""
+    ctes = _power_cte_sql(
+        table, vec_col=vec_col, dim=dim, n_iter=n_iter, scale=scale
+    )
+    return f"""
+WITH {ctes},
+x AS (
+  SELECT {id_col} AS rid, u.i - 1 AS dim,
+         CAST({vec_col}[u.i] AS DOUBLE) AS xv
+  FROM {table}, LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) u)
+SELECT x.rid AS {id_col},
+       CAST(CAST(SUM(CAST(round(
+           x.xv * (CAST(comp.v AS DOUBLE) / {scale}) * 1e9, 0)
+         AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS pc1
+FROM x JOIN comp ON comp.dim = x.dim
+GROUP BY x.rid
+"""

@@ -408,3 +408,70 @@ def streaming_url_dedup(
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["canon_url"])
     )
+
+
+def run_stream_ivm(
+    spark: SparkSession,
+    init_state: DataFrame,
+    deltas: DataFrame,
+    keys: list,
+    value_col: str,
+    *,
+    n_batches: int = 4,
+    work_dir: str | None = None,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Incremental view maintenance IN STREAM: delta rows (mult ∈
+    {+1,-1}) arrive as ``n_batches`` micro-batches (maxFilesPerTrigger=1
+    over an n-file source) and each ``foreachBatch`` folds ONE
+    delta-sized :func:`~inception_spark.plans.ivm.ivm_apply` into a
+    versioned parquet state table — history is never re-read, the fold
+    cost is O(batch + |state|) per batch regardless of how much history
+    the state summarizes.  This is the live form of the batch IVM
+    identity: after the stream drains, the final state version must
+    equal recomputing the rollup over the fully-updated base, which is
+    exactly what the driver oracle computes.
+
+    The state is genuinely stateful ACROSS batches (unlike the sketch
+    quartet's stateless per-batch deltas merged on read): batch k reads
+    state v_k and writes v_{k+1}; an over-retraction in ANY batch
+    raises through ivm_apply's in-plan guard.  Returns the final state
+    (keys..., s, n)."""
+    import tempfile
+
+    from inception_spark.plans.ivm import ivm_apply
+
+    work = work_dir or tempfile.mkdtemp(prefix="inception_ivm_stream_")
+    src, st, ck = f"{work}/src", f"{work}/state", f"{work}/ck"
+    # n source files + maxFilesPerTrigger=1 → n real micro-batches
+    deltas.repartition(n_batches).write.mode("overwrite").parquet(src)
+    init_state.write.mode("overwrite").parquet(f"{st}/v0")
+    version = {"n": 0}
+
+    def fold(bdf, _eid):
+        cur = spark.read.parquet(f"{st}/v{version['n']}")
+        nxt = ivm_apply(cur, bdf, keys, value_col)
+        nxt.write.mode("overwrite").parquet(f"{st}/v{version['n'] + 1}")
+        version["n"] += 1
+
+    stream = (
+        spark.readStream.schema(deltas.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"IVM stream did not drain within {timeout_sec}s"
+        )
+    assert version["n"] >= 2, (
+        f"expected multiple micro-batches, got {version['n']} — the "
+        "maintenance identity must hold ACROSS folds, not in one"
+    )
+    return spark.read.parquet(f"{st}/v{version['n']}")
