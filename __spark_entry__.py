@@ -1080,6 +1080,86 @@ def _q_pca_project_top1(spark, sf_dir):
     )
 
 
+def _q_substring_dup_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-substring spans (Lee et al. 2022):
+    cross-doc verbatim 8-gram regions merged to maximal per-doc spans.
+    The word-bag fixture shares no long runs, so boilerplate is
+    injected identically in both engines: doc_id%3 docs get a leading
+    legal footer, doc_id%4 docs a trailing newsletter plug — %12 docs
+    exercise the multi-island merge (two disjoint spans)."""
+    docs = _docs(spark, sf_dir)
+    amped = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(_BOILER_A + " ")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + _BOILER_B)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.substring_dup_spans(amped, ngram=8)
+
+
+_BOILER_A = (
+    "all rights reserved this page is provided without any warranty "
+    "of fitness"
+)
+_BOILER_B = (
+    "click here to subscribe to our newsletter for updates and offers "
+    "today"
+)
+
+
+def _q_streaming_embedding_covariance(spark, sf_dir):
+    """Covariance maintenance IN STREAM: each micro-batch reduces to
+    its exact fixed-point partial counter tables (marginal + pair
+    sums, decimal/long) via the SAME _cov_marg/_cov_pairs pieces the
+    batch operator composes; partials append and merge on read.  The
+    decimal re-sum is exact under any regrouping of rows into batches,
+    so the live covariance is bit-identical to batch
+    embedding_covariance — which is what the oracle computes.  Extends
+    the streaming mergeable-state family (sketch quartet, IVM) to a
+    second-moment statistic."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def partial(bdf):
+        marg = PCA._cov_marg(bdf).select(
+            F.lit("m").alias("kind"),
+            "i",
+            F.lit(-1).alias("j"),
+            F.col("sx").alias("v"),
+            "n",
+        )
+        pairs = PCA._cov_pairs(bdf).select(
+            F.lit("p").alias("kind"),
+            "i",
+            "j",
+            F.col("sxy").alias("v"),
+            F.lit(0).cast("long").alias("n"),
+        )
+        return marg.unionByName(pairs)
+
+    parts = run_stream_batch_partials(spark, emb, partial)
+    marg, pairs = PCA.cov_merge(
+        parts.filter("kind = 'm'").select(
+            "i", F.col("v").alias("sx"), "n"
+        ),
+        parts.filter("kind = 'p'").select(
+            "i", "j", F.col("v").alias("sxy")
+        ),
+    )
+    return PCA._cov_finalize(marg, pairs)
+
+
 def _q_streaming_ivm_rollup(spark, sf_dir):
     """IVM maintenance IN STREAM (VERDICT r7 ask 4): the ivm_rollup
     base/delta split, but the insert + retraction deltas arrive as ≥2
@@ -3079,6 +3159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project_top1": _q_pca_project_top1,
         # r8: the IVM counting algorithm running live across micro-batches
         "streaming_ivm_rollup": _q_streaming_ivm_rollup,
+        # r8 (past the window — r9 head): ExactSubstr spans + live
+        # second-moment maintenance
+        "substring_dup_spans": _q_substring_dup_spans,
+        "streaming_embedding_covariance": _q_streaming_embedding_covariance,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -3376,6 +3460,10 @@ _WINDOW_R8 = [
     "temperature_mix",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    # then the late-r8 additions (mini-driver-verified now, driver
+    # signal with the r9 rotation)
+    "substring_dup_spans",
+    "streaming_embedding_covariance",
 ]
 
 
@@ -4086,6 +4174,17 @@ FROM agg
         # as unrolled MATERIALIZED CTEs over its own covariance
         "pca_top_component": PCA.pca_power_component_sql(),
         "pca_project_top1": PCA.pca_power_project_sql(),
+        # r8: boilerplate injected in-SQL exactly as the Spark entry does
+        "substring_dup_spans": D.substring_dup_spans_sql(
+            f"""(SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_A} ' ELSE '' END
+       || text ||
+       CASE WHEN doc_id % 4 = 0 THEN ' {_BOILER_B}' ELSE '' END AS text
+     FROM documents)""",
+            ngram=8,
+        ),
+        # r8: live merge of exact partials == the batch covariance
+        "streaming_embedding_covariance": PCA.embedding_covariance_sql(),
         # r8: the live IVM fold must equal the batch recompute — the
         # exact identity the batch ivm_rollup oracle states
         "streaming_ivm_rollup": """

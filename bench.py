@@ -133,6 +133,9 @@ HEADLINE = [
     # r8: integer power-iteration PCA — covariance + map-only literal
     # projection (the fit's distributed cost is the covariance pass)
     "pca_project_top1",
+    # r8: ExactSubstr repeated-substring spans (explode + df-agg +
+    # semi-join + per-doc islands; no pair joins anywhere)
+    "substring_dup_spans",
 ]
 
 

@@ -1923,3 +1923,134 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring spans (the ExactSubstr family)
+# ---------------------------------------------------------------------------
+
+def substring_dup_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring regions (the ExactSubstr dedup family —
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, which removes 50-token substrings that
+    recur verbatim; this is the word-level Spark form): every
+    ``ngram``-word window that appears verbatim in >= ``min_docs``
+    DISTINCT documents marks a duplicated region, and overlapping or
+    exactly-adjacent regions merge into maximal spans per document
+    (gaps-and-islands).  Returns ``(doc_id, span_start, span_end,
+    n_grams)`` — word offsets, ``span_end`` exclusive, one row per
+    maximal span.
+
+    The suffix-array machinery of the paper doesn't distribute; the
+    equivalent relational shape does: one posexplode (|words| rows per
+    doc, regex runs once), a gram document-frequency aggregate
+    (map-side combine collapses repeats before the shuffle), a
+    semi-join back on the gram string, and a per-doc ordered window.
+    No all-pairs step anywhere — a boilerplate gram in every document
+    costs its true row count, never a quadratic blowup, and the per-doc
+    island window partitions on doc_id (no global sort).
+    """
+    from pyspark.sql import Window
+
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(H.words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [
+        F.lead("w", i).over(win) for i in range(1, ngram)
+    ]
+    grams = (
+        w.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("g"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    rep = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup = grams.join(rep, "g", "left_semi")
+    # islands: intervals [pos, pos+ngram) in per-doc pos order merge
+    # when they overlap or touch; same-length intervals make the
+    # running max end simply lag(pos) + ngram
+    brk = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(win).isNull()
+            | (F.col("pos") > F.lag("pos").over(win) + ngram),
+            1,
+        )
+        .otherwise(0)
+        .alias("f"),
+    )
+    isl = brk.select(
+        "doc_id",
+        "pos",
+        F.sum("f").over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + ngram).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def substring_dup_spans_sql(
+    docsrc: str = "documents",
+    *,
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`substring_dup_spans` (1-based list slices
+    mapped to the same 0-based word offsets)."""
+    ws = H.words_sql("text")
+    return f"""
+WITH wl AS (SELECT doc_id, {ws} AS ws FROM {docsrc}),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(ws[u.i:u.i + {ngram - 1}], ' ') AS gr
+  FROM wl, LATERAL (
+    SELECT unnest(range(1, len(ws) - {ngram - 1} + 1)) AS i) u),
+rep AS (
+  SELECT gr FROM g GROUP BY gr
+  HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gr)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {ngram}
+              THEN 1 ELSE 0 END AS f
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {ngram} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl
+GROUP BY doc_id, island
+"""

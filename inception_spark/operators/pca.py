@@ -32,7 +32,7 @@ projection back over the corpus is a broadcast matmul per Arrow batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 def embedding_covariance(
     df: DataFrame,
@@ -49,7 +49,31 @@ def embedding_covariance(
     1e-9 resolution, then summed exactly (per-partition longs, decimal
     re-sum) — integer arithmetic from there on, so partitioning cannot
     move the answer.
+
+    Composed from :func:`_cov_marg` + :func:`_cov_pairs` +
+    :func:`_cov_finalize`; the partials are EXACT mergeable counter
+    tables (decimal sums), so the same three pieces also run
+    incrementally / in-stream (streaming_embedding_covariance entry)
+    with bit-identical results — any regrouping of rows into batches
+    re-sums to the same integers.
     """
+    return _cov_finalize(
+        _cov_marg(df, vec_col=vec_col), _cov_pairs(df, vec_col=vec_col)
+    )
+
+
+_DEC38 = "decimal(38,0)"
+
+
+def _s9(c: Column) -> Column:
+    """float64 → fixed-point int64 at 1e-9 resolution (the exactness
+    boundary: everything after this is integer arithmetic)."""
+    return F.round(c * F.lit(1e9), 0).cast("long")
+
+
+def _cov_pairs(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """(i, j, sxy DECIMAL(38,0)) upper-triangle fixed-point product
+    sums — a mergeable counter table."""
     # upper-triangle pairs by DOUBLE EXPLODE, not a self-join: explode
     # dim i carrying the vector along, then explode the tail slice for
     # j >= i.  Zero shuffles before the 2080-group partial aggregate —
@@ -73,32 +97,54 @@ def embedding_covariance(
     # below that) — level 2 re-sums the per-partition subtotals as
     # DECIMAL(38,0), so the grand total never overflows at any corpus
     # size and stays exact integer arithmetic throughout.
-    s9 = lambda c: F.round(c * F.lit(1e9), 0).cast("long")  # noqa: E731
-    dec = "decimal(38,0)"
+    pairs = ex.select(
+        F.spark_partition_id().alias("_pid"),
+        F.col("i"),
+        (F.col("i") + F.col("jo")).alias("j"),
+        _s9(F.col("xi") * F.col("xj").cast("double")).alias("xy9"),
+    )
+    part = pairs.groupBy("_pid", "i", "j").agg(F.sum("xy9").alias("pxy"))
+    return part.groupBy("i", "j").agg(
+        F.sum(F.col("pxy").cast(_DEC38)).alias("sxy")
+    )
+
+
+def _cov_marg(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """(i, sx DECIMAL(38,0), n LONG) fixed-point marginal sums — a
+    mergeable counter table."""
     # marginal sums S_x(i) and n don't depend on j — one d-group pass
     # over n*d rows instead of repeating them across all d^2/2 pairs
     marg1 = df.select(
         F.spark_partition_id().alias("_pid"),
         F.posexplode(F.col(vec_col)).alias("i", "xi"),
     ).select(
-        "_pid", "i", s9(F.col("xi").cast("double")).alias("x9")
+        "_pid", "i", _s9(F.col("xi").cast("double")).alias("x9")
     ).groupBy("_pid", "i").agg(
         F.sum("x9").alias("px"), F.count(F.lit(1)).alias("pn")
     )
-    marg = marg1.groupBy("i").agg(
-        F.sum(F.col("px").cast(dec)).alias("sx"),
+    return marg1.groupBy("i").agg(
+        F.sum(F.col("px").cast(_DEC38)).alias("sx"),
         F.sum("pn").alias("n"),
     )
-    pairs = ex.select(
-        F.spark_partition_id().alias("_pid"),
-        F.col("i"),
-        (F.col("i") + F.col("jo")).alias("j"),
-        s9(F.col("xi") * F.col("xj").cast("double")).alias("xy9"),
+
+
+def cov_merge(marg_parts: DataFrame, pair_parts: DataFrame):
+    """Merge appended partial tables (any number of batches) back into
+    one (marg, pairs) — decimal/long sums, so the merge is exact and
+    order-independent: partials(A ∪ B) ≡ merge(partials(A),
+    partials(B))."""
+    marg = marg_parts.groupBy("i").agg(
+        F.sum(F.col("sx").cast(_DEC38)).alias("sx"),
+        F.sum("n").cast("long").alias("n"),
     )
-    part = pairs.groupBy("_pid", "i", "j").agg(F.sum("xy9").alias("pxy"))
-    agg = part.groupBy("i", "j").agg(
-        F.sum(F.col("pxy").cast(dec)).alias("sxy")
+    pairs = pair_parts.groupBy("i", "j").agg(
+        F.sum(F.col("sxy").cast(_DEC38)).alias("sxy")
     )
+    return marg, pairs
+
+
+def _cov_finalize(marg: DataFrame, agg: DataFrame) -> DataFrame:
+    """(marg, pairs) counter tables → (i, j, cov) 6-dp entries."""
     e9 = F.lit(1e9)
     mi = marg.select(
         F.col("i").alias("_mi"), F.col("sx").alias("sx"), F.col("n").alias("n")

@@ -475,3 +475,58 @@ def run_stream_ivm(
         "maintenance identity must hold ACROSS folds, not in one"
     )
     return spark.read.parquet(f"{st}/v{version['n']}")
+
+
+def run_stream_batch_partials(
+    spark: SparkSession,
+    staged: DataFrame,
+    batch_partial,
+    *,
+    n_batches: int = 4,
+    work_dir: str | None = None,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Mergeable-partial maintenance IN STREAM: each micro-batch is
+    reduced by ``batch_partial`` (a plain BATCH DataFrame → its exact
+    partial-aggregate rows — decimal/long counter tables) inside
+    ``foreachBatch`` and APPENDED to one parquet dir; the caller merges
+    the union on read.  This is the general form behind the streaming
+    sketch quartet: whenever an aggregate's partials re-sum exactly
+    (fixed-point sums, counts, max-registers), any regrouping of rows
+    into batches reproduces the batch answer bit-for-bit — state stays
+    counter-table sized, never a value stream.  Returns the unioned
+    partial rows."""
+    import tempfile
+
+    work = work_dir or tempfile.mkdtemp(prefix="inception_partials_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    staged.repartition(n_batches).write.mode("overwrite").parquet(src)
+    seen = {"n": 0}
+
+    def fold(bdf, eid):
+        seen["n"] += 1
+        batch_partial(bdf).write.mode("overwrite").parquet(
+            f"{out}/batch={eid}"
+        )
+
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"partials stream did not drain within {timeout_sec}s"
+        )
+    assert seen["n"] >= 2, (
+        f"expected multiple micro-batches, got {seen['n']} — the merge "
+        "identity must hold ACROSS batch partials, not within one"
+    )
+    return spark.read.parquet(out).drop("batch")

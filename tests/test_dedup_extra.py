@@ -758,3 +758,49 @@ def test_canonical_url_pathless_query_and_engine_parity(spark):
             f"SELECT {canonical_url_sql('?')}", [u]
         ).fetchone()[0]
         assert o == want, f"{u}: spark={want!r} duckdb={o!r}"
+
+
+def test_substring_dup_spans_semantics(spark):
+    """ExactSubstr spans: shared 8-gram regions found with exact word
+    offsets; overlapping self-repeats merge; two disjoint shared
+    regions stay two islands; unrelated docs emit nothing."""
+    from inception_spark.operators.dedup import substring_dup_spans
+
+    boiler = "all rights reserved provided without any warranty of fitness"
+    rows = [
+        (1, "unique alpha words here " + boiler + " trailing bits"),
+        (2, "other opening text " + boiler + " and more stuff"),
+        (3, "totally unrelated content with no shared region at all"),
+        (4, boiler + " " + boiler),                       # merged overlap
+        (5, "x y " + boiler + " z z z z q w e r t y u i " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in substring_dup_spans(df, ngram=8).collect()
+    )
+    assert got == [
+        (1, 4, 13, 2),     # 9-word boiler = two 8-gram starts
+        (2, 3, 12, 2),
+        (4, 0, 18, 4),     # adjacent repeats merge into ONE span
+        (5, 2, 11, 2),     # …but two separated regions stay TWO islands
+        (5, 23, 32, 2),
+    ]
+
+
+def test_substring_dup_spans_plan_and_empty(spark):
+    from inception_spark.operators.dedup import substring_dup_spans
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = substring_dup_spans(empty)
+    assert out.columns == ["doc_id", "span_start", "span_end", "n_grams"]
+    assert out.count() == 0
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = (
+        substring_dup_spans(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p  # dup filter is a semi-join, never a rescan
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

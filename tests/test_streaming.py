@@ -424,3 +424,80 @@ def test_processing_time_timeout_eviction_live(spark, tmp_path):
         assert (fresh[0]["n_events"], fresh[0]["total_value"]) == (1, 5.0)
     finally:
         q.stop()
+
+
+def test_stream_ivm_matches_batch_recompute(spark):
+    """The stateful cross-batch IVM fold equals recomputing over the
+    final base — driven through >=2 real micro-batches."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.plans.ivm import ivm_state
+    from inception_spark.streaming.pipeline import run_stream_ivm
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    base = orders.filter("o_orderkey % 3 != 0")
+    state = ivm_state(base, ["o_orderpriority"], "o_totalprice")
+    deltas = (
+        orders.filter("o_orderkey % 3 = 0 AND o_orderkey % 5 != 0")
+        .withColumn("mult", F.lit(1))
+        .unionByName(
+            orders.filter("o_orderkey % 3 != 0 AND o_orderkey % 5 = 0")
+            .withColumn("mult", F.lit(-1))
+        )
+    )
+    live = run_stream_ivm(
+        spark, state, deltas, ["o_orderpriority"], "o_totalprice"
+    )
+    want = {
+        (r["o_orderpriority"]): (str(r["s"]), r["n"])
+        for r in orders.filter("o_orderkey % 5 != 0")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {r["o_orderpriority"]: (str(r["s"]), r["n"]) for r in live.collect()}
+    assert got == want
+
+
+def test_stream_partials_covariance_bit_identical(spark):
+    """Batch-partial streaming covariance == batch embedding_covariance
+    exactly (decimal partials re-sum identically under any batching)."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.operators import pca as PCA
+    from inception_spark.streaming.pipeline import run_stream_batch_partials
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+
+    def partial(bdf):
+        marg = PCA._cov_marg(bdf).select(
+            F.lit("m").alias("kind"), "i", F.lit(-1).alias("j"),
+            F.col("sx").alias("v"), "n",
+        )
+        pairs = PCA._cov_pairs(bdf).select(
+            F.lit("p").alias("kind"), "i", "j",
+            F.col("sxy").alias("v"), F.lit(0).cast("long").alias("n"),
+        )
+        return marg.unionByName(pairs)
+
+    parts = run_stream_batch_partials(spark, emb, partial)
+    marg, pairs = PCA.cov_merge(
+        parts.filter("kind = 'm'").select("i", F.col("v").alias("sx"), "n"),
+        parts.filter("kind = 'p'").select("i", "j", F.col("v").alias("sxy")),
+    )
+    live = {
+        (r["i"], r["j"]): r["cov"]
+        for r in PCA._cov_finalize(marg, pairs).collect()
+    }
+    batch = {
+        (r["i"], r["j"]): r["cov"]
+        for r in PCA.embedding_covariance(emb).collect()
+    }
+    assert live == batch
