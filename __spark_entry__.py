@@ -1113,6 +1113,18 @@ _BOILER_B = (
 )
 
 
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Ed-Join exact edit-distance self-join over supplier names at
+    k=1 — the TPC-H name shape ("Supplier#000000001") is the
+    adversarial case for gram blocking: the long shared prefix makes
+    most grams corpus-common, so only the rarest-first prefix ordering
+    keeps the equi-join buckets small (the digit-tail grams)."""
+    sup = R.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return D.edit_distance_pairs(
+        sup, id_col="s_suppkey", str_col="s_name", k=1
+    )
+
+
 def _q_streaming_embedding_covariance(spark, sf_dir):
     """Covariance maintenance IN STREAM: each micro-batch reduces to
     its exact fixed-point partial counter tables (marginal + pair
@@ -3163,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # second-moment maintenance
         "substring_dup_spans": _q_substring_dup_spans,
         "streaming_embedding_covariance": _q_streaming_embedding_covariance,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -3464,6 +3477,7 @@ _WINDOW_R8 = [
     # signal with the r9 rotation)
     "substring_dup_spans",
     "streaming_embedding_covariance",
+    "edit_distance_pairs",
 ]
 
 
@@ -4185,6 +4199,9 @@ FROM agg
         ),
         # r8: live merge of exact partials == the batch covariance
         "streaming_embedding_covariance": PCA.embedding_covariance_sql(),
+        "edit_distance_pairs": D.edit_distance_pairs_sql(
+            "supplier", id_col="s_suppkey", str_col="s_name", k=1
+        ),
         # r8: the live IVM fold must equal the batch recompute — the
         # exact identity the batch ivm_rollup oracle states
         "streaming_ivm_rollup": """

@@ -2054,3 +2054,140 @@ SELECT doc_id,
 FROM isl
 GROUP BY doc_id, island
 """
+
+
+# ---------------------------------------------------------------------------
+# exact edit-distance similarity join (Ed-Join family)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    str_col: str = "s",
+    k: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join via positional q-gram
+    prefix filtering (Ed-Join — Xiao, Wang & Lin, PVLDB'08): every pair
+    with ``levenshtein(a, b) <= k``, zero false negatives, never
+    all-pairs.  Output ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+
+    Candidate filters (each a strict superset preserver):
+
+    * **length**: ``|len_a - len_b| <= k`` (k edits move length by <= k);
+    * **prefix**: grams are globally ordered rarest-first (document
+      frequency, ties on gram then position); each string emits only its
+      first ``q*k + 1`` grams in that order.  k edits destroy at most
+      ``q*k`` grams, so two strings within distance k share a gram among
+      their prefixes (the generalized prefix-filter pigeonhole with
+      ``t = max(|G_a|,|G_b|) - q*k``);
+    * **position**: k edits shift surviving gram positions by at most k,
+      so matched prefix grams must satisfy ``|pos_a - pos_b| <= k``.
+
+    The equi-join is keyed on RARE grams by construction — a gram in
+    every record lands in almost no prefix — which is what bounds the
+    bucket quadratic at corpus scale; verification is the native
+    ``levenshtein`` (JVM codegen in Spark, native in DuckDB — unit-cost
+    semantics agree, exact integer output).  Strings shorter than ``q``
+    emit no grams and never pair (a record that small is within k of
+    almost anything; screen lengths upstream).  Losslessness vs
+    brute-force all-pairs is pinned in tests, duplicated grams
+    included.
+    """
+    from pyspark.sql import Window
+
+    pre = int(q) * int(k) + 1
+    strs = df.select(
+        F.col(id_col).alias("sid"), F.col(str_col).alias("s")
+    ).withColumn("len", F.length("s"))
+    grams = strs.select(
+        "sid",
+        "len",
+        F.posexplode(
+            F.when(
+                F.col("len") >= q,
+                F.expr(
+                    f"transform(sequence(1, length(s) - {q - 1}),"
+                    f" i -> substring(s, i, {q}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gr"),
+    )
+    freq = grams.groupBy("gr").agg(F.count(F.lit(1)).alias("df_g"))
+    win = Window.partitionBy("sid").orderBy("df_g", "gr", "pos")
+    pref = (
+        grams.join(freq, "gr")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= pre)
+        .select("sid", "len", "gr", "pos")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gr") == F.col("b.gr"))
+            & (F.col("a.sid") < F.col("b.sid"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len")) <= k
+            )
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= k),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = strs.select(F.col("sid").alias("id_a"), F.col("s").alias("s_a"))
+    sb = strs.select(F.col("sid").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def edit_distance_pairs_sql(
+    src: str,
+    *,
+    id_col: str = "id",
+    str_col: str = "s",
+    k: int = 1,
+    q: int = 2,
+) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` — same gram order,
+    same three filters, native ``levenshtein`` verify."""
+    pre = int(q) * int(k) + 1
+    return f"""
+WITH strs AS (
+  SELECT {id_col} AS sid, {str_col} AS s, length({str_col}) AS len
+  FROM {src}),
+grams AS (
+  SELECT sid, len, u.i - 1 AS pos, substr(s, u.i, {q}) AS gr
+  FROM strs, LATERAL (
+    SELECT unnest(range(1, len - {q - 1} + 1)) AS i) u
+  WHERE len >= {q}),
+freq AS (SELECT gr, COUNT(*) AS df_g FROM grams GROUP BY gr),
+pref AS (
+  SELECT sid, len, gr, pos
+  FROM (
+    SELECT g.sid, g.len, g.gr, g.pos,
+           row_number() OVER (PARTITION BY g.sid
+                              ORDER BY f.df_g, g.gr, g.pos) AS rk
+    FROM grams g JOIN freq f USING (gr))
+  WHERE rk <= {pre}),
+cand AS (
+  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+  FROM pref a JOIN pref b
+    ON a.gr = b.gr AND a.sid < b.sid
+   AND abs(a.len - b.len) <= {k}
+   AND abs(a.pos - b.pos) <= {k})
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
+FROM cand c
+JOIN strs sa ON sa.sid = c.id_a
+JOIN strs sb ON sb.sid = c.id_b
+WHERE levenshtein(sa.s, sb.s) <= {k}
+"""

@@ -804,3 +804,66 @@ def test_substring_dup_spans_plan_and_empty(spark):
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p  # dup filter is a semi-join, never a rescan
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
+    """Ed-Join must be EXACT: equals all-pairs levenshtein at k, with
+    duplicated grams, equal strings (dist 0), and length variety."""
+    import itertools
+
+    from inception_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    # deterministic pseudo-random corpus with planted near-pairs
+    base = ["kitten", "mitten", "aaaa", "abcdefgh", "banana", "bananas",
+            "Supplier#0001", "Supplier#0002", "Supplier#0011", "zzz"]
+    rows = []
+    for i, s in enumerate(base):
+        rows.append((2 * i, s))
+        # mutate one char deterministically
+        pos = i % len(s)
+        rows.append((2 * i + 1, s[:pos] + chr(97 + (i % 26)) + s[pos + 1:]))
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(df, k=k, q=2).collect()
+        )
+        want = sorted(
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= k and min(len(a), len(b)) >= 2
+        )
+        assert got == want, f"k={k}"
+
+
+def test_edit_distance_pairs_plan_no_allpairs(spark):
+    from inception_spark.operators.dedup import edit_distance_pairs
+
+    sup = spark.read.parquet(
+        "/root/testdata/sf0.001/supplier.parquet"
+    ).select("s_suppkey", "s_name")
+    out = edit_distance_pairs(
+        sup, id_col="s_suppkey", str_col="s_name", k=1
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # verify runs on candidates only: result non-empty on the
+    # near-identical supplier-name fixture and symmetric-free
+    rows = out.collect()
+    assert rows and all(r["id_a"] < r["id_b"] for r in rows)
