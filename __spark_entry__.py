@@ -1087,8 +1087,39 @@ def _q_substring_dup_spans(spark, sf_dir):
     injected identically in both engines: doc_id%3 docs get a leading
     legal footer, doc_id%4 docs a trailing newsletter plug — %12 docs
     exercise the multi-island merge (two disjoint spans)."""
+    return D.substring_dup_spans(_amped_docs(spark, sf_dir), ngram=8)
+
+
+_BOILER_A = (
+    "all rights reserved this page is provided without any warranty "
+    "of fitness"
+)
+_BOILER_B = (
+    "click here to subscribe to our newsletter for updates and offers "
+    "today"
+)
+
+_AMPED_DOCS_SQL = f"""(SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_A} ' ELSE '' END
+       || text ||
+       CASE WHEN doc_id % 4 = 0 THEN ' {_BOILER_B}' ELSE '' END AS text
+     FROM documents)"""
+
+
+def _q_scrub_dup_spans(spark, sf_dir):
+    """The corpus-REWRITE step of ExactSubstr dedup: remove every word
+    inside a cross-doc dup span and reassemble — same boilerplate
+    amplification as substring_dup_spans, so the injected footers are
+    exactly what gets scrubbed back out."""
+    amped = _amped_docs(spark, sf_dir)
+    return D.scrub_dup_spans(
+        amped, D.substring_dup_spans(amped, ngram=8)
+    )
+
+
+def _amped_docs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    amped = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.when(
@@ -1100,17 +1131,6 @@ def _q_substring_dup_spans(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return D.substring_dup_spans(amped, ngram=8)
-
-
-_BOILER_A = (
-    "all rights reserved this page is provided without any warranty "
-    "of fitness"
-)
-_BOILER_B = (
-    "click here to subscribe to our newsletter for updates and offers "
-    "today"
-)
 
 
 def _q_edit_distance_pairs(spark, sf_dir):
@@ -3174,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 (past the window — r9 head): ExactSubstr spans + live
         # second-moment maintenance
         "substring_dup_spans": _q_substring_dup_spans,
+        "scrub_dup_spans": _q_scrub_dup_spans,
         "streaming_embedding_covariance": _q_streaming_embedding_covariance,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "events_twap": _q_events_twap,
@@ -3476,6 +3497,7 @@ _WINDOW_R8 = [
     # then the late-r8 additions (mini-driver-verified now, driver
     # signal with the r9 rotation)
     "substring_dup_spans",
+    "scrub_dup_spans",
     "streaming_embedding_covariance",
     "edit_distance_pairs",
 ]
@@ -4190,12 +4212,11 @@ FROM agg
         "pca_project_top1": PCA.pca_power_project_sql(),
         # r8: boilerplate injected in-SQL exactly as the Spark entry does
         "substring_dup_spans": D.substring_dup_spans_sql(
-            f"""(SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_A} ' ELSE '' END
-       || text ||
-       CASE WHEN doc_id % 4 = 0 THEN ' {_BOILER_B}' ELSE '' END AS text
-     FROM documents)""",
-            ngram=8,
+            _AMPED_DOCS_SQL, ngram=8
+        ),
+        "scrub_dup_spans": D.scrub_dup_spans_sql(
+            _AMPED_DOCS_SQL,
+            D.substring_dup_spans_sql(_AMPED_DOCS_SQL, ngram=8),
         ),
         # r8: live merge of exact partials == the batch covariance
         "streaming_embedding_covariance": PCA.embedding_covariance_sql(),

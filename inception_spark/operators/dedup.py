@@ -2191,3 +2191,107 @@ JOIN strs sa ON sa.sid = c.id_a
 JOIN strs sb ON sb.sid = c.id_b
 WHERE levenshtein(sa.s, sb.s) <= {k}
 """
+
+
+def scrub_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`substring_dup_spans` to the corpus: remove every
+    word inside a dup span and reassemble the remaining words — the
+    corpus-rewrite step of ExactSubstr dedup (Lee et al. 2022 cut the
+    repeated substring occurrences out of the training text; word
+    granularity here, matching the span operator).  Returns
+    ``(doc_id, text_clean, n_kept, n_removed)``; documents with no
+    spans pass through with their normalized word join.
+
+    Shape: one posexplode, a per-doc range anti-join against the span
+    table (spans per doc are few — the join key is doc_id, the range
+    predicate rides along), and an ordered per-doc reassembly
+    (array_sort over collected (pos, word) structs — the aggregation
+    is per-doc sized, never corpus-wide).  Text normalizes through the
+    shared tokenizer, so the output is the canonical word join (case/
+    punctuation folded) — the form the downstream dedup/quality
+    operators consume anyway.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(H.words(F.col(text_col))).alias("pos", "w"),
+    )
+    hit = (
+        w.join(
+            spans.select("doc_id", "span_start", "span_end"),
+            on=[
+                w["doc_id"] == spans["doc_id"],
+                w["pos"] >= spans["span_start"],
+                w["pos"] < spans["span_end"],
+            ],
+            how="left_anti",
+        )
+    )
+    kept = hit.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "w"))
+        ).alias("_ws"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    total = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    # left join from totals so fully-scrubbed docs still emit a row
+    return (
+        total.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("_ws"), lambda s: s["w"]), " "
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def scrub_dup_spans_sql(
+    docsrc: str,
+    spans_sql: str,
+) -> str:
+    """DuckDB twin of :func:`scrub_dup_spans` — ``spans_sql`` is the
+    span-table query (normally :func:`substring_dup_spans_sql` over the
+    same source)."""
+    ws = H.words_sql("text")
+    return f"""
+WITH spansq AS MATERIALIZED ({spans_sql}),
+wl AS (SELECT doc_id, {ws} AS ws FROM {docsrc}),
+w AS (
+  SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS w
+  FROM wl, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+hit AS (
+  SELECT w.doc_id, w.pos, w.w
+  FROM w ANTI JOIN spansq s
+    ON w.doc_id = s.doc_id
+   AND w.pos >= s.span_start AND w.pos < s.span_end),
+kept AS (
+  SELECT doc_id,
+         string_agg(w, ' ' ORDER BY pos) AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM hit GROUP BY doc_id),
+total AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM w GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(k.text_clean, '') AS text_clean,
+       coalesce(k.n_kept, 0) AS n_kept,
+       CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM total t LEFT JOIN kept k USING (doc_id)
+"""

@@ -867,3 +867,32 @@ def test_edit_distance_pairs_plan_no_allpairs(spark):
     # near-identical supplier-name fixture and symmetric-free
     rows = out.collect()
     assert rows and all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_scrub_dup_spans_removes_exactly_span_words(spark):
+    """Find→scrub roundtrip: scrubbed text = words outside spans in
+    order; fully-scrubbed docs emit empty text; span-free docs pass
+    through as the canonical word join."""
+    from inception_spark.operators.dedup import (
+        scrub_dup_spans,
+        substring_dup_spans,
+    )
+
+    boiler = "all rights reserved provided without any warranty of fitness"
+    rows = [
+        (1, "keep one " + boiler + " keep two"),
+        (2, "other head " + boiler + " other tail"),
+        (3, "no shared region in this document at all whatsoever"),
+        (4, boiler),                       # entire doc = the span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = substring_dup_spans(df, ngram=8)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in scrub_dup_spans(df, spans).collect()
+    }
+    # the 9-word boiler spans pos 2..11 in doc 1 (grams at 2 and 3)
+    assert got[1] == ("keep one keep two", 4, 9)
+    assert got[2] == ("other head other tail", 4, 9)
+    assert got[3] == (rows[2][1], 9, 0)
+    assert got[4] == ("", 0, 9)
