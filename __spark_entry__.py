@@ -116,6 +116,7 @@ from inception_spark.operators.sampling import (
 )
 from inception_spark.operators import multimodal as MM
 from inception_spark.operators import pca as PCA
+from inception_spark.operators import profile as PROF
 from inception_spark.operators.linkage import fs_linkage_scores_sql
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.operators.layout import (
@@ -1104,6 +1105,22 @@ _AMPED_DOCS_SQL = f"""(SELECT doc_id,
        || text ||
        CASE WHEN doc_id % 4 = 0 THEN ' {_BOILER_B}' ELSE '' END AS text
      FROM documents)"""
+
+
+def _q_events_profile(spark, sf_dir):
+    """ANALYZE-style column profile of the events table in ONE
+    aggregate pass (multi-count-distinct via Spark's expand rewrite)
+    — null rates, exact cardinalities, ranges, value lengths; the
+    pre-ingest survey that sizes partitions and flags skew/nulls
+    before a 100 TB job.  exact_ndv=True here for the oracle; the
+    approx_count_distinct knob is the documented scale path."""
+    from inception_spark.operators.profile import profile_table
+
+    return profile_table(
+        R.load_events(spark, sf_dir),
+        numeric_cols=["event_id", "user_id", "value"],
+        string_cols=["event_type", "props"],
+    )
 
 
 def _q_scrub_dup_spans(spark, sf_dir):
@@ -3195,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # second-moment maintenance
         "substring_dup_spans": _q_substring_dup_spans,
         "scrub_dup_spans": _q_scrub_dup_spans,
+        "events_profile": _q_events_profile,
         "streaming_embedding_covariance": _q_streaming_embedding_covariance,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "events_twap": _q_events_twap,
@@ -3500,6 +3518,7 @@ _WINDOW_R8 = [
     "scrub_dup_spans",
     "streaming_embedding_covariance",
     "edit_distance_pairs",
+    "events_profile",
 ]
 
 
@@ -4222,6 +4241,11 @@ FROM agg
         "streaming_embedding_covariance": PCA.embedding_covariance_sql(),
         "edit_distance_pairs": D.edit_distance_pairs_sql(
             "supplier", id_col="s_suppkey", str_col="s_name", k=1
+        ),
+        "events_profile": PROF.profile_table_sql(
+            "events",
+            numeric_cols=["event_id", "user_id", "value"],
+            string_cols=["event_type", "props"],
         ),
         # r8: the live IVM fold must equal the batch recompute — the
         # exact identity the batch ivm_rollup oracle states

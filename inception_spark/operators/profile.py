@@ -1,0 +1,147 @@
+"""Table/column profiling — the ANALYZE surface of a data pipeline.
+
+The reference (freelawproject/inception) has no statistics surface;
+this belongs to the training-data-pipeline family the build brief makes
+first-class: before any 100 TB ingest you profile the candidate table —
+null rates, cardinalities, ranges, value lengths — and the profile
+feeds partition-count / skew / join-strategy decisions.
+
+Design: ONE aggregate pass computes every statistic for every profiled
+column (Spark evaluates the multi-count-distinct via its expand
+rewrite — still a single logical scan), then a literal stack() unpivots
+the one wide row into one row per column.  Exact distinct counts are
+the default because the DuckDB oracle must reproduce them; at cluster
+scale flip ``exact_ndv=False`` to swap each COUNT(DISTINCT) for
+``approx_count_distinct`` (same plan shape, no expand blowup) — the
+documented knob, not a silent cap.
+
+Determinism: min/max/counts are exact; ``avg_len`` is an exact integer
+sum divided once in double (identical IEEE result per engine), rounded
+to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    *,
+    numeric_cols: list | None = None,
+    string_cols: list | None = None,
+    exact_ndv: bool = True,
+) -> DataFrame:
+    """One row per profiled column: ``(column, n_rows, n_nulls,
+    n_distinct, min_d, max_d, min_s, max_s, avg_len)``.  Numeric
+    columns fill ``min_d/max_d`` (cast double) and leave ``min_s/max_s``
+    NULL; string columns the reverse, plus ``avg_len``."""
+    numeric_cols = list(numeric_cols or [])
+    string_cols = list(string_cols or [])
+    if not numeric_cols and not string_cols:
+        raise ValueError("profile_table: no columns requested")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    ndv = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_ndv
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    for c in numeric_cols + string_cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
+        )
+        aggs.append(ndv(c).cast("long").alias(f"_ndv_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+    for c in string_cols:
+        aggs.append(F.min(F.col(c)).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"_max_{c}"))
+        aggs.append(
+            F.sum(F.length(F.col(c)).cast("long")).alias(f"_len_{c}")
+        )
+        aggs.append(
+            F.count(F.col(c)).cast("long").alias(f"_cnt_{c}")
+        )
+    wide = df.agg(*aggs)
+    rows = []
+    for c in numeric_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_ndv_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_d"),
+                F.col(f"_max_{c}").alias("max_d"),
+                F.lit(None).cast("string").alias("min_s"),
+                F.lit(None).cast("string").alias("max_s"),
+                F.lit(None).cast("double").alias("avg_len"),
+            )
+        )
+    for c in string_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_ndv_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_d"),
+                F.lit(None).cast("double").alias("max_d"),
+                F.col(f"_min_{c}").alias("min_s"),
+                F.col(f"_max_{c}").alias("max_s"),
+                F.when(
+                    F.col(f"_cnt_{c}") > 0,
+                    F.round(
+                        F.col(f"_len_{c}").cast("double")
+                        / F.col(f"_cnt_{c}").cast("double"),
+                        6,
+                    ),
+                ).alias("avg_len"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
+def profile_table_sql(
+    table: str,
+    *,
+    numeric_cols: list | None = None,
+    string_cols: list | None = None,
+) -> str:
+    """DuckDB twin of :func:`profile_table` (exact mode)."""
+    numeric_cols = list(numeric_cols or [])
+    string_cols = list(string_cols or [])
+    parts = []
+    for c in numeric_cols:
+        parts.append(f"""
+SELECT '{c}' AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_d,
+       CAST(MAX({c}) AS DOUBLE) AS max_d,
+       CAST(NULL AS VARCHAR) AS min_s,
+       CAST(NULL AS VARCHAR) AS max_s,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM {table}""")
+    for c in string_cols:
+        parts.append(f"""
+SELECT '{c}' AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_d,
+       CAST(NULL AS DOUBLE) AS max_d,
+       MIN({c}) AS min_s,
+       MAX({c}) AS max_s,
+       CASE WHEN COUNT({c}) > 0 THEN
+         round(CAST(CAST(SUM(length({c})) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT({c}) AS DOUBLE), 6)
+       END AS avg_len
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)

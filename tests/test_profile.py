@@ -1,0 +1,83 @@
+"""Column profiler: exactness, null handling, one-pass plan, knob."""
+
+import duckdb
+
+from inception_spark.operators.profile import (
+    profile_table,
+    profile_table_sql,
+)
+
+
+def test_profile_nulls_and_values(spark):
+    rows = [
+        (1, 10.0, "aa"),
+        (2, None, "bbbb"),
+        (3, 10.0, None),
+        (4, -2.5, "aa"),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    got = {
+        r["column"]: r
+        for r in profile_table(
+            df, numeric_cols=["id", "v"], string_cols=["s"]
+        ).collect()
+    }
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert (got["id"]["min_d"], got["id"]["max_d"]) == (1.0, 4.0)
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["v"]["min_d"] == -2.5
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_s"], got["s"]["max_s"]) == ("aa", "bbbb")
+    # avg over NON-NULL strings: (2+4+2)/3
+    assert got["s"]["avg_len"] == round(8 / 3, 6)
+
+
+def test_profile_engine_parity_orders(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    st = ["o_orderstatus", "o_orderpriority"]
+    got = sorted(
+        tuple(r)
+        for r in profile_table(
+            orders, numeric_cols=num, string_cols=st
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(
+            profile_table_sql("orders", numeric_cols=num, string_cols=st)
+        ).fetchall()
+    )
+    assert got == ora
+
+
+def test_profile_one_pass_and_approx_knob(spark):
+    import pytest
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = profile_table(
+        orders, numeric_cols=["o_orderkey"], string_cols=["o_orderstatus"]
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # single scan: exactly one FileScan of the parquet
+    assert p.count("FileScan") == 1
+    # approx mode: same schema, plausible estimates, NO expand rewrite
+    ap = profile_table(
+        orders,
+        numeric_cols=["o_orderkey"],
+        string_cols=["o_orderstatus"],
+        exact_ndv=False,
+    )
+    pa = ap._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in pa
+    n = orders.count()
+    got = {r["column"]: r["n_distinct"] for r in ap.collect()}
+    assert abs(got["o_orderkey"] - n) / n < 0.1
+    with pytest.raises(ValueError):
+        profile_table(orders)
