@@ -1107,6 +1107,14 @@ _AMPED_DOCS_SQL = f"""(SELECT doc_id,
      FROM documents)"""
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (LBFS/CDC): hash-pattern boundaries
+    make chunk dedup hashes survive upstream insertions — the
+    chunk-level storage-dedup primitive fixed-size splitting can't
+    provide.  Pure window arithmetic, no sequential scan."""
+    return D.cdc_chunks(_docs(spark, sf_dir), mask=31)
+
+
 def _q_events_profile(spark, sf_dir):
     """ANALYZE-style column profile of the events table in ONE
     aggregate pass (multi-count-distinct via Spark's expand rewrite)
@@ -3213,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_dup_spans,
         "scrub_dup_spans": _q_scrub_dup_spans,
         "events_profile": _q_events_profile,
+        "cdc_chunks": _q_cdc_chunks,
         "streaming_embedding_covariance": _q_streaming_embedding_covariance,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "events_twap": _q_events_twap,
@@ -3519,6 +3528,7 @@ _WINDOW_R8 = [
     "streaming_embedding_covariance",
     "edit_distance_pairs",
     "events_profile",
+    "cdc_chunks",
 ]
 
 
@@ -4242,6 +4252,7 @@ FROM agg
         "edit_distance_pairs": D.edit_distance_pairs_sql(
             "supplier", id_col="s_suppkey", str_col="s_name", k=1
         ),
+        "cdc_chunks": D.cdc_chunks_sql("documents", mask=31),
         "events_profile": PROF.profile_table_sql(
             "events",
             numeric_cols=["event_id", "user_id", "value"],

@@ -2295,3 +2295,105 @@ SELECT t.doc_id,
        CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
 FROM total t LEFT JOIN kept k USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (the LBFS/CDC family)
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 31,
+) -> DataFrame:
+    """Content-defined chunking at word granularity (the LBFS idea —
+    Muthitacharoen et al., SOSP'01: cut where a content hash hits a
+    pattern, so an INSERTION only reshapes the chunk it lands in while
+    every later chunk boundary — and hence its dedup hash — survives;
+    fixed-size chunking shifts every downstream boundary and defeats
+    chunk-level dedup entirely).
+
+    A word ends a chunk when ``h60(word) % (mask+1) == 0`` — expected
+    chunk length ``mask+1`` words; no min/max clamps (the LBFS
+    practical tweak), which keeps the boundary rule a pure stateless
+    projection: chunk ids are a windowed running count of boundary
+    flags, so the whole operator is one posexplode + one per-doc window
+    + one per-chunk aggregate — no sequential scan, no UDF.
+
+    Output: ``(doc_id, chunk_id, n_words, chunk_hash)`` where
+    ``chunk_id`` is 0-based per doc and ``chunk_hash`` is the md5 of
+    the space-joined chunk words — the dedup key.  Shift-robustness
+    (prepending words preserves all later chunk hashes) is pinned in
+    tests.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(H.words(F.col(text_col))).alias("pos", "w"),
+    ).withColumn(
+        "brk", (H.h60(F.col("w")) % (mask + 1) == 0).cast("long")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    # a boundary word CLOSES its chunk: chunk id = boundaries BEFORE it
+    chunked = w.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("brk").over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .select("doc_id", "chunk_id", "n_words", "chunk_hash")
+    )
+
+
+def cdc_chunks_sql(
+    docsrc: str = "documents",
+    *,
+    mask: int = 31,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks`."""
+    ws = H.words_sql("text")
+    hh = H.h60_sql("w")
+    return f"""
+WITH wl AS (SELECT doc_id, {ws} AS ws FROM {docsrc}),
+w AS (
+  SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS w
+  FROM wl, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+b AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN ({hh}) % {mask + 1} = 0 THEN 1 ELSE 0 END AS brk
+  FROM w),
+c AS (
+  SELECT doc_id, pos, w,
+         coalesce(SUM(brk) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM b)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+FROM c
+GROUP BY doc_id, chunk_id
+"""

@@ -896,3 +896,39 @@ def test_scrub_dup_spans_removes_exactly_span_words(spark):
     assert got[2] == ("other head other tail", 4, 9)
     assert got[3] == (rows[2][1], 9, 0)
     assert got[4] == ("", 0, 9)
+
+
+def test_cdc_chunks_shift_robust_and_deterministic(spark):
+    """The CDC property: prepending words reshapes only the FIRST
+    chunk — every later chunk hash survives; fixed determinism."""
+    from inception_spark.operators.dedup import cdc_chunks
+
+    base = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua enim "
+        "ad minim veniam quis nostrud exercitation ullamco laboris nisi "
+        "aliquip ex ea commodo consequat duis aute irure"
+    ) * 3
+    rows = [(1, base), (2, "three new words " + base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(df, mask=7).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_hash"], r["n_words"])
+        )
+    c1 = sorted(by_doc[1])
+    c2 = sorted(by_doc[2])
+    # all chunks except doc 2's first are hash-identical to doc 1's
+    assert [h for _, h, _ in c1[1:]] == [h for _, h, _ in c2[1:]]
+    assert c1[0][1] != c2[0][1]
+    # word counts tile the docs exactly
+    assert sum(n for _, _, n in c1) + 3 == sum(n for _, _, n in c2)
+    # deterministic
+    again = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_hash"])
+        for r in cdc_chunks(df, mask=7).collect()
+    )
+    assert again == sorted(
+        (d, c, h) for d, v in by_doc.items() for c, h, _ in v
+    )
