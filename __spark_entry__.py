@@ -1100,11 +1100,42 @@ _BOILER_B = (
     "today"
 )
 
+def _join_skew_sql():
+    from inception_spark.plans.skew import join_skew_report_sql
+
+    return join_skew_report_sql(
+        "events",
+        "orders",
+        key_left="user_id",
+        key_right="o_custkey",
+        top_k=20,
+        target_rows_per_task=10,
+    )
+
+
 _AMPED_DOCS_SQL = f"""(SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_A} ' ELSE '' END
        || text ||
        CASE WHEN doc_id % 4 = 0 THEN ' {_BOILER_B}' ELSE '' END AS text
      FROM documents)"""
+
+
+def _q_join_skew_report(spark, sf_dir):
+    """Pre-join skew diagnostic: EXACT inner-join output size per key
+    (Σ cL·cR) from two count aggregates — never the join itself — with
+    the per-key salt factor that would cap each task at the target.
+    target_rows_per_task=10 at fixture scale so the suggested_salt
+    column exercises values > 1."""
+    from inception_spark.plans.skew import join_skew_report
+
+    return join_skew_report(
+        R.load_events(spark, sf_dir),
+        R.load(spark, sf_dir, "orders"),
+        key_left="user_id",
+        key_right="o_custkey",
+        top_k=20,
+        target_rows_per_task=10,
+    )
 
 
 def _q_cdc_chunks(spark, sf_dir):
@@ -3222,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_dup_spans": _q_scrub_dup_spans,
         "events_profile": _q_events_profile,
         "cdc_chunks": _q_cdc_chunks,
+        "join_skew_report": _q_join_skew_report,
         "streaming_embedding_covariance": _q_streaming_embedding_covariance,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "events_twap": _q_events_twap,
@@ -3529,6 +3561,7 @@ _WINDOW_R8 = [
     "edit_distance_pairs",
     "events_profile",
     "cdc_chunks",
+    "join_skew_report",
 ]
 
 
@@ -4253,6 +4286,7 @@ FROM agg
             "supplier", id_col="s_suppkey", str_col="s_name", k=1
         ),
         "cdc_chunks": D.cdc_chunks_sql("documents", mask=31),
+        "join_skew_report": _join_skew_sql(),
         "events_profile": PROF.profile_table_sql(
             "events",
             numeric_cols=["event_id", "user_id", "value"],

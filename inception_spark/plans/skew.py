@@ -179,3 +179,114 @@ def bloom_pruned_join(
     return pruned.join(
         small, pruned[big_key] == small[small_key], how
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_left: str,
+    key_right: str,
+    top_k: int = 20,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Pre-join diagnostic: the EXACT inner-join output size and its
+    per-key decomposition, from per-key counts alone — the numbers that
+    decide broadcast vs shuffle vs salt BEFORE launching a 100 TB join
+    (an inner equi-join emits Σ_k cL(k)·cR(k) rows; a single hot key
+    owning most of that sum is the stage straggler AQE may split too
+    late).
+
+    Output: the ``top_k`` keys by output contribution —
+    ``(key, left_rows, right_rows, out_rows, out_share, suggested_salt,
+    rank)`` where ``out_share`` is the key's fraction of the total
+    join output (6-dp, exact integer ratio in identical double
+    arithmetic) and ``suggested_salt`` =
+    ``ceil(out_rows / target_rows_per_task)`` — the n_salts that caps
+    the key's task at the target (1 = no salting needed).
+
+    Cost: two key-count aggregates (map-side combine) + a key-cardinality
+    join — never the join itself; NULL keys never join and are excluded.
+    """
+    from pyspark.sql import Window
+
+    cl = (
+        left.select(F.col(key_left).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("left_rows"))
+    )
+    cr = (
+        right.select(F.col(key_right).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("right_rows"))
+    )
+    per_key = cl.join(cr, "key").withColumn(
+        "out_rows", F.col("left_rows") * F.col("right_rows")
+    )
+    total = per_key.agg(
+        F.sum("out_rows").cast("long").alias("_total")
+    )
+    ranked = (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn(
+            "out_share",
+            F.round(
+                F.col("out_rows").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "suggested_salt",
+            F.ceil(
+                F.col("out_rows") / F.lit(float(target_rows_per_task))
+            ).cast("long"),
+        )
+    )
+    w = Window.orderBy(F.desc("out_rows"), F.asc("key"))
+    # distributed top-k first (TakeOrderedAndProject), then rank k rows
+    top = ranked.orderBy(F.desc("out_rows"), F.asc("key")).limit(top_k)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "key", "left_rows", "right_rows", "out_rows",
+            "out_share", "suggested_salt", "rank",
+        )
+    )
+
+
+def join_skew_report_sql(
+    left: str,
+    right: str,
+    *,
+    key_left: str,
+    key_right: str,
+    top_k: int = 20,
+    target_rows_per_task: int = 5_000_000,
+) -> str:
+    """DuckDB twin of :func:`join_skew_report`."""
+    return f"""
+WITH cl AS (
+  SELECT {key_left} AS key, CAST(COUNT(*) AS BIGINT) AS left_rows
+  FROM {left} WHERE {key_left} IS NOT NULL GROUP BY 1),
+cr AS (
+  SELECT {key_right} AS key, CAST(COUNT(*) AS BIGINT) AS right_rows
+  FROM {right} WHERE {key_right} IS NOT NULL GROUP BY 1),
+pk AS (
+  SELECT cl.key, left_rows, right_rows,
+         CAST(left_rows * right_rows AS BIGINT) AS out_rows
+  FROM cl JOIN cr ON cl.key = cr.key),
+tot AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total FROM pk)
+SELECT key, left_rows, right_rows, out_rows,
+       round(CAST(out_rows AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS out_share,
+       CAST(ceil(out_rows / CAST({target_rows_per_task} AS DOUBLE))
+            AS BIGINT) AS suggested_salt,
+       CAST(row_number() OVER (ORDER BY out_rows DESC, key) AS BIGINT)
+         AS rank
+FROM pk, tot
+ORDER BY out_rows DESC, key
+LIMIT {top_k}
+"""

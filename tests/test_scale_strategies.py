@@ -172,3 +172,36 @@ def test_bloom_pruned_join_guards(spark):
     assert sorted(r[0] for r in semi.collect()) == sorted(
         r[0] for r in plain.collect()
     )
+
+
+def test_join_skew_report_exact_vs_actual_join(spark):
+    """The report's out_rows per key and its total must equal the rows
+    an actual inner join would produce — the exactness claim."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.plans.skew import join_skew_report
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 3 + [3] * 1 + [None]],
+        "k long",
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [2] * 2 + [4] * 9 + [None]],
+        "k long",
+    )
+    rep = {
+        r["key"]: r
+        for r in join_skew_report(
+            left, right, key_left="k", key_right="k",
+            target_rows_per_task=10,
+        ).collect()
+    }
+    # only keys present on BOTH sides appear; NULL never joins
+    assert set(rep) == {1, 2}
+    assert rep[1]["out_rows"] == 200 and rep[2]["out_rows"] == 6
+    actual = left.join(right, "k").count()
+    assert actual == sum(r["out_rows"] for r in rep.values()) == 206
+    assert rep[1]["out_share"] == round(200 / 206, 6)
+    # salt caps the hot key's task at the target: ceil(200/10) = 20
+    assert rep[1]["suggested_salt"] == 20 and rep[2]["suggested_salt"] == 1
+    assert rep[1]["rank"] == 1
