@@ -1120,6 +1120,29 @@ _AMPED_DOCS_SQL = f"""(SELECT doc_id,
      FROM documents)"""
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Recrawl diff: snapshot 2 drops doc_id%11==0 (removed), revises
+    doc_id%7==0 (changed), and adds shifted copies of doc_id%17==0
+    (added) — every status branch executes; unchanged is the bulk."""
+    docs = _docs(spark, sf_dir)
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return D.snapshot_diff(docs, new)
+
+
 def _q_join_skew_report(spark, sf_dir):
     """Pre-join skew diagnostic: EXACT inner-join output size per key
     (Σ cL·cR) from two count aggregates — never the join itself — with
@@ -3254,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": _q_events_profile,
         "cdc_chunks": _q_cdc_chunks,
         "join_skew_report": _q_join_skew_report,
+        "snapshot_diff": _q_snapshot_diff,
         "streaming_embedding_covariance": _q_streaming_embedding_covariance,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "events_twap": _q_events_twap,
@@ -3562,6 +3586,7 @@ _WINDOW_R8 = [
     "events_profile",
     "cdc_chunks",
     "join_skew_report",
+    "snapshot_diff",
 ]
 
 
@@ -4287,6 +4312,15 @@ FROM agg
         ),
         "cdc_chunks": D.cdc_chunks_sql("documents", mask=31),
         "join_skew_report": _join_skew_sql(),
+        "snapshot_diff": D.snapshot_diff_sql(
+            "documents",
+            """(SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+     FROM documents WHERE doc_id % 11 != 0
+     UNION ALL
+     SELECT doc_id + 100000 AS doc_id, text
+     FROM documents WHERE doc_id % 17 = 0)""",
+        ),
         "events_profile": PROF.profile_table_sql(
             "events",
             numeric_cols=["event_id", "user_id", "value"],

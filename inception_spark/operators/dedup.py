@@ -2397,3 +2397,58 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
 FROM c
 GROUP BY doc_id, chunk_id
 """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-snapshot audit: classify every document across two corpus
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by content hash — the recrawl diff that feeds delta embedding
+    (embed only added+changed), retraction IVM (removed), and churn
+    monitoring.  Output ``(doc_id, status, old_md5, new_md5)``; one
+    full-outer join keyed on the id, content compared as md5 so wide
+    text never crosses the shuffle twice.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("old_md5"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("new_md5"),
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("old_md5").isNull(), F.lit("added"))
+            .when(F.col("new_md5").isNull(), F.lit("removed"))
+            .when(
+                F.col("old_md5") == F.col("new_md5"), F.lit("unchanged")
+            )
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            "old_md5",
+            "new_md5",
+        )
+    )
+
+
+def snapshot_diff_sql(old_src: str, new_src: str) -> str:
+    """DuckDB twin of :func:`snapshot_diff`."""
+    return f"""
+WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM {old_src}),
+n AS (SELECT doc_id, md5(text) AS new_md5 FROM {new_src})
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_md5 IS NULL THEN 'added'
+            WHEN n.new_md5 IS NULL THEN 'removed'
+            WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_md5, n.new_md5
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""

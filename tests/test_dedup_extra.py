@@ -932,3 +932,16 @@ def test_cdc_chunks_shift_robust_and_deterministic(spark):
     assert again == sorted(
         (d, c, h) for d, v in by_doc.items() for c, h, _ in v
     )
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from inception_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
