@@ -1120,3 +1120,66 @@ def test_basket_rules_hand_case(spark, tmp_path):
     assert top.lift == 2.0             # 4*8/(4*4)
     # singles with no repeated partner never form a rule
     assert all({r.antecedent, r.consequent} == {10, 20} for r in out)
+
+
+def test_r8_ops_plan_shapes(spark):
+    """Round-8 operator plan pins."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.operators.dedup import (
+        cdc_chunks,
+        scrub_dup_spans,
+        snapshot_diff,
+        substring_dup_spans,
+    )
+    from inception_spark.operators.pca import pca_power_project
+    from inception_spark.operators.profile import profile_table
+    from inception_spark.plans.skew import join_skew_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+
+    # power-iteration projection: MAP-ONLY — the returned plan has no
+    # exchange, no Python, no explode; the fit's jobs ran at build time
+    p = plan_of(pca_power_project(emb))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Generate" not in p
+
+    # CDC chunking: one explode + per-doc window + aggregate, no Python
+    p = plan_of(cdc_chunks(docs))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+    # scrub: the span filter is an ANTI join, never a rescan/cartesian
+    p = plan_of(scrub_dup_spans(docs, substring_dup_spans(docs)))
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+
+    # snapshot diff: ONE full-outer join, hashes projected pre-shuffle
+    p = plan_of(snapshot_diff(docs, docs.filter("doc_id % 2 = 0")))
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+    assert "FullOuter" in p
+
+    # skew report: count aggregates partial-combine map-side; the 1-row
+    # total broadcasts; top-k is distributed (TakeOrderedAndProject)
+    p = plan_of(
+        join_skew_report(
+            events, orders, key_left="user_id", key_right="o_custkey"
+        )
+    )
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+
+    # profiler exact mode: ONE scan
+    p = plan_of(
+        profile_table(
+            orders,
+            numeric_cols=["o_orderkey"],
+            string_cols=["o_orderstatus"],
+        )
+    )
+    assert p.count("FileScan") == 1
