@@ -368,22 +368,17 @@ def pca_power_component(
     )
 
 
-def pca_power_project(
+def pca_power_fit_vector(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iter: int = 16,
     scale: int = 10**9,
-) -> DataFrame:
-    """(id, pc1): project every vector onto the power-iteration
-    component — a LITERAL unrolled fixed-point dot product (the kmeans
-    literal-centroid pattern): per-term round(x_j * v_j/scale * 1e9)
-    -> int64, summed exactly, one division out.  Pure whole-stage
-    codegen projection: no shuffle, no explode amplification, no UDF;
-    at 100 TB this is a map-only pass.  sum9/1e9 stays < 2^53 so the
-    final division is one exact-rounded IEEE op, no rounding step."""
-    spark = df.sparkSession
+) -> list:
+    """Fit and return the raw integer component vector — the handle for
+    the fit-once/project-many shape (pass to
+    :func:`pca_power_project`'s ``component=``)."""
     dim = len(df.select(vec_col).first()[0])
     cov_rows = [
         (r["i"], r["j"], r["cov"])
@@ -391,7 +386,42 @@ def pca_power_project(
             df, id_col=id_col, vec_col=vec_col
         ).collect()
     ]
-    v = _power_iterate(cov_rows, dim, n_iter=n_iter, scale=scale)
+    return _power_iterate(cov_rows, dim, n_iter=n_iter, scale=scale)
+
+
+def pca_power_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 16,
+    scale: int = 10**9,
+    component: list | None = None,
+) -> DataFrame:
+    """(id, pc1): project every vector onto the power-iteration
+    component — a LITERAL unrolled fixed-point dot product (the kmeans
+    literal-centroid pattern): per-term round(x_j * v_j/scale * 1e9)
+    -> int64, summed exactly, one division out.  Pure whole-stage
+    codegen projection: no shuffle, no explode amplification, no UDF;
+    at 100 TB this is a map-only pass.  sum9/1e9 stays < 2^53 so the
+    final division is one exact-rounded IEEE op, no rounding step.
+
+    ``component`` takes a previously-fitted integer vector (the
+    fit-once/project-many serving shape: the covariance pass runs once,
+    then every ingest batch projects map-only); omitted, the fit runs
+    here."""
+    if component is not None:
+        v = list(component)
+        dim = len(v)
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        cov_rows = [
+            (r["i"], r["j"], r["cov"])
+            for r in embedding_covariance(
+                df, id_col=id_col, vec_col=vec_col
+            ).collect()
+        ]
+        v = _power_iterate(cov_rows, dim, n_iter=n_iter, scale=scale)
     terms = [
         F.round(
             F.col(vec_col)[j].cast("double")
