@@ -911,21 +911,126 @@ def _write_tar_fixture(spark, sf_dir) -> str:
 
 
 def _q_tar_shard_stats(spark, sf_dir):
-    """WebDataset ingestion shape, driver-verified: parse a 3-shard tar
-    fixture derived from documents through read_tar_members (one task
-    per shard, sequential-stream tarfile, bounded Arrow batches),
-    aggregate per extension.  The oracle recomputes the same totals
-    straight from documents — txt bytes are strlen(text), cls bytes are
-    strlen(lang)."""
-    from inception_spark.sources.tar import read_tar_members
+    """WebDataset ingestion shape, driver-verified THROUGH THE
+    CONSTANT-MEMORY PATH: parse a 3-shard tar fixture derived from
+    documents via ``spark.read.format("tar_shards")`` — the Spark 4
+    Python DataSource that opens each shard in tarfile stream mode
+    (fixed read buffer + one member payload; a 10 GB shard parses in
+    constant memory; one shard per partition) — and aggregate per
+    extension.  This is the path you'd run on real multi-GB shards, so
+    it is the one the oracle checks (r7 verdict ask #5).  The
+    binaryFile-based ``read_tar_members`` twin is asserted
+    row-identical inline, so both reader paths carry driver signal.
+    The oracle recomputes the same totals straight from documents —
+    txt bytes are strlen(text), cls bytes are strlen(lang)."""
+    from inception_spark.sources.tar import (
+        TarShardsDataSource,
+        read_tar_members,
+    )
 
     d = _write_tar_fixture(spark, sf_dir)
-    m = read_tar_members(spark, d + "/*.tar*")
-    return m.groupBy("ext").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum("size").cast("long").alias("total_bytes"),
-        F.countDistinct("sample_key").cast("long").alias("n_samples"),
+
+    def agg(members):
+        return members.groupBy("ext").agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.countDistinct("sample_key").cast("long").alias("n_samples"),
+        )
+
+    spark.dataSource.register(TarShardsDataSource)
+    via_ds = agg(spark.read.format("tar_shards").load(d))
+    via_bf = agg(read_tar_members(spark, d + "/*.tar*"))
+    ds_rows = sorted(map(tuple, via_ds.collect()))
+    bf_rows = sorted(map(tuple, via_bf.collect()))
+    assert ds_rows == bf_rows, (
+        f"tar_shards DataSource vs binaryFile reader diverged: "
+        f"{ds_rows[:3]} vs {bf_rows[:3]}"
     )
+    return via_ds
+
+
+#: chunk_giant_doc fixture size: one ~2.7 MB document of _GIANT_N
+#: identical-token-count sentences ("S0000001 alpha beta gamma.").
+_GIANT_N = 100_000
+
+
+def _giant_chunk_params():
+    """Closed-form greedy-fold parameters for the uniform-sentence giant
+    doc.  With every sentence costing exactly k tokens, the chunker's
+    greedy fold (operators/chunking.py:69-105) degenerates to floor
+    arithmetic: a fresh chunk holds m0 = (B-L)//k sentences, every later
+    chunk re-seeds with n_ov overlap sentences so it advances m1 = m0 -
+    n_ov new ones — no recursion needed in the oracle.  Verified against
+    split_text_into_chunks at N in {5,36,37,70,71,500,100000} including
+    the exact-fit boundaries (tests/test_chunking.py)."""
+    from inception_spark.config import DEFAULT_CONFIG
+    from inception_spark.tokenizer import RegexTokenizer
+
+    tok = RegexTokenizer()
+    L = tok.count(DEFAULT_CONFIG.lead_document)
+    B = DEFAULT_CONFIG.max_tokens
+    n_ov = DEFAULT_CONFIG.num_overlap_sentences
+    k = tok.count("S0000001 alpha beta gamma.")
+    m0 = (B - L) // k
+    m1 = m0 - n_ov
+    N = _GIANT_N
+    C = 1 if N <= m0 else 1 + -(-(N - m0) // m1)
+    return {"k": k, "L": L, "n_ov": n_ov, "m0": m0, "m1": m1,
+            "N": N, "C": C}
+
+
+def _q_chunk_giant_doc(spark, sf_dir):
+    """SURVEY §4 risk (a) — the adversarial chunking regime the 8×-
+    amplified bench fixture doesn't reach: ONE multi-MB document (2.7 MB,
+    100k sentences) that a naive chunk-then-embed pipeline would process
+    on a single executor end to end.  The chunker UDF emits the chunk
+    ARRAY for the one row, then ``posexplode`` fans it out to ~2.9k
+    chunk rows JVM-side *before* the embed stage, so a
+    ``chunk_partitions`` repartition can rebalance the expensive work
+    (operators/chunking.py:22-27,194-197).  Every sentence costs exactly
+    k tokens, which makes the greedy fold closed-form — the oracle is
+    pure generate_series arithmetic, no recursive CTE (the r7-verdict
+    ask #6 variant of chunk_documents).  Fixture synthesis is bounded
+    driver work (one 2.7 MB string)."""
+    from inception_spark.operators.chunking import chunk_documents
+
+    doc = " ".join(
+        f"S{i:07d} alpha beta gamma." for i in range(1, _GIANT_N + 1)
+    )
+    df = spark.createDataFrame([(1, doc)], "id long, text string")
+    ch = chunk_documents(df)
+    sent_ids = F.regexp_extract_all(
+        F.col("chunk"), F.lit("S([0-9]{7})"), F.lit(1)
+    )
+    return ch.select(
+        F.col("chunk_number").cast("int").alias("chunk_number"),
+        F.size(sent_ids).cast("long").alias("n_sentences"),
+        F.element_at(sent_ids, 1).cast("long").alias("first_sent"),
+        F.element_at(sent_ids, -1).cast("long").alias("last_sent"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _giant_chunk_oracle_sql() -> str:
+    p = _giant_chunk_params()
+    return f"""
+    -- chunk_giant_doc: the greedy sentence fold over {p['N']} uniform
+    -- {p['k']}-token sentences is closed-form (see _giant_chunk_params)
+    SELECT CAST(g AS INT) AS chunk_number,
+           CAST(last_s - first_s + 1 AS BIGINT) AS n_sentences,
+           CAST(first_s AS BIGINT) AS first_sent,
+           CAST(last_s AS BIGINT) AS last_sent,
+           CAST({p['L']} + (last_s - first_s + 1) * {p['k']} AS BIGINT)
+             AS n_tokens
+    FROM (
+      SELECT g,
+             CASE WHEN g = 1 THEN 1
+                  ELSE {p['m0']} + (g - 2) * {p['m1']} - {p['n_ov'] - 1}
+             END AS first_s,
+             LEAST({p['m0']} + (g - 1) * {p['m1']}, {p['N']}) AS last_s
+      FROM generate_series(1, {p['C']}) t(g)
+    )
+    """
 
 
 def _q_doc_script_profile(spark, sf_dir):
@@ -3289,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "streaming_embedding_covariance": _q_streaming_embedding_covariance,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        # r8 ask #6: single multi-MB doc, closed-form chunk oracle
+        "chunk_giant_doc": _q_chunk_giant_doc,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -4306,6 +4413,8 @@ FROM agg
         # as unrolled MATERIALIZED CTEs over its own covariance
         "pca_top_component": PCA.pca_power_component_sql(),
         "pca_project_top1": PCA.pca_power_project_sql(),
+        # r8 ask #6: giant-doc chunking — closed-form fold arithmetic
+        "chunk_giant_doc": _giant_chunk_oracle_sql(),
         # r8: boilerplate injected in-SQL exactly as the Spark entry does
         "substring_dup_spans": D.substring_dup_spans_sql(
             _AMPED_DOCS_SQL, ngram=8

@@ -136,6 +136,11 @@ HEADLINE = [
     # r8: ExactSubstr repeated-substring spans (explode + df-agg +
     # semi-join + per-doc islands; no pair joins anywhere)
     "substring_dup_spans",
+    # r8: the adversarial chunking regime — ONE 2.7 MB / 100k-sentence
+    # document; times the single-task chunker UDF plus the JVM-side
+    # posexplode fan-out to ~2.9k chunk rows (the explode-before-embed
+    # skew story, SURVEY §4a; measured note in SCALING.md)
+    "chunk_giant_doc",
 ]
 
 

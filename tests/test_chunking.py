@@ -150,3 +150,37 @@ def test_tokenizer_truncate_is_prefix():
         assert TOK.count(tr) == n
     assert TOK.truncate(t, 0) == ""
     assert TOK.truncate(t, 10_000) == t
+
+
+def test_giant_doc_closed_form_matches_chunker():
+    """chunk_giant_doc's oracle is floor arithmetic, not a recursive CTE:
+    with every sentence costing exactly k tokens the greedy fold yields
+    m0 = (B-L)//k sentences in chunk 1 and m1 = m0 - n_overlap new ones
+    per later chunk.  Pin that against the real chunker at the exact-fit
+    boundaries (N == m0, m0+1, m0+m1, m0+m1+1) and a large N."""
+    import re
+
+    from inception_spark.config import DEFAULT_CONFIG
+    from inception_spark.operators.chunking import split_text_into_chunks
+    from inception_spark.tokenizer import RegexTokenizer
+
+    tok = RegexTokenizer()
+    L = tok.count(DEFAULT_CONFIG.lead_document)
+    B = DEFAULT_CONFIG.max_tokens
+    n_ov = DEFAULT_CONFIG.num_overlap_sentences
+    sent = lambda i: f"S{i:07d} alpha beta gamma."  # noqa: E731
+    k = tok.count(sent(1))
+    m0 = (B - L) // k
+    m1 = m0 - n_ov
+    for N in (1, m0, m0 + 1, m0 + m1, m0 + m1 + 1, 500):
+        doc = " ".join(sent(i) for i in range(1, N + 1))
+        chunks = split_text_into_chunks(doc)
+        expect_c = 1 if N <= m0 else 1 + -(-(N - m0) // m1)
+        assert len(chunks) == expect_c, (N, len(chunks), expect_c)
+        for c, ch in enumerate(chunks, 1):
+            ids = [int(x) for x in re.findall(r"S(\d{7})", ch)]
+            first = 1 if c == 1 else m0 + (c - 2) * m1 - (n_ov - 1)
+            last = min(m0 + (c - 1) * m1, N)
+            assert ids[0] == first and ids[-1] == last, (N, c, ids[:2])
+            assert len(ids) == last - first + 1
+            assert tok.count(ch) + L == L + len(ids) * k
