@@ -141,6 +141,12 @@ HEADLINE = [
     # posexplode fan-out to ~2.9k chunk rows (the explode-before-embed
     # skew story, SURVEY §4a; measured note in SCALING.md)
     "chunk_giant_doc",
+    # r8: zero-Exchange co-located fact join off bucketed layouts
+    # (build cached per sf_dir; min-of-3 = the steady-state join)
+    "bucketed_join_revenue",
+    # r8: N-phrase blocklist screening via per-length n-gram broadcast
+    # join (one corpus pass per distinct phrase length, no UDF)
+    "blocklist_filter",
 ]
 
 

@@ -1925,3 +1925,117 @@ SELECT term, a AS n_in_slice, b AS n_rest, chi2,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def blocklist_filter(
+    df,
+    phrases: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Multi-phrase blocklist screening in ONE pass — the corpus-scale
+    form of "does this document contain any of these N phrases"
+    (bad-word lists, compliance phrase lists, boilerplate markers).
+    Returns (doc_id, phrase, n_hits) for every match.
+
+    The naive plans both fail at 100 TB: N ``LIKE`` predicates rescan
+    every document N times, and a single mega-regex alternation is a
+    per-row Python/regex hot loop that can't be hash-joined.  This is
+    the Aho-Corasick economy re-expressed relationally: documents are
+    word-tokenized ONCE (shared normalization with every other text
+    operator), then for each DISTINCT phrase LENGTH n — a small
+    constant, not N — the word array is turned into position n-grams
+    JVM-side (``transform`` + ``slice``, no UDF) and equi-joined
+    against the broadcast phrase list.  Cost: one scan per distinct
+    length, each a map + broadcast-hash join; no shuffle touches the
+    corpus until the final per-doc aggregate, and growing the
+    blocklist from 10 to 10,000 phrases only grows the broadcast side.
+
+    Phrases go through :func:`_phrase_terms` normalization, so
+    "Fast MERGE!" matches the words "fast merge" — a raw split would
+    silently match nothing (same contract as phrase_search).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from . import hashing as H
+
+    norm: dict[str, int] = {}
+    for p in phrases:
+        terms = _phrase_terms(p)
+        norm[" ".join(terms)] = len(terms)
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(k, n) for k, n in norm.items()], "phrase string, n int"
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        H.words(F.col(text_col)).alias("ws"),
+    )
+    def _gram_at(n: int):
+        # factory, NOT a two-arg lambda with a default: F.transform
+        # passes (element, index) to two-parameter lambdas, which would
+        # silently rebind the default
+        return lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n))
+
+    legs = []
+    for n in sorted(set(norm.values())):
+        grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("ws") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - n + 1),
+                        _gram_at(n),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        legs.append(
+            grams.join(
+                F.broadcast(
+                    pdf.filter(F.col("n") == n).select("phrase")
+                ),
+                F.col("gram") == F.col("phrase"),
+            ).select("doc_id", "phrase")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), legs)
+    return hits.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+
+
+def blocklist_filter_sql(
+    phrases: list[str], *, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`blocklist_filter`: identical word
+    normalization, identical per-length n-gram construction (1-based
+    inclusive list slice), phrases inlined as a VALUES relation."""
+    from . import hashing as H
+
+    norm: dict[str, int] = {}
+    for p in phrases:
+        terms = _phrase_terms(p)
+        norm[" ".join(terms)] = len(terms)
+    vals = ", ".join(
+        f"('{k}', {n})" for k, n in sorted(norm.items())
+    )
+    return f"""
+WITH p(phrase, n) AS (VALUES {vals}),
+w AS (SELECT doc_id, {H.words_sql('text')} AS ws FROM {table}),
+wp AS (SELECT w.doc_id, p.phrase, p.n, w.ws FROM w CROSS JOIN p),
+-- unnest in SELECT (not LATERAL: DuckDB's binder hits an internal
+-- error on lateral slice bounds referencing a joined column);
+-- range(1, stop) is empty when stop <= 1, so short docs fall out
+-- without an explicit len(ws) >= n guard
+g0 AS (SELECT doc_id, phrase, n, ws,
+              unnest(range(1, len(ws) - n + 2)) AS i FROM wp),
+g AS (
+  SELECT doc_id, phrase FROM g0
+  WHERE array_to_string(ws[i : i + n - 1], ' ') = phrase)
+SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM g GROUP BY doc_id, phrase
+"""

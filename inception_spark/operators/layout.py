@@ -537,3 +537,83 @@ def assign_global_ids(
         .withColumn(id_name, (F.row_number().over(win) + F.col("_offset")).cast("long"))
         .drop("_pid", "_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed (co-located) fact-fact joins
+# ---------------------------------------------------------------------------
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    table_name: str,
+    path: str,
+    *,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Materialize ``df`` as a parquet table BUCKETED on ``key``.
+
+    Bucketing is the write-once/query-many answer to the fact-fact join
+    shuffle: hash-partition the rows into ``n_buckets`` files per write
+    task at INGEST time and record the layout in the catalog, and every
+    later equi-join or aggregation on ``key`` between tables with the
+    same bucket count satisfies its required hash distribution straight
+    off the scan — Catalyst plans the SortMergeJoin with NO Exchange on
+    either side.  At 100 TB that deletes the single largest stage of
+    every orders⋈lineitem-shaped query; the shuffle is paid once at
+    write, amortized over every subsequent query (the same economics as
+    the ANN/z-order layouts in this module).
+
+    The input is repartitioned by the bucket expression first so each
+    bucket's rows land in one write task (one file per bucket, not
+    tasks×buckets small files — the file-count discipline
+    ``compaction_plan`` exists to enforce).  ``sortBy(key)`` makes each
+    bucket file key-sorted, so the downstream SMJ's per-partition sort
+    is a cheap near-sorted pass.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    *,
+    require_shuffle_free: bool = True,
+) -> DataFrame:
+    """Join two same-bucket-count catalog tables on their bucket keys.
+
+    The ``merge`` hint forces SortMergeJoin (a broadcast join would also
+    avoid the shuffle at test scale but proves nothing about the 100 TB
+    fact-fact case).  ``require_shuffle_free=True`` pins the contract in
+    the plan itself: zero ``Exchange`` operators anywhere in the join's
+    physical plan — the scans' bucket distribution satisfied the join —
+    so a layout regression (bucket-count mismatch, bucketed scan
+    disabled, a stray repartition) fails loudly instead of silently
+    reintroducing the biggest shuffle in the pipeline.
+    """
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    joined = left.join(
+        right, on=F.col(left_key) == F.col(right_key), how="inner"
+    )
+    if require_shuffle_free:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (
+            "bucketed join planned a shuffle — layout not co-located:\n"
+            + plan[:2000]
+        )
+    return joined

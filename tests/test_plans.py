@@ -1183,3 +1183,49 @@ def test_r8_ops_plan_shapes(spark):
         )
     )
     assert p.count("FileScan") == 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketed catalog tables with matching bucket counts join with
+    ZERO Exchange operators — the whole point of paying the bucket
+    shuffle at write time.  colocated_join also self-asserts this, so
+    the test doubles as a check that the assert sees the real plan."""
+    from inception_spark.operators.layout import (
+        colocated_join,
+        write_bucketed_table,
+    )
+
+    orders = spark.read.parquet(SF + "/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(SF + "/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed_table(
+        spark, orders, "o_orderkey", "t_bkt_orders", str(tmp_path / "o")
+    )
+    write_bucketed_table(
+        spark, li, "l_orderkey", "t_bkt_li", str(tmp_path / "l")
+    )
+    j = colocated_join(
+        spark, "t_bkt_li", "t_bkt_orders", "l_orderkey", "o_orderkey"
+    )
+    p = plan_of(j)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+    # result parity with the plain (shuffled) join
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert sorted(map(tuple, j.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # bucket-count mismatch must fail loudly, not silently shuffle
+    write_bucketed_table(
+        spark, orders, "o_orderkey", "t_bkt_o4", str(tmp_path / "o4"),
+        n_buckets=4,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="not co-located"):
+        colocated_join(
+            spark, "t_bkt_li", "t_bkt_o4", "l_orderkey", "o_orderkey"
+        )

@@ -147,3 +147,78 @@ def test_doc_script_profile_branches(spark):
     assert got[4]["digit_frac"] == 1.0
     # empty doc: fractions NULL (no division by zero), total 0
     assert got[5]["n_chars_total"] == 0 and got[5]["latin_frac"] is None
+
+
+class TestBlocklistFilter:
+    PHRASES = ["hash join", "Slow SCAN!", "row", "one two three"]
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hits_counts_and_normalization(self, spark):
+        from inception_spark.functions.text_analysis import blocklist_filter
+
+        docs = self._docs(spark, [
+            (1, "a HASH   join, then hash join again; row Row ROW"),
+            (2, "slow scan! and nothing else"),
+            (3, "one two three four"),
+            (4, "no matches here at all"),
+            (5, "short"),  # shorter than every multi-word phrase
+        ])
+        out = {
+            (r["doc_id"], r["phrase"]): r["n_hits"]
+            for r in blocklist_filter(docs, self.PHRASES).collect()
+        }
+        assert out[(1, "hash join")] == 2
+        assert out[(1, "row")] == 3          # case-folded single word
+        assert out[(2, "slow scan")] == 1    # punctuation normalized
+        assert out[(3, "one two three")] == 1
+        assert not any(d in (4, 5) for d, _ in out)
+
+    def test_overlapping_occurrences(self, spark):
+        from inception_spark.functions.text_analysis import blocklist_filter
+
+        docs = self._docs(spark, [(1, "row row row row")])
+        out = blocklist_filter(docs, ["row row"]).collect()
+        # positions 1,2,3 all start an occurrence (sliding, not disjoint)
+        assert out[0]["n_hits"] == 3
+
+    def test_duckdb_twin_parity(self, spark):
+        import duckdb
+
+        from inception_spark.functions.text_analysis import (
+            blocklist_filter,
+            blocklist_filter_sql,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        s = sorted(
+            map(tuple, blocklist_filter(docs, self.PHRASES).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        o = sorted(
+            map(tuple, con.execute(
+                blocklist_filter_sql(self.PHRASES)
+            ).fetchall())
+        )
+        assert s == o
+
+    def test_no_udf_in_plan(self, spark):
+        from inception_spark.functions.text_analysis import blocklist_filter
+
+        docs = self._docs(spark, [(1, "hash join row")])
+        plan = (
+            blocklist_filter(docs, self.PHRASES)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # JVM-side end to end: n-grams are transform/slice expressions,
+        # the phrase probe is a broadcast hash join
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
