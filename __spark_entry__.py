@@ -65,6 +65,7 @@ from inception_spark.functions.cleaning import (
     clean_text_expr,
     clean_text_sql,
 )
+from inception_spark.functions import sketches as SK
 from inception_spark.functions.sketches import (
     cms_counters,
     cms_estimate_topk,
@@ -2492,6 +2493,64 @@ def _q_blocklist_filter(spark, sf_dir):
     return TA.blocklist_filter(_docs(spark, sf_dir), _BLOCKLIST_PHRASES)
 
 
+def _maxsim_oracle_sql(k: int = 10, n_subvecs: int = 4) -> str:
+    """Oracle twin of maxsim_topk with the query tokens drawn from the
+    table (vec_id 0) instead of literals — same slices, same greatest-
+    then-fixed-order sum, 6-dp round before ranking."""
+    sub = _EMB_DIM // n_subvecs
+    per_q = []
+    for s in range(n_subvecs):
+        qs = f"q.qv[{s * sub + 1}:{(s + 1) * sub}]"
+        cosines = [
+            V.cosine_sql(
+                f"embedding[{d * sub + 1}:{(d + 1) * sub}]", qs
+            )
+            for d in range(n_subvecs)
+        ]
+        per_q.append("greatest(" + ", ".join(cosines) + ")")
+    chain = per_q[0]
+    for t in per_q[1:]:
+        chain = f"({chain} + {t})"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, round({chain}, 6) AS score FROM embeddings, q)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+         AS rank
+FROM s ORDER BY score DESC, vec_id LIMIT {k}
+"""
+
+
+def _q_maxsim_topk(spark, sf_dir):
+    """Late-interaction (multi-vector) retrieval: docs and query are
+    bags of token vectors (fixture: 4 contiguous 16-dim slices of the
+    stored embedding) and score = Σ over query tokens of max cosine to
+    any doc token.  Literal query tokens compile the whole scorer to a
+    map-only codegen expression + distributed top-k — no explode, no
+    join; MaxSim is the reranker stage of two-stage serving (candidate
+    generation stays with the pooled-vector LSH/IVF probes)."""
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    assert len(qv) == _EMB_DIM
+    return S.maxsim_topk(emb, qv, k=10)
+
+
+def _q_hll_ndv_rollup(spark, sf_dir):
+    """The NDV CUBE over (event_type, day) from ONE events scan: HLL
+    registers built at the finest grain, every coarser grouping set —
+    per-type, per-day, global — derived by register-wise max (pure
+    sketch merging; raw data never re-read, no COUNT(DISTINCT) Expand).
+    The oracle replays the identical two-phase plan per level, so a
+    hash match proves the rolled-up estimates equal fresh-scan
+    estimates at every grain."""
+    ev = R.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    return SK.hll_ndv_rollup(ev, ["event_type", "day"], "user_id")
+
+
 _BUCKETED_JOIN_CACHE: dict[str, str] = {}
 
 
@@ -3479,6 +3538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: multi-phrase blocklist screening (per-length n-gram
         # broadcast join)
         "blocklist_filter": _q_blocklist_filter,
+        # r8: one-scan NDV cube by vertical sketch merging
+        "hll_ndv_rollup": _q_hll_ndv_rollup,
+        # r8: late-interaction MaxSim reranker (map-only codegen)
+        "maxsim_topk": _q_maxsim_topk,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5031,6 +5094,15 @@ GROUP BY o.o_orderpriority
 """,
         # r8: same normalization + per-length n-gram construction
         "blocklist_filter": TA.blocklist_filter_sql(_BLOCKLIST_PHRASES),
+        # r8: MaxSim with query tokens drawn from the table
+        "maxsim_topk": _maxsim_oracle_sql(),
+        # r8: same registers CTE + per-grouping-set register-max blocks
+        "hll_ndv_rollup": SK.hll_ndv_rollup_sql(
+            "events",
+            {"event_type": "event_type",
+             "day": "strftime(ts, '%Y-%m-%d')"},
+            "user_id",
+        ),
         # r8: result is layout-invariant — the oracle is the plain join;
         # what the entry adds is the in-plan zero-Exchange assertion
         "bucketed_join_revenue": f"""

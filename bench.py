@@ -147,6 +147,11 @@ HEADLINE = [
     # r8: N-phrase blocklist screening via per-length n-gram broadcast
     # join (one corpus pass per distinct phrase length, no UDF)
     "blocklist_filter",
+    # r8: one-scan NDV cube — registers at finest grain, coarser sets
+    # by register-wise max (no per-set rescan, no Expand)
+    "hll_ndv_rollup",
+    # r8: late-interaction MaxSim scorer (map-only codegen + top-k)
+    "maxsim_topk",
 ]
 
 

@@ -1003,3 +1003,165 @@ SELECT b AS bucket_ts,
        CAST({HLL_M} AS BIGINT) AS n_registers
 FROM r
 """
+
+
+def _hll_estimate_over(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The HLL estimator of :func:`hll_estimate_from_registers`,
+    generalized to arbitrary (possibly zero) grouping columns — the
+    building block of :func:`hll_ndv_rollup`."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    m = float(HLL_M)
+    est = agg.select(
+        *group_cols,
+        (F.col("present_sum") + (F.lit(m) - F.col("n_present"))).alias("s"),
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero"),
+    ).select(
+        *group_cols,
+        (F.lit(HLL_ALPHA) * F.lit(m) * F.lit(m) / F.col("s")).alias("e_raw"),
+        "n_zero",
+    )
+    lc = F.lit(m) * F.log(F.lit(m) / F.col("n_zero"))
+    return est.select(
+        *group_cols,
+        F.round(
+            F.when(
+                (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("n_zero") > 0),
+                lc,
+            ).otherwise(F.col("e_raw")),
+            4,
+        ).alias("estimate"),
+        F.lit(HLL_M).cast("long").alias("n_registers"),
+    )
+
+
+def hll_ndv_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    *,
+    grouping_sets: list[tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """The NDV CUBE from ONE raw-data scan — the mergeable-sketch
+    property applied vertically across a grouping hierarchy.
+
+    A naive cube of COUNT(DISTINCT) over k dimensions rescans (or
+    Expands) the fact table once per grouping set, and every set's
+    shuffle carries raw distinct values.  Here the HLL register table
+    is built ONCE at the finest grain (group_cols + reg → max rank);
+    every coarser grouping set is then derived from that table by
+    register-wise max — pure sketch merging, ≤ m rows per finest-grain
+    group through every later stage, raw data never re-read.  Because
+    register max is associative/commutative/idempotent, the rolled-up
+    estimate is EXACTLY what a fresh scan at that grain would produce
+    (the invariant the driver oracle checks level by level).
+
+    ``grouping_sets`` defaults to the full cube over ``group_cols``.
+    Output: (level, *group_cols ['(all)' where rolled up], estimate,
+    n_registers); ``level`` names the set ('(global)' for ()).
+
+    100 TB shape: the finest register table is the thing to persist —
+    per-batch tables fold in via :func:`hll_merge_registers` and this
+    rollup re-derives the whole cube from state that is millions of
+    times smaller than the corpus.
+    """
+    from functools import reduce
+    from itertools import combinations
+
+    if grouping_sets is None:
+        grouping_sets = [
+            tuple(c for c in group_cols if c in set(combo))
+            for r in range(len(group_cols), -1, -1)
+            for combo in combinations(group_cols, r)
+        ]
+    src = df.select(
+        *[F.col(c).cast("string").alias(c) for c in group_cols],
+        F.col(col).cast("string").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    regs = (
+        src.select(
+            *group_cols,
+            hll_register(F.col("_v")).alias("reg"),
+            hll_rank(F.col("_v")).alias("rank"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    outs = []
+    for gs in grouping_sets:
+        merged = regs.groupBy(*gs, "reg").agg(F.max("mx").alias("mx"))
+        est = _hll_estimate_over(merged, list(gs))
+        level = ",".join(gs) if gs else "(global)"
+        sel = [F.lit(level).alias("level")]
+        for c in group_cols:
+            sel.append(
+                F.col(c) if c in gs else F.lit("(all)").alias(c)
+            )
+        outs.append(est.select(*sel, "estimate", "n_registers"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def hll_ndv_rollup_sql(
+    table: str,
+    group_exprs: dict[str, str],
+    col: str,
+    *,
+    grouping_sets: list[tuple[str, ...]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`hll_ndv_rollup`: one registers CTE at the
+    finest grain, one register-max + estimator block per grouping set,
+    unioned.  ``group_exprs`` maps output column name → SQL expr."""
+    from itertools import combinations
+
+    names = list(group_exprs)
+    if grouping_sets is None:
+        grouping_sets = [
+            tuple(c for c in names if c in set(combo))
+            for r in range(len(names), -1, -1)
+            for combo in combinations(names, r)
+        ]
+    cv = f"CAST({col} AS VARCHAR)"
+    m = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+    src_cols = ", ".join(
+        f"CAST({e} AS VARCHAR) AS {n}" for n, e in group_exprs.items()
+    )
+    finest = ", ".join(names)
+    blocks = []
+    for gs in grouping_sets:
+        level = ",".join(gs) if gs else "(global)"
+        gsel = ", ".join(gs)
+        gpfx = f"{gsel}, " if gs else ""
+        gby = f"GROUP BY {gsel}" if gs else ""
+        out_cols = ", ".join(
+            n if n in gs else f"'(all)' AS {n}" for n in names
+        )
+        blocks.append(f"""
+  SELECT '{level}' AS level, {out_cols},
+         round(CASE WHEN e_raw <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                    AND n_zero > 0
+               THEN {m} * ln({m} / n_zero) ELSE e_raw END, 4)
+           AS estimate,
+         CAST({HLL_M} AS BIGINT) AS n_registers
+  FROM (
+    SELECT {gpfx}({alpha} * {m} * {m} /
+             (present_sum + ({m} - n_present))) AS e_raw,
+           ({HLL_M} - n_present) AS n_zero
+    FROM (
+      SELECT {gpfx}SUM(power(CAST(2.0 AS DOUBLE), -mx)) AS present_sum,
+             COUNT(*) AS n_present
+      FROM (SELECT {gpfx}reg, MAX(mx) AS mx FROM regs
+            GROUP BY {gpfx}reg) {gby})
+    )""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH src AS (
+  SELECT {src_cols}, {cv} AS _v FROM {table} WHERE {col} IS NOT NULL),
+regs AS (
+  SELECT {finest}, {hll_register_sql('_v')} AS reg,
+         MAX({hll_rank_sql('_v')}) AS mx
+  FROM src GROUP BY {finest}, reg)
+{union}
+"""

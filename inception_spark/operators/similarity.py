@@ -1726,3 +1726,104 @@ def contrastive_hard_negatives(
             F.col("neg_rank").cast("long").alias("neg_rank"),
         )
     )
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_subvecs: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (multi-vector, ColBERT-style) retrieval: each
+    side is a BAG of token vectors and score(doc) = Σ over query tokens
+    of the MAX cosine to any doc token — the MaxSim operator.  Bag
+    semantics catch partial topical matches that one pooled vector
+    averages away, which is why late-interaction rankers beat
+    single-vector retrieval on long documents.
+
+    Token vectors here are derived by slicing the stored embedding into
+    ``n_subvecs`` contiguous subvectors (deterministic fixture shaping;
+    a real multi-vector table feeds the same shapes).  Because the
+    query's token vectors are LITERALS, the whole scorer compiles to a
+    map-only codegen expression — per doc: n×n cosines, a ``greatest``
+    per query token, one fixed-order sum — with NO explode, NO join,
+    NO shuffle before the distributed top-k (TakeOrderedAndProject).
+    At 100 TB this scans with the same economics as cosine_topk; the
+    candidate-generation step for a real corpus is the existing
+    LSH/IVF pruning over the POOLED vector, with MaxSim as reranker
+    (the standard two-stage serving shape, cf. pq_topk_rerank).
+
+    Score is rounded to 6 decimals BEFORE ranking (engine-exact
+    ordering); the sum is a fixed left-to-right chain so Spark and the
+    SQL twin add in the same IEEE order.
+    """
+    import operator
+    from functools import reduce
+
+    dim = len(query_vec)
+    if dim % n_subvecs:
+        raise ValueError("maxsim_topk: dim must divide by n_subvecs")
+    sub = dim // n_subvecs
+    doc_slices = [
+        F.slice(F.col(vec_col), s * sub + 1, sub)
+        for s in range(n_subvecs)
+    ]
+    per_q = []
+    for s in range(n_subvecs):
+        qlit = F.array(
+            *[F.lit(float(x)) for x in query_vec[s * sub:(s + 1) * sub]]
+        )
+        per_q.append(F.greatest(*[cosine(d, qlit) for d in doc_slices]))
+    score = F.round(reduce(operator.add, per_q), 6)
+    scored = df.select(
+        F.col(id_col).alias("vec_id"), score.alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def maxsim_topk_sql(
+    table: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_subvecs: int = 4,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`maxsim_topk`: identical slicing, identical
+    greatest-then-fixed-order-sum, 6-dp round before ranking."""
+    from inception_spark.functions.vectors import cosine_sql
+
+    dim = len(query_vec)
+    sub = dim // n_subvecs
+    per_q = []
+    for s in range(n_subvecs):
+        qlit = (
+            "["
+            + ", ".join(f"{float(x)!r}" for x in
+                        query_vec[s * sub:(s + 1) * sub])
+            + "]"
+        )
+        cosines = [
+            cosine_sql(
+                f"{vec_col}[{d * sub + 1}:{(d + 1) * sub}]", qlit
+            )
+            for d in range(n_subvecs)
+        ]
+        per_q.append("greatest(" + ", ".join(cosines) + ")")
+    chain = per_q[0]
+    for t in per_q[1:]:
+        chain = f"({chain} + {t})"
+    return f"""
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+         AS rank
+FROM (SELECT vec_id, round({chain}, 6) AS score FROM {table})
+ORDER BY score DESC, vec_id LIMIT {k}
+"""

@@ -211,3 +211,72 @@ def test_contrastive_negatives_deterministic_and_bucketed(spark):
     again = sorted(map(tuple, contrastive_hard_negatives(
         emb.repartition(13), k=3, bits=6).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+class TestMaxSim:
+    def test_maxsim_beats_pooled_on_partial_match(self, spark):
+        """The property MaxSim exists for: a doc matching ONE query
+        token exactly outranks a doc that is mediocre everywhere, even
+        when their pooled cosines order the other way."""
+        from inception_spark.operators.similarity import maxsim_topk
+
+        # 8-dim, 2 subvecs of 4.  Query: token A = e0, token B = e4.
+        q = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+        rows = [
+            # doc 1: first token == query token A exactly, second
+            # token orthogonal to both
+            (1, [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+            # doc 2: both tokens mediocre (cos ~0.5 to each query token)
+            (2, [1.0, 1.7, 0.0, 0.0, 1.0, 1.7, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r["vec_id"]: r["score"]
+            for r in maxsim_topk(df, q, k=2, n_subvecs=2).collect()
+        }
+        # doc1 maxsim: max(1.0, 0) + max(0, ~0.7) — dominated by exact hit
+        assert out[1] > out[2]
+
+    def test_matches_duckdb_twin_and_plan_is_map_only(self, spark):
+        import duckdb
+
+        from inception_spark.operators.similarity import (
+            maxsim_topk,
+            maxsim_topk_sql,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        qv = list(emb.filter("vec_id = 0").head()["embedding"])
+        out = maxsim_topk(emb, qv, k=10)
+        s = [tuple(r) for r in out.collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        o = [
+            tuple(r)
+            for r in con.execute(
+                maxsim_topk_sql("embeddings", qv, k=10)
+            ).fetchall()
+        ]
+        assert s == o
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan  # map + distributed top-k only
+
+    def test_rejects_indivisible_dim(self, spark):
+        import pytest as _pytest
+
+        from inception_spark.operators.similarity import maxsim_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="divide"):
+            maxsim_topk(df, [1.0, 2.0, 3.0], n_subvecs=2)

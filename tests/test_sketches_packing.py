@@ -353,3 +353,48 @@ def test_cumulative_ndv_monotone_and_final_equals_global(spark):
     assert curve[4] == curve[2]  # day 4 adds no new users
     glob = hll_ndv(df, "user_id").collect()[0].estimate
     assert curve[4] == glob
+
+
+def test_hll_rollup_equals_fresh_scan_at_every_grain(spark):
+    """The property that makes the one-scan NDV cube sound: estimating
+    from register-wise-max rolled-up state equals estimating from a
+    fresh scan grouped at that grain — for every grouping set,
+    including global."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.sketches import (
+        hll_ndv,
+        hll_ndv_by_group,
+        hll_ndv_rollup,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    cube = {
+        tuple(r[:3]): r["estimate"]
+        for r in hll_ndv_rollup(
+            ev, ["event_type", "day"], "user_id"
+        ).collect()
+    }
+    # per-type grain vs fresh grouped scan
+    fresh_type = {
+        r["grp"]: r["estimate"]
+        for r in hll_ndv_by_group(ev, "event_type", "user_id").collect()
+    }
+    for t, est in fresh_type.items():
+        assert cube[("event_type", t, "(all)")] == est
+    # per-day grain
+    fresh_day = {
+        r["grp"]: r["estimate"]
+        for r in hll_ndv_by_group(ev, "day", "user_id").collect()
+    }
+    for d, est in fresh_day.items():
+        assert cube[("day", "(all)", d)] == est
+    # global grain vs the ungrouped estimator
+    g = hll_ndv(ev, "user_id").collect()[0]["estimate"]
+    assert cube[("(global)", "(all)", "(all)")] == g
