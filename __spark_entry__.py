@@ -2535,6 +2535,23 @@ def _q_maxsim_topk(spark, sf_dir):
     return S.maxsim_topk(emb, qv, k=10)
 
 
+def _q_streaming_blocklist_gate(spark, sf_dir):
+    """Blocklist screening IN STREAM — the ingest-time gate: the
+    row-local stateless form (no join, no aggregation, so append-mode
+    streaming needs no watermark/state) runs unchanged over Structured
+    Streaming micro-batches; each document is one source row, so the
+    union of batch outputs equals the batch run exactly and the entry
+    shares blocklist_filter's oracle."""
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return run_stream_to_parquet(
+        spark,
+        docs,
+        lambda s: TA.blocklist_hits_stateless(s, _BLOCKLIST_PHRASES),
+    )
+
+
 def _q_hll_ndv_rollup(spark, sf_dir):
     """The NDV CUBE over (event_type, day) from ONE events scan: HLL
     registers built at the finest grain, every coarser grouping set —
@@ -3542,6 +3559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_rollup": _q_hll_ndv_rollup,
         # r8: late-interaction MaxSim reranker (map-only codegen)
         "maxsim_topk": _q_maxsim_topk,
+        # r8: exact-integer-weight EWMA smoother (8-lag window)
+        "events_ewma": R.events_ewma,
+        # r8: the blocklist gate live (stateless row-local form)
+        "streaming_blocklist_gate": _q_streaming_blocklist_gate,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5096,6 +5117,12 @@ GROUP BY o.o_orderpriority
         "blocklist_filter": TA.blocklist_filter_sql(_BLOCKLIST_PHRASES),
         # r8: MaxSim with query tokens drawn from the table
         "maxsim_topk": _maxsim_oracle_sql(),
+        # r8: same integer weights + lag chain as the Spark EWMA
+        "events_ewma": R.events_ewma_sql(),
+        # r8: streaming twin is result-identical to the batch screen
+        "streaming_blocklist_gate": TA.blocklist_filter_sql(
+            _BLOCKLIST_PHRASES
+        ),
         # r8: same registers CTE + per-grouping-set register-max blocks
         "hll_ndv_rollup": SK.hll_ndv_rollup_sql(
             "events",

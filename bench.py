@@ -152,6 +152,8 @@ HEADLINE = [
     "hll_ndv_rollup",
     # r8: late-interaction MaxSim scorer (map-only codegen + top-k)
     "maxsim_topk",
+    # r8: exact-integer-weight EWMA (8 lags, one window shuffle)
+    "events_ewma",
 ]
 
 

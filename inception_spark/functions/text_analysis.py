@@ -2039,3 +2039,55 @@ g AS (
 SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM g GROUP BY doc_id, phrase
 """
+
+
+def blocklist_hits_stateless(
+    df,
+    phrases: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Row-local twin of :func:`blocklist_filter` — no join, no
+    aggregation, so it runs UNCHANGED over Structured Streaming
+    micro-batches (the live ingest gate): per row, every phrase's
+    occurrence count is a pure array expression (n-gram transform +
+    filter + size).  Work is O(words × n_phrases) per row, so for
+    large phrase lists prefer the broadcast-join form; the two are
+    result-identical by construction (pinned in tests and by the
+    streaming driver entry sharing blocklist_filter's oracle)."""
+    from pyspark.sql import functions as F
+
+    from . import hashing as H
+
+    norm: dict[str, int] = {}
+    for p in phrases:
+        terms = _phrase_terms(p)
+        norm[" ".join(terms)] = len(terms)
+    entries = F.array(*[
+        F.struct(F.lit(k).alias("phrase"), F.lit(n).alias("n"))
+        for k, n in sorted(norm.items())
+    ])
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        H.words(F.col(text_col)).alias("ws"),
+        F.explode(entries).alias("p"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - F.col("p.n") + 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("ws"), i, F.col("p.n"))
+        ),
+    )
+    n_hits = F.when(
+        F.size("ws") >= F.col("p.n"),
+        F.size(F.filter(grams, lambda g: g == F.col("p.phrase"))),
+    ).otherwise(F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            F.col("p.phrase").alias("phrase"),
+            n_hits.cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

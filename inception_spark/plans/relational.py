@@ -1255,6 +1255,77 @@ def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: events_ewma weights: alpha=1/4 decay over an 8-lag window, scaled to
+#: EXACT integers — w_j = 3^j * 4^(7-j), so w_0=16384 (newest) down to
+#: w_7=2187.  Truncating the tail (weights beyond lag 7 are < 12% of
+#: mass) is what makes the recursive EWMA definition a bounded window
+#: expression both engines evaluate identically.
+EWMA_WEIGHTS = [3**j * 4 ** (7 - j) for j in range(8)]
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the value
+    series — the standard monitoring/trend smoother, in the exact-
+    arithmetic house style: the geometric decay (1-α)^j is scaled to
+    the integer weights ``EWMA_WEIGHTS``, the numerator is an exact
+    decimal Σ w_j·v_{t-j} over the 8-lag frame, the denominator counts
+    only the weights whose lag exists (partial frames at series start
+    are exact, mirroring events_rolling_avg), and only the FINAL
+    divide is a double.  8 ``lag`` columns over one per-user window —
+    single shuffle on user_id, codegen arithmetic, no self-join."""
+    from functools import reduce
+    from operator import add
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    v = F.col("value").cast("decimal(18,4)")
+    lags = [v if j == 0 else F.lag(v, j).over(w)
+            for j in range(len(EWMA_WEIGHTS))]
+    numer = reduce(add, [
+        F.coalesce(lag * F.lit(wt), F.lit(0).cast("decimal(18,4)"))
+        for lag, wt in zip(lags, EWMA_WEIGHTS)
+    ])
+    denom = reduce(add, [
+        F.when(lag.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        for lag, wt in zip(lags, EWMA_WEIGHTS)
+    ])
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.round(numer.cast("double") / denom, 6).alias("ewma"),
+    )
+
+
+def events_ewma_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`events_ewma` — same integer weights, same
+    lag chain, same exact-decimal numerator / integer denominator."""
+    n_terms = []
+    d_terms = []
+    for j, wt in enumerate(EWMA_WEIGHTS):
+        lag = "v" if j == 0 else f"lag(v, {j}) OVER w"
+        n_terms.append(
+            f"COALESCE(({lag}) * {wt}, CAST(0 AS DECIMAL(18,4)))"
+        )
+        d_terms.append(
+            f"CASE WHEN ({lag}) IS NULL THEN 0 ELSE {wt} END"
+        )
+    numer = " + ".join(n_terms)
+    denom = " + ".join(d_terms)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,4)) AS v
+  FROM {table} WHERE value IS NOT NULL)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       round(CAST({numer} AS DOUBLE) / ({denom}), 6) AS ewma
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day
     (cohort), counted by how many distinct days-since-cohort they were

@@ -1229,3 +1229,46 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         colocated_join(
             spark, "t_bkt_li", "t_bkt_o4", "l_orderkey", "o_orderkey"
         )
+
+
+def test_events_ewma_matches_truncated_recursion(spark, tmp_path):
+    """The integer-weight window form equals the literal truncated
+    EWMA recursion y_t = Σ w_j v_{t-j} / Σ w_j computed in Python,
+    including the partial frames at the start of the series."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import (
+        EWMA_WEIGHTS,
+        events_ewma,
+    )
+
+    vals = [10.0, 20.0, 5.0, 5.0, 80.0, 1.0, 2.0, 3.0, 4.0, 100.0]
+    rows = pd.DataFrame(
+        {
+            "event_id": list(range(1, 11)),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:{m:02d}:00" for m in range(10)]
+            ),
+            "user_id": [7] * 10,
+            "event_type": ["a"] * 10,
+            "value": vals,
+            "props": ["{}"] * 10,
+        }
+    )
+    rows.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in events_ewma(spark, str(tmp_path)).collect()
+    }
+    for t in range(len(vals)):
+        terms = [
+            (wt, vals[t - j])
+            for j, wt in enumerate(EWMA_WEIGHTS)
+            if t - j >= 0
+        ]
+        expect = round(
+            sum(w * v for w, v in terms) / sum(w for w, _ in terms), 6
+        )
+        assert abs(got[t + 1] - expect) < 1e-9, (t, got[t + 1], expect)
+    # newest sample dominates: weight ratio w0 / sum = 16384/~54k
+    assert got[10] > 30  # the 100.0 at t=9 pulls hard immediately

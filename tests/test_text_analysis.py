@@ -222,3 +222,24 @@ class TestBlocklistFilter:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_stateless_form_equals_join_form(self, spark):
+        """blocklist_hits_stateless (the streaming-safe row-local form)
+        must be result-identical to the broadcast-join form."""
+        from inception_spark.functions.text_analysis import (
+            blocklist_filter,
+            blocklist_hits_stateless,
+        )
+
+        docs = self._docs(spark, [
+            (1, "a HASH   join, then hash join again; row Row ROW"),
+            (2, "slow scan! and nothing else"),
+            (3, "one two three four"),
+            (4, "no matches here"),
+            (5, ""),
+        ])
+        a = sorted(map(tuple, blocklist_filter(docs, self.PHRASES).collect()))
+        b = sorted(
+            map(tuple, blocklist_hits_stateless(docs, self.PHRASES).collect())
+        )
+        assert a == b
