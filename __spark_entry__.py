@@ -118,7 +118,10 @@ from inception_spark.operators.sampling import (
 from inception_spark.operators import multimodal as MM
 from inception_spark.operators import pca as PCA
 from inception_spark.operators import profile as PROF
-from inception_spark.operators.linkage import fs_linkage_scores_sql
+from inception_spark.operators.linkage import (
+    fs_linkage_scores_sql,
+    golden_record_sql,
+)
 from inception_spark.operators.chunking import chunk_documents
 from inception_spark.operators.layout import (
     assign_global_ids,
@@ -2535,6 +2538,53 @@ def _q_maxsim_topk(spark, sf_dir):
     return S.maxsim_topk(emb, qv, k=10)
 
 
+def _q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join.  The synthetic word-bag
+    corpus has NO rare terms (every word's df ≈ |corpus|), so both
+    engines append two deterministic rare tokens per doc (u<doc_id%100>,
+    v<doc_id%125> — df 4-50 across sf tiers) to give the pruned vector
+    space content; the shared-u-only stratum lands at cosine ≈ 0.5 and
+    the shared-both stratum at 1.0, so min_score=0.4 exercises the gate
+    with both kept and dropped pairs.  max_df=64 is the pair-economy
+    cap (join fan-out Σ df²)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" v"), (F.col("doc_id") % 125).cast("string"),
+        ).alias("text"),
+    )
+    return TA.tfidf_cosine_pairs(docs, max_df=64, min_score=0.4)
+
+
+def _q_golden_record(spark, sf_dir):
+    """Survivorship after entity resolution: documents grouped into
+    deterministic 4-member clusters (doc_id//4 — the fixture stand-in
+    for linkage/dedup components), fields lang/source with injected
+    NULLs (%3 / %5), policy = latest-non-null by recency with id
+    tiebreak, provenance per field.  ONE hash aggregate of null-gated
+    lexicographic struct maxes — no window, no per-field pass
+    (operators/linkage.py golden_record)."""
+    from inception_spark.operators.linkage import golden_record
+
+    recs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 4).cast("long").alias("cluster"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 5 != 0, F.col("source")).alias(
+            "source"
+        ),
+    )
+    return golden_record(
+        recs,
+        cluster_col="cluster",
+        fields=["lang", "source"],
+        recency_col="doc_id",
+        id_col="doc_id",
+    )
+
+
 def _q_streaming_blocklist_gate(spark, sf_dir):
     """Blocklist screening IN STREAM — the ingest-time gate: the
     row-local stateless form (no join, no aggregation, so append-mode
@@ -3563,6 +3613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": R.events_ewma,
         # r8: the blocklist gate live (stateless row-local form)
         "streaming_blocklist_gate": _q_streaming_blocklist_gate,
+        # r8: MDM survivorship (latest-non-null + provenance, one agg)
+        "golden_record": _q_golden_record,
+        # r8: sparse TF-IDF cosine similarity join (df-capped postings)
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5122,6 +5176,26 @@ GROUP BY o.o_orderpriority
         # r8: streaming twin is result-identical to the batch screen
         "streaming_blocklist_gate": TA.blocklist_filter_sql(
             _BLOCKLIST_PHRASES
+        ),
+        # r8: identical rare-token injection + df-capped postings join
+        "tfidf_cosine_pairs": TA.tfidf_cosine_pairs_sql(
+            "(SELECT doc_id, text || ' u' || CAST(doc_id % 100 AS "
+            "VARCHAR) || ' v' || CAST(doc_id % 125 AS VARCHAR) AS text"
+            " FROM documents)",
+            max_df=64,
+            min_score=0.4,
+        ),
+        # r8: same null-gated struct-max survivorship over the same
+        # injected-NULL fixture
+        "golden_record": golden_record_sql(
+            "(SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS cluster, "
+            "CASE WHEN doc_id % 3 != 0 THEN lang END AS lang, "
+            "CASE WHEN doc_id % 5 != 0 THEN source END AS source "
+            "FROM documents)",
+            cluster_expr="cluster",
+            fields=["lang", "source"],
+            recency_col="doc_id",
+            id_col="doc_id",
         ),
         # r8: same registers CTE + per-grouping-set register-max blocks
         "hll_ndv_rollup": SK.hll_ndv_rollup_sql(

@@ -154,6 +154,10 @@ HEADLINE = [
     "maxsim_topk",
     # r8: exact-integer-weight EWMA (8 lags, one window shuffle)
     "events_ewma",
+    # r8: sparse TF-IDF cosine pair join (df-capped postings self-join)
+    "tfidf_cosine_pairs",
+    # r8: survivorship aggregate (struct-max, one shuffle)
+    "golden_record",
 ]
 
 

@@ -2091,3 +2091,140 @@ def blocklist_hits_stateless(
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+def tfidf_cosine_pairs(
+    df,
+    *,
+    max_df: int = 20,
+    min_score: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sparse-vector similarity join: document pairs by TF-IDF cosine —
+    the classic lexical near-duplicate/related-content metric, computed
+    as a POSTINGS SELF-JOIN rather than anything dense.
+
+    The scale lever is ``max_df``: terms appearing in more than
+    ``max_df`` documents are dropped from the vector space BEFORE the
+    join.  That is simultaneously the quality convention (stop-terms
+    carry no signal; their idf ≈ 0) and the pair-generation economy —
+    the join fan-out is Σ df² over surviving terms, so capping df caps
+    the quadratic exactly like the prefix filter in jaccard_prefix_pairs
+    (a term in df docs contributes df² candidate pairs; uncapped 'the'
+    is the whole corpus²).  The operator is DEFINED over the pruned
+    vocabulary: weights, norms, and scores all use it consistently.
+
+    Determinism: weight = round(tf · ln(1 + N/df), 6) as DECIMAL(18,6)
+    (the doc_unigram_logprob discipline), dot products and squared
+    norms are exact decimal sums — order-independent across the
+    shuffle — and only the final cosine divides in double, rounded to
+    6 dp before the ``min_score`` gate.
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b,
+    cosine ≥ min_score.
+    """
+    from pyspark.sql import functions as F
+
+    from . import hashing as H
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(H.words(F.col(text_col))).alias("w"),
+    )
+    tf = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    wt = (
+        tf.join(dfreq.filter(F.col("df") <= max_df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("wt"),
+        )
+    )
+    norms = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    a = wt.select(
+        F.col("doc_id").alias("doc_a"), "w", F.col("wt").alias("wa")
+    )
+    b = wt.select(
+        F.col("doc_id").alias("doc_b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_score)
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    table: str = "documents",
+    *,
+    max_df: int = 20,
+    min_score: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_pairs`."""
+    from . import hashing as H
+
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({H.words_sql('text')}) AS w FROM {table}),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM ex GROUP BY doc_id, w),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+          HAVING COUNT(*) <= {max_df}),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+       FROM {table}),
+wt AS (
+  SELECT doc_id, w,
+         CAST(round(tf * ln(CAST(1.0 AS DOUBLE) + n_docs / df), 6)
+              AS DECIMAL(18,6)) AS wt
+  FROM tf JOIN dfreq USING (w), nd),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(wt * wt) AS DOUBLE)) AS nrm
+  FROM wt GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt * b.wt) AS dot
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6)
+      >= CAST({min_score!r} AS DOUBLE)
+"""

@@ -64,3 +64,50 @@ def test_fs_empty_input_returns_empty(spark):
     out = fs_linkage_scores(df, fields=["f"], block_col="blk")
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "n_agree", "score"]
+
+
+class TestGoldenRecord:
+    def test_latest_non_null_wins_with_provenance(self, spark):
+        from inception_spark.operators.linkage import golden_record
+
+        rows = [
+            # cluster 1: newest (id 3) has NULL email — survivor email
+            # must come from id 2, name from id 3
+            (1, 1, "Ann", "a@x.com"),
+            (2, 1, "Anne", "ann@x.com"),
+            (3, 1, "Anne B.", None),
+            # cluster 2: field NULL everywhere stays NULL
+            (4, 2, "Bob", None),
+            (5, 2, None, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "rid long, cluster long, name string, email string"
+        )
+        out = {
+            r["cluster_id"]: r
+            for r in golden_record(
+                df, cluster_col="cluster", fields=["name", "email"],
+                recency_col="rid", id_col="rid",
+            ).collect()
+        }
+        c1 = out[1]
+        assert c1["n_records"] == 3
+        assert c1["name"] == "Anne B." and c1["name_src"] == 3
+        assert c1["email"] == "ann@x.com" and c1["email_src"] == 2
+        c2 = out[2]
+        assert c2["name"] == "Bob" and c2["name_src"] == 4
+        assert c2["email"] is None and c2["email_src"] is None
+
+    def test_single_aggregate_plan(self, spark):
+        from inception_spark.operators.linkage import golden_record
+
+        df = spark.createDataFrame(
+            [(1, 1, "a")], "rid long, cluster long, name string"
+        )
+        out = golden_record(
+            df, cluster_col="cluster", fields=["name"],
+            recency_col="rid", id_col="rid",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Join" not in plan
+        assert plan.count("Exchange") <= 1  # the one groupBy shuffle

@@ -243,3 +243,59 @@ class TestBlocklistFilter:
             map(tuple, blocklist_hits_stateless(docs, self.PHRASES).collect())
         )
         assert a == b
+
+
+class TestTfidfCosinePairs:
+    def test_hand_computed_cosine(self, spark):
+        from inception_spark.functions.text_analysis import (
+            tfidf_cosine_pairs,
+        )
+
+        # 4 docs; 'rare' in 2 docs, 'common' in all 4 (pruned at
+        # max_df=3), 'solo' in 1.  Pair (1,2) shares only 'rare'.
+        docs = spark.createDataFrame(
+            [
+                (1, "rare common solo"),
+                (2, "rare common"),
+                (3, "common other"),
+                (4, "common other"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(
+                docs, max_df=3, min_score=0.0
+            ).collect()
+        }
+        import math
+
+        n = 4.0
+        w_rare = round(math.log(1 + n / 2), 6)
+        w_solo = round(math.log(1 + n / 1), 6)
+        w_other = round(math.log(1 + n / 2), 6)
+        # doc1 = {rare, solo}, doc2 = {rare}: cos = wr²/(|d1||d2|)
+        expect_12 = round(
+            w_rare * w_rare
+            / (math.hypot(w_rare, w_solo) * w_rare),
+            6,
+        )
+        assert abs(out[(1, 2)] - expect_12) < 1e-6
+        # docs 3,4 are identical over the pruned vocab {other}
+        assert out[(3, 4)] == 1.0
+        # 'common' was pruned: docs sharing only it produce no pair
+        assert (1, 3) not in out and (2, 4) not in out
+
+    def test_df_cap_bounds_fanout(self, spark):
+        """A term over the df cap contributes ZERO candidate pairs —
+        the quadratic is capped before the join, not filtered after."""
+        from inception_spark.functions.text_analysis import (
+            tfidf_cosine_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "everywhere") for i in range(30)],
+            "doc_id long, text string",
+        )
+        out = tfidf_cosine_pairs(docs, max_df=10, min_score=0.0)
+        assert out.count() == 0
