@@ -2558,6 +2558,71 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
     return TA.tfidf_cosine_pairs(docs, max_df=64, min_score=0.4)
 
 
+def _q_streaming_late_data_audit(spark, sf_dir):
+    """Watermark late-data semantics, pinned against the documented
+    drop rule over a CONTROLLED micro-batch order
+    (run_stream_ordered_batches — mtime-ordered files,
+    maxFilesPerTrigger=1):
+
+      batch 0  on-time rows (event_id % 7 != 0)
+      batch 1  a single max_ts+1s "advancer" row — its batch END is
+               when the watermark (delay 1 h) passes the old windows'
+               ends and their state is EVICTED + emitted
+      batch 2  the late rows (% 7 == 0) — those landing in evicted
+               windows are DROPPED; those within the 1 h threshold
+               still aggregate
+      batch 3  far-future sentinel closes the remaining windows
+               (its own window never closes, so it never appears)
+
+    Empirically pinned detail the docs leave loose: late rows are NOT
+    filtered merely because the watermark passed — they drop only once
+    the window's state was evicted in an EARLIER batch (a
+    3-batch run without the advancer keeps all 143 late rows; the
+    4-batch run drops exactly the evicted-window ones).  The oracle
+    replays the resulting keep rule: late row kept iff
+    window_end > (max_on_time_ts + 1 s) - 1 h."""
+    import datetime
+
+    from inception_spark.streaming.pipeline import (
+        run_stream_ordered_batches,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "event_id",
+    )
+    on_time = ev.filter("event_id % 7 != 0")
+    late = ev.filter("event_id % 7 = 0")
+    mx = ev.agg(F.max("ts")).head()[0]
+    adv = spark.createDataFrame(
+        [(mx + datetime.timedelta(seconds=1), "advance", -2)], ev.schema
+    )
+    sent = spark.createDataFrame(
+        [(mx + datetime.timedelta(days=10), "zz_sentinel", -1)],
+        ev.schema,
+    )
+
+    def tr(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type",
+                F.col("count").cast("long").alias("n_events"),
+            )
+        )
+
+    out = run_stream_ordered_batches(spark, [on_time, adv, late, sent], tr)
+    assert out.filter("event_type = 'zz_sentinel'").count() == 0, (
+        "sentinel window leaked — watermark flush semantics changed"
+    )
+    return out
+
+
 def _q_golden_record(spark, sf_dir):
     """Survivorship after entity resolution: documents grouped into
     deterministic 4-member clusters (doc_id//4 — the fixture stand-in
@@ -3617,6 +3682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": _q_golden_record,
         # r8: sparse TF-IDF cosine similarity join (df-capped postings)
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        # r8: median/MAD outliers (robust twin of events_anomaly;
+        # thresholds from the content-hash sample, broadcast back)
+        "events_robust_anomaly": R.events_robust_anomaly,
+        # r8: watermark eviction/late-drop semantics, batch-order pinned
+        "streaming_late_data_audit": _q_streaming_late_data_audit,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5177,6 +5247,28 @@ GROUP BY o.o_orderpriority
         "streaming_blocklist_gate": TA.blocklist_filter_sql(
             _BLOCKLIST_PHRASES
         ),
+        # r8: same content-hash sample -> median/MAD -> modified z
+        "events_robust_anomaly": R.events_robust_anomaly_sql(),
+        # r8: replay of the empirically-pinned eviction/drop rule —
+        # late rows kept iff window_end > (max_on_time + 1s) - 1h,
+        # plus the advancer row's own singleton window
+        "streaming_late_data_audit": """
+WITH t1 AS (SELECT max(ts) AS mx FROM events WHERE event_id % 7 <> 0),
+keep AS (
+  SELECT e.* FROM events e, t1
+  WHERE event_id % 7 <> 0
+     OR date_trunc('hour', ts) + INTERVAL 1 HOUR
+        > mx + INTERVAL 1 SECOND - INTERVAL 1 HOUR)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM keep GROUP BY 1, 2
+UNION ALL
+SELECT strftime(date_trunc('hour', mx + INTERVAL 1 SECOND),
+                '%Y-%m-%d %H:%M:%S'),
+       'advance', CAST(1 AS BIGINT)
+FROM t1
+""",
         # r8: identical rare-token injection + df-capped postings join
         "tfidf_cosine_pairs": TA.tfidf_cosine_pairs_sql(
             "(SELECT doc_id, text || ' u' || CAST(doc_id % 100 AS "

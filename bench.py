@@ -158,6 +158,8 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     # r8: survivorship aggregate (struct-max, one shuffle)
     "golden_record",
+    # r8: median/MAD outliers (sample thresholds + broadcast scoring)
+    "events_robust_anomaly",
 ]
 
 

@@ -1326,6 +1326,98 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def events_robust_anomaly(
+    spark: SparkSession, sf_dir: str, *, rate: float = 0.5
+) -> DataFrame:
+    """Median/MAD outliers — the robust twin of :func:`events_anomaly`:
+    modified z = 0.6745·(x − median)/MAD, flag |z| ≥ 3.5 (the
+    Iglewicz–Hoaglin rule).  Mean/std anomaly scoring breaks down
+    exactly when you need it (the outliers you're hunting inflate the
+    std and mask themselves); median and MAD have a 50% breakdown
+    point.
+
+    Scale shape mirrors user_rfm_segments/grouped_quantiles: exact
+    per-type medians would globally sort the fact table, so BOTH
+    thresholds (median, then MAD = median of |x − med| over the same
+    sample) come from the deterministic content-hash sample — sample
+    membership is a row property, so the thresholds are reproducible
+    across engines, runs, and partitionings — and ride a per-type
+    broadcast back onto the full fact scan, where scoring is pure
+    projection.  Two sample-sized aggregates + one broadcast join; the
+    fact is scanned once.
+
+    Filter uses the unrounded z (the displayed 4-dp round could flip a
+    boundary row); MAD = 0 types produce NULL z and drop out, same as
+    the std = 0 guard in events_anomaly."""
+    from inception_spark.functions.hashing import h28
+
+    ev = load_events(spark, sf_dir)
+    thresh = int(rate * (1 << 28))
+    sample = ev.filter(
+        h28(F.concat(F.lit("ra\x1f"), F.col("event_id").cast("string")))
+        < F.lit(thresh)
+    ).select("event_type", F.col("value").cast("double").alias("v"))
+    med = sample.groupBy("event_type").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        sample.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("v") - F.col("med")).alias("ad")
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    rz = (
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) >= 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )
+
+
+def events_robust_anomaly_sql(
+    table: str = "events", *, rate: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`events_robust_anomaly`."""
+    from inception_spark.functions.hashing import h28_sql
+
+    thresh = int(rate * (1 << 28))
+    h = h28_sql("'ra' || chr(31) || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH s AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM {table} WHERE {h} < {thresh}),
+med AS (
+  SELECT event_type,
+         round(quantile_cont(v, CAST(0.5 AS DOUBLE)), 6) AS med
+  FROM s GROUP BY event_type),
+mad AS (
+  SELECT s.event_type,
+         round(quantile_cont(abs(s.v - med.med),
+                             CAST(0.5 AS DOUBLE)), 6) AS mad
+  FROM s JOIN med USING (event_type) GROUP BY s.event_type),
+st AS (SELECT med.event_type, med, mad FROM med JOIN mad USING (event_type))
+SELECT e.event_id, e.event_type, e.value,
+       round(CAST(0.6745 AS DOUBLE) * (e.value - st.med) / st.mad, 4)
+         AS robust_z
+FROM {table} e JOIN st ON e.event_type = st.event_type
+WHERE st.mad > 0
+  AND abs(CAST(0.6745 AS DOUBLE) * (e.value - st.med) / st.mad)
+      >= CAST(3.5 AS DOUBLE)
+"""
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day
     (cohort), counted by how many distinct days-since-cohort they were

@@ -530,3 +530,65 @@ def run_stream_batch_partials(
         "identity must hold ACROSS batch partials, not within one"
     )
     return spark.read.parquet(out).drop("batch")
+
+
+def run_stream_ordered_batches(
+    spark: SparkSession,
+    batches: list,
+    transform,
+    *,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Execute a streaming transform with a CONTROLLED micro-batch
+    order: ``batches[i]`` becomes exactly micro-batch i (one parquet
+    file per batch, ``maxFilesPerTrigger=1``, file mtimes forced
+    monotone because FileStreamSource drains oldest-modification-time
+    first).  This is the harness for semantics that depend on WHEN the
+    watermark advances — late-data dropping, state eviction — which
+    run_stream_to_parquet's single staged file cannot express.
+    Returns the union of all emitted append batches."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="inception_stream_ord_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    _os.makedirs(src)
+    for i, b in enumerate(batches):
+        stage = f"{work}/stage{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = sorted(_glob.glob(f"{stage}/part-*.parquet"))[0]
+        dst = f"{src}/b{i:03d}.parquet"
+        _shutil.move(part, dst)
+        t = 1_000_000_000 + i * 1000
+        _os.utime(dst, (t, t))
+    n_batches = {"n": 0}
+
+    def sink(bdf, eid):
+        n_batches["n"] += 1
+        bdf.write.mode("overwrite").parquet(f"{out}/batch={eid}")
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"ordered stream did not drain within {timeout_sec}s"
+        )
+    assert n_batches["n"] >= len(batches), (
+        f"expected >= {len(batches)} micro-batches, got "
+        f"{n_batches['n']} — batch order was not preserved"
+    )
+    return spark.read.parquet(out).drop("batch")

@@ -1272,3 +1272,43 @@ def test_events_ewma_matches_truncated_recursion(spark, tmp_path):
         assert abs(got[t + 1] - expect) < 1e-9, (t, got[t + 1], expect)
     # newest sample dominates: weight ratio w0 / sum = 16384/~54k
     assert got[10] > 30  # the 100.0 at t=9 pulls hard immediately
+
+
+def test_events_robust_anomaly_resists_masking(spark, tmp_path):
+    """The case MAD exists for: one colossal outlier inflates the std
+    enough to mask a second, smaller outlier from the z-score rule, but
+    median/MAD flags both."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import (
+        events_anomaly,
+        events_robust_anomaly,
+    )
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.0, 9.0, 10.0, 10.5,
+            9.5, 10.0, 200.0, 40.0]
+    rows = pd.DataFrame(
+        {
+            "event_id": list(range(1, len(vals) + 1)),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:{m:02d}:00" for m in range(len(vals))]
+            ),
+            "user_id": [1] * len(vals),
+            "event_type": ["a"] * len(vals),
+            "value": vals,
+            "props": ["{}"] * len(vals),
+        }
+    )
+    rows.to_parquet(str(tmp_path / "events.parquet"))
+    # rate=1.0: thresholds from the full (tiny) fixture
+    robust = {
+        r["event_id"]
+        for r in events_robust_anomaly(
+            spark, str(tmp_path), rate=1.0
+        ).collect()
+    }
+    classic = {
+        r["event_id"] for r in events_anomaly(spark, str(tmp_path)).collect()
+    }
+    assert 13 in robust and 14 in robust     # both outliers flagged
+    assert 14 not in classic                 # masked by the 200.0

@@ -501,3 +501,51 @@ def test_stream_partials_covariance_bit_identical(spark):
         for r in PCA.embedding_covariance(emb).collect()
     }
     assert live == batch
+
+
+def test_ordered_batches_eviction_gates_late_drop(spark):
+    """The empirical pin behind streaming_late_data_audit: a late row
+    is dropped ONLY if its window's state was evicted in an earlier
+    batch — the watermark merely passing the window end is not enough.
+    Same data, two batch orders, opposite outcomes."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from inception_spark.streaming.pipeline import (
+        run_stream_ordered_batches,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, event_type string, event_id long"
+    on_time = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=10), "a", 1)], schema
+    )
+    late = spark.createDataFrame([(base, "old", 2)], schema)
+    adv = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=10, seconds=1), "adv", 3)],
+        schema,
+    )
+    sent = spark.createDataFrame(
+        [(base + datetime.timedelta(days=30), "zz", 4)], schema
+    )
+
+    def tr(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+            .select("event_type", F.col("count").alias("n"))
+        )
+
+    # late row arrives BEFORE any eviction: survives despite being 10h
+    # behind the watermark
+    no_evict = run_stream_ordered_batches(
+        spark, [on_time, late, sent], tr
+    )
+    assert {r["event_type"] for r in no_evict.collect()} == {"a", "old"}
+    # an advancer batch between them evicts the old window first: dropped
+    evict = run_stream_ordered_batches(
+        spark, [on_time, adv, late, sent], tr
+    )
+    assert {r["event_type"] for r in evict.collect()} == {"a", "adv"}
