@@ -2558,6 +2558,36 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
     return TA.tfidf_cosine_pairs(docs, max_df=64, min_score=0.4)
 
 
+def _q_user_erasure_rollup(spark, sf_dir):
+    """Right-to-be-forgotten without a rollup recompute: the per-type
+    value rollup is maintained, then every row of the erased users
+    (user_id % 13 == 0) becomes a multiplicity −1 retraction through
+    the SAME ivm_apply path ingest uses (plans/ivm.py erasure_deltas).
+    The maintained state must equal recomputing over the base minus
+    the erased users — the counting-algorithm identity, and exactly
+    what the oracle computes.  At 100 TB the only base touch is the
+    targeted semi-join (pruned to the erased ids' files under an
+    id-bucketed layout); the fold is delta-sized."""
+    from inception_spark.plans.ivm import (
+        erasure_deltas,
+        ivm_apply,
+        ivm_state,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    state = ivm_state(ev, ["event_type"], "value")
+    erase = ev.filter("user_id % 13 = 0").select("user_id")
+    deltas = erasure_deltas(ev, erase, id_col="user_id")
+    final = ivm_apply(state, deltas, ["event_type"], "value")
+    return final.select(
+        "event_type",
+        F.col("s").cast("double").alias("sum_value"),
+        F.col("n").alias("n_events"),
+    )
+
+
 def _q_streaming_late_data_audit(spark, sf_dir):
     """Watermark late-data semantics, pinned against the documented
     drop rule over a CONTROLLED micro-batch order
@@ -3687,6 +3717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_robust_anomaly": R.events_robust_anomaly,
         # r8: watermark eviction/late-drop semantics, batch-order pinned
         "streaming_late_data_audit": _q_streaming_late_data_audit,
+        # r8: GDPR erasure as IVM retractions (no rollup recompute)
+        "user_erasure_rollup": _q_user_erasure_rollup,
+        # r8: top user journeys (session paths, gaps-and-islands)
+        "session_paths": R.session_paths,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5249,6 +5283,17 @@ GROUP BY o.o_orderpriority
         ),
         # r8: same content-hash sample -> median/MAD -> modified z
         "events_robust_anomaly": R.events_robust_anomaly_sql(),
+        # r8: same session rule + ordered string_agg path
+        "session_paths": R.session_paths_sql(),
+        # r8: the counting-algorithm identity — maintained state equals
+        # recompute over the base minus the erased users
+        "user_erasure_rollup": """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE user_id % 13 != 0
+GROUP BY event_type
+""",
         # r8: replay of the empirically-pinned eviction/drop rule —
         # late rows kept iff window_end > (max_on_time + 1s) - 1h,
         # plus the advancer row's own singleton window

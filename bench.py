@@ -160,6 +160,10 @@ HEADLINE = [
     "golden_record",
     # r8: median/MAD outliers (sample thresholds + broadcast scoring)
     "events_robust_anomaly",
+    # r8: erasure-as-retraction fold (semi-join + delta-sized apply)
+    "user_erasure_rollup",
+    # r8: session journeys (sessionize windows + bounded collect)
+    "session_paths",
 ]
 
 

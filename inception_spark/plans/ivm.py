@@ -78,3 +78,26 @@ def ivm_apply(
         .otherwise(F.col("n") > 0)
     )
     return merged.filter(guard)
+
+
+def erasure_deltas(
+    base: DataFrame,
+    erase_ids: DataFrame,
+    *,
+    id_col: str,
+    mult_col: str = "mult",
+) -> DataFrame:
+    """Right-to-be-forgotten as IVM retractions: every base row
+    belonging to an erased entity becomes a multiplicity −1 delta, so
+    erasure folds into EVERY maintained rollup through the same
+    :func:`ivm_apply` path an ingest batch uses — no rollup recompute,
+    no history rescan beyond the targeted semi-join (which an
+    id-partitioned/bucketed base layout prunes to the erased ids'
+    files).  The correctness identity is inherited from the counting
+    algorithm: apply(state, erasure_deltas) ≡ recompute over the base
+    minus the erased entities, and over-erasure (an id with no rows, or
+    applying the same erasure twice) raises through ivm_apply's
+    in-plan multiplicity guard instead of corrupting the state."""
+    return base.join(
+        erase_ids.select(id_col).distinct(), id_col, "left_semi"
+    ).withColumn(mult_col, F.lit(-1))

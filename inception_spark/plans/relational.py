@@ -497,6 +497,133 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_paths(
+    spark: SparkSession, sf_dir: str, *, max_steps: int = 5, top_k: int = 20
+) -> DataFrame:
+    """Top user journeys: the most frequent event-type PATHS taken
+    within a session — the product-analytics query behind "what do
+    users actually do?" flow charts.  Sessions use the same 30-min
+    gaps-and-islands rule as events_sessionization; a session's path
+    is its first ``max_steps`` event types joined with '>', truncated
+    paths marked with a trailing '>…' so "a>b" (complete) and "a>b>…"
+    (longer journey) count separately.
+
+    Shape: the sessionization windows (one shuffle on user_id), then a
+    per-session ordered collect bounded at ``max_steps`` elements, a
+    path-cardinality count aggregate, and a total-order top-k — every
+    stage past the fact scan is session- then path-cardinality work.
+    Ordering inside the session is (ts, event_id) — the repo-wide
+    within-microsecond tiebreak — so the path strings are
+    deterministic."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "step",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_seq").orderBy(
+                    F.asc("ts"), F.asc("event_id")
+                )
+            ),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("step") <= max_steps,
+                                F.struct("step", "event_type"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+            ).alias("path"),
+            F.max("step").alias("n_steps"),
+        )
+        .select(
+            F.when(
+                F.col("n_steps") > max_steps,
+                F.concat(F.col("path"), F.lit(">…")),
+            )
+            .otherwise(F.col("path"))
+            .alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(
+        F.desc("n_sessions"), F.asc("path")
+    ).limit(top_k)
+    rw = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn(
+        "rank", F.row_number().over(rw).cast("long")
+    )
+
+
+def session_paths_sql(
+    table: str = "events", *, max_steps: int = 5, top_k: int = 20
+) -> str:
+    """DuckDB twin of :func:`session_paths`."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER w AS prev_ts
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+                     OR date_diff('microsecond', prev_ts, ts)
+                        > 1800000000
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o),
+st AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY user_id, session_seq
+              ORDER BY ts, event_id) AS step
+  FROM s),
+p AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY step)
+           FILTER (WHERE step <= {max_steps}) AS path,
+         MAX(step) AS n_steps
+  FROM st GROUP BY user_id, session_seq),
+pc AS (
+  SELECT CASE WHEN n_steps > {max_steps}
+              THEN path || '>…' ELSE path END AS path
+  FROM p),
+c AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM pc GROUP BY path)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+            AS BIGINT) AS rank
+FROM c
+ORDER BY n_sessions DESC, path
+LIMIT {top_k}
+"""
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column — stays in codegen."""
     ev = load_events(spark, sf_dir)

@@ -46,3 +46,38 @@ def test_ivm_over_retraction_raises(spark):
     )
     with pytest.raises(Exception):
         ivm_apply(state, bad, ["g"], "v").collect()
+
+
+class TestErasure:
+    def test_erasure_equals_recompute_and_double_erase_raises(self, spark):
+        from inception_spark.plans.ivm import (
+            erasure_deltas,
+            ivm_apply,
+            ivm_state,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (1, "b", 5.0), (2, "a", 7.0), (3, "a", 1.0)],
+            "user_id long, grp string, v double",
+        )
+        state = ivm_state(base, ["grp"], "v")
+        erase = spark.createDataFrame([(1,)], "user_id long")
+        after = ivm_apply(
+            state, erasure_deltas(base, erase, id_col="user_id"),
+            ["grp"], "v",
+        )
+        expect = ivm_state(base.filter("user_id != 1"), ["grp"], "v")
+        assert sorted(map(tuple, after.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+        # group 'b' belonged only to user 1 -> fully retracted
+        assert after.filter("grp = 'b'").count() == 0
+        # erasing the same user again over-retracts -> in-plan raise
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="retract|negative|IVM"):
+            ivm_apply(
+                after,
+                erasure_deltas(base, erase, id_col="user_id"),
+                ["grp"], "v",
+            ).collect()

@@ -1312,3 +1312,36 @@ def test_events_robust_anomaly_resists_masking(spark, tmp_path):
     }
     assert 13 in robust and 14 in robust     # both outliers flagged
     assert 14 not in classic                 # masked by the 200.0
+
+
+def test_session_paths_truncation_and_order(spark, tmp_path):
+    """Path strings follow event order within the session, sessions
+    split at the 30-min gap, and journeys longer than max_steps get
+    the '>…' marker so they never collide with complete paths."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import session_paths
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # user 1, session 1: a -> b -> c (complete)
+    for i, et in enumerate(["a", "b", "c"]):
+        rows.append((i + 1, t0 + pd.Timedelta(minutes=i), 1, et))
+    # user 1, session 2 (90 min later): a -> b (prefix of session 1!)
+    for i, et in enumerate(["a", "b"]):
+        rows.append((10 + i, t0 + pd.Timedelta(minutes=90 + i), 1, et))
+    # user 2: 4 steps with max_steps=3 -> truncated marker
+    for i, et in enumerate(["a", "b", "c", "d"]):
+        rows.append((20 + i, t0 + pd.Timedelta(minutes=i), 2, et))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["value"] = 1.0
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(
+            spark, str(tmp_path), max_steps=3, top_k=10
+        ).collect()
+    }
+    assert got == {"a>b>c": 1, "a>b": 1, "a>b>c>…": 1}
