@@ -98,6 +98,7 @@ from inception_spark.operators.packing import pack_sequences_sql
 from inception_spark.operators.sampling import (
     build_vocab,
     build_vocab_sql,
+    poisson_bootstrap_ci_sql,
     cap_per_group,
     cap_per_group_sql,
     curriculum_bins,
@@ -2558,6 +2559,31 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
     return TA.tfidf_cosine_pairs(docs, max_df=64, min_score=0.4)
 
 
+def _q_bootstrap_revenue_ci(spark, sf_dir):
+    """95% CI for mean line price by the Poisson bootstrap (Chamandy
+    et al. 2012) — B=32 replicas in ONE pass via per-(replica, row)
+    Poisson(1) weights drawn from the content hash.  The draw key is
+    l_orderkey, making it a CLUSTER bootstrap: all lines of an order
+    replicate together, which is the defensible resampling unit when
+    rows within an order are correlated.  Map-side B× explode, partial
+    aggregation collapses each partition to B rows before the
+    shuffle."""
+    from inception_spark.operators.sampling import poisson_bootstrap_ci
+
+    li = R.load(spark, sf_dir, "lineitem")
+    return poisson_bootstrap_ci(
+        li, "l_extendedprice", key_col="l_orderkey"
+    )
+
+
+def _q_ivf_balance_report(spark, sf_dir):
+    """IVF index-build diagnostics: per-cell counts + imbalance factor
+    over the same deterministic md5-seeded assignment the ivf_flat
+    probes use — the report you read before materializing the layout
+    (one hot cell breaks the n_probe/n_centroids scan promise)."""
+    return S.ivf_balance_report(_emb(spark, sf_dir), n_centroids=8)
+
+
 def _q_user_erasure_rollup(spark, sf_dir):
     """Right-to-be-forgotten without a rollup recompute: the per-type
     value rollup is maintained, then every row of the erased users
@@ -3533,7 +3559,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stalest driver signal in the registry.  The cohort's last 8
     (streaming_events_hourly .. winnowing_overlap_pairs) sit just past
     the boundary in the same deterministic order as the round-9 head,
-    followed by the r5-green cohort.  The in-repo mini-driver
+    followed by the r5-green cohort.  ALSO r9-head material, ahead of
+    the stale cohorts: every late-r8 entry with zero driver signal —
+    the first-session block (substring_dup_spans, scrub_dup_spans,
+    events_profile, cdc_chunks, join_skew_report, snapshot_diff,
+    streaming_embedding_covariance, edit_distance_pairs) and the
+    second-session block (chunk_giant_doc, bucketed_join_revenue,
+    blocklist_filter, hll_ndv_rollup, maxsim_topk, events_ewma,
+    streaming_blocklist_gate, golden_record, tfidf_cosine_pairs,
+    events_robust_anomaly, streaming_late_data_audit,
+    user_erasure_rollup, session_paths).  The in-repo mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
     grouped-by-family order; ``_WINDOW_R8`` does the rotation at
@@ -3721,6 +3756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_erasure_rollup": _q_user_erasure_rollup,
         # r8: top user journeys (session paths, gaps-and-islands)
         "session_paths": R.session_paths,
+        # r8: IVF cell-balance diagnostics (the ANN join_skew_report)
+        "ivf_balance_report": _q_ivf_balance_report,
+        # r8: one-pass Poisson (cluster) bootstrap CI
+        "bootstrap_revenue_ci": _q_bootstrap_revenue_ci,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5285,6 +5324,41 @@ GROUP BY o.o_orderpriority
         "events_robust_anomaly": R.events_robust_anomaly_sql(),
         # r8: same session rule + ordered string_agg path
         "session_paths": R.session_paths_sql(),
+        # r8: same integer Poisson thresholds + replica spine
+        "bootstrap_revenue_ci": poisson_bootstrap_ci_sql(
+            "lineitem", "l_extendedprice", key_col="l_orderkey"
+        ),
+        # r8: replay of the deterministic md5-seeded cell assignment
+        "ivf_balance_report": f"""
+WITH cent AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings)
+  WHERE cid < 8),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         COALESCE(round({V.cosine_sql('e.embedding', 'c.cvec')}, 6),
+                  CAST(-2 AS DOUBLE)) AS cs
+  FROM embeddings e CROSS JOIN cent c),
+cell AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM asg) WHERE rn = 1),
+counts AS (
+  SELECT c.cid, CAST(COALESCE(n.n_vecs, 0) AS BIGINT) AS n_vecs
+  FROM (SELECT DISTINCT cid FROM cent) c
+  LEFT JOIN (SELECT cid, COUNT(*) AS n_vecs FROM cell GROUP BY cid) n
+    USING (cid)),
+t AS (SELECT SUM(n_vecs) AS t FROM counts)
+SELECT CAST(cid AS BIGINT) AS cid, n_vecs,
+       round(n_vecs / t.t, 6) AS frac,
+       round(n_vecs * 8 / t.t, 6) AS imbalance
+FROM counts, t
+""",
         # r8: the counting-algorithm identity — maintained state equals
         # recompute over the base minus the erased users
         "user_erasure_rollup": """

@@ -164,6 +164,9 @@ HEADLINE = [
     "user_erasure_rollup",
     # r8: session journeys (sessionize windows + bounded collect)
     "session_paths",
+    # r8: 32-replica Poisson bootstrap in one pass (map-side explode,
+    # B rows per partition through the shuffle)
+    "bootstrap_revenue_ci",
 ]
 
 

@@ -658,3 +658,128 @@ def systematic_weighted_sample(
         ).cast("long"),
     ).filter(F.col("n_units") > 0)
     return sel.select("key", "weight", "n_units")
+
+
+#: Poisson(1) CDF thresholds scaled to 2^28 — exact integer literals, so
+#: the per-(replica, row) draw CASE chain is engine-identical.  k capped
+#: at 6 (P(X > 6) < 6e-4; the tail mass folds into k=6).
+POISSON1_THRESH = [
+    (0, 98751885), (1, 197503771), (2, 246879713),
+    (3, 263338361), (4, 267453023), (5, 268275955),
+]
+
+
+def poisson_bootstrap_ci(
+    df,
+    value_col: str,
+    *,
+    key_col: str,
+    n_replicas: int = 32,
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+    salt: str = "bs",
+):
+    """Confidence interval for a mean by the POISSON BOOTSTRAP — the
+    resampling scheme that actually distributes (Chamandy et al.,
+    Google 2012): instead of materializing B resampled datasets, every
+    row draws an independent Poisson(1) replication weight per replica
+    (≈ its multinomial count in a classic bootstrap resample), so all
+    B replicas compute in ONE pass as a weighted aggregate.
+
+    Determinism: the draw is the inverse-CDF of ``h28(salt|replica|
+    key)`` against exact integer thresholds (POISSON1_THRESH) — a row
+    property, reproducible across engines/partitionings/batches like
+    every other content-hash sample in this repo.  Replica means
+    divide an exact DECIMAL weighted sum by an exact long count;
+    the CI bounds are exact percentiles over the B replica means
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), rounded to 6.
+
+    Cost: the replica dimension explodes B× MAP-SIDE (no shuffle until
+    the B-group aggregate, and partial aggregation collapses each
+    partition to B rows), so the shuffle carries B rows per partition
+    — the whole point of the Poisson formulation at 100 TB.
+
+    Returns one row: (point_mean, ci_lo, ci_hi, n_replicas).
+    """
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import h28
+
+    reps = df.sparkSession.range(n_replicas).select(
+        F.col("id").cast("int").alias("b")
+    )
+    h = h28(
+        F.concat(
+            F.lit(salt + "\x1f"),
+            F.col("b").cast("string"),
+            F.lit("\x1f"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    w = F.lit(6)
+    for k, t in reversed(POISSON1_THRESH):
+        w = F.when(h < F.lit(t), F.lit(k)).otherwise(w)
+    v = F.col(value_col).cast("decimal(18,2)")
+    per_rep = (
+        df.crossJoin(F.broadcast(reps))
+        .select("b", w.alias("w"), v.alias("v"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("ws"),
+            F.sum("w").cast("long").alias("wn"),
+        )
+        .select(
+            "b",
+            (F.col("ws").cast("double") / F.col("wn")).alias("m"),
+        )
+    )
+    point = df.agg(
+        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("pm")
+    )
+    return per_rep.crossJoin(F.broadcast(point)).agg(
+        F.round(F.first("pm"), 6).alias("point_mean"),
+        F.round(F.expr(f"percentile(m, {lo_p})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(m, {hi_p})"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+    )
+
+
+def poisson_bootstrap_ci_sql(
+    table: str,
+    value_col: str,
+    *,
+    key_col: str,
+    n_replicas: int = 32,
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+    salt: str = "bs",
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_ci`."""
+    from inception_spark.functions.hashing import h28_sql
+
+    h = h28_sql(
+        f"'{salt}' || chr(31) || CAST(b AS VARCHAR) || chr(31) || "
+        f"CAST({key_col} AS VARCHAR)"
+    )
+    w = "6"
+    for k, t in reversed(POISSON1_THRESH):
+        w = f"CASE WHEN {h} < {t} THEN {k} ELSE {w} END"
+    return f"""
+WITH reps AS (SELECT CAST(g AS INT) AS b
+              FROM generate_series(0, {n_replicas - 1}) t(g)),
+d AS (
+  SELECT b, ({w}) AS w, CAST({value_col} AS DECIMAL(18,2)) AS v
+  FROM {table} CROSS JOIN reps),
+per_rep AS (
+  SELECT b, CAST(SUM(v * w) AS DOUBLE) / SUM(w) AS m
+  FROM d GROUP BY b),
+pt AS (
+  SELECT CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS pm
+  FROM {table})
+SELECT round(pt.pm, 6) AS point_mean,
+       round(quantile_cont(m, CAST({lo_p!r} AS DOUBLE)), 6) AS ci_lo,
+       round(quantile_cont(m, CAST({hi_p!r} AS DOUBLE)), 6) AS ci_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_replicas
+FROM per_rep, pt GROUP BY pt.pm
+"""

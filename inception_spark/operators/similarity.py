@@ -1827,3 +1827,47 @@ SELECT vec_id, score,
 FROM (SELECT vec_id, round({chain}, 6) AS score FROM {table})
 ORDER BY score DESC, vec_id LIMIT {k}
 """
+
+
+def ivf_balance_report(
+    df: DataFrame,
+    *,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-build diagnostics for the IVF layout — the ANN analog of
+    join_skew_report: per-cell vector counts plus each cell's
+    imbalance factor (n_vecs / fair share).  A probe's cost is the
+    size of the cells it reads, so one hot cell silently destroys the
+    n_probe/n_centroids scan-fraction promise; this report is how you
+    catch that (and pick n_centroids) BEFORE materializing a 100 TB
+    layout with write_ivf_layout.  Empty cells appear with zero counts
+    — they waste a centroid and signal n_centroids is too high for the
+    data's cluster structure.
+
+    Cost: the same one assignment pass the index build itself does
+    (broadcast centroids, argmax) + a k-row aggregate; all counts are
+    exact integers, the two ratios are single double divides of
+    integers (engine-exact)."""
+    cent, cell = _ivf_cells(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    counts = cell.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    spine = cent.select("cid").join(counts, "cid", "left").select(
+        "cid", F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs")
+    )
+    total = spine.agg(F.sum("n_vecs").alias("t"))
+    return (
+        spine.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("t"), 6).alias("frac"),
+            F.round(
+                F.col("n_vecs") * F.lit(n_centroids) / F.col("t"), 6
+            ).alias("imbalance"),
+        )
+    )

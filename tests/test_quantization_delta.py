@@ -280,3 +280,16 @@ class TestMaxSim:
         )
         with _pytest.raises(ValueError, match="divide"):
             maxsim_topk(df, [1.0, 2.0, 3.0], n_subvecs=2)
+
+
+def test_ivf_balance_report_accounts_every_vector(spark):
+    from inception_spark.operators.similarity import ivf_balance_report
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    rep = ivf_balance_report(emb, n_centroids=8).collect()
+    assert len(rep) == 8
+    assert sum(r["n_vecs"] for r in rep) == emb.count()
+    # imbalance factors average to 1 by construction
+    assert abs(sum(r["imbalance"] for r in rep) / 8 - 1.0) < 1e-4

@@ -263,3 +263,48 @@ def test_systematic_weighted_sample_deterministic(spark):
     b = sorted(map(tuple, systematic_weighted_sample(
         df.repartition(11), weight_col="w", step_weight=50).collect()))
     assert a == b and len(a) > 0
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_truth_and_draws_are_row_properties(self, spark):
+        """CI from a large clean sample brackets the true mean, and the
+        per-(replica,key) weights are partition-invariant (a row
+        property), so repartitioning cannot change the interval."""
+        from pyspark.sql import functions as F
+
+        from inception_spark.operators.sampling import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.range(2000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).cast("double").alias("v"),
+        )
+        a = poisson_bootstrap_ci(df, "v", key_col="k").collect()[0]
+        assert a["ci_lo"] <= 49.5 <= a["ci_hi"]
+        assert a["ci_hi"] - a["ci_lo"] < 10.0  # sane width at n=2000
+        b = poisson_bootstrap_ci(
+            df.repartition(17), "v", key_col="k"
+        ).collect()[0]
+        assert tuple(a) == tuple(b)
+
+    def test_cluster_draws_replicate_whole_clusters(self, spark):
+        """Rows sharing the draw key get the SAME weight per replica —
+        the cluster-bootstrap contract."""
+        from pyspark.sql import functions as F
+
+        from inception_spark.functions.hashing import h28
+        from inception_spark.operators.sampling import POISSON1_THRESH
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (1, 99.0), (2, 5.0)], "k long, v double"
+        )
+        h = h28(F.concat(F.lit("bs\x1f0\x1f"), F.col("k").cast("string")))
+        w = F.lit(6)
+        for kk, t in reversed(POISSON1_THRESH):
+            w = F.when(h < F.lit(t), F.lit(kk)).otherwise(w)
+        ws = df.select("k", w.alias("w")).collect()
+        by_k = {}
+        for r in ws:
+            by_k.setdefault(r["k"], set()).add(r["w"])
+        assert all(len(v) == 1 for v in by_k.values())
