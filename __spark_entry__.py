@@ -3760,6 +3760,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_balance_report": _q_ivf_balance_report,
         # r8: one-pass Poisson (cluster) bootstrap CI
         "bootstrap_revenue_ci": _q_bootstrap_revenue_ci,
+        # r8: time-constrained funnel with restarts (windowFunnel
+        # semantics; 1-day window gives real drop-off: 150->149->84->18
+        # at sf0.01, vs first-occurrence event_funnel)
+        "window_funnel": lambda spark, sf: R.window_funnel(
+            spark, sf,
+            steps=("signup", "view", "click", "purchase"),
+            window_days=1,
+        ),
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5327,6 +5335,11 @@ GROUP BY o.o_orderpriority
         # r8: same integer Poisson thresholds + replica spine
         "bootstrap_revenue_ci": poisson_bootstrap_ci_sql(
             "lineitem", "l_extendedprice", key_col="l_orderkey"
+        ),
+        # r8: same greedy-earliest chain per anchor
+        "window_funnel": R.window_funnel_sql(
+            steps=("signup", "view", "click", "purchase"),
+            window_days=1,
         ),
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""

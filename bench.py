@@ -167,6 +167,8 @@ HEADLINE = [
     # r8: 32-replica Poisson bootstrap in one pass (map-side explode,
     # B rows per partition through the shuffle)
     "bootstrap_revenue_ci",
+    # r8: time-constrained funnel (user-keyed step joins)
+    "window_funnel",
 ]
 
 

@@ -624,6 +624,105 @@ LIMIT {top_k}
 """
 
 
+def window_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    steps: tuple = ("signup", "click", "purchase"),
+    window_days: int = 7,
+) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse ``windowFunnel`` shape):
+    a user completes step N only if there is SOME chain
+    t₁ < t₂ < ... < t_N with every step inside ``window_days`` of the
+    chain's FIRST step.  This differs from :func:`event_funnel` in both
+    directions: first-occurrence chaining misses users whose first
+    signup went stale but a later one converted (restarts allowed
+    here), and it counts conversions that took months (window-bounded
+    here).
+
+    Plan: step-1 anchors are all step-1 events; each later step is a
+    user-keyed equi-join constrained to (prev_t, anchor_t + window],
+    reduced to the EARLIEST qualifying time per anchor before the next
+    join (min-struct groupBy) — greedy-earliest is optimal here, so
+    per-step state stays one row per surviving anchor.  All joins are
+    hash-partitioned on user_id; per-user fan-out is bounded by that
+    user's step counts, never cross-user.  Output: one row per funnel
+    depth with users reaching it."""
+    ev = load_events(spark, sf_dir)
+    win_us = window_days * 86_400_000_000
+    anchors = ev.filter(F.col("event_type") == steps[0]).select(
+        "user_id", F.col("ts").alias("t0")
+    )
+    from functools import reduce
+
+    cur = anchors.withColumn("tp", F.col("t0"))
+    stages = [cur]
+    for step in steps[1:]:
+        nxt = ev.filter(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("tn")
+        )
+        gap_anchor = F.expr("timestampdiff(MICROSECOND, t0, tn)")
+        cur = (
+            cur.join(nxt, "user_id")
+            .filter(
+                (F.col("tn") > F.col("tp"))
+                & (gap_anchor <= F.lit(win_us))
+            )
+            .groupBy("user_id", "t0")
+            .agg(F.min("tn").alias("tp"))
+            .select("user_id", "t0", "tp")
+        )
+        stages.append(cur)
+    parts = [
+        st.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.lit(i + 1).cast("int").alias("level"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, st in enumerate(stages)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def window_funnel_sql(
+    table: str = "events",
+    *,
+    steps: tuple = ("signup", "click", "purchase"),
+    window_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`window_funnel` — same greedy-earliest
+    chain per anchor."""
+    win_us = window_days * 86_400_000_000
+    ctes = [
+        f"s1 AS (SELECT user_id, ts AS t0, ts AS tp FROM {table} "
+        f"WHERE event_type = '{steps[0]}')"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""s{i} AS (
+  SELECT p.user_id, p.t0, MIN(n.ts) AS tp
+  FROM {prev} p JOIN {table} n
+    ON n.user_id = p.user_id AND n.event_type = '{step}'
+   AND n.ts > p.tp
+   AND date_diff('microsecond', p.t0, n.ts) <= {win_us}
+  GROUP BY p.user_id, p.t0)"""
+        )
+    selects = [
+        f"SELECT {i + 1} AS level, '{s}' AS step, "
+        f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        f"FROM s{i + 1}"
+        for i, s in enumerate(steps)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column — stays in codegen."""
     ev = load_events(spark, sf_dir)

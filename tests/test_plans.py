@@ -1345,3 +1345,40 @@ def test_session_paths_truncation_and_order(spark, tmp_path):
         ).collect()
     }
     assert got == {"a>b>c": 1, "a>b": 1, "a>b>c>…": 1}
+
+
+def test_window_funnel_restart_and_window_bound(spark, tmp_path):
+    """The two cases first-occurrence funnels get wrong: (a) a stale
+    first anchor is rescued by a later restart inside the window;
+    (b) a conversion outside the window does not count."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import window_funnel
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: signup day0, click day30 (outside 7d of anchor 1),
+        # but a SECOND signup day28 makes a valid chain -> level 2
+        (1, t0, 1, "signup"),
+        (2, t0 + pd.Timedelta(days=28), 1, "signup"),
+        (3, t0 + pd.Timedelta(days=30), 1, "click"),
+        # user 2: signup then click 10 days later, no restart -> level 1
+        (4, t0, 2, "signup"),
+        (5, t0 + pd.Timedelta(days=10), 2, "click"),
+        # user 3: full chain inside the window -> level 2
+        (6, t0, 3, "signup"),
+        (7, t0 + pd.Timedelta(days=1), 3, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["value"] = 1.0
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["level"]: r["n_users"]
+        for r in window_funnel(
+            spark, str(tmp_path), steps=("signup", "click"),
+            window_days=7,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2}
