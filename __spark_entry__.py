@@ -98,6 +98,7 @@ from inception_spark.operators.packing import pack_sequences_sql
 from inception_spark.operators.sampling import (
     build_vocab,
     build_vocab_sql,
+    match_distribution_sample_sql,
     poisson_bootstrap_ci_sql,
     cap_per_group,
     cap_per_group_sql,
@@ -2559,6 +2560,39 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
     return TA.tfidf_cosine_pairs(docs, max_df=64, min_score=0.4)
 
 
+#: match_distribution_sample fixture targets (integer % points)
+_MIX_TARGET = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
+
+
+def _q_match_distribution_sample(spark, sf_dir):
+    """Source-mix rebalancing: thin the corpus so kept docs hit the
+    target language distribution (40/15/15/15/15) at the largest
+    achievable total — post-stratification with all-integer keep tests
+    (h·t_b·n_d < t_d·n_b·2^28), so membership is a row property.  One
+    group-count aggregate broadcast back + a codegen filter."""
+    from inception_spark.operators.sampling import (
+        match_distribution_sample,
+    )
+
+    return match_distribution_sample(
+        _docs(spark, sf_dir), _MIX_TARGET,
+        group_col="lang", key_col="doc_id",
+    )
+
+
+def _q_weighted_quantiles(spark, sf_dir):
+    """Quantity-weighted price quantiles per return flag — the exact
+    left-continuous inverse CDF with integer cum-weight compares (no
+    interpolation, no floats), computed over (group, value)-distinct
+    rows so the window never sees raw row counts."""
+    return SK.weighted_quantiles(
+        R.load(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        group_col="l_returnflag",
+    )
+
+
 def _q_bootstrap_revenue_ci(spark, sf_dir):
     """95% CI for mean line price by the Poisson bootstrap (Chamandy
     et al. 2012) — B=32 replicas in ONE pass via per-(replica, row)
@@ -3760,6 +3794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_balance_report": _q_ivf_balance_report,
         # r8: one-pass Poisson (cluster) bootstrap CI
         "bootstrap_revenue_ci": _q_bootstrap_revenue_ci,
+        # r8: post-stratified source-mix rebalancing (integer thinning)
+        "match_distribution_sample": _q_match_distribution_sample,
+        # r8: exact weighted quantiles (integer inverse CDF)
+        "weighted_quantiles": _q_weighted_quantiles,
         # r8: time-constrained funnel with restarts (windowFunnel
         # semantics; 1-day window gives real drop-off: 150->149->84->18
         # at sf0.01, vs first-occurrence event_funnel)
@@ -5335,6 +5373,16 @@ GROUP BY o.o_orderpriority
         # r8: same integer Poisson thresholds + replica spine
         "bootstrap_revenue_ci": poisson_bootstrap_ci_sql(
             "lineitem", "l_extendedprice", key_col="l_orderkey"
+        ),
+        # r8: same integer keep test + fraction-compare bottleneck
+        "match_distribution_sample": match_distribution_sample_sql(
+            "documents", _MIX_TARGET,
+            group_col="lang", key_col="doc_id",
+        ),
+        # r8: same (group,value) rollup + integer cum-weight compare
+        "weighted_quantiles": SK.weighted_quantiles_sql(
+            "lineitem", "l_extendedprice", "l_quantity",
+            group_col="l_returnflag",
         ),
         # r8: same greedy-earliest chain per anchor
         "window_funnel": R.window_funnel_sql(

@@ -169,6 +169,10 @@ HEADLINE = [
     "bootstrap_revenue_ci",
     # r8: time-constrained funnel (user-keyed step joins)
     "window_funnel",
+    # r8: post-stratified mix sampling (count agg + codegen filter)
+    "match_distribution_sample",
+    # r8: exact weighted quantiles ((group,value)-distinct window)
+    "weighted_quantiles",
 ]
 
 

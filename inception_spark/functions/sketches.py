@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inception_spark.functions.hashing import h28, h28_sql
@@ -1164,4 +1164,106 @@ regs AS (
          MAX({hll_rank_sql('_v')}) AS mx
   FROM src GROUP BY {finest}, reg)
 {union}
+"""
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    *,
+    group_col: str,
+    probs: tuple = (0.25, 0.5, 0.9),
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles — the profile query when rows carry
+    unequal mass (token-weighted length stats, duration-weighted
+    latency, revenue-weighted price): the p-quantile is the smallest
+    value whose cumulative weight share reaches p (left-continuous
+    inverse CDF, integer-exact).
+
+    Neither engine ships a weighted quantile aggregate, so both sides
+    compute the same primitive plan: per (group, value) weight rollup
+    (collapses duplicates BEFORE the window — the window runs over
+    distinct values per group, not rows), a cumulative-weight window
+    ordered by value, then per-p the minimal value with
+    cw * 1 >= p_num * total / p_den compared in EXACT integer
+    arithmetic (weights are longs; probs are rationals p_num/p_den
+    over 100) — no interpolation, no floats, so the selected values
+    are bit-identical across engines.
+
+    Scale: the shuffle carries (group, value)-distinct rows; the
+    window partitions by group.  For value domains too large to
+    window, quantize upstream (the curriculum_bins discipline).
+    """
+    vw = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("w") > 0))
+        .groupBy("grp", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vw.select(
+        "grp", "v", F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tw"),
+    )
+    aggs = []
+    for p in probs:
+        p_num = int(round(p * 100))
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cw") * 100 >= F.lit(p_num) * F.col("tw"),
+                    F.col("v"),
+                )
+            ).alias(f"p{p_num}")
+        )
+    return cum.groupBy("grp").agg(
+        F.max("tw").cast("long").alias("total_weight"), *aggs
+    )
+
+
+def weighted_quantiles_sql(
+    table: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    group_col: str,
+    probs: tuple = (0.25, 0.5, 0.9),
+) -> str:
+    """DuckDB twin of :func:`weighted_quantiles`."""
+    cols = []
+    for p in probs:
+        p_num = int(round(p * 100))
+        cols.append(
+            f"MIN(CASE WHEN cw * 100 >= {p_num} * tw THEN v END)"
+            f" AS p{p_num}"
+        )
+    return f"""
+WITH vw AS (
+  SELECT {group_col} AS grp, {value_col} AS v,
+         SUM(CAST({weight_col} AS BIGINT)) AS w
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {weight_col} > 0
+  GROUP BY 1, 2),
+cum AS (
+  SELECT grp, v,
+         SUM(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM vw)
+SELECT grp, CAST(MAX(tw) AS BIGINT) AS total_weight,
+       {', '.join(cols)}
+FROM cum GROUP BY grp
 """

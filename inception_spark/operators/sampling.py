@@ -18,7 +18,7 @@ languages, downsample boilerplate-heavy sources).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inception_spark.functions.hashing import h28, h28_sql
@@ -782,4 +782,114 @@ SELECT round(pt.pm, 6) AS point_mean,
        round(quantile_cont(m, CAST({hi_p!r} AS DOUBLE)), 6) AS ci_hi,
        CAST(COUNT(*) AS BIGINT) AS n_replicas
 FROM per_rep, pt GROUP BY pt.pm
+"""
+
+
+def match_distribution_sample(
+    df,
+    target_shares: dict,
+    *,
+    group_col: str,
+    key_col: str,
+    salt: str = "md",
+):
+    """Rebalance a corpus to a TARGET group distribution by
+    deterministic per-group thinning — the source-mix step of every
+    training-data recipe ("40% web, 15% each of four books sources")
+    run as post-stratification: no group is upsampled, the bottleneck
+    group (smallest n_d/t_d) passes whole, and every other group thins
+    to rate_d = t_d·n_b / (t_b·n_d) so the KEPT corpus has the target
+    proportions in expectation at the largest achievable total.
+
+    Everything that decides a row's fate is EXACT integer arithmetic:
+    targets are integer percentage points, the bottleneck is chosen by
+    cross-multiplied fraction comparison, and the keep test is
+    ``h28(salt|key) · t_b·n_d < t_d·n_b · 2^28`` — so membership is a
+    row property (reproducible across engines/partitionings/batches,
+    the repo-wide sampling contract) and no float threshold ever
+    truncates differently across engines.  Differs from
+    temperature_mix (which reweights by a power law) in matching an
+    EXPLICIT target mix exactly.
+
+    Plan: one group-count aggregate (≤|groups| rows, broadcast back),
+    the keep test as a codegen filter over one corpus scan.
+
+    ``target_shares``: {group: integer percentage points}; groups
+    absent from the dict are dropped.  Returns the kept rows' (key,
+    group)."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import h28
+
+    if sum(target_shares.values()) != 100:
+        raise ValueError("target_shares must sum to 100")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, int(t)) for g, t in sorted(target_shares.items())],
+        f"{group_col} string, t int",
+    )
+    counts = (
+        df.select(F.col(group_col).cast("string").alias(group_col))
+        .join(F.broadcast(tgt), group_col)
+        .groupBy(group_col, "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # bottleneck = argmin n/t via exactly-rounded double division of
+    # small ints (single IEEE op, identical in both engines); name ties
+    bw = Window.orderBy(
+        (F.col("n").cast("double") / F.col("t")).asc(),
+        F.col(group_col).asc(),
+    )
+    btl = (
+        counts.withColumn("rn", F.row_number().over(bw))
+        .filter("rn = 1")
+        .select(
+            F.col("t").alias("tb"), F.col("n").alias("nb")
+        )
+    )
+    rates = counts.crossJoin(F.broadcast(btl))
+    h = h28(F.concat(F.lit(salt + "\x1f"), F.col("key").cast("string")))
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(group_col).cast("string").alias(group_col),
+        )
+        .join(F.broadcast(rates), group_col)
+        .filter(
+            h * F.col("tb") * F.col("n")
+            < F.col("t") * F.col("nb") * F.lit(1 << 28)
+        )
+        .select("key", group_col)
+    )
+
+
+def match_distribution_sample_sql(
+    table: str,
+    target_shares: dict,
+    *,
+    group_col: str,
+    key_col: str,
+    salt: str = "md",
+) -> str:
+    """DuckDB twin of :func:`match_distribution_sample`."""
+    from inception_spark.functions.hashing import h28_sql
+
+    vals = ", ".join(
+        f"('{g}', {int(t)})" for g, t in sorted(target_shares.items())
+    )
+    h = h28_sql(f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH tgt({group_col}, t) AS (VALUES {vals}),
+counts AS (
+  SELECT d.{group_col}, tgt.t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} d JOIN tgt USING ({group_col})
+  GROUP BY d.{group_col}, tgt.t),
+btl AS (
+  SELECT t AS tb, n AS nb FROM counts
+  ORDER BY CAST(n AS DOUBLE) / t ASC, {group_col} ASC LIMIT 1)
+SELECT d.{key_col} AS key, d.{group_col}
+FROM {table} d
+JOIN counts c ON c.{group_col} = d.{group_col}
+CROSS JOIN btl
+WHERE {h} * btl.tb * c.n < c.t * btl.nb * {1 << 28}
 """

@@ -308,3 +308,73 @@ class TestPoissonBootstrap:
         for r in ws:
             by_k.setdefault(r["k"], set()).add(r["w"])
         assert all(len(v) == 1 for v in by_k.values())
+
+
+class TestMatchDistribution:
+    def test_hits_target_shares_and_bottleneck_passes_whole(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_spark.operators.sampling import (
+            match_distribution_sample,
+        )
+
+        rows = (
+            [(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)]
+        )
+        df = spark.createDataFrame(rows, "k long, g string")
+        # target 50/50: 'small' (n/t = 100/50 = 2) is the bottleneck
+        out = match_distribution_sample(
+            df, {"big": 50, "small": 50}, group_col="g", key_col="k"
+        )
+        counts = {
+            r["g"]: r["n"]
+            for r in out.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert counts["small"] == 100          # bottleneck kept whole
+        # 'big' thins to ~rate 1/9 of 900 = ~100 (hash noise ~ ±20%)
+        assert 75 <= counts["big"] <= 125
+
+    def test_groups_absent_from_target_drop(self, spark):
+        from inception_spark.operators.sampling import (
+            match_distribution_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "junk")], "k long, g string"
+        )
+        out = match_distribution_sample(
+            df, {"a": 50, "b": 50}, group_col="g", key_col="k"
+        )
+        assert {r["g"] for r in out.collect()} <= {"a", "b"}
+
+    def test_shares_must_sum_to_100(self, spark):
+        import pytest as _pytest
+
+        from inception_spark.operators.sampling import (
+            match_distribution_sample,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "k long, g string")
+        with _pytest.raises(ValueError, match="sum to 100"):
+            match_distribution_sample(
+                df, {"a": 60}, group_col="g", key_col="k"
+            )
+
+
+def test_weighted_quantiles_hand_case(spark):
+    """Weighted median of {1 w5, 10 w4, 100 w1}: cum shares 0.5/0.9/1.0
+    -> p50 = 1 (left-continuous), p90 = 10, p25 = 1."""
+    from inception_spark.functions.sketches import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 5), ("g", 10.0, 4), ("g", 100.0, 1)],
+        "grp string, v double, w long",
+    )
+    r = weighted_quantiles(
+        df, "v", "w", group_col="grp", probs=(0.25, 0.5, 0.9)
+    ).collect()[0]
+    assert r["total_weight"] == 10
+    assert r["p25"] == 1.0 and r["p50"] == 1.0 and r["p90"] == 10.0
