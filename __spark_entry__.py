@@ -3798,6 +3798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_distribution_sample": _q_match_distribution_sample,
         # r8: exact weighted quantiles (integer inverse CDF)
         "weighted_quantiles": _q_weighted_quantiles,
+        # r8: 2-D skyline via the value-spine decomposition
+        "pareto_frontier": lambda spark, sf: R.pareto_frontier(
+            R.load(spark, sf, "lineitem"),
+            max_col="l_quantity", min_col="l_extendedprice",
+        ),
         # r8: time-constrained funnel with restarts (windowFunnel
         # semantics; 1-day window gives real drop-off: 150->149->84->18
         # at sf0.01, vs first-occurrence event_funnel)
@@ -5378,6 +5383,10 @@ GROUP BY o.o_orderpriority
         "match_distribution_sample": match_distribution_sample_sql(
             "documents", _MIX_TARGET,
             group_col="lang", key_col="doc_id",
+        ),
+        # r8: same spine aggregate + strict-suffix-min window
+        "pareto_frontier": R.pareto_frontier_sql(
+            "lineitem", max_col="l_quantity", min_col="l_extendedprice"
         ),
         # r8: same (group,value) rollup + integer cum-weight compare
         "weighted_quantiles": SK.weighted_quantiles_sql(

@@ -173,6 +173,8 @@ HEADLINE = [
     "match_distribution_sample",
     # r8: exact weighted quantiles ((group,value)-distinct window)
     "weighted_quantiles",
+    # r8: 2-D skyline (one hash agg + value-spine window)
+    "pareto_frontier",
 ]
 
 

@@ -723,6 +723,64 @@ def window_funnel_sql(
     )
 
 
+def pareto_frontier(
+    df: DataFrame,
+    *,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the points not dominated by any
+    other — no point offers ≥ ``max_col`` AND ≤ ``min_col`` with one
+    strict ("most quantity for the least price").  The naive skyline is
+    an all-pairs anti-join; this is the spine decomposition that
+    scales: aggregate ``min(min_col)`` per distinct ``max_col`` value
+    (one hash aggregate — the only pass over the data), then a running
+    strictly-suffix min over the VALUE SPINE (window over distinct
+    values, not rows) marks frontier points — kept iff the best price
+    at any strictly larger quantity isn't already ≤ ours.
+
+    The window orders the spine globally, which is safe because the
+    spine is value-domain-sized; for continuous domains, quantize into
+    buckets first (scale_to_cells / curriculum_bins discipline) —
+    bucket-frontier ⊇ exact frontier and a bounded per-bucket refine
+    finishes it.  Ties: equal (x, y) points collapse to one frontier
+    row (the frontier is a SET of points)."""
+    spine = df.groupBy(F.col(max_col).alias("x")).agg(
+        F.min(F.col(min_col)).alias("y")
+    )
+    w = (
+        Window.orderBy(F.desc("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        spine.withColumn("best_above", F.min("y").over(w))
+        .filter(
+            F.col("best_above").isNull()
+            | (F.col("y") < F.col("best_above"))
+        )
+        .select(F.col("x").alias(max_col), F.col("y").alias(min_col))
+    )
+
+
+def pareto_frontier_sql(
+    table: str, *, max_col: str, min_col: str
+) -> str:
+    """DuckDB twin of :func:`pareto_frontier`."""
+    return f"""
+WITH spine AS (
+  SELECT {max_col} AS x, MIN({min_col}) AS y
+  FROM {table} GROUP BY {max_col}),
+r AS (
+  SELECT x, y,
+         MIN(y) OVER (ORDER BY x DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS best_above
+  FROM spine)
+SELECT x AS {max_col}, y AS {min_col}
+FROM r WHERE best_above IS NULL OR y < best_above
+"""
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column — stays in codegen."""
     ev = load_events(spark, sf_dir)

@@ -1382,3 +1382,24 @@ def test_window_funnel_restart_and_window_bound(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 3, 2: 2}
+
+
+def test_pareto_frontier_dominance_semantics(spark):
+    """Hand case: equal-y higher-x dominates; interior points drop;
+    the max-x point always survives."""
+    from inception_spark.plans.relational import pareto_frontier
+
+    pts = [(1, 5.0), (2, 3.0), (3, 3.0), (3, 9.0), (4, 7.0), (5, 8.0)]
+    df = spark.createDataFrame(pts, "x int, y double")
+    got = sorted(
+        map(tuple, pareto_frontier(df, max_col="x", min_col="y").collect())
+    )
+    # x=2 (y=3) dominated by x=3 y=3 (same y, more x); x=4 y=7 beats
+    # x=5 y=8 on y, so both stay; x=1 y=5 dominated by x=3 y=3
+    assert got == [(3, 3.0), (4, 7.0), (5, 8.0)]
+    # brute-force cross-check
+    def dominated(p, q):
+        return (q[0] >= p[0] and q[1] <= p[1]) and q != p
+    brute = sorted({p for p in pts
+                    if not any(dominated(p, q) for q in pts)})
+    assert got == brute
