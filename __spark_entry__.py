@@ -3602,7 +3602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocklist_filter, hll_ndv_rollup, maxsim_topk, events_ewma,
     streaming_blocklist_gate, golden_record, tfidf_cosine_pairs,
     events_robust_anomaly, streaming_late_data_audit,
-    user_erasure_rollup, session_paths).  The in-repo mini-driver
+    user_erasure_rollup, session_paths, ivf_balance_report,
+    bootstrap_revenue_ci, window_funnel, match_distribution_sample,
+    weighted_quantiles, pareto_frontier).  The in-repo mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
     grouped-by-family order; ``_WINDOW_R8`` does the rotation at
