@@ -175,6 +175,8 @@ HEADLINE = [
     "weighted_quantiles",
     # r8: 2-D skyline (one hash agg + value-spine window)
     "pareto_frontier",
+    # r8: PSI drift monitor (spine-sized after one fact aggregate)
+    "psi_drift_report",
 ]
 
 

@@ -669,6 +669,13 @@ POISSON1_THRESH = [
 ]
 
 
+def _replica_multipliers(n: int) -> list[int]:
+    """Odd multiplicative-mix constants, one per replica: (2b+1)·phi32
+    mod 2^28 — odd, so each is a BIJECTION of the 28-bit row hash.
+    Python-computed literals, identical in both engines."""
+    return [((2 * b + 1) * 2654435761) % (1 << 28) for b in range(n)]
+
+
 def poisson_bootstrap_ci(
     df,
     value_col: str,
@@ -682,22 +689,34 @@ def poisson_bootstrap_ci(
     """Confidence interval for a mean by the POISSON BOOTSTRAP — the
     resampling scheme that actually distributes (Chamandy et al.,
     Google 2012): instead of materializing B resampled datasets, every
-    row draws an independent Poisson(1) replication weight per replica
-    (≈ its multinomial count in a classic bootstrap resample), so all
-    B replicas compute in ONE pass as a weighted aggregate.
+    row draws a Poisson(1) replication weight per replica (≈ its
+    multinomial count in a classic bootstrap resample), so all B
+    replicas compute in ONE pass as a weighted aggregate.
 
-    Determinism: the draw is the inverse-CDF of ``h28(salt|replica|
-    key)`` against exact integer thresholds (POISSON1_THRESH) — a row
-    property, reproducible across engines/partitionings/batches like
-    every other content-hash sample in this repo.  Replica means
-    divide an exact DECIMAL weighted sum by an exact long count;
-    the CI bounds are exact percentiles over the B replica means
-    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), rounded to 6.
+    The r8 bench taught the cost lesson the hard way: a first draft
+    hashed per (replica, row) — 32 md5s/row, 36 s at sf0.1.  This form
+    hashes each row ONCE (``h28(salt|key)``, the repo-wide content-hash
+    primitive) and derives the B draws by per-replica multiplicative
+    mixing, ``u_b = (h · M_b) mod 2^28`` with the odd Python-literal
+    multipliers of :func:`_replica_multipliers` — each a bijection of
+    the row hash, so every replica's weight is marginally the exact
+    Poisson(1) inverse-CDF draw (POISSON1_THRESH) and membership stays
+    a partition-invariant row property.  (Across replicas WITHIN one
+    row the draws share the hash through different bijections — the
+    standard multiple-hashing trade; across ROWS, where bootstrap
+    theory needs independence, md5 provides it.)  With long-cents
+    aggregate buffers the pass runs 3.5 s at sf0.1 (min-of-3) — 10x
+    the md5-per-replica draft.
 
-    Cost: the replica dimension explodes B× MAP-SIDE (no shuffle until
-    the B-group aggregate, and partial aggregation collapses each
-    partition to B rows), so the shuffle carries B rows per partition
-    — the whole point of the Poisson formulation at 100 TB.
+    There is NO replica explode at all: the B weighted sums and counts
+    are 2B aggregate expressions over one scan (integer u, CASE-chain
+    weight, exact DECIMAL value sums), the aggregate emits ONE row,
+    and the replica means unpivot from it driver-free.  CI bounds are
+    exact percentiles over the B means (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), rounded to 6.
+
+    Keyed on a non-unique column this is the CLUSTER bootstrap: rows
+    sharing the key replicate together (pinned in tests).
 
     Returns one row: (point_mean, ci_lo, ci_hi, n_replicas).
     """
@@ -705,38 +724,37 @@ def poisson_bootstrap_ci(
 
     from inception_spark.functions.hashing import h28
 
-    reps = df.sparkSession.range(n_replicas).select(
-        F.col("id").cast("int").alias("b")
-    )
+    mults = _replica_multipliers(n_replicas)
     h = h28(
-        F.concat(
-            F.lit(salt + "\x1f"),
-            F.col("b").cast("string"),
-            F.lit("\x1f"),
-            F.col(key_col).cast("string"),
-        )
+        F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string"))
     )
-    w = F.lit(6)
-    for k, t in reversed(POISSON1_THRESH):
-        w = F.when(h < F.lit(t), F.lit(k)).otherwise(w)
-    v = F.col(value_col).cast("decimal(18,2)")
-    per_rep = (
-        df.crossJoin(F.broadcast(reps))
-        .select("b", w.alias("w"), v.alias("v"))
-        .groupBy("b")
-        .agg(
-            F.sum(F.col("v") * F.col("w")).alias("ws"),
-            F.sum("w").cast("long").alias("wn"),
-        )
-        .select(
-            "b",
-            (F.col("ws").cast("double") / F.col("wn")).alias("m"),
-        )
+    # exact integer cents, not decimal: long sums keep the whole
+    # 2B-aggregate inside fast codegen (BigDecimal aggregate buffers
+    # measured ~6x slower here), with identical exactness
+    v = (
+        F.col(value_col).cast("decimal(18,2)") * 100
+    ).cast("long")
+    base = df.select(h.alias("h"), v.alias("v"))
+    aggs = []
+    for b, mb in enumerate(mults):
+        u = (F.col("h") * F.lit(mb)) % F.lit(1 << 28)
+        w = F.lit(6)
+        for k, t in reversed(POISSON1_THRESH):
+            w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+        aggs.append(F.sum(F.col("v") * w).alias(f"ws{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"wn{b}"))
+    aggs.append(F.sum("v").alias("ts"))
+    aggs.append(F.count(F.lit(1)).cast("long").alias("tn"))
+    one = base.agg(*aggs)
+    means = F.array(*[
+        F.col(f"ws{b}").cast("double") / (F.col(f"wn{b}") * 100)
+        for b in range(n_replicas)
+    ])
+    rep = one.select(
+        (F.col("ts").cast("double") / (F.col("tn") * 100)).alias("pm"),
+        F.explode(means).alias("m"),
     )
-    point = df.agg(
-        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("pm")
-    )
-    return per_rep.crossJoin(F.broadcast(point)).agg(
+    return rep.agg(
         F.round(F.first("pm"), 6).alias("point_mean"),
         F.round(F.expr(f"percentile(m, {lo_p})"), 6).alias("ci_lo"),
         F.round(F.expr(f"percentile(m, {hi_p})"), 6).alias("ci_hi"),
@@ -754,34 +772,39 @@ def poisson_bootstrap_ci_sql(
     hi_p: float = 0.975,
     salt: str = "bs",
 ) -> str:
-    """DuckDB twin of :func:`poisson_bootstrap_ci`."""
+    """DuckDB twin of :func:`poisson_bootstrap_ci` — same one-hash +
+    multiplicative-mix draws, same 2B-aggregate single pass."""
     from inception_spark.functions.hashing import h28_sql
 
-    h = h28_sql(
-        f"'{salt}' || chr(31) || CAST(b AS VARCHAR) || chr(31) || "
-        f"CAST({key_col} AS VARCHAR)"
+    mults = _replica_multipliers(n_replicas)
+    h = h28_sql(f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)")
+    cols = []
+    for b, mb in enumerate(mults):
+        u = f"((h * {mb}) % {1 << 28})"
+        w = "6"
+        for k, t in reversed(POISSON1_THRESH):
+            w = f"CASE WHEN {u} < {t} THEN {k} ELSE {w} END"
+        cols.append(f"SUM(v * ({w})) AS ws{b}")
+        cols.append(f"SUM({w}) AS wn{b}")
+    means = ", ".join(
+        f"CAST(ws{b} AS DOUBLE) / (wn{b} * 100)"
+        for b in range(n_replicas)
     )
-    w = "6"
-    for k, t in reversed(POISSON1_THRESH):
-        w = f"CASE WHEN {h} < {t} THEN {k} ELSE {w} END"
     return f"""
-WITH reps AS (SELECT CAST(g AS INT) AS b
-              FROM generate_series(0, {n_replicas - 1}) t(g)),
-d AS (
-  SELECT b, ({w}) AS w, CAST({value_col} AS DECIMAL(18,2)) AS v
-  FROM {table} CROSS JOIN reps),
-per_rep AS (
-  SELECT b, CAST(SUM(v * w) AS DOUBLE) / SUM(w) AS m
-  FROM d GROUP BY b),
-pt AS (
-  SELECT CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE)
-           / COUNT(*) AS pm
-  FROM {table})
-SELECT round(pt.pm, 6) AS point_mean,
+WITH base AS (
+  SELECT {h} AS h,
+         CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM {table}),
+agg AS (
+  SELECT {', '.join(cols)}, SUM(v) AS ts, COUNT(*) AS tn FROM base),
+rep AS (
+  SELECT CAST(ts AS DOUBLE) / (tn * 100) AS pm, unnest([{means}]) AS m
+  FROM agg)
+SELECT round(pm, 6) AS point_mean,
        round(quantile_cont(m, CAST({lo_p!r} AS DOUBLE)), 6) AS ci_lo,
        round(quantile_cont(m, CAST({hi_p!r} AS DOUBLE)), 6) AS ci_hi,
        CAST(COUNT(*) AS BIGINT) AS n_replicas
-FROM per_rep, pt GROUP BY pt.pm
+FROM rep GROUP BY pm
 """
 
 

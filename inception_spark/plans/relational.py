@@ -723,6 +723,126 @@ def window_funnel_sql(
     )
 
 
+def psi_drift_report(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    split_day: int = 15,
+) -> DataFrame:
+    """Population Stability Index per event type — the standard
+    model-monitoring drift score between two periods: bucket the value
+    distribution (fixed-width literal buckets — deterministic, no
+    data-dependent breakpoints), compare first-half vs second-half
+    shares, PSI = Σ_b (p_new − p_old)·ln(p_new/p_old).  The usual
+    reading: <0.1 stable, 0.1–0.25 moderate, >0.25 major drift.
+
+    Empty buckets would put 0 into the log, so shares use add-one
+    (Laplace) smoothing over the bucket spine — (n_b+1)/(N+B), exact
+    integer counts in, single-division doubles out.  Each bucket's
+    contribution is rounded to 6 dp then decimal-summed, the
+    corpus-LM discipline that keeps cross-engine ln jitter out of the
+    hash.  Shape: one conditional aggregate per (type, bucket) — the
+    spine is types × n_buckets rows — then a spine-sized rollup."""
+    ev = load_events(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("value") / bucket_width).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    period_new = F.dayofmonth("ts") > split_day
+    counts = ev.groupBy(F.col("event_type"), b.alias("bucket")).agg(
+        F.sum(F.when(~period_new, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(period_new, 1).otherwise(0)).alias("n_new"),
+    )
+    # bucket spine so buckets empty in ONE period still contribute
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(n_buckets).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    full = spine.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    j = full.join(F.broadcast(tot), "event_type")
+    p_old = (F.col("n_old") + 1).cast("double") / (
+        F.col("t_old") + n_buckets
+    )
+    p_new = (F.col("n_new") + 1).cast("double") / (
+        F.col("t_new") + n_buckets
+    )
+    contrib = F.round(
+        (p_new - p_old) * F.log(p_new / p_old), 6
+    ).cast("decimal(18,6)")
+    return (
+        j.select("event_type", contrib.alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("double").alias("psi"))
+        .select(
+            "event_type",
+            "psi",
+            (F.col("psi") >= 0.1).alias("drifted"),
+        )
+    )
+
+
+def psi_drift_report_sql(
+    table: str = "events",
+    *,
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    split_day: int = 15,
+) -> str:
+    """DuckDB twin of :func:`psi_drift_report`."""
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / CAST({bucket_width!r} AS DOUBLE))
+                    AS INT), {n_buckets - 1}) AS bucket,
+         (day(ts) > {split_day}) AS is_new
+  FROM {table}),
+counts AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS n_old,
+         SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new
+  FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, CAST(g AS INT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM {table}) t
+  CROSS JOIN generate_series(0, {n_buckets - 1}) s(g)),
+full_t AS (
+  SELECT s.event_type, s.bucket,
+         COALESCE(c.n_old, 0) AS n_old, COALESCE(c.n_new, 0) AS n_new
+  FROM spine s LEFT JOIN counts c USING (event_type, bucket)),
+tot AS (
+  SELECT event_type, SUM(n_old) AS t_old, SUM(n_new) AS t_new
+  FROM full_t GROUP BY event_type),
+c AS (
+  SELECT f.event_type,
+         CAST(round(
+           (CAST(f.n_new + 1 AS DOUBLE) / (t.t_new + {n_buckets})
+            - CAST(f.n_old + 1 AS DOUBLE) / (t.t_old + {n_buckets}))
+           * ln((CAST(f.n_new + 1 AS DOUBLE) / (t.t_new + {n_buckets}))
+                / (CAST(f.n_old + 1 AS DOUBLE)
+                   / (t.t_old + {n_buckets}))), 6)
+           AS DECIMAL(18,6)) AS c
+  FROM full_t f JOIN tot t USING (event_type))
+SELECT event_type, CAST(SUM(c) AS DOUBLE) AS psi,
+       (CAST(SUM(c) AS DOUBLE) >= CAST(0.1 AS DOUBLE)) AS drifted
+FROM c GROUP BY event_type
+"""
+
+
 def pareto_frontier(
     df: DataFrame,
     *,

@@ -215,6 +215,8 @@ def test_registry_udf_free_entries_have_no_python_eval(spark):
     UDF_FAMILIES = {
         # the encoder/chunker ARE pandas UDFs — that's their design
         "chunk_documents", "embed_documents", "embed_delta",
+        # r8: the giant-doc regime runs the same chunker UDF
+        "chunk_giant_doc",
         # streaming bridges execute eagerly inside the builder
         "streaming_events_hourly", "streaming_sessionization",
         "streaming_exact_dedup", "streaming_interval_join",
@@ -1403,3 +1405,35 @@ def test_pareto_frontier_dominance_semantics(spark):
     brute = sorted({p for p in pts
                     if not any(dominated(p, q) for q in pts)})
     assert got == brute
+
+
+def test_psi_detects_planted_drift(spark, tmp_path):
+    """PSI flags a distribution that moved between halves and stays
+    quiet on one that didn't."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import psi_drift_report
+
+    rows = []
+    eid = 0
+    # type 'stable': uniform-ish values both halves
+    # type 'shifted': low values first half, high values second half
+    for day in range(1, 31):
+        for i in range(20):
+            eid += 1
+            rows.append((eid, pd.Timestamp(f"2024-01-{day:02d} 12:00:00"),
+                         1, "stable", float((i * 25) % 490)))
+            eid += 1
+            v = 10.0 if day <= 15 else 450.0
+            rows.append((eid, pd.Timestamp(f"2024-01-{day:02d} 13:00:00"),
+                         1, "shifted", v))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: (r["psi"], r["drifted"])
+        for r in psi_drift_report(spark, str(tmp_path)).collect()
+    }
+    assert got["shifted"][1] is True and got["shifted"][0] > 1.0
+    assert got["stable"][1] is False and got["stable"][0] < 0.05
