@@ -2669,6 +2669,46 @@ def _q_user_erasure_rollup(spark, sf_dir):
     )
 
 
+def _q_streaming_golden_record(spark, sf_dir):
+    """Survivorship maintained IN STREAM: each micro-batch reduces to
+    its partial struct-max state (golden_record_partials — counts sum,
+    per-field (recency, id, value) struct maxes re-max), partials
+    append via run_stream_batch_partials and merge on read.  Struct
+    max is associative/commutative/idempotent, so the live golden
+    records equal the batch run over the same fixture EXACTLY — the
+    entry shares golden_record's oracle.  This is how MDM state rides
+    a live ingest feed: per-batch work is batch-sized, the persisted
+    state is cluster-table sized, history never re-read."""
+    from inception_spark.operators.linkage import (
+        golden_record_finalize,
+        golden_record_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    recs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 4).cast("long").alias("cluster"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 5 != 0, F.col("source")).alias(
+            "source"
+        ),
+    )
+    parts = run_stream_batch_partials(
+        spark,
+        recs,
+        lambda bdf: golden_record_partials(
+            bdf,
+            cluster_col="cluster",
+            fields=["lang", "source"],
+            recency_col="doc_id",
+            id_col="doc_id",
+        ),
+    )
+    return golden_record_finalize(parts, ["lang", "source"])
+
+
 def _q_streaming_late_data_audit(spark, sf_dir):
     """Watermark late-data semantics, pinned against the documented
     drop rule over a CONTROLLED micro-batch order
@@ -3802,6 +3842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_blocklist_gate": _q_streaming_blocklist_gate,
         # r8: MDM survivorship (latest-non-null + provenance, one agg)
         "golden_record": _q_golden_record,
+        # r8: survivorship live — mergeable struct-max partials
+        "streaming_golden_record": _q_streaming_golden_record,
         # r8: sparse TF-IDF cosine similarity join (df-capped postings)
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # r8: median/MAD outliers (robust twin of events_anomaly;
@@ -5503,6 +5545,17 @@ FROM t1
         # r8: same null-gated struct-max survivorship over the same
         # injected-NULL fixture
         "golden_record": golden_record_sql(
+            "(SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS cluster, "
+            "CASE WHEN doc_id % 3 != 0 THEN lang END AS lang, "
+            "CASE WHEN doc_id % 5 != 0 THEN source END AS source "
+            "FROM documents)",
+            cluster_expr="cluster",
+            fields=["lang", "source"],
+            recency_col="doc_id",
+            id_col="doc_id",
+        ),
+        # r8: live partial-merge survivorship == the batch run exactly
+        "streaming_golden_record": golden_record_sql(
             "(SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS cluster, "
             "CASE WHEN doc_id % 3 != 0 THEN lang END AS lang, "
             "CASE WHEN doc_id % 5 != 0 THEN source END AS source "

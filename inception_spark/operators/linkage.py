@@ -249,3 +249,53 @@ WITH g AS (
   FROM {table} GROUP BY 1)
 SELECT {', '.join(sel)} FROM g
 """
+
+
+def golden_record_partials(
+    df: DataFrame,
+    *,
+    cluster_col: str,
+    fields: list[str],
+    recency_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The mergeable state behind :func:`golden_record`: per cluster,
+    the partial row count and the per-field null-gated struct maxes
+    KEPT AS STRUCTS (merging needs the (recency, id, value) ordering
+    key, not the extracted field).  Struct max is associative /
+    commutative / idempotent and counts sum exactly, so partials from
+    any regrouping of rows — ingest batches, stream micro-batches —
+    merge to the batch answer bit-for-bit (the sketch-quartet
+    contract, applied to survivorship)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_records")]
+    for f in fields:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(f).isNotNull(),
+                    F.struct(
+                        F.col(recency_col).alias("_r"),
+                        F.col(id_col).alias("_i"),
+                        F.col(f).alias("_v"),
+                    ),
+                )
+            ).alias(f"_best_{f}")
+        )
+    return df.groupBy(F.col(cluster_col).alias("cluster_id")).agg(*aggs)
+
+
+def golden_record_finalize(
+    partials: DataFrame, fields: list[str]
+) -> DataFrame:
+    """Merge partial survivorship states (sum counts, re-max structs)
+    and extract the surviving values + provenance — output-identical
+    to :func:`golden_record` over the union of the partials' inputs."""
+    aggs = [F.sum("n_records").cast("long").alias("n_records")]
+    for f in fields:
+        aggs.append(F.max(f"_best_{f}").alias(f"_best_{f}"))
+    merged = partials.groupBy("cluster_id").agg(*aggs)
+    sel = [F.col("cluster_id"), F.col("n_records")]
+    for f in fields:
+        sel.append(F.col(f"_best_{f}._v").alias(f))
+        sel.append(F.col(f"_best_{f}._i").alias(f"{f}_src"))
+    return merged.select(*sel)

@@ -111,3 +111,32 @@ class TestGoldenRecord:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan and "Join" not in plan
         assert plan.count("Exchange") <= 1  # the one groupBy shuffle
+
+    def test_partials_merge_equals_batch_under_any_split(self, spark):
+        """Struct-max survivorship state merges exactly: split the rows
+        arbitrarily, build partials per split, finalize the union —
+        must equal the single-pass golden_record."""
+        from inception_spark.operators.linkage import (
+            golden_record,
+            golden_record_finalize,
+            golden_record_partials,
+        )
+
+        rows = [
+            (i, i % 7, f"n{i % 5}" if i % 3 else None,
+             f"e{i % 4}" if i % 5 else None)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "rid long, cluster long, name string, email string"
+        )
+        kw = dict(cluster_col="cluster", fields=["name", "email"],
+                  recency_col="rid", id_col="rid")
+        batch = sorted(map(tuple, golden_record(df, **kw).collect()))
+        p1 = golden_record_partials(df.filter("rid % 3 = 0"), **kw)
+        p2 = golden_record_partials(df.filter("rid % 3 = 1"), **kw)
+        p3 = golden_record_partials(df.filter("rid % 3 = 2"), **kw)
+        merged = sorted(map(tuple, golden_record_finalize(
+            p1.unionByName(p2).unionByName(p3), ["name", "email"]
+        ).collect()))
+        assert merged == batch
