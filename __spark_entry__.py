@@ -3665,7 +3665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_robust_anomaly, streaming_late_data_audit,
     user_erasure_rollup, session_paths, ivf_balance_report,
     bootstrap_revenue_ci, window_funnel, match_distribution_sample,
-    weighted_quantiles, pareto_frontier).  The in-repo mini-driver
+    weighted_quantiles, pareto_frontier, psi_drift_report,
+    streaming_pca_component, streaming_golden_record).  The in-repo
+    mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
     grouped-by-family order; ``_WINDOW_R8`` does the rotation at
