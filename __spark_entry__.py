@@ -3666,7 +3666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     user_erasure_rollup, session_paths, ivf_balance_report,
     bootstrap_revenue_ci, window_funnel, match_distribution_sample,
     weighted_quantiles, pareto_frontier, psi_drift_report,
-    streaming_pca_component, streaming_golden_record).  The in-repo
+    streaming_pca_component, streaming_golden_record,
+    events_seasonal_decomp, decayed_heavy_hitters).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -3884,6 +3885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             steps=("signup", "view", "click", "purchase"),
             window_days=1,
         ),
+        # r8: additive seasonal decomposition — trend / seasonal /
+        # residual in exact integer milli-units over the hourly rollup
+        "events_seasonal_decomp": R.events_seasonal_decomp,
+        # r8: exponential time-decay heavy hitters (exact bit-shift
+        # micro-weights, per-type top-k)
+        "decayed_heavy_hitters": R.decayed_heavy_hitters,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5476,6 +5483,10 @@ GROUP BY o.o_orderpriority
             steps=("signup", "view", "click", "purchase"),
             window_days=1,
         ),
+        # r8: same hourly rollup, 25h centered window, trunc division
+        "events_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,
+        # r8: same bit-shift micro-weights + per-type rank
+        "decayed_heavy_hitters": R.decayed_heavy_hitters_sql(),
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

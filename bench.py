@@ -177,6 +177,10 @@ HEADLINE = [
     "pareto_frontier",
     # r8: PSI drift monitor (spine-sized after one fact aggregate)
     "psi_drift_report",
+    # r8: additive seasonal decomposition (windows on the hourly rollup)
+    "events_seasonal_decomp",
+    # r8: time-decayed heavy hitters (one hash agg + per-type top-k)
+    "decayed_heavy_hitters",
 ]
 
 

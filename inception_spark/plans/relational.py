@@ -2747,3 +2747,170 @@ SELECT antecedent, consequent, n_both, support, confidence, lift,
             AS BIGINT) AS rank
 FROM scored QUALIFY rank <= {k}
 """
+
+
+def events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event-rate
+    series, per event type: (event_type, hour_ts, n_events, trend_milli,
+    seasonal_milli, residual_milli).
+
+    Trend = centered 25-hour moving average (ROWS 12 PRECEDING..12
+    FOLLOWING over the hourly rollup — the window shrinks at series
+    edges, both engines identically); seasonal = per-(type, hour-of-day)
+    mean of the detrended series; residual = detrended − seasonal.
+    Every statistic is INTEGER milli-units end to end: trend_milli =
+    (1000·Σn) div cnt on non-negative ints, and the seasonal mean
+    divides a possibly-negative integer sum with `div`/`//` — both
+    engines truncate toward zero, so the quotients agree (floor-vs-trunc
+    only diverges between Python and SQL, not between Spark and DuckDB).
+
+    100 TB shape: the raw scan is ONE hash aggregate to the hourly
+    rollup (bounded by the time span × type cardinality, metadata-sized
+    next to the events); the windows and the seasonal aggregate run on
+    that rollup only.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-12, 12)
+    )
+    detr = (
+        hourly.withColumn("_wsum", F.sum("n_events").over(w))
+        .withColumn("_wcnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "trend_milli", F.expr("(1000 * _wsum) div _wcnt").cast("long")
+        )
+        .withColumn(
+            "detr_milli", (F.lit(1000) * F.col("n_events")) - F.col("trend_milli")
+        )
+    )
+    seas = detr.groupBy(
+        "event_type", F.hour("hour_ts").alias("hod")
+    ).agg(
+        F.expr("sum(detr_milli) div count(1)").cast("long").alias(
+            "seasonal_milli"
+        )
+    )
+    return (
+        detr.withColumn("hod", F.hour("hour_ts"))
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_ts",
+            F.col("n_events").cast("long").alias("n_events"),
+            "trend_milli",
+            "seasonal_milli",
+            (F.col("detr_milli") - F.col("seasonal_milli"))
+            .cast("long")
+            .alias("residual_milli"),
+        )
+    )
+
+
+EVENTS_SEASONAL_DECOMP_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+tr AS (
+  SELECT *,
+         (1000 * SUM(n_events) OVER w) // (COUNT(*) OVER w) AS trend_milli
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+d AS (
+  SELECT *, 1000 * n_events - trend_milli AS detr_milli FROM tr),
+seas AS (
+  SELECT event_type, extract(hour FROM hour_ts) AS hod,
+         SUM(detr_milli) // COUNT(*) AS seasonal_milli
+  FROM d GROUP BY 1, 2)
+SELECT d.event_type, d.hour_ts, CAST(d.n_events AS BIGINT) AS n_events,
+       CAST(d.trend_milli AS BIGINT) AS trend_milli,
+       CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+       CAST(d.detr_milli - s.seasonal_milli AS BIGINT) AS residual_milli
+FROM d JOIN seas s
+  ON d.event_type = s.event_type AND extract(hour FROM d.hour_ts) = s.hod
+"""
+
+
+def decayed_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 10,
+    halflife_days: int = 1,
+) -> DataFrame:
+    """Exponentially time-decayed heavy hitters: the top-``k`` users per
+    event type by RECENCY-WEIGHTED activity — (event_type, user_id,
+    decayed_micro, n_events, rank).
+
+    Each event contributes ``2^(−age_days/halflife)`` of a count; with
+    day-granular ages that weight is an EXACT integer number of
+    micro-counts, ``1000000 >> (age_days div halflife)`` — a bit shift,
+    so the per-user score is an exact BIGINT sum (order-independent, no
+    float decay in sight) and the ranking needs no rounding discipline.
+    Ages beyond 19 halflives clamp to weight 0 explicitly: 1000000 <
+    2^20 so the shift result IS 0 there, but JVM int shifts mask the
+    shift count to 5 bits (age 32 would wrap to full weight) — the
+    clamp keeps the expression out of that regime in both engines.
+
+    100 TB shape: one hash aggregate keyed (event_type, user_id) with
+    map-side partial combine (sums of ints), then a per-type top-k
+    window over the aggregate.  The anchor `today` is max(ts) — one
+    scalar subquery / broadcast scalar, not a driver constant.
+    """
+    ev = load_events(spark, sf_dir)
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("_today"))
+    scored = (
+        ev.select("event_type", "user_id", F.to_date("ts").alias("_d"))
+        .join(F.broadcast(anchor))
+        .withColumn(
+            "_age",
+            F.expr(f"datediff(_today, _d) div {halflife_days}"),
+        )
+        .withColumn(
+            "_w",
+            F.when(F.col("_age") > 19, F.lit(0)).otherwise(
+                F.expr("shiftright(1000000, cast(_age as int))")
+            ),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum("_w").cast("long").alias("decayed_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("decayed_micro").desc(), F.col("user_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "user_id", "decayed_micro", "n_events", "rank")
+    )
+
+
+def decayed_heavy_hitters_sql(*, k: int = 10, halflife_days: int = 1) -> str:
+    """DuckDB twin of :func:`decayed_heavy_hitters`."""
+    return f"""
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS today FROM events),
+scored AS (
+  SELECT event_type, user_id,
+         SUM(CASE WHEN datediff('day', CAST(ts AS DATE), today)
+                       // {halflife_days} > 19 THEN 0
+                  ELSE 1000000 >> (datediff('day', CAST(ts AS DATE), today)
+                                   // {halflife_days}) END) AS decayed_micro,
+         COUNT(*) AS n_events
+  FROM events, anchor GROUP BY 1, 2),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY decayed_micro DESC, user_id) AS rank
+  FROM scored)
+SELECT event_type, user_id, CAST(decayed_micro AS BIGINT) AS decayed_micro,
+       CAST(n_events AS BIGINT) AS n_events, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""

@@ -1437,3 +1437,72 @@ def test_psi_detects_planted_drift(spark, tmp_path):
     }
     assert got["shifted"][1] is True and got["shifted"][0] > 1.0
     assert got["stable"][1] is False and got["stable"][0] < 0.05
+
+
+def test_events_seasonal_decomp_identity_and_bump(spark, tmp_path):
+    """The three components recompose EXACTLY (1000*n == trend +
+    seasonal + residual, an integer identity by construction), and a
+    planted hour-of-day bump surfaces as that hour's max seasonal
+    component."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_seasonal_decomp
+
+    rows, eid = [], 0
+    for day in range(1, 4):          # 3 full days, hourly
+        for h in range(24):
+            n = 2 + (6 if h == 12 else 0)
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, pd.Timestamp(f"2024-01-{day:02d} {h:02d}:30:00"),
+                     1, "a", 1.0)
+                )
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    out = events_seasonal_decomp(spark, str(tmp_path)).collect()
+    assert len(out) == 72
+    for r in out:
+        assert (1000 * r["n_events"]
+                == r["trend_milli"] + r["seasonal_milli"]
+                + r["residual_milli"]), r
+    seas = {}
+    for r in out:
+        seas[r["hour_ts"].hour] = r["seasonal_milli"]
+    assert seas[12] == max(seas.values())
+    assert seas[12] > 0 > seas[0]    # bump above trend, troughs below
+
+
+def test_decayed_heavy_hitters_ranks_and_clamps(spark, tmp_path):
+    """Recency beats raw volume per the exact bit-shift weights, and
+    events 40 halflives old weigh EXACTLY zero — the regime where a JVM
+    int shift would wrap (40 & 31 = 8 -> weight 3906) if the operator
+    didn't clamp before shifting."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import decayed_heavy_hitters
+
+    rows, eid = [], 0
+    # user 1: one event today -> 1_000_000
+    # user 2: three events 1 day old -> 3 * 500_000 = 1_500_000 (rank 1)
+    # user 3: a hundred events 40 days old -> 0 (clamped, despite volume)
+    specs = [(1, "2024-02-10", 1), (2, "2024-02-09", 3),
+             (3, "2024-01-01", 100)]
+    for uid, day, n in specs:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, pd.Timestamp(f"{day} 08:00:00"),
+                         uid, "a", 1.0))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["user_id"]: r for r in
+           decayed_heavy_hitters(spark, str(tmp_path)).collect()}
+    assert out[2]["decayed_micro"] == 1_500_000 and out[2]["rank"] == 1
+    assert out[1]["decayed_micro"] == 1_000_000 and out[1]["rank"] == 2
+    assert out[3]["decayed_micro"] == 0 and out[3]["n_events"] == 100
