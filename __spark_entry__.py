@@ -1602,11 +1602,18 @@ def _q_part_basket_triangles(spark, sf_dir):
     oriented shape."""
     from inception_spark.operators.graph import triangle_count
 
+    return triangle_count(_part_basket_edges(spark, sf_dir))
+
+
+def _part_basket_edges(spark, sf_dir):
+    """The PART bought-together graph (co-appear on >= 2 distinct
+    orders) — shared by the triangle census and the per-node clustering
+    coefficient."""
     li = R.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -1620,7 +1627,69 @@ def _q_part_basket_triangles(spark, sf_dir):
         .filter(F.col("n_coorders") >= 2)
         .select("src", "dst")
     )
-    return triangle_count(edges)
+
+
+_PART_EDGES_SQL = """
+SELECT a.s AS src, b.s AS dst
+FROM (SELECT DISTINCT l_orderkey AS c, l_partkey AS s FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey AS c, l_partkey AS s FROM lineitem) b
+  ON a.c = b.c AND a.s < b.s
+GROUP BY a.s, b.s HAVING COUNT(*) >= 2
+"""
+
+
+def _q_part_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient over the part basket graph
+    — which parts sit in tightly-knit 'bought-together' neighborhoods
+    (the node-level refinement of part_basket_triangles' global
+    coefficient).  Same degree-ordered O(m^1.5) wedge shape; the credit
+    assignment explodes each closed triangle to its 3 corners."""
+    from inception_spark.operators.graph import local_clustering
+
+    return local_clustering(_part_basket_edges(spark, sf_dir))
+
+
+def _q_fd_profile(spark, sf_dir):
+    """Functional-dependency discovery over the orders columns — the
+    key/co-location audit a 100 TB ingest runs before choosing
+    partition keys.  o_orderkey determines everything (it is the key);
+    no non-key FD holds, so both verdict branches execute."""
+    from inception_spark.operators.profile import fd_profile
+
+    return fd_profile(
+        R.load(spark, sf_dir, "orders"), _FD_COLUMNS
+    )
+
+
+_FD_COLUMNS = ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_orderpriority"]
+
+
+def _local_clustering_oracle_sql():
+    from inception_spark.operators.graph import local_clustering_sql
+
+    return local_clustering_sql(_PART_EDGES_SQL)
+
+
+def _q_streaming_decayed_topk(spark, sf_dir):
+    """The decayed heavy hitters maintained IN STREAM: each micro-batch
+    reduces to per-(type, user, day) count partials (exactly re-summable
+    under any batching), the merged rollup gets the bit-shift decay
+    weights against the global max-day anchor, and the ranking is the
+    batch operator's — identical output by the re-sum identity, so it
+    shares decayed_heavy_hitters' oracle.  State is the activity rollup
+    (users × active days), never an event stream."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_type", "user_id", "ts"
+    )
+    parts = run_stream_batch_partials(
+        spark, ev, R.decayed_daily_counts
+    )
+    return R.decayed_topk_from_daily(parts)
 
 
 def _q_cms_incremental_topk(spark, sf_dir):
@@ -3667,7 +3736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bootstrap_revenue_ci, window_funnel, match_distribution_sample,
     weighted_quantiles, pareto_frontier, psi_drift_report,
     streaming_pca_component, streaming_golden_record,
-    events_seasonal_decomp, decayed_heavy_hitters).  The in-repo
+    events_seasonal_decomp, decayed_heavy_hitters,
+    streaming_decayed_topk, events_burst_windows,
+    part_local_clustering, term_collocations, fd_profile).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -3891,6 +3962,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: exponential time-decay heavy hitters (exact bit-shift
         # micro-weights, per-type top-k)
         "decayed_heavy_hitters": R.decayed_heavy_hitters,
+        # r8: the decayed ranking maintained live (daily-count partials)
+        "streaming_decayed_topk": _q_streaming_decayed_topk,
+        # r8: burst INTERVALS (trailing-24h rational threshold + islands)
+        "events_burst_windows": R.events_burst_windows,
+        # r8: per-node clustering coefficient (triangle corner credit)
+        "part_local_clustering": _q_part_local_clustering,
+        # r8: PMI collocations (Church-Hanks), round-then-rank
+        "term_collocations": lambda spark, sf: TA.term_collocations(
+            _docs(spark, sf)
+        ),
+        # r8: exact functional-dependency discovery (one Expand pass)
+        "fd_profile": _q_fd_profile,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5487,6 +5570,16 @@ GROUP BY o.o_orderpriority
         "events_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,
         # r8: same bit-shift micro-weights + per-type rank
         "decayed_heavy_hitters": R.decayed_heavy_hitters_sql(),
+        # r8: streaming == batch by the partial re-sum identity
+        "streaming_decayed_topk": R.decayed_heavy_hitters_sql(),
+        # r8: same rational cross-multiplied threshold + islands
+        "events_burst_windows": R.events_burst_windows_sql(),
+        # r8: same orientation, corner credit, 6-dp double ratio
+        "part_local_clustering": _local_clustering_oracle_sql(),
+        # r8: same count chain, one ln, round-then-rank
+        "term_collocations": TA.term_collocations_sql(),
+        # r8: same exact NDV scalars, unpivoted
+        "fd_profile": PROF.fd_profile_sql("orders", _FD_COLUMNS),
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

@@ -181,6 +181,14 @@ HEADLINE = [
     "events_seasonal_decomp",
     # r8: time-decayed heavy hitters (one hash agg + per-type top-k)
     "decayed_heavy_hitters",
+    # r8: burst intervals (rollup windows + islands)
+    "events_burst_windows",
+    # r8: per-node clustering coefficient (O(m^1.5) wedge + corner credit)
+    "part_local_clustering",
+    # r8: PMI collocations (two explodes, three hash aggs, pruned top-k)
+    "term_collocations",
+    # r8: exact FD discovery (one Expand pass, 16 distinct aggs)
+    "fd_profile",
 ]
 
 

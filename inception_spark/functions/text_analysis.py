@@ -2228,3 +2228,109 @@ JOIN norms nb ON nb.doc_id = doc_b
 WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6)
       >= CAST({min_score!r} AS DOUBLE)
 """
+
+
+def term_collocations(df, *, k=30, min_count=5, id_col="doc_id",
+                      text_col="text"):
+    """PMI-ranked bigram collocations over the corpus — the classic
+    "fixed expressions" extractor (Church & Hanks 1990): top-``k``
+    adjacent word pairs by pointwise mutual information
+    ``ln(p(ab) / (p(a)·p(b)))`` with ``p(ab) = c12/N_bi`` over bigram
+    occurrences and ``p(w) = c(w)/N_uni`` over token occurrences,
+    among pairs seen at least ``min_count`` times (raw PMI is
+    rank-dominated by hapax pairs otherwise).  Output
+    ``(bigram, n_pair, pmi, rank)``.
+
+    Determinism: the PMI argument is one double-division chain over
+    exact integer counts — identical IEEE doubles in both engines —
+    and the final ``ln`` rounds at 6 dp (the libm-ulp discipline of
+    :func:`doc_bigram_logprob`); ranking is round-then-rank with the
+    bigram string as tiebreak.  Plan: one bigram explode + one token
+    explode → three hash aggregates → two broadcast-scalar joins; the
+    global top-k window runs only after a per-first-word top-k
+    pre-prune (partitioned window), never a single reducer over the
+    full pair table (the basket_rules discipline)."""
+    from pyspark.sql import Window
+
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    bg = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex_bg = df.select(F.explode(bg).alias("bg"))
+    ex_w = df.select(F.explode(ws).alias("w"))
+    c12 = ex_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    cw = ex_w.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = ex_bg.agg(F.count(F.lit(1)).alias("n_bi")).crossJoin(
+        ex_w.agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    cand = (
+        c12.filter(F.col("c12") >= min_count)
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(cw.selectExpr("w AS w1", "cw AS c1"), "w1")
+        .join(cw.selectExpr("w AS w2", "cw AS c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            F.col("c12").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    / F.col("n_bi")
+                    / (
+                        F.col("c1").cast("double") / F.col("n_uni")
+                        * (F.col("c2").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+            F.substring_index("bg", " ", 1).alias("_w1"),
+        )
+    )
+    pre = Window.partitionBy("_w1").orderBy(
+        F.col("pmi").desc(), F.col("bg")
+    )
+    glob = Window.orderBy(F.col("pmi").desc(), F.col("bg"))
+    return (
+        cand.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= k)
+        .withColumn("rank", F.row_number().over(glob).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("bg", "n_pair", "pmi", "rank")
+    )
+
+
+def term_collocations_sql(table: str = "documents", *, k=30,
+                          min_count=5) -> str:
+    """DuckDB twin of :func:`term_collocations` (pre-prune omitted —
+    it is result-invariant by construction)."""
+    w = words_sql("text")
+    return f"""
+WITH ws AS (SELECT doc_id, {w} AS ws FROM {table}),
+ex_bg AS (
+  SELECT unnest(list_transform(
+           list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+           p -> p[1] || ' ' || p[2])) AS bg
+  FROM ws),
+ex_w AS (SELECT unnest(ws) AS w FROM ws),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM ex_bg GROUP BY bg),
+cw AS (SELECT w, COUNT(*) AS cw FROM ex_w GROUP BY w),
+tot AS (SELECT (SELECT COUNT(*) FROM ex_bg) AS n_bi,
+               (SELECT COUNT(*) FROM ex_w) AS n_uni),
+cand AS (
+  SELECT bg, CAST(c12 AS BIGINT) AS n_pair,
+         round(ln(CAST(c12 AS DOUBLE) / n_bi
+                  / (CAST(a.cw AS DOUBLE) / n_uni
+                     * (CAST(b.cw AS DOUBLE) / n_uni))), 6) AS pmi
+  FROM c12
+  JOIN cw a ON a.w = split_part(bg, ' ', 1)
+  JOIN cw b ON b.w = split_part(bg, ' ', -1)
+  CROSS JOIN tot
+  WHERE c12 >= {min_count})
+SELECT bg, n_pair, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT) AS rank
+FROM cand QUALIFY rank <= {k}
+"""

@@ -318,3 +318,112 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 WHERE deg >= {k}
 """
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected graph →
+    ``(node, deg, n_triangles, lcc)`` with lcc = 2·T(v)/(deg·(deg−1)),
+    NULL for degree-1 nodes (the ratio is undefined there).
+
+    Same degree-ordered orientation as :func:`triangle_count` (each
+    triangle is generated exactly once as a wedge at its lowest-ordered
+    corner, closed by one equi-join against the canonical edge set), but
+    instead of counting globally, each closed triangle is exploded back
+    to its three corners and hash-aggregated per node — the per-node
+    credit assignment is one explode (×3) + one aggregate on the
+    triangle set, which is O(m^1.5)-bounded, never a per-node neighbor
+    materialization.  The coefficient divides two exact ints as doubles
+    and rounds at 6 dp (engine-identical)."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    keyed = e.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("tail"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("head"),
+    )
+    o1 = oriented.select(F.col("tail"), F.col("head").alias("h1"))
+    o2 = oriented.select(F.col("tail"), F.col("head").alias("h2"))
+    wedges = o1.join(o2, "tail").filter(F.col("h1") < F.col("h2"))
+    tri = wedges.join(
+        e,
+        (F.least("h1", "h2") == F.col("u"))
+        & (F.greatest("h1", "h2") == F.col("v")),
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("tail", "h1", "h2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    (F.lit(2) * F.coalesce("n_triangles", F.lit(0)))
+                    .cast("double")
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                    6,
+                ),
+            ).alias("lcc"),
+        )
+    )
+
+
+def local_clustering_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`local_clustering`: same orientation, same
+    per-corner credit, same 6-dp double ratio."""
+    return f"""
+WITH raw AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM
+    (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+o AS MATERIALIZED (
+  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS tail,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS head
+  FROM e JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node),
+tri AS MATERIALIZED (
+  SELECT w.tail, w.h1, w.h2
+  FROM (SELECT o1.tail, o1.head AS h1, o2.head AS h2
+        FROM o o1 JOIN o o2 ON o1.tail = o2.tail AND o1.head < o2.head) w
+  JOIN e ON least(w.h1, w.h2) = e.u AND greatest(w.h1, w.h2) = e.v),
+per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM
+    (SELECT tail AS node FROM tri UNION ALL SELECT h1 FROM tri
+     UNION ALL SELECT h2 FROM tri) GROUP BY node)
+SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2 THEN
+         round(CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+               / (d.deg * (d.deg - 1)), 6)
+       END AS lcc
+FROM deg d LEFT JOIN per_node p ON d.node = p.node
+"""

@@ -145,3 +145,64 @@ SELECT '{c}' AS column,
        END AS avg_len
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def fd_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Functional-dependency discovery over ``columns``: for every
+    ordered pair (det, dep), ``det → dep`` holds exactly when
+    ``ndv(det) == ndv(det, dep)`` — one row
+    ``(determinant, dependent, ndv_det, ndv_pair, fd_holds)`` per pair.
+    This is the key/denormalization discovery step schema-on-read
+    pipelines run before choosing partition and bucketing keys: an FD
+    tells you the dependent column is free to co-locate with its
+    determinant.
+
+    Plan: ONE aggregate pass computes all |C| + |C|·(|C|−1) exact
+    distinct counts (Catalyst's expand rewrite — a single scan, ×(pairs)
+    row expansion), then a literal stack() unpivots to the pair table.
+    Exact NDV is the point here (an FD is a universally-quantified
+    claim; an approximate count cannot certify it) — at 100 TB you
+    FALSIFY cheaply first with approx counts (profile_table's knob) and
+    certify only surviving pairs with this pass, on a column set pruned
+    to plausible keys."""
+    pairs = [(a, b) for a in columns for b in columns if a != b]
+    aggs = [
+        F.countDistinct(c).alias(f"_d_{c}") for c in columns
+    ] + [
+        F.countDistinct(a, b).alias(f"_p_{a}__{b}") for a, b in pairs
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _d_{a}, _p_{a}__{b}" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS "
+        "(determinant, dependent, ndv_det, ndv_pair)"
+    ).select(
+        "determinant",
+        "dependent",
+        F.col("ndv_det").cast("long").alias("ndv_det"),
+        F.col("ndv_pair").cast("long").alias("ndv_pair"),
+        (F.col("ndv_det") == F.col("ndv_pair")).alias("fd_holds"),
+    )
+
+
+def fd_profile_sql(table: str, columns: list[str]) -> str:
+    """DuckDB twin of :func:`fd_profile` — same scalars, unpivoted by
+    UNION ALL over one materialized aggregate row."""
+    pairs = [(a, b) for a in columns for b in columns if a != b]
+    aggs = ", ".join(
+        [f"COUNT(DISTINCT {c}) AS _d_{c}" for c in columns]
+        + [f"COUNT(DISTINCT ({a}, {b})) AS _p_{a}__{b}" for a, b in pairs]
+    )
+    parts = [
+        f"SELECT '{a}' AS determinant, '{b}' AS dependent,\n"
+        f"       CAST(_d_{a} AS BIGINT) AS ndv_det,\n"
+        f"       CAST(_p_{a}__{b} AS BIGINT) AS ndv_pair,\n"
+        f"       _d_{a} = _p_{a}__{b} AS fd_holds FROM wide"
+        for a, b in pairs
+    ]
+    return (
+        f"WITH wide AS MATERIALIZED (SELECT {aggs} FROM {table})\n"
+        + "\nUNION ALL\n".join(parts)
+    )

@@ -2894,6 +2894,58 @@ def decayed_heavy_hitters(
     )
 
 
+def decayed_daily_counts(ev: DataFrame) -> DataFrame:
+    """Mergeable partial for :func:`decayed_heavy_hitters`: per
+    (event_type, user_id, day) event counts.  Counts re-sum exactly
+    under ANY regrouping of rows into batches, and the decay weight is
+    a pure function of (day, global max day), so applying weights AFTER
+    the merge reproduces the batch answer bit-for-bit — the
+    run_stream_batch_partials contract.  State is the activity rollup
+    (users × active days), not an event stream."""
+    return ev.groupBy(
+        "event_type", "user_id", F.to_date("ts").alias("_d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def decayed_topk_from_daily(
+    daily: DataFrame, *, k: int = 10, halflife_days: int = 1
+) -> DataFrame:
+    """Finalize :func:`decayed_daily_counts` partials (possibly from
+    several batches — re-summed here) into the decayed top-k; identical
+    output contract and oracle as :func:`decayed_heavy_hitters`."""
+    merged = daily.groupBy("event_type", "user_id", "_d").agg(
+        F.sum("n").alias("n")
+    )
+    anchor = merged.agg(F.max("_d").alias("_today"))
+    scored = (
+        merged.join(F.broadcast(anchor))
+        .withColumn(
+            "_age", F.expr(f"datediff(_today, _d) div {halflife_days}")
+        )
+        .withColumn(
+            "_w",
+            F.when(F.col("_age") > 19, F.lit(0)).otherwise(
+                F.expr("shiftright(1000000, cast(_age as int))")
+            ),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.col("_w") * F.col("n")).cast("long").alias(
+                "decayed_micro"
+            ),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("decayed_micro").desc(), F.col("user_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "user_id", "decayed_micro", "n_events", "rank")
+    )
+
+
 def decayed_heavy_hitters_sql(*, k: int = 10, halflife_days: int = 1) -> str:
     """DuckDB twin of :func:`decayed_heavy_hitters`."""
     return f"""
@@ -2913,4 +2965,121 @@ rk AS (
 SELECT event_type, user_id, CAST(decayed_micro AS BIGINT) AS decayed_micro,
        CAST(n_events AS BIGINT) AS n_events, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {k}
+"""
+
+
+def events_burst_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ratio_num: int = 3,
+    ratio_den: int = 2,
+    min_events: int = 3,
+) -> DataFrame:
+    """Burst detection with interval output: maximal runs of consecutive
+    hours where a type's event rate is ≥ ``ratio_num/ratio_den``× its
+    trailing-24h baseline — (event_type, burst_start, burst_end,
+    n_hours, peak_events, total_events).  Where events_anomaly/CUSUM
+    flag points, this emits the INTERVALS an alerting pipeline pages
+    on.  The threshold is a RATIONAL compared by cross-multiplication
+    (``den·1000·n ≥ num·base_milli``) — hourly rates concentrate as
+    volume grows (sf0.1's worst hour is only 1.8× baseline), so an
+    integer-only ×3 test would never fire at scale while 3/2 fires at
+    every SF, and the cross-multiplied form keeps the arithmetic
+    exact-integer.
+
+    The baseline divides by the literal 24 — a RANGE frame over the
+    integer hour index (``epoch div 3600``), so hours with zero events
+    count as zero instead of being skipped the way a ROWS frame over
+    the sparse rollup would; the first 24 hours of each series carry no
+    verdict (partial baseline).  All arithmetic is exact-integer
+    (milli-rate vs ratio·baseline cross-multiplied), islands are the
+    hour_idx − row_number constancy trick — no sequential scan, no
+    floats anywhere.
+
+    100 TB shape: one hash aggregate to the hourly rollup, then windows
+    and islands on the rollup only (time-span × type sized)."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "hour_idx", F.expr("unix_timestamp(hour_ts) div 3600")
+        )
+    )
+    base_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -1)
+    )
+    first_w = Window.partitionBy("event_type")
+    flagged = (
+        hourly.withColumn("_bsum", F.sum("n").over(base_w))
+        .withColumn("_first", F.min("hour_idx").over(first_w))
+        .withColumn(
+            "base_milli", F.expr("(1000 * coalesce(_bsum, 0)) div 24")
+        )
+        .filter(
+            (F.col("hour_idx") >= F.col("_first") + 24)
+            & (F.col("n") >= min_events)
+            & (
+                F.lit(ratio_den * 1000) * F.col("n")
+                >= ratio_num * F.col("base_milli")
+            )
+        )
+    )
+    isl = flagged.withColumn(
+        "_grp",
+        F.col("hour_idx")
+        - F.row_number().over(
+            Window.partitionBy("event_type").orderBy("hour_idx")
+        ),
+    )
+    return (
+        isl.groupBy("event_type", "_grp")
+        .agg(
+            F.min("hour_ts").alias("burst_start"),
+            F.max("hour_ts").alias("burst_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("n").cast("long").alias("peak_events"),
+            F.sum("n").cast("long").alias("total_events"),
+        )
+        .select(
+            "event_type", "burst_start", "burst_end",
+            "n_hours", "peak_events", "total_events",
+        )
+    )
+
+
+def events_burst_windows_sql(
+    *, ratio_num: int = 3, ratio_den: int = 2, min_events: int = 3
+) -> str:
+    """DuckDB twin of :func:`events_burst_windows`."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_idx
+  FROM events GROUP BY 1, 2),
+flagged AS (
+  SELECT * FROM (
+    SELECT *,
+           (1000 * COALESCE(SUM(n) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0)) // 24
+             AS base_milli,
+           MIN(hour_idx) OVER (PARTITION BY event_type) AS _first
+    FROM hourly)
+  WHERE hour_idx >= _first + 24 AND n >= {min_events}
+    AND {ratio_den} * 1000 * n >= {ratio_num} * base_milli),
+isl AS (
+  SELECT *, hour_idx - row_number() OVER (
+      PARTITION BY event_type ORDER BY hour_idx) AS _grp
+  FROM flagged)
+SELECT event_type, MIN(hour_ts) AS burst_start, MAX(hour_ts) AS burst_end,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(n) AS BIGINT) AS peak_events,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM isl GROUP BY event_type, _grp
 """

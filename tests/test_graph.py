@@ -133,3 +133,19 @@ def test_kcore_empty_result(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     out = kcore(df, k=3, n_iter=3)
     assert out.count() == 0 and out.columns == ["node", "deg"]
+
+
+def test_local_clustering_known_graph(spark):
+    """Triangle {1,2,3} + pendant 4-1: lcc(1)=2*1/(3*2)=1/3,
+    lcc(2)=lcc(3)=1.0, lcc(4) undefined (deg 1) -> NULL."""
+    from inception_spark.operators.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (1, 4)],  # dup orientation too
+        "src int, dst int",
+    )
+    got = {r["node"]: r for r in local_clustering(edges).collect()}
+    assert got[1]["deg"] == 3 and got[1]["n_triangles"] == 1
+    assert abs(got[1]["lcc"] - 0.333333) < 1e-9
+    assert got[2]["lcc"] == 1.0 and got[3]["lcc"] == 1.0
+    assert got[4]["deg"] == 1 and got[4]["lcc"] is None

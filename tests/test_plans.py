@@ -1506,3 +1506,33 @@ def test_decayed_heavy_hitters_ranks_and_clamps(spark, tmp_path):
     assert out[2]["decayed_micro"] == 1_500_000 and out[2]["rank"] == 1
     assert out[1]["decayed_micro"] == 1_000_000 and out[1]["rank"] == 2
     assert out[3]["decayed_micro"] == 0 and out[3]["n_events"] == 100
+
+
+def test_events_burst_windows_planted_burst(spark, tmp_path):
+    """Steady 2/hour baseline for 48h, then a 3-hour 10/hour burst:
+    exactly one interval, spanning exactly the planted hours."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_burst_windows
+
+    rows, eid = [], 0
+    for h in range(72):
+        n = 10 if 48 <= h < 51 else 2
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+                 1, "a", 1.0)
+            )
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    out = events_burst_windows(spark, str(tmp_path)).collect()
+    assert len(out) == 1, out
+    b = out[0]
+    assert b["burst_start"] == pd.Timestamp("2024-01-03 00:00:00")
+    assert b["burst_end"] == pd.Timestamp("2024-01-03 02:00:00")
+    assert b["n_hours"] == 3 and b["peak_events"] == 10
+    assert b["total_events"] == 30

@@ -81,3 +81,25 @@ def test_profile_one_pass_and_approx_knob(spark):
     assert abs(got["o_orderkey"] - n) / n < 0.1
     with pytest.raises(ValueError):
         profile_table(orders)
+
+
+def test_fd_profile_planted_dependency(spark):
+    """city -> country holds (each city in one country); country ->
+    city fails (one country, two cities); id -> * all hold."""
+    from inception_spark.operators.profile import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "paris", "fr"), (2, "lyon", "fr"), (3, "paris", "fr")],
+        "id int, city string, country string",
+    )
+    got = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_profile(df, ["id", "city", "country"]).collect()
+    }
+    assert len(got) == 6
+    assert got[("city", "country")]["fd_holds"] is True
+    assert got[("country", "city")]["fd_holds"] is False
+    assert got[("id", "city")]["fd_holds"] is True
+    assert got[("city", "id")]["fd_holds"] is False
+    assert got[("country", "city")]["ndv_det"] == 1
+    assert got[("country", "city")]["ndv_pair"] == 2

@@ -299,3 +299,22 @@ class TestTfidfCosinePairs:
         )
         out = tfidf_cosine_pairs(docs, max_df=10, min_score=0.0)
         assert out.count() == 0
+
+
+def test_term_collocations_planted_phrase(spark):
+    """A fixed two-word phrase whose words never occur apart dominates
+    the PMI ranking; a pair of independently-frequent words ranks below
+    it despite a higher raw count."""
+    from inception_spark.functions.text_analysis import term_collocations
+
+    # "hong kong" always together (8x); "the cat"/"the dog"... "the"
+    # everywhere makes any "the X" pair low-PMI despite high counts
+    filler = "the cat sat on the mat with the dog near the door"
+    docs = spark.createDataFrame(
+        [(i, f"{filler} hong kong {filler}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = term_collocations(docs, k=5, min_count=5).collect()
+    assert out[0]["bg"] == "hong kong" and out[0]["rank"] == 1
+    pmis = {r["bg"]: r["pmi"] for r in out}
+    assert all(pmis["hong kong"] >= p for p in pmis.values())
