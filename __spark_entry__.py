@@ -1671,6 +1671,27 @@ def _local_clustering_oracle_sql():
     return local_clustering_sql(_PART_EDGES_SQL)
 
 
+def _q_link_prediction(spark, sf_dir):
+    """Which parts WILL be bought together: distance-2 pairs of the
+    basket graph scored by common neighbors / Jaccard / Adamic-Adar —
+    the co-purchase recommender shape.  min_common=1 because the
+    repeat-co-occurrence edge threshold already dedupes noise and the
+    sf0.1 graph has NO non-adjacent pair with 2 shared neighbors (the
+    denser the basket graph, the more 2-shared pairs are already
+    edges)."""
+    from inception_spark.operators.graph import link_prediction
+
+    return link_prediction(
+        _part_basket_edges(spark, sf_dir), min_common=1
+    )
+
+
+def _link_prediction_oracle_sql():
+    from inception_spark.operators.graph import link_prediction_sql
+
+    return link_prediction_sql(_PART_EDGES_SQL, min_common=1)
+
+
 def _q_streaming_decayed_topk(spark, sf_dir):
     """The decayed heavy hitters maintained IN STREAM: each micro-batch
     reduces to per-(type, user, day) count partials (exactly re-summable
@@ -3738,7 +3759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_pca_component, streaming_golden_record,
     events_seasonal_decomp, decayed_heavy_hitters,
     streaming_decayed_topk, events_burst_windows,
-    part_local_clustering, term_collocations, fd_profile).  The in-repo
+    part_local_clustering, term_collocations, fd_profile,
+    growth_accounting, user_survival_curve, link_prediction).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -3974,6 +3996,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # r8: exact functional-dependency discovery (one Expand pass)
         "fd_profile": _q_fd_profile,
+        # r8: DAU decomposition (new/retained/resurrected/churned)
+        "growth_accounting": R.growth_accounting,
+        # r8: Kaplan-Meier engagement survival (log-space, exact sums)
+        "user_survival_curve": R.user_survival_curve,
+        # r8: common-neighbor / Jaccard / Adamic-Adar link prediction
+        "link_prediction": _q_link_prediction,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5580,6 +5608,12 @@ GROUP BY o.o_orderpriority
         "term_collocations": TA.term_collocations_sql(),
         # r8: same exact NDV scalars, unpivoted
         "fd_profile": PROF.fd_profile_sql("orders", _FD_COLUMNS),
+        # r8: same lag/lead statuses + day-spine merge
+        "growth_accounting": R.GROWTH_ACCOUNTING_SQL,
+        # r8: same rounded hazard terms, exact decimal log-sum
+        "user_survival_curve": R.USER_SURVIVAL_CURVE_SQL,
+        # r8: same wedge enumeration + rounded AA terms
+        "link_prediction": _link_prediction_oracle_sql(),
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

@@ -189,6 +189,12 @@ HEADLINE = [
     "term_collocations",
     # r8: exact FD discovery (one Expand pass, 16 distinct aggs)
     "fd_profile",
+    # r8: DAU growth accounting (one rollup + per-user windows)
+    "growth_accounting",
+    # r8: Kaplan-Meier survival (duration-rollup-sized windows)
+    "user_survival_curve",
+    # r8: link prediction (center-bounded wedge join + anti-join)
+    "link_prediction",
 ]
 
 

@@ -26,7 +26,7 @@ pass both directions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 PICO = 10**12  # 1.0 of rank mass, in integer units
 
@@ -426,4 +426,142 @@ SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
                / (d.deg * (d.deg - 1)), 6)
        END AS lcc
 FROM deg d LEFT JOIN per_node p ON d.node = p.node
+"""
+
+
+def link_prediction(
+    edges: DataFrame, *, min_common: int = 2, k: int = 50
+) -> DataFrame:
+    """Top-``k`` predicted links: non-adjacent node pairs at distance 2,
+    scored by common-neighbor count, Jaccard of neighborhoods, and
+    Adamic–Adar — ``(u, v, n_common, jaccard, adamic_adar, rank)``
+    ranked by (adamic_adar DESC, u, v).
+
+    Candidate generation enumerates wedges CENTERED at each node (the
+    2-path (u, w, v) with u < v), so the work is Σ deg(w)² over wedge
+    centers — bounded here by ``min_common`` pruning and, at cluster
+    scale, by capping hub centers (a node with degree d contributes
+    d(d−1)/2 wedges; cap-and-report like the dedup banding caps, or
+    pre-filter centers above a degree ceiling, since a hub's common-
+    neighbor evidence is the least informative per Adamic–Adar's 1/ln d
+    weighting anyway).  Existing edges are removed by one anti-join.
+
+    Determinism: counts and the Jaccard operands are exact ints
+    (jaccard = round(c/(du+dv−c), 6) — one double divide); each
+    Adamic–Adar term rounds ln-reciprocals at 6 dp and sums as
+    DECIMAL(28,6) (order-independent), cast to double un-re-rounded;
+    ranking is round-then-rank with (u, v) tiebreak."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    ctr = adj.join(deg, "node").select(
+        F.col("node").alias("w"), F.col("deg").alias("degw"),
+        F.col("nbr"),
+    )
+    a, b = ctr.alias("a"), ctr.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.nbr") < F.col("b.nbr")),
+    ).select(
+        F.col("a.nbr").alias("u"),
+        F.col("b.nbr").alias("v"),
+        F.round(
+            F.lit(1.0) / F.log(F.col("a.degw").cast("double")), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("_aa"),
+    )
+    scored = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("_aa").alias("_aa_sum"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .join(e, ["u", "v"], "left_anti")
+        .join(
+            deg.selectExpr("node AS u", "deg AS du"), "u"
+        )
+        .join(
+            deg.selectExpr("node AS v", "deg AS dv"), "v"
+        )
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.col("_aa_sum").cast("double").alias("adamic_adar"),
+        )
+    )
+    pre = Window.partitionBy("u").orderBy(
+        F.col("adamic_adar").desc(), F.col("v")
+    )
+    glob = Window.orderBy(
+        F.col("adamic_adar").desc(), F.col("u"), F.col("v")
+    )
+    return (
+        scored.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= k)
+        .withColumn("rank", F.row_number().over(glob).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("_pr")
+    )
+
+
+def link_prediction_sql(
+    edges_sql: str, *, min_common: int = 2, k: int = 50
+) -> str:
+    """DuckDB twin of :func:`link_prediction` (per-u pre-prune omitted —
+    result-invariant)."""
+    return f"""
+WITH raw AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e
+  UNION ALL SELECT v AS node, u AS nbr FROM e),
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+ctr AS (
+  SELECT a.node AS w, d.deg AS degw, a.nbr
+  FROM adj a JOIN deg d ON a.node = d.node),
+wedges AS (
+  SELECT a.nbr AS u, b.nbr AS v,
+         CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(a.degw AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS _aa
+  FROM ctr a JOIN ctr b ON a.w = b.w AND a.nbr < b.nbr),
+scored AS (
+  SELECT w.u, w.v, COUNT(*) AS n_common, SUM(_aa) AS _aa_sum
+  FROM wedges w
+  GROUP BY w.u, w.v
+  HAVING COUNT(*) >= {min_common}),
+cand AS (
+  SELECT s.*, du.deg AS du, dv.deg AS dv
+  FROM scored s
+  LEFT JOIN e ON s.u = e.u AND s.v = e.v
+  JOIN deg du ON s.u = du.node JOIN deg dv ON s.v = dv.node
+  WHERE e.u IS NULL)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE) / (du + dv - n_common), 6)
+         AS jaccard,
+       CAST(_aa_sum AS DOUBLE) AS adamic_adar,
+       CAST(row_number() OVER (ORDER BY CAST(_aa_sum AS DOUBLE) DESC, u, v)
+            AS BIGINT) AS rank
+FROM cand QUALIFY rank <= {k}
 """

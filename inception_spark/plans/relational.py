@@ -3083,3 +3083,241 @@ SELECT event_type, MIN(hour_ts) AS burst_start, MAX(hour_ts) AS burst_end,
        CAST(SUM(n) AS BIGINT) AS total_events
 FROM isl GROUP BY event_type, _grp
 """
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user growth accounting — the standard DAU decomposition:
+    (day, n_active, n_new, n_retained, n_resurrected, n_churned) where
+    new = first-ever day, retained = also active the previous day,
+    resurrected = previously seen but not yesterday, and churned(d) =
+    active on d−1 but not on d.  Identity: n_active = new + retained +
+    resurrected, and tomorrow's retained + today's churned = today's
+    active (both engines, exact ints).
+
+    Plan: ONE distinct (user, day) rollup, per-user lag/lead windows on
+    it, then two day-keyed hash aggregates (statuses from the row
+    itself; churn credited to next_day = day+1 by the lead gap) merged
+    on the day spine.  Everything after the rollup is activity-sized.
+    Churn on the day after the global max day is unobservable and
+    excluded."""
+    ev = load_events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lab = (
+        act.withColumn("_prev", F.lag("day").over(w))
+        .withColumn("_next", F.lead("day").over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("_prev").isNull(), F.lit("new"))
+            .when(
+                F.col("_prev") == F.date_sub(F.col("day"), 1),
+                F.lit("retained"),
+            )
+            .otherwise(F.lit("resurrected")),
+        )
+    )
+    per_day = lab.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum((F.col("status") == "new").cast("int"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("int"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum((F.col("status") == "resurrected").cast("int"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    max_day = act.agg(F.max("day").alias("_maxd"))
+    churn = (
+        lab.filter(
+            F.col("_next").isNull()
+            | (F.col("_next") > F.date_add(F.col("day"), 1))
+        )
+        .select(F.date_add(F.col("day"), 1).alias("day"))
+        .join(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("_maxd"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        per_day.join(churn, "day", "full")
+        .select(
+            "day",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+lab AS (
+  SELECT *,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS _prev,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS _next
+  FROM act),
+per_day AS (
+  SELECT day, COUNT(*) AS n_active,
+         COUNT(*) FILTER (_prev IS NULL) AS n_new,
+         COUNT(*) FILTER (_prev = day - 1) AS n_retained,
+         COUNT(*) FILTER (_prev IS NOT NULL AND _prev < day - 1)
+           AS n_resurrected
+  FROM lab GROUP BY day),
+churn AS (
+  SELECT day + 1 AS day, COUNT(*) AS n_churned
+  FROM lab
+  WHERE (_next IS NULL OR _next > day + 1)
+    AND day + 1 <= (SELECT max(day) FROM act)
+  GROUP BY day + 1)
+SELECT COALESCE(p.day, c.day) AS day,
+       CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+FROM per_day p FULL OUTER JOIN churn c ON p.day = c.day
+"""
+
+
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of user engagement: duration = HOURS (hour
+    boundaries crossed, computed on date_trunc'd stamps so both engines
+    agree on the semantics) from a user's first to last event,
+    right-censored at the observation edge (users whose last activity
+    falls on the global max day are still alive — day-granular censor,
+    hour-granular clock: the synthetic users live for most of the
+    window, so day durations collapse to 1–3 distinct values while
+    hours give a real curve).  One row per observed churn duration t:
+    (duration, n_at_risk, n_events, log_survival) with log_survival =
+    Σ_{u≤t} ln(1 − d_u/n_u) — the KM product in log space.
+
+    Determinism: each hazard term is ln((n−d)/n) rounded to 6 dp and
+    summed as DECIMAL(28,6) through an ordered window (exact,
+    order-independent); the result column is that exact decimal cast to
+    double, never re-rounded, and no exp() is taken (the survival
+    probability is e^x of an engine-identical x — callers exponentiate).
+    If every at-risk user churns at some t (survival hits exactly 0),
+    that row and the log from there on is NULL — ln(0) has no finite
+    log-space form, and silently skipping the −∞ term would overstate
+    survival.
+
+    Plan: events → per-user (first, last) aggregate → duration rollup
+    (one row per distinct duration) → one descending window for the
+    at-risk counts + one ascending for the log-sum.  Everything past
+    the first aggregate is duration-cardinality sized."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_first"),
+        F.max("ts").alias("_last"),
+    )
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("_maxd"))
+    dur = (
+        per_user.join(F.broadcast(max_day))
+        .select(
+            F.expr(
+                "(unix_timestamp(date_trunc('hour', _last))"
+                " - unix_timestamp(date_trunc('hour', _first))) div 3600"
+            ).alias("duration"),
+            (F.to_date("_last") < F.col("_maxd"))
+            .cast("int")
+            .alias("_died"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.count(F.lit(1)).alias("_n_total"),
+            F.sum("_died").alias("n_events"),
+        )
+    )
+    risk_w = (
+        Window.orderBy(F.col("duration").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    log_w = (
+        Window.orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dur.withColumn("n_at_risk", F.sum("_n_total").over(risk_w))
+        .filter(F.col("n_events") > 0)
+        .withColumn(
+            "_term",
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.round(
+                    F.log(
+                        (F.col("n_at_risk") - F.col("n_events"))
+                        .cast("double")
+                        / F.col("n_at_risk")
+                    ),
+                    6,
+                ).cast("decimal(28,6)"),
+            ),
+        )
+        .withColumn(
+            "_absorbed",
+            F.max((F.col("n_events") == F.col("n_at_risk")).cast("int"))
+            .over(log_w),
+        )
+        .select(
+            F.col("duration").cast("long").alias("duration"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.when(
+                F.col("_absorbed") == 0,
+                F.sum("_term").over(log_w).cast("double"),
+            ).alias("log_survival"),
+        )
+    )
+
+
+USER_SURVIVAL_CURVE_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS _first, max(ts) AS _last
+  FROM events GROUP BY user_id),
+dur AS (
+  SELECT (CAST(epoch(date_trunc('hour', _last)) AS BIGINT)
+          - CAST(epoch(date_trunc('hour', _first)) AS BIGINT)) // 3600
+           AS duration,
+         COUNT(*) AS _n_total,
+         COUNT(*) FILTER (CAST(_last AS DATE)
+                          < (SELECT max(CAST(ts AS DATE))
+                             FROM events)) AS n_events
+  FROM per_user GROUP BY 1),
+risk AS (
+  SELECT *, SUM(_n_total) OVER (ORDER BY duration DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS n_at_risk
+  FROM dur),
+terms AS (
+  SELECT *,
+         CASE WHEN n_events < n_at_risk THEN
+           CAST(round(ln(CAST(n_at_risk - n_events AS DOUBLE)
+                         / n_at_risk), 6) AS DECIMAL(28,6))
+         END AS _term,
+         MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _absorbed
+  FROM risk WHERE n_events > 0)
+SELECT CAST(duration AS BIGINT) AS duration,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN _absorbed = 0 THEN
+         CAST(SUM(_term) OVER (ORDER BY duration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+       END AS log_survival
+FROM terms
+"""

@@ -149,3 +149,22 @@ def test_local_clustering_known_graph(spark):
     assert abs(got[1]["lcc"] - 0.333333) < 1e-9
     assert got[2]["lcc"] == 1.0 and got[3]["lcc"] == 1.0
     assert got[4]["deg"] == 1 and got[4]["lcc"] is None
+
+
+def test_link_prediction_square_graph(spark):
+    """4-cycle 1-2-3-4: the two diagonals (1,3) and (2,4) each have 2
+    common neighbors, no existing edge, jaccard 2/(2+2-2)=1.0,
+    adamic_adar = 2/ln(2); existing edges never appear."""
+    import math
+
+    from inception_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    out = link_prediction(edges, min_common=2, k=10).collect()
+    pairs = {(r["u"], r["v"]): r for r in out}
+    assert set(pairs) == {(1, 3), (2, 4)}
+    r = pairs[(1, 3)]
+    assert r["n_common"] == 2 and r["jaccard"] == 1.0
+    assert abs(r["adamic_adar"] - 2 * round(1 / math.log(2), 6)) < 1e-9

@@ -1536,3 +1536,77 @@ def test_events_burst_windows_planted_burst(spark, tmp_path):
     assert b["burst_end"] == pd.Timestamp("2024-01-03 02:00:00")
     assert b["n_hours"] == 3 and b["peak_events"] == 10
     assert b["total_events"] == 30
+
+
+def test_growth_accounting_statuses_and_identity(spark, tmp_path):
+    """Planted lifecycle: user 1 active days 1-3 (new, retained x2);
+    user 2 active day 1 and day 3 (new, then resurrected, churned on
+    day 2); both absent day 4 is outside the window (max day = 3)."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import growth_accounting
+
+    rows = [
+        (1, "2024-01-01", 1), (2, "2024-01-02", 1), (3, "2024-01-03", 1),
+        (4, "2024-01-01", 2), (5, "2024-01-03", 2),
+    ]
+    df = pd.DataFrame(
+        [
+            (eid, pd.Timestamp(f"{d} 10:00:00"), uid, "a", 1.0)
+            for eid, d, uid in rows
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        str(r["day"]): r
+        for r in growth_accounting(spark, str(tmp_path)).collect()
+    }
+    d1, d2, d3 = got["2024-01-01"], got["2024-01-02"], got["2024-01-03"]
+    assert d1["n_new"] == 2 and d1["n_active"] == 2
+    assert d2["n_active"] == 1 and d2["n_retained"] == 1
+    assert d2["n_churned"] == 1                      # user 2 left
+    assert d3["n_retained"] == 1 and d3["n_resurrected"] == 1
+    for r in got.values():
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r[
+            "n_resurrected"
+        ]
+
+
+def test_user_survival_curve_km_by_hand(spark, tmp_path):
+    """4 users: durations 1h, 1h, 2h (churned) and one censored at the
+    max day.  KM: S(1) = 3/4 over... n_at_risk(1)=4, d=2 -> ln(1/2);
+    n_at_risk(2)=2, d=1 -> + ln(1/2)."""
+    import math
+
+    import pandas as pd
+
+    from inception_spark.plans.relational import user_survival_curve
+
+    rows = [
+        # (user, first, last) — churned users end before the max day
+        (1, "2024-01-01 08:00", "2024-01-01 09:30"),   # 1 hour-crossing
+        (2, "2024-01-01 10:15", "2024-01-01 11:20"),   # 1
+        (3, "2024-01-01 08:00", "2024-01-01 10:10"),   # 2
+        (4, "2024-01-01 08:00", "2024-01-02 08:00"),   # censored (max day)
+    ]
+    recs, eid = [], 0
+    for uid, f, l in rows:
+        for t in (f, l):
+            eid += 1
+            recs.append((eid, pd.Timestamp(t), uid, "a", 1.0))
+    df = pd.DataFrame(recs, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["duration"]: r for r in
+           user_survival_curve(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_at_risk"] == 4 and got[1]["n_events"] == 2
+    assert got[2]["n_at_risk"] == 2 and got[2]["n_events"] == 1
+    assert abs(got[1]["log_survival"] - round(math.log(0.5), 6)) < 1e-9
+    assert abs(got[2]["log_survival"]
+               - 2 * round(math.log(0.5), 6)) < 1e-9
