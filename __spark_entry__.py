@@ -1671,6 +1671,20 @@ def _local_clustering_oracle_sql():
     return local_clustering_sql(_PART_EDGES_SQL)
 
 
+_KANON_QI = ["c_nationkey", "c_mktsegment"]
+
+
+def _q_k_anonymity_report(spark, sf_dir):
+    """Re-identification audit of the customer table: nation x market
+    segment as the quasi-identifier, account balance as the sensitive
+    attribute — the governance gate run before releasing a table."""
+    from inception_spark.operators.profile import k_anonymity_report
+
+    return k_anonymity_report(
+        R.load(spark, sf_dir, "customer"), _KANON_QI, "c_acctbal"
+    )
+
+
 def _q_link_prediction(spark, sf_dir):
     """Which parts WILL be bought together: distance-2 pairs of the
     basket graph scored by common neighbors / Jaccard / Adamic-Adar —
@@ -3760,7 +3774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_seasonal_decomp, decayed_heavy_hitters,
     streaming_decayed_topk, events_burst_windows,
     part_local_clustering, term_collocations, fd_profile,
-    growth_accounting, user_survival_curve, link_prediction).  The in-repo
+    growth_accounting, user_survival_curve, link_prediction,
+    k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4002,6 +4017,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_survival_curve": R.user_survival_curve,
         # r8: common-neighbor / Jaccard / Adamic-Adar link prediction
         "link_prediction": _q_link_prediction,
+        # r8: k-anonymity / l-diversity audit (size-keyed rollup)
+        "k_anonymity_report": _q_k_anonymity_report,
+        # r8: OHLC candlestick rollup (tie-broken edge picks)
+        "events_ohlc": R.events_ohlc,
+        # r8: Wald SPRT on the daily conversion stream (exact decimal LLR)
+        "ab_sprt_curve": R.ab_sprt_curve,
+        # r8: cohort LTV triangle (fixed-denominator convention)
+        "cohort_ltv": R.cohort_ltv,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5614,6 +5637,16 @@ GROUP BY o.o_orderpriority
         "user_survival_curve": R.USER_SURVIVAL_CURVE_SQL,
         # r8: same wedge enumeration + rounded AA terms
         "link_prediction": _link_prediction_oracle_sql(),
+        # r8: same class aggregate + size rollup
+        "k_anonymity_report": PROF.k_anonymity_report_sql(
+            "customer", _KANON_QI, "c_acctbal"
+        ),
+        # r8: same tie-broken row_number edge picks + decimal volume
+        "events_ohlc": R.EVENTS_OHLC_SQL,
+        # r8: identical 6-dp constants inlined from the same hypotheses
+        "ab_sprt_curve": R.ab_sprt_curve_sql(),
+        # r8: same triangle + exact decimal cumulative + one divide
+        "cohort_ltv": R.COHORT_LTV_SQL,
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

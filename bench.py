@@ -195,6 +195,14 @@ HEADLINE = [
     "user_survival_curve",
     # r8: link prediction (center-bounded wedge join + anti-join)
     "link_prediction",
+    # r8: k-anonymity audit (two hash aggregates)
+    "k_anonymity_report",
+    # r8: OHLC rollup (shared-key window + aggregate)
+    "events_ohlc",
+    # r8: SPRT decision curve (two aggregates + day-sized window)
+    "ab_sprt_curve",
+    # r8: cohort LTV triangle (broadcast cohort sizes)
+    "cohort_ltv",
 ]
 
 

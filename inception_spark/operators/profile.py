@@ -206,3 +206,63 @@ def fd_profile_sql(table: str, columns: list[str]) -> str:
         f"WITH wide AS MATERIALIZED (SELECT {aggs} FROM {table})\n"
         + "\nUNION ALL\n".join(parts)
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier set: rows
+    sharing a QI combination form an equivalence class; a class smaller
+    than ``k`` re-identifies its members.  One row per observed CLASS
+    SIZE — (class_size, n_classes, n_rows, violates_k, min_l) where
+    ``min_l`` is the worst sensitive-value diversity among classes of
+    that size (l-diversity: a class can be k-large yet leak if every
+    member shares the sensitive value).  The size-keyed rollup keeps the
+    report bounded (≤ distinct-class-size rows) no matter how many
+    classes exist — the per-class table is an intermediate, never the
+    output.
+
+    Plan: one hash aggregate to classes (count + exact distinct of the
+    sensitive column), one to the size rollup.  All integers."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive_col).alias("_l"),
+    )
+    return (
+        classes.groupBy(F.col("_n").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.min("_l").cast("long").alias("min_l"),
+        )
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < k).alias("violates_k"),
+            "min_l",
+        )
+    )
+
+
+def k_anonymity_report_sql(
+    table: str, quasi_cols: list[str], sensitive_col: str, *, k: int = 5
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_report`."""
+    qi = ", ".join(quasi_cols)
+    return f"""
+WITH classes AS (
+  SELECT {qi}, COUNT(*) AS _n,
+         COUNT(DISTINCT {sensitive_col}) AS _l
+  FROM {table} GROUP BY {qi})
+SELECT CAST(_n AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(_n) AS BIGINT) AS n_rows,
+       _n < {k} AS violates_k,
+       CAST(MIN(_l) AS BIGINT) AS min_l
+FROM classes GROUP BY _n
+"""

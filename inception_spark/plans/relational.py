@@ -3145,7 +3145,7 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_day.join(churn, "day", "full")
         .select(
-            "day",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
             F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
             F.coalesce("n_retained", F.lit(0))
@@ -3181,7 +3181,7 @@ churn AS (
   WHERE (_next IS NULL OR _next > day + 1)
     AND day + 1 <= (SELECT max(day) FROM act)
   GROUP BY day + 1)
-SELECT COALESCE(p.day, c.day) AS day,
+SELECT strftime(COALESCE(p.day, c.day), '%Y-%m-%d') AS day,
        CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
        CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
        CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
@@ -3320,4 +3320,269 @@ SELECT CAST(duration AS BIGINT) AS duration,
               AS DOUBLE)
        END AS log_survival
 FROM terms
+"""
+
+
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup of the event value series: per
+    (event_type, hour) — open (earliest value), high, low, close
+    (latest value), n_events, volume.  Ties inside an hour break on
+    event_id, so open/close are well-defined even with duplicate
+    timestamps.
+
+    open/close are raw doubles carried through untouched (no float
+    arithmetic to diverge); high/low are exact comparisons; volume sums
+    the values as DECIMAL(18,4) (order-independent) and is emitted as
+    that exact decimal cast to double.  Plan: one window pass for the
+    two edge picks + one hash aggregate — both keyed by the same
+    (type, hour), so the window's shuffle is reused by the aggregate."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "hour_ts", F.date_trunc("hour", F.col("ts"))
+    )
+    w_asc = Window.partitionBy("event_type", "hour_ts").orderBy(
+        "ts", "event_id"
+    )
+    w_desc = Window.partitionBy("event_type", "hour_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rna", F.row_number().over(w_asc))
+        .withColumn("_rnd", F.row_number().over(w_desc))
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.max(F.when(F.col("_rna") == 1, F.col("value"))).alias(
+                "open"
+            ),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("_rnd") == 1, F.col("value"))).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+
+
+EVENTS_OHLC_SQL = """
+WITH ev AS (
+  SELECT *, date_trunc('hour', ts) AS hour_ts,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS _rna,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS _rnd
+  FROM events)
+SELECT event_type, hour_ts,
+       MAX(CASE WHEN _rna = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN _rnd = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+FROM ev GROUP BY event_type, hour_ts
+"""
+
+
+def ab_sprt_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    p0_milli: int = 40,
+    p1_milli: int = 50,
+    alpha_milli: int = 50,
+    beta_milli: int = 200,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the treatment arm's
+    daily conversion stream (arm = user_id parity; conversion = the
+    user fired a `purchase` that day): per day —
+    (day, n_obs, n_conv, cum_llr, decision).  H0: p = p0, H1: p = p1;
+    the cumulative log-likelihood ratio crosses ln((1−β)/α) → accept
+    H1, ln(β/(1−α)) → accept H0, else continue.  This is the
+    always-valid sequential form of ab_conversion_z — the one you can
+    peek at daily without alpha inflation.
+
+    Exactness: the two per-observation LLR increments are CONSTANTS of
+    the hypotheses (x=1: ln(p1/p0); x=0: ln((1−p1)/(1−p0))), so each is
+    rounded once at 6 dp and cum_llr = n_conv·a + (n_obs−n_conv)·b is
+    an exact integer×decimal sum under a cumulative window — no float
+    accumulation.  Probabilities and thresholds enter as integer milli
+    parameters, so both engines derive the identical constants."""
+    p0, p1 = p0_milli / 1000.0, p1_milli / 1000.0
+    a_, b_ = alpha_milli / 1000.0, beta_milli / 1000.0
+    import math
+
+    la = round(math.log(p1 / p0), 6)
+    lb = round(math.log((1 - p1) / (1 - p0)), 6)
+    hi = round(math.log((1 - b_) / a_), 6)
+    lo = round(math.log(b_ / (1 - a_)), 6)
+    ev = load_events(spark, sf_dir)
+    obs = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy(F.col("user_id"), F.to_date("ts").alias("day"))
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "_conv"
+            )
+        )
+    )
+    daily = obs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_conv").alias("n_conv"),
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        daily.withColumn(
+            "_llr",
+            (
+                F.col("n_conv") * F.lit(la).cast("decimal(28,6)")
+                + (F.col("n_obs") - F.col("n_conv"))
+                * F.lit(lb).cast("decimal(28,6)")
+            ),
+        )
+        .withColumn("cum_llr_dec", F.sum("_llr").over(cum))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("n_conv").cast("long").alias("n_conv"),
+            F.col("cum_llr_dec").cast("double").alias("cum_llr"),
+            F.when(
+                F.col("cum_llr_dec") >= F.lit(hi).cast("decimal(28,6)"),
+                F.lit("accept_h1"),
+            )
+            .when(
+                F.col("cum_llr_dec") <= F.lit(lo).cast("decimal(28,6)"),
+                F.lit("accept_h0"),
+            )
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+    )
+
+
+def ab_sprt_curve_sql(
+    *,
+    p0_milli: int = 40,
+    p1_milli: int = 50,
+    alpha_milli: int = 50,
+    beta_milli: int = 200,
+) -> str:
+    """DuckDB twin of :func:`ab_sprt_curve` — the same four 6-dp
+    constants are derived in Python and inlined as literals."""
+    import math
+
+    p0, p1 = p0_milli / 1000.0, p1_milli / 1000.0
+    a_, b_ = alpha_milli / 1000.0, beta_milli / 1000.0
+    la = round(math.log(p1 / p0), 6)
+    lb = round(math.log((1 - p1) / (1 - p0)), 6)
+    hi = round(math.log((1 - b_) / a_), 6)
+    lo = round(math.log(b_ / (1 - a_)), 6)
+    return f"""
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS _conv
+  FROM events WHERE user_id % 2 = 1 GROUP BY 1, 2),
+daily AS (
+  SELECT day, COUNT(*) AS n_obs, SUM(_conv) AS n_conv
+  FROM obs GROUP BY day),
+cum AS (
+  SELECT *,
+         SUM(n_conv * CAST({la!r} AS DECIMAL(28,6))
+             + (n_obs - n_conv) * CAST({lb!r} AS DECIMAL(28,6)))
+           OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_llr_dec
+  FROM daily)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_conv AS BIGINT) AS n_conv,
+       CAST(cum_llr_dec AS DOUBLE) AS cum_llr,
+       CASE WHEN cum_llr_dec >= CAST({hi!r} AS DECIMAL(28,6))
+              THEN 'accept_h1'
+            WHEN cum_llr_dec <= CAST({lo!r} AS DECIMAL(28,6))
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+"""
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users cohorted by first-seen day;
+    for each (cohort_day, age) — (cohort_size, n_active, cum_value_per_
+    user): the cohort's cumulative event value through that age,
+    per original cohort member (the fixed-denominator LTV convention,
+    so the curve is monotone and cohorts compare fairly).
+
+    Exactness: per-(cohort, age) value sums in DECIMAL(18,4), cumulative
+    over age by an exact decimal window sum, ONE double divide by the
+    integer cohort size, rounded at 6 dp.  Plan: per-user first-day
+    aggregate (broadcast back), one (cohort, age) hash aggregate, then
+    a cohort-partitioned cumulative window over the triangle — the
+    triangle is (days × days)/2 rows, metadata-sized."""
+    ev = load_events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    sized = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cell = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("decimal(18,4)").alias("_v"),
+        )
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("age"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.sum("_v").alias("_val"),
+        )
+    )
+    cum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(sized), "cohort_day")
+        .withColumn("_cum", F.sum("_val").over(cum))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("age").cast("long").alias("age"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("cohort_size"), 6
+            ).alias("cum_value_per_user"),
+        )
+    )
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+sized AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+cell AS (
+  SELECT f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age,
+         COUNT(DISTINCT e.user_id) AS n_active,
+         SUM(CAST(e.value AS DECIMAL(18,4))) AS _val
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  GROUP BY 1, 2)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(age AS BIGINT) AS age,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(n_active AS BIGINT) AS n_active,
+       round(CAST(SUM(_val) OVER (PARTITION BY c.cohort_day ORDER BY age
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / s.cohort_size, 6) AS cum_value_per_user
+FROM cell c JOIN sized s ON c.cohort_day = s.cohort_day
 """

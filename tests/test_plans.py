@@ -1610,3 +1610,88 @@ def test_user_survival_curve_km_by_hand(spark, tmp_path):
     assert abs(got[1]["log_survival"] - round(math.log(0.5), 6)) < 1e-9
     assert abs(got[2]["log_survival"]
                - 2 * round(math.log(0.5), 6)) < 1e-9
+
+
+def test_events_ohlc_tie_breaks_and_volume(spark, tmp_path):
+    """Duplicate timestamps inside the hour: open/close break ties on
+    event_id; volume is the exact decimal sum."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_ohlc
+
+    t = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        (2, t, 1, "a", 5.0),                    # same ts as eid 1
+        (1, t, 1, "a", 3.0),                    # open (lowest eid)
+        (3, t + pd.Timedelta(minutes=30), 1, "a", 9.0),   # high
+        (5, t + pd.Timedelta(minutes=59), 1, "a", 4.0),   # close
+        (4, t + pd.Timedelta(minutes=59), 1, "a", 1.0),   # low, not close
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    out = events_ohlc(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["open"] == 3.0 and r["close"] == 4.0
+    assert r["high"] == 9.0 and r["low"] == 1.0
+    assert r["n_events"] == 5 and r["volume"] == 22.0
+
+
+def test_ab_sprt_curve_crosses_h1(spark, tmp_path):
+    """A treatment arm converting at 100% daily drives the LLR up by
+    n*ln(p1/p0) per day and crosses the H1 boundary."""
+    import math
+
+    import pandas as pd
+
+    from inception_spark.plans.relational import ab_sprt_curve
+
+    rows, eid = [], 0
+    for d in range(1, 11):
+        for uid in (1, 3, 5, 7):       # odd ids = treatment arm
+            eid += 1
+            rows.append((eid, pd.Timestamp(f"2024-01-{d:02d} 09:00:00"),
+                         uid, "purchase", 1.0))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    out = sorted(ab_sprt_curve(spark, str(tmp_path)).collect(),
+                 key=lambda r: r["day"])
+    la = round(math.log(0.05 / 0.04), 6)
+    assert abs(out[0]["cum_llr"] - 4 * la) < 1e-9
+    assert abs(out[-1]["cum_llr"] - 40 * la) < 1e-9
+    hi = round(math.log(0.8 / 0.05), 6)
+    crossed = [r for r in out if r["cum_llr"] >= hi]
+    assert crossed and all(r["decision"] == "accept_h1" for r in crossed)
+    assert out[0]["decision"] == "continue"
+
+
+def test_cohort_ltv_triangle_by_hand(spark, tmp_path):
+    """Two-user day-1 cohort: ages 0 and 1 accumulate value / 2 (fixed
+    denominator even though only one user is active at age 1)."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import cohort_ltv
+
+    rows = [
+        (1, "2024-01-01 08:00", 1, 10.0),
+        (2, "2024-01-01 09:00", 2, 20.0),
+        (3, "2024-01-02 08:00", 1, 6.0),
+    ]
+    df = pd.DataFrame(
+        [(eid, pd.Timestamp(t), uid, "a", v) for eid, t, uid, v in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["age"]: r for r in cohort_ltv(spark, str(tmp_path)).collect()}
+    assert got[0]["cohort_size"] == 2 and got[0]["n_active"] == 2
+    assert got[0]["cum_value_per_user"] == 15.0
+    assert got[1]["n_active"] == 1
+    assert got[1]["cum_value_per_user"] == 18.0    # (30 + 6) / 2

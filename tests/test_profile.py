@@ -103,3 +103,24 @@ def test_fd_profile_planted_dependency(spark):
     assert got[("city", "id")]["fd_holds"] is False
     assert got[("country", "city")]["ndv_det"] == 1
     assert got[("country", "city")]["ndv_pair"] == 2
+
+
+def test_k_anonymity_report_planted_classes(spark):
+    """Classes: (a,x) size 3 with 1 distinct sensitive value (k-ok but
+    l=1 leak), (a,y) size 1 (violates k=2), (b,x) size 2 l=2."""
+    from inception_spark.operators.profile import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 10), ("a", "x", 10), ("a", "x", 10),
+            ("a", "y", 7),
+            ("b", "x", 1), ("b", "x", 2),
+        ],
+        "q1 string, q2 string, s int",
+    )
+    got = {r["class_size"]: r for r in
+           k_anonymity_report(df, ["q1", "q2"], "s", k=2).collect()}
+    assert got[1]["violates_k"] is True and got[1]["n_classes"] == 1
+    assert got[2]["violates_k"] is False and got[2]["min_l"] == 2
+    assert got[3]["min_l"] == 1          # the l-diversity leak
+    assert sum(r["n_rows"] for r in got.values()) == 6
