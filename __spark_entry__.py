@@ -1685,6 +1685,24 @@ def _q_k_anonymity_report(spark, sf_dir):
     )
 
 
+def _q_streaming_ohlc(spark, sf_dir):
+    """Candlesticks maintained IN STREAM: per-batch OHLC partials
+    (struct-min/max edge picks, decimal volume sums) append via
+    run_stream_batch_partials and re-merge on read — associative/
+    commutative/idempotent state, so the live candlesticks equal the
+    batch rollup EXACTLY and the entry shares events_ohlc's oracle.
+    Per-hour state is one row; history is never re-read."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    parts = run_stream_batch_partials(spark, ev, R.ohlc_partials)
+    return R.ohlc_finalize(parts)
+
+
 def _q_link_prediction(spark, sf_dir):
     """Which parts WILL be bought together: distance-2 pairs of the
     basket graph scored by common neighbors / Jaccard / Adamic-Adar —
@@ -3775,7 +3793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_decayed_topk, events_burst_windows,
     part_local_clustering, term_collocations, fd_profile,
     growth_accounting, user_survival_curve, link_prediction,
-    k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv).  The in-repo
+    k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
+    streaming_ohlc).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4021,6 +4040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_report": _q_k_anonymity_report,
         # r8: OHLC candlestick rollup (tie-broken edge picks)
         "events_ohlc": R.events_ohlc,
+        # r8: the candlesticks live (struct-pick partials re-merge)
+        "streaming_ohlc": _q_streaming_ohlc,
         # r8: Wald SPRT on the daily conversion stream (exact decimal LLR)
         "ab_sprt_curve": R.ab_sprt_curve,
         # r8: cohort LTV triangle (fixed-denominator convention)
@@ -5643,6 +5664,8 @@ GROUP BY o.o_orderpriority
         ),
         # r8: same tie-broken row_number edge picks + decimal volume
         "events_ohlc": R.EVENTS_OHLC_SQL,
+        # r8: streaming == batch by the struct-pick merge identity
+        "streaming_ohlc": R.EVENTS_OHLC_SQL,
         # r8: identical 6-dp constants inlined from the same hypotheses
         "ab_sprt_curve": R.ab_sprt_curve_sql(),
         # r8: same triangle + exact decimal cumulative + one divide

@@ -3323,6 +3323,53 @@ FROM terms
 """
 
 
+def ohlc_partials(ev: DataFrame) -> DataFrame:
+    """Mergeable OHLC state per (event_type, hour): the open/close picks
+    are struct-min/max of (ts, event_id, value) — associative,
+    commutative, idempotent — and high/low/count/volume are plain
+    max/min/sum, so partials from ANY regrouping of rows into batches
+    re-merge to the whole-history candlesticks exactly (the
+    run_stream_batch_partials contract)."""
+    return (
+        ev.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_open"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_vol"),
+        )
+    )
+
+
+def ohlc_finalize(parts: DataFrame) -> DataFrame:
+    """Re-merge :func:`ohlc_partials` rows (idempotent on a single
+    batch's output) and emit the candlestick columns."""
+    return (
+        parts.groupBy("event_type", "hour_ts")
+        .agg(
+            F.min("_open").alias("_open"),
+            F.max("_close").alias("_close"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("_vol").alias("_vol"),
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            F.col("_open.value").alias("open"),
+            "high",
+            "low",
+            F.col("_close.value").alias("close"),
+            "n_events",
+            F.col("_vol").cast("double").alias("volume"),
+        )
+    )
+
+
 def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick rollup of the event value series: per
     (event_type, hour) — open (earliest value), high, low, close
@@ -3333,37 +3380,12 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     open/close are raw doubles carried through untouched (no float
     arithmetic to diverge); high/low are exact comparisons; volume sums
     the values as DECIMAL(18,4) (order-independent) and is emitted as
-    that exact decimal cast to double.  Plan: one window pass for the
-    two edge picks + one hash aggregate — both keyed by the same
-    (type, hour), so the window's shuffle is reused by the aggregate."""
-    ev = load_events(spark, sf_dir).withColumn(
-        "hour_ts", F.date_trunc("hour", F.col("ts"))
-    )
-    w_asc = Window.partitionBy("event_type", "hour_ts").orderBy(
-        "ts", "event_id"
-    )
-    w_desc = Window.partitionBy("event_type", "hour_ts").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("_rna", F.row_number().over(w_asc))
-        .withColumn("_rnd", F.row_number().over(w_desc))
-        .groupBy("event_type", "hour_ts")
-        .agg(
-            F.max(F.when(F.col("_rna") == 1, F.col("value"))).alias(
-                "open"
-            ),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max(F.when(F.col("_rnd") == 1, F.col("value"))).alias(
-                "close"
-            ),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("volume"),
-        )
-    )
+    that exact decimal cast to double.  Plan: ONE hash aggregate — the
+    edge picks are struct-min/max of (ts, event_id, value), which
+    partial-aggregates map-side like any min/max (an earlier draft used
+    two row_number window passes; the struct-pick form removes the sort
+    entirely and is what makes the streaming twin exact)."""
+    return ohlc_finalize(ohlc_partials(load_events(spark, sf_dir)))
 
 
 EVENTS_OHLC_SQL = """
