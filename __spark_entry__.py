@@ -1685,6 +1685,24 @@ def _q_k_anonymity_report(spark, sf_dir):
     )
 
 
+def _q_streaming_burst_monitor(spark, sf_dir):
+    """The burst detector live: per-batch hourly count partials re-sum
+    across micro-batches, and the threshold + islands logic runs on the
+    merged rollup — identical intervals to the batch detector (shared
+    oracle), state bounded by span x types.  This is the alerting
+    shape: each trigger folds its events into hour counters, and the
+    page/no-page decision reads counters only."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts")
+    parts = run_stream_batch_partials(
+        spark, ev, R.burst_hourly_partials
+    )
+    return R.burst_windows_finalize(parts)
+
+
 def _q_streaming_ohlc(spark, sf_dir):
     """Candlesticks maintained IN STREAM: per-batch OHLC partials
     (struct-min/max edge picks, decimal volume sums) append via
@@ -3794,7 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     part_local_clustering, term_collocations, fd_profile,
     growth_accounting, user_survival_curve, link_prediction,
     k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
-    streaming_ohlc).  The in-repo
+    streaming_ohlc, streaming_burst_monitor).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4042,6 +4060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": R.events_ohlc,
         # r8: the candlesticks live (struct-pick partials re-merge)
         "streaming_ohlc": _q_streaming_ohlc,
+        # r8: the burst pager live (hour-counter partials re-sum)
+        "streaming_burst_monitor": _q_streaming_burst_monitor,
         # r8: Wald SPRT on the daily conversion stream (exact decimal LLR)
         "ab_sprt_curve": R.ab_sprt_curve,
         # r8: cohort LTV triangle (fixed-denominator convention)
@@ -5666,6 +5686,8 @@ GROUP BY o.o_orderpriority
         "events_ohlc": R.EVENTS_OHLC_SQL,
         # r8: streaming == batch by the struct-pick merge identity
         "streaming_ohlc": R.EVENTS_OHLC_SQL,
+        # r8: streaming == batch by the counter re-sum identity
+        "streaming_burst_monitor": R.events_burst_windows_sql(),
         # r8: identical 6-dp constants inlined from the same hypotheses
         "ab_sprt_curve": R.ab_sprt_curve_sql(),
         # r8: same triangle + exact decimal cumulative + one divide

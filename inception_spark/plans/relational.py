@@ -2999,12 +2999,35 @@ def events_burst_windows(
 
     100 TB shape: one hash aggregate to the hourly rollup, then windows
     and islands on the rollup only (time-span × type sized)."""
-    ev = load_events(spark, sf_dir)
+    return burst_windows_finalize(
+        burst_hourly_partials(load_events(spark, sf_dir)),
+        ratio_num=ratio_num, ratio_den=ratio_den, min_events=min_events,
+    )
+
+
+def burst_hourly_partials(ev: DataFrame) -> DataFrame:
+    """Mergeable partial for :func:`events_burst_windows`: per
+    (event_type, hour) counts — plain sums, exactly re-summable across
+    any micro-batching, so the live burst monitor is the batch detector
+    run on the merged rollup (the run_stream_batch_partials
+    contract)."""
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def burst_windows_finalize(
+    hourly_parts: DataFrame,
+    *,
+    ratio_num: int = 3,
+    ratio_den: int = 2,
+    min_events: int = 3,
+) -> DataFrame:
+    """Re-merge hourly partials and run the threshold + islands logic
+    (everything here is rollup-sized)."""
     hourly = (
-        ev.groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
+        hourly_parts.groupBy("event_type", "hour_ts")
+        .agg(F.sum("n").alias("n"))
         .withColumn(
             "hour_idx", F.expr("unix_timestamp(hour_ts) div 3600")
         )
