@@ -1685,6 +1685,93 @@ def _q_k_anonymity_report(spark, sf_dir):
     )
 
 
+def _q_csv_ingest_stats(spark, sf_dir):
+    """Driver signal for the CSV quarantine path (S2's sibling —
+    sources/readers.py:77): a CSV fixture synthesized from the docs
+    table with every doc_id % 7 == 0 line corrupted (non-integer id, so
+    the typed parse fails and PERMISSIVE routes the raw line to
+    _corrupt_record), read through read_documents_csv, reduced to
+    (bucket, n_rows, n_chars).  The oracle derives both buckets from
+    the documents table and the % 7 rule alone — a reader that dropped
+    bad lines instead of quarantining them, or mangled a quoted field,
+    hash-fails.  Fixture synthesis is driver-side and bounded (the
+    rowgroup-stats convention); the READ is the distributed path."""
+    import csv as _csv
+    import io
+    import tempfile
+
+    from inception_spark.sources.readers import read_documents_csv
+
+    pdf = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
+    buf = io.StringIO()
+    w = _csv.writer(buf)
+    w.writerow(["id", "text"])
+    for did, text in pdf.itertuples(index=False):
+        if did % 7 == 0:
+            w.writerow([f"X{did}", text])     # unparseable id
+        else:
+            w.writerow([did, text])
+    d = tempfile.mkdtemp(prefix="inception_csv_")
+    with open(d + "/docs.csv", "w") as f:
+        f.write(buf.getvalue())
+
+    good, bad = read_documents_csv(spark, d + "/docs.csv")
+    g = good.agg(
+        F.lit("good").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    b = bad.agg(
+        F.lit("quarantined").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    return g.unionAll(b)
+
+
+CSV_INGEST_STATS_SQL = """
+SELECT 'good' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 'quarantined', CAST(COUNT(*) AS BIGINT), NULL
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _q_orc_ingest_stats(spark, sf_dir):
+    """Driver signal for the ORC columnar path (sources/readers.py:104):
+    docs round-trip through a distributed ORC write + read_documents_orc
+    scan, reduced per id-parity bucket.  The oracle reads the documents
+    table directly — any ORC encode/decode corruption (string or long)
+    hash-fails.  Both columnar formats in Spark's core now have an
+    oracle-checked entry (parquet via the rowgroup audit)."""
+    import tempfile
+
+    from inception_spark.sources.readers import read_documents_orc
+
+    d = tempfile.mkdtemp(prefix="inception_orc_")
+    _docs(spark, sf_dir).selectExpr("doc_id AS id", "text").write.mode(
+        "overwrite"
+    ).orc(d + "/docs")
+    return (
+        read_documents_orc(spark, d + "/docs")
+        .groupBy((F.col("id") % 4).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+ORC_INGEST_STATS_SQL = """
+SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
 def _q_streaming_burst_monitor(spark, sf_dir):
     """The burst detector live: per-batch hourly count partials re-sum
     across micro-batches, and the threshold + islands logic runs on the
@@ -3812,7 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     part_local_clustering, term_collocations, fd_profile,
     growth_accounting, user_survival_curve, link_prediction,
     k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
-    streaming_ohlc, streaming_burst_monitor).  The in-repo
+    streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
+    orc_ingest_stats).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4062,6 +4150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ohlc": _q_streaming_ohlc,
         # r8: the burst pager live (hour-counter partials re-sum)
         "streaming_burst_monitor": _q_streaming_burst_monitor,
+        # r8: CSV quarantine path under the oracle (%7 corruption rule)
+        "csv_ingest_stats": _q_csv_ingest_stats,
+        # r8: ORC columnar round-trip under the oracle
+        "orc_ingest_stats": _q_orc_ingest_stats,
         # r8: Wald SPRT on the daily conversion stream (exact decimal LLR)
         "ab_sprt_curve": R.ab_sprt_curve,
         # r8: cohort LTV triangle (fixed-denominator convention)
@@ -5688,6 +5780,10 @@ GROUP BY o.o_orderpriority
         "streaming_ohlc": R.EVENTS_OHLC_SQL,
         # r8: streaming == batch by the counter re-sum identity
         "streaming_burst_monitor": R.events_burst_windows_sql(),
+        # r8: both buckets derived from the docs table + the %7 rule
+        "csv_ingest_stats": CSV_INGEST_STATS_SQL,
+        # r8: straight read of the pre-roundtrip rows
+        "orc_ingest_stats": ORC_INGEST_STATS_SQL,
         # r8: identical 6-dp constants inlined from the same hypotheses
         "ab_sprt_curve": R.ab_sprt_curve_sql(),
         # r8: same triangle + exact decimal cumulative + one divide
