@@ -1685,6 +1685,49 @@ def _q_k_anonymity_report(spark, sf_dir):
     )
 
 
+def _q_supplier_hits(spark, sf_dir):
+    """Kleinberg HITS on the DIRECTED customer -> supplier purchase
+    graph: customers score as hubs (good buyers concentrate on good
+    suppliers), suppliers as authorities — the directed complement of
+    supplier_pagerank's symmetrized ranking.  3 mutual-reinforcement
+    rounds in exact integer arithmetic (max-normalized per half-round);
+    oracle = the identical iteration unrolled into MATERIALIZED CTEs."""
+    from inception_spark.operators.graph import hits
+
+    li = R.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return hits(edges, n_iter=3)
+
+
+_HITS_EDGES_SQL = """
+SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _supplier_hits_oracle_sql():
+    from inception_spark.operators.graph import hits_sql
+
+    return hits_sql(_HITS_EDGES_SQL, n_iter=3)
+
+
 def _q_csv_ingest_stats(spark, sf_dir):
     """Driver signal for the CSV quarantine path (S2's sibling —
     sources/readers.py:77): a CSV fixture synthesized from the docs
@@ -3900,7 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     growth_accounting, user_survival_curve, link_prediction,
     k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
     streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
-    orc_ingest_stats).  The in-repo
+    orc_ingest_stats, supplier_hits).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4154,6 +4197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest_stats": _q_csv_ingest_stats,
         # r8: ORC columnar round-trip under the oracle
         "orc_ingest_stats": _q_orc_ingest_stats,
+        # r8: HITS hubs/authorities (integer half-rounds)
+        "supplier_hits": _q_supplier_hits,
         # r8: Wald SPRT on the daily conversion stream (exact decimal LLR)
         "ab_sprt_curve": R.ab_sprt_curve,
         # r8: cohort LTV triangle (fixed-denominator convention)
@@ -5784,6 +5829,8 @@ GROUP BY o.o_orderpriority
         "csv_ingest_stats": CSV_INGEST_STATS_SQL,
         # r8: straight read of the pre-roundtrip rows
         "orc_ingest_stats": ORC_INGEST_STATS_SQL,
+        # r8: identical integer half-rounds, unrolled
+        "supplier_hits": _supplier_hits_oracle_sql(),
         # r8: identical 6-dp constants inlined from the same hypotheses
         "ab_sprt_curve": R.ab_sprt_curve_sql(),
         # r8: same triangle + exact decimal cumulative + one divide

@@ -203,6 +203,8 @@ HEADLINE = [
     "ab_sprt_curve",
     # r8: cohort LTV triangle (broadcast cohort sizes)
     "cohort_ltv",
+    # r8: HITS (6 edge-join half-rounds, checkpointed lineage)
+    "supplier_hits",
 ]
 
 

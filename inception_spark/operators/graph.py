@@ -565,3 +565,141 @@ SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
             AS BIGINT) AS rank
 FROM cand QUALIFY rank <= {k}
 """
+
+
+#: HITS fixed-point scale.  1e6 (not PICO): each round multiplies a raw
+#: score sum (<= in-degree x scale) by the scale before the normalizing
+#: div, so scale^2 x max-degree must fit in int64 — 1e6 leaves room for
+#: in-degrees to ~10^6; beyond that swap the product to DECIMAL.
+HITS_MICRO = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg's HITS after ``n_iter`` mutual-reinforcement rounds on
+    a DIRECTED graph → (node, hub_i, auth_i, hub, auth): auth(v) =
+    Σ hub(u) over in-edges, hub(u) = Σ auth(v) over out-edges, each
+    max-normalized to HITS_MICRO per half-round in exact integer
+    arithmetic (x·scale div max — truncation identical in both
+    engines on non-negatives; a side with no edges normalizes to 0
+    under an explicit max>0 guard instead of dividing by zero).
+
+    Scale shape per half-round: one edge ⋈ score join (shuffle on the
+    edge key), one hash aggregate with map-side combine, one broadcast
+    scalar for the max — the pagerank loop's economics, with lineage
+    truncated per round by lazy localCheckpoint."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _normalize(raw, col):
+        mx = raw.agg(F.max(col).alias("_mx"))
+        return (
+            nodes.join(raw, "node", "left")
+            .join(F.broadcast(mx))
+            .select(
+                "node",
+                F.when(
+                    F.col("_mx") > 0,
+                    F.expr(
+                        f"(coalesce({col}, 0) * {HITS_MICRO}) div _mx"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    hub = nodes.select(
+        "node", F.lit(HITS_MICRO).cast("long").alias("hub_i")
+    )
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_i").alias("auth_i"))
+        )
+        auth = _normalize(a_raw, "auth_i")
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_i").alias("hub_i"))
+        )
+        hub = _normalize(h_raw, "hub_i")
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            "hub_i",
+            "auth_i",
+            (F.col("hub_i").cast("double") / HITS_MICRO).alias("hub"),
+            (F.col("auth_i").cast("double") / HITS_MICRO).alias("auth"),
+        )
+    )
+
+
+def hits_sql(edges_sql: str, *, n_iter: int = 4) -> str:
+    """DuckDB twin of :func:`hits`: the same integer half-rounds
+    unrolled into MATERIALIZED CTEs (plain CTEs re-inline the edge
+    pipeline exponentially — the kcore_sql lesson)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    M = HITS_MICRO
+    ctes = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({M} AS BIGINT) AS hub_i FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" CAST(SUM(h.hub_i) AS BIGINT) AS s"
+            f" FROM edges e JOIN h{p} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT n.node,"
+            f" CAST(CASE WHEN (SELECT MAX(s) FROM ar{i}) > 0"
+            f" THEN (COALESCE(r.s, 0) * {M})"
+            f" // (SELECT MAX(s) FROM ar{i})"
+            f" ELSE 0 END AS BIGINT) AS auth_i"
+            f" FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node)"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node,"
+            f" CAST(SUM(a.auth_i) AS BIGINT) AS s"
+            f" FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT n.node,"
+            f" CAST(CASE WHEN (SELECT MAX(s) FROM hr{i}) > 0"
+            f" THEN (COALESCE(r.s, 0) * {M})"
+            f" // (SELECT MAX(s) FROM hr{i})"
+            f" ELSE 0 END AS BIGINT) AS hub_i"
+            f" FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT h.node, h.hub_i, a.auth_i,
+       CAST(h.hub_i AS DOUBLE) / {M} AS hub,
+       CAST(a.auth_i AS DOUBLE) / {M} AS auth
+FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node
+"""
+    )

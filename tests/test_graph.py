@@ -168,3 +168,24 @@ def test_link_prediction_square_graph(spark):
     r = pairs[(1, 3)]
     assert r["n_common"] == 2 and r["jaccard"] == 1.0
     assert abs(r["adamic_adar"] - 2 * round(1 / math.log(2), 6)) < 1e-9
+
+
+def test_hits_star_graph(spark):
+    """Directed star: hubs 1,2,3 all point to authority 9; hub 1 also
+    points to a second authority 8.  Node 1 sees both authorities ->
+    top hub (normalized to 1.0); 9 has in-degree 3 -> top authority;
+    pure hubs have auth 0 (guarded normalize, no division by zero)."""
+    from inception_spark.operators.graph import HITS_MICRO, hits
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (1, 8)], "src int, dst int"
+    )
+    got = {r["node"]: r for r in hits(edges, n_iter=3).collect()}
+    assert got[1]["hub_i"] == HITS_MICRO          # max hub
+    assert got[9]["auth_i"] == HITS_MICRO         # max authority
+    assert got[2]["hub_i"] == got[3]["hub_i"] < HITS_MICRO
+    assert got[8]["auth_i"] < HITS_MICRO
+    for n in (1, 2, 3):
+        assert got[n]["auth_i"] == 0              # no in-edges
+    for n in (8, 9):
+        assert got[n]["hub_i"] == 0               # no out-edges
