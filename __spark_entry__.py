@@ -1833,6 +1833,25 @@ def _q_streaming_burst_monitor(spark, sf_dir):
     return R.burst_windows_finalize(parts)
 
 
+def _q_streaming_sprt(spark, sf_dir):
+    """The SPRT monitor live — the shape sequential testing exists for:
+    per-batch (treatment user, day) conversion-flag partials re-merge
+    by MAX (idempotent) across micro-batches, and the decision curve
+    reads the merged observation rollup.  Identical to the batch curve
+    (shared oracle); the experimenter can peek every trigger without
+    alpha inflation because SPRT's guarantees are sequential to begin
+    with."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    parts = run_stream_batch_partials(spark, ev, R.sprt_obs_partials)
+    return R.sprt_finalize(parts)
+
+
 def _q_streaming_ohlc(spark, sf_dir):
     """Candlesticks maintained IN STREAM: per-batch OHLC partials
     (struct-min/max edge picks, decimal volume sums) append via
@@ -3943,7 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     growth_accounting, user_survival_curve, link_prediction,
     k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
     streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
-    orc_ingest_stats, supplier_hits).  The in-repo
+    orc_ingest_stats, supplier_hits, streaming_sprt).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4201,6 +4220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hits": _q_supplier_hits,
         # r8: Wald SPRT on the daily conversion stream (exact decimal LLR)
         "ab_sprt_curve": R.ab_sprt_curve,
+        # r8: the SPRT monitor live (max-merged observation partials)
+        "streaming_sprt": _q_streaming_sprt,
         # r8: cohort LTV triangle (fixed-denominator convention)
         "cohort_ltv": R.cohort_ltv,
         "events_twap": _q_events_twap,
@@ -5833,6 +5854,8 @@ GROUP BY o.o_orderpriority
         "supplier_hits": _supplier_hits_oracle_sql(),
         # r8: identical 6-dp constants inlined from the same hypotheses
         "ab_sprt_curve": R.ab_sprt_curve_sql(),
+        # r8: streaming == batch by the max-merge identity
+        "streaming_sprt": R.ab_sprt_curve_sql(),
         # r8: same triangle + exact decimal cumulative + one divide
         "cohort_ltv": R.COHORT_LTV_SQL,
         # r8: replay of the deterministic md5-seeded cell assignment

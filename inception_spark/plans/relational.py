@@ -3453,16 +3453,20 @@ def ab_sprt_curve(
     an exact integer×decimal sum under a cumulative window — no float
     accumulation.  Probabilities and thresholds enter as integer milli
     parameters, so both engines derive the identical constants."""
-    p0, p1 = p0_milli / 1000.0, p1_milli / 1000.0
-    a_, b_ = alpha_milli / 1000.0, beta_milli / 1000.0
-    import math
+    return sprt_finalize(
+        sprt_obs_partials(load_events(spark, sf_dir)),
+        p0_milli=p0_milli, p1_milli=p1_milli,
+        alpha_milli=alpha_milli, beta_milli=beta_milli,
+    )
 
-    la = round(math.log(p1 / p0), 6)
-    lb = round(math.log((1 - p1) / (1 - p0)), 6)
-    hi = round(math.log((1 - b_) / a_), 6)
-    lo = round(math.log(b_ / (1 - a_)), 6)
-    ev = load_events(spark, sf_dir)
-    obs = (
+
+def sprt_obs_partials(ev: DataFrame) -> DataFrame:
+    """Mergeable partial for :func:`ab_sprt_curve`: per (treatment user,
+    day) conversion flags.  MAX re-merges exactly under any batching
+    (idempotent), so the live SPRT monitor equals the batch curve —
+    state is the (user, day) observation rollup, never the event
+    stream."""
+    return (
         ev.filter(F.col("user_id") % 2 == 1)
         .groupBy(F.col("user_id"), F.to_date("ts").alias("day"))
         .agg(
@@ -3470,6 +3474,29 @@ def ab_sprt_curve(
                 "_conv"
             )
         )
+    )
+
+
+def sprt_finalize(
+    obs_parts: DataFrame,
+    *,
+    p0_milli: int = 40,
+    p1_milli: int = 50,
+    alpha_milli: int = 50,
+    beta_milli: int = 200,
+) -> DataFrame:
+    """Re-merge observation partials and emit the SPRT decision curve
+    (see :func:`ab_sprt_curve` for the exactness argument)."""
+    import math
+
+    p0, p1 = p0_milli / 1000.0, p1_milli / 1000.0
+    a_, b_ = alpha_milli / 1000.0, beta_milli / 1000.0
+    la = round(math.log(p1 / p0), 6)
+    lb = round(math.log((1 - p1) / (1 - p0)), 6)
+    hi = round(math.log((1 - b_) / a_), 6)
+    lo = round(math.log(b_ / (1 - a_)), 6)
+    obs = obs_parts.groupBy("user_id", "day").agg(
+        F.max("_conv").alias("_conv")
     )
     daily = obs.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_obs"),
