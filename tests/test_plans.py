@@ -1695,3 +1695,27 @@ def test_cohort_ltv_triangle_by_hand(spark, tmp_path):
     assert got[0]["cum_value_per_user"] == 15.0
     assert got[1]["n_active"] == 1
     assert got[1]["cum_value_per_user"] == 18.0    # (30 + 6) / 2
+
+
+def test_ohlc_is_one_exchange_no_window_sort(spark, sf_dir):
+    """The struct-pick refactor's contract: candlesticks cost ONE
+    shuffle (the group key), with no row_number window pass."""
+    from inception_spark.plans.relational import events_ohlc
+
+    p = plan_of(events_ohlc(spark, sf_dir))
+    assert p.count("Exchange") == 1, p
+    assert "Window" not in p, p
+
+
+def test_fd_profile_is_one_expand_scan(spark, sf_dir):
+    """All 16 exact distinct counts ride ONE Expand pass over a single
+    scan — no per-pair rescan."""
+    from inception_spark.operators.profile import fd_profile
+    from inception_spark.plans.relational import load
+
+    p = plan_of(fd_profile(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ))
+    assert p.count("Expand") == 1, p
+    assert p.count("Scan parquet") == 1, p
