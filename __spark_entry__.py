@@ -3962,7 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     growth_accounting, user_survival_curve, link_prediction,
     k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
     streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
-    orc_ingest_stats, supplier_hits, streaming_sprt).  The in-repo
+    orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4224,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sprt": _q_streaming_sprt,
         # r8: cohort LTV triangle (fixed-denominator convention)
         "cohort_ltv": R.cohort_ltv,
+        # r8: seasonal-naive + drift forecast (the FPP baseline)
+        "events_forecast": R.events_forecast,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5858,6 +5860,8 @@ GROUP BY o.o_orderpriority
         "streaming_sprt": R.ab_sprt_curve_sql(),
         # r8: same triangle + exact decimal cumulative + one divide
         "cohort_ltv": R.COHORT_LTV_SQL,
+        # r8: same block decomposition + slot lookback + drift
+        "events_forecast": R.events_forecast_sql(),
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

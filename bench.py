@@ -205,6 +205,8 @@ HEADLINE = [
     "cohort_ltv",
     # r8: HITS (6 edge-join half-rounds, checkpointed lineage)
     "supplier_hits",
+    # r8: seasonal-naive forecast (rollup + broadcast block joins)
+    "events_forecast",
 ]
 
 

@@ -3658,3 +3658,147 @@ SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
                   AS DOUBLE) / s.cohort_size, 6) AS cum_value_per_user
 FROM cell c JOIN sized s ON c.cohort_day = s.cohort_day
 """
+
+
+def events_forecast(
+    spark: SparkSession, sf_dir: str, *, horizon: int = 24
+) -> DataFrame:
+    """Seasonal-naive + drift forecast of the next ``horizon`` hourly
+    event counts per type — (event_type, horizon_h, forecast_hour,
+    forecast_milli): forecast(h) = count at the same hour of the LAST
+    fully observed day, plus a flat drift term (1000·(last-day total −
+    previous-day total) div 24 per hour, the discrete trend).  Seasonal
+    naive with drift is the standard strong baseline any forecasting
+    stack must beat (Hyndman & Athanasopoulos, FPP) — and unlike
+    recursive smoothers it is fully window/join-expressible, so both
+    engines reproduce it in exact integer milli-units.
+
+    Days here are the last TWO complete 24h blocks counted back from
+    the max observed hour (epoch-hour arithmetic, not calendar days),
+    so the seasonal lag is exactly 24 regardless of where the series
+    ends.  Missing hours inside a block contribute 0 (left join onto
+    the dense 24-hour template).
+
+    100 TB shape: one hash aggregate to the hourly rollup; everything
+    after (the two 24-row blocks, the drift scalars, the horizon
+    template) is type-cardinality × 24 sized, broadcast-joined."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hour_idx", F.expr("unix_timestamp(hour_ts) div 3600"))
+    )
+    mx = hourly.agg(F.max("hour_idx").alias("_mx"))
+    # offset from the block boundary: last day = offsets 1..24 back
+    based = hourly.join(F.broadcast(mx)).withColumn(
+        "_back", F.col("_mx") - F.col("hour_idx")
+    )
+    last_day = based.filter(F.col("_back") < 24).select(
+        "event_type",
+        (F.col("_back") % 24).alias("_slot"),
+        F.col("n").alias("n_last"),
+    )
+    prev_day = based.filter(
+        (F.col("_back") >= 24) & (F.col("_back") < 48)
+    ).select(
+        "event_type",
+        (F.col("_back") % 24).alias("_slot"),
+        F.col("n").alias("n_prev"),
+    )
+    drift = (
+        last_day.groupBy("event_type")
+        .agg(F.sum("n_last").alias("_s1"))
+        .join(
+            prev_day.groupBy("event_type").agg(
+                F.sum("n_prev").alias("_s0")
+            ),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "(1000 * (_s1 - coalesce(_s0, 0))) div 24"
+            ).alias("drift_milli"),
+        )
+    )
+    template = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1, horizon + 1).select(
+                F.col("id").cast("long").alias("horizon_h")
+            )
+        )
+    )
+    return (
+        template.join(F.broadcast(mx))
+        # forecast hour L+h looks back to slot (24 - (h mod 24)) mod 24
+        .withColumn(
+            "_slot",
+            (F.lit(24) - (F.col("horizon_h") % 24)) % 24,
+        )
+        .join(F.broadcast(last_day), ["event_type", "_slot"], "left")
+        .join(F.broadcast(drift), "event_type")
+        .select(
+            "event_type",
+            "horizon_h",
+            F.date_format(
+                F.timestamp_seconds(
+                    (F.col("_mx") + F.col("horizon_h")) * 3600
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("forecast_hour"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (
+                    F.lit(1000) * F.coalesce("n_last", F.lit(0))
+                    + F.col("drift_milli")
+                ).cast("long"),
+            ).alias("forecast_milli"),
+        )
+    )
+
+
+def events_forecast_sql(*, horizon: int = 24) -> str:
+    """DuckDB twin of :func:`events_forecast`."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_idx
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT max(hour_idx) AS _mx FROM hourly),
+based AS (
+  SELECT h.*, m._mx - h.hour_idx AS _back FROM hourly h, mx m),
+last_day AS (
+  SELECT event_type, _back % 24 AS _slot, n AS n_last
+  FROM based WHERE _back < 24),
+prev_day AS (
+  SELECT event_type, _back % 24 AS _slot, n AS n_prev
+  FROM based WHERE _back >= 24 AND _back < 48),
+drift AS (
+  SELECT l.event_type,
+         (1000 * (SUM(l.n_last)
+                  - COALESCE((SELECT SUM(p.n_prev) FROM prev_day p
+                              WHERE p.event_type = l.event_type), 0)))
+           // 24 AS drift_milli
+  FROM last_day l GROUP BY l.event_type),
+template AS (
+  SELECT DISTINCT event_type, h.horizon_h
+  FROM hourly CROSS JOIN
+    (SELECT unnest(generate_series(1, {horizon})) AS horizon_h) h)
+SELECT t.event_type, CAST(t.horizon_h AS BIGINT) AS horizon_h,
+       strftime(CAST(to_timestamp((m._mx + t.horizon_h) * 3600)
+                     AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS forecast_hour,
+       CAST(greatest(0, 1000 * COALESCE(l.n_last, 0) + d.drift_milli)
+            AS BIGINT) AS forecast_milli
+FROM template t
+CROSS JOIN mx m
+LEFT JOIN last_day l
+  ON l.event_type = t.event_type
+ AND l._slot = (24 - (t.horizon_h % 24)) % 24
+JOIN drift d ON d.event_type = t.event_type
+"""
