@@ -1891,6 +1891,86 @@ def _link_prediction_oracle_sql():
     return link_prediction_sql(_PART_EDGES_SQL, min_common=1)
 
 
+def _q_pruning_effectiveness(spark, sf_dir):
+    """Quantified row-group pruning: 10 point-lookup probes (doc_id =
+    i·max div 10) against the sorted 100-row-group fixture's min/max
+    fences — (probe_i, probe_key, n_rowgroups, n_scanned,
+    scan_frac_milli).  On a sorted layout each probe intersects ~1
+    fence (scan fraction ≈ 1/n_groups); this is the number that
+    justifies paying for a zorder/sort at write time, measured from
+    the same footer audit parquet_rowgroup_stats runs.  The oracle
+    derives the fences from the sorted data alone (rank div 100), so a
+    layout that failed to carry the promised fences hash-fails."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = _docs(spark, sf_dir).select("doc_id").sort("doc_id").toPandas()
+    d = tempfile.mkdtemp(prefix="inception_prune_")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        d + "/docs_sorted.parquet",
+        row_group_size=100,
+    )
+    stats = parquet_rowgroup_stats(spark, d, column="doc_id").select(
+        "min_v", "max_v"
+    )
+    mx = stats.agg(
+        F.max("max_v").alias("_mx"),
+        F.count(F.lit(1)).alias("_n_rg"),
+    )
+    probes = (
+        spark.range(0, 10)
+        .select(F.col("id").cast("long").alias("probe_i"))
+        .join(F.broadcast(mx))
+        .withColumn("probe_key", F.expr("(probe_i * _mx) div 10"))
+    )
+    return (
+        probes.join(
+            stats,
+            (F.col("min_v") <= F.col("probe_key"))
+            & (F.col("probe_key") <= F.col("max_v")),
+            "left",
+        )
+        .groupBy("probe_i", "probe_key", "_n_rg")
+        .agg(F.count("min_v").cast("long").alias("n_scanned"))
+        .select(
+            "probe_i",
+            "probe_key",
+            F.col("_n_rg").cast("long").alias("n_rowgroups"),
+            "n_scanned",
+            F.expr("(1000 * n_scanned) div _n_rg").cast("long").alias(
+                "scan_frac_milli"
+            ),
+        )
+    )
+
+
+PRUNING_EFFECTIVENESS_SQL = """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents),
+fences AS (
+  SELECT rk // 100 AS rg, MIN(doc_id) AS min_v, MAX(doc_id) AS max_v
+  FROM r GROUP BY 1),
+mx AS (SELECT MAX(max_v) AS _mx, COUNT(*) AS _n_rg FROM fences),
+probes AS (
+  SELECT CAST(i AS BIGINT) AS probe_i,
+         CAST((i * _mx) // 10 AS BIGINT) AS probe_key, _n_rg
+  FROM (SELECT unnest(generate_series(0, 9)) AS i) CROSS JOIN mx)
+SELECT p.probe_i, p.probe_key,
+       CAST(p._n_rg AS BIGINT) AS n_rowgroups,
+       CAST(COUNT(f.min_v) AS BIGINT) AS n_scanned,
+       CAST((1000 * COUNT(f.min_v)) // p._n_rg AS BIGINT)
+         AS scan_frac_milli
+FROM probes p
+LEFT JOIN fences f
+  ON f.min_v <= p.probe_key AND p.probe_key <= f.max_v
+GROUP BY p.probe_i, p.probe_key, p._n_rg
+"""
+
+
 def _q_streaming_decayed_topk(spark, sf_dir):
     """The decayed heavy hitters maintained IN STREAM: each micro-batch
     reduces to per-(type, user, day) count partials (exactly re-summable
@@ -3962,7 +4042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     growth_accounting, user_survival_curve, link_prediction,
     k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
     streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
-    orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast).  The in-repo
+    orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast,
+    events_markov_stationary, pruning_effectiveness).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4226,6 +4307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": R.cohort_ltv,
         # r8: seasonal-naive + drift forecast (the FPP baseline)
         "events_forecast": R.events_forecast,
+        # r8: Markov long-run occupancy (integer power iteration)
+        "events_markov_stationary": R.events_markov_stationary,
+        # r8: measured pruning payoff of the sorted layout's fences
+        "pruning_effectiveness": _q_pruning_effectiveness,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5862,6 +5947,10 @@ GROUP BY o.o_orderpriority
         "cohort_ltv": R.COHORT_LTV_SQL,
         # r8: same block decomposition + slot lookback + drift
         "events_forecast": R.events_forecast_sql(),
+        # r8: identical integer iteration, unrolled
+        "events_markov_stationary": R.events_markov_stationary_sql(),
+        # r8: fences derived from the sorted data alone (rank div 100)
+        "pruning_effectiveness": PRUNING_EFFECTIVENESS_SQL,
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

@@ -3802,3 +3802,115 @@ LEFT JOIN last_day l
  AND l._slot = (24 - (t.horizon_h % 24)) % 24
 JOIN drift d ON d.event_type = t.event_type
 """
+
+
+NANO = 10**9
+
+
+def events_markov_stationary(
+    spark: SparkSession, sf_dir: str, *, n_iter: int = 8
+) -> DataFrame:
+    """Long-run occupancy of the behavioral Markov chain: π after
+    ``n_iter`` integer power-iteration steps of
+    :func:`event_transition_matrix`'s row-stochastic matrix —
+    (event_type, pi_nano, pi_milli): where a user's attention settles
+    if the observed transition behavior persists.
+
+    Exactness: π'(j) = Σ_i π(i)·c(i,j) div c(i,·) in int64 nano-units
+    (truncating division identical in both engines on non-negatives),
+    starting uniform at NANO per state; the display share renormalizes
+    once at the end, (1000·π) div Σπ.  The per-step mass leak is
+    ≤ n_states nano per state — far below ranking-relevant signal.
+
+    100 TB shape: the one heavy stage is the per-user lag + count
+    aggregate that builds the transition counts; the iteration runs on
+    the types² matrix — broadcast-sized by construction.  int64 bound:
+    π(i)·c needs c ≲ 10^9 per cell (π ≤ n_states·NANO); past that,
+    pre-reduce each row of c to milli-probabilities before iterating —
+    the division is per-row, so the reduction is exact-integer too."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = counts.groupBy("from_type").agg(F.sum("c").alias("row_c"))
+    mat = counts.join(rows, "from_type").localCheckpoint(eager=False)
+    states = mat.select(
+        F.col("from_type").alias("event_type")
+    ).union(
+        mat.select(F.col("to_type").alias("event_type"))
+    ).distinct().localCheckpoint(eager=False)
+    pi = states.select(
+        "event_type", F.lit(NANO).cast("long").alias("pi_nano")
+    )
+    for _ in range(n_iter):
+        pi = (
+            mat.join(
+                pi, mat["from_type"] == pi["event_type"]
+            )
+            .select(
+                F.col("to_type").alias("event_type"),
+                F.expr("(pi_nano * c) div row_c").alias("_m"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("_m").cast("long").alias("pi_nano"))
+            .localCheckpoint(eager=False)
+        )
+    tot = pi.agg(F.sum("pi_nano").alias("_tot"))
+    return (
+        pi.join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "pi_nano",
+            F.expr("(1000 * pi_nano) div _tot").cast("long").alias(
+                "pi_milli"
+            ),
+        )
+    )
+
+
+def events_markov_stationary_sql(*, n_iter: int = 8) -> str:
+    """DuckDB twin of :func:`events_markov_stationary` — the identical
+    integer iteration unrolled (MATERIALIZED: the matrix CTE is
+    referenced every round)."""
+    ctes = [
+        """seq AS MATERIALIZED (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)""",
+        """cnt AS MATERIALIZED (
+  SELECT from_type, to_type, COUNT(*) AS c
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)""",
+        """mat AS MATERIALIZED (
+  SELECT c.*, r.row_c FROM cnt c JOIN
+    (SELECT from_type, SUM(c) AS row_c FROM cnt GROUP BY 1) r
+  USING (from_type))""",
+        """states AS MATERIALIZED (
+  SELECT from_type AS event_type FROM mat
+  UNION SELECT to_type FROM mat)""",
+        f"""p0 AS (SELECT event_type, CAST({NANO} AS BIGINT) AS pi_nano
+  FROM states)""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT m.to_type AS event_type,
+         CAST(SUM((p.pi_nano * m.c) // m.row_c) AS BIGINT) AS pi_nano
+  FROM mat m JOIN p{i - 1} p ON m.from_type = p.event_type
+  GROUP BY 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT event_type, pi_nano,
+       CAST((1000 * pi_nano) // (SELECT SUM(pi_nano) FROM p{n_iter})
+            AS BIGINT) AS pi_milli
+FROM p{n_iter}
+"""
+    )

@@ -1760,3 +1760,27 @@ def test_events_forecast_snaive_by_hand(spark, tmp_path):
     assert out[1]["forecast_milli"] == 1000 * 2 + drift
     assert out[1]["forecast_hour"] == "2024-01-03 00:00:00"
     assert out[24]["forecast_hour"] == "2024-01-03 23:00:00"
+
+
+def test_markov_stationary_two_state_symmetric(spark, tmp_path):
+    """A strictly alternating a->b->a->... chain has stationary
+    (1/2, 1/2): both states land on pi_milli == 500 exactly."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_markov_stationary
+
+    rows = []
+    for i in range(20):
+        rows.append((i + 1, pd.Timestamp("2024-01-01") +
+                     pd.Timedelta(minutes=i), 1, "ab"[i % 2], 1.0))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["event_type"]: r for r in
+           events_markov_stationary(spark, str(tmp_path)).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["pi_milli"] == 500
+    assert got["b"]["pi_milli"] == 500
+    assert got["a"]["pi_nano"] == got["b"]["pi_nano"]
