@@ -606,17 +606,19 @@ def hits(
     )
 
     def _normalize(raw, col):
+        # Zero-score nodes stay ABSENT during iteration — they join to
+        # nothing and contribute 0 either way, so skipping the node-list
+        # left-join here removes one shuffle per half-round (the output
+        # join below restores the full node set with explicit zeros;
+        # result-identical to normalizing over all nodes).
         mx = raw.agg(F.max(col).alias("_mx"))
         return (
-            nodes.join(raw, "node", "left")
-            .join(F.broadcast(mx))
+            raw.join(F.broadcast(mx))
             .select(
                 "node",
                 F.when(
                     F.col("_mx") > 0,
-                    F.expr(
-                        f"(coalesce({col}, 0) * {HITS_MICRO}) div _mx"
-                    ),
+                    F.expr(f"({col} * {HITS_MICRO}) div _mx"),
                 )
                 .otherwise(F.lit(0))
                 .cast("long")
@@ -643,13 +645,18 @@ def hits(
         )
         hub = _normalize(h_raw, "hub_i")
     return (
-        hub.join(auth, "node")
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
         .select(
             "node",
-            "hub_i",
-            "auth_i",
-            (F.col("hub_i").cast("double") / HITS_MICRO).alias("hub"),
-            (F.col("auth_i").cast("double") / HITS_MICRO).alias("auth"),
+            F.coalesce("hub_i", F.lit(0)).cast("long").alias("hub_i"),
+            F.coalesce("auth_i", F.lit(0)).cast("long").alias("auth_i"),
+            (
+                F.coalesce("hub_i", F.lit(0)).cast("double") / HITS_MICRO
+            ).alias("hub"),
+            (
+                F.coalesce("auth_i", F.lit(0)).cast("double") / HITS_MICRO
+            ).alias("auth"),
         )
     )
 
