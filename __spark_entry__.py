@@ -1728,6 +1728,52 @@ def _supplier_hits_oracle_sql():
     return hits_sql(_HITS_EDGES_SQL, n_iter=3)
 
 
+def _q_link_prediction_eval(spark, sf_dir):
+    """The link-prediction closed loop: hold out ~20% of the edges by
+    content hash, predict from the rest, score the top-100 against the
+    held-out truth — precision/recall as exact milli ratios.  Runs on
+    the DENSE co-purchase graph (any shared order, no repeat
+    threshold): the thresholded graph is where prediction is vacuous —
+    its distance-2 pairs share at most 1 neighbor at sf0.1 and the
+    holdout is never hit — while the dense graph gives the eval real
+    signal at every SF (measured precision@100 = 200/390/1000 milli at
+    sf0.001/0.01/0.1 — the ranking genuinely recovers held-out
+    co-purchases as density grows)."""
+    from inception_spark.operators.graph import link_prediction_eval
+
+    li = R.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"),
+        F.col("b.l_partkey").alias("dst"),
+    ).distinct()
+    return link_prediction_eval(
+        edges, holdout_mod=5, k=100, min_common=1
+    )
+
+
+_DENSE_PART_EDGES_SQL = """
+SELECT DISTINCT a.s AS src, b.s AS dst
+FROM (SELECT DISTINCT l_orderkey AS c, l_partkey AS s FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey AS c, l_partkey AS s FROM lineitem) b
+  ON a.c = b.c AND a.s < b.s
+"""
+
+
+def _link_prediction_eval_oracle_sql():
+    from inception_spark.operators.graph import link_prediction_eval_sql
+
+    return link_prediction_eval_sql(
+        _DENSE_PART_EDGES_SQL, holdout_mod=5, k=100, min_common=1
+    )
+
+
 def _q_csv_ingest_stats(spark, sf_dir):
     """Driver signal for the CSV quarantine path (S2's sibling —
     sources/readers.py:77): a CSV fixture synthesized from the docs
@@ -4043,7 +4089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
     streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
     orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast,
-    events_markov_stationary, pruning_effectiveness).  The in-repo
+    events_markov_stationary, pruning_effectiveness,
+    link_prediction_eval).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4311,6 +4358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": R.events_markov_stationary,
         # r8: measured pruning payoff of the sorted layout's fences
         "pruning_effectiveness": _q_pruning_effectiveness,
+        # r8: link-prediction closed loop (hash holdout, P/R@k)
+        "link_prediction_eval": _q_link_prediction_eval,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -5951,6 +6000,8 @@ GROUP BY o.o_orderpriority
         "events_markov_stationary": R.events_markov_stationary_sql(),
         # r8: fences derived from the sorted data alone (rank div 100)
         "pruning_effectiveness": PRUNING_EFFECTIVENESS_SQL,
+        # r8: same hash split, prediction query nested as subquery
+        "link_prediction_eval": _link_prediction_eval_oracle_sql(),
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

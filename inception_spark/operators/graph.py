@@ -710,3 +710,128 @@ SELECT h.node, h.hub_i, a.auth_i,
 FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node
 """
     )
+
+
+def link_prediction_eval(
+    edges: DataFrame,
+    *,
+    holdout_mod: int = 5,
+    k: int = 100,
+    min_common: int = 1,
+) -> DataFrame:
+    """Closed-loop evaluation of :func:`link_prediction`: hold out
+    ~1/``holdout_mod`` of the edges by a content hash of the canonical
+    pair (a row PROPERTY — the split is reproducible under any
+    partitioning, the repo's sampling discipline), predict the top-``k``
+    links from the remaining graph, and score against the held-out
+    truth → ONE row (k, n_train_edges, n_holdout, n_predicted, n_hits,
+    precision_milli, recall_milli).
+
+    This is the number that tells you whether the Adamic–Adar ranking
+    means anything on YOUR graph before you act on it — the
+    ann_recall_report pattern applied to graph completion.  Recall is
+    bounded above by the fraction of held-out edges whose endpoints
+    remain at distance 2 in the training graph (the standard
+    link-prediction eval caveat); everything is exact-integer milli
+    ratios."""
+    from inception_spark.functions.hashing import h28
+
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .withColumn(
+            "_k",
+            h28(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            ),
+        )
+    )
+    held = e.filter(F.col("_k") % holdout_mod == 0).select("u", "v")
+    train = e.filter(F.col("_k") % holdout_mod != 0).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    preds = link_prediction(train, min_common=min_common, k=k)
+    hits = preds.join(held, ["u", "v"], "left_semi")
+    counts = (
+        train.agg(F.count(F.lit(1)).alias("n_train_edges"))
+        .crossJoin(held.agg(F.count(F.lit(1)).alias("n_holdout")))
+        .crossJoin(preds.agg(F.count(F.lit(1)).alias("n_predicted")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_train_edges").cast("long"),
+        F.col("n_holdout").cast("long"),
+        F.col("n_predicted").cast("long"),
+        F.col("n_hits").cast("long"),
+        F.expr(
+            "CASE WHEN n_predicted > 0"
+            " THEN (1000 * n_hits) div n_predicted ELSE 0 END"
+        ).cast("long").alias("precision_milli"),
+        F.expr(
+            "CASE WHEN n_holdout > 0"
+            " THEN (1000 * n_hits) div n_holdout ELSE 0 END"
+        ).cast("long").alias("recall_milli"),
+    )
+
+
+def link_prediction_eval_sql(
+    edges_sql: str,
+    *,
+    holdout_mod: int = 5,
+    k: int = 100,
+    min_common: int = 1,
+) -> str:
+    """DuckDB twin of :func:`link_prediction_eval`: the same hash split,
+    with the prediction query nested as a subquery."""
+    train_sql = f"""
+SELECT u AS src, v AS dst FROM (
+  SELECT u, v,
+         CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+                                  || CAST(v AS VARCHAR)), 1, 7))
+              AS BIGINT) AS _k
+  FROM (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM ({edges_sql}) WHERE src <> dst))
+WHERE _k % {holdout_mod} <> 0
+"""
+    preds_sql = link_prediction_sql(
+        train_sql, min_common=min_common, k=k
+    )
+    return f"""
+WITH e_all AS MATERIALIZED (
+  SELECT u, v,
+         CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+                                  || CAST(v AS VARCHAR)), 1, 7))
+              AS BIGINT) AS _k
+  FROM (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM ({edges_sql}) WHERE src <> dst)),
+held AS (SELECT u, v FROM e_all WHERE _k % {holdout_mod} = 0),
+preds AS MATERIALIZED ({preds_sql}),
+c AS (
+  SELECT (SELECT COUNT(*) FROM e_all WHERE _k % {holdout_mod} <> 0)
+           AS n_train_edges,
+         (SELECT COUNT(*) FROM held) AS n_holdout,
+         (SELECT COUNT(*) FROM preds) AS n_predicted,
+         (SELECT COUNT(*) FROM preds p JOIN held h
+            ON p.u = h.u AND p.v = h.v) AS n_hits)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(n_train_edges AS BIGINT) AS n_train_edges,
+       CAST(n_holdout AS BIGINT) AS n_holdout,
+       CAST(n_predicted AS BIGINT) AS n_predicted,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_predicted > 0
+            THEN (1000 * n_hits) // n_predicted ELSE 0 END AS BIGINT)
+         AS precision_milli,
+       CAST(CASE WHEN n_holdout > 0
+            THEN (1000 * n_hits) // n_holdout ELSE 0 END AS BIGINT)
+         AS recall_milli
+FROM c
+"""
