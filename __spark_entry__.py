@@ -1898,6 +1898,24 @@ def _q_streaming_sprt(spark, sf_dir):
     return R.sprt_finalize(parts)
 
 
+def _q_streaming_forecast(spark, sf_dir):
+    """The forecast maintained live: the SAME hour-counter partials the
+    burst monitor streams (burst_hourly_partials) re-sum across
+    micro-batches, and the seasonal-naive + drift finalize reads the
+    merged rollup — identical to the batch forecast (shared oracle).
+    One streamed state, two consumers: this is why the partial/finalize
+    split is the right factoring."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts")
+    parts = run_stream_batch_partials(
+        spark, ev, R.burst_hourly_partials
+    )
+    return R.forecast_from_hourly(parts)
+
+
 def _q_streaming_ohlc(spark, sf_dir):
     """Candlesticks maintained IN STREAM: per-batch OHLC partials
     (struct-min/max edge picks, decimal volume sums) append via
@@ -4090,7 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
     orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast,
     events_markov_stationary, pruning_effectiveness,
-    link_prediction_eval).  The in-repo
+    link_prediction_eval, streaming_forecast).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4356,6 +4374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast": R.events_forecast,
         # r8: Markov long-run occupancy (integer power iteration)
         "events_markov_stationary": R.events_markov_stationary,
+        # r8: the forecast live (same hour-counter partials as bursts)
+        "streaming_forecast": _q_streaming_forecast,
         # r8: measured pruning payoff of the sorted layout's fences
         "pruning_effectiveness": _q_pruning_effectiveness,
         # r8: link-prediction closed loop (hash holdout, P/R@k)
@@ -5998,6 +6018,8 @@ GROUP BY o.o_orderpriority
         "events_forecast": R.events_forecast_sql(),
         # r8: identical integer iteration, unrolled
         "events_markov_stationary": R.events_markov_stationary_sql(),
+        # r8: streaming == batch by the counter re-sum identity
+        "streaming_forecast": R.events_forecast_sql(),
         # r8: fences derived from the sorted data alone (rank div 100)
         "pruning_effectiveness": PRUNING_EFFECTIVENESS_SQL,
         # r8: same hash split, prediction query nested as subquery

@@ -3682,12 +3682,22 @@ def events_forecast(
     100 TB shape: one hash aggregate to the hourly rollup; everything
     after (the two 24-row blocks, the drift scalars, the horizon
     template) is type-cardinality × 24 sized, broadcast-joined."""
-    ev = load_events(spark, sf_dir)
+    return forecast_from_hourly(
+        burst_hourly_partials(load_events(spark, sf_dir)),
+        horizon=horizon,
+    )
+
+
+def forecast_from_hourly(
+    hourly_parts: DataFrame, *, horizon: int = 24
+) -> DataFrame:
+    """Run the seasonal-naive + drift forecast on (possibly streamed)
+    hourly count partials — shares :func:`burst_hourly_partials`'
+    mergeable state, so the live forecast equals the batch one."""
+    spark = hourly_parts.sparkSession
     hourly = (
-        ev.groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
+        hourly_parts.groupBy("event_type", "hour_ts")
+        .agg(F.sum("n").alias("n"))
         .withColumn("hour_idx", F.expr("unix_timestamp(hour_ts) div 3600"))
     )
     mx = hourly.agg(F.max("hour_idx").alias("_mx"))
