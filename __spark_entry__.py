@@ -4108,7 +4108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
     orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast,
     events_markov_stationary, pruning_effectiveness,
-    link_prediction_eval, streaming_forecast).  The in-repo
+    link_prediction_eval, streaming_forecast, events_ks_drift,
+    revenue_gini, vocab_growth_curve).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4380,6 +4381,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruning_effectiveness": _q_pruning_effectiveness,
         # r8: link-prediction closed loop (hash holdout, P/R@k)
         "link_prediction_eval": _q_link_prediction_eval,
+        # r8: exact (unbinned) KS drift — PSI's binning-free twin
+        "events_ks_drift": R.events_ks_drift,
+        # r8: revenue concentration (exact Gini over customer rollup)
+        "revenue_gini": R.revenue_gini,
+        # r8: Heaps-law vocabulary growth (first-bucket aggregate)
+        "vocab_growth_curve": lambda spark, sf: TA.vocab_growth_curve(
+            _docs(spark, sf)
+        ),
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -6024,6 +6033,12 @@ GROUP BY o.o_orderpriority
         "pruning_effectiveness": PRUNING_EFFECTIVENESS_SQL,
         # r8: same hash split, prediction query nested as subquery
         "link_prediction_eval": _link_prediction_eval_oracle_sql(),
+        # r8: same cross-multiplied cumulative-count compare
+        "events_ks_drift": R.events_ks_drift_sql(),
+        # r8: same cent-integer ranks + exact decimal terms
+        "revenue_gini": R.REVENUE_GINI_SQL,
+        # r8: same first-bucket aggregate + spine windows
+        "vocab_growth_curve": TA.vocab_growth_curve_sql(),
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

@@ -207,6 +207,12 @@ HEADLINE = [
     "supplier_hits",
     # r8: seasonal-naive forecast (rollup + broadcast block joins)
     "events_forecast",
+    # r8: exact unbinned KS drift (value-spine cumulative compare)
+    "events_ks_drift",
+    # r8: exact Gini (customer rollup + segment rank window)
+    "revenue_gini",
+    # r8: Heaps-law vocab growth (first-bucket aggregate)
+    "vocab_growth_curve",
 ]
 
 

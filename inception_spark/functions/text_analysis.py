@@ -2334,3 +2334,85 @@ SELECT bg, n_pair, pmi,
        CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT) AS rank
 FROM cand QUALIFY rank <= {k}
 """
+
+
+def vocab_growth_curve(df, *, bucket_size=10, id_col="doc_id",
+                       text_col="text"):
+    """Heaps-law vocabulary growth: reading the corpus in ``id_col``
+    order, ``bucket_size`` docs at a time — (bucket, n_tokens,
+    n_tokens_cum, n_new_words, n_distinct_cum).  A flattening distinct
+    curve is the classic saturation signal (more data, no new
+    vocabulary → dedup harder, LM value declining); a linear one says
+    the corpus is still growing vocabulary.
+
+    Exact distributed form of the inherently sequential definition:
+    a word's FIRST bucket is min(bucket) over its occurrences (one
+    hash aggregate — no sequential scan), n_new_words counts words by
+    first bucket, and both cumulative columns are window sums over the
+    bucket spine.  All integers."""
+    from pyspark.sql import Window
+
+    ws = words(F.col(text_col))
+    ex = df.select(
+        F.expr(f"{id_col} div {bucket_size}").cast("long").alias("bucket"),
+        F.explode(ws).alias("w"),
+    )
+    toks = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    news = (
+        ex.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_words"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        toks.join(news, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_new_words", F.lit(0))
+            .cast("long")
+            .alias("n_new_words"),
+        )
+        .withColumn(
+            "n_tokens_cum", F.sum("n_tokens").over(w_cum).cast("long")
+        )
+        .withColumn(
+            "n_distinct_cum",
+            F.sum("n_new_words").over(w_cum).cast("long"),
+        )
+        .select(
+            "bucket", "n_tokens", "n_tokens_cum",
+            "n_new_words", "n_distinct_cum",
+        )
+    )
+
+
+def vocab_growth_curve_sql(table: str = "documents", *,
+                           bucket_size=10) -> str:
+    """DuckDB twin of :func:`vocab_growth_curve`."""
+    w = words_sql("text")
+    return f"""
+WITH ex AS (
+  SELECT CAST(doc_id // {bucket_size} AS BIGINT) AS bucket,
+         unnest({w}) AS w
+  FROM {table}),
+toks AS (SELECT bucket, COUNT(*) AS n_tokens FROM ex GROUP BY 1),
+news AS (
+  SELECT bucket, COUNT(*) AS n_new_words FROM (
+    SELECT w, MIN(bucket) AS bucket FROM ex GROUP BY w)
+  GROUP BY 1)
+SELECT t.bucket, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_tokens_cum,
+       CAST(COALESCE(n.n_new_words, 0) AS BIGINT) AS n_new_words,
+       CAST(SUM(COALESCE(n.n_new_words, 0)) OVER (ORDER BY t.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_distinct_cum
+FROM toks t LEFT JOIN news n ON t.bucket = n.bucket
+"""

@@ -3924,3 +3924,193 @@ SELECT event_type, pi_nano,
 FROM p{n_iter}
 """
     )
+
+
+def events_ks_drift(
+    spark: SparkSession, sf_dir: str, *, threshold_milli: int = 100
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov drift per event type — the
+    unbinned twin of psi_drift_report: the value stream splits at the
+    time-range midpoint into early/late samples, and KS = max over the
+    value spine of |CDF_early − CDF_late| — (event_type, n_early,
+    n_late, ks_milli, drifted).  PSI sees what the bin layout lets it
+    see; KS is binning-free, so a shift smaller than a bin width still
+    registers.
+
+    Exactness: CDF differences compare CROSS-MULTIPLIED integer
+    cumulative counts (|c1·n2 − c2·n1|, no division until the final
+    milli ratio; fits int64 while n1·n2 < 2^63 — beyond ~3·10^9 rows
+    per side, pre-aggregate to a quantile sketch instead).  Plan: one
+    (type, value, side) rollup, one value-ordered cumulative window
+    per type, one max aggregate — the spine is distinct-value sized."""
+    ev = load_events(spark, sf_dir)
+    # session TZ is pinned UTC, so the NTZ->TIMESTAMP cast is identity
+    # (unix_micros rejects TIMESTAMP_NTZ outright)
+    mid = ev.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("_mid")
+    )
+    sided = ev.join(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        (F.expr("unix_micros(cast(ts as timestamp))") < F.col("_mid"))
+        .cast("int")
+        .alias("_early"),
+    )
+    roll = sided.groupBy("event_type", "value").agg(
+        F.sum("_early").alias("d1"),
+        F.sum(F.lit(1) - F.col("_early")).alias("d2"),
+    )
+    tot = sided.groupBy("event_type").agg(
+        F.sum("_early").alias("n1"),
+        F.sum(F.lit(1) - F.col("_early")).alias("n2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ks = (
+        roll.withColumn("c1", F.sum("d1").over(w))
+        .withColumn("c2", F.sum("d2").over(w))
+        .join(tot, "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("_ks_scaled")
+        )
+    )
+    return ks.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_early"),
+        F.col("n2").cast("long").alias("n_late"),
+        F.expr("(1000 * _ks_scaled) div (n1 * n2)").cast("long").alias(
+            "ks_milli"
+        ),
+        (
+            F.expr("(1000 * _ks_scaled) div (n1 * n2)") >= threshold_milli
+        ).alias("drifted"),
+    )
+
+
+def events_ks_drift_sql(*, threshold_milli: int = 100) -> str:
+    """DuckDB twin of :func:`events_ks_drift`."""
+    return f"""
+WITH mid AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS _mid
+  FROM events),
+sided AS (
+  SELECT event_type, value,
+         CASE WHEN epoch_us(ts) < _mid THEN 1 ELSE 0 END AS _early
+  FROM events, mid),
+roll AS (
+  SELECT event_type, value, SUM(_early) AS d1,
+         SUM(1 - _early) AS d2
+  FROM sided GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, SUM(_early) AS n1, SUM(1 - _early) AS n2
+  FROM sided GROUP BY 1),
+cum AS (
+  SELECT r.event_type,
+         SUM(d1) OVER (PARTITION BY r.event_type ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         SUM(d2) OVER (PARTITION BY r.event_type ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM roll r),
+ks AS (
+  SELECT c.event_type, t.n1, t.n2,
+         MAX(ABS(CAST(c.c1 AS BIGINT) * t.n2
+                 - CAST(c.c2 AS BIGINT) * t.n1)) AS _ks_scaled
+  FROM cum c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY 1, 2, 3)
+SELECT event_type, CAST(n1 AS BIGINT) AS n_early,
+       CAST(n2 AS BIGINT) AS n_late,
+       CAST((1000 * _ks_scaled) // (n1 * n2) AS BIGINT) AS ks_milli,
+       (1000 * _ks_scaled) // (n1 * n2) >= {threshold_milli} AS drifted
+FROM ks
+"""
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as an exact Gini
+    coefficient over per-customer revenue — (segment, n_customers,
+    gini_milli): gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x the
+    cent-integer revenues ranked ascending.  The inequality audit
+    behind "do 10% of customers drive 90% of revenue" — runs on the
+    customer rollup, never the fact table twice.
+
+    Exactness: revenues become integer CENTS (the decimal sum is
+    exact), the rank is a per-segment window with custkey tiebreak
+    (ties contribute the same Σ i·x under any permutation, so the
+    tiebreak is for engine determinism, not semantics), and both
+    Gini terms are exact DECIMAL(38,0) sums — the single final divide
+    is double, rounded to a milli integer."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_r")
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+        .select(
+            "segment",
+            "o_custkey",
+            (F.col("_r") * 100).cast("decimal(38,0)").alias("x"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("x", "o_custkey")
+    terms = rev.withColumn("i", F.row_number().over(w)).groupBy(
+        "segment"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("i")).alias("_six"),
+        F.sum("x").alias("_sx"),
+    )
+    return terms.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            F.lit(1000)
+            * (
+                F.lit(2) * F.col("_six").cast("double")
+                - (F.col("n") + 1) * F.col("_sx").cast("double")
+            )
+            / (F.col("n") * F.col("_sx").cast("double")),
+            0,
+        )
+        .cast("long")
+        .alias("gini_milli"),
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(38,0)) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY segment
+                               ORDER BY x, o_custkey) AS i
+  FROM rev),
+terms AS (
+  SELECT segment, COUNT(*) AS n, SUM(x * i) AS _six, SUM(x) AS _sx
+  FROM ranked GROUP BY 1)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       CAST(round(1000 * (2 * CAST(_six AS DOUBLE)
+                          - (n + 1) * CAST(_sx AS DOUBLE))
+                  / (n * CAST(_sx AS DOUBLE)), 0) AS BIGINT)
+         AS gini_milli
+FROM terms
+"""

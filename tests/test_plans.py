@@ -1784,3 +1784,65 @@ def test_markov_stationary_two_state_symmetric(spark, tmp_path):
     assert got["a"]["pi_milli"] == 500
     assert got["b"]["pi_milli"] == 500
     assert got["a"]["pi_nano"] == got["b"]["pi_nano"]
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    """Type 'shifted' doubles its values in the late half -> large KS;
+    type 'stable' keeps one distribution -> small KS."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_ks_drift
+
+    rows, eid = [], 0
+    for day in range(1, 21):
+        late = day > 10
+        for i in range(10):
+            eid += 1
+            rows.append((eid, pd.Timestamp(f"2024-01-{day:02d} 10:00:00"),
+                         1, "stable", float(i)))
+            eid += 1
+            v = float(i) + (100.0 if late else 0.0)
+            rows.append((eid, pd.Timestamp(f"2024-01-{day:02d} 11:00:00"),
+                         1, "shifted", v))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["event_type"]: r
+           for r in events_ks_drift(spark, str(tmp_path)).collect()}
+    assert got["shifted"]["drifted"] is True
+    assert got["shifted"]["ks_milli"] == 1000   # disjoint supports
+    assert got["stable"]["drifted"] is False
+    assert got["stable"]["ks_milli"] < 100
+
+
+def test_revenue_gini_extremes(spark, tmp_path):
+    """Perfectly equal revenues -> gini ~0 (exactly (n-1 terms) small);
+    one customer holding everything -> gini -> (n-1)/n."""
+    import pandas as pd
+
+    orders = pd.DataFrame({
+        "o_orderkey": range(1, 9),
+        "o_custkey": [1, 2, 3, 4, 5, 6, 7, 8],
+        "o_orderstatus": ["F"] * 8,
+        "o_totalprice": [100.0] * 4 + [0.01, 0.01, 0.01, 400.0],
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 8).date,
+        "o_orderpriority": ["1-URGENT"] * 8,
+    })
+    cust = pd.DataFrame({
+        "c_custkey": range(1, 9),
+        "c_name": [f"c{i}" for i in range(1, 9)],
+        "c_nationkey": [0] * 8,
+        "c_mktsegment": ["EQ"] * 4 + ["SKEW"] * 4,
+        "c_acctbal": [0.0] * 8,
+    })
+    orders.to_parquet(str(tmp_path / "orders.parquet"))
+    cust.to_parquet(str(tmp_path / "customer.parquet"))
+
+    from inception_spark.plans.relational import revenue_gini
+
+    got = {r["segment"]: r
+           for r in revenue_gini(spark, str(tmp_path)).collect()}
+    assert got["EQ"]["gini_milli"] == 0          # perfect equality
+    assert got["SKEW"]["gini_milli"] > 700       # near-total concentration
