@@ -4109,7 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast,
     events_markov_stationary, pruning_effectiveness,
     link_prediction_eval, streaming_forecast, events_ks_drift,
-    revenue_gini, vocab_growth_curve).  The in-repo
+    revenue_gini, vocab_growth_curve, purchase_attribution).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4383,6 +4383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_eval": _q_link_prediction_eval,
         # r8: exact (unbinned) KS drift — PSI's binning-free twin
         "events_ks_drift": R.events_ks_drift,
+        # r8: first/last-touch conversion attribution (segment windows)
+        "purchase_attribution": R.purchase_attribution,
         # r8: revenue concentration (exact Gini over customer rollup)
         "revenue_gini": R.revenue_gini,
         # r8: Heaps-law vocabulary growth (first-bucket aggregate)
@@ -6035,6 +6037,8 @@ GROUP BY o.o_orderpriority
         "link_prediction_eval": _link_prediction_eval_oracle_sql(),
         # r8: same cross-multiplied cumulative-count compare
         "events_ks_drift": R.events_ks_drift_sql(),
+        # r8: same segment assignment + arg_min/max touch picks
+        "purchase_attribution": R.PURCHASE_ATTRIBUTION_SQL,
         # r8: same cent-integer ranks + exact decimal terms
         "revenue_gini": R.REVENUE_GINI_SQL,
         # r8: same first-bucket aggregate + spine windows

@@ -213,6 +213,8 @@ HEADLINE = [
     "revenue_gini",
     # r8: Heaps-law vocab growth (first-bucket aggregate)
     "vocab_growth_curve",
+    # r8: first/last-touch attribution (segment windows + struct picks)
+    "purchase_attribution",
 ]
 
 

@@ -4114,3 +4114,113 @@ SELECT segment, CAST(n AS BIGINT) AS n_customers,
          AS gini_milli
 FROM terms
 """
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: every `purchase` event is
+    attributed to the FIRST and the LAST non-purchase touch since the
+    user's previous purchase — (touch_type, n_first_touch,
+    n_last_touch), with purchases that had no preceding touch bucketed
+    as 'direct'.  The product-analytics staple that settles "does the
+    funnel start at signup or at view".
+
+    Shape: one per-user ordered pass assigns each event its conversion
+    segment (= number of PRIOR purchases, a cumulative window), one
+    (user, segment) aggregate picks the first/last touch by
+    lexicographic struct min/max (exact, tie-broken on event_id), one
+    join attributes each purchase to its segment's touches, and the
+    final rollup is touch-type-cardinality sized.  No self-join over
+    events, no per-purchase probe."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = ev.withColumn(
+        "_seg",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("int")).over(w),
+            F.lit(0),
+        ),
+    )
+    touches = (
+        seg.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "_seg")
+        .agg(
+            F.min(
+                F.struct("ts", "event_id", "event_type")
+            ).alias("_first"),
+            F.max(
+                F.struct("ts", "event_id", "event_type")
+            ).alias("_last"),
+        )
+        .select(
+            "user_id",
+            "_seg",
+            F.col("_first.event_type").alias("first_touch"),
+            F.col("_last.event_type").alias("last_touch"),
+        )
+    )
+    conv = (
+        seg.filter(F.col("event_type") == "purchase")
+        .select("user_id", "_seg")
+        .join(touches, ["user_id", "_seg"], "left")
+        .select(
+            F.coalesce("first_touch", F.lit("direct")).alias(
+                "first_touch"
+            ),
+            F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+        )
+    )
+    first = conv.groupBy(
+        F.col("first_touch").alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("n_first_touch"))
+    last = conv.groupBy(
+        F.col("last_touch").alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("n_last_touch"))
+    return (
+        first.join(last, "touch_type", "full")
+        .select(
+            "touch_type",
+            F.coalesce("n_first_touch", F.lit(0))
+            .cast("long")
+            .alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0))
+            .cast("long")
+            .alias("n_last_touch"),
+        )
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH seg AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS _seg
+  FROM events),
+touches AS (
+  SELECT user_id, _seg,
+         (MIN(struct_pack(ts := ts, eid := event_id,
+                          et := event_type))).et AS first_touch,
+         (MAX(struct_pack(ts := ts, eid := event_id,
+                          et := event_type))).et AS last_touch
+  FROM seg WHERE event_type <> 'purchase'
+  GROUP BY 1, 2),
+conv AS (
+  SELECT COALESCE(t.first_touch, 'direct') AS first_touch,
+         COALESCE(t.last_touch, 'direct') AS last_touch
+  FROM seg s LEFT JOIN touches t
+    ON s.user_id = t.user_id AND s._seg = t._seg
+  WHERE s.event_type = 'purchase'),
+f AS (SELECT first_touch AS touch_type, COUNT(*) AS n_first_touch
+      FROM conv GROUP BY 1),
+l AS (SELECT last_touch AS touch_type, COUNT(*) AS n_last_touch
+      FROM conv GROUP BY 1)
+SELECT COALESCE(f.touch_type, l.touch_type) AS touch_type,
+       CAST(COALESCE(n_first_touch, 0) AS BIGINT) AS n_first_touch,
+       CAST(COALESCE(n_last_touch, 0) AS BIGINT) AS n_last_touch
+FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
+"""

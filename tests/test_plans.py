@@ -1846,3 +1846,34 @@ def test_revenue_gini_extremes(spark, tmp_path):
            for r in revenue_gini(spark, str(tmp_path)).collect()}
     assert got["EQ"]["gini_milli"] == 0          # perfect equality
     assert got["SKEW"]["gini_milli"] > 700       # near-total concentration
+
+
+def test_purchase_attribution_segments(spark, tmp_path):
+    """signup -> view -> purchase -> click -> purchase -> purchase:
+    first conversion attributes first=signup last=view; the second
+    first=last=click; the third (no touch since) is 'direct'."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import purchase_attribution
+
+    types = ["signup", "view", "purchase", "click", "purchase",
+             "purchase"]
+    rows = [
+        (i + 1, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+         1, t, 1.0)
+        for i, t in enumerate(types)
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["touch_type"]: r
+           for r in purchase_attribution(spark, str(tmp_path)).collect()}
+    assert got["signup"]["n_first_touch"] == 1
+    assert got["signup"]["n_last_touch"] == 0
+    assert got["view"]["n_last_touch"] == 1
+    assert got["click"]["n_first_touch"] == 1
+    assert got["click"]["n_last_touch"] == 1
+    assert got["direct"]["n_first_touch"] == 1
+    assert got["direct"]["n_last_touch"] == 1
