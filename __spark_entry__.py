@@ -1898,6 +1898,21 @@ def _q_streaming_sprt(spark, sf_dir):
     return R.sprt_finalize(parts)
 
 
+def _q_streaming_growth(spark, sf_dir):
+    """Growth accounting live: per-batch distinct (user, day) activity
+    partials merge idempotently (distinct-of-union), and the
+    new/retained/resurrected/churned decomposition reads the merged
+    rollup — identical to the batch op (shared oracle).  The DAU board
+    that updates per trigger without re-reading history."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("user_id", "ts")
+    parts = run_stream_batch_partials(spark, ev, R.activity_rollup)
+    return R.growth_from_activity(parts)
+
+
 def _q_streaming_forecast(spark, sf_dir):
     """The forecast maintained live: the SAME hour-counter partials the
     burst monitor streams (burst_hourly_partials) re-sum across
@@ -4109,7 +4124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast,
     events_markov_stationary, pruning_effectiveness,
     link_prediction_eval, streaming_forecast, events_ks_drift,
-    revenue_gini, vocab_growth_curve, purchase_attribution).  The in-repo
+    revenue_gini, vocab_growth_curve, purchase_attribution,
+    streaming_growth).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4377,6 +4393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": R.events_markov_stationary,
         # r8: the forecast live (same hour-counter partials as bursts)
         "streaming_forecast": _q_streaming_forecast,
+        # r8: growth accounting live (idempotent activity partials)
+        "streaming_growth": _q_streaming_growth,
         # r8: measured pruning payoff of the sorted layout's fences
         "pruning_effectiveness": _q_pruning_effectiveness,
         # r8: link-prediction closed loop (hash holdout, P/R@k)
@@ -6031,6 +6049,8 @@ GROUP BY o.o_orderpriority
         "events_markov_stationary": R.events_markov_stationary_sql(),
         # r8: streaming == batch by the counter re-sum identity
         "streaming_forecast": R.events_forecast_sql(),
+        # r8: streaming == batch by the distinct-merge identity
+        "streaming_growth": R.GROWTH_ACCOUNTING_SQL,
         # r8: fences derived from the sorted data alone (rank div 100)
         "pruning_effectiveness": PRUNING_EFFECTIVENESS_SQL,
         # r8: same hash split, prediction query nested as subquery

@@ -3123,10 +3123,22 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the day spine.  Everything after the rollup is activity-sized.
     Churn on the day after the global max day is unobservable and
     excluded."""
-    ev = load_events(spark, sf_dir)
-    act = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+    return growth_from_activity(
+        activity_rollup(load_events(spark, sf_dir))
+    )
+
+
+def activity_rollup(ev: DataFrame) -> DataFrame:
+    """Mergeable partial for :func:`growth_accounting`: the distinct
+    (user, day) activity set.  DISTINCT-of-union == union-of-DISTINCTs
+    (idempotent), so partials from any micro-batching merge exactly."""
+    return ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+
+
+def growth_from_activity(act_parts: DataFrame) -> DataFrame:
+    """Re-merge activity partials and run the growth decomposition
+    (see :func:`growth_accounting`)."""
+    act = act_parts.distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     lab = (
         act.withColumn("_prev", F.lag("day").over(w))
