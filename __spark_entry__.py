@@ -1898,6 +1898,24 @@ def _q_streaming_sprt(spark, sf_dir):
     return R.sprt_finalize(parts)
 
 
+def _q_streaming_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth maintained live: per-batch
+    (bucket, word) count partials re-sum across micro-batches, the
+    per-word min-bucket falls out of the merged rollup, and the curve
+    equals the batch one (shared oracle).  State is the vocabulary
+    rollup — the saturation signal a streaming ingest watches to know
+    when more crawl stops buying new vocabulary."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = run_stream_batch_partials(
+        spark, docs, TA.vocab_bucket_partials
+    )
+    return TA.vocab_growth_finalize(parts)
+
+
 def _q_streaming_growth(spark, sf_dir):
     """Growth accounting live: per-batch distinct (user, day) activity
     partials merge idempotently (distinct-of-union), and the
@@ -4125,7 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_markov_stationary, pruning_effectiveness,
     link_prediction_eval, streaming_forecast, events_ks_drift,
     revenue_gini, vocab_growth_curve, purchase_attribution,
-    streaming_growth).  The in-repo
+    streaming_growth, streaming_vocab_growth).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4395,6 +4413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_forecast": _q_streaming_forecast,
         # r8: growth accounting live (idempotent activity partials)
         "streaming_growth": _q_streaming_growth,
+        # r8: vocabulary growth live ((bucket, word) count partials)
+        "streaming_vocab_growth": _q_streaming_vocab_growth,
         # r8: measured pruning payoff of the sorted layout's fences
         "pruning_effectiveness": _q_pruning_effectiveness,
         # r8: link-prediction closed loop (hash holdout, P/R@k)
@@ -6051,6 +6071,8 @@ GROUP BY o.o_orderpriority
         "streaming_forecast": R.events_forecast_sql(),
         # r8: streaming == batch by the distinct-merge identity
         "streaming_growth": R.GROWTH_ACCOUNTING_SQL,
+        # r8: streaming == batch by the counter re-sum identity
+        "streaming_vocab_growth": TA.vocab_growth_curve_sql(),
         # r8: fences derived from the sorted data alone (rank div 100)
         "pruning_effectiveness": PRUNING_EFFECTIVENESS_SQL,
         # r8: same hash split, prediction query nested as subquery

@@ -2350,16 +2350,33 @@ def vocab_growth_curve(df, *, bucket_size=10, id_col="doc_id",
     hash aggregate — no sequential scan), n_new_words counts words by
     first bucket, and both cumulative columns are window sums over the
     bucket spine.  All integers."""
-    from pyspark.sql import Window
+    return vocab_growth_finalize(
+        vocab_bucket_partials(
+            df, bucket_size=bucket_size, id_col=id_col, text_col=text_col
+        )
+    )
 
+
+def vocab_bucket_partials(df, *, bucket_size=10, id_col="doc_id",
+                          text_col="text"):
+    """Mergeable partial for :func:`vocab_growth_curve`: per
+    (bucket, word) occurrence counts.  Counts re-sum exactly and the
+    per-word min-bucket falls out of the merged rollup, so the curve
+    maintained over micro-batches equals the batch one."""
     ws = words(F.col(text_col))
-    ex = df.select(
+    return df.select(
         F.expr(f"{id_col} div {bucket_size}").cast("long").alias("bucket"),
         F.explode(ws).alias("w"),
-    )
-    toks = ex.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_tokens")
-    )
+    ).groupBy("bucket", "w").agg(F.count(F.lit(1)).alias("n"))
+
+
+def vocab_growth_finalize(parts):
+    """Re-merge :func:`vocab_bucket_partials` rows and emit the growth
+    curve."""
+    from pyspark.sql import Window
+
+    ex = parts.groupBy("bucket", "w").agg(F.sum("n").alias("n"))
+    toks = ex.groupBy("bucket").agg(F.sum("n").alias("n_tokens"))
     news = (
         ex.groupBy("w")
         .agg(F.min("bucket").alias("bucket"))
