@@ -215,3 +215,114 @@ def test_sprt_llr_is_exact_integer_decimal_sum(daily):
         for n, c in daily for i in range(n)
     )
     assert sum(per_day) == per_obs
+
+
+# --- KS vs brute force --------------------------------------------------------
+
+@given(st.lists(st.tuples(st.integers(0, 9), st.booleans()),
+                min_size=2, max_size=60).filter(
+    lambda xs: any(e for _, e in xs) and any(not e for _, e in xs)
+))
+@settings(max_examples=300, deadline=None)
+def test_ks_cross_multiplied_equals_bruteforce(obs):
+    """max |c1*n2 - c2*n1| over the value spine == n1*n2 * classic KS
+    over all real thresholds."""
+    early = sorted(v for v, e in obs if e)
+    late = sorted(v for v, e in obs if not e)
+    n1, n2 = len(early), len(late)
+    spine = sorted(set(early) | set(late))
+    scaled = max(
+        abs(sum(1 for v in early if v <= x) * n2
+            - sum(1 for v in late if v <= x) * n1)
+        for x in spine
+    )
+    ks = max(
+        abs(sum(1 for v in early if v <= x) / n1
+            - sum(1 for v in late if v <= x) / n2)
+        for x in spine
+    )
+    assert scaled == round(ks * n1 * n2)
+
+
+# --- Gini closed form vs mean-absolute-difference definition ------------------
+
+@given(st.lists(st.integers(0, 10**6), min_size=2, max_size=40).filter(
+    lambda xs: sum(xs) > 0
+))
+@settings(max_examples=300, deadline=None)
+def test_gini_rank_form_equals_mad_definition(xs):
+    """(2*sum(i*x_sorted) - (n+1)*sum(x)) / (n*sum(x)) equals the
+    mean-absolute-difference Gini sum|xi-xj| / (2*n^2*mean)."""
+    n, s = len(xs), sum(xs)
+    srt = sorted(xs)
+    rank_form = (
+        2 * sum((i + 1) * x for i, x in enumerate(srt)) - (n + 1) * s
+    ) / (n * s)
+    mad = sum(abs(a - b) for a in xs for b in xs) / (2 * n * n * (s / n))
+    assert abs(rank_form - mad) < 1e-9
+
+
+# --- Markov iteration conserves order on symmetric chains ----------------------
+
+@given(st.integers(2, 6), st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_markov_uniform_chain_stays_uniform(k, iters):
+    """A doubly-stochastic (uniform) chain keeps pi uniform under the
+    integer iteration — every state gets exactly the same value, so
+    pi_milli = 1000 // k for all."""
+    NANO = 10**9
+    c = {(i, j): 1 for i in range(k) for j in range(k)}
+    row = {i: k for i in range(k)}
+    pi = {i: NANO for i in range(k)}
+    for _ in range(iters):
+        new = {j: 0 for j in range(k)}
+        for (i, j), cij in c.items():
+            new[j] += (pi[i] * cij) // row[i]
+        pi = new
+    vals = set(pi.values())
+    assert len(vals) == 1
+    tot = sum(pi.values())
+    assert all((1000 * v) // tot == 1000 // k for v in pi.values())
+
+
+# --- attribution segments partition purchases ---------------------------------
+
+@given(st.lists(st.sampled_from("pvcs"), min_size=1, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_attribution_covers_every_purchase_once(seq):
+    """Each purchase lands in exactly one segment, and its first/last
+    touch (or 'direct') is well-defined — total attributed == total
+    purchases for both touch kinds."""
+    segs = {}
+    n_purch_before = 0
+    for i, t in enumerate(seq):
+        segs.setdefault(n_purch_before, []).append((i, t))
+        if t == "p":
+            n_purch_before += 1
+    first_counts, last_counts = {}, {}
+    n_purchases = 0
+    for s, evs in segs.items():
+        touches = [(i, t) for i, t in evs if t != "p"]
+        purchases = [1 for _, t in evs if t == "p"]
+        # the op's segment rule: a purchase at segment s sees only
+        # touches in segment s (all precede it by construction)
+        ft = touches[0][1] if touches else "direct"
+        lt = touches[-1][1] if touches else "direct"
+        for _ in purchases:
+            n_purchases += 1
+            first_counts[ft] = first_counts.get(ft, 0) + 1
+            last_counts[lt] = last_counts.get(lt, 0) + 1
+    assert sum(first_counts.values()) == n_purchases
+    assert sum(last_counts.values()) == n_purchases
+
+
+# --- seasonal-naive forecast slot lookback -------------------------------------
+
+@given(st.integers(0, 23), st.integers(1, 72))
+@settings(max_examples=300, deadline=None)
+def test_forecast_slot_lookback_has_period_24(_mx_mod, h):
+    """slot(h) = (24 - h%24) % 24 maps forecast hour L+h back to the
+    hour exactly 24*ceil(h/24) before it — same hour of day."""
+    slot = (24 - (h % 24)) % 24
+    # _back = slot means source hour = L - slot; target = L + h
+    assert (h + slot) % 24 == 0
