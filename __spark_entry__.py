@@ -558,6 +558,81 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup yield as a function of the Jaccard threshold — the tuning
+    table you read BEFORE committing a near-dup pass at 100 TB: per
+    candidate threshold (500..900 milli), how many verified pairs
+    survive and how many distinct documents they touch.  One pass over
+    the LSH-verified pair table (threshold=0 keeps all candidates);
+    comparisons run on the 4-dp-rounded jaccard both engines already
+    agree on, so banding is engine-exact."""
+    pairs = D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.0, k=16, bands=4
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in (500, 600, 700, 800, 900)],
+        "threshold_milli long",
+    )
+    keyed = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("threshold_milli") / 1000.0
+    )
+    n_pairs = keyed.groupBy("threshold_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        keyed.select(
+            "threshold_milli",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("threshold_milli")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs_covered"))
+    )
+    return (
+        th.join(n_pairs, "threshold_milli", "left")
+        .join(n_docs, "threshold_milli", "left")
+        .select(
+            "threshold_milli",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_covered", F.lit(0))
+            .cast("long")
+            .alias("n_docs_covered"),
+        )
+    )
+
+
+def _dedup_threshold_sweep_sql():
+    return _dedup_cte() + """
+, jac AS (
+  SELECT c.doc_a, c.doc_b,
+  round(CASE WHEN (len(sa.sh) + len(sb.sh)
+              - len(list_intersect(sa.sh, sb.sh))) > 0
+        THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        ELSE 0.0 END, 4) AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id),
+th AS (SELECT unnest([500, 600, 700, 800, 900]) AS threshold_milli),
+keyed AS (
+  SELECT t.threshold_milli, j.doc_a, j.doc_b
+  FROM jac j CROSS JOIN th t
+  WHERE j.jaccard >= t.threshold_milli / CAST(1000.0 AS DOUBLE)),
+np AS (SELECT threshold_milli, COUNT(*) AS n_pairs
+       FROM keyed GROUP BY 1),
+nd AS (
+  SELECT threshold_milli, COUNT(DISTINCT d) AS n_docs_covered
+  FROM (SELECT threshold_milli, doc_a AS d FROM keyed
+        UNION ALL SELECT threshold_milli, doc_b FROM keyed)
+  GROUP BY 1)
+SELECT CAST(t.threshold_milli AS BIGINT) AS threshold_milli,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nd.n_docs_covered, 0) AS BIGINT) AS n_docs_covered
+FROM th t
+LEFT JOIN np ON t.threshold_milli = np.threshold_milli
+LEFT JOIN nd ON t.threshold_milli = nd.threshold_milli
+"""
+
+
 def _q_basket_rules(spark, sf_dir):
     return R.basket_rules(spark, sf_dir, min_pair_orders=2, k=50)
 
@@ -4143,7 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_markov_stationary, pruning_effectiveness,
     link_prediction_eval, streaming_forecast, events_ks_drift,
     revenue_gini, vocab_growth_curve, purchase_attribution,
-    streaming_growth, streaming_vocab_growth).  The in-repo
+    streaming_growth, streaming_vocab_growth, dedup_threshold_sweep).  The in-repo
     mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
@@ -4419,6 +4494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruning_effectiveness": _q_pruning_effectiveness,
         # r8: link-prediction closed loop (hash holdout, P/R@k)
         "link_prediction_eval": _q_link_prediction_eval,
+        # r8: dedup yield vs threshold (the tuning table, one pair pass)
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         # r8: exact (unbinned) KS drift — PSI's binning-free twin
         "events_ks_drift": R.events_ks_drift,
         # r8: first/last-touch conversion attribution (segment windows)
@@ -6077,6 +6154,8 @@ GROUP BY o.o_orderpriority
         "pruning_effectiveness": PRUNING_EFFECTIVENESS_SQL,
         # r8: same hash split, prediction query nested as subquery
         "link_prediction_eval": _link_prediction_eval_oracle_sql(),
+        # r8: same candidate set + 4-dp jaccard + band compare
+        "dedup_threshold_sweep": _dedup_threshold_sweep_sql(),
         # r8: same cross-multiplied cumulative-count compare
         "events_ks_drift": R.events_ks_drift_sql(),
         # r8: same segment assignment + arg_min/max touch picks
