@@ -3995,16 +3995,18 @@ def events_ks_drift(
             ).alias("_ks_scaled")
         )
     )
+    # a type whose events all land on one side of the midpoint has no
+    # two-sample statistic: NULL ks, not an ANSI division-by-zero throw
+    km = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.expr("(1000 * _ks_scaled) div (n1 * n2)"),
+    )
     return ks.select(
         "event_type",
         F.col("n1").cast("long").alias("n_early"),
         F.col("n2").cast("long").alias("n_late"),
-        F.expr("(1000 * _ks_scaled) div (n1 * n2)").cast("long").alias(
-            "ks_milli"
-        ),
-        (
-            F.expr("(1000 * _ks_scaled) div (n1 * n2)") >= threshold_milli
-        ).alias("drifted"),
+        km.cast("long").alias("ks_milli"),
+        (km >= threshold_milli).alias("drifted"),
     )
 
 
@@ -4040,8 +4042,12 @@ ks AS (
   GROUP BY 1, 2, 3)
 SELECT event_type, CAST(n1 AS BIGINT) AS n_early,
        CAST(n2 AS BIGINT) AS n_late,
-       CAST((1000 * _ks_scaled) // (n1 * n2) AS BIGINT) AS ks_milli,
-       (1000 * _ks_scaled) // (n1 * n2) >= {threshold_milli} AS drifted
+       CAST(CASE WHEN n1 > 0 AND n2 > 0
+            THEN (1000 * _ks_scaled) // (n1 * n2) END AS BIGINT)
+         AS ks_milli,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN (1000 * _ks_scaled) // (n1 * n2) >= {threshold_milli} END
+         AS drifted
 FROM ks
 """
 
