@@ -4184,45 +4184,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 8 (see ``_WINDOW_R8`` below,
-    VERDICT r7 ask 1): slots 1-5 are the five entries that have NEVER
-    had driver signal (they shipped after the exactly-full r7 window
-    was pinned — systematic_sample, term_keyness, event_transitions,
-    monthly_yoy, basket_rules), slots 6-8 the round-8 additions whose
-    green the r7 verdict asks for by name (pca_top_component,
-    pca_project_top1, streaming_ivm_rollup), and slots 9-50 the 42
-    alphabetically-first entries of the round-4-green cohort — the
-    stalest driver signal in the registry.  The cohort's last 8
-    (streaming_events_hourly .. winnowing_overlap_pairs) sit just past
-    the boundary in the same deterministic order as the round-9 head,
-    followed by the r5-green cohort.  ALSO r9-head material, ahead of
-    the stale cohorts: every late-r8 entry with zero driver signal —
-    the first-session block (substring_dup_spans, scrub_dup_spans,
-    events_profile, cdc_chunks, join_skew_report, snapshot_diff,
-    streaming_embedding_covariance, edit_distance_pairs) and the
-    second-session block (chunk_giant_doc, bucketed_join_revenue,
-    blocklist_filter, hll_ndv_rollup, maxsim_topk, events_ewma,
-    streaming_blocklist_gate, golden_record, tfidf_cosine_pairs,
-    events_robust_anomaly, streaming_late_data_audit,
-    user_erasure_rollup, session_paths, ivf_balance_report,
-    bootstrap_revenue_ci, window_funnel, match_distribution_sample,
-    weighted_quantiles, pareto_frontier, psi_drift_report,
-    streaming_pca_component, streaming_golden_record,
-    events_seasonal_decomp, decayed_heavy_hitters,
-    streaming_decayed_topk, events_burst_windows,
-    part_local_clustering, term_collocations, fd_profile,
-    growth_accounting, user_survival_curve, link_prediction,
-    k_anonymity_report, events_ohlc, ab_sprt_curve, cohort_ltv,
-    streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
-    orc_ingest_stats, supplier_hits, streaming_sprt, events_forecast,
-    events_markov_stationary, pruning_effectiveness,
-    link_prediction_eval, streaming_forecast, events_ks_drift,
-    revenue_gini, vocab_growth_curve, purchase_attribution,
-    streaming_growth, streaming_vocab_growth, dedup_threshold_sweep).  The in-repo
-    mini-driver
+    with the least driver signal.  Round 9 (see ``_WINDOW_R9`` below,
+    VERDICT r8 ask 1): slots 1-8 are the round-4-green cohort's last 8
+    (streaming_events_hourly .. winnowing_overlap_pairs — the stalest
+    signal left), and slots 9-50 the first 42 of the 62 late-r8 entries
+    that have NEVER had driver signal, in the order staged by the r8
+    tail comment: the session-1 block (substring_dup_spans ..
+    snapshot_diff), then session-2/3 in registry order (chunk_giant_doc
+    .. events_ohlc).  The remaining 20 zero-signal entries sit just past
+    the boundary in the same deterministic order as the round-10 head
+    (streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
+    orc_ingest_stats, supplier_hits, ab_sprt_curve, streaming_sprt,
+    cohort_ltv, events_forecast, events_markov_stationary,
+    streaming_forecast, streaming_growth, streaming_vocab_growth,
+    pruning_effectiveness, link_prediction_eval, dedup_threshold_sweep,
+    events_ks_drift, purchase_attribution, revenue_gini,
+    vocab_growth_curve), followed by any new-in-r9 entries, then the
+    r5-green cohort.  The in-repo mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
     regardless of position.  The dict literal below keeps its stable
-    grouped-by-family order; ``_WINDOW_R8`` does the rotation at
+    grouped-by-family order; ``_WINDOW_R9`` does the rotation at
     return time so slot moves are one-line edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
@@ -4723,78 +4704,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    missing = [k for k in _WINDOW_R8 if k not in reg]
+    missing = [k for k in _WINDOW_R9 if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
-    head = {k: reg[k] for k in _WINDOW_R8}
+    head = {k: reg[k] for k in _WINDOW_R9}
     tail = {k: v for k, v in reg.items() if k not in head}
     return head | tail
 
 
-# Round-8 driver-window priority order (the driver's correctness window
+# Round-9 driver-window priority order (the driver's correctness window
 # runs the FIRST 50 dict entries; entries listed beyond slot 50 head the
 # post-boundary tail so they rotate in first next round).  Ranked by
-# staleness of driver signal (VERDICT r7 ask 1):
-#   1-5   never driver-green (shipped after the exactly-full r7 window)
-#   6-8   new in r8 (the verdict asks for their green by name)
-#   9-50  the 42 alphabetically-first of the round-4-green cohort —
-#         the stalest signal in the registry
-#   51-58 the cohort's last 8, pinned as the round-9 head (then the
-#         r5-green cohort in dict order)
-_WINDOW_R8 = [
-    # slots 1-5: never driver-green
-    "systematic_sample",
-    "term_keyness",
-    "event_transitions",
-    "monthly_yoy",
-    "basket_rules",
-    # slots 6-8: new in r8
-    "pca_top_component",
-    "pca_project_top1",
-    "streaming_ivm_rollup",
-    # slots 9-50: r4-green cohort, alphabetical
-    "ann_lsh_topk",
-    "approx_ndv",
-    "benchmark_contamination",
-    "bloom_screen",
-    "build_vocab",
-    "cap_per_group",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "corpus_filter",
-    "corpus_ngram_topk",
-    "corpus_report",
-    "corpus_upsert",
-    "cosine_topk",
-    "dedup_components",
-    "dedup_keep_heads",
-    "doc_pii_scrub",
-    "doc_shingle_novelty",
-    "embed_documents",
-    "embedding_dup_pairs",
-    "events_anomaly",
-    "events_range_join",
-    "events_rolling_avg",
-    "exact_dedup",
-    "extract_citations",
-    "frequent_ngram_scrub",
-    "ivf_flat_topk",
-    "knn_label_join",
-    "leakage_safe_split",
-    "lsh_candidate_pairs",
-    "lsh_eval_report",
-    "minhash_signatures",
-    "nation_segments",
-    "ngram_jaccard_pairs",
-    "normalize_text",
-    "pack_sequences",
-    "paragraph_dedup",
-    "sampled_quantiles",
-    "shard_manifest",
-    "simhash_docs",
-    "simhash_dup_pairs",
-    "stable_sample",
-    "stratified_sample",
-    # past the boundary: the cohort's last 8 = the round-9 head
+# staleness of driver signal (VERDICT r8 ask 1):
+#   1-8   the round-4-green cohort's last 8 — the stalest signal with
+#         any driver green left in the registry
+#   9-50  the first 42 of the 62 late-r8 zero-signal entries, in the
+#         order staged by the r8 tail comment (session-1 block, then
+#         session-2/3 in registry order)
+#   51-70 the remaining 20 zero-signal entries, pinned as the round-10
+#         head (then the r5-green cohort in dict order)
+_WINDOW_R9 = [
+    # slots 1-8: r4-green cohort leftovers
     "streaming_events_hourly",
     "streaming_exact_dedup",
     "streaming_interval_join",
@@ -4803,8 +4732,7 @@ _WINDOW_R8 = [
     "temperature_mix",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
-    # then the late-r8 additions (mini-driver-verified now, driver
-    # signal with the r9 rotation)
+    # slots 9-16: late-r8 session-1 block (zero driver signal)
     "substring_dup_spans",
     "scrub_dup_spans",
     "streaming_embedding_covariance",
@@ -4813,6 +4741,63 @@ _WINDOW_R8 = [
     "cdc_chunks",
     "join_skew_report",
     "snapshot_diff",
+    # slots 17-50: late-r8 session-2/3, registry order (zero signal)
+    "chunk_giant_doc",
+    "bucketed_join_revenue",
+    "blocklist_filter",
+    "hll_ndv_rollup",
+    "maxsim_topk",
+    "events_ewma",
+    "streaming_blocklist_gate",
+    "golden_record",
+    "streaming_golden_record",
+    "tfidf_cosine_pairs",
+    "events_robust_anomaly",
+    "streaming_late_data_audit",
+    "user_erasure_rollup",
+    "session_paths",
+    "ivf_balance_report",
+    "bootstrap_revenue_ci",
+    "match_distribution_sample",
+    "weighted_quantiles",
+    "streaming_pca_component",
+    "psi_drift_report",
+    "pareto_frontier",
+    "window_funnel",
+    "events_seasonal_decomp",
+    "decayed_heavy_hitters",
+    "streaming_decayed_topk",
+    "events_burst_windows",
+    "part_local_clustering",
+    "term_collocations",
+    "fd_profile",
+    "growth_accounting",
+    "user_survival_curve",
+    "link_prediction",
+    "k_anonymity_report",
+    "events_ohlc",
+    # past the boundary: the 20 remaining zero-signal entries = the
+    # round-10 head, in registry order
+    "streaming_ohlc",
+    "streaming_burst_monitor",
+    "csv_ingest_stats",
+    "orc_ingest_stats",
+    "supplier_hits",
+    "ab_sprt_curve",
+    "streaming_sprt",
+    "cohort_ltv",
+    "events_forecast",
+    "events_markov_stationary",
+    "streaming_forecast",
+    "streaming_growth",
+    "streaming_vocab_growth",
+    "pruning_effectiveness",
+    "link_prediction_eval",
+    "dedup_threshold_sweep",
+    "events_ks_drift",
+    "purchase_attribution",
+    "revenue_gini",
+    "vocab_growth_curve",
 ]
 
 

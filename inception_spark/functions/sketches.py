@@ -1167,6 +1167,23 @@ regs AS (
 """
 
 
+def _prob_percent(p: float) -> int:
+    """Exact percentage points for a quantile prob — raises on a prob
+    that is not a whole percent (e.g. 0.025) instead of silently
+    rounding it to a mislabeled neighbor (0.025 -> banker's 2 -> 'p2'
+    computing the 2% quantile).  The 1e-9 slack only forgives binary
+    float representation error (0.07*100 == 7.000000000000001), never
+    a real off-grid prob (distance >= 0.5)."""
+    num = round(p * 100)
+    if not 0 < num <= 100 or abs(p * 100 - num) > 1e-9:
+        raise ValueError(
+            f"prob {p!r} is not a whole percent in (0, 1]; the exact "
+            "integer keep test works in percentage points — pass e.g. "
+            "0.02 or 0.03, or quantize upstream"
+        )
+    return int(num)
+
+
 def weighted_quantiles(
     df: DataFrame,
     value_col: str,
@@ -1220,7 +1237,7 @@ def weighted_quantiles(
     )
     aggs = []
     for p in probs:
-        p_num = int(round(p * 100))
+        p_num = _prob_percent(p)
         aggs.append(
             F.min(
                 F.when(
@@ -1245,7 +1262,7 @@ def weighted_quantiles_sql(
     """DuckDB twin of :func:`weighted_quantiles`."""
     cols = []
     for p in probs:
-        p_num = int(round(p * 100))
+        p_num = _prob_percent(p)
         cols.append(
             f"MIN(CASE WHEN cw * 100 >= {p_num} * tw THEN v END)"
             f" AS p{p_num}"

@@ -2090,10 +2090,15 @@ def edit_distance_pairs(
     bucket quadratic at corpus scale; verification is the native
     ``levenshtein`` (JVM codegen in Spark, native in DuckDB — unit-cost
     semantics agree, exact integer output).  Strings shorter than ``q``
-    emit no grams and never pair (a record that small is within k of
-    almost anything; screen lengths upstream).  Losslessness vs
-    brute-force all-pairs is pinned in tests, duplicated grams
-    included.
+    emit no grams, so they get their own candidate stratum: each short
+    string length-blocks against every string within ``k`` of its
+    length (an equi-join on target length, never a theta join) — the
+    stratum is bounded by the distinct domain of sub-q strings
+    (< |alphabet|^q values), and when millions of rows share one short
+    string the quadratic is the OUTPUT's own size, not overhead.
+    Zero false negatives therefore holds for ALL lengths; losslessness
+    vs brute-force all-pairs is pinned in tests, duplicated grams and
+    sub-q strings included.
     """
     from pyspark.sql import Window
 
@@ -2136,8 +2141,30 @@ def edit_distance_pairs(
         .select(
             F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
         )
-        .distinct()
     )
+    # sub-q stratum: strings too short to emit a gram length-block
+    # against everything within k of their length (equi-join on the
+    # exploded target length; both-short pairs arrive twice and fall
+    # to the shared distinct)
+    tg = strs.filter(F.col("len") < q).select(
+        "sid",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("len") - k, F.lit(0)),
+                F.col("len") + k,
+            )
+        ).alias("olen"),
+    )
+    cand_short = (
+        tg.alias("sa")
+        .join(strs.alias("sb"), F.col("sa.olen") == F.col("sb.len"))
+        .filter(F.col("sa.sid") != F.col("sb.sid"))
+        .select(
+            F.least(F.col("sa.sid"), F.col("sb.sid")).alias("id_a"),
+            F.greatest(F.col("sa.sid"), F.col("sb.sid")).alias("id_b"),
+        )
+    )
+    cand = cand.unionByName(cand_short).distinct()
     sa = strs.select(F.col("sid").alias("id_a"), F.col("s").alias("s_a"))
     sb = strs.select(F.col("sid").alias("id_b"), F.col("s").alias("s_b"))
     return (
@@ -2179,11 +2206,17 @@ pref AS (
     FROM grams g JOIN freq f USING (gr))
   WHERE rk <= {pre}),
 cand AS (
-  SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
-  FROM pref a JOIN pref b
-    ON a.gr = b.gr AND a.sid < b.sid
-   AND abs(a.len - b.len) <= {k}
-   AND abs(a.pos - b.pos) <= {k})
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.sid AS id_a, b.sid AS id_b
+    FROM pref a JOIN pref b
+      ON a.gr = b.gr AND a.sid < b.sid
+     AND abs(a.len - b.len) <= {k}
+     AND abs(a.pos - b.pos) <= {k}
+    UNION ALL
+    SELECT least(a.sid, b.sid), greatest(a.sid, b.sid)
+    FROM strs a JOIN strs b
+      ON a.len < {q} AND a.sid <> b.sid
+     AND abs(a.len - b.len) <= {k}))
 SELECT c.id_a, c.id_b,
        CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
 FROM cand c
@@ -2413,23 +2446,32 @@ def snapshot_diff(
     monitoring.  Output ``(doc_id, status, old_md5, new_md5)``; one
     full-outer join keyed on the id, content compared as md5 so wide
     text never crosses the shuffle twice.
+
+    Presence is keyed on the JOIN side (explicit flags), never on hash
+    nullness: ``md5(NULL)`` is NULL, so a document present in both
+    snapshots with NULL text would otherwise misclassify as 'added'.
+    The hash comparison is null-safe (``<=>`` / IS NOT DISTINCT FROM):
+    NULL->NULL is 'unchanged', NULL->text is 'changed'.
     """
     o = old.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("old_md5"),
+        F.lit(1).alias("in_old"),
     )
     n = new.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("new_md5"),
+        F.lit(1).alias("in_new"),
     )
     return (
         o.join(n, "doc_id", "full_outer")
         .select(
             "doc_id",
-            F.when(F.col("old_md5").isNull(), F.lit("added"))
-            .when(F.col("new_md5").isNull(), F.lit("removed"))
+            F.when(F.col("in_old").isNull(), F.lit("added"))
+            .when(F.col("in_new").isNull(), F.lit("removed"))
             .when(
-                F.col("old_md5") == F.col("new_md5"), F.lit("unchanged")
+                F.col("old_md5").eqNullSafe(F.col("new_md5")),
+                F.lit("unchanged"),
             )
             .otherwise(F.lit("changed"))
             .alias("status"),
@@ -2442,12 +2484,15 @@ def snapshot_diff(
 def snapshot_diff_sql(old_src: str, new_src: str) -> str:
     """DuckDB twin of :func:`snapshot_diff`."""
     return f"""
-WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM {old_src}),
-n AS (SELECT doc_id, md5(text) AS new_md5 FROM {new_src})
+WITH o AS (SELECT doc_id, md5(text) AS old_md5, 1 AS in_old
+           FROM {old_src}),
+n AS (SELECT doc_id, md5(text) AS new_md5, 1 AS in_new
+      FROM {new_src})
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.old_md5 IS NULL THEN 'added'
-            WHEN n.new_md5 IS NULL THEN 'removed'
-            WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+       CASE WHEN o.in_old IS NULL THEN 'added'
+            WHEN n.in_new IS NULL THEN 'removed'
+            WHEN o.old_md5 IS NOT DISTINCT FROM n.new_md5
+              THEN 'unchanged'
             ELSE 'changed' END AS status,
        o.old_md5, n.new_md5
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id

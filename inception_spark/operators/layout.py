@@ -604,6 +604,12 @@ def colocated_join(
     so a layout regression (bucket-count mismatch, bucketed scan
     disabled, a stray repartition) fails loudly instead of silently
     reintroducing the biggest shuffle in the pipeline.
+
+    The guard is a ``RuntimeError`` (an ``assert`` would vanish under
+    ``python -O``), and it checks TWICE: the pre-execution plan, then —
+    because AQE finalizes the physical plan only after stage stats
+    arrive — again after touching one output row, against the
+    committed final adaptive plan.
     """
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
@@ -611,9 +617,20 @@ def colocated_join(
         right, on=F.col(left_key) == F.col(right_key), how="inner"
     )
     if require_shuffle_free:
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, (
-            "bucketed join planned a shuffle — layout not co-located:\n"
-            + plan[:2000]
-        )
+        qe = joined._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        if "Exchange" in plan:
+            raise RuntimeError(
+                "bucketed join planned a shuffle — layout not "
+                "co-located:\n" + plan[:2000]
+            )
+        # finalize AQE (one-row touch commits the adaptive plan), then
+        # re-check the plan that actually ran
+        joined.head(1)
+        final = qe.executedPlan().toString()
+        if "Exchange" in final:
+            raise RuntimeError(
+                "AQE rewrote the bucketed join into a shuffle — layout "
+                "not co-located in the FINAL plan:\n" + final[:2000]
+            )
     return joined

@@ -830,7 +830,12 @@ def match_distribution_sample(
     ``h28(salt|key) · t_b·n_d < t_d·n_b · 2^28`` — so membership is a
     row property (reproducible across engines/partitionings/batches,
     the repo-wide sampling contract) and no float threshold ever
-    truncates differently across engines.  Differs from
+    truncates differently across engines.  Both sides of the keep test
+    are evaluated in decimal(38,0) (HUGEINT in the oracle): with
+    h < 2^28 and t <= 100 the int64 product would wrap silently in
+    non-ANSI Spark once a group exceeds ~3.4e8 rows — exactly the
+    regime a 100 TB corpus lives in — while DuckDB would raise,
+    breaking both correctness and engine parity.  Differs from
     temperature_mix (which reweights by a power law) in matching an
     EXPLICIT target mix exactly.
 
@@ -879,8 +884,10 @@ def match_distribution_sample(
         )
         .join(F.broadcast(rates), group_col)
         .filter(
-            h * F.col("tb") * F.col("n")
-            < F.col("t") * F.col("nb") * F.lit(1 << 28)
+            h.cast("decimal(38,0)") * F.col("tb") * F.col("n")
+            < F.col("t").cast("decimal(38,0)")
+            * F.col("nb")
+            * F.lit(1 << 28)
         )
         .select("key", group_col)
     )
@@ -914,5 +921,6 @@ SELECT d.{key_col} AS key, d.{group_col}
 FROM {table} d
 JOIN counts c ON c.{group_col} = d.{group_col}
 CROSS JOIN btl
-WHERE {h} * btl.tb * c.n < c.t * btl.nb * {1 << 28}
+WHERE CAST({h} AS HUGEINT) * btl.tb * c.n
+      < CAST(c.t AS HUGEINT) * btl.nb * {1 << 28}
 """

@@ -808,7 +808,9 @@ def test_substring_dup_spans_plan_and_empty(spark):
 
 def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
     """Ed-Join must be EXACT: equals all-pairs levenshtein at k, with
-    duplicated grams, equal strings (dist 0), and length variety."""
+    duplicated grams, equal strings (dist 0), length variety, and
+    sub-q strings (len < q emits no gram — covered by the short
+    stratum's length block, not the prefix filter)."""
     import itertools
 
     from inception_spark.operators.dedup import edit_distance_pairs
@@ -837,6 +839,9 @@ def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
         # mutate one char deterministically
         pos = i % len(s)
         rows.append((2 * i + 1, s[:pos] + chr(97 + (i % 26)) + s[pos + 1:]))
+    # sub-q strata: empty, single chars (some within k of each other
+    # and of the 2-char strings), and a 2-char bridge string
+    rows += [(100, "a"), (101, "b"), (102, ""), (103, "ab"), (104, "a")]
     df = spark.createDataFrame(rows, "id long, s string")
     for k in (1, 2):
         got = sorted(
@@ -846,7 +851,7 @@ def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
         want = sorted(
             (i, j, lev(a, b))
             for (i, a), (j, b) in itertools.combinations(rows, 2)
-            if lev(a, b) <= k and min(len(a), len(b)) >= 2
+            if lev(a, b) <= k
         )
         assert got == want, f"k={k}"
 
