@@ -430,7 +430,12 @@ FROM deg d LEFT JOIN per_node p ON d.node = p.node
 
 
 def link_prediction(
-    edges: DataFrame, *, min_common: int = 2, k: int = 50
+    edges: DataFrame,
+    *,
+    min_common: int = 2,
+    k: int = 50,
+    max_center_degree: int | None = 10_000,
+    observation=None,
 ) -> DataFrame:
     """Top-``k`` predicted links: non-adjacent node pairs at distance 2,
     scored by common-neighbor count, Jaccard of neighborhoods, and
@@ -439,12 +444,21 @@ def link_prediction(
 
     Candidate generation enumerates wedges CENTERED at each node (the
     2-path (u, w, v) with u < v), so the work is Σ deg(w)² over wedge
-    centers — bounded here by ``min_common`` pruning and, at cluster
-    scale, by capping hub centers (a node with degree d contributes
-    d(d−1)/2 wedges; cap-and-report like the dedup banding caps, or
-    pre-filter centers above a degree ceiling, since a hub's common-
-    neighbor evidence is the least informative per Adamic–Adar's 1/ln d
-    weighting anyway).  Existing edges are removed by one anti-join.
+    centers.  ``max_center_degree`` is the hub cap that bounds that
+    quadratic IN CODE (the dedup ``max_bucket`` discipline): centers
+    with degree above the cap are dropped BEFORE the wedge self-join —
+    one celebrity node (deg 10⁶ on a web-scale graph) would otherwise
+    materialize ~5·10¹¹ wedge rows into one key.  A hub's common-
+    neighbor evidence is the least informative anyway per Adamic–Adar's
+    1/ln d weighting (a dropped deg-10⁶ center contributes ≤0.0724 per
+    pair).  Pass ``observation`` (a ``pyspark.sql.Observation``) to get
+    the dropped mass reported — ``centers_dropped_rows`` (adjacency
+    rows at dropped centers) and ``wedges_dropped`` (the exact
+    Σ deg(deg−1)/2 wedge count the cap saved); pass ``None`` to run
+    uncapped.  ``min_common`` prunes after aggregation.  Existing edges
+    are removed by one anti-join.  The final global top-``k`` plans as
+    TakeOrdered (orderBy + limit over the per-u survivors), never a
+    one-partition row_number sort.
 
     Determinism: counts and the Jaccard operands are exact ints
     (jaccard = round(c/(du+dv−c), 6) — one double divide); each
@@ -467,6 +481,25 @@ def link_prediction(
         F.col("node").alias("w"), F.col("deg").alias("degw"),
         F.col("nbr"),
     )
+    if max_center_degree is not None:
+        if observation is not None:
+            ctr = ctr.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("degw") > max_center_degree, 1)
+                    .otherwise(0)
+                ).alias("centers_dropped_rows"),
+                # each adjacency row of a dropped center carries
+                # (degw-1)/2 wedges; summed over its degw rows that is
+                # exactly deg(deg-1)/2 — the saved quadratic, exact
+                F.sum(
+                    F.when(
+                        F.col("degw") > max_center_degree,
+                        (F.col("degw") - 1).cast("double") / 2.0,
+                    ).otherwise(0.0)
+                ).alias("wedges_dropped"),
+            )
+        ctr = ctr.filter(F.col("degw") <= max_center_degree)
     a, b = ctr.alias("a"), ctr.alias("b")
     wedges = a.join(
         b,
@@ -513,20 +546,37 @@ def link_prediction(
     glob = Window.orderBy(
         F.col("adamic_adar").desc(), F.col("u"), F.col("v")
     )
-    return (
+    # per-u prune shrinks the global candidate set to <= k per u, then
+    # orderBy().limit(k) lets Spark plan TakeOrderedAndProject — the
+    # rank window runs over at most k rows, never a one-partition sort
+    # of the full candidate table
+    topk = (
         scored.withColumn("_pr", F.row_number().over(pre))
         .filter(F.col("_pr") <= k)
-        .withColumn("rank", F.row_number().over(glob).cast("long"))
-        .filter(F.col("rank") <= k)
         .drop("_pr")
+        .orderBy(F.col("adamic_adar").desc(), "u", "v")
+        .limit(k)
+    )
+    return topk.withColumn(
+        "rank", F.row_number().over(glob).cast("long")
     )
 
 
 def link_prediction_sql(
-    edges_sql: str, *, min_common: int = 2, k: int = 50
+    edges_sql: str,
+    *,
+    min_common: int = 2,
+    k: int = 50,
+    max_center_degree: int | None = 10_000,
 ) -> str:
     """DuckDB twin of :func:`link_prediction` (per-u pre-prune omitted —
-    result-invariant)."""
+    result-invariant; the hub cap IS mirrored so the oracle verifies
+    the capped semantics)."""
+    cap = (
+        f" WHERE d.deg <= {int(max_center_degree)}"
+        if max_center_degree is not None
+        else ""
+    )
     return f"""
 WITH raw AS MATERIALIZED ({edges_sql}),
 e AS MATERIALIZED (
@@ -539,7 +589,7 @@ deg AS MATERIALIZED (
   SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
 ctr AS (
   SELECT a.node AS w, d.deg AS degw, a.nbr
-  FROM adj a JOIN deg d ON a.node = d.node),
+  FROM adj a JOIN deg d ON a.node = d.node{cap}),
 wedges AS (
   SELECT a.nbr AS u, b.nbr AS v,
          CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(a.degw AS DOUBLE)), 6)
@@ -718,6 +768,7 @@ def link_prediction_eval(
     holdout_mod: int = 5,
     k: int = 100,
     min_common: int = 1,
+    max_center_degree: int | None = 10_000,
 ) -> DataFrame:
     """Closed-loop evaluation of :func:`link_prediction`: hold out
     ~1/``holdout_mod`` of the edges by a content hash of the canonical
@@ -758,7 +809,12 @@ def link_prediction_eval(
     train = e.filter(F.col("_k") % holdout_mod != 0).select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     )
-    preds = link_prediction(train, min_common=min_common, k=k)
+    preds = link_prediction(
+        train,
+        min_common=min_common,
+        k=k,
+        max_center_degree=max_center_degree,
+    )
     hits = preds.join(held, ["u", "v"], "left_semi")
     counts = (
         train.agg(F.count(F.lit(1)).alias("n_train_edges"))
@@ -789,6 +845,7 @@ def link_prediction_eval_sql(
     holdout_mod: int = 5,
     k: int = 100,
     min_common: int = 1,
+    max_center_degree: int | None = 10_000,
 ) -> str:
     """DuckDB twin of :func:`link_prediction_eval`: the same hash split,
     with the prediction query nested as a subquery."""
@@ -803,7 +860,10 @@ SELECT u AS src, v AS dst FROM (
 WHERE _k % {holdout_mod} <> 0
 """
     preds_sql = link_prediction_sql(
-        train_sql, min_common=min_common, k=k
+        train_sql,
+        min_common=min_common,
+        k=k,
+        max_center_degree=max_center_degree,
     )
     return f"""
 WITH e_all AS MATERIALIZED (

@@ -170,6 +170,64 @@ def test_link_prediction_square_graph(spark):
     assert abs(r["adamic_adar"] - 2 * round(1 / math.log(2), 6)) < 1e-9
 
 
+def test_link_prediction_hub_cap(spark):
+    """Hub cap semantics: (a) on a cap-free graph the default capped
+    path is IDENTICAL to uncapped; (b) a small cap drops exactly the
+    hub's wedges and the Observation reports the exact dropped mass
+    Σ deg(deg−1)/2; (c) the SQL twin mirrors the cap (same param)."""
+    from pyspark.sql import Observation
+
+    from inception_spark.operators.graph import (
+        link_prediction,
+        link_prediction_sql,
+    )
+
+    # star hub 0 -> 1..5 (deg 5), plus a 4-cycle 10-11-12-13 (degs 2)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)]
+        + [(10, 11), (11, 12), (12, 13), (13, 10)],
+        "src int, dst int",
+    )
+    base = sorted(
+        tuple(r)
+        for r in link_prediction(
+            edges, min_common=2, k=50, max_center_degree=None
+        ).collect()
+    )
+    capped_free = sorted(
+        tuple(r)
+        for r in link_prediction(edges, min_common=2, k=50).collect()
+    )
+    assert base == capped_free  # default cap is a no-op below ceiling
+    # cap=4 removes center 0 (deg 5): its C(5,2)=10 wedges vanish, so
+    # only the cycle diagonals (10,12),(11,13) survive
+    obs = Observation("lp_cap")
+    tight = link_prediction(
+        edges, min_common=2, k=50, max_center_degree=4, observation=obs
+    )
+    got = {(r["u"], r["v"]) for r in tight.collect()}
+    assert got == {(10, 12), (11, 13)}
+    assert obs.get["centers_dropped_rows"] == 5  # hub's adjacency rows
+    assert obs.get["wedges_dropped"] == 10.0     # 5*4/2, exact
+    assert "deg <= 4" in link_prediction_sql("SELECT 1", max_center_degree=4)
+    assert "WHERE d.deg" not in link_prediction_sql(
+        "SELECT 1", max_center_degree=None
+    )
+
+
+def test_link_prediction_plan_takeordered(spark):
+    """The global top-k must plan TakeOrdered, never a one-partition
+    row_number sort over the full candidate table."""
+    from inception_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 10)], "src int, dst int"
+    )
+    out = link_prediction(edges, min_common=2, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+
 def test_hits_star_graph(spark):
     """Directed star: hubs 1,2,3 all point to authority 9; hub 1 also
     points to a second authority 8.  Node 1 sees both authorities ->
