@@ -494,6 +494,7 @@ def token_budget_sample(
     key_col: str = "doc_id",
     token_count_col: Column | None = None,
     salt: str = "budget",
+    shards: int | None = 32,
 ) -> DataFrame:
     """Deterministic "build me an N-token corpus" sampler: → the input
     plus (n_tokens, cum_tokens, selected) — docs are ranked inside each
@@ -511,9 +512,14 @@ def token_budget_sample(
     is met-or-just-exceeded, never silently undershot by a whole doc);
     callers wanting hard caps compose with ``pack_sequences``.
 
-    Scale: the window partitions by source — the sort is per-source,
-    parallel across sources; no global sort, no collect.  Skewed source
-    sizes parallelize the same way every per-source window here does."""
+    Scale: the running total is a PARTITIONED two-pass prefix sum per
+    source (``_sharded_cumsum``): the hash domain range-splits into
+    ``shards`` order-preserving buckets inside each source, buckets
+    cumsum in parallel, and a tiny (sources × shards)-row offset table
+    broadcasts back — so ONE giant source (the 90%-web-crawl shape)
+    still spreads over ``shards`` tasks instead of one per-source sort
+    task.  Result-identical to the per-source global window (pinned in
+    tests); pass ``shards=None`` for the naive form."""
     from pyspark.sql import Window
 
     from inception_spark.functions.text_analysis import token_count
@@ -551,10 +557,17 @@ def token_budget_sample(
                 else mapping.when(F.col(source_col) == k, b)
             )
         per_source_budget = mapping.otherwise(F.lit(0))
-    w = Window.partitionBy(source_col).orderBy(
-        F.asc("_h"), F.asc(key_col)
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    out = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    if shards is not None and int(shards) > 1:
+        out = _sharded_cumsum(
+            base, order_cols=["_h", key_col], value_col="n_tokens",
+            out_col="cum_tokens", shards=int(shards),
+            partition_cols=[source_col],
+        ).select(*base.columns, "cum_tokens")
+    else:
+        w = Window.partitionBy(source_col).orderBy(
+            F.asc("_h"), F.asc(key_col)
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        out = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     selected = (
         F.col("cum_tokens") - F.col("n_tokens")
     ) < per_source_budget  # straddling doc included
@@ -605,6 +618,53 @@ FROM c
 """
 
 
+def _sharded_cumsum(
+    df: DataFrame,
+    *,
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+    shards: int,
+    partition_cols: list | None = None,
+) -> DataFrame:
+    """Two-pass parallel prefix sum over a (optionally per-partition)
+    total order whose FIRST order column is a uniform h28 hash: range-
+    split the 2^28 hash domain into ``shards`` order-preserving buckets,
+    cumsum each bucket in parallel, then add each bucket's preceding
+    total from a tiny (partitions × shards)-row offset table broadcast
+    back.  Bit-identical to the single global ordered window; the only
+    single-partition work is the offset table's own scan."""
+    span = (1 << 28) // shards + 1  # ceil: max hash maps to shard-1
+    pc = list(partition_cols or [])
+    first = order_cols[0]
+    sh = df.withColumn("_sh", F.expr(f"{first} div {span}"))
+    local_win = (
+        Window.partitionBy(*pc, "_sh")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = sh.withColumn("_lcw", F.sum(value_col).over(local_win))
+    off_win = (
+        Window.partitionBy(*pc)
+        .orderBy("_sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        sh.groupBy(*pc, "_sh")
+        .agg(F.sum(value_col).alias("_st"))
+        .withColumn(
+            "_off",
+            F.coalesce(F.sum("_st").over(off_win), F.lit(0)).cast("long"),
+        )
+        .select(*pc, "_sh", "_off")
+    )
+    return (
+        loc.join(F.broadcast(off), pc + ["_sh"])
+        .withColumn(out_col, (F.col("_lcw") + F.col("_off")).cast("long"))
+        .drop("_sh", "_lcw", "_off")
+    )
+
+
 def systematic_weighted_sample(
     df: DataFrame,
     *,
@@ -612,6 +672,7 @@ def systematic_weighted_sample(
     step_weight: int,
     key_col: str = "doc_id",
     salt: str = "sws",
+    shards: int | None = 32,
 ) -> DataFrame:
     """Weight-proportional sampling WITHOUT exp/log randomness (Madow's
     systematic sampling): rows are laid on a line in deterministic
@@ -626,9 +687,18 @@ def systematic_weighted_sample(
     ``step_weight`` units of line, so ~total_weight/step_weight rows
     come out.  Rows heavier than the step can cross several boundaries
     — ``n_units`` reports the multiplicity (the with-replacement
-    convention).  The cumulative sum is ONE hash-ordered window; at
-    corpus scale run it per source/shard partition upstream (the global
-    window is the documented small-candidate-set convenience).
+    convention).
+
+    The cumulative sum runs as a PARTITIONED two-pass prefix sum (the
+    classic parallel scan): the uniform hash domain is range-split into
+    ``shards`` buckets that preserve the (hash, key) order, each shard
+    cumsums independently (``shards``-way parallel window), and one
+    tiny per-shard total table (``shards`` rows, broadcast back) adds
+    each shard's preceding offset.  Result-identical to the global
+    ordered window — pinned in tests — but the only single-partition
+    work is the ``shards``-row offset scan, never the corpus.  Pass
+    ``shards=None`` for the naive one-window form (small candidate
+    sets / oracle comparison).
 
     Output: (key, weight, n_units) for selected rows only.
     """
@@ -646,10 +716,16 @@ def systematic_weighted_sample(
             F.concat(F.lit(salt + "\x1f"), F.col(key_col).cast("string"))
         ).alias("_h"),
     ).filter(F.col("weight") > 0)
-    win = Window.orderBy("_h", "key").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = w.withColumn("cw", F.sum("weight").over(win))
+    if shards is not None and int(shards) > 1:
+        cum = _sharded_cumsum(
+            w, order_cols=["_h", "key"], value_col="weight",
+            out_col="cw", shards=int(shards),
+        )
+    else:
+        win = Window.orderBy("_h", "key").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = w.withColumn("cw", F.sum("weight").over(win))
     sel = cum.withColumn(
         "n_units",
         (

@@ -265,6 +265,69 @@ def test_systematic_weighted_sample_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def test_sharded_cumsum_samplers_equal_global_window(spark):
+    """The partitioned two-pass prefix-sum path (default, shards>1)
+    must be BIT-identical to the naive global-window form
+    (shards=None) for both cumsum samplers, at several shard counts
+    including shards >> distinct-hash-buckets-hit."""
+    from inception_spark.operators.sampling import (
+        systematic_weighted_sample,
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7) for i in range(500)], "doc_id long, w long"
+    )
+    base = sorted(map(tuple, systematic_weighted_sample(
+        df, weight_col="w", step_weight=37, shards=None).collect()))
+    assert len(base) > 0
+    for sh in (2, 32, 4096):
+        got = sorted(map(tuple, systematic_weighted_sample(
+            df, weight_col="w", step_weight=37, shards=sh).collect()))
+        assert got == base, f"shards={sh}"
+
+    docs = spark.createDataFrame(
+        [
+            (i, ["web", "books", "code"][i % 3],
+             "tok " * (1 + i % 9))
+            for i in range(400)
+        ],
+        "doc_id long, source string, text string",
+    )
+    tb_base = sorted(map(tuple, token_budget_sample(
+        docs, 600, weights={"web": 3.0, "books": 1.0, "code": 1.0},
+        shards=None,
+    ).collect()))
+    for sh in (2, 32):
+        tb = sorted(map(tuple, token_budget_sample(
+            docs, 600, weights={"web": 3.0, "books": 1.0, "code": 1.0},
+            shards=sh,
+        ).collect()))
+        assert tb == tb_base, f"shards={sh}"
+
+
+def test_sharded_cumsum_no_global_sort_in_plan(spark):
+    """The default sampler path must not plan a corpus-wide
+    single-partition sort: the only rangepartitioning/SinglePartition
+    exchange allowed is the tiny per-shard offset table's."""
+    from inception_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7) for i in range(300)], "doc_id long, w long"
+    )
+    out = systematic_weighted_sample(df, weight_col="w", step_weight=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data path partitions by _sh (hashpartitioning); the offset
+    # branch may legally use a single partition for its shards-row scan
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "_lcw" in ln
+    ]
+    assert data_windows, "expected the sharded local-cumsum window"
+    assert all("_sh" in ln for ln in data_windows)
+
+
 class TestPoissonBootstrap:
     def test_ci_brackets_truth_and_draws_are_row_properties(self, spark):
         """CI from a large clean sample brackets the true mean, and the
