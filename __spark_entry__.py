@@ -2042,6 +2042,86 @@ def _q_streaming_ohlc(spark, sf_dir):
     return R.ohlc_finalize(parts)
 
 
+def _q_streaming_ks_drift(spark, sf_dir):
+    """Exact unbinned KS drift maintained live: sidedness is pinned at
+    deploy time (the split point is a control-plane scalar computed
+    once — here the fixture's midpoint, in production 'end of the
+    reference week'), after which the (type, value, side) counts are
+    exact mergeable partials that re-sum across micro-batches; the
+    finalize cumulates the merged spine.  The pin is load-bearing: the
+    batch op's data-dependent midpoint is a whole-stream extremum, so
+    side assignment under it is not batch-local — events_ks_drift's
+    docstring and SCALING.md carry the impossibility argument.  Shares
+    the batch oracle (the SQL computes the same midpoint from the same
+    data)."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts", "value")
+    split = ev.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("m")
+    ).collect()[0]["m"]
+    parts = run_stream_batch_partials(
+        spark, ev, lambda b: R.ks_sided_partials(b, split)
+    )
+    return R.ks_finalize(parts)
+
+
+def _q_streaming_revenue_gini(spark, sf_dir):
+    """The inequality audit live: per-customer revenue partials (exact
+    decimal sums — the entity rollup IS the state, the streaming_growth
+    discipline) re-merge across micro-batches; the ranked cumsum the
+    Gini needs runs at finalize over the |customers|-sized state table,
+    never over order history.  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    parts = run_stream_batch_partials(
+        spark, orders, R.gini_revenue_partials
+    )
+    return R.gini_finalize(parts, R.load(spark, sf_dir, "customer"))
+
+
+def _q_streaming_attribution(spark, sf_dir):
+    """First/last-touch attribution as TRUE custom stateful streaming
+    (applyInPandasWithState): per-user state is two touch types, each
+    purchase emits its attribution on arrival.  Exactness needs
+    per-user event-time order across micro-batches (a late purchase
+    would SPLIT an already-closed segment — the impossibility argument
+    for mergeable partials lives in make_attribution_update), so the
+    harness feeds four event-time slices as ordered micro-batches.
+    Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_ordered_batches,
+        streaming_attribution,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("lo"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("hi"),
+    ).collect()[0]
+    cuts = [lo + (hi + 1 - lo) * i // 4 for i in range(5)]
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    batches = [
+        ev.filter((us >= cuts[i]) & (us < cuts[i + 1])) for i in range(4)
+    ]
+    conv = run_stream_ordered_batches(
+        spark, batches, streaming_attribution
+    )
+    return R.attribution_rollup(conv)
+
+
 def _q_link_prediction(spark, sf_dir):
     """Which parts WILL be bought together: distance-2 pairs of the
     basket graph scored by common neighbors / Jaccard / Adamic-Adar —
@@ -4487,6 +4567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_curve": lambda spark, sf: TA.vocab_growth_curve(
             _docs(spark, sf)
         ),
+        # r9: KS drift live (pinned split -> mergeable side counts)
+        "streaming_ks_drift": _q_streaming_ks_drift,
+        # r9: Gini live (entity-rollup state, finalize-only sort)
+        "streaming_revenue_gini": _q_streaming_revenue_gini,
+        # r9: attribution live (applyInPandasWithState, 2-touch state)
+        "streaming_attribution": _q_streaming_attribution,
         "events_twap": _q_events_twap,
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
@@ -6149,6 +6235,12 @@ GROUP BY o.o_orderpriority
         "revenue_gini": R.REVENUE_GINI_SQL,
         # r8: same first-bucket aggregate + spine windows
         "vocab_growth_curve": TA.vocab_growth_curve_sql(),
+        # r9: streaming == batch by the pinned-split side-count re-sum
+        "streaming_ks_drift": R.events_ks_drift_sql(),
+        # r9: streaming == batch by the per-customer partial re-sum
+        "streaming_revenue_gini": R.REVENUE_GINI_SQL,
+        # r9: streaming == batch by the ordered segment-fold identity
+        "streaming_attribution": R.PURCHASE_ATTRIBUTION_SQL,
         # r8: replay of the deterministic md5-seeded cell assignment
         "ivf_balance_report": f"""
 WITH cent AS (

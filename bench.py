@@ -218,6 +218,52 @@ HEADLINE = [
 ]
 
 
+#: Frozen drift canaries (VERDICT r8 ask 3): three queries whose
+#: operator code has been untouched since ≤ r4 (packing.py since r3;
+#: minhash/cosine pinned by plan tests since r4), re-measured min-of-3
+#: in an OTHERWISE-IDLE session via ``python bench.py canary``.  Their
+#: per-round times calibrate VM/fixture noise: a cross-round drift that
+#: shows up in the canaries is environment, not code — see SCALING.md
+#: "Canary protocol".
+CANARIES = ["minhash_signatures", "pack_sequences", "cosine_topk"]
+
+
+def run_canaries() -> None:
+    spark = build_session("inception_spark_bench_canary")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries_all = entry_mod.queries()
+    warm_sf = "/root/testdata/sf0.001"
+    for wq in ("q1_pricing_summary", "doc_fingerprint"):
+        queries_all[wq](spark, warm_sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    import gc
+
+    timings: dict[str, float] = {}
+    for name in CANARIES:
+        fn = queries_all[name]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        gc.collect()
+    print(
+        json.dumps(
+            {
+                "metric": "canary_queries_wall",
+                "unit": "sec",
+                "queries": timings,
+                "sf_dir": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -333,4 +379,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "canary":
+        run_canaries()
+    else:
+        main()

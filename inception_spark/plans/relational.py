@@ -3938,6 +3938,82 @@ FROM p{n_iter}
     )
 
 
+def ks_sided_partials(ev: DataFrame, split_micros: int) -> DataFrame:
+    """Mergeable KS partials for a PINNED split point: (event_type,
+    value, d1, d2) counts per side — pure sums, so any regrouping of
+    rows into micro-batches re-merges exactly.
+
+    The pin is what makes streaming KS possible at all: the batch op's
+    data-dependent midpoint is an extremum statistic of the WHOLE
+    stream, so side assignment under it is not batch-local — an early
+    row's side can flip when a later row extends the time range.  With
+    the split fixed at deploy time (the production reference-window
+    discipline: 'last release week' vs 'live'), sidedness becomes a row
+    property and the counts form a merge lattice.  State is
+    distinct-(type, value) bounded — quantize the value domain upstream
+    if it is unbounded."""
+    sided = ev.select(
+        "event_type",
+        "value",
+        (
+            F.expr("unix_micros(cast(ts as timestamp))")
+            < F.lit(int(split_micros))
+        )
+        .cast("int")
+        .alias("_early"),
+    )
+    return sided.groupBy("event_type", "value").agg(
+        F.sum("_early").alias("d1"),
+        F.sum(F.lit(1) - F.col("_early")).alias("d2"),
+    )
+
+
+def ks_finalize(
+    parts: DataFrame, *, threshold_milli: int = 100
+) -> DataFrame:
+    """KS statistic from (event_type, value, d1, d2) count partials:
+    re-merge, cumulate per type over the value spine, and take the max
+    cross-multiplied CDF gap — shared by the batch op and the live
+    twin, so streaming ≡ batch is by construction."""
+    roll = parts.groupBy("event_type", "value").agg(
+        F.sum("d1").alias("d1"), F.sum("d2").alias("d2")
+    )
+    tot = roll.groupBy("event_type").agg(
+        F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ks = (
+        roll.withColumn("c1", F.sum("d1").over(w))
+        .withColumn("c2", F.sum("d2").over(w))
+        .join(tot, "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+                )
+            ).alias("_ks_scaled")
+        )
+    )
+    # a type whose events all land on one side of the split has no
+    # two-sample statistic: NULL ks, not an ANSI division-by-zero throw
+    km = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.expr("(1000 * _ks_scaled) div (n1 * n2)"),
+    )
+    return ks.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_early"),
+        F.col("n2").cast("long").alias("n_late"),
+        km.cast("long").alias("ks_milli"),
+        (km >= threshold_milli).alias("drifted"),
+    )
+
+
 def events_ks_drift(
     spark: SparkSession, sf_dir: str, *, threshold_milli: int = 100
 ) -> DataFrame:
@@ -3975,39 +4051,7 @@ def events_ks_drift(
         F.sum("_early").alias("d1"),
         F.sum(F.lit(1) - F.col("_early")).alias("d2"),
     )
-    tot = sided.groupBy("event_type").agg(
-        F.sum("_early").alias("n1"),
-        F.sum(F.lit(1) - F.col("_early")).alias("n2"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ks = (
-        roll.withColumn("c1", F.sum("d1").over(w))
-        .withColumn("c2", F.sum("d2").over(w))
-        .join(tot, "event_type")
-        .groupBy("event_type", "n1", "n2")
-        .agg(
-            F.max(
-                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
-            ).alias("_ks_scaled")
-        )
-    )
-    # a type whose events all land on one side of the midpoint has no
-    # two-sample statistic: NULL ks, not an ANSI division-by-zero throw
-    km = F.when(
-        (F.col("n1") > 0) & (F.col("n2") > 0),
-        F.expr("(1000 * _ks_scaled) div (n1 * n2)"),
-    )
-    return ks.select(
-        "event_type",
-        F.col("n1").cast("long").alias("n_early"),
-        F.col("n2").cast("long").alias("n_late"),
-        km.cast("long").alias("ks_milli"),
-        (km >= threshold_milli).alias("drifted"),
-    )
+    return ks_finalize(roll, threshold_milli=threshold_milli)
 
 
 def events_ks_drift_sql(*, threshold_milli: int = 100) -> str:
@@ -4052,29 +4096,34 @@ FROM ks
 """
 
 
-def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue concentration per market segment as an exact Gini
-    coefficient over per-customer revenue — (segment, n_customers,
-    gini_milli): gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x the
-    cent-integer revenues ranked ascending.  The inequality audit
-    behind "do 10% of customers drive 90% of revenue" — runs on the
-    customer rollup, never the fact table twice.
+def gini_revenue_partials(orders: DataFrame) -> DataFrame:
+    """Mergeable per-customer revenue partials for the Gini pipeline:
+    (o_custkey, rev) exact decimal sums — the ENTITY ROLLUP is the
+    streaming state (the streaming_growth (user, day) discipline), and
+    partial sums re-merge exactly under any micro-batch regrouping.
 
-    Exactness: revenues become integer CENTS (the decimal sum is
-    exact), the rank is a per-segment window with custkey tiebreak
-    (ties contribute the same Σ i·x under any permutation, so the
-    tiebreak is for engine determinism, not semantics), and both
-    Gini terms are exact DECIMAL(38,0) sums — the single final divide
-    is double, rounded to a milli integer."""
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
+    The Gini coefficient itself needs a rank (a sorted cumulative sum)
+    — an order statistic with no mergeable sub-linear partial form —
+    but the rank is over CUSTOMERS, not order rows, so the sort runs at
+    finalize over the per-customer state table: history is never
+    re-read, and the sorted pass costs |customers|, not |orders|."""
+    return orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev")
+    )
+
+
+def gini_finalize(parts: DataFrame, customer: DataFrame) -> DataFrame:
+    """Gini terms from per-customer revenue partials: re-merge, enrich
+    with the (static) customer dim for the segment, cent-integer
+    ranked cumsum per segment — shared by the batch op and the live
+    twin."""
     rev = (
-        orders.groupBy("o_custkey")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_r")
-        )
+        parts.groupBy("o_custkey")
+        .agg(F.sum("rev").cast("decimal(28,2)").alias("_r"))
         .join(
-            cust.select(
+            customer.select(
                 F.col("c_custkey").alias("o_custkey"),
                 F.col("c_mktsegment").alias("segment"),
             ),
@@ -4111,6 +4160,25 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as an exact Gini
+    coefficient over per-customer revenue — (segment, n_customers,
+    gini_milli): gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x the
+    cent-integer revenues ranked ascending.  The inequality audit
+    behind "do 10% of customers drive 90% of revenue" — runs on the
+    customer rollup, never the fact table twice.
+
+    Exactness: revenues become integer CENTS (the decimal sum is
+    exact), the rank is a per-segment window with custkey tiebreak
+    (ties contribute the same Σ i·x under any permutation, so the
+    tiebreak is for engine determinism, not semantics), and both
+    Gini terms are exact DECIMAL(38,0) sums — the single final divide
+    is double, rounded to a milli integer."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return gini_finalize(gini_revenue_partials(orders), cust)
+
+
 REVENUE_GINI_SQL = """
 WITH rev AS (
   SELECT c.c_mktsegment AS segment, o.o_custkey,
@@ -4132,6 +4200,30 @@ SELECT segment, CAST(n AS BIGINT) AS n_customers,
          AS gini_milli
 FROM terms
 """
+
+
+def attribution_rollup(conv: DataFrame) -> DataFrame:
+    """Final attribution rollup from per-purchase (first_touch,
+    last_touch) rows — touch-type-cardinality sized; shared by the
+    batch op and the stateful-streaming twin."""
+    first = conv.groupBy(
+        F.col("first_touch").alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("n_first_touch"))
+    last = conv.groupBy(
+        F.col("last_touch").alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("n_last_touch"))
+    return (
+        first.join(last, "touch_type", "full")
+        .select(
+            "touch_type",
+            F.coalesce("n_first_touch", F.lit(0))
+            .cast("long")
+            .alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0))
+            .cast("long")
+            .alias("n_last_touch"),
+        )
+    )
 
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4191,24 +4283,7 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
         )
     )
-    first = conv.groupBy(
-        F.col("first_touch").alias("touch_type")
-    ).agg(F.count(F.lit(1)).alias("n_first_touch"))
-    last = conv.groupBy(
-        F.col("last_touch").alias("touch_type")
-    ).agg(F.count(F.lit(1)).alias("n_last_touch"))
-    return (
-        first.join(last, "touch_type", "full")
-        .select(
-            "touch_type",
-            F.coalesce("n_first_touch", F.lit(0))
-            .cast("long")
-            .alias("n_first_touch"),
-            F.coalesce("n_last_touch", F.lit(0))
-            .cast("long")
-            .alias("n_last_touch"),
-        )
-    )
+    return attribution_rollup(conv)
 
 
 PURCHASE_ATTRIBUTION_SQL = """

@@ -249,6 +249,94 @@ def running_user_totals(
     )
 
 
+def make_attribution_update():
+    """The applyInPandasWithState callback for
+    :func:`streaming_attribution`, module-level for unit-testability
+    (the running_user_totals convention).
+
+    Per-user state is CONSTANT-SIZED: the first and last non-purchase
+    touch type of the currently-open conversion segment.  Each batch's
+    rows for the user are sorted by (ts, event_id) and folded: a touch
+    updates the trackers, a purchase EMITS its (first, last) attribution
+    ('direct' when the segment had no touch) and resets the segment —
+    exactly the batch op's prior-purchase-count segmentation, replayed
+    as a sequential fold.
+
+    Exactness contract: per-user event-time order across micro-batches
+    (in-batch disorder is fixed by the sort).  That is the inherent
+    price of streaming segment-windowed attribution: a LATE purchase
+    splits an already-merged segment and retroactively reassigns its
+    touches, so (user, segment)-keyed partials are NOT a merge lattice
+    — the only exact out-of-order form keeps every touch (a value
+    stream).  Production = watermark-bounded reorder buffer upstream;
+    here the harness feeds event-time-ordered micro-batches."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        first_t, last_t = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out_first: list = []
+        out_last: list = []
+        for et in rows["event_type"]:
+            if et == "purchase":
+                out_first.append(first_t or "direct")
+                out_last.append(last_t or "direct")
+                first_t = None
+                last_t = None
+            else:
+                if first_t is None:
+                    first_t = et
+                last_t = et
+        state.update((first_t, last_t))
+        if out_first:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_first),
+                    "first_touch": out_first,
+                    "last_touch": out_last,
+                }
+            )
+
+    return update
+
+
+def streaming_attribution(events: DataFrame) -> DataFrame:
+    """First/last-touch attribution as a CUSTOM STATEFUL streaming
+    operator (``applyInPandasWithState``): per-user state is two touch
+    types (the open segment's first and last), each purchase emits one
+    attribution row the moment it arrives, and state never grows with
+    history — the per-key-model-state pattern the built-in aggregations
+    can't express.  Output rows feed :func:`attribution_rollup`, which
+    reproduces the batch ``purchase_attribution`` exactly (shared
+    oracle) given per-user event-time-ordered micro-batches — see
+    :func:`make_attribution_update` for why exact out-of-order
+    streaming attribution is impossible without keeping every touch."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("first_touch", T.StringType(), False),
+            T.StructField("last_touch", T.StringType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("first_t", T.StringType(), True),
+            T.StructField("last_t", T.StringType(), True),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_attribution_update(),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(
     docs: DataFrame, *, watermark: str = "1 hour"
 ) -> DataFrame:

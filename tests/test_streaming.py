@@ -549,3 +549,68 @@ def test_ordered_batches_eviction_gates_late_drop(spark):
         spark, [on_time, adv, late, sent], tr
     )
     assert {r["event_type"] for r in evict.collect()} == {"a", "adv"}
+
+
+def test_streaming_attribution_fold_semantics(spark):
+    """The stateful attribution fold: in-batch disorder is repaired by
+    the (ts, event_id) sort, purchases with no preceding touch emit
+    'direct', state (the open segment's first/last touch) carries
+    ACROSS micro-batches, and trailing touches after the last purchase
+    emit nothing."""
+    import datetime
+
+    from inception_spark.plans.relational import attribution_rollup
+    from inception_spark.streaming.pipeline import (
+        run_stream_ordered_batches,
+        streaming_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def r(m, uid, eid, et):
+        return (uid, t0 + datetime.timedelta(minutes=m), eid, et)
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    # batch 1 rows deliberately OUT of ts order within the batch;
+    # user 1's segment stays open across the batch boundary
+    b1 = spark.createDataFrame(
+        [
+            r(3, 1, 13, "click"),      # later touch, listed first
+            r(1, 1, 11, "view"),       # true first touch
+            r(2, 1, 12, "purchase"),   # attributed to... nothing? no:
+            # sorted order is view(1) -> purchase(2) -> click(3), so
+            # the purchase gets first=last='view'
+            r(1, 2, 21, "purchase"),   # no touch ever -> direct
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            r(10, 1, 14, "signup"),
+            r(11, 1, 15, "purchase"),  # segment = click(b1) .. signup(b2)
+            r(12, 1, 16, "view"),      # trailing touch: never emitted
+        ],
+        schema,
+    )
+    conv = run_stream_ordered_batches(
+        spark, [b1, b2], streaming_attribution
+    )
+    got = {
+        (x["user_id"], x["first_touch"], x["last_touch"])
+        for x in conv.collect()
+    }
+    assert got == {
+        (1, "view", "view"),
+        (2, "direct", "direct"),
+        (1, "click", "signup"),   # first touch from batch 1's state
+    }
+    roll = {
+        x["touch_type"]: (x["n_first_touch"], x["n_last_touch"])
+        for x in attribution_rollup(conv).collect()
+    }
+    assert roll == {
+        "view": (1, 1),
+        "direct": (1, 1),
+        "click": (1, 0),
+        "signup": (0, 1),
+    }
