@@ -2122,6 +2122,91 @@ def _q_streaming_attribution(spark, sf_dir):
     return R.attribution_rollup(conv)
 
 
+def _q_part_communities(spark, sf_dir):
+    """Product communities by deterministic synchronous label
+    propagation over the co-purchase graph — the catalog-taxonomy
+    discovery step (min-tie-break argmax votes, 3 rounds; the oracle
+    unrolls the identical rounds into CTEs)."""
+    from inception_spark.operators.graph import lpa_communities
+
+    return lpa_communities(_part_basket_edges(spark, sf_dir), n_iter=3)
+
+
+def _q_price_histogram_equidepth(spark, sf_dir):
+    """EXACT equi-depth price histogram per order priority — the CBO
+    statistics object (equal row mass per bucket, so range selectivity
+    reads off bucket fractions even under the price skew that makes
+    equi-width histograms lie)."""
+    from inception_spark.operators.profile import equidepth_histogram
+
+    return equidepth_histogram(
+        R.load(spark, sf_dir, "orders"),
+        "o_totalprice",
+        group_col="o_orderpriority",
+        tiebreak_col="o_orderkey",
+        k=8,
+    )
+
+
+def _q_doc_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment of the corpus — the stable
+    re-layout primitive: one argmax-of-hashes codegen projection, no
+    shuffle, and growing the shard count moves only ~1/n of keys
+    (measured by reshard_movement)."""
+    from inception_spark.operators.layout import rendezvous_shards
+
+    return rendezvous_shards(
+        _docs(spark, sf_dir), key_col="doc_id", n_shards=16
+    )
+
+
+def _q_reshard_movement(spark, sf_dir):
+    """Measured key movement when the rendezvous layout grows 16 -> 17
+    shards, against the information-theoretic floor — the number that
+    justifies HRW over mod-N before a 100 TB re-layout."""
+    from inception_spark.operators.layout import reshard_movement_report
+
+    return reshard_movement_report(
+        _docs(spark, sf_dir), key_col="doc_id", n_from=16, n_to=17
+    )
+
+
+def _lpa_oracle_sql():
+    from inception_spark.operators.graph import lpa_communities_sql
+
+    return lpa_communities_sql(_PART_EDGES_SQL, n_iter=3)
+
+
+def _equidepth_oracle_sql():
+    from inception_spark.operators.profile import equidepth_histogram_sql
+
+    return equidepth_histogram_sql(
+        "orders",
+        "o_totalprice",
+        group_col="o_orderpriority",
+        tiebreak_col="o_orderkey",
+        k=8,
+    )
+
+
+def _rendezvous_oracle_sql():
+    from inception_spark.operators.layout import rendezvous_shards_sql
+
+    return rendezvous_shards_sql(
+        "documents", key_col="doc_id", n_shards=16
+    )
+
+
+def _reshard_movement_oracle_sql():
+    from inception_spark.operators.layout import (
+        reshard_movement_report_sql,
+    )
+
+    return reshard_movement_report_sql(
+        "documents", key_col="doc_id", n_from=16, n_to=17
+    )
+
+
 def _q_link_prediction(spark, sf_dir):
     """Which parts WILL be bought together: distance-2 pairs of the
     basket graph scored by common neighbors / Jaccard / Adamic-Adar —
@@ -4567,6 +4652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_curve": lambda spark, sf: TA.vocab_growth_curve(
             _docs(spark, sf)
         ),
+        # r9: LPA product communities (deterministic sync rounds)
+        "part_communities": _q_part_communities,
+        # r9: exact equi-depth price histogram (the CBO stats object)
+        "price_histogram_equidepth": _q_price_histogram_equidepth,
+        # r9: HRW shard assignment (argmax-of-hashes codegen, no shuffle)
+        "doc_rendezvous_shards": _q_doc_rendezvous_shards,
+        # r9: measured HRW reshard movement vs the minimal floor
+        "reshard_movement": _q_reshard_movement,
         # r9: KS drift live (pinned split -> mergeable side counts)
         "streaming_ks_drift": _q_streaming_ks_drift,
         # r9: Gini live (entity-rollup state, finalize-only sort)
@@ -6235,6 +6328,14 @@ GROUP BY o.o_orderpriority
         "revenue_gini": R.REVENUE_GINI_SQL,
         # r8: same first-bucket aggregate + spine windows
         "vocab_growth_curve": TA.vocab_growth_curve_sql(),
+        # r9: identical synchronous vote rounds, unrolled into CTEs
+        "part_communities": _lpa_oracle_sql(),
+        # r9: same rank rule ((rk-1)*k div n) over the same total order
+        "price_histogram_equidepth": _equidepth_oracle_sql(),
+        # r9: same per-shard hash list, same first-match argmax
+        "doc_rendezvous_shards": _rendezvous_oracle_sql(),
+        # r9: same two assignments joined, same milli ratios
+        "reshard_movement": _reshard_movement_oracle_sql(),
         # r9: streaming == batch by the pinned-split side-count re-sum
         "streaming_ks_drift": R.events_ks_drift_sql(),
         # r9: streaming == batch by the per-customer partial re-sum

@@ -895,3 +895,109 @@ SELECT CAST({k} AS BIGINT) AS k,
          AS recall_milli
 FROM c
 """
+
+
+def lpa_communities(
+    edges: DataFrame,
+    *,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    2007) made fully deterministic: labels start as node ids, and each
+    round every node adopts the most frequent label among its neighbors
+    with ties broken to the SMALLEST label — the argmax is
+    ``max(struct(count, -label))``, one hash aggregate, so the result
+    is independent of partitioning and engine (asynchronous LPA's
+    order-dependence is exactly what makes it un-oracle-able).  Output
+    ``(node, community)`` after ``n_iter`` rounds.
+
+    Scale shape per round: one edge ⋈ label join (shuffle on the edge
+    key) + two hash aggregates with map-side combine — the pagerank
+    economics — with lineage cut per round by lazy localCheckpoint.
+    Hot nodes partial-aggregate map-side; synchronous updates mean no
+    sequential dependency inside a round.  n_iter is the cost knob:
+    labels flood ~one hop per round, and 3-5 rounds is the standard
+    budget before oscillation risk (two-coloring ping-pong on
+    bipartite-ish regions) outweighs refinement.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    # canonicalize to distinct u < v pairs BEFORE mirroring — an input
+    # carrying both orientations of one edge must not double its vote
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    lab = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        votes = (
+            adj.join(lab, adj["v"] == lab["node"])
+            .groupBy(adj["u"].alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lab = (
+            votes.groupBy("nd")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("nd").alias("node"),
+                (-F.col("m.neg")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
+def lpa_communities_sql(
+    edges_sql: str, *, n_iter: int = 3
+) -> str:
+    """DuckDB twin of :func:`lpa_communities` — the same synchronous
+    rounds unrolled into MATERIALIZED CTEs (the hits_sql convention)."""
+    rounds = []
+    prev = "l0"
+    for r in range(1, n_iter + 1):
+        rounds.append(f"""
+v{r} AS MATERIALIZED (
+  SELECT a.u AS nd, l.label, COUNT(*) AS cnt
+  FROM adj a JOIN {prev} l ON a.v = l.node
+  GROUP BY 1, 2),
+l{r} AS MATERIALIZED (
+  SELECT nd AS node, label FROM (
+    SELECT nd, label, row_number() OVER (
+      PARTITION BY nd ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{r})
+  WHERE rn = 1)""")
+        prev = f"l{r}"
+    return f"""
+WITH raw AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS label FROM adj),
+{','.join(rounds)}
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(label AS BIGINT) AS community
+FROM {prev}
+"""

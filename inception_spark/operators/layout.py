@@ -634,3 +634,149 @@ def colocated_join(
                 "not co-located in the FINAL plan:\n" + final[:2000]
             )
     return joined
+
+
+def _hrw_hash(key, shard: int, salt: str):
+    from inception_spark.functions.hashing import h28
+
+    return h28(
+        F.concat(
+            F.lit(salt + "\x1f"),
+            key.cast("string"),
+            F.lit("\x1f" + str(int(shard))),
+        )
+    )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_shards: int,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: a key's
+    shard is ``argmax over s of h28(salt | key | s)`` — (key, shard).
+    THE stable-resharding primitive: growing n→n+1 shards moves exactly
+    the keys whose new shard's hash beats every old one, ~1/(n+1) of
+    the corpus in expectation, while a mod-N layout reshuffles
+    (n-1)/n+... ≈ ALL of it.  That property is what makes incremental
+    re-layout of a 100 TB corpus affordable, and
+    :func:`reshard_movement_report` measures it instead of asserting
+    it.
+
+    Plan shape: the per-shard hashes are ONE array expression per row —
+    no explode, no shuffle, pure whole-stage codegen scan; the argmax
+    is array_position(max), first-match so hash ties (2^-28 each)
+    break to the smallest shard deterministically.  n_shards is a
+    code-size knob (the projection has n terms) — for thousands of
+    shards, two-level rendezvous (shard groups, then within-group)
+    keeps the expression bounded; the standard production layout.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.col(key_col)
+    hashes = F.array(
+        *[_hrw_hash(key, s, salt) for s in range(int(n_shards))]
+    )
+    return df.select(
+        key.alias("key"),
+        (F.array_position(hashes, F.array_max(hashes)) - 1)
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+def rendezvous_shards_sql(
+    table: str,
+    *,
+    key_col: str,
+    n_shards: int,
+    salt: str = "hrw",
+) -> str:
+    """DuckDB twin of :func:`rendezvous_shards` (same hash, same
+    first-match tie-break via list_position of list_max)."""
+    from inception_spark.functions.hashing import h28_sql
+
+    hs = ", ".join(
+        h28_sql(
+            f"'{salt}' || chr(31) || CAST({key_col} AS VARCHAR)"
+            f" || chr(31) || '{int(s)}'"
+        )
+        for s in range(int(n_shards))
+    )
+    return f"""
+SELECT {key_col} AS key,
+       CAST(list_position(h, list_max(h)) - 1 AS BIGINT) AS shard
+FROM (SELECT {key_col}, [{hs}] AS h FROM {table})
+"""
+
+
+def reshard_movement_report(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_from: int,
+    n_to: int,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Measured stability of the rendezvous layout across a shard-count
+    change: ONE row ``(n_keys, n_moved, moved_milli, minimal_milli)``
+    where ``minimal_milli`` is the information-theoretic floor
+    (|n_to − n_from| / max(n_from, n_to) of the keys MUST move to
+    rebalance).  For HRW growing n→n+k, moved ≈ minimal; a mod-N
+    layout scores ~1000·(1−1/lcm-ish) — run both through this report
+    before betting a 100 TB re-layout on either."""
+    a = rendezvous_shards(
+        df, key_col=key_col, n_shards=n_from, salt=salt
+    ).withColumnRenamed("shard", "s_from")
+    b = rendezvous_shards(
+        df, key_col=key_col, n_shards=n_to, salt=salt
+    ).withColumnRenamed("shard", "s_to")
+    j = a.join(b, "key")
+    lo, hi = sorted((int(n_from), int(n_to)))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(
+            (F.col("s_from") != F.col("s_to")).cast("long")
+        ).cast("long").alias("n_moved"),
+    ).select(
+        "n_keys",
+        "n_moved",
+        F.expr("(1000 * n_moved) div n_keys").cast("long").alias(
+            "moved_milli"
+        ),
+        F.lit(1000 * (hi - lo) // hi).cast("long").alias(
+            "minimal_milli"
+        ),
+    )
+
+
+def reshard_movement_report_sql(
+    table: str,
+    *,
+    key_col: str,
+    n_from: int,
+    n_to: int,
+    salt: str = "hrw",
+) -> str:
+    """DuckDB twin of :func:`reshard_movement_report`."""
+    a = rendezvous_shards_sql(
+        table, key_col=key_col, n_shards=n_from, salt=salt
+    )
+    b = rendezvous_shards_sql(
+        table, key_col=key_col, n_shards=n_to, salt=salt
+    )
+    lo, hi = sorted((int(n_from), int(n_to)))
+    return f"""
+WITH a AS ({a}), b AS ({b}),
+j AS (SELECT a.key, a.shard AS s_from, b.shard AS s_to
+      FROM a JOIN b ON a.key = b.key)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST((1000 * SUM(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS moved_milli,
+       CAST({1000 * (hi - lo) // hi} AS BIGINT) AS minimal_milli
+FROM j
+"""

@@ -266,3 +266,93 @@ SELECT CAST(_n AS BIGINT) AS class_size,
        CAST(MIN(_l) AS BIGINT) AS min_l
 FROM classes GROUP BY _n
 """
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    tiebreak_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """EXACT equi-depth histogram per group — the optimizer-statistics
+    histogram (each bucket holds the same row count ±1, so selectivity
+    of a range predicate reads off bucket fractions; equi-WIDTH
+    histograms lie under skew, which is why every serious CBO keeps
+    equi-depth).  One row per (group, bucket):
+    ``(grp, bucket, n_rows, lo, hi, n_distinct)``.
+
+    Bucket assignment is the exact integer rule ``(rank-1)·k div n``
+    over the per-group (value, tiebreak) order — deterministic across
+    engines (the tiebreak makes the rank total), sizes differing by at
+    most one row by construction.
+
+    Scale: the rank is a per-group window — parallel across groups,
+    single-task within one.  The group is the statistics unit here
+    (priority class, partition, shard); for a histogram over ONE
+    colossal ungrouped column, sample first (``sampled_quantiles``) or
+    quantize to a pre-bucketed rollup — an exact global rank at 100 TB
+    is the same order-statistic wall the Gini docstring documents.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy("grp").orderBy("v", "tb")
+    nw = Window.partitionBy("grp")
+    ranked = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+            F.col(tiebreak_col).alias("tb"),
+        )
+        .filter(F.col("v").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(nw))
+    )
+    return (
+        ranked.withColumn(
+            # rank to BIGINT before the multiply: row_number is int32
+            # and (rk-1)*k wraps past n*k > 2^31 (n > 2.6e8 at k=8)
+            "bucket",
+            F.expr(
+                f"(CAST(rk AS BIGINT) - 1) * {int(k)} div n"
+            ).cast("long"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count_distinct("v").cast("long").alias("n_distinct"),
+        )
+    )
+
+
+def equidepth_histogram_sql(
+    table: str,
+    value_col: str,
+    *,
+    group_col: str,
+    tiebreak_col: str,
+    k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`equidepth_histogram`."""
+    return f"""
+WITH ranked AS (
+  SELECT {group_col} AS grp,
+         CAST({value_col} AS DOUBLE) AS v,
+         row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY CAST({value_col} AS DOUBLE), {tiebreak_col}) AS rk,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {table}
+  WHERE {value_col} IS NOT NULL)
+SELECT grp, CAST((rk - 1) * {int(k)} // n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(v) AS lo, MAX(v) AS hi,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+FROM ranked
+GROUP BY 1, 2
+"""

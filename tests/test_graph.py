@@ -247,3 +247,22 @@ def test_hits_star_graph(spark):
         assert got[n]["auth_i"] == 0              # no in-edges
     for n in (8, 9):
         assert got[n]["hub_i"] == 0               # no out-edges
+
+
+def test_lpa_communities_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after 3 synchronous
+    min-tie-break rounds each triangle converges to its smallest member
+    id; both orientations of a duplicated edge must not double votes."""
+    from inception_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1),        # clique A (+ dup rev)
+         (10, 11), (11, 12), (12, 10),          # clique B
+         (3, 10)],                              # bridge
+        "src int, dst int",
+    )
+    got = {r["node"]: r["community"]
+           for r in lpa_communities(edges, n_iter=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]

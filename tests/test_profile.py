@@ -124,3 +124,33 @@ def test_k_anonymity_report_planted_classes(spark):
     assert got[2]["violates_k"] is False and got[2]["min_l"] == 2
     assert got[3]["min_l"] == 1          # the l-diversity leak
     assert sum(r["n_rows"] for r in got.values()) == 6
+
+
+def test_equidepth_histogram_exact_depths(spark):
+    """Bucket sizes differ by at most one, buckets partition the rank
+    order (lo/hi non-overlapping in rank terms), and the per-group
+    row totals reconstruct the input."""
+    from inception_spark.operators.profile import equidepth_histogram
+
+    rows = [("a", float(v), i) for i, v in enumerate(
+        [5, 1, 9, 3, 7, 2, 8, 4, 6, 0, 10, 12])] + [
+        ("b", float(i % 3), 100 + i) for i in range(7)]
+    df = spark.createDataFrame(rows, "grp string, v double, id long")
+    out = equidepth_histogram(
+        df, "v", group_col="grp", tiebreak_col="id", k=4
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    a = sorted(by_grp["a"], key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in a] == [0, 1, 2, 3]
+    assert [r["n_rows"] for r in a] == [3, 3, 3, 3]
+    # value ranges tile in order
+    for i in range(3):
+        assert a[i]["hi"] <= a[i + 1]["lo"]
+    # group b: 7 rows into 4 buckets -> sizes 2,2,2,1 (ceil split)
+    b = sorted(by_grp["b"], key=lambda r: r["bucket"])
+    assert sum(r["n_rows"] for r in b) == 7
+    assert max(r["n_rows"] for r in b) - min(r["n_rows"] for r in b) <= 1
+    # duplicate values may straddle buckets: rank splits, values don't
+    assert sum(r["n_distinct"] for r in b) >= 3
