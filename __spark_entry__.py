@@ -2171,6 +2171,27 @@ def _q_reshard_movement(spark, sf_dir):
     )
 
 
+def _q_mmr_rerank(spark, sf_dir):
+    """Diversified top-k between ANN and the prompt: greedy MMR over a
+    TakeOrdered candidate pool, micro-integer cosines, every argmax a
+    pool-sized orderBy().limit(1) — the dedup-at-serving-time step that
+    keeps near-identical hits from crowding the context window."""
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    return S.mmr_rerank(emb, qv, k=8, pool=40)
+
+
+def _mmr_oracle_sql():
+    from inception_spark.operators.similarity import mmr_rerank_sql
+
+    return mmr_rerank_sql(
+        "embeddings",
+        "SELECT embedding AS qv FROM embeddings WHERE vec_id = 0",
+        k=8,
+        pool=40,
+    )
+
+
 def _lpa_oracle_sql():
     from inception_spark.operators.graph import lpa_communities_sql
 
@@ -4652,6 +4673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_curve": lambda spark, sf: TA.vocab_growth_curve(
             _docs(spark, sf)
         ),
+        # r9: MMR diversified top-k (greedy, integer scores)
+        "mmr_rerank": _q_mmr_rerank,
         # r9: LPA product communities (deterministic sync rounds)
         "part_communities": _q_part_communities,
         # r9: exact equi-depth price histogram (the CBO stats object)
@@ -6328,6 +6351,8 @@ GROUP BY o.o_orderpriority
         "revenue_gini": R.REVENUE_GINI_SQL,
         # r8: same first-bucket aggregate + spine windows
         "vocab_growth_curve": TA.vocab_growth_curve_sql(),
+        # r9: identical greedy rounds unrolled into CTEs
+        "mmr_rerank": _mmr_oracle_sql(),
         # r9: identical synchronous vote rounds, unrolled into CTEs
         "part_communities": _lpa_oracle_sql(),
         # r9: same rank rule ((rk-1)*k div n) over the same total order

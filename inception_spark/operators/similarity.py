@@ -1871,3 +1871,147 @@ def ivf_balance_report(
             ).alias("imbalance"),
         )
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 8,
+    pool: int = 40,
+    lambda_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversified top-k every retrieval-augmented serving
+    stack puts between ANN and the prompt: greedily pick the candidate
+    maximizing ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` so near-duplicate
+    hits don't crowd out coverage.  Output ``(rank, vec_id, rel_micro)``.
+
+    Determinism: relevance and pairwise similarity are micro-integer
+    cosines (round(cos·10⁶) — the repo's round-before-rank discipline),
+    the MMR score is pure integer arithmetic
+    ``lambda_milli·rel − (1000−lambda_milli)·maxsim``, and every argmax
+    is an ``orderBy(score DESC, id).limit(1)`` over the pool-sized
+    table — smallest-id tie-break, TakeOrdered plan.
+
+    Scale shape: stage 1 is the distributed part — the ``pool``-sized
+    candidate set arrives via TakeOrderedAndProject over the full
+    corpus scan (cosine_topk's economics).  The greedy loop is
+    inherently sequential in k, but every round touches only
+    pool × |selected| ≤ pool·k rows — control-plane-sized by
+    construction (the pool IS the knob), expressed as k in-plan rounds
+    with lazy localCheckpoint, never a driver loop over collected
+    vectors."""
+    if not 1 <= k <= pool:
+        raise ValueError("need 1 <= k <= pool")
+    if not 0 <= lambda_milli <= 1000:
+        raise ValueError("lambda_milli in [0, 1000]")
+    q = _query_vec_col(query_vec)
+    cand = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.round(cosine(F.col(vec_col), q) * 1e6, 0)
+            .cast("long")
+            .alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(int(pool))
+        .localCheckpoint(eager=False)
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "v", "rel", F.lit(1).alias("rank"))
+    )
+    sel = first.localCheckpoint(eager=False)
+    lam, mu = int(lambda_milli), 1000 - int(lambda_milli)
+    for r in range(2, int(k) + 1):
+        rem = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        scored = (
+            rem.alias("c")
+            .join(sel.alias("s"))
+            .groupBy("c.vec_id", "c.rel")
+            .agg(
+                F.max(
+                    F.round(
+                        cosine(F.col("c.v"), F.col("s.v")) * 1e6, 0
+                    ).cast("long")
+                ).alias("maxsim")
+            )
+            .select(
+                "vec_id",
+                "rel",
+                (F.lit(lam) * F.col("rel")
+                 - F.lit(mu) * F.col("maxsim")).alias("score"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id")
+            .join(cand, "vec_id")
+            .select("vec_id", "v", "rel", F.lit(r).alias("rank"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rel").alias("rel_micro"),
+    )
+
+
+def mmr_rerank_sql(
+    emb_table: str,
+    query_sql: str,
+    *,
+    k: int = 8,
+    pool: int = 40,
+    lambda_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank` — the identical greedy rounds
+    unrolled into MATERIALIZED CTEs (the hits_sql convention).
+    ``query_sql`` must select one row with a ``qv`` list column."""
+    from inception_spark.functions.vectors import cosine_sql
+
+    lam, mu = int(lambda_milli), 1000 - int(lambda_milli)
+    rel = cosine_sql(vec_col, "qv")
+    sim = cosine_sql("c.v", "s.v")
+    rounds = []
+    prev = "s1"
+    for r in range(2, int(k) + 1):
+        rounds.append(f"""
+pick{r} AS MATERIALIZED (
+  SELECT vec_id, v, rel FROM (
+    SELECT c.vec_id, c.v, c.rel,
+           {lam} * c.rel - {mu} * MAX(
+             CAST(round({sim} * 1e6, 0) AS BIGINT)) AS score
+    FROM pool c CROSS JOIN {prev} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+    GROUP BY c.vec_id, c.v, c.rel
+    ORDER BY score DESC, c.vec_id ASC LIMIT 1)),
+s{r} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT vec_id, v, rel, {r} AS rank FROM pick{r})""")
+        prev = f"s{r}"
+    return f"""
+WITH q AS MATERIALIZED ({query_sql}),
+pool AS MATERIALIZED (
+  SELECT {id_col} AS vec_id, {vec_col} AS v,
+         CAST(round({rel} * 1e6, 0) AS BIGINT) AS rel
+  FROM {emb_table}, q
+  ORDER BY rel DESC, vec_id ASC LIMIT {int(pool)}),
+s1 AS MATERIALIZED (
+  SELECT vec_id, v, rel, 1 AS rank FROM pool
+  ORDER BY rel DESC, vec_id ASC LIMIT 1){',' if rounds else ''}
+{','.join(rounds)}
+SELECT CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       rel AS rel_micro
+FROM {prev}
+"""

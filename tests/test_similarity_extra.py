@@ -1,0 +1,56 @@
+
+
+def test_mmr_rerank_matches_greedy_reference_and_diversifies(spark):
+    """MMR vs a brute-force python greedy on planted vectors: the top
+    relevance hit's near-duplicate must NOT take rank 2 (a plain top-k
+    would rank it second), and the full selection equals the reference
+    implementation exactly."""
+    import math
+
+    from inception_spark.operators.similarity import mmr_rerank
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    vecs = {
+        0: unit([1.0, 0.01, 0.0, 0.0]),   # best hit
+        1: unit([1.0, 0.011, 0.0, 0.0]),  # near-dup of 0 (sim ~ 1.0)
+        2: unit([0.7, 0.0, 0.714, 0.0]),  # diverse (orthogonal part)
+        3: unit([0.6, 0.0, 0.0, 0.8]),    # diverse on another axis
+        4: unit([0.1, 0.0, 0.0, 1.0]),    # weak rel
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["rank"], r["vec_id"])
+        for r in mmr_rerank(
+            df, q, k=4, pool=5, lambda_milli=500
+        ).collect()
+    )
+
+    def cos_micro(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb) * 1e6)
+
+    rel = {i: cos_micro(v, q) for i, v in vecs.items()}
+    sel = [max(sorted(rel), key=lambda i: (rel[i], -i))]
+    while len(sel) < 4:
+        best, best_score = None, None
+        for c in sorted(vecs):
+            if c in sel:
+                continue
+            ms = max(cos_micro(vecs[c], vecs[s]) for s in sel)
+            score = 500 * rel[c] - 500 * ms
+            if best_score is None or score > best_score:
+                best, best_score = c, score
+        sel.append(best)
+    assert got == [(i + 1, v) for i, v in enumerate(sel)]
+    ranks = dict(got)
+    assert ranks[1] == 0               # top relevance first
+    assert ranks.get(2) != 1           # near-dup demoted below rank 2
