@@ -215,6 +215,16 @@ HEADLINE = [
     "vocab_growth_curve",
     # r8: first/last-touch attribution (segment windows + struct picks)
     "purchase_attribution",
+    # r9: MMR diversified top-k (pool TakeOrdered + k greedy rounds)
+    "mmr_rerank",
+    # r9: synchronous label propagation (3 vote rounds)
+    "part_communities",
+    # r9: exact equi-depth histogram (per-priority rank windows)
+    "price_histogram_equidepth",
+    # r9: HRW shard assignment (argmax-of-hashes codegen scan)
+    "doc_rendezvous_shards",
+    # r9: measured HRW reshard movement (two assignments joined)
+    "reshard_movement",
 ]
 
 
@@ -345,7 +355,7 @@ def main() -> None:
                 # assign_global_ids, events_twap, hll_user_overlap,
                 # phrase_search, dup_graph_kcore, containment_pairs,
                 # events_resample, fs_linkage — 79 total)
-                "queryset": "r8",
+                "queryset": "r9",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
             }
@@ -366,7 +376,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "queryset": "r8",
+                "queryset": "r9",
                 "n_queries": len(HEADLINE),
                 "max_query_sec": max(timings.values()),
                 "max_query": max(timings, key=timings.get),
