@@ -2171,6 +2171,53 @@ def _q_reshard_movement(spark, sf_dir):
     )
 
 
+def _q_events_forecast_conformal(spark, sf_dir):
+    """Seasonal-naive + drift forecast WITH split-conformal ±q bands:
+    calibration residuals are the 24 per-slot last-vs-previous-day
+    gaps, q their exact ceil((1−α)(n+1))-th order statistic —
+    distribution-free coverage, all integer milli."""
+    return R.events_forecast_conformal(spark, sf_dir)
+
+
+def _q_streaming_forecast_conformal(spark, sf_dir):
+    """The conformal forecast maintained live: the SAME hour-counter
+    partials the burst monitor and point forecast stream re-sum across
+    micro-batches; the conformal finalize reads the merged rollup —
+    one streamed state, now THREE live consumers (burst, forecast,
+    conformal bands).  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts")
+    parts = run_stream_batch_partials(
+        spark, ev, R.burst_hourly_partials
+    )
+    return R.forecast_conformal_from_hourly(parts)
+
+
+def _q_doc_length_percentile(spark, sf_dir):
+    """Per-source token-count percentile — the per-parent rank
+    normalization length curricula/filters want ('drop each source's
+    shortest 5%', never the corpus's)."""
+    return TA.doc_length_percentile(_docs(spark, sf_dir))
+
+
+def _q_join_cardinality_check(spark, sf_dir):
+    """CBO estimator closed loop on the orders⋈customer key: the
+    System-R uniform-frequency estimate |L|·|R| div max(ndv) next to
+    the actual join count, with the milli error that says whether
+    stats-driven planning can be trusted on this key."""
+    from inception_spark.operators.profile import join_cardinality_check
+
+    return join_cardinality_check(
+        R.load(spark, sf_dir, "orders"),
+        R.load(spark, sf_dir, "customer"),
+        left_key="o_custkey",
+        right_key="c_custkey",
+    )
+
+
 def _q_mmr_rerank(spark, sf_dir):
     """Diversified top-k between ANN and the prompt: greedy MMR over a
     TakeOrdered candidate pool, micro-integer cosines, every argmax a
@@ -2179,6 +2226,16 @@ def _q_mmr_rerank(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
     return S.mmr_rerank(emb, qv, k=8, pool=40)
+
+
+def _join_cardinality_oracle_sql():
+    from inception_spark.operators.profile import (
+        join_cardinality_check_sql,
+    )
+
+    return join_cardinality_check_sql(
+        "orders", "customer", left_key="o_custkey", right_key="c_custkey"
+    )
 
 
 def _mmr_oracle_sql():
@@ -4675,6 +4732,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # r9: MMR diversified top-k (greedy, integer scores)
         "mmr_rerank": _q_mmr_rerank,
+        # r9: conformal forecast bands (exact order-stat calibration)
+        "events_forecast_conformal": _q_events_forecast_conformal,
+        # r9: the conformal bands live (same streamed hour counters)
+        "streaming_forecast_conformal": _q_streaming_forecast_conformal,
+        # r9: per-source length percentile (per-parent rank norm)
+        "doc_length_percentile": _q_doc_length_percentile,
+        # r9: CBO estimate vs actual join cardinality (one-row audit)
+        "join_cardinality_check": _q_join_cardinality_check,
         # r9: LPA product communities (deterministic sync rounds)
         "part_communities": _q_part_communities,
         # r9: exact equi-depth price histogram (the CBO stats object)
@@ -6353,6 +6418,14 @@ GROUP BY o.o_orderpriority
         "vocab_growth_curve": TA.vocab_growth_curve_sql(),
         # r9: identical greedy rounds unrolled into CTEs
         "mmr_rerank": _mmr_oracle_sql(),
+        # r9: point forecast nested as CTE + same calibration order stat
+        "events_forecast_conformal": R.events_forecast_conformal_sql(),
+        # r9: streaming == batch by the hour-counter re-sum identity
+        "streaming_forecast_conformal": R.events_forecast_conformal_sql(),
+        # r9: same tiebroken per-source rank rule
+        "doc_length_percentile": TA.doc_length_percentile_sql(),
+        # r9: same exact counts, same integer estimate arithmetic
+        "join_cardinality_check": _join_cardinality_oracle_sql(),
         # r9: identical synchronous vote rounds, unrolled into CTEs
         "part_communities": _lpa_oracle_sql(),
         # r9: same rank rule ((rk-1)*k div n) over the same total order

@@ -10,7 +10,7 @@ applicable to any string column at 100 TB (narrow projections, no shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inception_spark.functions.hashing import words, words_sql
@@ -2432,4 +2432,76 @@ SELECT t.bucket, CAST(t.n_tokens AS BIGINT) AS n_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS n_distinct_cum
 FROM toks t LEFT JOIN news n ON t.bucket = n.bucket
+"""
+
+
+def doc_length_percentile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Each document's token-count percentile WITHIN its source —
+    (doc_id, source-group, n_tokens, pct_milli): the per-parent rank
+    normalization every length-based curriculum/filter wants ("drop
+    the shortest 5% of each source", never "of the corpus", because
+    sources have wildly different length distributions).
+
+    Exactness: pct_milli = (1000·(rank−1)) div (n−1) over the
+    (n_tokens, doc_id)-tiebroken per-group order — min 0, max 1000,
+    single-doc groups pin to 0 under an explicit n>1 guard instead of
+    dividing by zero.  Per-group windows parallelize across sources;
+    for one colossal source the sharded-prefix-sum form in
+    operators/sampling.py is the 100× path."""
+    w = Window.partitionBy(group_col).orderBy("n_tokens", id_col)
+    nw = Window.partitionBy(group_col)
+    base = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(group_col).alias(group_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(nw))
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.when(
+                F.col("_n") > 1,
+                F.expr("(1000 * (CAST(_rk AS BIGINT) - 1)) div (_n - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pct_milli"),
+        )
+    )
+
+
+def doc_length_percentile_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`doc_length_percentile`."""
+    tok = token_count_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {group_col},
+         CAST({tok} AS BIGINT) AS n_tokens
+  FROM {table}),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY n_tokens, {id_col}) AS _rk,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS _n
+  FROM base)
+SELECT {id_col}, {group_col}, n_tokens,
+       CAST(CASE WHEN _n > 1
+            THEN (1000 * (_rk - 1)) // (_n - 1) ELSE 0 END AS BIGINT)
+         AS pct_milli
+FROM r
 """

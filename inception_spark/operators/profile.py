@@ -356,3 +356,97 @@ SELECT grp, CAST((rk - 1) * {int(k)} // n AS BIGINT) AS bucket,
 FROM ranked
 GROUP BY 1, 2
 """
+
+
+def join_cardinality_check(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """The CBO estimator closed loop: the textbook equi-join cardinality
+    estimate ``|L|·|R| div max(ndv_L, ndv_R)`` (uniform-frequency,
+    containment assumption — what every System-R descendant plans with)
+    next to the ACTUAL join count, in one row:
+    ``(n_left, n_right, ndv_left, ndv_right, est_rows, actual_rows,
+    err_milli)`` with ``err_milli = 1000·|est − actual| div actual``.
+
+    This is the estimator-vs-reality audit you run per join key before
+    trusting stats-driven plans at 100 TB: a large err_milli on a key
+    means skew or correlation the uniform assumption can't see — feed
+    it an equi-depth histogram (``equidepth_histogram``) or a
+    heavy-hitter sketch instead.  Plan: two single-pass aggregates +
+    the actual join count; all exact integers."""
+    ls = left.agg(
+        F.count(F.lit(1)).cast("long").alias("n_left"),
+        F.count_distinct(F.col(left_key)).cast("long").alias("ndv_left"),
+    )
+    rs = right.agg(
+        F.count(F.lit(1)).cast("long").alias("n_right"),
+        F.count_distinct(F.col(right_key)).cast("long").alias(
+            "ndv_right"
+        ),
+    )
+    actual = (
+        left.select(F.col(left_key).alias("_k"))
+        .join(right.select(F.col(right_key).alias("_k")), "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return (
+        ls.crossJoin(rs)
+        .crossJoin(actual)
+        .select(
+            "n_left",
+            "n_right",
+            "ndv_left",
+            "ndv_right",
+            F.expr(
+                "(n_left * n_right) div greatest(ndv_left, ndv_right)"
+            )
+            .cast("long")
+            .alias("est_rows"),
+            "actual_rows",
+            F.expr(
+                "CASE WHEN actual_rows > 0 THEN"
+                " (1000 * abs((n_left * n_right)"
+                " div greatest(ndv_left, ndv_right) - actual_rows))"
+                " div actual_rows ELSE NULL END"
+            )
+            .cast("long")
+            .alias("err_milli"),
+        )
+    )
+
+
+def join_cardinality_check_sql(
+    left_table: str,
+    right_table: str,
+    *,
+    left_key: str,
+    right_key: str,
+) -> str:
+    """DuckDB twin of :func:`join_cardinality_check`."""
+    return f"""
+WITH ls AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+         CAST(COUNT(DISTINCT {left_key}) AS BIGINT) AS ndv_left
+  FROM {left_table}),
+rs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+         CAST(COUNT(DISTINCT {right_key}) AS BIGINT) AS ndv_right
+  FROM {right_table}),
+act AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+  FROM {left_table} l JOIN {right_table} r
+    ON l.{left_key} = r.{right_key})
+SELECT n_left, n_right, ndv_left, ndv_right,
+       CAST((n_left * n_right) // greatest(ndv_left, ndv_right)
+            AS BIGINT) AS est_rows,
+       actual_rows,
+       CAST(CASE WHEN actual_rows > 0 THEN
+         (1000 * abs((n_left * n_right) // greatest(ndv_left, ndv_right)
+                     - actual_rows)) // actual_rows END AS BIGINT)
+         AS err_milli
+FROM ls, rs, act
+"""

@@ -3826,6 +3826,165 @@ JOIN drift d ON d.event_type = t.event_type
 """
 
 
+def _conformal_k(alpha_milli: int, n_cal: int = 24) -> int:
+    """Split-conformal order-statistic index: the ceil((1−α)(n+1))-th
+    smallest calibration residual gives ≥(1−α) marginal coverage
+    (Vovk; Lei et al.) — pure integer ceiling division."""
+    if not 0 < alpha_milli < 1000:
+        raise ValueError("alpha_milli in (0, 1000)")
+    k = -(-(1000 - int(alpha_milli)) * (n_cal + 1) // 1000)
+    return min(k, n_cal)
+
+
+def forecast_conformal_from_hourly(
+    hourly_parts: DataFrame,
+    *,
+    horizon: int = 24,
+    alpha_milli: int = 200,
+) -> DataFrame:
+    """Seasonal-naive + drift forecast WITH split-conformal intervals —
+    the point forecast (:func:`forecast_from_hourly`) plus distribution-
+    free ±q bands: the calibration residuals are the 24 per-slot
+    |last-day − previous-day| gaps (the seasonal-naive backtest the
+    data already contains), and q is their ceil((1−α)(n+1))-th order
+    statistic — the standard split-conformal guarantee with NO
+    distributional assumption and NO float arithmetic (counts, abs
+    diffs, one exact order statistic, integer milli everywhere).
+    Output: forecast columns + (q_milli, lo_milli, hi_milli),
+    lo clamped at 0.
+
+    100 TB shape: everything after the shared hourly rollup is
+    type-cardinality × 24 sized; the order statistic is a per-type
+    window over 24 rows."""
+    f = forecast_from_hourly(hourly_parts, horizon=horizon)
+    hourly = (
+        hourly_parts.groupBy("event_type", "hour_ts")
+        .agg(F.sum("n").alias("n"))
+        .withColumn(
+            "hour_idx", F.expr("unix_timestamp(hour_ts) div 3600")
+        )
+    )
+    mx = hourly.agg(F.max("hour_idx").alias("_mx"))
+    based = hourly.join(F.broadcast(mx)).withColumn(
+        "_back", F.col("_mx") - F.col("hour_idx")
+    )
+    slots = (
+        hourly.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("_slot"),
+        )
+    )
+    last_day = based.filter(F.col("_back") < 24).select(
+        "event_type",
+        (F.col("_back") % 24).alias("_slot"),
+        F.col("n").alias("n_last"),
+    )
+    prev_day = based.filter(
+        (F.col("_back") >= 24) & (F.col("_back") < 48)
+    ).select(
+        "event_type",
+        (F.col("_back") % 24).alias("_slot"),
+        F.col("n").alias("n_prev"),
+    )
+    cal = (
+        slots.join(last_day, ["event_type", "_slot"], "left")
+        .join(prev_day, ["event_type", "_slot"], "left")
+        .select(
+            "event_type",
+            "_slot",
+            F.abs(
+                F.coalesce("n_last", F.lit(0))
+                - F.coalesce("n_prev", F.lit(0))
+            ).alias("_r"),
+        )
+    )
+    k = _conformal_k(alpha_milli)
+    w = Window.partitionBy("event_type").orderBy("_r", "_slot")
+    q = (
+        cal.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k)
+        .select("event_type", (F.col("_r") * 1000).alias("q_milli"))
+    )
+    return f.join(q, "event_type").select(
+        f["*"],
+        F.col("q_milli").cast("long").alias("q_milli"),
+        F.greatest(
+            F.lit(0), F.col("forecast_milli") - F.col("q_milli")
+        )
+        .cast("long")
+        .alias("lo_milli"),
+        (F.col("forecast_milli") + F.col("q_milli"))
+        .cast("long")
+        .alias("hi_milli"),
+    )
+
+
+def events_forecast_conformal(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon: int = 24,
+    alpha_milli: int = 200,
+) -> DataFrame:
+    """:func:`events_forecast` with split-conformal ±q bands."""
+    return forecast_conformal_from_hourly(
+        burst_hourly_partials(load_events(spark, sf_dir)),
+        horizon=horizon,
+        alpha_milli=alpha_milli,
+    )
+
+
+def events_forecast_conformal_sql(
+    *, horizon: int = 24, alpha_milli: int = 200
+) -> str:
+    """DuckDB twin of :func:`events_forecast_conformal` — the point
+    forecast nested as a CTE plus the identical calibration order
+    statistic."""
+    k = _conformal_k(alpha_milli)
+    return f"""
+WITH f AS MATERIALIZED ({events_forecast_sql(horizon=horizon)}),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+           AS hour_idx
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT max(hour_idx) AS _mx FROM hourly),
+based AS (
+  SELECT h.*, m._mx - h.hour_idx AS _back FROM hourly h, mx m),
+slots AS (
+  SELECT DISTINCT event_type, s.slot
+  FROM hourly CROSS JOIN
+    (SELECT unnest(range(0, 24)) AS slot) s),
+last_day AS (
+  SELECT event_type, _back % 24 AS _slot, n AS n_last
+  FROM based WHERE _back < 24),
+prev_day AS (
+  SELECT event_type, _back % 24 AS _slot, n AS n_prev
+  FROM based WHERE _back >= 24 AND _back < 48),
+cal AS (
+  SELECT s.event_type, s.slot,
+         abs(COALESCE(l.n_last, 0) - COALESCE(p.n_prev, 0)) AS r
+  FROM slots s
+  LEFT JOIN last_day l
+    ON l.event_type = s.event_type AND l._slot = s.slot
+  LEFT JOIN prev_day p
+    ON p.event_type = s.event_type AND p._slot = s.slot),
+q AS (
+  SELECT event_type, CAST(r * 1000 AS BIGINT) AS q_milli FROM (
+    SELECT event_type, r, row_number() OVER (
+      PARTITION BY event_type ORDER BY r, slot) AS rn
+    FROM cal)
+  WHERE rn = {k})
+SELECT f.*, q.q_milli,
+       CAST(greatest(0, f.forecast_milli - q.q_milli) AS BIGINT)
+         AS lo_milli,
+       CAST(f.forecast_milli + q.q_milli AS BIGINT) AS hi_milli
+FROM f JOIN q USING (event_type)
+"""
+
+
 NANO = 10**9
 
 

@@ -1227,7 +1227,8 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     )
     import pytest as _pytest
 
-    with _pytest.raises(AssertionError, match="not co-located"):
+    # RuntimeError, not assert: the guard must survive python -O
+    with _pytest.raises(RuntimeError, match="not co-located"):
         colocated_join(
             spark, "t_bkt_li", "t_bkt_o4", "l_orderkey", "o_orderkey"
         )
@@ -1877,3 +1878,54 @@ def test_purchase_attribution_segments(spark, tmp_path):
     assert got["click"]["n_last_touch"] == 1
     assert got["direct"]["n_first_touch"] == 1
     assert got["direct"]["n_last_touch"] == 1
+
+
+def test_forecast_conformal_bands(spark):
+    """Split-conformal bands: the order-statistic index follows
+    ceil((1-alpha)(n+1)); on a planted 2-day series with constant
+    per-slot gap g the 80% q is exactly g, bands are forecast ± 1000g
+    clamped at 0, and every interval contains the point forecast."""
+    import datetime
+
+    from inception_spark.plans.relational import (
+        _conformal_k,
+        burst_hourly_partials,
+        forecast_conformal_from_hourly,
+    )
+
+    assert _conformal_k(200) == 20   # ceil(0.8 * 25)
+    assert _conformal_k(50) == 24    # ceil(0.95 * 25) = 23.75 -> 24
+    assert _conformal_k(500) == 13
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _conformal_k(0)
+
+    # two full days: day -2 has 3 events/hour, day -1 has 5 -> every
+    # slot residual is exactly 2
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day, per_hour in ((0, 3), (1, 5)):
+        for h in range(24):
+            for i in range(per_hour):
+                eid += 1
+                rows.append(
+                    (eid, t0 + datetime.timedelta(days=day, hours=h,
+                                                  minutes=i), 1, "view",
+                     1.0, "{}")
+                )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = forecast_conformal_from_hourly(
+        burst_hourly_partials(ev), horizon=6
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["q_milli"] == 2000
+        assert r["lo_milli"] == max(0, r["forecast_milli"] - 2000)
+        assert r["hi_milli"] == r["forecast_milli"] + 2000
+        assert r["lo_milli"] <= r["forecast_milli"] <= r["hi_milli"]
