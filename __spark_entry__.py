@@ -2218,6 +2218,38 @@ def _q_join_cardinality_check(spark, sf_dir):
     )
 
 
+def _q_binary_quantize_topk(spark, sf_dir):
+    """1-bit sign quantization ANN: two int64 sign words per vector,
+    Hamming probe by xor+popcount in whole-stage codegen (32x less scan
+    than float32), exact-cosine rerank of the 4k survivors."""
+    from inception_spark.operators.similarity import binary_quantize_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    return binary_quantize_topk(emb, qv, k=10)
+
+
+def _binary_quantize_oracle_sql():
+    from inception_spark.operators.similarity import (
+        binary_quantize_topk_sql,
+    )
+
+    return binary_quantize_topk_sql(
+        "embeddings",
+        "SELECT embedding AS qv FROM embeddings WHERE vec_id = 0",
+        k=10,
+        dim=_EMB_DIM,
+    )
+
+
+def _q_frequent_triples(spark, sf_dir):
+    """A-priori level-3 itemsets: frequent-pair self-join candidate
+    generation + downward-closure prune BEFORE any basket rescan — the
+    classic demonstration that candidate pruning, not counting, is what
+    makes frequent-itemset mining tractable at scale."""
+    return R.frequent_triples(spark, sf_dir, min_support=2, k=50)
+
+
 def _q_mmr_rerank(spark, sf_dir):
     """Diversified top-k between ANN and the prompt: greedy MMR over a
     TakeOrdered candidate pool, micro-integer cosines, every argmax a
@@ -4732,6 +4764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # r9: MMR diversified top-k (greedy, integer scores)
         "mmr_rerank": _q_mmr_rerank,
+        # r9: sign-bit quantized Hamming ANN + exact rerank
+        "binary_quantize_topk": _q_binary_quantize_topk,
+        # r9: A-priori triples (closure-pruned candidate generation)
+        "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
         "events_forecast_conformal": _q_events_forecast_conformal,
         # r9: the conformal bands live (same streamed hour counters)
@@ -6418,6 +6454,10 @@ GROUP BY o.o_orderpriority
         "vocab_growth_curve": TA.vocab_growth_curve_sql(),
         # r9: identical greedy rounds unrolled into CTEs
         "mmr_rerank": _mmr_oracle_sql(),
+        # r9: same sign words, same xor+popcount, same rerank
+        "binary_quantize_topk": _binary_quantize_oracle_sql(),
+        # r9: same candidate generation + closure prunes
+        "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat
         "events_forecast_conformal": R.events_forecast_conformal_sql(),
         # r9: streaming == batch by the hour-counter re-sum identity

@@ -225,6 +225,16 @@ HEADLINE = [
     "doc_rendezvous_shards",
     # r9: measured HRW reshard movement (two assignments joined)
     "reshard_movement",
+    # r9: conformal forecast bands (order-stat calibration join)
+    "events_forecast_conformal",
+    # r9: per-source token-count percentile (per-group rank windows)
+    "doc_length_percentile",
+    # r9: CBO estimate vs actual join count (3 aggregates)
+    "join_cardinality_check",
+    # r9: sign-bit Hamming ANN probe + exact rerank
+    "binary_quantize_topk",
+    # r9: A-priori triples (closure-pruned candidates, 3.3 s warm)
+    "frequent_triples",
 ]
 
 

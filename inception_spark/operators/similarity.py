@@ -2015,3 +2015,137 @@ SELECT CAST(rank AS BIGINT) AS rank,
        rel AS rel_micro
 FROM {prev}
 """
+
+
+def _sign_code_expr(vec_col: str, lo_bit: int, n_bits: int):
+    """Sign-bit pack of ``n_bits`` vector components starting at
+    ``lo_bit`` into one non-negative int64 (bit i set iff component
+    lo_bit+i > 0) — disjoint bits, so the fold is a plain OR."""
+    return F.expr(
+        f"aggregate(sequence(0, {n_bits - 1}), 0L, (acc, i) -> "
+        f"acc | IF(element_at({vec_col}, i + {lo_bit + 1}) > 0, "
+        f"shiftleft(1L, i), 0L))"
+    )
+
+
+def _sign_code_sql(vec_col: str, lo_bit: int, n_bits: int) -> str:
+    """DuckDB twin of :func:`_sign_code_expr` (sum of disjoint bits ==
+    OR; kept under bit 62 so BIGINT shifts never overflow)."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {n_bits}), i -> "
+        f"CASE WHEN {vec_col}[i + {lo_bit + 1}] > 0 "
+        f"THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+def binary_quantize_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary (sign) quantization ANN — the 1-bit-per-dimension probe
+    every modern vector store ships (32× smaller than float32, Hamming
+    distance = one XOR + popcount per 64 dims): pack each vector's
+    sign bits into two 32-bit words, scan by
+    ``bit_count(xor(...)) + bit_count(xor(...))`` (pure whole-stage
+    codegen — integer ops, no float math in the scan), take the
+    ``rerank_factor·k`` closest by (hamming, id), and re-rank that
+    small set by exact rounded cosine.  Output (vec_id, hamming, score,
+    rank).
+
+    100 TB shape: the probe scan reads two int64 columns per vector —
+    at a billion vectors that is 16 GB, not 256 GB of float32; both
+    top-k stages plan TakeOrderedAndProject.  Materialize the codes
+    write-once (the sq_topk_codes discipline) and the steady-state
+    probe never touches the float column except for the
+    ``rerank_factor·k`` survivors."""
+    dim = len(query_vec)
+    if dim % 2 or dim > 124:
+        raise ValueError("binary_quantize_topk packs 2 words <= 62 bits")
+    half = dim // 2
+    q_lo = sum(
+        1 << i for i in range(half) if float(query_vec[i]) > 0
+    )
+    q_hi = sum(
+        1 << i
+        for i in range(half)
+        if float(query_vec[half + i]) > 0
+    )
+    coded = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _sign_code_expr(vec_col, 0, half).alias("c_lo"),
+        _sign_code_expr(vec_col, half, half).alias("c_hi"),
+    ).withColumn(
+        "hamming",
+        (
+            F.bit_count(
+                F.col("c_lo").bitwiseXOR(F.lit(q_lo).cast("long"))
+            )
+            + F.bit_count(
+                F.col("c_hi").bitwiseXOR(F.lit(q_hi).cast("long"))
+            )
+        ).cast("long"),
+    )
+    cand = coded.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(
+        int(rerank_factor) * int(k)
+    )
+    q = _query_vec_col(query_vec)
+    reranked = cand.select(
+        "vec_id",
+        "hamming",
+        F.round(cosine(F.col("v"), q), 6).alias("score"),
+    ).orderBy(F.desc("score"), F.asc("vec_id")).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return reranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+
+
+def binary_quantize_topk_sql(
+    emb_table: str,
+    query_sql: str,
+    *,
+    k: int = 10,
+    rerank_factor: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`binary_quantize_topk`.  ``query_sql`` must
+    select one row with a ``qv`` list column of the same dim."""
+    from inception_spark.functions.vectors import cosine_sql
+
+    if dim % 2 or dim > 124:
+        raise ValueError("binary_quantize_topk packs 2 words <= 62 bits")
+    half = dim // 2
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT qv, {_sign_code_sql('qv', 0, half)} AS q_lo,
+         {_sign_code_sql('qv', half, half)} AS q_hi
+  FROM ({query_sql})),
+coded AS (
+  SELECT {id_col} AS vec_id, {vec_col} AS v,
+         {_sign_code_sql(vec_col, 0, half)} AS c_lo,
+         {_sign_code_sql(vec_col, half, half)} AS c_hi
+  FROM {emb_table}),
+cand AS (
+  SELECT c.vec_id, c.v,
+         CAST(bit_count(xor(c.c_lo, q.q_lo))
+              + bit_count(xor(c.c_hi, q.q_hi)) AS BIGINT) AS hamming
+  FROM coded c, q
+  ORDER BY hamming ASC, vec_id ASC LIMIT {int(rerank_factor) * int(k)}),
+rr AS (
+  SELECT vec_id, hamming,
+         round({cosine_sql('v', 'qv')}, 6) AS score
+  FROM cand, q
+  ORDER BY score DESC, vec_id ASC LIMIT {int(k)})
+SELECT vec_id, hamming, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM rr
+"""

@@ -4476,3 +4476,149 @@ SELECT COALESCE(f.touch_type, l.touch_type) AS touch_type,
        CAST(COALESCE(n_last_touch, 0) AS BIGINT) AS n_last_touch
 FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
 """
+
+
+def frequent_triples(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_support: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """A-priori level-3: frequent item TRIPLES from frequent pairs —
+    (item_a < item_b < item_c, n_orders, support, rank).  This is the
+    step where Agrawal–Srikant candidate generation actually earns its
+    keep at scale: candidates are (x,y)⋈(x,z) over the FREQUENT-pair
+    table (shared first item, y < z), then the downward-closure prune
+    drops any candidate whose third sub-pair (y,z) is not itself
+    frequent — only surviving candidates ever touch the basket table
+    again.  On a 100 TB basket log the unpruned triple join is
+    |baskets|·avg_basket³; the pruned one is bounded by the frequent-
+    pair table, which min_support keeps small by construction.
+
+    Counting pass: order-level pairs are semi-joined to frequent pairs
+    first (the same closure argument applied to the data side), extended
+    by one item, semi-joined to candidates, then one hash aggregate.
+    All counts exact; support = n/`n_orders` rounded at 6 dp; top-k is
+    round-then-rank with full lexicographic tie-break."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    a, b = li.alias("a"), li.alias("b")
+    opairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("o"),
+        F.col("a.l_partkey").alias("x"),
+        F.col("b.l_partkey").alias("y"),
+    ).localCheckpoint(eager=False)
+    fpairs = (
+        opairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_support)
+        .select("x", "y")
+        .localCheckpoint(eager=False)
+    )
+    # candidate generation: shared first item + downward-closure prune
+    p1, p2 = fpairs.alias("p1"), fpairs.alias("p2")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.x") == F.col("p2.x"))
+            & (F.col("p1.y") < F.col("p2.y")),
+        )
+        .select(
+            F.col("p1.x").alias("x"),
+            F.col("p1.y").alias("y"),
+            F.col("p2.y").alias("z"),
+        )
+        .join(
+            fpairs.select(
+                F.col("x").alias("y"), F.col("y").alias("z")
+            ),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+    # counting: frequent order-pairs extended by one larger item,
+    # restricted to candidates, one aggregate
+    fop = opairs.join(fpairs, ["x", "y"], "left_semi")
+    trip = (
+        fop.join(
+            li.select(
+                F.col("l_orderkey").alias("o"),
+                F.col("l_partkey").alias("z"),
+            ),
+            "o",
+        )
+        .filter(F.col("z") > F.col("y"))
+        .join(cand, ["x", "y", "z"], "left_semi")
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+    )
+    scored = trip.select(
+        F.col("x").cast("long").alias("item_a"),
+        F.col("y").cast("long").alias("item_b"),
+        F.col("z").cast("long").alias("item_c"),
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / F.lit(float(n_orders)), 6
+        ).alias("support"),
+    )
+    top = scored.orderBy(
+        F.desc("n_orders"), "item_a", "item_b", "item_c"
+    ).limit(int(k))
+    w = Window.orderBy(
+        F.desc("n_orders"), "item_a", "item_b", "item_c"
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+
+
+def frequent_triples_sql(*, min_support: int = 2, k: int = 50) -> str:
+    """DuckDB twin of :func:`frequent_triples` — same candidate
+    generation, same downward-closure prunes."""
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+no AS (SELECT COUNT(DISTINCT o) AS n FROM li),
+opairs AS MATERIALIZED (
+  SELECT a.o, a.p AS x, b.p AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+fpairs AS MATERIALIZED (
+  SELECT x, y FROM opairs GROUP BY x, y
+  HAVING COUNT(*) >= {min_support}),
+cand AS MATERIALIZED (
+  SELECT p1.x, p1.y, p2.y AS z
+  FROM fpairs p1 JOIN fpairs p2
+    ON p1.x = p2.x AND p1.y < p2.y
+  WHERE EXISTS (SELECT 1 FROM fpairs f
+                WHERE f.x = p1.y AND f.y = p2.y)),
+trip AS (
+  SELECT fp.x, fp.y, l.p AS z, COUNT(*) AS n_orders
+  FROM (SELECT op.* FROM opairs op
+        WHERE EXISTS (SELECT 1 FROM fpairs f
+                      WHERE f.x = op.x AND f.y = op.y)) fp
+  JOIN li l ON l.o = fp.o AND l.p > fp.y
+  WHERE EXISTS (SELECT 1 FROM cand c
+                WHERE c.x = fp.x AND c.y = fp.y AND c.z = l.p)
+  GROUP BY fp.x, fp.y, l.p
+  HAVING COUNT(*) >= {min_support})
+SELECT CAST(x AS BIGINT) AS item_a, CAST(y AS BIGINT) AS item_b,
+       CAST(z AS BIGINT) AS item_c,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(no.n AS DOUBLE), 6)
+         AS support,
+       CAST(row_number() OVER (
+         ORDER BY n_orders DESC, x, y, z) AS BIGINT) AS rank
+FROM trip, no
+QUALIFY rank <= {k}
+"""
