@@ -2218,6 +2218,30 @@ def _q_join_cardinality_check(spark, sf_dir):
     )
 
 
+def _q_doc_shards_two_level(spark, sf_dir):
+    """Two-level HRW for shard counts past codegen comfort: 8 groups ×
+    8 sub-shards as 16 hash terms instead of 64 — the production
+    layout for thousands of shards."""
+    from inception_spark.operators.layout import (
+        rendezvous_shards_two_level,
+    )
+
+    return rendezvous_shards_two_level(
+        _docs(spark, sf_dir), key_col="doc_id",
+        n_groups=8, shards_per_group=8,
+    )
+
+
+def _two_level_oracle_sql():
+    from inception_spark.operators.layout import (
+        rendezvous_shards_two_level_sql,
+    )
+
+    return rendezvous_shards_two_level_sql(
+        "documents", key_col="doc_id", n_groups=8, shards_per_group=8
+    )
+
+
 def _q_binary_quantize_topk(spark, sf_dir):
     """1-bit sign quantization ANN: two int64 sign words per vector,
     Hamming probe by xor+popcount in whole-stage codegen (32x less scan
@@ -4766,6 +4790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         # r9: sign-bit quantized Hamming ANN + exact rerank
         "binary_quantize_topk": _q_binary_quantize_topk,
+        # r9: two-level HRW (64 shards as 8+8 hash terms)
+        "doc_shards_two_level": _q_doc_shards_two_level,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -6456,6 +6482,8 @@ GROUP BY o.o_orderpriority
         "mmr_rerank": _mmr_oracle_sql(),
         # r9: same sign words, same xor+popcount, same rerank
         "binary_quantize_topk": _binary_quantize_oracle_sql(),
+        # r9: same two-level hash lists, same first-match argmaxes
+        "doc_shards_two_level": _two_level_oracle_sql(),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

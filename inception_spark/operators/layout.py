@@ -780,3 +780,89 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST({1000 * (hi - lo) // hi} AS BIGINT) AS minimal_milli
 FROM j
 """
+
+
+def rendezvous_shards_two_level(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_groups: int,
+    shards_per_group: int,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Two-level rendezvous for shard counts where the flat argmax
+    projection would bloat codegen (thousands of shards): HRW over
+    ``n_groups`` shard GROUPS, then HRW within the winning group (the
+    group id folded into the inner salt), ``shard = group ·
+    shards_per_group + sub``.  Expression size is n_groups +
+    shards_per_group terms instead of their product — 4096 shards as
+    64+64 hashes.  Stability composes: growing shards WITHIN a group
+    moves ~1/(spg+1) of that group's keys only; adding a GROUP moves
+    ~1/(n_groups+1) overall — both measured by
+    :func:`reshard_movement_report` run per level."""
+    if n_groups < 1 or shards_per_group < 1:
+        raise ValueError("n_groups and shards_per_group must be >= 1")
+    key = F.col(key_col)
+    gh = F.array(
+        *[_hrw_hash(key, g, salt + "\x1dG") for g in range(int(n_groups))]
+    )
+    grp = (F.array_position(gh, F.array_max(gh)) - 1).cast("long")
+    out = df.select(key.alias("key"), grp.alias("_g"))
+    sh = F.array(
+        *[
+            _hrw_hash(
+                F.concat(F.col("_g").cast("string"), F.lit("\x1d"),
+                         F.col("key").cast("string")),
+                s,
+                salt + "\x1dS",
+            )
+            for s in range(int(shards_per_group))
+        ]
+    )
+    sub = (F.array_position(sh, F.array_max(sh)) - 1).cast("long")
+    return out.select(
+        "key",
+        (F.col("_g") * int(shards_per_group) + sub).cast("long").alias(
+            "shard"
+        ),
+    )
+
+
+def rendezvous_shards_two_level_sql(
+    table: str,
+    *,
+    key_col: str,
+    n_groups: int,
+    shards_per_group: int,
+    salt: str = "hrw",
+) -> str:
+    """DuckDB twin of :func:`rendezvous_shards_two_level`."""
+    from inception_spark.functions.hashing import h28_sql
+
+    gh = ", ".join(
+        h28_sql(
+            f"'{salt}' || chr(29) || 'G' || chr(31) "
+            f"|| CAST({key_col} AS VARCHAR) || chr(31) || '{int(g)}'"
+        )
+        for g in range(int(n_groups))
+    )
+    sh = ", ".join(
+        h28_sql(
+            f"'{salt}' || chr(29) || 'S' || chr(31) "
+            f"|| CAST(_g AS VARCHAR) || chr(29) "
+            f"|| CAST(key AS VARCHAR) || chr(31) || '{int(s)}'"
+        )
+        for s in range(int(shards_per_group))
+    )
+    return f"""
+WITH g AS (
+  SELECT {key_col} AS key,
+         CAST(list_position(gh, list_max(gh)) - 1 AS BIGINT) AS _g
+  FROM (SELECT {key_col}, [{gh}] AS gh FROM {table})),
+s AS (
+  SELECT key, _g,
+         CAST(list_position(sh, list_max(sh)) - 1 AS BIGINT) AS _s
+  FROM (SELECT key, _g, [{sh}] AS sh FROM g))
+SELECT key, CAST(_g * {int(shards_per_group)} + _s AS BIGINT) AS shard
+FROM s
+"""

@@ -410,3 +410,33 @@ def test_rendezvous_shards_stability_and_balance(spark):
     assert 20 <= rep["moved_milli"] <= 120
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure codegen scan, no shuffle
+
+
+def test_two_level_rendezvous_range_and_stability(spark):
+    """Two-level HRW: shards cover [0, groups*spg), deterministic under
+    repartition, and growing sub-shards within groups moves only a
+    ~1/(spg+1) fraction (measured against a direct recompute)."""
+    from inception_spark.operators.layout import (
+        rendezvous_shards_two_level,
+    )
+
+    df = spark.range(1500).withColumnRenamed("id", "k")
+    a = {r["key"]: r["shard"]
+         for r in rendezvous_shards_two_level(
+             df, key_col="k", n_groups=8, shards_per_group=8).collect()}
+    assert all(0 <= s < 64 for s in a.values())
+    assert len(set(a.values())) > 32  # spread, not collapsed
+    b = {r["key"]: r["shard"]
+         for r in rendezvous_shards_two_level(
+             df.repartition(5), key_col="k",
+             n_groups=8, shards_per_group=8).collect()}
+    assert a == b
+    # grow within-group 8 -> 9: group assignment is untouched, so
+    # every key stays in its group; only the sub-shard can move
+    c = {r["key"]: r["shard"]
+         for r in rendezvous_shards_two_level(
+             df, key_col="k", n_groups=8, shards_per_group=9).collect()}
+    moved = sum(1 for k in a if a[k] // 8 != c[k] // 9)
+    assert moved == 0  # same group before/after
+    sub_moved = sum(1 for k in a if a[k] % 8 != c[k] % 9)
+    assert sub_moved <= len(a) * 0.25  # ~1/9 expected, generous bound
