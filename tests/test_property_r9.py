@@ -1,0 +1,154 @@
+"""Property pins for the round-9 operators — the math identities that
+must hold for ANY input, checked on randomized-but-seeded fixtures."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    k=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_equidepth_partition_properties(spark, n, k, seed):
+    """For any n rows and k buckets: bucket sizes differ by at most 1,
+    sizes sum to n, bucket ids are a prefix of 0..k-1, and value
+    ranges are rank-monotone."""
+    import random
+
+    from inception_spark.operators.profile import equidepth_histogram
+
+    rng = random.Random(seed)
+    rows = [("g", float(rng.randint(0, 20)), i) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, v double, id long")
+    out = sorted(
+        equidepth_histogram(
+            df, "v", group_col="grp", tiebreak_col="id", k=k
+        ).collect(),
+        key=lambda r: r["bucket"],
+    )
+    sizes = [r["n_rows"] for r in out]
+    assert sum(sizes) == n
+    assert [r["bucket"] for r in out] == list(range(len(out)))
+    assert len(out) == min(k, n)
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] <= b["lo"] or a["hi"] == b["lo"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_hrw_is_a_pure_key_property(spark, seed):
+    """A key's HRW shard depends only on (key, n_shards, salt): any
+    subset of the corpus assigns identically to the full corpus — the
+    property that makes incremental placement possible at all."""
+    import random
+
+    from inception_spark.operators.layout import rendezvous_shards
+
+    rng = random.Random(seed)
+    keys = rng.sample(range(100_000), 80)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    full = {
+        r["key"]: r["shard"]
+        for r in rendezvous_shards(df, key_col="k", n_shards=12).collect()
+    }
+    half_keys = keys[:40]
+    half = spark.createDataFrame([(k,) for k in half_keys], "k long")
+    sub = {
+        r["key"]: r["shard"]
+        for r in rendezvous_shards(
+            half, key_col="k", n_shards=12
+        ).collect()
+    }
+    assert sub == {k: full[k] for k in half_keys}
+
+
+def test_lpa_partitioning_independence(spark):
+    """Synchronous LPA must be partitioning-independent (the whole
+    point of the deterministic argmax): same labels at any shuffle
+    width."""
+    from inception_spark.operators.graph import lpa_communities
+
+    edges = [(i, i + 1) for i in range(20)] + [(5, 15), (0, 19)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, lpa_communities(df, n_iter=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            lpa_communities(df.repartition(7), n_iter=4).collect(),
+        )
+    )
+    assert a == b and len(a) == 21
+
+
+def test_binary_quantize_recall_vs_exact(spark):
+    """On clustered vectors the Hamming probe's top-k must recover the
+    exact cosine top-1 (sign structure dominates), and every returned
+    hamming distance is consistent with a direct python popcount."""
+    import math
+    import random
+
+    from inception_spark.operators.similarity import binary_quantize_topk
+
+    rng = random.Random(11)
+    dim = 64
+
+    def unit(v):
+        nn = math.sqrt(sum(x * x for x in v))
+        return [x / nn for x in v]
+
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, unit(base))]
+    for i in range(1, 40):
+        jit = 0.05 if i < 5 else 1.0
+        rows.append(
+            (i, unit([x + rng.uniform(-jit, jit) for x in base]))
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    got = binary_quantize_topk(df, q, k=5).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["hamming"] == 0
+    codes = {}
+    for vid, v in rows:
+        lo = sum(1 << i for i in range(32) if v[i] > 0)
+        hi = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        codes[vid] = (lo, hi)
+    qlo, qhi = codes[0]
+    for r in got:
+        lo, hi = codes[r["vec_id"]]
+        want = bin((lo ^ qlo)).count("1") + bin((hi ^ qhi)).count("1")
+        assert r["hamming"] == want
+
+
+def test_frequent_triples_closure_and_exactness(spark):
+    """Planted baskets: the triple {1,2,3} appears in 3 orders, {1,2,4}
+    in only 1 — A-priori must return exactly the supported triple with
+    its exact count, despite all its sub-pairs being frequent."""
+    from inception_spark.plans.relational import frequent_triples
+
+    baskets = {
+        100: [1, 2, 3],
+        101: [1, 2, 3, 9],
+        102: [1, 2, 3],
+        103: [1, 2, 4],
+        104: [1, 4],
+        105: [2, 4],
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import inception_spark.plans.relational as R
+
+    orig = R.load
+    try:
+        R.load = lambda spark, sf, name: li  # only lineitem is read
+        out = frequent_triples(spark, "ignored", min_support=2, k=10)
+        got = [
+            (r["item_a"], r["item_b"], r["item_c"], r["n_orders"])
+            for r in out.collect()
+        ]
+    finally:
+        R.load = orig
+    assert got == [(1, 2, 3, 3)]
