@@ -2242,6 +2242,38 @@ def _two_level_oracle_sql():
     )
 
 
+def _q_binary_codes_topk(spark, sf_dir):
+    """The write-once binary layout end to end: 16-byte/vector sign
+    words materialized to parquet, probe scans CODES ONLY (no float
+    column in the probe's ReadSchema — pinned in tests) — the
+    steady-state cost of 1-bit ANN at a billion vectors."""
+    import tempfile
+
+    from inception_spark.operators.similarity import (
+        binary_topk_over_codes,
+        write_binary_codes,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    path = tempfile.mkdtemp(prefix="inception_bin_codes_") + "/codes"
+    write_binary_codes(emb, path, dim=len(qv))
+    return binary_topk_over_codes(spark, path, qv, k=10)
+
+
+def _binary_codes_oracle_sql():
+    from inception_spark.operators.similarity import (
+        binary_hamming_topk_sql,
+    )
+
+    return binary_hamming_topk_sql(
+        "embeddings",
+        "SELECT embedding AS qv FROM embeddings WHERE vec_id = 0",
+        k=10,
+        dim=_EMB_DIM,
+    )
+
+
 def _q_binary_quantize_topk(spark, sf_dir):
     """1-bit sign quantization ANN: two int64 sign words per vector,
     Hamming probe by xor+popcount in whole-stage codegen (32x less scan
@@ -4800,6 +4832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_quantize_topk": _q_binary_quantize_topk,
         # r9: two-level HRW (64 shards as 8+8 hash terms)
         "doc_shards_two_level": _q_doc_shards_two_level,
+        # r9: write-once binary codes, codes-only Hamming probe
+        "binary_codes_topk": _q_binary_codes_topk,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -6492,6 +6526,8 @@ GROUP BY o.o_orderpriority
         "binary_quantize_topk": _binary_quantize_oracle_sql(),
         # r9: same two-level hash lists, same first-match argmaxes
         "doc_shards_two_level": _two_level_oracle_sql(),
+        # r9: oracle replays the sign words the codes file materialized
+        "binary_codes_topk": _binary_codes_oracle_sql(),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

@@ -2149,3 +2149,101 @@ SELECT vec_id, hamming, score,
             AS BIGINT) AS rank
 FROM rr
 """
+
+
+def write_binary_codes(
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the write-once binary-quantization layout: one
+    parquet of (vec_id, c_lo, c_hi) sign words — 16 bytes/vector.  The
+    steady-state probe (:func:`binary_topk_over_codes`) scans ONLY this
+    table; the float corpus is never touched again until a rerank
+    wants the survivors (the sq_topk_codes discipline applied to 1-bit
+    codes)."""
+    if dim % 2 or dim > 124:
+        raise ValueError("binary codes pack 2 words <= 62 bits")
+    half = dim // 2
+    (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            _sign_code_expr(vec_col, 0, half).alias("c_lo"),
+            _sign_code_expr(vec_col, half, half).alias("c_hi"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def binary_topk_over_codes(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Codes-only Hamming top-k over a :func:`write_binary_codes`
+    layout — (vec_id, hamming, rank), ties on id.  The scan reads 16
+    bytes/vector and stays integer codegen end to end; plan pinned to
+    exclude any float column."""
+    dim = len(query_vec)
+    half = dim // 2
+    q_lo = sum(1 << i for i in range(half) if float(query_vec[i]) > 0)
+    q_hi = sum(
+        1 << i for i in range(half) if float(query_vec[half + i]) > 0
+    )
+    codes = spark.read.parquet(path)
+    scored = codes.select(
+        "vec_id",
+        (
+            F.bit_count(
+                F.col("c_lo").bitwiseXOR(F.lit(q_lo).cast("long"))
+            )
+            + F.bit_count(
+                F.col("c_hi").bitwiseXOR(F.lit(q_hi).cast("long"))
+            )
+        ).cast("long").alias("hamming"),
+    )
+    top = scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(int(k))
+    w = Window.orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def binary_hamming_topk_sql(
+    emb_table: str,
+    query_sql: str,
+    *,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`binary_topk_over_codes` — replays the sign
+    words from the float table (the codes file IS that derivation, so
+    bit-identity is by construction)."""
+    half = dim // 2
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT {_sign_code_sql('qv', 0, half)} AS q_lo,
+         {_sign_code_sql('qv', half, half)} AS q_hi
+  FROM ({query_sql})),
+coded AS (
+  SELECT {id_col} AS vec_id,
+         {_sign_code_sql(vec_col, 0, half)} AS c_lo,
+         {_sign_code_sql(vec_col, half, half)} AS c_hi
+  FROM {emb_table}),
+top AS (
+  SELECT c.vec_id,
+         CAST(bit_count(xor(c.c_lo, q.q_lo))
+              + bit_count(xor(c.c_hi, q.q_hi)) AS BIGINT) AS hamming
+  FROM coded c, q
+  ORDER BY hamming ASC, vec_id ASC LIMIT {int(k)})
+SELECT vec_id, hamming,
+       CAST(row_number() OVER (ORDER BY hamming ASC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM top
+"""

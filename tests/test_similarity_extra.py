@@ -54,3 +54,35 @@ def test_mmr_rerank_matches_greedy_reference_and_diversifies(spark):
     ranks = dict(got)
     assert ranks[1] == 0               # top relevance first
     assert ranks.get(2) != 1           # near-dup demoted below rank 2
+
+
+def test_binary_codes_probe_reads_codes_only(spark, tmp_path):
+    """The codes-only probe's scan must not touch the float column, and
+    its top-k must equal the in-plan quantized Hamming ranking."""
+    from inception_spark.operators.similarity import (
+        binary_quantize_topk,
+        binary_topk_over_codes,
+        write_binary_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    path = str(tmp_path / "codes")
+    write_binary_codes(emb, path, dim=len(qv))
+    out = binary_topk_over_codes(spark, path, qv, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan  # 16 bytes/vector, nothing else
+    assert "TakeOrdered" in plan
+    got = [(r["vec_id"], r["hamming"]) for r in out.collect()]
+    # the in-plan variant's candidate stage uses the same ordering; its
+    # top-10 by hamming (rerank_factor=1 disables the cosine widening)
+    ref = [
+        (r["vec_id"], r["hamming"])
+        for r in sorted(
+            binary_quantize_topk(
+                emb, qv, k=10, rerank_factor=1
+            ).collect(),
+            key=lambda r: (r["hamming"], r["vec_id"]),
+        )
+    ]
+    assert got == ref
