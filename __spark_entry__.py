@@ -4530,14 +4530,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_forecast, streaming_growth, streaming_vocab_growth,
     pruning_effectiveness, link_prediction_eval, dedup_threshold_sweep,
     events_ks_drift, purchase_attribution, revenue_gini,
-    vocab_growth_curve), followed by the 15 new-in-r9 entries in
+    vocab_growth_curve), followed by the 16 new-in-r9 entries in
     registry order (mmr_rerank, binary_quantize_topk,
-    doc_shards_two_level, frequent_triples, part_communities,
+    binary_codes_topk, doc_shards_two_level, frequent_triples,
+    part_communities,
     price_histogram_equidepth, doc_rendezvous_shards, reshard_movement,
     events_forecast_conformal, streaming_forecast_conformal,
     doc_length_percentile, join_cardinality_check, streaming_ks_drift,
-    streaming_revenue_gini, streaming_attribution) — together the 35
-    zero-signal entries the r10 window should head, leaving ~15 slots
+    streaming_revenue_gini, streaming_attribution) — together the 36
+    zero-signal entries the r10 window should head, leaving ~14 slots
     for the stalest green cohort — then the r5-green cohort.  The
     in-repo mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
