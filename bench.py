@@ -233,6 +233,9 @@ HEADLINE = [
     "join_cardinality_check",
     # r9: sign-bit Hamming ANN probe + exact rerank
     "binary_quantize_topk",
+    # r9: write-once binary codes (build + codes-only probe, the
+    # sq_topk_codes convention: min-of-3 reports the steady state)
+    "binary_codes_topk",
     # r9: A-priori triples (closure-pruned candidates, 3.3 s warm)
     "frequent_triples",
 ]
