@@ -2242,6 +2242,36 @@ def _two_level_oracle_sql():
     )
 
 
+def _q_streaming_equidepth(spark, sf_dir):
+    """The CBO equi-depth histogram maintained LIVE: (group, value)
+    count partials re-sum across micro-batches, and the finalize
+    reconstructs the exact batch histogram from the value spine by
+    integer rank-range intersection — the Gini/KS discipline (order
+    statistic at finalize over state, never history) applied to the
+    statistics object.  Live ≡ batch is property-pinned under
+    hypothesis including bucket-straddling ties; shares the batch
+    oracle."""
+    from inception_spark.operators.profile import (
+        equidepth_from_value_counts,
+        value_count_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    parts = run_stream_batch_partials(
+        spark,
+        orders,
+        lambda b: value_count_partials(
+            b, "o_totalprice", group_col="o_orderpriority"
+        ),
+    )
+    return equidepth_from_value_counts(parts, k=8)
+
+
 def _q_binary_codes_topk(spark, sf_dir):
     """The write-once binary layout end to end: 16-byte/vector sign
     words materialized to parquet, probe scans CODES ONLY (no float
@@ -4530,15 +4560,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_forecast, streaming_growth, streaming_vocab_growth,
     pruning_effectiveness, link_prediction_eval, dedup_threshold_sweep,
     events_ks_drift, purchase_attribution, revenue_gini,
-    vocab_growth_curve), followed by the 16 new-in-r9 entries in
+    vocab_growth_curve), followed by the 17 new-in-r9 entries in
     registry order (mmr_rerank, binary_quantize_topk,
-    binary_codes_topk, doc_shards_two_level, frequent_triples,
+    binary_codes_topk, streaming_equidepth, doc_shards_two_level, frequent_triples,
     part_communities,
     price_histogram_equidepth, doc_rendezvous_shards, reshard_movement,
     events_forecast_conformal, streaming_forecast_conformal,
     doc_length_percentile, join_cardinality_check, streaming_ks_drift,
-    streaming_revenue_gini, streaming_attribution) — together the 36
-    zero-signal entries the r10 window should head, leaving ~14 slots
+    streaming_revenue_gini, streaming_attribution) — together the 37
+    zero-signal entries the r10 window should head, leaving ~13 slots
     for the stalest green cohort — then the r5-green cohort.  The
     in-repo mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
@@ -4835,6 +4865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shards_two_level": _q_doc_shards_two_level,
         # r9: write-once binary codes, codes-only Hamming probe
         "binary_codes_topk": _q_binary_codes_topk,
+        # r9: the CBO histogram live (value-count state, rank finalize)
+        "streaming_equidepth": _q_streaming_equidepth,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -6529,6 +6561,8 @@ GROUP BY o.o_orderpriority
         "doc_shards_two_level": _two_level_oracle_sql(),
         # r9: oracle replays the sign words the codes file materialized
         "binary_codes_topk": _binary_codes_oracle_sql(),
+        # r9: streaming == batch by the value-count re-sum + rank math
+        "streaming_equidepth": _equidepth_oracle_sql(),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

@@ -450,3 +450,106 @@ SELECT n_left, n_right, ndv_left, ndv_right,
          AS err_milli
 FROM ls, rs, act
 """
+
+
+def value_count_partials(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+) -> DataFrame:
+    """Mergeable state for the live equi-depth histogram: (grp, v, c)
+    counts per distinct value — pure sums, re-merging exactly under any
+    micro-batch regrouping.  State is distinct-(group, value) bounded
+    (quantize unbounded domains upstream — the repo-wide spine
+    discipline)."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def equidepth_from_value_counts(
+    parts: DataFrame, *, k: int = 8
+) -> DataFrame:
+    """Equi-depth histogram from (grp, v, c) value-count partials —
+    IDENTICAL output to :func:`equidepth_histogram` (same rank rule
+    (rk−1)·k div n), because the histogram never looks at row ids:
+    a value v with count c occupies global ranks (cum−c, cum], so the
+    buckets it intersects are floor((cum−c)·k/n) .. floor((cum−1)·k/n)
+    and its per-bucket row share is an exact integer range overlap.
+    One value-spine cumsum window per group + one bounded explode
+    (a value lands in >1 bucket only when it straddles — ≤ k extra
+    rows per group total).
+
+    This is the Gini/KS finalize discipline applied to the CBO stats
+    object: the ORDER STATISTIC (the rank) has no mergeable partial
+    form, but it only needs the distinct-value spine, so the live
+    state is the value rollup and the sort runs at finalize over
+    |distinct values|, never over history."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    merged = parts.groupBy("grp", "v").agg(F.sum("c").alias("c"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nw = Window.partitionBy("grp")
+    spine = (
+        merged.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(nw))
+    )
+    # bucket ids this value intersects; per-bucket share by exact
+    # integer range intersection of (cum-c, cum] with the bucket's
+    # global rank range (div arithmetic identical in both engines)
+    ex = spine.select(
+        "grp",
+        "v",
+        "c",
+        "cum",
+        "n",
+        F.explode(
+            F.sequence(
+                F.expr(f"((cum - c) * {int(k)}) div n"),
+                F.expr(f"((cum - 1) * {int(k)}) div n"),
+            )
+        ).alias("bucket"),
+    ).withColumn(
+        # bucket b holds ranks (ceil(b·n/k), ceil((b+1)·n/k)] — CEIL,
+        # not floor: (rk−1)·k div n = b ⟺ rk−1 ∈ [ceil(bn/k),
+        # ceil((b+1)n/k)−1] (hand-checked at n=7, k=4)
+        "share",
+        F.least(
+            F.col("cum"),
+            F.expr(f"((bucket + 1) * n + {int(k) - 1}) div {int(k)}"),
+        )
+        - F.greatest(
+            F.col("cum") - F.col("c"),
+            F.expr(f"(bucket * n + {int(k) - 1}) div {int(k)}"),
+        ),
+    )
+    return (
+        ex.groupBy("grp", "bucket")
+        .agg(
+            F.sum("share").cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "grp",
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            "lo",
+            "hi",
+            "n_distinct",
+        )
+    )

@@ -152,3 +152,44 @@ def test_frequent_triples_closure_and_exactness(spark):
     finally:
         R.load = orig
     assert got == [(1, 2, 3, 3)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=50),
+    k=st.integers(min_value=1, max_value=9),
+    dom=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_equidepth_from_counts_equals_batch(spark, n, k, dom, seed):
+    """The live finalize (value-count state + rank math) must equal the
+    batch histogram EXACTLY for any duplicate structure — including
+    heavy ties where one value straddles several buckets (tiny dom)."""
+    import random
+
+    from inception_spark.operators.profile import (
+        equidepth_from_value_counts,
+        equidepth_histogram,
+        value_count_partials,
+    )
+
+    rng = random.Random(seed)
+    rows = [("g", float(rng.randint(0, dom)), i) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, v double, id long")
+    batch = sorted(
+        map(
+            tuple,
+            equidepth_histogram(
+                df, "v", group_col="grp", tiebreak_col="id", k=k
+            ).collect(),
+        )
+    )
+    live = sorted(
+        map(
+            tuple,
+            equidepth_from_value_counts(
+                value_count_partials(df, "v", group_col="grp"), k=k
+            ).collect(),
+        )
+    )
+    assert live == batch
