@@ -5202,6 +5202,25 @@ _WINDOW_R9 = [
     "purchase_attribution",
     "revenue_gini",
     "vocab_growth_curve",
+    # then the 17 new-in-r9 entries (zero signal; r10-head material
+    # behind the 20 above — together the 37 the r10 window should head)
+    "mmr_rerank",
+    "binary_quantize_topk",
+    "binary_codes_topk",
+    "streaming_equidepth",
+    "doc_shards_two_level",
+    "frequent_triples",
+    "part_communities",
+    "price_histogram_equidepth",
+    "doc_rendezvous_shards",
+    "reshard_movement",
+    "events_forecast_conformal",
+    "streaming_forecast_conformal",
+    "doc_length_percentile",
+    "join_cardinality_check",
+    "streaming_ks_drift",
+    "streaming_revenue_gini",
+    "streaming_attribution",
 ]
 
 
