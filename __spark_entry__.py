@@ -2242,6 +2242,58 @@ def _two_level_oracle_sql():
     )
 
 
+def _q_part_ppr(spark, sf_dir):
+    """Personalized PageRank from the two lowest-id parts of the basket
+    graph — proximity-to-source ranking (the related-products walk),
+    same integer picorank discipline as supplier_pagerank."""
+    from inception_spark.operators.graph import personalized_pagerank
+
+    edges = _part_basket_edges(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in edges.select("src")
+        .union(edges.select("dst"))
+        .distinct()
+        .orderBy("src")
+        .limit(2)
+        .collect()
+    ]
+    # mirror: the basket graph is undirected
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return personalized_pagerank(und, srcs, n_iter=4)
+
+
+def _part_ppr_oracle_sql():
+    from inception_spark.operators.graph import personalized_pagerank_sql
+
+    # the oracle replays the same data-dependent source RULE in SQL
+    # (the two lowest node ids of the same edge table), so the string
+    # stays static across scale factors
+    edges_und = (
+        f"SELECT src, dst FROM ({_PART_EDGES_SQL}) "
+        "UNION ALL "
+        f"SELECT dst AS src, src AS dst FROM ({_PART_EDGES_SQL})"
+    )
+    return personalized_pagerank_sql(
+        edges_und,
+        sources_sql=(
+            "SELECT node FROM (SELECT src AS node FROM edges"
+            " UNION SELECT dst FROM edges) ORDER BY node LIMIT 2"
+        ),
+        n_iter=4,
+    )
+
+
+def _q_events_acf(spark, sf_dir):
+    """Hourly-count autocorrelation, lags 1..24 — the diagnostic that
+    justifies the forecast's 24-hour seasonal lag; mean cleared of
+    division (multiply through by n²), exact decimal sums, one rounded
+    divide."""
+    return R.events_acf(spark, sf_dir)
+
+
 def _q_streaming_equidepth(spark, sf_dir):
     """The CBO equi-depth histogram maintained LIVE: (group, value)
     count partials re-sum across micro-batches, and the finalize
@@ -4560,15 +4612,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_forecast, streaming_growth, streaming_vocab_growth,
     pruning_effectiveness, link_prediction_eval, dedup_threshold_sweep,
     events_ks_drift, purchase_attribution, revenue_gini,
-    vocab_growth_curve), followed by the 17 new-in-r9 entries in
+    vocab_growth_curve), followed by the 19 new-in-r9 entries in
     registry order (mmr_rerank, binary_quantize_topk,
     binary_codes_topk, streaming_equidepth, doc_shards_two_level, frequent_triples,
     part_communities,
     price_histogram_equidepth, doc_rendezvous_shards, reshard_movement,
     events_forecast_conformal, streaming_forecast_conformal,
     doc_length_percentile, join_cardinality_check, streaming_ks_drift,
-    streaming_revenue_gini, streaming_attribution) — together the 37
-    zero-signal entries the r10 window should head, leaving ~13 slots
+    streaming_revenue_gini, streaming_attribution, part_ppr,
+    events_acf) — together the 39
+    zero-signal entries the r10 window should head, leaving ~11 slots
     for the stalest green cohort — then the r5-green cohort.  The
     in-repo mini-driver
     (tests/test_entry.py) still verifies every oracle pair at sf0.001
@@ -4867,6 +4920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_codes_topk": _q_binary_codes_topk,
         # r9: the CBO histogram live (value-count state, rank finalize)
         "streaming_equidepth": _q_streaming_equidepth,
+        # r9: personalized pagerank (restart at a source set)
+        "part_ppr": _q_part_ppr,
+        # r9: hourly-count autocorrelation, lags 1..24
+        "events_acf": _q_events_acf,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -5221,6 +5278,8 @@ _WINDOW_R9 = [
     "streaming_ks_drift",
     "streaming_revenue_gini",
     "streaming_attribution",
+    "part_ppr",
+    "events_acf",
 ]
 
 
@@ -6582,6 +6641,10 @@ GROUP BY o.o_orderpriority
         "binary_codes_topk": _binary_codes_oracle_sql(),
         # r9: streaming == batch by the value-count re-sum + rank math
         "streaming_equidepth": _equidepth_oracle_sql(),
+        # r9: identical integer iteration, source rule replayed in SQL
+        "part_ppr": _part_ppr_oracle_sql(),
+        # r9: same mean-cleared integer terms, same decimal sums
+        "events_acf": R.events_acf_sql(),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

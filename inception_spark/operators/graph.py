@@ -1001,3 +1001,140 @@ SELECT CAST(node AS BIGINT) AS node,
        CAST(label AS BIGINT) AS community
 FROM {prev}
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    source_nodes: list,
+    *,
+    n_iter: int = 5,
+    alpha_milli: int = 150,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank — the random walk RESTARTS at the source
+    set instead of teleporting uniformly, so rank mass measures
+    proximity TO THOSE NODES: the standard recommendation /
+    related-entities primitive ("users who touched these parts land
+    where?").  Same integer picorank discipline as :func:`pagerank`
+    (bit-identical across engines and partitionings, no float until the
+    display column): every source starts with PICO, non-sources with 0,
+    and each round r'(v) = restart(v)·α + (1−α)·Σ r(u) div deg(u),
+    with α in exact milli units.  Output (node, rank_i, rank) —
+    rank concentrates near the sources and decays with distance.
+
+    Scale shape per round: identical to pagerank (edge ⋈ rank join +
+    hash aggregate + node-list left join, lazy localCheckpoint); the
+    restart vector is a broadcast-joined literal set, not a shuffle."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not source_nodes:
+        raise ValueError("source_nodes must be non-empty")
+    if not 0 < alpha_milli < 1000:
+        raise ValueError("alpha_milli in (0, 1000)")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    srcs = [int(s) for s in sorted(set(source_nodes))]
+    restart = F.when(
+        F.col("node").isin(srcs), F.lit(PICO).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    ranks = nodes.select("node", restart.alias("rank_i"))
+    lam = int(alpha_milli)
+    for _ in range(n_iter):
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_i div deg").alias("c"),
+        )
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    (restart * lam)
+                    + F.expr(f"({1000 - lam} * coalesce(s, 0))")
+                ).cast("long").alias("_raw"),
+            )
+            .select(
+                "node", F.expr("_raw div 1000").cast("long").alias("rank_i")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "rank_i",
+        (F.col("rank_i").cast("double") / F.lit(float(PICO))).alias(
+            "rank"
+        ),
+    )
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    source_nodes: list | None = None,
+    *,
+    sources_sql: str | None = None,
+    n_iter: int = 5,
+    alpha_milli: int = 150,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` — identical integer
+    iteration unrolled into CTEs.  Sources come either as literal ids
+    (``source_nodes``) or as a subquery over the ``edges`` CTE
+    (``sources_sql``, one ``node`` column) — the latter lets a STATIC
+    oracle string replay a data-dependent source rule."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if (source_nodes is None) == (sources_sql is None):
+        raise ValueError("pass exactly one of source_nodes/sources_sql")
+    srcs = (
+        sources_sql
+        if sources_sql is not None
+        else ", ".join(str(int(s)) for s in sorted(set(source_nodes)))
+    )
+    lam = int(alpha_milli)
+
+    def restart(node_expr: str) -> str:
+        # parameterized on the node expression: a naive string replace
+        # would mangle a sources_sql subquery that itself says "node"
+        return (
+            f"CASE WHEN {node_expr} IN ({srcs}) THEN {PICO} ELSE 0 END"
+        )
+
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({restart('node')} AS BIGINT)"
+        " AS rank_i FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(r.rank_i // d.deg) AS BIGINT) AS s"
+            f" FROM edges e JOIN deg d ON e.src = d.src"
+            f" JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST((({restart('n.node')}) * {lam}"
+            f" + {1000 - lam} * COALESCE(c.s, 0)) // 1000"
+            f" AS BIGINT) AS rank_i"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, rank_i,
+       CAST(rank_i AS DOUBLE) / CAST({PICO} AS DOUBLE) AS rank
+FROM r{n_iter}
+"""
+    )

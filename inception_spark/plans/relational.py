@@ -4622,3 +4622,152 @@ SELECT CAST(x AS BIGINT) AS item_a, CAST(y AS BIGINT) AS item_b,
 FROM trip, no
 QUALIFY rank <= {k}
 """
+
+
+def events_acf(
+    spark: SparkSession, sf_dir: str, *, max_lag: int = 24
+) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series per
+    type, lags 1..``max_lag`` — (event_type, lag, acf): THE diagnostic
+    that justifies the forecast's seasonal lag (a daily cycle shows as
+    a spike at lag 24) and tells you when residuals are white.
+
+    Exactness: the standard estimator r(h) = Σ(x_t−x̄)(x_{t−h}−x̄) /
+    Σ(x_t−x̄)² is computed with the mean CLEARED of division — multiply
+    through by n²: num·n² = Σ(n·x_t − S)(n·x_{t−h} − S) and den·n² =
+    Σ(n·x_t − S)², each term an exact integer and each sum an exact
+    DECIMAL(38,0) (order-independent), so the single final divide is
+    one double op, rounded at 6 dp — engine-identical.  The spine is
+    GAP-FILLED (absent hours are zero counts, not missing rows) — ACF
+    over a sparse spine would silently splice non-adjacent hours.
+
+    Scale shape: one hash aggregate to the hourly rollup; the dense
+    spine and the lag pairing live on type-cardinality × hours rows
+    (the events_resample spine economics), joined once on the shifted
+    integer hour key after a ``max_lag``-way literal explode."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("_lo"), F.max("hr").alias("_hi")
+    )
+    spine = (
+        bounds.select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"))
+            ).alias("hr"),
+        )
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = spine.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    centered = spine.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hr",
+        (F.col("x") * F.col("n") - F.col("s")).alias("d"),
+        "n",
+    )
+    den = centered.groupBy("event_type").agg(
+        # cast BEFORE the multiply (the twin does too): d² would wrap
+        # int64 once n·x clears ~3e9 — exactly the 100 TB regime
+        F.sum(
+            F.col("d").cast("decimal(38,0)") * F.col("d")
+        ).alias("_den")
+    )
+    lags = spark.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = centered.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("hr") - F.col("lag")).alias("hr"),
+        F.col("d").alias("d_t"),
+    )
+    paired = a.join(
+        centered.select(
+            "event_type", "hr", F.col("d").alias("d_lag")
+        ),
+        ["event_type", "hr"],
+    )
+    num = paired.groupBy("event_type", "lag").agg(
+        F.sum(
+            F.col("d_t").cast("decimal(38,0)") * F.col("d_lag")
+        ).alias("_num")
+    )
+    return (
+        num.join(den, "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.when(
+                F.col("_den") > 0,
+                F.round(
+                    F.col("_num").cast("double")
+                    / F.col("_den").cast("double"),
+                    6,
+                ),
+            ).alias("acf"),
+        )
+    )
+
+
+def events_acf_sql(*, max_lag: int = 24) -> str:
+    """DuckDB twin of :func:`events_acf`."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(hr) AS _lo, max(hr) AS _hi
+  FROM hourly GROUP BY 1),
+grid AS (
+  SELECT b.event_type, u.hr
+  FROM bounds b,
+       LATERAL (SELECT unnest(range(b._lo, b._hi + 1)) AS hr) u),
+spine AS (
+  SELECT g.event_type, g.hr, COALESCE(h.x, 0) AS x
+  FROM grid g
+  LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.hr = g.hr),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM spine GROUP BY 1),
+centered AS (
+  SELECT sp.event_type, sp.hr, sp.x * st.n - st.s AS d
+  FROM spine sp JOIN stats st ON sp.event_type = st.event_type),
+den AS (
+  SELECT event_type,
+         SUM(CAST(d AS DECIMAL(38,0)) * d) AS _den
+  FROM centered GROUP BY 1),
+lags AS (SELECT unnest(range(1, {int(max_lag)} + 1)) AS lag),
+num AS (
+  SELECT a.event_type, l.lag,
+         SUM(CAST(a.d AS DECIMAL(38,0)) * b.d) AS _num
+  FROM centered a
+  CROSS JOIN lags l
+  JOIN centered b
+    ON b.event_type = a.event_type AND b.hr = a.hr - l.lag
+  GROUP BY 1, 2)
+SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+       CASE WHEN d._den > 0 THEN
+         round(CAST(n._num AS DOUBLE) / CAST(d._den AS DOUBLE), 6)
+       END AS acf
+FROM num n JOIN den d ON n.event_type = d.event_type
+"""

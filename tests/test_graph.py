@@ -266,3 +266,29 @@ def test_lpa_communities_two_cliques(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == got[12]
     assert got[10] != got[1]
+
+
+def test_personalized_pagerank_proximity(spark):
+    """Chain 1-2-3-4-5 with restart at {1}: mass concentrates NEAR the
+    source — monotone decay from the source's neighbor outward, and the
+    source dominates everything at distance ≥ 2 (the deg-1 source's
+    direct neighbor may legitimately exceed it: it receives the
+    source's whole outflow).  A restart at {5} mirrors the ranks
+    EXACTLY on the symmetric chain — proximity, not global
+    centrality."""
+    from inception_spark.operators.graph import personalized_pagerank
+
+    chain = [(i, i + 1) for i in range(1, 5)]
+    und = chain + [(b, a) for a, b in chain]
+    df = spark.createDataFrame(und, "src long, dst long")
+    # n_iter=20: the chain is bipartite-ish, so short iteration
+    # counts show parity oscillation (even-distance nodes refreshed on
+    # even rounds); 20 rounds is past mixing for ordering asserts
+    r1 = {r["node"]: r["rank_i"]
+          for r in personalized_pagerank(df, [1], n_iter=20).collect()}
+    assert r1[2] > r1[3] > r1[4] > r1[5]
+    assert r1[1] > r1[3]
+    r5 = {r["node"]: r["rank_i"]
+          for r in personalized_pagerank(df, [5], n_iter=20).collect()}
+    # symmetric graph + mirrored source => mirrored ranks exactly
+    assert [r1[i] for i in range(1, 6)] == [r5[6 - i] for i in range(1, 6)]
