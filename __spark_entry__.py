@@ -2248,7 +2248,12 @@ def _q_part_ppr(spark, sf_dir):
     same integer picorank discipline as supplier_pagerank."""
     from inception_spark.operators.graph import personalized_pagerank
 
-    edges = _part_basket_edges(spark, sf_dir)
+    # checkpoint ONCE: the thresholded basket-edge derivation (lineitem
+    # self-join + HAVING) would otherwise run for the source pick AND
+    # again inside the iteration's own lineage
+    edges = _part_basket_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     srcs = [
         r[0]
         for r in edges.select("src")

@@ -238,6 +238,8 @@ HEADLINE = [
     "binary_codes_topk",
     # r9: A-priori triples (closure-pruned candidates, 3.3 s warm)
     "frequent_triples",
+    # r9: hourly-count ACF, lags 1..24 (spine + one lag-shifted join)
+    "events_acf",
 ]
 
 
