@@ -240,6 +240,9 @@ HEADLINE = [
     "frequent_triples",
     # r9: hourly-count ACF, lags 1..24 (spine + one lag-shifted join)
     "events_acf",
+    # r9: personalized pagerank (4 integer rounds over basket edges;
+    # each run re-derives + checkpoints the edge table — honest cost)
+    "part_ppr",
 ]
 
 
