@@ -702,7 +702,12 @@ def _build_huffman_lengths(freqs: dict[int, int], max_len: int = 15
             lens[s] = uniform - 1 if i < short and uniform > 1 else uniform
         # re-check completeness
         m = max(lens.values())
-        assert sum(2 ** (m - v) for v in lens.values()) == 2 ** m
+        if sum(2 ** (m - v) for v in lens.values()) != 2 ** m:
+            # survives python -O: an incomplete code would emit a
+            # bitstream real decoders reject
+            raise DecoderUnavailable(
+                "VP8L encoder: prefix code incomplete after rebalance"
+            )
         return lens
     return depths
 

@@ -558,10 +558,15 @@ def run_stream_ivm(
         raise TimeoutError(
             f"IVM stream did not drain within {timeout_sec}s"
         )
-    assert version["n"] >= 2, (
-        f"expected multiple micro-batches, got {version['n']} — the "
-        "maintenance identity must hold ACROSS folds, not in one"
-    )
+    if version["n"] < 2:
+        # RuntimeError, not assert: this guard IS the contract ("the
+        # maintenance identity held across folds") and must survive
+        # python -O
+        raise RuntimeError(
+            f"expected multiple micro-batches, got {version['n']} — "
+            "the maintenance identity must hold ACROSS folds, not in "
+            "one"
+        )
     return spark.read.parquet(f"{st}/v{version['n']}")
 
 
@@ -613,10 +618,12 @@ def run_stream_batch_partials(
         raise TimeoutError(
             f"partials stream did not drain within {timeout_sec}s"
         )
-    assert seen["n"] >= 2, (
-        f"expected multiple micro-batches, got {seen['n']} — the merge "
-        "identity must hold ACROSS batch partials, not within one"
-    )
+    if seen["n"] < 2:
+        raise RuntimeError(
+            f"expected multiple micro-batches, got {seen['n']} — the "
+            "merge identity must hold ACROSS batch partials, not "
+            "within one"
+        )
     return spark.read.parquet(out).drop("batch")
 
 
@@ -675,8 +682,9 @@ def run_stream_ordered_batches(
         raise TimeoutError(
             f"ordered stream did not drain within {timeout_sec}s"
         )
-    assert n_batches["n"] >= len(batches), (
-        f"expected >= {len(batches)} micro-batches, got "
-        f"{n_batches['n']} — batch order was not preserved"
-    )
+    if n_batches["n"] < len(batches):
+        raise RuntimeError(
+            f"expected >= {len(batches)} micro-batches, got "
+            f"{n_batches['n']} — batch order was not preserved"
+        )
     return spark.read.parquet(out).drop("batch")
