@@ -283,10 +283,16 @@ def equidepth_histogram(
     equi-depth).  One row per (group, bucket):
     ``(grp, bucket, n_rows, lo, hi, n_distinct)``.
 
-    Bucket assignment is the exact integer rule ``(rank-1)·k div n``
-    over the per-group (value, tiebreak) order — deterministic across
-    engines (the tiebreak makes the rank total), sizes differing by at
-    most one row by construction.
+    Bucket assignment is the exact integer rule ``(rank-1)·k′ div n``
+    with the **effective bucket count k′ = least(k, n)** over the
+    per-group (value, tiebreak) order — deterministic across engines
+    (the tiebreak makes the rank total), sizes differing by at most
+    one row by construction.  The ``least(k, n)`` clamp is what keeps
+    the contract "bucket ids are a contiguous prefix of 0..k′-1" true
+    for SMALL groups: with the raw k the rule emits holes whenever
+    n < k (n=2, k=4 → ids [0, 2]), and at 100 TB the group is a
+    statistics unit (priority class, shard) where tiny groups are
+    guaranteed — a CBO consumer indexing 0..k-1 would read holes.
 
     Scale: the rank is a per-group window — parallel across groups,
     single-task within one.  The group is the statistics unit here
@@ -317,7 +323,7 @@ def equidepth_histogram(
             # and (rk-1)*k wraps past n*k > 2^31 (n > 2.6e8 at k=8)
             "bucket",
             F.expr(
-                f"(CAST(rk AS BIGINT) - 1) * {int(k)} div n"
+                f"(CAST(rk AS BIGINT) - 1) * least({int(k)}, n) div n"
             ).cast("long"),
         )
         .groupBy("grp", "bucket")
@@ -349,7 +355,7 @@ WITH ranked AS (
          COUNT(*) OVER (PARTITION BY {group_col}) AS n
   FROM {table}
   WHERE {value_col} IS NOT NULL)
-SELECT grp, CAST((rk - 1) * {int(k)} // n AS BIGINT) AS bucket,
+SELECT grp, CAST((rk - 1) * least({int(k)}, n) // n AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(v) AS lo, MAX(v) AS hi,
        CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
@@ -479,10 +485,11 @@ def equidepth_from_value_counts(
 ) -> DataFrame:
     """Equi-depth histogram from (grp, v, c) value-count partials —
     IDENTICAL output to :func:`equidepth_histogram` (same rank rule
-    (rk−1)·k div n), because the histogram never looks at row ids:
-    a value v with count c occupies global ranks (cum−c, cum], so the
-    buckets it intersects are floor((cum−c)·k/n) .. floor((cum−1)·k/n)
-    and its per-bucket row share is an exact integer range overlap.
+    (rk−1)·k′ div n with k′ = least(k, n)), because the histogram
+    never looks at row ids: a value v with count c occupies global
+    ranks (cum−c, cum], so the buckets it intersects are
+    floor((cum−c)·k′/n) .. floor((cum−1)·k′/n) and its per-bucket row
+    share is an exact integer range overlap.
     One value-spine cumsum window per group + one bounded explode
     (a value lands in >1 bucket only when it straddles — ≤ k extra
     rows per group total).
@@ -518,22 +525,30 @@ def equidepth_from_value_counts(
         "n",
         F.explode(
             F.sequence(
-                F.expr(f"((cum - c) * {int(k)}) div n"),
-                F.expr(f"((cum - 1) * {int(k)}) div n"),
+                F.expr(f"((cum - c) * least({int(k)}, n)) div n"),
+                F.expr(f"((cum - 1) * least({int(k)}, n)) div n"),
             )
         ).alias("bucket"),
     ).withColumn(
-        # bucket b holds ranks (ceil(b·n/k), ceil((b+1)·n/k)] — CEIL,
-        # not floor: (rk−1)·k div n = b ⟺ rk−1 ∈ [ceil(bn/k),
-        # ceil((b+1)n/k)−1] (hand-checked at n=7, k=4)
+        # bucket b holds ranks (ceil(b·n/k′), ceil((b+1)·n/k′)] with
+        # k′ = least(k, n) — CEIL, not floor: (rk−1)·k′ div n = b ⟺
+        # rk−1 ∈ [ceil(bn/k′), ceil((b+1)n/k′)−1] (hand-checked at
+        # n=7, k=4); the clamp keeps bucket ids a contiguous prefix
+        # for groups with n < k, matching the batch rule exactly
         "share",
         F.least(
             F.col("cum"),
-            F.expr(f"((bucket + 1) * n + {int(k) - 1}) div {int(k)}"),
+            F.expr(
+                f"((bucket + 1) * n + least({int(k)}, n) - 1)"
+                f" div least({int(k)}, n)"
+            ),
         )
         - F.greatest(
             F.col("cum") - F.col("c"),
-            F.expr(f"(bucket * n + {int(k) - 1}) div {int(k)}"),
+            F.expr(
+                f"(bucket * n + least({int(k)}, n) - 1)"
+                f" div least({int(k)}, n)"
+            ),
         ),
     )
     return (
