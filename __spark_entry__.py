@@ -4602,37 +4602,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 9 (see ``_WINDOW_R9`` below,
-    VERDICT r8 ask 1): slots 1-8 are the round-4-green cohort's last 8
-    (streaming_events_hourly .. winnowing_overlap_pairs — the stalest
-    signal left), and slots 9-50 the first 42 of the 62 late-r8 entries
-    that have NEVER had driver signal, in the order staged by the r8
-    tail comment: the session-1 block (substring_dup_spans ..
-    snapshot_diff), then session-2/3 in registry order (chunk_giant_doc
-    .. events_ohlc).  The remaining 20 zero-signal entries sit just past
-    the boundary in the same deterministic order as the round-10 head
-    (streaming_ohlc, streaming_burst_monitor, csv_ingest_stats,
-    orc_ingest_stats, supplier_hits, ab_sprt_curve, streaming_sprt,
-    cohort_ltv, events_forecast, events_markov_stationary,
-    streaming_forecast, streaming_growth, streaming_vocab_growth,
-    pruning_effectiveness, link_prediction_eval, dedup_threshold_sweep,
-    events_ks_drift, purchase_attribution, revenue_gini,
-    vocab_growth_curve), followed by the 19 new-in-r9 entries in
-    registry order (mmr_rerank, binary_quantize_topk,
-    binary_codes_topk, streaming_equidepth, doc_shards_two_level, frequent_triples,
-    part_communities,
-    price_histogram_equidepth, doc_rendezvous_shards, reshard_movement,
-    events_forecast_conformal, streaming_forecast_conformal,
-    doc_length_percentile, join_cardinality_check, streaming_ks_drift,
-    streaming_revenue_gini, streaming_attribution, part_ppr,
-    events_acf) — together the 39
-    zero-signal entries the r10 window should head, leaving ~11 slots
-    for the stalest green cohort — then the r5-green cohort.  The
-    in-repo mini-driver
-    (tests/test_entry.py) still verifies every oracle pair at sf0.001
-    regardless of position.  The dict literal below keeps its stable
-    grouped-by-family order; ``_WINDOW_R9`` does the rotation at
-    return time so slot moves are one-line edits."""
+    with the least driver signal.  Round 10 (see ``_WINDOW_R10`` below,
+    VERDICT r9 ask 2): slots 1-39 are ALL 39 remaining zero-signal
+    entries — the 20 the r9 window staged past its boundary
+    (streaming_ohlc .. vocab_growth_curve) then the 19 new-in-r9
+    entries (mmr_rerank .. events_acf), in exactly the order the r9
+    tail pinned — so after this round every registry entry has had
+    external driver signal at least once.  Slots 40-50 are the 11
+    stalest driver-green entries (last green r5: embed_delta,
+    semantic_dedup, pq_topk, bm25_search, learn_bpe, nb_lang_classify,
+    apply_bpe, ivf_pq_topk, knn_join_lsh, kmeans_train,
+    hybrid_rrf_search).  The remaining 37 r5-green entries sit just
+    past the boundary in cohort order as the round-11 head.  The
+    in-repo mini-driver (tests/test_entry.py) still verifies every
+    oracle pair at sf0.001 regardless of position.  The dict literal
+    below keeps its stable grouped-by-family order; ``_WINDOW_R10``
+    does the rotation at return time so slot moves are one-line
+    edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
         # + splitter hash-verified against a recursive-CTE oracle, encoder
@@ -5170,80 +5156,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    missing = [k for k in _WINDOW_R9 if k not in reg]
+    missing = [k for k in _WINDOW_R10 if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
-    head = {k: reg[k] for k in _WINDOW_R9}
+    head = {k: reg[k] for k in _WINDOW_R10}
     tail = {k: v for k, v in reg.items() if k not in head}
     return head | tail
 
 
-# Round-9 driver-window priority order (the driver's correctness window
+# Round-10 driver-window priority order (the driver's correctness window
 # runs the FIRST 50 dict entries; entries listed beyond slot 50 head the
 # post-boundary tail so they rotate in first next round).  Ranked by
-# staleness of driver signal (VERDICT r8 ask 1):
-#   1-8   the round-4-green cohort's last 8 — the stalest signal with
-#         any driver green left in the registry
-#   9-50  the first 42 of the 62 late-r8 zero-signal entries, in the
-#         order staged by the r8 tail comment (session-1 block, then
-#         session-2/3 in registry order)
-#   51-70 the remaining 20 zero-signal entries, pinned as the round-10
-#         head (then the r5-green cohort in dict order)
-_WINDOW_R9 = [
-    # slots 1-8: r4-green cohort leftovers
-    "streaming_events_hourly",
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_sessionization",
-    "supplier_pagerank",
-    "temperature_mix",
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    # slots 9-16: late-r8 session-1 block (zero driver signal)
-    "substring_dup_spans",
-    "scrub_dup_spans",
-    "streaming_embedding_covariance",
-    "edit_distance_pairs",
-    "events_profile",
-    "cdc_chunks",
-    "join_skew_report",
-    "snapshot_diff",
-    # slots 17-50: late-r8 session-2/3, registry order (zero signal)
-    "chunk_giant_doc",
-    "bucketed_join_revenue",
-    "blocklist_filter",
-    "hll_ndv_rollup",
-    "maxsim_topk",
-    "events_ewma",
-    "streaming_blocklist_gate",
-    "golden_record",
-    "streaming_golden_record",
-    "tfidf_cosine_pairs",
-    "events_robust_anomaly",
-    "streaming_late_data_audit",
-    "user_erasure_rollup",
-    "session_paths",
-    "ivf_balance_report",
-    "bootstrap_revenue_ci",
-    "match_distribution_sample",
-    "weighted_quantiles",
-    "streaming_pca_component",
-    "psi_drift_report",
-    "pareto_frontier",
-    "window_funnel",
-    "events_seasonal_decomp",
-    "decayed_heavy_hitters",
-    "streaming_decayed_topk",
-    "events_burst_windows",
-    "part_local_clustering",
-    "term_collocations",
-    "fd_profile",
-    "growth_accounting",
-    "user_survival_curve",
-    "link_prediction",
-    "k_anonymity_report",
-    "events_ohlc",
-    # past the boundary: the 20 remaining zero-signal entries = the
-    # round-10 head, in registry order
+# staleness of driver signal (VERDICT r9 ask 2):
+#   1-39  ALL 39 remaining zero-signal entries — the 20 the r9 window
+#         staged past its boundary, then the 19 new-in-r9 entries, in
+#         exactly the order the r9 tail pinned.  After this round every
+#         registry entry has had external driver signal at least once.
+#   40-50 the 11 stalest driver-green entries (last green r5 — the
+#         verdict's named eight plus three more from the same cohort)
+#   51+   the remaining 37 r5-green entries in registry order, staged
+#         as the round-11 head (the whole r5 cohort then rotates clear
+#         in ~one more round)
+_WINDOW_R10 = [
+    # slots 1-20: the 20 zero-signal entries staged by the r9 window
     "streaming_ohlc",
     "streaming_burst_monitor",
     "csv_ingest_stats",
@@ -5264,8 +5198,7 @@ _WINDOW_R9 = [
     "purchase_attribution",
     "revenue_gini",
     "vocab_growth_curve",
-    # then the 17 new-in-r9 entries (zero signal; r10-head material
-    # behind the 20 above — together the 37 the r10 window should head)
+    # slots 21-39: the 19 new-in-r9 entries (zero signal), registry order
     "mmr_rerank",
     "binary_quantize_topk",
     "binary_codes_topk",
@@ -5285,6 +5218,57 @@ _WINDOW_R9 = [
     "streaming_attribution",
     "part_ppr",
     "events_acf",
+    # slots 40-50: stalest driver-green cohort (last green r5)
+    "embed_delta",
+    "semantic_dedup",
+    "pq_topk",
+    "bm25_search",
+    "learn_bpe",
+    "nb_lang_classify",
+    "apply_bpe",
+    "ivf_pq_topk",
+    "knn_join_lsh",
+    "kmeans_train",
+    "hybrid_rrf_search",
+    # past the boundary: the remaining 37 r5-green entries = the
+    # round-11 head, in cohort order
+    "ann_multiprobe_pruned",
+    "ann_multiprobe_topk",
+    "ann_recall_report",
+    "asof_event_order",
+    "bm25_index_search",
+    "corpus_drift",
+    "curriculum_bins",
+    "doc_bigram_logprob",
+    "doc_trigram_logprob",
+    "dq_quarantine",
+    "embedding_outliers",
+    "epoch_shuffle",
+    "event_funnel",
+    "event_type_share",
+    "events_cohort_retention",
+    "events_hourly",
+    "events_json_stats",
+    "events_sessionization",
+    "events_sliding_windows",
+    "html_to_text",
+    "ivf_pq_codes",
+    "ivf_pruned",
+    "lr_quality_classify",
+    "pq_topk_codes",
+    "pq_topk_rerank",
+    "q11_part_value",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "random_projection",
+    "retrieval_quality",
+    "sq_topk",
+    "sq_topk_codes",
+    "sq_topk_rerank",
+    "streaming_dq_gate",
+    "streaming_embed_documents",
+    "streaming_lr_gate",
+    "zorder_key",
 ]
 
 
