@@ -16,8 +16,15 @@ module adds **baseline sequential DCT** JPEG:
   refusal, never a wrong pixel.
 * :func:`encode_jpeg` — the proof harness for the decoder: 4:4:4
   baseline encoder with the T.81 Annex K quantization + Huffman tables
-  (libjpeg quality scaling), used by the round-trip tests so decode
-  correctness is established without any third-party codec.
+  (libjpeg quality scaling), used by the round-trip tests.
+
+Both directions are additionally CROSS-VALIDATED against the real
+system libjpeg (``libjpeg.so.62``, driven through a compiled shim in
+``tests/test_jpeg_png_crossdecode.py``): libjpeg-encoded payloads
+(4:4:4/4:2:0/4:2:2, grayscale, restart markers) decode within IDCT
+tolerance of libjpeg's own decode, and :func:`encode_jpeg` payloads
+decode under libjpeg — so the spec transcription is checked against
+the reference implementation, not only against itself.
 
 Scale shape: like every codec here, this is worker-side Python invoked
 from the declared `mapInPandas` families — decode cost is per-payload
