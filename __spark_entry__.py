@@ -2650,6 +2650,21 @@ def _q_hamming64_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_media_meta_stats(spark, sf_dir):
+    _ensure_workers_can_import(spark)  # mapInPandas synthesis closure
+    return MM.media_meta_stats(_docs(spark, sf_dir))
+
+
+def _q_wav_meta_stats(spark, sf_dir):
+    _ensure_workers_can_import(spark)
+    return MM.wav_meta_stats(_docs(spark, sf_dir))
+
+
+def _q_image_pixel_stats(spark, sf_dir):
+    _ensure_workers_can_import(spark)
+    return MM.image_pixel_stats(_docs(spark, sf_dir))
+
+
 def _q_embedding_dup_pairs(spark, sf_dir):
     _ensure_workers_can_import(spark)  # applyInPandas closure
     return D.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -4742,6 +4757,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over a deterministic fingerprint fixture (dHash itself is the
         # Python decode step; everything the driver checks is relational)
         "hamming64_dup_pairs": _q_hamming64_dup_pairs,
+        # oracle-checked corpus stats over REAL synthesized binary
+        # payloads (r9 verdict ask 6): JVM header probes + an actual
+        # decode round-trip, each recomputable from doc_id arithmetic
+        "media_meta_stats": _q_media_meta_stats,
+        "wav_meta_stats": _q_wav_meta_stats,
+        "image_pixel_stats": _q_image_pixel_stats,
         # write-once/query-many incremental near-dup probe
         "lsh_index_probe": _q_lsh_index_probe,
         # Common-Crawl ingestion: WARC segments (plain + member-per-
@@ -6204,6 +6225,56 @@ SELECT * FROM (
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.4
+""",
+        # the BMP corpus is synthesized from doc_id (w=(id%13)+1,
+        # h=(id%7)+1), so the oracle recomputes what the JVM header
+        # probe must read back: dims by construction, file size by the
+        # spec formula 54 + h * ceil(3w/4)*4
+        "media_meta_stats": """
+SELECT CAST((doc_id % 13) + 1 AS BIGINT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM((doc_id % 7) + 1) AS BIGINT) AS sum_height,
+       CAST(SUM(((doc_id % 13) + 1) * ((doc_id % 7) + 1)) AS BIGINT)
+         AS sum_pixels,
+       CAST(SUM(54 + ((doc_id % 7) + 1)
+                * ((((doc_id % 13) + 1) * 3 + 3) // 4) * 4) AS BIGINT)
+         AS sum_bytes
+FROM documents
+GROUP BY 1
+""",
+        # WAV twin: rate=8000*((id%3)+1), n=50*((id%11)+1) silent 16-bit
+        # mono samples; duration is the probe's exact integer rule
+        # floor(data_bytes*8000 / (rate*channels*bits)), size is the
+        # canonical 44-byte header + 2n
+        "wav_meta_stats": """
+SELECT CAST(8000 * ((doc_id % 3) + 1) AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM((2 * 50 * ((doc_id % 11) + 1) * 8000)
+                // (8000 * ((doc_id % 3) + 1) * 16)) AS BIGINT)
+         AS sum_duration_ms,
+       CAST(SUM(44 + 2 * 50 * ((doc_id % 11) + 1)) AS BIGINT)
+         AS sum_bytes
+FROM documents
+GROUP BY 1
+""",
+        # real decode round-trip: the engine decodes the BMP bytes and
+        # sums pixels; the oracle regenerates pixel (x,y,c) =
+        # (7x+11y+29c+id) mod 256 over an explicit grid
+        "image_pixel_stats": """
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id % 13) + 1 AS w,
+         x.x, y.y, c.c
+  FROM documents d
+  CROSS JOIN generate_series(0, 12) AS x(x)
+  CROSS JOIN generate_series(0, 6) AS y(y)
+  CROSS JOIN generate_series(0, 2) AS c(c)
+  WHERE x.x < (d.doc_id % 13) + 1 AND y.y < (d.doc_id % 7) + 1)
+SELECT CAST(w AS BIGINT) AS width,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images,
+       CAST(SUM((7 * x + 11 * y + 29 * c + doc_id) % 256) AS BIGINT)
+         AS sum_pixels_value
+FROM px
+GROUP BY 1
 """,
         "winnowing_fingerprints": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

@@ -346,6 +346,11 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    # Same-run canary triple IN the artifact (VERDICT r9 ask 8): the
+    # three frozen canaries are headline queries, so their min-of-3
+    # under identical run conditions is the drift baseline — no
+    # SCALING.md archaeology needed to normalize cross-round totals.
+    canaries = {name: timings[name] for name in CANARIES}
     # Output contract (VERDICT r7): the driver captures only a ~2 KB
     # stdout TAIL, and the per-query map outgrew it at 79 queries
     # (BENCH_r07.json parsed: null).  So the FULL record (with the
@@ -376,6 +381,7 @@ def main() -> None:
                 "queryset": "r9",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
+                "canaries": canaries,
             }
     )
     print(detail)
@@ -398,6 +404,7 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "max_query_sec": max(timings.values()),
                 "max_query": max(timings, key=timings.get),
+                "canaries": canaries,
                 "detail": "per-query map on the previous stdout line "
                           "and in BENCH_DETAIL.json",
             }

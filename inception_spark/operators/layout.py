@@ -624,10 +624,28 @@ def colocated_join(
                 "bucketed join planned a shuffle — layout not "
                 "co-located:\n" + plan[:2000]
             )
-        # finalize AQE (one-row touch commits the adaptive plan), then
-        # re-check the plan that actually ran
-        joined.head(1)
+        # finalize AQE and re-check the plan that actually ran.  The
+        # touch must drive THIS DataFrame's own QueryExecution:
+        # head(1) would plan a separate limit(1) query and leave qe's
+        # adaptive plan unfinalized (isFinalPlan=false), making the
+        # re-check a no-op.  toLocalIterator executes the same _jdf —
+        # AdaptiveSparkPlanExec commits its final plan synchronously
+        # in doExecute, before the first row arrives — and pulling one
+        # row costs one partition, not a collect of the full join.
+        it = joined.toLocalIterator()
+        try:
+            next(it, None)
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
         final = qe.executedPlan().toString()
+        if "AdaptiveSparkPlan" in final and "isFinalPlan=true" not in final:
+            raise RuntimeError(
+                "bucketed-join guard could not verify the FINAL adaptive "
+                "plan (isFinalPlan stayed false after execution):\n"
+                + final[:2000]
+            )
         if "Exchange" in final:
             raise RuntimeError(
                 "AQE rewrote the bucketed join into a shuffle — layout "

@@ -146,17 +146,39 @@ def image_features(img: np.ndarray, dim: int) -> np.ndarray:
     return (feats / (n or 1.0)).astype(np.float32)
 
 
+def _le_uint(payload_col: str, pos: int, n: int):
+    """Little-endian unsigned integer from ``n`` bytes at 1-based
+    ``pos``, JVM-side and BYTE-SAFE: each byte is hexed individually
+    (``hex`` on BinaryType is a pure byte transcode) and recombined
+    arithmetically.  ``reverse`` must never touch a binary column — it
+    implicitly casts to a UTF-8 STRING first, so every byte >= 0x80
+    becomes U+FFFD before the hex and any multi-byte field is silently
+    corrupted (caught by the wav_meta_stats oracle entry: sample rate
+    16000 = 0x3E80 misread; 8000 = 0x1F40 happened to be all-ASCII,
+    which is why the earlier fixtures never tripped it)."""
+    total = None
+    for i in range(n):
+        b = (
+            F.conv(
+                F.hex(F.substring(F.col(payload_col), pos + i, 1)),
+                16,
+                10,
+            ).cast("long")
+            * F.lit(256**i)
+        )
+        total = b if total is None else total + b
+    return total
+
+
 def probe_bmp_dims(
     df: DataFrame, *, payload_col: str = "payload"
 ) -> DataFrame:
     """Fill media_meta.width/height by parsing the BMP header JVM-SIDE
-    (substring → byte-reverse → hex → conv): metadata probing over 100 TB
-    of blobs must not round-trip payloads through Python."""
+    (per-byte substring → hex → conv recombination): metadata probing
+    over 100 TB of blobs must not round-trip payloads through Python."""
 
     def _le32(pos: int):  # 1-based substring position
-        return F.conv(
-            F.hex(F.reverse(F.substring(F.col(payload_col), pos, 4))), 16, 10
-        ).cast("int")
+        return _le_uint(payload_col, pos, 4).cast("int")
 
     is_bmp = F.substring(F.col(payload_col), 1, 2) == F.lit(b"BM")
     return df.withColumn(
@@ -681,6 +703,180 @@ def extract_features(
     return df.mapInPandas(mapper, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Oracle-checkable corpus stats over synthesized binary payloads.
+#
+# The multimodal layer had exactly one driver-visible oracle entry
+# (hamming64_dup_pairs) against ~2,900 LoC of codec code (r9 verdict
+# ask 6).  These operators close that: each synthesizes a deterministic
+# binary corpus worker-side (payload parameters are pure functions of
+# doc_id, so an engine-independent SQL oracle can recompute every
+# expected statistic from the documents table alone), then pushes the
+# REAL bytes through the probe/decode paths — a header-parse or decode
+# bug shows up as an oracle hash mismatch, driver-visibly.
+# ---------------------------------------------------------------------------
+
+
+def synth_bmp_corpus(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-document BMP payload: width = (id mod 13)+1,
+    height = (id mod 7)+1, pixel (y, x, c) = (7x + 11y + 29c + id)
+    mod 256 — (doc_id, payload).  Built under ``mapInPandas`` so the
+    binary never transits the driver and synthesis parallelizes with
+    the scan (the same worker-side discipline as the decode ops)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i % 13) + 1, int(i % 7) + 1
+                xx = np.arange(w, dtype=np.int64)[None, :, None]
+                yy = np.arange(h, dtype=np.int64)[:, None, None]
+                cc = np.arange(3, dtype=np.int64)[None, None, :]
+                img = (
+                    (7 * xx + 11 * yy + 29 * cc + int(i)) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def synth_wav_corpus(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-document 16-bit mono WAV payload: sample_rate
+    = 8000·((id mod 3)+1), n_samples = 50·((id mod 11)+1), silent
+    samples (the meta probes never read sample data) — (doc_id,
+    payload), worker-side like :func:`synth_bmp_corpus`."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                rate = 8000 * (int(i % 3) + 1)
+                n = 50 * (int(i % 11) + 1)
+                payloads.append(encode_wav(np.zeros(n), rate))
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def media_meta_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level image metadata rollup over REAL BMP bytes: synthesize
+    the corpus, probe width/height JVM-SIDE from the binary headers
+    (:func:`probe_bmp_dims` — never trusting the synthesis parameters),
+    and aggregate per probed width: (width, n_images, sum_height,
+    sum_pixels, sum_bytes).  The oracle recomputes every column from
+    doc_id arithmetic plus the BMP spec's size formula
+    (54 + h·ceil(3w/4)·4), so a header-layout or probe-parse bug
+    hash-mismatches.  Plan: one mapInPandas synthesis pass, JVM probe
+    projection, 13-key aggregate — no Python on the probe path."""
+    media = probe_bmp_dims(
+        attach_media_meta(
+            synth_bmp_corpus(docs), modality="image", mime="image/bmp"
+        )
+    )
+    return (
+        media.groupBy(
+            F.col("media_meta.width").cast("long").alias("width")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("media_meta.height").cast("long").alias("sum_height"),
+            F.sum(
+                F.col("media_meta.width").cast("long")
+                * F.col("media_meta.height").cast("long")
+            )
+            .cast("long")
+            .alias("sum_pixels"),
+            F.sum("media_meta.n_bytes").cast("long").alias("sum_bytes"),
+        )
+    )
+
+
+def wav_meta_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level audio metadata rollup over REAL WAV bytes — the
+    audio twin of :func:`media_meta_stats`: synthesize, probe
+    sample-rate/duration JVM-SIDE from the RIFF headers
+    (:func:`probe_wav_meta`), aggregate per probed rate:
+    (sample_rate, n_clips, sum_duration_ms, sum_bytes).  Oracle =
+    doc_id arithmetic + the canonical 44-byte-header size formula +
+    the same integer duration rule the probe evaluates."""
+    media = probe_wav_meta(
+        attach_media_meta(
+            synth_wav_corpus(docs), modality="audio", mime="audio/wav"
+        )
+    )
+    return (
+        media.groupBy(
+            F.col("media_meta.width").cast("long").alias("sample_rate")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("media_meta.duration_ms")
+            .cast("long")
+            .alias("sum_duration_ms"),
+            F.sum("media_meta.n_bytes").cast("long").alias("sum_bytes"),
+        )
+    )
+
+
+def image_pixel_stats(docs: DataFrame) -> DataFrame:
+    """REAL decode round-trip, driver-visibly oracle-checked: synthesize
+    BMP bytes, DECODE them back to pixels worker-side
+    (:func:`decode_image` under ``mapInPandas``), and aggregate the
+    per-image pixel sums per width: (width, n_images, sum_pixels_value).
+    The oracle recomputes the expected pixel sums from the synthesis
+    formula over an explicit (x, y, c) grid — any decode defect
+    (row order, BGR swizzle dropped, padding read as pixels)
+    changes the sum and hash-mismatches."""
+    corpus = synth_bmp_corpus(docs)
+    out_schema = T.StructType(
+        [
+            T.StructField("width", T.LongType(), False),
+            T.StructField("pixel_sum", T.LongType(), False),
+        ]
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, sums = [], []
+            for p in pdf["payload"]:
+                arr = decode_image(bytes(p))
+                widths.append(int(arr.shape[1]))
+                sums.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame({"width": widths, "pixel_sum": sums})
+
+    return (
+        corpus.mapInPandas(dec, out_schema)
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("pixel_sum").cast("long").alias("sum_pixels_value"),
+        )
+    )
+
+
 def sample_frames(
     df: DataFrame, *, every_ms: int = 1000, fake: bool = True,
     id_col: str = "id", payload_col: str = "payload",
@@ -848,14 +1044,10 @@ def probe_wav_meta(
     byte 37)."""
 
     def _le32(pos: int):  # 1-based substring position
-        return F.conv(
-            F.hex(F.reverse(F.substring(F.col(payload_col), pos, 4))), 16, 10
-        ).cast("long")
+        return _le_uint(payload_col, pos, 4)
 
     def _le16(pos: int):
-        return F.conv(
-            F.hex(F.reverse(F.substring(F.col(payload_col), pos, 2))), 16, 10
-        ).cast("long")
+        return _le_uint(payload_col, pos, 2)
 
     is_wav = (
         (F.substring(F.col(payload_col), 1, 4) == F.lit(b"RIFF"))

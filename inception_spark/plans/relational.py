@@ -4128,14 +4128,26 @@ def ks_sided_partials(ev: DataFrame, split_micros: int) -> DataFrame:
 
 
 def ks_finalize(
-    parts: DataFrame, *, threshold_milli: int = 100
+    parts: DataFrame, *, threshold_milli: int = 100,
+    assume_merged: bool = False
 ) -> DataFrame:
     """KS statistic from (event_type, value, d1, d2) count partials:
     re-merge, cumulate per type over the value spine, and take the max
     cross-multiplied CDF gap — shared by the batch op and the live
-    twin, so streaming ≡ batch is by construction."""
-    roll = parts.groupBy("event_type", "value").agg(
-        F.sum("d1").alias("d1"), F.sum("d2").alias("d2")
+    twin, so streaming ≡ batch is by construction.
+
+    ``assume_merged=True`` skips the merge pass for callers whose
+    partials are already (event_type, value)-unique (the batch op's
+    own rollup) — on a continuous value domain the spine is near row
+    cardinality, so the redundant second hash-aggregate over it is a
+    real extra pass (r9 bench drift item); re-merging unique keys is
+    the identity, so both paths produce identical results."""
+    roll = (
+        parts
+        if assume_merged
+        else parts.groupBy("event_type", "value").agg(
+            F.sum("d1").alias("d1"), F.sum("d2").alias("d2")
+        )
     )
     tot = roll.groupBy("event_type").agg(
         F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
@@ -4210,7 +4222,9 @@ def events_ks_drift(
         F.sum("_early").alias("d1"),
         F.sum(F.lit(1) - F.col("_early")).alias("d2"),
     )
-    return ks_finalize(roll, threshold_milli=threshold_milli)
+    return ks_finalize(
+        roll, threshold_milli=threshold_milli, assume_merged=True
+    )
 
 
 def events_ks_drift_sql(*, threshold_milli: int = 100) -> str:
@@ -4273,15 +4287,24 @@ def gini_revenue_partials(orders: DataFrame) -> DataFrame:
     )
 
 
-def gini_finalize(parts: DataFrame, customer: DataFrame) -> DataFrame:
+def gini_finalize(
+    parts: DataFrame, customer: DataFrame, *, assume_merged: bool = False
+) -> DataFrame:
     """Gini terms from per-customer revenue partials: re-merge, enrich
     with the (static) customer dim for the segment, cent-integer
     ranked cumsum per segment — shared by the batch op and the live
-    twin."""
+    twin.  ``assume_merged=True`` skips the merge shuffle when the
+    partials are already o_custkey-unique (the batch op's own rollup) —
+    identity on unique keys, one less |customers| aggregate pass."""
+    merged = (
+        parts.select("o_custkey", F.col("rev").alias("_r"))
+        if assume_merged
+        else parts.groupBy("o_custkey").agg(
+            F.sum("rev").cast("decimal(28,2)").alias("_r")
+        )
+    )
     rev = (
-        parts.groupBy("o_custkey")
-        .agg(F.sum("rev").cast("decimal(28,2)").alias("_r"))
-        .join(
+        merged.join(
             customer.select(
                 F.col("c_custkey").alias("o_custkey"),
                 F.col("c_mktsegment").alias("segment"),
@@ -4335,7 +4358,9 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     is double, rounded to a milli integer."""
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    return gini_finalize(gini_revenue_partials(orders), cust)
+    return gini_finalize(
+        gini_revenue_partials(orders), cust, assume_merged=True
+    )
 
 
 REVENUE_GINI_SQL = """

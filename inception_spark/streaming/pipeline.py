@@ -281,8 +281,11 @@ def make_attribution_update():
         out_last: list = []
         for et in rows["event_type"]:
             if et == "purchase":
-                out_first.append(first_t or "direct")
-                out_last.append(last_t or "direct")
+                # explicit None checks, not truthiness: an empty-string
+                # touch type is a real touch and must be attributed,
+                # matching batch purchase_attribution
+                out_first.append("direct" if first_t is None else first_t)
+                out_last.append("direct" if last_t is None else last_t)
                 first_t = None
                 last_t = None
             else:
@@ -399,6 +402,28 @@ def interval_join_streams(
     )
 
 
+def _finish_and_clean(
+    result: DataFrame, work: str, owned: bool
+) -> DataFrame:
+    """Detach a harness result from its scratch dir, then remove the dir.
+
+    Every run_stream_* harness returns a LAZY read over parquet it wrote
+    under a mkdtemp scratch dir; without this, 30 streaming entries ×
+    every bench/test run leak parquet to /tmp (r9 verdict ask 7).  An
+    eager ``localCheckpoint`` materializes the (small — partial/aggregate
+    sized) result into Spark's block store so the files can go.  Dirs
+    are removed only on SUCCESS (failure paths raise before reaching
+    this, leaving the scratch dir for debugging) and only when the
+    harness created them (``owned`` — a caller-supplied work_dir is the
+    caller's to manage)."""
+    import shutil
+
+    out = result.localCheckpoint(eager=True)
+    if owned:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     staged: DataFrame,
@@ -447,7 +472,9 @@ def run_stream_to_parquet(
             f"streaming query did not drain within {timeout_sec}s"
         )
     # batch=N discovery adds a partition column — not part of the result
-    return spark.read.parquet(out).drop("batch")
+    return _finish_and_clean(
+        spark.read.parquet(out).drop("batch"), work, work_dir is None
+    )
 
 
 def read_document_stream_with_quarantine(
@@ -567,7 +594,9 @@ def run_stream_ivm(
             "the maintenance identity must hold ACROSS folds, not in "
             "one"
         )
-    return spark.read.parquet(f"{st}/v{version['n']}")
+    return _finish_and_clean(
+        spark.read.parquet(f"{st}/v{version['n']}"), work, work_dir is None
+    )
 
 
 def run_stream_batch_partials(
@@ -624,7 +653,9 @@ def run_stream_batch_partials(
             "merge identity must hold ACROSS batch partials, not "
             "within one"
         )
-    return spark.read.parquet(out).drop("batch")
+    return _finish_and_clean(
+        spark.read.parquet(out).drop("batch"), work, work_dir is None
+    )
 
 
 def run_stream_ordered_batches(
@@ -687,4 +718,6 @@ def run_stream_ordered_batches(
             f"expected >= {len(batches)} micro-batches, got "
             f"{n_batches['n']} — batch order was not preserved"
         )
-    return spark.read.parquet(out).drop("batch")
+    return _finish_and_clean(
+        spark.read.parquet(out).drop("batch"), work, True
+    )
