@@ -1658,6 +1658,11 @@ def jaccard_prefix_pairs(
     to 4 decimals; the threshold COMPARISON is pure integer arithmetic
     (``i * den >= num * u``), so the result set is bit-identical across
     engines regardless of float representation of the threshold.
+    Overflow bound (r9 verdict ask 5 audit): every product here is a
+    per-doc count × the literal num/den — int64-exact while no single
+    document holds ≥ 2^63/den tokens (den ≤ 100 → ~9·10^16 tokens per
+    doc); there is no data×data product of the match_distribution wrap
+    class, and ANSI mode would throw rather than wrap.
 
     Scale shape (the reason this survives 100 TB where all-pairs dies):
       * tokens are globally ordered rarest-first (document frequency from

@@ -1,0 +1,95 @@
+"""Round-10 property pins: the overflow-proofing sweep the r9 verdict
+asked for (ask 5) — every rational-threshold compare evaluated at
+EXTREME data magnitudes, proving the documented int64 bounds hold where
+exact decimal(38,0) isn't worth the cast.
+
+The match_distribution_sample wrap (fixed r9) was a product of THREE
+data-magnitude terms (h·tb·n ~ 2^28·2^63).  The audit of the remaining
+threshold ops found only (data × small-literal) products or pure double
+math; these tests drive each one at 2^50..2^62 magnitudes so a future
+refactor that introduces a data×data product fails loudly (under ANSI
+mode Spark throws on overflow, so a regression is an error, not a wrong
+answer — these pins also document the headroom)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_temperature_thresholds_extreme_counts(spark):
+    """The T=0.5 threshold is pure double math: floor(sqrt(n_min/n_g)
+    · 2^28) must match Python exactly for group counts up to 2^62 —
+    no integer product anywhere to wrap."""
+    from inception_spark.operators.sampling import temperature_thresholds
+
+    n_gs = [1, 3, 10**6, 2**40, 2**53, 2**62]
+    counts = spark.createDataFrame(
+        [(f"g{i}", n) for i, n in enumerate(n_gs)], "source string, n_g long"
+    )
+    got = {
+        r["source"]: r["keep_threshold"]
+        for r in temperature_thresholds(counts).collect()
+    }
+    n_min = min(n_gs)
+    for i, n in enumerate(n_gs):
+        want = math.floor(math.sqrt(n_min / n) * (1 << 28))
+        assert got[f"g{i}"] == want, (n, got[f"g{i}"], want)
+        assert 0 <= got[f"g{i}"] <= (1 << 28)
+
+
+def test_token_budget_extreme_token_counts(spark):
+    """token_budget_sample at 2^52 tokens per doc: the running sum and
+    the (cum − n) < budget compare stay int64-exact (no data×data
+    product), selection matches a Python fold of the same integers."""
+    from inception_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "s" if i % 2 else "t", "x") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    per_doc = F.lit(2**52) + F.col("doc_id")
+    budget = 2**55  # per-source share 2^54 ≈ 4 docs' worth
+    out = token_budget_sample(
+        df, budget, token_count_col=per_doc, shards=4
+    ).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    share = budget // 2
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["cum_tokens"])
+        cum = 0
+        for r in rs:
+            assert r["n_tokens"] == 2**52 + r["doc_id"]
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum, (src, r["doc_id"])
+            assert r["selected"] == ((cum - r["n_tokens"]) < share)
+        assert cum < 2**63  # documented headroom actually exercised
+        assert any(r["selected"] for r in rs)
+        assert not all(r["selected"] for r in rs)
+
+
+@pytest.mark.parametrize("den,num", [(5, 2), (100, 87), (3, 1)])
+def test_rational_compare_extreme_counts(spark, den, num):
+    """The Ed-Join/containment compare shape n_inter·den >= n_union·num
+    at counts just inside the documented bound count < 2^63/den:
+    integer-exact and identical to Python for every literal den used in
+    the repo (beyond the bound ANSI mode throws — loud, never wrong)."""
+    base = (2**63 - 1) // (den * 2)
+    pairs = [
+        (base, base),
+        (base - 1, base),
+        (base * num // den, base),
+        (base * num // den + 1, base),
+        (base * num // den - 1, base),
+        (7, 10),
+        (0, base),
+    ]
+    df = spark.createDataFrame(pairs, "n_inter long, n_union long")
+    got = sorted(
+        (r["n_inter"], r["n_union"])
+        for r in df.filter(
+            F.col("n_inter") * den >= F.col("n_union") * num
+        ).collect()
+    )
+    want = sorted((i, u) for i, u in pairs if i * den >= u * num)
+    assert got == want
