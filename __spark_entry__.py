@@ -2655,6 +2655,28 @@ def _q_media_meta_stats(spark, sf_dir):
     return MM.media_meta_stats(_docs(spark, sf_dir))
 
 
+def _q_streaming_media_meta(spark, sf_dir):
+    """The image-metadata rollup maintained LIVE: per-width count
+    partials (pure sums over JVM-probed headers) re-merge exactly
+    across micro-batches — the streaming twin of media_meta_stats,
+    sharing its batch oracle.  The synthesis runs once at staging; each
+    micro-batch reduces REAL binary payloads re-read from parquet."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = MM.synth_bmp_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(
+        spark, corpus, MM.media_meta_partials
+    )
+    return MM.media_meta_from_partials(parts)
+
+
+def _q_vocab_zipf_fit(spark, sf_dir):
+    return TA.vocab_zipf_fit(_docs(spark, sf_dir))
+
+
 def _q_wav_meta_stats(spark, sf_dir):
     _ensure_workers_can_import(spark)
     return MM.wav_meta_stats(_docs(spark, sf_dir))
@@ -4761,8 +4783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # payloads (r9 verdict ask 6): JVM header probes + an actual
         # decode round-trip, each recomputable from doc_id arithmetic
         "media_meta_stats": _q_media_meta_stats,
+        "streaming_media_meta": _q_streaming_media_meta,
         "wav_meta_stats": _q_wav_meta_stats,
         "image_pixel_stats": _q_image_pixel_stats,
+        # corpus-health power-law fit (OLS over the vocab spine)
+        "vocab_zipf_fit": _q_vocab_zipf_fit,
         # write-once/query-many incremental near-dup probe
         "lsh_index_probe": _q_lsh_index_probe,
         # Common-Crawl ingestion: WARC segments (plain + member-per-
@@ -6257,6 +6282,20 @@ SELECT CAST(8000 * ((doc_id % 3) + 1) AS BIGINT) AS sample_rate,
 FROM documents
 GROUP BY 1
 """,
+        # streaming twin shares the batch oracle (partials are pure
+        # per-width sums — merge-exact under any micro-batching)
+        "streaming_media_meta": """
+SELECT CAST((doc_id % 13) + 1 AS BIGINT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM((doc_id % 7) + 1) AS BIGINT) AS sum_height,
+       CAST(SUM(((doc_id % 13) + 1) * ((doc_id % 7) + 1)) AS BIGINT)
+         AS sum_pixels,
+       CAST(SUM(54 + ((doc_id % 7) + 1)
+                * ((((doc_id % 13) + 1) * 3 + 3) // 4) * 4) AS BIGINT)
+         AS sum_bytes
+FROM documents
+GROUP BY 1
+""",
         # real decode round-trip: the engine decodes the BMP bytes and
         # sums pixels; the oracle regenerates pixel (x,y,c) =
         # (7x+11y+29c+id) mod 256 over an explicit grid
@@ -6276,6 +6315,7 @@ SELECT CAST(w AS BIGINT) AS width,
 FROM px
 GROUP BY 1
 """,
+        "vocab_zipf_fit": TA.vocab_zipf_fit_sql(),
         "winnowing_fingerprints": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 ex AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wt),

@@ -243,6 +243,13 @@ HEADLINE = [
     # r9: personalized pagerank (4 integer rounds over basket edges;
     # each run re-derives + checkpoints the edge table — honest cost)
     "part_ppr",
+    # r10: oracle-checked multimodal corpus stats — synthesis under
+    # mapInPandas + JVM header probes / a real decode round-trip
+    "media_meta_stats",
+    "wav_meta_stats",
+    "image_pixel_stats",
+    # r10: corpus-health power-law fit (vocab-spine OLS)
+    "vocab_zipf_fit",
 ]
 
 
@@ -378,7 +385,7 @@ def main() -> None:
                 # assign_global_ids, events_twap, hll_user_overlap,
                 # phrase_search, dup_graph_kcore, containment_pairs,
                 # events_resample, fs_linkage — 79 total)
-                "queryset": "r9",
+                "queryset": "r10",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
                 "canaries": canaries,
@@ -400,7 +407,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "queryset": "r9",
+                "queryset": "r10",
                 "n_queries": len(HEADLINE),
                 "max_query_sec": max(timings.values()),
                 "max_query": max(timings, key=timings.get),

@@ -2505,3 +2505,104 @@ SELECT {id_col}, {group_col}, n_tokens,
          AS pct_milli
 FROM r
 """
+
+
+def vocab_zipf_fit(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the rank-frequency
+    power law every natural-language corpus follows (count ∝ rank^s
+    with s ≈ −1): ordinary least squares on (ln rank, ln count) across
+    the full vocab, one row: ``(n_terms, slope_milli, intercept_milli)``.
+    The corpus-health gate of a pretraining pipeline — boilerplate
+    floods and template spam flatten the tail (slope → 0), dedup
+    failures steepen the head; a slope drifting from ≈ −1000 milli is
+    the cheapest corpus-composition alarm there is.
+
+    Determinism: ranks are total (count desc, term asc tiebreak), each
+    ln is rounded to micro-units as a BIGINT (positive values, so
+    half-up rounds identically in both engines; the last-ulp libm
+    caveat of the unigram-LM ops applies), the OLS moment sums run in
+    decimal(38,0) (HUGEINT in the oracle — micro² products reach
+    ~1.7·10^15 per term, int64 would wrap past ~5,000 terms), and the
+    single slope/intercept divide is double, rounded to milli.
+
+    Plan shape: ONE token explode into a hash aggregate (the vocab),
+    a rank window + moment aggregate over |vocab| — never the corpus —
+    so the fit costs the same as build_vocab at any corpus size."""
+    ex = df.select(F.explode(words(F.col(text_col))).alias("w"))
+    vocab = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = vocab.withColumn("rk", F.row_number().over(win)).select(
+        F.round(F.log(F.col("rk").cast("double")) * 1e6, 0)
+        .cast("bigint")
+        .alias("x6"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6, 0)
+        .cast("bigint")
+        .alias("y6"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x6").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y6").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("x6").cast("decimal(38,0)") * F.col("y6")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x6").cast("decimal(38,0)") * F.col("x6")
+        ).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    intercept = (sy - slope * sx) / n / F.lit(1e6)
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope * 1000, 0).cast("long").alias("slope_milli"),
+        F.round(intercept * 1000, 0).cast("long").alias(
+            "intercept_milli"
+        ),
+    )
+
+
+def vocab_zipf_fit_sql(
+    table: str = "documents", *, text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`vocab_zipf_fit`."""
+    return f"""
+WITH ex AS (
+  SELECT unnest({words_sql(text_col)}) AS w FROM {table}),
+vocab AS (
+  SELECT w, COUNT(*) AS c FROM ex GROUP BY w),
+ranked AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+                            AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x6,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y6
+  FROM vocab),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x6 AS HUGEINT)) AS sx,
+         SUM(CAST(y6 AS HUGEINT)) AS sy,
+         SUM(CAST(x6 AS HUGEINT) * y6) AS sxy,
+         SUM(CAST(x6 AS HUGEINT) * x6) AS sxx
+  FROM ranked)
+SELECT n AS n_terms,
+       CAST(round(1000 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0)
+            AS BIGINT) AS slope_milli,
+       CAST(round(1000 * (CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) / 1e6, 0) AS BIGINT)
+         AS intercept_milli
+FROM m
+"""

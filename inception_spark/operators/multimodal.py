@@ -781,20 +781,15 @@ def synth_wav_corpus(
     return df.select(id_col).mapInPandas(gen, out_schema)
 
 
-def media_meta_stats(docs: DataFrame) -> DataFrame:
-    """Corpus-level image metadata rollup over REAL BMP bytes: synthesize
-    the corpus, probe width/height JVM-SIDE from the binary headers
-    (:func:`probe_bmp_dims` — never trusting the synthesis parameters),
-    and aggregate per probed width: (width, n_images, sum_height,
-    sum_pixels, sum_bytes).  The oracle recomputes every column from
-    doc_id arithmetic plus the BMP spec's size formula
-    (54 + h·ceil(3w/4)·4), so a header-layout or probe-parse bug
-    hash-mismatches.  Plan: one mapInPandas synthesis pass, JVM probe
-    projection, 13-key aggregate — no Python on the probe path."""
+def media_meta_partials(corpus: DataFrame) -> DataFrame:
+    """Mergeable per-width partials for the LIVE image-metadata rollup:
+    probe the binary headers JVM-side and reduce to (width, n_images,
+    sum_height, sum_pixels, sum_bytes) — pure sums, so any regrouping
+    of payloads into micro-batches re-merges exactly; state is
+    distinct-width bounded (the streaming sketch-quartet discipline
+    applied to the multimodal family)."""
     media = probe_bmp_dims(
-        attach_media_meta(
-            synth_bmp_corpus(docs), modality="image", mime="image/bmp"
-        )
+        attach_media_meta(corpus, modality="image", mime="image/bmp")
     )
     return (
         media.groupBy(
@@ -811,6 +806,35 @@ def media_meta_stats(docs: DataFrame) -> DataFrame:
             .alias("sum_pixels"),
             F.sum("media_meta.n_bytes").cast("long").alias("sum_bytes"),
         )
+    )
+
+
+def media_meta_from_partials(parts: DataFrame) -> DataFrame:
+    """Re-merge (width, ...) count partials — identical output to
+    :func:`media_meta_stats`, shared finalize for the streaming twin."""
+    return parts.groupBy("width").agg(
+        F.sum("n_images").cast("long").alias("n_images"),
+        F.sum("sum_height").cast("long").alias("sum_height"),
+        F.sum("sum_pixels").cast("long").alias("sum_pixels"),
+        F.sum("sum_bytes").cast("long").alias("sum_bytes"),
+    )
+
+
+def media_meta_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level image metadata rollup over REAL BMP bytes: synthesize
+    the corpus, probe width/height JVM-SIDE from the binary headers
+    (:func:`probe_bmp_dims` — never trusting the synthesis parameters),
+    and aggregate per probed width: (width, n_images, sum_height,
+    sum_pixels, sum_bytes).  The oracle recomputes every column from
+    doc_id arithmetic plus the BMP spec's size formula
+    (54 + h·ceil(3w/4)·4), so a header-layout or probe-parse bug
+    hash-mismatches.  Plan: one mapInPandas synthesis pass, JVM probe
+    projection, 13-key aggregate — no Python on the probe path.  Built
+    on the shared partial/finalize pair so the streaming twin
+    (``streaming_media_meta``) is ≡ by construction; the finalize
+    re-merge costs one pass over ≤13 width keys."""
+    return media_meta_from_partials(
+        media_meta_partials(synth_bmp_corpus(docs))
     )
 
 

@@ -93,3 +93,49 @@ def test_rational_compare_extreme_counts(spark, den, num):
     )
     want = sorted((i, u) for i, u in pairs if i * den >= u * num)
     assert got == want
+
+
+def test_vocab_zipf_fit_two_point_exact(spark):
+    """Two-term vocab: OLS through two points IS the line through them —
+    slope/intercept must equal the Python computation with the same
+    micro-unit rounding (pins the moment algebra and the rank order)."""
+    import math
+
+    from inception_spark.functions.text_analysis import vocab_zipf_fit
+
+    # "aa" 8 times, "bb" twice -> ranks 1, 2
+    text = " ".join(["aa"] * 8 + ["bb"] * 2)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = vocab_zipf_fit(df).collect()[0]
+    x = [round(math.log(1) * 1e6), round(math.log(2) * 1e6)]
+    y = [round(math.log(8) * 1e6), round(math.log(2) * 1e6)]
+    slope = (y[1] - y[0]) / (x[1] - x[0])
+    intercept = (sum(y) - slope * sum(x)) / 2 / 1e6
+    assert row["n_terms"] == 2
+    assert row["slope_milli"] == round(slope * 1000)
+    assert row["intercept_milli"] == round(intercept * 1000)
+
+
+def test_media_meta_streaming_equals_batch(spark):
+    """The per-width partials must re-merge to the batch rollup exactly
+    under an adversarial regrouping (each doc its own partial)."""
+    from inception_spark.operators.multimodal import (
+        media_meta_from_partials,
+        media_meta_partials,
+        media_meta_stats,
+        synth_bmp_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    batch = sorted(map(tuple, media_meta_stats(docs).collect()))
+    corpus = synth_bmp_corpus(docs)
+    parts = None
+    for i in range(4):  # 4 disjoint micro-batches
+        p = media_meta_partials(
+            corpus.filter(F.col("doc_id") % 4 == i)
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    live = sorted(map(tuple, media_meta_from_partials(parts).collect()))
+    assert live == batch
