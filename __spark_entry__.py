@@ -2677,6 +2677,22 @@ def _q_vocab_zipf_fit(spark, sf_dir):
     return TA.vocab_zipf_fit(_docs(spark, sf_dir))
 
 
+def _q_streaming_vocab_zipf(spark, sf_dir):
+    """The Zipf corpus-health fit maintained LIVE: (term, count) state
+    re-sums exactly across micro-batches; the rank + OLS run at
+    finalize over the vocab spine only (the Gini/KS/equi-depth
+    finalize discipline).  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = run_stream_batch_partials(
+        spark, docs, lambda b: TA.zipf_term_partials(b)
+    )
+    return TA.zipf_from_term_counts(parts)
+
+
 def _q_wav_meta_stats(spark, sf_dir):
     _ensure_workers_can_import(spark)
     return MM.wav_meta_stats(_docs(spark, sf_dir))
@@ -4786,8 +4802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_media_meta": _q_streaming_media_meta,
         "wav_meta_stats": _q_wav_meta_stats,
         "image_pixel_stats": _q_image_pixel_stats,
-        # corpus-health power-law fit (OLS over the vocab spine)
+        # corpus-health power-law fit (OLS over the vocab spine) + its
+        # live twin (mergeable term counts, finalize-only rank)
         "vocab_zipf_fit": _q_vocab_zipf_fit,
+        "streaming_vocab_zipf": _q_streaming_vocab_zipf,
         # write-once/query-many incremental near-dup probe
         "lsh_index_probe": _q_lsh_index_probe,
         # Common-Crawl ingestion: WARC segments (plain + member-per-
@@ -6316,6 +6334,7 @@ FROM px
 GROUP BY 1
 """,
         "vocab_zipf_fit": TA.vocab_zipf_fit_sql(),
+        "streaming_vocab_zipf": TA.vocab_zipf_fit_sql(),
         "winnowing_fingerprints": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 ex AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wt),

@@ -2529,9 +2529,32 @@ def vocab_zipf_fit(
 
     Plan shape: ONE token explode into a hash aggregate (the vocab),
     a rank window + moment aggregate over |vocab| — never the corpus —
-    so the fit costs the same as build_vocab at any corpus size."""
-    ex = df.select(F.explode(words(F.col(text_col))).alias("w"))
-    vocab = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    so the fit costs the same as build_vocab at any corpus size.
+    Built on the shared partial/finalize pair (term counts are pure
+    sums), so the streaming twin is ≡ by construction."""
+    return zipf_from_term_counts(zipf_term_partials(df, text_col=text_col))
+
+
+def zipf_term_partials(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Mergeable state for the live Zipf fit: (w, c) term counts —
+    pure sums, re-merging exactly under any micro-batch regrouping;
+    state is vocab-bounded (the order statistic — the rank — runs only
+    at finalize over the term spine, never over history: the Gini/KS/
+    equi-depth finalize discipline)."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def zipf_from_term_counts(parts: DataFrame) -> DataFrame:
+    """Zipf OLS from (w, c) term-count partials — re-merge, rank over
+    the vocab spine, micro-unit moment sums; shared by the batch op
+    and the streaming twin."""
+    vocab = parts.groupBy("w").agg(F.sum("c").alias("c"))
     win = Window.orderBy(F.desc("c"), F.asc("w"))
     ranked = vocab.withColumn("rk", F.row_number().over(win)).select(
         F.round(F.log(F.col("rk").cast("double")) * 1e6, 0)
