@@ -1232,6 +1232,13 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         colocated_join(
             spark, "t_bkt_li", "t_bkt_o4", "l_orderkey", "o_orderkey"
         )
+    # the post-execution re-check must have inspected the COMMITTED
+    # final adaptive plan, not the unfinalized initial one (the r9
+    # ADVICE no-op: head(1) ran a separate limit query and left
+    # isFinalPlan=false on the join's own QueryExecution)
+    final = j._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in final:
+        assert "isFinalPlan=true" in final
 
 
 def test_events_ewma_matches_truncated_recursion(spark, tmp_path):
