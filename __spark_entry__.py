@@ -94,7 +94,10 @@ from inception_spark.operators import classify as NB
 from inception_spark.operators import clustering as CL
 from inception_spark.operators import dedup as D
 from inception_spark.operators import similarity as S
-from inception_spark.operators.packing import pack_sequences_sql
+from inception_spark.operators.packing import (
+    pack_sequences_sql,
+    packing_efficiency_report_sql,
+)
 from inception_spark.operators.sampling import (
     build_vocab,
     build_vocab_sql,
@@ -2949,6 +2952,16 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=2048)
 
 
+def _q_packing_efficiency(spark, sf_dir):
+    from inception_spark.operators.packing import (
+        packing_efficiency_report,
+    )
+
+    return packing_efficiency_report(
+        _docs(spark, sf_dir), budgets=(128, 512, 2048, 8192)
+    )
+
+
 _DQ_RULES = [
     ("doc_id_not_null", "not_null", "doc_id"),
     ("doc_id_unique", "unique", "doc_id"),
@@ -4707,6 +4720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             R.load_events(spark, sf), "user_id", k=10
         ),
         "pack_sequences": _q_pack_sequences,
+        # the "pick your context length" trade report (one corpus pass,
+        # literal fan-out over candidate budgets)
+        "packing_efficiency": _q_packing_efficiency,
         "dq_check": _q_dq_check,
         "dq_quarantine": _q_dq_quarantine,
         "streaming_dq_gate": _q_streaming_dq_gate,
@@ -6898,6 +6914,11 @@ GROUP BY o.o_orderpriority, l.l_returnflag
 """,
         "events_ndv_by_type": hll_ndv_by_group_sql(
             "events", "event_type", "user_id"
+        ),
+        "packing_efficiency": packing_efficiency_report_sql(
+            "documents",
+            TA.token_count_sql("text"),
+            budgets=(128, 512, 2048, 8192),
         ),
         "pack_sequences": pack_sequences_sql(
             "documents", TA.token_count_sql("text"), budget=2048

@@ -250,6 +250,8 @@ HEADLINE = [
     "image_pixel_stats",
     # r10: corpus-health power-law fit (vocab-spine OLS)
     "vocab_zipf_fit",
+    # r10: context-length trade report (one pass, literal budget fan-out)
+    "packing_efficiency",
 ]
 
 

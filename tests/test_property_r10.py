@@ -139,3 +139,45 @@ def test_media_meta_streaming_equals_batch(spark):
         parts = p if parts is None else parts.unionByName(p)
     live = sorted(map(tuple, media_meta_from_partials(parts).collect()))
     assert live == batch
+
+
+def test_packing_efficiency_planted_trade(spark):
+    """Hand-computable corpus: one partition, docs of 3/4/5 tokens in
+    doc_id order (offsets 0,3,7) — at L=4: doc0 fits [0,3), doc1
+    straddles (3..6), doc2 straddles (7..11), ceil(12/4)=3 sequences,
+    zero tail pad, oversize only doc2; at L=16 nothing straddles and
+    the tail pad is 4."""
+    from inception_spark.operators.packing import (
+        packing_efficiency_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a b c"),
+            (1, "en", "a b c d"),
+            (2, "en", "a b c d e"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["budget"]: r
+        for r in packing_efficiency_report(
+            docs, budgets=(4, 16)
+        ).collect()
+    }
+    r4 = out[4]
+    assert (
+        r4["n_docs"],
+        r4["total_tokens"],
+        r4["n_sequences"],
+        r4["tail_pad_tokens"],
+        r4["n_oversize"],
+        r4["n_straddle"],
+    ) == (3, 12, 3, 0, 1, 2)
+    r16 = out[16]
+    assert (
+        r16["n_sequences"],
+        r16["tail_pad_tokens"],
+        r16["n_oversize"],
+        r16["n_straddle"],
+    ) == (1, 4, 0, 0)
