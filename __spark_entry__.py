@@ -2302,6 +2302,15 @@ def _q_events_acf(spark, sf_dir):
     return R.events_acf(spark, sf_dir)
 
 
+def _q_events_pacf(spark, sf_dir):
+    """Durbin–Levinson PACF on the ACF spine — the AR-order picker.
+    Corpus-scale work is the shared ACF aggregate; the O(k²) recursion
+    runs driver-side over the (types × 8)-row ACF table with
+    half-away 9-dp rounding each step so the oracle's recursive CTE
+    reproduces it float-for-float."""
+    return R.events_pacf(spark, sf_dir, max_lag=8)
+
+
 def _q_streaming_equidepth(spark, sf_dir):
     """The CBO equi-depth histogram maintained LIVE: (group, value)
     count partials re-sum across micro-batches, and the finalize
@@ -4995,6 +5004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_ppr": _q_part_ppr,
         # r9: hourly-count autocorrelation, lags 1..24
         "events_acf": _q_events_acf,
+        "events_pacf": _q_events_pacf,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -6780,6 +6790,7 @@ GROUP BY o.o_orderpriority
         "part_ppr": _part_ppr_oracle_sql(),
         # r9: same mean-cleared integer terms, same decimal sums
         "events_acf": R.events_acf_sql(),
+        "events_pacf": R.events_pacf_sql(max_lag=8),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

@@ -252,6 +252,8 @@ HEADLINE = [
     "vocab_zipf_fit",
     # r10: context-length trade report (one pass, literal budget fan-out)
     "packing_efficiency",
+    # r10: AR-order picker on the ACF spine (Durbin-Levinson finalize)
+    "events_pacf",
 ]
 
 

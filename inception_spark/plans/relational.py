@@ -4796,3 +4796,108 @@ SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
        END AS acf
 FROM num n JOIN den d ON n.event_type = d.event_type
 """
+
+
+def events_pacf(
+    spark: SparkSession, sf_dir: str, *, max_lag: int = 8
+) -> DataFrame:
+    """Partial autocorrelation of the hourly event-count series per
+    type, lags 1..``max_lag`` — (event_type, lag, pacf_milli): the
+    AR-order picker that completes :func:`events_acf` (ACF says "there
+    is structure", PACF says "an AR(p) explains it — p = the last
+    significant lag").  Durbin–Levinson on the ACF values:
+    φ_{k,k} = (r_k − Σ_j φ_{k−1,j} r_{k−j}) / (1 − Σ_j φ_{k−1,j} r_j),
+    φ_{k,j} = φ_{k−1,j} − φ_{k,k} φ_{k−1,k−j}.
+
+    Scale shape: ALL corpus-scale work is the ACF (one hash aggregate +
+    the spine economics, see events_acf); the recursion is O(max_lag²)
+    flops over the (types × max_lag)-row ACF table — control-plane
+    sized, run driver-side like the kmeans/LR scalars.  Determinism:
+    the recursion starts from the ACF's 6-dp-rounded values (already
+    engine-identical) and rounds every intermediate to 9 dp
+    HALF-AWAY-FROM-ZERO (matching DuckDB's round; Python's builtin
+    round is half-even and must not be used here), so the oracle's
+    recursive CTE reproduces it float-for-float.  Types missing any
+    lag (spine shorter than max_lag, or a constant series' NULL acf)
+    are dropped on both sides."""
+    k_max = int(max_lag)
+    acf = events_acf(spark, sf_dir, max_lag=k_max)
+    rows = acf.filter(F.col("acf").isNotNull()).collect()
+    series: dict = {}
+    for row in rows:
+        series.setdefault(row["event_type"], {})[row["lag"]] = row["acf"]
+
+    out = []
+    for et in sorted(series):
+        lags = series[et]
+        if len(lags) != k_max or set(lags) != set(range(1, k_max + 1)):
+            continue
+        r = [lags[i] for i in range(1, k_max + 1)]
+        for i, p in enumerate(durbin_levinson_pacf(r)):
+            out.append((et, i + 1, int(_round_away(1000 * p, 0))))
+    return spark.createDataFrame(
+        out, "event_type string, lag long, pacf_milli long"
+    )
+
+
+def _round_away(x: float, nd: int) -> float:
+    """Round half AWAY from zero at nd decimals — DuckDB's round();
+    Python's builtin is half-even and would diverge on exact halves."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 10**nd + 0.5), x) / 10**nd
+
+
+def durbin_levinson_pacf(r: list) -> list:
+    """φ_{1,1}..φ_{K,K} from ACF values r_1..r_K — every intermediate
+    rounded to 9 dp half-away so the SQL twin's recursive CTE
+    reproduces it float-for-float.  Exposed for the property pin: an
+    exact AR(1) ACF (r_k = ρ^k) must cut off — PACF 0 past lag 1."""
+    phi = [_round_away(r[0], 9)]
+    pacf = [phi[0]]
+    for k in range(1, len(r)):
+        num = r[k] - sum(phi[i] * r[k - 1 - i] for i in range(k))
+        den = 1 - sum(phi[i] * r[i] for i in range(k))
+        pkk = _round_away(num / den, 9)
+        phi = [
+            _round_away(phi[i] - pkk * phi[k - 1 - i], 9)
+            for i in range(k)
+        ] + [pkk]
+        pacf.append(pkk)
+    return pacf
+
+
+def events_pacf_sql(*, max_lag: int = 8) -> str:
+    """DuckDB twin of :func:`events_pacf` — the same Durbin–Levinson
+    recursion as a recursive CTE carrying the φ list, seeded from the
+    shared ACF query."""
+    k = int(max_lag)
+    return f"""
+WITH RECURSIVE acf_rows AS (
+  SELECT * FROM ({events_acf_sql(max_lag=k)}) q),
+base AS (
+  SELECT event_type, list(acf ORDER BY lag) AS r
+  FROM acf_rows
+  GROUP BY event_type
+  HAVING COUNT(*) = {k} AND COUNT(acf) = {k}),
+dl AS (
+  SELECT event_type, r, 1 AS k, [round(r[1], 9)] AS phi FROM base
+  UNION ALL
+  SELECT event_type, r, k + 1,
+         list_append(
+           [round(phi[i] - pkk * phi[k + 1 - i], 9)
+            FOR i IN range(1, k + 1)],
+           pkk)
+  FROM (
+    SELECT event_type, r, k, phi,
+      round((r[k + 1]
+             - coalesce(list_sum(
+                 [phi[i] * r[k + 1 - i] FOR i IN range(1, k + 1)]), 0))
+            / (1 - coalesce(list_sum(
+                 [phi[i] * r[i] FOR i IN range(1, k + 1)]), 0)),
+            9) AS pkk
+    FROM dl WHERE k < {k}))
+SELECT event_type, CAST(k AS BIGINT) AS lag,
+       CAST(round(1000 * phi[k], 0) AS BIGINT) AS pacf_milli
+FROM dl
+"""

@@ -181,3 +181,42 @@ def test_packing_efficiency_planted_trade(spark):
         r16["n_oversize"],
         r16["n_straddle"],
     ) == (1, 4, 0, 0)
+
+
+def test_pacf_ar1_cuts_off_and_matches_oracle_recursion():
+    """An exact AR(1) ACF (r_k = rho^k) has PACF rho at lag 1 and 0 at
+    every later lag — the defining cut-off property Durbin–Levinson
+    must reproduce (within the 9-dp step rounding); and the Python
+    recursion must match DuckDB's recursive-CTE twin float-for-float
+    on an arbitrary (non-AR) ACF vector."""
+    import duckdb
+
+    from inception_spark.plans.relational import durbin_levinson_pacf
+
+    rho = 0.6
+    r = [rho**k for k in range(1, 9)]
+    pacf = durbin_levinson_pacf(r)
+    assert abs(pacf[0] - rho) < 1e-9
+    assert all(abs(p) < 1e-6 for p in pacf[1:])
+
+    r2 = [0.61, 0.37, 0.128, -0.004, 0.05, -0.17, 0.33, 0.021]
+    got = [round(1000 * p) for p in durbin_levinson_pacf(r2)]
+    con = duckdb.connect()
+    sql = f"""
+WITH RECURSIVE base AS (SELECT {r2!r}::DOUBLE[] AS r),
+dl AS (
+  SELECT r, 1 AS k, [round(r[1], 9)] AS phi FROM base
+  UNION ALL
+  SELECT r, k + 1,
+         list_append([round(phi[i] - pkk * phi[k + 1 - i], 9)
+                      FOR i IN range(1, k + 1)], pkk)
+  FROM (SELECT r, k, phi,
+          round((r[k + 1] - coalesce(list_sum(
+                   [phi[i] * r[k + 1 - i] FOR i IN range(1, k + 1)]), 0))
+                / (1 - coalesce(list_sum(
+                   [phi[i] * r[i] FOR i IN range(1, k + 1)]), 0)), 9) AS pkk
+        FROM dl WHERE k < 8))
+SELECT k, CAST(round(1000 * phi[k], 0) AS BIGINT) FROM dl ORDER BY k
+"""
+    want = [v for _, v in con.execute(sql).fetchall()]
+    assert got == want
