@@ -2715,6 +2715,11 @@ def _q_image_pixel_stats(spark, sf_dir):
     return MM.image_pixel_stats(_docs(spark, sf_dir))
 
 
+def _q_audio_sample_stats(spark, sf_dir):
+    _ensure_workers_can_import(spark)
+    return MM.audio_sample_stats(_docs(spark, sf_dir))
+
+
 def _q_embedding_dup_pairs(spark, sf_dir):
     _ensure_workers_can_import(spark)  # applyInPandas closure
     return D.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -4827,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_media_meta": _q_streaming_media_meta,
         "wav_meta_stats": _q_wav_meta_stats,
         "image_pixel_stats": _q_image_pixel_stats,
+        "audio_sample_stats": _q_audio_sample_stats,
         # corpus-health power-law fit (OLS over the vocab spine) + its
         # live twin (mergeable term counts, finalize-only rank)
         "vocab_zipf_fit": _q_vocab_zipf_fit,
@@ -6357,6 +6363,28 @@ SELECT CAST(w AS BIGINT) AS width,
        CAST(SUM((7 * x + 11 * y + 29 * c + doc_id) % 256) AS BIGINT)
          AS sum_pixels_value
 FROM px
+GROUP BY 1
+""",
+        # real PCM decode round-trip: the engine decodes the WAV bytes
+        # back to int16s; the oracle regenerates the ramp samples
+        # round(((i%41)-20)/20 * 32767) over an explicit grid (division
+        # order and CASTs mirror the numpy encode path exactly)
+        "audio_sample_stats": """
+WITH g AS (
+  SELECT d.doc_id,
+         8000 * ((d.doc_id % 3) + 1) AS rate,
+         50 * ((d.doc_id % 11) + 1) AS n,
+         i.i
+  FROM documents d
+  CROSS JOIN generate_series(0, 549) AS i(i)
+  WHERE i.i < 50 * ((d.doc_id % 11) + 1))
+SELECT CAST(rate AS BIGINT) AS sample_rate,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
+       CAST(COUNT(*) AS BIGINT) AS sum_samples,
+       CAST(SUM(CAST(round(((i % 41) - 20) / CAST(20 AS DOUBLE)
+                           * CAST(32767 AS DOUBLE), 0) AS BIGINT))
+            AS BIGINT) AS sum_pcm_value
+FROM g
 GROUP BY 1
 """,
         "vocab_zipf_fit": TA.vocab_zipf_fit_sql(),

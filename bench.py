@@ -248,6 +248,7 @@ HEADLINE = [
     "media_meta_stats",
     "wav_meta_stats",
     "image_pixel_stats",
+    "audio_sample_stats",
     # r10: corpus-health power-law fit (vocab-spine OLS)
     "vocab_zipf_fit",
     # r10: context-length trade report (one pass, literal budget fan-out)

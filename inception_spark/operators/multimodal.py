@@ -756,9 +756,12 @@ def synth_wav_corpus(
     df: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic per-document 16-bit mono WAV payload: sample_rate
-    = 8000·((id mod 3)+1), n_samples = 50·((id mod 11)+1), silent
-    samples (the meta probes never read sample data) — (doc_id,
-    payload), worker-side like :func:`synth_bmp_corpus`."""
+    = 8000·((id mod 3)+1), n_samples = 50·((id mod 11)+1), sample i a
+    rational sawtooth ((i mod 41) − 20)/20 — integer-derived, NO
+    transcendentals, so an engine-independent oracle can reproduce the
+    encoder's exact int16 values (sin() would put libm last-ulp
+    differences in front of a rounding boundary).  (doc_id, payload),
+    worker-side like :func:`synth_bmp_corpus`."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -773,7 +776,8 @@ def synth_wav_corpus(
             for i in ids:
                 rate = 8000 * (int(i % 3) + 1)
                 n = 50 * (int(i % 11) + 1)
-                payloads.append(encode_wav(np.zeros(n), rate))
+                ramp = ((np.arange(n, dtype=np.int64) % 41) - 20) / 20.0
+                payloads.append(encode_wav(ramp, rate))
             yield pd.DataFrame(
                 {"doc_id": ids.to_numpy(), "payload": payloads}
             )
@@ -861,6 +865,54 @@ def wav_meta_stats(docs: DataFrame) -> DataFrame:
             .cast("long")
             .alias("sum_duration_ms"),
             F.sum("media_meta.n_bytes").cast("long").alias("sum_bytes"),
+        )
+    )
+
+
+def audio_sample_stats(docs: DataFrame) -> DataFrame:
+    """REAL audio decode round-trip, driver-visibly oracle-checked — the
+    WAV twin of :func:`image_pixel_stats`: synthesize the ramp corpus,
+    DECODE the 16-bit PCM back worker-side (:func:`decode_wav` under
+    ``mapInPandas``), and aggregate the exact int16 sample sums per
+    rate: (sample_rate, n_clips, sum_samples, sum_pcm_value).  The
+    oracle regenerates every sample from the synthesis formula
+    round(((i mod 41) − 20)/20 · 32767) over an explicit grid — a
+    decode defect (byte order, channel layout, the /32768
+    normalization) changes the sum and hash-mismatches.  The only
+    rounding tie the ramp can produce is ±16383.5, where half-even
+    (numpy) and half-away (DuckDB) agree — by construction, see
+    :func:`synth_wav_corpus`."""
+    corpus = synth_wav_corpus(docs)
+    out_schema = T.StructType(
+        [
+            T.StructField("sample_rate", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("pcm_sum", T.LongType(), False),
+        ]
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, sums = [], [], []
+            for p in pdf["payload"]:
+                x, rate = decode_wav(bytes(p))
+                # decode divides by 32768 (a power of two — exact), so
+                # multiplying back recovers the stored int16s exactly
+                pcm = np.rint(x * 32768.0).astype(np.int64)
+                rates.append(int(rate))
+                ns.append(int(len(pcm)))
+                sums.append(int(pcm.sum()))
+            yield pd.DataFrame(
+                {"sample_rate": rates, "n_samples": ns, "pcm_sum": sums}
+            )
+
+    return (
+        corpus.mapInPandas(dec, out_schema)
+        .groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("sum_samples"),
+            F.sum("pcm_sum").cast("long").alias("sum_pcm_value"),
         )
     )
 
