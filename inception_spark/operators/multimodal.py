@@ -175,10 +175,18 @@ def probe_bmp_dims(
 ) -> DataFrame:
     """Fill media_meta.width/height by parsing the BMP header JVM-SIDE
     (per-byte substring → hex → conv recombination): metadata probing
-    over 100 TB of blobs must not round-trip payloads through Python."""
+    over 100 TB of blobs must not round-trip payloads through Python.
+    The height field is SIGNED (negative = top-down row order) — the
+    probe reports |height| like :func:`decode_bmp` reports abs(h)
+    rows; a raw unsigned cast to int would ANSI-overflow-throw on the
+    first top-down bitmap and kill the whole scan."""
 
     def _le32(pos: int):  # 1-based substring position
-        return _le_uint(payload_col, pos, 4).cast("int")
+        u = _le_uint(payload_col, pos, 4)
+        signed = F.when(
+            u >= F.lit(1 << 31), u - F.lit(1 << 32)
+        ).otherwise(u)
+        return F.abs(signed).cast("int")
 
     is_bmp = F.substring(F.col(payload_col), 1, 2) == F.lit(b"BM")
     return df.withColumn(

@@ -220,3 +220,33 @@ SELECT k, CAST(round(1000 * phi[k], 0) AS BIGINT) FROM dl ORDER BY k
 """
     want = [v for _, v in con.execute(sql).fetchall()]
     assert got == want
+
+
+def test_probe_bmp_dims_topdown_negative_height(spark):
+    """A top-down BMP (negative height in the header) must probe as
+    |height| — matching decode_bmp — instead of ANSI-overflow-throwing
+    on the unsigned read (one such payload in a 100 TB corpus would
+    otherwise kill the whole probe scan)."""
+    import struct
+
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_bmp,
+        encode_bmp,
+        probe_bmp_dims,
+    )
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    payload = bytearray(encode_bmp(img))
+    # flip the height field (1-based byte 23 / 0-based 22) to -5
+    struct.pack_into("<i", payload, 22, -5)
+    assert decode_bmp(bytes(payload)).shape == (5, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytes(payload))], "id long, payload binary"
+    )
+    row = probe_bmp_dims(
+        attach_media_meta(df, modality="image")
+    ).select("media_meta.*").collect()[0]
+    assert (row["width"], row["height"]) == (4, 5)
