@@ -1936,3 +1936,46 @@ def test_forecast_conformal_bands(spark):
         assert r["lo_milli"] == max(0, r["forecast_milli"] - 2000)
         assert r["hi_milli"] == r["forecast_milli"] + 2000
         assert r["lo_milli"] <= r["forecast_milli"] <= r["hi_milli"]
+
+
+def test_media_synth_prunes_to_doc_id_and_probe_stays_jvm(spark):
+    """The multimodal stats plans: column pruning must reach the scan
+    through the mapInPandas synthesis (only doc_id read — the text
+    column never leaves parquet), the synthesis is the ONLY Python
+    crossing (Arrow-batched), and the header probe / aggregate side has
+    no row-at-a-time Python anywhere."""
+    from inception_spark.operators.multimodal import media_meta_stats
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    p = plan_of(media_meta_stats(docs))
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+    assert p.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_vocab_zipf_plan_is_jvm_only_and_prunes(spark):
+    """The Zipf fit is pure Catalyst: no Python evaluation node at all,
+    and the scan reads only the text column."""
+    from inception_spark.functions.text_analysis import vocab_zipf_fit
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    p = plan_of(vocab_zipf_fit(docs))
+    assert "ReadSchema: struct<text:string>" in p
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in p
+
+
+def test_packing_efficiency_single_scan_jvm_only(spark):
+    """The context-length report fans out over candidate budgets from
+    ONE corpus scan (no per-L rescan) and stays JVM-side."""
+    from inception_spark.operators.packing import (
+        packing_efficiency_report,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    p = plan_of(packing_efficiency_report(docs, budgets=(512, 2048)))
+    # one scan for the per-doc stats + one for the partition totals —
+    # never one per candidate budget
+    assert p.count("FileScan") <= 2
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in p
