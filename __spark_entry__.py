@@ -2302,6 +2302,13 @@ def _q_events_acf(spark, sf_dir):
     return R.events_acf(spark, sf_dir)
 
 
+def _q_events_ccf(spark, sf_dir):
+    """Pairwise lead-lag correlogram of the hourly count series — the
+    cross-series completion of ACF; shared-spine, mean cleared by
+    multiplying through n, decimal sums, one sqrt+divide."""
+    return R.events_ccf(spark, sf_dir, max_lag=6)
+
+
 def _q_events_pacf(spark, sf_dir):
     """Durbin–Levinson PACF on the ACF spine — the AR-order picker.
     Corpus-scale work is the shared ACF aggregate; the O(k²) recursion
@@ -2708,6 +2715,22 @@ def _q_streaming_vocab_zipf(spark, sf_dir):
 def _q_wav_meta_stats(spark, sf_dir):
     _ensure_workers_can_import(spark)
     return MM.wav_meta_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_wav_meta(spark, sf_dir):
+    """Audio-metadata rollup maintained LIVE — per-rate count partials
+    over JVM-probed RIFF headers re-merge exactly across
+    micro-batches; shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = MM.synth_wav_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(
+        spark, corpus, MM.wav_meta_partials
+    )
+    return MM.wav_meta_from_partials(parts)
 
 
 def _q_image_pixel_stats(spark, sf_dir):
@@ -4831,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_stats": _q_media_meta_stats,
         "streaming_media_meta": _q_streaming_media_meta,
         "wav_meta_stats": _q_wav_meta_stats,
+        "streaming_wav_meta": _q_streaming_wav_meta,
         "image_pixel_stats": _q_image_pixel_stats,
         "audio_sample_stats": _q_audio_sample_stats,
         # corpus-health power-law fit (OLS over the vocab spine) + its
@@ -5011,6 +5035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: hourly-count autocorrelation, lags 1..24
         "events_acf": _q_events_acf,
         "events_pacf": _q_events_pacf,
+        "events_ccf": _q_events_ccf,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -6365,6 +6390,17 @@ SELECT CAST(w AS BIGINT) AS width,
 FROM px
 GROUP BY 1
 """,
+        "streaming_wav_meta": """
+SELECT CAST(8000 * ((doc_id % 3) + 1) AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM((2 * 50 * ((doc_id % 11) + 1) * 8000)
+                // (8000 * ((doc_id % 3) + 1) * 16)) AS BIGINT)
+         AS sum_duration_ms,
+       CAST(SUM(44 + 2 * 50 * ((doc_id % 11) + 1)) AS BIGINT)
+         AS sum_bytes
+FROM documents
+GROUP BY 1
+""",
         # real PCM decode round-trip: the engine decodes the WAV bytes
         # back to int16s; the oracle regenerates the ramp samples
         # round(((i%41)-20)/20 * 32767) over an explicit grid (division
@@ -6819,6 +6855,7 @@ GROUP BY o.o_orderpriority
         # r9: same mean-cleared integer terms, same decimal sums
         "events_acf": R.events_acf_sql(),
         "events_pacf": R.events_pacf_sql(max_lag=8),
+        "events_ccf": R.events_ccf_sql(max_lag=6),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

@@ -255,6 +255,8 @@ HEADLINE = [
     "packing_efficiency",
     # r10: AR-order picker on the ACF spine (Durbin-Levinson finalize)
     "events_pacf",
+    # r10: pairwise lead-lag correlogram (types x lags fanout on the spine)
+    "events_ccf",
 ]
 
 

@@ -857,11 +857,21 @@ def wav_meta_stats(docs: DataFrame) -> DataFrame:
     (:func:`probe_wav_meta`), aggregate per probed rate:
     (sample_rate, n_clips, sum_duration_ms, sum_bytes).  Oracle =
     doc_id arithmetic + the canonical 44-byte-header size formula +
-    the same integer duration rule the probe evaluates."""
+    the same integer duration rule the probe evaluates.  Built on the
+    shared partial/finalize pair so the streaming twin
+    (``streaming_wav_meta``) is ≡ by construction."""
+    return wav_meta_from_partials(
+        wav_meta_partials(synth_wav_corpus(docs))
+    )
+
+
+def wav_meta_partials(corpus: DataFrame) -> DataFrame:
+    """Mergeable per-rate partials for the LIVE audio-metadata rollup —
+    the WAV face of :func:`media_meta_partials`: JVM header probe, then
+    (sample_rate, n_clips, sum_duration_ms, sum_bytes) pure sums;
+    state is distinct-rate bounded."""
     media = probe_wav_meta(
-        attach_media_meta(
-            synth_wav_corpus(docs), modality="audio", mime="audio/wav"
-        )
+        attach_media_meta(corpus, modality="audio", mime="audio/wav")
     )
     return (
         media.groupBy(
@@ -874,6 +884,16 @@ def wav_meta_stats(docs: DataFrame) -> DataFrame:
             .alias("sum_duration_ms"),
             F.sum("media_meta.n_bytes").cast("long").alias("sum_bytes"),
         )
+    )
+
+
+def wav_meta_from_partials(parts: DataFrame) -> DataFrame:
+    """Re-merge (sample_rate, ...) count partials — identical output to
+    :func:`wav_meta_stats`, shared finalize for the streaming twin."""
+    return parts.groupBy("sample_rate").agg(
+        F.sum("n_clips").cast("long").alias("n_clips"),
+        F.sum("sum_duration_ms").cast("long").alias("sum_duration_ms"),
+        F.sum("sum_bytes").cast("long").alias("sum_bytes"),
     )
 
 

@@ -4901,3 +4901,169 @@ SELECT event_type, CAST(k AS BIGINT) AS lag,
        CAST(round(1000 * phi[k], 0) AS BIGINT) AS pacf_milli
 FROM dl
 """
+
+
+def events_ccf(
+    spark: SparkSession, sf_dir: str, *, max_lag: int = 6
+) -> DataFrame:
+    """Cross-correlation function between every ORDERED pair of event
+    types' hourly count series, lags 0..``max_lag`` — (type_a, type_b,
+    lag, ccf) where ccf at lag h is the correlation of a's counts with
+    b's counts h hours LATER ("a leads b by h": a marketing touch
+    spiking h hours before purchases shows as a ccf peak at h).  The
+    pairwise completion of :func:`events_acf` — the diagnostic behind
+    cross-series features and lead-lag attribution.
+
+    Exactness (the ACF discipline, pairwise): both series live on the
+    SAME gap-filled global hourly spine (so n is shared and absent
+    hours are zeros, not splices), means are cleared by multiplying
+    through n — num·n² = Σ(n·a_t − S_a)(n·b_{t+h} − S_b) with every
+    term an exact integer and every sum an exact DECIMAL(38,0) — and
+    the one double step is num / sqrt(den_a·den_b) (sqrt is IEEE
+    correctly-rounded, identical in both engines), rounded at 6 dp.
+
+    Scale shape: one hash aggregate to the hourly rollup; the spine,
+    centering and lag pairing live on types × hours rows; the pair
+    join is (types·lags)-fanout on the shifted integer hour key —
+    types is small (the event taxonomy), hours is time, neither is
+    corpus row count."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = hourly.agg(
+        F.min("hr").alias("_lo"), F.max("hr").alias("_hi")
+    )
+    types = hourly.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(
+                "hr"
+            ),
+        )
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = spine.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    centered = spine.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hr",
+        (F.col("x") * F.col("n") - F.col("s")).alias("d"),
+    ).localCheckpoint(eager=False)
+    den = centered.groupBy("event_type").agg(
+        F.sum(
+            F.col("d").cast("decimal(38,0)") * F.col("d")
+        ).alias("_den")
+    )
+    lags = spark.range(0, int(max_lag) + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = centered.crossJoin(F.broadcast(lags)).select(
+        F.col("event_type").alias("type_a"),
+        "lag",
+        (F.col("hr") + F.col("lag")).alias("hr"),
+        F.col("d").alias("d_a"),
+    )
+    paired = a.join(
+        centered.select(
+            F.col("event_type").alias("type_b"),
+            "hr",
+            F.col("d").alias("d_b"),
+        ),
+        "hr",
+    ).filter(F.col("type_a") != F.col("type_b"))
+    num = paired.groupBy("type_a", "type_b", "lag").agg(
+        F.sum(
+            F.col("d_a").cast("decimal(38,0)") * F.col("d_b")
+        ).alias("_num")
+    )
+    da = den.select(
+        F.col("event_type").alias("type_a"), F.col("_den").alias("_da")
+    )
+    db = den.select(
+        F.col("event_type").alias("type_b"), F.col("_den").alias("_db")
+    )
+    return (
+        num.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("long").alias("lag"),
+            F.when(
+                (F.col("_da") > 0) & (F.col("_db") > 0),
+                F.round(
+                    F.col("_num").cast("double")
+                    / F.sqrt(
+                        F.col("_da").cast("double")
+                        * F.col("_db").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("ccf"),
+        )
+    )
+
+
+def events_ccf_sql(*, max_lag: int = 6) -> str:
+    """DuckDB twin of :func:`events_ccf`."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(hr) AS _lo, MAX(hr) AS _hi FROM hourly),
+types AS (SELECT DISTINCT event_type FROM hourly),
+-- the grid must be its OWN uncorrelated CTE: DuckDB cannot LEFT JOIN
+-- after a correlated LATERAL (the events_acf lesson)
+grid AS (
+  SELECT t.event_type, g.hr
+  FROM types t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT _lo FROM bounds),
+                                  (SELECT _hi FROM bounds))) AS hr) g),
+spine AS (
+  SELECT grid.event_type, grid.hr, COALESCE(h.x, 0) AS x
+  FROM grid LEFT JOIN hourly h USING (event_type, hr)),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+  FROM spine GROUP BY 1),
+centered AS (
+  SELECT sp.event_type, sp.hr,
+         CAST(sp.x * st.n - st.s AS HUGEINT) AS d
+  FROM spine sp JOIN stats st USING (event_type)),
+den AS (
+  SELECT event_type, SUM(d * d) AS _den FROM centered GROUP BY 1),
+lags AS (SELECT unnest(generate_series(0, {int(max_lag)})) AS lag),
+num AS (
+  SELECT ca.event_type AS type_a, cb.event_type AS type_b, l.lag,
+         SUM(ca.d * cb.d) AS _num
+  FROM centered ca
+  JOIN lags l ON true
+  JOIN centered cb
+    ON cb.hr = ca.hr + l.lag AND cb.event_type <> ca.event_type
+  GROUP BY 1, 2, 3)
+SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+       CASE WHEN da._den > 0 AND db._den > 0 THEN
+         round(CAST(_num AS DOUBLE)
+               / sqrt(CAST(da._den AS DOUBLE) * CAST(db._den AS DOUBLE)),
+               6) END AS ccf
+FROM num
+JOIN den da ON da.event_type = num.type_a
+JOIN den db ON db.event_type = num.type_b
+"""

@@ -250,3 +250,40 @@ def test_probe_bmp_dims_topdown_negative_height(spark):
         attach_media_meta(df, modality="image")
     ).select("media_meta.*").collect()[0]
     assert (row["width"], row["height"]) == (4, 5)
+
+
+def test_events_ccf_detects_planted_lead(spark):
+    """Type 'b' is a 2-hour-delayed copy of type 'a': the cross
+    correlogram must peak at lag 2 for (a -> b) with near-perfect
+    correlation, and at no positive lag for (b -> a)."""
+    import datetime as dt
+
+    import inception_spark.plans.relational as R
+    from inception_spark.plans.relational import events_ccf
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 5 if h % 7 == 0 else 1  # spikes every 7 hours
+        for _ in range(n):
+            rows.append((eid, "a", base + dt.timedelta(hours=h)))
+            eid += 1
+            rows.append((eid, "b", base + dt.timedelta(hours=h + 2)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    )
+    orig = R.load_events
+    try:
+        R.load_events = lambda spark, sf: ev
+        out = {
+            (r["type_a"], r["type_b"], r["lag"]): r["ccf"]
+            for r in events_ccf(spark, "ignored", max_lag=4).collect()
+        }
+    finally:
+        R.load_events = orig
+    ab = {lag: out[("a", "b", lag)] for lag in range(5)}
+    assert max(ab, key=ab.get) == 2 and ab[2] > 0.9
+    ba = {lag: out[("b", "a", lag)] for lag in range(5)}
+    assert ba[2] < ab[2]
