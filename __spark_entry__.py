@@ -2696,6 +2696,14 @@ def _q_vocab_zipf_fit(spark, sf_dir):
     return TA.vocab_zipf_fit(_docs(spark, sf_dir))
 
 
+def _q_corpus_funnel(spark, sf_dir):
+    """raw -> lang gate -> Gopher gate -> exact dedup, one scan + one
+    fingerprint window + one aggregate; the dataset-paper headline."""
+    return TA.corpus_funnel_report(
+        _docs(spark, sf_dir), min_words=30, min_stopword_hits=0
+    )
+
+
 def _q_streaming_vocab_zipf(spark, sf_dir):
     """The Zipf corpus-health fit maintained LIVE: (term, count) state
     re-sums exactly across micro-batches; the rank + OLS run at
@@ -4860,6 +4868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-health power-law fit (OLS over the vocab spine) + its
         # live twin (mergeable term counts, finalize-only rank)
         "vocab_zipf_fit": _q_vocab_zipf_fit,
+        # the dataset-paper funnel (composed gates, one corpus pass)
+        "corpus_funnel": _q_corpus_funnel,
         "streaming_vocab_zipf": _q_streaming_vocab_zipf,
         # write-once/query-many incremental near-dup probe
         "lsh_index_probe": _q_lsh_index_probe,
@@ -6424,6 +6434,9 @@ FROM g
 GROUP BY 1
 """,
         "vocab_zipf_fit": TA.vocab_zipf_fit_sql(),
+        "corpus_funnel": TA.corpus_funnel_report_sql(
+            min_words=30, min_stopword_hits=0
+        ),
         "streaming_vocab_zipf": TA.vocab_zipf_fit_sql(),
         "winnowing_fingerprints": f"""
 WITH wt AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

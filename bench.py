@@ -257,6 +257,8 @@ HEADLINE = [
     "events_pacf",
     # r10: pairwise lead-lag correlogram (types x lags fanout on the spine)
     "events_ccf",
+    # r10: the dataset-paper funnel (composed gates, one scan + one window)
+    "corpus_funnel",
 ]
 
 

@@ -1486,12 +1486,52 @@ def gopher_quality_filter(
     stopword_hits, reason, keep) with ``reason`` the FIRST failed rule
     (reading order above) and NULL for keepers — the quarantine
     auditability contract of ``corpus_filter``.  No UDF, no shuffle;
-    at 100 TB this is one narrow scan you were already paying."""
+    at 100 TB this is one narrow scan you were already paying.  The
+    metric/reason expressions live in :func:`_gopher_metrics` so the
+    funnel composition (``corpus_funnel_report``) reuses the identical
+    rule set without a join."""
+    from pyspark.sql import functions as F
+
+    m = _gopher_metrics(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stopword_hits=min_stopword_hits,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        m["n_words"].cast("long").alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["alpha_word_ratio"].alias("alpha_word_ratio"),
+        m["stopword_hits"].cast("long").alias("stopword_hits"),
+        m["reason"].alias("reason"),
+        m["reason"].isNull().alias("keep"),
+    )
+
+
+def _gopher_metrics(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict:
+    """The Gopher rule metrics + first-failure reason as reusable
+    Catalyst expressions over a text column."""
     from pyspark.sql import functions as F
 
     from inception_spark.functions.hashing import words
 
-    ws = words(F.col(text_col))
+    ws = words(text)
     n_words = F.size(ws)
     total_chars = F.aggregate(
         F.transform(ws, lambda w: F.length(w)),
@@ -1501,8 +1541,8 @@ def gopher_quality_filter(
     mean_wl = F.when(
         n_words > 0, F.round(total_chars.cast("double") / n_words, 6)
     ).otherwise(F.lit(0.0))
-    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
-    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    n_hash = F.size(F.split(text, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
     sym_ratio = F.when(
         n_words > 0,
         F.round((n_hash + n_ellipsis).cast("double") / n_words, 6),
@@ -1528,16 +1568,14 @@ def gopher_quality_filter(
         .when(stop_hits < min_stopword_hits, F.lit("stopwords"))
         .otherwise(F.lit(None).cast("string"))
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_words.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        alpha_ratio.alias("alpha_word_ratio"),
-        stop_hits.cast("long").alias("stopword_hits"),
-        reason.alias("reason"),
-        reason.isNull().alias("keep"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "stopword_hits": stop_hits,
+        "reason": reason,
+    }
 
 
 def gopher_quality_filter_sql(
@@ -2628,4 +2666,100 @@ SELECT n AS n_terms,
                   / CAST(n AS DOUBLE) / 1e6, 0) AS BIGINT)
          AS intercept_milli
 FROM m
+"""
+
+
+def corpus_funnel_report(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """THE pretraining-corpus funnel in one pass — raw → language gate
+    → Gopher quality gate → exact dedup — as a single row:
+    ``(n_raw, n_lang, n_quality, n_unique)``, each count the survivors
+    of that stage AND every stage before it.  This is the headline
+    number of every dataset paper ("we started with X documents and
+    kept Y"), composed from the engine's own gates: :func:`lang_id`,
+    the Gopher rule set (:func:`_gopher_metrics` — identical
+    expressions to ``gopher_quality_filter``), and first-copy-wins
+    exact dedup on :func:`fingerprint`.
+
+    Plan shape — the reason this is an operator and not four queries:
+    all gate flags are ONE Catalyst projection over one scan (no gate
+    rescans the corpus), the dedup stage is one fingerprint-keyed
+    window (min surviving doc_id per fingerprint), and the report is
+    one aggregate.  At 100 TB that is one scan + one shuffle, versus
+    the 4 scans + 1 shuffle of running the stages as separate counts."""
+    from pyspark.sql import Window
+
+    from inception_spark.functions.hashing import words  # noqa: F401
+
+    text = F.col(text_col)
+    reason = _gopher_metrics(
+        text, min_words=min_words, min_stopword_hits=min_stopword_hits
+    )["reason"]
+    flags = df.select(
+        F.col(id_col).alias("doc_id"),
+        (lang_id(text) == lang).alias("f_lang"),
+        reason.isNull().alias("f_gopher"),
+        fingerprint(text).alias("fp"),
+    ).withColumn("s3", F.col("f_lang") & F.col("f_gopher"))
+    first = F.min(F.when(F.col("s3"), F.col("doc_id"))).over(
+        Window.partitionBy("fp")
+    )
+    return (
+        flags.withColumn(
+            "f_first", F.col("s3") & (F.col("doc_id") == first)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.sum(F.col("f_lang").cast("long"))
+            .cast("long")
+            .alias("n_lang"),
+            F.sum(F.col("s3").cast("long")).cast("long").alias(
+                "n_quality"
+            ),
+            F.sum(F.col("f_first").cast("long"))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+
+
+def corpus_funnel_report_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    lang: str = "en",
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`corpus_funnel_report` — reuses the gopher
+    filter query as a subquery so the rule set stays single-sourced."""
+    return f"""
+WITH g AS ({gopher_quality_filter_sql(
+        table, text_col=text_col, min_words=min_words,
+        min_stopword_hits=min_stopword_hits)}),
+flags AS (
+  SELECT d.doc_id,
+         {lang_id_sql('d.' + text_col)} = '{lang}' AS f_lang,
+         g.keep AS f_gopher,
+         {fingerprint_sql('d.' + text_col)} AS fp
+  FROM {table} d JOIN g USING (doc_id)),
+surv AS (SELECT *, f_lang AND f_gopher AS s3 FROM flags),
+firsts AS (
+  SELECT fp, MIN(CASE WHEN s3 THEN doc_id END) AS first_id
+  FROM surv GROUP BY fp)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(CASE WHEN s3 AND doc_id = first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unique
+FROM surv JOIN firsts USING (fp)
 """
