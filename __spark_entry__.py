@@ -2704,6 +2704,27 @@ def _q_corpus_funnel(spark, sf_dir):
     )
 
 
+def _q_streaming_corpus_funnel(spark, sf_dir):
+    """The dataset-paper funnel maintained LIVE: per-fingerprint flag
+    counts re-merge exactly across micro-batches; the dedup stage is a
+    predicate on merged state (first-copy-wins = one kept doc per
+    fingerprint with a survivor), not an order statistic.  Shares the
+    batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = run_stream_batch_partials(
+        spark,
+        docs,
+        lambda b: TA.funnel_flag_partials(
+            b, min_words=30, min_stopword_hits=0
+        ),
+    )
+    return TA.funnel_from_partials(parts)
+
+
 def _q_streaming_vocab_zipf(spark, sf_dir):
     """The Zipf corpus-health fit maintained LIVE: (term, count) state
     re-sums exactly across micro-batches; the rank + OLS run at
@@ -4870,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_zipf_fit": _q_vocab_zipf_fit,
         # the dataset-paper funnel (composed gates, one corpus pass)
         "corpus_funnel": _q_corpus_funnel,
+        "streaming_corpus_funnel": _q_streaming_corpus_funnel,
         "streaming_vocab_zipf": _q_streaming_vocab_zipf,
         # write-once/query-many incremental near-dup probe
         "lsh_index_probe": _q_lsh_index_probe,
@@ -6435,6 +6457,9 @@ GROUP BY 1
 """,
         "vocab_zipf_fit": TA.vocab_zipf_fit_sql(),
         "corpus_funnel": TA.corpus_funnel_report_sql(
+            min_words=30, min_stopword_hits=0
+        ),
+        "streaming_corpus_funnel": TA.corpus_funnel_report_sql(
             min_words=30, min_stopword_hits=0
         ),
         "streaming_vocab_zipf": TA.vocab_zipf_fit_sql(),

@@ -2763,3 +2763,54 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
             AS BIGINT) AS n_unique
 FROM surv JOIN firsts USING (fp)
 """
+
+
+def funnel_flag_partials(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Mergeable state for the LIVE corpus funnel: per-fingerprint
+    counts (fp, c_raw, c_lang, c_s3) — pure sums, so micro-batch
+    regrouping re-merges exactly, and the dedup stage needs no order:
+    first-copy-wins keeps exactly ONE doc per fingerprint with a
+    surviving copy, so n_unique = #fingerprints with c_s3 > 0 — a
+    predicate on merged state, not an order statistic.  State is
+    distinct-fingerprint bounded."""
+    text = F.col(text_col)
+    reason = _gopher_metrics(
+        text, min_words=min_words, min_stopword_hits=min_stopword_hits
+    )["reason"]
+    flags = df.select(
+        F.col(id_col).alias("doc_id"),
+        (lang_id(text) == lang).alias("f_lang"),
+        reason.isNull().alias("f_gopher"),
+        fingerprint(text).alias("fp"),
+    ).withColumn("s3", F.col("f_lang") & F.col("f_gopher"))
+    return flags.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("c_raw"),
+        F.sum(F.col("f_lang").cast("long")).cast("long").alias("c_lang"),
+        F.sum(F.col("s3").cast("long")).cast("long").alias("c_s3"),
+    )
+
+
+def funnel_from_partials(parts: DataFrame) -> DataFrame:
+    """Re-merge per-fingerprint funnel partials — identical single-row
+    output to :func:`corpus_funnel_report`."""
+    merged = parts.groupBy("fp").agg(
+        F.sum("c_raw").alias("c_raw"),
+        F.sum("c_lang").alias("c_lang"),
+        F.sum("c_s3").alias("c_s3"),
+    )
+    return merged.agg(
+        F.sum("c_raw").cast("long").alias("n_raw"),
+        F.sum("c_lang").cast("long").alias("n_lang"),
+        F.sum("c_s3").cast("long").alias("n_quality"),
+        F.sum((F.col("c_s3") > 0).cast("long"))
+        .cast("long")
+        .alias("n_unique"),
+    )
