@@ -1939,6 +1939,86 @@ FROM documents GROUP BY 1
 """
 
 
+def _q_xml_ingest_stats(spark, sf_dir):
+    """Driver signal for the XML source (Spark 4 core —
+    sources/readers.py read_documents_xml): docs serialized to XML
+    driver-side (bounded, xml-escaped), re-read through the declared
+    schema, reduced per id-parity bucket against the straight-from-
+    documents oracle — an entity-escaping or whitespace-trim defect in
+    either direction hash-fails.  The write is fixture synthesis; the
+    READ is the distributed path under test."""
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    from inception_spark.sources.readers import read_documents_xml
+
+    pdf = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
+    d = tempfile.mkdtemp(prefix="inception_xml_")
+    with open(d + "/docs.xml", "w") as f:
+        f.write("<docs>")
+        for did, text in pdf.itertuples(index=False):
+            f.write(
+                f"<doc><id>{int(did)}</id>"
+                f"<text>{escape(str(text))}</text></doc>"
+            )
+        f.write("</docs>")
+    return (
+        read_documents_xml(spark, d + "/docs.xml")
+        .groupBy((F.col("id") % 4).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+def _q_binary_ingest_stats(spark, sf_dir):
+    """Driver signal for the binaryFile source (read_media_dir — the
+    100 TB multimodal entry point): the synthetic BMP corpus written to
+    one file per doc, re-read via binaryFile with a pathGlobFilter,
+    widths probed JVM-side FROM THE CONTENT COLUMN and sizes taken from
+    the SOURCE's own length metadata — so the entry cross-checks the
+    source's content/length contract against the BMP spec formula the
+    oracle computes.  Fixture write is one mapInPandas pass (files are
+    written by executors, not the driver)."""
+    import os
+    import tempfile
+
+    from inception_spark.sources.readers import read_media_dir
+
+    d = tempfile.mkdtemp(prefix="inception_binmedia_")
+    corpus = MM.synth_bmp_corpus(_docs(spark, sf_dir))
+
+    def dump(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with open(os.path.join(d, f"d{int(did)}.bmp"), "wb") as f:
+                    f.write(bytes(payload))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    _ensure_workers_can_import(spark)
+    corpus.mapInPandas(dump, "n long").agg(F.sum("n")).collect()
+    raw = read_media_dir(spark, d, glob="*.bmp")
+    probed = MM.probe_bmp_dims(
+        MM.attach_media_meta(
+            raw.select(F.col("content").alias("payload"), "length"),
+            modality="image",
+            mime="image/bmp",
+        )
+    )
+    return (
+        probed.groupBy(
+            F.col("media_meta.width").cast("long").alias("width")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("length").cast("long").alias("sum_bytes"),
+        )
+    )
+
+
 def _q_streaming_burst_monitor(spark, sf_dir):
     """The burst detector live: per-batch hourly count partials re-sum
     across micro-batches, and the threshold + islands logic runs on the
@@ -5018,6 +5098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest_stats": _q_csv_ingest_stats,
         # r8: ORC columnar round-trip under the oracle
         "orc_ingest_stats": _q_orc_ingest_stats,
+        # Spark-4-core XML source + the binaryFile media entry point
+        "xml_ingest_stats": _q_xml_ingest_stats,
+        "binary_ingest_stats": _q_binary_ingest_stats,
         # r8: HITS hubs/authorities (integer half-rounds)
         "supplier_hits": _q_supplier_hits,
         # r8: Wald SPRT on the daily conversion stream (exact decimal LLR)
@@ -6846,6 +6929,18 @@ GROUP BY o.o_orderpriority
         "csv_ingest_stats": CSV_INGEST_STATS_SQL,
         # r8: straight read of the pre-roundtrip rows
         "orc_ingest_stats": ORC_INGEST_STATS_SQL,
+        "xml_ingest_stats": ORC_INGEST_STATS_SQL,
+        # widths by construction; sizes by the BMP spec formula —
+        # checked against the binaryFile source's own length metadata
+        "binary_ingest_stats": """
+SELECT CAST((doc_id % 13) + 1 AS BIGINT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(54 + ((doc_id % 7) + 1)
+                * ((((doc_id % 13) + 1) * 3 + 3) // 4) * 4) AS BIGINT)
+         AS sum_bytes
+FROM documents
+GROUP BY 1
+""",
         # r8: identical integer half-rounds, unrolled
         "supplier_hits": _supplier_hits_oracle_sql(),
         # r8: identical 6-dp constants inlined from the same hypotheses

@@ -107,6 +107,43 @@ def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path).select("id", "text")
 
 
+def read_documents_xml(
+    spark: SparkSession, path: str, *, row_tag: str = "doc"
+) -> DataFrame:
+    """XML document ingestion (Spark 4 ships the XML source in core) —
+    one ``<doc>`` element per document with ``<id>``/``<text>``
+    children; schema declared so malformed ids null out instead of
+    silently re-typing the column."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, *, glob: str = "*"
+) -> DataFrame:
+    """Raw media ingestion over a directory of blob files via Spark's
+    ``binaryFile`` source → (path, modificationTime, length, content).
+    THE 100 TB multimodal entry point: the source is splittable at file
+    granularity, prunes on ``pathGlobFilter``, and feeds content
+    straight into the probe/decode families without a Python listing
+    step on the driver."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
 def read_documents_text(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
