@@ -2382,6 +2382,13 @@ def _q_events_acf(spark, sf_dir):
     return R.events_acf(spark, sf_dir)
 
 
+def _q_events_cusum(spark, sf_dir):
+    """One-sided CUSUM change-point monitor on the hourly spine — the
+    sequential max(0, S+d) recursion computed as prefix-sum minus its
+    running minimum (the reflection identity), all-integer."""
+    return R.events_cusum_alarms(spark, sf_dir)
+
+
 def _q_events_ccf(spark, sf_dir):
     """Pairwise lead-lag correlogram of the hourly count series — the
     cross-series completion of ACF; shared-spine, mean cleared by
@@ -5151,6 +5158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": _q_events_acf,
         "events_pacf": _q_events_pacf,
         "events_ccf": _q_events_ccf,
+        "events_cusum": _q_events_cusum,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -6989,6 +6997,7 @@ GROUP BY 1
         "events_acf": R.events_acf_sql(),
         "events_pacf": R.events_pacf_sql(max_lag=8),
         "events_ccf": R.events_ccf_sql(max_lag=6),
+        "events_cusum": R.events_cusum_alarms_sql(),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

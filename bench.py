@@ -259,6 +259,8 @@ HEADLINE = [
     "events_ccf",
     # r10: the dataset-paper funnel (composed gates, one scan + one window)
     "corpus_funnel",
+    # r10: CUSUM change-point monitor (reflection identity, one window)
+    "events_cusum",
 ]
 
 

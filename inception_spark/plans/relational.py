@@ -5067,3 +5067,134 @@ FROM num
 JOIN den da ON da.event_type = num.type_a
 JOIN den db ON db.event_type = num.type_b
 """
+
+
+def events_cusum_alarms(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    slack_milli: int = 500,
+    threshold_milli: int = 8000,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection on the hourly count
+    series per event type — (event_type, hr, x, cusum_milli, alarm):
+    the sequential statistic S_t = max(0, S_{t−1} + (x_t − μ − k))
+    that accumulates persistent upward drift and alarms when S_t > h,
+    the classic "the rate changed, not just one spike" monitor
+    (vs events_anomaly's pointwise z-scores).
+
+    The recursion LOOKS inherently sequential, but the reflected
+    running-minimum identity makes it one window pass:
+    S_t = P_t − min_{j ≤ t} P_j with P_t = Σ_{i ≤ t}(x_i − μ − k) —
+    a prefix sum minus its own running minimum, both plain cumulative
+    windows over the gap-filled spine.  (Proof: subtracting the
+    running min is exactly the max(0, ·) reflection at every step.)
+
+    Exactness: μ is the series mean cleared of division by working in
+    n·1000-scaled integers — term_t = 1000·n·x_t − 1000·S − n·k_milli
+    with k = slack_milli/1000 — so P, its running min, and the alarm
+    compare against n·threshold_milli are EXACT int64s (bound:
+    1000·n·Σx < 2^63 ⇒ Σx·hours < 9·10^15 — document-scale safe);
+    cusum_milli = (P − minP) div n is the only rounding.
+
+    Scale: the per-type windows run over the hourly spine
+    (types × hours), never event rows — the events_acf economics."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("_lo"), F.max("hr").alias("_hi")
+    )
+    spine = (
+        bounds.select(
+            "event_type",
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(
+                "hr"
+            ),
+        )
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    stats = spine.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    term = (
+        F.lit(1000) * F.col("x") * F.col("n")
+        - F.lit(1000) * F.col("s")
+        - F.col("n") * F.lit(int(slack_milli))
+    )
+    cused = (
+        spine.join(F.broadcast(stats), "event_type")
+        .withColumn("_p", F.sum(term).over(w))
+        .withColumn("_minp", F.least(F.min("_p").over(w), F.lit(0)))
+    )
+    cusum = F.col("_p") - F.col("_minp")
+    return cused.select(
+        "event_type",
+        "hr",
+        "x",
+        F.expr(f"(_p - _minp) div n").cast("long").alias("cusum_milli"),
+        (cusum > F.col("n") * F.lit(int(threshold_milli))).alias(
+            "alarm"
+        ),
+    )
+
+
+def events_cusum_alarms_sql(
+    *, slack_milli: int = 500, threshold_milli: int = 8000
+) -> str:
+    """DuckDB twin of :func:`events_cusum_alarms`."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(hr) AS _lo, MAX(hr) AS _hi
+  FROM hourly GROUP BY 1),
+grid AS (
+  SELECT b.event_type, g.hr
+  FROM bounds b, LATERAL (
+    SELECT unnest(generate_series(b._lo, b._hi)) AS hr) g),
+spine AS (
+  SELECT grid.event_type, grid.hr, COALESCE(h.x, 0) AS x
+  FROM grid JOIN hourly h USING (event_type, hr)
+  UNION ALL
+  SELECT grid.event_type, grid.hr, 0 AS x
+  FROM grid ANTI JOIN hourly h USING (event_type, hr)),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM spine GROUP BY 1),
+p AS (
+  SELECT sp.event_type, sp.hr, sp.x, st.n,
+         SUM(1000 * sp.x * st.n - 1000 * st.s
+             - st.n * {int(slack_milli)})
+           OVER (PARTITION BY sp.event_type ORDER BY sp.hr
+                 ROWS UNBOUNDED PRECEDING) AS _p
+  FROM spine sp JOIN stats st USING (event_type)),
+c AS (
+  SELECT *, LEAST(MIN(_p) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS UNBOUNDED PRECEDING), 0) AS _minp
+  FROM p)
+SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS x,
+       CAST((_p - _minp) // n AS BIGINT) AS cusum_milli,
+       (_p - _minp) > n * {int(threshold_milli)} AS alarm
+FROM c
+"""

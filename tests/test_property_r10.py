@@ -287,3 +287,49 @@ def test_events_ccf_detects_planted_lead(spark):
     assert max(ab, key=ab.get) == 2 and ab[2] > 0.9
     ba = {lag: out[("b", "a", lag)] for lag in range(5)}
     assert ba[2] < ab[2]
+
+
+def test_cusum_reflection_identity_and_planted_shift(spark):
+    """The window form (prefix sum minus running min) must equal the
+    literal sequential recursion S_t = max(0, S_{t-1} + d_t) computed
+    in Python, and a planted level shift must alarm AFTER the shift,
+    never before."""
+    import datetime as dt
+
+    import inception_spark.plans.relational as R
+    from inception_spark.plans.relational import events_cusum_alarms
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    counts = [2] * 30 + [6] * 18  # level shift at hour 30
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, "a", base + dt.timedelta(hours=h)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    )
+    orig = R.load_events
+    try:
+        R.load_events = lambda spark, sf: ev
+        out = sorted(
+            events_cusum_alarms(
+                spark, "ignored", slack_milli=500,
+                threshold_milli=8000,
+            ).collect(),
+            key=lambda r: r["hr"],
+        )
+    finally:
+        R.load_events = orig
+    n = len(counts)
+    s_tot = sum(counts)
+    # literal recursion in 1000n-scaled integers
+    S = 0
+    for i, r in enumerate(out):
+        d = 1000 * counts[i] * n - 1000 * s_tot - n * 500
+        S = max(0, S + d)
+        assert r["cusum_milli"] == S // n, i
+        assert r["alarm"] == (S > n * 8000), i
+    first_alarm = next(i for i, r in enumerate(out) if r["alarm"])
+    assert first_alarm >= 30
+    assert any(r["alarm"] for r in out[30:])
