@@ -1207,6 +1207,13 @@ def _q_events_resample(spark, sf_dir):
     return R.events_resample_linear(spark, sf_dir)
 
 
+def _q_customer_rfm(spark, sf_dir):
+    """RFM quintile grid over the orders fact — recency/frequency/
+    monetary each scored by the clamped equi-depth rule, rolled up to
+    <= k^3 cells with exact cent revenue."""
+    return R.customer_rfm_segments(spark, sf_dir)
+
+
 def _q_events_cusum(spark, sf_dir):
     """One-sided CUSUM drift alarm over hourly event rates — the
     max(0, s+x-k) recursion as its closed two-window form (running sum
@@ -2380,6 +2387,13 @@ def _q_events_acf(spark, sf_dir):
     division (multiply through by n²), exact decimal sums, one rounded
     divide."""
     return R.events_acf(spark, sf_dir)
+
+
+def _q_customer_rfm(spark, sf_dir):
+    """RFM quintile grid over the orders fact — recency/frequency/
+    monetary each scored by the clamped equi-depth rule, rolled up to
+    <= k^3 cells with exact cent revenue."""
+    return R.customer_rfm_segments(spark, sf_dir)
 
 
 def _q_events_cusum(spark, sf_dir):
@@ -5159,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": _q_events_pacf,
         "events_ccf": _q_events_ccf,
         "events_cusum": _q_events_cusum,
+        "customer_rfm_segments": _q_customer_rfm,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -5187,6 +5202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
         "events_cusum": _q_events_cusum,
+        "customer_rfm_segments": _q_customer_rfm,
         "events_resample": _q_events_resample,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
@@ -6998,6 +7014,7 @@ GROUP BY 1
         "events_pacf": R.events_pacf_sql(max_lag=8),
         "events_ccf": R.events_ccf_sql(max_lag=6),
         "events_cusum": R.events_cusum_alarms_sql(),
+        "customer_rfm_segments": R.customer_rfm_segments_sql(),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

@@ -261,6 +261,8 @@ HEADLINE = [
     "corpus_funnel",
     # r10: CUSUM change-point monitor (reflection identity, one window)
     "events_cusum",
+    # r10: RFM quintile grid (three customer-spine windows + k^3 rollup)
+    "customer_rfm_segments",
 ]
 
 

@@ -5198,3 +5198,109 @@ SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS x,
        (_p - _minp) > n * {int(threshold_milli)} AS alarm
 FROM c
 """
+
+
+def customer_rfm_segments(
+    spark: SparkSession, sf_dir: str, *, k: int = 5
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per customer
+    Recency (days since last order, relative to the corpus' max date),
+    Frequency (order count) and Monetary (exact cent revenue), each
+    scored 1..k by equi-depth quantile (k=5 → quintiles, score k =
+    most recent / most frequent / highest spend), rolled up to the
+    (r_score, f_score, m_score) grid: (..., n_customers,
+    revenue_cents) — ≤ k³ rows.
+
+    Determinism: scores use the equi-depth integer rule
+    (rank−1)·least(k, n) div n with custkey tiebreaks (the clamped
+    rule from equidepth_histogram, so tiny corpora still produce a
+    contiguous score prefix); revenue is an exact decimal cent sum.
+
+    Scale: one orders aggregate to the per-customer triple, three
+    rank windows over |customers| (single-task per window at the
+    ungrouped extreme — segment-partition them at true 100 TB scale,
+    or sample-quantile the cut points; the exact form is the oracle
+    anchor), one ≤k³ rollup."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)")
+        ).alias("m_cents"),
+    )
+    maxd = per_cust.agg(F.max("_last").alias("_gmax"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("_gmax"), F.col("_last"))
+        .cast("long")
+        .alias("r_days"),
+        "f",
+        "m_cents",
+    )
+
+    # three rank passes (windows over |customers|); recency ranks DESC
+    # so bucket 0 = stalest and score k = most recent
+    n_all = F.count(F.lit(1)).over(Window.partitionBy())
+    wr = Window.orderBy(F.desc("r_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.asc("f"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.asc("m_cents"), F.asc("o_custkey"))
+    ranked = (
+        base.withColumn("_n", n_all)
+        .withColumn("_rr", F.row_number().over(wr))
+        .withColumn("_rf", F.row_number().over(wf))
+        .withColumn("_rm", F.row_number().over(wm))
+    )
+    kk = int(k)
+    sc = lambda rk: F.expr(  # noqa: E731
+        f"(CAST({rk} AS BIGINT) - 1) * least({kk}, _n) div _n + 1"
+    ).cast("long")
+    return (
+        ranked.select(
+            sc("_rr").alias("r_score"),
+            sc("_rf").alias("f_score"),
+            sc("_rm").alias("m_score"),
+            "m_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m_cents").cast("decimal(38,0)").cast("double").alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+def customer_rfm_segments_sql(*, k: int = 5) -> str:
+    """DuckDB twin of :func:`customer_rfm_segments`."""
+    kk = int(k)
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS _last,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+              AS HUGEINT) AS m_cents
+  FROM orders GROUP BY 1),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', _last, (SELECT MAX(_last) FROM per_cust))
+           AS r_days,
+         f, m_cents
+  FROM per_cust),
+ranked AS (
+  SELECT *,
+         COUNT(*) OVER () AS _n,
+         row_number() OVER (ORDER BY r_days DESC, o_custkey) AS _rr,
+         row_number() OVER (ORDER BY f, o_custkey) AS _rf,
+         row_number() OVER (ORDER BY m_cents, o_custkey) AS _rm
+  FROM base)
+SELECT CAST((_rr - 1) * least({kk}, _n) // _n + 1 AS BIGINT) AS r_score,
+       CAST((_rf - 1) * least({kk}, _n) // _n + 1 AS BIGINT) AS f_score,
+       CAST((_rm - 1) * least({kk}, _n) // _n + 1 AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(m_cents) AS HUGEINT) AS DOUBLE) AS revenue_cents
+FROM ranked
+GROUP BY 1, 2, 3
+"""
