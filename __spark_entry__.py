@@ -1207,6 +1207,35 @@ def _q_events_resample(spark, sf_dir):
     return R.events_resample_linear(spark, sf_dir)
 
 
+def _q_streaming_cusum(spark, sf_dir):
+    """Live CUSUM: the calibrated spine (pinned per-type n, s — the
+    KS-midpoint impossibility applied to the global mean) streamed as
+    four event-time-ordered micro-batches through the
+    applyInPandasWithState fold; constant per-type state, each hour's
+    alarm emitted on arrival.  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_ordered_batches,
+        streaming_cusum,
+    )
+
+    spine = R.cusum_calibrated_spine(
+        R.load_events(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    lo, hi = spine.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    ).collect()[0]
+    cuts = [lo + (hi + 1 - lo) * i // 4 for i in range(5)]
+    batches = [
+        spine.filter(
+            (F.col("hr") >= cuts[i]) & (F.col("hr") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+    return run_stream_ordered_batches(
+        spark, batches, lambda st: streaming_cusum(st)
+    )
+
+
 def _q_customer_rfm(spark, sf_dir):
     """RFM quintile grid over the orders fact — recency/frequency/
     monetary each scored by the clamped equi-depth rule, rolled up to
@@ -2387,6 +2416,35 @@ def _q_events_acf(spark, sf_dir):
     division (multiply through by n²), exact decimal sums, one rounded
     divide."""
     return R.events_acf(spark, sf_dir)
+
+
+def _q_streaming_cusum(spark, sf_dir):
+    """Live CUSUM: the calibrated spine (pinned per-type n, s — the
+    KS-midpoint impossibility applied to the global mean) streamed as
+    four event-time-ordered micro-batches through the
+    applyInPandasWithState fold; constant per-type state, each hour's
+    alarm emitted on arrival.  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_ordered_batches,
+        streaming_cusum,
+    )
+
+    spine = R.cusum_calibrated_spine(
+        R.load_events(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    lo, hi = spine.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    ).collect()[0]
+    cuts = [lo + (hi + 1 - lo) * i // 4 for i in range(5)]
+    batches = [
+        spine.filter(
+            (F.col("hr") >= cuts[i]) & (F.col("hr") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+    return run_stream_ordered_batches(
+        spark, batches, lambda st: streaming_cusum(st)
+    )
 
 
 def _q_customer_rfm(spark, sf_dir):
@@ -5174,6 +5232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ccf": _q_events_ccf,
         "events_cusum": _q_events_cusum,
         "customer_rfm_segments": _q_customer_rfm,
+        "streaming_cusum": _q_streaming_cusum,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -5203,6 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "events_cusum": _q_events_cusum,
         "customer_rfm_segments": _q_customer_rfm,
+        "streaming_cusum": _q_streaming_cusum,
         "events_resample": _q_events_resample,
         # unicode-script char profile (script-injection fixture)
         "doc_script_profile": _q_doc_script_profile,
@@ -7015,6 +7075,7 @@ GROUP BY 1
         "events_ccf": R.events_ccf_sql(max_lag=6),
         "events_cusum": R.events_cusum_alarms_sql(),
         "customer_rfm_segments": R.customer_rfm_segments_sql(),
+        "streaming_cusum": R.events_cusum_alarms_sql(),
         # r9: same candidate generation + closure prunes
         "frequent_triples": R.frequent_triples_sql(min_support=2, k=50),
         # r9: point forecast nested as CTE + same calibration order stat

@@ -5099,7 +5099,42 @@ def events_cusum_alarms(
 
     Scale: the per-type windows run over the hourly spine
     (types × hours), never event rows — the events_acf economics."""
-    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    term = (
+        F.lit(1000) * F.col("x") * F.col("n")
+        - F.lit(1000) * F.col("s")
+        - F.col("n") * F.lit(int(slack_milli))
+    )
+    cused = (
+        cusum_calibrated_spine(load_events(spark, sf_dir))
+        .withColumn("_p", F.sum(term).over(w))
+        .withColumn("_minp", F.least(F.min("_p").over(w), F.lit(0)))
+    )
+    cusum = F.col("_p") - F.col("_minp")
+    return cused.select(
+        "event_type",
+        "hr",
+        "x",
+        F.expr(f"(_p - _minp) div n").cast("long").alias("cusum_milli"),
+        (cusum > F.col("n") * F.lit(int(threshold_milli))).alias(
+            "alarm"
+        ),
+    )
+
+
+def cusum_calibrated_spine(ev: DataFrame) -> DataFrame:
+    """The CUSUM input spine: gap-filled hourly counts per type with
+    the calibration scalars (n, s) attached as columns —
+    (event_type, hr, x, n, s).  Shared by the batch op and the
+    streaming twin: in stream the (n, s) columns ARE the pinned
+    reference-window calibration (the data-dependent global mean is a
+    whole-stream extremum — the KS-midpoint impossibility — so a live
+    monitor pins μ from a reference window; the harness pins it from
+    the fixture so the twins share one oracle)."""
     hourly = (
         ev.groupBy(
             "event_type",
@@ -5129,31 +5164,7 @@ def events_cusum_alarms(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    term = (
-        F.lit(1000) * F.col("x") * F.col("n")
-        - F.lit(1000) * F.col("s")
-        - F.col("n") * F.lit(int(slack_milli))
-    )
-    cused = (
-        spine.join(F.broadcast(stats), "event_type")
-        .withColumn("_p", F.sum(term).over(w))
-        .withColumn("_minp", F.least(F.min("_p").over(w), F.lit(0)))
-    )
-    cusum = F.col("_p") - F.col("_minp")
-    return cused.select(
-        "event_type",
-        "hr",
-        "x",
-        F.expr(f"(_p - _minp) div n").cast("long").alias("cusum_milli"),
-        (cusum > F.col("n") * F.lit(int(threshold_milli))).alias(
-            "alarm"
-        ),
-    )
+    return spine.join(F.broadcast(stats), "event_type")
 
 
 def events_cusum_alarms_sql(

@@ -721,3 +721,90 @@ def run_stream_ordered_batches(
     return _finish_and_clean(
         spark.read.parquet(out).drop("batch"), work, True
     )
+
+
+def make_cusum_update(slack_milli: int, threshold_milli: int):
+    """Per-type CUSUM fold for ``applyInPandasWithState``: state is ONE
+    scaled integer (the running reflected sum S) — constant per key,
+    never a value stream.  Each arriving spine row (hr, x, n, s)
+    carries its pinned calibration, so the fold is pure:
+    S ← max(0, S + 1000·x·n − 1000·s − n·slack), emit
+    (hr, x, S div n, S > n·threshold) the moment the hour arrives.
+
+    Exactness contract: per-type event-time order across micro-batches
+    (in-batch disorder is fixed by the sort) — CUSUM is a sequential
+    statistic by definition, so a late hour would have to rewrite every
+    emission after it; production = watermark-bounded reorder buffer
+    upstream, as with attribution."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (s_prev,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("hr")
+        S = int(s_prev)
+        hrs, xs, cus, al = [], [], [], []
+        for hr, x, n, s in zip(
+            rows["hr"], rows["x"], rows["n"], rows["s"]
+        ):
+            d = (
+                1000 * int(x) * int(n)
+                - 1000 * int(s)
+                - int(n) * int(slack_milli)
+            )
+            S = max(0, S + d)
+            hrs.append(int(hr))
+            xs.append(int(x))
+            cus.append(S // int(n))
+            al.append(S > int(n) * int(threshold_milli))
+        state.update((S,))
+        if hrs:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(hrs),
+                    "hr": hrs,
+                    "x": xs,
+                    "cusum_milli": cus,
+                    "alarm": al,
+                }
+            )
+
+    return update
+
+
+def streaming_cusum(
+    spine: DataFrame,
+    *,
+    slack_milli: int = 500,
+    threshold_milli: int = 8000,
+) -> DataFrame:
+    """Live CUSUM change-point monitor as TRUE custom stateful
+    streaming (``applyInPandasWithState``): input is the calibrated
+    hourly spine (event_type, hr, x, n, s) — see
+    ``relational.cusum_calibrated_spine`` for why (n, s) are PINNED
+    columns — state per type is one integer, and every hour emits its
+    (cusum_milli, alarm) on arrival.  The batch twin computes the same
+    fold as prefix-sum-minus-running-min windows; both share one
+    oracle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("hr", T.LongType(), False),
+            T.StructField("x", T.LongType(), False),
+            T.StructField("cusum_milli", T.LongType(), False),
+            T.StructField("alarm", T.BooleanType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("s_scaled", T.LongType(), True)]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return spine.groupBy("event_type").applyInPandasWithState(
+        make_cusum_update(int(slack_milli), int(threshold_milli)),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
