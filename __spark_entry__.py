@@ -2454,13 +2454,6 @@ def _q_customer_rfm(spark, sf_dir):
     return R.customer_rfm_segments(spark, sf_dir)
 
 
-def _q_events_cusum(spark, sf_dir):
-    """One-sided CUSUM change-point monitor on the hourly spine — the
-    sequential max(0, S+d) recursion computed as prefix-sum minus its
-    running minimum (the reflection identity), all-integer."""
-    return R.events_cusum_alarms(spark, sf_dir)
-
-
 def _q_events_ccf(spark, sf_dir):
     """Pairwise lead-lag correlogram of the hourly count series — the
     cross-series completion of ACF; shared-spine, mean cleared by
@@ -5230,9 +5223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": _q_events_acf,
         "events_pacf": _q_events_pacf,
         "events_ccf": _q_events_ccf,
-        "events_cusum": _q_events_cusum,
-        "customer_rfm_segments": _q_customer_rfm,
-        "streaming_cusum": _q_streaming_cusum,
         # r9: A-priori triples (closure-pruned candidate generation)
         "frequent_triples": _q_frequent_triples,
         # r9: conformal forecast bands (exact order-stat calibration)
@@ -5261,6 +5251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_kcore": _q_dup_graph_kcore,
         "phrase_search": _q_phrase_search,
         "events_cusum": _q_events_cusum,
+        # r10: RFM grid + the live CUSUM monitor (gap-filled calibrated
+        # spine; the batch closed-form twin is events_cusum above)
         "customer_rfm_segments": _q_customer_rfm,
         "streaming_cusum": _q_streaming_cusum,
         "events_resample": _q_events_resample,
@@ -7073,7 +7065,6 @@ GROUP BY 1
         "events_acf": R.events_acf_sql(),
         "events_pacf": R.events_pacf_sql(max_lag=8),
         "events_ccf": R.events_ccf_sql(max_lag=6),
-        "events_cusum": R.events_cusum_alarms_sql(),
         "customer_rfm_segments": R.customer_rfm_segments_sql(),
         "streaming_cusum": R.events_cusum_alarms_sql(),
         # r9: same candidate generation + closure prunes
