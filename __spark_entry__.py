@@ -2190,6 +2190,23 @@ def _q_streaming_ks_drift(spark, sf_dir):
     return R.ks_finalize(parts)
 
 
+def _q_streaming_psi_drift(spark, sf_dir):
+    """The model-monitoring PSI maintained live: per-(type, bucket)
+    old/new counts are exact mergeable partials (sidedness is a
+    literal calendar rule — batch-local, unlike the KS midpoint, so no
+    control-plane scalar is even needed); each micro-batch re-sums
+    counters and the finalize runs over the |types|×B counter table,
+    never the value stream.  Shares the batch oracle
+    (psi_drift_report_sql — same buckets, same smoothing)."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts", "value")
+    parts = run_stream_batch_partials(spark, ev, R.psi_partials)
+    return R.psi_finalize(parts)
+
+
 def _q_streaming_revenue_gini(spark, sf_dir):
     """The inequality audit live: per-customer revenue partials (exact
     decimal sums — the entity rollup IS the state, the streaming_growth
@@ -5243,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshard_movement": _q_reshard_movement,
         # r9: KS drift live (pinned split -> mergeable side counts)
         "streaming_ks_drift": _q_streaming_ks_drift,
+        "streaming_psi_drift": _q_streaming_psi_drift,
         # r9: Gini live (entity-rollup state, finalize-only sort)
         "streaming_revenue_gini": _q_streaming_revenue_gini,
         # r9: attribution live (applyInPandasWithState, 2-touch state)
@@ -6957,6 +6975,7 @@ GROUP BY o.o_orderpriority
         "streaming_pca_component": PCA.pca_power_component_sql(),
         # r8: same spine, smoothing, and rounded contributions
         "psi_drift_report": R.psi_drift_report_sql(),
+        "streaming_psi_drift": R.psi_drift_report_sql(),
         # r8: same spine aggregate + strict-suffix-min window
         "pareto_frontier": R.pareto_frontier_sql(
             "lineitem", max_col="l_quantity", min_col="l_extendedprice"

@@ -746,18 +746,66 @@ def psi_drift_report(
     hash.  Shape: one conditional aggregate per (type, bucket) — the
     spine is types × n_buckets rows — then a spine-sized rollup."""
     ev = load_events(spark, sf_dir)
+    counts = psi_partials(
+        ev,
+        bucket_width=bucket_width,
+        n_buckets=n_buckets,
+        split_day=split_day,
+    )
+    # partials grouped globally above → already unique per (type,
+    # bucket); skip the redundant re-merge (KS/Gini re-pin lesson)
+    return psi_finalize(counts, n_buckets=n_buckets, assume_merged=True)
+
+
+def psi_partials(
+    batch: DataFrame,
+    *,
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    split_day: int = 15,
+) -> DataFrame:
+    """Mergeable PSI partials: exact (event_type, bucket) → (n_old,
+    n_new) counts for one batch of rows.  Sidedness is a literal
+    calendar rule (day-of-month > split_day), so it is batch-local —
+    unlike the KS midpoint there is no whole-stream extremum, and any
+    regrouping of rows into micro-batches re-sums to the batch answer
+    bit-for-bit.  State is |types|×n_buckets counters, never values."""
     b = F.least(
         F.floor(F.col("value") / bucket_width).cast("int"),
         F.lit(n_buckets - 1),
     )
     period_new = F.dayofmonth("ts") > split_day
-    counts = ev.groupBy(F.col("event_type"), b.alias("bucket")).agg(
+    return batch.groupBy(F.col("event_type"), b.alias("bucket")).agg(
         F.sum(F.when(~period_new, 1).otherwise(0)).alias("n_old"),
         F.sum(F.when(period_new, 1).otherwise(0)).alias("n_new"),
     )
+
+
+def psi_finalize(
+    parts: DataFrame,
+    *,
+    n_buckets: int = 10,
+    assume_merged: bool = False,
+) -> DataFrame:
+    """Finalize PSI from (possibly un-merged) partial counter rows:
+    re-sum per (type, bucket), join the bucket spine so buckets empty
+    in one period still contribute, Laplace-smooth the shares, and
+    decimal-sum the 6-dp-rounded contributions (the corpus-LM rounding
+    discipline).  Runs over the counter table only — spine-sized work,
+    independent of stream length.  ``assume_merged=True`` skips the
+    re-merge when the caller's rows are already unique per (type,
+    bucket) — the batch path, where :func:`psi_partials` grouped
+    globally (the KS/Gini re-pin lesson: don't pay a redundant shuffle
+    on the batch fast path)."""
+    spark = parts.sparkSession
+    merged = parts if assume_merged else (
+        parts.groupBy("event_type", "bucket").agg(
+            F.sum("n_old").alias("n_old"), F.sum("n_new").alias("n_new")
+        )
+    )
     # bucket spine so buckets empty in ONE period still contribute
     spine = (
-        ev.select("event_type")
+        merged.select("event_type")
         .distinct()
         .crossJoin(
             spark.range(n_buckets).select(
@@ -765,7 +813,7 @@ def psi_drift_report(
             )
         )
     )
-    full = spine.join(counts, ["event_type", "bucket"], "left").select(
+    full = spine.join(merged, ["event_type", "bucket"], "left").select(
         "event_type",
         "bucket",
         F.coalesce("n_old", F.lit(0)).alias("n_old"),

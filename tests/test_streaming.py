@@ -614,3 +614,26 @@ def test_streaming_attribution_fold_semantics(spark):
         "click": (1, 0),
         "signup": (0, 1),
     }
+
+
+def test_stream_psi_partials_bit_identical(spark):
+    """Batch-partial streaming PSI == batch psi_drift_report exactly:
+    sidedness is a literal calendar rule (batch-local — no KS-style
+    whole-stream scalar), so the (type, bucket) counters re-sum
+    identically under any micro-batching and the 6-dp decimal-summed
+    finalize reproduces the batch answer bit-for-bit."""
+    from inception_spark.plans import relational as R
+    from inception_spark.streaming.pipeline import run_stream_batch_partials
+
+    sf = "/root/testdata/sf0.001"
+    ev = R.load_events(spark, sf).select("event_type", "ts", "value")
+    parts = run_stream_batch_partials(spark, ev, R.psi_partials)
+    live = {
+        r["event_type"]: (r["psi"], r["drifted"])
+        for r in R.psi_finalize(parts).collect()
+    }
+    batch = {
+        r["event_type"]: (r["psi"], r["drifted"])
+        for r in R.psi_drift_report(spark, sf).collect()
+    }
+    assert live == batch
