@@ -640,6 +640,14 @@ def _q_basket_rules(spark, sf_dir):
     return R.basket_rules(spark, sf_dir, min_pair_orders=2, k=50)
 
 
+def _q_item_item_recs(spark, sf_dir):
+    """Item-item cosine recommender over order baskets (top-5 similar
+    parts per part) — the norm-corrected symmetric complement to
+    basket_rules' directional confidence/lift, with the deterministic
+    heavy-basket exclusion guard live in both engine and oracle."""
+    return R.item_item_cosine_recs(spark, sf_dir, min_cooc=2, k=5)
+
+
 def _q_event_transitions(spark, sf_dir):
     return R.event_transition_matrix(spark, sf_dir)
 
@@ -5040,6 +5048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "monthly_yoy": _q_monthly_yoy,
         "basket_rules": _q_basket_rules,
+        "item_item_recs": _q_item_item_recs,
         "simhash_docs": _q_simhash_docs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # the multimodal near-dup blocking primitive, driver-verified
@@ -6405,6 +6414,7 @@ JOIN sh sb ON c.doc_b = sb.doc_id
         "event_transitions": R.EVENT_TRANSITIONS_SQL,
         "monthly_yoy": R.MONTHLY_YOY_SQL,
         "basket_rules": R.basket_rules_sql(min_pair_orders=2, k=50),
+        "item_item_recs": R.item_item_cosine_recs_sql(min_cooc=2, k=5),
         "systematic_sample": f"""
 WITH w AS (
   SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS weight,

@@ -2797,6 +2797,133 @@ FROM scored QUALIFY rank <= {k}
 """
 
 
+def item_item_cosine_recs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_cooc: int = 2,
+    k: int = 5,
+    max_basket: int = 100,
+) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: for every
+    part, the ``k`` most-similar parts by cosine over the binary
+    basket-incidence vectors — sim(i,j) = cooc(i,j)/√(nᵢ·nⱼ), the
+    classic neighborhood recommender (Sarwar et al. 2001's item-item
+    scheme; Amazon's "customers who bought").  Complements
+    :func:`basket_rules`: cosine is symmetric and norm-corrected where
+    confidence/lift are directional ratio tests.
+
+    Determinism: cooc/nᵢ/nⱼ are exact integer counts; the score is one
+    int multiply, one sqrt, one divide — each correctly rounded in
+    IEEE-754, so Spark and DuckDB compute the *identical* double and
+    the per-item rank (score desc, rec asc on the unrounded double) is
+    engine-exact.  Displayed cosine is 6-dp half-away rounded.
+
+    100 TB shape: pair generation is per-basket bounded quadratic —
+    baskets larger than ``max_basket`` items are EXCLUDED outright
+    (deterministic, mirrored in the oracle), the standard
+    heavy-basket guard that keeps the worst basket at
+    C(max_basket, 2) pairs instead of a quadratic blowup on a
+    pathological order; item norms count kept baskets only, so the
+    cosine stays a true cosine over the mined incidence matrix.  One
+    shuffle to baskets, one to (i, j) counts, broadcast norm joins,
+    per-item window on the pruned pair table (never a global sort)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    sized = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_bsize")
+    ).filter(F.col("_bsize") <= max_basket)
+    kept = li.join(sized.select("l_orderkey"), "l_orderkey")
+    item_n = kept.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    # count each unordered pair once (i < j), mirror after scoring
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"),
+            F.col("b.l_partkey").alias("j"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    ni = item_n.select(F.col("l_partkey").alias("i"),
+                       F.col("n_item").alias("n_i"))
+    nj = item_n.select(F.col("l_partkey").alias("j"),
+                       F.col("n_item").alias("n_j"))
+    scored = (
+        pair_n.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .select(
+            "i", "j", "cooc",
+            (
+                F.col("cooc").cast("double")
+                / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double"))
+            ).alias("_s"),
+        )
+    )
+    both = scored.select(
+        F.col("i").alias("item"), F.col("j").alias("rec"), "cooc", "_s"
+    ).unionByName(
+        scored.select(
+            F.col("j").alias("item"), F.col("i").alias("rec"), "cooc", "_s"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("_s"), F.asc("rec"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item", "rec", "cooc",
+            F.round("_s", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def item_item_cosine_recs_sql(
+    *, min_cooc: int = 2, k: int = 5, max_basket: int = 100
+) -> str:
+    """DuckDB twin of :func:`item_item_cosine_recs` — identical integer
+    counts, identical IEEE double score, identical window order."""
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+kept AS (
+  SELECT l_orderkey, l_partkey FROM li
+  QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {max_basket}),
+item_n AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM kept GROUP BY 1),
+pair_n AS (
+  SELECT a.l_partkey AS i, b.l_partkey AS j,
+         CAST(COUNT(*) AS BIGINT) AS cooc
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_cooc}),
+scored AS (
+  SELECT p.i, p.j, p.cooc,
+         CAST(p.cooc AS DOUBLE)
+           / sqrt(CAST(ni.n_item * nj.n_item AS DOUBLE)) AS s
+  FROM pair_n p
+  JOIN item_n ni ON ni.l_partkey = p.i
+  JOIN item_n nj ON nj.l_partkey = p.j),
+both_dir AS (
+  SELECT i AS item, j AS rec, cooc, s FROM scored
+  UNION ALL
+  SELECT j AS item, i AS rec, cooc, s FROM scored)
+SELECT item, rec, cooc, round(s, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY item ORDER BY s DESC, rec)
+            AS BIGINT) AS rank
+FROM both_dir QUALIFY rank <= {k}
+"""
+
+
 def events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the hourly event-rate
     series, per event type: (event_type, hour_ts, n_events, trend_milli,

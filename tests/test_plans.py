@@ -1979,3 +1979,50 @@ def test_packing_efficiency_single_scan_jvm_only(spark):
     assert p.count("FileScan") <= 2
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in p
+
+
+def test_item_item_cosine_recs_hand_check(spark, tmp_path):
+    """Known baskets → known cosines, and the heavy-basket guard
+    excludes an oversized order from counts AND norms."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import item_item_cosine_recs
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1, plus one oversized basket
+    # (items 1..5) that must be dropped by max_basket=4
+    rows = []
+    ok = 0
+    for _ in range(3):
+        ok += 1
+        rows += [(ok, 1), (ok, 2)]
+    ok += 1
+    rows += [(ok, 1), (ok, 3)]
+    ok += 1
+    rows += [(ok, 2), (ok, 3)]
+    ok += 1
+    rows += [(ok, p) for p in (1, 2, 3, 4, 5)]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    for c in ["l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax"]:
+        df[c] = 1
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    df.to_parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        (r["item"], r["rec"]): (r["cooc"], r["cosine"], r["rank"])
+        for r in item_item_cosine_recs(
+            spark, str(tmp_path), min_cooc=1, k=5, max_basket=4
+        ).collect()
+    }
+    # without the oversized basket: n1=4, n2=4, n3=2
+    # cooc(1,2)=3 -> 3/sqrt(16)=0.75; cooc(1,3)=1 -> 1/sqrt(8);
+    # cooc(2,3)=1 -> 1/sqrt(8)
+    import math
+    s13 = round(1 / math.sqrt(8), 6)
+    assert got[(1, 2)] == (3, 0.75, 1) and got[(2, 1)] == (3, 0.75, 1)
+    assert got[(1, 3)] == (1, s13, 2) and got[(3, 1)] == (1, s13, 1)
+    assert got[(2, 3)] == (1, s13, 2) and got[(3, 2)] == (1, s13, 2)
+    # items 4/5 appear ONLY in the dropped basket -> no rows at all
+    assert not any(it in (4, 5) or rec in (4, 5) for it, rec in got)
