@@ -2954,6 +2954,35 @@ def _q_embedding_dup_pairs(spark, sf_dir):
     return D.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_margin_mine_pairs(spark, sf_dir):
+    """Bitext-style margin mining over the embedding corpus: parity of
+    vec_id stands in for the source/target split, label for the
+    language-cluster block (at 100 TB: LSH bucket / IVF cell).  Mutual
+    ratio-margin best pairs at >= 1.05 — the hub-suppressing scorer
+    raw cosine thresholds can't replicate."""
+    a = (
+        _emb(spark, sf_dir)
+        .filter("vec_id % 2 = 0")
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_vec"),
+            F.col("label").alias("a_blk"),
+        )
+    )
+    b = (
+        _emb(spark, sf_dir)
+        .filter("vec_id % 2 <> 0")
+        .select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_vec"),
+            F.col("label").alias("b_blk"),
+        )
+    )
+    return S.margin_mine_pairs(
+        a, b, k=4, threshold=1.05, block_on=("a_blk", "b_blk")
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = emb.filter("vec_id = 0").select("embedding").head()[0]
@@ -5345,6 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # similarity search
         "cosine_topk": _q_cosine_topk,
+        "margin_mine_pairs": _q_margin_mine_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_flat_topk": _q_ivf_flat_topk,
         "knn_label_join": _q_knn_label_join,
@@ -6778,6 +6808,9 @@ SELECT shingle, doc_freq,
 FROM c QUALIFY rank <= 20
 """,
         # --- similarity search ---
+        "margin_mine_pairs": S.margin_mine_pairs_sql(
+            k=4, threshold=1.05
+        ),
         "cosine_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id, round({cos_q}, 6) AS score FROM embeddings, q)

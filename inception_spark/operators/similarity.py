@@ -2247,3 +2247,181 @@ SELECT vec_id, hamming,
             AS BIGINT) AS rank
 FROM top
 """
+
+
+def margin_mine_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    *,
+    k: int = 4,
+    threshold: float = 1.05,
+    a_id: str = "a_id",
+    a_vec: str = "a_vec",
+    b_id: str = "b_id",
+    b_vec: str = "b_vec",
+    block_on: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Margin-based pair mining between two embedding sets — the
+    bitext-mining scorer behind the big public parallel corpora
+    (Artetxe & Schwenk 2019's ratio margin; CCMatrix/ParaCrawl
+    pipelines): margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y))/2),
+    keep the MUTUAL best pair per side at margin ≥ ``threshold``.  The
+    neighborhood normalization is the point — it suppresses hub vectors
+    that are everyone's nearest neighbor, which raw cosine thresholds
+    cannot.
+
+    ``block_on=(a_col, b_col)`` restricts candidates to matching blocks
+    (language-cluster shard, LSH bucket, IVF cell) — the 100 TB path,
+    an equi-join that never goes all-pairs; neighborhoods are then
+    block-local, the standard approximate-kNN margin used in practice
+    (FAISS-style).  ``None`` falls back to the warned full cross join
+    (small sets only — same opt-in precedent as :func:`knn_join`).
+
+    Determinism: per-pair cosine is rounded to 9 dp, neighborhood sums
+    are decimal(28,9) (order-free), and the margin is one double
+    divide of engine-identical operands, so ranks and the mutual-best
+    set replay exactly in the oracle.  Non-positive neighborhood
+    averages yield NULL margins (filtered) — cosine can be negative
+    and a ratio against a non-positive baseline is meaningless."""
+    if block_on is None:
+        import warnings
+
+        warnings.warn(
+            "margin_mine_pairs(block_on=None) computes a FULL |A|x|B| "
+            "cross join; at scale block both sides (LSH bucket / IVF "
+            "cell / language shard) and pass block_on",
+            stacklevel=2,
+        )
+    cond = (
+        F.col(f"a.{block_on[0]}") == F.col(f"b.{block_on[1]}")
+        if block_on
+        else F.lit(True)
+    )
+    pairs = (
+        a_df.alias("a")
+        .join(b_df.alias("b"), cond)
+        .select(
+            F.col(f"a.{a_id}").alias("a_id"),
+            F.col(f"b.{b_id}").alias("b_id"),
+            F.round(
+                cosine(F.col(f"a.{a_vec}"), F.col(f"b.{b_vec}")), 9
+            ).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("s"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("s"), F.asc("a_id"))
+    sdec = F.col("s").cast("decimal(28,9)")
+    na = (
+        pairs.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= k)
+        .groupBy("a_id")
+        .agg(F.sum(sdec).alias("num_a"),
+             F.count(F.lit(1)).alias("cnt_a"))
+    )
+    nb = (
+        pairs.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= k)
+        .groupBy("b_id")
+        .agg(F.sum(sdec).alias("num_b"),
+             F.count(F.lit(1)).alias("cnt_b"))
+    )
+    denom = (
+        F.col("num_a").cast("double") / F.col("cnt_a")
+        + F.col("num_b").cast("double") / F.col("cnt_b")
+    ) / F.lit(2.0)
+    m = (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id", "s",
+            F.when(denom > 0, F.col("s") / denom).alias("margin"),
+        )
+        .filter(F.col("margin").isNotNull())
+    )
+    wfa = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    wfb = Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
+    fwd = (
+        m.withColumn("_rf", F.row_number().over(wfa))
+        .filter(F.col("_rf") == 1)
+        .select("a_id", "b_id", "s", "margin")
+    )
+    bwd = (
+        m.withColumn("_rb", F.row_number().over(wfb))
+        .filter(F.col("_rb") == 1)
+        .select("a_id", "b_id")
+    )
+    return (
+        fwd.join(bwd, ["a_id", "b_id"])
+        .filter(F.round("margin", 6) >= F.lit(float(threshold)))
+        .select(
+            "a_id", "b_id",
+            F.round("s", 6).alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )
+
+
+def margin_mine_pairs_sql(
+    *,
+    k: int = 4,
+    threshold: float = 1.05,
+    table: str = "embeddings",
+    split_expr: str = "vec_id % 2",
+    block_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`margin_mine_pairs` over a single embedding
+    table split into A/B by ``split_expr`` (0 → A, else B), blocked on
+    ``block_col`` — identical 9-dp scores, decimal neighborhood sums,
+    double margins, and mutual-best windows."""
+    from inception_spark.functions.vectors import cosine_sql
+
+    cos = cosine_sql("a.a_vec", "b.b_vec")
+    return f"""
+WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec, {block_col} AS blk
+           FROM {table} WHERE {split_expr} = 0),
+b AS (SELECT vec_id AS b_id, embedding AS b_vec, {block_col} AS blk
+      FROM {table} WHERE {split_expr} <> 0),
+pairs AS (
+  SELECT a.a_id, b.b_id, round({cos}, 9) AS s
+  FROM a JOIN b ON a.blk = b.blk
+  WHERE {cos} IS NOT NULL),
+na AS (
+  SELECT a_id, SUM(CAST(s AS DECIMAL(28,9))) AS num_a, COUNT(*) AS cnt_a
+  FROM (SELECT a_id, s,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY s DESC, b_id) AS r
+        FROM pairs) WHERE r <= {int(k)} GROUP BY a_id),
+nb AS (
+  SELECT b_id, SUM(CAST(s AS DECIMAL(28,9))) AS num_b, COUNT(*) AS cnt_b
+  FROM (SELECT b_id, s,
+               row_number() OVER (PARTITION BY b_id
+                                  ORDER BY s DESC, a_id) AS r
+        FROM pairs) WHERE r <= {int(k)} GROUP BY b_id),
+m AS (
+  SELECT p.a_id, p.b_id, p.s,
+         CASE WHEN (CAST(na.num_a AS DOUBLE) / na.cnt_a
+                    + CAST(nb.num_b AS DOUBLE) / nb.cnt_b) / 2.0 > 0
+              THEN p.s / ((CAST(na.num_a AS DOUBLE) / na.cnt_a
+                           + CAST(nb.num_b AS DOUBLE) / nb.cnt_b) / 2.0)
+         END AS margin
+  FROM pairs p
+  JOIN na ON na.a_id = p.a_id
+  JOIN nb ON nb.b_id = p.b_id),
+mm AS (SELECT * FROM m WHERE margin IS NOT NULL),
+fwd AS (
+  SELECT a_id, b_id, s, margin,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY margin DESC, b_id) AS rf
+  FROM mm),
+bwd AS (
+  SELECT a_id, b_id,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY margin DESC, a_id) AS rb
+  FROM mm)
+SELECT f.a_id, f.b_id, round(f.s, 6) AS cosine,
+       round(f.margin, 6) AS margin
+FROM fwd f JOIN bwd USING (a_id, b_id)
+WHERE f.rf = 1 AND bwd.rb = 1
+  AND round(f.margin, 6) >= CAST({threshold!r} AS DOUBLE)
+"""

@@ -86,3 +86,79 @@ def test_binary_codes_probe_reads_codes_only(spark, tmp_path):
         )
     ]
     assert got == ref
+
+
+def test_margin_mine_pairs_matches_numpy_reference(spark):
+    """margin_mine_pairs == an independent numpy replica of the ratio
+    margin (9-dp scores, k-NN averages, mutual best, threshold) on a
+    deterministic two-block fixture — formula drift in either the
+    Spark path or the SQL twin's shared design shows up here."""
+    import numpy as np
+
+    from inception_spark.operators.similarity import margin_mine_pairs
+
+    rng = np.random.RandomState(7)
+    dim, n = 8, 30
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(i % 3 // 2))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = df.filter("vec_id % 2 = 0").selectExpr(
+        "vec_id AS a_id", "embedding AS a_vec", "label AS a_blk"
+    )
+    b = df.filter("vec_id % 2 = 1").selectExpr(
+        "vec_id AS b_id", "embedding AS b_vec", "label AS b_blk"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["cosine"], r["margin"])
+        for r in margin_mine_pairs(
+            a, b, k=3, threshold=1.0, block_on=("a_blk", "b_blk")
+        ).collect()
+    }
+
+    # numpy replica (sequential-order dot is irrelevant here: scores are
+    # rounded to 9 dp before every downstream use, same as the engine)
+    ids = list(range(n))
+    lab = {i: i % 3 // 2 for i in ids}
+    A = [i for i in ids if i % 2 == 0]
+    B = [i for i in ids if i % 2 == 1]
+    v64 = vecs.astype(np.float64)
+    s = {}
+    for i in A:
+        for j in B:
+            if lab[i] != lab[j]:
+                continue
+            c = float(v64[i] @ v64[j] /
+                      (np.linalg.norm(v64[i]) * np.linalg.norm(v64[j])))
+            s[(i, j)] = round(c, 9)
+    def avg_nn(side_id, is_a):
+        cand = sorted(
+            ((sc, other) for (ai, bj), sc in s.items()
+             if (ai if is_a else bj) == side_id
+             for other in [bj if is_a else ai]),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        return sum(c for c, _ in cand) / len(cand)
+    margins = {}
+    for (i, j), sc in s.items():
+        den = (avg_nn(i, True) + avg_nn(j, False)) / 2.0
+        if den > 0:
+            margins[(i, j)] = sc / den
+    best_a = {}
+    best_b = {}
+    for (i, j), mg in margins.items():
+        if i not in best_a or (-mg, j) < (-margins[(i, best_a[i])], best_a[i]):
+            best_a[i] = j
+        if j not in best_b or (-mg, i) < (-margins[(best_b[j], j)], best_b[j]):
+            best_b[j] = i
+    exp = {
+        (i, j): (round(s[(i, j)], 6), round(mg, 6))
+        for (i, j), mg in margins.items()
+        if best_a.get(i) == j and best_b.get(j) == i
+        and round(mg, 6) >= 1.0
+    }
+    assert got == exp and len(exp) > 0
