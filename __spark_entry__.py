@@ -2215,6 +2215,57 @@ def _q_streaming_psi_drift(spark, sf_dir):
     return R.psi_finalize(parts)
 
 
+def _q_streaming_acf(spark, sf_dir):
+    """The seasonality diagnostic maintained live: the hourly rollup IS
+    the stream state (exact mergeable (type, hr) counts — hour
+    bucketing is per-row, batch-local), and the gap-filled spine +
+    decimal num/den estimator run at finalize over counters only.
+    Shares the batch events_acf oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts")
+    parts = run_stream_batch_partials(spark, ev, R.acf_hourly_partials)
+    return R.acf_finalize(parts)
+
+
+def _q_streaming_markov(spark, sf_dir):
+    """The behavioral stationary distribution maintained live: per-user
+    last-event-type state (applyInPandasWithState) emits each
+    transition edge on arrival — boundary-straddling adjacency comes
+    out of state, which mergeable (from, to) partials alone cannot
+    express (a late event rewrites its neighbors' adjacency; the
+    impossibility argument lives in make_transition_update).  The
+    types^2 count rollup then power-iterates at finalize.  Ordered
+    event-time slices via the attribution harness; shares the batch
+    events_markov_stationary oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_ordered_batches,
+        streaming_transitions,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("lo"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("hi"),
+    ).collect()[0]
+    cuts = [lo + (hi + 1 - lo) * i // 4 for i in range(5)]
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    batches = [
+        ev.filter((us >= cuts[i]) & (us < cuts[i + 1])) for i in range(4)
+    ]
+    edges = run_stream_ordered_batches(
+        spark, batches, streaming_transitions
+    )
+    counts = edges.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return R.markov_finalize(counts, assume_merged=True)
+
+
 def _q_streaming_revenue_gini(spark, sf_dir):
     """The inequality audit live: per-customer revenue partials (exact
     decimal sums — the entity rollup IS the state, the streaming_growth
@@ -5299,6 +5350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: KS drift live (pinned split -> mergeable side counts)
         "streaming_ks_drift": _q_streaming_ks_drift,
         "streaming_psi_drift": _q_streaming_psi_drift,
+        "streaming_acf": _q_streaming_acf,
+        "streaming_markov": _q_streaming_markov,
         # r9: Gini live (entity-rollup state, finalize-only sort)
         "streaming_revenue_gini": _q_streaming_revenue_gini,
         # r9: attribution live (applyInPandasWithState, 2-touch state)
@@ -7019,6 +7072,8 @@ GROUP BY o.o_orderpriority
         # r8: same spine, smoothing, and rounded contributions
         "psi_drift_report": R.psi_drift_report_sql(),
         "streaming_psi_drift": R.psi_drift_report_sql(),
+        "streaming_acf": R.events_acf_sql(),
+        "streaming_markov": R.events_markov_stationary_sql(),
         # r8: same spine aggregate + strict-suffix-min window
         "pareto_frontier": R.pareto_frontier_sql(
             "lineitem", max_col="l_quantity", min_col="l_extendedprice"

@@ -4195,6 +4195,26 @@ def events_markov_stationary(
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # counts grouped globally above → unique per (from, to); skip the
+    # redundant re-merge (KS/Gini re-pin lesson)
+    return markov_finalize(counts, n_iter=n_iter, assume_merged=True)
+
+
+def markov_finalize(
+    counts: DataFrame,
+    *,
+    n_iter: int = 8,
+    assume_merged: bool = False,
+) -> DataFrame:
+    """Power-iterate π from (possibly un-merged) transition-count rows
+    (from_type, to_type, c) — the types²-sized tail of
+    :func:`events_markov_stationary`, shared with the live twin whose
+    state IS this counter table.  ``assume_merged=True`` is the batch
+    fast path (counts already unique per (from, to))."""
+    if not assume_merged:
+        counts = counts.groupBy("from_type", "to_type").agg(
+            F.sum("c").alias("c")
+        )
     rows = counts.groupBy("from_type").agg(F.sum("c").alias("row_c"))
     mat = counts.join(rows, "from_type").localCheckpoint(eager=False)
     states = mat.select(
@@ -4846,13 +4866,42 @@ def events_acf(
     (the events_resample spine economics), joined once on the shifted
     integer hour key after a ``max_lag``-way literal explode."""
     ev = load_events(spark, sf_dir)
-    hourly = (
-        ev.groupBy(
+    hourly = acf_hourly_partials(ev)
+    # partials grouped globally above → unique per (type, hr); skip the
+    # redundant re-merge (KS/Gini re-pin lesson)
+    return acf_finalize(hourly, max_lag=max_lag, assume_merged=True)
+
+
+def acf_hourly_partials(batch: DataFrame) -> DataFrame:
+    """Mergeable ACF state: exact (event_type, hr) → count rows for one
+    batch.  Hour bucketing is a pure per-row expression (batch-local),
+    so counts re-sum across any micro-batching — the hourly rollup IS
+    the stream state (|types| × hours counters, never raw events)."""
+    return (
+        batch.groupBy(
             "event_type",
             F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
             .alias("hr"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+
+def acf_finalize(
+    parts: DataFrame,
+    *,
+    max_lag: int = 24,
+    assume_merged: bool = False,
+) -> DataFrame:
+    """Finalize the ACF from (possibly un-merged) hourly counter rows:
+    re-sum per (type, hr), gap-fill the dense spine, then the exact
+    decimal num/den estimator — all spine-sized work, independent of
+    stream length.  ``assume_merged=True`` is the batch fast path."""
+    spark = parts.sparkSession
+    hourly = parts if assume_merged else (
+        parts.groupBy("event_type", "hr").agg(
+            F.sum("x").cast("long").alias("x")
+        )
     )
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("_lo"), F.max("hr").alias("_hi")

@@ -340,6 +340,77 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
     )
 
 
+def make_transition_update():
+    """The applyInPandasWithState callback for
+    :func:`streaming_transitions` (module-level for unit-testability).
+
+    Per-user state is ONE string: the type of the user's latest event.
+    Each batch's rows are sorted by (ts, event_id) and folded; every
+    event after the first emits the transition (previous type → this
+    type) the moment it arrives — the batch op's ``lead()`` replayed as
+    a sequential fold, so transitions that STRADDLE a micro-batch
+    boundary are emitted exactly once, from state.
+
+    Exactness contract: per-user event-time order across micro-batches
+    (in-batch disorder is fixed by the sort).  That is inherent: a late
+    event rewrites its neighbors' adjacency — the already-emitted
+    (prev → next) transition must become (prev → late) + (late → next),
+    so (from, to) count partials are NOT a merge lattice under
+    out-of-order arrival.  Production = watermark-bounded reorder
+    buffer upstream; the harness feeds event-time-ordered slices."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (last_t,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        frm: list = []
+        to: list = []
+        for et in rows["event_type"]:
+            # explicit None check: an empty-string type is a real state
+            if last_t is not None:
+                frm.append(last_t)
+                to.append(et)
+            last_t = et
+        state.update((last_t,))
+        if frm:
+            yield pd.DataFrame({"from_type": frm, "to_type": to})
+
+    return update
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Per-user behavioral transitions as a CUSTOM STATEFUL streaming
+    operator (``applyInPandasWithState``): one string of state per user
+    (their latest event type), each arriving event emits its incoming
+    transition edge, and boundary-straddling adjacency comes out of
+    state instead of being lost at the batch seam.  The emitted edge
+    stream rolls up to the exact batch transition counts (given
+    per-user event-time-ordered micro-batches — see
+    :func:`make_transition_update`), which
+    :func:`~inception_spark.plans.relational.markov_finalize` then
+    power-iterates into the stationary distribution."""
+    out_schema = T.StructType(
+        [
+            T.StructField("from_type", T.StringType(), False),
+            T.StructField("to_type", T.StringType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("last_t", T.StringType(), True)]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_transition_update(),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(
     docs: DataFrame, *, watermark: str = "1 hour"
 ) -> DataFrame:

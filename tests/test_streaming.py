@@ -637,3 +637,67 @@ def test_stream_psi_partials_bit_identical(spark):
         for r in R.psi_drift_report(spark, sf).collect()
     }
     assert live == batch
+
+
+def test_stream_acf_partials_bit_identical(spark):
+    """Hourly-counter ACF partials re-summed across micro-batches
+    reproduce batch events_acf bit-for-bit (hour bucketing is per-row,
+    so the rollup is a true merge lattice)."""
+    from inception_spark.plans import relational as R
+    from inception_spark.streaming.pipeline import run_stream_batch_partials
+
+    sf = "/root/testdata/sf0.001"
+    ev = R.load_events(spark, sf).select("event_type", "ts")
+    parts = run_stream_batch_partials(spark, ev, R.acf_hourly_partials)
+    live = {
+        (r["event_type"], r["lag"]): r["acf"]
+        for r in R.acf_finalize(parts).collect()
+    }
+    batch = {
+        (r["event_type"], r["lag"]): r["acf"]
+        for r in R.events_acf(spark, sf).collect()
+    }
+    assert live == batch
+
+
+def test_transition_fold_straddles_batch_boundary():
+    """The per-user fold emits a boundary-straddling transition exactly
+    once, from state — the seam the batch lead() never sees."""
+    import pandas as pd
+
+    from inception_spark.streaming.pipeline import make_transition_update
+
+    update_fn = make_transition_update()
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    st = FakeState()
+    b1 = pd.DataFrame({
+        "user_id": [1, 1], "ts": [1, 2], "event_id": [1, 2],
+        "event_type": ["view", "click"],
+    })
+    out1 = pd.concat(list(update_fn((1,), iter([b1]), st)),
+                     ignore_index=True)
+    assert list(zip(out1["from_type"], out1["to_type"])) == [
+        ("view", "click")
+    ]
+    # second batch: first event's incoming edge comes from state
+    b2 = pd.DataFrame({
+        "user_id": [1], "ts": [3], "event_id": [3],
+        "event_type": ["purchase"],
+    })
+    out2 = pd.concat(list(update_fn((1,), iter([b2]), st)),
+                     ignore_index=True)
+    assert list(zip(out2["from_type"], out2["to_type"])) == [
+        ("click", "purchase")
+    ]
+    assert st.get == ("purchase",)
