@@ -263,6 +263,12 @@ HEADLINE = [
     "events_cusum",
     # r10: RFM quintile grid (three customer-spine windows + k^3 rollup)
     "customer_rfm_segments",
+    # r10: item-item cosine recommender (pairs-once + mirror, per-item
+    # window on the pruned pair table)
+    "item_item_recs",
+    # r10: ratio-margin bitext mining (blocked candidates, decimal
+    # neighborhood sums, mutual-best windows)
+    "margin_mine_pairs",
 ]
 
 

@@ -2297,17 +2297,36 @@ def margin_mine_pairs(
         if block_on
         else F.lit(True)
     )
+    from inception_spark.functions.vectors import norm
+
+    # hoist the row norms OUT of the pair loop: cosine() would fold
+    # both 64-element norms per PAIR (O(|pairs|·dim) redundant
+    # higher-order-function work — HOFs don't whole-stage-codegen);
+    # computed per ROW and joined through, the den = norm_a·norm_b
+    # product and the divide are the IDENTICAL IEEE ops in the same
+    # order, so scores are bit-equal to cosine() and the SQL twin
+    an = a_df.withColumn("_na", norm(F.col(a_vec)))
+    bn = b_df.withColumn("_nb", norm(F.col(b_vec)))
+    den = F.col("a._na") * F.col("b._nb")
     pairs = (
-        a_df.alias("a")
-        .join(b_df.alias("b"), cond)
+        an.alias("a")
+        .join(bn.alias("b"), cond)
         .select(
             F.col(f"a.{a_id}").alias("a_id"),
             F.col(f"b.{b_id}").alias("b_id"),
             F.round(
-                cosine(F.col(f"a.{a_vec}"), F.col(f"b.{b_vec}")), 9
+                F.when(
+                    den != 0.0,
+                    dot(F.col(f"a.{a_vec}"), F.col(f"b.{b_vec}")) / den,
+                ),
+                9,
             ).alias("s"),
         )
         .filter(F.col("s").isNotNull())
+        # the scored-pair table feeds BOTH neighborhood aggregates and
+        # the margin join — cut lineage once so the block join + dot
+        # fold isn't recomputed three times downstream
+        .localCheckpoint(eager=False)
     )
     wa = Window.partitionBy("a_id").orderBy(F.desc("s"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("s"), F.asc("a_id"))
@@ -2374,18 +2393,22 @@ def margin_mine_pairs_sql(
     table split into A/B by ``split_expr`` (0 → A, else B), blocked on
     ``block_col`` — identical 9-dp scores, decimal neighborhood sums,
     double margins, and mutual-best windows."""
-    from inception_spark.functions.vectors import cosine_sql
+    from inception_spark.functions.vectors import dot_sql, norm_sql
 
-    cos = cosine_sql("a.a_vec", "b.b_vec")
+    d = dot_sql("a.a_vec", "b.b_vec")
     return f"""
-WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec, {block_col} AS blk
+WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec,
+                  {norm_sql('embedding')} AS na, {block_col} AS blk
            FROM {table} WHERE {split_expr} = 0),
-b AS (SELECT vec_id AS b_id, embedding AS b_vec, {block_col} AS blk
+b AS (SELECT vec_id AS b_id, embedding AS b_vec,
+             {norm_sql('embedding')} AS nb, {block_col} AS blk
       FROM {table} WHERE {split_expr} <> 0),
-pairs AS (
-  SELECT a.a_id, b.b_id, round({cos}, 9) AS s
-  FROM a JOIN b ON a.blk = b.blk
-  WHERE {cos} IS NOT NULL),
+pairs0 AS (
+  SELECT a.a_id, b.b_id,
+         round(CASE WHEN a.na * b.nb <> 0
+                    THEN {d} / (a.na * b.nb) END, 9) AS s
+  FROM a JOIN b ON a.blk = b.blk),
+pairs AS (SELECT * FROM pairs0 WHERE s IS NOT NULL),
 na AS (
   SELECT a_id, SUM(CAST(s AS DECIMAL(28,9))) AS num_a, COUNT(*) AS cnt_a
   FROM (SELECT a_id, s,
