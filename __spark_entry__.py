@@ -2198,6 +2198,13 @@ def _q_streaming_ks_drift(spark, sf_dir):
     return R.ks_finalize(parts)
 
 
+def _q_events_wasserstein_drift(spark, sf_dir):
+    """The drift triad's third leg: exact earth-mover distance on the
+    value spine (PSI = binned, KS = sup-norm, W1 = integrated mass x
+    distance in value units)."""
+    return R.events_wasserstein_drift(spark, sf_dir)
+
+
 def _q_streaming_psi_drift(spark, sf_dir):
     """The model-monitoring PSI maintained live: per-(type, bucket)
     old/new counts are exact mergeable partials (sidedness is a
@@ -2228,6 +2235,24 @@ def _q_streaming_acf(spark, sf_dir):
     ev = R.load_events(spark, sf_dir).select("event_type", "ts")
     parts = run_stream_batch_partials(spark, ev, R.acf_hourly_partials)
     return R.acf_finalize(parts)
+
+
+def _q_streaming_seasonal_decomp(spark, sf_dir):
+    """The trend/seasonal/residual split maintained live: the hourly
+    rollup is the stream state (same merge lattice as streaming_acf);
+    the centered +-12 h trend window is why no row-emitting streaming
+    form exists (an hour's trend needs 12 FUTURE hours — argument in
+    seasonal_decomp_finalize), so the exact live form decomposes the
+    counter table at read time.  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts")
+    parts = run_stream_batch_partials(
+        spark, ev, R.seasonal_hourly_partials
+    )
+    return R.seasonal_decomp_finalize(parts)
 
 
 def _q_streaming_markov(spark, sf_dir):
@@ -5349,8 +5374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshard_movement": _q_reshard_movement,
         # r9: KS drift live (pinned split -> mergeable side counts)
         "streaming_ks_drift": _q_streaming_ks_drift,
+        "events_wasserstein_drift": _q_events_wasserstein_drift,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
+        "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
         "streaming_markov": _q_streaming_markov,
         # r9: Gini live (entity-rollup state, finalize-only sort)
         "streaming_revenue_gini": _q_streaming_revenue_gini,
@@ -7071,8 +7098,10 @@ GROUP BY o.o_orderpriority
         "streaming_pca_component": PCA.pca_power_component_sql(),
         # r8: same spine, smoothing, and rounded contributions
         "psi_drift_report": R.psi_drift_report_sql(),
+        "events_wasserstein_drift": R.events_wasserstein_drift_sql(),
         "streaming_psi_drift": R.psi_drift_report_sql(),
         "streaming_acf": R.events_acf_sql(),
+        "streaming_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,
         "streaming_markov": R.events_markov_stationary_sql(),
         # r8: same spine aggregate + strict-suffix-min window
         "pareto_frontier": R.pareto_frontier_sql(

@@ -269,6 +269,8 @@ HEADLINE = [
     # r10: ratio-margin bitext mining (blocked candidates, decimal
     # neighborhood sums, mutual-best windows)
     "margin_mine_pairs",
+    # r10: exact earth-mover drift (value-spine cumulative + lead)
+    "events_wasserstein_drift",
 ]
 
 

@@ -2945,9 +2945,37 @@ def events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     that rollup only.
     """
     ev = load_events(spark, sf_dir)
-    hourly = ev.groupBy(
+    hourly = seasonal_hourly_partials(ev)
+    # grouped globally above → unique per (type, hour); batch fast path
+    return seasonal_decomp_finalize(hourly, assume_merged=True)
+
+
+def seasonal_hourly_partials(batch: DataFrame) -> DataFrame:
+    """Mergeable decomposition state: exact (event_type, hour_ts) →
+    count rows for one batch — the same hourly-rollup-is-the-state
+    pattern as :func:`acf_hourly_partials` (per-row hour truncation is
+    batch-local, counts re-sum under any micro-batching)."""
+    return batch.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def seasonal_decomp_finalize(
+    parts: DataFrame, *, assume_merged: bool = False
+) -> DataFrame:
+    """Trend/seasonal/residual split from (possibly un-merged) hourly
+    counter rows — all windows run on the rollup, so the live twin's
+    finalize cost is spine-sized regardless of stream length.  The
+    centered ±12 h trend window is WHY the decomposition has no
+    row-emitting streaming form: an hour's trend needs 12 FUTURE
+    hours, so any live emission would be provisional for 12 h; the
+    exact live form maintains the counter state and decomposes at
+    read time (this function).  ``assume_merged=True`` = batch path."""
+    hourly = parts if assume_merged else (
+        parts.groupBy("event_type", "hour_ts").agg(
+            F.sum("n_events").alias("n_events")
+        )
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_ts")
@@ -4378,6 +4406,128 @@ def ks_finalize(
         km.cast("long").alias("ks_milli"),
         (km >= threshold_milli).alias("drifted"),
     )
+
+
+def events_wasserstein_drift(
+    spark: SparkSession, sf_dir: str, *, split_day: int = 15
+) -> DataFrame:
+    """EXACT 1-Wasserstein (earth-mover) drift per event type between
+    the first- and second-half value distributions — the third leg of
+    the drift triad: PSI is binned-and-smoothed, KS is the sup-norm
+    (one worst point), W₁ = ∫|F_old − F_new| dx integrates HOW MUCH
+    mass moved HOW FAR, in the value's own units — the score that
+    distinguishes a tiny wiggle everywhere from a real mean shift.
+    Output: (event_type, n_old, n_new, w1).
+
+    Exactness: on the merged distinct-value spine, |F_old − F_new| =
+    |c_old·n_new − c_new·n_old| / (n_old·n_new) with exact integer
+    cumulatives; each spine interval contributes |cross| · Δv.  The
+    cross products are decimal(38,0) (no int64 wrap at any n), each
+    interval's contribution is one double multiply rounded to 6 dp and
+    decimal-summed (order-free), and the single n_old·n_new divide
+    lands once at the end.  Sidedness is the PSI calendar rule
+    (day-of-month > split_day — batch-local), so the (type, value,
+    side) counts are a true merge lattice; the live form's state is
+    the value spine itself, which is why the bounded-state streaming
+    drift twin is PSI, not W₁ (same impossibility class as KS's
+    data-dependent midpoint, noted here for the coverage map).
+
+    Plan shape: one (type, value) rollup, one value-ordered cumulative
+    window + lead per type, one sum — identical spine economics to
+    :func:`events_ks_drift`."""
+    ev = load_events(spark, sf_dir)
+    period_new = F.dayofmonth("ts") > split_day
+    roll = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(~period_new, 1).otherwise(0)).alias("d_old"),
+        F.sum(F.when(period_new, 1).otherwise(0)).alias("d_new"),
+    )
+    tot = roll.groupBy("event_type").agg(
+        F.sum("d_old").alias("n_old"), F.sum("d_new").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("event_type").orderBy("value")
+    cum = (
+        roll.withColumn("c_old", F.sum("d_old").over(w))
+        .withColumn("c_new", F.sum("d_new").over(w))
+        .withColumn("_next_v", F.lead("value").over(wl))
+        .join(F.broadcast(tot), "event_type")
+    )
+    cross = F.abs(
+        F.col("c_old").cast("decimal(38,0)") * F.col("n_new")
+        - F.col("c_new").cast("decimal(38,0)") * F.col("n_old")
+    )
+    contrib = F.round(
+        cross.cast("double") * (F.col("_next_v") - F.col("value")), 6
+    ).cast("decimal(38,6)")
+    agg = (
+        cum.filter(F.col("_next_v").isNotNull())
+        .groupBy("event_type", "n_old", "n_new")
+        .agg(F.sum(contrib).alias("_num"))
+    )
+    # a type with all its mass on one side has no two-sample distance:
+    # NULL, not an ANSI division-by-zero throw
+    w1 = F.when(
+        (F.col("n_old") > 0) & (F.col("n_new") > 0),
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("n_old").cast("double") * F.col("n_new")),
+            6,
+        ),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        w1.alias("w1"),
+    )
+
+
+def events_wasserstein_drift_sql(*, split_day: int = 15) -> str:
+    """DuckDB twin of :func:`events_wasserstein_drift` — identical
+    integer cumulatives, decimal cross products, 6-dp rounded interval
+    contributions, single final divide."""
+    return f"""
+WITH roll AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN day(ts) > {split_day} THEN 0 ELSE 1 END) AS d_old,
+         SUM(CASE WHEN day(ts) > {split_day} THEN 1 ELSE 0 END) AS d_new
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, SUM(d_old) AS n_old, SUM(d_new) AS n_new
+  FROM roll GROUP BY 1),
+cum AS (
+  SELECT r.event_type, r.value,
+         SUM(r.d_old) OVER w AS c_old,
+         SUM(r.d_new) OVER w AS c_new,
+         lead(r.value) OVER (PARTITION BY r.event_type
+                             ORDER BY r.value) AS next_v
+  FROM roll r
+  WINDOW w AS (PARTITION BY r.event_type ORDER BY r.value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+agg AS (
+  SELECT c.event_type, t.n_old, t.n_new,
+         SUM(CAST(round(
+           CAST(abs(CAST(c.c_old AS DECIMAL(38,0)) * t.n_new
+                    - CAST(c.c_new AS DECIMAL(38,0)) * t.n_old)
+                AS DOUBLE) * (c.next_v - c.value), 6)
+           AS DECIMAL(38,6))) AS num
+  FROM cum c JOIN tot t USING (event_type)
+  WHERE c.next_v IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT event_type,
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       CASE WHEN n_old > 0 AND n_new > 0
+            THEN round(CAST(num AS DOUBLE)
+                       / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)),
+                       6)
+       END AS w1
+FROM agg
+"""
 
 
 def events_ks_drift(

@@ -2026,3 +2026,36 @@ def test_item_item_cosine_recs_hand_check(spark, tmp_path):
     assert got[(2, 3)] == (1, s13, 2) and got[(3, 2)] == (1, s13, 2)
     # items 4/5 appear ONLY in the dropped basket -> no rows at all
     assert not any(it in (4, 5) or rec in (4, 5) for it, rec in got)
+
+
+def test_wasserstein_drift_closed_forms(spark, tmp_path):
+    """W1 on planted fixtures: a pure location shift of delta scores
+    exactly delta; identical halves score exactly 0 (the property that
+    separates W1 from KS, which saturates at any full separation)."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import events_wasserstein_drift
+
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        new = day > 15
+        for i in range(10):
+            eid += 1
+            # 'shifted': uniform grid, second half moved up by exactly 7
+            v = float(i * 3) + (7.0 if new else 0.0)
+            rows.append((eid, pd.Timestamp(f"2024-01-{day:02d} 12:00:00"),
+                         1, "shifted", v))
+            eid += 1
+            rows.append((eid, pd.Timestamp(f"2024-01-{day:02d} 13:00:00"),
+                         1, "same", float(i * 5)))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: (r["w1"], r["n_old"], r["n_new"])
+        for r in events_wasserstein_drift(spark, str(tmp_path)).collect()
+    }
+    assert got["same"] == (0.0, 150, 150)
+    assert got["shifted"] == (7.0, 150, 150)

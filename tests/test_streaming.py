@@ -701,3 +701,28 @@ def test_transition_fold_straddles_batch_boundary():
         ("click", "purchase")
     ]
     assert st.get == ("purchase",)
+
+
+def test_stream_seasonal_decomp_partials_bit_identical(spark):
+    """Hourly-counter decomposition partials re-summed across
+    micro-batches reproduce batch events_seasonal_decomp bit-for-bit."""
+    from inception_spark.plans import relational as R
+    from inception_spark.streaming.pipeline import run_stream_batch_partials
+
+    sf = "/root/testdata/sf0.001"
+    ev = R.load_events(spark, sf).select("event_type", "ts")
+    parts = run_stream_batch_partials(
+        spark, ev, R.seasonal_hourly_partials
+    )
+    key = ["event_type", "hour_ts"]
+    live = {
+        tuple(r[k] for k in key): (r["n_events"], r["trend_milli"],
+                                   r["seasonal_milli"], r["residual_milli"])
+        for r in R.seasonal_decomp_finalize(parts).collect()
+    }
+    batch = {
+        tuple(r[k] for k in key): (r["n_events"], r["trend_milli"],
+                                   r["seasonal_milli"], r["residual_milli"])
+        for r in R.events_seasonal_decomp(spark, sf).collect()
+    }
+    assert live == batch
