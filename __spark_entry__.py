@@ -749,6 +749,61 @@ def _q_ivm_rollup(spark, sf_dir):
     )
 
 
+def _q_ivm_join_rollup(spark, sf_dir):
+    """IVM through a JOIN: the per-priority revenue view over
+    orders ⋈ lineitem is maintained from base snapshots + delta
+    batches with the counting algorithm's join rule (all three delta
+    terms fire: new lineitems of old orders, old lineitems of new
+    orders via retraction symmetry, and new ⋈ new), including a
+    lineitem retraction batch.  The maintained state must equal the
+    full recompute over the updated bases — exactly what the oracle
+    does.  Bases are only probed on the join key, never rescanned."""
+    from inception_spark.plans.ivm import (
+        ivm_apply,
+        ivm_join_deltas,
+        ivm_state,
+    )
+
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = R.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_partkey",
+        "l_extendedprice",
+    )
+    a_old = orders.filter("o_orderkey % 3 != 0")
+    da = orders.filter("o_orderkey % 3 = 0").withColumn(
+        "mult", F.lit(1)
+    )
+    b_old = li.filter("l_linenumber % 2 = 0")
+    db = (
+        li.filter("l_linenumber % 2 = 1")
+        .withColumn("mult", F.lit(1))
+        .unionByName(
+            # correction batch: retract even-line rows of %7 parts
+            li.filter(
+                "l_linenumber % 2 = 0 AND l_partkey % 7 = 0"
+            ).withColumn("mult", F.lit(-1))
+        )
+    )
+    state = ivm_state(
+        a_old.join(b_old, "o_orderkey"),
+        ["o_orderpriority"],
+        "l_extendedprice",
+    )
+    dv = ivm_join_deltas(a_old, da, b_old, db, on="o_orderkey")
+    final = ivm_apply(
+        state, dv, ["o_orderpriority"], "l_extendedprice"
+    )
+    return final.select(
+        "o_orderpriority",
+        F.col("s").cast("double").alias("sum_price"),
+        F.col("n").alias("n_items"),
+    )
+
+
 def _q_streaming_kmv_overlap(spark, sf_dir):
     """KMV maintenance IN STREAM: micro-batches emit stateless
     (grp, h) hash deltas, the read side keeps the k smallest per group
@@ -5141,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_topk": _q_streaming_cms_topk,
         "streaming_kmv_overlap": _q_streaming_kmv_overlap,
         "ivm_rollup": _q_ivm_rollup,
+        "ivm_join_rollup": _q_ivm_join_rollup,
         "grouped_quantiles": _q_grouped_quantiles,
         "cumulative_ndv": _q_cumulative_ndv,
         "ab_conversion_z": _q_ab_conversion_z,
@@ -6562,6 +6618,15 @@ FROM ranked WHERE neg_rank <= 4
             "orders", "o_totalprice", group_col="o_orderpriority",
             key_col="o_orderkey", rate=0.2,
         ),
+        "ivm_join_rollup": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE NOT (l_linenumber % 2 = 0 AND l_partkey % 7 = 0)
+GROUP BY 1
+""",
         "ivm_rollup": """
 SELECT o_orderpriority,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

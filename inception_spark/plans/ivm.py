@@ -101,3 +101,54 @@ def erasure_deltas(
     return base.join(
         erase_ids.select(id_col).distinct(), id_col, "left_semi"
     ).withColumn(mult_col, F.lit(-1))
+
+
+def ivm_join_deltas(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    *,
+    on: str,
+    mult_col: str = "mult",
+) -> DataFrame:
+    """Delta rows of the JOIN view V = A ⋈ B under batch updates to
+    both sides — the join rule of the counting algorithm (Gupta,
+    Mumick & Subrahmanian, SIGMOD'93):
+
+        ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    with the multiplicity of a joined row being the PRODUCT of its
+    inputs' multiplicities — which makes retractions compose: deleting
+    an A row retracts every joined row it produced, and a row joined
+    from two deltas carries (+1)·(+1) = +1 / (−1)·(+1) = −1 exactly.
+    ``a_old``/``b_old`` are the pre-update snapshots (implicit
+    multiplicity +1); ``da``/``db`` carry ``mult_col`` in {+1, −1}.
+    The output feeds :func:`ivm_apply` (whose arithmetic is exact for
+    any integer multiplicity), so a maintained aggregate over the join
+    equals a full recompute over the updated bases — the identity the
+    tests and the driver oracle pin.
+
+    100 TB shape: every term is delta ⋈ base or delta ⋈ delta — the
+    base tables are only ever probed on the join key, never rescanned
+    in full when the base layout is bucketed/partitioned on ``on``
+    (file-level pruning to the delta's keys); the one full-base term
+    A_old ⋈ ΔB streams the base through a broadcast of the (small)
+    delta when sizes allow, which AQE picks automatically."""
+    a_cols = list(a_old.columns)
+    b_cols = [c for c in b_old.columns if c != on]
+    da2 = da.withColumnRenamed(mult_col, "_ma")
+    db2 = db.withColumnRenamed(mult_col, "_mb")
+
+    def term(a_side: DataFrame, b_side: DataFrame, mult) -> DataFrame:
+        return a_side.join(b_side, on).select(
+            *[F.col(c) for c in a_cols],
+            *[F.col(c) for c in b_cols],
+            mult.cast("long").alias(mult_col),
+        )
+
+    return (
+        term(da2, b_old, F.col("_ma"))
+        .unionByName(term(a_old, db2, F.col("_mb")))
+        .unionByName(term(da2, db2, F.col("_ma") * F.col("_mb")))
+    )

@@ -81,3 +81,44 @@ class TestErasure:
                 erasure_deltas(base, erase, id_col="user_id"),
                 ["grp"], "v",
             ).collect()
+
+
+def test_ivm_join_deltas_identity_all_terms(spark):
+    """apply(state, join_deltas) == full recompute over the updated
+    bases, on a fixture where every delta term contributes: a new B row
+    joining an old A row, a new A row joining old B rows, a new-new
+    pair, and a retraction that removes an old joined row."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.plans.ivm import (
+        ivm_apply,
+        ivm_join_deltas,
+        ivm_state,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "P1"), (2, "P2")], "k long, grp string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    da = spark.createDataFrame(
+        [(3, "P1", 1)], "k long, grp string, mult int"
+    )
+    db = spark.createDataFrame(
+        [
+            (2, 7.0, 1),    # new B row for old A key
+            (3, 100.0, 1),  # new-new pair
+            (1, 20.0, -1),  # retraction of an old B row
+        ],
+        "k long, v double, mult int",
+    )
+    state = ivm_state(a_old.join(b_old, "k"), ["grp"], "v")
+    dv = ivm_join_deltas(a_old, da, b_old, db, on="k")
+    got = {
+        r["grp"]: (float(r["s"]), r["n"])
+        for r in ivm_apply(state, dv, ["grp"], "v").collect()
+    }
+    # final bases: A = {1:P1, 2:P2, 3:P1}, B = {1:[10], 2:[5,7], 3:[100]}
+    exp = {"P1": (110.0, 2), "P2": (12.0, 2)}
+    assert got == exp
