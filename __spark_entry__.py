@@ -5081,8 +5081,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stalest driver-green entries (last green r5: embed_delta,
     semantic_dedup, pq_topk, bm25_search, learn_bpe, nb_lang_classify,
     apply_bpe, ivf_pq_topk, knn_join_lsh, kmeans_train,
-    hybrid_rrf_search).  The remaining 37 r5-green entries sit just
-    past the boundary in cohort order as the round-11 head.  The
+    hybrid_rrf_search).  Just past the boundary sits the round-11
+    head in rotation-priority order: the 25 new-in-r10 entries (zero
+    driver signal — added after this window was pinned), then the 37
+    r5-green entries in cohort order; r11's window = those 25 + the
+    first 25 of the r5 cohort, with the remaining 12 staging as the
+    r12 head.  The
     in-repo mini-driver (tests/test_entry.py) still verifies every
     oracle pair at sf0.001 regardless of position.  The dict literal
     below keeps its stable grouped-by-family order; ``_WINDOW_R10``
@@ -5735,8 +5739,40 @@ _WINDOW_R10 = [
     "knn_join_lsh",
     "kmeans_train",
     "hybrid_rrf_search",
-    # past the boundary: the remaining 37 r5-green entries = the
-    # round-11 head, in cohort order
+    # past the boundary: the ROUND-11 HEAD.  Priority order for the
+    # r11 rotation (least driver signal first): first the 25
+    # new-in-r10 entries (zero external signal — added after this
+    # round's window was pinned), then the 37 r5-green entries in
+    # cohort order.  r11 window = the 25 below + the first 25 of the
+    # r5 cohort; the remaining 12 r5-green entries stage as the r12
+    # head.
+    "packing_efficiency",
+    "ivm_join_rollup",
+    "item_item_recs",
+    "media_meta_stats",
+    "streaming_media_meta",
+    "wav_meta_stats",
+    "streaming_wav_meta",
+    "image_pixel_stats",
+    "audio_sample_stats",
+    "vocab_zipf_fit",
+    "corpus_funnel",
+    "streaming_corpus_funnel",
+    "streaming_vocab_zipf",
+    "xml_ingest_stats",
+    "binary_ingest_stats",
+    "events_pacf",
+    "events_ccf",
+    "events_wasserstein_drift",
+    "streaming_psi_drift",
+    "streaming_acf",
+    "streaming_seasonal_decomp",
+    "streaming_markov",
+    "customer_rfm_segments",
+    "streaming_cusum",
+    "margin_mine_pairs",
+    # the 37 r5-green entries, cohort order (r11 slots 26-50 = the
+    # first 25 of these)
     "ann_multiprobe_pruned",
     "ann_multiprobe_topk",
     "ann_recall_report",
