@@ -2292,6 +2292,45 @@ def _q_streaming_acf(spark, sf_dir):
     return R.acf_finalize(parts)
 
 
+def _q_streaming_pagerank(spark, sf_dir):
+    """PageRank maintained live — the graph family's streaming story:
+    the DISTINCT edge set is the stream state (set union is a merge
+    lattice: per-batch distincts re-distinct to the global edge set,
+    the streaming_url_dedup discipline applied to graph ingest), and
+    the 3 integer picorank rounds run at finalize over the edge table
+    — graph-sized state, never the purchase history.  The purchase
+    stream joins the static customer/supplier dims on ingest (a
+    broadcast stream-dim join at scale).  Shares the batch
+    supplier_pagerank oracle."""
+    from inception_spark.operators.graph import pagerank
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    li = R.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    )
+    parts = run_stream_batch_partials(
+        spark, pairs, lambda b: b.distinct()
+    )
+    edges_set = parts.distinct()
+    edges = edges_set.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(
+        edges_set.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, n_iter=3)
+
+
 def _q_streaming_seasonal_decomp(spark, sf_dir):
     """The trend/seasonal/residual split maintained live: the hourly
     rollup is the stream state (same merge lattice as streaming_acf);
@@ -5438,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
+        "streaming_pagerank": _q_streaming_pagerank,
         "streaming_markov": _q_streaming_markov,
         # r9: Gini live (entity-rollup state, finalize-only sort)
         "streaming_revenue_gini": _q_streaming_revenue_gini,
@@ -7062,6 +7102,7 @@ FROM p QUALIFY rank <= 5
         "corpus_report": TA.corpus_report_sql("documents"),
         "shard_manifest": _shard_manifest_oracle(),
         "supplier_pagerank": _pagerank_oracle_sql(),
+        "streaming_pagerank": _pagerank_oracle_sql(),
         "doc_word_entropy": TA.doc_word_entropy_sql("documents"),
         "doc_repetition_stats": TA.doc_repetition_stats_sql("documents"),
         "paragraph_dedup": D.paragraph_dedup_sql(
