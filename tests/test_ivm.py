@@ -122,3 +122,35 @@ def test_ivm_join_deltas_identity_all_terms(spark):
     # final bases: A = {1:P1, 2:P2, 3:P1}, B = {1:[10], 2:[5,7], 3:[100]}
     exp = {"P1": (110.0, 2), "P2": (12.0, 2)}
     assert got == exp
+
+
+def test_ivm_join_deltas_a_side_retraction(spark):
+    """Retracting an A row retracts every joined row it produced —
+    including against B deltas in the same batch ((−1)·(+1) = −1
+    through the dA x dB term)."""
+    from inception_spark.plans.ivm import (
+        ivm_apply,
+        ivm_join_deltas,
+        ivm_state,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "P1"), (2, "P1")], "k long, grp string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0)], "k long, v double"
+    )
+    da = spark.createDataFrame(
+        [(2, "P1", -1)], "k long, grp string, mult int"
+    )
+    db = spark.createDataFrame(
+        [(2, 99.0, 1)], "k long, v double, mult int"
+    )
+    state = ivm_state(a_old.join(b_old, "k"), ["grp"], "v")
+    dv = ivm_join_deltas(a_old, da, b_old, db, on="k")
+    got = {
+        r["grp"]: (float(r["s"]), r["n"])
+        for r in ivm_apply(state, dv, ["grp"], "v").collect()
+    }
+    # final bases: A = {1}, B = {1:[10], 2:[5,99]} -> join = {(1,10)}
+    assert got == {"P1": (10.0, 1)}
