@@ -3208,6 +3208,14 @@ def _q_kmeans_train(spark, sf_dir):
     return CL.kmeans_train(_emb(spark, sf_dir), k=8, n_iter=2)
 
 
+def _q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center exemplar selection over the embedding corpus —
+    the data-pruning / diverse-eval-seeding rule: 8 farthest-point
+    rounds, each one codegen scan + a 1-row TakeOrdered reduce; the
+    emitted radius2 column is the coverage-radius curve."""
+    return CL.kcenter_coreset(_emb(spark, sf_dir), k=8)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means clusters + within-cluster rounded-cosine drop
     of smaller-id near-duplicates (eps=0.4 — the embedding_dup_pairs
@@ -5598,6 +5606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "kmeans_train": _q_kmeans_train,
         "semantic_dedup": _q_semantic_dedup,
+        "kcenter_coreset": _q_kcenter_coreset,
         # trained-on-the-corpus classifiers + higher-order LM quality
         "nb_lang_classify": lambda spark, sf: NB.nb_lang_classify(
             _docs(spark, sf)
@@ -7945,6 +7954,7 @@ FROM embeddings
     d["kmeans_train"] = CL.kmeans_train_sql(
         "embeddings", k=8, n_iter=2, dim=_EMB_DIM
     )
+    d["kcenter_coreset"] = CL.kcenter_coreset_sql(k=8)
     d["semantic_dedup"] = CL.semantic_dedup_sql(
         "embeddings", k=8, n_iter=2, eps=0.4, dim=_EMB_DIM
     )

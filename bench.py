@@ -271,6 +271,8 @@ HEADLINE = [
     "margin_mine_pairs",
     # r10: exact earth-mover drift (value-spine cumulative + lead)
     "events_wasserstein_drift",
+    # r10: greedy k-center coreset (k-1 codegen scans + 1-row reduces)
+    "kcenter_coreset",
 ]
 
 

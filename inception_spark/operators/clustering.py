@@ -365,3 +365,132 @@ dups AS (
 SELECT s.{id_col}, s.cid, d.id IS NULL AS keep
 FROM assign s LEFT JOIN dups d ON s.{id_col} = d.id
 """
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the selection rule behind k-Center data pruning and
+    diverse eval-set seeding): start from the deterministic md5 draw's
+    first row, then k−1 times add the point FARTHEST from the selected
+    set.  Returns (vec_id, sel_order, radius2): ``radius2`` is the
+    selected point's squared distance to the previously-selected set —
+    the classic 2-approximation of the covering radius, so the k rows
+    ARE the coverage-radius curve ("how much diversity does the next
+    exemplar buy").
+
+    Determinism: the kmeans micro-unit discipline end to end — integer
+    squared L2, argmax ties on the smaller id, seed = smallest
+    (md5(id), id).  A point already selected has distance 0 and can
+    never beat a positive candidate; a degenerate corpus with < k
+    distinct vectors raises rather than emitting duplicate exemplars.
+
+    Scale shape: selected centers live DRIVER-side (≤ k·d int64s —
+    control plane); each round is ONE whole-stage-codegen scan with
+    the centers riding as plan literals into a TakeOrderedAndProject
+    1-row reduce (orderBy+limit — never a global sort), k−1 rounds
+    total, no shuffle anywhere.  The quantized input is
+    localCheckpoint'ed once."""
+    spark = df.sparkSession
+    u = quantize_units(df, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=False
+    )
+    first = (
+        u.select(
+            F.md5(F.col("id").cast("string")).alias("h"), "id", "uvec"
+        )
+        .orderBy("h", "id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kcenter_coreset: empty input")
+    sel: list[tuple] = [(first[0]["id"], list(first[0]["uvec"]), None)]
+    for _ in range(int(k) - 1):
+        cents = [uv for _, uv, _ in sel]
+        dmin = _argmin_on(F.col("uvec"), cents).getField("d")
+        row = (
+            u.select("id", dmin.alias("d"))
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        if row["d"] == 0:
+            raise RuntimeError(
+                "kcenter_coreset: fewer than k distinct vectors — "
+                "the next exemplar would duplicate a selected center"
+            )
+        # re-read the winner's uvec driver-side (1-row semi join would
+        # also work; the id is unique so a filter-collect is exact)
+        uv = u.filter(F.col("id") == row["id"]).select("uvec").collect()[0][
+            "uvec"
+        ]
+        sel.append((row["id"], list(uv), row["d"]))
+    return spark.createDataFrame(
+        [
+            (int(sid), i + 1, None if r is None else int(r))
+            for i, (sid, _, r) in enumerate(sel)
+        ],
+        "vec_id long, sel_order long, radius2 long",
+    )
+
+
+def kcenter_coreset_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kcenter_coreset` — the greedy traversal
+    unrolled into CTEs: each round LEAST-folds the new center's
+    distance into the running min (identical integers to the engine's
+    fresh argmin over all centers), then a 1-row ORDER BY ... LIMIT 1
+    pick with the same (dmin DESC, id) tie-break."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({L}.uvec, s.uvec),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    ctes = [
+        f"""u AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+           x -> CAST(floor(CAST(x AS DOUBLE)*{UNIT} + 0.5) AS BIGINT)
+                + {OFF}) AS uvec
+  FROM {table})""",
+        """s1 AS (
+  SELECT id, uvec FROM u
+  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1)""",
+        f"""d1 AS (
+  SELECT u.id, u.uvec, {d2.format(L='u')} AS dmin
+  FROM u CROSS JOIN s1 s)""",
+    ]
+    for i in range(2, int(k) + 1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT id, uvec, dmin FROM d{i - 1}
+  ORDER BY dmin DESC, id LIMIT 1)"""
+        )
+        if i < int(k):
+            ctes.append(
+                f"""d{i} AS (
+  SELECT d.id, d.uvec,
+         LEAST(d.dmin, {d2.format(L='d')}) AS dmin
+  FROM d{i - 1} d CROSS JOIN s{i} s)"""
+            )
+    picks = [
+        "SELECT CAST(id AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS"
+        " sel_order, CAST(NULL AS BIGINT) AS radius2 FROM s1"
+    ] + [
+        f"SELECT CAST(id AS BIGINT), CAST({i} AS BIGINT),"
+        f" CAST(dmin AS BIGINT) FROM s{i}"
+        for i in range(2, int(k) + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(picks)
+    )

@@ -157,3 +157,38 @@ def test_semantic_dedup_hot_cluster_grid_path(spark):
     assert sorted(map(tuple, grid.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+def test_kcenter_coreset_planted_geometry(spark):
+    """On three tight planted clusters + one far outlier, the greedy
+    traversal's first additions hit the outlier and the remaining
+    clusters before ever picking a second point from a covered
+    cluster, and radius2 is non-increasing after round 2 (covering
+    radius shrinks monotonically up to the 2-approx guarantee)."""
+    import numpy as np
+
+    from inception_spark.operators.clustering import kcenter_coreset
+
+    rng = np.random.RandomState(3)
+    pts = []
+    centers = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [-1.0, 0.0]}
+    vid = 0
+    for c, ctr in centers.items():
+        for _ in range(10):
+            pts.append((vid, [ctr[0] + rng.uniform(-0.01, 0.01),
+                              ctr[1] + rng.uniform(-0.01, 0.01)], c))
+            vid += 1
+    pts.append((vid, [0.0, -1.9], 99))  # the far outlier
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>, label int"
+    )
+    got = kcenter_coreset(df, k=4).collect()
+    by_order = {r["sel_order"]: r for r in got}
+    cluster_of = {p[0]: p[2] for p in pts}
+    picked = [cluster_of[by_order[i]["vec_id"]] for i in range(1, 5)]
+    # all four regions hit exactly once
+    assert sorted(picked) == [0, 1, 2, 99]
+    # radius curve non-increasing
+    radii = [by_order[i]["radius2"] for i in range(2, 5)]
+    assert radii == sorted(radii, reverse=True)
+    assert by_order[1]["radius2"] is None
