@@ -3208,6 +3208,21 @@ def _q_kmeans_train(spark, sf_dir):
     return CL.kmeans_train(_emb(spark, sf_dir), k=8, n_iter=2)
 
 
+def _q_unimax_allocation(spark, sf_dir):
+    """UniMax token-budget waterfilling across sources (budget = 2x
+    corpus tokens, 3-epoch cap): saturated prefix + identical floor
+    fair shares, all-integer cross-multiplied compares."""
+    from inception_spark.operators.sampling import unimax_allocation
+
+    docs = _docs(spark, sf_dir)
+    total = docs.agg(
+        F.sum(TA.token_count(F.col("text"))).cast("long").alias("t")
+    ).collect()[0]["t"]
+    return unimax_allocation(
+        docs, budget_tokens=2 * total, max_epochs=3
+    )
+
+
 def _q_kcenter_coreset(spark, sf_dir):
     """Greedy k-center exemplar selection over the embedding corpus —
     the data-pruning / diverse-eval-seeding rule: 8 farthest-point
@@ -5607,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": _q_kmeans_train,
         "semantic_dedup": _q_semantic_dedup,
         "kcenter_coreset": _q_kcenter_coreset,
+        "unimax_allocation": _q_unimax_allocation,
         # trained-on-the-corpus classifiers + higher-order LM quality
         "nb_lang_classify": lambda spark, sf: NB.nb_lang_classify(
             _docs(spark, sf)
@@ -7925,6 +7941,10 @@ FROM embeddings
 """
     d["epoch_shuffle"] = epoch_shuffle_sql("documents", epoch=3)
     d["curriculum_bins"] = curriculum_bins_sql("documents", "n_chars")
+    from inception_spark.operators.sampling import unimax_allocation_sql
+    d["unimax_allocation"] = unimax_allocation_sql(
+        budget_factor=2, max_epochs=3
+    )
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["doc_trigram_logprob"] = TA.doc_trigram_logprob_sql("documents")

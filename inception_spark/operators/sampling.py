@@ -1027,3 +1027,168 @@ CROSS JOIN btl
 WHERE CAST({h} AS HUGEINT) * btl.tb * c.n
       < CAST(c.t AS HUGEINT) * btl.nb * {1 << 28}
 """
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    *,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): split a
+    training-token budget across sources so every source is repeated
+    as UNIFORMLY as possible without exceeding ``max_epochs`` passes —
+    the principled alternative to temperature mixing, which over-epochs
+    small sources arbitrarily.  Waterfilling: sources ascending by
+    capacity c = tokens·max_epochs; source i saturates (gets all of c)
+    iff even a FAIR SHARE of what's left exceeds its capacity —
+    c_i · (m−i+1) ≤ B − Σ_{j<i} c_j, an all-integer cross-multiplied
+    compare, which in ascending order makes the saturated set a prefix
+    — and every unsaturated source gets the identical floor share
+    (B − C_sat) div (m − n_sat).  Output per source: unique tokens,
+    capacity, allocated tokens, epochs_milli = 1000·alloc div tokens,
+    saturated flag — plus the undistributed integer remainder
+    r < m − n_sat spread nowhere (reported via the shares summing
+    short; a caller wanting exhaustion gives the remainder to the
+    largest source).
+
+    Everything after the per-source token aggregate is integer
+    arithmetic on an m-row relation (m = #sources — control-plane
+    sized next to the corpus), one sort + prefix-sum window + one
+    1-row scalar join; the corpus is touched exactly once."""
+    from inception_spark.functions.text_analysis import token_count
+
+    tc = (
+        token_count_col
+        if token_count_col is not None
+        else token_count(F.col("text"))
+    )
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tc).cast("long").alias("tokens")
+    )
+    cap = per_src.select(
+        "source",
+        "tokens",
+        (F.col("tokens") * F.lit(int(max_epochs))).alias("capacity"),
+    )
+    w = Window.orderBy("capacity", "source")
+    m = Window.partitionBy()
+    ranked = cap.select(
+        "source",
+        "tokens",
+        "capacity",
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1)).over(m).alias("_m"),
+        F.coalesce(
+            F.sum("capacity").over(
+                Window.orderBy("capacity", "source").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_prefix"),
+    )
+    B = int(budget_tokens)
+    sat = ranked.withColumn(
+        "saturated",
+        F.col("capacity") * (F.col("_m") - F.col("_i") + 1)
+        <= F.lit(B) - F.col("_prefix"),
+    )
+    scal = sat.agg(
+        F.sum(F.when(F.col("saturated"), F.col("capacity")).otherwise(0))
+        .cast("long")
+        .alias("_c_sat"),
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0))
+        .cast("long")
+        .alias("_n_sat"),
+        F.max("_m").alias("_mm"),
+    )
+    alloc = F.when(F.col("saturated"), F.col("capacity")).otherwise(
+        F.expr(f"({B} - _c_sat) div (_mm - _n_sat)")
+    )
+    return (
+        sat.join(F.broadcast(scal))
+        .select(
+            "source",
+            "tokens",
+            "capacity",
+            alloc.cast("long").alias("allocation"),
+            F.expr(
+                "CASE WHEN tokens > 0 THEN (1000 * "
+                + (
+                    "CASE WHEN saturated THEN capacity ELSE "
+                    f"({B} - _c_sat) div (_mm - _n_sat) END"
+                )
+                + ") div tokens END"
+            )
+            .cast("long")
+            .alias("epochs_milli"),
+            "saturated",
+        )
+    )
+
+
+def unimax_allocation_sql(
+    *,
+    budget_tokens: int | None = None,
+    budget_factor: int | None = None,
+    max_epochs: int = 4,
+    table: str = "documents",
+    source_col: str = "source",
+    token_count_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`unimax_allocation` — identical integer
+    waterfilling on the m-row source relation.  ``budget_factor=f``
+    derives the budget IN SQL as f × total corpus tokens (the
+    streaming_ks convention: a data-dependent control-plane scalar the
+    oracle recomputes from the same data); ``budget_tokens`` pins a
+    literal instead."""
+    from inception_spark.functions.text_analysis import (
+        token_count_sql as _tc_sql,
+    )
+
+    tc = token_count_sql or _tc_sql("text")
+    if (budget_tokens is None) == (budget_factor is None):
+        raise ValueError("exactly one of budget_tokens/budget_factor")
+    B = (
+        str(int(budget_tokens))
+        if budget_tokens is not None
+        else f"({int(budget_factor)} * (SELECT SUM(tokens) FROM per_src))"
+    )
+    return f"""
+WITH per_src AS (
+  SELECT {source_col} AS source, CAST(SUM({tc}) AS BIGINT) AS tokens
+  FROM {table} GROUP BY 1),
+ranked AS (
+  SELECT source, tokens, tokens * {int(max_epochs)} AS capacity,
+         row_number() OVER (ORDER BY tokens * {int(max_epochs)}, source)
+           AS i,
+         COUNT(*) OVER () AS m,
+         COALESCE(SUM(tokens * {int(max_epochs)}) OVER (
+           ORDER BY tokens * {int(max_epochs)}, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM per_src),
+sat AS (
+  SELECT *, capacity * (m - i + 1) <= {B} - prefix AS saturated
+  FROM ranked),
+scal AS (
+  SELECT CAST(SUM(CASE WHEN saturated THEN capacity ELSE 0 END)
+              AS BIGINT) AS c_sat,
+         CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sat,
+         MAX(m) AS mm
+  FROM sat)
+SELECT s.source, s.tokens, s.capacity,
+       CAST(CASE WHEN s.saturated THEN s.capacity
+                 ELSE ({B} - c.c_sat) // (c.mm - c.n_sat) END AS BIGINT)
+         AS allocation,
+       CAST(CASE WHEN s.tokens > 0 THEN
+              (1000 * CASE WHEN s.saturated THEN s.capacity
+                           ELSE ({B} - c.c_sat) // (c.mm - c.n_sat) END)
+              // s.tokens END AS BIGINT) AS epochs_milli,
+       s.saturated
+FROM sat s CROSS JOIN scal c
+"""

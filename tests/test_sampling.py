@@ -441,3 +441,46 @@ def test_weighted_quantiles_hand_case(spark):
     ).collect()[0]
     assert r["total_weight"] == 10
     assert r["p25"] == 1.0 and r["p50"] == 1.0 and r["p90"] == 10.0
+
+
+def test_unimax_allocation_waterfilling(spark):
+    """Planted skew: tiny sources saturate at max_epochs, the rest
+    split the remaining budget in identical floor shares; allocations
+    never exceed capacity and the saturated set is the ascending
+    prefix."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.operators.sampling import unimax_allocation
+
+    rows = []
+    did = 0
+    sizes = {"tiny": 10, "small": 30, "big": 300, "huge": 1000}
+    for src, n_tok in sizes.items():
+        did += 1
+        rows.append((did, " ".join(["tok"] * n_tok), src))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    # capacities at max_epochs=2: 20, 60, 600, 2000; budget 500
+    got = {
+        r["source"]: (r["tokens"], r["capacity"], r["allocation"],
+                      r["epochs_milli"], r["saturated"])
+        for r in unimax_allocation(
+            docs, budget_tokens=500, max_epochs=2
+        ).collect()
+    }
+    # waterfill: tiny sat (20*4 <= 500), small sat (60*3 <= 480),
+    # big: 600*2 <= 420? no -> unsat; share = (500-80) div 2 = 210
+    assert got["tiny"] == (10, 20, 20, 2000, True)
+    assert got["small"] == (30, 60, 60, 2000, True)
+    assert got["big"] == (300, 600, 210, 700, False)
+    assert got["huge"] == (1000, 2000, 210, 210, False)
+    # the undistributed remainder is r = 500 - 80 - 2*210 = 0 here;
+    # check allocations never exceed capacity on a non-divisible budget
+    got2 = {
+        r["source"]: r["allocation"]
+        for r in unimax_allocation(
+            docs, budget_tokens=503, max_epochs=2
+        ).collect()
+    }
+    assert got2["big"] == got2["huge"] == (503 - 80) // 2
