@@ -804,6 +804,71 @@ def _q_ivm_join_rollup(spark, sf_dir):
     )
 
 
+def _q_streaming_ivm_join(spark, sf_dir):
+    """The join-view rollup maintained LIVE with BOUNDED state
+    (DBToaster-style higher-order IVM): instead of the base relations,
+    the stream state is three aggregate tables — per-(order, priority)
+    A multiplicity, per-order B (revenue-sum, count), and the view —
+    and each micro-batch of MIXED order/lineitem deltas (including the
+    retraction batch) folds via the join rule evaluated against the
+    states.  Any interleaving of A/B deltas across batches reaches the
+    same final view; state is join-key-cardinality sized (the
+    entity-rollup class), never delta history.  Shares the batch
+    ivm_join_rollup oracle (same final base)."""
+    from inception_spark.streaming.pipeline import run_stream_ivm_join
+
+    orders = R.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = R.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_partkey",
+        "l_extendedprice",
+    )
+    a_old = orders.filter("o_orderkey % 3 != 0")
+    b_old = li.filter("l_linenumber % 2 = 0")
+    da = orders.filter("o_orderkey % 3 = 0").select(
+        F.lit("A").alias("side"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("grp"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(1).alias("mult"),
+    )
+    db_base = li.select(
+        F.lit("B").alias("side"),
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("string").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("val"),
+        "l_linenumber",
+        "l_partkey",
+    )
+    db = (
+        db_base.filter("l_linenumber % 2 = 1")
+        .withColumn("mult", F.lit(1))
+        .unionByName(
+            db_base.filter(
+                "l_linenumber % 2 = 0 AND l_partkey % 7 = 0"
+            ).withColumn("mult", F.lit(-1))
+        )
+        .drop("l_linenumber", "l_partkey")
+    )
+    final = run_stream_ivm_join(
+        spark,
+        a_old,
+        b_old,
+        da.unionByName(db),
+        key="o_orderkey",
+        grp="o_orderpriority",
+        val="l_extendedprice",
+    )
+    return final.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("s").cast("double").alias("sum_price"),
+        F.col("n").alias("n_items"),
+    )
+
+
 def _q_streaming_kmv_overlap(spark, sf_dir):
     """KMV maintenance IN STREAM: micro-batches emit stateless
     (grp, h) hash deltas, the read side keeps the k smallest per group
@@ -5263,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_overlap": _q_streaming_kmv_overlap,
         "ivm_rollup": _q_ivm_rollup,
         "ivm_join_rollup": _q_ivm_join_rollup,
+        "streaming_ivm_join": _q_streaming_ivm_join,
         "grouped_quantiles": _q_grouped_quantiles,
         "cumulative_ndv": _q_cumulative_ndv,
         "ab_conversion_z": _q_ab_conversion_z,
@@ -6719,6 +6785,15 @@ FROM ranked WHERE neg_rank <= 4
             "orders", "o_totalprice", group_col="o_orderpriority",
             key_col="o_orderkey", rate=0.2,
         ),
+        "streaming_ivm_join": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE NOT (l_linenumber % 2 = 0 AND l_partkey % 7 = 0)
+GROUP BY 1
+""",
         "ivm_join_rollup": """
 SELECT o_orderpriority,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -879,3 +879,180 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_stream_ivm_join(
+    spark: SparkSession,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    deltas: DataFrame,
+    *,
+    key: str,
+    grp: str,
+    val: str,
+    n_batches: int = 4,
+    work_dir: str | None = None,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """GROUP-BY-AGGREGATE-OVER-JOIN maintained live with BOUNDED state
+    — the higher-order IVM scheme (DBToaster-style auxiliary views):
+    instead of keeping the base relations (history-sized), keep three
+    aggregate tables —
+
+    * ``sa``: per-(key, grp) A multiplicity,
+    * ``sb``: per-key B (value-sum, count),
+    * ``v``:  the maintained view (grp, s, n)
+
+    — and fold each micro-batch of MIXED A/B deltas with the join
+    rule evaluated AGAINST THE STATES: ΔV = ΔA⋈sb_old ∪ sa_old⋈ΔB ∪
+    ΔA⋈ΔB (multiplicities multiplied), then advance sa/sb.  Any
+    interleaving of A and B deltas across batches yields the same
+    final view because each fold is exact against the current states
+    — the identity the batch :func:`~inception_spark.plans.ivm.
+    ivm_join_deltas` proves against full bases, restated over their
+    sufficient statistics.  State is bounded by JOIN-KEY cardinality
+    (the entity-rollup class: per-order aggregates, like the Gini
+    twin's per-customer rollup), never by delta history; each fold
+    costs O(batch + touched keys).
+
+    ``deltas`` rows: (side 'A'|'B', key, grp?, val?, mult ∈ {+1,−1}).
+    Returns the final view (grp, s DECIMAL, n LONG)."""
+    import tempfile
+
+    _DEC = "decimal(18,2)"
+    work = work_dir or tempfile.mkdtemp(prefix="inception_ivmj_stream_")
+    src, st, ck = f"{work}/src", f"{work}/state", f"{work}/ck"
+    deltas.repartition(n_batches).write.mode("overwrite").parquet(src)
+
+    sa0 = a_old.groupBy(
+        F.col(key).alias("k"), F.col(grp).alias("grp")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    sb0 = b_old.groupBy(F.col(key).alias("k")).agg(
+        F.sum(F.col(val).cast(_DEC)).cast(_DEC).alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    v0 = (
+        sa0.select("k", "grp", F.col("cnt").alias("ca"))
+        .join(sb0.select("k", "sv", F.col("cnt").alias("cb")), "k")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("ca") * F.col("sv")).cast(_DEC).alias("s"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n"),
+        )
+    )
+    sa0.write.mode("overwrite").parquet(f"{st}/sa0")
+    sb0.write.mode("overwrite").parquet(f"{st}/sb0")
+    v0.write.mode("overwrite").parquet(f"{st}/v0")
+    ver = {"n": 0}
+
+    def fold(bdf, _eid):
+        i = ver["n"]
+        sa = spark.read.parquet(f"{st}/sa{i}")
+        sb = spark.read.parquet(f"{st}/sb{i}")
+        v = spark.read.parquet(f"{st}/v{i}")
+        da = bdf.filter(F.col("side") == "A").select(
+            F.col("key").alias("k"),
+            F.col("grp").alias("grp"),
+            F.col("mult").cast("long").alias("ma"),
+        )
+        db = bdf.filter(F.col("side") == "B").select(
+            F.col("key").alias("k"),
+            F.col("val").cast(_DEC).alias("bv"),
+            F.col("mult").cast("long").alias("mb"),
+        )
+        t1 = da.join(sb, "k").select(
+            "grp",
+            (F.col("ma") * F.col("sv")).alias("ds"),
+            (F.col("ma") * F.col("cnt")).alias("dn"),
+        )
+        t2 = sa.join(db, "k").select(
+            "grp",
+            (F.col("cnt") * F.col("mb") * F.col("bv")).alias("ds"),
+            (F.col("cnt") * F.col("mb")).alias("dn"),
+        )
+        t3 = da.join(db, "k").select(
+            "grp",
+            (F.col("ma") * F.col("mb") * F.col("bv")).alias("ds"),
+            (F.col("ma") * F.col("mb")).alias("dn"),
+        )
+        dv = t1.unionByName(t2).unionByName(t3)
+        v_new = (
+            v.select("grp", "s", "n")
+            .unionByName(
+                dv.select(
+                    "grp",
+                    F.col("ds").cast(_DEC).alias("s"),
+                    F.col("dn").cast("long").alias("n"),
+                )
+            )
+            .groupBy("grp")
+            .agg(
+                F.sum("s").cast(_DEC).alias("s"),
+                F.sum("n").cast("long").alias("n"),
+            )
+            .filter(
+                F.when(
+                    F.col("n") < 0,
+                    F.raise_error(
+                        F.lit(
+                            "run_stream_ivm_join: negative view "
+                            "multiplicity — retraction of joined rows "
+                            "absent from the view"
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.col("n") != 0)
+            )
+        )
+        sa_new = (
+            sa.unionByName(
+                da.groupBy("k", "grp").agg(
+                    F.sum("ma").cast("long").alias("cnt")
+                )
+            )
+            .groupBy("k", "grp")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+        sb_new = (
+            sb.unionByName(
+                db.groupBy("k").agg(
+                    F.sum(F.col("mb") * F.col("bv")).cast(_DEC).alias("sv"),
+                    F.sum("mb").cast("long").alias("cnt"),
+                )
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("sv").cast(_DEC).alias("sv"),
+                F.sum("cnt").cast("long").alias("cnt"),
+            )
+            .filter((F.col("cnt") != 0) | (F.col("sv") != 0))
+        )
+        sa_new.write.mode("overwrite").parquet(f"{st}/sa{i + 1}")
+        sb_new.write.mode("overwrite").parquet(f"{st}/sb{i + 1}")
+        v_new.write.mode("overwrite").parquet(f"{st}/v{i + 1}")
+        ver["n"] = i + 1
+
+    stream = (
+        spark.readStream.schema(deltas.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"IVM join stream did not drain within {timeout_sec}s"
+        )
+    if ver["n"] < 2:
+        raise RuntimeError(
+            f"expected multiple micro-batches, got {ver['n']} — the "
+            "maintenance identity must hold ACROSS folds, not in one"
+        )
+    return _finish_and_clean(
+        spark.read.parquet(f"{st}/v{ver['n']}"), work, work_dir is None
+    )

@@ -726,3 +726,62 @@ def test_stream_seasonal_decomp_partials_bit_identical(spark):
         for r in R.events_seasonal_decomp(spark, sf).collect()
     }
     assert live == batch
+
+
+def test_stream_ivm_join_interleaving_invariant(spark):
+    """The higher-order join-IVM fold reaches the recompute answer
+    under DIFFERENT micro-batch interleavings of A and B deltas —
+    the exactness claim: each fold is exact against current states,
+    so batch boundaries can't move a cent."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.plans import relational as R
+    from inception_spark.streaming.pipeline import run_stream_ivm_join
+
+    sf = "/root/testdata/sf0.001"
+    orders = R.load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = R.load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
+        "l_extendedprice",
+    )
+    a_old = orders.filter("o_orderkey % 3 != 0")
+    b_old = li.filter("l_linenumber % 2 = 0")
+    da = orders.filter("o_orderkey % 3 = 0").select(
+        F.lit("A").alias("side"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("grp"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(1).alias("mult"),
+    )
+    db = li.filter("l_linenumber % 2 = 1").select(
+        F.lit("B").alias("side"),
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("string").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("val"),
+        F.lit(1).alias("mult"),
+    )
+    deltas = da.unionByName(db)
+    expected = {
+        r["o_orderpriority"]: (float(r["s"]), r["n"])
+        for r in orders.join(li, "o_orderkey")
+        .groupBy(F.col("o_orderpriority"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumnRenamed("o_orderpriority", "o_orderpriority")
+        .collect()
+    }
+    for nb in (2, 5):
+        got = {
+            r["grp"]: (float(r["s"]), r["n"])
+            for r in run_stream_ivm_join(
+                spark, a_old, b_old, deltas,
+                key="o_orderkey", grp="o_orderpriority",
+                val="l_extendedprice", n_batches=nb,
+            ).collect()
+        }
+        assert got == expected, f"n_batches={nb}"
