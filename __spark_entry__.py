@@ -1278,6 +1278,28 @@ _URL_CASE = (
 )
 
 
+def _q_host_reputation(spark, sf_dir):
+    """Host-level curation gate over a deterministic doc_id-derived
+    host fixture (the url_dedup convention): corpus-wide duplicate
+    involvement, token mass, language diversity, flag at 20%."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "host",
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.com"),
+        ),
+    )
+    return TA.host_reputation_report(docs, dup_threshold=0.2)
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Exact dedup with keep-best-quality survivorship (ties at equal
+    4-dp quality fall to the smaller id) — the rule real pipelines
+    apply, vs dedup_keep_heads' min-id."""
+    return D.dedup_keep_best(_docs(spark, sf_dir))
+
+
 def _q_url_dedup(spark, sf_dir):
     """Crawl URL dedup over a deterministic refetch fixture: doc_id%4
     variants 0/1/2 of the same page key differ only in scheme case,
@@ -5585,6 +5607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_profile": _q_doc_script_profile,
         # crawl URL canonicalization + first-fetch dedup
         "url_dedup": _q_url_dedup,
+        "host_reputation": _q_host_reputation,
+        "dedup_keep_best": _q_dedup_keep_best,
         # mergeable-sketch incremental NDV (batch registers -> merge)
         "hll_incremental_ndv": _q_hll_incremental_ndv,
         # union-of-samples == sample-of-union exact quantile merging
@@ -7867,6 +7891,12 @@ FROM s QUALIFY rank <= 10
         "      WHEN doc_id % 3 = 2 THEN replace(text, 'e', '中')"
         "      ELSE text END AS text FROM documents)"
     )
+    d["host_reputation"] = TA.host_reputation_report_sql(
+        host_expr="'h' || CAST(doc_id % 13 AS VARCHAR)"
+        " || '.example.com'",
+        dup_threshold=0.2,
+    )
+    d["dedup_keep_best"] = D.dedup_keep_best_sql()
     d["url_dedup"] = f"""
 WITH u AS (
   SELECT doc_id, {_URL_CASE.format(d='//', s='VARCHAR')} AS url

@@ -2814,3 +2814,88 @@ def funnel_from_partials(parts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_unique"),
     )
+
+
+def host_reputation_report(
+    docs: DataFrame,
+    *,
+    host_col: str = "host",
+    dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Host-level curation scorecard — the RefinedWeb/FineWeb-style
+    site gate: per host, doc count, exact-duplicate involvement
+    (corpus-WIDE fingerprint multiplicity, not host-local — a mirror
+    farm's copies live on OTHER hosts), total tokens, language
+    diversity, and the flag at ``dup_threshold``.  Host-level signals
+    catch what per-doc gates can't: a template farm's pages each look
+    fine alone.
+
+    Exactness: integer counts throughout; dup_rate is one double
+    divide rounded 6 dp, compared to the literal threshold after
+    rounding (both engines).  Shape: one fingerprint aggregate
+    (corpus-wide multiplicity), one key join back, one host
+    aggregate — the report is |hosts|-sized."""
+    base = docs.select(
+        F.col(host_col).alias("host"),
+        "lang",
+        token_count(F.col("text")).cast("long").alias("tok"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    fpn = base.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    rep = (
+        base.join(fpn, "fp")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+    dup_rate = F.round(
+        F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+    )
+    return rep.select(
+        "host",
+        "n_docs",
+        "n_dup_docs",
+        dup_rate.alias("dup_rate"),
+        "total_tokens",
+        "n_langs",
+        (dup_rate > F.lit(float(dup_threshold))).alias("flagged"),
+    )
+
+
+def host_reputation_report_sql(
+    *,
+    host_expr: str,
+    dup_threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`host_reputation_report` with the host
+    derived by ``host_expr`` (the entry's deterministic fixture)."""
+    return f"""
+WITH base AS (
+  SELECT {host_expr} AS host, lang,
+         CAST({token_count_sql('text')} AS BIGINT) AS tok,
+         {fingerprint_sql('text')} AS fp
+  FROM {table}),
+fpn AS (SELECT fp, COUNT(*) AS n_fp FROM base GROUP BY fp),
+rep AS (
+  SELECT b.host,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN f.n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+         CAST(SUM(b.tok) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs
+  FROM base b JOIN fpn f USING (fp)
+  GROUP BY b.host)
+SELECT host, n_docs, n_dup_docs,
+       round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+       total_tokens, n_langs,
+       (round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6)
+        > CAST({dup_threshold!r} AS DOUBLE)) AS flagged
+FROM rep
+"""

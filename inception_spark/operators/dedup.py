@@ -2502,3 +2502,68 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        o.old_md5, n.new_md5
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup with the KEEP-BEST survivorship rule real pipelines
+    use (keep the highest-quality copy, not the smallest id —
+    `dedup_keep_heads` is the min-id variant): one fingerprint
+    aggregate whose survivor is the max (quality, −id) struct, so ties
+    at equal 4-dp quality fall to the smaller id deterministically.
+    Output: (doc_id, fingerprint, quality, n_dups) — one row per
+    distinct fingerprint.  Same single-shuffle economics as
+    exact_dedup; map-side combine absorbs hot boilerplate clusters."""
+    from inception_spark.functions.text_analysis import (
+        fingerprint,
+        quality_score,
+    )
+
+    scored = docs.select(
+        F.col(id_col).alias("_id"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    best = scored.groupBy("fingerprint").agg(
+        F.max(
+            F.struct(
+                F.col("_q").alias("q"), (-F.col("_id")).alias("nid")
+            )
+        ).alias("_b"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+    return best.select(
+        (-F.col("_b.nid")).cast("long").alias("doc_id"),
+        "fingerprint",
+        F.col("_b.q").alias("quality"),
+        "n_dups",
+    )
+
+
+def dedup_keep_best_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`dedup_keep_best` — argmax via the same
+    (quality DESC, id ASC) order."""
+    from inception_spark.functions.text_analysis import (
+        fingerprint_sql,
+        quality_score_sql,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {fingerprint_sql('text')} AS fingerprint,
+         {quality_score_sql('text')} AS q
+  FROM {table}),
+ranked AS (
+  SELECT doc_id, fingerprint, q,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY q DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_dups
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, fingerprint, q AS quality,
+       CAST(n_dups AS BIGINT) AS n_dups
+FROM ranked WHERE rn = 1
+"""

@@ -950,3 +950,21 @@ def test_snapshot_diff_all_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_dedup_keep_best_prefers_quality_copy(spark):
+    """Two fingerprint-identical copies (same words, different
+    punctuation/length) — the survivor is the higher-quality one,
+    regardless of id order; singleton docs survive untouched."""
+    from inception_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        # id 1 is noisy (symbols tank alpha ratio), id 2 is clean,
+        # same word sequence -> same fingerprint
+        (1, "the quick brown fox jumps over the lazy dog ####$$$$%%%%"),
+        (2, "The quick brown fox jumps over the lazy dog."),
+        (3, "an entirely different document about spark joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_dups"] for r in dedup_keep_best(df).collect()}
+    assert got == {2: 2, 3: 1}

@@ -318,3 +318,35 @@ def test_term_collocations_planted_phrase(spark):
     assert out[0]["bg"] == "hong kong" and out[0]["rank"] == 1
     pmis = {r["bg"]: r["pmi"] for r in out}
     assert all(pmis["hong kong"] >= p for p in pmis.values())
+
+
+def test_host_reputation_flags_mirror_farm(spark):
+    """A host whose pages all duplicate content elsewhere gets flagged;
+    a host of unique pages does not — and duplicate involvement is
+    corpus-wide (the mirror's ORIGINALS live on the clean host and get
+    counted as involved too)."""
+    from inception_spark.functions.text_analysis import (
+        host_reputation_report,
+    )
+
+    rows = []
+    did = 0
+    for i in range(4):  # clean host: unique docs 0..3
+        did += 1
+        rows.append((did, f"unique document number {i} about topic {i}",
+                     "en", "clean.example.com"))
+    # mirror host: copies of clean docs 0 and 1
+    for i in range(2):
+        did += 1
+        rows.append((did, f"unique document number {i} about topic {i}",
+                     "en", "mirror.example.com"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, host string"
+    )
+    got = {
+        r["host"]: (r["n_docs"], r["n_dup_docs"], r["flagged"])
+        for r in host_reputation_report(df, dup_threshold=0.6).collect()
+    }
+    assert got["mirror.example.com"] == (2, 2, True)
+    # 2 of clean's 4 docs are involved in corpus-wide dups -> 0.5 <= 0.6
+    assert got["clean.example.com"] == (4, 2, False)
