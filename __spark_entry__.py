@@ -1278,6 +1278,37 @@ _URL_CASE = (
 )
 
 
+_MD_SQL = (
+    "repeat('# T' || chr(10), CAST(doc_id % 3 AS INT))"
+    " || 'para one' || chr(10)"
+    " || repeat('- item' || chr(10), CAST(doc_id % 4 AS INT))"
+    " || repeat('```' || chr(10) || 'code()' || chr(10) || '```'"
+    " || chr(10), CAST(doc_id % 2 AS INT))"
+    " || repeat('[l](http://e)' || chr(10), CAST(doc_id % 5 AS INT))"
+    " || repeat('| a | b |' || chr(10), CAST(doc_id % 3 AS INT))"
+    " || repeat('> quote' || chr(10), CAST(doc_id % 2 AS INT))"
+)
+
+
+def _q_doc_markdown_stats(spark, sf_dir):
+    """Structure profile over a deterministic doc_id-derived markdown
+    fixture (both engines synthesize the identical text, the media
+    corpus convention): heading/fence/link/list/table/quote counts +
+    the code>tabular>prose routing label."""
+    d = F.col("doc_id")
+    md = F.concat(
+        F.repeat(F.lit("# T\n"), (d % 3).cast("int")),
+        F.lit("para one\n"),
+        F.repeat(F.lit("- item\n"), (d % 4).cast("int")),
+        F.repeat(F.lit("```\ncode()\n```\n"), (d % 2).cast("int")),
+        F.repeat(F.lit("[l](http://e)\n"), (d % 5).cast("int")),
+        F.repeat(F.lit("| a | b |\n"), (d % 3).cast("int")),
+        F.repeat(F.lit("> quote\n"), (d % 2).cast("int")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", md.alias("text"))
+    return TA.markdown_structure_stats(docs)
+
+
 def _q_host_reputation(spark, sf_dir):
     """Host-level curation gate over a deterministic doc_id-derived
     host fixture (the url_dedup convention): corpus-wide duplicate
@@ -5608,6 +5639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl URL canonicalization + first-fetch dedup
         "url_dedup": _q_url_dedup,
         "host_reputation": _q_host_reputation,
+        "doc_markdown_stats": _q_doc_markdown_stats,
         "dedup_keep_best": _q_dedup_keep_best,
         # mergeable-sketch incremental NDV (batch registers -> merge)
         "hll_incremental_ndv": _q_hll_incremental_ndv,
@@ -7890,6 +7922,9 @@ FROM s QUALIFY rank <= 10
         " CASE WHEN doc_id % 3 = 1 THEN replace(text, 'a', 'а')"
         "      WHEN doc_id % 3 = 2 THEN replace(text, 'e', '中')"
         "      ELSE text END AS text FROM documents)"
+    )
+    d["doc_markdown_stats"] = TA.markdown_structure_stats_sql(
+        text_expr=_MD_SQL
     )
     d["host_reputation"] = TA.host_reputation_report_sql(
         host_expr="'h' || CAST(doc_id % 13 AS VARCHAR)"

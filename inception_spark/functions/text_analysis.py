@@ -2899,3 +2899,77 @@ SELECT host, n_docs, n_dup_docs,
         > CAST({dup_threshold!r} AS DOUBLE)) AS flagged
 FROM rep
 """
+
+
+def markdown_structure_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Markdown/structure profile per document — the curation signal
+    that routes structured content (code-fence density → code
+    pipeline, table density → tabular handling) which plain token/
+    quality gates are blind to.  Counts: ATX headings, fenced code
+    blocks (fence pairs), inline links, list items, table rows,
+    blockquote lines, plus the routing label (code > tabular > prose).
+
+    All patterns live in the Java-regex ∩ RE2 subset (the doc_pii_scrub
+    discipline — no lookarounds, no anchors: line starts are matched
+    against an explicit leading newline on a '\\n'-prefixed copy), so
+    Spark and DuckDB count identically.  One codegen projection, no
+    shuffle."""
+    t = F.concat(F.lit("\n"), F.col(text_col))
+
+    def cnt(pat: str):
+        return F.size(
+            F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    n_fences = cnt("\n```")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        cnt("\n#{1,6} [^\n]*").alias("n_headings"),
+        (n_fences / F.lit(2)).cast("long").alias("n_code_blocks"),
+        cnt(r"\[[^\]]*\]\([^)]*\)").alias("n_links"),
+        cnt("\n[-*+] ").alias("n_list_items"),
+        cnt("\n\\|").alias("n_table_rows"),
+        cnt("\n> ").alias("n_quotes"),
+    )
+    label = (
+        F.when(F.col("n_code_blocks") > 0, F.lit("code"))
+        .when(F.col("n_table_rows") > 0, F.lit("tabular"))
+        .otherwise(F.lit("prose"))
+    )
+    return out.withColumn("doc_class", label)
+
+
+def markdown_structure_stats_sql(
+    *, text_expr: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`markdown_structure_stats` — identical
+    RE2-safe patterns over the same newline-prefixed text."""
+    t = f"(chr(10) || {text_expr})"
+
+    def cnt(pat: str) -> str:
+        return f"CAST(len(regexp_extract_all({t}, '{pat}')) AS BIGINT)"
+
+    c_head = cnt("\n#{1,6} [^\n]*")
+    c_fence = cnt("\n```")
+    c_link = cnt("\\[[^\\]]*\\]\\([^)]*\\)")
+    c_list = cnt("\n[-*+] ")
+    c_table = cnt("\n\\|")
+    c_quote = cnt("\n> ")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {c_head} AS n_headings,
+         CAST({c_fence} / 2 AS BIGINT) AS n_code_blocks,
+         {c_link} AS n_links,
+         {c_list} AS n_list_items,
+         {c_table} AS n_table_rows,
+         {c_quote} AS n_quotes
+  FROM {table})
+SELECT *,
+       CASE WHEN n_code_blocks > 0 THEN 'code'
+            WHEN n_table_rows > 0 THEN 'tabular'
+            ELSE 'prose' END AS doc_class
+FROM s
+"""

@@ -350,3 +350,29 @@ def test_host_reputation_flags_mirror_farm(spark):
     assert got["mirror.example.com"] == (2, 2, True)
     # 2 of clean's 4 docs are involved in corpus-wide dups -> 0.5 <= 0.6
     assert got["clean.example.com"] == (4, 2, False)
+
+
+def test_markdown_structure_stats_hand_doc(spark):
+    """Hand-written markdown → known structure counts; mid-line pipes
+    and hash characters don't count (line starts only); the routing
+    label prefers code over tabular over prose."""
+    from inception_spark.functions.text_analysis import (
+        markdown_structure_stats,
+    )
+
+    md = (
+        "# Title\n\npara with #hashtag and |pipe inline\n\n"
+        "- a\n- b\n* c\n\n```py\nx = 1\n```\n\n"
+        "[link](http://u) text\n| r1 | r2 |\n> quoted\n"
+    )
+    df = spark.createDataFrame([(1, md), (2, "plain prose only")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           markdown_structure_stats(df).collect()}
+    one = got[1]
+    assert (one["n_headings"], one["n_code_blocks"], one["n_links"],
+            one["n_list_items"], one["n_table_rows"], one["n_quotes"],
+            one["doc_class"]) == (1, 1, 1, 3, 1, 1, "code")
+    assert got[2]["doc_class"] == "prose"
+    assert sum(v for k, v in got[2].items()
+               if k.startswith("n_")) == 0
