@@ -5830,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_event_order": _q_asof_event_order,
         "asof_event_next_order": _q_asof_event_next_order,
         "event_funnel": R.event_funnel,
+        "funnel_latency": lambda spark, sf: R.funnel_latency(spark, sf),
         "events_cohort_retention": R.events_cohort_retention,
         "high_value_customers": R.high_value_customers,
         "order_price_histogram": R.order_price_histogram,
@@ -6487,6 +6488,7 @@ SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
        COUNT(DISTINCT user_id) AS n_users
 FROM act GROUP BY 1, 2
 """,
+        "funnel_latency": R.funnel_latency_sql(),
         "event_funnel": """
 WITH pu AS (
   SELECT user_id,

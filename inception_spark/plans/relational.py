@@ -5689,3 +5689,89 @@ SELECT CAST((_rr - 1) * least({kk}, _n) // _n + 1 AS BIGINT) AS r_score,
 FROM ranked
 GROUP BY 1, 2, 3
 """
+
+
+def funnel_latency(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    steps: tuple = ("signup", "click", "purchase"),
+) -> DataFrame:
+    """Step-to-step conversion latency for :func:`event_funnel`'s
+    strict-order funnel: per converting user, the time from the
+    previous step's FIRST occurrence to this step's first occurrence
+    after it; per step pair, the converting-user count and p50/p90/max
+    latency in seconds — the "funnel is fine but slow at checkout"
+    diagnostic the stage counts alone can't show.
+
+    Exactness: latencies are exact integer micros divided once into
+    double seconds; Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` both linear-interpolate over the identical value
+    set (the grouped_quantiles convention), 6-dp rounded.  Shape: ONE
+    per-user conditional-min aggregate (single shuffle — the
+    event_funnel plan), then a |pairs|-group exact percentile over
+    converting users; at 100 TB swap the exact percentile for the
+    content-hash-sampled grouped_quantiles form."""
+    ev = load_events(spark, sf_dir)
+    s1n, s2n, s3n = steps
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1n, F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == s2n, F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == s3n, F.col("ts"))).alias("t3"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+
+    def us(c):
+        return F.expr(f"unix_micros(cast({c} as timestamp))")
+
+    lat12 = F.when(s2, (us("t2") - us("t1")).cast("double") / F.lit(1e6))
+    lat23 = F.when(s3, (us("t3") - us("t2")).cast("double") / F.lit(1e6))
+    pairs = per_user.select(
+        F.lit(f"{s1n}>{s2n}").alias("step_pair"), lat12.alias("lat")
+    ).unionByName(
+        per_user.select(
+            F.lit(f"{s2n}>{s3n}").alias("step_pair"), lat23.alias("lat")
+        )
+    ).filter(F.col("lat").isNotNull())
+    return pairs.groupBy("step_pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lat, 0.9)"), 6).alias("p90_s"),
+        F.round(F.max("lat"), 6).alias("max_s"),
+    )
+
+
+def funnel_latency_sql(
+    *, steps: tuple = ("signup", "click", "purchase")
+) -> str:
+    """DuckDB twin of :func:`funnel_latency`."""
+    s1n, s2n, s3n = steps
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{s1n}' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = '{s2n}' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = '{s3n}' THEN ts END) AS t3
+  FROM events GROUP BY user_id),
+lats AS (
+  SELECT '{s1n}>{s2n}' AS step_pair,
+         CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+              THEN CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE) / 1e6
+         END AS lat
+  FROM per_user
+  UNION ALL
+  SELECT '{s2n}>{s3n}',
+         CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                   AND t3 IS NOT NULL AND t3 > t2
+              THEN CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE) / 1e6
+         END
+  FROM per_user)
+SELECT step_pair, CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lat, CAST(0.5 AS DOUBLE)), 6) AS p50_s,
+       round(quantile_cont(lat, CAST(0.9 AS DOUBLE)), 6) AS p90_s,
+       round(MAX(lat), 6) AS max_s
+FROM lats WHERE lat IS NOT NULL
+GROUP BY step_pair
+"""

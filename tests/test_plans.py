@@ -2059,3 +2059,36 @@ def test_wasserstein_drift_closed_forms(spark, tmp_path):
     }
     assert got["same"] == (0.0, 150, 150)
     assert got["shifted"] == (7.0, 150, 150)
+
+
+def test_funnel_latency_planted(spark, tmp_path):
+    """Planted funnel timings → exact known percentiles: three users
+    convert signup>click at 10/20/30 s (p50 = 20, p90 interpolates),
+    one converts click>purchase at 60 s; a user who clicked BEFORE
+    signing up does not count."""
+    import pandas as pd
+
+    from inception_spark.plans.relational import funnel_latency
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+    def add(u, et, sec):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, base + pd.Timedelta(seconds=sec), u, et, 1.0))
+    for u, gap in ((1, 10), (2, 20), (3, 30)):
+        add(u, "signup", 0)
+        add(u, "click", gap)
+    add(1, "purchase", 70)        # 10 + 60
+    add(4, "click", 0)            # clicked before signup -> no convert
+    add(4, "signup", 5)
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(str(tmp_path / "events.parquet"))
+    got = {r["step_pair"]: (r["n_converted"], r["p50_s"], r["p90_s"],
+                            r["max_s"])
+           for r in funnel_latency(spark, str(tmp_path)).collect()}
+    assert got["signup>click"] == (3, 20.0, 28.0, 30.0)
+    assert got["click>purchase"] == (1, 60.0, 60.0, 60.0)
