@@ -2410,6 +2410,43 @@ def _q_streaming_acf(spark, sf_dir):
     return R.acf_finalize(parts)
 
 
+def _q_streaming_funnel(spark, sf_dir):
+    """The conversion funnel maintained live: per-user FIRST-occurrence
+    step timestamps are min-mergeable (min of per-batch mins = global
+    min), so state is the |users|-sized (t1, t2, t3) triple and the
+    strict-order gates apply at finalize — the entity-rollup class.
+    Shares the batch event_funnel oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    parts = run_stream_batch_partials(
+        spark, ev, R.funnel_first_partials
+    )
+    return R.funnel_stage_finalize(R.funnel_first_merge(parts))
+
+
+def _q_streaming_funnel_latency(spark, sf_dir):
+    """Conversion latency percentiles from the SAME live funnel state
+    (one state table serves both monitors — the point of keeping
+    sufficient statistics instead of per-query streams).  Shares the
+    batch funnel_latency oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    parts = run_stream_batch_partials(
+        spark, ev, R.funnel_first_partials
+    )
+    return R.funnel_latency_finalize(R.funnel_first_merge(parts))
+
+
 def _q_streaming_pagerank(spark, sf_dir):
     """PageRank maintained live — the graph family's streaming story:
     the DISTINCT edge set is the stream state (set union is a merge
@@ -5620,6 +5657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
         "streaming_pagerank": _q_streaming_pagerank,
+        "streaming_funnel": _q_streaming_funnel,
+        "streaming_funnel_latency": _q_streaming_funnel_latency,
         "streaming_markov": _q_streaming_markov,
         # r9: Gini live (entity-rollup state, finalize-only sort)
         "streaming_revenue_gini": _q_streaming_revenue_gini,
@@ -6489,6 +6528,7 @@ SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
 FROM act GROUP BY 1, 2
 """,
         "funnel_latency": R.funnel_latency_sql(),
+        "streaming_funnel_latency": R.funnel_latency_sql(),
         "event_funnel": """
 WITH pu AS (
   SELECT user_id,
@@ -8083,6 +8123,7 @@ FROM embeddings
 """
     d["epoch_shuffle"] = epoch_shuffle_sql("documents", epoch=3)
     d["curriculum_bins"] = curriculum_bins_sql("documents", "n_chars")
+    d["streaming_funnel"] = d["event_funnel"]
     from inception_spark.operators.sampling import unimax_allocation_sql
     d["unimax_allocation"] = unimax_allocation_sql(
         budget_factor=2, max_epochs=3

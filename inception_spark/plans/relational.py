@@ -1637,23 +1637,39 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-funnel analysis (signup → click → purchase): per-user
-    first-occurrence timestamps per step, chained by strict temporal
-    order; one row per funnel stage with the user count reaching it.
-
-    Shape: one conditional-min aggregation per user (single shuffle),
-    then stage gates as CASE chains — the product-analytics pattern that
-    usually gets pushed to a specialized engine, expressed as two hash
-    aggregates."""
-    ev = load_events(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+def funnel_first_partials(
+    batch: DataFrame,
+    *,
+    steps: tuple = ("signup", "click", "purchase"),
+) -> DataFrame:
+    """Mergeable funnel state: per-user FIRST-occurrence timestamp per
+    step — min is a merge lattice (min of per-batch mins = global
+    min), so the per-user (t1, t2, t3) triple maintained across
+    micro-batches equals the batch aggregate under any regrouping, and
+    the strict-order gates / latency percentiles apply at finalize
+    over the |users|-sized state (the entity-rollup class).  Used by
+    event_funnel, funnel_latency, and their live twins."""
+    s1n, s2n, s3n = steps
+    return batch.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1n, F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == s2n, F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == s3n, F.col("ts"))).alias("t3"),
     )
-    # strict order: step N counts only if it happens after step N-1's
-    # first occurrence (first click after first signup, etc.)
+
+
+def funnel_first_merge(parts: DataFrame) -> DataFrame:
+    """Re-merge (possibly duplicated per user) first-occurrence
+    partials: MIN per user and step."""
+    return parts.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+    )
+
+
+def funnel_stage_finalize(per_user: DataFrame) -> DataFrame:
+    """The strict-order stage gates + counts over the per-user
+    first-occurrence state — the tail of :func:`event_funnel`."""
     s1 = F.col("t1").isNotNull()
     s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
     s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
@@ -1665,7 +1681,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n2"),
         F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n3"),
     )
-    stages = agg.select(
+    return agg.select(
         F.explode(
             F.array(
                 F.struct(F.lit(1).alias("stage"), F.lit("signup").alias("step"),
@@ -1681,7 +1697,23 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.step").alias("step"),
         F.col("s.n_users").alias("n_users"),
     )
-    return stages
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup → click → purchase): per-user
+    first-occurrence timestamps per step, chained by strict temporal
+    order; one row per funnel stage with the user count reaching it.
+
+    Shape: one conditional-min aggregation per user (single shuffle),
+    then stage gates as CASE chains — the product-analytics pattern that
+    usually gets pushed to a specialized engine, expressed as two hash
+    aggregates."""
+    ev = load_events(spark, sf_dir)
+    per_user = funnel_first_partials(ev)
+    # strict order: step N counts only if it happens after step N-1's
+    # first occurrence (first click after first signup, etc.) — the
+    # gates live in funnel_stage_finalize, shared with the live twin
+    return funnel_stage_finalize(per_user)
 
 
 def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5714,11 +5746,18 @@ def funnel_latency(
     content-hash-sampled grouped_quantiles form."""
     ev = load_events(spark, sf_dir)
     s1n, s2n, s3n = steps
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == s1n, F.col("ts"))).alias("t1"),
-        F.min(F.when(F.col("event_type") == s2n, F.col("ts"))).alias("t2"),
-        F.min(F.when(F.col("event_type") == s3n, F.col("ts"))).alias("t3"),
-    )
+    per_user = funnel_first_partials(ev, steps=steps)
+    return funnel_latency_finalize(per_user, steps=steps)
+
+
+def funnel_latency_finalize(
+    per_user: DataFrame,
+    *,
+    steps: tuple = ("signup", "click", "purchase"),
+) -> DataFrame:
+    """The latency-percentile tail of :func:`funnel_latency` over the
+    per-user first-occurrence state — shared with the live twin."""
+    s1n, s2n, s3n = steps
     s1 = F.col("t1").isNotNull()
     s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
     s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
