@@ -5097,6 +5097,25 @@ def _q_learn_bpe(spark, sf_dir):
     return learn_bpe_merges(_docs(spark, sf_dir), n_merges=10)
 
 
+def _q_bpe_coverage(spark, sf_dir):
+    """Per-source tokenizer-coverage scorecard with the corpus's own
+    10-merge vocabulary: fertility + single-char fallback rate — the
+    under-served-domain detector."""
+    from inception_spark.operators.bpe import (
+        bpe_coverage_report,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, n_merges=10)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_coverage_report(docs, merges)
+
+
 def _q_apply_bpe(spark, sf_dir):
     """Tokenize the corpus with its OWN learned merges: train (10 merges,
     driver-side control plane), then apply_bpe_merges — the merge list
@@ -5187,6 +5206,53 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         + f"""
 SELECT merge_rank, l AS "left", r AS "right", l || r AS merged, pair_count
 FROM ({union})
+"""
+    )
+
+
+def _bpe_coverage_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of bpe_coverage_report: the apply_bpe merge chain
+    with the source column carried through, then one source-grouped
+    aggregate of token counts and single-char fallbacks."""
+    ctes = _bpe_merge_ctes(n_merges)
+    ctes.append(
+        """
+aw0 AS (
+  SELECT source,
+         '|' || array_to_string(string_split(w, ''), '||') || '|' AS repr
+  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' AND w NOT LIKE '%|%')"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+aw{i} AS (
+  SELECT source,
+         replace(repr, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS repr
+  FROM aw{i - 1}, b{i} b)""")
+    body = "string_split(substring(repr, 2, length(repr) - 2), '||')"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+, per AS (
+  SELECT source,
+         CAST(length({body}) AS BIGINT) AS nt,
+         CAST(list_sum(list_transform({body},
+           t -> CASE WHEN length(t) = 1 THEN 1 ELSE 0 END)) AS BIGINT)
+           AS ns
+  FROM aw{n_merges}),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         CAST(SUM(ns) AS BIGINT) AS n_single_char
+  FROM per GROUP BY source)
+SELECT source, n_words, n_tokens, n_single_char,
+       round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       round(CAST(n_single_char AS DOUBLE) / n_tokens, 6)
+         AS single_char_rate
+FROM agg
 """
     )
 
@@ -5771,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_quality": _q_retrieval_quality,
         "streaming_lr_gate": _q_streaming_lr_gate,
         "apply_bpe": _q_apply_bpe,
+        "bpe_coverage": _q_bpe_coverage,
         # product quantization: ADC probe, materialized codes, rerank
         "pq_topk": _q_pq_topk,
         "pq_topk_codes": _q_pq_codes,
@@ -7925,6 +7992,7 @@ FROM newc n LEFT JOIN old o
 """,
         "learn_bpe": _bpe_oracle_sql(10),
         "apply_bpe": _apply_bpe_oracle_sql(10),
+        "bpe_coverage": _bpe_coverage_oracle_sql(10),
         "ann_multiprobe_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 qb AS (SELECT {_bucket_sql('qv')} AS qbucket FROM q),

@@ -153,3 +153,58 @@ def apply_bpe_merges(
         repr_col.substr(F.lit(2), F.length(repr_col) - 2), r"\|\|"
     )
     return base.withColumn(out_col, toks).drop("w")
+
+
+def bpe_coverage_report(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-coverage scorecard per source — the eval that decides
+    whether a learned vocabulary FITS a corpus slice: fertility
+    (tokens per word — the compression the vocab achieves) and the
+    single-character fallback rate (merge pressure the vocab failed to
+    absorb; the BPE analog of byte-fallback).  A source whose
+    fertility is far above the training slice's is under-served by the
+    tokenizer — the standard signal for re-training or per-domain
+    vocabularies.
+
+    Same plan-literal tokenization as :func:`apply_bpe_merges` (whole-
+    stage codegen, no UDF), then ONE source-grouped aggregate; ratios
+    are single double divides rounded 6 dp over exact counts."""
+    words = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+        )
+        .filter((F.col("w") != "") & (~F.col("w").contains("|")))
+        .select("source", F.col("w").alias("text"))
+    )
+    toked = apply_bpe_merges(words, merges)
+    toks = F.col("bpe_tokens")
+    per = toked.select(
+        "source",
+        F.size(toks).cast("long").alias("nt"),
+        F.size(
+            F.filter(toks, lambda t: F.length(t) == 1)
+        ).cast("long").alias("ns"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("ns").cast("long").alias("n_single_char"),
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_tokens",
+        "n_single_char",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_single_char").cast("double") / F.col("n_tokens"), 6
+        ).alias("single_char_rate"),
+    )
