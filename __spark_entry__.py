@@ -5365,10 +5365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup, pq_topk, bm25_search, learn_bpe, nb_lang_classify,
     apply_bpe, ivf_pq_topk, knn_join_lsh, kmeans_train,
     hybrid_rrf_search).  Just past the boundary sits the round-11
-    head in rotation-priority order: the 25 new-in-r10 entries (zero
+    head in rotation-priority order: the 36 new-in-r10 entries (zero
     driver signal — added after this window was pinned), then the 37
-    r5-green entries in cohort order; r11's window = those 25 + the
-    first 25 of the r5 cohort, with the remaining 12 staging as the
+    r5-green entries in cohort order; r11's window = those 36 + the
+    first 14 of the r5 cohort, with the remaining 23 staging as the
     r12 head.  The
     in-repo mini-driver (tests/test_entry.py) still verifies every
     oracle pair at sf0.001 regardless of position.  The dict literal
@@ -6034,11 +6034,11 @@ _WINDOW_R10 = [
     "kmeans_train",
     "hybrid_rrf_search",
     # past the boundary: the ROUND-11 HEAD.  Priority order for the
-    # r11 rotation (least driver signal first): first the 25
+    # r11 rotation (least driver signal first): first the 36
     # new-in-r10 entries (zero external signal — added after this
     # round's window was pinned), then the 37 r5-green entries in
-    # cohort order.  r11 window = the 25 below + the first 25 of the
-    # r5 cohort; the remaining 12 r5-green entries stage as the r12
+    # cohort order.  r11 window = the 36 below + the first 14 of the
+    # r5 cohort; the remaining 23 r5-green entries stage as the r12
     # head.
     "packing_efficiency",
     "ivm_join_rollup",
@@ -6065,8 +6065,19 @@ _WINDOW_R10 = [
     "customer_rfm_segments",
     "streaming_cusum",
     "margin_mine_pairs",
-    # the 37 r5-green entries, cohort order (r11 slots 26-50 = the
-    # first 25 of these)
+    "streaming_ivm_join",
+    "streaming_pagerank",
+    "streaming_funnel",
+    "streaming_funnel_latency",
+    "host_reputation",
+    "doc_markdown_stats",
+    "dedup_keep_best",
+    "bpe_coverage",
+    "kcenter_coreset",
+    "unimax_allocation",
+    "funnel_latency",
+    # the 37 r5-green entries, cohort order (r11 slots 37-50 = the
+    # first 14 of these)
     "ann_multiprobe_pruned",
     "ann_multiprobe_topk",
     "ann_recall_report",

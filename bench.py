@@ -273,6 +273,16 @@ HEADLINE = [
     "events_wasserstein_drift",
     # r10: greedy k-center coreset (k-1 codegen scans + 1-row reduces)
     "kcenter_coreset",
+    # r10: site-level curation gate (fingerprint agg + host agg)
+    "host_reputation",
+    # r10: keep-best-quality exact dedup (one struct-max aggregate)
+    "dedup_keep_best",
+    # r10: structure routing profile (one codegen projection)
+    "doc_markdown_stats",
+    # r10: conversion-latency percentiles (per-user min agg + percentile)
+    "funnel_latency",
+    # r10: UniMax waterfilling (one corpus agg + m-row integer math)
+    "unimax_allocation",
 ]
 
 
