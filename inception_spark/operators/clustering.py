@@ -414,8 +414,10 @@ def kcenter_coreset(
     for _ in range(int(k) - 1):
         cents = [uv for _, uv, _ in sel]
         dmin = _argmin_on(F.col("uvec"), cents).getField("d")
+        # carry uvec through the TakeOrdered row: one scan per round,
+        # not a second full scan to re-read the winner's coordinates
         row = (
-            u.select("id", dmin.alias("d"))
+            u.select("id", "uvec", dmin.alias("d"))
             .orderBy(F.desc("d"), F.asc("id"))
             .limit(1)
             .collect()[0]
@@ -425,12 +427,7 @@ def kcenter_coreset(
                 "kcenter_coreset: fewer than k distinct vectors — "
                 "the next exemplar would duplicate a selected center"
             )
-        # re-read the winner's uvec driver-side (1-row semi join would
-        # also work; the id is unique so a filter-collect is exact)
-        uv = u.filter(F.col("id") == row["id"]).select("uvec").collect()[0][
-            "uvec"
-        ]
-        sel.append((row["id"], list(uv), row["d"]))
+        sel.append((row["id"], list(row["uvec"]), row["d"]))
     return spark.createDataFrame(
         [
             (int(sid), i + 1, None if r is None else int(r))
