@@ -2092,3 +2092,51 @@ def test_funnel_latency_planted(spark, tmp_path):
            for r in funnel_latency(spark, str(tmp_path)).collect()}
     assert got["signup>click"] == (3, 20.0, 28.0, 30.0)
     assert got["click>purchase"] == (1, 60.0, 60.0, 60.0)
+
+
+def test_item_item_recs_plan_shapes(spark):
+    """Basket CF: equi-joins only (never cartesian), the per-item rank
+    window partitioned by item (never a global window sort)."""
+    from inception_spark.plans.relational import item_item_cosine_recs
+
+    p = plan_of(item_item_cosine_recs(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # window sorts carry the partition key — a global rank would sort
+    # on [_s, rec] with no leading item key
+    import re
+    for mname in re.findall(r"Sort \[([^\]]*)\]", p):
+        if "_s" in mname:
+            assert "item" in mname.split(",")[0]
+
+
+def test_margin_mine_blocked_plan_has_no_cartesian(spark):
+    """With block_on, candidate generation is an equi-join — the
+    100 TB contract (the cross-join form is the warned opt-in)."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.operators.similarity import margin_mine_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.filter("vec_id % 2 = 0").selectExpr(
+        "vec_id AS a_id", "embedding AS a_vec", "label AS a_blk"
+    )
+    b = emb.filter("vec_id % 2 <> 0").selectExpr(
+        "vec_id AS b_id", "embedding AS b_vec", "label AS b_blk"
+    )
+    out = margin_mine_pairs(a, b, k=4, block_on=("a_blk", "b_blk"))
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_wasserstein_single_spine_window(spark):
+    """W1 runs ONE cumulative pass over the (type, value) spine — the
+    windows are all partitioned by event_type, and no cartesian or
+    nested-loop join appears."""
+    from inception_spark.plans.relational import events_wasserstein_drift
+
+    p = plan_of(events_wasserstein_drift(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
