@@ -2410,6 +2410,32 @@ def _q_streaming_acf(spark, sf_dir):
     return R.acf_finalize(parts)
 
 
+def _q_streaming_host_reputation(spark, sf_dir):
+    """The site gate maintained live at ingest: (host, lang,
+    fingerprint) counters re-sum across micro-batches (per-row
+    fingerprinting — a true merge lattice), and the corpus-wide
+    duplicate accounting + host rollup run at finalize over the state
+    table.  State is fingerprint-cardinality sized — the
+    streaming_exact_dedup class.  Shares the batch host_reputation
+    oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "host",
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.com"),
+        ),
+    ).select("host", "lang", "text")
+    parts = run_stream_batch_partials(
+        spark, docs, TA.host_rep_partials
+    )
+    return TA.host_rep_finalize(parts, dup_threshold=0.2)
+
+
 def _q_streaming_funnel(spark, sf_dir):
     """The conversion funnel maintained live: per-user FIRST-occurrence
     step timestamps are min-mergeable (min of per-batch mins = global
@@ -5365,10 +5391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup, pq_topk, bm25_search, learn_bpe, nb_lang_classify,
     apply_bpe, ivf_pq_topk, knn_join_lsh, kmeans_train,
     hybrid_rrf_search).  Just past the boundary sits the round-11
-    head in rotation-priority order: the 36 new-in-r10 entries (zero
+    head in rotation-priority order: the 37 new-in-r10 entries (zero
     driver signal — added after this window was pinned), then the 37
-    r5-green entries in cohort order; r11's window = those 36 + the
-    first 14 of the r5 cohort, with the remaining 23 staging as the
+    r5-green entries in cohort order; r11's window = those 37 + the
+    first 13 of the r5 cohort, with the remaining 24 staging as the
     r12 head.  The
     in-repo mini-driver (tests/test_entry.py) still verifies every
     oracle pair at sf0.001 regardless of position.  The dict literal
@@ -5744,6 +5770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl URL canonicalization + first-fetch dedup
         "url_dedup": _q_url_dedup,
         "host_reputation": _q_host_reputation,
+        "streaming_host_reputation": _q_streaming_host_reputation,
         "doc_markdown_stats": _q_doc_markdown_stats,
         "dedup_keep_best": _q_dedup_keep_best,
         # mergeable-sketch incremental NDV (batch registers -> merge)
@@ -6034,11 +6061,11 @@ _WINDOW_R10 = [
     "kmeans_train",
     "hybrid_rrf_search",
     # past the boundary: the ROUND-11 HEAD.  Priority order for the
-    # r11 rotation (least driver signal first): first the 36
+    # r11 rotation (least driver signal first): first the 37
     # new-in-r10 entries (zero external signal — added after this
     # round's window was pinned), then the 37 r5-green entries in
-    # cohort order.  r11 window = the 36 below + the first 14 of the
-    # r5 cohort; the remaining 23 r5-green entries stage as the r12
+    # cohort order.  r11 window = the 37 below + the first 13 of the
+    # r5 cohort; the remaining 24 r5-green entries stage as the r12
     # head.
     "packing_efficiency",
     "ivm_join_rollup",
@@ -6076,8 +6103,9 @@ _WINDOW_R10 = [
     "kcenter_coreset",
     "unimax_allocation",
     "funnel_latency",
-    # the 37 r5-green entries, cohort order (r11 slots 37-50 = the
-    # first 14 of these)
+    "streaming_host_reputation",
+    # the 37 r5-green entries, cohort order (r11 slots 38-50 = the
+    # first 13 of these)
     "ann_multiprobe_pruned",
     "ann_multiprobe_topk",
     "ann_recall_report",
@@ -8203,6 +8231,7 @@ FROM embeddings
     d["epoch_shuffle"] = epoch_shuffle_sql("documents", epoch=3)
     d["curriculum_bins"] = curriculum_bins_sql("documents", "n_chars")
     d["streaming_funnel"] = d["event_funnel"]
+    d["streaming_host_reputation"] = d["host_reputation"]
     from inception_spark.operators.sampling import unimax_allocation_sql
     d["unimax_allocation"] = unimax_allocation_sql(
         budget_factor=2, max_epochs=3

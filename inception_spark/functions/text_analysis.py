@@ -2973,3 +2973,68 @@ SELECT *,
             ELSE 'prose' END AS doc_class
 FROM s
 """
+
+
+def host_rep_partials(batch: DataFrame, *, host_col: str = "host") -> DataFrame:
+    """Mergeable host-reputation state: exact (host, lang, fingerprint)
+    → (cnt, tok) rows for one ingest batch.  Fingerprinting and token
+    counting are per-row, so the counters re-sum under any
+    micro-batching; state is fingerprint-cardinality sized (the
+    streaming_exact_dedup class — the price of corpus-wide duplicate
+    accounting, and still a rollup, never raw text)."""
+    return (
+        batch.select(
+            F.col(host_col).alias("host"),
+            "lang",
+            token_count(F.col("text")).cast("long").alias("tok"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+        .groupBy("host", "lang", "fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("tok").cast("long").alias("tok"),
+        )
+    )
+
+
+def host_rep_finalize(
+    parts: DataFrame,
+    *,
+    dup_threshold: float = 0.5,
+    assume_merged: bool = False,
+) -> DataFrame:
+    """The host scorecard from (possibly un-merged) state rows —
+    corpus-wide fingerprint multiplicity, then the host rollup;
+    identical output to :func:`host_reputation_report` (shared
+    oracle).  ``assume_merged=True`` skips the re-merge."""
+    merged = parts if assume_merged else (
+        parts.groupBy("host", "lang", "fp").agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("tok").cast("long").alias("tok"),
+        )
+    )
+    fpn = merged.groupBy("fp").agg(F.sum("cnt").alias("n_fp"))
+    rep = (
+        merged.join(fpn, "fp")
+        .groupBy("host")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_fp") > 1, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+    dup_rate = F.round(
+        F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+    )
+    return rep.select(
+        "host",
+        "n_docs",
+        "n_dup_docs",
+        dup_rate.alias("dup_rate"),
+        "total_tokens",
+        "n_langs",
+        (dup_rate > F.lit(float(dup_threshold))).alias("flagged"),
+    )
