@@ -2371,6 +2371,12 @@ def _q_streaming_ks_drift(spark, sf_dir):
     return R.ks_finalize(parts)
 
 
+def _q_quantile_drift(spark, sf_dir):
+    """Per-type quantile shifts in value units — the interpretable
+    companion to the PSI/KS/W1 scores."""
+    return R.quantile_drift_report(spark, sf_dir)
+
+
 def _q_events_wasserstein_drift(spark, sf_dir):
     """The drift triad's third leg: exact earth-mover distance on the
     value spine (PSI = binned, KS = sup-norm, W1 = integrated mass x
@@ -2408,6 +2414,35 @@ def _q_streaming_acf(spark, sf_dir):
     ev = R.load_events(spark, sf_dir).select("event_type", "ts")
     parts = run_stream_batch_partials(spark, ev, R.acf_hourly_partials)
     return R.acf_finalize(parts)
+
+
+def _q_streaming_unimax(spark, sf_dir):
+    """The token-budget plan maintained live: per-source token sums
+    re-sum across ingest micro-batches (per-row counting — a true
+    merge lattice, m-row state), and the waterfilling runs at finalize
+    with the budget derived from the CURRENT totals — the allocation
+    is always fresh as the corpus grows.  Shares the batch
+    unimax_allocation oracle (same 2x-total budget rule, derived from
+    the same data)."""
+    from inception_spark.operators.sampling import (
+        unimax_from_source_tokens,
+        unimax_source_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).select("source", "text")
+    parts = run_stream_batch_partials(
+        spark, docs, unimax_source_partials
+    )
+    merged = parts.groupBy("source").agg(
+        F.sum("tokens").cast("long").alias("tokens")
+    )
+    total = merged.agg(F.sum("tokens").alias("t")).collect()[0]["t"]
+    return unimax_from_source_tokens(
+        merged, budget_tokens=2 * total, max_epochs=3
+    )
 
 
 def _q_streaming_host_reputation(spark, sf_dir):
@@ -5391,10 +5426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup, pq_topk, bm25_search, learn_bpe, nb_lang_classify,
     apply_bpe, ivf_pq_topk, knn_join_lsh, kmeans_train,
     hybrid_rrf_search).  Just past the boundary sits the round-11
-    head in rotation-priority order: the 37 new-in-r10 entries (zero
+    head in rotation-priority order: the 39 new-in-r10 entries (zero
     driver signal — added after this window was pinned), then the 37
-    r5-green entries in cohort order; r11's window = those 37 + the
-    first 13 of the r5 cohort, with the remaining 24 staging as the
+    r5-green entries in cohort order; r11's window = those 39 + the
+    first 11 of the r5 cohort, with the remaining 26 staging as the
     r12 head.  The
     in-repo mini-driver (tests/test_entry.py) still verifies every
     oracle pair at sf0.001 regardless of position.  The dict literal
@@ -5745,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: KS drift live (pinned split -> mergeable side counts)
         "streaming_ks_drift": _q_streaming_ks_drift,
         "events_wasserstein_drift": _q_events_wasserstein_drift,
+        "quantile_drift": _q_quantile_drift,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
@@ -5878,6 +5914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "kcenter_coreset": _q_kcenter_coreset,
         "unimax_allocation": _q_unimax_allocation,
+        "streaming_unimax": _q_streaming_unimax,
         # trained-on-the-corpus classifiers + higher-order LM quality
         "nb_lang_classify": lambda spark, sf: NB.nb_lang_classify(
             _docs(spark, sf)
@@ -6104,8 +6141,10 @@ _WINDOW_R10 = [
     "unimax_allocation",
     "funnel_latency",
     "streaming_host_reputation",
-    # the 37 r5-green entries, cohort order (r11 slots 38-50 = the
-    # first 13 of these)
+    "streaming_unimax",
+    "quantile_drift",
+    # the 37 r5-green entries, cohort order (r11 slots 40-50 = the
+    # first 11 of these)
     "ann_multiprobe_pruned",
     "ann_multiprobe_topk",
     "ann_recall_report",
@@ -7545,6 +7584,7 @@ GROUP BY o.o_orderpriority
         # r8: same spine, smoothing, and rounded contributions
         "psi_drift_report": R.psi_drift_report_sql(),
         "events_wasserstein_drift": R.events_wasserstein_drift_sql(),
+        "quantile_drift": R.quantile_drift_report_sql(),
         "streaming_psi_drift": R.psi_drift_report_sql(),
         "streaming_acf": R.events_acf_sql(),
         "streaming_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,
@@ -8236,6 +8276,7 @@ FROM embeddings
     d["unimax_allocation"] = unimax_allocation_sql(
         budget_factor=2, max_epochs=3
     )
+    d["streaming_unimax"] = d["unimax_allocation"]
     d["nb_lang_classify"] = NB.nb_lang_classify_sql("documents")
     d["doc_bigram_logprob"] = TA.doc_bigram_logprob_sql("documents")
     d["doc_trigram_logprob"] = TA.doc_trigram_logprob_sql("documents")

@@ -283,6 +283,8 @@ HEADLINE = [
     "funnel_latency",
     # r10: UniMax waterfilling (one corpus agg + m-row integer math)
     "unimax_allocation",
+    # r10: per-type quantile shifts (one (type, side) percentile agg)
+    "quantile_drift",
 ]
 
 

@@ -1068,6 +1068,49 @@ def unimax_allocation(
     per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(tc).cast("long").alias("tokens")
     )
+    return unimax_from_source_tokens(
+        per_src, budget_tokens=budget_tokens, max_epochs=max_epochs
+    )
+
+
+def unimax_source_partials(
+    batch: DataFrame,
+    *,
+    source_col: str = "source",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Mergeable UniMax state: exact per-source token sums for one
+    ingest batch — token counting is per-row, so the m-row counter
+    table re-sums under any micro-batching and the waterfilling runs
+    at finalize (the PSI counter-table discipline applied to budget
+    planning: the allocation is always current as the corpus grows)."""
+    from inception_spark.functions.text_analysis import token_count
+
+    tc = (
+        token_count_col
+        if token_count_col is not None
+        else token_count(F.col("text"))
+    )
+    return batch.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tc).cast("long").alias("tokens")
+    )
+
+
+def unimax_from_source_tokens(
+    per_src: DataFrame,
+    *,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    assume_merged: bool = True,
+) -> DataFrame:
+    """The waterfilling tail of :func:`unimax_allocation` over a
+    (source, tokens) relation — shared with the live twin, whose state
+    IS that relation.  ``assume_merged=False`` re-sums duplicated
+    per-source partial rows first."""
+    if not assume_merged:
+        per_src = per_src.groupBy("source").agg(
+            F.sum("tokens").cast("long").alias("tokens")
+        )
     cap = per_src.select(
         "source",
         "tokens",

@@ -5814,3 +5814,77 @@ SELECT step_pair, CAST(COUNT(*) AS BIGINT) AS n_converted,
 FROM lats WHERE lat IS NOT NULL
 GROUP BY step_pair
 """
+
+
+def quantile_drift_report(
+    spark: SparkSession, sf_dir: str, *, split_day: int = 15
+) -> DataFrame:
+    """The interpretable companion to the drift triad: per event type,
+    the p50/p90 of the value distribution in each period and the
+    quantile SHIFTS in value units — "p90 latency moved +230 ms" is
+    the sentence PSI/KS/W₁ scores can't say.  Sidedness is the PSI
+    calendar rule.
+
+    Exactness: Spark ``percentile`` ≡ DuckDB ``quantile_cont`` over
+    the identical value sets (the grouped_quantiles convention), each
+    6-dp rounded; deltas subtract the ROUNDED quantiles and re-round,
+    so both engines derive them from identical operands.  Shape: one
+    (type, side) percentile aggregate — at 100 TB swap in the
+    content-hash-sampled grouped_quantiles form."""
+    ev = load_events(spark, sf_dir)
+    period_new = F.dayofmonth("ts") > split_day
+    sided = ev.select(
+        "event_type", "value", period_new.alias("is_new")
+    )
+    per = sided.groupBy("event_type", "is_new").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+    old = per.filter(~F.col("is_new")).select(
+        "event_type",
+        F.col("n").alias("n_old"),
+        F.col("p50").alias("p50_old"),
+        F.col("p90").alias("p90_old"),
+    )
+    new = per.filter(F.col("is_new")).select(
+        "event_type",
+        F.col("n").alias("n_new"),
+        F.col("p50").alias("p50_new"),
+        F.col("p90").alias("p90_new"),
+    )
+    return old.join(new, "event_type", "full").select(
+        "event_type",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        "p50_old",
+        "p50_new",
+        F.round(F.col("p50_new") - F.col("p50_old"), 6).alias("d_p50"),
+        "p90_old",
+        "p90_new",
+        F.round(F.col("p90_new") - F.col("p90_old"), 6).alias("d_p90"),
+    )
+
+
+def quantile_drift_report_sql(*, split_day: int = 15) -> str:
+    """DuckDB twin of :func:`quantile_drift_report`."""
+    return f"""
+WITH per AS (
+  SELECT event_type, (day(ts) > {split_day}) AS is_new,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 6) AS p50,
+         round(quantile_cont(value, CAST(0.9 AS DOUBLE)), 6) AS p90
+  FROM events GROUP BY 1, 2),
+o AS (SELECT event_type, n AS n_old, p50 AS p50_old, p90 AS p90_old
+      FROM per WHERE NOT is_new),
+n AS (SELECT event_type, n AS n_new, p50 AS p50_new, p90 AS p90_new
+      FROM per WHERE is_new)
+SELECT COALESCE(o.event_type, n.event_type) AS event_type,
+       COALESCE(o.n_old, 0) AS n_old,
+       COALESCE(n.n_new, 0) AS n_new,
+       o.p50_old, n.p50_new,
+       round(n.p50_new - o.p50_old, 6) AS d_p50,
+       o.p90_old, n.p90_new,
+       round(n.p90_new - o.p90_old, 6) AS d_p90
+FROM o FULL JOIN n ON o.event_type = n.event_type
+"""
