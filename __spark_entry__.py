@@ -2829,42 +2829,6 @@ def _q_events_acf(spark, sf_dir):
     return R.events_acf(spark, sf_dir)
 
 
-def _q_streaming_cusum(spark, sf_dir):
-    """Live CUSUM: the calibrated spine (pinned per-type n, s — the
-    KS-midpoint impossibility applied to the global mean) streamed as
-    four event-time-ordered micro-batches through the
-    applyInPandasWithState fold; constant per-type state, each hour's
-    alarm emitted on arrival.  Shares the batch oracle."""
-    from inception_spark.streaming.pipeline import (
-        run_stream_ordered_batches,
-        streaming_cusum,
-    )
-
-    spine = R.cusum_calibrated_spine(
-        R.load_events(spark, sf_dir)
-    ).localCheckpoint(eager=False)
-    lo, hi = spine.agg(
-        F.min("hr").alias("lo"), F.max("hr").alias("hi")
-    ).collect()[0]
-    cuts = [lo + (hi + 1 - lo) * i // 4 for i in range(5)]
-    batches = [
-        spine.filter(
-            (F.col("hr") >= cuts[i]) & (F.col("hr") < cuts[i + 1])
-        )
-        for i in range(4)
-    ]
-    return run_stream_ordered_batches(
-        spark, batches, lambda st: streaming_cusum(st)
-    )
-
-
-def _q_customer_rfm(spark, sf_dir):
-    """RFM quintile grid over the orders fact — recency/frequency/
-    monetary each scored by the clamped equi-depth rule, rolled up to
-    <= k^3 cells with exact cent revenue."""
-    return R.customer_rfm_segments(spark, sf_dir)
-
-
 def _q_events_ccf(spark, sf_dir):
     """Pairwise lead-lag correlogram of the hourly count series — the
     cross-series completion of ACF; shared-spine, mean cleared by
@@ -5415,27 +5379,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 10 (see ``_WINDOW_R10`` below,
-    VERDICT r9 ask 2): slots 1-39 are ALL 39 remaining zero-signal
-    entries — the 20 the r9 window staged past its boundary
-    (streaming_ohlc .. vocab_growth_curve) then the 19 new-in-r9
-    entries (mmr_rerank .. events_acf), in exactly the order the r9
-    tail pinned — so after this round every registry entry has had
-    external driver signal at least once.  Slots 40-50 are the 11
-    stalest driver-green entries (last green r5: embed_delta,
-    semantic_dedup, pq_topk, bm25_search, learn_bpe, nb_lang_classify,
-    apply_bpe, ivf_pq_topk, knn_join_lsh, kmeans_train,
-    hybrid_rrf_search).  Just past the boundary sits the round-11
-    head in rotation-priority order: the 39 new-in-r10 entries (zero
-    driver signal — added after this window was pinned), then the 37
-    r5-green entries in cohort order; r11's window = those 39 + the
-    first 11 of the r5 cohort, with the remaining 26 staging as the
-    r12 head.  The
-    in-repo mini-driver (tests/test_entry.py) still verifies every
-    oracle pair at sf0.001 regardless of position.  The dict literal
-    below keeps its stable grouped-by-family order; ``_WINDOW_R10``
-    does the rotation at return time so slot moves are one-line
-    edits."""
+    with the least driver signal.  Round 11 (see ``_WINDOW_R11`` below,
+    VERDICT r10 ask 1): slots 1-39 are the 39 new-in-r10 entries
+    (``_COHORT_NEW_R10`` — zero external driver signal, added after the
+    r10 window was pinned); slots 40-50 are the first 11 of the 37
+    r5-green entries (``_COHORT_R5_GREEN``, cohort order:
+    ann_multiprobe_pruned .. embedding_outliers).  Just past the
+    boundary sits the round-12 head: the remaining 26 r5-green entries,
+    then any entries added THIS round (``_COHORT_NEW_R11``).  Cohort
+    arithmetic (39 + 11 = 50, remainder 26) is asserted by
+    ``tests/test_rotation_staging.py`` so a drifted comment fails
+    loudly.  The in-repo mini-driver (tests/test_entry.py) still
+    verifies every oracle pair at sf0.001 regardless of position.  The
+    dict literal below keeps its stable grouped-by-family order;
+    ``_WINDOW_R11 + _STAGED_R12`` does the rotation at return time so
+    slot moves are one-line edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
         # + splitter hash-verified against a recursive-CTE oracle, encoder
@@ -6023,87 +5981,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    missing = [k for k in _WINDOW_R10 if k not in reg]
+    order = _WINDOW_R11 + _STAGED_R12
+    missing = [k for k in order if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
-    head = {k: reg[k] for k in _WINDOW_R10}
+    head = {k: reg[k] for k in order}
     tail = {k: v for k, v in reg.items() if k not in head}
     return head | tail
 
 
-# Round-10 driver-window priority order (the driver's correctness window
-# runs the FIRST 50 dict entries; entries listed beyond slot 50 head the
-# post-boundary tail so they rotate in first next round).  Ranked by
-# staleness of driver signal (VERDICT r9 ask 2):
-#   1-39  ALL 39 remaining zero-signal entries — the 20 the r9 window
-#         staged past its boundary, then the 19 new-in-r9 entries, in
-#         exactly the order the r9 tail pinned.  After this round every
-#         registry entry has had external driver signal at least once.
-#   40-50 the 11 stalest driver-green entries (last green r5 — the
-#         verdict's named eight plus three more from the same cohort)
-#   51+   the remaining 37 r5-green entries in registry order, staged
-#         as the round-11 head (the whole r5 cohort then rotates clear
-#         in ~one more round)
-_WINDOW_R10 = [
-    # slots 1-20: the 20 zero-signal entries staged by the r9 window
-    "streaming_ohlc",
-    "streaming_burst_monitor",
-    "csv_ingest_stats",
-    "orc_ingest_stats",
-    "supplier_hits",
-    "ab_sprt_curve",
-    "streaming_sprt",
-    "cohort_ltv",
-    "events_forecast",
-    "events_markov_stationary",
-    "streaming_forecast",
-    "streaming_growth",
-    "streaming_vocab_growth",
-    "pruning_effectiveness",
-    "link_prediction_eval",
-    "dedup_threshold_sweep",
-    "events_ks_drift",
-    "purchase_attribution",
-    "revenue_gini",
-    "vocab_growth_curve",
-    # slots 21-39: the 19 new-in-r9 entries (zero signal), registry order
-    "mmr_rerank",
-    "binary_quantize_topk",
-    "binary_codes_topk",
-    "streaming_equidepth",
-    "doc_shards_two_level",
-    "frequent_triples",
-    "part_communities",
-    "price_histogram_equidepth",
-    "doc_rendezvous_shards",
-    "reshard_movement",
-    "events_forecast_conformal",
-    "streaming_forecast_conformal",
-    "doc_length_percentile",
-    "join_cardinality_check",
-    "streaming_ks_drift",
-    "streaming_revenue_gini",
-    "streaming_attribution",
-    "part_ppr",
-    "events_acf",
-    # slots 40-50: stalest driver-green cohort (last green r5)
-    "embed_delta",
-    "semantic_dedup",
-    "pq_topk",
-    "bm25_search",
-    "learn_bpe",
-    "nb_lang_classify",
-    "apply_bpe",
-    "ivf_pq_topk",
-    "knn_join_lsh",
-    "kmeans_train",
-    "hybrid_rrf_search",
-    # past the boundary: the ROUND-11 HEAD.  Priority order for the
-    # r11 rotation (least driver signal first): first the 37
-    # new-in-r10 entries (zero external signal — added after this
-    # round's window was pinned), then the 37 r5-green entries in
-    # cohort order.  r11 window = the 37 below + the first 13 of the
-    # r5 cohort; the remaining 24 r5-green entries stage as the r12
-    # head.
+# Round-11 driver-window rotation (the driver's correctness window runs
+# the FIRST 50 dict entries returned by ``queries()``).  Cohorts are
+# named module constants so ``tests/test_rotation_staging.py`` can
+# assert the arithmetic (VERDICT r10 ask 8) — a drifted comment now
+# fails loudly instead of mis-driving a rotation.
+#
+#   slots 1-39  _COHORT_NEW_R10 — the 39 entries added in round 10
+#               AFTER the r10 window was pinned (zero external driver
+#               signal; all green in the r10 judge's 326/326 sweep).
+#   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
+#               last driver green was round 5, in cohort order.
+#   staged r12  the remaining 26 of _COHORT_R5_GREEN, followed by
+#               _COHORT_NEW_R11 (entries added THIS round, zero signal;
+#               newest-first priority is deliberate: new code needs
+#               signal sooner than re-confirmation of r5 greens).
+_COHORT_NEW_R10 = [
     "packing_efficiency",
     "ivm_join_rollup",
     "item_item_recs",
@@ -6143,8 +6044,11 @@ _WINDOW_R10 = [
     "streaming_host_reputation",
     "streaming_unimax",
     "quantile_drift",
-    # the 37 r5-green entries, cohort order (r11 slots 40-50 = the
-    # first 11 of these)
+]
+
+# last driver green: round 5.  First 11 complete the r11 window; the
+# remaining 26 stage as the r12 head.
+_COHORT_R5_GREEN = [
     "ann_multiprobe_pruned",
     "ann_multiprobe_topk",
     "ann_recall_report",
@@ -6183,6 +6087,13 @@ _WINDOW_R10 = [
     "streaming_lr_gate",
     "zorder_key",
 ]
+
+# Entries added in round 11 (zero driver signal until the r12 window).
+_COHORT_NEW_R11 = []
+
+_WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
+_STAGED_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11
+
 
 
 def oracle_sql() -> dict[str, str]:

@@ -2927,7 +2927,9 @@ def markdown_structure_stats(
     out = docs.select(
         F.col(id_col).alias("doc_id"),
         cnt("\n#{1,6} [^\n]*").alias("n_headings"),
-        (n_fences / F.lit(2)).cast("long").alias("n_code_blocks"),
+        # floor division, NOT (n/2).cast("long"): an unclosed fence (odd
+        # count) must floor in BOTH engines — DuckDB's CAST(c/2) rounds.
+        F.floor(n_fences / F.lit(2)).cast("long").alias("n_code_blocks"),
         cnt(r"\[[^\]]*\]\([^)]*\)").alias("n_links"),
         cnt("\n[-*+] ").alias("n_list_items"),
         cnt("\n\\|").alias("n_table_rows"),
@@ -2961,7 +2963,7 @@ def markdown_structure_stats_sql(
 WITH s AS (
   SELECT doc_id,
          {c_head} AS n_headings,
-         CAST({c_fence} / 2 AS BIGINT) AS n_code_blocks,
+         {c_fence} // 2 AS n_code_blocks,
          {c_link} AS n_links,
          {c_list} AS n_list_items,
          {c_table} AS n_table_rows,

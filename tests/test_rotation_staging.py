@@ -1,0 +1,59 @@
+"""Rotation-window staging arithmetic (VERDICT r10 ask 8).
+
+The driver's correctness window runs the first 50 entries of
+``queries()``; the cohort lists in ``__spark_entry__`` are the
+rotation's source of truth.  These pins make a drifted comment or a
+mis-sized cohort fail loudly instead of silently mis-driving a round's
+rotation (the r9/r10 ADVICE class: staging comments said 37+13 while
+the list held 39+11).
+"""
+
+import importlib
+
+import pytest
+
+E = importlib.import_module("__spark_entry__")
+
+
+def test_window_is_exactly_fifty():
+    assert len(E._WINDOW_R11) == 50
+
+
+def test_cohort_arithmetic():
+    # r11 window = ALL 39 new-in-r10 zero-signal entries + the first 11
+    # of the 37-entry r5-green cohort; the remaining 26 stage as r12.
+    assert len(E._COHORT_NEW_R10) == 39
+    assert len(E._COHORT_R5_GREEN) == 37
+    assert E._WINDOW_R11 == E._COHORT_NEW_R10 + E._COHORT_R5_GREEN[:11]
+    assert E._STAGED_R12 == E._COHORT_R5_GREEN[11:] + E._COHORT_NEW_R11
+    assert len(E._COHORT_R5_GREEN[11:]) == 26
+
+
+def test_no_duplicates_across_cohorts():
+    all_names = E._COHORT_NEW_R10 + E._COHORT_R5_GREEN + E._COHORT_NEW_R11
+    assert len(all_names) == len(set(all_names))
+
+
+def test_every_staged_name_is_a_registry_entry():
+    reg = E.queries()
+    order = E._WINDOW_R11 + E._STAGED_R12
+    missing = [k for k in order if k not in reg]
+    assert not missing, f"staged names unknown to the registry: {missing}"
+
+
+def test_registry_head_is_the_window():
+    reg = E.queries()
+    head = list(reg)[:50]
+    assert head == E._WINDOW_R11
+    # and the staged r12 cohort sits immediately past the boundary
+    nxt = list(reg)[50 : 50 + len(E._STAGED_R12)]
+    assert nxt == E._STAGED_R12
+
+
+def test_window_entries_have_oracles_or_documented_exemption():
+    """Every windowed entry should be oracle-paired (the driver records a
+    weaker rows-only check otherwise).  Streaming twins share their batch
+    oracle; a missing oracle here is a staging mistake."""
+    oracles = E.oracle_sql()
+    missing = [k for k in E._WINDOW_R11 if k not in oracles]
+    assert not missing, f"windowed entries without oracle SQL: {missing}"

@@ -376,3 +376,34 @@ def test_markdown_structure_stats_hand_doc(spark):
     assert got[2]["doc_class"] == "prose"
     assert sum(v for k, v in got[2].items()
                if k.startswith("n_")) == 0
+
+
+def test_markdown_odd_fence_floors_in_both_engines(spark):
+    """An unclosed code fence (odd fence count) must FLOOR in both
+    engines: 3 fences -> 1 complete block, never 2.  This was a latent
+    engine/twin divergence (Spark truncated, DuckDB's CAST(c/2 AS
+    BIGINT) rounds) masked by even-fence-only fixtures (r10 ADVICE)."""
+    import duckdb
+
+    from inception_spark.functions.text_analysis import (
+        markdown_structure_stats,
+        markdown_structure_stats_sql,
+    )
+
+    rows = [
+        (1, "```py\nx\n```\ntext\n```unclosed\ny\n"),   # 3 fences
+        (2, "```\na\n```\n\n```\nb\n```\n"),             # 4 fences
+        (3, "```only one fence\n"),                        # 1 fence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_code_blocks"]
+           for r in markdown_structure_stats(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 0}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {r[0]: r[2] for r in con.execute(
+        markdown_structure_stats_sql()
+    ).fetchall()}
+    assert oracle == got
