@@ -585,6 +585,12 @@ def write_bucketed_table(
     return spark.table(table_name)
 
 
+# (left_table, right_table, left_key, right_key) tuples whose AQE
+# final-plan check has already passed this session — the memo behind
+# ``colocated_join(verify="once")``.
+_VERIFIED_COLOCATED: set = set()
+
+
 def colocated_join(
     spark: SparkSession,
     left_table: str,
@@ -593,6 +599,7 @@ def colocated_join(
     right_key: str,
     *,
     require_shuffle_free: bool = True,
+    verify: str = "once",
 ) -> DataFrame:
     """Join two same-bucket-count catalog tables on their bucket keys.
 
@@ -606,11 +613,27 @@ def colocated_join(
     reintroducing the biggest shuffle in the pipeline.
 
     The guard is a ``RuntimeError`` (an ``assert`` would vanish under
-    ``python -O``), and it checks TWICE: the pre-execution plan, then —
-    because AQE finalizes the physical plan only after stage stats
-    arrive — again after touching one output row, against the
-    committed final adaptive plan.
+    ``python -O``) and runs in two phases:
+
+    1. the STATIC pre-execution plan check — free (physical planning
+       only, no job), so it runs on every call;
+    2. the AQE FINAL-plan check — because AQE commits the physical plan
+       only after stage stats arrive, verifying it requires touching one
+       output row, which executes one partition of the join; the
+       caller's downstream action then re-executes it.  That cost is
+       real (r10: +78% on the bench's bucketed join when paid per call),
+       so it is gated by ``verify``:
+
+       - ``"once"`` (default): pay the touch the first time this
+         session sees this (tables, keys) combination; memoize on pass.
+         A production pipeline re-running the same co-located join gets
+         static-check-only calls after the first.
+       - ``"always"``: pay it on every call — for suites that mutate
+         layouts between calls under the same table names.
+       - ``"never"``: static check only.
     """
+    if verify not in ("always", "once", "never"):
+        raise ValueError(f"verify must be always|once|never, got {verify!r}")
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
     joined = left.join(
@@ -624,33 +647,44 @@ def colocated_join(
                 "bucketed join planned a shuffle — layout not "
                 "co-located:\n" + plan[:2000]
             )
-        # finalize AQE and re-check the plan that actually ran.  The
-        # touch must drive THIS DataFrame's own QueryExecution:
-        # head(1) would plan a separate limit(1) query and leave qe's
-        # adaptive plan unfinalized (isFinalPlan=false), making the
-        # re-check a no-op.  toLocalIterator executes the same _jdf —
-        # AdaptiveSparkPlanExec commits its final plan synchronously
-        # in doExecute, before the first row arrives — and pulling one
-        # row costs one partition, not a collect of the full join.
-        it = joined.toLocalIterator()
-        try:
-            next(it, None)
-        finally:
-            close = getattr(it, "close", None)
-            if close is not None:
-                close()
-        final = qe.executedPlan().toString()
-        if "AdaptiveSparkPlan" in final and "isFinalPlan=true" not in final:
-            raise RuntimeError(
-                "bucketed-join guard could not verify the FINAL adaptive "
-                "plan (isFinalPlan stayed false after execution):\n"
-                + final[:2000]
-            )
-        if "Exchange" in final:
-            raise RuntimeError(
-                "AQE rewrote the bucketed join into a shuffle — layout "
-                "not co-located in the FINAL plan:\n" + final[:2000]
-            )
+        memo_key = (left_table, right_table, left_key, right_key)
+        if verify == "always" or (
+            verify == "once" and memo_key not in _VERIFIED_COLOCATED
+        ):
+            # finalize AQE and re-check the plan that actually ran.  The
+            # touch must drive THIS DataFrame's own QueryExecution:
+            # head(1) would plan a separate limit(1) query and leave
+            # qe's adaptive plan unfinalized (isFinalPlan=false), making
+            # the re-check a no-op.  toLocalIterator executes the same
+            # _jdf — AdaptiveSparkPlanExec commits its final plan
+            # synchronously in doExecute, before the first row arrives —
+            # and pulling one row costs one partition, not a collect of
+            # the full join.
+            it = joined.toLocalIterator()
+            try:
+                next(it, None)
+            finally:
+                close = getattr(it, "close", None)
+                if close is not None:
+                    close()
+            final = qe.executedPlan().toString()
+            if (
+                "AdaptiveSparkPlan" in final
+                and "isFinalPlan=true" not in final
+            ):
+                raise RuntimeError(
+                    "bucketed-join guard could not verify the FINAL "
+                    "adaptive plan (isFinalPlan stayed false after "
+                    "execution):\n" + final[:2000]
+                )
+            if "Exchange" in final:
+                raise RuntimeError(
+                    "AQE rewrote the bucketed join into a shuffle — "
+                    "layout not co-located in the FINAL plan:\n"
+                    + final[:2000]
+                )
+            if verify == "once":
+                _VERIFIED_COLOCATED.add(memo_key)
     return joined
 
 

@@ -1241,6 +1241,68 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert "isFinalPlan=true" in final
 
 
+def test_colocated_join_verify_knob(spark, tmp_path):
+    """The AQE final-plan check costs one partition execution per call
+    (r10: +78% on the bench join when paid every time), so it is gated:
+    verify="once" memoizes a passed (tables, keys) check and later calls
+    run the free static check only; "always" re-touches; "never" skips.
+    The static zero-Exchange check runs in every mode."""
+    import pytest as _pytest
+
+    from inception_spark.operators import layout as L
+
+    orders = spark.read.parquet(SF + "/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(SF + "/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    L.write_bucketed_table(
+        spark, orders, "o_orderkey", "t_vk_orders", str(tmp_path / "o")
+    )
+    L.write_bucketed_table(
+        spark, li, "l_orderkey", "t_vk_li", str(tmp_path / "l")
+    )
+    key = ("t_vk_li", "t_vk_orders", "l_orderkey", "o_orderkey")
+    L._VERIFIED_COLOCATED.discard(key)
+
+    with _pytest.raises(ValueError, match="always|once|never"):
+        L.colocated_join(spark, *key, verify="sometimes")
+
+    # first "once" call pays the touch and memoizes
+    j1 = L.colocated_join(spark, *key, verify="once")
+    assert key in L._VERIFIED_COLOCATED
+    p1 = j1._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in p1:
+        assert "isFinalPlan=true" in p1
+    # second "once" call skips the touch: its OWN adaptive plan stays
+    # unfinalized because nothing executed
+    j2 = L.colocated_join(spark, *key, verify="once")
+    p2 = j2._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in p2:
+        assert "isFinalPlan=true" not in p2
+    # "always" re-touches even though the memo holds the key
+    j3 = L.colocated_join(spark, *key, verify="always")
+    p3 = j3._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in p3:
+        assert "isFinalPlan=true" in p3
+    # "never" skips the touch but the static guard still fires on a
+    # genuine layout regression
+    j4 = L.colocated_join(spark, *key, verify="never")
+    p4 = j4._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in p4:
+        assert "isFinalPlan=true" not in p4
+    L.write_bucketed_table(
+        spark, orders, "o_orderkey", "t_vk_o4", str(tmp_path / "o4"),
+        n_buckets=4,
+    )
+    with _pytest.raises(RuntimeError, match="not co-located"):
+        L.colocated_join(
+            spark, "t_vk_li", "t_vk_o4", "l_orderkey", "o_orderkey",
+            verify="never",
+        )
+
+
 def test_events_ewma_matches_truncated_recursion(spark, tmp_path):
     """The integer-weight window form equals the literal truncated
     EWMA recursion y_t = Σ w_j v_{t-j} / Σ w_j computed in Python,
