@@ -5,7 +5,8 @@ brief): the Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 UDF signatures — is real and tested.  Decoding is REAL where zero-dependency
 codecs exist — uncompressed BMP, binary netpbm (P6 PPM / P5 PGM), 8-bit
 PNG (stdlib ``zlib`` inflate + scanline unfilter), GIF (pure-Python LZW),
-baseline JPEG (operators/jpeg.py) and 16-bit PCM WAV decode, re-encode,
+baseline JPEG (operators/jpeg.py), strip TIFF with LZW/predictor
+(operators/tiff.py) and 16-bit PCM WAV decode, re-encode,
 resize/resample and featurize with actual pixels/samples.  MP4 and MP3
 expose real CONTAINER metadata (box walk / frame-header scan — duration,
 dims, rates) without decoding; frame/sample decode for them stays behind
@@ -605,9 +606,9 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real decode: native BMP / binary netpbm / PNG (stdlib zlib) /
-    GIF (pure-Python LZW) / baseline JPEG (operators/jpeg.py) first;
-    PIL fallback for other compressed formats when installed;
-    DecoderUnavailable otherwise."""
+    GIF (pure-Python LZW) / TIFF (operators/tiff.py) / baseline JPEG
+    (operators/jpeg.py) first; PIL fallback for other compressed
+    formats when installed; DecoderUnavailable otherwise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
@@ -631,6 +632,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         if out.shape[2] == 4:
             out = out[..., :3]
         return out
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from inception_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     try:
         import io
 
@@ -639,8 +644,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise DecoderUnavailable(
-            "TIFF decode requires PIL — not installed; BMP, netpbm, "
-            "PNG, GIF, baseline JPEG and lossless WebP decode natively"
+            "decode requires PIL — not installed; BMP, netpbm, PNG, "
+            "GIF, TIFF, baseline JPEG and lossless WebP decode natively"
         )
 
 
