@@ -2415,6 +2415,94 @@ def _q_quantile_drift(spark, sf_dir):
     return R.quantile_drift_report(spark, sf_dir)
 
 
+def _q_events_js_drift(spark, sf_dir):
+    """Jensen-Shannon divergence per type — the bounded, symmetric
+    member of the drift family, computed from the SAME (type, bucket)
+    counter lattice PSI uses (one state table, two scores: adding JS
+    cost a finalize, not a second corpus scan)."""
+    return R.events_js_drift(spark, sf_dir)
+
+
+def _q_streaming_js_drift(spark, sf_dir):
+    """JS drift maintained live: identical psi_partials counter state
+    as streaming_psi_drift (shared-sufficient-statistics — the funnel
+    twin discipline applied across drift scores); finalize runs the JS
+    rollup over the |types|xB counters.  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "ts", "value")
+    parts = run_stream_batch_partials(spark, ev, R.psi_partials)
+    return R.js_finalize(parts)
+
+
+_BENCH_SPLIT = "doc_id % 29 = 0"
+
+
+def _q_contamination_13gram(spark, sf_dir):
+    """Train/eval decontamination by the published 13-gram collision
+    rule: docs with doc_id % 29 = 0 stand in for the eval suite, the
+    rest are the training corpus; a corpus doc is reported iff it
+    shares any distinct 13-gram with the suite.  Benchmark grams are
+    BROADCAST (eval suites are tiny next to a 100 TB corpus), so the
+    corpus is scanned once and never shuffled on gram."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(_BENCH_SPLIT)
+    corpus = docs.filter(f"NOT ({_BENCH_SPLIT})")
+    return D.contamination_13gram(corpus, bench, n=13)
+
+
+def _q_streaming_contamination_gate(spark, sf_dir):
+    """The decontamination rule enforced AT INGEST, statelessly: the
+    eval suite's distinct 13-grams become a plan literal (the kmeans
+    centroid discipline — eval suites are control-plane sized;
+    broadcast-join form documented for larger suites), so the gate is
+    a pure projection (array_intersect) that streams with zero state.
+    Shares the batch oracle (identical output by construction)."""
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    docs = _docs(spark, sf_dir)
+    bench_grams = [
+        r["gram"]
+        for r in docs.filter(_BENCH_SPLIT)
+        .select(F.explode(H.shingles(F.col("text"), n=13)).alias("gram"))
+        .distinct()
+        .collect()
+    ]
+    lit_bench = F.array(*[F.lit(g) for g in bench_grams])
+
+    def gate(stream):
+        grams = H.shingles(F.col("text"), n=13)
+        out = stream.select(
+            F.col("doc_id"),
+            F.size(grams).cast("long").alias("n_grams"),
+            F.size(F.array_intersect(grams, lit_bench))
+            .cast("long")
+            .alias("n_hit"),
+        ).filter("n_hit > 0")
+        return out.select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.expr("(1000 * n_hit) div n_grams").cast("long").alias(
+                "contam_permille"
+            ),
+        )
+
+    corpus = docs.filter(f"NOT ({_BENCH_SPLIT})")
+    return run_stream_to_parquet(spark, corpus, gate)
+
+
+def _q_tiff_pixel_stats(spark, sf_dir):
+    """The image_pixel_stats decode round-trip applied to the strip
+    TIFF codec (operators/tiff.py, libtiff-cross-validated): every
+    synthesized image is multi-strip, so the IFD walk + strip
+    concatenation runs on every row."""
+    _ensure_workers_can_import(spark)
+    return MM.tiff_pixel_stats(_docs(spark, sf_dir))
+
+
 def _q_events_wasserstein_drift(spark, sf_dir):
     """The drift triad's third leg: exact earth-mover distance on the
     value spine (PSI = binned, KS = sup-norm, W1 = integrated mass x
@@ -5777,6 +5865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ks_drift": _q_streaming_ks_drift,
         "events_wasserstein_drift": _q_events_wasserstein_drift,
         "quantile_drift": _q_quantile_drift,
+        "events_js_drift": _q_events_js_drift,
+        "streaming_js_drift": _q_streaming_js_drift,
+        "contamination_13gram": _q_contamination_13gram,
+        "streaming_contamination_gate": _q_streaming_contamination_gate,
+        "tiff_pixel_stats": _q_tiff_pixel_stats,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
@@ -6127,7 +6220,13 @@ _COHORT_R5_GREEN = [
 ]
 
 # Entries added in round 11 (zero driver signal until the r12 window).
-_COHORT_NEW_R11 = []
+_COHORT_NEW_R11 = [
+    "events_js_drift",
+    "streaming_js_drift",
+    "contamination_13gram",
+    "streaming_contamination_gate",
+    "tiff_pixel_stats",
+]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
 _STAGED_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11
@@ -7534,6 +7633,26 @@ GROUP BY o.o_orderpriority
         "psi_drift_report": R.psi_drift_report_sql(),
         "events_wasserstein_drift": R.events_wasserstein_drift_sql(),
         "quantile_drift": R.quantile_drift_report_sql(),
+        "events_js_drift": R.events_js_drift_sql(),
+        "streaming_js_drift": R.events_js_drift_sql(),
+        "contamination_13gram": D.contamination_13gram_sql(),
+        "streaming_contamination_gate": D.contamination_13gram_sql(),
+        "tiff_pixel_stats": """
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id % 11) + 1 AS w,
+         x.x, y.y, c.c
+  FROM documents d
+  CROSS JOIN generate_series(0, 10) AS x(x)
+  CROSS JOIN generate_series(0, 6) AS y(y)
+  CROSS JOIN generate_series(0, 2) AS c(c)
+  WHERE x.x < (d.doc_id % 11) + 1 AND y.y < (d.doc_id % 6) + 2)
+SELECT CAST(w AS BIGINT) AS width,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images,
+       CAST(SUM((5 * x + 13 * y + 31 * c + doc_id) % 256) AS BIGINT)
+         AS sum_pixels_value
+FROM px
+GROUP BY 1
+""",
         "streaming_psi_drift": R.psi_drift_report_sql(),
         "streaming_acf": R.events_acf_sql(),
         "streaming_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,

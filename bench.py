@@ -287,6 +287,67 @@ HEADLINE = [
     "quantile_drift",
 ]
 
+#: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every
+#: round, so round-over-round totals stay comparable while HEADLINE
+#: grows.  These are the 50 longest-standing headline queries (all
+#: present since <= r6).  NEVER add/remove/reorder — new queries go to
+#: HEADLINE only; if a core query is ever deleted from the registry,
+#: bump the core_queryset tag.
+CORE_50 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_large_volume",
+    "top3_orders_per_customer",
+    "customer_order_stats",
+    "events_hourly",
+    "events_sessionization",
+    "events_json_stats",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_unigram_logprob",
+    "approx_ndv",
+    "cms_heavy_hitters",
+    "pack_sequences",
+    "events_range_join",
+    "exact_dedup",
+    "paragraph_dedup",
+    "bloom_screen",
+    "doc_pii_scrub",
+    "corpus_report",
+    "events_anomaly",
+    "temperature_mix",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "simhash_dup_pairs",
+    "winnowing_overlap_pairs",
+    "embedding_dup_pairs",
+    "cosine_topk",
+    "sq_topk",
+    "sq_topk_codes",
+    "pq_topk",
+    "ann_lsh_topk",
+    "knn_label_join",
+    "chunk_documents",
+    "embed_documents",
+    "kmeans_train",
+    "semantic_dedup",
+    "nb_lang_classify",
+    "doc_bigram_logprob",
+    "html_to_text",
+    "doc_trigram_logprob",
+    "zorder_key",
+]
+assert len(CORE_50) == 50
+assert set(CORE_50) <= set(HEADLINE), "core must be a headline subset"
+
 
 #: Frozen drift canaries (VERDICT r8 ask 3): three queries whose
 #: operator code has been untouched since ≤ r4 (packing.py since r3;
@@ -393,6 +454,10 @@ def main() -> None:
     # under identical run conditions is the drift baseline — no
     # SCALING.md archaeology needed to normalize cross-round totals.
     canaries = {name: timings[name] for name in CANARIES}
+    # Frozen-core total (VERDICT r10 ask 7): the sum over CORE_50 —
+    # identical query set every round — is the ONE number to compare
+    # across rounds; the headline total moves whenever coverage grows.
+    core_total = round(sum(timings[name] for name in CORE_50), 3)
     # Output contract (VERDICT r7): the driver captures only a ~2 KB
     # stdout TAIL, and the per-query map outgrew it at 79 queries
     # (BENCH_r07.json parsed: null).  So the FULL record (with the
@@ -420,10 +485,12 @@ def main() -> None:
                 # assign_global_ids, events_twap, hll_user_overlap,
                 # phrase_search, dup_graph_kcore, containment_pairs,
                 # events_resample, fs_linkage — 79 total)
-                "queryset": "r10",
+                "queryset": "r11",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
                 "canaries": canaries,
+                "core_total_sec": core_total,
+                "core_queryset": "core50_v1",
             }
     )
     print(detail)
@@ -442,11 +509,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "queryset": "r10",
+                "queryset": "r11",
                 "n_queries": len(HEADLINE),
                 "max_query_sec": max(timings.values()),
                 "max_query": max(timings, key=timings.get),
                 "canaries": canaries,
+                "core_total_sec": core_total,
+                "core_queryset": "core50_v1",
                 "detail": "per-query map on the previous stdout line "
                           "and in BENCH_DETAIL.json",
             }

@@ -2567,3 +2567,90 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, fingerprint, q AS quality,
        CAST(n_dups AS BIGINT) AS n_dups
 FROM ranked WHERE rn = 1
 """
+
+
+def contamination_13gram(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination — the published LONG-n-gram collision
+    rule (GPT-3 appendix C / PaLM: a training doc is contaminated if it
+    shares any 13-gram with an evaluation item).  Complements
+    :func:`benchmark_contamination` (the n=3 shingle-FRACTION screen):
+    13-grams fire only on verbatim spans, so this is the release gate,
+    the 3-gram fraction the exploratory score.  (Reference scope: the
+    reference pipeline is text-only serving, main.py — this extends it
+    per the build brief's training-data charter.)
+
+    Output: one row per contaminated corpus doc — (doc_id, n_grams,
+    n_hit, contam_permille) with n_hit = how many of the doc's
+    DISTINCT n-grams appear anywhere in the benchmark, ordered shape
+    but deterministic values.  Clean docs are absent (the gate reads
+    absence as pass).
+
+    100 TB shape: eval suites are tiny next to a training corpus, so
+    the benchmark's distinct-gram table is BROADCAST — the corpus is
+    scanned once, never shuffled on gram; only HIT gram rows (rare by
+    construction) enter the per-doc count shuffle, and the final
+    n_grams join broadcasts the hit table back.  Zero corpus-sized
+    shuffles end to end."""
+    grams = H.shingles(F.col(text_col), n=n)
+    corpus = docs.select(
+        F.col(id_col).alias("doc_id"), grams.alias("_g")
+    ).withColumn("n_grams", F.size("_g").cast("long"))
+    bench_grams = (
+        bench.select(F.explode(H.shingles(F.col(text_col), n=n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("_g").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        corpus.select("doc_id", "n_grams")
+        .join(F.broadcast(hits), "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.expr("(1000 * n_hit) div n_grams").cast("long").alias(
+                "contam_permille"
+            ),
+        )
+    )
+
+
+def contamination_13gram_sql(
+    *,
+    n: int = 13,
+    table: str = "documents",
+    bench_pred: str = "doc_id % 29 = 0",
+) -> str:
+    """DuckDB twin of :func:`contamination_13gram` with the
+    benchmark split expressed as a predicate over the same table
+    (mirrors the registry entry's corpus/bench split)."""
+    sh = H.shingles_cte_sql("w", n=n)
+    return f"""
+WITH wt AS (
+  SELECT doc_id, {H.words_sql('text')} AS w FROM {table}),
+g AS (
+  SELECT doc_id, {sh} AS grams FROM wt),
+corpus AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+  FROM g WHERE NOT ({bench_pred})),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE {bench_pred})
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(c.n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST((1000 * COUNT(*)) // MIN(c.n_grams) AS BIGINT)
+         AS contam_permille
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""

@@ -950,6 +950,78 @@ def audio_sample_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_tiff_corpus(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-document strip TIFF payload: width =
+    (id mod 11)+1, height = (id mod 6)+2, rows_per_strip=2 (every
+    image is MULTI-strip so the strip walk is always exercised),
+    pixel (y, x, c) = (5x + 13y + 31c + id) mod 256 — (doc_id,
+    payload).  Worker-side synthesis, the synth_bmp_corpus
+    discipline."""
+    from inception_spark.operators.tiff import encode_tiff
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i % 11) + 1, int(i % 6) + 2
+                xx = np.arange(w, dtype=np.int64)[None, :, None]
+                yy = np.arange(h, dtype=np.int64)[:, None, None]
+                cc = np.arange(3, dtype=np.int64)[None, None, :]
+                img = (
+                    (5 * xx + 13 * yy + 31 * cc + int(i)) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_tiff(img, rows_per_strip=2))
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def tiff_pixel_stats(docs: DataFrame) -> DataFrame:
+    """The image_pixel_stats protocol applied to the new TIFF codec
+    (operators/tiff.py): synthesize multi-strip TIFF bytes, DECODE
+    them back worker-side through the decode_image dispatch, and
+    aggregate per-width pixel sums the oracle recomputes from the
+    synthesis formula alone — a strip-walk, IFD-parse or row-order
+    defect hash-mismatches driver-visibly."""
+    corpus = synth_tiff_corpus(docs)
+    out_schema = T.StructType(
+        [
+            T.StructField("width", T.LongType(), False),
+            T.StructField("pixel_sum", T.LongType(), False),
+        ]
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, sums = [], []
+            for p in pdf["payload"]:
+                arr = decode_image(bytes(p))
+                widths.append(int(arr.shape[1]))
+                sums.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame({"width": widths, "pixel_sum": sums})
+
+    return (
+        corpus.mapInPandas(dec, out_schema)
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("pixel_sum").cast("long").alias("sum_pixels_value"),
+        )
+    )
+
+
 def image_pixel_stats(docs: DataFrame) -> DataFrame:
     """REAL decode round-trip, driver-visibly oracle-checked: synthesize
     BMP bytes, DECODE them back to pixels worker-side

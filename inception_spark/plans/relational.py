@@ -844,6 +844,138 @@ def psi_finalize(
     )
 
 
+def events_js_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    split_day: int = 15,
+) -> DataFrame:
+    """Jensen–Shannon divergence per event type between the two
+    calendar periods — the bounded, symmetric member of the drift
+    triad (PSI is unbounded and blows up on near-empty buckets; KS
+    sees only the worst single quantile; JS ∈ [0, ln 2] weighs the
+    whole distribution and never divides by zero even unsmoothed).
+
+    Shares :func:`psi_partials`' counter lattice EXACTLY — one
+    (type, bucket) → (n_old, n_new) state table powers PSI, JS and
+    the live twins; adding a drift score costs a finalize, not a
+    second corpus scan (the shared-sufficient-statistics discipline
+    from streaming_funnel).  Same Laplace smoothing and 6-dp
+    round-then-decimal-sum as PSI so the oracle's ln jitter can't
+    reach the hash."""
+    ev = load_events(spark, sf_dir)
+    counts = psi_partials(
+        ev,
+        bucket_width=bucket_width,
+        n_buckets=n_buckets,
+        split_day=split_day,
+    )
+    return js_finalize(counts, n_buckets=n_buckets, assume_merged=True)
+
+
+def js_finalize(
+    parts: DataFrame,
+    *,
+    n_buckets: int = 10,
+    assume_merged: bool = False,
+) -> DataFrame:
+    """JS(P, Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, over the
+    same smoothed bucket shares :func:`psi_finalize` uses — shared
+    with the live twin, whose state IS the counter table."""
+    spark = parts.sparkSession
+    merged = parts if assume_merged else (
+        parts.groupBy("event_type", "bucket").agg(
+            F.sum("n_old").alias("n_old"), F.sum("n_new").alias("n_new")
+        )
+    )
+    spine = (
+        merged.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(n_buckets).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    full = spine.join(merged, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    j = full.join(F.broadcast(tot), "event_type")
+    p = (F.col("n_old") + 1).cast("double") / (F.col("t_old") + n_buckets)
+    q = (F.col("n_new") + 1).cast("double") / (F.col("t_new") + n_buckets)
+    m = (p + q) / F.lit(2.0)
+    contrib = F.round(
+        (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0), 6
+    ).cast("decimal(18,6)")
+    return (
+        j.select("event_type", contrib.alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("double").alias("js"))
+        .select(
+            "event_type",
+            "js",
+            (F.col("js") >= 0.05).alias("drifted"),
+        )
+    )
+
+
+def events_js_drift_sql(
+    table: str = "events",
+    *,
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    split_day: int = 15,
+) -> str:
+    """DuckDB twin of :func:`events_js_drift`."""
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / CAST({bucket_width!r} AS DOUBLE))
+                    AS INT), {n_buckets - 1}) AS bucket,
+         (day(ts) > {split_day}) AS is_new
+  FROM {table}),
+counts AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS n_old,
+         SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new
+  FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, CAST(g AS INT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM {table}) t
+  CROSS JOIN generate_series(0, {n_buckets - 1}) s(g)),
+full_t AS (
+  SELECT s.event_type, s.bucket,
+         COALESCE(c.n_old, 0) AS n_old, COALESCE(c.n_new, 0) AS n_new
+  FROM spine s LEFT JOIN counts c USING (event_type, bucket)),
+tot AS (
+  SELECT event_type, SUM(n_old) AS t_old, SUM(n_new) AS t_new
+  FROM full_t GROUP BY event_type),
+pq AS (
+  SELECT f.event_type,
+         CAST(f.n_old + 1 AS DOUBLE) / (t.t_old + {n_buckets}) AS p,
+         CAST(f.n_new + 1 AS DOUBLE) / (t.t_new + {n_buckets}) AS q
+  FROM full_t f JOIN tot t USING (event_type)),
+c AS (
+  SELECT event_type,
+         CAST(round(
+           (p * ln(p / ((p + q) / CAST(2 AS DOUBLE)))
+            + q * ln(q / ((p + q) / CAST(2 AS DOUBLE))))
+           / CAST(2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS c
+  FROM pq)
+SELECT event_type, CAST(SUM(c) AS DOUBLE) AS js,
+       (CAST(SUM(c) AS DOUBLE) >= CAST(0.05 AS DOUBLE)) AS drifted
+FROM c GROUP BY event_type
+"""
+
+
 def psi_drift_report_sql(
     table: str = "events",
     *,

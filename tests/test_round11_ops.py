@@ -1,0 +1,174 @@
+"""Unit pins for the round-11 operators: JS drift, 13-gram
+decontamination, and the TIFF pixel-stats corpus entry."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_js_drift_symmetric_and_bounded(spark):
+    """JS(P, Q) == JS(Q, P) (swap the periods by relabeling the
+    counters) and 0 <= JS <= ln 2 — the properties that distinguish it
+    from PSI; identical distributions score ~0."""
+    import math
+
+    from inception_spark.plans.relational import js_finalize
+
+    rows = [
+        ("a", 0, 100, 10), ("a", 1, 50, 90), ("a", 2, 7, 300),
+        ("b", 0, 40, 40), ("b", 1, 60, 60),
+    ]
+    parts = spark.createDataFrame(
+        rows, "event_type string, bucket int, n_old long, n_new long"
+    )
+    fwd = {r["event_type"]: r["js"]
+           for r in js_finalize(parts, n_buckets=3).collect()}
+    swapped = parts.select(
+        "event_type", "bucket",
+        F.col("n_new").alias("n_old"), F.col("n_old").alias("n_new"),
+    )
+    rev = {r["event_type"]: r["js"]
+           for r in js_finalize(swapped, n_buckets=3).collect()}
+    assert fwd == rev
+    for v in fwd.values():
+        assert 0.0 <= v <= math.log(2) + 1e-9
+    # identical distributions -> (near) zero, far below the 0.05 flag
+    assert fwd["b"] < 0.001
+    assert fwd["a"] > 0.05
+
+
+def test_js_drift_live_equals_batch_on_any_split(spark):
+    """The psi_partials counter lattice re-sums under any regrouping,
+    so js_finalize over re-merged partials equals the batch score —
+    the property the streaming twin rides."""
+    from inception_spark.plans.relational import js_finalize, psi_partials
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_type", "ts", "value")
+    batch = {
+        r["event_type"]: r["js"]
+        for r in js_finalize(
+            psi_partials(ev), assume_merged=True
+        ).collect()
+    }
+    # split into 3 arbitrary slices, compute partials per slice, re-sum
+    parts = None
+    for i in range(3):
+        p = psi_partials(ev.filter(F.col("event_id") % 3 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    live = {
+        r["event_type"]: r["js"]
+        for r in js_finalize(parts, assume_merged=False).collect()
+    }
+    assert live == batch
+
+
+def test_contamination_13gram_hand_docs(spark):
+    """Hand-built corpus: only the doc sharing a verbatim 13-word span
+    with the benchmark is flagged; 12-word overlaps do NOT fire."""
+    from inception_spark.operators.dedup import contamination_13gram
+
+    span = " ".join(f"w{i}" for i in range(13))          # 13 shared words
+    near = " ".join(f"w{i}" for i in range(12))          # only 12
+    bench = spark.createDataFrame(
+        [(100, f"intro {span} outro")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {span} suffix"),                 # contaminated
+            (2, f"prefix {near} different suffix zz"),    # 12-gram: clean
+            (3, "totally unrelated text with many words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           contamination_13gram(corpus, bench).collect()}
+    assert set(out) == {1}
+    # doc 1: words = prefix w0..w12 suffix (15 words) -> 3 distinct
+    # 13-grams, exactly 1 of which (the span itself) is in the bench
+    assert out[1]["n_grams"] == 3
+    assert out[1]["n_hit"] == 1
+    assert out[1]["contam_permille"] == 333
+
+
+def test_contamination_gate_matches_batch(spark):
+    """The stateless plan-literal gate form (array_intersect) produces
+    the same rows as the broadcast-join batch form."""
+    from inception_spark.functions import hashing as H
+    from inception_spark.operators.dedup import contamination_13gram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 29 = 0")
+    corpus = docs.filter("doc_id % 29 != 0")
+    batch = sorted(
+        map(tuple, contamination_13gram(corpus, bench).collect())
+    )
+    grams = H.shingles(F.col("text"), n=13)
+    lit_bench = F.array(*[
+        F.lit(r["gram"]) for r in bench.select(
+            F.explode(grams).alias("gram")
+        ).distinct().collect()
+    ])
+    gate = corpus.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_intersect(grams, lit_bench)).cast("long").alias(
+            "n_hit"
+        ),
+    ).filter("n_hit > 0").select(
+        "doc_id", "n_grams", "n_hit",
+        F.expr("(1000 * n_hit) div n_grams").cast("long").alias(
+            "contam_permille"
+        ),
+    )
+    assert sorted(map(tuple, gate.collect())) == batch
+
+
+def test_contamination_no_gram_shuffle_in_plan(spark):
+    """The corpus must never shuffle on gram: the only Exchanges in the
+    plan are the per-doc hit count aggregate (hashpartitioning on
+    doc_id) — the benchmark side is broadcast."""
+    from inception_spark.operators.dedup import contamination_13gram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = contamination_13gram(
+        docs.filter("doc_id % 29 != 0"), docs.filter("doc_id % 29 = 0")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus->bench gram probe is a broadcast hash join (BuildRight
+    # on the bench grams), never a shuffled join of corpus grams
+    assert "BroadcastHashJoin [gram" in plan and "BuildRight" in plan
+    assert "SortMergeJoin [gram" not in plan
+    # exactly ONE gram shuffle exists: the BENCH side's distinct()
+    # (benchmark-sized); every other exchange is keyed on doc_id
+    gram_ex = [l for l in plan.splitlines()
+               if "Exchange hashpartitioning(gram" in l]
+    assert len(gram_ex) == 1, gram_ex
+    other_ex = [l for l in plan.splitlines()
+                if "Exchange hashpartitioning" in l and l not in gram_ex]
+    assert all("doc_id" in l for l in other_ex), other_ex
+
+
+def test_tiff_pixel_stats_closed_form(spark):
+    """The decode round-trip aggregate equals the synthesis formula
+    evaluated in numpy over the same id set."""
+    from inception_spark.operators.multimodal import tiff_pixel_stats
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    got = {
+        r["width"]: (r["n_images"], r["sum_pixels_value"])
+        for r in tiff_pixel_stats(docs).collect()
+    }
+    want: dict = {}
+    for i in range(40):
+        w, h = i % 11 + 1, i % 6 + 2
+        xx = np.arange(w)[None, :, None]
+        yy = np.arange(h)[:, None, None]
+        cc = np.arange(3)[None, None, :]
+        s = int(((5 * xx + 13 * yy + 31 * cc + i) % 256).sum())
+        n, t = want.get(w, (0, 0))
+        want[w] = (n + 1, t + s)
+    assert got == want
