@@ -2503,6 +2503,102 @@ def _q_tiff_pixel_stats(spark, sf_dir):
     return MM.tiff_pixel_stats(_docs(spark, sf_dir))
 
 
+def _q_trimmed_stats(spark, sf_dir):
+    """Robust per-type value report: raw vs 10%-trimmed vs winsorized
+    means — heavy-tail contamination vs genuine level shift."""
+    return R.trimmed_stats(spark, sf_dir)
+
+
+def _q_degree_powerlaw(spark, sf_dir):
+    """Hill tail-exponent sweep over the customer order-count degree
+    distribution — the scale-free diagnostic behind this repo's
+    hub-cap / salting decisions."""
+    return R.degree_powerlaw(spark, sf_dir)
+
+
+#: RAKE stopwords for the fixture corpus: its 5 most frequent words
+#: (join/hash/row/batch/scan) — frequent enough to split real phrases,
+#: fixed as literals so both engines see the identical list.
+_RAKE_STOPS = ["join", "hash", "row", "batch", "scan"]
+
+
+def _q_rake_keywords(spark, sf_dir):
+    """RAKE keyphrase extraction: stopword-delimited candidate runs,
+    degree/frequency word scores, top-20 phrases — all-integer milli
+    scores, one corpus scan."""
+    return TA.rake_keywords(_docs(spark, sf_dir), _RAKE_STOPS)
+
+
+def _q_rouge2_eval(spark, sf_dir):
+    """ROUGE-2 recall over deterministic (cand, ref) = (doc_id,
+    doc_id+1) pairs at doc_id % 10 == 0 — the multiset-bigram eval
+    (min of the two counts per gram, never distinct)."""
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter("doc_id % 10 = 0").select(
+        F.col("doc_id").alias("cand_id"), F.col("text").alias("cand_text")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("cand_id"),
+        F.col("doc_id").alias("ref_id"),
+        F.col("text").alias("ref_text"),
+    )
+    pairs = cand.join(ref, "cand_id")
+    return TA.rouge2_eval(pairs)
+
+
+def _q_source_overlap_matrix(spark, sf_dir):
+    """The near-dup candidate mass rolled up to (source, source) —
+    which crawls mirror each other; canonical upper-triangular matrix,
+    diagonal kept (within-source boilerplate)."""
+    return D.source_overlap_matrix(_docs(spark, sf_dir))
+
+
+def _q_streaming_ivf_assign(spark, sf_dir):
+    """IVF cell routing AT INGEST, stateless: the 8 deterministic
+    centroid seeds (same (md5(id), id) draw as ivf_flat_topk) become
+    plan literals, and each arriving vector's cell is a pure
+    greatest-of-structs argmax projection — zero stream state, so the
+    write-once IVF layout stays current as embeddings arrive.  Rounded
+    cosine + min-cid tie-break identical to _ivf_cells; shares the
+    batch assignment oracle."""
+    from inception_spark.functions.vectors import cosine
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    emb = _emb(spark, sf_dir)
+    h = F.md5(F.col("vec_id").cast("string"))
+    seeds = [
+        r["embedding"]
+        for r in emb.select(h.alias("h"), "vec_id", "embedding")
+        .orderBy("h", "vec_id")
+        .limit(8)
+        .collect()
+    ]
+
+    def gate(stream):
+        structs = [
+            F.struct(
+                F.coalesce(
+                    F.round(
+                        cosine(
+                            F.col("embedding"),
+                            F.array(*[F.lit(float(x)) for x in cvec]),
+                        ),
+                        6,
+                    ),
+                    F.lit(-2.0),
+                ).alias("cs"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in enumerate(seeds)
+        ]
+        best = F.greatest(*structs)
+        return stream.select(
+            "vec_id", (-best["ncid"]).cast("long").alias("cid")
+        )
+
+    return run_stream_to_parquet(spark, emb, gate)
+
+
 def _q_events_wasserstein_drift(spark, sf_dir):
     """The drift triad's third leg: exact earth-mover distance on the
     value spine (PSI = binned, KS = sup-norm, W1 = integrated mass x
@@ -5870,6 +5966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_13gram": _q_contamination_13gram,
         "streaming_contamination_gate": _q_streaming_contamination_gate,
         "tiff_pixel_stats": _q_tiff_pixel_stats,
+        "trimmed_stats": _q_trimmed_stats,
+        "degree_powerlaw": _q_degree_powerlaw,
+        "rake_keywords": _q_rake_keywords,
+        "rouge2_eval": _q_rouge2_eval,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "streaming_ivf_assign": _q_streaming_ivf_assign,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
@@ -6226,6 +6328,12 @@ _COHORT_NEW_R11 = [
     "contamination_13gram",
     "streaming_contamination_gate",
     "tiff_pixel_stats",
+    "trimmed_stats",
+    "degree_powerlaw",
+    "rake_keywords",
+    "rouge2_eval",
+    "source_overlap_matrix",
+    "streaming_ivf_assign",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -7637,6 +7745,38 @@ GROUP BY o.o_orderpriority
         "streaming_js_drift": R.events_js_drift_sql(),
         "contamination_13gram": D.contamination_13gram_sql(),
         "streaming_contamination_gate": D.contamination_13gram_sql(),
+        "trimmed_stats": R.trimmed_stats_sql(),
+        "degree_powerlaw": R.degree_powerlaw_sql(),
+        "rake_keywords": TA.rake_keywords_sql(_RAKE_STOPS),
+        "rouge2_eval": TA.rouge2_eval_sql(
+            pairs_cte="""
+SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+       c.text AS cand_text, r.text AS ref_text
+FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+WHERE c.doc_id % 10 = 0"""
+        ),
+        "source_overlap_matrix": D.source_overlap_matrix_sql(
+            _dedup_cte()
+        ),
+        "streaming_ivf_assign": f"""
+WITH cent AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings)
+  WHERE cid < 8),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         COALESCE(round({V.cosine_sql('e.embedding', 'c.cvec')}, 6),
+                  CAST(-2 AS DOUBLE)) AS cs
+  FROM embeddings e CROSS JOIN cent c)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+  FROM asg) WHERE rn = 1
+""",
         "tiff_pixel_stats": """
 WITH px AS (
   SELECT d.doc_id, (d.doc_id % 11) + 1 AS w,

@@ -3040,3 +3040,252 @@ def host_rep_finalize(
         "n_langs",
         (dup_rate > F.lit(float(dup_threshold))).alias("flagged"),
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: list,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) at corpus grain —
+    the classic unsupervised keyword scorer: candidate phrases are
+    maximal stopword-free word runs (length ≤ max_len), each word gets
+    degree/frequency (degree = Σ phrase length over its occurrences —
+    words living in long phrases score up), a phrase scores the sum of
+    its member words, top-k phrases win.
+
+    All-integer scoring: score_milli(word) = 1000·degree div freq, the
+    phrase score sums those — hash-exact across engines, no doubles.
+    Shape: one posexplode + a per-doc running stop-count window assigns
+    phrase ids in a single pass; word stats and phrase scores are two
+    hash aggregates; top-k is one TakeOrdered.  The corpus is scanned
+    once."""
+    from pyspark.sql import Window
+
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("pos", "word"),
+    )
+    stop = F.col("word").isin(*stopwords)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    members = (
+        w.withColumn(
+            "pid", F.sum(F.when(stop, 1).otherwise(0)).over(win)
+        )
+        .filter(~stop)
+    )
+    phr = (
+        members.groupBy("doc_id", "pid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "word"))
+            ).alias("sw")
+        )
+        .select(
+            F.transform(F.col("sw"), lambda s: s["word"]).alias("pw")
+        )
+        .filter((F.size("pw") >= 1) & (F.size("pw") <= max_len))
+        .select(
+            F.concat_ws(" ", F.col("pw")).alias("phrase"),
+            F.size("pw").alias("plen"),
+        )
+    )
+    wstats = (
+        phr.select("plen", F.explode(F.split("phrase", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .select(
+            "word",
+            F.expr("(1000 * degree) div freq").alias("w_score"),
+        )
+    )
+    pcount = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("plen").cast("long").alias("n_words"),
+    )
+    scored = (
+        pcount.select(
+            "phrase",
+            "n_occurrences",
+            "n_words",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(F.broadcast(wstats), "word")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.sum("w_score").cast("long").alias("score_milli"))
+    )
+    from pyspark.sql import Window as W2
+
+    rk = W2.orderBy(F.desc("score_milli"), F.asc("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rake_keywords_sql(
+    stopwords: list,
+    *,
+    table: str = "documents",
+    max_len: int = 4,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`rake_keywords`."""
+    stops = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+WITH wt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM {table}),
+w AS (
+  SELECT doc_id, ws[t.i] AS word, t.i AS pos
+  FROM wt, unnest(range(1, len(ws) + 1)) AS t(i)),
+m AS (
+  SELECT doc_id, word, pos,
+         SUM(CASE WHEN word IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid,
+         (word IN ({stops})) AS is_stop
+  FROM w),
+phr AS (
+  SELECT array_to_string(list(word ORDER BY pos), ' ') AS phrase,
+         COUNT(*) AS plen
+  FROM m WHERE NOT is_stop
+  GROUP BY doc_id, pid
+  HAVING COUNT(*) BETWEEN 1 AND {max_len}),
+wstats AS (
+  SELECT u.word,
+         (1000 * SUM(p.plen)) // COUNT(*) AS w_score
+  FROM phr p, unnest(string_split(p.phrase, ' ')) AS u(word)
+  GROUP BY u.word),
+pcount AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(MAX(plen) AS BIGINT) AS n_words
+  FROM phr GROUP BY phrase),
+scored AS (
+  SELECT p.phrase, p.n_occurrences, p.n_words,
+         CAST(SUM(s.w_score) AS BIGINT) AS score_milli
+  FROM pcount p, unnest(string_split(p.phrase, ' ')) AS u(word)
+  JOIN wstats s ON s.word = u.word
+  GROUP BY p.phrase, p.n_occurrences, p.n_words)
+SELECT phrase, n_occurrences, n_words, score_milli,
+       CAST(row_number() OVER (ORDER BY score_milli DESC, phrase)
+            AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+def rouge2_eval(
+    pairs: DataFrame,
+    *,
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+    cand_id: str = "cand_id",
+    ref_id: str = "ref_id",
+) -> DataFrame:
+    """ROUGE-2 recall per (candidate, reference) pair — the standard
+    summarization/overlap eval: multiset bigram intersection over the
+    reference's bigram count, Σ_g min(c_cand, c_ref) / Σ_g c_ref.
+    MULTISET, not distinct — a candidate repeating a reference bigram
+    twice only gets credit up to the reference's own count (the
+    distinct-shingle ops in dedup.py answer a different question).
+
+    Integer end to end: counts in, recall_milli = 1000·overlap div
+    ref_total out.  Shape: both sides explode NON-distinct bigrams
+    behind a side tag, one (pair, gram) hash aggregate computes both
+    counts, one pair-grain rollup — a single shuffle keyed (pair,
+    gram), which is the natural skew-free key."""
+
+    def grams(col):
+        w = F.regexp_extract_all(
+            F.lower(col), F.lit("[a-z0-9]+"), F.lit(0)
+        )
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = pairs.select(
+        F.col(cand_id), F.col(ref_id),
+        F.explode(grams(F.col(cand_col))).alias("gram"),
+        F.lit(1).alias("is_cand"),
+    ).unionByName(
+        pairs.select(
+            F.col(cand_id), F.col(ref_id),
+            F.explode(grams(F.col(ref_col))).alias("gram"),
+            F.lit(0).alias("is_cand"),
+        )
+    )
+    per_gram = tagged.groupBy(cand_id, ref_id, "gram").agg(
+        F.sum("is_cand").cast("long").alias("c_cand"),
+        F.sum(1 - F.col("is_cand")).cast("long").alias("c_ref"),
+    )
+    return (
+        per_gram.groupBy(cand_id, ref_id)
+        .agg(
+            F.sum("c_ref").cast("long").alias("ref_bigrams"),
+            F.sum(F.least("c_cand", "c_ref")).cast("long").alias(
+                "overlap_bigrams"
+            ),
+        )
+        .filter(F.col("ref_bigrams") > 0)
+        .withColumn(
+            "rouge2_recall_milli",
+            F.expr("(1000 * overlap_bigrams) div ref_bigrams").cast(
+                "long"
+            ),
+        )
+    )
+
+
+def rouge2_eval_sql(
+    *, pairs_cte: str, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`rouge2_eval`; ``pairs_cte`` must yield
+    (cand_id, ref_id, cand_text, ref_text)."""
+    return f"""
+WITH pairs AS ({pairs_cte}),
+cw AS (
+  SELECT cand_id, ref_id,
+         regexp_extract_all(lower(cand_text), '[a-z0-9]+') AS w
+  FROM pairs),
+rw AS (
+  SELECT cand_id, ref_id,
+         regexp_extract_all(lower(ref_text), '[a-z0-9]+') AS w
+  FROM pairs),
+tagged AS (
+  SELECT cand_id, ref_id, g.gram, 1 AS is_cand
+  FROM cw, unnest([w[i] || ' ' || w[i+1]
+                   FOR i IN range(1, greatest(len(w), 1))]) AS g(gram)
+  UNION ALL
+  SELECT cand_id, ref_id, g.gram, 0
+  FROM rw, unnest([w[i] || ' ' || w[i+1]
+                   FOR i IN range(1, greatest(len(w), 1))]) AS g(gram)),
+per_gram AS (
+  SELECT cand_id, ref_id, gram,
+         SUM(is_cand) AS c_cand, SUM(1 - is_cand) AS c_ref
+  FROM tagged GROUP BY 1, 2, 3),
+rolled AS (
+  SELECT cand_id, ref_id,
+         CAST(SUM(c_ref) AS BIGINT) AS ref_bigrams,
+         CAST(SUM(LEAST(c_cand, c_ref)) AS BIGINT) AS overlap_bigrams
+  FROM per_gram GROUP BY 1, 2)
+SELECT cand_id, ref_id, ref_bigrams, overlap_bigrams,
+       CAST((1000 * overlap_bigrams) // ref_bigrams AS BIGINT)
+         AS rouge2_recall_milli
+FROM rolled WHERE ref_bigrams > 0
+"""

@@ -2654,3 +2654,78 @@ SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
 FROM corpus c JOIN bench b USING (gram)
 GROUP BY c.doc_id
 """
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Which sources mirror each other: the banded-MinHash candidate
+    pairs rolled up to the (source, source) grain — n_pairs plus how
+    many DISTINCT docs of each side participate.  The corpus-level
+    answer ("crawl X is 40% re-hosted crawl Y — drop it at ingest")
+    that per-pair dedup output can't show without this rollup.
+
+    Scale shape: rides :func:`lsh_candidate_pairs` unchanged (banded
+    join, hot-bucket cap), then two BROADCAST joins of the tiny
+    (doc → source) projection?  No — doc→source is corpus-sized, so
+    the pair table (near-dup mass, ≪ corpus) is the probe side of two
+    doc_id-keyed joins, and the final rollup is |sources|² at most.
+    Source pairs are canonicalized (src_a ≤ src_b) so the matrix is
+    upper-triangular; the diagonal (within-source duplication) is
+    kept — it's the boilerplate signal."""
+    pairs = lsh_candidate_pairs(
+        docs, id_col=id_col, text_col=text_col, k=k, bands=bands,
+        max_bucket=max_bucket,
+    )
+    src_a = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(source_col).alias("_sa")
+    )
+    src_b = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(source_col).alias("_sb")
+    )
+    j = (
+        pairs.join(src_a, "doc_a")
+        .join(src_b, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+            F.when(F.col("_sa") <= F.col("_sb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b")).alias("da"),
+            F.when(F.col("_sa") <= F.col("_sb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a")).alias("db"),
+        )
+    )
+    return j.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("da").cast("long").alias("n_docs_a"),
+        F.countDistinct("db").cast("long").alias("n_docs_b"),
+    )
+
+
+def source_overlap_matrix_sql(dedup_cte: str) -> str:
+    """DuckDB twin of :func:`source_overlap_matrix` — extends the
+    shared banded-candidate CTE (``_dedup_cte`` in the entry harness)
+    with the source rollup."""
+    return dedup_cte + """
+, src AS (SELECT doc_id, source AS s FROM documents),
+lab AS (
+  SELECT LEAST(sa.s, sb.s) AS src_a, GREATEST(sa.s, sb.s) AS src_b,
+         CASE WHEN sa.s <= sb.s THEN c.doc_a ELSE c.doc_b END AS da,
+         CASE WHEN sa.s <= sb.s THEN c.doc_b ELSE c.doc_a END AS db
+  FROM cand c
+  JOIN src sa ON sa.doc_id = c.doc_a
+  JOIN src sb ON sb.doc_id = c.doc_b)
+SELECT src_a, src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT da) AS BIGINT) AS n_docs_a,
+       CAST(COUNT(DISTINCT db) AS BIGINT) AS n_docs_b
+FROM lab
+GROUP BY 1, 2
+"""

@@ -6020,3 +6020,161 @@ SELECT COALESCE(o.event_type, n.event_type) AS event_type,
        round(n.p90_new - o.p90_old, 6) AS d_p90
 FROM o FULL JOIN n ON o.event_type = n.event_type
 """
+
+
+def trimmed_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lo: float = 0.1,
+    hi: float = 0.9,
+) -> DataFrame:
+    """Robust per-type value statistics: the 10% TRIMMED mean (drop
+    rows outside [p10, p90]) and the WINSORIZED mean (clamp them to the
+    thresholds) next to the raw mean — the pair that tells heavy-tail
+    contamination ("raw >> trimmed") apart from a genuine level shift
+    ("all three moved").  The robust complement to events_robust_
+    anomaly's median/MAD scoring, at the per-type report grain.
+
+    Exactness: thresholds are 6-dp-rounded percentiles (percentile ≡
+    quantile_cont, the grouped_quantiles convention) and every compared
+    or summed value is 6-dp-rounded FIRST (round-before-rank), then
+    decimal-summed with one final divide — no float-accumulation order
+    anywhere.  Shape: one percentile aggregate + one conditional
+    aggregate, both per-type; two corpus passes, no joins beyond the
+    broadcast threshold table."""
+    ev = load_events(spark, sf_dir)
+    v6 = F.round(F.col("value"), 6)
+    thr = ev.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {lo!r})"), 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(value, {hi!r})"), 6).alias("p_hi"),
+    )
+    j = ev.select("event_type", v6.alias("v")).join(
+        F.broadcast(thr), "event_type"
+    )
+    dec = "decimal(28,6)"
+    clamped = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+    inside = (F.col("v") >= F.col("p_lo")) & (F.col("v") <= F.col("p_hi"))
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("p_lo").alias("p_lo"),
+        F.max("p_hi").alias("p_hi"),
+        F.sum(F.col("v").cast(dec)).alias("_s_raw"),
+        F.sum(F.when(inside, F.col("v").cast(dec))).alias("_s_trim"),
+        F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(clamped.cast(dec)).alias("_s_wins"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_kept",
+        "p_lo",
+        "p_hi",
+        F.round(F.col("_s_raw") / F.col("n"), 6)
+        .cast("double")
+        .alias("mean_raw"),
+        F.round(F.col("_s_trim") / F.col("n_kept"), 6)
+        .cast("double")
+        .alias("mean_trimmed"),
+        F.round(F.col("_s_wins") / F.col("n"), 6)
+        .cast("double")
+        .alias("mean_winsorized"),
+    )
+
+
+def trimmed_stats_sql(
+    table: str = "events", *, lo: float = 0.1, hi: float = 0.9
+) -> str:
+    """DuckDB twin of :func:`trimmed_stats`."""
+    return f"""
+WITH thr AS (
+  SELECT event_type,
+         round(quantile_cont(value, CAST({lo!r} AS DOUBLE)), 6) AS p_lo,
+         round(quantile_cont(value, CAST({hi!r} AS DOUBLE)), 6) AS p_hi
+  FROM {table} GROUP BY event_type),
+v AS (
+  SELECT e.event_type, round(e.value, 6) AS v, t.p_lo, t.p_hi
+  FROM {table} e JOIN thr t USING (event_type))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v BETWEEN p_lo AND p_hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       MAX(p_lo) AS p_lo,
+       MAX(p_hi) AS p_hi,
+       CAST(round(SUM(CAST(v AS DECIMAL(28,6))) / COUNT(*), 6)
+            AS DOUBLE) AS mean_raw,
+       CAST(round(SUM(CASE WHEN v BETWEEN p_lo AND p_hi
+                           THEN CAST(v AS DECIMAL(28,6)) END)
+                  / SUM(CASE WHEN v BETWEEN p_lo AND p_hi
+                             THEN 1 ELSE 0 END), 6)
+            AS DOUBLE) AS mean_trimmed,
+       CAST(round(SUM(CAST(LEAST(GREATEST(v, p_lo), p_hi)
+                           AS DECIMAL(28,6))) / COUNT(*), 6)
+            AS DOUBLE) AS mean_winsorized
+FROM v
+GROUP BY event_type
+"""
+
+
+def degree_powerlaw(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    d_mins: tuple = (2, 4, 8),
+) -> DataFrame:
+    """Hill estimator of the degree-distribution tail exponent — the
+    one-number answer to "is this graph scale-free enough to need the
+    hub-cap / salting treatments this repo applies everywhere":
+    alpha(d_min) = 1 + n / Σ ln(d_i / d_min) over degrees ≥ d_min,
+    swept across d_min values (the standard robustness check — a
+    stable alpha across cutoffs is the power-law signature; degrees
+    here = orders per customer).
+
+    Exactness: each ln term is 9-dp-rounded then decimal-summed (the
+    corpus-LM ln discipline); one divide + 6-dp round per sweep row.
+    Shape: one count aggregate (|customers| rows) then a sweep-sized
+    conditional rollup — the degree table is the only corpus-scale
+    object."""
+    orders = load(spark, sf_dir, "orders")
+    deg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    outs = []
+    for dm in d_mins:
+        t = F.round(
+            F.log(F.col("d").cast("double") / F.lit(float(dm))), 9
+        ).cast("decimal(28,9)")
+        outs.append(
+            deg.filter(F.col("d") >= dm).agg(
+                F.lit(int(dm)).cast("long").alias("d_min"),
+                F.count(F.lit(1)).cast("long").alias("n_tail"),
+                F.round(
+                    F.lit(1.0)
+                    + F.count(F.lit(1)) / F.sum(t).cast("double"),
+                    6,
+                ).alias("alpha"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def degree_powerlaw_sql(*, d_mins: tuple = (2, 4, 8)) -> str:
+    """DuckDB twin of :func:`degree_powerlaw`."""
+    arms = []
+    for dm in d_mins:
+        arms.append(f"""
+SELECT CAST({dm} AS BIGINT) AS d_min,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       round(1 + COUNT(*) / CAST(SUM(CAST(round(
+           ln(CAST(d AS DOUBLE) / CAST({dm} AS DOUBLE)), 9)
+           AS DECIMAL(28,9))) AS DOUBLE), 6) AS alpha
+FROM deg WHERE d >= {dm}""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH deg AS (
+  SELECT o_custkey, COUNT(*) AS d FROM orders GROUP BY o_custkey)
+{body}
+"""

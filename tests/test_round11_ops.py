@@ -172,3 +172,98 @@ def test_tiff_pixel_stats_closed_form(spark):
         n, t = want.get(w, (0, 0))
         want[w] = (n + 1, t + s)
     assert got == want
+
+
+def test_rake_hand_corpus(spark):
+    """Tiny corpus with known RAKE arithmetic: phrases split at
+    stopwords, degree/frequency integer scores, multi-word phrases
+    outrank their member singletons."""
+    from inception_spark.functions.text_analysis import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of the deep model"),
+            (2, "deep learning wins the race"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["phrase"]: r for r in
+           rake_keywords(docs, ["of", "the"], k=10).collect()}
+    # phrases: "deep learning", "deep model", "deep learning wins",
+    # "race".  word stats over phrase-member occurrences:
+    #   deep: freq 3 (all three deep-phrases), degree 2+2+3=7 -> 2333
+    #   learning: freq 2, degree 2+3=5 -> 2500
+    #   model: freq 1, degree 2 -> 2000; wins: freq 1, degree 3 -> 3000
+    #   race: freq 1, degree 1 -> 1000
+    assert out["deep learning"]["n_occurrences"] == 1
+    assert out["deep learning"]["score_milli"] == 2333 + 2500
+    assert out["deep learning wins"]["score_milli"] == 2333 + 2500 + 3000
+    assert out["deep model"]["score_milli"] == 2333 + 2000
+    assert out["race"]["score_milli"] == 1000
+    # ranking: longest phrase first
+    assert min(out.values(), key=lambda r: r["rank"])["phrase"] == (
+        "deep learning wins"
+    )
+
+
+def test_rouge2_multiset_not_distinct(spark):
+    """A candidate repeating a reference bigram only gets credit up to
+    the reference's own count — the multiset rule that distinguishes
+    rouge2_eval from the distinct-shingle ops."""
+    from inception_spark.functions.text_analysis import rouge2_eval
+
+    pairs = spark.createDataFrame(
+        [
+            # ref has "a b" twice; cand has it three times -> overlap 2
+            (1, 10, "a b a b a b", "a b c a b"),
+            # no shared bigrams
+            (2, 20, "x y", "p q r"),
+        ],
+        "cand_id long, ref_id long, cand_text string, ref_text string",
+    )
+    out = {r["cand_id"]: r for r in rouge2_eval(pairs).collect()}
+    r1 = out[1]
+    # ref bigrams: a b, b c, c a, a b -> 4 total; overlap: min(3,2)=2
+    assert r1["ref_bigrams"] == 4
+    assert r1["overlap_bigrams"] == 2
+    assert r1["rouge2_recall_milli"] == 500
+    assert out[2]["overlap_bigrams"] == 0
+
+
+def test_trimmed_stats_tail_contamination(spark, tmp_path):
+    """A planted outlier moves the raw mean but neither robust mean."""
+    import datetime as dt
+
+    from inception_spark.plans.relational import trimmed_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 7, "t", float(v), "{}")
+            for i, v in enumerate([10.0] * 98 + [10.0, 100000.0])]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = trimmed_stats(spark, str(tmp_path)).collect()[0]
+    assert r["mean_raw"] > 1000
+    assert r["mean_trimmed"] == 10.0
+    # winsorized: outlier clamped to p90 (=10.0) -> also 10.0
+    assert r["mean_winsorized"] == 10.0
+
+
+def test_streaming_ivf_assign_matches_batch_cells(spark):
+    """The stateless plan-literal routing equals _ivf_cells' batch
+    assignment (same seeds, same rounding, same tie-break)."""
+    from inception_spark.operators.similarity import _ivf_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, cell = _ivf_cells(emb, n_centroids=8)
+    batch = sorted(map(tuple, cell.collect()))
+    import __spark_entry__ as E
+
+    live = sorted(
+        map(tuple, E.queries()["streaming_ivf_assign"](
+            spark, "/root/testdata/sf0.001"
+        ).collect())
+    )
+    assert live == batch
