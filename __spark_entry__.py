@@ -36,14 +36,13 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     sys.path — works regardless of how the session was built."""
     if getattr(spark, "_inception_spark_shipped", False):
         return
-    import tempfile
-
-    # per-process temp name: a fixed shared path races when two drivers
-    # (bench + tests, or parallel harness workers) rebuild it concurrently
-    fd, zpath = tempfile.mkstemp(
-        prefix="inception_spark_pkg_", suffix=".zip"
-    )
-    os.close(fd)
+    # per-process temp name under the session scratch root (cleaned at
+    # interpreter exit — safe because addPyFile serves the zip through
+    # the driver's file server, and the driver dies with the process;
+    # a fixed shared path would race when two drivers rebuild it
+    # concurrently).  This was the last /tmp leak class: ~1.2 MB per
+    # SparkSession, never removed.
+    zpath = os.path.join(_scratch("pkg_"), "inception_spark_pkg.zip")
     pkg = os.path.join(_REPO, "inception_spark")
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg):

@@ -16,10 +16,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _tmp_leak_dirs():
-    """Top-level /tmp dirs the old leak produced (the live session root
-    uses the dash-separated ``inception-scratch-`` prefix and is
-    excluded on purpose — it dies at exit)."""
-    return set(glob.glob("/tmp/inception_*"))
+    """Top-level /tmp entries the old leaks produced — layout dirs AND
+    the per-session worker-package zips (the live session root uses
+    the dash-separated ``inception-scratch-`` prefix and is excluded
+    on purpose — it dies at exit).  Streaming work dirs
+    (``inception_ivm_stream_*`` / ``inception_partials_*``) are
+    excluded: they are cleaned by _finish_and_clean on SUCCESS and a
+    concurrent test session legitimately has them in flight."""
+    return {
+        p for p in glob.glob("/tmp/inception_*")
+        if not os.path.basename(p).startswith(
+            ("inception_ivm_stream_", "inception_partials_")
+        )
+    }
 
 
 def test_no_bare_mkdtemp_left_in_entry_harness():
@@ -92,3 +101,19 @@ def test_layout_entry_is_net_zero_across_process_exit(spark):
     out = E.queries()["lsh_index_probe"](spark, "/root/testdata/sf0.001")
     out.collect()
     assert _tmp_leak_dirs() == before
+
+
+def test_worker_pkg_zip_lives_under_scratch_root(spark):
+    """_ensure_workers_can_import must build its addPyFile zip under
+    the session scratch root (the last /tmp leak class: ~1.2 MB per
+    SparkSession) — and the shipped package must still import in a
+    worker UDF."""
+    import __spark_entry__ as E
+
+    before = _tmp_leak_dirs()
+    E._ensure_workers_can_import(spark)
+    assert _tmp_leak_dirs() == before
+    import glob as g
+
+    assert g.glob(os.path.join(E._SCRATCH_ROOT, "pkg_*",
+                               "inception_spark_pkg.zip"))
