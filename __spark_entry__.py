@@ -2552,6 +2552,53 @@ def _q_source_overlap_matrix(spark, sf_dir):
     return D.source_overlap_matrix(_docs(spark, sf_dir))
 
 
+def _q_streaming_trimmed_stats(spark, sf_dir):
+    """The robust-means report maintained LIVE: (type, 6-dp value) →
+    count partials re-sum across micro-batches (the value-spine
+    counter lattice — the streaming_equidepth discipline), and the
+    finalize reconstructs the exact thresholds via frequency-weighted
+    percentile over counters only.  Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    ev = R.load_events(spark, sf_dir).select("event_type", "value")
+    parts = run_stream_batch_partials(spark, ev, R.trimmed_value_partials)
+    return R.trimmed_stats_finalize(parts)
+
+
+def _q_streaming_degree_powerlaw(spark, sf_dir):
+    """The scale-free diagnostic live at ingest: per-customer order
+    counts are an entity-rollup merge lattice; the Hill sweep runs at
+    finalize over the |customers|-row degree table.  Shares the batch
+    oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    orders = R.load(spark, sf_dir, "orders").select("o_custkey")
+    parts = run_stream_batch_partials(spark, orders, R.degree_partials)
+    return R.powerlaw_finalize(parts)
+
+
+def _q_streaming_rake(spark, sf_dir):
+    """Corpus keyphrases tracked LIVE: phrase extraction is per-doc
+    (stateless per batch), so the (phrase, plen) → n_occ counters
+    re-sum across micro-batches and the degree/frequency scoring +
+    top-k run at finalize by n_occ-weighted explode over the phrase
+    counter table — state is |distinct phrases|, never text.  Shares
+    the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = run_stream_batch_partials(
+        spark, docs, lambda b: TA.rake_phrase_partials(b, _RAKE_STOPS)
+    )
+    return TA.rake_finalize(parts)
+
+
 def _q_streaming_ivf_assign(spark, sf_dir):
     """IVF cell routing AT INGEST, stateless: the 8 deterministic
     centroid seeds (same (md5(id), id) draw as ivf_flat_topk) become
@@ -5971,6 +6018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge2_eval": _q_rouge2_eval,
         "source_overlap_matrix": _q_source_overlap_matrix,
         "streaming_ivf_assign": _q_streaming_ivf_assign,
+        "streaming_trimmed_stats": _q_streaming_trimmed_stats,
+        "streaming_degree_powerlaw": _q_streaming_degree_powerlaw,
+        "streaming_rake": _q_streaming_rake,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
@@ -6333,6 +6383,9 @@ _COHORT_NEW_R11 = [
     "rouge2_eval",
     "source_overlap_matrix",
     "streaming_ivf_assign",
+    "streaming_trimmed_stats",
+    "streaming_degree_powerlaw",
+    "streaming_rake",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -7745,8 +7798,11 @@ GROUP BY o.o_orderpriority
         "contamination_13gram": D.contamination_13gram_sql(),
         "streaming_contamination_gate": D.contamination_13gram_sql(),
         "trimmed_stats": R.trimmed_stats_sql(),
+        "streaming_trimmed_stats": R.trimmed_stats_sql(),
         "degree_powerlaw": R.degree_powerlaw_sql(),
+        "streaming_degree_powerlaw": R.degree_powerlaw_sql(),
         "rake_keywords": TA.rake_keywords_sql(_RAKE_STOPS),
+        "streaming_rake": TA.rake_keywords_sql(_RAKE_STOPS),
         "rouge2_eval": TA.rouge2_eval_sql(
             pairs_cte="""
 SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,

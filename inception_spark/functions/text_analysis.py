@@ -3063,7 +3063,31 @@ def rake_keywords(
     Shape: one posexplode + a per-doc running stop-count window assigns
     phrase ids in a single pass; word stats and phrase scores are two
     hash aggregates; top-k is one TakeOrdered.  The corpus is scanned
-    once."""
+    once.  The whole scorer is a pure function of the (phrase →
+    n_occurrences) COUNTER TABLE (word degree/freq re-derive from it
+    by weighted explode), which is what the live twin maintains."""
+    return rake_finalize(
+        rake_phrase_partials(
+            docs, stopwords, text_col=text_col, id_col=id_col,
+            max_len=max_len,
+        ),
+        k=k,
+        assume_merged=True,
+    )
+
+
+def rake_phrase_partials(
+    docs: DataFrame,
+    stopwords: list,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 4,
+) -> DataFrame:
+    """Mergeable RAKE state: (phrase, plen) → n_occurrences for one
+    batch.  Phrase extraction is per-doc (docs arrive whole), so the
+    counters re-sum under any micro-batching; state is |distinct
+    phrases| — a rollup, never text."""
     from pyspark.sql import Window
 
     w = docs.select(
@@ -3098,35 +3122,52 @@ def rake_keywords(
             F.size("pw").alias("plen"),
         )
     )
+    return phr.groupBy("phrase", "plen").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+
+
+def rake_finalize(
+    parts: DataFrame, *, k: int = 20, assume_merged: bool = False
+) -> DataFrame:
+    """Score + top-k over the phrase counter table — shared with the
+    live twin, whose state IS that table.  Word degree/frequency
+    re-derive exactly by n_occ-weighted explode (each phrase
+    occurrence contributed one freq count and plen degree)."""
+    from pyspark.sql import Window as W2
+
+    merged = parts if assume_merged else (
+        parts.groupBy("phrase", "plen").agg(
+            F.sum("n_occ").cast("long").alias("n_occ")
+        )
+    )
     wstats = (
-        phr.select("plen", F.explode(F.split("phrase", " ")).alias("word"))
+        merged.select(
+            "plen", "n_occ", F.explode(F.split("phrase", " ")).alias("word")
+        )
         .groupBy("word")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("freq"),
-            F.sum("plen").cast("long").alias("degree"),
+            F.sum("n_occ").cast("long").alias("freq"),
+            F.sum(F.col("plen") * F.col("n_occ")).cast("long").alias(
+                "degree"
+            ),
         )
         .select(
             "word",
             F.expr("(1000 * degree) div freq").alias("w_score"),
         )
     )
-    pcount = phr.groupBy("phrase").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-        F.max("plen").cast("long").alias("n_words"),
-    )
     scored = (
-        pcount.select(
+        merged.select(
             "phrase",
-            "n_occurrences",
-            "n_words",
+            F.col("n_occ").alias("n_occurrences"),
+            F.col("plen").cast("long").alias("n_words"),
             F.explode(F.split("phrase", " ")).alias("word"),
         )
         .join(F.broadcast(wstats), "word")
         .groupBy("phrase", "n_occurrences", "n_words")
         .agg(F.sum("w_score").cast("long").alias("score_milli"))
     )
-    from pyspark.sql import Window as W2
-
     rk = W2.orderBy(F.desc("score_milli"), F.asc("phrase"))
     return (
         scored.withColumn("rank", F.row_number().over(rk).cast("long"))

@@ -6036,33 +6036,66 @@ def trimmed_stats(
     ("all three moved").  The robust complement to events_robust_
     anomaly's median/MAD scoring, at the per-type report grain.
 
-    Exactness: thresholds are 6-dp-rounded percentiles (percentile ≡
-    quantile_cont, the grouped_quantiles convention) and every compared
-    or summed value is 6-dp-rounded FIRST (round-before-rank), then
-    decimal-summed with one final divide — no float-accumulation order
-    anywhere.  Shape: one percentile aggregate + one conditional
-    aggregate, both per-type; two corpus passes, no joins beyond the
-    broadcast threshold table."""
+    Exactness: every value is 6-dp-rounded FIRST (round-before-rank),
+    thresholds are 6-dp-rounded percentiles of those rounded values
+    (percentile ≡ quantile_cont, the grouped_quantiles convention),
+    means are decimal sums with one final divide — no float-
+    accumulation order anywhere.  The whole report is therefore a pure
+    function of the (type, value) COUNTER SPINE, which is what the
+    live twin maintains (the streaming_equidepth discipline: order
+    statistics live at finalize over counters, never over history)."""
     ev = load_events(spark, sf_dir)
-    v6 = F.round(F.col("value"), 6)
-    thr = ev.groupBy("event_type").agg(
-        F.round(F.expr(f"percentile(value, {lo!r})"), 6).alias("p_lo"),
-        F.round(F.expr(f"percentile(value, {hi!r})"), 6).alias("p_hi"),
+    return trimmed_stats_finalize(
+        trimmed_value_partials(ev), lo=lo, hi=hi, assume_merged=True
     )
-    j = ev.select("event_type", v6.alias("v")).join(
-        F.broadcast(thr), "event_type"
+
+
+def trimmed_value_partials(batch: DataFrame) -> DataFrame:
+    """Mergeable state for :func:`trimmed_stats`: exact (event_type,
+    6-dp value) → count rows — the value-spine counter lattice (counts
+    re-sum under any micro-batching; state is |types × distinct
+    rounded values|, a rollup, never the raw stream)."""
+    return batch.groupBy(
+        "event_type", F.round(F.col("value"), 6).alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def trimmed_stats_finalize(
+    parts: DataFrame,
+    *,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    assume_merged: bool = False,
+) -> DataFrame:
+    """The report tail over the value-count spine — shared with the
+    live twin, whose state IS the spine.  ``percentile(v, p, cnt)``
+    (Catalyst's frequency-weighted exact percentile) reproduces the
+    unweighted percentile over the expanded multiset bit-for-bit."""
+    merged = parts if assume_merged else (
+        parts.groupBy("event_type", "v").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
     )
+    thr = merged.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(v, {lo!r}, cnt)"), 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(v, {hi!r}, cnt)"), 6).alias("p_hi"),
+    )
+    j = merged.join(F.broadcast(thr), "event_type")
     dec = "decimal(28,6)"
     clamped = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
     inside = (F.col("v") >= F.col("p_lo")) & (F.col("v") <= F.col("p_hi"))
     agg = j.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("n"),
         F.max("p_lo").alias("p_lo"),
         F.max("p_hi").alias("p_hi"),
-        F.sum(F.col("v").cast(dec)).alias("_s_raw"),
-        F.sum(F.when(inside, F.col("v").cast(dec))).alias("_s_trim"),
-        F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.sum(clamped.cast(dec)).alias("_s_wins"),
+        F.sum(F.col("v").cast(dec) * F.col("cnt")).alias("_s_raw"),
+        F.sum(
+            F.when(inside, F.col("v").cast(dec) * F.col("cnt"))
+        ).alias("_s_trim"),
+        F.sum(F.when(inside, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(clamped.cast(dec) * F.col("cnt")).alias("_s_wins"),
     )
     return agg.select(
         "event_type",
@@ -6085,12 +6118,17 @@ def trimmed_stats(
 def trimmed_stats_sql(
     table: str = "events", *, lo: float = 0.1, hi: float = 0.9
 ) -> str:
-    """DuckDB twin of :func:`trimmed_stats`."""
+    """DuckDB twin of :func:`trimmed_stats` — thresholds over the same
+    6-dp-rounded values the spine stores (quantile_cont over raw rows
+    of rounded values ≡ Spark's frequency-weighted percentile over the
+    spine)."""
     return f"""
 WITH thr AS (
   SELECT event_type,
-         round(quantile_cont(value, CAST({lo!r} AS DOUBLE)), 6) AS p_lo,
-         round(quantile_cont(value, CAST({hi!r} AS DOUBLE)), 6) AS p_hi
+         round(quantile_cont(round(value, 6),
+                             CAST({lo!r} AS DOUBLE)), 6) AS p_lo,
+         round(quantile_cont(round(value, 6),
+                             CAST({hi!r} AS DOUBLE)), 6) AS p_hi
   FROM {table} GROUP BY event_type),
 v AS (
   SELECT e.event_type, round(e.value, 6) AS v, t.p_lo, t.p_hi
@@ -6136,9 +6174,32 @@ def degree_powerlaw(
     conditional rollup — the degree table is the only corpus-scale
     object."""
     orders = load(spark, sf_dir, "orders")
-    deg = orders.groupBy("o_custkey").agg(
+    return powerlaw_finalize(
+        degree_partials(orders), d_mins=d_mins, assume_merged=True
+    )
+
+
+def degree_partials(batch: DataFrame) -> DataFrame:
+    """Mergeable state for :func:`degree_powerlaw`: per-customer order
+    counts — the entity-rollup lattice (counts re-sum under any
+    micro-batching; state is |customers|, never order history)."""
+    return batch.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
+
+
+def powerlaw_finalize(
+    deg: DataFrame,
+    *,
+    d_mins: tuple = (2, 4, 8),
+    assume_merged: bool = False,
+) -> DataFrame:
+    """The Hill sweep over the degree table — shared with the live
+    twin, whose state IS that table."""
+    if not assume_merged:
+        deg = deg.groupBy("o_custkey").agg(
+            F.sum("d").cast("long").alias("d")
+        )
     outs = []
     for dm in d_mins:
         t = F.round(

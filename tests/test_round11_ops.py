@@ -267,3 +267,54 @@ def test_streaming_ivf_assign_matches_batch_cells(spark):
         ).collect())
     )
     assert live == batch
+
+
+def test_trimmed_and_rake_partials_remerge_to_batch(spark):
+    """The wave-3 lattices: re-merged per-slice partials equal the
+    batch report (value-spine counters for trimmed_stats, phrase
+    counters for RAKE, degree counts for the Hill sweep)."""
+    from inception_spark.functions.text_analysis import (
+        rake_finalize,
+        rake_keywords,
+        rake_phrase_partials,
+    )
+    from inception_spark.plans.relational import (
+        degree_partials,
+        powerlaw_finalize,
+        trimmed_stats_finalize,
+        trimmed_value_partials,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = sorted(map(tuple, trimmed_stats_finalize(
+        trimmed_value_partials(ev), assume_merged=True
+    ).collect()))
+    parts = None
+    for i in range(3):
+        p = trimmed_value_partials(ev.filter(F.col("event_id") % 3 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    live = sorted(map(tuple, trimmed_stats_finalize(parts).collect()))
+    assert live == batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stops = ["join", "hash", "row", "batch", "scan"]
+    batch_rake = sorted(map(tuple, rake_keywords(docs, stops).collect()))
+    parts = None
+    for i in range(3):
+        p = rake_phrase_partials(
+            docs.filter(F.col("doc_id") % 3 == i), stops
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    live_rake = sorted(map(tuple, rake_finalize(parts).collect()))
+    assert live_rake == batch_rake
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    batch_pl = sorted(map(tuple, powerlaw_finalize(
+        degree_partials(orders), assume_merged=True
+    ).collect()))
+    parts = None
+    for i in range(3):
+        p = degree_partials(orders.filter(F.col("o_orderkey") % 3 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    live_pl = sorted(map(tuple, powerlaw_finalize(parts).collect()))
+    assert live_pl == batch_pl
