@@ -2465,18 +2465,28 @@ def _q_streaming_contamination_gate(spark, sf_dir):
     bench_grams = [
         r["gram"]
         for r in docs.filter(_BENCH_SPLIT)
-        .select(F.explode(H.shingles(F.col("text"), n=13)).alias("gram"))
+        .select(H.words(F.col("text")).alias("_w"))
+        .select(
+            F.explode(H.shingles_from_words(F.col("_w"), n=13)).alias(
+                "gram"
+            )
+        )
         .distinct()
         .collect()
     ]
     lit_bench = F.array(*[F.lit(g) for g in bench_grams])
 
     def gate(stream):
-        grams = H.shingles(F.col("text"), n=13)
-        out = stream.select(
+        staged = stream.select(
+            "doc_id",
+            H.shingles_from_words(
+                H.words(F.col("text")), n=13
+            ).alias("_g"),
+        )
+        out = staged.select(
             F.col("doc_id"),
-            F.size(grams).cast("long").alias("n_grams"),
-            F.size(F.array_intersect(grams, lit_bench))
+            F.size("_g").cast("long").alias("n_grams"),
+            F.size(F.array_intersect(F.col("_g"), lit_bench))
             .cast("long")
             .alias("n_hit"),
         ).filter("n_hit > 0")

@@ -285,6 +285,19 @@ HEADLINE = [
     "unimax_allocation",
     # r10: per-type quantile shifts (one (type, side) percentile agg)
     "quantile_drift",
+    # r11: bounded drift score from the shared PSI lattice, the 13-gram
+    # decontamination gate (broadcast bench grams), RAKE keyphrases
+    # (integer degree/frequency), multiset ROUGE-2, robust means on the
+    # value spine, Hill tail-exponent sweep, source-mirror matrix over
+    # the banded candidate mass, and the TIFF decode round-trip
+    "events_js_drift",
+    "contamination_13gram",
+    "rake_keywords",
+    "rouge2_eval",
+    "trimmed_stats",
+    "degree_powerlaw",
+    "source_overlap_matrix",
+    "tiff_pixel_stats",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every

@@ -75,23 +75,34 @@ def words_sql(expr: str) -> str:
     return f"regexp_extract_all(lower({expr}), '{WORD_PATTERN}')"
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, as strings joined by single spaces.
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-COMPUTED word
+    array column, as strings joined by single spaces.
 
-    Spark arrays are 0-indexed via ``element_at``-free bracket access in
-    ``transform``; we index with ``F.element_at`` (1-based) to mirror
-    DuckDB's 1-based lists exactly.
-    """
-    w = words(col)
+    ``array_join(slice(w, i, n))`` instead of n ``element_at`` calls:
+    higher-order-function lambdas are interpreted (no codegen, no
+    common-subexpression elimination), so at n=13 the element_at form
+    re-evaluated its word expression 13× per gram — measured 59 s vs
+    5.5 s for the slice form on 5k docs (r11).  1-based slice mirrors
+    DuckDB's 1-based lists exactly.  Callers on a hot path should pass
+    a MATERIALIZED word column (a projection alias), not an inline
+    ``words(text)`` expression — the lambda re-evaluates whatever
+    expression tree ``w`` is once per gram."""
     # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short inputs
     # with an explicit empty array instead.
     grams = F.when(F.size(w) >= n, F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + k) for k in range(n)]
-        ),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
     )).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (convenience
+    inline form — tokenizes once per GRAM inside the lambda; prefer
+    projecting :func:`words` to a column and calling
+    :func:`shingles_from_words` on hot paths)."""
+    return shingles_from_words(words(col), n)
 
 
 def shingles_cte_sql(words_alias: str = "w", n: int = 3) -> str:
