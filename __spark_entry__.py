@@ -2562,6 +2562,13 @@ def _q_source_overlap_matrix(spark, sf_dir):
     return D.source_overlap_matrix(_docs(spark, sf_dir))
 
 
+def _q_doc_bigram_kn_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring — the KenLM-style
+    smoothing upgrade over the MLE doc_bigram_logprob; continuation
+    probabilities fix the frequent-but-unproductive-word failure."""
+    return TA.doc_bigram_kn_logprob(_docs(spark, sf_dir))
+
+
 def _q_streaming_trimmed_stats(spark, sf_dir):
     """The robust-means report maintained LIVE: (type, 6-dp value) →
     count partials re-sum across micro-batches (the value-spine
@@ -6031,6 +6038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trimmed_stats": _q_streaming_trimmed_stats,
         "streaming_degree_powerlaw": _q_streaming_degree_powerlaw,
         "streaming_rake": _q_streaming_rake,
+        "doc_bigram_kn_logprob": _q_doc_bigram_kn_logprob,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
@@ -6396,6 +6404,7 @@ _COHORT_NEW_R11 = [
     "streaming_trimmed_stats",
     "streaming_degree_powerlaw",
     "streaming_rake",
+    "doc_bigram_kn_logprob",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -7813,6 +7822,7 @@ GROUP BY o.o_orderpriority
         "streaming_degree_powerlaw": R.degree_powerlaw_sql(),
         "rake_keywords": TA.rake_keywords_sql(_RAKE_STOPS),
         "streaming_rake": TA.rake_keywords_sql(_RAKE_STOPS),
+        "doc_bigram_kn_logprob": TA.doc_bigram_kn_logprob_sql(),
         "rouge2_eval": TA.rouge2_eval_sql(
             pairs_cte="""
 SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,

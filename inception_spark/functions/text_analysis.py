@@ -3330,3 +3330,130 @@ SELECT cand_id, ref_id, ref_bigrams, overlap_bigrams,
          AS rouge2_recall_milli
 FROM rolled WHERE ref_bigrams > 0
 """
+
+
+def doc_bigram_kn_logprob(df, *, id_col="doc_id", text_col="text", d=0.75):
+    """Interpolated Kneser–Ney bigram scoring — the smoothing real
+    KenLM/CCNet pipelines use, upgrading :func:`doc_bigram_logprob`'s
+    MLE: P(w|v) = (c(v,w) − D)/c(v) + D·N1+(v,·)/c(v) · N1+(·,w)/T,
+    where N1+(v,·) / N1+(·,w) are distinct-continuation counts and T
+    the distinct bigram-type total.  KN's continuation probability
+    fixes the MLE's over-confidence on frequent-but-unproductive words
+    ("san francisco": high c(francisco) but only one history), the
+    failure mode that matters when ranking near-natural junk.
+
+    On resubstitution every scored bigram has c(v,w) ≥ 1 > D, so the
+    discounted term stays positive and the log is total.  Determinism:
+    the probability is ONE fixed-shape double expression (identical
+    operation order in both engines → identical IEEE bits), 6-dp
+    rounded, decimal-summed, one final divide.  Plan: bigram explode →
+    three hash aggregates over the TYPE table (c12, N1+ forward,
+    N1+ backward) + one c1 aggregate → joins back → per-doc rollup.
+    All model tables are vocabulary-sized, never corpus-sized."""
+    from pyspark.sql import functions as F
+
+    from inception_spark.functions.hashing import words
+
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    bg = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bg).alias("bg")
+    ).select(
+        "doc_id",
+        "bg",
+        F.substring_index(F.col("bg"), " ", 1).alias("w1"),
+        F.substring_index(F.col("bg"), " ", -1).alias("w2"),
+    )
+    types = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c12")).select(
+        "bg",
+        "c12",
+        F.substring_index(F.col("bg"), " ", 1).alias("w1"),
+        F.substring_index(F.col("bg"), " ", -1).alias("w2"),
+    ).localCheckpoint(eager=False)
+    c1 = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n1f = types.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    n1b = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    t = types.agg(F.count(F.lit(1)).alias("t_types"))
+    dd = float(d)
+    p = (
+        (F.col("c12").cast("double") - F.lit(dd)) / F.col("c1")
+        + ((F.lit(dd) * F.col("n1f")) / F.col("c1"))
+        * (F.col("n1b").cast("double") / F.col("t_types"))
+    )
+    scored = (
+        ex.join(types.select("bg", "c12"), "bg")
+        .join(c1, "w1")
+        .join(F.broadcast(n1f), "w1")
+        .join(F.broadcast(n1b), "w2")
+        .join(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.round(F.log(p), 6).cast("decimal(28,6)").alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nb"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("mlp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nb"), F.lit(0)).alias("n_bigrams"),
+            F.col("mlp").alias("mean_logprob"),
+        )
+    )
+
+
+def doc_bigram_kn_logprob_sql(table: str = "documents", *, d=0.75) -> str:
+    """DuckDB twin of :func:`doc_bigram_kn_logprob` — the probability
+    expression mirrors the Spark operation order token for token."""
+    w = words_sql("text")
+    dd = float(d)
+    return f"""
+WITH ws AS (SELECT doc_id, {w} AS ws FROM {table}),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+           p -> p[1] || ' ' || p[2])) AS bg
+  FROM ws),
+ex2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+               split_part(bg, ' ', 2) AS w2 FROM ex),
+types AS (
+  SELECT bg, COUNT(*) AS c12,
+         split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM ex2 GROUP BY bg),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM ex2 GROUP BY w1),
+n1f AS (SELECT w1, COUNT(*) AS n1f FROM types GROUP BY w1),
+n1b AS (SELECT w2, COUNT(*) AS n1b FROM types GROUP BY w2),
+t AS (SELECT COUNT(*) AS t_types FROM types),
+tyc AS (SELECT bg, c12 FROM types),
+scored AS (
+  SELECT e.doc_id,
+         CAST(round(ln(
+           (CAST(ty.c12 AS DOUBLE) - {dd!r}) / c1.c1
+           + (({dd!r} * n1f.n1f) / c1.c1)
+           * (CAST(n1b.n1b AS DOUBLE) / t.t_types)), 6)
+           AS DECIMAL(28,6)) AS lp
+  FROM ex2 e
+  JOIN tyc ty USING (bg)
+  JOIN c1 ON c1.w1 = e.w1
+  JOIN n1f ON n1f.w1 = e.w1
+  JOIN n1b ON n1b.w2 = e.w2
+  CROSS JOIN t),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS nb,
+         CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mlp
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.nb, 0) AS BIGINT) AS n_bigrams,
+       p.mlp AS mean_logprob
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -318,3 +318,75 @@ def test_trimmed_and_rake_partials_remerge_to_batch(spark):
         parts = p if parts is None else parts.unionByName(p)
     live_pl = sorted(map(tuple, powerlaw_finalize(parts).collect()))
     assert live_pl == batch_pl
+
+
+def test_kn_bigram_is_a_proper_distribution(spark):
+    """The pin NOT derived from the scorer's own rule: for every
+    history v, Σ_w P_KN(w|v) over the model's vocabulary must equal 1
+    (the defining property of interpolated KN) — computed in numpy
+    from raw bigram counts, then compared against the operator's
+    per-occurrence probabilities recovered from its logprobs."""
+    import math
+    from collections import Counter, defaultdict
+
+    from inception_spark.functions.text_analysis import (
+        doc_bigram_kn_logprob,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    rows = docs.select("doc_id", "text").collect()
+    import re
+
+    c12: Counter = Counter()
+    for r in rows:
+        w = re.findall(r"[a-z0-9]+", r["text"].lower())
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    T = len(c12)
+    D = 0.75
+    vocab_w2 = set(n1b)
+
+    def p_kn(a, b):
+        return (c12.get((a, b), 0) - D) / c1[a] * (
+            1 if c12.get((a, b), 0) else 0
+        ) + (D * n1f[a]) / c1[a] * (n1b[b] / T)
+
+    # 1. proper distribution per history over the CONTINUATION vocab
+    for a in list(c1)[:40]:
+        s = sum(
+            max(c12.get((a, b), 0) - D, 0) / c1[a]
+            + (D * n1f[a]) / c1[a] * (n1b[b] / T)
+            for b in vocab_w2
+        )
+        assert math.isclose(s, 1.0, rel_tol=1e-9), (a, s)
+
+    # 2. the operator's mean logprob equals the numpy replica
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in doc_bigram_kn_logprob(docs).collect()
+    }
+    from decimal import Decimal
+
+    for r in rows:
+        w = re.findall(r"[a-z0-9]+", r["text"].lower())
+        bgs = list(zip(w, w[1:]))
+        nb, mlp = got[r["doc_id"]]
+        assert nb == len(bgs)
+        if not bgs:
+            assert mlp is None
+            continue
+        terms = [
+            Decimal(str(round(math.log(p_kn(a, b)), 6)))
+            for a, b in bgs
+        ]
+        want = float(sum(terms)) / len(terms)
+        assert math.isclose(mlp, want, rel_tol=1e-9), r["doc_id"]
