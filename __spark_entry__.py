@@ -2562,6 +2562,23 @@ def _q_source_overlap_matrix(spark, sf_dir):
     return D.source_overlap_matrix(_docs(spark, sf_dir))
 
 
+def _q_streaming_tiff_pixel(spark, sf_dir):
+    """The TIFF decode round-trip maintained LIVE: per-width
+    (n_images, pixel_sum) counters from REAL strip-TIFF decodes
+    re-merge exactly across micro-batches — the streaming twin of
+    tiff_pixel_stats, sharing its closed-form oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = MM.synth_tiff_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(
+        spark, corpus, MM.tiff_pixel_partials
+    )
+    return MM.tiff_pixel_from_partials(parts)
+
+
 def _q_doc_bigram_kn_logprob(spark, sf_dir):
     """Interpolated Kneser-Ney bigram scoring — the KenLM-style
     smoothing upgrade over the MLE doc_bigram_logprob; continuation
@@ -6039,6 +6056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_degree_powerlaw": _q_streaming_degree_powerlaw,
         "streaming_rake": _q_streaming_rake,
         "doc_bigram_kn_logprob": _q_doc_bigram_kn_logprob,
+        "streaming_tiff_pixel": _q_streaming_tiff_pixel,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_acf": _q_streaming_acf,
         "streaming_seasonal_decomp": _q_streaming_seasonal_decomp,
@@ -6405,11 +6423,30 @@ _COHORT_NEW_R11 = [
     "streaming_degree_powerlaw",
     "streaming_rake",
     "doc_bigram_kn_logprob",
+    "streaming_tiff_pixel",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
 _STAGED_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11
 
+
+
+_TIFF_PIXEL_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id % 11) + 1 AS w,
+         x.x, y.y, c.c
+  FROM documents d
+  CROSS JOIN generate_series(0, 10) AS x(x)
+  CROSS JOIN generate_series(0, 6) AS y(y)
+  CROSS JOIN generate_series(0, 2) AS c(c)
+  WHERE x.x < (d.doc_id % 11) + 1 AND y.y < (d.doc_id % 6) + 2)
+SELECT CAST(w AS BIGINT) AS width,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images,
+       CAST(SUM((5 * x + 13 * y + 31 * c + doc_id) % 256) AS BIGINT)
+         AS sum_pixels_value
+FROM px
+GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7852,22 +7889,8 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
              PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
   FROM asg) WHERE rn = 1
 """,
-        "tiff_pixel_stats": """
-WITH px AS (
-  SELECT d.doc_id, (d.doc_id % 11) + 1 AS w,
-         x.x, y.y, c.c
-  FROM documents d
-  CROSS JOIN generate_series(0, 10) AS x(x)
-  CROSS JOIN generate_series(0, 6) AS y(y)
-  CROSS JOIN generate_series(0, 2) AS c(c)
-  WHERE x.x < (d.doc_id % 11) + 1 AND y.y < (d.doc_id % 6) + 2)
-SELECT CAST(w AS BIGINT) AS width,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images,
-       CAST(SUM((5 * x + 13 * y + 31 * c + doc_id) % 256) AS BIGINT)
-         AS sum_pixels_value
-FROM px
-GROUP BY 1
-""",
+        "streaming_tiff_pixel": _TIFF_PIXEL_ORACLE,
+        "tiff_pixel_stats": _TIFF_PIXEL_ORACLE,
         "streaming_psi_drift": R.psi_drift_report_sql(),
         "streaming_acf": R.events_acf_sql(),
         "streaming_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,

@@ -1022,6 +1022,45 @@ def tiff_pixel_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def tiff_pixel_partials(corpus: DataFrame) -> DataFrame:
+    """Mergeable state for :func:`tiff_pixel_stats`: per-width
+    (n_images, pixel_sum) counters from REAL decodes of one batch of
+    TIFF payloads — pure sums, so any micro-batching re-merges to the
+    batch aggregate exactly."""
+    out_schema = T.StructType(
+        [
+            T.StructField("width", T.LongType(), False),
+            T.StructField("pixel_sum", T.LongType(), False),
+        ]
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, sums = [], []
+            for p in pdf["payload"]:
+                arr = decode_image(bytes(p))
+                widths.append(int(arr.shape[1]))
+                sums.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame({"width": widths, "pixel_sum": sums})
+
+    return (
+        corpus.mapInPandas(dec, out_schema)
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("pixel_sum").cast("long").alias("sum_pixels_value"),
+        )
+    )
+
+
+def tiff_pixel_from_partials(parts: DataFrame) -> DataFrame:
+    """Re-merge (possibly duplicated per width) partial counters."""
+    return parts.groupBy("width").agg(
+        F.sum("n_images").cast("long").alias("n_images"),
+        F.sum("sum_pixels_value").cast("long").alias("sum_pixels_value"),
+    )
+
+
 def image_pixel_stats(docs: DataFrame) -> DataFrame:
     """REAL decode round-trip, driver-visibly oracle-checked: synthesize
     BMP bytes, DECODE them back to pixels worker-side
