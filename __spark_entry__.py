@@ -2448,7 +2448,18 @@ def _q_contamination_13gram(spark, sf_dir):
     corpus is scanned once and never shuffled on gram."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(_BENCH_SPLIT)
-    corpus = docs.filter(f"NOT ({_BENCH_SPLIT})")
+    # the fixture is ONE parquet file → one input split carries ~all
+    # rows, and 13-gram generation is interpreted HOF work (byte-light
+    # but compute-heavy — exactly what AQE's size-based coalescing
+    # mis-plans back down to one task).  Repartition AND pin the layout
+    # with a lazy localCheckpoint so the gram stage genuinely runs wide
+    # (5.2 s → 0.5 s per pass at sf0.1); a real many-file corpus
+    # parallelizes at the scan and skips this.
+    corpus = (
+        docs.filter(f"NOT ({_BENCH_SPLIT})")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     return D.contamination_13gram(corpus, bench, n=13)
 
 
