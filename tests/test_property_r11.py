@@ -385,3 +385,108 @@ def test_funnel_latency_percentiles_match_numpy(spark, seed):
             float(np.percentile(lats, 90, method="linear")), 6
         )
         assert r["max_s"] == round(max(lats), 6)
+
+
+# ---------------------------------------------------------------------------
+# rouge2_eval / rake_keywords vs independent Python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.data(),
+    n_pairs=st.integers(min_value=1, max_value=6),
+)
+def test_rouge2_matches_counter_replica(spark, data, n_pairs):
+    """Multiset bigram recall vs a collections.Counter replica — the
+    min-of-counts rule is the easy thing to get wrong (distinct-set
+    intersection overcounts repeats)."""
+    from collections import Counter
+
+    from inception_spark.functions.text_analysis import rouge2_eval
+
+    alpha = ["a", "b", "c"]
+    rows = []
+    for i in range(n_pairs):
+        cand = " ".join(
+            data.draw(st.lists(st.sampled_from(alpha), min_size=0,
+                               max_size=12))
+        )
+        ref = " ".join(
+            data.draw(st.lists(st.sampled_from(alpha), min_size=0,
+                               max_size=12))
+        )
+        rows.append((i, 100 + i, cand, ref))
+    pairs = spark.createDataFrame(
+        rows, "cand_id long, ref_id long, cand_text string, ref_text string"
+    )
+    got = {r["cand_id"]: r for r in rouge2_eval(pairs).collect()}
+
+    def bigrams(s):
+        w = s.split()
+        return Counter(zip(w, w[1:]))
+
+    for i, _rid, cand, ref in rows:
+        cb, rb = bigrams(cand), bigrams(ref)
+        ref_total = sum(rb.values())
+        overlap = sum(min(c, rb[g]) for g, c in cb.items() if g in rb)
+        if ref_total == 0:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r["ref_bigrams"] == ref_total
+        assert r["overlap_bigrams"] == overlap
+        assert r["rouge2_recall_milli"] == (1000 * overlap) // ref_total
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_rake_matches_python_replica(spark, data):
+    """Full RAKE replica in plain Python (phrase splitting, degree /
+    frequency, integer milli scores) over random small-alphabet docs —
+    independent of the window/explode formulation."""
+    from collections import defaultdict
+
+    from inception_spark.functions.text_analysis import rake_keywords
+
+    alpha = ["x", "y", "z", "s1", "s2"]
+    stops = ["s1", "s2"]
+    docs = []
+    for i in range(data.draw(st.integers(min_value=1, max_value=5))):
+        docs.append(
+            (i, " ".join(data.draw(st.lists(st.sampled_from(alpha),
+                                            min_size=0, max_size=15))))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["phrase"]: (r["n_occurrences"], r["n_words"], r["score_milli"])
+        for r in rake_keywords(df, stops, max_len=4, k=1000).collect()
+    }
+
+    # replica
+    phrases = []
+    for _i, text in docs:
+        run = []
+        for w in text.split():
+            if w in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    phrases = [p for p in phrases if 1 <= len(p) <= 4]
+    freq: dict = defaultdict(int)
+    degree: dict = defaultdict(int)
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    wscore = {w: (1000 * degree[w]) // freq[w] for w in freq}
+    want: dict = {}
+    for p in phrases:
+        key = " ".join(p)
+        n_occ, n_words, _ = want.get(key, (0, len(p), 0))
+        want[key] = (n_occ + 1, len(p), sum(wscore[w] for w in p))
+    assert got == want, (got, want)
