@@ -1159,6 +1159,63 @@ def _write_tar_fixture(spark, sf_dir) -> str:
     return d
 
 
+def _write_zip_fixture(spark, sf_dir) -> str:
+    """Synthesize a deterministic 3-shard ZIP corpus from documents
+    (the tar fixture's sibling): per document a ``.txt`` member and a
+    ``.cls`` member (lang code), doc_id % 3 → shard; shard 0 is
+    STORED, shards 1-2 DEFLATED, so both codec paths feed the same
+    aggregate."""
+    import zipfile as _zf
+
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", "lang")
+        .where(F.col("text").isNotNull())
+        .sort("doc_id")
+        .collect()
+    )
+    d = _scratch("zip_fix_")
+    shards = [
+        _zf.ZipFile(f"{d}/shard0.zip", "w", _zf.ZIP_STORED),
+        _zf.ZipFile(f"{d}/shard1.zip", "w", _zf.ZIP_DEFLATED),
+        _zf.ZipFile(f"{d}/shard2.zip", "w", _zf.ZIP_DEFLATED),
+    ]
+    try:
+        for r in rows:
+            sh = shards[int(r["doc_id"]) % 3]
+            sh.writestr(
+                f"{int(r['doc_id']):08d}.txt", r["text"].encode("utf-8")
+            )
+            sh.writestr(
+                f"{int(r['doc_id']):08d}.cls",
+                (r["lang"] or "").encode("utf-8"),
+            )
+    finally:
+        for sh in shards:
+            sh.close()
+    return d
+
+
+def _q_zip_shard_stats(spark, sf_dir):
+    """ZIP-shard ingestion shape: parse a 3-shard zip fixture derived
+    from documents (one STORED + two DEFLATED shards) via the
+    binaryFile + mapInPandas member reader — one task per shard, no
+    shuffle in the scan; unlike tar there is NO streaming variant (the
+    central directory lives at the file end — documented in
+    sources/zipshard.py).  The oracle recomputes the totals straight
+    from documents: txt bytes are strlen(text), cls bytes are
+    strlen(lang), samples are the doc count."""
+    from inception_spark.sources.zipshard import read_zip_members
+
+    d = _write_zip_fixture(spark, sf_dir)
+    members = read_zip_members(spark, d + "/*.zip")
+    return members.groupBy("ext").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.countDistinct("sample_key").cast("long").alias("n_samples"),
+    )
+
+
 def _q_tar_shard_stats(spark, sf_dir):
     """WebDataset ingestion shape, driver-verified THROUGH THE
     CONSTANT-MEMORY PATH: parse a 3-shard tar fixture derived from
@@ -5859,6 +5916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per record type against a straight-from-documents oracle
         "warc_record_stats": _q_warc_record_stats,
         "tar_shard_stats": _q_tar_shard_stats,
+        "zip_shard_stats": _q_zip_shard_stats,
         # table-maintenance accounting: the compaction plan as a query
         "compaction_plan_stats": _q_compaction_plan_stats,
         # distributed parquet footer audit over a sorted fixture layout
@@ -6435,12 +6493,28 @@ _COHORT_NEW_R11 = [
     "streaming_rake",
     "doc_bigram_kn_logprob",
     "streaming_tiff_pixel",
+    "zip_shard_stats",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
 _STAGED_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11
 
 
+
+#: shared by tar_shard_stats and zip_shard_stats — both fixtures pack
+#: the same (txt, cls) members per document, so the member totals are
+#: container-independent by construction
+_SHARD_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, strlen(text) AS tlen, strlen(coalesce(lang, '')) AS llen
+  FROM documents WHERE text IS NOT NULL)
+SELECT 'txt' AS ext, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(tlen) AS BIGINT) AS total_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_samples FROM d
+UNION ALL
+SELECT 'cls', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(llen) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM d
+"""
 
 _TIFF_PIXEL_ORACLE = """
 WITH px AS (
@@ -7131,17 +7205,8 @@ UNION ALL
 SELECT 'response', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(blen) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM d
 """,
-        "tar_shard_stats": """
-WITH d AS (
-  SELECT doc_id, strlen(text) AS tlen, strlen(coalesce(lang, '')) AS llen
-  FROM documents WHERE text IS NOT NULL)
-SELECT 'txt' AS ext, CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(SUM(tlen) AS BIGINT) AS total_bytes,
-       CAST(COUNT(*) AS BIGINT) AS n_samples FROM d
-UNION ALL
-SELECT 'cls', CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(llen) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM d
-""",
+        "tar_shard_stats": _SHARD_STATS_ORACLE,
+        "zip_shard_stats": _SHARD_STATS_ORACLE,
         "compaction_plan_stats": """
 WITH l AS (
   SELECT (doc_id * 9176 + n_chars * 131) % 262144 AS bytes
