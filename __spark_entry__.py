@@ -397,6 +397,41 @@ def _q_zorder_key(spark, sf_dir):
     )
 
 
+def _q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key (operators/layout.py): the
+    locality-preserving alternative to the Morton key — consecutive
+    keys are ALWAYS adjacent cells (pinned exhaustively in tests), so
+    key-range file pruning touches compact regions with no Z-jumps.
+    The sequential per-level rotation runs as an F.aggregate fold;
+    DuckDB replays it as an unrolled CTE chain."""
+    from inception_spark.operators.layout import hilbert_key_expr
+
+    ev = R.load_events(spark, sf_dir)
+    m = F.lit(1 << 16)
+    cx = F.pmod(F.col("user_id"), m)
+    cy = F.pmod(F.col("event_id"), m)
+    return ev.select(
+        "event_id",
+        cx.alias("cx"),
+        cy.alias("cy"),
+        hilbert_key_expr(cx, cy).alias("hkey"),
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    from inception_spark.operators.layout import hilbert_key_sql
+
+    return f"""
+WITH __hilbert_base AS (
+  SELECT event_id, (user_id % 65536) AS hx, (event_id % 65536) AS hy
+  FROM events),
+{hilbert_key_sql('hx', 'hy')}
+SELECT event_id, CAST(hx AS BIGINT) AS cx, CAST(hy AS BIGINT) AS cy,
+       hd AS hkey
+FROM h0
+"""
+
+
 def _zorder_oracle_sql() -> str:
     from inception_spark.operators.layout import zorder_key_sql
 
@@ -5860,6 +5895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "zorder_key": _q_zorder_key,
+        "hilbert_key": _q_hilbert_key,
         "extract_citations": _q_extract_citations,
         # dedup
         "exact_dedup": _q_exact_dedup,
@@ -6494,6 +6530,7 @@ _COHORT_NEW_R11 = [
     "doc_bigram_kn_logprob",
     "streaming_tiff_pixel",
     "zip_shard_stats",
+    "hilbert_key",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -7132,6 +7169,7 @@ SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
         "normalize_text": _normalize_oracle_sql(),
         "html_to_text": _html_to_text_oracle_sql(),
         "zorder_key": _zorder_oracle_sql(),
+        "hilbert_key": _hilbert_oracle_sql(),
         "extract_citations": (
             f"WITH aug AS (SELECT doc_id, {_CITE_AUG_SQL} AS text"
             " FROM documents)\n" + TA.extract_citations_sql("aug")

@@ -918,3 +918,114 @@ s AS (
 SELECT key, CAST(_g * {int(shards_per_group)} + _s AS BIGINT) AS shard
 FROM s
 """
+
+
+def hilbert_key_expr(cx: Column, cy: Column, *, bits: int = 16) -> Column:
+    """Hilbert-curve key of two integer cell coordinates (each in
+    [0, 2^bits)) — the locality-preserving upgrade over the Morton key:
+    consecutive Hilbert keys are ALWAYS Manhattan-adjacent cells (the
+    defining property, pinned exhaustively in tests), so a range of
+    keys covers a compact region with no Z-shaped jumps; range queries
+    over a hilbert-partitioned layout touch strictly fewer files than
+    the same range z-ordered.
+
+    The classic per-level rotation (Wikipedia xy2d) is inherently
+    sequential state, which rules out the zorder magic-number spread;
+    instead the 16 levels run as an ``F.aggregate`` FOLD over a level
+    sequence with a (x, y, d) struct accumulator — one interpreted
+    pass per row, constant expression size (a withColumn chain would
+    let CollapseProject inline each level's x/y twice per use and blow
+    the tree up exponentially).  DuckDB replays the identical fold as
+    an unrolled 16-step CTE chain (:func:`hilbert_key_sql`)."""
+    if bits * 2 > 62:
+        raise ValueError(f"bits={bits} overflows int64 for 2 columns")
+    n = 1 << bits
+    # lambda-side shift amounts must be literals, so each level carries
+    # its mask s and area s² as struct literals
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(1 << i).cast("long").alias("s"),
+                F.lit((1 << i) * (1 << i)).cast("long").alias("s2"),
+            )
+            for i in range(bits - 1, -1, -1)
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        cx.cast("long").alias("x"),
+        cy.cast("long").alias("y"),
+        zero.alias("d"),
+    )
+
+    def step(acc, lv):
+        rx = F.when(
+            acc["x"].bitwiseAND(lv["s"]) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        ry = F.when(
+            acc["y"].bitwiseAND(lv["s"]) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        d2 = acc["d"] + lv["s2"] * (
+            (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        )
+        refl = rx == F.lit(1)
+        x_r = F.when(refl, F.lit(n - 1) - acc["x"]).otherwise(acc["x"])
+        y_r = F.when(refl, F.lit(n - 1) - acc["y"]).otherwise(acc["y"])
+        # ry == 0: (maybe reflect then) swap x and y; ry == 1: unchanged
+        x2 = F.when(ry == F.lit(0), y_r).otherwise(acc["x"])
+        y2 = F.when(ry == F.lit(0), x_r).otherwise(acc["y"])
+        return F.struct(
+            x2.cast("long").alias("x"),
+            y2.cast("long").alias("y"),
+            d2.cast("long").alias("d"),
+        )
+
+    return F.aggregate(levels, init, step).getField("d")
+
+
+def hilbert_key_py(x: int, y: int, *, bits: int = 16) -> int:
+    """Reference implementation (the classic xy2d loop) for tests."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_key_sql(cx_sql: str, cy_sql: str, *, bits: int = 16) -> str:
+    """DuckDB twin of :func:`hilbert_key_expr` as a scalar expression
+    chain is impossible (sequential state), so this returns the body of
+    an unrolled per-level CTE pipeline: the caller provides a relation
+    ``__hilbert_base`` with columns (..., hx, hy) and this yields CTE
+    text ``h{bits} .. h0`` where ``h0.hd`` is the key.  Each level is
+    one projection referenced exactly once — no expression blowup."""
+    n = 1 << bits
+    ctes = [
+        f"h{bits} AS (SELECT *, CAST(hx AS BIGINT) AS _x, "
+        f"CAST(hy AS BIGINT) AS _y, CAST(0 AS BIGINT) AS hd "
+        f"FROM __hilbert_base)"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        ctes.append(f"""
+h{i} AS (
+  SELECT * EXCLUDE (_x, _y, hd),
+         CASE WHEN ((_y >> {i}) & 1) = 0 THEN
+           CASE WHEN ((_x >> {i}) & 1) = 1 THEN {n - 1} - _y ELSE _y END
+         ELSE _x END AS _x,
+         CASE WHEN ((_y >> {i}) & 1) = 0 THEN
+           CASE WHEN ((_x >> {i}) & 1) = 1 THEN {n - 1} - _x ELSE _x END
+         ELSE _y END AS _y,
+         hd + {s} * {s} * xor(3 * ((_x >> {i}) & 1), (_y >> {i}) & 1)
+           AS hd
+  FROM h{i + 1})""")
+    return ",\n".join(ctes)

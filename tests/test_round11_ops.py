@@ -390,3 +390,53 @@ def test_kn_bigram_is_a_proper_distribution(spark):
         ]
         want = float(sum(terms)) / len(terms)
         assert math.isclose(mlp, want, rel_tol=1e-9), r["doc_id"]
+
+
+def test_hilbert_adjacency_exhaustive(spark):
+    """The DEFINING Hilbert property, which the Morton key cannot
+    satisfy: enumerate every cell of the 16x16 (bits=4) grid, sort by
+    key, and assert each consecutive pair is Manhattan-distance-1 —
+    plus key bijectivity, and Spark ≡ the classic xy2d loop cell for
+    cell."""
+    from inception_spark.operators.layout import (
+        hilbert_key_expr,
+        hilbert_key_py,
+    )
+
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = cells.select(
+        "x", "y", hilbert_key_expr(F.col("x"), F.col("y"), bits=4)
+        .alias("d")
+    ).collect()
+    got = {(r["x"], r["y"]): r["d"] for r in rows}
+    # parity with the classic loop
+    for (x, y), d in got.items():
+        assert d == hilbert_key_py(x, y, bits=4), (x, y)
+    # bijective onto 0..255
+    assert sorted(got.values()) == list(range(256))
+    # consecutive keys are adjacent cells
+    by_d = sorted(got.items(), key=lambda kv: kv[1])
+    for ((x1, y1), _), ((x2, y2), _) in zip(by_d, by_d[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, ((x1, y1), (x2, y2))
+
+
+def test_morton_fails_adjacency_where_hilbert_holds():
+    """Documentation-by-test of WHY hilbert_key exists: the Z-order
+    curve jumps (consecutive Morton keys that are not neighbors) —
+    the locality gap the Hilbert layout closes."""
+    from inception_spark.operators.layout import _spread_py
+
+    def morton(x, y):
+        return _spread_py(x, 2, 4) | (_spread_py(y, 2, 4) << 1)
+
+    cells = sorted(
+        ((morton(x, y), x, y) for x in range(16) for y in range(16))
+    )
+    jumps = sum(
+        1
+        for (_, x1, y1), (_, x2, y2) in zip(cells, cells[1:])
+        if abs(x1 - x2) + abs(y1 - y2) != 1
+    )
+    assert jumps > 0  # Z-order genuinely jumps on this grid
