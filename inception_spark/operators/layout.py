@@ -1029,3 +1029,110 @@ h{i} AS (
            AS hd
   FROM h{i + 1})""")
     return ",\n".join(ctes)
+
+
+def hilbert_d2xy_py(d: int, *, bits: int = 16) -> tuple[int, int]:
+    """Inverse of :func:`hilbert_key_py` (the classic d2xy loop) —
+    driver-side only, used by the prefix→region enumeration."""
+    n = 1 << bits
+    x = y = 0
+    t = d
+    s = 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def write_hilbert_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    prefix_bits: int = 8,
+) -> None:
+    """Materialize ``df`` partitioned by the top ``prefix_bits`` of its
+    Hilbert key (prefix_bits must be even: each 2 key bits = one
+    quadrant level, so an even prefix is EXACTLY one axis-aligned
+    square of the grid — the property that makes prefix pruning tight
+    where Z-order prefixes can be L-shaped).  Rows sort by the full
+    key inside partitions so row-group min/max stats nest within
+    squares."""
+    if prefix_bits % 2:
+        raise ValueError("hilbert prefix_bits must be even (quadrants)")
+    if len(cols) != 2:
+        raise ValueError("hilbert layout is 2-D")
+    key = hilbert_key_expr(F.col(cols[0]), F.col(cols[1]), bits=bits)
+    total = 2 * bits
+    out = df.withColumn("hkey", key).withColumn(
+        "hprefix", F.shiftright(F.col("hkey"), total - prefix_bits)
+    )
+    (
+        out.repartition("hprefix")
+        .sortWithinPartitions("hkey")
+        .write.mode("overwrite")
+        .partitionBy("hprefix")
+        .parquet(path)
+    )
+
+
+def hilbert_box_prefixes(
+    ranges: list[tuple[int, int]], *, bits: int = 16, prefix_bits: int = 8
+) -> list[int]:
+    """Driver-side cell enumeration: the ``hprefix`` values whose
+    SQUARE intersects the inclusive (x, y) ranges.  An even-length
+    Hilbert key prefix addresses one level-(prefix_bits/2) quadrant —
+    its region is the axis-aligned square whose corner is d2xy of the
+    prefix's first key and whose side is 2^(bits − prefix_bits/2).
+    2^prefix_bits candidates — control-plane work."""
+    if prefix_bits % 2:
+        raise ValueError("hilbert prefix_bits must be even (quadrants)")
+    side = 1 << (bits - prefix_bits // 2)
+    (xlo, xhi), (ylo, yhi) = ranges
+    out = []
+    for p in range(1 << prefix_bits):
+        cx, cy = hilbert_d2xy_py(p << (2 * bits - prefix_bits), bits=bits)
+        # corner of the square: d2xy of the first key is SOME cell in
+        # the square; snap to the square's origin
+        sx, sy = (cx // side) * side, (cy // side) * side
+        if sx + side - 1 < xlo or sx > xhi:
+            continue
+        if sy + side - 1 < ylo or sy > yhi:
+            continue
+        out.append(p)
+    return out
+
+
+def hilbert_pruned_scan(
+    spark,
+    path: str,
+    cols: list[str],
+    ranges: list[tuple[int, int]],
+    *,
+    bits: int = 16,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Range-box scan over a :func:`write_hilbert_layout` layout:
+    ``hprefix IN (...)`` partition pruning + the exact residual
+    predicate — bit-identical to filtering the raw table."""
+    prefixes = hilbert_box_prefixes(
+        ranges, bits=bits, prefix_bits=prefix_bits
+    )
+    scan = spark.read.parquet(path).where(
+        F.col("hprefix").isin([int(p) for p in prefixes])
+    )
+    for c, (lo, hi) in zip(cols, ranges):
+        scan = scan.where(
+            (F.col(c) >= F.lit(int(lo))) & (F.col(c) <= F.lit(int(hi)))
+        )
+    return scan

@@ -440,3 +440,65 @@ def test_two_level_rendezvous_range_and_stability(spark):
     assert moved == 0  # same group before/after
     sub_moved = sum(1 for k in a if a[k] % 8 != c[k] % 9)
     assert sub_moved <= len(a) * 0.25  # ~1/9 expected, generous bound
+
+
+def test_hilbert_box_prefixes_geometry():
+    from inception_spark.operators.layout import hilbert_box_prefixes
+
+    allp = hilbert_box_prefixes(
+        [(0, 65535), (0, 65535)], bits=16, prefix_bits=8
+    )
+    assert allp == list(range(256))
+    one = hilbert_box_prefixes([(0, 0), (0, 0)], bits=16, prefix_bits=8)
+    assert len(one) == 1
+    # a thin x-strip intersects exactly the 16 squares of that column
+    strip = hilbert_box_prefixes(
+        [(0, 4095), (0, 65535)], bits=16, prefix_bits=8
+    )
+    assert len(strip) == 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even"):
+        hilbert_box_prefixes([(0, 1), (0, 1)], prefix_bits=7)
+
+
+def test_hilbert_layout_prunes_and_matches(spark, tmp_path):
+    """Hilbert pruned scan == raw filter (the zorder contract), plus
+    the Hilbert-specific tightness claim: for a small square box the
+    Hilbert prefix set is NO LARGER than the Morton prefix set (the
+    adjacency property means a compact box never needs the Z-curve's
+    L-shaped extra cells)."""
+    from inception_spark.operators.layout import (
+        hilbert_box_prefixes,
+        hilbert_pruned_scan,
+        write_hilbert_layout,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(1 << 16)).alias("cx"),
+            F.pmod(F.xxhash64("event_id"), F.lit(1 << 16)).alias("cy"),
+        )
+    )
+    path = str(tmp_path / "hilbert")
+    write_hilbert_layout(ev, path, ["cx", "cy"], bits=16, prefix_bits=8)
+
+    box = [(0, 2000), (0, 20000)]
+    pruned = hilbert_pruned_scan(spark, path, ["cx", "cy"], box)
+    f = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "hprefix" in f
+
+    raw = ev.where(
+        (F.col("cx") >= 0) & (F.col("cx") <= 2000)
+        & (F.col("cy") >= 0) & (F.col("cy") <= 20000)
+    )
+    assert sorted(
+        (r["event_id"], r["cx"], r["cy"]) for r in pruned.collect()
+    ) == sorted((r["event_id"], r["cx"], r["cy"]) for r in raw.collect())
+
+    n_h = len(hilbert_box_prefixes(box, bits=16, prefix_bits=8))
+    n_z = len(zorder_box_prefixes(box, bits=16, prefix_bits=8))
+    assert n_h < 256
+    assert n_h <= n_z
