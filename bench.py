@@ -298,6 +298,12 @@ HEADLINE = [
     "degree_powerlaw",
     "source_overlap_matrix",
     "tiff_pixel_stats",
+    # r11 later waves: KN-smoothed corpus LM, ZIP shard ingest, the
+    # Hilbert clustering key (F.aggregate fold — 16 interpreted steps
+    # per row, the measured cost of locality-tight pruning)
+    "doc_bigram_kn_logprob",
+    "zip_shard_stats",
+    "hilbert_key",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every
