@@ -2606,6 +2606,16 @@ def _q_streaming_contamination_gate(spark, sf_dir):
     return run_stream_to_parquet(spark, corpus, gate)
 
 
+def _q_g711_audio_stats(spark, sf_dir):
+    """The audio-decode oracle protocol applied to G.711: mu-law/A-law
+    WAV containers synthesized worker-side, decoded through the full
+    RIFF + expander path (operators/g711.py — all 512 code points of
+    both laws cross-validated against CPython's audioop), aggregated
+    per law against a pure-SQL replay of the companding formulas."""
+    _ensure_workers_can_import(spark)
+    return MM.g711_audio_stats(_docs(spark, sf_dir))
+
+
 def _q_tiff_pixel_stats(spark, sf_dir):
     """The image_pixel_stats decode round-trip applied to the strip
     TIFF codec (operators/tiff.py, libtiff-cross-validated): every
@@ -6151,6 +6161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_13gram": _q_contamination_13gram,
         "streaming_contamination_gate": _q_streaming_contamination_gate,
         "tiff_pixel_stats": _q_tiff_pixel_stats,
+        "g711_audio_stats": _q_g711_audio_stats,
         "trimmed_stats": _q_trimmed_stats,
         "degree_powerlaw": _q_degree_powerlaw,
         "rake_keywords": _q_rake_keywords,
@@ -6533,6 +6544,7 @@ _COHORT_NEW_R11 = [
     "streaming_tiff_pixel",
     "zip_shard_stats",
     "hilbert_key",
+    "g711_audio_stats",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -8007,6 +8019,43 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
 """,
         "streaming_tiff_pixel": _TIFF_PIXEL_ORACLE,
         "tiff_pixel_stats": _TIFF_PIXEL_ORACLE,
+        # G.711 expansion replayed in SQL: mu-law mag = ((mant·8+132)
+        # << exp) − 132 on the complemented code; A-law on code XOR 85
+        # with the exp=0 special case; sign conventions mirror
+        # operators/g711.py (audioop-pinned)
+        "g711_audio_stats": """
+WITH g AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+         (3 * i.i + d.doc_id) % 256 AS code
+  FROM documents d
+  CROSS JOIN generate_series(0, 199) AS i(i)
+  WHERE i.i < 40 * ((d.doc_id % 5) + 1)),
+lin AS (
+  SELECT law, doc_id,
+         CASE WHEN law = 'ulaw' THEN
+           CASE WHEN ((255 - code) & 128) != 0
+                THEN -((((((255 - code) & 15) * 8 + 132)
+                         << (((255 - code) >> 4) & 7)) - 132))
+                ELSE ((((255 - code) & 15) * 8 + 132)
+                      << (((255 - code) >> 4) & 7)) - 132
+           END
+         ELSE
+           CASE WHEN (xor(code, 85) & 128) != 0 THEN 1 ELSE -1 END *
+           CASE WHEN ((xor(code, 85) >> 4) & 7) = 0
+                THEN (xor(code, 85) & 15) * 16 + 8
+                ELSE ((xor(code, 85) & 15) * 16 + 264)
+                     << (((xor(code, 85) >> 4) & 7) - 1)
+           END
+         END AS lin
+  FROM g)
+SELECT law,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
+       CAST(COUNT(*) AS BIGINT) AS sum_samples,
+       CAST(SUM(lin) AS BIGINT) AS sum_linear
+FROM lin
+GROUP BY law
+""",
         "streaming_psi_drift": R.psi_drift_report_sql(),
         "streaming_acf": R.events_acf_sql(),
         "streaming_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,

@@ -1184,22 +1184,31 @@ def resize_images(
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """16-bit PCM WAV → (mono float64 samples in [-1, 1], sample_rate).
-    Stereo is averaged to mono."""
+    """WAV → (mono float64 samples in [-1, 1], sample_rate).  16-bit
+    PCM via stdlib ``wave``; G.711 mu-law/A-law and mono IMA ADPCM via
+    operators/g711.py (stdlib ``wave`` refuses non-PCM fmt tags — the
+    telephony/speech-corpus formats PCM-only ingestion silently
+    drops).  Stereo is averaged to mono."""
     import io
     import wave
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise DecoderUnavailable("not a WAV payload")
-    with wave.open(io.BytesIO(payload)) as w:
-        if w.getsampwidth() != 2:
-            raise DecoderUnavailable(
-                f"only 16-bit PCM WAV decodes natively "
-                f"(sampwidth={w.getsampwidth()})"
-            )
-        rate = w.getframerate()
-        ch = w.getnchannels()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            if w.getsampwidth() != 2:
+                raise DecoderUnavailable(
+                    f"only 16-bit PCM WAV decodes via wave "
+                    f"(sampwidth={w.getsampwidth()})"
+                )
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        from inception_spark.operators.g711 import decode_wav_any
+
+        x16, rate = decode_wav_any(payload)
+        return x16.astype(np.float64) / 32768.0, rate
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
@@ -1800,4 +1809,80 @@ def audio_dup_pairs(
     fp = fingerprint_audio(df, id_col=id_col, payload_col=payload_col)
     return hamming64_dup_pairs(
         fp, hash_col="afp", max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
+def synth_g711_corpus(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-document G.711 WAV payload: docs alternate
+    mu-law / A-law by parity, n = 40·((id mod 5)+1) code bytes with
+    code i = (3·i + id) mod 256, rate 8000 — (doc_id, law, payload).
+    Worker-side synthesis, the synth_bmp_corpus discipline."""
+    from inception_spark.operators.g711 import encode_g711_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("law", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            laws, payloads = [], []
+            for i in ids:
+                n = 40 * (int(i) % 5 + 1)
+                codes = ((3 * np.arange(n, dtype=np.int64) + int(i))
+                         % 256).astype(np.uint8)
+                law = "ulaw" if int(i) % 2 == 0 else "alaw"
+                laws.append(law)
+                payloads.append(encode_g711_wav(codes, 8000, law=law))
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(), "law": laws,
+                 "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def g711_audio_stats(docs: DataFrame) -> DataFrame:
+    """REAL G.711 decode round-trip, driver-visibly oracle-checked:
+    synthesize mu-law/A-law WAV containers, decode them back to linear
+    int16 worker-side (the full RIFF walk + expander path), and
+    aggregate per law: (law, n_clips, n_samples, sum_linear).  The
+    oracle replays the G.711 expansion formulas in pure SQL integer
+    arithmetic over the synthesis grid — a companding-table or
+    container-parse defect hash-mismatches."""
+    corpus = synth_g711_corpus(docs)
+    out_schema = T.StructType(
+        [
+            T.StructField("law", T.StringType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("lin_sum", T.LongType(), False),
+        ]
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            laws, ns, sums = [], [], []
+            for law, p in zip(pdf["law"], pdf["payload"]):
+                x, rate = decode_wav(bytes(p))
+                assert rate == 8000
+                lin16 = np.round(x * 32768.0).astype(np.int64)
+                laws.append(law)
+                ns.append(int(x.size))
+                sums.append(int(lin16.sum()))
+            yield pd.DataFrame(
+                {"law": laws, "n_samples": ns, "lin_sum": sums}
+            )
+
+    return (
+        corpus.mapInPandas(dec, out_schema)
+        .groupBy("law")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("sum_samples"),
+            F.sum("lin_sum").cast("long").alias("sum_linear"),
+        )
     )
