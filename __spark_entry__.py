@@ -2616,6 +2616,20 @@ def _q_g711_audio_stats(spark, sf_dir):
     return MM.g711_audio_stats(_docs(spark, sf_dir))
 
 
+def _q_streaming_g711(spark, sf_dir):
+    """The G.711 decode rollup maintained LIVE: per-law counters from
+    REAL mu-law/A-law decodes re-merge exactly across micro-batches.
+    Shares the batch oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = MM.synth_g711_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, MM.g711_partials)
+    return MM.g711_from_partials(parts)
+
+
 def _q_tiff_pixel_stats(spark, sf_dir):
     """The image_pixel_stats decode round-trip applied to the strip
     TIFF codec (operators/tiff.py, libtiff-cross-validated): every
@@ -6162,6 +6176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_contamination_gate": _q_streaming_contamination_gate,
         "tiff_pixel_stats": _q_tiff_pixel_stats,
         "g711_audio_stats": _q_g711_audio_stats,
+        "streaming_g711": _q_streaming_g711,
         "trimmed_stats": _q_trimmed_stats,
         "degree_powerlaw": _q_degree_powerlaw,
         "rake_keywords": _q_rake_keywords,
@@ -6545,6 +6560,7 @@ _COHORT_NEW_R11 = [
     "zip_shard_stats",
     "hilbert_key",
     "g711_audio_stats",
+    "streaming_g711",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -6565,6 +6581,44 @@ SELECT 'txt' AS ext, CAST(COUNT(*) AS BIGINT) AS n_members,
 UNION ALL
 SELECT 'cls', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(llen) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM d
+"""
+
+#: G.711 expansion replayed in SQL: mu-law mag = ((mant*8+132) << exp)
+#: - 132 on the complemented code; A-law on code XOR 85 with the exp=0
+#: special case; sign conventions mirror operators/g711.py
+#: (audioop-pinned).  Shared by the batch entry and its live twin.
+_G711_ORACLE = """
+WITH g AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+         (3 * i.i + d.doc_id) % 256 AS code
+  FROM documents d
+  CROSS JOIN generate_series(0, 199) AS i(i)
+  WHERE i.i < 40 * ((d.doc_id % 5) + 1)),
+lin AS (
+  SELECT law, doc_id,
+         CASE WHEN law = 'ulaw' THEN
+           CASE WHEN ((255 - code) & 128) != 0
+                THEN -((((((255 - code) & 15) * 8 + 132)
+                         << (((255 - code) >> 4) & 7)) - 132))
+                ELSE ((((255 - code) & 15) * 8 + 132)
+                      << (((255 - code) >> 4) & 7)) - 132
+           END
+         ELSE
+           CASE WHEN (xor(code, 85) & 128) != 0 THEN 1 ELSE -1 END *
+           CASE WHEN ((xor(code, 85) >> 4) & 7) = 0
+                THEN (xor(code, 85) & 15) * 16 + 8
+                ELSE ((xor(code, 85) & 15) * 16 + 264)
+                     << (((xor(code, 85) >> 4) & 7) - 1)
+           END
+         END AS lin
+  FROM g)
+SELECT law,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
+       CAST(COUNT(*) AS BIGINT) AS sum_samples,
+       CAST(SUM(lin) AS BIGINT) AS sum_linear
+FROM lin
+GROUP BY law
 """
 
 _TIFF_PIXEL_ORACLE = """
@@ -8019,43 +8073,8 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
 """,
         "streaming_tiff_pixel": _TIFF_PIXEL_ORACLE,
         "tiff_pixel_stats": _TIFF_PIXEL_ORACLE,
-        # G.711 expansion replayed in SQL: mu-law mag = ((mant·8+132)
-        # << exp) − 132 on the complemented code; A-law on code XOR 85
-        # with the exp=0 special case; sign conventions mirror
-        # operators/g711.py (audioop-pinned)
-        "g711_audio_stats": """
-WITH g AS (
-  SELECT d.doc_id,
-         CASE WHEN d.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
-         (3 * i.i + d.doc_id) % 256 AS code
-  FROM documents d
-  CROSS JOIN generate_series(0, 199) AS i(i)
-  WHERE i.i < 40 * ((d.doc_id % 5) + 1)),
-lin AS (
-  SELECT law, doc_id,
-         CASE WHEN law = 'ulaw' THEN
-           CASE WHEN ((255 - code) & 128) != 0
-                THEN -((((((255 - code) & 15) * 8 + 132)
-                         << (((255 - code) >> 4) & 7)) - 132))
-                ELSE ((((255 - code) & 15) * 8 + 132)
-                      << (((255 - code) >> 4) & 7)) - 132
-           END
-         ELSE
-           CASE WHEN (xor(code, 85) & 128) != 0 THEN 1 ELSE -1 END *
-           CASE WHEN ((xor(code, 85) >> 4) & 7) = 0
-                THEN (xor(code, 85) & 15) * 16 + 8
-                ELSE ((xor(code, 85) & 15) * 16 + 264)
-                     << (((xor(code, 85) >> 4) & 7) - 1)
-           END
-         END AS lin
-  FROM g)
-SELECT law,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
-       CAST(COUNT(*) AS BIGINT) AS sum_samples,
-       CAST(SUM(lin) AS BIGINT) AS sum_linear
-FROM lin
-GROUP BY law
-""",
+        "streaming_g711": _G711_ORACLE,
+        "g711_audio_stats": _G711_ORACLE,
         "streaming_psi_drift": R.psi_drift_report_sql(),
         "streaming_acf": R.events_acf_sql(),
         "streaming_seasonal_decomp": R.EVENTS_SEASONAL_DECOMP_SQL,

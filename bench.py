@@ -304,6 +304,8 @@ HEADLINE = [
     "doc_bigram_kn_logprob",
     "zip_shard_stats",
     "hilbert_key",
+    # r11 final: G.711 decode round-trip (RIFF walk + integer expanders)
+    "g711_audio_stats",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every

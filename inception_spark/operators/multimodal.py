@@ -1886,3 +1886,48 @@ def g711_audio_stats(docs: DataFrame) -> DataFrame:
             F.sum("lin_sum").cast("long").alias("sum_linear"),
         )
     )
+
+
+def g711_partials(corpus: DataFrame) -> DataFrame:
+    """Mergeable state for :func:`g711_audio_stats`: per-law
+    (n_clips, sum_samples, sum_linear) counters from REAL decodes of
+    one batch — pure sums, any micro-batching re-merges exactly."""
+    out_schema = T.StructType(
+        [
+            T.StructField("law", T.StringType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("lin_sum", T.LongType(), False),
+        ]
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            laws, ns, sums = [], [], []
+            for law, p in zip(pdf["law"], pdf["payload"]):
+                x, _rate = decode_wav(bytes(p))
+                lin16 = np.round(x * 32768.0).astype(np.int64)
+                laws.append(law)
+                ns.append(int(x.size))
+                sums.append(int(lin16.sum()))
+            yield pd.DataFrame(
+                {"law": laws, "n_samples": ns, "lin_sum": sums}
+            )
+
+    return (
+        corpus.mapInPandas(dec, out_schema)
+        .groupBy("law")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("sum_samples"),
+            F.sum("lin_sum").cast("long").alias("sum_linear"),
+        )
+    )
+
+
+def g711_from_partials(parts: DataFrame) -> DataFrame:
+    """Re-merge (possibly duplicated per law) partial counters."""
+    return parts.groupBy("law").agg(
+        F.sum("n_clips").cast("long").alias("n_clips"),
+        F.sum("sum_samples").cast("long").alias("sum_samples"),
+        F.sum("sum_linear").cast("long").alias("sum_linear"),
+    )
