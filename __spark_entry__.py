@@ -432,6 +432,30 @@ FROM h0
 """
 
 
+def _q_streaming_hilbert_gate(spark, sf_dir):
+    """The Hilbert clustering key computed AT INGEST, statelessly: the
+    F.aggregate fold is a pure projection, so arriving rows get their
+    layout key with zero stream state and the hilbert-partitioned
+    layout stays appendable.  Shares the batch oracle."""
+    from inception_spark.operators.layout import hilbert_key_expr
+    from inception_spark.streaming.pipeline import run_stream_to_parquet
+
+    ev = R.load_events(spark, sf_dir)
+
+    def gate(stream):
+        m = F.lit(1 << 16)
+        cx = F.pmod(F.col("user_id"), m)
+        cy = F.pmod(F.col("event_id"), m)
+        return stream.select(
+            "event_id",
+            cx.alias("cx"),
+            cy.alias("cy"),
+            hilbert_key_expr(cx, cy).alias("hkey"),
+        )
+
+    return run_stream_to_parquet(spark, ev, gate)
+
+
 def _zorder_oracle_sql() -> str:
     from inception_spark.operators.layout import zorder_key_sql
 
@@ -5920,6 +5944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "zorder_key": _q_zorder_key,
         "hilbert_key": _q_hilbert_key,
+        "streaming_hilbert_gate": _q_streaming_hilbert_gate,
         "extract_citations": _q_extract_citations,
         # dedup
         "exact_dedup": _q_exact_dedup,
@@ -6561,6 +6586,7 @@ _COHORT_NEW_R11 = [
     "hilbert_key",
     "g711_audio_stats",
     "streaming_g711",
+    "streaming_hilbert_gate",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -7238,6 +7264,7 @@ SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
         "html_to_text": _html_to_text_oracle_sql(),
         "zorder_key": _zorder_oracle_sql(),
         "hilbert_key": _hilbert_oracle_sql(),
+        "streaming_hilbert_gate": _hilbert_oracle_sql(),
         "extract_citations": (
             f"WITH aug AS (SELECT doc_id, {_CITE_AUG_SQL} AS text"
             " FROM documents)\n" + TA.extract_citations_sql("aug")
