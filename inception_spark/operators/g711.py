@@ -162,11 +162,34 @@ def decode_wav_any(payload: bytes) -> tuple[np.ndarray, int]:
     block_align = struct.unpack("<H", fmt[12:14])[0]
     if tag == WAVE_PCM:
         bits = struct.unpack("<H", fmt[14:16])[0]
-        if bits != 16:
+        if bits == 16:
+            x = np.frombuffer(
+                data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2"
+            )
+        elif bits == 8:
+            # 8-bit PCM is UNSIGNED by spec; widen to int16
+            u = np.frombuffer(
+                data[: (len(data) // ch) * ch], dtype=np.uint8
+            )
+            x = ((u.astype(np.int16) - 128) << 8).astype(np.int16)
+        elif bits == 24:
+            # 3-byte little-endian signed; keep the top 16 bits
+            nb = (len(data) // (3 * ch)) * 3 * ch
+            b = np.frombuffer(data[:nb], dtype=np.uint8).reshape(-1, 3)
+            full = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            full = np.where(full >= 1 << 23, full - (1 << 24), full)
+            x = (full >> 8).astype(np.int16)
+        elif bits == 32:
+            i32 = np.frombuffer(
+                data[: (len(data) // (4 * ch)) * 4 * ch], dtype="<i4"
+            )
+            x = (i32 >> 16).astype(np.int16)
+        else:
             raise DecoderUnavailable(f"PCM width {bits} unsupported")
-        x = np.frombuffer(
-            data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2"
-        )
     elif tag in (WAVE_ALAW, WAVE_MULAW):
         codes = np.frombuffer(data, dtype=np.uint8)
         x = (

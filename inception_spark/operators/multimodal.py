@@ -1197,14 +1197,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     try:
         with wave.open(io.BytesIO(payload)) as w:
             if w.getsampwidth() != 2:
-                raise DecoderUnavailable(
-                    f"only 16-bit PCM WAV decodes via wave "
-                    f"(sampwidth={w.getsampwidth()})"
-                )
+                # 8/24/32-bit PCM widths go through the RIFF walk too
+                raise wave.Error("non-16-bit width")
             rate = w.getframerate()
             ch = w.getnchannels()
             raw = w.readframes(w.getnframes())
     except wave.Error:
+        # non-PCM fmt tags (G.711, IMA ADPCM) and non-16-bit PCM widths
         from inception_spark.operators.g711 import decode_wav_any
 
         x16, rate = decode_wav_any(payload)

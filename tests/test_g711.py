@@ -88,3 +88,43 @@ def test_unsupported_tag_is_declared():
     wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     with pytest.raises(DecoderUnavailable, match="0x2"):
         decode_wav_any(wav)
+
+
+def test_pcm_widths_8_24_32(spark):
+    """8-bit (unsigned), 24-bit and 32-bit PCM all decode through the
+    RIFF walk; stdlib wave writes the containers, so the container side
+    is reference-produced."""
+    import io
+    import wave as wv
+
+    from inception_spark.operators.multimodal import decode_wav
+
+    vals16 = np.array([-32768, -1, 0, 1, 32767, 12345, -12345],
+                      dtype=np.int16)
+
+    def container(width, frames):
+        buf = io.BytesIO()
+        with wv.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    # 8-bit: unsigned bytes; expected int16 = (u - 128) << 8
+    u8 = np.array([0, 1, 127, 128, 200, 255], dtype=np.uint8)
+    x, rate = decode_wav(container(1, u8.tobytes()))
+    assert rate == 8000
+    want = ((u8.astype(np.int16) - 128) << 8).astype(np.int16)
+    assert np.array_equal(np.round(x * 32768).astype(np.int16), want)
+
+    # 24-bit: int16 values widened to 24 by <<8 must round-trip exactly
+    b24 = b"".join(
+        int(v << 8).to_bytes(3, "little", signed=True) for v in vals16
+    )
+    x, _ = decode_wav(container(3, b24))
+    assert np.array_equal(np.round(x * 32768).astype(np.int16), vals16)
+
+    # 32-bit: int16 << 16 round-trips exactly
+    x, _ = decode_wav(container(4, (vals16.astype("<i4") << 16).tobytes()))
+    assert np.array_equal(np.round(x * 32768).astype(np.int16), vals16)
