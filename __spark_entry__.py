@@ -6475,10 +6475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
 #               last driver green was round 5, in cohort order.
 #   staged r12  the remaining 26 of _COHORT_R5_GREEN, then
-#               _COHORT_NEW_R11 (the 18 entries added in round 11,
-#               zero driver signal).  26 + 18 = 44 < 50, so BOTH
+#               _COHORT_NEW_R11 (the 21 entries added in round 11,
+#               zero driver signal).  26 + 21 = 47 < 50, so BOTH
 #               cohorts fit inside the next window; r12 completes its
-#               50 slots with the 6 stalest r10-green entries
+#               50 slots with the 3 stalest r10-green entries
 #               (registry order: the head of _COHORT_NEW_R10).
 _COHORT_NEW_R10 = [
     "packing_efficiency",

@@ -27,6 +27,35 @@ def test_cohort_arithmetic():
     assert E._WINDOW_R11 == E._COHORT_NEW_R10 + E._COHORT_R5_GREEN[:11]
     assert E._STAGED_R12 == E._COHORT_R5_GREEN[11:] + E._COHORT_NEW_R11
     assert len(E._COHORT_R5_GREEN[11:]) == 26
+    # The staging comment above _COHORT_NEW_R10 quotes these totals; if a
+    # late-round entry lands in _COHORT_NEW_R11, update BOTH the list and
+    # the comment, then this pin.
+    assert len(E._COHORT_NEW_R11) == 21
+    assert len(E._STAGED_R12) == 47
+
+
+def test_staging_comment_matches_lists():
+    """The r9/r10/r11 ADVICE class, closed mechanically: regex-parse the
+    numbers quoted in the staging comment and compare them to the actual
+    cohort arithmetic, so a late-round cohort addition that skips the
+    comment fails here instead of mis-driving the next rotation."""
+    import re
+
+    src = open(E.__file__).read()
+    m = re.search(
+        r"_COHORT_NEW_R11 \(the (\d+) entries added in round 11,\s*#\s*"
+        r"zero driver signal\)\.\s+(\d+) \+ (\d+) = (\d+) < 50.*?"
+        r"50 slots with the (\d+) stalest",
+        src,
+        re.S,
+    )
+    assert m, "staging comment not found or reworded — keep it parseable"
+    n_new, a, b, tot, fill = map(int, m.groups())
+    assert n_new == len(E._COHORT_NEW_R11)
+    assert a == len(E._COHORT_R5_GREEN) - 11
+    assert b == len(E._COHORT_NEW_R11)
+    assert tot == a + b == len(E._STAGED_R12)
+    assert fill == 50 - tot
 
 
 def test_no_duplicates_across_cohorts():
