@@ -2654,6 +2654,40 @@ def _q_streaming_g711(spark, sf_dir):
     return MM.g711_from_partials(parts)
 
 
+def _q_lz4_shard_stats(spark, sf_dir):
+    """The codec-oracle protocol applied to a COMPRESSION format:
+    every document's text is LZ4-framed worker-side (both block-
+    checksum paths), decoded back through the pure-Python codec pinned
+    bidirectionally against liblz4.so.1 (block + frame + xxh32,
+    tests/test_lz4_crossdecode.py), and folded to per-shard counters
+    whose oracle reads the SAME stats straight off documents.text —
+    including a decoded-content-sensitive letter count a wrong decode
+    cannot reproduce."""
+    from inception_spark.sources.lz4shard import lz4_shard_stats
+
+    _ensure_workers_can_import(spark)
+    return lz4_shard_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_lz4_shard(spark, sf_dir):
+    """The LZ4 ingest rollup maintained LIVE: per-shard counters from
+    REAL frame decodes re-merge exactly across micro-batches (pure
+    sums).  Shares the batch oracle."""
+    from inception_spark.sources.lz4shard import (
+        lz4_from_partials,
+        lz4_partials,
+        synth_lz4_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_lz4_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, lz4_partials)
+    return lz4_from_partials(parts)
+
+
 def _q_tiff_pixel_stats(spark, sf_dir):
     """The image_pixel_stats decode round-trip applied to the strip
     TIFF codec (operators/tiff.py, libtiff-cross-validated): every
@@ -6202,6 +6236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_pixel_stats": _q_tiff_pixel_stats,
         "g711_audio_stats": _q_g711_audio_stats,
         "streaming_g711": _q_streaming_g711,
+        "lz4_shard_stats": _q_lz4_shard_stats,
+        "streaming_lz4_shard": _q_streaming_lz4_shard,
         "trimmed_stats": _q_trimmed_stats,
         "degree_powerlaw": _q_degree_powerlaw,
         "rake_keywords": _q_rake_keywords,
@@ -6475,10 +6511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
 #               last driver green was round 5, in cohort order.
 #   staged r12  the remaining 26 of _COHORT_R5_GREEN, then
-#               _COHORT_NEW_R11 (the 21 entries added in round 11,
-#               zero driver signal).  26 + 21 = 47 < 50, so BOTH
+#               _COHORT_NEW_R11 (the 23 entries added in round 11,
+#               zero driver signal).  26 + 23 = 49 < 50, so BOTH
 #               cohorts fit inside the next window; r12 completes its
-#               50 slots with the 3 stalest r10-green entries
+#               50 slots with the 1 stalest r10-green entries
 #               (registry order: the head of _COHORT_NEW_R10).
 _COHORT_NEW_R10 = [
     "packing_efficiency",
@@ -6587,12 +6623,32 @@ _COHORT_NEW_R11 = [
     "g711_audio_stats",
     "streaming_g711",
     "streaming_hilbert_gate",
+    "lz4_shard_stats",
+    "streaming_lz4_shard",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
 _STAGED_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11
 
 
+
+#: lz4_shard_stats + its live twin: the frame round-trip is proven by
+#: reading the SAME stats straight off documents.text — strlen is
+#: BYTES in DuckDB (= len of the decoded UTF-8), and the 'e' count is
+#: byte-safe because 0x65 never occurs in a UTF-8 continuation byte
+_LZ4_SHARD_ORACLE = """
+SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS decoded_bytes,
+       CAST(SUM(strlen(text) - strlen(replace(text, 'e', '')))
+            AS BIGINT) AS n_e,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_block_checksummed
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
 
 #: shared by tar_shard_stats and zip_shard_stats — both fixtures pack
 #: the same (txt, cls) members per document, so the member totals are
@@ -7340,6 +7396,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
 """,
         "tar_shard_stats": _SHARD_STATS_ORACLE,
         "zip_shard_stats": _SHARD_STATS_ORACLE,
+        "lz4_shard_stats": _LZ4_SHARD_ORACLE,
+        "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "compaction_plan_stats": """
 WITH l AS (
   SELECT (doc_id * 9176 + n_chars * 131) % 262144 AS bytes
