@@ -1,0 +1,758 @@
+"""Pure-Python Zstandard frame DECODER (RFC 8878) plus a store-mode
+encoder, cross-validated against the system ``libzstd.so.1`` (the
+liblz4/libjpeg/giflib protocol applied to the data-lake default codec).
+
+Why an engine needs this: zstd is the dominant shard/object codec in
+modern corpora (.zst WET dumps, tar.zst shards, zstd-framed blobs),
+and — exactly like LZ4 — a 1000-executor ingest cannot assume a
+``zstandard`` Python binding on every worker image.  Parquet-internal
+zstd stays on Spark's JVM path; this module is for RAW ``.zst``
+payload columns and shard members.
+
+Scope (everything libzstd emits for single-segment frames, i.e. the
+full stationary format):
+
+* frame header: all Frame_Content_Size formats, single-segment or
+  windowed, dictionary-ID parsing (content-keyed dicts rejected
+  honestly), xxh64 content checksum, skippable frames;
+* blocks: raw, RLE, compressed;
+* literals: raw, RLE, Huffman-compressed (direct 4-bit weights AND
+  FSE-compressed weights) in 1-stream and 4-stream layouts, plus
+  treeless (repeat-table) blocks;
+* sequences: predefined / RLE / FSE-compressed / repeat table modes
+  for all three channels (LL, OF, ML), full repeat-offset history
+  semantics including the literals_length == 0 shift.
+
+The decoder is a transcription of RFC 8878; transcriptions carry
+silent-divergence risk, so ``tests/test_zstd_crossdecode.py`` pins it
+differentially against libzstd across compression levels 1-19 (which
+shift the literal/sequence mode mix), sizes, and content classes, and
+pins our store-mode frames under ``ZSTD_decompress``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "ZstdFormatError",
+    "xxh64",
+    "decode_zstd_frame",
+    "encode_zstd_store",
+]
+
+
+class ZstdFormatError(ValueError):
+    """Malformed or unsupported zstd payload."""
+
+
+# ---------------------------------------------------------------------------
+# xxHash64 — the frame content checksum (low 32 bits are stored).
+# ---------------------------------------------------------------------------
+
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_round(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _P64_2) & _M64, 31) * _P64_1) & _M64
+
+
+def _xxh64_merge(acc: int, val: int) -> int:
+    acc ^= _xxh64_round(0, val)
+    return (acc * _P64_1 + _P64_4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 — pinned against the published vectors in tests."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        limit = n - 32
+        while pos <= limit:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, pos)
+            v1 = _xxh64_round(v1, l1)
+            v2 = _xxh64_round(v2, l2)
+            v3 = _xxh64_round(v3, l3)
+            v4 = _xxh64_round(v4, l4)
+            pos += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        h = _xxh64_merge(h, v1)
+        h = _xxh64_merge(h, v2)
+        h = _xxh64_merge(h, v3)
+        h = _xxh64_merge(h, v4)
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        h = (_rotl64(h ^ _xxh64_round(0, lane), 27) * _P64_1 + _P64_4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        h = (_rotl64(h ^ (lane * _P64_1) & _M64, 23) * _P64_2 + _P64_3) & _M64
+        pos += 4
+    while pos < n:
+        h = (_rotl64(h ^ (data[pos] * _P64_5) & _M64, 11) * _P64_1) & _M64
+        pos += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Backward bitstream — FSE/Huffman payloads are read from the END of
+# their buffer toward the start, with a 1-bit sentinel padding the
+# final byte (RFC 8878 §4.1).
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    __slots__ = ("acc", "navail", "deficit")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ZstdFormatError("empty bitstream")
+        # bit-reading proceeds from the LAST byte's high bits downward,
+        # so the last byte must sit at the top of the accumulator:
+        acc = int.from_bytes(data, "little")
+        nbits = 8 * len(data)
+        top = data[-1]
+        if top == 0:
+            raise ZstdFormatError("bitstream sentinel missing")
+        nbits -= 8 - top.bit_length() + 1  # strip padding + sentinel bit
+        self.acc = acc & ((1 << nbits) - 1) if nbits else 0
+        self.navail = nbits
+        self.deficit = 0  # bits read past the start (zero-filled)
+
+    def read(self, nbits: int) -> int:
+        """Read ``nbits`` from the stream's current position.  Reading
+        past the start zero-fills and records the deficit (the Huffman
+        weight loop's termination condition; anywhere else a deficit
+        is a format error the caller checks)."""
+        if nbits == 0:
+            return 0
+        if nbits > self.navail:
+            pad = nbits - self.navail
+            val = self.acc << pad
+            self.acc = 0
+            self.navail = 0
+            self.deficit += pad
+            return val & ((1 << nbits) - 1)
+        self.navail -= nbits
+        val = self.acc >> self.navail
+        self.acc &= (1 << self.navail) - 1
+        return val
+
+    def peek(self, nbits: int) -> int:
+        """Peek ``nbits`` (zero-filled past the start), don't consume."""
+        if nbits <= self.navail:
+            return self.acc >> (self.navail - nbits)
+        return (self.acc << (nbits - self.navail)) & ((1 << nbits) - 1)
+
+    def skip(self, nbits: int) -> None:
+        if nbits > self.navail:
+            self.deficit += nbits - self.navail
+            self.acc = 0
+            self.navail = 0
+            return
+        self.navail -= nbits
+        self.acc &= (1 << self.navail) - 1
+
+
+# ---------------------------------------------------------------------------
+# FSE — table description parsing + decode-table construction
+# (RFC 8878 §4.1.1).
+# ---------------------------------------------------------------------------
+
+
+def _read_fse_distribution(
+    data: bytes, pos: int, max_accuracy: int
+) -> tuple[list[int], int, int]:
+    """Parse an FSE table description starting at byte ``pos``.
+    Returns (normalized_counts, accuracy_log, new_pos)."""
+    bitpos = pos * 8
+
+    def _peek(nbits: int) -> int:
+        byte0 = bitpos >> 3
+        shift = bitpos & 7
+        window = int.from_bytes(
+            data[byte0 : byte0 + 3].ljust(3, b"\0"), "little"
+        )
+        return (window >> shift) & ((1 << nbits) - 1)
+
+    acc = _peek(4) + 5
+    bitpos += 4
+    if acc > max_accuracy:
+        raise ZstdFormatError(f"FSE accuracy {acc} > max {max_accuracy}")
+    remaining = 1 << acc
+    counts: list[int] = []
+    while remaining > 0:
+        nbits = (remaining + 1).bit_length()  # bits to code 0..remaining+1
+        val = _peek(nbits)
+        low_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - (remaining + 1)
+        if (val & low_mask) < threshold:
+            val &= low_mask
+            bitpos += nbits - 1
+        else:
+            if val >= (1 << (nbits - 1)):
+                val -= threshold
+            bitpos += nbits
+        count = val - 1  # -1 encodes "less-than-one probability"
+        counts.append(count)
+        remaining -= abs(count) if count < 0 else count
+        if count == 0:
+            # zero-probability run: 2-bit repeat counts
+            while True:
+                rep = _peek(2)
+                bitpos += 2
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining < 0:
+        raise ZstdFormatError("FSE distribution exceeds table size")
+    new_pos = (bitpos + 7) >> 3
+    return counts, acc, new_pos
+
+
+class _FseTable:
+    __slots__ = ("symbol", "nbits", "base", "acc")
+
+    def __init__(self, counts: list[int], acc: int):
+        size = 1 << acc
+        self.acc = acc
+        self.symbol = [0] * size
+        self.nbits = [0] * size
+        self.base = [0] * size
+        # less-than-one symbols take single cells from the table END
+        high = size - 1
+        for s, c in enumerate(counts):
+            if c == -1:
+                self.symbol[high] = s
+                high -= 1
+        # spread the positive-probability symbols
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        position = 0
+        for s, c in enumerate(counts):
+            for _ in range(max(c, 0)):
+                self.symbol[position] = s
+                position = (position + step) & mask
+                while position > high:
+                    position = (position + step) & mask
+        if position != 0:
+            raise ZstdFormatError("FSE table spread did not close")
+        # per-cell transition: the reference construction — walk cells
+        # in increasing index; each symbol's running occurrence counter
+        # starts at its count, and
+        #   nbits = acc - floor(log2(counter)),
+        #   base  = (counter << nbits) - size
+        state_desc = [max(c, 0) if c != -1 else 1 for c in counts]
+        for i in range(size):
+            s = self.symbol[i]
+            d = state_desc[s]
+            state_desc[s] += 1
+            nb = acc - (d.bit_length() - 1)
+            self.nbits[i] = nb
+            self.base[i] = (d << nb) - size
+
+
+def _fse_from_rle(symbol: int) -> "_FseTable":
+    t = _FseTable.__new__(_FseTable)
+    t.acc = 0
+    t.symbol = [symbol]
+    t.nbits = [0]
+    t.base = [0]
+    return t
+
+
+# Predefined distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULTS = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULTS = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2] + [1] * 37 + [-1] * 7,
+    6,
+)
+_OF_DEFAULTS = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+# Baseline/extra-bit tables (RFC 8878 §3.1.1.3.2.1.1)
+_LL_BASE = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+            18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+            2048, 4096, 8192, 16384, 32768, 65536]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+                       12, 13, 14, 15, 16]
+_ML_BASE = [x + 3 for x in range(32)] + [35, 37, 39, 41, 43, 47, 51, 59,
+            67, 83, 99, 131, 259, 515, 1027, 2051, 4099, 8195, 16387,
+            32771, 65539]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals
+# ---------------------------------------------------------------------------
+
+
+class _HufTable:
+    __slots__ = ("symbol", "nbits", "max_bits")
+
+    def __init__(self, weights: list[int]):
+        # weights include the implied last symbol already; Kraft:
+        # sum of 2^(w-1) == 2^max_bits exactly
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total <= 0 or total & (total - 1):
+            raise ZstdFormatError("Huffman weights do not sum to a power of 2")
+        max_bits = total.bit_length() - 1
+        self.max_bits = max_bits
+        size = 1 << max_bits
+        self.symbol = bytearray(size)
+        self.nbits = bytearray(size)
+        # fill from weight 1 (longest codes) upward, symbols in
+        # ascending order within a weight (RFC §4.2.1)
+        pos = 0
+        for w in range(1, max_bits + 1):
+            for sym, sw in enumerate(weights):
+                if sw != w:
+                    continue
+                nb = max_bits + 1 - w
+                span = 1 << (max_bits - nb)
+                for i in range(pos, pos + span):
+                    self.symbol[i] = sym
+                    self.nbits[i] = nb
+                pos += span
+        if pos != size:
+            raise ZstdFormatError("Huffman table underfilled")
+
+
+def _read_huffman_weights(data: bytes, pos: int) -> tuple[list[int], int]:
+    hbyte = data[pos]
+    pos += 1
+    if hbyte >= 128:  # direct representation: 4-bit weights
+        n = hbyte - 127
+        raw = data[pos : pos + (n + 1) // 2]
+        pos += (n + 1) // 2
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+    else:  # FSE-compressed weights: two interleaved states
+        comp = data[pos : pos + hbyte]
+        pos += hbyte
+        counts, acc, hdr_end = _read_fse_distribution(comp, 0, 6)
+        table = _FseTable(counts, acc)
+        bits = _BackBits(comp[hdr_end:])
+        s1 = bits.read(acc)
+        s2 = bits.read(acc)
+        if bits.deficit:
+            raise ZstdFormatError("weight bitstream shorter than two states")
+        weights = []
+        while True:
+            weights.append(table.symbol[s1])
+            s1 = table.base[s1] + bits.read(table.nbits[s1])
+            if bits.deficit:  # s1's update over-read: s2 emits last
+                weights.append(table.symbol[s2])
+                break
+            weights.append(table.symbol[s2])
+            s2 = table.base[s2] + bits.read(table.nbits[s2])
+            if bits.deficit:  # s2's update over-read: s1 emits last
+                weights.append(table.symbol[s1])
+                break
+            if len(weights) > 255:
+                raise ZstdFormatError("more than 255 Huffman weights")
+    # the final symbol's weight is implied: it completes the sum of
+    # 2^(w-1) to the next power of two
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdFormatError("empty Huffman weight set")
+    next_pow = 1 << (total - 1).bit_length()
+    if next_pow == total:
+        next_pow *= 2
+    rest = next_pow - total
+    if rest & (rest - 1):
+        raise ZstdFormatError("invalid implied Huffman weight")
+    weights.append(rest.bit_length())  # rest == 2**(w-1)
+    return weights, pos
+
+
+def _huf_decode_stream(table: _HufTable, data: bytes, out_len: int) -> bytes:
+    bits = _BackBits(data)
+    out = bytearray()
+    mb = table.max_bits
+    symbol, nbits, peek, skip = table.symbol, table.nbits, bits.peek, bits.skip
+    for _ in range(out_len):
+        idx = peek(mb)
+        out.append(symbol[idx])
+        skip(nbits[idx])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Frame decoding
+# ---------------------------------------------------------------------------
+
+_ZSTD_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50
+_SKIP_MAGIC_HI = 0x184D2A5F
+
+
+def decode_zstd_frame(data: bytes, *, max_output: int = 1 << 31) -> bytes:
+    """Decode a zstd payload: any number of skippable frames plus one
+    or more standard frames, concatenated (the ``zstd`` CLI contract).
+    Dictionary-compressed frames raise (no dict plumbing here)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    if n == 0:
+        raise ZstdFormatError("empty payload")
+    while pos < n:
+        if pos + 4 > n:
+            raise ZstdFormatError("truncated frame magic")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if _SKIP_MAGIC_LO <= magic <= _SKIP_MAGIC_HI:
+            if pos + 8 > n:
+                raise ZstdFormatError("truncated skippable frame")
+            (sz,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + sz
+            continue
+        if magic != _ZSTD_MAGIC:
+            raise ZstdFormatError(f"bad magic 0x{magic:08X}")
+        pos = _decode_one_frame(data, pos + 4, out, max_output)
+    return bytes(out)
+
+
+def _decode_one_frame(
+    data: bytes, pos: int, out: bytearray, max_output: int
+) -> int:
+    fhd = data[pos]
+    pos += 1
+    fcs_flag = fhd >> 6
+    single_segment = bool(fhd & 0x20)
+    if fhd & 0x08:
+        raise ZstdFormatError("reserved frame header bit set")
+    checksum = bool(fhd & 0x04)
+    did_flag = fhd & 0x03
+    if not single_segment:
+        pos += 1  # window descriptor — informational for a full buffer
+    did_len = (0, 1, 2, 4)[did_flag]
+    if did_len:
+        did = int.from_bytes(data[pos : pos + did_len], "little")
+        pos += did_len
+        if did != 0:
+            raise ZstdFormatError("dictionary-compressed frame (unsupported)")
+    fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    content_size = None
+    if fcs_len:
+        content_size = int.from_bytes(data[pos : pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+        pos += fcs_len
+    frame_start = len(out)
+    # repeat-offset history is per frame
+    rep = [1, 4, 8]
+    huf_table: _HufTable | None = None
+    fse_tables: dict[str, _FseTable | None] = {
+        "ll": None, "of": None, "ml": None
+    }
+    while True:
+        if pos + 3 > len(data):
+            raise ZstdFormatError("truncated block header")
+        bh = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:  # raw
+            out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            out += data[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 2:
+            block = data[pos : pos + bsize]
+            pos += bsize
+            huf_table = _decode_compressed_block(
+                block, out, rep, huf_table, fse_tables, frame_start
+            )
+        else:
+            raise ZstdFormatError("reserved block type")
+        if len(out) - frame_start > max_output:
+            raise ZstdFormatError("output exceeds max_output")
+        if last:
+            break
+    if checksum:
+        if pos + 4 > len(data):
+            raise ZstdFormatError("truncated content checksum")
+        (want,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+        if got != want:
+            raise ZstdFormatError("content checksum mismatch")
+    if content_size is not None and len(out) - frame_start != content_size:
+        raise ZstdFormatError("frame content size mismatch")
+    return pos
+
+
+def _decode_compressed_block(
+    block: bytes,
+    out: bytearray,
+    rep: list[int],
+    huf_prev: "_HufTable | None",
+    fse_prev: dict,
+    frame_start: int,
+) -> "_HufTable | None":
+    # ---- literals section
+    lh0 = block[0]
+    lit_type = lh0 & 3
+    size_fmt = (lh0 >> 2) & 3
+    pos = 0
+    if lit_type in (0, 1):  # raw / RLE
+        if size_fmt in (0, 2):
+            regen = lh0 >> 3
+            pos = 1
+        elif size_fmt == 1:
+            regen = (int.from_bytes(block[0:2], "little")) >> 4
+            pos = 2
+        else:
+            regen = (int.from_bytes(block[0:3], "little")) >> 4
+            pos = 3
+        if lit_type == 0:
+            literals = block[pos : pos + regen]
+            pos += regen
+        else:
+            literals = block[pos : pos + 1] * regen
+            pos += 1
+        huf_table = huf_prev
+    else:  # compressed (2) / treeless (3)
+        if size_fmt == 0:
+            v = int.from_bytes(block[0:3], "little")
+            regen = (v >> 4) & 0x3FF
+            comp = (v >> 14) & 0x3FF
+            pos = 3
+            streams = 1
+        elif size_fmt == 1:
+            v = int.from_bytes(block[0:3], "little")
+            regen = (v >> 4) & 0x3FF
+            comp = (v >> 14) & 0x3FF
+            pos = 3
+            streams = 4
+        elif size_fmt == 2:
+            v = int.from_bytes(block[0:4], "little")
+            regen = (v >> 4) & 0x3FFF
+            comp = (v >> 18) & 0x3FFF
+            pos = 4
+            streams = 4
+        else:
+            v = int.from_bytes(block[0:5], "little")
+            regen = (v >> 4) & 0x3FFFF
+            comp = (v >> 22) & 0x3FFFF
+            pos = 5
+            streams = 4
+        section = block[pos : pos + comp]
+        pos += comp
+        spos = 0
+        if lit_type == 2:
+            weights, spos = _read_huffman_weights(section, 0)
+            huf_table = _HufTable(weights)
+        else:
+            if huf_prev is None:
+                raise ZstdFormatError("treeless literals without prior table")
+            huf_table = huf_prev
+        payload = section[spos:]
+        if streams == 1:
+            literals = _huf_decode_stream(huf_table, payload, regen)
+        else:
+            s1, s2, s3 = struct.unpack_from("<HHH", payload, 0)
+            body = payload[6:]
+            szs = [s1, s2, s3, len(body) - s1 - s2 - s3]
+            if szs[3] < 0:
+                raise ZstdFormatError("bad 4-stream jump table")
+            outs = []
+            off = 0
+            per = (regen + 3) // 4
+            lens = [per, per, per, regen - 3 * per]
+            for i in range(4):
+                outs.append(
+                    _huf_decode_stream(
+                        huf_table, body[off : off + szs[i]], lens[i]
+                    )
+                )
+                off += szs[i]
+            literals = b"".join(outs)
+    if len(literals) != regen:
+        raise ZstdFormatError("literal section produced wrong length")
+    # ---- sequences section
+    seq = block[pos:]
+    if not seq:
+        raise ZstdFormatError("missing sequences section")
+    b0 = seq[0]
+    if b0 < 128:
+        nseq = b0
+        spos = 1
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) + seq[1]
+        spos = 2
+    else:
+        nseq = seq[1] + (seq[2] << 8) + 0x7F00
+        spos = 3
+    if nseq == 0:
+        out += literals
+        return huf_table
+    modes = seq[spos]
+    spos += 1
+    if modes & 3:
+        raise ZstdFormatError("reserved sequence mode bits set")
+    tables = {}
+    for name, shift, maxacc, defaults, nsyms in (
+        ("ll", 6, 9, _LL_DEFAULTS, 36),
+        ("of", 4, 8, _OF_DEFAULTS, 32),
+        ("ml", 2, 9, _ML_DEFAULTS, 53),
+    ):
+        mode = (modes >> shift) & 3
+        if mode == 0:
+            tables[name] = _FseTable(*defaults)
+        elif mode == 1:
+            sym = seq[spos]
+            spos += 1
+            if sym >= nsyms:
+                raise ZstdFormatError(f"RLE symbol out of range for {name}")
+            tables[name] = _fse_from_rle(sym)
+        elif mode == 2:
+            counts, acc, spos = _read_fse_distribution(seq, spos, maxacc)
+            tables[name] = _FseTable(counts, acc)
+        else:
+            prev = fse_prev.get(name)
+            if prev is None:
+                raise ZstdFormatError(f"repeat FSE mode without prior {name}")
+            tables[name] = prev
+    fse_prev.update(tables)
+    bits = _BackBits(seq[spos:])
+    ll_t, of_t, ml_t = tables["ll"], tables["of"], tables["ml"]
+    ll_state = bits.read(ll_t.acc)
+    of_state = bits.read(of_t.acc)
+    ml_state = bits.read(ml_t.acc)
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_t.symbol[of_state]
+        ml_code = ml_t.symbol[ml_state]
+        ll_code = ll_t.symbol[ll_state]
+        offset_val = (1 << of_code) + bits.read(of_code)
+        match_len = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        lit_len = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        # repeat-offset resolution
+        if offset_val > 3:
+            offset = offset_val - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = offset_val - 1
+            if lit_len == 0:
+                idx += 1
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # idx == 3: rep[0] - 1 special case
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ZstdFormatError("zero repeat offset")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        out += literals[lit_pos : lit_pos + lit_len]
+        lit_pos += lit_len
+        if offset > len(out) - frame_start:
+            raise ZstdFormatError("match offset outside window")
+        start = len(out) - offset
+        if offset >= match_len:
+            out += out[start : start + match_len]
+        else:
+            for j in range(match_len):
+                out.append(out[start + j])
+        if i < nseq - 1:
+            ll_state = ll_t.base[ll_state] + bits.read(ll_t.nbits[ll_state])
+            ml_state = ml_t.base[ml_state] + bits.read(ml_t.nbits[ml_state])
+            of_state = of_t.base[of_state] + bits.read(of_t.nbits[of_state])
+    out += literals[lit_pos:]
+    return huf_table
+
+
+# ---------------------------------------------------------------------------
+# Store-mode encoder — raw/RLE blocks only, always a valid frame
+# (the "ours → libzstd" direction of the cross-check).
+# ---------------------------------------------------------------------------
+
+
+def encode_zstd_store(data: bytes, *, checksum: bool = True) -> bytes:
+    """Emit a valid single-segment zstd frame using raw blocks (RLE
+    where a block is one repeated byte).  No entropy coding — this is
+    the fixture/fallback writer, not a compressor."""
+    out = bytearray(struct.pack("<I", _ZSTD_MAGIC))
+    n = len(data)
+    # single-segment, FCS present, optional checksum
+    if n < 256 and n != 0:
+        fhd = 0x20 | (0 << 6)
+        fcs = struct.pack("<B", n)
+    elif n <= 0xFFFF + 256 and n >= 256:
+        fhd = 0x20 | (1 << 6)
+        fcs = struct.pack("<H", n - 256)
+    else:
+        fhd = 0x20 | (2 << 6)
+        fcs = struct.pack("<I", n)
+    if checksum:
+        fhd |= 0x04
+    out.append(fhd)
+    out += fcs
+    block_max = 1 << 17  # the 128 KiB block ceiling
+    if n == 0:
+        # a single empty raw last block
+        out += (0 << 3 | 0 << 1 | 1).to_bytes(3, "little")
+    else:
+        off = 0
+        while off < n:
+            chunk = data[off : off + block_max]
+            off += len(chunk)
+            last = 1 if off >= n else 0
+            if len(chunk) > 1 and chunk.count(chunk[0]) == len(chunk):
+                bh = (len(chunk) << 3) | (1 << 1) | last
+                out += bh.to_bytes(3, "little")
+                out.append(chunk[0])
+            else:
+                bh = (len(chunk) << 3) | (0 << 1) | last
+                out += bh.to_bytes(3, "little")
+                out += chunk
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
