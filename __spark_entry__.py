@@ -2688,6 +2688,41 @@ def _q_streaming_lz4_shard(spark, sf_dir):
     return lz4_from_partials(parts)
 
 
+def _q_zstd_shard_stats(spark, sf_dir):
+    """The codec-oracle protocol applied to the data-lake default
+    codec: every document's text is zstd-compressed worker-side with
+    the REAL libzstd at levels 1/19 (full Huffman/FSE entropy path;
+    store-mode frames where the lib is absent), decoded back through
+    the pure-Python RFC 8878 transcription — cross-validated against
+    libzstd cell-for-cell in tests/test_zstd_crossdecode.py — and
+    folded to per-shard counters whose oracle reads the SAME stats
+    (including a decoded-content-sensitive letter count) straight off
+    documents.text."""
+    from inception_spark.sources.zstdshard import zstd_shard_stats
+
+    _ensure_workers_can_import(spark)
+    return zstd_shard_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_zstd_shard(spark, sf_dir):
+    """The zstd ingest rollup maintained LIVE: per-shard counters from
+    REAL frame decodes re-merge exactly across micro-batches (pure
+    sums).  Shares the batch oracle."""
+    from inception_spark.sources.zstdshard import (
+        synth_zstd_corpus,
+        zstd_from_partials,
+        zstd_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_zstd_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, zstd_partials)
+    return zstd_from_partials(parts)
+
+
 def _q_tiff_pixel_stats(spark, sf_dir):
     """The image_pixel_stats decode round-trip applied to the strip
     TIFF codec (operators/tiff.py, libtiff-cross-validated): every
@@ -6238,6 +6273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_g711": _q_streaming_g711,
         "lz4_shard_stats": _q_lz4_shard_stats,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
+        "zstd_shard_stats": _q_zstd_shard_stats,
+        "streaming_zstd_shard": _q_streaming_zstd_shard,
         "trimmed_stats": _q_trimmed_stats,
         "degree_powerlaw": _q_degree_powerlaw,
         "rake_keywords": _q_rake_keywords,
@@ -6510,12 +6547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #               signal; all green in the r10 judge's 326/326 sweep).
 #   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
 #               last driver green was round 5, in cohort order.
-#   staged r12  the remaining 26 of _COHORT_R5_GREEN, then
-#               _COHORT_NEW_R11 (the 23 entries added in round 11,
-#               zero driver signal).  26 + 23 = 49 < 50, so BOTH
-#               cohorts fit inside the next window; r12 completes its
-#               50 slots with the 1 stalest r10-green entries
-#               (registry order: the head of _COHORT_NEW_R10).
+#   staged r12  the remaining 26 of _COHORT_R5_GREEN, then the first
+#               24 of _COHORT_NEW_R11 (the 25 entries added in round
+#               11, zero driver signal).  26 + 24 = 50 fills the r12
+#               window exactly; the 1 remaining new-in-r11 entry
+#               stages as the r13 head.
 _COHORT_NEW_R10 = [
     "packing_efficiency",
     "ivm_join_rollup",
@@ -6625,6 +6661,8 @@ _COHORT_NEW_R11 = [
     "streaming_hilbert_gate",
     "lz4_shard_stats",
     "streaming_lz4_shard",
+    "zstd_shard_stats",
+    "streaming_zstd_shard",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -6644,6 +6682,23 @@ SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
             AS BIGINT) AS n_e,
        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_block_checksummed
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+#: zstd_shard_stats + its live twin: same discipline as the LZ4
+#: oracle — strlen is BYTES in DuckDB, 0x61 never occurs in a UTF-8
+#: continuation byte, and hi_level mirrors the synthesis rule
+_ZSTD_SHARD_ORACLE = """
+SELECT CAST(doc_id % 5 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS decoded_bytes,
+       CAST(SUM(strlen(text) - strlen(replace(text, 'a', '')))
+            AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hi_level
 FROM documents
 WHERE text IS NOT NULL
 GROUP BY 1
@@ -7398,6 +7453,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "zip_shard_stats": _SHARD_STATS_ORACLE,
         "lz4_shard_stats": _LZ4_SHARD_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
+        "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
+        "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
         "compaction_plan_stats": """
 WITH l AS (
   SELECT (doc_id * 9176 + n_chars * 131) % 262144 AS bytes

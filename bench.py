@@ -306,9 +306,12 @@ HEADLINE = [
     "hilbert_key",
     # r11 final: G.711 decode round-trip (RIFF walk + integer expanders)
     "g711_audio_stats",
-    # r11 coda: LZ4 frame encode+decode round-trip over every document's
-    # text (pure-Python codec — the measured cost of binding-free ingest)
+    # r11 coda: LZ4 and zstd frame decode round-trips over every
+    # document's text (pure-Python codecs — the measured cost of
+    # binding-free ingest; zstd compresses with the real libzstd, so
+    # the decode path walks real Huffman/FSE entropy tables)
     "lz4_shard_stats",
+    "zstd_shard_stats",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every

@@ -1,0 +1,178 @@
+"""Zstd-framed payload ingestion — the data-lake default codec decoded
+worker-side with the RFC 8878 transcription in
+:mod:`inception_spark.operators.zstdcodec` (cross-validated against
+libzstd in ``tests/test_zstd_crossdecode.py``).
+
+The corpus synthesis intentionally uses the REAL libzstd (via ctypes,
+loaded once per executor) when the library is present: the payloads
+then exercise the full entropy path — Huffman literals, FSE sequence
+tables, repeat offsets — not just the store-mode subset our own
+encoder emits.  Where libzstd is absent the synthesis falls back to
+:func:`encode_zstd_store` (still a valid frame; the decode path and
+the oracle are unchanged).
+
+Spark shape (the lz4shard discipline): corpus synthesized worker-side
+from the documents table, decode + per-row reduction fused in one
+Arrow batch pass, final tiny groupBy on the shard key.  At 100 TB the
+decode is embarrassingly parallel per row and the 128 KiB block
+ceiling bounds per-member transient memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inception_spark.operators.zstdcodec import (
+    decode_zstd_frame,
+    encode_zstd_store,
+)
+
+_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("shard", T.LongType(), False),
+        T.StructField("hi_level", T.BooleanType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _libzstd():
+    """Executor-cached libzstd handle, or None where absent."""
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        try:
+            import ctypes
+
+            z = ctypes.CDLL("libzstd.so.1")
+            z.ZSTD_compress.restype = ctypes.c_size_t
+            z.ZSTD_compressBound.restype = ctypes.c_size_t
+            z.ZSTD_isError.restype = ctypes.c_uint
+            _LIB = z
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def _compress(text: bytes, level: int) -> bytes:
+    z = _libzstd()
+    if z is None:
+        return encode_zstd_store(text)
+    import ctypes
+
+    cap = z.ZSTD_compressBound(len(text))
+    dst = ctypes.create_string_buffer(cap)
+    n = z.ZSTD_compress(dst, cap, text, len(text), level)
+    if z.ZSTD_isError(n):
+        raise RuntimeError("libzstd compression failed")
+    return dst.raw[:n]
+
+
+def synth_zstd_corpus(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic per-document zstd frame of the UTF-8 text: level
+    19 on doc_id % 3 == 0 (denser entropy tables), level 1 otherwise;
+    shard = doc_id mod 5.  Worker-side synthesis, libzstd preferred,
+    store-mode fallback."""
+    src = docs.select(id_col, text_col).where(F.col(text_col).isNotNull())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            his, payloads = [], []
+            for i, t in zip(ids, pdf[text_col]):
+                hi = int(i) % 3 == 0
+                payloads.append(
+                    _compress(str(t).encode("utf-8"), 19 if hi else 1)
+                )
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.to_numpy(),
+                    "shard": (ids % 5).to_numpy(),
+                    "hi_level": his,
+                    "payload": payloads,
+                }
+            )
+
+    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("decoded_bytes", T.LongType(), False),
+        T.StructField("n_a", T.LongType(), False),
+        T.StructField("n_hi_level", T.LongType(), False),
+    ]
+)
+
+
+def _decode_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode one Arrow batch of zstd frames and fold to per-shard
+    counters.  ``n_a`` counts the letter 'a' in the DECODED bytes — a
+    value only a correct decode can produce."""
+    for pdf in batches:
+        rows: dict[int, list[int]] = {}
+        for sh, hi, p in zip(pdf["shard"], pdf["hi_level"], pdf["payload"]):
+            decoded = decode_zstd_frame(bytes(p))
+            acc = rows.setdefault(int(sh), [0, 0, 0, 0])
+            acc[0] += 1
+            acc[1] += len(decoded)
+            acc[2] += decoded.count(b"a")
+            acc[3] += int(bool(hi))
+        if rows:
+            yield pd.DataFrame(
+                [
+                    {
+                        "shard": sh,
+                        "n_docs": a[0],
+                        "decoded_bytes": a[1],
+                        "n_a": a[2],
+                        "n_hi_level": a[3],
+                    }
+                    for sh, a in rows.items()
+                ]
+            )
+
+
+def zstd_partials(corpus: DataFrame) -> DataFrame:
+    """Mergeable per-shard counters from REAL frame decodes of one
+    batch — pure sums, any micro-batching re-merges exactly."""
+    return corpus.mapInPandas(_decode_reduce, _PARTIAL_SCHEMA)
+
+
+def zstd_from_partials(parts: DataFrame) -> DataFrame:
+    """Re-merge (possibly duplicated per shard) partial counters."""
+    return (
+        parts.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("decoded_bytes").cast("long").alias("decoded_bytes"),
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_hi_level").cast("long").alias("n_hi_level"),
+        )
+        .orderBy("shard")
+    )
+
+
+def zstd_shard_stats(docs: DataFrame) -> DataFrame:
+    """REAL zstd decode, driver-visibly oracle-checked: compress every
+    document's text worker-side (libzstd levels 1/19 where present —
+    the full Huffman/FSE path — store-mode frames otherwise), decode
+    back through the RFC 8878 transcription, and aggregate per shard.
+    The oracle computes the same stats directly from documents.text —
+    a decoder defect hash-mismatches or fails the decode outright."""
+    return zstd_from_partials(zstd_partials(synth_zstd_corpus(docs)))

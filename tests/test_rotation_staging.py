@@ -30,8 +30,8 @@ def test_cohort_arithmetic():
     # The staging comment above _COHORT_NEW_R10 quotes these totals; if a
     # late-round entry lands in _COHORT_NEW_R11, update BOTH the list and
     # the comment, then this pin.
-    assert len(E._COHORT_NEW_R11) == 23
-    assert len(E._STAGED_R12) == 49
+    assert len(E._COHORT_NEW_R11) == 25
+    assert len(E._STAGED_R12) == 51
 
 
 def test_staging_comment_matches_lists():
@@ -43,19 +43,19 @@ def test_staging_comment_matches_lists():
 
     src = open(E.__file__).read()
     m = re.search(
-        r"_COHORT_NEW_R11 \(the (\d+) entries added in round 11,\s*#\s*"
-        r"zero driver signal\)\.\s+(\d+) \+ (\d+) = (\d+) < 50.*?"
-        r"50 slots with the (\d+) stalest",
+        r"first\s*#\s+(\d+) of _COHORT_NEW_R11 \(the (\d+) entries added "
+        r"in round\s*#\s+11, zero driver signal\)\.\s+(\d+) \+ (\d+) = 50 "
+        r"fills the r12\s*#\s+window exactly; the (\d+) remaining",
         src,
         re.S,
     )
     assert m, "staging comment not found or reworded — keep it parseable"
-    n_new, a, b, tot, fill = map(int, m.groups())
+    take, n_new, a, b, rest = map(int, m.groups())
     assert n_new == len(E._COHORT_NEW_R11)
     assert a == len(E._COHORT_R5_GREEN) - 11
-    assert b == len(E._COHORT_NEW_R11)
-    assert tot == a + b == len(E._STAGED_R12)
-    assert fill == 50 - tot
+    assert b == take
+    assert a + b == 50
+    assert rest == n_new - take
 
 
 def test_no_duplicates_across_cohorts():
