@@ -2723,6 +2723,39 @@ def _q_streaming_zstd_shard(spark, sf_dir):
     return zstd_from_partials(parts)
 
 
+def _q_codec_matrix_stats(spark, sf_dir):
+    """All four binding-free decode paths (stdlib gzip, LZ4 frame,
+    Snappy block, zstd frame — each cross-validated against its
+    reference implementation in tests/) proven on the same corpus in
+    ONE mapInPandas scan; the oracle cross-joins one closed-form
+    aggregate over documents.text with the codec list, so a defect in
+    any single decoder flips exactly its own row."""
+    from inception_spark.sources.codecmatrix import codec_matrix_stats
+
+    _ensure_workers_can_import(spark)
+    return codec_matrix_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_codec_matrix(spark, sf_dir):
+    """The codec matrix maintained LIVE: per-codec counters from REAL
+    round trips re-merge exactly across micro-batches.  Shares the
+    batch oracle."""
+    from inception_spark.sources.codecmatrix import (
+        codec_matrix_from_partials,
+        codec_matrix_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    docs = _docs(spark, sf_dir)
+    parts = run_stream_batch_partials(
+        spark, docs.select("doc_id", "text"), codec_matrix_partials
+    )
+    return codec_matrix_from_partials(parts)
+
+
 def _q_tiff_pixel_stats(spark, sf_dir):
     """The image_pixel_stats decode round-trip applied to the strip
     TIFF codec (operators/tiff.py, libtiff-cross-validated): every
@@ -6275,6 +6308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
+        "codec_matrix_stats": _q_codec_matrix_stats,
+        "streaming_codec_matrix": _q_streaming_codec_matrix,
         "trimmed_stats": _q_trimmed_stats,
         "degree_powerlaw": _q_degree_powerlaw,
         "rake_keywords": _q_rake_keywords,
@@ -6548,10 +6583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
 #               last driver green was round 5, in cohort order.
 #   staged r12  the remaining 26 of _COHORT_R5_GREEN, then the first
-#               24 of _COHORT_NEW_R11 (the 25 entries added in round
+#               24 of _COHORT_NEW_R11 (the 27 entries added in round
 #               11, zero driver signal).  26 + 24 = 50 fills the r12
-#               window exactly; the 1 remaining new-in-r11 entry
-#               stages as the r13 head.
+#               window exactly; the 3 remaining new-in-r11 entries
+#               stage as the r13 head.
 _COHORT_NEW_R10 = [
     "packing_efficiency",
     "ivm_join_rollup",
@@ -6663,6 +6698,8 @@ _COHORT_NEW_R11 = [
     "streaming_lz4_shard",
     "zstd_shard_stats",
     "streaming_zstd_shard",
+    "codec_matrix_stats",
+    "streaming_codec_matrix",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -6686,6 +6723,22 @@ FROM documents
 WHERE text IS NOT NULL
 GROUP BY 1
 ORDER BY 1
+"""
+
+#: codec_matrix_stats + its live twin: ONE closed-form aggregate over
+#: documents.text cross-joined with the codec list — each of the four
+#: decode paths must reproduce the identical content stats
+_CODEC_MATRIX_ORACLE = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(strlen(text)) AS BIGINT) AS decoded_bytes,
+         CAST(SUM(strlen(text) - strlen(replace(text, 't', '')))
+              AS BIGINT) AS n_t
+  FROM documents WHERE text IS NOT NULL)
+SELECT c.codec, a.n_docs, a.decoded_bytes, a.n_t
+FROM (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) AS c(codec)
+CROSS JOIN agg a
+ORDER BY c.codec
 """
 
 #: zstd_shard_stats + its live twin: same discipline as the LZ4
@@ -7455,6 +7508,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
+        "codec_matrix_stats": _CODEC_MATRIX_ORACLE,
+        "streaming_codec_matrix": _CODEC_MATRIX_ORACLE,
         "compaction_plan_stats": """
 WITH l AS (
   SELECT (doc_id * 9176 + n_chars * 131) % 262144 AS bytes

@@ -312,6 +312,8 @@ HEADLINE = [
     # the decode path walks real Huffman/FSE entropy tables)
     "lz4_shard_stats",
     "zstd_shard_stats",
+    # one scan, four decoders (gzip/lz4/snappy/zstd round trips per doc)
+    "codec_matrix_stats",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every

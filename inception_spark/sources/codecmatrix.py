@@ -1,0 +1,114 @@
+"""Codec-matrix ingest check — ONE corpus scan drives all four
+binding-free decode paths (gzip via stdlib zlib, LZ4 frame, Snappy
+block, zstd frame) over every document and folds per-codec counters.
+
+Why one entry instead of four: at 100 TB a per-codec validation pass
+is four corpus scans; the matrix shape proves each decoder on the
+same rows in a single ``mapInPandas`` pass (compress → decode →
+reduce per Arrow batch, nothing materialized), and its oracle is one
+aggregate cross-joined to the codec list — any single codec's defect
+flips exactly its own row.
+
+zstd compresses with the REAL libzstd where present (executor-cached
+ctypes handle — the decode then walks real Huffman/FSE tables);
+store-mode frames otherwise.  The other three always run both of our
+own directions.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inception_spark.operators.lz4codec import (
+    decode_lz4_frame,
+    encode_lz4_frame,
+)
+from inception_spark.operators.snappycodec import (
+    decode_snappy,
+    encode_snappy,
+)
+from inception_spark.operators.zstdcodec import decode_zstd_frame
+from inception_spark.sources.zstdshard import _compress as _zstd_compress
+
+CODECS = ("gzip", "lz4", "snappy", "zstd")
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("decoded_bytes", T.LongType(), False),
+        T.StructField("n_t", T.LongType(), False),
+    ]
+)
+
+
+def _roundtrip(codec: str, raw: bytes) -> bytes:
+    if codec == "gzip":
+        return _gzip.decompress(_gzip.compress(raw, compresslevel=6))
+    if codec == "lz4":
+        return decode_lz4_frame(encode_lz4_frame(raw))
+    if codec == "snappy":
+        return decode_snappy(encode_snappy(raw))
+    return decode_zstd_frame(_zstd_compress(raw, 3))
+
+
+def codec_matrix_partials(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-codec mergeable counters from REAL compress→decode round
+    trips of one batch.  ``n_t`` counts the letter 't' in the DECODED
+    bytes — each codec's row is content-sensitive independently."""
+    src = docs.select(id_col, text_col).where(F.col(text_col).isNotNull())
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = {c: [0, 0, 0] for c in CODECS}
+            for t in pdf[text_col]:
+                raw = str(t).encode("utf-8")
+                for c in CODECS:
+                    decoded = _roundtrip(c, raw)
+                    a = acc[c]
+                    a[0] += 1
+                    a[1] += len(decoded)
+                    a[2] += decoded.count(b"t")
+            yield pd.DataFrame(
+                [
+                    {
+                        "codec": c,
+                        "n_docs": a[0],
+                        "decoded_bytes": a[1],
+                        "n_t": a[2],
+                    }
+                    for c, a in acc.items()
+                    if a[0]
+                ]
+            )
+
+    return src.mapInPandas(fold, _PARTIAL_SCHEMA)
+
+
+def codec_matrix_from_partials(parts: DataFrame) -> DataFrame:
+    return (
+        parts.groupBy("codec")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("decoded_bytes").cast("long").alias("decoded_bytes"),
+            F.sum("n_t").cast("long").alias("n_t"),
+        )
+        .orderBy("codec")
+    )
+
+
+def codec_matrix_stats(docs: DataFrame) -> DataFrame:
+    """All four binding-free decode paths proven on the same corpus in
+    one scan: (codec, n_docs, decoded_bytes, n_t) — the oracle computes
+    the single aggregate off documents.text and cross-joins the codec
+    list, so rows must agree codec-for-codec."""
+    return codec_matrix_from_partials(codec_matrix_partials(docs))
