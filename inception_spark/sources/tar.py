@@ -52,6 +52,49 @@ class TarFormatError(ValueError):
     """Raised on a structurally invalid shard when ``strict``."""
 
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_LZ4F_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _decompress_shard(raw: bytes, fname: str, strict: bool) -> bytes | None:
+    """Transparent ``.tar.zst`` / ``.tar.lz4`` support through the
+    binding-free codecs (operators/zstdcodec, operators/lz4codec —
+    both cross-validated against their system libraries).  gzip stays
+    on tarfile's own streaming path.  Returns None to signal
+    quarantine in lenient mode.
+
+    Memory note: unlike gzip (streamed by ``r|*``), a zstd/lz4 shard
+    is decompressed WHOLE before parsing — per-task memory becomes
+    compressed + decompressed shard size.  Size such shards like
+    parquet row groups (the zipshard contract), not like tar streams.
+    """
+    if raw[:4] == _ZSTD_MAGIC:
+        from inception_spark.operators.zstdcodec import (
+            ZstdFormatError, decode_zstd_frame,
+        )
+        try:
+            return decode_zstd_frame(raw)
+        except ZstdFormatError as exc:
+            if strict:
+                raise TarFormatError(
+                    f"corrupt zstd shard {fname}: {exc}"
+                ) from exc
+            return None
+    if raw[:4] == _LZ4F_MAGIC:
+        from inception_spark.operators.lz4codec import (
+            Lz4FormatError, decode_lz4_frame,
+        )
+        try:
+            return decode_lz4_frame(raw)
+        except Lz4FormatError as exc:
+            if strict:
+                raise TarFormatError(
+                    f"corrupt lz4 shard {fname}: {exc}"
+                ) from exc
+            return None
+    return raw
+
+
 def _verify_gzip_stream(chunks) -> None:
     """Streaming gzip integrity check (constant memory): raises
     :class:`TarFormatError` on a corrupt or TRUNCATED stream.
@@ -103,9 +146,11 @@ def read_tar_members(
     batch_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Tar shard directory/glob → one row per member
-    (``TAR_MEMBER_SCHEMA``).  Plain and gzipped (``.tar.gz``/``.tgz``)
-    shards both parse; compression is detected by tarfile's stream
-    reader (``r|*``).
+    (``TAR_MEMBER_SCHEMA``).  Plain, gzipped (``.tar.gz``/``.tgz``),
+    zstd (``.tar.zst``) and lz4 (``.tar.lz4``) shards all parse:
+    gzip via tarfile's stream reader (``r|*``), zstd/lz4 via the
+    binding-free cross-validated codecs (magic-sniffed, see
+    ``_decompress_shard`` for the memory contract).
 
     * ``extensions`` — keep only these member extensions (filtering
       inside the parser avoids materializing unwanted payloads into
@@ -128,7 +173,9 @@ def read_tar_members(
             for fname, content in zip(pdf["path"], pdf["content"]):
                 rows: list[dict] = []
                 nbytes = 0
-                raw = bytes(content)
+                raw = _decompress_shard(bytes(content), fname, strict)
+                if raw is None:
+                    continue
                 if strict and raw[:2] == b"\x1f\x8b":
                     # one extra constant-memory pass; the tar layer
                     # alone cannot detect most gzip truncations
@@ -266,7 +313,17 @@ class TarShardsReader(DataSourceReader):
     def read(self, partition: _ShardPartition):
         # stream straight off the filesystem: tarfile's 'r|*' reads
         # fixed-size blocks forward; nothing buffers the whole shard
-        with tarfile.open(partition.path, mode="r|*") as tf:
+        # (except zstd/lz4 shards, which must decompress whole first —
+        # the _decompress_shard memory contract)
+        with open(partition.path, "rb") as fh:
+            head = fh.read(4)
+        if head in (_ZSTD_MAGIC, _LZ4F_MAGIC):
+            with open(partition.path, "rb") as fh:
+                raw = _decompress_shard(fh.read(), partition.path, True)
+            src = tarfile.open(fileobj=io.BytesIO(raw), mode="r|*")
+        else:
+            src = tarfile.open(partition.path, mode="r|*")
+        with src as tf:
             for member in tf:
                 if not member.isfile():
                     continue

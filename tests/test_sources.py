@@ -432,3 +432,80 @@ def test_tar_shards_datasource_picks_up_tgz(spark, tmp_path):
     _write_shard(str(tmp_path / "a.tgz"), [("1.txt", b"x")], "w:gz")
     df = spark.read.format("tar_shards").load(str(tmp_path))
     assert df.count() == 1
+
+
+def _compress_file(src_path, dst_path, codec):
+    """Compress a shard with the REAL codec implementation bundled in
+    pyarrow — independent of our own encoders, so these fixtures also
+    cross-check the decode path against a second reference."""
+    import pyarrow as pa
+
+    raw = open(src_path, "rb").read()
+    open(dst_path, "wb").write(
+        pa.compress(raw, codec=codec, asbytes=True)
+    )
+
+
+def test_tar_zstd_and_lz4_shards(spark, tmp_path):
+    """.tar.zst / .tar.lz4 shards parse transparently through the
+    binding-free codecs; payloads byte-identical to the plain shard."""
+    from inception_spark.sources.tar import read_tar_members
+
+    plain = tmp_path / "s0.tar"
+    _write_shard(
+        str(plain),
+        [("000001.txt", b"zstd tar member"), ("000002.txt", b"two")],
+    )
+    _compress_file(str(plain), str(tmp_path / "z.tar.zst"), "zstd")
+    _compress_file(str(plain), str(tmp_path / "l.tar.lz4"), "lz4")
+    plain.unlink()
+    m = read_tar_members(spark, str(tmp_path) + "/*.tar.*")
+    rows = m.collect()
+    assert len(rows) == 4  # 2 members x 2 shards
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_file.rsplit("/", 1)[-1], {})[
+            r.member_name
+        ] = bytes(r.payload)
+    assert by_shard["z.tar.zst"]["000001.txt"] == b"zstd tar member"
+    assert by_shard["l.tar.lz4"]["000001.txt"] == b"zstd tar member"
+    assert by_shard["z.tar.zst"] == by_shard["l.tar.lz4"]
+
+
+def test_tar_zstd_corrupt_strict_vs_lenient(spark, tmp_path):
+    """A corrupt zstd shard raises in strict mode, quarantines (yields
+    nothing, keeps other shards) in lenient mode."""
+    import pytest as _pytest
+
+    from inception_spark.sources.tar import read_tar_members
+
+    plain = tmp_path / "s0.tar"
+    _write_shard(str(plain), [("000001.txt", b"payload")])
+    _compress_file(str(plain), str(tmp_path / "ok.tar.zst"), "zstd")
+    blob = open(tmp_path / "ok.tar.zst", "rb").read()
+    # truncation mid-frame: deterministically detectable (a random
+    # byte flip may land in the tar's zero padding and decode "fine" —
+    # the gzip-tail caveat documented on read_tar_members)
+    open(tmp_path / "bad.tar.zst", "wb").write(blob[: len(blob) // 2])
+    plain.unlink()
+
+    with _pytest.raises(Exception):
+        read_tar_members(spark, str(tmp_path) + "/*.tar.zst").collect()
+    lenient = read_tar_members(
+        spark, str(tmp_path) + "/*.tar.zst", strict=False
+    ).collect()
+    assert [r.member_name for r in lenient] == ["000001.txt"]
+
+
+def test_tar_shards_datasource_reads_zstd(spark, tmp_path):
+    from inception_spark.sources.tar import TarShardsDataSource
+
+    spark.dataSource.register(TarShardsDataSource)
+    plain = tmp_path / "b.tar"
+    _write_shard(str(plain), [("1.txt", b"via datasource")])
+    _compress_file(str(plain), str(tmp_path / "b.tar.zst"), "zstd")
+    plain.unlink()
+    df = spark.read.format("tar_shards").load(str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].payload) == b"via datasource"
