@@ -233,12 +233,32 @@ def iter_warc_records(
 def parse_warc_records(
     data: bytes, *, strict: bool = True, stats: dict | None = None
 ) -> Iterator[dict]:
-    """Yield one dict per WARC record from raw segment bytes (gzipped or
-    plain — sniffed from the magic).  Thin composition of the streaming
-    inflater and the streaming record parser; peak memory is
-    ``O(chunk + largest record)`` past the compressed input."""
+    """Yield one dict per WARC record from raw segment bytes (gzipped,
+    zstd, or plain — sniffed from the magic).  Thin composition of the
+    streaming inflater and the streaming record parser; peak memory is
+    ``O(chunk + largest record)`` past the compressed input for gzip.
+
+    ``.warc.zst`` (the IIPC warc-zstd variant) decodes through the
+    binding-free cross-validated codec.  Its frames decompress whole
+    before parsing (record iteration stays streaming past that), and
+    the variant's optional shared-dictionary skippable frame is
+    skipped — dictionary-compressed frames raise honestly rather than
+    produce wrong bytes."""
     if data[:2] == b"\x1f\x8b":
         chunks: Iterable[bytes] = _iter_inflated_chunks(data, strict=strict)
+    elif data[:4] == b"\x28\xb5\x2f\xfd" or data[:4] == b"\x5d\x2a\x4d\x18":
+        from inception_spark.operators.zstdcodec import (
+            ZstdFormatError, decode_zstd_frame,
+        )
+        try:
+            # 0x184D2A5D-magic skippable frames (the warc-zstd shared
+            # dictionary) are skipped by the decoder; a frame that then
+            # REQUIRES the dictionary raises — surfaced per strictness
+            chunks = (decode_zstd_frame(data),)
+        except ZstdFormatError as exc:
+            if strict:
+                raise WarcFormatError(f"corrupt zstd segment: {exc}") from exc
+            chunks = (b"",)
     else:
         chunks = (data,)
     yield from iter_warc_records(chunks, strict=strict, stats=stats)

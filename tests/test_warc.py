@@ -262,3 +262,36 @@ def test_warc_roundtrip_fuzz():
             assert got["warc_type"] == wt
             assert bytes(got["payload"]) == payload
             assert got["content_length"] == len(payload)
+
+
+def test_warc_zstd_segment():
+    """.warc.zst (IIPC warc-zstd, dictionary-free variant): the segment
+    decodes through the binding-free codec — record-for-record equal to
+    the plain parse; a leading skippable frame is tolerated; truncation
+    raises in strict mode and quarantines in lenient."""
+    import struct
+
+    import pyarrow as pa
+
+    seg = _segment()
+    comp = pa.compress(seg, codec="zstd", asbytes=True)
+    plain = [r["warc_type"] for r in parse_warc_records(seg)]
+    assert [r["warc_type"] for r in parse_warc_records(comp)] == plain
+    # warc-zstd puts its (optional) dictionary in a 0x184D2A5D skippable
+    # frame before the data frames — skipped, not fatal, when unused
+    skip = struct.pack("<II", 0x184D2A5D, 4) + b"fake"
+    assert [r["warc_type"] for r in parse_warc_records(skip + comp)] == plain
+    with pytest.raises(WarcFormatError):
+        list(parse_warc_records(comp[: len(comp) // 2]))
+    assert list(parse_warc_records(comp[: len(comp) // 2], strict=False)) == []
+
+
+def test_read_warc_zstd_spark(spark, tmp_path):
+    import pyarrow as pa
+
+    p = tmp_path / "seg.warc.zst"
+    p.write_bytes(pa.compress(_segment(), codec="zstd", asbytes=True))
+    df = read_warc(spark, str(p), record_types=["response"])
+    rows = df.collect()
+    assert len(rows) == 2  # the fixture segment carries two responses
+    assert {r.warc_type for r in rows} == {"response"}
