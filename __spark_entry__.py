@@ -2724,12 +2724,14 @@ def _q_streaming_zstd_shard(spark, sf_dir):
 
 
 def _q_codec_matrix_stats(spark, sf_dir):
-    """All four binding-free decode paths (stdlib gzip, LZ4 frame,
-    Snappy block, zstd frame — each cross-validated against its
+    """All five binding-free decode paths (Brotli, stdlib gzip, LZ4
+    frame, Snappy block, zstd frame — each cross-validated against its
     reference implementation in tests/) proven on the same corpus in
     ONE mapInPandas scan; the oracle cross-joins one closed-form
     aggregate over documents.text with the codec list, so a defect in
-    any single decoder flips exactly its own row."""
+    any single decoder flips exactly its own row.  Brotli and zstd
+    compress with the REAL system libs worker-side, so those decodes
+    walk real entropy tables and dictionary transforms."""
     from inception_spark.sources.codecmatrix import codec_matrix_stats
 
     _ensure_workers_can_import(spark)
@@ -6736,7 +6738,8 @@ WITH agg AS (
               AS BIGINT) AS n_t
   FROM documents WHERE text IS NOT NULL)
 SELECT c.codec, a.n_docs, a.decoded_bytes, a.n_t
-FROM (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) AS c(codec)
+FROM (VALUES ('brotli'), ('gzip'), ('lz4'), ('snappy'), ('zstd'))
+  AS c(codec)
 CROSS JOIN agg a
 ORDER BY c.codec
 """

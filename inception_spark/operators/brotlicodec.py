@@ -182,40 +182,72 @@ def _apply_transform(word: bytes, transform: tuple) -> bytes:
 
 
 class _Bits:
-    __slots__ = ("data", "pos")  # pos in bits
+    """LSB-first reader: 64-bit-ish accumulator refilled bytewise —
+    no per-read slicing (the hot path runs once per literal)."""
+
+    __slots__ = ("data", "nbytes", "bytepos", "acc", "navail")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
+        self.nbytes = len(data)
+        self.bytepos = 0
+        self.acc = 0
+        self.navail = 0
 
     def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        pos = self.pos
-        end = pos + n
-        if end > 8 * len(self.data):
-            raise BrotliFormatError("bitstream exhausted")
-        byte0 = pos >> 3
-        nbytes = ((end + 7) >> 3) - byte0
-        window = int.from_bytes(
-            self.data[byte0 : byte0 + nbytes], "little"
-        )
-        self.pos = end
-        return (window >> (pos & 7)) & ((1 << n) - 1)
+        acc = self.acc
+        navail = self.navail
+        while navail < n:
+            if self.bytepos >= self.nbytes:
+                raise BrotliFormatError("bitstream exhausted")
+            acc |= self.data[self.bytepos] << navail
+            self.bytepos += 1
+            navail += 8
+        self.acc = acc >> n
+        self.navail = navail - n
+        return acc & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """Next ≤16 bits, zero-padded past the stream end."""
+        acc = self.acc
+        navail = self.navail
+        bytepos = self.bytepos
+        while navail < 16 and bytepos < self.nbytes:
+            acc |= self.data[bytepos] << navail
+            bytepos += 1
+            navail += 8
+        self.acc = acc
+        self.navail = navail
+        self.bytepos = bytepos
+        return acc & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        if n > self.navail:
+            raise BrotliFormatError("bitstream exhausted (skip)")
+        self.acc >>= n
+        self.navail -= n
 
     def align(self) -> None:
-        rem = self.pos & 7
+        rem = self.navail & 7
         if rem:
-            if self.read(8 - rem) != 0:
+            if self.read(rem) != 0:
                 raise BrotliFormatError("non-zero padding at byte align")
 
     def read_bytes(self, n: int) -> bytes:
-        assert self.pos & 7 == 0
-        byte0 = self.pos >> 3
-        if byte0 + n > len(self.data):
-            raise BrotliFormatError("bitstream exhausted (bytes)")
-        self.pos += 8 * n
-        return self.data[byte0 : byte0 + n]
+        # after align(), navail is a whole number of buffered bytes
+        assert self.navail & 7 == 0
+        out = bytearray()
+        while self.navail and n:
+            out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.navail -= 8
+            n -= 1
+        if n:
+            if self.bytepos + n > self.nbytes:
+                raise BrotliFormatError("bitstream exhausted (bytes)")
+            out += self.data[self.bytepos : self.bytepos + n]
+            self.bytepos += n
+        return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -224,9 +256,11 @@ class _Bits:
 
 
 class _Prefix:
-    """Canonical prefix decoder from code lengths (≤ 15 bits)."""
+    """Canonical prefix decoder from code lengths (≤ 15 bits): one
+    8-bit LUT fast path (covers all short codes in one peek+skip), a
+    (length, code)-keyed walk for the rare longer codes."""
 
-    __slots__ = ("single", "table", "max_len")
+    __slots__ = ("single", "table", "max_len", "lut")
 
     def __init__(self, lengths: list[int]):
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -234,6 +268,7 @@ class _Prefix:
             self.single = nz[0][1]
             self.table = None
             self.max_len = 0
+            self.lut = None
             return
         self.single = None
         bl_count: dict[int, int] = {}
@@ -246,20 +281,38 @@ class _Prefix:
             code = (code + bl_count.get(l - 1, 0)) << 1
             next_code[l] = code
         table: dict[tuple[int, int], int] = {}
+        lut = [-1] * 256
         for s, l in enumerate(lengths):
             if l > 0:
-                table[(l, next_code[l])] = s
+                c = next_code[l]
+                table[(l, c)] = s
                 next_code[l] += 1
+                if l <= 8:
+                    # stream bits are the code's bits MSB-first, packed
+                    # LSB-first: LUT index pattern = bit-reverse(c, l)
+                    p = 0
+                    for i in range(l):
+                        p |= ((c >> (l - 1 - i)) & 1) << i
+                    entry = (s << 4) | l
+                    for v in range(p, 256, 1 << l):
+                        lut[v] = entry
         self.table = table
+        self.lut = lut
 
     def decode(self, bits: _Bits) -> int:
         if self.single is not None:
             return self.single
+        v = bits.peek16()
+        e = self.lut[v & 0xFF]
+        if e >= 0:
+            bits.skip(e & 15)
+            return e >> 4
         code = 0
         for ln in range(1, self.max_len + 1):
-            code = (code << 1) | bits.read(1)
+            code = (code << 1) | ((v >> (ln - 1)) & 1)
             sym = self.table.get((ln, code))
             if sym is not None:
+                bits.skip(ln)
                 return sym
         raise BrotliFormatError("invalid prefix code word")
 
@@ -317,13 +370,9 @@ def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Prefix:
     space = 32
     num_codes = 0
     for i in range(hskip, 18):
-        peek_pos = bits.pos
-        v = bits.read(min(4, 8 * len(bits.data) - peek_pos))
-        # re-read exactly: peek 4 then consume the true length
-        bits.pos = peek_pos
-        idx = v & 0x0F
+        idx = bits.peek16() & 0x0F  # zero-padded 4-bit peek
         ln = _CLC_LEN[idx]
-        bits.pos = peek_pos + ln
+        bits.skip(ln)
         clen = _CLC_VAL[idx]
         cl_lengths[_CL_ORDER[i]] = clen
         if clen:

@@ -1,18 +1,21 @@
-"""Codec-matrix ingest check — ONE corpus scan drives all four
-binding-free decode paths (gzip via stdlib zlib, LZ4 frame, Snappy
-block, zstd frame) over every document and folds per-codec counters.
+"""Codec-matrix ingest check — ONE corpus scan drives all five
+binding-free decode paths (Brotli, gzip via stdlib zlib, LZ4 frame,
+Snappy block, zstd frame) over every document and folds per-codec
+counters.
 
-Why one entry instead of four: at 100 TB a per-codec validation pass
-is four corpus scans; the matrix shape proves each decoder on the
+Why one entry instead of five: at 100 TB a per-codec validation pass
+is five corpus scans; the matrix shape proves each decoder on the
 same rows in a single ``mapInPandas`` pass (compress → decode →
 reduce per Arrow batch, nothing materialized), and its oracle is one
 aggregate cross-joined to the codec list — any single codec's defect
 flips exactly its own row.
 
-zstd compresses with the REAL libzstd where present (executor-cached
-ctypes handle — the decode then walks real Huffman/FSE tables);
-store-mode frames otherwise.  The other three always run both of our
-own directions.
+zstd and brotli compress with the REAL system libraries
+(executor-cached ctypes handles — the decodes then walk real entropy
+tables and dictionary/transform references); zstd falls back to
+store-mode frames where libzstd is absent, brotli raises honestly
+(our brotli codec is decode-only).  The other three always run both
+of our own directions.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.operators.brotlicodec import decode_brotli
 from inception_spark.operators.lz4codec import (
     decode_lz4_frame,
     encode_lz4_frame,
@@ -37,7 +41,36 @@ from inception_spark.operators.snappycodec import (
 from inception_spark.operators.zstdcodec import decode_zstd_frame
 from inception_spark.sources.zstdshard import _compress as _zstd_compress
 
-CODECS = ("gzip", "lz4", "snappy", "zstd")
+CODECS = ("brotli", "gzip", "lz4", "snappy", "zstd")
+
+_BROTLI_ENC = None
+
+
+def _brotli_compress(raw: bytes, quality: int = 5) -> bytes:
+    """Real libbrotlienc via an executor-cached ctypes handle (our
+    brotli codec is decode-only); raises honestly where absent."""
+    global _BROTLI_ENC
+    if _BROTLI_ENC is None:
+        import ctypes
+
+        e = ctypes.CDLL("libbrotlienc.so.1")
+        e.BrotliEncoderCompress.restype = ctypes.c_int
+        e.BrotliEncoderCompress.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_char_p,
+        ]
+        _BROTLI_ENC = e
+    import ctypes
+
+    cap = len(raw) * 2 + 1024
+    dst = ctypes.create_string_buffer(cap)
+    osz = ctypes.c_size_t(cap)
+    if not _BROTLI_ENC.BrotliEncoderCompress(
+        quality, 22, 0, len(raw), raw, ctypes.byref(osz), dst
+    ):
+        raise RuntimeError("libbrotlienc compression failed")
+    return dst.raw[: osz.value]
 
 _PARTIAL_SCHEMA = T.StructType(
     [
@@ -50,6 +83,8 @@ _PARTIAL_SCHEMA = T.StructType(
 
 
 def _roundtrip(codec: str, raw: bytes) -> bytes:
+    if codec == "brotli":
+        return decode_brotli(_brotli_compress(raw))
     if codec == "gzip":
         return _gzip.decompress(_gzip.compress(raw, compresslevel=6))
     if codec == "lz4":
