@@ -2758,6 +2758,39 @@ def _q_streaming_codec_matrix(spark, sf_dir):
     return codec_matrix_from_partials(parts)
 
 
+def _q_warc_http_stats(spark, sf_dir):
+    """The crawl-ingest path proven END-TO-END: every document's text
+    becomes a WARC response record wrapping an HTTP/1.1 message
+    (content-encoding rotates identity/gzip/br/zstd by doc_id, even
+    ids additionally chunk the transfer), and the decode runs the full
+    stack — WARC grammar, HTTP headers, chunked de-transfer, content
+    decode through the cross-validated brotli/zstd codecs.  The oracle
+    reads the same per-encoding stats straight off documents.text."""
+    from inception_spark.sources.warc import warc_http_stats
+
+    _ensure_workers_can_import(spark)
+    return warc_http_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_warc_http(spark, sf_dir):
+    """The crawl-decode rollup maintained LIVE: per-encoding counters
+    from REAL full-stack decodes re-merge exactly across micro-batches.
+    Shares the batch oracle."""
+    from inception_spark.sources.warc import (
+        synth_warc_http_corpus,
+        warc_http_from_partials,
+        warc_http_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_warc_http_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, warc_http_partials)
+    return warc_http_from_partials(parts)
+
+
 def _q_tiff_pixel_stats(spark, sf_dir):
     """The image_pixel_stats decode round-trip applied to the strip
     TIFF codec (operators/tiff.py, libtiff-cross-validated): every
@@ -6312,6 +6345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_zstd_shard": _q_streaming_zstd_shard,
         "codec_matrix_stats": _q_codec_matrix_stats,
         "streaming_codec_matrix": _q_streaming_codec_matrix,
+        "warc_http_stats": _q_warc_http_stats,
+        "streaming_warc_http": _q_streaming_warc_http,
         "trimmed_stats": _q_trimmed_stats,
         "degree_powerlaw": _q_degree_powerlaw,
         "rake_keywords": _q_rake_keywords,
@@ -6585,9 +6620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
 #               last driver green was round 5, in cohort order.
 #   staged r12  the remaining 26 of _COHORT_R5_GREEN, then the first
-#               24 of _COHORT_NEW_R11 (the 27 entries added in round
+#               24 of _COHORT_NEW_R11 (the 29 entries added in round
 #               11, zero driver signal).  26 + 24 = 50 fills the r12
-#               window exactly; the 3 remaining new-in-r11 entries
+#               window exactly; the 5 remaining new-in-r11 entries
 #               stage as the r13 head.
 _COHORT_NEW_R10 = [
     "packing_efficiency",
@@ -6702,6 +6737,8 @@ _COHORT_NEW_R11 = [
     "streaming_zstd_shard",
     "codec_matrix_stats",
     "streaming_codec_matrix",
+    "warc_http_stats",
+    "streaming_warc_http",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -6721,6 +6758,23 @@ SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
             AS BIGINT) AS n_e,
        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_block_checksummed
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+#: warc_http_stats + its live twin: per-encoding stats read straight
+#: off documents.text — the encoding label mirrors the synthesis rule
+#: (doc_id mod 4), and the body is the text itself after a full
+#: WARC → HTTP → transfer → content decode
+_WARC_HTTP_ORACLE = """
+SELECT CASE doc_id % 4 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+            WHEN 2 THEN 'br' ELSE 'zstd' END AS content_encoding,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS body_bytes,
+       CAST(SUM(strlen(text) - strlen(replace(text, 't', '')))
+            AS BIGINT) AS n_t
 FROM documents
 WHERE text IS NOT NULL
 GROUP BY 1
@@ -7513,6 +7567,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
         "codec_matrix_stats": _CODEC_MATRIX_ORACLE,
         "streaming_codec_matrix": _CODEC_MATRIX_ORACLE,
+        "warc_http_stats": _WARC_HTTP_ORACLE,
+        "streaming_warc_http": _WARC_HTTP_ORACLE,
         "compaction_plan_stats": """
 WITH l AS (
   SELECT (doc_id * 9176 + n_chars * 131) % 262144 AS bytes

@@ -312,8 +312,10 @@ HEADLINE = [
     # the decode path walks real Huffman/FSE entropy tables)
     "lz4_shard_stats",
     "zstd_shard_stats",
-    # one scan, four decoders (gzip/lz4/snappy/zstd round trips per doc)
+    # one scan, five decoders (brotli/gzip/lz4/snappy/zstd per doc)
     "codec_matrix_stats",
+    # full crawl-decode stack: WARC -> HTTP -> chunked -> content codecs
+    "warc_http_stats",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every

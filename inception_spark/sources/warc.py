@@ -42,6 +42,7 @@ import zlib
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 WARC_SCHEMA = T.StructType(
@@ -347,3 +348,308 @@ def build_warc_record(
         "\r\n"
     ).encode()
     return head + payload + b"\r\n\r\n"
+
+
+# ---------------------------------------------------------------------------
+# HTTP response decoding — the glue between a WARC response record's
+# payload (an HTTP/1.x message) and the text pipeline.  Transfer
+# decoding (chunked) and content decoding (gzip/deflate/br/zstd — the
+# real Common Crawl distribution) both handled; br and zstd route
+# through the binding-free cross-validated codecs.
+# ---------------------------------------------------------------------------
+
+
+class HttpFormatError(ValueError):
+    """Malformed HTTP message inside a WARC payload."""
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a chunked transfer-encoded body (RFC 9112 §7.1)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise HttpFormatError("truncated chunk-size line")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise HttpFormatError(f"bad chunk size {size_tok!r}") from exc
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are ignored
+        if pos + size > len(body):
+            raise HttpFormatError("truncated chunk body")
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            raise HttpFormatError("missing chunk terminator")
+        pos += 2
+
+
+def parse_http_response(payload: bytes, *, strict: bool = True) -> dict:
+    """Parse one HTTP/1.x response message: status line, headers,
+    transfer-decoded and content-decoded body.
+
+    Returns ``{"status", "content_type", "content_encoding", "body"}``.
+    ``content_encoding`` is the (lowercased) encoding that was applied,
+    ``"identity"`` if none.  In lenient mode an unknown or broken
+    encoding yields the RAW body with the encoding name reported, so a
+    100 TB crawl pass degrades per-record instead of failing the task.
+    """
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise HttpFormatError("no header/body separator")
+    head = payload[:sep].decode("latin-1")
+    body = payload[sep + 4 :]
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise HttpFormatError(f"bad status line {lines[0]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError as exc:
+        raise HttpFormatError(f"bad status code {parts[1]!r}") from exc
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").strip().lower() or "identity"
+    try:
+        if enc in ("gzip", "x-gzip"):
+            import gzip as _gz
+
+            body = _gz.decompress(body)
+        elif enc == "deflate":
+            import zlib as _zl
+
+            try:
+                body = _zl.decompress(body)
+            except _zl.error:  # raw-deflate servers (common misconfig)
+                body = _zl.decompress(body, -15)
+        elif enc == "br":
+            from inception_spark.operators.brotlicodec import decode_brotli
+
+            body = decode_brotli(body)
+        elif enc == "zstd":
+            from inception_spark.operators.zstdcodec import decode_zstd_frame
+
+            body = decode_zstd_frame(body)
+        elif enc != "identity":
+            raise HttpFormatError(f"unknown content-encoding {enc!r}")
+    except HttpFormatError:
+        if strict:
+            raise
+    except Exception as exc:
+        if strict:
+            raise HttpFormatError(
+                f"content-encoding {enc!r} failed: {exc}"
+            ) from exc
+    return {
+        "status": status,
+        "content_type": headers.get("content-type", ""),
+        "content_encoding": enc,
+        "body": body,
+    }
+
+
+HTTP_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType(), False),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("content_encoding", T.StringType(), True),
+        T.StructField("body", T.BinaryType(), True),
+    ]
+)
+
+
+def decode_http_responses(
+    records: DataFrame, *, strict: bool = False
+) -> DataFrame:
+    """WARC response rows → decoded HTTP rows (``HTTP_RESPONSE_SCHEMA``).
+
+    One Arrow-batched pass, no shuffle; rows whose payload is not a
+    parseable HTTP message are dropped in lenient mode (the per-record
+    quarantine contract), raised in strict."""
+    import pandas as pd
+
+    cols = records.select(
+        "warc_file", "target_uri", "payload"
+    )
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for f, uri, p in zip(
+                pdf["warc_file"], pdf["target_uri"], pdf["payload"]
+            ):
+                try:
+                    r = parse_http_response(bytes(p), strict=strict)
+                except (HttpFormatError, Exception):
+                    if strict:
+                        raise
+                    continue
+                rows.append(
+                    {
+                        "warc_file": f,
+                        "target_uri": uri,
+                        "status": r["status"],
+                        "content_type": r["content_type"],
+                        "content_encoding": r["content_encoding"],
+                        "body": r["body"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(mapper, HTTP_RESPONSE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked HTTP decode rollup (the lz4/zstd-shard discipline):
+# synthesize WARC-wrapped HTTP responses from the documents table,
+# decode them back through the FULL stack (WARC grammar → HTTP headers
+# → chunked transfer → content encoding), fold per-encoding counters.
+# ---------------------------------------------------------------------------
+
+_HTTP_ENCODINGS = ("identity", "gzip", "br", "zstd")
+
+_HTTP_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("encoding", T.StringType(), False),
+        T.StructField("record", T.BinaryType(), False),
+    ]
+)
+
+
+def _encode_http_body(raw: bytes, enc: str) -> bytes:
+    if enc == "gzip":
+        import gzip as _gz
+
+        return _gz.compress(raw, compresslevel=6)
+    if enc == "br":
+        from inception_spark.sources.codecmatrix import _brotli_compress
+
+        return _brotli_compress(raw)
+    if enc == "zstd":
+        from inception_spark.sources.zstdshard import _compress
+
+        return _compress(raw, 3)
+    return raw
+
+
+def synth_warc_http_corpus(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic per-document WARC response record whose payload is
+    an HTTP/1.1 message: content-encoding rotates identity/gzip/br/zstd
+    by doc_id mod 4, and even doc_ids additionally use chunked transfer
+    encoding (split at byte 7).  Worker-side synthesis."""
+    src = docs.select(id_col, text_col).where(
+        F.col(text_col).isNotNull()
+    )
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            encs, recs = [], []
+            for i, t in zip(ids, pdf[text_col]):
+                enc = _HTTP_ENCODINGS[int(i) % 4]
+                body = _encode_http_body(str(t).encode("utf-8"), enc)
+                head = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                if enc != "identity":
+                    head += f"Content-Encoding: {enc}\r\n"
+                if int(i) % 2 == 0:
+                    head += "Transfer-Encoding: chunked\r\n\r\n"
+                    cut = min(7, len(body))
+                    a, b = body[:cut], body[cut:]
+                    wire = b"".join(
+                        b"%x\r\n%s\r\n" % (len(c), c) for c in (a, b) if c
+                    ) + b"0\r\n\r\n"
+                else:
+                    head += f"Content-Length: {len(body)}\r\n\r\n"
+                    wire = body
+                payload = head.encode() + wire
+                recs.append(
+                    build_warc_record(
+                        "response", payload,
+                        target_uri=f"http://ex.test/{int(i)}",
+                        content_type="application/http; msgtype=response",
+                    )
+                )
+                encs.append(enc)
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(), "encoding": encs,
+                 "record": recs}
+            )
+
+    return src.mapInPandas(gen, _HTTP_CORPUS_SCHEMA)
+
+
+_HTTP_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("content_encoding", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("body_bytes", T.LongType(), False),
+        T.StructField("n_t", T.LongType(), False),
+    ]
+)
+
+
+def warc_http_partials(corpus: DataFrame) -> DataFrame:
+    """Per-encoding counters from REAL full-stack decodes of one batch:
+    each record runs the WARC grammar, HTTP header parse, chunked
+    de-transfer, and content decode; ``n_t`` counts 't' in the DECODED
+    body, so every stage is load-bearing."""
+    import pandas as pd
+
+    def fold(batches):
+        for pdf in batches:
+            acc: dict[str, list[int]] = {}
+            for rec in pdf["record"]:
+                rows = list(parse_warc_records(bytes(rec)))
+                assert len(rows) == 1
+                r = parse_http_response(bytes(rows[0]["payload"]))
+                a = acc.setdefault(r["content_encoding"], [0, 0, 0])
+                a[0] += 1
+                a[1] += len(r["body"])
+                a[2] += r["body"].count(b"t")
+            if acc:
+                yield pd.DataFrame(
+                    [
+                        {"content_encoding": e, "n_docs": a[0],
+                         "body_bytes": a[1], "n_t": a[2]}
+                        for e, a in acc.items()
+                    ]
+                )
+
+    return corpus.mapInPandas(fold, _HTTP_PARTIAL_SCHEMA)
+
+
+def warc_http_from_partials(parts: DataFrame) -> DataFrame:
+    return (
+        parts.groupBy("content_encoding")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("body_bytes").cast("long").alias("body_bytes"),
+            F.sum("n_t").cast("long").alias("n_t"),
+        )
+        .orderBy("content_encoding")
+    )
+
+
+def warc_http_stats(docs: DataFrame) -> DataFrame:
+    """REAL crawl-payload decode, driver-visibly oracle-checked: the
+    oracle reads the same per-encoding stats straight off
+    documents.text — a defect anywhere in the WARC/HTTP/transfer/
+    content-decode stack hash-mismatches or fails outright."""
+    return warc_http_from_partials(
+        warc_http_partials(synth_warc_http_corpus(docs))
+    )

@@ -295,3 +295,94 @@ def test_read_warc_zstd_spark(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 2  # the fixture segment carries two responses
     assert {r.warc_type for r in rows} == {"response"}
+
+
+def test_parse_http_response_encodings():
+    """Gzip, deflate (both zlib-wrapped and raw), br, zstd, chunked
+    transfer, and lenient degradation on a broken body."""
+    import gzip as _gz
+    import zlib as _zl
+
+    from inception_spark.sources.warc import (
+        HttpFormatError,
+        parse_http_response,
+    )
+
+    body = b"<html>encoded body body body</html>"
+
+    def msg(enc_header, wire):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + enc_header + b"\r\n" + wire
+        )
+
+    r = parse_http_response(msg(b"", body))
+    assert (r["status"], r["content_encoding"], r["body"]) == (
+        200, "identity", body)
+    r = parse_http_response(
+        msg(b"Content-Encoding: gzip\r\n", _gz.compress(body)))
+    assert r["body"] == body and r["content_encoding"] == "gzip"
+    r = parse_http_response(
+        msg(b"Content-Encoding: deflate\r\n", _zl.compress(body)))
+    assert r["body"] == body
+    raw_deflate = _zl.compressobj(wbits=-15)
+    wire = raw_deflate.compress(body) + raw_deflate.flush()
+    r = parse_http_response(msg(b"Content-Encoding: deflate\r\n", wire))
+    assert r["body"] == body  # raw-deflate misconfig tolerated
+    # chunked + gzip stacked
+    gz = _gz.compress(body)
+    chunked = (b"%x\r\n" % 5) + gz[:5] + b"\r\n" + (
+        b"%x\r\n" % len(gz[5:])) + gz[5:] + b"\r\n0\r\n\r\n"
+    r = parse_http_response(msg(
+        b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunked))
+    assert r["body"] == body
+    # corrupt gzip: strict raises, lenient returns the raw wire bytes
+    bad = msg(b"Content-Encoding: gzip\r\n", b"\x1f\x8bgarbage")
+    with pytest.raises(HttpFormatError):
+        parse_http_response(bad)
+    r = parse_http_response(bad, strict=False)
+    assert r["body"] == b"\x1f\x8bgarbage"
+
+
+def test_decode_http_responses_spark(spark, tmp_path):
+    """WARC file → read_warc → decode_http_responses end-to-end,
+    including a brotli-encoded response via the binding-free codec."""
+    import ctypes
+
+    from inception_spark.sources.warc import (
+        build_warc_record,
+        decode_http_responses,
+        read_warc,
+    )
+
+    try:
+        e = ctypes.CDLL("libbrotlienc.so.1")
+    except OSError:
+        pytest.skip("libbrotlienc absent")
+    e.BrotliEncoderCompress.restype = ctypes.c_int
+    e.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+    body = b"<html>brotli page</html>"
+    cap = 1024
+    buf = ctypes.create_string_buffer(cap)
+    osz = ctypes.c_size_t(cap)
+    assert e.BrotliEncoderCompress(
+        5, 22, 0, len(body), body, ctypes.byref(osz), buf)
+    wire = buf.raw[: osz.value]
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: br\r\n\r\n" + wire)
+    junk = b"this is not an http message"
+    seg = (build_warc_record("response", http,
+                             target_uri="http://a.test/")
+           + build_warc_record("response", junk,
+                               target_uri="http://b.test/"))
+    p = tmp_path / "seg.warc"
+    p.write_bytes(seg)
+    recs = read_warc(spark, str(p), record_types=["response"])
+    rows = decode_http_responses(recs).collect()
+    assert len(rows) == 1  # the junk row quarantined in lenient mode
+    assert bytes(rows[0].body) == body
+    assert rows[0].content_encoding == "br"
+    assert rows[0].status == 200
