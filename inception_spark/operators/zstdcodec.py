@@ -420,10 +420,57 @@ _SKIP_MAGIC_LO = 0x184D2A50
 _SKIP_MAGIC_HI = 0x184D2A5F
 
 
-def decode_zstd_frame(data: bytes, *, max_output: int = 1 << 31) -> bytes:
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """A parsed zstd dictionary (RFC 8878 §5): entropy tables that seed
+    the first block's "repeat" modes, initial repeat offsets, and
+    content that extends the match window backward.  Buffers without
+    the dictionary magic are raw-content dictionaries (content only)."""
+
+    __slots__ = ("dict_id", "huf", "fse", "rep", "content")
+
+    def __init__(self, raw: bytes):
+        if len(raw) >= 8 and struct.unpack_from("<I", raw, 0)[0] == _DICT_MAGIC:
+            self.dict_id = struct.unpack_from("<I", raw, 4)[0]
+            pos = 8
+            weights, pos = _read_huffman_weights(raw, pos)
+            self.huf = _HufTable(weights)
+            self.fse = {}
+            for name, maxacc in (("of", 8), ("ml", 9), ("ll", 9)):
+                counts, acc, pos = _read_fse_distribution(raw, pos, maxacc)
+                self.fse[name] = _FseTable(counts, acc)
+            self.rep = list(struct.unpack_from("<III", raw, pos))
+            pos += 12
+            if any(r == 0 for r in self.rep):
+                raise ZstdFormatError("zero repeat offset in dictionary")
+            self.content = raw[pos:]
+        else:
+            self.dict_id = 0
+            self.huf = None
+            self.fse = {"ll": None, "of": None, "ml": None}
+            self.rep = [1, 4, 8]
+            self.content = raw
+
+
+def decode_zstd_frame(
+    data: bytes,
+    *,
+    max_output: int = 1 << 31,
+    dictionary: "bytes | ZstdDict | None" = None,
+) -> bytes:
     """Decode a zstd payload: any number of skippable frames plus one
     or more standard frames, concatenated (the ``zstd`` CLI contract).
-    Dictionary-compressed frames raise (no dict plumbing here)."""
+    Frames that declare a dictionary ID require ``dictionary`` (raw
+    bytes or a parsed :class:`ZstdDict`) and raise otherwise."""
+    zdict = None
+    if dictionary is not None:
+        zdict = (
+            dictionary
+            if isinstance(dictionary, ZstdDict)
+            else ZstdDict(dictionary)
+        )
     out = bytearray()
     pos = 0
     n = len(data)
@@ -441,12 +488,16 @@ def decode_zstd_frame(data: bytes, *, max_output: int = 1 << 31) -> bytes:
             continue
         if magic != _ZSTD_MAGIC:
             raise ZstdFormatError(f"bad magic 0x{magic:08X}")
-        pos = _decode_one_frame(data, pos + 4, out, max_output)
+        pos = _decode_one_frame(data, pos + 4, out, max_output, zdict)
     return bytes(out)
 
 
 def _decode_one_frame(
-    data: bytes, pos: int, out: bytearray, max_output: int
+    data: bytes,
+    pos: int,
+    out: bytearray,
+    max_output: int,
+    zdict: "ZstdDict | None" = None,
 ) -> int:
     fhd = data[pos]
     pos += 1
@@ -463,7 +514,14 @@ def _decode_one_frame(
         did = int.from_bytes(data[pos : pos + did_len], "little")
         pos += did_len
         if did != 0:
-            raise ZstdFormatError("dictionary-compressed frame (unsupported)")
+            if zdict is None:
+                raise ZstdFormatError(
+                    f"frame requires dictionary {did} and none was given"
+                )
+            if zdict.dict_id not in (0, did):
+                raise ZstdFormatError(
+                    f"frame requires dictionary {did}, got {zdict.dict_id}"
+                )
     fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     content_size = None
     if fcs_len:
@@ -472,12 +530,18 @@ def _decode_one_frame(
             content_size += 256
         pos += fcs_len
     frame_start = len(out)
-    # repeat-offset history is per frame
-    rep = [1, 4, 8]
-    huf_table: _HufTable | None = None
-    fse_tables: dict[str, _FseTable | None] = {
-        "ll": None, "of": None, "ml": None
-    }
+    # repeat-offset history is per frame; a dictionary seeds the
+    # entropy "repeat" modes, the initial offsets, and the window
+    if zdict is not None:
+        rep = list(zdict.rep)
+        huf_table = zdict.huf
+        fse_tables = dict(zdict.fse)
+        dict_content = zdict.content
+    else:
+        rep = [1, 4, 8]
+        huf_table = None
+        fse_tables = {"ll": None, "of": None, "ml": None}
+        dict_content = b""
     while True:
         if pos + 3 > len(data):
             raise ZstdFormatError("truncated block header")
@@ -496,7 +560,8 @@ def _decode_one_frame(
             block = data[pos : pos + bsize]
             pos += bsize
             huf_table = _decode_compressed_block(
-                block, out, rep, huf_table, fse_tables, frame_start
+                block, out, rep, huf_table, fse_tables, frame_start,
+                dict_content,
             )
         else:
             raise ZstdFormatError("reserved block type")
@@ -524,6 +589,7 @@ def _decode_compressed_block(
     huf_prev: "_HufTable | None",
     fse_prev: dict,
     frame_start: int,
+    dict_content: bytes = b"",
 ) -> "_HufTable | None":
     # ---- literals section
     lh0 = block[0]
@@ -693,14 +759,25 @@ def _decode_compressed_block(
                 rep[0] = offset
         out += literals[lit_pos : lit_pos + lit_len]
         lit_pos += lit_len
-        if offset > len(out) - frame_start:
+        produced = len(out) - frame_start
+        if offset > produced + len(dict_content):
             raise ZstdFormatError("match offset outside window")
-        start = len(out) - offset
-        if offset >= match_len:
-            out += out[start : start + match_len]
+        if offset <= produced:
+            start = len(out) - offset
+            if offset >= match_len:
+                out += out[start : start + match_len]
+            else:
+                for j in range(match_len):
+                    out.append(out[start + j])
         else:
-            for j in range(match_len):
-                out.append(out[start + j])
+            # the match starts inside the dictionary content and may
+            # run across the boundary into the frame's own output
+            dstart = len(dict_content) - (offset - produced)
+            from_dict = min(offset - produced, match_len)
+            out += dict_content[dstart : dstart + from_dict]
+            remaining = match_len - from_dict
+            for j in range(remaining):  # source continues at frame start
+                out.append(out[frame_start + j])
         if i < nseq - 1:
             ll_state = ll_t.base[ll_state] + bits.read(ll_t.nbits[ll_state])
             ml_state = ml_t.base[ml_state] + bits.read(ml_t.nbits[ml_state])

@@ -240,11 +240,12 @@ def parse_warc_records(
     ``O(chunk + largest record)`` past the compressed input for gzip.
 
     ``.warc.zst`` (the IIPC warc-zstd variant) decodes through the
-    binding-free cross-validated codec.  Its frames decompress whole
-    before parsing (record iteration stays streaming past that), and
-    the variant's optional shared-dictionary skippable frame is
-    skipped — dictionary-compressed frames raise honestly rather than
-    produce wrong bytes."""
+    binding-free cross-validated codec, INCLUDING the variant's
+    shared-dictionary form: a leading ``0x184D2A5D`` skippable frame
+    carries the zstd dictionary (itself possibly zstd-compressed, per
+    the spec), which seeds every following frame.  Frames decompress
+    whole before parsing (record iteration stays streaming past
+    that)."""
     if data[:2] == b"\x1f\x8b":
         chunks: Iterable[bytes] = _iter_inflated_chunks(data, strict=strict)
     elif data[:4] == b"\x28\xb5\x2f\xfd" or data[:4] == b"\x5d\x2a\x4d\x18":
@@ -252,10 +253,16 @@ def parse_warc_records(
             ZstdFormatError, decode_zstd_frame,
         )
         try:
-            # 0x184D2A5D-magic skippable frames (the warc-zstd shared
-            # dictionary) are skipped by the decoder; a frame that then
-            # REQUIRES the dictionary raises — surfaced per strictness
-            chunks = (decode_zstd_frame(data),)
+            dictionary = None
+            if data[:4] == b"\x5d\x2a\x4d\x18":
+                import struct as _struct
+
+                (dsz,) = _struct.unpack_from("<I", data, 4)
+                draw = data[8 : 8 + dsz]
+                if draw[:4] == b"\x28\xb5\x2f\xfd":
+                    draw = decode_zstd_frame(draw)  # spec: may be nested
+                dictionary = draw
+            chunks = (decode_zstd_frame(data, dictionary=dictionary),)
         except ZstdFormatError as exc:
             if strict:
                 raise WarcFormatError(f"corrupt zstd segment: {exc}") from exc

@@ -386,3 +386,77 @@ def test_decode_http_responses_spark(spark, tmp_path):
     assert bytes(rows[0].body) == body
     assert rows[0].content_encoding == "br"
     assert rows[0].status == 200
+
+
+def test_warc_zstd_shared_dictionary_segment():
+    """The IIPC warc-zstd shared-dictionary form: the dictionary rides
+    in a leading 0x184D2A5D skippable frame (plain AND nested-zstd
+    forms), and every record frame requires it."""
+    import ctypes
+    import struct as _struct
+
+    try:
+        z = ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        pytest.skip("libzstd absent")
+    z.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    z.ZDICT_isError.restype = ctypes.c_uint
+    z.ZSTD_createCCtx.restype = ctypes.c_void_p
+    z.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    z.ZSTD_compressBound.restype = ctypes.c_size_t
+    z.ZSTD_isError.restype = ctypes.c_uint
+    z.ZSTD_compress.restype = ctypes.c_size_t
+    z.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    z.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int,
+    ]
+
+    recs = [
+        _record("response", f"http://{i}.example/",
+                b"<html>shared dict page %d</html>" % i)
+        for i in range(40)
+    ]
+    flat = b"".join(recs)
+    sizes = (ctypes.c_size_t * len(recs))(*[len(r) for r in recs])
+    dbuf = ctypes.create_string_buffer(8000)
+    dn = z.ZDICT_trainFromBuffer(dbuf, 8000, flat, sizes, len(recs))
+    if z.ZDICT_isError(dn):
+        pytest.skip("ZDICT training unavailable")
+    dict_raw = dbuf.raw[:dn]
+
+    def comp_with_dict(src):
+        c = z.ZSTD_createCCtx()
+        try:
+            cap = z.ZSTD_compressBound(len(src))
+            dst = ctypes.create_string_buffer(cap)
+            n = z.ZSTD_compress_usingDict(
+                c, dst, cap, src, len(src), dict_raw, dn, 9
+            )
+            assert not z.ZSTD_isError(n)
+            return dst.raw[:n]
+        finally:
+            z.ZSTD_freeCCtx(c)
+
+    body = b"".join(comp_with_dict(r) for r in recs[:5])
+    # plain-dict skippable frame
+    seg = _struct.pack("<II", 0x184D2A5D, dn) + dict_raw + body
+    got = list(parse_warc_records(seg))
+    assert [r["target_uri"] for r in got] == [
+        f"http://{i}.example/" for i in range(5)
+    ]
+    # nested form: the dictionary itself zstd-compressed inside the
+    # skippable frame (what `zstd --train`-based warc writers emit)
+    cap = z.ZSTD_compressBound(dn)
+    dbufc = ctypes.create_string_buffer(cap)
+    cn = z.ZSTD_compress(dbufc, cap, dict_raw, dn, 19)
+    assert not z.ZSTD_isError(cn)
+    seg2 = _struct.pack("<II", 0x184D2A5D, cn) + dbufc.raw[:cn] + body
+    got2 = list(parse_warc_records(seg2))
+    assert len(got2) == 5
+    # without the dictionary frame the segment must fail strict and
+    # quarantine lenient
+    with pytest.raises(WarcFormatError):
+        list(parse_warc_records(body))
+    assert list(parse_warc_records(body, strict=False)) == []

@@ -264,3 +264,74 @@ def test_reserved_block_type_rejected():
     frame[6:9] = bad.to_bytes(3, "little")
     with pytest.raises(ZstdFormatError):
         decode_zstd_frame(bytes(frame))
+
+
+def test_dictionary_frames():
+    """Dictionary-compressed frames (the .warc.zst shared-dictionary
+    class): ZDICT-trained dictionaries seed the entropy repeat modes,
+    the initial repeat offsets, AND the backward match window — all
+    three are exercised because trained dicts carry entropy tables and
+    template-heavy samples produce dict-window matches."""
+    z = _load()
+    z.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    z.ZDICT_isError.restype = ctypes.c_uint
+    z.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    z.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int,
+    ]
+
+    from inception_spark.operators.zstdcodec import ZstdDict, ZstdFormatError
+
+    rng = random.Random(4)
+    samples = [
+        (
+            "user=%d;name=test%d;lang=en;theme=dark;path=/it/%d\n"
+            % (i, i * 7, i % 13)
+        ).encode() * 3
+        for i in range(200)
+    ]
+    flat = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    dbuf = ctypes.create_string_buffer(20000)
+    dn = z.ZDICT_trainFromBuffer(dbuf, 20000, flat, sizes, len(samples))
+    if z.ZDICT_isError(dn):
+        pytest.skip("ZDICT training unavailable in this build")
+    dict_raw = dbuf.raw[:dn]
+    zd = ZstdDict(dict_raw)
+    assert zd.dict_id != 0 and zd.huf is not None and zd.content
+
+    def comp(src, level, d):
+        c = z.ZSTD_createCCtx()
+        try:
+            cap = z.ZSTD_compressBound(len(src))
+            dst = ctypes.create_string_buffer(cap)
+            n = z.ZSTD_compress_usingDict(
+                c, dst, cap, src, len(src), d, len(d), level
+            )
+            assert not z.ZSTD_isError(n)
+            return dst.raw[:n]
+        finally:
+            z.ZSTD_freeCCtx(c)
+
+    tests = [
+        samples[17],
+        b"unrelated content with no template at all",
+        b"",
+        b"x" * 30_000,
+    ] + [random.Random(i).choice(samples) + rng.randbytes(40)
+         for i in range(10)]
+    for level in (1, 3, 9, 19):
+        for i, src in enumerate(tests):
+            frame = comp(src, level, dict_raw)
+            got = decode_zstd_frame(frame, dictionary=dict_raw)
+            assert got == src, f"level {level} case {i}"
+    # raw-content dictionary (no magic): window-only seeding
+    rawdict = b"the quick brown fox jumps over the lazy dog " * 50
+    src = b"the quick brown fox jumps over the lazy dog AND MORE " * 20
+    frame = comp(src, 3, rawdict)
+    assert decode_zstd_frame(frame, dictionary=rawdict) == src
+    # a dict-requiring frame without a dictionary must raise
+    with pytest.raises(ZstdFormatError):
+        decode_zstd_frame(comp(samples[0], 3, dict_raw))
