@@ -2791,6 +2791,20 @@ def _q_streaming_warc_http(spark, sf_dir):
     return warc_http_from_partials(parts)
 
 
+def _q_zstd_dict_stats(spark, sf_dir):
+    """The shared-dictionary zstd path (the .warc.zst variant class)
+    proven driver-visibly: a REAL ZDICT dictionary trains on a
+    deterministic 200-doc sample (control-plane-sized collect),
+    workers dict-compress every document's text with libzstd and
+    decode it back through ZstdDict — dictionary entropy seeding,
+    RepOffsets, and dict-window matches all load-bearing.  Stats
+    mirror zstd_shard_stats, so the oracle is the same closed form."""
+    from inception_spark.sources.zstdshard import zstd_dict_stats
+
+    _ensure_workers_can_import(spark)
+    return zstd_dict_stats(_docs(spark, sf_dir))
+
+
 def _q_tiff_pixel_stats(spark, sf_dir):
     """The image_pixel_stats decode round-trip applied to the strip
     TIFF codec (operators/tiff.py, libtiff-cross-validated): every
@@ -6347,6 +6361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_codec_matrix": _q_streaming_codec_matrix,
         "warc_http_stats": _q_warc_http_stats,
         "streaming_warc_http": _q_streaming_warc_http,
+        "zstd_dict_stats": _q_zstd_dict_stats,
         "trimmed_stats": _q_trimmed_stats,
         "degree_powerlaw": _q_degree_powerlaw,
         "rake_keywords": _q_rake_keywords,
@@ -6620,9 +6635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
 #               last driver green was round 5, in cohort order.
 #   staged r12  the remaining 26 of _COHORT_R5_GREEN, then the first
-#               24 of _COHORT_NEW_R11 (the 29 entries added in round
+#               24 of _COHORT_NEW_R11 (the 30 entries added in round
 #               11, zero driver signal).  26 + 24 = 50 fills the r12
-#               window exactly; the 5 remaining new-in-r11 entries
+#               window exactly; the 6 remaining new-in-r11 entries
 #               stage as the r13 head.
 _COHORT_NEW_R10 = [
     "packing_efficiency",
@@ -6739,6 +6754,7 @@ _COHORT_NEW_R11 = [
     "streaming_codec_matrix",
     "warc_http_stats",
     "streaming_warc_http",
+    "zstd_dict_stats",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
@@ -7565,6 +7581,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
+        "zstd_dict_stats": _ZSTD_SHARD_ORACLE,
         "codec_matrix_stats": _CODEC_MATRIX_ORACLE,
         "streaming_codec_matrix": _CODEC_MATRIX_ORACLE,
         "warc_http_stats": _WARC_HTTP_ORACLE,

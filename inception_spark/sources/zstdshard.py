@@ -176,3 +176,125 @@ def zstd_shard_stats(docs: DataFrame) -> DataFrame:
     The oracle computes the same stats directly from documents.text —
     a decoder defect hash-mismatches or fails the decode outright."""
     return zstd_from_partials(zstd_partials(synth_zstd_corpus(docs)))
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-compressed variant: the .warc.zst shared-dictionary class,
+# driver-visibly oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _train_dict(samples: list[bytes], capacity: int = 8192) -> bytes:
+    """Train a real zstd dictionary via ZDICT (control-plane sized:
+    the sample list is a capped driver-side collect, the repo's
+    kmeans-centroid discipline)."""
+    import ctypes
+
+    z = _libzstd()
+    if z is None:
+        return b""  # dict-less fallback downstream
+    z.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    z.ZDICT_isError.restype = ctypes.c_uint
+    flat = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    buf = ctypes.create_string_buffer(capacity)
+    n = z.ZDICT_trainFromBuffer(buf, capacity, flat, sizes, len(samples))
+    if z.ZDICT_isError(n):
+        return b""  # tiny corpora can refuse to train
+    return buf.raw[:n]
+
+
+def _compress_with_dict(raw: bytes, d: bytes, level: int) -> bytes:
+    import ctypes
+
+    z = _libzstd()
+    if z is None or not d:
+        return _compress(raw, level)
+    if not hasattr(z, "_dict_sig"):
+        z.ZSTD_createCCtx.restype = ctypes.c_void_p
+        z.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+        z.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+        z.ZSTD_compress_usingDict.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_size_t, ctypes.c_int,
+        ]
+        z._dict_sig = True
+    c = z.ZSTD_createCCtx()
+    try:
+        cap = z.ZSTD_compressBound(len(raw))
+        dst = ctypes.create_string_buffer(cap)
+        n = z.ZSTD_compress_usingDict(
+            c, dst, cap, raw, len(raw), d, len(d), level
+        )
+        if z.ZSTD_isError(n):
+            raise RuntimeError("dictionary compression failed")
+        return dst.raw[:n]
+    finally:
+        z.ZSTD_freeCCtx(c)
+
+
+def zstd_dict_stats(docs: DataFrame, *, n_train: int = 200) -> DataFrame:
+    """The shared-dictionary decode path proven driver-visibly: a REAL
+    ZDICT dictionary is trained on the first ``n_train`` docs (by
+    doc_id — a deterministic, control-plane-sized collect), broadcast
+    as plan state, and every document's text is dict-compressed
+    worker-side with libzstd, then decoded back through our
+    :class:`~inception_spark.operators.zstdcodec.ZstdDict` machinery
+    (dict entropy seeding + dict-window matches).  Stats mirror
+    zstd_shard_stats so the oracle is the same closed form — a
+    dictionary-path defect hash-mismatches or fails outright."""
+    from typing import Iterator as _It
+
+    from inception_spark.operators.zstdcodec import ZstdDict
+
+    sample = [
+        str(r["text"]).encode("utf-8")
+        for r in docs.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(n_train)
+        .collect()
+    ]
+    d = _train_dict(sample)
+    src = docs.select("doc_id", "text").where(F.col("text").isNotNull())
+
+    def fold(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        zd = ZstdDict(d) if d else None
+        for pdf in batches:
+            rows: dict[int, list[int]] = {}
+            for i, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                raw = str(t).encode("utf-8")
+                frame = _compress_with_dict(raw, d, 3)
+                decoded = decode_zstd_frame(frame, dictionary=zd)
+                assert decoded == raw
+                acc = rows.setdefault(int(i) % 5, [0, 0, 0, 0])
+                acc[0] += 1
+                acc[1] += len(decoded)
+                acc[2] += decoded.count(b"a")
+                acc[3] += int(int(i) % 3 == 0)
+            if rows:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "shard": sh,
+                            "n_docs": a[0],
+                            "decoded_bytes": a[1],
+                            "n_a": a[2],
+                            "n_hi_level": a[3],
+                        }
+                        for sh, a in rows.items()
+                    ]
+                )
+
+    return (
+        src.mapInPandas(fold, _PARTIAL_SCHEMA)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("decoded_bytes").cast("long").alias("decoded_bytes"),
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_hi_level").cast("long").alias("n_hi_level"),
+        )
+        .orderBy("shard")
+    )

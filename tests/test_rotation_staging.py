@@ -30,8 +30,8 @@ def test_cohort_arithmetic():
     # The staging comment above _COHORT_NEW_R10 quotes these totals; if a
     # late-round entry lands in _COHORT_NEW_R11, update BOTH the list and
     # the comment, then this pin.
-    assert len(E._COHORT_NEW_R11) == 29
-    assert len(E._STAGED_R12) == 55
+    assert len(E._COHORT_NEW_R11) == 30
+    assert len(E._STAGED_R12) == 56
 
 
 def test_staging_comment_matches_lists():
