@@ -497,7 +497,7 @@ def decode_http_responses(
             ):
                 try:
                     r = parse_http_response(bytes(p), strict=strict)
-                except (HttpFormatError, Exception):
+                except Exception:
                     if strict:
                         raise
                     continue
