@@ -22,7 +22,6 @@ exercising every layer added for it:
 Run:  python examples/crawl_ingest_pipeline.py
 """
 
-import ctypes
 import gzip
 import os
 import struct
@@ -77,7 +76,14 @@ def _http_message(text: bytes, enc: str, chunked: bool) -> bytes:
 
 def _write_segments(rows: list[tuple[int, str]], out_dir: str) -> None:
     """Half the corpus into a .warc.gz, half into a shared-dictionary
-    .warc.zst (dictionary trained on the records themselves)."""
+    .warc.zst (dictionary trained on the records themselves, through
+    the package's own ZDICT helpers — no local ctypes plumbing)."""
+    from inception_spark.sources.zstdshard import (
+        _compress,
+        _compress_with_dict,
+        _train_dict,
+    )
+
     encs = ("identity", "gzip", "br", "zstd")
     recs = []
     for i, text in rows:
@@ -97,44 +103,16 @@ def _write_segments(rows: list[tuple[int, str]], out_dir: str) -> None:
         for r in recs[:half]:
             fh.write(gzip.compress(r))  # member-per-record convention
 
-    z = ctypes.CDLL("libzstd.so.1")
-    z.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
-    z.ZDICT_isError.restype = ctypes.c_uint
-    z.ZSTD_createCCtx.restype = ctypes.c_void_p
-    z.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
-    z.ZSTD_compressBound.restype = ctypes.c_size_t
-    z.ZSTD_isError.restype = ctypes.c_uint
-    z.ZSTD_compress_usingDict.restype = ctypes.c_size_t
-    z.ZSTD_compress_usingDict.argtypes = [
-        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
-        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
-        ctypes.c_size_t, ctypes.c_int,
-    ]
     tail = recs[half:]
-    flat = b"".join(tail)
-    sizes = (ctypes.c_size_t * len(tail))(*[len(r) for r in tail])
-    dbuf = ctypes.create_string_buffer(8192)
-    dn = z.ZDICT_trainFromBuffer(dbuf, 8192, flat, sizes, len(tail))
+    draw = _train_dict(tail)
     with open(os.path.join(out_dir, "seg-1.warc.zst"), "wb") as fh:
-        if z.ZDICT_isError(dn):
-            # tiny corpora can refuse to train: fall back to dict-less
-            from inception_spark.sources.zstdshard import _compress
-
+        if not draw:  # tiny corpora can refuse to train: dict-less
             for r in tail:
                 fh.write(_compress(r, 3))
         else:
-            draw = dbuf.raw[:dn]
-            fh.write(struct.pack("<II", 0x184D2A5D, dn) + draw)
+            fh.write(struct.pack("<II", 0x184D2A5D, len(draw)) + draw)
             for r in tail:
-                c = z.ZSTD_createCCtx()
-                cap = z.ZSTD_compressBound(len(r))
-                dst = ctypes.create_string_buffer(cap)
-                n = z.ZSTD_compress_usingDict(
-                    c, dst, cap, r, len(r), draw, dn, 9
-                )
-                z.ZSTD_freeCCtx(c)
-                assert not z.ZSTD_isError(n)
-                fh.write(dst.raw[:n])
+                fh.write(_compress_with_dict(r, draw, 9))
 
 
 def main() -> None:

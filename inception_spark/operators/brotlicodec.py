@@ -101,17 +101,25 @@ def _load_tables():
         for i in range(t.num_transforms)
     ]
     # context lookup table: locate by the mode-0 (LSB6) pattern inside
-    # the shared library image
-    import ctypes.util
-
-    path = None
-    for cand in (
+    # the shared library image.  The library is already LOADED via
+    # CDLL above, so its real path is in this process's maps — that
+    # works on any Linux distro/arch, unlike hardcoded multiarch dirs.
+    candidates = []
+    try:
+        with open("/proc/self/maps") as fh:
+            for line in fh:
+                if "libbrotlicommon" in line:
+                    p = line.split(None, 5)[-1].strip()
+                    if p and p not in candidates:
+                        candidates.append(p)
+    except OSError:
+        pass
+    candidates += [
         "/lib/x86_64-linux-gnu/libbrotlicommon.so.1",
         "/usr/lib/x86_64-linux-gnu/libbrotlicommon.so.1",
-        ctypes.util.find_library("brotlicommon"),
-    ):
-        if cand is None:
-            continue
+    ]
+    path = None
+    for cand in candidates:
         try:
             with open(cand, "rb") as fh:
                 img = fh.read()
@@ -552,6 +560,15 @@ def _decode_window_bits(bits: _Bits) -> int:
 
 def decode_brotli(data: bytes, *, max_output: int = 1 << 31) -> bytes:
     """Decode one brotli stream to bytes."""
+    try:
+        return _decode_brotli(data, max_output=max_output)
+    except (IndexError, struct.error) as exc:
+        # out-of-range table/buffer reads on corrupt input must surface
+        # as the typed error the lenient HTTP/crawl paths catch
+        raise BrotliFormatError(f"corrupt stream: {exc}") from exc
+
+
+def _decode_brotli(data: bytes, *, max_output: int) -> bytes:
     dict_data, size_bits, dict_offsets, transforms, ctx_lut = _load_tables()
     bits = _Bits(data)
     wbits = _decode_window_bits(bits)
@@ -628,6 +645,8 @@ def decode_brotli(data: bytes, *, max_output: int = 1 << 31) -> bytes:
             ccode = _COPY_RANGE_LUT[range_idx] + (cmd & 7)
             ilen = _INSERT_BASE[icode] + bits.read(_INSERT_EXTRA[icode])
             clen = _COPY_BASE[ccode] + bits.read(_COPY_EXTRA[ccode])
+            if mpos + ilen > mlen:
+                raise BrotliFormatError("insert runs past meta-block length")
 
             mode_off = None
             for _ in range(ilen):

@@ -250,9 +250,10 @@ _BD_SIZES = {4: 1 << 16, 5: 1 << 18, 6: 1 << 20, 7: 1 << 22}
 
 
 def decode_lz4_frame(data: bytes) -> bytes:
-    """Decode one LZ4 frame (as produced by ``lz4 -z`` / LZ4F): full
-    descriptor handling — independent OR linked blocks, stored blocks,
-    block checksums, content size and content checksum all verified."""
+    """Decode one LZ4 frame (as produced by ``lz4 -z`` / LZ4F):
+    independent OR linked blocks, stored blocks, block checksums,
+    content size and content checksum all verified.  Frames declaring
+    an external dictionary raise (no dict plumbing here)."""
     if len(data) < 7:
         raise Lz4FormatError("truncated frame header")
     (magic,) = struct.unpack_from("<I", data, 0)
@@ -281,7 +282,13 @@ def decode_lz4_frame(data: bytes) -> bytes:
         (content_size,) = struct.unpack_from("<Q", data, pos)
         pos += 8
     if dict_id:
-        pos += 4
+        # LZ4F external-dictionary frames are not decodable without the
+        # dictionary — reject honestly (the zstdcodec discipline) rather
+        # than fail later with a misleading offset error
+        did = int.from_bytes(data[pos : pos + 4], "little")
+        raise Lz4FormatError(
+            f"frame requires external dictionary {did} (unsupported)"
+        )
     hc = data[pos]
     expect_hc = (xxh32(data[4:pos]) >> 8) & 0xFF
     if hc != expect_hc:

@@ -408,6 +408,11 @@ def _huf_decode_stream(table: _HufTable, data: bytes, out_len: int) -> bytes:
         idx = peek(mb)
         out.append(symbol[idx])
         skip(nbits[idx])
+    if bits.deficit:
+        # peeks may zero-pad, but CONSUMING past the start means the
+        # stream was truncated — erroring here is what keeps a corrupt
+        # checksum-less frame from decoding to silently wrong bytes
+        raise ZstdFormatError("Huffman literal stream truncated")
     return bytes(out)
 
 
@@ -432,6 +437,12 @@ class ZstdDict:
     __slots__ = ("dict_id", "huf", "fse", "rep", "content")
 
     def __init__(self, raw: bytes):
+        try:
+            self._parse(raw)
+        except (IndexError, struct.error) as exc:
+            raise ZstdFormatError(f"corrupt dictionary: {exc}") from exc
+
+    def _parse(self, raw: bytes) -> None:
         if len(raw) >= 8 and struct.unpack_from("<I", raw, 0)[0] == _DICT_MAGIC:
             self.dict_id = struct.unpack_from("<I", raw, 4)[0]
             pos = 8
@@ -488,7 +499,12 @@ def decode_zstd_frame(
             continue
         if magic != _ZSTD_MAGIC:
             raise ZstdFormatError(f"bad magic 0x{magic:08X}")
-        pos = _decode_one_frame(data, pos + 4, out, max_output, zdict)
+        try:
+            pos = _decode_one_frame(data, pos + 4, out, max_output, zdict)
+        except (IndexError, struct.error) as exc:
+            # out-of-range reads on truncated/corrupt input must surface
+            # as the typed error the lenient shard/segment readers catch
+            raise ZstdFormatError(f"truncated or corrupt frame: {exc}") from exc
     return bytes(out)
 
 
@@ -782,6 +798,8 @@ def _decode_compressed_block(
             ll_state = ll_t.base[ll_state] + bits.read(ll_t.nbits[ll_state])
             ml_state = ml_t.base[ml_state] + bits.read(ml_t.nbits[ml_state])
             of_state = of_t.base[of_state] + bits.read(of_t.nbits[of_state])
+    if bits.deficit:
+        raise ZstdFormatError("sequence bitstream truncated")
     out += literals[lit_pos:]
     return huf_table
 

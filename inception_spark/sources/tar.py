@@ -317,12 +317,13 @@ class TarShardsReader(DataSourceReader):
         # the _decompress_shard memory contract)
         with open(partition.path, "rb") as fh:
             head = fh.read(4)
-        if head in (_ZSTD_MAGIC, _LZ4F_MAGIC):
-            with open(partition.path, "rb") as fh:
-                raw = _decompress_shard(fh.read(), partition.path, True)
-            src = tarfile.open(fileobj=io.BytesIO(raw), mode="r|*")
-        else:
-            src = tarfile.open(partition.path, mode="r|*")
+            if head in (_ZSTD_MAGIC, _LZ4F_MAGIC):
+                raw = _decompress_shard(
+                    head + fh.read(), partition.path, True
+                )
+                src = tarfile.open(fileobj=io.BytesIO(raw), mode="r|*")
+            else:
+                src = tarfile.open(partition.path, mode="r|*")
         with src as tf:
             for member in tf:
                 if not member.isfile():

@@ -257,7 +257,13 @@ def parse_warc_records(
             if data[:4] == b"\x5d\x2a\x4d\x18":
                 import struct as _struct
 
+                if len(data) < 8:
+                    raise ZstdFormatError("truncated dictionary frame")
                 (dsz,) = _struct.unpack_from("<I", data, 4)
+                if 8 + dsz > len(data):
+                    raise ZstdFormatError(
+                        "dictionary frame larger than segment"
+                    )
                 draw = data[8 : 8 + dsz]
                 if draw[:4] == b"\x28\xb5\x2f\xfd":
                     draw = decode_zstd_frame(draw)  # spec: may be nested
