@@ -198,3 +198,21 @@ def test_corrupt_payloads_raise():
         decode_brotli(comp[: len(comp) // 3])
     with pytest.raises(BrotliFormatError):
         decode_brotli(b"")
+
+
+def test_truncations_raise_typed_errors():
+    """All truncation points surface as BrotliFormatError (never bare
+    IndexError/struct.error) so lenient HTTP/crawl paths can catch the
+    one type (review finding, fixed at the decode choke point)."""
+    e = _enc()
+    frame = _bc(e, b"structured content " * 500, 5, 22)
+    for cut in (1, 2, 5, len(frame) // 3, len(frame) - 1):
+        try:
+            decode_brotli(frame[:cut])
+        except BrotliFormatError:
+            continue
+        except Exception as ex:  # pragma: no cover - the failure mode
+            pytest.fail(f"cut={cut}: untyped {type(ex).__name__}: {ex}")
+        # some prefixes may decode "cleanly" to a short stream if the
+        # cut lands on a meta-block boundary — only untyped errors and
+        # silent WRONG output (checked elsewhere) are failures

@@ -335,3 +335,29 @@ def test_dictionary_frames():
     # a dict-requiring frame without a dictionary must raise
     with pytest.raises(ZstdFormatError):
         decode_zstd_frame(comp(samples[0], 3, dict_raw))
+
+
+def test_truncations_raise_typed_errors():
+    """Every truncation point must surface as ZstdFormatError — the
+    lenient shard/segment readers catch exactly that type, so a bare
+    IndexError/struct.error would kill a whole Spark task (review
+    finding, fixed at the decode choke point)."""
+    z = _load()
+    frame = _zc(z, b"structured content " * 500, 3)
+    for cut in (4, 5, 6, 9, len(frame) // 2, len(frame) - 1):
+        with pytest.raises(ZstdFormatError):
+            decode_zstd_frame(frame[:cut])
+
+
+def test_checksumless_bitstream_truncation_detected():
+    """ZSTD_compress frames carry no content checksum by default; a
+    sequence/Huffman bitstream that runs dry must still raise (the
+    deficit check) rather than decode zero-filled bits into silently
+    wrong output."""
+    z = _load()
+    src = b"".join(b"row %d of the corpus\n" % i for i in range(2000))
+    frame = bytearray(_zc(z, src, 3))
+    # drop the final byte of the frame: the backward-read bitstreams
+    # lose their tail, which only the deficit check can see
+    with pytest.raises(ZstdFormatError):
+        decode_zstd_frame(bytes(frame[:-1]))
