@@ -3457,3 +3457,98 @@ SELECT d.doc_id,
        p.mlp AS mean_logprob
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def doc_compression_ratio(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document gzip compressibility — the RedPajama-v2-class
+    quality signal: near-random text barely compresses (ratio → 1+),
+    boilerplate/templated text compresses far below typical prose, so
+    BOTH tails of the distribution are suspect for pretraining.
+
+    Emits (id, n_bytes, n_compressed, ratio_millis) where ratio_millis
+    = 1000·compressed/raw as an integer (the repo's cross-engine
+    determinism discipline: zlib output is deterministic for a fixed
+    level + library version, but no SQL twin can replay DEFLATE — this
+    function is pytest/property-pinned, not oracle-paired, and is
+    stated as such).
+
+    Scale shape: one Arrow-batched pass, no shuffle; gzip of a ~1 KB
+    doc is ~10 µs of C, so the scan stays ingest-bound at 100 TB.
+    """
+    import gzip as _gzip
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("n_compressed", T.LongType(), False),
+            T.StructField("ratio_millis", T.LongType(), False),
+        ]
+    )
+    src = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+
+    def fold(batches):
+        for pdf in batches:
+            ids, nb, nc, rm = [], [], [], []
+            for i, t in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                raw = str(t).encode("utf-8")
+                comp = _gzip.compress(raw, compresslevel=level)
+                ids.append(int(i))
+                nb.append(len(raw))
+                nc.append(len(comp))
+                rm.append(
+                    (1000 * len(comp)) // len(raw) if raw else 1000
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_millis": rm,
+                }
+            )
+
+    return src.mapInPandas(fold, out_schema)
+
+
+def compression_quality_gate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio_millis: int = 250,
+    max_ratio_millis: int = 1100,
+) -> DataFrame:
+    """Route documents by gzip compressibility: ``keep`` inside the
+    band, ``too_repetitive`` below it (templates/boilerplate/degenerate
+    repetition), ``too_random`` above it (binary-ish noise, encoding
+    damage).  Default band follows the published RedPajama-v2 usage
+    (ratio as a FEATURE with both tails suspect), expressed in integer
+    millis so downstream routing is engine-exact."""
+    ratios = doc_compression_ratio(
+        df, id_col=id_col, text_col=text_col
+    )
+    return (
+        df.join(ratios.select(id_col, "ratio_millis"), id_col, "inner")
+        .withColumn(
+            "compress_route",
+            F.when(
+                F.col("ratio_millis") < min_ratio_millis,
+                F.lit("too_repetitive"),
+            )
+            .when(
+                F.col("ratio_millis") > max_ratio_millis,
+                F.lit("too_random"),
+            )
+            .otherwise(F.lit("keep")),
+        )
+    )
