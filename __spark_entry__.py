@@ -5983,20 +5983,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 11 (see ``_WINDOW_R11`` below,
-    VERDICT r10 ask 1): slots 1-39 are the 39 new-in-r10 entries
-    (``_COHORT_NEW_R10`` — zero external driver signal, added after the
-    r10 window was pinned); slots 40-50 are the first 11 of the 37
-    r5-green entries (``_COHORT_R5_GREEN``, cohort order:
-    ann_multiprobe_pruned .. embedding_outliers).  Just past the
-    boundary sits the round-12 head: the remaining 26 r5-green entries,
-    then any entries added THIS round (``_COHORT_NEW_R11``).  Cohort
-    arithmetic (39 + 11 = 50, remainder 26) is asserted by
+    with the least driver signal.  Round 12 (see ``_WINDOW_R12`` below,
+    VERDICT r11 ask 1): slots 1-26 are the remaining 26 r5-green entries
+    (``_COHORT_R5_GREEN[11:]``); slots 27-50 are the first 24 of the 30
+    new-in-r11 zero-signal entries (``_COHORT_NEW_R11[:24]``).  Just past
+    the boundary sits the round-13 head: the 6 remaining new-in-r11
+    entries, then any entries added THIS round (``_COHORT_NEW_R12``).
+    Cohort arithmetic (26 + 24 = 50, remainder 6) is asserted by
     ``tests/test_rotation_staging.py`` so a drifted comment fails
     loudly.  The in-repo mini-driver (tests/test_entry.py) still
     verifies every oracle pair at sf0.001 regardless of position.  The
     dict literal below keeps its stable grouped-by-family order;
-    ``_WINDOW_R11 + _STAGED_R12`` does the rotation at return time so
+    ``_WINDOW_R12 + _STAGED_R13`` does the rotation at return time so
     slot moves are one-line edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
@@ -6615,7 +6613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    order = _WINDOW_R11 + _STAGED_R12
+    order = _WINDOW_R12 + _STAGED_R13
     missing = [k for k in order if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
     head = {k: reg[k] for k in order}
@@ -6623,22 +6621,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | tail
 
 
-# Round-11 driver-window rotation (the driver's correctness window runs
+# Round-12 driver-window rotation (the driver's correctness window runs
 # the FIRST 50 dict entries returned by ``queries()``).  Cohorts are
 # named module constants so ``tests/test_rotation_staging.py`` can
 # assert the arithmetic (VERDICT r10 ask 8) — a drifted comment now
 # fails loudly instead of mis-driving a rotation.
 #
-#   slots 1-39  _COHORT_NEW_R10 — the 39 entries added in round 10
-#               AFTER the r10 window was pinned (zero external driver
-#               signal; all green in the r10 judge's 326/326 sweep).
-#   slots 40-50 the first 11 of _COHORT_R5_GREEN — the 37 entries whose
-#               last driver green was round 5, in cohort order.
-#   staged r12  the remaining 26 of _COHORT_R5_GREEN, then the first
+#   slots 1-26  the remaining 26 of _COHORT_R5_GREEN — last driver
+#               green round 5; first 11 were harvested in the r11
+#               window (CORRECTNESS_r11.json, all green).
+#   slots 27-50 the first
 #               24 of _COHORT_NEW_R11 (the 30 entries added in round
 #               11, zero driver signal).  26 + 24 = 50 fills the r12
 #               window exactly; the 6 remaining new-in-r11 entries
-#               stage as the r13 head.
+#               stage as the r13 head, followed by _COHORT_NEW_R12
+#               (entries added this round).
 _COHORT_NEW_R10 = [
     "packing_efficiency",
     "ivm_join_rollup",
@@ -6757,8 +6754,12 @@ _COHORT_NEW_R11 = [
     "zstd_dict_stats",
 ]
 
-_WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]
-_STAGED_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11
+# Entries added in round 12 (zero driver signal until the r13 window).
+_COHORT_NEW_R12: list[str] = []
+
+_WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
+_WINDOW_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11[:24]
+_STAGED_R13 = _COHORT_NEW_R11[24:] + _COHORT_NEW_R12
 
 
 

@@ -1,4 +1,4 @@
-"""Rotation-window staging arithmetic (VERDICT r10 ask 8).
+"""Rotation-window staging arithmetic (VERDICT r10 ask 8, rotated r12).
 
 The driver's correctness window runs the first 50 entries of
 ``queries()``; the cohort lists in ``__spark_entry__`` are the
@@ -16,22 +16,22 @@ E = importlib.import_module("__spark_entry__")
 
 
 def test_window_is_exactly_fifty():
-    assert len(E._WINDOW_R11) == 50
+    assert len(E._WINDOW_R12) == 50
 
 
 def test_cohort_arithmetic():
-    # r11 window = ALL 39 new-in-r10 zero-signal entries + the first 11
-    # of the 37-entry r5-green cohort; the remaining 26 stage as r12.
+    # r12 window = the remaining 26 of the 37-entry r5-green cohort
+    # (first 11 harvested in the r11 window, CORRECTNESS_r11.json all
+    # green) + the first 24 of the 30 new-in-r11 zero-signal entries;
+    # the 6 remaining new-in-r11 entries stage as the r13 head,
+    # followed by anything added this round (_COHORT_NEW_R12).
     assert len(E._COHORT_NEW_R10) == 39
     assert len(E._COHORT_R5_GREEN) == 37
-    assert E._WINDOW_R11 == E._COHORT_NEW_R10 + E._COHORT_R5_GREEN[:11]
-    assert E._STAGED_R12 == E._COHORT_R5_GREEN[11:] + E._COHORT_NEW_R11
-    assert len(E._COHORT_R5_GREEN[11:]) == 26
-    # The staging comment above _COHORT_NEW_R10 quotes these totals; if a
-    # late-round entry lands in _COHORT_NEW_R11, update BOTH the list and
-    # the comment, then this pin.
     assert len(E._COHORT_NEW_R11) == 30
-    assert len(E._STAGED_R12) == 56
+    assert E._WINDOW_R12 == E._COHORT_R5_GREEN[11:] + E._COHORT_NEW_R11[:24]
+    assert E._STAGED_R13 == E._COHORT_NEW_R11[24:] + E._COHORT_NEW_R12
+    assert len(E._COHORT_R5_GREEN[11:]) == 26
+    assert len(E._COHORT_NEW_R11[24:]) == 6
 
 
 def test_staging_comment_matches_lists():
@@ -59,13 +59,18 @@ def test_staging_comment_matches_lists():
 
 
 def test_no_duplicates_across_cohorts():
-    all_names = E._COHORT_NEW_R10 + E._COHORT_R5_GREEN + E._COHORT_NEW_R11
+    all_names = (
+        E._COHORT_NEW_R10
+        + E._COHORT_R5_GREEN
+        + E._COHORT_NEW_R11
+        + E._COHORT_NEW_R12
+    )
     assert len(all_names) == len(set(all_names))
 
 
 def test_every_staged_name_is_a_registry_entry():
     reg = E.queries()
-    order = E._WINDOW_R11 + E._STAGED_R12
+    order = E._WINDOW_R12 + E._STAGED_R13
     missing = [k for k in order if k not in reg]
     assert not missing, f"staged names unknown to the registry: {missing}"
 
@@ -73,10 +78,10 @@ def test_every_staged_name_is_a_registry_entry():
 def test_registry_head_is_the_window():
     reg = E.queries()
     head = list(reg)[:50]
-    assert head == E._WINDOW_R11
-    # and the staged r12 cohort sits immediately past the boundary
-    nxt = list(reg)[50 : 50 + len(E._STAGED_R12)]
-    assert nxt == E._STAGED_R12
+    assert head == E._WINDOW_R12
+    # and the staged r13 cohort sits immediately past the boundary
+    nxt = list(reg)[50 : 50 + len(E._STAGED_R13)]
+    assert nxt == E._STAGED_R13
 
 
 def test_window_entries_have_oracles_or_documented_exemption():
@@ -84,5 +89,5 @@ def test_window_entries_have_oracles_or_documented_exemption():
     weaker rows-only check otherwise).  Streaming twins share their batch
     oracle; a missing oracle here is a staging mistake."""
     oracles = E.oracle_sql()
-    missing = [k for k in E._WINDOW_R11 if k not in oracles]
+    missing = [k for k in E._WINDOW_R12 if k not in oracles]
     assert not missing, f"windowed entries without oracle SQL: {missing}"
