@@ -118,19 +118,55 @@ def _load_tables():
         "/lib/x86_64-linux-gnu/libbrotlicommon.so.1",
         "/usr/lib/x86_64-linux-gnu/libbrotlicommon.so.1",
     ]
+    def _lut_valid(lut: bytes) -> bool:
+        """Reject a coincidental LSB6-pattern match (ADVICE r11): the
+        real 2048-byte table's other sub-tables are pinned by RFC 7932
+        §7.1 — LSB6/MSB6 second-byte halves are all-zero, MSB6 first
+        half is i>>2, UTF8 splits into a multiple-of-4 Lut0 and a 0-3
+        Lut1, SIGNED into a multiple-of-8 Lut0 (0..56, ending 56) and a
+        0-7 Lut1 (ending 7), both monotone in the byte value."""
+        if len(lut) != 2048:
+            return False
+        if lut[256:512] != b"\0" * 256 or lut[768:1024] != b"\0" * 256:
+            return False
+        if lut[512:768] != bytes(i >> 2 for i in range(256)):
+            return False
+        utf8_0, utf8_1 = lut[1024:1280], lut[1280:1536]
+        # ASCII rows carry multiple-of-4 class codes; non-ASCII rows
+        # (UTF-8 lead/continuation bytes) carry the 1/2/3 codes directly
+        if not all(v < 64 and (v % 4 == 0 or v < 4) for v in utf8_0):
+            return False
+        if not all(v < 4 for v in utf8_1):
+            return False
+        sg0, sg1 = lut[1536:1792], lut[1792:2048]
+        if sg0[0] != 0 or sg0[255] != 56 or sg1[0] != 0 or sg1[255] != 7:
+            return False
+        if not all(v % 8 == 0 and v <= 56 for v in sg0):
+            return False
+        if not all(v <= 7 for v in sg1):
+            return False
+        if list(sg0) != sorted(sg0) or list(sg1) != sorted(sg1):
+            return False
+        return True
+
     path = None
+    pat = bytes(i & 63 for i in range(256))
     for cand in candidates:
         try:
             with open(cand, "rb") as fh:
                 img = fh.read()
-            pat = bytes(i & 63 for i in range(256))
-            idx = img.find(pat)
-            if idx >= 0:
-                path = cand
-                ctx_lut = img[idx : idx + 2048]
-                break
         except OSError:
             continue
+        idx = img.find(pat)
+        while idx >= 0:  # keep scanning past coincidental matches
+            lut = img[idx : idx + 2048]
+            if _lut_valid(lut):
+                path = cand
+                ctx_lut = lut
+                break
+            idx = img.find(pat, idx + 1)
+        if path is not None:
+            break
     if path is None:
         raise BrotliUnavailable("brotli context-lookup table not found")
     _TABLES = (dict_data, size_bits, offsets, transforms, ctx_lut)

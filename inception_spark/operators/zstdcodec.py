@@ -189,6 +189,7 @@ def _read_fse_distribution(
     """Parse an FSE table description starting at byte ``pos``.
     Returns (normalized_counts, accuracy_log, new_pos)."""
     bitpos = pos * 8
+    bitlimit = len(data) * 8
 
     def _peek(nbits: int) -> int:
         byte0 = bitpos >> 3
@@ -198,8 +199,16 @@ def _read_fse_distribution(
         )
         return (window >> shift) & ((1 << nbits) - 1)
 
+    def _check() -> None:
+        # the zero-pad in _peek keeps slicing total, so a truncated
+        # table description would otherwise parse as a stream of zero
+        # counts — surface it as the typed error instead (ADVICE r11)
+        if bitpos > bitlimit:
+            raise ZstdFormatError("truncated FSE table description")
+
     acc = _peek(4) + 5
     bitpos += 4
+    _check()
     if acc > max_accuracy:
         raise ZstdFormatError(f"FSE accuracy {acc} > max {max_accuracy}")
     remaining = 1 << acc
@@ -216,6 +225,7 @@ def _read_fse_distribution(
             if val >= (1 << (nbits - 1)):
                 val -= threshold
             bitpos += nbits
+        _check()
         count = val - 1  # -1 encodes "less-than-one probability"
         counts.append(count)
         remaining -= abs(count) if count < 0 else count
@@ -224,6 +234,7 @@ def _read_fse_distribution(
             while True:
                 rep = _peek(2)
                 bitpos += 2
+                _check()
                 counts.extend([0] * rep)
                 if rep != 3:
                     break
@@ -496,6 +507,10 @@ def decode_zstd_frame(
                 raise ZstdFormatError("truncated skippable frame")
             (sz,) = struct.unpack_from("<I", data, pos + 4)
             pos += 8 + sz
+            if pos > n:
+                # a declared size past the buffer would silently end the
+                # frame loop with partial output (ADVICE r11)
+                raise ZstdFormatError("truncated skippable frame body")
             continue
         if magic != _ZSTD_MAGIC:
             raise ZstdFormatError(f"bad magic 0x{magic:08X}")
@@ -567,9 +582,15 @@ def _decode_one_frame(
         btype = (bh >> 1) & 3
         bsize = bh >> 3
         if btype == 0:  # raw
+            if pos + bsize > len(data):
+                # unchecked slice would decode short output on frames
+                # lacking FCS + checksum (ADVICE r11); libzstd rejects
+                raise ZstdFormatError("truncated raw block body")
             out += data[pos : pos + bsize]
             pos += bsize
         elif btype == 1:  # RLE
+            if pos >= len(data):
+                raise ZstdFormatError("truncated RLE block body")
             out += data[pos : pos + 1] * bsize
             pos += 1
         elif btype == 2:
@@ -773,6 +794,11 @@ def _decode_compressed_block(
                 rep[2] = rep[1]
                 rep[1] = rep[0]
                 rep[0] = offset
+        if lit_pos + lit_len > len(literals):
+            # a corrupt sequence section can claim more literals than the
+            # literals section decoded; the unchecked slice would emit
+            # silently short output (ADVICE r11)
+            raise ZstdFormatError("sequence literal run exceeds literals")
         out += literals[lit_pos : lit_pos + lit_len]
         lit_pos += lit_len
         produced = len(out) - frame_start

@@ -406,10 +406,13 @@ def parse_http_response(payload: bytes, *, strict: bool = True) -> dict:
     transfer-decoded and content-decoded body.
 
     Returns ``{"status", "content_type", "content_encoding", "body"}``.
-    ``content_encoding`` is the (lowercased) encoding that was applied,
-    ``"identity"`` if none.  In lenient mode an unknown or broken
-    encoding yields the RAW body with the encoding name reported, so a
-    100 TB crawl pass degrades per-record instead of failing the task.
+    ``content_encoding`` is the (lowercased) encoding that was APPLIED
+    (the body really was decoded), ``"identity"`` if none.  In lenient
+    mode an unknown or broken encoding yields the RAW body with
+    ``content_encoding`` set to ``"failed:<declared>"`` — consumers can
+    quarantine those rows instead of mistaking still-compressed bytes
+    for decoded text (ADVICE r11) — so a 100 TB crawl pass degrades
+    per-record instead of failing the task.
     """
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
@@ -431,6 +434,7 @@ def parse_http_response(payload: bytes, *, strict: bool = True) -> dict:
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").strip().lower() or "identity"
+    applied = enc
     try:
         if enc in ("gzip", "x-gzip"):
             import gzip as _gz
@@ -456,15 +460,17 @@ def parse_http_response(payload: bytes, *, strict: bool = True) -> dict:
     except HttpFormatError:
         if strict:
             raise
+        applied = f"failed:{enc}"  # body stays RAW — quarantine marker
     except Exception as exc:
         if strict:
             raise HttpFormatError(
                 f"content-encoding {enc!r} failed: {exc}"
             ) from exc
+        applied = f"failed:{enc}"
     return {
         "status": status,
         "content_type": headers.get("content-type", ""),
-        "content_encoding": enc,
+        "content_encoding": applied,
         "body": body,
     }
 

@@ -338,11 +338,20 @@ def test_parse_http_response_encodings():
         chunked))
     assert r["body"] == body
     # corrupt gzip: strict raises, lenient returns the raw wire bytes
+    # and marks the encoding as failed so consumers can quarantine the
+    # still-compressed body (ADVICE r11)
     bad = msg(b"Content-Encoding: gzip\r\n", b"\x1f\x8bgarbage")
     with pytest.raises(HttpFormatError):
         parse_http_response(bad)
     r = parse_http_response(bad, strict=False)
     assert r["body"] == b"\x1f\x8bgarbage"
+    assert r["content_encoding"] == "failed:gzip"
+    # unknown declared encoding: same lenient contract
+    unk = msg(b"Content-Encoding: sdch\r\n", body)
+    with pytest.raises(HttpFormatError):
+        parse_http_response(unk)
+    r = parse_http_response(unk, strict=False)
+    assert r["body"] == body and r["content_encoding"] == "failed:sdch"
 
 
 def test_decode_http_responses_spark(spark, tmp_path):

@@ -361,3 +361,65 @@ def test_checksumless_bitstream_truncation_detected():
     # lose their tail, which only the deficit check can see
     with pytest.raises(ZstdFormatError):
         decode_zstd_frame(bytes(frame[:-1]))
+
+
+def test_truncated_skippable_frame_body_raises():
+    """A skippable frame whose declared size overruns the buffer must
+    raise, not silently return partial/empty output (ADVICE r11)."""
+    skippable = struct.pack("<II", 0x184D2A50, 100) + b"x" * 4
+    with pytest.raises(ZstdFormatError):
+        decode_zstd_frame(skippable)
+    # and even when a valid data frame precedes it, the tail must raise
+    z = _load()
+    frame = _zc(z, b"payload before skippable", 3)
+    with pytest.raises(ZstdFormatError):
+        decode_zstd_frame(frame + skippable)
+
+
+def test_truncated_raw_block_body_raises():
+    """A checksum-less, FCS-less frame with a raw block claiming more
+    bytes than remain must raise instead of decoding short (ADVICE
+    r11) — libzstd rejects this input."""
+    # magic + FHD(0x00: no FCS, no checksum) + window descriptor +
+    # block header (last=1, raw, size=100) + only 10 body bytes
+    bh = (1 | (0 << 1) | (100 << 3)).to_bytes(3, "little")
+    frame = struct.pack("<I", 0xFD2FB528) + b"\x00\x58" + bh + b"y" * 10
+    with pytest.raises(ZstdFormatError):
+        decode_zstd_frame(frame)
+
+
+def test_truncated_rle_block_body_raises():
+    bh = (1 | (1 << 1) | (100 << 3)).to_bytes(3, "little")
+    frame = struct.pack("<I", 0xFD2FB528) + b"\x00\x58" + bh  # no RLE byte
+    with pytest.raises(ZstdFormatError):
+        decode_zstd_frame(frame)
+
+
+def test_truncated_fse_distribution_raises():
+    """The FSE table-description reader zero-pads its bit peeks for
+    slicing totality; a truncated description must surface as the typed
+    error, not parse as a stream of zero counts (ADVICE r11)."""
+    from inception_spark.operators.zstdcodec import _read_fse_distribution
+
+    with pytest.raises(ZstdFormatError):
+        _read_fse_distribution(b"", 0, 9)
+    with pytest.raises(ZstdFormatError):
+        _read_fse_distribution(b"\x55", 0, 9)
+
+
+def test_single_byte_corruption_never_escapes_untyped():
+    """Flip every byte of a small checksum-less frame one at a time:
+    decode must either succeed or raise ZstdFormatError — never leak
+    IndexError/struct.error/MemoryError out of the typed contract, and
+    never loop.  (Statistical pin on the sequence-section overrun
+    checks added for ADVICE r11.)"""
+    z = _load()
+    src = b"".join(b"line %d with shared prefix material\n" % i for i in range(300))
+    frame = bytearray(_zc(z, src, 3))
+    for pos in range(4, len(frame)):
+        for delta in (0x01, 0x80):
+            mutated = bytes(frame[:pos]) + bytes([frame[pos] ^ delta]) + bytes(frame[pos + 1 :])
+            try:
+                decode_zstd_frame(mutated, max_output=1 << 22)
+            except ZstdFormatError:
+                pass
