@@ -2738,6 +2738,47 @@ def _q_codec_matrix_stats(spark, sf_dir):
     return codec_matrix_stats(_docs(spark, sf_dir))
 
 
+#: Current build round — drives the deterministic codec-pair rotation
+#: for the bench headline sample (VERDICT r11 ask 5).  Bump per round.
+_BENCH_ROUND = 12
+
+
+def _q_codec_matrix_sample(spark, sf_dir):
+    """The bench-headline slice of the codec matrix: TWO codecs chosen
+    by deterministic round rotation (``codec_pair_for_round``), same
+    one-scan mapInPandas shape as ``codec_matrix_stats``.  Exists so the
+    steady-state bench artifact prices two decode paths (~round-robin
+    coverage across rounds) instead of re-proving all five every run —
+    the full matrix remains oracle-checked via the codec_matrix_stats
+    entry and the per-codec differential suites in tests/."""
+    from inception_spark.sources.codecmatrix import (
+        codec_matrix_stats,
+        codec_pair_for_round,
+    )
+
+    _ensure_workers_can_import(spark)
+    pair = codec_pair_for_round(_BENCH_ROUND)
+    return codec_matrix_stats(_docs(spark, sf_dir), codecs=pair)
+
+
+def _codec_matrix_sample_oracle() -> str:
+    from inception_spark.sources.codecmatrix import codec_pair_for_round
+
+    a, b = codec_pair_for_round(_BENCH_ROUND)
+    return f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(strlen(text)) AS BIGINT) AS decoded_bytes,
+         CAST(SUM(strlen(text) - strlen(replace(text, 't', '')))
+              AS BIGINT) AS n_t
+  FROM documents WHERE text IS NOT NULL)
+SELECT c.codec, a.n_docs, a.decoded_bytes, a.n_t
+FROM (VALUES ('{a}'), ('{b}')) AS c(codec)
+CROSS JOIN agg a
+ORDER BY c.codec
+"""
+
+
 def _q_streaming_codec_matrix(spark, sf_dir):
     """The codec matrix maintained LIVE: per-codec counters from REAL
     round trips re-merge exactly across micro-batches.  Shares the
@@ -6356,6 +6397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
         "codec_matrix_stats": _q_codec_matrix_stats,
+        "codec_matrix_sample": _q_codec_matrix_sample,
         "streaming_codec_matrix": _q_streaming_codec_matrix,
         "warc_http_stats": _q_warc_http_stats,
         "streaming_warc_http": _q_streaming_warc_http,
@@ -6755,7 +6797,9 @@ _COHORT_NEW_R11 = [
 ]
 
 # Entries added in round 12 (zero driver signal until the r13 window).
-_COHORT_NEW_R12: list[str] = []
+_COHORT_NEW_R12: list[str] = [
+    "codec_matrix_sample",
+]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
 _WINDOW_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11[:24]
@@ -7584,6 +7628,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
         "zstd_dict_stats": _ZSTD_SHARD_ORACLE,
         "codec_matrix_stats": _CODEC_MATRIX_ORACLE,
+        "codec_matrix_sample": _codec_matrix_sample_oracle(),
         "streaming_codec_matrix": _CODEC_MATRIX_ORACLE,
         "warc_http_stats": _WARC_HTTP_ORACLE,
         "streaming_warc_http": _WARC_HTTP_ORACLE,

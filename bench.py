@@ -312,8 +312,12 @@ HEADLINE = [
     # the decode path walks real Huffman/FSE entropy tables)
     "lz4_shard_stats",
     "zstd_shard_stats",
-    # one scan, five decoders (brotli/gzip/lz4/snappy/zstd per doc)
-    "codec_matrix_stats",
+    # r12: one scan, TWO decoders — deterministic per-round rotation
+    # over the 10 codec pairs (VERDICT r11 ask 5: the full 5-codec
+    # matrix re-proved paths the differential suites already prove at
+    # ~7 s/run; the full matrix stays oracle-checked via the
+    # codec_matrix_stats registry entry every round)
+    "codec_matrix_sample",
     # full crawl-decode stack: WARC -> HTTP -> chunked -> content codecs
     "warc_http_stats",
 ]
@@ -389,6 +393,133 @@ assert set(CORE_50) <= set(HEADLINE), "core must be a headline subset"
 #: "Canary protocol".
 CANARIES = ["minhash_signatures", "pack_sequences", "cosine_topk"]
 
+#: Quiet min-of-3 canary pins at sf0.1, re-measured on an idle VM at
+#: round start (VERDICT r11 ask 7).  The noise adjudicator compares
+#: live canary samples against these to decide whether the VM is quiet.
+CANARY_PINS = {
+    "minhash_signatures": 0.90,
+    "pack_sequences": 0.31,
+    "cosine_topk": 0.41,
+}
+
+#: Noise adjudication thresholds (VERDICT r11 ask 2).  A query is a
+#: noise SUSPECT when its min-of-3 exceeds ratio×pin AND pin+floor —
+#: the absolute floor keeps sub-second queries from flagging on
+#: ordinary scheduler jitter.  The VM counts as QUIET when the median
+#: canary-vs-pin ratio is at or below CANARY_QUIET_RATIO (the r11
+#: driver artifact read 2.6-14x — far past this line).
+NOISE_RATIO = 2.5
+NOISE_FLOOR_SEC = 0.5
+CANARY_QUIET_RATIO = 1.6
+
+PINS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_PINS.json"
+)
+
+
+def load_pins() -> dict[str, float]:
+    """Last shipped QUIET per-query values (BENCH_PINS.json, written by
+    a round-start idle-VM run).  Empty dict when absent — then nothing
+    is flagged and the artifact says so."""
+    try:
+        with open(PINS_PATH) as fh:
+            return {k: float(v) for k, v in json.load(fh)["queries"].items()}
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+def find_suspects(
+    timings: dict[str, float],
+    pins: dict[str, float],
+    ratio: float = NOISE_RATIO,
+    floor: float = NOISE_FLOOR_SEC,
+) -> list[str]:
+    """Names whose measured min-of-3 is noise-suspect vs its quiet pin."""
+    return [
+        n
+        for n, t in timings.items()
+        if n in pins and t > pins[n] * ratio and t > pins[n] + floor
+    ]
+
+
+def canary_ratios(
+    sample: dict[str, float], pins: dict[str, float] | None = None
+) -> dict[str, float]:
+    pins = pins or CANARY_PINS
+    return {
+        n: round(sample[n] / pins[n], 2) for n in sample if pins.get(n)
+    }
+
+
+def canaries_quiet(
+    sample: dict[str, float],
+    pins: dict[str, float] | None = None,
+    quiet_ratio: float = CANARY_QUIET_RATIO,
+) -> bool:
+    """Median canary-vs-pin ratio at or under the quiet line — median,
+    not max, so one canary hitting a cold cache can't mark a genuinely
+    quiet VM as hot."""
+    r = sorted(canary_ratios(sample, pins).values())
+    if not r:
+        return True
+    return r[len(r) // 2] <= quiet_ratio
+
+
+def _time_query(fn, spark, runs: int = 3) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def sample_canaries(spark, queries, runs: int = 2) -> dict[str, float]:
+    """A quick canary reading (min-of-``runs``) used as the phase
+    samples interleaved through the sweep and as the quiet gate before
+    re-measuring suspects."""
+    return {n: _time_query(queries[n], spark, runs=runs) for n in CANARIES}
+
+
+def adjudicate_suspects(
+    timings: dict[str, float],
+    pins: dict[str, float],
+    suspects: list[str],
+    *,
+    measure,
+    canary_sample,
+    attempts: int = 3,
+    sleep=time.sleep,
+) -> tuple[dict[str, float], list[str]]:
+    """Re-measure noise suspects once the canaries read quiet.
+
+    Gates each attempt on a fresh canary sample; while the VM is still
+    hot, sleeps and retries (up to ``attempts``).  Under a quiet gate,
+    each suspect is re-measured min-of-3: a reading back under the
+    threshold reverts the artifact value (VM stall adjudicated as
+    noise); one still over it stays listed — a real regression measured
+    under proven-quiet conditions.  Returns (remeasured, unresolved);
+    mutates ``timings`` with improved readings only."""
+    remeasured: dict[str, float] = {}
+    unresolved: list[str] = list(suspects)
+    for _attempt in range(attempts):
+        if not unresolved:
+            break
+        if not canaries_quiet(canary_sample()):
+            sleep(20)  # wait out the VM stall, then re-gate
+            continue
+        still: list[str] = []
+        for name in unresolved:
+            t = measure(name)
+            remeasured[name] = t
+            if t < timings[name]:
+                timings[name] = t
+            if t > pins[name] * NOISE_RATIO and t > pins[name] + NOISE_FLOOR_SEC:
+                still.append(name)  # reproduces under quiet canaries: real
+        unresolved = still
+        break
+    return remeasured, unresolved
+
 
 def run_canaries() -> None:
     spark = build_session("inception_spark_bench_canary")
@@ -426,7 +557,7 @@ def run_canaries() -> None:
     spark.stop()
 
 
-def main() -> None:
+def main(write_pins: bool = False) -> None:
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -465,19 +596,48 @@ def main() -> None:
     # what extrapolates to cluster scale.
     import gc
 
-    for name in HEADLINE:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    # Phase canaries (VERDICT r11 ask 2): quick canary readings at the
+    # start, middle, and end of the sweep, each compared against the
+    # idle-VM pins — the artifact carries its own noise evidence instead
+    # of needing judge-side re-runs to adjudicate a degraded-VM capture
+    # (the r11 driver artifact read canaries at 2.6-14x their pins).
+    phases: dict[str, dict[str, float]] = {}
+    phases["start"] = sample_canaries(spark, queries)
+    mid_at = len(HEADLINE) // 2
+    for i, name in enumerate(HEADLINE):
+        if i == mid_at:
+            phases["mid"] = sample_canaries(spark, queries)
+        timings[name] = _time_query(queries[name], spark)
         # several dedup operators localCheckpoint scratch tables; dropping
         # the Python refs here lets Spark's ContextCleaner unpersist their
         # RDD blocks between queries instead of accumulating them across
         # the whole run (block-manager pressure skews later timings)
         gc.collect()
+    phases["end"] = sample_canaries(spark, queries)
+    phase_ratios = {p: canary_ratios(s) for p, s in phases.items()}
+
+    # Adjudicate: re-measure any suspect once the canaries read quiet.
+    # min-of-3 cannot defend against a stall spanning all three
+    # back-to-back runs; this can.
+    pins = load_pins()
+    suspects = find_suspects(timings, pins)
+    remeasured, unresolved = adjudicate_suspects(
+        timings,
+        pins,
+        suspects,
+        measure=lambda n: _time_query(queries[n], spark),
+        canary_sample=lambda: sample_canaries(spark, queries),
+    )
+    if canaries_quiet(phases["start"]) and canaries_quiet(phases["end"]) \
+            and not suspects:
+        noise_verdict = "quiet"
+    elif suspects and not unresolved:
+        noise_verdict = "noisy-remeasured-reverted"
+    elif unresolved and remeasured:
+        # re-measured under quiet canaries and still slow: treat as real
+        noise_verdict = "regression-confirmed"
+    else:
+        noise_verdict = "noisy-unadjudicated"
 
     total = round(sum(timings.values()), 3)
     # Same-run canary triple IN the artifact (VERDICT r9 ask 8): the
@@ -516,10 +676,17 @@ def main() -> None:
                 # assign_global_ids, events_twap, hll_user_overlap,
                 # phrase_search, dup_graph_kcore, containment_pairs,
                 # events_resample, fs_linkage — 79 total)
-                "queryset": "r11",
+                "queryset": "r12",
                 "n_queries": len(HEADLINE),
                 "chunk_amplification": 8,
                 "canaries": canaries,
+                "canary_pins": CANARY_PINS,
+                "canary_phases": phases,
+                "canary_phase_ratios": phase_ratios,
+                "noise_suspect": suspects,
+                "noise_unresolved": unresolved,
+                "remeasured": remeasured,
+                "noise_verdict": noise_verdict,
                 "core_total_sec": core_total,
                 "core_queryset": "core50_v1",
             }
@@ -540,11 +707,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "queryset": "r11",
+                "queryset": "r12",
                 "n_queries": len(HEADLINE),
                 "max_query_sec": max(timings.values()),
                 "max_query": max(timings, key=timings.get),
                 "canaries": canaries,
+                "canary_phase_ratios": phase_ratios,
+                "noise_suspect": suspects,
+                "noise_verdict": noise_verdict,
                 "core_total_sec": core_total,
                 "core_queryset": "core50_v1",
                 "detail": "per-query map on the previous stdout line "
@@ -552,11 +722,28 @@ def main() -> None:
             }
         )
     )
+    if write_pins and noise_verdict == "quiet":
+        # round-start idle-VM run: these timings become next sweep's
+        # quiet pins (refuse to pin a noisy capture)
+        try:
+            with open(PINS_PATH, "w") as fh:
+                json.dump(
+                    {"sf": sf, "queryset": "r12", "queries": timings},
+                    fh,
+                    indent=1,
+                )
+                fh.write("\n")
+        except OSError:
+            pass
+    elif write_pins:
+        print(json.dumps({"pins": "REFUSED", "noise_verdict": noise_verdict}))
     spark.stop()
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "canary":
         run_canaries()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pins":
+        main(write_pins=True)
     else:
         main()

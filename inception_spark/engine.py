@@ -271,6 +271,7 @@ class EmbeddingEngine:
         existing: DataFrame,
         *,
         validate: str = "quarantine",
+        stage_path: str | None = None,
     ) -> DataFrame:
         """Incremental /embed/batch: the recrawl path.
 
@@ -288,6 +289,20 @@ class EmbeddingEngine:
         function of chunk text, so any stored row with the same
         fingerprint carries the same embedding and the survivor choice
         cannot affect results.
+
+        Lineage cut (VERDICT r11 ask 3): the carried/fresh branches
+        both consume the chunk⋈existing table, so without a cut the
+        chunker UDF and the join execute twice.  Default is
+        ``localCheckpoint`` — zero external dependencies, right for
+        bench/interactive scale — but it materializes to EXECUTOR BLOCK
+        STORAGE and is not fault-tolerant: at the 100 TB recrawl design
+        point the chunk table is the largest intermediate in the
+        pipeline, and one lost executor invalidates the checkpoint
+        mid-job.  Pass ``stage_path`` (a parquet directory on reliable
+        storage — HDFS/S3) to stage the joined table there instead:
+        restart-safe, no block-manager pressure, one extra
+        write+read of the chunk table (sequential parquet I/O, cheap
+        relative to the encoder; cost note in SCALING.md).
         """
         self.metrics.record_request("batch")
         good, _bad = self.validate_documents(df, mode=validate)
@@ -298,8 +313,12 @@ class EmbeddingEngine:
         joined = chunks.join(ex, ["doc_id", "chunk_md5"], "left")
         # the carried/fresh branches both consume `joined`; without a
         # lineage cut the chunker UDF and the join would execute TWICE
-        # (once per branch) — checkpoint so chunking runs once
-        joined = joined.localCheckpoint(eager=False)
+        # (once per branch) — cut so chunking runs once
+        if stage_path is not None:
+            joined.write.mode("overwrite").parquet(stage_path)
+            joined = self.spark.read.parquet(stage_path)
+        else:
+            joined = joined.localCheckpoint(eager=False)
         carried = joined.filter(F.col("_prev_emb").isNotNull()).select(
             *chunks.columns,
             F.col("_prev_emb").alias("embedding"),
