@@ -146,3 +146,56 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) >= {"doc_id", "chunk_number", "chunk", "embedding"}
+
+
+# ---------------------------------------------------------------------------
+# sf0.01 signal for zero-driver-signal entries (VERDICT r11 ask 6).
+#
+# The driver's correctness gate runs at sf0.01, but this mini-driver
+# sweeps at sf0.001 — so entries born after a round's window is pinned
+# used to get their first t2-SCALE oracle signal two rounds later.  The
+# NEWBORN sweep closes that: every entry still waiting for its first
+# driver window (the staged r13 head + anything added this round) is
+# oracle-compared at sf0.01 on every pytest run.  The FULL registry at
+# sf0.01 runs under `-m sf001` (explicitly requested; ~the judge's
+# sweep cost) so default CI cadence stays fast.
+# ---------------------------------------------------------------------------
+
+SF001_DIR = "/root/testdata/sf0.01"
+NEWBORN = [
+    n
+    for n in (entry_mod._STAGED_R13 if hasattr(entry_mod, "_STAGED_R13")
+              else [])
+    if n in ORACLES
+]
+
+
+@pytest.fixture(scope="module")
+def con01():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF001_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.mark.parametrize("name", NEWBORN)
+def test_newborn_matches_oracle_sf001(spark, con01, name):
+    """Driver-scale (sf0.01) oracle check for entries with zero driver
+    signal — they get t2-scale green the round they are born."""
+    sdf = QUERIES[name](spark, SF001_DIR).toPandas()
+    ddf = con01.execute(ORACLES[name]).df()
+    compare_frames(name, sdf, ddf)
+
+
+@pytest.mark.sf001
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_full_registry_sf001(spark, con01, name):
+    """The judge-style full sweep at sf0.01 — run explicitly with
+    `pytest -m sf001 tests/test_entry.py` (skipped by default via the
+    marker filter in pyproject)."""
+    sdf = QUERIES[name](spark, SF001_DIR).toPandas()
+    ddf = con01.execute(ORACLES[name]).df()
+    compare_frames(name, sdf, ddf)
