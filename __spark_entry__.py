@@ -510,6 +510,57 @@ SELECT doc_id, html, {html_to_text_sql('html')} AS text FROM aug
 """
 
 
+#: deterministic boilerplate page for html_main_content: a nav rail of
+#: links, a too-short headline, the document text as the main <p>, a
+#: link-dense "related" rail, and a short footer — only the main
+#: paragraph should survive the density+length gate.
+_MC_PARTS = (
+    '<html><head><title>Doc ',
+    '</title><style>p{color:red}</style></head><body>'
+    '<div><a href="/">Home</a> <a href="/crawl">Crawl</a>'
+    ' <a href="/index">Index</a></div><h1>Document ',
+    '</h1><p>',
+    '</p><div>Related: <a href="/x">more related stuff</a>'
+    ' <a href="/y">other pages listing</a></div>'
+    '<div>Copyright 2024</div></body></html>',
+)
+
+
+def _q_html_main_content(spark, sf_dir):
+    """Link-density boilerplate removal (jusText/Arc90-family rule,
+    cleaning.html_main_content): every doc is wrapped in a
+    deterministic page whose nav/related/footer blocks must be dropped
+    and whose main paragraph must survive; main_md5 fingerprints the
+    extraction itself.  Integer density inequality (1000*link_chars <=
+    cap*text_chars) so the keep set is engine-reproducible.  Plan:
+    scan → split+posexplode → codegen scoring projections → one
+    per-doc aggregate; no joins, no HOF lambdas in the regex path."""
+    from inception_spark.functions.cleaning import html_main_content
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_MC_PARTS[0]), d, F.lit(_MC_PARTS[1]), d,
+        F.lit(_MC_PARTS[2]), F.col("text"), F.lit(_MC_PARTS[3]),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", html.alias("html")
+    )
+    return html_main_content(pages).orderBy("doc_id")
+
+
+def _html_main_content_oracle_sql() -> str:
+    from inception_spark.functions.cleaning import html_main_content_sql
+
+    parts = [p.replace("'", "''") for p in _MC_PARTS]
+    inner = html_main_content_sql(
+        "(SELECT doc_id, "
+        f"'{parts[0]}' || CAST(doc_id AS VARCHAR) || '{parts[1]}' || "
+        f"CAST(doc_id AS VARCHAR) || '{parts[2]}' || text || "
+        f"'{parts[3]}' AS html FROM documents)"
+    )
+    return inner + " ORDER BY doc_id"
+
+
 def _normalize_oracle_sql() -> str:
     from inception_spark.functions.cleaning import normalize_text_sql
 
@@ -2577,6 +2628,49 @@ def _q_contamination_13gram(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     return D.contamination_13gram(corpus, bench, n=13)
+
+
+#: eval split for the SEMANTIC gate: ~1% of embeddings stand in for an
+#: eval suite; the corpus is ALL rows (the leaked-eval scenario — every
+#: eval item's verbatim copy sits in the corpus, so n_hits >= 1).
+_SEM_EVAL_SPLIT = "vec_id % 97 = 0"
+_SEM_TAU = 0.45
+
+
+def _q_semantic_contamination(spark, sf_dir):
+    """Embedding-level decontamination — the semantic complement of
+    contamination_13gram (paraphrase leakage survives a verbatim-span
+    gate).  Eval vectors (vec_id % 97 = 0) BROADCAST; the corpus (all
+    rows — the leaked-eval scenario) is scanned once in a broadcast
+    nested-loop join, cosines rounded to 6 before the tau compare so
+    the hit set is engine-reproducible; only hit rows reach the
+    eval-sized aggregate.  Zero corpus-sized shuffles."""
+    emb = _emb(spark, sf_dir)
+    return D.semantic_contamination(
+        emb, emb.filter(_SEM_EVAL_SPLIT), tau=_SEM_TAU
+    )
+
+
+def _q_streaming_semantic_contamination(spark, sf_dir):
+    """The semantic gate maintained LIVE: per-micro-batch hit partials
+    (eval_id, n_hits, max_cos) re-merge exactly (sum/max are
+    mergeable), so any regrouping of corpus rows into batches
+    reproduces the batch answer bit-for-bit.  Shares the batch
+    oracle."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(_SEM_EVAL_SPLIT)
+    parts = run_stream_batch_partials(
+        spark,
+        emb.select("vec_id", "embedding"),
+        lambda bdf: D.semantic_contamination_partials(
+            bdf, ev, tau=_SEM_TAU
+        ),
+    )
+    return D.semantic_contamination_from_partials(parts, ev)
 
 
 def _q_streaming_contamination_gate(spark, sf_dir):
@@ -6121,6 +6215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them — the hash covers both the accented input and the fold
         "normalize_text": _q_normalize_text,
         "html_to_text": _q_html_to_text,
+        "html_main_content": _q_html_main_content,
         # C4 line/page cleaning over line-ified fixture text (the word-bag
         # corpus has no newlines: ' and ' -> '.\n' in BOTH engines gives
         # real multi-line pages with terminal punctuation to filter on)
@@ -6389,6 +6484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_js_drift": _q_streaming_js_drift,
         "contamination_13gram": _q_contamination_13gram,
         "streaming_contamination_gate": _q_streaming_contamination_gate,
+        "semantic_contamination": _q_semantic_contamination,
+        "streaming_semantic_contamination": _q_streaming_semantic_contamination,
         "tiff_pixel_stats": _q_tiff_pixel_stats,
         "g711_audio_stats": _q_g711_audio_stats,
         "streaming_g711": _q_streaming_g711,
@@ -6799,6 +6896,9 @@ _COHORT_NEW_R11 = [
 # Entries added in round 12 (zero driver signal until the r13 window).
 _COHORT_NEW_R12: list[str] = [
     "codec_matrix_sample",
+    "semantic_contamination",
+    "html_main_content",
+    "streaming_semantic_contamination",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -7544,6 +7644,7 @@ SELECT doc_id, {clean_text_sql('text')} AS cleaned FROM documents
 """,
         "normalize_text": _normalize_oracle_sql(),
         "html_to_text": _html_to_text_oracle_sql(),
+        "html_main_content": _html_main_content_oracle_sql(),
         "zorder_key": _zorder_oracle_sql(),
         "hilbert_key": _hilbert_oracle_sql(),
         "streaming_hilbert_gate": _hilbert_oracle_sql(),
@@ -8354,6 +8455,12 @@ GROUP BY o.o_orderpriority
         "streaming_js_drift": R.events_js_drift_sql(),
         "contamination_13gram": D.contamination_13gram_sql(),
         "streaming_contamination_gate": D.contamination_13gram_sql(),
+        "semantic_contamination": D.semantic_contamination_sql(
+            tau=_SEM_TAU, eval_pred=_SEM_EVAL_SPLIT
+        ),
+        "streaming_semantic_contamination": D.semantic_contamination_sql(
+            tau=_SEM_TAU, eval_pred=_SEM_EVAL_SPLIT
+        ),
         "trimmed_stats": R.trimmed_stats_sql(),
         "streaming_trimmed_stats": R.trimmed_stats_sql(),
         "degree_powerlaw": R.degree_powerlaw_sql(),

@@ -320,6 +320,12 @@ HEADLINE = [
     "codec_matrix_sample",
     # full crawl-decode stack: WARC -> HTTP -> chunked -> content codecs
     "warc_http_stats",
+    # r12: embedding-level decontamination gate (broadcast eval vectors,
+    # one corpus scan, eval-sized aggregate)
+    "semantic_contamination",
+    # r12: link-density boilerplate removal (explode + codegen scoring,
+    # one per-doc aggregate)
+    "html_main_content",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every

@@ -333,6 +333,172 @@ FROM k
 
 
 # ---------------------------------------------------------------------------
+# Main-content extraction (link-density boilerplate removal)
+# ---------------------------------------------------------------------------
+#
+# html_to_text strips markup UNIFORMLY — navigation, footers, and
+# related-link rails survive as text and poison a training corpus.
+# This is the jusText/Arc90-family rule reduced to its distributable,
+# oracle-expressible core: split the page into block segments, score
+# each by LINK DENSITY (non-whitespace chars inside <a> anchors vs the
+# block's total) and word count, keep blocks under the density cap
+# with enough words.  The density compare is the INTEGER inequality
+# 1000*link_chars <= cap*text_chars — no division, no float, so the
+# keep SET is bit-reproducible across engines (the all-integer
+# threshold discipline from sampling.py).
+#
+# Spark shape: posexplode the block array, then every score is an
+# ordinary codegen'd projection on a row-per-block frame (NOT a HOF
+# lambda — the contamination_13gram lesson: interpreted per-element
+# lambdas re-evaluate heavy regexes), one per-doc hash aggregate at
+# the end.  Scales as scan → explode → agg; no joins, no corpus-sized
+# shuffle beyond the per-doc rollup.
+
+_LINK_PAT = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def _block_text_expr(seg: Column) -> Column:
+    x = F.regexp_replace(seg, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def html_main_content(
+    df,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_link_permille: int = 333,
+    min_words: int = 5,
+):
+    """Per-document main-content report: (doc_id, n_blocks, n_kept,
+    main_chars, main_md5) where kept = text blocks whose link density
+    stays under ``max_link_permille`` and word count reaches
+    ``min_words``.  ``main_md5`` fingerprints the kept blocks joined
+    in page order (NULL when nothing survives) — the extraction itself
+    is verified, not just the counts."""
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(html_col), _HTML_BLOCK_BREAKS)).alias(
+            "pos", "seg"
+        ),
+    )
+    txt = _block_text_expr(F.col("seg"))
+    link_txt = F.regexp_replace(
+        F.array_join(
+            F.regexp_extract_all(F.col("seg"), F.lit(_LINK_PAT), F.lit(1)),
+            " ",
+        ),
+        r"<[^>]+>",
+        " ",
+    )
+    scored = blocks.select(
+        "doc_id",
+        "pos",
+        txt.alias("txt"),
+        F.length(F.regexp_replace(txt, r"\s+", "")).alias("_tl"),
+        F.length(F.regexp_replace(link_txt, r"\s+", "")).alias("_ll"),
+    ).withColumn(
+        "_nw",
+        F.size(F.filter(F.split(F.col("txt"), " "), lambda w: F.length(w) > 0)),
+    )
+    keep = (
+        (F.col("_tl") > 0)
+        & (
+            F.lit(1000) * F.col("_ll")
+            <= F.lit(int(max_link_permille)) * F.col("_tl")
+        )
+        & (F.col("_nw") >= F.lit(int(min_words)))
+    )
+    kept_struct = F.when(keep, F.struct("pos", "txt"))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("_tl") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocks"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.length("txt")).otherwise(0))
+        .cast("long")
+        .alias("main_chars"),
+        F.sort_array(F.collect_list(kept_struct)).alias("_kept"),
+    )
+    joined = F.array_join(
+        F.transform(F.col("_kept"), lambda s: s["txt"]), "\n"
+    )
+    return agg.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        "main_chars",
+        F.when(F.col("n_kept") > 0, F.md5(joined)).alias("main_md5"),
+    )
+
+
+def html_main_content_sql(
+    table: str = "pages",
+    *,
+    html_expr: str = "html",
+    max_link_permille: int = 333,
+    min_words: int = 5,
+) -> str:
+    """DuckDB twin of :func:`html_main_content` — same split pattern,
+    same strip chain, same integer density inequality."""
+    strip = "regexp_replace(seg, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '(?s)<!--.*?-->', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        strip = f"replace({strip}, '{ent}', '{lit}')"
+    strip = f"trim(regexp_replace({strip}, '\\s+', ' ', 'g'))"
+    link = (
+        "regexp_replace(array_to_string(regexp_extract_all(seg, "
+        "'(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1), ' '), '<[^>]+>', ' ', 'g')"
+    )
+    return f"""
+WITH segs AS (
+  SELECT doc_id, arr FROM (
+    SELECT doc_id,
+           regexp_split_to_array({html_expr},
+               '{_HTML_BLOCK_BREAKS}') AS arr
+    FROM {table})),
+b AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+         unnest(arr) AS seg
+  FROM segs),
+sc AS (
+  SELECT doc_id, pos, {strip} AS txt,
+         length(regexp_replace({strip}, '\\s+', '', 'g')) AS tl,
+         -- a no-anchor block yields NULL here (array_to_string of an
+         -- empty extract list), where Spark's array_join gives '' -> 0
+         coalesce(length(regexp_replace({link}, '\\s+', '', 'g')), 0)
+           AS ll
+  FROM b),
+k AS (
+  SELECT doc_id, pos, txt, tl, ll,
+         (tl > 0 AND 1000 * ll <= {int(max_link_permille)} * tl
+          AND len(list_filter(string_split(txt, ' '),
+                  w -> length(w) > 0)) >= {int(min_words)}) AS keep
+  FROM sc)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN tl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocks,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN length(txt) ELSE 0 END) AS BIGINT)
+         AS main_chars,
+       CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+            THEN md5(string_agg(txt, chr(10) ORDER BY pos)
+                     FILTER (WHERE keep))
+            END AS main_md5
+FROM k
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (crawl dedup keying)
 # ---------------------------------------------------------------------------
 #

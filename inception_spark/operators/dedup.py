@@ -2668,6 +2668,140 @@ GROUP BY c.doc_id
 """
 
 
+def semantic_contamination_partials(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    *,
+    tau: float = 0.45,
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-eval-item hit partials for the embedding-level
+    decontamination gate: (eval_id, n_hits, max_cos) over one batch of
+    corpus vectors.  Mergeable exactly (sum/max), so the streaming twin
+    re-sums micro-batch partials bit-for-bit."""
+    from inception_spark.functions import vectors as V
+
+    ev = evalset.select(
+        F.col(eval_id_col).alias("eval_id"), F.col(vec_col).alias("_ev")
+    )
+    scored = (
+        corpus.select(F.col(vec_col).alias("_cv"))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "eval_id",
+            F.round(V.cosine(F.col("_cv"), F.col("_ev")), 6).alias("_cos"),
+        )
+    )
+    return (
+        scored.where(F.col("_cos") >= F.lit(float(tau)))
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.max("_cos").alias("max_cos"),
+        )
+    )
+
+
+def semantic_contamination_from_partials(
+    parts: DataFrame,
+    evalset: DataFrame,
+    *,
+    eval_id_col: str = "vec_id",
+) -> DataFrame:
+    ev_ids = evalset.select(
+        F.col(eval_id_col).alias("eval_id")
+    ).distinct()
+    merged = parts.groupBy("eval_id").agg(
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.max("max_cos").alias("max_cos"),
+    )
+    return (
+        ev_ids.join(merged, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            "max_cos",
+        )
+        .orderBy("eval_id")
+    )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    *,
+    tau: float = 0.45,
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-level train/eval decontamination — the semantic
+    complement of :func:`contamination_13gram`: a 13-gram gate fires
+    only on verbatim spans, while paraphrased or translated eval
+    leakage survives it; this gate flags any corpus vector whose cosine
+    against an eval embedding reaches ``tau`` (the dataset-paper
+    "semantic dedup against benchmarks" rule).
+
+    Output: one row per eval item — (eval_id, n_hits, max_cos) with
+    n_hits = corpus vectors at/over the threshold and max_cos the
+    nearest-neighbor score (NULL when no hit), ordered by eval_id.
+    Cosines are rounded to 6 decimals BEFORE the threshold compare so
+    the hit SET (not just the scores) is engine-reproducible.
+
+    100 TB shape: eval suites are control-plane sized, so the eval
+    vectors BROADCAST and the corpus is scanned once in a
+    BroadcastNestedLoopJoin — |corpus| x |eval| fused cosine
+    evaluations, zero corpus-sized shuffle; only hit rows (rare by
+    construction) enter the eval-sized aggregate.  When the eval suite
+    outgrows a broadcast (>10^5 items), route through the sign-LSH
+    bucketed join (:func:`inception_spark.operators.similarity.
+    knn_join_lsh` blocking) so candidates are bucket-collisions instead
+    of the full cross product — same output contract.
+    """
+    return semantic_contamination_from_partials(
+        semantic_contamination_partials(
+            corpus,
+            evalset,
+            tau=tau,
+            vec_col=vec_col,
+            eval_id_col=eval_id_col,
+        ),
+        evalset,
+        eval_id_col=eval_id_col,
+    )
+
+
+def semantic_contamination_sql(
+    *,
+    tau: float = 0.45,
+    table: str = "embeddings",
+    eval_pred: str = "vec_id % 97 = 0",
+) -> str:
+    """DuckDB twin of :func:`semantic_contamination` with the eval
+    split expressed as a predicate over the same table (mirrors the
+    registry entry's leaked-eval corpus: corpus = ALL rows)."""
+    from inception_spark.functions.vectors import cosine_sql
+
+    cos = cosine_sql("c.cv", "e.evv")
+    return f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS evv FROM {table}
+  WHERE {eval_pred}),
+c AS (SELECT embedding AS cv FROM {table}),
+s AS (SELECT e.eval_id, round({cos}, 6) AS cos
+      FROM c CROSS JOIN ev e),
+h AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             MAX(cos) AS max_cos
+      FROM s WHERE cos >= CAST({tau} AS DOUBLE) GROUP BY eval_id)
+SELECT e.eval_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       h.max_cos
+FROM (SELECT DISTINCT eval_id FROM ev) e LEFT JOIN h USING (eval_id)
+ORDER BY eval_id
+"""
+
+
 def source_overlap_matrix(
     docs: DataFrame,
     *,

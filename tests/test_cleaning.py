@@ -200,3 +200,60 @@ def test_c4_line_clean_applies_published_rules(spark):
     assert not out[3]["keep_page"] and out[3]["n_kept"] == 1
     assert not out[4]["keep_page"]  # '{' page rule
     assert not out[5]["keep_page"]  # lorem ipsum page rule
+
+
+def test_html_main_content_drops_boilerplate(spark):
+    """The jusText-family gate: nav rails and related-link blocks fall
+    to the link-density cap, short headlines/footers to min_words, the
+    main paragraph survives and main_md5 fingerprints exactly it."""
+    import hashlib
+
+    from inception_spark.functions.cleaning import html_main_content
+
+    body = "alpha bravo charlie delta echo foxtrot golf hotel"
+    page = (
+        "<html><body>"
+        '<div><a href="/">Home</a> <a href="/a">About</a>'
+        ' <a href="/b">Contact</a></div>'
+        "<h1>Tiny Head</h1>"
+        f"<p>{body}</p>"
+        '<div>See also: <a href="/x">first related page</a>'
+        ' <a href="/y">second related page</a></div>'
+        "<div>Copyright 2024</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(7, page)], "doc_id long, html string")
+    row = html_main_content(df).collect()[0]
+    assert row["n_kept"] == 1
+    assert row["main_chars"] == len(body)
+    assert row["main_md5"] == hashlib.md5(body.encode()).hexdigest()
+    assert row["n_blocks"] == 5  # nav, h1, p, related, footer
+
+
+def test_html_main_content_all_boilerplate_yields_null_md5(spark):
+    from inception_spark.functions.cleaning import html_main_content
+
+    page = '<div><a href="/">Home</a> <a href="/b">More</a></div>'
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    row = html_main_content(df).collect()[0]
+    assert row["n_kept"] == 0 and row["main_md5"] is None
+    assert row["main_chars"] == 0
+
+
+def test_html_main_content_density_boundary_is_integer_exact(spark):
+    """1000*ll <= 333*tl with zero division: a block at exactly the cap
+    keeps, one char of extra link text drops it."""
+    from inception_spark.functions.cleaning import html_main_content
+
+    # tl = 1000 non-ws chars, ll = 333 -> 333000 <= 333000 keep
+    plain = "word " * 100  # 100 words, 400 non-ws chars
+    link_in = "x" * 333
+    filler = "y" * (1000 - 400 - 333)
+    page_keep = f'<p>{plain}<a href="/">{link_in}</a>{filler}</p>'
+    page_drop = f'<p>{plain}<a href="/">{link_in}z</a>{filler[:-1]}</p>'
+    df = spark.createDataFrame(
+        [(1, page_keep), (2, page_drop)], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r for r in html_main_content(df).collect()}
+    assert rows[1]["n_kept"] == 1
+    assert rows[2]["n_kept"] == 0

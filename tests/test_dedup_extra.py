@@ -968,3 +968,70 @@ def test_dedup_keep_best_prefers_quality_copy(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["n_dups"] for r in dedup_keep_best(df).collect()}
     assert got == {2: 2, 3: 1}
+
+
+def test_semantic_contamination_self_hit_and_merge(spark):
+    """Eval copies leaked into the corpus must self-hit with
+    max_cos = 1.0; clean eval rows report n_hits = 0 with NULL
+    max_cos; and micro-batch partials re-merge to the batch answer
+    exactly (the streaming twin's contract)."""
+    from inception_spark.operators.dedup import (
+        semantic_contamination,
+        semantic_contamination_from_partials,
+        semantic_contamination_partials,
+    )
+
+    # orthogonal basis vectors: cosine is 0 or 1 exactly
+    def e(i):
+        v = [0.0] * 4
+        v[i] = 1.0
+        return v
+
+    corpus = spark.createDataFrame(
+        [(0, e(0)), (1, e(0)), (2, e(1)), (3, e(2))],
+        "vec_id long, embedding array<float>",
+    )
+    evalset = spark.createDataFrame(
+        [(100, e(0)), (101, e(3))], "vec_id long, embedding array<float>"
+    )
+    rows = {
+        r["eval_id"]: r
+        for r in semantic_contamination(corpus, evalset, tau=0.9).collect()
+    }
+    assert rows[100]["n_hits"] == 2 and rows[100]["max_cos"] == 1.0
+    assert rows[101]["n_hits"] == 0 and rows[101]["max_cos"] is None
+
+    # split the corpus into two "micro-batches": partials must merge
+    # to the identical answer
+    p1 = semantic_contamination_partials(
+        corpus.filter("vec_id < 2"), evalset, tau=0.9
+    )
+    p2 = semantic_contamination_partials(
+        corpus.filter("vec_id >= 2"), evalset, tau=0.9
+    )
+    merged = {
+        r["eval_id"]: r
+        for r in semantic_contamination_from_partials(
+            p1.unionByName(p2), evalset
+        ).collect()
+    }
+    assert {k: (v["n_hits"], v["max_cos"]) for k, v in merged.items()} == {
+        k: (v["n_hits"], v["max_cos"]) for k, v in rows.items()
+    }
+
+
+def test_semantic_contamination_plan_broadcasts_eval(spark):
+    """Scale pin: the eval side must broadcast (BroadcastNestedLoopJoin
+    over the corpus scan), never a corpus-sized shuffle."""
+    from inception_spark.operators.dedup import semantic_contamination
+
+    corpus = spark.range(100).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT), 1.0F) AS embedding"
+    )
+    ev = spark.range(3).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT), 1.0F) AS embedding"
+    )
+    plan = semantic_contamination(corpus, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
