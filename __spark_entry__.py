@@ -2748,6 +2748,53 @@ def _q_streaming_g711(spark, sf_dir):
     return MM.g711_from_partials(parts)
 
 
+def _q_bz2_multistream_stats(spark, sf_dir):
+    """Multistream bz2 — the Wikipedia-dump container: every document
+    compressed as an independent member, members concatenated per
+    shard, walked back via the BZ2Decompressor eof/unused_data
+    protocol (magic-byte scanning false-positives inside compressed
+    data).  Counters include a decoded-content letter count the blob
+    cannot yield without a correct member walk; the oracle reads the
+    same stats off documents.text."""
+    from inception_spark.sources.bz2shard import multistream_stats
+
+    _ensure_workers_can_import(spark)
+    return multistream_stats(_docs(spark, sf_dir), codec="bz2")
+
+
+def _q_xz_multistream_stats(spark, sf_dir):
+    """Same walk over concatenated XZ streams (stdlib lzma,
+    FORMAT_XZ) — the .xz drop format.  Shares the closed-form
+    oracle (member totals are codec-independent by construction)."""
+    from inception_spark.sources.bz2shard import multistream_stats
+
+    _ensure_workers_can_import(spark)
+    return multistream_stats(_docs(spark, sf_dir), codec="xz")
+
+
+def _q_streaming_bz2_multistream(spark, sf_dir):
+    """The multistream rollup maintained LIVE: per-shard counters from
+    REAL member walks re-merge exactly (pure sums).  Shares the batch
+    oracle."""
+    from inception_spark.sources.bz2shard import (
+        multistream_from_partials,
+        multistream_partials,
+        synth_multistream_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_multistream_corpus(_docs(spark, sf_dir), codec="bz2")
+    parts = run_stream_batch_partials(
+        spark,
+        corpus,
+        lambda bdf: multistream_partials(bdf, codec="bz2"),
+    )
+    return multistream_from_partials(parts)
+
+
 def _q_lz4_shard_stats(spark, sf_dir):
     """The codec-oracle protocol applied to a COMPRESSION format:
     every document's text is LZ4-framed worker-side (both block-
@@ -6490,6 +6537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_audio_stats": _q_g711_audio_stats,
         "streaming_g711": _q_streaming_g711,
         "lz4_shard_stats": _q_lz4_shard_stats,
+        "bz2_multistream_stats": _q_bz2_multistream_stats,
+        "xz_multistream_stats": _q_xz_multistream_stats,
+        "streaming_bz2_multistream": _q_streaming_bz2_multistream,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -6897,8 +6947,11 @@ _COHORT_NEW_R11 = [
 _COHORT_NEW_R12: list[str] = [
     "codec_matrix_sample",
     "semantic_contamination",
-    "html_main_content",
     "streaming_semantic_contamination",
+    "html_main_content",
+    "bz2_multistream_stats",
+    "xz_multistream_stats",
+    "streaming_bz2_multistream",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -6911,6 +6964,10 @@ _STAGED_R13 = _COHORT_NEW_R11[24:] + _COHORT_NEW_R12
 #: reading the SAME stats straight off documents.text — strlen is
 #: BYTES in DuckDB (= len of the decoded UTF-8), and the 'e' count is
 #: byte-safe because 0x65 never occurs in a UTF-8 continuation byte
+from inception_spark.sources.bz2shard import multistream_stats_sql as _ms_sql
+
+_MULTISTREAM_ORACLE = _ms_sql()
+
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -7724,6 +7781,9 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "tar_shard_stats": _SHARD_STATS_ORACLE,
         "zip_shard_stats": _SHARD_STATS_ORACLE,
         "lz4_shard_stats": _LZ4_SHARD_ORACLE,
+        "bz2_multistream_stats": _MULTISTREAM_ORACLE,
+        "xz_multistream_stats": _MULTISTREAM_ORACLE,
+        "streaming_bz2_multistream": _MULTISTREAM_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,

@@ -326,6 +326,9 @@ HEADLINE = [
     # r12: link-density boilerplate removal (explode + codegen scoring,
     # one per-doc aggregate)
     "html_main_content",
+    # r12: Wikipedia-dump multistream walk (per-shard member streams,
+    # stdlib bz2, applyInPandas synth + mapInPandas walk)
+    "bz2_multistream_stats",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every
