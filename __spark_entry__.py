@@ -2795,6 +2795,115 @@ def _q_streaming_bz2_multistream(spark, sf_dir):
     return multistream_from_partials(parts)
 
 
+def _q_avro_ingest_stats(spark, sf_dir):
+    """Avro Object Container decode — binding-free (this Spark build
+    ships no spark-avro DataSource): every document written as a
+    (doc_id, text) record in per-shard deflate-codec containers,
+    walked back through the spec-transcribed reader
+    (sources/avrocontainer.py) and folded to per-shard counters.
+    sum_doc_id proves the zigzag-varint field decode; the letter
+    count proves the block codec + string decode; the oracle reads
+    the same stats straight off documents."""
+    from inception_spark.sources.avrocontainer import avro_ingest_stats
+
+    _ensure_workers_can_import(spark)
+    return avro_ingest_stats(_docs(spark, sf_dir), codec="deflate")
+
+
+def _q_avro_snappy_stats(spark, sf_dir):
+    """Same walk under the snappy block codec (pure-Python snappy +
+    the spec's big-endian CRC32-of-uncompressed trailer).  Shares the
+    closed-form oracle (counters are codec-independent)."""
+    from inception_spark.sources.avrocontainer import avro_ingest_stats
+
+    _ensure_workers_can_import(spark)
+    return avro_ingest_stats(_docs(spark, sf_dir), codec="snappy")
+
+
+def _q_streaming_avro_ingest(spark, sf_dir):
+    """The Avro ingest rollup maintained LIVE: per-shard counters from
+    REAL container walks re-merge exactly across micro-batches (pure
+    sums).  Shares the batch oracle."""
+    from inception_spark.sources.avrocontainer import (
+        avro_from_partials,
+        avro_partials,
+        synth_avro_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_avro_corpus(_docs(spark, sf_dir), codec="deflate")
+    parts = run_stream_batch_partials(spark, corpus, avro_partials)
+    return avro_from_partials(parts)
+
+
+def _q_tfrecord_ingest_stats(spark, sf_dir):
+    """TFRecord shard decode — binding-free (no TensorFlow here):
+    every document framed as a minimal protobuf message record
+    (varint doc_id + length-delimited text), per-record masked-CRC32C
+    verified on the walk back (sources/tfrecord.py; CRC32C pinned to
+    the public catalogue check value).  sum_doc_id proves the varint
+    decode, the letter count proves the payload slice; the oracle
+    reads the same stats straight off documents."""
+    from inception_spark.sources.tfrecord import tfrecord_ingest_stats
+
+    _ensure_workers_can_import(spark)
+    return tfrecord_ingest_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_tfrecord_ingest(spark, sf_dir):
+    """The TFRecord ingest rollup maintained LIVE: per-shard counters
+    from REAL CRC-verified walks re-merge exactly (pure sums).  Shares
+    the batch oracle."""
+    from inception_spark.sources.tfrecord import (
+        synth_tfrecord_corpus,
+        tfrecord_from_partials,
+        tfrecord_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_tfrecord_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, tfrecord_partials)
+    return tfrecord_from_partials(parts)
+
+
+def _q_sqlite_ingest_stats(spark, sf_dir):
+    """SQLite shard decode — stdlib-only (no Spark SQLite DataSource,
+    no JDBC driver): per-shard database IMAGES built and read back
+    worker-side via sqlite3 serialize/deserialize, stats folded by one
+    in-worker aggregate per image (SQLite scans at C speed; Python
+    handles images, not rows).  The oracle reads the same stats
+    straight off documents."""
+    from inception_spark.sources.sqliteshard import sqlite_ingest_stats
+
+    _ensure_workers_can_import(spark)
+    return sqlite_ingest_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_sqlite_ingest(spark, sf_dir):
+    """The SQLite ingest rollup maintained LIVE: per-shard counters
+    from REAL image decodes re-merge exactly (pure sums).  Shares the
+    batch oracle."""
+    from inception_spark.sources.sqliteshard import (
+        sqlite_from_partials,
+        sqlite_partials,
+        synth_sqlite_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_sqlite_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, sqlite_partials)
+    return sqlite_from_partials(parts)
+
+
 def _q_lz4_shard_stats(spark, sf_dir):
     """The codec-oracle protocol applied to a COMPRESSION format:
     every document's text is LZ4-framed worker-side (both block-
@@ -4078,6 +4187,45 @@ def _q_streaming_wav_meta(spark, sf_dir):
 def _q_image_pixel_stats(spark, sf_dir):
     _ensure_workers_can_import(spark)
     return MM.image_pixel_stats(_docs(spark, sf_dir))
+
+
+def _q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup end-to-end (synth → BMP decode →
+    dHash → banded Hamming self-join → per-class rollup); the oracle
+    recomputes pair counts from id arithmetic alone because the corpus
+    is engineered so dHash(id) = codeword(id mod 64) exactly and
+    brightness shifts are invariant (multimodal.synth_phash_corpus)."""
+    _ensure_workers_can_import(spark)
+    return MM.image_phash_dedup_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_image_phash(spark, sf_dir):
+    """The perceptual-hash rollup maintained LIVE: per-fingerprint
+    counts from REAL BMP decodes + dHashes re-merge exactly across
+    micro-batches (pure sums); finalize extracts the class from the
+    hash's low byte relationally.  Oracle: the engineered corpus pins
+    phash = codeword(doc_id mod 64), so counts read off doc_id."""
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = MM.synth_phash_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(
+        spark, corpus, MM.image_phash_partials
+    )
+    return MM.image_phash_from_partials(parts)
+
+
+def _q_audio_afp_dedup(spark, sf_dir):
+    """Audio-fingerprint dedup end-to-end (synth → WAV decode → FFT
+    fingerprint → banded Hamming self-join → per-class rollup); the
+    oracle recomputes pair counts from id arithmetic because the
+    corpus is engineered so afp64(id) = afp_codeword(id mod 16)
+    exactly and amplitude scaling is argmax-invariant
+    (multimodal.synth_afp_corpus)."""
+    _ensure_workers_can_import(spark)
+    return MM.audio_afp_dedup_stats(_docs(spark, sf_dir))
 
 
 def _q_audio_sample_stats(spark, sf_dir):
@@ -6318,6 +6466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_meta_stats": _q_wav_meta_stats,
         "streaming_wav_meta": _q_streaming_wav_meta,
         "image_pixel_stats": _q_image_pixel_stats,
+        # r12: perceptual-hash image dedup driven end-to-end with a
+        # closed-form oracle (engineered dHash codeword corpus)
+        "image_phash_dedup": _q_image_phash_dedup,
+        "streaming_image_phash": _q_streaming_image_phash,
+        # r12: same protocol for audio (engineered spectral codewords)
+        "audio_afp_dedup": _q_audio_afp_dedup,
         "audio_sample_stats": _q_audio_sample_stats,
         # corpus-health power-law fit (OLS over the vocab spine) + its
         # live twin (mergeable term counts, finalize-only rank)
@@ -6540,6 +6694,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bz2_multistream_stats": _q_bz2_multistream_stats,
         "xz_multistream_stats": _q_xz_multistream_stats,
         "streaming_bz2_multistream": _q_streaming_bz2_multistream,
+        # r12: Avro Object Container ingest (binding-free reader; no
+        # spark-avro DataSource in this build) — deflate + snappy
+        # block codecs + the live rollup twin
+        "avro_ingest_stats": _q_avro_ingest_stats,
+        "avro_snappy_stats": _q_avro_snappy_stats,
+        "streaming_avro_ingest": _q_streaming_avro_ingest,
+        # r12: TFRecord framing (masked CRC32C) + proto wire-format
+        # records + the live rollup twin
+        "tfrecord_ingest_stats": _q_tfrecord_ingest_stats,
+        "streaming_tfrecord_ingest": _q_streaming_tfrecord_ingest,
+        # r12: SQLite shard images (stdlib serialize/deserialize)
+        "sqlite_ingest_stats": _q_sqlite_ingest_stats,
+        "streaming_sqlite_ingest": _q_streaming_sqlite_ingest,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -6952,6 +7119,16 @@ _COHORT_NEW_R12: list[str] = [
     "bz2_multistream_stats",
     "xz_multistream_stats",
     "streaming_bz2_multistream",
+    "image_phash_dedup",
+    "streaming_image_phash",
+    "audio_afp_dedup",
+    "avro_ingest_stats",
+    "avro_snappy_stats",
+    "streaming_avro_ingest",
+    "tfrecord_ingest_stats",
+    "streaming_tfrecord_ingest",
+    "sqlite_ingest_stats",
+    "streaming_sqlite_ingest",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -6967,6 +7144,14 @@ _STAGED_R13 = _COHORT_NEW_R11[24:] + _COHORT_NEW_R12
 from inception_spark.sources.bz2shard import multistream_stats_sql as _ms_sql
 
 _MULTISTREAM_ORACLE = _ms_sql()
+
+from inception_spark.sources.avrocontainer import avro_stats_sql as _avro_sql
+from inception_spark.sources.tfrecord import tfrecord_stats_sql as _tfr_sql
+from inception_spark.sources.sqliteshard import sqlite_stats_sql as _sql_sql
+
+_AVRO_ORACLE = _avro_sql()
+_TFRECORD_ORACLE = _tfr_sql()
+_SQLITE_ORACLE = _sql_sql()
 
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
@@ -7784,6 +7969,13 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "bz2_multistream_stats": _MULTISTREAM_ORACLE,
         "xz_multistream_stats": _MULTISTREAM_ORACLE,
         "streaming_bz2_multistream": _MULTISTREAM_ORACLE,
+        "avro_ingest_stats": _AVRO_ORACLE,
+        "avro_snappy_stats": _AVRO_ORACLE,
+        "streaming_avro_ingest": _AVRO_ORACLE,
+        "tfrecord_ingest_stats": _TFRECORD_ORACLE,
+        "streaming_tfrecord_ingest": _TFRECORD_ORACLE,
+        "sqlite_ingest_stats": _SQLITE_ORACLE,
+        "streaming_sqlite_ingest": _SQLITE_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
@@ -8109,6 +8301,37 @@ SELECT CAST((doc_id % 13) + 1 AS BIGINT) AS width,
          AS sum_bytes
 FROM documents
 GROUP BY 1
+""",
+        # perceptual-hash dedup: the engine decodes engineered BMPs,
+        # dHashes them, and band-joins; the oracle counts within-class
+        # pairs from id arithmetic (dHash(id) = codeword(id mod 64)
+        # exactly; brightness shifts hash-invariant; cross-class
+        # Hamming >= 8 by construction, so pairs = n_c*(n_c-1)/2 and
+        # every surviving hamming is 0)
+        "image_phash_dedup": """
+SELECT CAST(doc_id % 64 AS BIGINT) AS phash_class,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs,
+       CAST(0 AS BIGINT) AS sum_hamming
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 2
+""",
+        "streaming_image_phash": """
+SELECT CAST(doc_id % 64 AS BIGINT) AS phash_class,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM documents
+GROUP BY 1
+""",
+        # the audio twin: afp64(id) = afp_codeword(id mod 16) exactly
+        # (band-center sines, integer cycles per frame; amplitude is
+        # argmax-invariant), cross-class Hamming >= 16
+        "audio_afp_dedup": """
+SELECT CAST(doc_id % 16 AS BIGINT) AS afp_class,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs,
+       CAST(0 AS BIGINT) AS sum_hamming
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 2
 """,
         # real decode round-trip: the engine decodes the BMP bytes and
         # sums pixels; the oracle regenerates pixel (x,y,c) =

@@ -329,6 +329,17 @@ HEADLINE = [
     # r12: Wikipedia-dump multistream walk (per-shard member streams,
     # stdlib bz2, applyInPandas synth + mapInPandas walk)
     "bz2_multistream_stats",
+    # r12 container family: Avro (deflate blocks inflate at C speed via
+    # stdlib zlib; only the varint walk is Python), TFRecord (masked
+    # CRC32C framing), SQLite images (stdlib deserialize + one
+    # in-worker SQL aggregate per image)
+    "avro_ingest_stats",
+    "tfrecord_ingest_stats",
+    "sqlite_ingest_stats",
+    # r12 engineered-codeword multimodal dedup: the REAL decode ->
+    # fingerprint -> banded-Hamming pipelines under closed-form oracles
+    "image_phash_dedup",
+    "audio_afp_dedup",
 ]
 
 #: FROZEN bench core (VERDICT r10 ask 7): the same 50 queries every

@@ -1741,6 +1741,228 @@ def image_dup_pairs(
     )
 
 
+def phash_codeword(cls: int) -> int:
+    """The dHash value :func:`synth_phash_corpus` class ``cls`` realizes:
+    byte ``cls`` repeated in all 8 row-bytes (``cls * 0x0101010101010101``
+    as the two's-complement int64).  Distinct classes differ in at least
+    one bit per byte, so pairwise Hamming distance is ≥ 8 — cross-class
+    pairs can never pass a ``max_hamming ≤ 3`` verify, by construction
+    rather than by measurement."""
+    word = (cls & 0xFF) * 0x0101010101010101
+    return int(np.uint64(word).astype(np.int64))
+
+
+def synth_phash_corpus(
+    df: DataFrame, *, id_col: str = "doc_id", n_classes: int = 64
+) -> DataFrame:
+    """Deterministic per-document 9×8 grayscale BMP engineered so its
+    64-bit dHash is a CLOSED-FORM function of the id — the image corpus
+    that makes perceptual-hash dedup oracle-checkable end-to-end.
+
+    Construction: class ``c = id mod n_classes`` picks the 8-bit
+    codeword; row ``y`` starts at luma ``100 + δ`` and walks the 8
+    column steps of the dHash grid, stepping +1 where bit ``x`` of
+    ``c`` is set and −1 where clear, so dHash bit ``8y + x`` equals
+    codeword bit ``x`` exactly and the full hash is
+    :func:`phash_codeword`.  ``δ = (id // n_classes) mod 100`` is a
+    per-document global brightness shift: all three channels move by
+    exactly δ, the integer luma ``(299r+587g+114b)//1000`` moves by
+    exactly δ (the weights sum to 1000 and values stay in [92, 207] —
+    no clipping, no wraparound), and every adjacent-column comparison
+    is unchanged — so same-class documents are EXACT perceptual
+    duplicates (Hamming 0) despite byte-distinct payloads.  The 9×8
+    canvas matches the dHash thumbnail so ``resize_nearest`` is the
+    identity map and no resampling blurs the engineered gradients.
+
+    → (doc_id, payload); built under ``mapInPandas`` like
+    :func:`synth_bmp_corpus` so payload bytes never transit the driver."""
+    if not 2 <= n_classes <= 256:
+        raise ValueError("n_classes must be in [2, 256]")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                c = int(i) % n_classes
+                delta = (int(i) // n_classes) % 100
+                v = np.empty((8, 9), dtype=np.int64)
+                v[:, 0] = 100 + delta
+                for x in range(8):
+                    step = 1 if (c >> x) & 1 else -1
+                    v[:, x + 1] = v[:, x] + step
+                img = np.repeat(
+                    v.astype(np.uint8)[..., None], 3, axis=2
+                )
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def image_phash_dedup_stats(
+    docs: DataFrame, *, n_classes: int = 64
+) -> DataFrame:
+    """The full perceptual-hash image-dedup path, driver-visibly
+    oracle-checked: synthesize the engineered corpus
+    (:func:`synth_phash_corpus`), run the REAL pipeline — BMP decode →
+    :func:`dhash64` under ``mapInPandas`` → 4×16-bit band blocking →
+    bucket-capped equi self-join → exact ``bit_count(xor)`` verify
+    (:func:`image_dup_pairs`, the same code path a real corpus takes) —
+    and roll the surviving pairs up per class:
+    (phash_class, n_pairs, sum_hamming).
+
+    The oracle recomputes all three columns from id arithmetic alone:
+    within a class every pair is an exact perceptual duplicate
+    (``n_pairs = n·(n−1)/2``, ``sum_hamming = 0``) and cross-class
+    Hamming is ≥ 8 by codeword construction, so ANY defect — decode
+    swizzle, luma rounding, band-key extraction, a lost or phantom
+    pair, brightness sensitivity — changes a count and hash-mismatches.
+
+    Scale shape: one synthesis pass, one decode/hash pass (the only
+    Python), then the relational SimHash recipe — band self-join
+    bucket-capped at 1000, never all-pairs.  Class populations are
+    n/n_classes, so at 100 TB the cap is governed by ``n_classes``
+    exactly as text-SimHash buckets are governed by band width."""
+    pairs = image_dup_pairs(
+        synth_phash_corpus(docs, n_classes=n_classes),
+        max_hamming=3,
+        id_col="doc_id",
+    )
+    return (
+        pairs.groupBy(
+            (F.col("id_a") % n_classes).cast("long").alias("phash_class")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hamming").cast("long").alias("sum_hamming"),
+        )
+    )
+
+
+def image_phash_partials(corpus: DataFrame) -> DataFrame:
+    """Mergeable per-fingerprint counts for the LIVE perceptual-hash
+    rollup: decode + dHash each image once (the only Python), reduce to
+    (phash, n_images) — pure sums, so any micro-batch regrouping
+    re-merges exactly; state is distinct-fingerprint bounded."""
+    ph = phash_images(corpus, id_col="doc_id")
+    return ph.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images")
+    )
+
+
+def image_phash_from_partials(parts: DataFrame) -> DataFrame:
+    """Finalize: the engineered corpus realizes
+    ``phash = class · 0x0101010101010101``, so the class is the low
+    byte of the hash — extracted RELATIONALLY (no Python) and
+    re-summed: (phash_class, n_images)."""
+    return (
+        parts.groupBy(
+            F.col("phash").bitwiseAND(F.lit(255)).cast("long")
+            .alias("phash_class")
+        )
+        .agg(F.sum("n_images").cast("long").alias("n_images"))
+    )
+
+
+def afp_codeword(cls: int) -> int:
+    """The spectral fingerprint :func:`synth_afp_corpus` class ``cls``
+    realizes: band nibble ``cls`` in all 16 frame slots
+    (``cls * 0x1111...``) as the two's-complement int64.  Distinct
+    classes differ in ≥ 1 bit per nibble × 16 frames → pairwise
+    Hamming ≥ 16, so cross-class pairs can never pass a
+    ``max_hamming ≤ 3`` verify."""
+    word = (cls & 0xF) * 0x1111111111111111
+    return int(np.uint64(word).astype(np.int64))
+
+
+def synth_afp_corpus(
+    df: DataFrame, *, id_col: str = "doc_id", n_classes: int = 16
+) -> DataFrame:
+    """Deterministic per-document 1 s / 8 kHz WAV engineered so its
+    spectral fingerprint is a CLOSED-FORM function of the id — the
+    audio twin of :func:`synth_phash_corpus`.
+
+    Construction: class ``b = id mod n_classes`` picks the dominant
+    band; every 500-sample frame carries a pure sine at the rfft bin
+    centered in band ``b`` (integer cycles per frame → the peak lands
+    exactly on that bin), so all 16 frame nibbles read ``b`` and the
+    fingerprint is :func:`afp_codeword`.  Per-document amplitude
+    ``0.3 + 0.05·((id // n_classes) mod 10)`` is the brightness-shift
+    analogue: scaling never moves an argmax (the signal bin carries
+    ~10⁵× the int16 quantization noise floor), so same-class clips are
+    EXACT fingerprint duplicates despite byte-distinct payloads.  The
+    clip is synthesized AT the canonical 8 kHz so the resample step is
+    the identity and no interpolation blurs the engineered spectrum.
+
+    → (doc_id, payload); worker-side like :func:`synth_wav_corpus`."""
+    if not 2 <= n_classes <= 16:
+        raise ValueError("n_classes must be in [2, 16] (4-bit bands)")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(500, dtype=np.float64) / 500.0
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                b = int(i) % n_classes
+                amp = 0.3 + 0.05 * ((int(i) // n_classes) % 10)
+                # 0-based index into spec[1:] at the center of band b,
+                # +1 back to the rfft bin = cycles per frame
+                k = (250 * b + 125) // 16 + 1
+                frame = amp * np.sin(2 * np.pi * k * t)
+                payloads.append(encode_wav(np.tile(frame, 16), 8000))
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def audio_afp_dedup_stats(
+    docs: DataFrame, *, n_classes: int = 16
+) -> DataFrame:
+    """The full audio-fingerprint dedup path, driver-visibly
+    oracle-checked — the audio twin of :func:`image_phash_dedup_stats`:
+    synthesize the engineered corpus, run the REAL pipeline (WAV decode
+    → :func:`afp64` FFT fingerprint under ``mapInPandas`` → banded
+    Hamming blocking → exact verify) and roll surviving pairs up per
+    class: (afp_class, n_pairs, sum_hamming).  The oracle recomputes
+    all three from id arithmetic (within-class pairs are exact
+    duplicates, cross-class Hamming ≥ 16 by codeword construction).
+
+    Scale shape: one synthesis pass, one decode/FFT pass (the only
+    Python), then the shared relational blocking — never all-pairs."""
+    pairs = audio_dup_pairs(
+        synth_afp_corpus(docs, n_classes=n_classes),
+        max_hamming=3,
+        id_col="doc_id",
+    )
+    return (
+        pairs.groupBy(
+            (F.col("id_a") % n_classes).cast("long").alias("afp_class")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hamming").cast("long").alias("sum_hamming"),
+        )
+    )
+
+
 def afp64(samples: np.ndarray, rate: int) -> int:
     """64-bit audio spectral fingerprint: resample to a canonical 8 kHz
     (so the print is rate-invariant), split into 16 equal frames, and

@@ -1128,3 +1128,111 @@ def test_hamming64_observed_drop_accounting(spark):
     got = obs.get
     assert got["band_rows"] == 30 * 4
     assert got["rows_in_dropped_buckets"] == 90  # band 0 + bands 2,3
+
+
+# ---------------------------------------------------------------------------
+# r12: engineered phash corpus — the closed-form-oracle image-dedup entry
+# ---------------------------------------------------------------------------
+
+
+def test_phash_codeword_realized_and_brightness_invariant():
+    """dHash(synth(id)) == phash_codeword(id mod 64) for every class and
+    a brightness sweep — the invariance theorem the oracle rests on."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        decode_image,
+        dhash64,
+        encode_bmp,
+        phash_codeword,
+    )
+
+    def synth_local(i, n_classes=64):
+        c = int(i) % n_classes
+        delta = (int(i) // n_classes) % 100
+        v = np.empty((8, 9), dtype=np.int64)
+        v[:, 0] = 100 + delta
+        for x in range(8):
+            step = 1 if (c >> x) & 1 else -1
+            v[:, x + 1] = v[:, x] + step
+        return np.repeat(v.astype(np.uint8)[..., None], 3, axis=2)
+
+    # every class at delta=0, plus the full delta sweep on 3 classes
+    for i in list(range(64)) + [64 * d + c for d in range(1, 100, 7)
+                                for c in (0, 37, 63)]:
+        img = synth_local(i)
+        assert dhash64(decode_image(encode_bmp(img))) == phash_codeword(
+            i % 64
+        ), f"id {i}"
+
+
+def test_phash_codewords_pairwise_separated():
+    """min pairwise Hamming over all 256 codewords is 8 (> max_hamming 3
+    with margin) — cross-class pairs are impossible, not just unlikely."""
+    from inception_spark.operators.multimodal import phash_codeword
+
+    words = [phash_codeword(c) & (2**64 - 1) for c in range(256)]
+    worst = min(
+        bin(a ^ b).count("1")
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+    )
+    assert worst == 8
+
+
+def test_image_phash_dedup_stats_counts_exact(spark):
+    """End-to-end through the real pipeline on a small id spine: pair
+    counts equal n_c*(n_c-1)/2 per class and every hamming is 0."""
+    from inception_spark.operators.multimodal import image_phash_dedup_stats
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["phash_class"]: r
+        for r in image_phash_dedup_stats(docs, n_classes=16).collect()
+    }
+    # 200 ids over 16 classes: classes 0..7 get 13 docs, 8..15 get 12
+    for cls, r in rows.items():
+        n = 13 if cls < 8 else 12
+        assert r["n_pairs"] == n * (n - 1) // 2, cls
+        assert r["sum_hamming"] == 0, cls
+    assert set(rows) == set(range(16))
+
+
+def test_afp_codeword_realized_and_amplitude_invariant():
+    """afp64(synth(id)) == afp_codeword(id mod 16) across classes and
+    the full amplitude sweep — the audio invariance theorem."""
+    import numpy as np
+
+    from inception_spark.operators.multimodal import (
+        afp64,
+        afp_codeword,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(500, dtype=np.float64) / 500.0
+    for i in list(range(16)) + [16 * d + c for d in range(1, 10)
+                                for c in (0, 7, 15)]:
+        b = i % 16
+        amp = 0.3 + 0.05 * ((i // 16) % 10)
+        k = (250 * b + 125) // 16 + 1
+        payload = encode_wav(np.tile(amp * np.sin(2 * np.pi * k * t), 16),
+                             8000)
+        samples, rate = decode_wav(payload)
+        assert afp64(samples, rate) == afp_codeword(b), f"id {i}"
+
+
+def test_audio_afp_dedup_stats_counts_exact(spark):
+    from inception_spark.operators.multimodal import audio_afp_dedup_stats
+
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["afp_class"]: r
+        for r in audio_afp_dedup_stats(docs, n_classes=8).collect()
+    }
+    # 100 ids over 8 classes: classes 0..3 get 13, 4..7 get 12
+    for cls, r in rows.items():
+        n = 13 if cls < 4 else 12
+        assert r["n_pairs"] == n * (n - 1) // 2, cls
+        assert r["sum_hamming"] == 0, cls
+    assert set(rows) == set(range(8))
