@@ -1683,12 +1683,16 @@ def hamming64_dup_pairs(
     ).select("id", "_h", "bk.band", "bk.key")
     bw = Window.partitionBy("band", "key")
     bands = bands.withColumn("_bn", F.count(F.lit(1)).over(bw))
-    # checkpoint BEFORE observe (the dedup.py contract): the band table
-    # feeds both self-join sides, and without the checkpoint the
-    # CollectMetrics node is duplicated into each side — the metrics row
-    # is then collected twice and Observation.get fails
+    # Lazy checkpoint UNCONDITIONALLY (the simhash_dup_pairs contract):
+    # the band table feeds both self-join sides and AQE's broadcast
+    # conversion defeats ReusedExchange, so without the cut the whole
+    # upstream fingerprint pipeline — the DECODE pass for image/audio
+    # callers — evaluates twice (plan-pinned by
+    # test_image_phash_dedup_plan_shape).  Checkpoint BEFORE observe:
+    # materialization bypasses CollectMetrics, and a duplicated metrics
+    # node would collect twice and fail Observation.get.
+    bands = bands.localCheckpoint(eager=False)
     if observation is not None:
-        bands = bands.localCheckpoint(eager=False)
         bands = bands.observe(
             observation,
             F.sum(

@@ -2202,3 +2202,44 @@ def test_wasserstein_single_spine_window(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p
+
+
+def test_image_phash_dedup_plan_shape(spark):
+    """The engineered-codeword image-dedup entry: no cartesian product
+    anywhere (the self-join is an equi-join on band keys), and exactly
+    the designed Python crossings — synthesis + hash (2 mapInPandas);
+    banding/verify/rollup stay JVM-side."""
+    from inception_spark.operators.multimodal import (
+        image_phash_dedup_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = image_phash_dedup_stats(docs)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the band table is localCheckpoint-cut before the self-join, so the
+    # synth+hash pipeline appears ONCE even though both join sides read
+    # it (without the cut the decode pass evaluates twice);
+    # the cut materializes lazily, so the pre-action plan shows the
+    # subtree on one side only — count crossings after forcing it
+    df.write.format("noop").mode("overwrite").save()
+    p2 = plan_of(df)
+    assert p2.count("MapInPandas") <= 2  # synth + phash, at most once each
+
+
+def test_container_ingest_plans_single_python_pass(spark):
+    """Each container entry crosses Python exactly twice (applyInPandas
+    synthesis, mapInPandas walk) and shuffles only on the shard key —
+    the whole decode is one scan, no joins at all."""
+    from inception_spark.sources.avrocontainer import avro_ingest_stats
+    from inception_spark.sources.sqliteshard import sqlite_ingest_stats
+    from inception_spark.sources.tfrecord import tfrecord_ingest_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (avro_ingest_stats, tfrecord_ingest_stats,
+               sqlite_ingest_stats):
+        p = plan_of(fn(docs))
+        assert "Join" not in p, fn.__name__
+        assert p.count("MapInPandas") == 1, fn.__name__
+        assert p.count("FlatMapGroupsInPandas") == 1, fn.__name__
