@@ -2872,6 +2872,40 @@ def _q_streaming_tfrecord_ingest(spark, sf_dir):
     return tfrecord_from_partials(parts)
 
 
+def _q_pdf_text_stats(spark, sf_dir):
+    """PDF text extraction — binding-free (no PDF library here):
+    every document rendered into a real 1-page PDF worker-side (xref
+    table, Flate-compressed content streams on odd ids, plain on
+    even), extracted back through the spec-transcribed object/stream/
+    text-operator walk (sources/pdftext.py; Tj/TJ/'/T*, literal-string
+    octal escapes, hex strings, /Length-exact stream slicing).  The
+    oracle reads the same stats — including line structure — straight
+    off documents.text."""
+    from inception_spark.sources.pdftext import pdf_text_stats
+
+    _ensure_workers_can_import(spark)
+    return pdf_text_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_pdf_text(spark, sf_dir):
+    """The PDF extraction rollup maintained LIVE: per-shard counters
+    from REAL object walks re-merge exactly (pure sums).  Shares the
+    batch oracle."""
+    from inception_spark.sources.pdftext import (
+        pdf_text_from_partials,
+        pdf_text_partials,
+        synth_pdf_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_pdf_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, pdf_text_partials)
+    return pdf_text_from_partials(parts)
+
+
 def _q_sqlite_ingest_stats(spark, sf_dir):
     """SQLite shard decode — stdlib-only (no Spark SQLite DataSource,
     no JDBC driver): per-shard database IMAGES built and read back
@@ -6707,6 +6741,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: SQLite shard images (stdlib serialize/deserialize)
         "sqlite_ingest_stats": _q_sqlite_ingest_stats,
         "streaming_sqlite_ingest": _q_streaming_sqlite_ingest,
+        # r12: PDF text extraction (spec-transcribed object/stream/
+        # text-operator walk) + the live rollup twin
+        "pdf_text_stats": _q_pdf_text_stats,
+        "streaming_pdf_text": _q_streaming_pdf_text,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7129,6 +7167,8 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_tfrecord_ingest",
     "sqlite_ingest_stats",
     "streaming_sqlite_ingest",
+    "pdf_text_stats",
+    "streaming_pdf_text",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -7148,10 +7188,12 @@ _MULTISTREAM_ORACLE = _ms_sql()
 from inception_spark.sources.avrocontainer import avro_stats_sql as _avro_sql
 from inception_spark.sources.tfrecord import tfrecord_stats_sql as _tfr_sql
 from inception_spark.sources.sqliteshard import sqlite_stats_sql as _sql_sql
+from inception_spark.sources.pdftext import pdf_text_stats_sql as _pdf_sql
 
 _AVRO_ORACLE = _avro_sql()
 _TFRECORD_ORACLE = _tfr_sql()
 _SQLITE_ORACLE = _sql_sql()
+_PDF_ORACLE = _pdf_sql()
 
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
@@ -7976,6 +8018,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_tfrecord_ingest": _TFRECORD_ORACLE,
         "sqlite_ingest_stats": _SQLITE_ORACLE,
         "streaming_sqlite_ingest": _SQLITE_ORACLE,
+        "pdf_text_stats": _PDF_ORACLE,
+        "streaming_pdf_text": _PDF_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,

@@ -336,6 +336,9 @@ HEADLINE = [
     "avro_ingest_stats",
     "tfrecord_ingest_stats",
     "sqlite_ingest_stats",
+    # r12: PDF render + extract round trip (object walk, Flate inflate,
+    # text-operator parse — the heaviest pure-Python source path)
+    "pdf_text_stats",
     # r12 engineered-codeword multimodal dedup: the REAL decode ->
     # fingerprint -> banded-Hamming pipelines under closed-form oracles
     "image_phash_dedup",
