@@ -126,11 +126,17 @@ def _decode_codec(payload: bytes, codec: str) -> bytes:
         except zlib.error as exc:
             raise AvroFormatError(f"bad deflate block: {exc}") from exc
     if codec == "snappy":
-        from inception_spark.operators.snappycodec import decode_snappy
+        from inception_spark.operators.snappycodec import (
+            SnappyFormatError,
+            decode_snappy,
+        )
 
         if len(payload) < 4:
             raise AvroFormatError("snappy block too short for CRC")
-        raw = decode_snappy(payload[:-4])
+        try:
+            raw = decode_snappy(payload[:-4])
+        except SnappyFormatError as exc:
+            raise AvroFormatError(f"bad snappy block: {exc}") from exc
         (want,) = struct.unpack(">I", payload[-4:])
         if zlib.crc32(raw) & 0xFFFFFFFF != want:
             raise AvroFormatError("snappy block CRC mismatch")
@@ -225,7 +231,14 @@ def _decode_field(data: bytes, pos: int, ftype: str) -> tuple[object, int]:
         return _read_long(data, pos)
     if ftype in ("string", "bytes"):
         raw, pos = _read_bytes(data, pos)
-        return (raw.decode("utf-8") if ftype == "string" else raw), pos
+        if ftype == "bytes":
+            return raw, pos
+        try:
+            return raw.decode("utf-8"), pos
+        except UnicodeDecodeError as exc:
+            # the null codec has no block checksum, so corruption can
+            # reach the field decode — keep the typed-error contract
+            raise AvroFormatError(f"invalid UTF-8 in string: {exc}") from exc
     if ftype == "boolean":
         if pos >= len(data):
             raise AvroFormatError("truncated boolean")
@@ -255,7 +268,13 @@ def iter_avro_records(blob: bytes) -> Iterator[dict]:
         raise AvroFormatError(f"bad avro.schema metadata: {exc}") from exc
     if schema.get("type") != "record":
         raise AvroFormatError("only record schemas supported")
-    fields = schema["fields"]
+    fields = schema.get("fields")
+    if not isinstance(fields, list) or not all(
+        isinstance(f, dict) and isinstance(f.get("name"), str)
+        and isinstance(f.get("type"), str)
+        for f in fields
+    ):
+        raise AvroFormatError("malformed record schema field list")
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if pos + 16 > len(blob):
         raise AvroFormatError("truncated header sync marker")
