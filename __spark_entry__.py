@@ -2906,6 +2906,37 @@ def _q_streaming_pdf_text(spark, sf_dir):
     return pdf_text_from_partials(parts)
 
 
+def _q_docx_text_stats(spark, sf_dir):
+    """DOCX body-text extraction — stdlib zipfile + ElementTree over
+    the ECMA-376 WordprocessingML text model: paragraphs → lines,
+    run-fragmented <w:t> rejoin (synthesis deliberately splits every
+    line into per-word runs with space-preserved space runs), <w:br>/
+    <w:tab> materialized.  Shares the PDF entry's closed-form oracle
+    (identical counters off documents.text)."""
+    from inception_spark.sources.docxtext import docx_text_stats
+
+    _ensure_workers_can_import(spark)
+    return docx_text_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_docx_text(spark, sf_dir):
+    """The DOCX extraction rollup maintained LIVE (pure sums); shares
+    the batch oracle."""
+    from inception_spark.sources.docxtext import (
+        docx_text_from_partials,
+        docx_text_partials,
+        synth_docx_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_docx_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, docx_text_partials)
+    return docx_text_from_partials(parts)
+
+
 def _q_sqlite_ingest_stats(spark, sf_dir):
     """SQLite shard decode — stdlib-only (no Spark SQLite DataSource,
     no JDBC driver): per-shard database IMAGES built and read back
@@ -6745,6 +6776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text-operator walk) + the live rollup twin
         "pdf_text_stats": _q_pdf_text_stats,
         "streaming_pdf_text": _q_streaming_pdf_text,
+        # r12: DOCX body-text extraction (stdlib zip + XML text model)
+        "docx_text_stats": _q_docx_text_stats,
+        "streaming_docx_text": _q_streaming_docx_text,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7169,6 +7203,8 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_sqlite_ingest",
     "pdf_text_stats",
     "streaming_pdf_text",
+    "docx_text_stats",
+    "streaming_docx_text",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -8020,6 +8056,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_sqlite_ingest": _SQLITE_ORACLE,
         "pdf_text_stats": _PDF_ORACLE,
         "streaming_pdf_text": _PDF_ORACLE,
+        "docx_text_stats": _PDF_ORACLE,
+        "streaming_docx_text": _PDF_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,

@@ -339,6 +339,8 @@ HEADLINE = [
     # r12: PDF render + extract round trip (object walk, Flate inflate,
     # text-operator parse — the heaviest pure-Python source path)
     "pdf_text_stats",
+    # r12: DOCX package + extract round trip (stdlib zip + XML model)
+    "docx_text_stats",
     # r12 engineered-codeword multimodal dedup: the REAL decode ->
     # fingerprint -> banded-Hamming pipelines under closed-form oracles
     "image_phash_dedup",
