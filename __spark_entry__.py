@@ -2906,6 +2906,43 @@ def _q_streaming_pdf_text(spark, sf_dir):
     return pdf_text_from_partials(parts)
 
 
+def _q_webdataset_multimodal(spark, sf_dir):
+    """Paired-modality WebDataset ingest end-to-end: every document
+    packed as a 3-member sample ({key}.txt/.bmp/.wav) in per-shard tar
+    blobs, walked back with key-stem regrouping, completeness
+    enforcement (a sample missing a modality raises), and REAL decode
+    of all three modalities.  The oracle recomputes text bytes from
+    documents.text, pixel sums from the image synthesis grid, and
+    audio sample counts from the WAV formula."""
+    from inception_spark.sources.webdataset import (
+        webdataset_multimodal_stats,
+    )
+
+    _ensure_workers_can_import(spark)
+    return webdataset_multimodal_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_webdataset(spark, sf_dir):
+    """The paired-modality rollup maintained LIVE: per-shard counters
+    from REAL 3-modality decodes re-merge exactly (pure sums).  Shares
+    the batch oracle."""
+    from inception_spark.sources.webdataset import (
+        synth_webdataset_corpus,
+        webdataset_from_partials,
+        webdataset_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_webdataset_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(
+        spark, corpus, webdataset_partials
+    )
+    return webdataset_from_partials(parts)
+
+
 def _q_docx_text_stats(spark, sf_dir):
     """DOCX body-text extraction — stdlib zipfile + ElementTree over
     the ECMA-376 WordprocessingML text model: paragraphs → lines,
@@ -6779,6 +6816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: DOCX body-text extraction (stdlib zip + XML text model)
         "docx_text_stats": _q_docx_text_stats,
         "streaming_docx_text": _q_streaming_docx_text,
+        # r12: paired-modality WebDataset samples (txt+bmp+wav per key)
+        "webdataset_multimodal": _q_webdataset_multimodal,
+        "streaming_webdataset": _q_streaming_webdataset,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7205,6 +7245,8 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_pdf_text",
     "docx_text_stats",
     "streaming_docx_text",
+    "webdataset_multimodal",
+    "streaming_webdataset",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -7225,11 +7267,13 @@ from inception_spark.sources.avrocontainer import avro_stats_sql as _avro_sql
 from inception_spark.sources.tfrecord import tfrecord_stats_sql as _tfr_sql
 from inception_spark.sources.sqliteshard import sqlite_stats_sql as _sql_sql
 from inception_spark.sources.pdftext import pdf_text_stats_sql as _pdf_sql
+from inception_spark.sources.webdataset import webdataset_stats_sql as _wds_sql
 
 _AVRO_ORACLE = _avro_sql()
 _TFRECORD_ORACLE = _tfr_sql()
 _SQLITE_ORACLE = _sql_sql()
 _PDF_ORACLE = _pdf_sql()
+_WDS_ORACLE = _wds_sql()
 
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
@@ -8058,6 +8102,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_pdf_text": _PDF_ORACLE,
         "docx_text_stats": _PDF_ORACLE,
         "streaming_docx_text": _PDF_ORACLE,
+        "webdataset_multimodal": _WDS_ORACLE,
+        "streaming_webdataset": _WDS_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
