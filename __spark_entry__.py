@@ -2906,6 +2906,37 @@ def _q_streaming_pdf_text(spark, sf_dir):
     return pdf_text_from_partials(parts)
 
 
+def _q_rtf_text_stats(spark, sf_dir):
+    """RTF text extraction — spec-transcribed single-pass state
+    machine (sources/rtftext.py): control-word grammar with consumed
+    trailing space, destination-group skipping incl. {\\*, cp1252 hex
+    escapes, signed 16-bit \\uN Unicode with surrogate-pair reassembly
+    and \\ucN fallback-skip.  Third member of the document family
+    (PDF, DOCX, RTF) sharing one closed-form oracle."""
+    from inception_spark.sources.rtftext import rtf_text_stats
+
+    _ensure_workers_can_import(spark)
+    return rtf_text_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_rtf_text(spark, sf_dir):
+    """The RTF extraction rollup maintained LIVE (pure sums); shares
+    the batch oracle."""
+    from inception_spark.sources.rtftext import (
+        rtf_text_from_partials,
+        rtf_text_partials,
+        synth_rtf_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_rtf_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, rtf_text_partials)
+    return rtf_text_from_partials(parts)
+
+
 def _q_webdataset_multimodal(spark, sf_dir):
     """Paired-modality WebDataset ingest end-to-end: every document
     packed as a 3-member sample ({key}.txt/.bmp/.wav) in per-shard tar
@@ -6819,6 +6850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: paired-modality WebDataset samples (txt+bmp+wav per key)
         "webdataset_multimodal": _q_webdataset_multimodal,
         "streaming_webdataset": _q_streaming_webdataset,
+        # r12: RTF extraction (legacy-document layer of the family)
+        "rtf_text_stats": _q_rtf_text_stats,
+        "streaming_rtf_text": _q_streaming_rtf_text,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7247,6 +7281,8 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_docx_text",
     "webdataset_multimodal",
     "streaming_webdataset",
+    "rtf_text_stats",
+    "streaming_rtf_text",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -8104,6 +8140,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_docx_text": _PDF_ORACLE,
         "webdataset_multimodal": _WDS_ORACLE,
         "streaming_webdataset": _WDS_ORACLE,
+        "rtf_text_stats": _PDF_ORACLE,
+        "streaming_rtf_text": _PDF_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,

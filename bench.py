@@ -341,6 +341,10 @@ HEADLINE = [
     "pdf_text_stats",
     # r12: DOCX package + extract round trip (stdlib zip + XML model)
     "docx_text_stats",
+    # r12: RTF extract (single-pass control-word state machine) and the
+    # paired-modality WebDataset walk (3 decodes per sample, one scan)
+    "rtf_text_stats",
+    "webdataset_multimodal",
     # r12 engineered-codeword multimodal dedup: the REAL decode ->
     # fingerprint -> banded-Hamming pipelines under closed-form oracles
     "image_phash_dedup",
