@@ -2906,6 +2906,45 @@ def _q_streaming_pdf_text(spark, sf_dir):
     return pdf_text_from_partials(parts)
 
 
+def _q_srt_text_stats(spark, sf_dir):
+    """SRT subtitle parse — the video-paired text layer: one cue per
+    document line, timestamps parsed to integer ms (speech_ms sums the
+    PARSED end−start, which the oracle recomputes as 1500·n_cues, so a
+    separator or HH→ms arithmetic slip hash-mismatches)."""
+    from inception_spark.sources.subtitles import subtitle_text_stats
+
+    _ensure_workers_can_import(spark)
+    return subtitle_text_stats(_docs(spark, sf_dir), vtt=False)
+
+
+def _q_vtt_text_stats(spark, sf_dir):
+    """The WebVTT dialect (header, dot separator, indexless cues, cue
+    settings after the end timestamp) through the same normalizing
+    parser.  Shares the closed-form oracle."""
+    from inception_spark.sources.subtitles import subtitle_text_stats
+
+    _ensure_workers_can_import(spark)
+    return subtitle_text_stats(_docs(spark, sf_dir), vtt=True)
+
+
+def _q_streaming_srt_text(spark, sf_dir):
+    """The subtitle rollup maintained LIVE (pure sums); shares the
+    batch oracle."""
+    from inception_spark.sources.subtitles import (
+        subtitle_from_partials,
+        subtitle_partials,
+        synth_subtitle_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_subtitle_corpus(_docs(spark, sf_dir), vtt=False)
+    parts = run_stream_batch_partials(spark, corpus, subtitle_partials)
+    return subtitle_from_partials(parts)
+
+
 def _q_rtf_text_stats(spark, sf_dir):
     """RTF text extraction — spec-transcribed single-pass state
     machine (sources/rtftext.py): control-word grammar with consumed
@@ -6853,6 +6892,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: RTF extraction (legacy-document layer of the family)
         "rtf_text_stats": _q_rtf_text_stats,
         "streaming_rtf_text": _q_streaming_rtf_text,
+        # r12: subtitle formats (SRT + WebVTT, timestamp arithmetic
+        # load-bearing) + the live rollup twin
+        "srt_text_stats": _q_srt_text_stats,
+        "vtt_text_stats": _q_vtt_text_stats,
+        "streaming_srt_text": _q_streaming_srt_text,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7283,6 +7327,9 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_webdataset",
     "rtf_text_stats",
     "streaming_rtf_text",
+    "srt_text_stats",
+    "vtt_text_stats",
+    "streaming_srt_text",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -7304,12 +7351,14 @@ from inception_spark.sources.tfrecord import tfrecord_stats_sql as _tfr_sql
 from inception_spark.sources.sqliteshard import sqlite_stats_sql as _sql_sql
 from inception_spark.sources.pdftext import pdf_text_stats_sql as _pdf_sql
 from inception_spark.sources.webdataset import webdataset_stats_sql as _wds_sql
+from inception_spark.sources.subtitles import subtitle_stats_sql as _srt_sql
 
 _AVRO_ORACLE = _avro_sql()
 _TFRECORD_ORACLE = _tfr_sql()
 _SQLITE_ORACLE = _sql_sql()
 _PDF_ORACLE = _pdf_sql()
 _WDS_ORACLE = _wds_sql()
+_SRT_ORACLE = _srt_sql()
 
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
@@ -8142,6 +8191,9 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_webdataset": _WDS_ORACLE,
         "rtf_text_stats": _PDF_ORACLE,
         "streaming_rtf_text": _PDF_ORACLE,
+        "srt_text_stats": _SRT_ORACLE,
+        "vtt_text_stats": _SRT_ORACLE,
+        "streaming_srt_text": _SRT_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
