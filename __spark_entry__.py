@@ -2906,6 +2906,38 @@ def _q_streaming_pdf_text(spark, sf_dir):
     return pdf_text_from_partials(parts)
 
 
+def _q_mime_text_stats(spark, sf_dir):
+    """MIME email extraction — stdlib email over RFC 5322: every
+    document wrapped as a multipart/alternative message (QP transfer
+    encoding on even ids, base64 on odd, an HTML decoy sibling the
+    extractor must skip), parsed back via the text/plain leaf walk +
+    CTE/charset decode; subject ids re-parsed from the folded header.
+    The final-newline contract is stated and synth-enforced
+    (sources/mimemail.py docstring)."""
+    from inception_spark.sources.mimemail import mime_text_stats
+
+    _ensure_workers_can_import(spark)
+    return mime_text_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_mime_text(spark, sf_dir):
+    """The MIME extraction rollup maintained LIVE (pure sums); shares
+    the batch oracle."""
+    from inception_spark.sources.mimemail import (
+        mime_from_partials,
+        mime_partials,
+        synth_mime_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_mime_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, mime_partials)
+    return mime_from_partials(parts)
+
+
 def _q_srt_text_stats(spark, sf_dir):
     """SRT subtitle parse — the video-paired text layer: one cue per
     document line, timestamps parsed to integer ms (speech_ms sums the
@@ -6897,6 +6929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srt_text_stats": _q_srt_text_stats,
         "vtt_text_stats": _q_vtt_text_stats,
         "streaming_srt_text": _q_streaming_srt_text,
+        # r12: MIME email (QP/base64 transfer decode, multipart walk)
+        "mime_text_stats": _q_mime_text_stats,
+        "streaming_mime_text": _q_streaming_mime_text,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7330,6 +7365,8 @@ _COHORT_NEW_R12: list[str] = [
     "srt_text_stats",
     "vtt_text_stats",
     "streaming_srt_text",
+    "mime_text_stats",
+    "streaming_mime_text",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -7357,8 +7394,11 @@ _AVRO_ORACLE = _avro_sql()
 _TFRECORD_ORACLE = _tfr_sql()
 _SQLITE_ORACLE = _sql_sql()
 _PDF_ORACLE = _pdf_sql()
+from inception_spark.sources.mimemail import mime_stats_sql as _mime_sql
+
 _WDS_ORACLE = _wds_sql()
 _SRT_ORACLE = _srt_sql()
+_MIME_ORACLE = _mime_sql()
 
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
@@ -8194,6 +8234,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "srt_text_stats": _SRT_ORACLE,
         "vtt_text_stats": _SRT_ORACLE,
         "streaming_srt_text": _SRT_ORACLE,
+        "mime_text_stats": _MIME_ORACLE,
+        "streaming_mime_text": _MIME_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,

@@ -1,0 +1,203 @@
+"""MIME email ingest — stdlib ``email`` over RFC 5322 messages.
+
+Mailing-list archives and enterprise mail dumps (the Enron-corpus
+class) are a standing pretraining source; their container is the MIME
+message: folded headers, multipart/alternative trees, and
+content-transfer encodings (quoted-printable, base64) that the raw
+bytes hide the text behind.  CPython's stdlib ``email`` package parses
+all of it, so like the DOCX path nothing is transcribed — the
+operator's value is the correct EXTRACTION MODEL: pick the text/plain
+leaf of the multipart tree (never the HTML sibling), decode the
+transfer encoding + charset, and treat the final newline as the MIME
+body terminator.
+
+Newline contract (stated, not silent): MIME text bodies are
+newline-terminated — ``set_content`` appends a final LF when missing —
+so extraction strips exactly ONE trailing LF.  A source text that
+itself ends in LF would be ambiguous under this framing; the
+synthesizer REJECTS such texts with the typed error rather than
+round-tripping them wrong (none exist in any test corpus).
+
+Spark shape: the document-family discipline — synthesis worker-side
+(every document becomes a multipart/alternative message with a
+quoted-printable text/plain part on even ids and base64 on odd, plus
+an HTML sibling that extraction must NOT pick), one mapInPandas parse
+pass, shard-key shuffle only.
+"""
+
+from __future__ import annotations
+
+from email import message_from_bytes, policy
+from email.message import EmailMessage
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class MimeFormatError(ValueError):
+    """Typed error for unextractable messages / ambiguous synth input."""
+
+
+def encode_mime(doc_id: int, text: str) -> bytes:
+    """multipart/alternative RFC 5322 message: headers, a text/plain
+    part (quoted-printable on even ids, base64 on odd — both transfer
+    decodes stay load-bearing), and an HTML alternative the extractor
+    must skip."""
+    if text.endswith("\n"):
+        raise MimeFormatError(
+            "text ending in LF is ambiguous under the MIME final-newline "
+            "contract (see module docstring)"
+        )
+    m = EmailMessage()
+    m["From"] = f"sender-{doc_id}@corpus.example"
+    m["To"] = "archive@corpus.example"
+    m["Subject"] = f"doc {doc_id}"
+    m["Date"] = "Mon, 01 Jan 2024 00:00:00 +0000"
+    m["Message-ID"] = f"<doc-{doc_id}@corpus.example>"
+    cte = "quoted-printable" if doc_id % 2 == 0 else "base64"
+    m.set_content(text, charset="utf-8", cte=cte)
+    m.add_alternative(
+        f"<html><body><p>DO NOT EXTRACT {doc_id}</p></body></html>",
+        subtype="html",
+    )
+    return m.as_bytes()
+
+
+def mime_to_text(blob: bytes) -> tuple[str, str]:
+    """→ (subject, body text): parse, walk the multipart tree for the
+    text/plain leaf, decode CTE + charset, strip the ONE terminating
+    LF.  A message with no text/plain leaf raises."""
+    msg = message_from_bytes(blob, policy=policy.default)
+    if msg.defects:
+        raise MimeFormatError(f"message defects: {msg.defects!r}")
+    part = msg.get_body(preferencelist=("plain",))
+    if part is None:
+        raise MimeFormatError("no text/plain part in message")
+    try:
+        body = part.get_content()
+    except (KeyError, LookupError, UnicodeDecodeError) as exc:
+        raise MimeFormatError(f"undecodable body: {exc}") from exc
+    if not body.endswith("\n"):
+        raise MimeFormatError("MIME text body missing final newline")
+    return str(msg["Subject"] or ""), body[:-1]
+
+
+_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def synth_mime_corpus(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.col("text").isNotNull())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.to_numpy(),
+                    "payload": [
+                        encode_mime(int(i), str(t))
+                        for i, t in zip(ids, pdf["text"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+
+
+_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType(), False),
+        T.StructField("n_msgs", T.LongType(), False),
+        T.StructField("body_bytes", T.LongType(), False),
+        T.StructField("n_e", T.LongType(), False),
+        T.StructField("subject_ids_sum", T.LongType(), False),
+    ]
+)
+
+
+def mime_partials(corpus: DataFrame, *, n_shards: int = 4) -> DataFrame:
+    """Parse every message, extract subject + plain body, fold per-shard
+    counters.  ``subject_ids_sum`` re-parses the doc id out of the
+    SUBJECT header (folded-header decode is load-bearing); body
+    counters prove the CTE + charset decode picked the right part —
+    the HTML sibling would flip them."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            agg: dict[int, list[int]] = {}
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                subject, body = mime_to_text(bytes(p))
+                if not subject.startswith("doc "):
+                    raise MimeFormatError(f"bad subject {subject!r}")
+                sid = int(subject[4:])
+                sh = int(i) % n_shards
+                a = agg.setdefault(sh, [0, 0, 0, 0])
+                raw = body.encode("utf-8")
+                a[0] += 1
+                a[1] += len(raw)
+                a[2] += raw.count(b"e")
+                a[3] += sid
+            if agg:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "shard": sh,
+                            "n_msgs": v[0],
+                            "body_bytes": v[1],
+                            "n_e": v[2],
+                            "subject_ids_sum": v[3],
+                        }
+                        for sh, v in agg.items()
+                    ]
+                )
+
+    return corpus.mapInPandas(walk, _STATS_SCHEMA)
+
+
+def mime_from_partials(parts: DataFrame) -> DataFrame:
+    return (
+        parts.groupBy("shard")
+        .agg(
+            F.sum("n_msgs").cast("long").alias("n_msgs"),
+            F.sum("body_bytes").cast("long").alias("body_bytes"),
+            F.sum("n_e").cast("long").alias("n_e"),
+            F.sum("subject_ids_sum").cast("long").alias("subject_ids_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def mime_text_stats(docs: DataFrame) -> DataFrame:
+    """REAL MIME extraction, oracle-checked: every document wrapped as
+    a multipart/alternative message (QP on even ids, base64 on odd,
+    HTML decoy alongside), parsed back, aggregated.  The oracle reads
+    body stats off ``documents.text`` and subject ids off doc_id."""
+    return mime_from_partials(mime_partials(synth_mime_corpus(docs)))
+
+
+def mime_stats_sql(*, n_shards: int = 4) -> str:
+    return f"""
+SELECT CAST(doc_id % {int(n_shards)} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_msgs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS body_bytes,
+       CAST(SUM(strlen(text) - strlen(replace(text, 'e', '')))
+            AS BIGINT) AS n_e,
+       CAST(SUM(doc_id) AS BIGINT) AS subject_ids_sum
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""

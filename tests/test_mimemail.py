@@ -1,0 +1,78 @@
+"""MIME email extraction (sources/mimemail.py): multipart walk, CTE
+decode, folded headers, newline contract, taxonomy, Spark rollup."""
+
+import pytest
+
+import inception_spark.sources.mimemail as M
+
+
+def test_roundtrip_both_ctes():
+    cases = [
+        "hello world",
+        "multi\nline\ntext",
+        "",
+        "unicode héllo — naïve — 日本語",
+        "qp specials =3D = and dots\n.leading dot",
+        "x" * 400,  # forces QP soft line breaks / base64 wrapping
+    ]
+    for t in cases:
+        for i in (0, 1):  # even=QP, odd=base64
+            subj, body = M.mime_to_text(M.encode_mime(i, t))
+            assert body == t and subj == f"doc {i}", (i, repr(t))
+
+
+def test_html_sibling_not_extracted():
+    _, body = M.mime_to_text(M.encode_mime(4, "plain wins"))
+    assert "DO NOT EXTRACT" not in body
+
+
+def test_long_subject_header_folding():
+    """A subject long enough to fold across header lines must re-parse
+    whole (the folded-header decode path)."""
+    blob = M.encode_mime(123456789012345, "body")
+    subj, _ = M.mime_to_text(blob)
+    assert subj == "doc 123456789012345"
+
+
+def test_taxonomy():
+    from email.message import EmailMessage
+
+    with pytest.raises(M.MimeFormatError, match="ambiguous"):
+        M.encode_mime(1, "ends with lf\n")
+    m = EmailMessage()
+    m["Subject"] = "x"
+    m.set_content("<p>html only</p>", subtype="html")
+    with pytest.raises(M.MimeFormatError, match="text/plain"):
+        M.mime_to_text(m.as_bytes())
+
+
+def test_mime_text_stats_matches_text(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"mail body {i} (e) {'e' * (i % 4)}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    got = {r["shard"]: r for r in M.mime_text_stats(docs).collect()}
+    want = docs.groupBy((F.col("doc_id") % 4).alias("shard")).agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(F.octet_length("text")).alias("body_bytes"),
+        F.sum(
+            F.octet_length("text")
+            - F.octet_length(F.replace(F.col("text"), F.lit("e")))
+        ).alias("n_e"),
+        F.sum("doc_id").alias("subject_ids_sum"),
+    )
+    for r in want.collect():
+        g = got[r["shard"]]
+        assert (
+            g["n_msgs"],
+            g["body_bytes"],
+            g["n_e"],
+            g["subject_ids_sum"],
+        ) == (
+            r["n_msgs"],
+            r["body_bytes"],
+            r["n_e"],
+            r["subject_ids_sum"],
+        )
