@@ -2906,6 +2906,37 @@ def _q_streaming_pdf_text(spark, sf_dir):
     return pdf_text_from_partials(parts)
 
 
+def _q_arrow_ipc_stats(spark, sf_dir):
+    """Arrow IPC stream ingest — the HuggingFace-datasets/Feather-v2
+    interchange layer Spark has no DataSource for: per-shard stream
+    blobs decode worker-side with pyarrow.ipc (zero-copy, one record
+    batch at a time) and aggregate with VECTORIZED pyarrow compute
+    kernels — unlike the pure-Python codec family this is a native-
+    speed bulk path.  The oracle reads the same stats off documents."""
+    from inception_spark.sources.arrowipc import arrow_ipc_stats
+
+    _ensure_workers_can_import(spark)
+    return arrow_ipc_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_arrow_ipc(spark, sf_dir):
+    """The Arrow IPC rollup maintained LIVE (pure sums); shares the
+    batch oracle."""
+    from inception_spark.sources.arrowipc import (
+        arrow_ipc_from_partials,
+        arrow_ipc_partials,
+        synth_arrow_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_arrow_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, arrow_ipc_partials)
+    return arrow_ipc_from_partials(parts)
+
+
 def _q_mime_text_stats(spark, sf_dir):
     """MIME email extraction — stdlib email over RFC 5322: every
     document wrapped as a multipart/alternative message (QP transfer
@@ -6932,6 +6963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: MIME email (QP/base64 transfer decode, multipart walk)
         "mime_text_stats": _q_mime_text_stats,
         "streaming_mime_text": _q_streaming_mime_text,
+        # r12: Arrow IPC streams (pyarrow zero-copy, vectorized agg)
+        "arrow_ipc_stats": _q_arrow_ipc_stats,
+        "streaming_arrow_ipc": _q_streaming_arrow_ipc,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7367,6 +7401,8 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_srt_text",
     "mime_text_stats",
     "streaming_mime_text",
+    "arrow_ipc_stats",
+    "streaming_arrow_ipc",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -7395,10 +7431,12 @@ _TFRECORD_ORACLE = _tfr_sql()
 _SQLITE_ORACLE = _sql_sql()
 _PDF_ORACLE = _pdf_sql()
 from inception_spark.sources.mimemail import mime_stats_sql as _mime_sql
+from inception_spark.sources.arrowipc import arrow_ipc_stats_sql as _arrow_sql
 
 _WDS_ORACLE = _wds_sql()
 _SRT_ORACLE = _srt_sql()
 _MIME_ORACLE = _mime_sql()
+_ARROW_ORACLE = _arrow_sql()
 
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
@@ -8236,6 +8274,8 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_srt_text": _SRT_ORACLE,
         "mime_text_stats": _MIME_ORACLE,
         "streaming_mime_text": _MIME_ORACLE,
+        "arrow_ipc_stats": _ARROW_ORACLE,
+        "streaming_arrow_ipc": _ARROW_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,
