@@ -2906,6 +2906,18 @@ def _q_streaming_pdf_text(spark, sf_dir):
     return pdf_text_from_partials(parts)
 
 
+def _q_doc_format_matrix(spark, sf_dir):
+    """ONE corpus scan drives all three document extractors (render →
+    extract per format); the oracle cross-joins a single closed-form
+    aggregate with the format list so a defect in any extractor flips
+    exactly its own row — the codecmatrix discipline applied to the
+    document family."""
+    from inception_spark.sources.docxtext import doc_format_matrix_stats
+
+    _ensure_workers_can_import(spark)
+    return doc_format_matrix_stats(_docs(spark, sf_dir))
+
+
 def _q_arrow_ipc_stats(spark, sf_dir):
     """Arrow IPC stream ingest — the HuggingFace-datasets/Feather-v2
     interchange layer Spark has no DataSource for: per-shard stream
@@ -6966,6 +6978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: Arrow IPC streams (pyarrow zero-copy, vectorized agg)
         "arrow_ipc_stats": _q_arrow_ipc_stats,
         "streaming_arrow_ipc": _q_streaming_arrow_ipc,
+        # r12: one-scan cross-validation of the document extractors
+        "doc_format_matrix": _q_doc_format_matrix,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7403,6 +7417,7 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_mime_text",
     "arrow_ipc_stats",
     "streaming_arrow_ipc",
+    "doc_format_matrix",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -7437,6 +7452,10 @@ _WDS_ORACLE = _wds_sql()
 _SRT_ORACLE = _srt_sql()
 _MIME_ORACLE = _mime_sql()
 _ARROW_ORACLE = _arrow_sql()
+
+from inception_spark.sources.docxtext import doc_format_matrix_sql as _dfm_sql
+
+_DOC_MATRIX_ORACLE = _dfm_sql()
 
 _LZ4_SHARD_ORACLE = """
 SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
@@ -8276,6 +8295,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_mime_text": _MIME_ORACLE,
         "arrow_ipc_stats": _ARROW_ORACLE,
         "streaming_arrow_ipc": _ARROW_ORACLE,
+        "doc_format_matrix": _DOC_MATRIX_ORACLE,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,

@@ -213,3 +213,98 @@ def docx_text_stats(docs: DataFrame) -> DataFrame:
     return docx_text_from_partials(
         docx_text_partials(synth_docx_corpus(docs))
     )
+
+
+# ---------------------------------------------------------------------------
+# document-format matrix: one scan drives every extractor (the
+# codecmatrix discipline applied to the document family)
+# ---------------------------------------------------------------------------
+
+_MATRIX_SCHEMA = T.StructType(
+    [
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("extracted_bytes", T.LongType(), False),
+        T.StructField("n_e", T.LongType(), False),
+        T.StructField("n_lines", T.LongType(), False),
+    ]
+)
+
+
+def doc_format_matrix_stats(docs: DataFrame) -> DataFrame:
+    """ONE corpus scan drives all three document extractors — render
+    every document as PDF (Flate), DOCX, and RTF, extract each back,
+    and fold per-format counters: (fmt, n_docs, extracted_bytes, n_e,
+    n_lines).  The oracle cross-joins one closed-form aggregate over
+    ``documents.text`` with the format list, so a defect in any single
+    extractor flips exactly its own row — and at 100 TB this is 1 scan
+    where per-format validation passes would be 3.  The per-format
+    REGISTRY entries remain the per-shard deep checks; this is the
+    cross-family consistency gate."""
+    from inception_spark.sources.pdftext import encode_pdf, pdf_to_text
+    from inception_spark.sources.rtftext import encode_rtf, rtf_to_text
+
+    src = docs.select("doc_id", "text").where(F.col("text").isNotNull())
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmts = {
+            "pdf": lambda t: pdf_to_text(encode_pdf(t, compress=True)),
+            "docx": lambda t: docx_to_text(encode_docx(t)),
+            "rtf": lambda t: rtf_to_text(encode_rtf(t)),
+        }
+        for pdf_b in batches:
+            agg = {f: [0, 0, 0, 0] for f in fmts}
+            for t in pdf_b["text"]:
+                t = str(t)
+                for f, fn in fmts.items():
+                    txt = fn(t)
+                    raw = txt.encode("utf-8")
+                    a = agg[f]
+                    a[0] += 1
+                    a[1] += len(raw)
+                    a[2] += raw.count(b"e")
+                    a[3] += txt.count("\n") + 1 if txt else 0
+            yield pd.DataFrame(
+                [
+                    {
+                        "fmt": f,
+                        "n_docs": v[0],
+                        "extracted_bytes": v[1],
+                        "n_e": v[2],
+                        "n_lines": v[3],
+                    }
+                    for f, v in agg.items()
+                ]
+            )
+
+    return (
+        src.mapInPandas(walk, _MATRIX_SCHEMA)
+        .groupBy("fmt")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("extracted_bytes").cast("long").alias("extracted_bytes"),
+            F.sum("n_e").cast("long").alias("n_e"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def doc_format_matrix_sql() -> str:
+    """DuckDB twin: one closed-form aggregate cross-joined with the
+    format list."""
+    return """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(strlen(text)) AS BIGINT) AS extracted_bytes,
+         CAST(SUM(strlen(text) - strlen(replace(text, 'e', '')))
+              AS BIGINT) AS n_e,
+         CAST(SUM(CASE WHEN strlen(text) = 0 THEN 0
+                  ELSE strlen(text)
+                       - strlen(replace(text, chr(10), '')) + 1
+                  END) AS BIGINT) AS n_lines
+  FROM documents WHERE text IS NOT NULL)
+SELECT f.fmt, b.n_docs, b.extracted_bytes, b.n_e, b.n_lines
+FROM base b CROSS JOIN (VALUES ('pdf'), ('docx'), ('rtf')) AS f(fmt)
+ORDER BY f.fmt
+"""

@@ -101,3 +101,20 @@ def test_docx_text_stats_matches_text(spark):
             r["n_e"],
             r["n_lines"],
         )
+
+
+def test_doc_format_matrix_consistent(spark):
+    """All three extractors agree on every counter — the one-scan
+    cross-family consistency gate."""
+    docs = spark.createDataFrame(
+        [(i, f"line a {i}\nline b (e) {'e' * (i % 4)}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = {r["fmt"]: r for r in D.doc_format_matrix_stats(docs).collect()}
+    assert set(rows) == {"pdf", "docx", "rtf"}
+    vals = {
+        f: (r["n_docs"], r["extracted_bytes"], r["n_e"], r["n_lines"])
+        for f, r in rows.items()
+    }
+    assert len(set(vals.values())) == 1  # identical across formats
+    assert vals["pdf"][0] == 20 and vals["pdf"][3] == 40
