@@ -2918,6 +2918,19 @@ def _q_doc_format_matrix(spark, sf_dir):
     return doc_format_matrix_stats(_docs(spark, sf_dir))
 
 
+def _q_mbox_text_stats(spark, sf_dir):
+    """mbox archive ingest — the shard layer above single messages:
+    per-shard mboxrd archives (the only REVERSIBLE From_-quoting
+    convention: write prefixes '>' to /^>*From / body lines, read
+    strips exactly one) split back into full MIME messages, each run
+    through the complete extraction.  Splitter and parser both
+    load-bearing; shares the single-message oracle."""
+    from inception_spark.sources.mimemail import mbox_text_stats
+
+    _ensure_workers_can_import(spark)
+    return mbox_text_stats(_docs(spark, sf_dir))
+
+
 def _q_arrow_ipc_stats(spark, sf_dir):
     """Arrow IPC stream ingest — the HuggingFace-datasets/Feather-v2
     interchange layer Spark has no DataSource for: per-shard stream
@@ -6975,6 +6988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: MIME email (QP/base64 transfer decode, multipart walk)
         "mime_text_stats": _q_mime_text_stats,
         "streaming_mime_text": _q_streaming_mime_text,
+        "mbox_text_stats": _q_mbox_text_stats,
         # r12: Arrow IPC streams (pyarrow zero-copy, vectorized agg)
         "arrow_ipc_stats": _q_arrow_ipc_stats,
         "streaming_arrow_ipc": _q_streaming_arrow_ipc,
@@ -7418,6 +7432,7 @@ _COHORT_NEW_R12: list[str] = [
     "arrow_ipc_stats",
     "streaming_arrow_ipc",
     "doc_format_matrix",
+    "mbox_text_stats",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -8293,6 +8308,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "streaming_srt_text": _SRT_ORACLE,
         "mime_text_stats": _MIME_ORACLE,
         "streaming_mime_text": _MIME_ORACLE,
+        "mbox_text_stats": _MIME_ORACLE,
         "arrow_ipc_stats": _ARROW_ORACLE,
         "streaming_arrow_ipc": _ARROW_ORACLE,
         "doc_format_matrix": _DOC_MATRIX_ORACLE,

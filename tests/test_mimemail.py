@@ -76,3 +76,46 @@ def test_mime_text_stats_matches_text(spark):
             r["n_e"],
             r["subject_ids_sum"],
         )
+
+
+def test_mbox_from_quoting_reversible():
+    """mboxrd: '>From '-class body lines round-trip — the property the
+    mboxo convention cannot provide."""
+    msgs = [
+        M.encode_mime(
+            i, f"body {i}\nFrom the start\n>From quoted\n>>From deeper"
+        )
+        for i in range(5)
+    ]
+    back = list(M.iter_mbox_messages(M.encode_mbox(msgs)))
+    assert len(back) == 5
+    for raw, orig in zip(back, msgs):
+        assert M.mime_to_text(raw) == M.mime_to_text(orig)
+
+
+def test_mbox_taxonomy():
+    with pytest.raises(M.MimeFormatError, match="mbox"):
+        list(M.iter_mbox_messages(b"not an archive"))
+    assert list(M.iter_mbox_messages(b"")) == []
+
+
+def test_mbox_text_stats_matches_text(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"mail body {i}\nFrom a risky line (e)") for i in range(40)],
+        "doc_id long, text string",
+    )
+    got = {r["shard"]: r for r in M.mbox_text_stats(docs).collect()}
+    want = docs.groupBy((F.col("doc_id") % 4).alias("shard")).agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(F.octet_length("text")).alias("body_bytes"),
+        F.sum("doc_id").alias("subject_ids_sum"),
+    )
+    for r in want.collect():
+        g = got[r["shard"]]
+        assert (g["n_msgs"], g["body_bytes"], g["subject_ids_sum"]) == (
+            r["n_msgs"],
+            r["body_bytes"],
+            r["subject_ids_sum"],
+        )
