@@ -2243,3 +2243,39 @@ def test_container_ingest_plans_single_python_pass(spark):
         assert "Join" not in p, fn.__name__
         assert p.count("MapInPandas") == 1, fn.__name__
         assert p.count("FlatMapGroupsInPandas") == 1, fn.__name__
+
+
+def test_document_ingest_plans_no_joins(spark):
+    """Every r12 document/subtitle/mail/interchange entry is scan-shaped:
+    Python crossings exactly as designed, zero joins."""
+    from inception_spark.sources.arrowipc import arrow_ipc_stats
+    from inception_spark.sources.docxtext import (
+        doc_format_matrix_stats,
+        docx_text_stats,
+    )
+    from inception_spark.sources.mimemail import (
+        mbox_text_stats,
+        mime_text_stats,
+    )
+    from inception_spark.sources.pdftext import pdf_text_stats
+    from inception_spark.sources.rtftext import rtf_text_stats
+    from inception_spark.sources.subtitles import subtitle_text_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # (fn, n_mapInPandas, n_applyInPandas)
+    shapes = [
+        (pdf_text_stats, 2, 0),
+        (docx_text_stats, 2, 0),
+        (rtf_text_stats, 2, 0),
+        (mime_text_stats, 2, 0),
+        (lambda d: subtitle_text_stats(d, vtt=False), 2, 0),
+        (mbox_text_stats, 1, 1),
+        (arrow_ipc_stats, 1, 1),
+        (doc_format_matrix_stats, 1, 0),
+    ]
+    for fn, n_mip, n_fgp in shapes:
+        p = plan_of(fn(docs))
+        name = getattr(fn, "__name__", "subtitle")
+        assert "Join" not in p, name
+        assert p.count("MapInPandas") == n_mip, name
+        assert p.count("FlatMapGroupsInPandas") == n_fgp, name
