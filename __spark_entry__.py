@@ -165,7 +165,14 @@ def _scratch(prefix: str) -> str:
     import tempfile
 
     if _SCRATCH_ROOT is None:
+        _reap_stale_scratch()
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="inception-scratch-")
+        # pid marker: lets the NEXT session reap this root if this
+        # process dies by SIGKILL (atexit cannot fire then — observed
+        # with a bench run killed mid-flight, which left its root
+        # behind until the following session started)
+        with open(os.path.join(_SCRATCH_ROOT, ".pid"), "w") as fh:
+            fh.write(str(os.getpid()))
         if os.environ.get("INCEPTION_KEEP_SCRATCH") == "1":
             print(f"[inception] keeping scratch root {_SCRATCH_ROOT}",
                   file=sys.stderr)
@@ -173,6 +180,49 @@ def _scratch(prefix: str) -> str:
             atexit.register(shutil.rmtree, _SCRATCH_ROOT,
                             ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+def _reap_stale_scratch() -> None:
+    """Remove scratch roots whose creating process is gone — the
+    SIGKILL backstop for the atexit cleanup.  A root without a .pid
+    marker (pre-marker sessions) is reaped only when old (>6 h by
+    mtime); a root whose pid is alive is left alone (concurrent
+    sessions on one machine are normal: driver + bench + pytest)."""
+    import glob
+    import shutil
+    import time
+
+    for root in glob.glob(os.path.join(tempfile_gettempdir(),
+                                       "inception-scratch-*")):
+        pid_file = os.path.join(root, ".pid")
+        try:
+            if os.path.exists(pid_file):
+                with open(pid_file) as fh:
+                    pid = int(fh.read().strip() or "0")
+                alive = pid > 0 and _pid_alive(pid)
+                if alive:
+                    continue
+            elif time.time() - os.path.getmtime(root) < 6 * 3600:
+                continue
+            shutil.rmtree(root, ignore_errors=True)
+        except (OSError, ValueError):
+            continue  # never let reaping break a session start
+
+
+def tempfile_gettempdir() -> str:
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else: not ours to judge
 
 
 # ---------------------------------------------------------------------------

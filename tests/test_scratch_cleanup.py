@@ -117,3 +117,27 @@ def test_worker_pkg_zip_lives_under_scratch_root(spark):
 
     assert g.glob(os.path.join(E._SCRATCH_ROOT, "pkg_*",
                                "inception_spark_pkg.zip"))
+
+
+def test_stale_scratch_reaped_on_session_start(tmp_path, monkeypatch):
+    """A scratch root whose creating pid is dead is reaped by the next
+    session; a live root survives (SIGKILL backstop for the atexit
+    cleanup)."""
+    import os
+
+    import __spark_entry__ as E
+
+    tmpdir = str(tmp_path)
+    monkeypatch.setattr(E, "tempfile_gettempdir", lambda: tmpdir)
+    dead = tmp_path / "inception-scratch-dead"
+    dead.mkdir()
+    (dead / ".pid").write_text("999999999")  # no such pid
+    live = tmp_path / "inception-scratch-live"
+    live.mkdir()
+    (live / ".pid").write_text(str(os.getpid()))
+    young = tmp_path / "inception-scratch-unmarked"
+    young.mkdir()  # no marker, fresh mtime: kept (age guard)
+    E._reap_stale_scratch()
+    assert not dead.exists()
+    assert live.exists()
+    assert young.exists()
