@@ -2981,6 +2981,25 @@ def _q_mbox_text_stats(spark, sf_dir):
     return mbox_text_stats(_docs(spark, sf_dir))
 
 
+def _q_streaming_mbox(spark, sf_dir):
+    """The mbox ingest rollup maintained LIVE: per-shard counters from
+    REAL archive splits + full MIME extraction re-merge exactly (pure
+    sums).  Shares the single-message oracle."""
+    from inception_spark.sources.mimemail import (
+        mbox_partials,
+        mime_from_partials,
+        synth_mbox_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_mbox_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, mbox_partials)
+    return mime_from_partials(parts)
+
+
 def _q_arrow_ipc_stats(spark, sf_dir):
     """Arrow IPC stream ingest — the HuggingFace-datasets/Feather-v2
     interchange layer Spark has no DataSource for: per-shard stream
@@ -7039,6 +7058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_text_stats": _q_mime_text_stats,
         "streaming_mime_text": _q_streaming_mime_text,
         "mbox_text_stats": _q_mbox_text_stats,
+        "streaming_mbox": _q_streaming_mbox,
         # r12: Arrow IPC streams (pyarrow zero-copy, vectorized agg)
         "arrow_ipc_stats": _q_arrow_ipc_stats,
         "streaming_arrow_ipc": _q_streaming_arrow_ipc,
@@ -7483,6 +7503,7 @@ _COHORT_NEW_R12: list[str] = [
     "streaming_arrow_ipc",
     "doc_format_matrix",
     "mbox_text_stats",
+    "streaming_mbox",
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
@@ -8359,6 +8380,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "mime_text_stats": _MIME_ORACLE,
         "streaming_mime_text": _MIME_ORACLE,
         "mbox_text_stats": _MIME_ORACLE,
+        "streaming_mbox": _MIME_ORACLE,
         "arrow_ipc_stats": _ARROW_ORACLE,
         "streaming_arrow_ipc": _ARROW_ORACLE,
         "doc_format_matrix": _DOC_MATRIX_ORACLE,
