@@ -223,6 +223,12 @@ def _pid_alive(pid: int) -> bool:
         return False
     except PermissionError:
         return True  # exists, owned by someone else: not ours to judge
+    except OverflowError:
+        # a corrupt .pid file can parse to an out-of-range integer;
+        # os.kill raises OverflowError (not OSError) for those — no
+        # such pid can exist, so treat as dead instead of aborting
+        # every subsequent session start (ADVICE r12)
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -2996,7 +3002,11 @@ def _q_streaming_mbox(spark, sf_dir):
 
     _ensure_workers_can_import(spark)
     corpus = synth_mbox_corpus(_docs(spark, sf_dir))
-    parts = run_stream_batch_partials(spark, corpus, mbox_partials)
+    # fan=True: each micro-batch is ONE staged file -> one split; the
+    # per-archive MIME walk re-spreads so sub-archives parse in parallel
+    parts = run_stream_batch_partials(
+        spark, corpus, lambda b: mbox_partials(b, fan=True)
+    )
     return mime_from_partials(parts)
 
 
@@ -3059,7 +3069,11 @@ def _q_streaming_mime_text(spark, sf_dir):
 
     _ensure_workers_can_import(spark)
     corpus = synth_mime_corpus(_docs(spark, sf_dir))
-    parts = run_stream_batch_partials(spark, corpus, mime_partials)
+    # fan=True: each micro-batch is ONE staged file -> one split; the
+    # ~5 ms/msg stdlib walk re-spreads across cores per batch
+    parts = run_stream_batch_partials(
+        spark, corpus, lambda b: mime_partials(b, fan=True)
+    )
     return mime_from_partials(parts)
 
 

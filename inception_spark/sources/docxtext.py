@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
+
 
 class DocxFormatError(ValueError):
     """Typed error for corrupt/unsupported .docx bytes."""
@@ -144,7 +146,7 @@ def synth_docx_corpus(
                 }
             )
 
-    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+    return fanout(src).mapInPandas(gen, _CORPUS_SCHEMA)
 
 
 _STATS_SCHEMA = T.StructType(
@@ -278,7 +280,7 @@ def doc_format_matrix_stats(docs: DataFrame) -> DataFrame:
             )
 
     return (
-        src.mapInPandas(walk, _MATRIX_SCHEMA)
+        fanout(src).mapInPandas(walk, _MATRIX_SCHEMA)
         .groupBy("fmt")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),

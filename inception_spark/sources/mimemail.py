@@ -14,15 +14,21 @@ body terminator.
 Newline contract (stated, not silent): MIME text bodies are
 newline-terminated — ``set_content`` appends a final LF when missing —
 so extraction strips exactly ONE trailing LF.  A source text that
-itself ends in LF would be ambiguous under this framing; the
-synthesizer REJECTS such texts with the typed error rather than
-round-tripping them wrong (none exist in any test corpus).
+itself ends in LF would be ambiguous under this framing, and a lone CR
+would be rewritten by the stdlib's line-ending normalization; such
+texts are FILTERED at synthesis (predicate mirrored in the oracle SQL)
+so a corpus change degrades per-record instead of failing the job —
+``encode_mime`` still raises the typed error if handed one directly.
 
 Spark shape: the document-family discipline — synthesis worker-side
 (every document becomes a multipart/alternative message with a
 quoted-printable text/plain part on even ids and base64 on odd, plus
 an HTML sibling that extraction must NOT pick), one mapInPandas parse
-pass, shard-key shuffle only.
+pass, shard-key shuffle only.  The scan fans out across every core
+before the first Python crossing (``sources.fanout``): the
+~5 ms/message stdlib walk over a consolidated single-file drop
+otherwise runs at effective parallelism 1 (measured 19-30 s at sf0.1;
+fanned out, 4-6 s).
 """
 
 from __future__ import annotations
@@ -37,9 +43,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
+
 
 class MimeFormatError(ValueError):
     """Typed error for unextractable messages / ambiguous synth input."""
+
+
+def _mime_safe(src: DataFrame) -> DataFrame:
+    """Drop texts the MIME framing cannot round-trip (final-LF
+    ambiguity, lone-CR normalization).  The oracle SQL mirrors this
+    predicate (``mime_stats_sql``) so a corpus that grows such a
+    document degrades by exclusion on BOTH sides, not a job failure."""
+    return src.where(
+        ~F.col("text").endswith("\n") & ~F.col("text").contains("\r")
+    )
 
 
 def encode_mime(doc_id: int, text: str) -> bytes:
@@ -97,9 +115,11 @@ _CORPUS_SCHEMA = T.StructType(
 def synth_mime_corpus(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    src = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).where(F.col("text").isNotNull())
+    src = _mime_safe(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).where(F.col("text").isNotNull())
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,7 +134,7 @@ def synth_mime_corpus(
                 }
             )
 
-    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+    return fanout(src).mapInPandas(gen, _CORPUS_SCHEMA)
 
 
 _STATS_SCHEMA = T.StructType(
@@ -128,12 +148,17 @@ _STATS_SCHEMA = T.StructType(
 )
 
 
-def mime_partials(corpus: DataFrame, *, n_shards: int = 4) -> DataFrame:
+def mime_partials(
+    corpus: DataFrame, *, n_shards: int = 4, fan: bool = False
+) -> DataFrame:
     """Parse every message, extract subject + plain body, fold per-shard
     counters.  ``subject_ids_sum`` re-parses the doc id out of the
     SUBJECT header (folded-header decode is load-bearing); body
     counters prove the CTE + charset decode picked the right part —
-    the HTML sibling would flip them."""
+    the HTML sibling would flip them.  ``fan=True`` re-spreads the
+    input first — for callers whose corpus arrives single-split (the
+    streaming twin's one-file micro-batches); the batch pipeline
+    inherits the synth fan-out and skips the extra shuffle."""
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,6 +189,8 @@ def mime_partials(corpus: DataFrame, *, n_shards: int = 4) -> DataFrame:
                     ]
                 )
 
+    if fan:
+        corpus = fanout(corpus)
     return corpus.mapInPandas(walk, _STATS_SCHEMA)
 
 
@@ -189,6 +216,10 @@ def mime_text_stats(docs: DataFrame) -> DataFrame:
 
 
 def mime_stats_sql(*, n_shards: int = 4) -> str:
+    """DuckDB twin.  The WHERE mirrors ``_mime_safe``: texts the MIME
+    framing cannot round-trip (final LF, any CR) are excluded on both
+    sides — today's corpora contain none, so the predicate is
+    insurance, not selection."""
     return f"""
 SELECT CAST(doc_id % {int(n_shards)} AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_msgs,
@@ -198,6 +229,8 @@ SELECT CAST(doc_id % {int(n_shards)} AS BIGINT) AS shard,
        CAST(SUM(doc_id) AS BIGINT) AS subject_ids_sum
 FROM documents
 WHERE text IS NOT NULL
+  AND NOT ends_with(text, chr(10))
+  AND strpos(text, chr(13)) = 0
 GROUP BY 1
 ORDER BY 1
 """
@@ -266,18 +299,39 @@ def synth_mbox_corpus(
     docs: DataFrame,
     *,
     n_shards: int = 4,
+    n_subshards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-shard mboxrd archive of full MIME messages (one per
-    document, in doc_id order), worker-side."""
+    """mboxrd archives of full MIME messages (one per document, in
+    doc_id order), worker-side.  Each logical shard is built as
+    ``n_subshards`` independent sub-archives (multiple rows sharing a
+    ``shard`` key) so the expensive per-message MIME encode runs at
+    shard×sub parallelism instead of ``n_shards`` tasks — the stats
+    fold per shard, so sub-archive boundaries are invisible to the
+    result.  The group exchange is pinned with an EXPLICIT-count
+    repartition on the group keys: AQE's partition coalescing sees a
+    ~10 MB shuffle and would otherwise fuse the build to ONE task
+    (measured: the 2.1 ms/msg encode ran serially, 11 s at sf0.1;
+    pinned, <2 s) — a user-numbered repartition it never coalesces."""
+    if n_subshards is None:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        n_subshards = max(1, int(par))
     src = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        _mime_safe(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ).where(F.col("text").isNotNull())
         )
-        .where(F.col("text").isNotNull())
         .withColumn(
             "shard", (F.col("doc_id") % F.lit(int(n_shards))).cast("long")
+        )
+        .withColumn(
+            "subshard",
+            F.expr(
+                f"CAST((doc_id DIV {int(n_shards)}) "
+                f"% {int(n_subshards)} AS BIGINT)"
+            ),
         )
     )
 
@@ -297,13 +351,23 @@ def synth_mbox_corpus(
             }
         )
 
-    return src.groupBy("shard").applyInPandas(build, _MBOX_CORPUS_SCHEMA)
+    n_groups = int(n_shards) * int(n_subshards)
+    return (
+        src.repartition(n_groups, "shard", "subshard")
+        .groupBy("shard", "subshard")
+        .applyInPandas(build, _MBOX_CORPUS_SCHEMA)
+    )
 
 
-def mbox_partials(corpus: DataFrame, *, n_shards: int = 4) -> DataFrame:
+def mbox_partials(
+    corpus: DataFrame, *, n_shards: int = 4, fan: bool = False
+) -> DataFrame:
     """Split every archive back into messages (mboxrd unquoting), run
     the FULL MIME extraction on each, fold the mime_partials counters —
-    the splitter and the message parser are both load-bearing."""
+    the splitter and the message parser are both load-bearing.
+    ``fan=True`` re-spreads single-split input (the streaming twin's
+    one-file micro-batches) so each sub-archive parses in its own
+    task."""
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -335,11 +399,18 @@ def mbox_partials(corpus: DataFrame, *, n_shards: int = 4) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
+    if fan:
+        corpus = fanout(corpus)
     return corpus.mapInPandas(walk, _STATS_SCHEMA)
 
 
 def mbox_text_stats(docs: DataFrame) -> DataFrame:
-    """REAL mbox ingest, oracle-checked: per-shard mboxrd archives of
-    full MIME messages, split + parsed back, aggregated.  Shares the
-    single-message entry's closed-form oracle."""
-    return mime_from_partials(mbox_partials(synth_mbox_corpus(docs)))
+    """REAL mbox ingest, oracle-checked: per-shard mboxrd archives
+    (built as sub-archives so the encode spreads across cores), split +
+    parsed back, aggregated.  ``fan=True`` round-robins the sub-archive
+    rows so each blob's MIME walk runs in its own task — the group-key
+    hash otherwise bounds the parse at n-distinct-keys parallelism.
+    Shares the single-message entry's closed-form oracle."""
+    return mime_from_partials(
+        mbox_partials(synth_mbox_corpus(docs), fan=True)
+    )

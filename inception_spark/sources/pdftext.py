@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
+
 
 class PdfFormatError(ValueError):
     """Typed error for corrupt/unsupported PDF bytes."""
@@ -118,47 +120,70 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """→ {obj_num: (dict/body bytes, stream bytes or None)}.  Linear
     object scan rather than xref-driven lookup: tolerant of the
     incremental-update files real crawls contain (later definitions win,
-    matching the spec's 'last xref section takes precedence')."""
+    matching the spec's 'last xref section takes precedence').
+
+    The scan is CURSOR-DRIVEN: after each object it resumes past that
+    object's full extent — using ``/Length`` to jump over the stream
+    body — so PDF structural tokens INSIDE an uncompressed content
+    stream ('12 0 obj', 'endobj', 'endstream') are data, never
+    structure.  A finditer over raw bytes would misparse exactly those
+    documents (ADVICE r12: text containing 'see 12 0 obj here' failed
+    the plain-stream round trip)."""
     objs: dict[int, tuple[bytes, bytes | None]] = {}
-    for m in _OBJ_RE.finditer(blob):
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(blob, pos)
+        if m is None:
+            break
         num = int(m.group(1))
-        end = blob.find(b"endobj", m.end())
-        if end < 0:
+        s_at = blob.find(b"stream", m.end())
+        e_at = blob.find(b"endobj", m.end())
+        if e_at < 0:
             raise PdfFormatError(f"object {num} missing endobj")
-        body = blob[m.end() : end]
         stream = None
-        s = body.find(b"stream")
-        if s >= 0:
-            head = body[:s]
-            rest = body[s + len(b"stream") :]
-            if rest[:2] == b"\r\n":
-                rest = rest[2:]
-            elif rest[:1] == b"\n":
-                rest = rest[1:]
+        if 0 <= s_at < e_at:
+            head = blob[m.end() : s_at]
+            data_at = s_at + len(b"stream")
+            if blob[data_at : data_at + 2] == b"\r\n":
+                data_at += 2
+            elif blob[data_at : data_at + 1] == b"\n":
+                data_at += 1
             # /Length gives the EXACT byte count — never trim by
-            # scanning backward from 'endstream', because compressed
-            # payloads legitimately END in 0x0A/0x0D bytes
+            # scanning for 'endstream', because payloads (compressed OR
+            # plain text) legitimately contain/end in those bytes
             lm = re.search(rb"/Length\s+(\d+)", head)
             if lm:
-                stream = rest[: int(lm.group(1))]
-                if len(stream) < int(lm.group(1)):
+                want = int(lm.group(1))
+                stream = blob[data_at : data_at + want]
+                if len(stream) < want:
                     raise PdfFormatError(
                         f"object {num} stream shorter than /Length"
                     )
+                after = data_at + want
             else:
-                e = rest.rfind(b"endstream")
-                if e < 0:
+                # no /Length: first endstream wins — ambiguous when the
+                # data itself contains the token, which only /Length can
+                # disambiguate (scope honesty: typed error, not garbage)
+                e = blob.find(b"endstream", data_at)
+                if e < 0 or e > blob.find(b"endobj", data_at):
                     raise PdfFormatError(
                         f"object {num} stream not terminated"
                     )
+                stream = blob[data_at:e]
                 # spec mandates an EOL before endstream; strip ONE
-                stream = rest[:e]
                 if stream[-2:] == b"\r\n":
                     stream = stream[:-2]
                 elif stream[-1:] in (b"\n", b"\r"):
                     stream = stream[:-1]
+                after = e
+            e_at = blob.find(b"endobj", after)
+            if e_at < 0:
+                raise PdfFormatError(f"object {num} missing endobj")
             body = head
+        else:
+            body = blob[m.end() : e_at]
         objs[num] = (body, stream)
+        pos = e_at + len(b"endobj")
     if not objs:
         raise PdfFormatError("no objects found (not a PDF body)")
     return objs
@@ -304,7 +329,12 @@ def pdf_to_text(blob: bytes) -> str:
     the 1-page synthesis layout this is exactly the document text."""
     if not blob.startswith(b"%PDF-"):
         raise PdfFormatError("bad magic (not a PDF)")
-    if b"/Encrypt" in blob[-2048:]:
+    # the /Encrypt sniff is confined to the trailer DICTIONARY — a raw
+    # substring probe over the file tail would false-positive on
+    # document text containing '/Encrypt' inside an uncompressed
+    # content stream (ADVICE r12)
+    t = blob.rfind(b"trailer")
+    if t >= 0 and b"/Encrypt" in blob[t:]:
         raise PdfFormatError("encrypted PDFs unsupported")
     objs = _parse_objects(blob)
     pieces = []
@@ -353,7 +383,7 @@ def synth_pdf_corpus(
                 {"doc_id": ids.to_numpy(), "payload": payloads}
             )
 
-    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+    return fanout(src).mapInPandas(gen, _CORPUS_SCHEMA)
 
 
 _STATS_SCHEMA = T.StructType(

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
+
 
 class RtfFormatError(ValueError):
     """Typed error for corrupt/non-RTF bytes."""
@@ -234,7 +236,7 @@ def synth_rtf_corpus(
                 }
             )
 
-    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+    return fanout(src).mapInPandas(gen, _CORPUS_SCHEMA)
 
 
 _STATS_SCHEMA = T.StructType(

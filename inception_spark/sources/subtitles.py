@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
+
 
 class SubtitleFormatError(ValueError):
     """Typed error for malformed cue blocks/timestamps."""
@@ -97,11 +99,14 @@ def parse_cues(blob: bytes) -> list[tuple[int, int, str]]:
     if i < n and lines[i].startswith("WEBVTT"):
         i += 1
     while i < n:
-        if not lines[i].strip():
+        if not lines[i]:
             i += 1
             continue
         block: list[str] = []
-        while i < n and lines[i].strip():
+        # terminate ONLY on truly empty lines, matching the writer: a
+        # whitespace-only line is cue TEXT (ADVICE r12 — '.strip()'
+        # termination silently dropped it and broke the round trip)
+        while i < n and lines[i]:
             block.append(lines[i])
             i += 1
         head = block[0].strip()
@@ -164,7 +169,7 @@ def synth_subtitle_corpus(
                 }
             )
 
-    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+    return fanout(src).mapInPandas(gen, _CORPUS_SCHEMA)
 
 
 _STATS_SCHEMA = T.StructType(

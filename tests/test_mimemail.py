@@ -119,3 +119,62 @@ def test_mbox_text_stats_matches_text(spark):
             r["body_bytes"],
             r["subject_ids_sum"],
         )
+
+
+def test_unroundtrippable_texts_filtered_not_fatal(spark):
+    """ADVICE r12: a corpus document the MIME framing cannot round-trip
+    (final LF / lone CR) is EXCLUDED at synthesis — mirrored in the
+    oracle predicate — instead of failing the whole job."""
+    docs = spark.createDataFrame(
+        [
+            (0, "fine"),
+            (1, "ends with lf\n"),
+            (2, "has \r carriage"),
+            (3, "also fine"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["shard"]: r for r in M.mime_text_stats(docs).collect()}
+    assert set(rows) == {0, 3}
+    assert rows[0]["n_msgs"] == 1 and rows[3]["n_msgs"] == 1
+    # mbox path shares the filter
+    mrows = {r["shard"]: r for r in M.mbox_text_stats(docs).collect()}
+    assert set(mrows) == {0, 3}
+    # and the oracle predicate mirrors it
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["fine", "ends with lf\n", "has \r x", "also fine"],
+            }
+        ),
+    )
+    got = con.execute(M.mime_stats_sql()).fetchall()
+    assert [r[0] for r in got] == [0, 3]
+
+
+def test_mbox_subsharding_invisible_to_stats(spark):
+    """Sub-archive boundaries must not change the per-shard fold."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i} e") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        tuple(r)
+        for r in M.mime_from_partials(
+            M.mbox_partials(M.synth_mbox_corpus(docs, n_subshards=1))
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in M.mime_from_partials(
+            M.mbox_partials(M.synth_mbox_corpus(docs, n_subshards=5), fan=True)
+        ).collect()
+    )
+    assert a == b
+    # and the corpus really is sub-sharded: >4 archive rows
+    assert M.synth_mbox_corpus(docs, n_subshards=5).count() > 4

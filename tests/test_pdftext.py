@@ -119,3 +119,34 @@ def test_pdf_text_stats_matches_text(spark):
             r["n_e"],
             r["n_lines"],
         )
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_structural_tokens_in_text_roundtrip(compress):
+    """ADVICE r12: PDF structural tokens inside an UNCOMPRESSED content
+    stream are data, not structure — the cursor-driven object scan jumps
+    past stream bodies via /Length instead of regex-matching into them."""
+    cases = [
+        "see 12 0 obj here",
+        "an endobj mid-line",
+        "endstream then more",
+        "trailer << /Encrypt 9 0 R >>",
+        "1 0 obj\nstream\nnested\nendstream\nendobj",
+    ]
+    for text in cases:
+        assert P.pdf_to_text(P.encode_pdf(text, compress=compress)) == text
+
+
+def test_encrypt_sniff_confined_to_trailer():
+    """'/Encrypt' in document TEXT must not trip the encryption check;
+    '/Encrypt' in the trailer dictionary must."""
+    assert (
+        P.pdf_to_text(P.encode_pdf("uses /Encrypt literally", compress=False))
+        == "uses /Encrypt literally"
+    )
+    blob = P.encode_pdf("x")
+    enc = blob.replace(
+        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
+    )
+    with pytest.raises(P.PdfFormatError, match="encrypted"):
+        P.pdf_to_text(enc)

@@ -141,3 +141,18 @@ def test_stale_scratch_reaped_on_session_start(tmp_path, monkeypatch):
     assert not dead.exists()
     assert live.exists()
     assert young.exists()
+
+
+def test_overflow_pid_treated_as_dead(tmp_path, monkeypatch):
+    """ADVICE r12: a corrupt .pid with an out-of-range integer makes
+    os.kill raise OverflowError (not OSError) — treat as dead instead
+    of aborting every subsequent session start."""
+    import __spark_entry__ as E
+
+    assert E._pid_alive(10**30) is False
+    monkeypatch.setattr(E, "tempfile_gettempdir", lambda: str(tmp_path))
+    corrupt = tmp_path / "inception-scratch-corrupt"
+    corrupt.mkdir()
+    (corrupt / ".pid").write_text(str(10**30))
+    E._reap_stale_scratch()
+    assert not corrupt.exists()

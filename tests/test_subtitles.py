@@ -100,3 +100,20 @@ def test_subtitle_stats_matches_text(spark):
                 r["n_e"],
                 r["speech_ms"],
             ), vtt
+
+
+def test_whitespace_only_cue_lines_preserved():
+    """ADVICE r12: cue blocks terminate ONLY on truly empty lines — a
+    whitespace-only line is cue text and must round-trip byte-exact."""
+    cases = [
+        "   \nwhitespace-only first line",
+        "a\n \nb",
+        "\t",
+        "end\n  ",
+    ]
+    for t in cases:
+        for vtt in (False, True):
+            assert S.subtitles_to_text(S.encode_srt(t, vtt=vtt)) == t, (
+                repr(t),
+                vtt,
+            )
