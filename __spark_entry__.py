@@ -3116,6 +3116,157 @@ def _q_streaming_srt_text(spark, sf_dir):
     return subtitle_from_partials(parts)
 
 
+# -- r13: dlog commit-log tables (sources/dlog.py) — snapshot
+# isolation, time travel, fence-pruned scans, change feeds, and
+# per-version history over a from-scratch Delta-protocol-style log.
+# One deterministic 4-version orders table (memoized per sf_dir)
+# anchors every oracle as a closed form over the ORIGINAL orders rows.
+
+
+def _q_dlog_snapshot_stats(spark, sf_dir):
+    """Latest-snapshot read of the 4-version commit-log table: replay
+    the KB-sized log driver-side, scan only the live parquet groups.
+    The rollup hashes against the closed-form final state (delete +
+    copy-on-write update applied), so a replay bug, a lost rewrite
+    row, or a double-counted group all mismatch."""
+    from inception_spark.sources.dlog import dlog_snapshot_stats
+
+    return dlog_snapshot_stats(spark, sf_dir)
+
+
+def _q_dlog_time_travel(spark, sf_dir):
+    """AS OF version 1 (after append, before delete/update): time
+    travel must reproduce every original row unmodified — snapshot
+    isolation stated as a query (oracle: plain orders rollup)."""
+    from inception_spark.sources.dlog import dlog_time_travel
+
+    return dlog_time_travel(spark, sf_dir)
+
+
+def _q_dlog_pruned_revenue(spark, sf_dir):
+    """Fence-pruned range read: the log's per-group min/max stats
+    prune 5 of 8 live groups BEFORE the scan is planned (asserted over
+    the scan's input paths in tests); hash equality with the predicate
+    oracle proves pruning lost nothing."""
+    from inception_spark.sources.dlog import dlog_pruned_revenue
+
+    return dlog_pruned_revenue(spark, sf_dir)
+
+
+def _q_dlog_skipping_plan(spark, sf_dir):
+    """The pruning decision AS DATA: one row per live group with its
+    logged fences + scan verdict; the oracle recomputes every fence
+    from the raw rows via the closed-form group assignment, so a
+    drifted stat is a hash mismatch, not a silent mis-scan."""
+    from inception_spark.sources.dlog import dlog_skipping_plan_stats
+
+    return dlog_skipping_plan_stats(spark, sf_dir)
+
+
+def _q_dlog_cdf(spark, sf_dir):
+    """Change data feed (v1, v3]: per-version diff of REWRITTEN groups
+    only (anti-join for deletes, pre/post inner join for updates) —
+    cost proportional to the change, never the table."""
+    from inception_spark.sources.dlog import dlog_cdf_stats
+
+    return dlog_cdf_stats(spark, sf_dir)
+
+
+def _q_dlog_history(spark, sf_dir):
+    """Per-version maintenance accounting replayed from the log alone
+    — no data files touched."""
+    from inception_spark.sources.dlog import dlog_history_stats
+
+    return dlog_history_stats(spark, sf_dir)
+
+
+def _q_streaming_dlog_tail(spark, sf_dir):
+    """The log TAILED as a stream: add/remove actions arrive in
+    micro-batches, per-version counters maintained as exactly
+    mergeable partials; the merged tail equals batch history replay
+    (shared closed-form oracle, minus the op column)."""
+    from inception_spark.sources.dlog import (
+        build_orders_dlog,
+        dlog_actions_df,
+        dlog_tail_from_partials,
+        dlog_tail_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    table = build_orders_dlog(spark, sf_dir)
+    staged = dlog_actions_df(spark, table)
+    parts = run_stream_batch_partials(spark, staged, dlog_tail_partials)
+    return dlog_tail_from_partials(parts)
+
+
+# -- r13: conversation / SFT operators (operators/conversations.py) —
+# chat data as a first-class modality: turn fan-out, chat-template
+# rendering with exact framing accounting, loss-mask budgeting,
+# turn-level dedup.  Both engines rebuild the turns independently from
+# documents.text (posexplode slice windows vs generate_series lateral),
+# so the oracles are full-strength relational twins.
+
+
+def _q_conv_turn_stats(spark, sf_dir):
+    """Per-conversation turn/role/volume accounting over the
+    deterministic doc→conversation fan-out — pure Catalyst
+    (split/sequence/transform/posexplode), whole-stage codegen, no
+    Python in the path."""
+    from inception_spark.operators.conversations import conv_turn_stats
+
+    return conv_turn_stats(_docs(spark, sf_dir))
+
+
+def _q_chat_template_render(spark, sf_dir):
+    """Chat-template rendering with EXACT framing accounting: the
+    rendered length must equal the closed-form header arithmetic the
+    oracle restates — an off-by-one in any separator breaks the
+    hash."""
+    from inception_spark.operators.conversations import (
+        chat_template_render,
+    )
+
+    return chat_template_render(_docs(spark, sf_dir))
+
+
+def _q_sft_mask_stats(spark, sf_dir):
+    """Corpus loss-mask budget (trainable assistant words vs masked
+    user words) in ONE map-side-combined aggregate."""
+    from inception_spark.operators.conversations import sft_mask_stats
+
+    return sft_mask_stats(_docs(spark, sf_dir))
+
+
+def _q_conv_turn_dedup(spark, sf_dir):
+    """Turn-level exact dedup across conversations (md5 hash-groupBy,
+    the exact-dedup shape at turn granularity): finds the engineered
+    canned greeting AND every naturally repeated word window — the
+    oracle, rebuilding all turns relationally, must find the same
+    groups."""
+    from inception_spark.operators.conversations import conv_turn_dedup
+
+    return conv_turn_dedup(_docs(spark, sf_dir))
+
+
+def _q_streaming_conv_mask(spark, sf_dir):
+    """The loss-mask budget maintained LIVE: per-conversation partial
+    counters fold per micro-batch and re-merge exactly (each doc is
+    one conversation in one batch)."""
+    from inception_spark.operators.conversations import (
+        sft_mask_from_partials,
+        sft_mask_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = run_stream_batch_partials(spark, docs, sft_mask_partials)
+    return sft_mask_from_partials(parts)
+
+
 def _q_rtf_text_stats(spark, sf_dir):
     """RTF text extraction — spec-transcribed single-pass state
     machine (sources/rtftext.py): control-word grammar with consumed
@@ -6656,18 +6807,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 12 (see ``_WINDOW_R12`` below,
-    VERDICT r11 ask 1): slots 1-26 are the remaining 26 r5-green entries
-    (``_COHORT_R5_GREEN[11:]``); slots 27-50 are the first 24 of the 30
-    new-in-r11 zero-signal entries (``_COHORT_NEW_R11[:24]``).  Just past
-    the boundary sits the round-13 head: the 6 remaining new-in-r11
-    entries, then any entries added THIS round (``_COHORT_NEW_R12``).
-    Cohort arithmetic (26 + 24 = 50, remainder 6) is asserted by
+    with the least driver signal.  Round 13 (see ``_WINDOW_R13`` below,
+    VERDICT r12 ask 3): slots 1-41 are the staged r13 head — the 6
+    remaining new-in-r11 entries plus all 35 new-in-r12 entries, zero
+    driver signal; slots 42-50 are the first 9 of ``_COHORT_NEW_R10``,
+    the oldest-signal cohort left (last green r11).  Just past the
+    boundary sits the round-14 head: the 30 remaining r10 entries, then
+    any entries added THIS round (``_COHORT_NEW_R13``).  Cohort
+    arithmetic (41 + 9 = 50, remainder 30) is asserted by
     ``tests/test_rotation_staging.py`` so a drifted comment fails
     loudly.  The in-repo mini-driver (tests/test_entry.py) still
     verifies every oracle pair at sf0.001 regardless of position.  The
     dict literal below keeps its stable grouped-by-family order;
-    ``_WINDOW_R12 + _STAGED_R13`` does the rotation at return time so
+    ``_WINDOW_R13 + _STAGED_R14`` does the rotation at return time so
     slot moves are one-line edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
@@ -7078,6 +7230,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_arrow_ipc": _q_streaming_arrow_ipc,
         # r12: one-scan cross-validation of the document extractors
         "doc_format_matrix": _q_doc_format_matrix,
+        # r13: dlog commit-log tables (snapshot isolation, time
+        # travel, fence pruning, CDF, history) + the streamed log tail
+        "dlog_snapshot_stats": _q_dlog_snapshot_stats,
+        "dlog_time_travel": _q_dlog_time_travel,
+        "dlog_pruned_revenue": _q_dlog_pruned_revenue,
+        "dlog_skipping_plan": _q_dlog_skipping_plan,
+        "dlog_cdf": _q_dlog_cdf,
+        "dlog_history": _q_dlog_history,
+        "streaming_dlog_tail": _q_streaming_dlog_tail,
+        # r13: conversation / SFT modality (turn fan-out, template
+        # accounting, loss-mask budget, turn dedup) + live mask twin
+        "conv_turn_stats": _q_conv_turn_stats,
+        "chat_template_render": _q_chat_template_render,
+        "sft_mask_stats": _q_sft_mask_stats,
+        "conv_turn_dedup": _q_conv_turn_dedup,
+        "streaming_conv_mask": _q_streaming_conv_mask,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
         "streaming_zstd_shard": _q_streaming_zstd_shard,
@@ -7340,7 +7508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    order = _WINDOW_R12 + _STAGED_R13
+    order = _WINDOW_R13 + _STAGED_R14
     missing = [k for k in order if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
     head = {k: reg[k] for k in order}
@@ -7348,20 +7516,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | tail
 
 
-# Round-12 driver-window rotation (the driver's correctness window runs
+# Round-13 driver-window rotation (the driver's correctness window runs
 # the FIRST 50 dict entries returned by ``queries()``).  Cohorts are
 # named module constants so ``tests/test_rotation_staging.py`` can
 # assert the arithmetic (VERDICT r10 ask 8) — a drifted comment now
 # fails loudly instead of mis-driving a rotation.
 #
-#   slots 1-26  the remaining 26 of _COHORT_R5_GREEN — last driver
-#               green round 5; first 11 were harvested in the r11
-#               window (CORRECTNESS_r11.json, all green).
-#   slots 27-50 the first
-#               24 of _COHORT_NEW_R11 (the 30 entries added in round
-#               11, zero driver signal).  26 + 24 = 50 fills the r12
-#               window exactly; the 6 remaining new-in-r11 entries
-#               stage as the r13 head, followed by _COHORT_NEW_R12
+#   slots 1-41  the staged r13 head (_STAGED_R13): the
+#               6 remaining of _COHORT_NEW_R11 plus all
+#               35 of _COHORT_NEW_R12 — zero driver signal until
+#               this round's window runs.
+#   slots 42-50 the first
+#               9 of _COHORT_NEW_R10 as fillers — the oldest driver
+#               signal left (last green round 11).  41 + 9 = 50 fills
+#               the r13 window exactly; the 30 remaining r10 entries
+#               stage as the r14 head, followed by _COHORT_NEW_R13
 #               (entries added this round).
 _COHORT_NEW_R10 = [
     "packing_efficiency",
@@ -7521,8 +7690,28 @@ _COHORT_NEW_R12: list[str] = [
 ]
 
 _WINDOW_R11 = _COHORT_NEW_R10 + _COHORT_R5_GREEN[:11]  # historical (r11)
-_WINDOW_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11[:24]
+_WINDOW_R12 = _COHORT_R5_GREEN[11:] + _COHORT_NEW_R11[:24]  # historical
 _STAGED_R13 = _COHORT_NEW_R11[24:] + _COHORT_NEW_R12
+
+#: entries added in round 13 (appended literally as they are built;
+#: must stay ABOVE the _STAGED_R14 concatenation below)
+_COHORT_NEW_R13: list[str] = [
+    "dlog_snapshot_stats",
+    "dlog_time_travel",
+    "dlog_pruned_revenue",
+    "dlog_skipping_plan",
+    "dlog_cdf",
+    "dlog_history",
+    "streaming_dlog_tail",
+    "conv_turn_stats",
+    "chat_template_render",
+    "sft_mask_stats",
+    "conv_turn_dedup",
+    "streaming_conv_mask",
+]
+
+_WINDOW_R13 = _STAGED_R13 + _COHORT_NEW_R10[:9]
+_STAGED_R14 = _COHORT_NEW_R10[9:] + _COHORT_NEW_R13
 
 
 
@@ -7553,6 +7742,8 @@ _SRT_ORACLE = _srt_sql()
 _MIME_ORACLE = _mime_sql()
 _ARROW_ORACLE = _arrow_sql()
 
+from inception_spark.operators import conversations as _CONV
+from inception_spark.sources import dlog as _DLOG
 from inception_spark.sources.docxtext import doc_format_matrix_sql as _dfm_sql
 
 _DOC_MATRIX_ORACLE = _dfm_sql()
@@ -8398,6 +8589,22 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "arrow_ipc_stats": _ARROW_ORACLE,
         "streaming_arrow_ipc": _ARROW_ORACLE,
         "doc_format_matrix": _DOC_MATRIX_ORACLE,
+        # r13: dlog commit-log tables — every read surface closed-form
+        # over the ORIGINAL orders rows (sources/dlog.py oracles)
+        "dlog_snapshot_stats": _DLOG.SNAPSHOT_SQL,
+        "dlog_time_travel": _DLOG.TIME_TRAVEL_SQL,
+        "dlog_pruned_revenue": _DLOG.PRUNED_SQL,
+        "dlog_skipping_plan": _DLOG.SKIPPING_PLAN_SQL,
+        "dlog_cdf": _DLOG.CDF_SQL,
+        "dlog_history": _DLOG.HISTORY_SQL,
+        "streaming_dlog_tail": _DLOG.TAIL_SQL,
+        # r13: conversation / SFT modality — full-strength relational
+        # twins (the oracle rebuilds every turn from documents.text)
+        "conv_turn_stats": _CONV.CONV_TURN_STATS_SQL,
+        "chat_template_render": _CONV.CHAT_TEMPLATE_SQL,
+        "sft_mask_stats": _CONV.SFT_MASK_SQL,
+        "conv_turn_dedup": _CONV.CONV_DEDUP_SQL,
+        "streaming_conv_mask": _CONV.SFT_MASK_SQL,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,
         "streaming_zstd_shard": _ZSTD_SHARD_ORACLE,

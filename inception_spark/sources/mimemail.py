@@ -33,6 +33,8 @@ fanned out, 4-6 s).
 
 from __future__ import annotations
 
+import re
+
 from email import message_from_bytes, policy
 from email.message import EmailMessage
 from typing import Iterator
@@ -85,23 +87,90 @@ def encode_mime(doc_id: int, text: str) -> bytes:
     return m.as_bytes()
 
 
+def _decode_text_part(part) -> str:
+    """CTE + charset decode of a compat32 text part (strict errors →
+    typed)."""
+    payload = part.get_payload(decode=True)
+    if payload is None:
+        raise MimeFormatError("undecodable body: no decodable payload")
+    charset = part.get_content_charset() or "us-ascii"
+    try:
+        return payload.decode(charset)
+    except (LookupError, UnicodeDecodeError) as exc:
+        raise MimeFormatError(f"undecodable body: {exc}") from exc
+
+
+def _unfold_subject(raw) -> str:
+    """RFC 5322 header unfold (drop the line break before folding WSP)
+    + RFC 2047 encoded-word decode when present — what policy.default
+    does eagerly for EVERY header, done lazily for the one we read."""
+    s = str(raw).replace("\r\n", "\n").replace("\r", "\n")
+    s = re.sub(r"\n(?=[ \t])", "", s)
+    if "=?" in s:
+        from email.header import decode_header, make_header
+
+        try:
+            s = str(make_header(decode_header(s)))
+        except (LookupError, UnicodeDecodeError, ValueError) as exc:
+            raise MimeFormatError(f"undecodable subject: {exc}") from exc
+    return s
+
+
+def _is_attachment(part) -> bool:
+    cd = part.get("content-disposition", "")
+    return str(cd).strip().lower().startswith("attachment")
+
+
 def mime_to_text(blob: bytes) -> tuple[str, str]:
     """→ (subject, body text): parse, walk the multipart tree for the
     text/plain leaf, decode CTE + charset, strip the ONE terminating
-    LF.  A message with no text/plain leaf raises."""
-    msg = message_from_bytes(blob, policy=policy.default)
+    LF.  A message with no text/plain leaf raises.
+
+    Perf shape (measured, SCALING.md "stdlib-email floor"): parsing
+    with ``policy.default`` costs ~2.3 ms/msg — almost all of it eager
+    structured-header parsing, not body handling.  The compat32 parser
+    is ~0.2 ms/msg for the same split, so the common shapes
+    (single-part text/plain; FLAT multipart/alternative) take a
+    compat32 fast path that mirrors ``get_body(("plain",))`` exactly
+    (first non-attachment text/plain alternative wins — verified
+    against the strict walk in tests), and anything nested or exotic
+    falls back to the strict ``policy.default`` walk below."""
+    msg = message_from_bytes(blob)  # compat32: no eager header objects
     if msg.defects:
         raise MimeFormatError(f"message defects: {msg.defects!r}")
-    part = msg.get_body(preferencelist=("plain",))
-    if part is None:
-        raise MimeFormatError("no text/plain part in message")
-    try:
-        body = part.get_content()
-    except (KeyError, LookupError, UnicodeDecodeError) as exc:
-        raise MimeFormatError(f"undecodable body: {exc}") from exc
+    ctype = msg.get_content_type()
+    body = None
+    if ctype == "text/plain" and not msg.is_multipart():
+        if not _is_attachment(msg):
+            body = _decode_text_part(msg)
+    elif ctype == "multipart/alternative" and msg.is_multipart():
+        parts = msg.get_payload()
+        if all(not p.is_multipart() for p in parts):
+            for p in parts:
+                if p.get_content_type() == "text/plain" and not (
+                    _is_attachment(p)
+                ):
+                    body = _decode_text_part(p)
+                    break
+            else:
+                raise MimeFormatError("no text/plain part in message")
+    if body is None:
+        # strict path: nested/mixed/exotic structure — policy.default's
+        # full preference walk (attachment skipping, related/mixed
+        # recursion) is authoritative here
+        smsg = message_from_bytes(blob, policy=policy.default)
+        if smsg.defects:
+            raise MimeFormatError(f"message defects: {smsg.defects!r}")
+        part = smsg.get_body(preferencelist=("plain",))
+        if part is None:
+            raise MimeFormatError("no text/plain part in message")
+        try:
+            body = part.get_content()
+        except (KeyError, LookupError, UnicodeDecodeError) as exc:
+            raise MimeFormatError(f"undecodable body: {exc}") from exc
     if not body.endswith("\n"):
         raise MimeFormatError("MIME text body missing final newline")
-    return str(msg["Subject"] or ""), body[:-1]
+    return _unfold_subject(msg["Subject"] or ""), body[:-1]
 
 
 _CORPUS_SCHEMA = T.StructType(

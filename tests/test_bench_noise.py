@@ -122,3 +122,36 @@ def test_never_quiet_vm_leaves_suspects_unadjudicated():
 def test_canary_pins_cover_canaries():
     assert set(bench.CANARY_PINS) == set(bench.CANARIES)
     assert all(v > 0 for v in bench.CANARY_PINS.values())
+
+
+def test_subsecond_pin_gets_tighter_ratio_gate():
+    """VERDICT r12 ask 6: customer_order_stats read 2.39x its 0.791 s
+    pin and escaped the 2.5x gate.  Sub-second pins now gate at 2.0x
+    (the absolute floor still applies), multi-second pins keep 2.5x."""
+    # the exact r12 escape shape: 1.891 vs pin 0.791 -> now flagged
+    assert bench.find_suspects(
+        {"customer_order_stats": 1.891}, {"customer_order_stats": 0.791}
+    ) == ["customer_order_stats"]
+    # same 2.39x ratio on a multi-second pin: NOT flagged (2.5x gate)
+    assert bench.find_suspects({"big": 4.78}, {"big": 2.0}) == []
+    # sub-second pin under the floor still protected (2.25x but +0.45)
+    assert bench.find_suspects({"tiny2": 0.85}, {"tiny2": 0.4}) == []
+
+
+def test_newborn_pins_would_cover_headline():
+    """VERDICT r12 ask 5 invariant: after any sweep, BENCH_PINS keys
+    must cover HEADLINE — verify the auto-append arithmetic: newborn
+    pins are the measured values normalized by the end-phase median
+    canary ratio, never scaled UP."""
+    pins = {"old_q": 1.0}
+    timings = {"old_q": 1.0, "new_q": 4.0}
+    newborn = [n for n in ["old_q", "new_q"] if n not in pins]
+    assert newborn == ["new_q"]
+    # warm capture (median ratio 2.0): pin normalized down
+    r = sorted({"a": 2.0, "b": 2.0, "c": 1.0}.values())
+    scale = max(1.0, r[len(r) // 2])
+    assert round(timings["new_q"] / scale, 3) == 2.0
+    # quiet capture (ratios < 1): never scale a pin UP
+    r = sorted({"a": 0.8, "b": 0.9, "c": 1.0}.values())
+    scale = max(1.0, r[len(r) // 2])
+    assert scale == 1.0

@@ -178,3 +178,63 @@ def test_mbox_subsharding_invisible_to_stats(spark):
     assert a == b
     # and the corpus really is sub-sharded: >4 archive rows
     assert M.synth_mbox_corpus(docs, n_subshards=5).count() > 4
+
+
+def test_fast_path_matches_strict_walk():
+    """The compat32 fast path must be observationally identical to the
+    policy.default get_body walk on every shape, including the ones
+    that force the fallback (nested multiparts, attachments)."""
+    from email import message_from_bytes, policy
+    from email.message import EmailMessage
+
+    def strict(blob):
+        msg = message_from_bytes(blob, policy=policy.default)
+        part = msg.get_body(preferencelist=("plain",))
+        if part is None:
+            return None
+        return str(msg["Subject"] or ""), part.get_content()
+
+    blobs = []
+    # plain single-part, both CTEs, folded + unicode subjects
+    for i in (0, 1):
+        m = EmailMessage()
+        m["Subject"] = "s" * 100  # folds
+        m.set_content("body é\n2nd", charset="utf-8",
+                      cte="quoted-printable" if i == 0 else "base64")
+        blobs.append(m.as_bytes())
+    m = EmailMessage()
+    m["Subject"] = "naïve — héllo"  # RFC 2047 encoded words
+    m.set_content("x")
+    blobs.append(m.as_bytes())
+    # flat multipart/alternative: first plain wins
+    m = EmailMessage()
+    m["Subject"] = "alt"
+    m.set_content("FIRST")
+    m.add_alternative("SECOND", subtype="plain")
+    m.add_alternative("<p>h</p>", subtype="html")
+    blobs.append(m.as_bytes())
+    # mixed with attachment: strict-path territory
+    m = EmailMessage()
+    m["Subject"] = "mixed"
+    m.set_content("real body")
+    m.add_attachment("ATTACHED", filename="a.txt")
+    blobs.append(m.as_bytes())
+    # nested: alternative inside mixed
+    m = EmailMessage()
+    m["Subject"] = "nested"
+    m.set_content("inner plain")
+    m.add_alternative("<p>h</p>", subtype="html")
+    m.make_mixed()
+    blobs.append(m.as_bytes())
+
+    for blob in blobs:
+        want = strict(blob)
+        subj, body = M.mime_to_text(blob)
+        assert (subj, body + "\n") == want, blob[:120]
+
+    # html-only: both paths raise the typed error
+    m = EmailMessage()
+    m["Subject"] = "h"
+    m.set_content("<p>x</p>", subtype="html")
+    with pytest.raises(M.MimeFormatError, match="text/plain"):
+        M.mime_to_text(m.as_bytes())

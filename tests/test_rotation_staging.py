@@ -1,4 +1,4 @@
-"""Rotation-window staging arithmetic (VERDICT r10 ask 8, rotated r12).
+"""Rotation-window staging arithmetic (VERDICT r10 ask 8, rotated r13).
 
 The driver's correctness window runs the first 50 entries of
 ``queries()``; the cohort lists in ``__spark_entry__`` are the
@@ -16,22 +16,27 @@ E = importlib.import_module("__spark_entry__")
 
 
 def test_window_is_exactly_fifty():
-    assert len(E._WINDOW_R12) == 50
+    assert len(E._WINDOW_R13) == 50
 
 
 def test_cohort_arithmetic():
-    # r12 window = the remaining 26 of the 37-entry r5-green cohort
-    # (first 11 harvested in the r11 window, CORRECTNESS_r11.json all
-    # green) + the first 24 of the 30 new-in-r11 zero-signal entries;
-    # the 6 remaining new-in-r11 entries stage as the r13 head,
-    # followed by anything added this round (_COHORT_NEW_R12).
+    # r13 window = the 41 staged entries (6 remaining new-in-r11 + all
+    # 35 new-in-r12, zero driver signal) + the first 9 of the 39-entry
+    # r10 cohort as fillers (oldest signal left: last green r11); the
+    # 30 remaining r10 entries stage as the r14 head, followed by
+    # anything added this round (_COHORT_NEW_R13).
     assert len(E._COHORT_NEW_R10) == 39
     assert len(E._COHORT_R5_GREEN) == 37
     assert len(E._COHORT_NEW_R11) == 30
-    assert E._WINDOW_R12 == E._COHORT_R5_GREEN[11:] + E._COHORT_NEW_R11[:24]
+    assert len(E._COHORT_NEW_R12) == 35
     assert E._STAGED_R13 == E._COHORT_NEW_R11[24:] + E._COHORT_NEW_R12
-    assert len(E._COHORT_R5_GREEN[11:]) == 26
-    assert len(E._COHORT_NEW_R11[24:]) == 6
+    assert len(E._STAGED_R13) == 41
+    assert E._WINDOW_R13 == E._STAGED_R13 + E._COHORT_NEW_R10[:9]
+    assert E._STAGED_R14 == E._COHORT_NEW_R10[9:] + E._COHORT_NEW_R13
+    assert len(E._COHORT_NEW_R10[9:]) == 30
+    # historical windows stay frozen (CORRECTNESS_r11/r12 recorded them)
+    assert E._WINDOW_R12 == E._COHORT_R5_GREEN[11:] + E._COHORT_NEW_R11[:24]
+    assert len(E._WINDOW_R12) == 50
 
 
 def test_staging_comment_matches_lists():
@@ -43,19 +48,21 @@ def test_staging_comment_matches_lists():
 
     src = open(E.__file__).read()
     m = re.search(
-        r"first\s*#\s+(\d+) of _COHORT_NEW_R11 \(the (\d+) entries added "
-        r"in round\s*#\s+11, zero driver signal\)\.\s+(\d+) \+ (\d+) = 50 "
-        r"fills the r12\s*#\s+window exactly; the (\d+) remaining",
+        r"(\d+) remaining of _COHORT_NEW_R11 plus all\s*#\s+(\d+) of "
+        r"_COHORT_NEW_R12.*?first\s*#\s+(\d+) of _COHORT_NEW_R10 as "
+        r"fillers.*?(\d+) \+ (\d+) = 50 fills\s*#\s+the r13 window "
+        r"exactly; the (\d+) remaining",
         src,
         re.S,
     )
     assert m, "staging comment not found or reworded — keep it parseable"
-    take, n_new, a, b, rest = map(int, m.groups())
-    assert n_new == len(E._COHORT_NEW_R11)
-    assert a == len(E._COHORT_R5_GREEN) - 11
-    assert b == take
+    rem11, n12, fill, a, b, rest = map(int, m.groups())
+    assert rem11 == len(E._COHORT_NEW_R11) - 24
+    assert n12 == len(E._COHORT_NEW_R12)
+    assert a == rem11 + n12 == len(E._STAGED_R13)
+    assert b == fill
     assert a + b == 50
-    assert rest == n_new - take
+    assert rest == len(E._COHORT_NEW_R10) - fill
 
 
 def test_no_duplicates_across_cohorts():
@@ -64,13 +71,14 @@ def test_no_duplicates_across_cohorts():
         + E._COHORT_R5_GREEN
         + E._COHORT_NEW_R11
         + E._COHORT_NEW_R12
+        + E._COHORT_NEW_R13
     )
     assert len(all_names) == len(set(all_names))
 
 
 def test_every_staged_name_is_a_registry_entry():
     reg = E.queries()
-    order = E._WINDOW_R12 + E._STAGED_R13
+    order = E._WINDOW_R13 + E._STAGED_R14
     missing = [k for k in order if k not in reg]
     assert not missing, f"staged names unknown to the registry: {missing}"
 
@@ -78,10 +86,10 @@ def test_every_staged_name_is_a_registry_entry():
 def test_registry_head_is_the_window():
     reg = E.queries()
     head = list(reg)[:50]
-    assert head == E._WINDOW_R12
-    # and the staged r13 cohort sits immediately past the boundary
-    nxt = list(reg)[50 : 50 + len(E._STAGED_R13)]
-    assert nxt == E._STAGED_R13
+    assert head == E._WINDOW_R13
+    # and the staged r14 cohort sits immediately past the boundary
+    nxt = list(reg)[50 : 50 + len(E._STAGED_R14)]
+    assert nxt == E._STAGED_R14
 
 
 def test_window_entries_have_oracles_or_documented_exemption():
@@ -89,5 +97,5 @@ def test_window_entries_have_oracles_or_documented_exemption():
     weaker rows-only check otherwise).  Streaming twins share their batch
     oracle; a missing oracle here is a staging mistake."""
     oracles = E.oracle_sql()
-    missing = [k for k in E._WINDOW_R12 if k not in oracles]
+    missing = [k for k in E._WINDOW_R13 if k not in oracles]
     assert not missing, f"windowed entries without oracle SQL: {missing}"
