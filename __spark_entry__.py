@@ -3180,6 +3180,17 @@ def _q_dlog_history(spark, sf_dir):
     return dlog_history_stats(spark, sf_dir)
 
 
+def _q_dlog_optimize(spark, sf_dir):
+    """OPTIMIZE as a commit: bin-pack the 8 maintenance-fragmented
+    groups into 4 tight key-range groups on a hard-linked twin table
+    (immutable data files make the copy free; the base table's history
+    stays pristine for the other oracles).  The oracle re-derives the
+    post-compaction layout from the raw rows."""
+    from inception_spark.sources.dlog import dlog_optimize_stats
+
+    return dlog_optimize_stats(spark, sf_dir)
+
+
 def _q_streaming_dlog_tail(spark, sf_dir):
     """The log TAILED as a stream: add/remove actions arrive in
     micro-batches, per-version counters maintained as exactly
@@ -3199,6 +3210,38 @@ def _q_streaming_dlog_tail(spark, sf_dir):
     staged = dlog_actions_df(spark, table)
     parts = run_stream_batch_partials(spark, staged, dlog_tail_partials)
     return dlog_tail_from_partials(parts)
+
+
+def _q_tfexample_stats(spark, sf_dir):
+    """tf.train.Example ingest — the nested-protobuf layer real
+    TFRecord training shards actually carry (Features map → oneof
+    Feature lists, packed int64/float32 runs, unknown-field skipping
+    at every depth, sources/protoexample.py).  Counters are closed
+    forms over documents.text: word byte-lengths re-sum to bytes minus
+    separators, and the float32 density re-scales to an exact
+    integer — so varint/packing/byte-order slips all hash-mismatch."""
+    from inception_spark.sources.protoexample import tfexample_stats
+
+    _ensure_workers_can_import(spark)
+    return tfexample_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_tfexample(spark, sf_dir):
+    """The Example ingest rollup maintained LIVE (pure sums); shares
+    the batch oracle."""
+    from inception_spark.sources.protoexample import (
+        synth_tfexample_corpus,
+        tfexample_from_partials,
+        tfexample_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_tfexample_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, tfexample_partials)
+    return tfexample_from_partials(parts)
 
 
 # -- r13: conversation / SFT operators (operators/conversations.py) —
@@ -7238,7 +7281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlog_skipping_plan": _q_dlog_skipping_plan,
         "dlog_cdf": _q_dlog_cdf,
         "dlog_history": _q_dlog_history,
+        "dlog_optimize": _q_dlog_optimize,
         "streaming_dlog_tail": _q_streaming_dlog_tail,
+        # r13: tf.train.Example (nested proto: Features map, oneof
+        # lists, packed runs) over the TFRecord framing + live twin
+        "tfexample_stats": _q_tfexample_stats,
+        "streaming_tfexample": _q_streaming_tfexample,
         # r13: conversation / SFT modality (turn fan-out, template
         # accounting, loss-mask budget, turn dedup) + live mask twin
         "conv_turn_stats": _q_conv_turn_stats,
@@ -7702,7 +7750,10 @@ _COHORT_NEW_R13: list[str] = [
     "dlog_skipping_plan",
     "dlog_cdf",
     "dlog_history",
+    "dlog_optimize",
     "streaming_dlog_tail",
+    "tfexample_stats",
+    "streaming_tfexample",
     "conv_turn_stats",
     "chat_template_render",
     "sft_mask_stats",
@@ -7744,6 +7795,11 @@ _ARROW_ORACLE = _arrow_sql()
 
 from inception_spark.operators import conversations as _CONV
 from inception_spark.sources import dlog as _DLOG
+from inception_spark.sources.protoexample import (
+    tfexample_stats_sql as _tfex_sql,
+)
+
+_TFEX_ORACLE = _tfex_sql()
 from inception_spark.sources.docxtext import doc_format_matrix_sql as _dfm_sql
 
 _DOC_MATRIX_ORACLE = _dfm_sql()
@@ -8597,7 +8653,11 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "dlog_skipping_plan": _DLOG.SKIPPING_PLAN_SQL,
         "dlog_cdf": _DLOG.CDF_SQL,
         "dlog_history": _DLOG.HISTORY_SQL,
+        "dlog_optimize": _DLOG.OPTIMIZE_SQL,
         "streaming_dlog_tail": _DLOG.TAIL_SQL,
+        # r13: tf.train.Example nested-proto ingest
+        "tfexample_stats": _TFEX_ORACLE,
+        "streaming_tfexample": _TFEX_ORACLE,
         # r13: conversation / SFT modality — full-strength relational
         # twins (the oracle rebuilds every turn from documents.text)
         "conv_turn_stats": _CONV.CONV_TURN_STATS_SQL,

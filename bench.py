@@ -373,6 +373,9 @@ HEADLINE = [
     # the family's cost (posexplode fan-out, hash-groupBy shuffle)
     "conv_turn_dedup",
     "chat_template_render",
+    # r13: nested tf.train.Example decode (the expensive new Python
+    # pass of the round)
+    "tfexample_stats",
 ]
 
 #: Benched-or-excused coverage (VERDICT r12 ask 2, made structural):
@@ -486,7 +489,7 @@ EXCLUDED = {
         "adds only a control-plane log replay or a cheaper scan of "
         "the identical groups"
     ) for n in ["dlog_time_travel", "dlog_skipping_plan",
-                "dlog_history"]},
+                "dlog_history", "dlog_optimize"]},
     **{n: (
         "conversation-family sibling: same posexplode turn fan-out as "
         "the benched conv_turn_dedup/chat_template_render, strictly "

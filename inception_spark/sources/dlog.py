@@ -598,9 +598,81 @@ def _scratch_root() -> str:
         return tempfile.mkdtemp(prefix="dlogroot_")
 
 
+def dlog_optimize(
+    spark: SparkSession, table: str, *, max_rows: int | None = None
+) -> None:
+    """OPTIMIZE as a commit: coalesce live groups into half as many
+    key-range groups (``o{k DIV W DIV 2}``) — the bin-packing rewrite
+    that undoes small-file fragmentation from maintenance commits.
+    Content is untouched (add/remove row totals balance exactly; the
+    oracle re-derives the new layout from data alone).  With
+    ``max_rows`` set, only groups at or under it are rewritten (the
+    production path: OPTIMIZE touches small files, never the table);
+    the fixture entry runs unbounded so the closed form covers every
+    row.  Idempotent per table state: a no-op if the last commit is
+    already an optimize."""
+    log = read_log(table)
+    last_op = next(
+        (a["commit"]["op"] for a in log[-1][1] if "commit" in a), ""
+    )
+    if last_op == "optimize":
+        return
+    version = log[-1][0] + 1
+    live = snapshot_groups(table)
+    victims = {
+        g: a
+        for g, a in live.items()
+        if max_rows is None or a["rows"] <= max_rows
+    }
+    if not victims:
+        return
+    actions = [
+        {"remove": {"grp": g, "rows": a["rows"], "path": a["path"]}}
+        for g, a in sorted(victims.items())
+    ]
+    w = _w_of(table)
+    merged = _read_groups(spark, table, list(victims.values()))
+    actions += write_groups(
+        spark, table, merged, version,
+        F.concat(
+            F.lit("o"),
+            ((F.col("o_orderkey") / w).cast("long") / 2)
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+    actions.append({"commit": {"op": "optimize", "version": version}})
+    dlog_commit(table, version, actions)
+
+
 # ---------------------------------------------------------------------------
 # query entries (Spark side)
 # ---------------------------------------------------------------------------
+
+
+#: memo for the optimized twin table (hard-linked copy of the base
+#: build + one optimize commit — data files are immutable, so the copy
+#: is link-cheap and the base table's version history stays pristine
+#: for the other oracles)
+_BUILT_OPT: dict[str, str] = {}
+
+
+def build_orders_dlog_optimized(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_OPT and os.path.isdir(
+        os.path.join(_BUILT_OPT[key], _LOG_DIR)
+    ):
+        return _BUILT_OPT[key]
+    import shutil
+    import tempfile
+
+    base = build_orders_dlog(spark, sf_dir)
+    table = tempfile.mkdtemp(prefix="dlogopt_", dir=_scratch_root())
+    shutil.rmtree(table)
+    shutil.copytree(base, table, copy_function=os.link)
+    dlog_optimize(spark, table)
+    _BUILT_OPT[key] = table
+    return table
 
 
 def _status_agg(df: DataFrame) -> DataFrame:
@@ -670,6 +742,18 @@ def dlog_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-version accounting from log replay only (no data read)."""
     table = build_orders_dlog(spark, sf_dir)
     return dlog_history(spark, table)
+
+
+def dlog_optimize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-OPTIMIZE layout: the v4 compaction coalesces the 8
+    maintenance-fragmented groups into 4 key-range groups with tight
+    fences (o0..o3 = bucket pairs) while touching no row — the oracle
+    re-derives rows/fences per NEW group from the data alone, so a
+    dropped or duplicated row in the rewrite hash-mismatches."""
+    table = build_orders_dlog_optimized(spark, sf_dir)
+    return skipping_plan(
+        spark, table, 3 * _w_of(table), 4 * _w_of(table)
+    ).orderBy("grp")
 
 
 def dlog_tail_partials(actions: DataFrame) -> DataFrame:
@@ -851,6 +935,22 @@ SELECT * FROM (
          CAST(b7_rows + a1_rows AS BIGINT),
          CAST(live_rows AS BIGINT) FROM c
 ) t ORDER BY version
+"""
+
+#: post-OPTIMIZE layout: every final-state row lands in bucket-pair
+#: group o{k DIV W DIV 2}; the scan verdict is for the same [3W, 4W)
+#: probe (o1 = buckets 2-3 overlaps; the o0 pair is half-deleted)
+OPTIMIZE_SQL = f"""
+SELECT 'o' || CAST((o_orderkey // {_W}) // 2 AS VARCHAR) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_k,
+       CAST(CASE WHEN MIN(o_orderkey) < 4 * {_W}
+                  AND MAX(o_orderkey) >= 3 * {_W}
+             THEN 1 ELSE 0 END AS BIGINT) AS scanned
+FROM orders WHERE o_orderkey >= {_W}
+GROUP BY 1
+ORDER BY grp
 """
 
 #: the streaming tail re-sums to history minus the op column

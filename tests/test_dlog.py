@@ -206,6 +206,45 @@ def test_cdf_applied_to_old_snapshot_yields_new(spark, table):
     assert sorted(rebuilt.collect()) == sorted(v3.collect())
 
 
+def test_optimize_preserves_content_and_coalesces(spark, sf_dir):
+    """OPTIMIZE (v4 on the hard-linked twin) must not change a single
+    row while replacing the 8 fragmented groups with 4 key-range
+    groups; re-running is a no-op."""
+    base = D.build_orders_dlog(spark, sf_dir)
+    opt = D.build_orders_dlog_optimized(spark, sf_dir)
+    assert opt != base
+    assert D.latest_version(base) == 3  # base untouched
+    assert D.latest_version(opt) == 4
+    assert sorted(D.snapshot_groups(opt)) == ["o0", "o1", "o2", "o3"]
+    a = sorted(D.read_snapshot(spark, base).collect())
+    b = sorted(D.read_snapshot(spark, opt).collect())
+    assert a == b
+    D.dlog_optimize(spark, opt)  # idempotent: last commit is optimize
+    assert D.latest_version(opt) == 4
+
+
+def test_optimize_max_rows_selects_small_groups_only(spark, sf_dir, tmp_path):
+    """The production path: with max_rows set, only groups at or under
+    the threshold rewrite; big groups keep their identity."""
+    import shutil
+
+    base = D.build_orders_dlog(spark, sf_dir)
+    t = str(tmp_path / "t")
+    shutil.copytree(base, t, copy_function=os.link)
+    sizes = sorted(
+        a["rows"] for a in D.snapshot_groups(t).values()
+    )
+    thresh = sizes[0]  # only the smallest group(s) qualify
+    before = D.snapshot_groups(t)
+    D.dlog_optimize(spark, t, max_rows=thresh)
+    after = D.snapshot_groups(t)
+    kept = {g for g in before if before[g]["rows"] > thresh}
+    assert kept <= set(after)
+    assert D.read_snapshot(spark, t).count() == D.read_snapshot(
+        spark, base
+    ).count()
+
+
 def test_cdf_has_no_inserts_and_balanced_images(spark, sf_dir):
     rows = {
         (r["version"], r["change_type"]): r
