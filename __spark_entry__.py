@@ -3212,6 +3212,37 @@ def _q_streaming_dlog_tail(spark, sf_dir):
     return dlog_tail_from_partials(parts)
 
 
+def _q_epub_text_stats(spark, sf_dir):
+    """EPUB extraction — the packaged-book (Gutenberg-class) layer:
+    OCF handshake (stored mimetype first entry), container.xml → OPF
+    indirection, manifest href resolution, and SPINE-ordered chapter
+    extraction against deliberately shuffled zip/manifest order —
+    walking either wrong order hash-mismatches.  Eighth member of the
+    document family sharing the closed-form oracle."""
+    from inception_spark.sources.epubtext import epub_text_stats
+
+    _ensure_workers_can_import(spark)
+    return epub_text_stats(_docs(spark, sf_dir))
+
+
+def _q_streaming_epub_text(spark, sf_dir):
+    """The EPUB extraction rollup maintained LIVE (pure sums); shares
+    the batch oracle."""
+    from inception_spark.sources.epubtext import (
+        epub_text_from_partials,
+        epub_text_partials,
+        synth_epub_corpus,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    _ensure_workers_can_import(spark)
+    corpus = synth_epub_corpus(_docs(spark, sf_dir))
+    parts = run_stream_batch_partials(spark, corpus, epub_text_partials)
+    return epub_text_from_partials(parts)
+
+
 def _q_tfexample_stats(spark, sf_dir):
     """tf.train.Example ingest — the nested-protobuf layer real
     TFRecord training shards actually carry (Features map → oneof
@@ -7283,6 +7314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlog_history": _q_dlog_history,
         "dlog_optimize": _q_dlog_optimize,
         "streaming_dlog_tail": _q_streaming_dlog_tail,
+        # r13: EPUB books (OCF handshake, OPF indirection, spine-order
+        # extraction) + live twin
+        "epub_text_stats": _q_epub_text_stats,
+        "streaming_epub_text": _q_streaming_epub_text,
         # r13: tf.train.Example (nested proto: Features map, oneof
         # lists, packed runs) over the TFRecord framing + live twin
         "tfexample_stats": _q_tfexample_stats,
@@ -7752,6 +7787,8 @@ _COHORT_NEW_R13: list[str] = [
     "dlog_history",
     "dlog_optimize",
     "streaming_dlog_tail",
+    "epub_text_stats",
+    "streaming_epub_text",
     "tfexample_stats",
     "streaming_tfexample",
     "conv_turn_stats",
@@ -8655,6 +8692,9 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "dlog_history": _DLOG.HISTORY_SQL,
         "dlog_optimize": _DLOG.OPTIMIZE_SQL,
         "streaming_dlog_tail": _DLOG.TAIL_SQL,
+        # r13: EPUB shares the document-family closed form
+        "epub_text_stats": _PDF_ORACLE,
+        "streaming_epub_text": _PDF_ORACLE,
         # r13: tf.train.Example nested-proto ingest
         "tfexample_stats": _TFEX_ORACLE,
         "streaming_tfexample": _TFEX_ORACLE,

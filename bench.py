@@ -376,6 +376,9 @@ HEADLINE = [
     # r13: nested tf.train.Example decode (the expensive new Python
     # pass of the round)
     "tfexample_stats",
+    # r13: EPUB (OCF zip + XML chapters — the document family's new
+    # heavyweight container)
+    "epub_text_stats",
 ]
 
 #: Benched-or-excused coverage (VERDICT r12 ask 2, made structural):
