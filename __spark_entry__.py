@@ -3180,6 +3180,19 @@ def _q_dlog_history(spark, sf_dir):
     return dlog_history_stats(spark, sf_dir)
 
 
+def _q_dlog_cdf_ivm(spark, sf_dir):
+    """Lakehouse × IVM: a per-status revenue rollup built at v1 and
+    maintained purely from the ROW-LEVEL change feed (deletes/
+    preimages retract, inserts/postimages insert through the counting
+    algorithm) must equal recomputing over the final snapshot — the
+    contract that makes incremental downstream consumers viable on a
+    100 TB table.  Every fold is change-sized; history is never
+    re-read."""
+    from inception_spark.sources.dlog import dlog_cdf_ivm_stats
+
+    return dlog_cdf_ivm_stats(spark, sf_dir)
+
+
 def _q_dlog_optimize(spark, sf_dir):
     """OPTIMIZE as a commit: bin-pack the 8 maintenance-fragmented
     groups into 4 tight key-range groups on a hard-linked twin table
@@ -7312,6 +7325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlog_skipping_plan": _q_dlog_skipping_plan,
         "dlog_cdf": _q_dlog_cdf,
         "dlog_history": _q_dlog_history,
+        "dlog_cdf_ivm": _q_dlog_cdf_ivm,
         "dlog_optimize": _q_dlog_optimize,
         "streaming_dlog_tail": _q_streaming_dlog_tail,
         # r13: EPUB books (OCF handshake, OPF indirection, spine-order
@@ -7785,6 +7799,7 @@ _COHORT_NEW_R13: list[str] = [
     "dlog_skipping_plan",
     "dlog_cdf",
     "dlog_history",
+    "dlog_cdf_ivm",
     "dlog_optimize",
     "streaming_dlog_tail",
     "epub_text_stats",
@@ -8690,6 +8705,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "dlog_skipping_plan": _DLOG.SKIPPING_PLAN_SQL,
         "dlog_cdf": _DLOG.CDF_SQL,
         "dlog_history": _DLOG.HISTORY_SQL,
+        "dlog_cdf_ivm": _DLOG.CDF_IVM_SQL,
         "dlog_optimize": _DLOG.OPTIMIZE_SQL,
         "streaming_dlog_tail": _DLOG.TAIL_SQL,
         # r13: EPUB shares the document-family closed form

@@ -493,6 +493,10 @@ EXCLUDED = {
         "the identical groups"
     ) for n in ["dlog_time_travel", "dlog_skipping_plan",
                 "dlog_history", "dlog_optimize"]},
+    "dlog_cdf_ivm": (
+        "dlog sibling: the same rewritten-group diff joins the benched "
+        "dlog_cdf times, plus a change-sized IVM fold"
+    ),
     **{n: (
         "conversation-family sibling: same posexplode turn fan-out as "
         "the benched conv_turn_dedup/chat_template_render, strictly "

@@ -370,6 +370,93 @@ def dlog_cdf(
     )
 
 
+def dlog_cdf_rows(
+    spark: SparkSession, table: str, from_v: int, to_v: int
+) -> DataFrame:
+    """Row-level change feed (from_v, to_v]: full pre/post images with
+    a change_type column — what an incremental CONSUMER (IVM rollup,
+    downstream sync) subscribes to.  Same rewritten-groups-only diff
+    as the summarized feed: cost proportional to the change."""
+    if not from_v <= to_v:
+        raise DlogFormatError(f"bad CDF range ({from_v}, {to_v}]")
+    key = "o_orderkey"
+    out = None
+    for v in range(from_v + 1, to_v + 1):
+        pre = snapshot_groups(table, v - 1)
+        post = snapshot_groups(table, v)
+        pre_df = _read_groups(
+            spark, table, [a for g, a in pre.items() if g not in post]
+        )
+        post_df = _read_groups(
+            spark, table, [a for g, a in post.items() if g not in pre]
+        )
+        deletes = pre_df.join(
+            post_df.select(key), key, "left_anti"
+        ).select("*", F.lit("delete").alias("change_type"))
+        inserts = post_df.join(
+            pre_df.select(key), key, "left_anti"
+        ).select("*", F.lit("insert").alias("change_type"))
+        j = pre_df.alias("p").join(post_df.alias("q"), key, "inner")
+        changed = j.filter(
+            F.col("p.o_totalprice") != F.col("q.o_totalprice")
+        )
+        upd_pre = changed.select(
+            F.col(key),
+            F.col("p.o_custkey").alias("o_custkey"),
+            F.col("p.o_orderstatus").alias("o_orderstatus"),
+            F.col("p.o_totalprice").alias("o_totalprice"),
+            F.lit("update_preimage").alias("change_type"),
+        )
+        upd_post = changed.select(
+            F.col(key),
+            F.col("q.o_custkey").alias("o_custkey"),
+            F.col("q.o_orderstatus").alias("o_orderstatus"),
+            F.col("q.o_totalprice").alias("o_totalprice"),
+            F.lit("update_postimage").alias("change_type"),
+        )
+        batch = (
+            deletes.unionByName(inserts)
+            .unionByName(upd_pre)
+            .unionByName(upd_post)
+            .withColumn("version", F.lit(v).cast("long"))
+        )
+        out = batch if out is None else out.unionByName(batch)
+    return out
+
+
+def dlog_cdf_ivm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF driving an incremental consumer end-to-end: a
+    per-status revenue rollup built at version 1 and MAINTAINED purely
+    from the change feed (deletes and update preimages retract, inserts
+    and postimages insert — the IVM counting algorithm over
+    plans/ivm.py) must equal recomputing over the final snapshot,
+    which is exactly what the shared snapshot oracle states.  History
+    is never re-read: every fold is change-sized."""
+    from ..plans.ivm import ivm_apply, ivm_state
+
+    table = build_orders_dlog(spark, sf_dir)
+    state = ivm_state(
+        read_snapshot(spark, table, 1), ["o_orderstatus"],
+        "o_totalprice",
+    )
+    rows = dlog_cdf_rows(spark, table, 1, 3)
+    deltas = rows.withColumn(
+        "mult",
+        F.when(
+            F.col("change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        ).otherwise(F.lit(1)),
+    )
+    final = ivm_apply(
+        state, deltas, ["o_orderstatus"], "o_totalprice"
+    )
+    return final.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("double").alias("sum_price"),
+    ).orderBy("o_orderstatus")
+
+
 def _read_groups(
     spark: SparkSession, table: str, adds: list[dict]
 ) -> DataFrame:
@@ -832,6 +919,19 @@ GROUP BY o_orderstatus
 """
 
 SNAPSHOT_SQL = _STATUS_AGG.format(src=_FINAL, where="")
+
+#: the CDF-maintained rollup equals the final-state recompute (the
+#: IVM identity), stated without the sum_key column the IVM state
+#: does not carry
+CDF_IVM_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM ({_FINAL}) s
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
 
 TIME_TRAVEL_SQL = _STATUS_AGG.format(
     src="SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders",

@@ -2286,3 +2286,44 @@ def test_document_ingest_plans_no_joins(spark):
         assert p.count("MapInPandas") == n_mip, name
         assert p.count("FlatMapGroupsInPandas") == n_fgp, name
         assert p.count("RoundRobinPartitioning") == n_rr, name
+
+
+def test_r13_ingest_plans_scan_shaped(spark):
+    """The r13 ingest entries inherit the r12 discipline at birth:
+    zero joins, the designed Python crossings, and the fan-out
+    exchange ahead of every per-record Python pass (tfexample's
+    applyInPandas shard build parallelizes via its group-key hash
+    exchange, like arrow_ipc)."""
+    from inception_spark.sources.epubtext import epub_text_stats
+    from inception_spark.sources.protoexample import tfexample_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    shapes = [
+        (epub_text_stats, 2, 0, 1),
+        (tfexample_stats, 1, 1, 1),
+    ]
+    for fn, n_mip, n_fgp, n_rr in shapes:
+        p = plan_of(fn(docs))
+        name = fn.__name__
+        assert "Join" not in p, name
+        assert p.count("MapInPandas") == n_mip, name
+        assert p.count("FlatMapGroupsInPandas") == n_fgp, name
+        assert p.count("RoundRobinPartitioning") == n_rr, name
+
+
+def test_dlog_read_plans(spark):
+    """dlog read surfaces: the snapshot read is a bare multi-path
+    parquet scan (no Python, no joins — replay happens driver-side on
+    the KB log); the CDF diff joins touch only rewritten groups and
+    carry no Python either."""
+    from inception_spark.sources import dlog as D
+
+    table = D.build_orders_dlog(spark, SF)
+    p = plan_of(D.read_snapshot(spark, table))
+    for marker in ("Join", "MapInPandas", "BatchEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in p
+    assert "Scan parquet" in p or "FileScan" in p
+    p = plan_of(D.dlog_cdf_rows(spark, table, 1, 3))
+    for marker in ("MapInPandas", "BatchEvalPython"):
+        assert marker not in p
