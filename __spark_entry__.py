@@ -3204,6 +3204,56 @@ def _q_dlog_optimize(spark, sf_dir):
     return dlog_optimize_stats(spark, sf_dir)
 
 
+def _q_dlog_vacuum(spark, sf_dir):
+    """VACUUM planning from log replay alone: groups removed before
+    the retention horizon are physically deletable, later removals
+    stay reachable by retained snapshots.  The oracle re-derives every
+    retired group's row count from raw rows via closed-form
+    membership."""
+    from inception_spark.sources.dlog import dlog_vacuum_stats
+
+    return dlog_vacuum_stats(spark, sf_dir)
+
+
+def _q_streaming_dlog_cdf(spark, sf_dir):
+    """The lakehouse streaming story: an incremental consumer TAILS
+    the change feed — row-level change batches fold into signed
+    per-status IVM delta partials inside foreachBatch (commutative,
+    exactly mergeable under ANY batching), and v1-state + merged
+    deltas equals the final-snapshot recompute (shared closed-form
+    oracle with dlog_cdf_ivm)."""
+    from inception_spark.plans.ivm import ivm_state
+    from inception_spark.sources.dlog import (
+        build_orders_dlog,
+        dlog_cdf_delta_partials,
+        dlog_cdf_ivm_from_partials,
+        dlog_cdf_rows,
+        read_snapshot,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    table = build_orders_dlog(spark, sf_dir)
+    state = ivm_state(
+        read_snapshot(spark, table, 1), ["o_orderstatus"],
+        "o_totalprice",
+    )
+    rows = dlog_cdf_rows(spark, table, 1, 3).withColumn(
+        "mult",
+        F.when(
+            F.col("change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        ).otherwise(F.lit(1)),
+    ).select(
+        "o_orderstatus", "o_totalprice", "mult"
+    )
+    parts = run_stream_batch_partials(
+        spark, rows, dlog_cdf_delta_partials
+    )
+    return dlog_cdf_ivm_from_partials(state, parts)
+
+
 def _q_streaming_dlog_tail(spark, sf_dir):
     """The log TAILED as a stream: add/remove actions arrive in
     micro-batches, per-version counters maintained as exactly
@@ -7327,7 +7377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlog_history": _q_dlog_history,
         "dlog_cdf_ivm": _q_dlog_cdf_ivm,
         "dlog_optimize": _q_dlog_optimize,
+        "dlog_vacuum": _q_dlog_vacuum,
         "streaming_dlog_tail": _q_streaming_dlog_tail,
+        "streaming_dlog_cdf": _q_streaming_dlog_cdf,
         # r13: EPUB books (OCF handshake, OPF indirection, spine-order
         # extraction) + live twin
         "epub_text_stats": _q_epub_text_stats,
@@ -7801,7 +7853,9 @@ _COHORT_NEW_R13: list[str] = [
     "dlog_history",
     "dlog_cdf_ivm",
     "dlog_optimize",
+    "dlog_vacuum",
     "streaming_dlog_tail",
+    "streaming_dlog_cdf",
     "epub_text_stats",
     "streaming_epub_text",
     "tfexample_stats",
@@ -8707,7 +8761,9 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "dlog_history": _DLOG.HISTORY_SQL,
         "dlog_cdf_ivm": _DLOG.CDF_IVM_SQL,
         "dlog_optimize": _DLOG.OPTIMIZE_SQL,
+        "dlog_vacuum": _DLOG.VACUUM_SQL,
         "streaming_dlog_tail": _DLOG.TAIL_SQL,
+        "streaming_dlog_cdf": _DLOG.CDF_IVM_SQL,
         # r13: EPUB shares the document-family closed form
         "epub_text_stats": _PDF_ORACLE,
         "streaming_epub_text": _PDF_ORACLE,

@@ -497,6 +497,10 @@ EXCLUDED = {
         "dlog sibling: the same rewritten-group diff joins the benched "
         "dlog_cdf times, plus a change-sized IVM fold"
     ),
+    "dlog_vacuum": (
+        "dlog sibling: pure control-plane log replay (a handful of "
+        "rows), no data scan at all"
+    ),
     **{n: (
         "conversation-family sibling: same posexplode turn fan-out as "
         "the benched conv_turn_dedup/chat_template_render, strictly "

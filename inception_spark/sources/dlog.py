@@ -457,6 +457,75 @@ def dlog_cdf_ivm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def dlog_cdf_delta_partials(batch: DataFrame) -> DataFrame:
+    """Per-batch IVM delta partials from row-level change-feed rows
+    (with their ``mult``): signed decimal/count sums per status —
+    commutative and exactly mergeable, so ANY regrouping of change
+    rows into micro-batches re-merges identically."""
+    return batch.groupBy("o_orderstatus").agg(
+        F.sum(
+            F.col("mult")
+            * F.col("o_totalprice").cast("decimal(18,2)")
+        ).cast("decimal(18,2)").alias("ds"),
+        F.sum("mult").cast("long").alias("dn"),
+    )
+
+
+def dlog_cdf_ivm_from_partials(
+    state: DataFrame, parts: DataFrame
+) -> DataFrame:
+    """v1 state + merged delta partials → the maintained rollup."""
+    base = state.select(
+        "o_orderstatus",
+        F.col("s").cast("decimal(18,2)").alias("ds"),
+        F.col("n").cast("long").alias("dn"),
+    )
+    return (
+        base.unionByName(parts)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("ds").cast("decimal(18,2)").alias("s"),
+            F.sum("dn").cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("s").cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def dlog_vacuum_plan(spark: SparkSession, table: str,
+                     retain_from: int) -> DataFrame:
+    """VACUUM candidates: groups REMOVED at a version strictly before
+    ``retain_from`` are no longer reachable by any retained snapshot
+    and may be physically deleted.  Pure log replay (control plane);
+    the entry's oracle re-derives each retired group's row count from
+    the raw rows via the closed-form membership of the build."""
+    removed: list[tuple[str, int, int]] = []
+    for v, actions in read_log(table):
+        for a in actions:
+            if "remove" in a:
+                removed.append(
+                    (a["remove"]["grp"], v, int(a["remove"]["rows"]))
+                )
+    rows = [
+        (g, v, n, int(v < retain_from))
+        for g, v, n in sorted(removed)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType(), False),
+            T.StructField("removed_at", T.LongType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("deletable", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def _read_groups(
     spark: SparkSession, table: str, adds: list[dict]
 ) -> DataFrame:
@@ -831,6 +900,14 @@ def dlog_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dlog_history(spark, table)
 
 
+def dlog_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum plan with retention at version 3: the v2 removals (b0,
+    a0) are deletable, the v3 removals (b7, a1) are still reachable by
+    the retained snapshot window."""
+    table = build_orders_dlog(spark, sf_dir)
+    return dlog_vacuum_plan(spark, table, 3).orderBy("grp")
+
+
 def dlog_optimize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-OPTIMIZE layout: the v4 compaction coalesces the 8
     maintenance-fragmented groups into 4 key-range groups with tight
@@ -1051,6 +1128,28 @@ SELECT 'o' || CAST((o_orderkey // {_W}) // 2 AS VARCHAR) AS grp,
 FROM orders WHERE o_orderkey >= {_W}
 GROUP BY 1
 ORDER BY grp
+"""
+
+#: vacuum: removed groups in closed form — b0/a0 retired at v2
+#: (deletable under retention-from-3), b7/a1 at v3 (still reachable)
+VACUUM_SQL = f"""
+SELECT * FROM (
+  SELECT 'a0' AS grp, CAST(2 AS BIGINT) AS removed_at,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(1 AS BIGINT) AS deletable
+  FROM orders WHERE o_orderkey % 4 = 3
+    AND (o_orderkey // {_W}) % 2 = 0
+  UNION ALL
+  SELECT 'a1', 3, CAST(COUNT(*) AS BIGINT), 0
+  FROM orders WHERE o_orderkey % 4 = 3
+    AND (o_orderkey // {_W}) % 2 = 1
+  UNION ALL
+  SELECT 'b0', 2, CAST(COUNT(*) AS BIGINT), 1
+  FROM orders WHERE o_orderkey % 4 != 3 AND o_orderkey < {_W}
+  UNION ALL
+  SELECT 'b7', 3, CAST(COUNT(*) AS BIGINT), 0
+  FROM orders WHERE o_orderkey % 4 != 3 AND o_orderkey // {_W} = 7
+) t ORDER BY grp
 """
 
 #: the streaming tail re-sums to history minus the op column
