@@ -3204,6 +3204,17 @@ def _q_dlog_optimize(spark, sf_dir):
     return dlog_optimize_stats(spark, sf_dir)
 
 
+def _q_dlog_schema_evolution(spark, sf_dir):
+    """Schema evolution as a log edit (the add-column path): a
+    metaData action widens the schema and the deleted bucket's rows
+    return CARRYING the new column, while pre-evolve groups null-fill
+    it on read — no data rewrite.  The per-priority rollup hashes
+    against the closed form over raw orders."""
+    from inception_spark.sources.dlog import dlog_schema_evolution_stats
+
+    return dlog_schema_evolution_stats(spark, sf_dir)
+
+
 def _q_dlog_vacuum(spark, sf_dir):
     """VACUUM planning from log replay alone: groups removed before
     the retention horizon are physically deletable, later removals
@@ -7377,6 +7388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlog_history": _q_dlog_history,
         "dlog_cdf_ivm": _q_dlog_cdf_ivm,
         "dlog_optimize": _q_dlog_optimize,
+        "dlog_schema_evolution": _q_dlog_schema_evolution,
         "dlog_vacuum": _q_dlog_vacuum,
         "streaming_dlog_tail": _q_streaming_dlog_tail,
         "streaming_dlog_cdf": _q_streaming_dlog_cdf,
@@ -7853,6 +7865,7 @@ _COHORT_NEW_R13: list[str] = [
     "dlog_history",
     "dlog_cdf_ivm",
     "dlog_optimize",
+    "dlog_schema_evolution",
     "dlog_vacuum",
     "streaming_dlog_tail",
     "streaming_dlog_cdf",
@@ -8761,6 +8774,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "dlog_history": _DLOG.HISTORY_SQL,
         "dlog_cdf_ivm": _DLOG.CDF_IVM_SQL,
         "dlog_optimize": _DLOG.OPTIMIZE_SQL,
+        "dlog_schema_evolution": _DLOG.SCHEMA_EVOLUTION_SQL,
         "dlog_vacuum": _DLOG.VACUUM_SQL,
         "streaming_dlog_tail": _DLOG.TAIL_SQL,
         "streaming_dlog_cdf": _DLOG.CDF_IVM_SQL,

@@ -501,6 +501,11 @@ EXCLUDED = {
         "dlog sibling: pure control-plane log replay (a handful of "
         "rows), no data scan at all"
     ),
+    "dlog_schema_evolution": (
+        "dlog sibling: one link-copied twin + a single re-insert "
+        "write, then the same live-group scan the benched snapshot "
+        "read times"
+    ),
     **{n: (
         "conversation-family sibling: same posexplode turn fan-out as "
         "the benched conv_turn_dedup/chat_template_render, strictly "

@@ -900,6 +900,90 @@ def dlog_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dlog_history(spark, table)
 
 
+#: memo for the schema-evolution twin table
+_BUILT_EVO: dict[str, str] = {}
+
+
+def build_orders_dlog_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """A v4 'evolve' commit on a hard-linked twin: the metaData action
+    WIDENS the schema (+ o_orderpriority), and the deleted bucket's
+    rows return as a re-insert group CARRYING the new column — old
+    groups never rewrite; the reader null-fills them.  This is the
+    add-column path of the public Delta/Iceberg protocols: schema
+    changes are log edits, not data rewrites."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_EVO and os.path.isdir(
+        os.path.join(_BUILT_EVO[key], _LOG_DIR)
+    ):
+        return _BUILT_EVO[key]
+    import shutil
+    import tempfile
+
+    base = build_orders_dlog(spark, sf_dir)
+    table = tempfile.mkdtemp(prefix="dlogevo_", dir=_scratch_root())
+    shutil.rmtree(table)
+    shutil.copytree(base, table, copy_function=os.link)
+    w = _w_of(table)
+    reinsert = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderkey") < w)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority",
+        )
+    )
+    actions: list[dict] = [
+        {"meta": {"schema_add": ["o_orderpriority"]}}
+    ]
+    actions += write_groups(
+        spark, table, reinsert, 4, F.lit("e0")
+    )
+    actions.append({"commit": {"op": "evolve", "version": 4}})
+    dlog_commit(table, 4, actions)
+    _BUILT_EVO[key] = table
+    return table
+
+
+def evolved_schema(table: str) -> T.StructType:
+    """Base schema + every schema_add column declared in the log (new
+    columns read as nullable strings; old files null-fill them)."""
+    fields = list(_DATA_SCHEMA.fields)
+    for _, actions in read_log(table):
+        for a in actions:
+            if "meta" in a and "schema_add" in a["meta"]:
+                for c in a["meta"]["schema_add"]:
+                    fields.append(T.StructField(c, T.StringType(), True))
+    return T.StructType(fields)
+
+
+def dlog_schema_evolution_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read across the schema boundary: pre-evolve groups null-fill
+    the new column, the re-insert group carries it — the per-priority
+    rollup (null bucketed as '(none)') hashes against the closed form
+    over raw orders, so a mis-filled or mis-attached column breaks the
+    hash."""
+    table = build_orders_dlog_evolved(spark, sf_dir)
+    live = snapshot_groups(table)
+    df = spark.read.schema(evolved_schema(table)).parquet(
+        *[os.path.join(table, a["path"]) for a in live.values()]
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(none)"))
+            .alias("prio")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("prio")
+    )
+
+
 def dlog_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vacuum plan with retention at version 3: the v2 removals (b0,
     a0) are deletable, the v3 removals (b7, a1) are still reachable by
@@ -1128,6 +1212,23 @@ SELECT 'o' || CAST((o_orderkey // {_W}) // 2 AS VARCHAR) AS grp,
 FROM orders WHERE o_orderkey >= {_W}
 GROUP BY 1
 ORDER BY grp
+"""
+
+#: schema evolution: pre-evolve rows ('(none)') are the final state
+#: (delete + update applied); the re-insert group is the deleted
+#: bucket back with its real priority and RAW price (it was gone
+#: before the update commit)
+SCHEMA_EVOLUTION_SQL = f"""
+SELECT CASE WHEN o_orderkey < {_W} THEN o_orderpriority
+            ELSE '(none)' END AS prio,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice
+             + (CASE WHEN o_orderkey >= 7 * {_W} THEN 1.0
+                     ELSE 0.0 END) AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY prio
 """
 
 #: vacuum: removed groups in closed form — b0/a0 retired at v2

@@ -245,6 +245,31 @@ def test_optimize_max_rows_selects_small_groups_only(spark, sf_dir, tmp_path):
     ).count()
 
 
+def test_schema_evolution_null_fills_old_groups(spark, sf_dir):
+    """The evolve commit widens the schema via a metaData log edit:
+    pre-evolve groups read NULL in the new column, the re-insert group
+    carries real values, and the base table is untouched."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = D.build_orders_dlog(spark, sf_dir)
+    evo = D.build_orders_dlog_evolved(spark, sf_dir)
+    assert evo != base and D.latest_version(base) == 3
+    assert D.latest_version(evo) == 4
+    live = D.snapshot_groups(evo)
+    assert "e0" in live
+    df = spark.read.schema(D.evolved_schema(evo)).parquet(
+        *[_os.path.join(evo, a["path"]) for a in live.values()]
+    )
+    w = D._w_of(evo)
+    old = df.filter(F.col("o_orderkey") >= w)
+    new = df.filter(F.col("o_orderkey") < w)
+    assert old.filter(F.col("o_orderpriority").isNotNull()).count() == 0
+    assert new.filter(F.col("o_orderpriority").isNull()).count() == 0
+    assert new.count() > 0
+
+
 def test_cdf_has_no_inserts_and_balanced_images(spark, sf_dir):
     rows = {
         (r["version"], r["change_type"]): r
