@@ -234,15 +234,17 @@ _MATRIX_SCHEMA = T.StructType(
 
 
 def doc_format_matrix_stats(docs: DataFrame) -> DataFrame:
-    """ONE corpus scan drives all three document extractors — render
-    every document as PDF (Flate), DOCX, and RTF, extract each back,
-    and fold per-format counters: (fmt, n_docs, extracted_bytes, n_e,
-    n_lines).  The oracle cross-joins one closed-form aggregate over
+    """ONE corpus scan drives all four document extractors — render
+    every document as PDF (Flate), DOCX, RTF, and EPUB (r13: the
+    spine-ordered OCF book), extract each back, and fold per-format
+    counters: (fmt, n_docs, extracted_bytes, n_e, n_lines).  The
+    oracle cross-joins one closed-form aggregate over
     ``documents.text`` with the format list, so a defect in any single
     extractor flips exactly its own row — and at 100 TB this is 1 scan
-    where per-format validation passes would be 3.  The per-format
+    where per-format validation passes would be 4.  The per-format
     REGISTRY entries remain the per-shard deep checks; this is the
     cross-family consistency gate."""
+    from inception_spark.sources.epubtext import encode_epub, epub_to_text
     from inception_spark.sources.pdftext import encode_pdf, pdf_to_text
     from inception_spark.sources.rtftext import encode_rtf, rtf_to_text
 
@@ -250,16 +252,17 @@ def doc_format_matrix_stats(docs: DataFrame) -> DataFrame:
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fmts = {
-            "pdf": lambda t: pdf_to_text(encode_pdf(t, compress=True)),
-            "docx": lambda t: docx_to_text(encode_docx(t)),
-            "rtf": lambda t: rtf_to_text(encode_rtf(t)),
+            "pdf": lambda i, t: pdf_to_text(encode_pdf(t, compress=True)),
+            "docx": lambda i, t: docx_to_text(encode_docx(t)),
+            "rtf": lambda i, t: rtf_to_text(encode_rtf(t)),
+            "epub": lambda i, t: epub_to_text(encode_epub(i, t)),
         }
         for pdf_b in batches:
             agg = {f: [0, 0, 0, 0] for f in fmts}
-            for t in pdf_b["text"]:
+            for i, t in zip(pdf_b["doc_id"], pdf_b["text"]):
                 t = str(t)
                 for f, fn in fmts.items():
-                    txt = fn(t)
+                    txt = fn(int(i), t)
                     raw = txt.encode("utf-8")
                     a = agg[f]
                     a[0] += 1
@@ -307,6 +310,7 @@ WITH base AS (
                   END) AS BIGINT) AS n_lines
   FROM documents WHERE text IS NOT NULL)
 SELECT f.fmt, b.n_docs, b.extracted_bytes, b.n_e, b.n_lines
-FROM base b CROSS JOIN (VALUES ('pdf'), ('docx'), ('rtf')) AS f(fmt)
+FROM base b
+CROSS JOIN (VALUES ('pdf'), ('docx'), ('rtf'), ('epub')) AS f(fmt)
 ORDER BY f.fmt
 """

@@ -104,14 +104,14 @@ def test_docx_text_stats_matches_text(spark):
 
 
 def test_doc_format_matrix_consistent(spark):
-    """All three extractors agree on every counter — the one-scan
-    cross-family consistency gate."""
+    """All four extractors agree on every counter — the one-scan
+    cross-family consistency gate (EPUB joined in r13)."""
     docs = spark.createDataFrame(
         [(i, f"line a {i}\nline b (e) {'e' * (i % 4)}") for i in range(20)],
         "doc_id long, text string",
     )
     rows = {r["fmt"]: r for r in D.doc_format_matrix_stats(docs).collect()}
-    assert set(rows) == {"pdf", "docx", "rtf"}
+    assert set(rows) == {"pdf", "docx", "rtf", "epub"}
     vals = {
         f: (r["n_docs"], r["extracted_bytes"], r["n_e"], r["n_lines"])
         for f, r in rows.items()
