@@ -3204,6 +3204,18 @@ def _q_dlog_optimize(spark, sf_dir):
     return dlog_optimize_stats(spark, sf_dir)
 
 
+def _q_dlog_merge(spark, sf_dir):
+    """MERGE (upsert) as a commit, replacement semantics: fence-
+    selected candidate groups rewrite as base anti-join updates ∪
+    updates in ONE partitioned write (insert keys beyond the old
+    fences land in fresh groups).  The post-merge rollup's sum_key
+    catches a dropped/double insert, sum_price a mis-merged
+    replacement — closed form over raw orders."""
+    from inception_spark.sources.dlog import dlog_merge_stats
+
+    return dlog_merge_stats(spark, sf_dir)
+
+
 def _q_dlog_schema_evolution(spark, sf_dir):
     """Schema evolution as a log edit (the add-column path): a
     metaData action widens the schema and the deleted bucket's rows
@@ -7388,6 +7400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlog_history": _q_dlog_history,
         "dlog_cdf_ivm": _q_dlog_cdf_ivm,
         "dlog_optimize": _q_dlog_optimize,
+        "dlog_merge": _q_dlog_merge,
         "dlog_schema_evolution": _q_dlog_schema_evolution,
         "dlog_vacuum": _q_dlog_vacuum,
         "streaming_dlog_tail": _q_streaming_dlog_tail,
@@ -7865,6 +7878,7 @@ _COHORT_NEW_R13: list[str] = [
     "dlog_history",
     "dlog_cdf_ivm",
     "dlog_optimize",
+    "dlog_merge",
     "dlog_schema_evolution",
     "dlog_vacuum",
     "streaming_dlog_tail",
@@ -8774,6 +8788,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "dlog_history": _DLOG.HISTORY_SQL,
         "dlog_cdf_ivm": _DLOG.CDF_IVM_SQL,
         "dlog_optimize": _DLOG.OPTIMIZE_SQL,
+        "dlog_merge": _DLOG.MERGE_SQL,
         "dlog_schema_evolution": _DLOG.SCHEMA_EVOLUTION_SQL,
         "dlog_vacuum": _DLOG.VACUUM_SQL,
         "streaming_dlog_tail": _DLOG.TAIL_SQL,

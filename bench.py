@@ -365,10 +365,11 @@ HEADLINE = [
     # r13: dlog commit-log tables — the snapshot read carries the full
     # 4-version build + replay cost (the family's heavyweight member);
     # the pruned read times fence skipping; the CDF times the
-    # rewritten-group diff joins
+    # rewritten-group diff joins; MERGE times the upsert rewrite
     "dlog_snapshot_stats",
     "dlog_pruned_revenue",
     "dlog_cdf",
+    "dlog_merge",
     # r13: conversation/SFT modality — the turn fan-out + dedup carry
     # the family's cost (posexplode fan-out, hash-groupBy shuffle)
     "conv_turn_dedup",

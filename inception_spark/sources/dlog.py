@@ -900,6 +900,108 @@ def dlog_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dlog_history(spark, table)
 
 
+def dlog_merge(
+    spark: SparkSession, table: str, updates: DataFrame
+) -> None:
+    """MERGE (upsert) as a commit, replacement semantics: WHEN MATCHED
+    THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *.  Candidate
+    groups are fence-selected against the update-key span (a group the
+    span misses is never read); candidates are rewritten as
+    base ⟕-anti updates ∪ updates — one anti-join plus a union, then
+    ONE partitioned write re-bucketing by key range (insert keys
+    beyond the old fences land in fresh groups).  A fence-selected
+    group with no matched key rewrites unchanged — fences over-select,
+    never corrupt; the exact-membership refinement is a per-group
+    bloom/key check, the documented production knob."""
+    version = latest_version(table) + 1
+    lo, hi = updates.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    live = snapshot_groups(table)
+    actions: list[dict] = []
+    rewrite: list[dict] = []
+    for g, a in sorted(live.items()):
+        if a["min_k"] > hi or a["max_k"] < lo:
+            continue  # fence miss: untouched
+        actions.append(
+            {"remove": {"grp": g, "rows": a["rows"], "path": a["path"]}}
+        )
+        rewrite.append(a)
+    base = _read_groups(spark, table, rewrite)
+    merged = base.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(updates)
+    w = _w_of(table)
+    actions += write_groups(
+        spark, table, merged, version,
+        F.concat(
+            F.lit("m"),
+            (F.col("o_orderkey") / w).cast("long").cast("string"),
+        ),
+    )
+    actions.append({"commit": {"op": "merge", "version": version}})
+    dlog_commit(table, version, actions)
+
+
+#: memo for the merge twin table
+_BUILT_MERGE: dict[str, str] = {}
+
+
+def build_orders_dlog_merged(spark: SparkSession, sf_dir: str) -> str:
+    """Link-copied twin + one MERGE commit: every live key divisible
+    by 10 gets +10.00 (on top of its current snapshot price), and
+    source keys divisible by 17 insert as fresh keys shifted past the
+    table's key space (k + 8W) at raw price."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_MERGE and os.path.isdir(
+        os.path.join(_BUILT_MERGE[key], _LOG_DIR)
+    ):
+        return _BUILT_MERGE[key]
+    import shutil
+    import tempfile
+
+    base = build_orders_dlog(spark, sf_dir)
+    table = tempfile.mkdtemp(prefix="dlogmrg_", dir=_scratch_root())
+    shutil.rmtree(table)
+    shutil.copytree(base, table, copy_function=os.link)
+    w = _w_of(table)
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    k = F.col("o_orderkey")
+    matched = orders.filter((k >= w) & (k % 10 == 0)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice")
+            + F.when(k >= 7 * w, F.lit(1.0)).otherwise(F.lit(0.0))
+            + F.lit(10.0)
+        ).alias("o_totalprice"),
+    )
+    inserts = orders.filter(k % 17 == 0).select(
+        (k + 8 * w).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    dlog_merge(spark, table, matched.unionByName(inserts))
+    _BUILT_MERGE[key] = table
+    return table
+
+
+def dlog_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-MERGE rollup: replaced rows carry snapshot price + 10,
+    inserted rows their raw price at shifted keys — the closed form
+    the oracle restates over raw orders (sum_key catches a dropped or
+    double-applied insert; sum_price a mis-merged replacement)."""
+    table = build_orders_dlog_merged(spark, sf_dir)
+    return _status_agg(read_snapshot(spark, table))
+
+
 #: memo for the schema-evolution twin table
 _BUILT_EVO: dict[str, str] = {}
 
@@ -1212,6 +1314,29 @@ SELECT 'o' || CAST((o_orderkey // {_W}) // 2 AS VARCHAR) AS grp,
 FROM orders WHERE o_orderkey >= {_W}
 GROUP BY 1
 ORDER BY grp
+"""
+
+#: post-MERGE state: live rows (k >= W) with the update-set +10 on
+#: keys divisible by 10 (stacked on the v3 +1 for k >= 7W), plus the
+#: shifted inserts at raw price
+MERGE_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(k) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT o_orderstatus, o_orderkey AS k,
+         o_totalprice
+           + (CASE WHEN o_orderkey >= 7 * {_W} THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN o_orderkey % 10 = 0 THEN 10.0 ELSE 0.0 END)
+           AS p
+  FROM orders WHERE o_orderkey >= {_W}
+  UNION ALL
+  SELECT o_orderstatus, o_orderkey + 8 * {_W}, o_totalprice
+  FROM orders WHERE o_orderkey % 17 = 0
+) t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
 """
 
 #: schema evolution: pre-evolve rows ('(none)') are the final state

@@ -245,6 +245,37 @@ def test_optimize_max_rows_selects_small_groups_only(spark, sf_dir, tmp_path):
     ).count()
 
 
+def test_merge_upsert_semantics(spark, sf_dir):
+    """MERGE replaces matched keys and inserts unmatched keys exactly
+    once; untouched keys keep their snapshot price; the base table
+    stays at v3."""
+    from pyspark.sql import functions as F
+
+    base = D.build_orders_dlog(spark, sf_dir)
+    mrg = D.build_orders_dlog_merged(spark, sf_dir)
+    assert mrg != base and D.latest_version(base) == 3
+    assert D.latest_version(mrg) == 4
+    w = D._w_of(mrg)
+    pre = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in D.read_snapshot(spark, base).collect()
+    }
+    post = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in D.read_snapshot(spark, mrg).collect()
+    }
+    inserted = {k for k in post if k not in pre}
+    assert inserted and all(k >= 8 * w for k in inserted)
+    for k, p in pre.items():
+        want = p + 10.0 if k % 10 == 0 else p
+        assert post[k] == want, k
+    # fresh insert groups exist beyond the old key space
+    assert any(
+        a["min_k"] >= 8 * w
+        for a in D.snapshot_groups(mrg).values()
+    )
+
+
 def test_schema_evolution_null_fills_old_groups(spark, sf_dir):
     """The evolve commit widens the schema via a metaData log edit:
     pre-evolve groups read NULL in the new column, the re-insert group
