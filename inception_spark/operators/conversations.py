@@ -78,7 +78,8 @@ def conversation_turns(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(turns)
     return (
-        docs.select(
+        docs.where(F.col("text").isNotNull())
+        .select(
             F.col("doc_id").alias("conv_id"),
             F.posexplode(turns).alias("turn_no", "turn_text"),
         )
@@ -113,7 +114,9 @@ TURNS_SQL_TPL = f"""
        ) g
 """
 
-TURNS_SQL = TURNS_SQL_TPL.format(docs="SELECT doc_id, text FROM documents")
+TURNS_SQL = TURNS_SQL_TPL.format(
+    docs="SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+)
 
 
 def conv_turn_stats(docs: DataFrame) -> DataFrame:
