@@ -3410,6 +3410,23 @@ def _q_conv_turn_dedup(spark, sf_dir):
     return conv_turn_dedup(_docs(spark, sf_dir))
 
 
+def _q_streaming_conv_dedup(spark, sf_dir):
+    """Turn-level dedup maintained LIVE: per-batch turn-hash counters
+    re-merge exactly (each conversation lives in one batch, so
+    distinct-conv counts re-sum); shares the batch dedup oracle."""
+    from inception_spark.operators.conversations import (
+        conv_dedup_from_partials,
+        conv_dedup_partials,
+    )
+    from inception_spark.streaming.pipeline import (
+        run_stream_batch_partials,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = run_stream_batch_partials(spark, docs, conv_dedup_partials)
+    return conv_dedup_from_partials(parts)
+
+
 def _q_streaming_conv_mask(spark, sf_dir):
     """The loss-mask budget maintained LIVE: per-conversation partial
     counters fold per micro-batch and re-merge exactly (each doc is
@@ -7419,6 +7436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_template_render": _q_chat_template_render,
         "sft_mask_stats": _q_sft_mask_stats,
         "conv_turn_dedup": _q_conv_turn_dedup,
+        "streaming_conv_dedup": _q_streaming_conv_dedup,
         "streaming_conv_mask": _q_streaming_conv_mask,
         "streaming_lz4_shard": _q_streaming_lz4_shard,
         "zstd_shard_stats": _q_zstd_shard_stats,
@@ -7891,6 +7909,7 @@ _COHORT_NEW_R13: list[str] = [
     "chat_template_render",
     "sft_mask_stats",
     "conv_turn_dedup",
+    "streaming_conv_dedup",
     "streaming_conv_mask",
 ]
 
@@ -8805,6 +8824,7 @@ SELECT 'response', CAST(COUNT(*) AS BIGINT),
         "chat_template_render": _CONV.CHAT_TEMPLATE_SQL,
         "sft_mask_stats": _CONV.SFT_MASK_SQL,
         "conv_turn_dedup": _CONV.CONV_DEDUP_SQL,
+        "streaming_conv_dedup": _CONV.CONV_DEDUP_SQL,
         "streaming_conv_mask": _CONV.SFT_MASK_SQL,
         "streaming_lz4_shard": _LZ4_SHARD_ORACLE,
         "zstd_shard_stats": _ZSTD_SHARD_ORACLE,

@@ -296,6 +296,34 @@ ORDER BY turn_md5
 """
 
 
+def conv_dedup_partials(docs_batch: DataFrame) -> DataFrame:
+    """Per-batch turn-hash counters.  Each conversation lives in
+    exactly one batch, so per-batch distinct-conv counts re-SUM to the
+    global distinct count — the same mergeability argument as the mask
+    partials, keyed by turn hash."""
+    t = conversation_turns(docs_batch)
+    return t.groupBy(F.md5(F.col("turn_text")).alias("turn_md5")).agg(
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.count("*").cast("long").alias("n_turns"),
+        F.min("conv_id").cast("long").alias("first_conv"),
+        F.min(F.length("turn_text")).cast("long").alias("turn_len"),
+    )
+
+
+def conv_dedup_from_partials(parts: DataFrame) -> DataFrame:
+    return (
+        parts.groupBy("turn_md5")
+        .agg(
+            F.sum("n_convs").cast("long").alias("n_convs"),
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.min("first_conv").cast("long").alias("first_conv"),
+            F.min("turn_len").cast("long").alias("turn_len"),
+        )
+        .filter(F.col("n_convs") > 1)
+        .orderBy("turn_md5")
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming twin: the corpus mask budget as exactly mergeable partials
 # ---------------------------------------------------------------------------
