@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
+
 MEDIA_META = T.StructType(
     [
         T.StructField("modality", T.StringType(), False),  # image|audio|video
@@ -762,7 +764,11 @@ def synth_bmp_corpus(
                 {"doc_id": ids.to_numpy(), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(gen, out_schema)
+    # fan the id-only projection out BEFORE the Python synthesis pass:
+    # a single-file (one row group) documents scan otherwise runs the
+    # whole per-record synthesis at effective parallelism 1 (the r12
+    # MIME-cliff shape, guide §2.5); the shuffle moves ids only.
+    return fanout(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
 def synth_wav_corpus(
@@ -795,7 +801,11 @@ def synth_wav_corpus(
                 {"doc_id": ids.to_numpy(), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(gen, out_schema)
+    # fan the id-only projection out BEFORE the Python synthesis pass:
+    # a single-file (one row group) documents scan otherwise runs the
+    # whole per-record synthesis at effective parallelism 1 (the r12
+    # MIME-cliff shape, guide §2.5); the shuffle moves ids only.
+    return fanout(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
 def media_meta_partials(corpus: DataFrame) -> DataFrame:
@@ -985,7 +995,11 @@ def synth_tiff_corpus(
                 {"doc_id": ids.to_numpy(), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(gen, out_schema)
+    # fan the id-only projection out BEFORE the Python synthesis pass:
+    # a single-file (one row group) documents scan otherwise runs the
+    # whole per-record synthesis at effective parallelism 1 (the r12
+    # MIME-cliff shape, guide §2.5); the shuffle moves ids only.
+    return fanout(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
 def tiff_pixel_stats(docs: DataFrame) -> DataFrame:
@@ -1809,7 +1823,11 @@ def synth_phash_corpus(
                 {"doc_id": ids.to_numpy(), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(gen, out_schema)
+    # fan the id-only projection out BEFORE the Python synthesis pass:
+    # a single-file (one row group) documents scan otherwise runs the
+    # whole per-record synthesis at effective parallelism 1 (the r12
+    # MIME-cliff shape, guide §2.5); the shuffle moves ids only.
+    return fanout(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
 def image_phash_dedup_stats(
@@ -1934,7 +1952,11 @@ def synth_afp_corpus(
                 {"doc_id": ids.to_numpy(), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(gen, out_schema)
+    # fan the id-only projection out BEFORE the Python synthesis pass:
+    # a single-file (one row group) documents scan otherwise runs the
+    # whole per-record synthesis at effective parallelism 1 (the r12
+    # MIME-cliff shape, guide §2.5); the shuffle moves ids only.
+    return fanout(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
 def audio_afp_dedup_stats(
@@ -2068,7 +2090,11 @@ def synth_g711_corpus(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                  "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(gen, out_schema)
+    # fan the id-only projection out BEFORE the Python synthesis pass:
+    # a single-file (one row group) documents scan otherwise runs the
+    # whole per-record synthesis at effective parallelism 1 (the r12
+    # MIME-cliff shape, guide §2.5); the shuffle moves ids only.
+    return fanout(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
 def g711_audio_stats(docs: DataFrame) -> DataFrame:
