@@ -2190,11 +2190,18 @@ def tfidf_cosine_pairs(
             .alias("wt"),
         )
     )
+    # wt feeds both self-join sides and the norm aggregate (and norms
+    # feeds two projections): without a lineage cut each reference
+    # re-plans the explode+tf+df subtree — the before plan carried 24
+    # documents scans (guide §7.2 duplicated subtrees).  The postings
+    # table is df-capped (Σ df ≤ max_df·|vocab|), so one
+    # materialization is the cheap side of the trade.
+    wt = wt.localCheckpoint(eager=False)
     norms = wt.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt")).cast("double")).alias(
             "nrm"
         )
-    )
+    ).localCheckpoint(eager=False)
     a = wt.select(
         F.col("doc_id").alias("doc_a"), "w", F.col("wt").alias("wa")
     )

@@ -302,8 +302,16 @@ def semantic_dedup(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     cid = _argmin_on(_uvec_expr(F.col(vec_col)), cents)["cid"]
+    # NOT checkpointed: the three static-plan evaluations of the
+    # literal-centroid argmin (two dup-pair strata + keep join) share
+    # work through runtime exchange reuse — a same-session A/B
+    # (3 alternating rounds, sf0.1) read 5.31 s with an assignment
+    # localCheckpoint vs 4.80 s without (guide §1: measure first).
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), cid.alias("_sd_cid")
+    )
     pairs = embedding_dup_pairs(
-        df.select(F.col(id_col), F.col(vec_col), cid.alias("_sd_cid")),
+        assigned,
         id_col=id_col,
         vec_col=vec_col,
         block_col="_sd_cid",
@@ -318,7 +326,9 @@ def semantic_dedup(
         .distinct()
         .withColumn("dup", F.lit(True))
     )
-    assign = df.select(F.col(id_col), cid.alias("cid"))
+    assign = assigned.select(
+        F.col(id_col), F.col("_sd_cid").alias("cid")
+    )
     return (
         assign.join(dups, id_col, "left")
         .select(

@@ -253,6 +253,11 @@ def ngram_jaccard_pairs(
         shingle_n=shingle_n, max_bucket=max_bucket, _shingles=ex,
         _checkpoint_bands=False,
     )
+    # NOT checkpointed: cand is referenced twice (intersection + outer
+    # join) and the static plan shows the band self-join duplicated, but
+    # the duplicate exchanges REUSE at runtime — a same-session A/B
+    # (3 alternating rounds, sf0.1) read 3.05 s with a cand
+    # localCheckpoint vs 2.82 s without (guide §1: measure first).
     # shingle-level equi-join instead of array_intersect: n_inter(a,b) is a
     # count over (pair, shared shingle) rows — all hash joins + partial
     # aggregation, no wide array columns flowing through the shuffle.
@@ -1700,6 +1705,12 @@ def jaccard_prefix_pairs(
             F.explode(H.words(F.col(text_col))).alias("tok"),
         ).distinct()
     tok = tok.localCheckpoint(eager=False)
+    # NOT cut: sizes/pref re-derivations are cheap aggregates over the
+    # cached token table and their exchanges reuse at runtime —
+    # measured A/B (4 alternating rounds, one session, sf0.1): adding
+    # sizes+pref localCheckpoints read 7.30 s vs 6.32 s without (the
+    # materialization job + lost partitioning cost more than the
+    # recompute; guide §1.2 — algorithm first, then measure).
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # global document frequency -- vocab-sized, broadcast to order tokens
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
@@ -1903,20 +1914,32 @@ def containment_pairs(
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = inter.join(na, "doc_a").join(nb, "doc_b")
-    ab = j.select(
-        F.col("doc_a").alias("contained_doc"),
-        F.col("doc_b").alias("container_doc"),
-        F.col("n_inter"),
-        F.col("n_a").alias("n_contained"),
-    )
-    ba = j.select(
-        F.col("doc_b").alias("contained_doc"),
-        F.col("doc_a").alias("container_doc"),
-        F.col("n_inter"),
-        F.col("n_b").alias("n_contained"),
-    )
+    # Both directions come off ONE evaluation of ``j``: a
+    # union-of-two-projections re-plans (and re-executes) the whole
+    # candidate-gen + intersection subtree per branch — the physical
+    # plan literally contained two full copies (guide §7.2, duplicated
+    # subtrees).  posexplode-free explode of a 2-struct array keeps the
+    # rows byte-identical and evaluates j once.
+    both = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained_doc"),
+                    F.col("doc_b").alias("container_doc"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("n_a").alias("n_contained"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained_doc"),
+                    F.col("doc_a").alias("container_doc"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("n_b").alias("n_contained"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
-        ab.unionByName(ba)
+        both
         .filter(F.col("n_inter") * den >= F.col("n_contained") * num)
         .select(
             "contained_doc",

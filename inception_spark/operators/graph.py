@@ -160,6 +160,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # The canonical edge set feeds degree (twice via the union),
+        # orientation, the closing semi-join and the final stats — without
+        # a lineage cut every reference re-plans the caller's whole edge
+        # derivation (part_basket_edges re-ran its lineitem self-join ~14x,
+        # 56 parquet scans in one plan; guide §7.2 duplicated subtrees).
+        # The edge set is O(m) small; localCheckpoint computes it once.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -341,6 +348,13 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # The canonical edge set feeds degree (twice via the union),
+        # orientation, the closing semi-join and the final stats — without
+        # a lineage cut every reference re-plans the caller's whole edge
+        # derivation (part_basket_edges re-ran its lineitem self-join ~14x,
+        # 56 parquet scans in one plan; guide §7.2 duplicated subtrees).
+        # The edge set is O(m) small; localCheckpoint computes it once.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -472,6 +486,12 @@ def link_prediction(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # Same lineage cut as triangle_count: e feeds the adjacency union
+        # (x2), the wedge self-join (x2 more via ctr), the existing-edge
+        # anti-join and the degree joins — each reference otherwise
+        # re-plans the caller's full edge derivation (52 parquet scans in
+        # the part-graph plan; guide §7.2).
+        .localCheckpoint(eager=False)
     )
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))

@@ -2999,6 +2999,12 @@ def item_item_cosine_recs(
         F.count(F.lit(1)).alias("_bsize")
     ).filter(F.col("_bsize") <= max_basket)
     kept = li.join(sized.select("l_orderkey"), "l_orderkey")
+    # NOT checkpointed: the static plan re-plans kept per reference
+    # (32 lineitem scans) but the duplicate exchanges reuse at
+    # runtime, and a kept-table localCheckpoint measured flat-to-worse
+    # in a same-session A/B at sf0.1 while materializing a data-scale
+    # table (guide §1: measure first; §5: cache only what recomputing
+    # costs more than the memory pressure).
     item_n = kept.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
     )
@@ -3032,13 +3038,24 @@ def item_item_cosine_recs(
             ).alias("_s"),
         )
     )
+    # Mirror each scored pair into both directions off ONE evaluation of
+    # ``scored``: the former union-of-two-projections re-executed the
+    # whole pair-count subtree per branch (guide §7.2 duplicated
+    # subtrees); the exploded rows are field-for-field identical.
     both = scored.select(
-        F.col("i").alias("item"), F.col("j").alias("rec"), "cooc", "_s"
-    ).unionByName(
-        scored.select(
-            F.col("j").alias("item"), F.col("i").alias("rec"), "cooc", "_s"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("item"), F.col("j").alias("rec"),
+                    F.col("cooc").alias("cooc"), F.col("_s").alias("_s"),
+                ),
+                F.struct(
+                    F.col("j").alias("item"), F.col("i").alias("rec"),
+                    F.col("cooc").alias("cooc"), F.col("_s").alias("_s"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     w = Window.partitionBy("item").orderBy(F.desc("_s"), F.asc("rec"))
     return (
         both.withColumn("rank", F.row_number().over(w))

@@ -330,11 +330,24 @@ def synth_avro_corpus(
     *,
     codec: str = "deflate",
     n_shards: int = 4,
+    n_subshards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Per-shard Avro container over (doc_id long, text string) records
-    in doc_id order (shard = doc_id mod n_shards), worker-side."""
+    in doc_id order (shard = doc_id mod n_shards), worker-side.
+
+    Each logical shard is built as ``n_subshards`` independent
+    sub-containers (multiple rows sharing a ``shard`` key — the
+    synth_mbox_corpus discipline): the per-record encode + block
+    framing runs at shard x sub parallelism instead of ``n_shards``
+    tasks, and the stats fold per shard so sub-container boundaries
+    are invisible to the result.  The group exchange is pinned with an
+    EXPLICIT-count repartition on the group keys so AQE's coalescing
+    cannot fuse the build back to a handful of tasks (guide §2.5)."""
+    if n_subshards is None:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        n_subshards = max(1, (int(par) + n_shards - 1) // n_shards)
     src = (
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -342,6 +355,13 @@ def synth_avro_corpus(
         .where(F.col("text").isNotNull())
         .withColumn(
             "shard", (F.col("doc_id") % F.lit(int(n_shards))).cast("long")
+        )
+        .withColumn(
+            "subshard",
+            F.expr(
+                f"CAST((doc_id DIV {int(n_shards)}) "
+                f"% {int(n_subshards)} AS BIGINT)"
+            ),
         )
     )
 
@@ -360,7 +380,12 @@ def synth_avro_corpus(
             }
         )
 
-    return src.groupBy("shard").applyInPandas(build, _CORPUS_SCHEMA)
+    n_groups = int(n_shards) * int(n_subshards)
+    return (
+        src.repartition(n_groups, "shard", "subshard")
+        .groupBy("shard", "subshard")
+        .applyInPandas(build, _CORPUS_SCHEMA)
+    )
 
 
 _STATS_SCHEMA = T.StructType(

@@ -39,6 +39,7 @@ from inception_spark.operators.snappycodec import (
     encode_snappy,
 )
 from inception_spark.operators.zstdcodec import decode_zstd_frame
+from inception_spark.sources import fanout
 from inception_spark.sources.zstdshard import _compress as _zstd_compress
 
 CODECS = ("brotli", "gzip", "lz4", "snappy", "zstd")
@@ -136,7 +137,10 @@ def codec_matrix_partials(
                 ]
             )
 
-    return src.mapInPandas(fold, _PARTIAL_SCHEMA)
+    # fan out before the compress→decode round-trip pass (guide §2.5):
+    # per-codec partials are summed downstream, so the exchange moves
+    # only (doc_id, text) and the result is unchanged.
+    return fanout(src).mapInPandas(fold, _PARTIAL_SCHEMA)
 
 
 def codec_matrix_from_partials(parts: DataFrame) -> DataFrame:

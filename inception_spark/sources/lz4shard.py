@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
 from inception_spark.operators.lz4codec import (
     decode_lz4_frame,
     encode_lz4_frame,
@@ -76,7 +77,10 @@ def synth_lz4_corpus(
                 }
             )
 
-    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+    # fan out before the per-record frame synthesis (guide §2.5):
+    # the partials downstream are summed per shard, so the round-robin
+    # exchange is invisible to the result.
+    return fanout(src).mapInPandas(gen, _CORPUS_SCHEMA)
 
 
 _PARTIAL_SCHEMA = T.StructType(

@@ -266,14 +266,32 @@ _CORPUS_SCHEMA = T.StructType(
 
 
 def synth_tfexample_corpus(
-    docs: DataFrame, *, n_shards: int = 4
+    docs: DataFrame, *, n_shards: int = 4,
+    n_subshards: int | None = None,
 ) -> DataFrame:
-    from . import fanout
-
-    src = fanout(
+    """Each logical shard is built as ``n_subshards`` independent
+    sub-blobs (the synth_mbox_corpus discipline): the per-record proto
+    encode runs at shard x sub parallelism instead of ``n_shards``
+    tasks — the earlier upstream ``fanout`` bought nothing because the
+    4-key groupBy immediately re-fused the build to 4 tasks (guide
+    §2.5).  Stats fold per shard, so sub-blob boundaries are invisible
+    to the result; the explicit-count repartition pins the exchange
+    against AQE coalescing."""
+    if n_subshards is None:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        n_subshards = max(1, (int(par) + n_shards - 1) // n_shards)
+    src = (
         docs.select("doc_id", "text").where(F.col("text").isNotNull())
-    ).withColumn(
-        "shard", (F.col("doc_id") % F.lit(int(n_shards))).cast("long")
+        .withColumn(
+            "shard", (F.col("doc_id") % F.lit(int(n_shards))).cast("long")
+        )
+        .withColumn(
+            "subshard",
+            F.expr(
+                f"CAST((doc_id DIV {int(n_shards)}) "
+                f"% {int(n_subshards)} AS BIGINT)"
+            ),
+        )
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -290,7 +308,12 @@ def synth_tfexample_corpus(
             }
         )
 
-    return src.groupBy("shard").applyInPandas(build, _CORPUS_SCHEMA)
+    n_groups = int(n_shards) * int(n_subshards)
+    return (
+        src.repartition(n_groups, "shard", "subshard")
+        .groupBy("shard", "subshard")
+        .applyInPandas(build, _CORPUS_SCHEMA)
+    )
 
 
 _STATS_SCHEMA = T.StructType(

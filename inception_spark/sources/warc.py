@@ -609,7 +609,12 @@ def synth_warc_http_corpus(
                  "record": recs}
             )
 
-    return src.mapInPandas(gen, _HTTP_CORPUS_SCHEMA)
+    # fan out before the per-record HTTP-message + WARC-record build
+    # (guide §2.5): encoding partials are summed downstream, so the
+    # round-robin exchange is invisible to the result.
+    from inception_spark.sources import fanout
+
+    return fanout(src).mapInPandas(gen, _HTTP_CORPUS_SCHEMA)
 
 
 _HTTP_PARTIAL_SCHEMA = T.StructType(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_spark.sources import fanout
 from inception_spark.operators.zstdcodec import (
     decode_zstd_frame,
     encode_zstd_store,
@@ -106,7 +107,10 @@ def synth_zstd_corpus(
                 }
             )
 
-    return src.mapInPandas(gen, _CORPUS_SCHEMA)
+    # fan the (doc_id, text) projection out BEFORE the per-record
+    # compression pass: a single-file documents scan otherwise runs it
+    # at effective parallelism 1 (guide §2.5, the r12 MIME-cliff shape).
+    return fanout(src).mapInPandas(gen, _CORPUS_SCHEMA)
 
 
 _PARTIAL_SCHEMA = T.StructType(
@@ -288,7 +292,7 @@ def zstd_dict_stats(docs: DataFrame, *, n_train: int = 200) -> DataFrame:
                 )
 
     return (
-        src.mapInPandas(fold, _PARTIAL_SCHEMA)
+        fanout(src).mapInPandas(fold, _PARTIAL_SCHEMA)
         .groupBy("shard")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
