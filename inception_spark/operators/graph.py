@@ -254,6 +254,14 @@ def kcore(
     chain) rounds (typically < 8 on near-dup graphs); an unconverged
     run is still deterministic — the final degree filter applies the
     same definition both engines unroll.
+
+    Peeling only ever REMOVES edges, so the surviving edge count is
+    monotone non-increasing and count-unchanged ⟺ set-unchanged ⟺
+    fixpoint: every later round is the identity.  Each round therefore
+    counts the (checkpoint-materialized-anyway) edge set and stops at
+    the fixpoint — bit-identical output to the full unroll (the DuckDB
+    twin unrolls all ``n_iter`` rounds and matches), at the cost of one
+    cached-count job per round executed.
     """
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
@@ -275,13 +283,20 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
+    prev = e.count()
     for _ in range(n_iter):
+        if prev == 0:
+            break
         keep = degrees(e).filter(F.col("deg") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
+        n = e.count()
+        if n == prev:
+            break
+        prev = n
     return degrees(e).filter(F.col("deg") >= k).select(
         "node", F.col("deg").cast("long").alias("deg")
     )

@@ -135,6 +135,40 @@ def test_kcore_empty_result(spark):
     assert out.count() == 0 and out.columns == ["node", "deg"]
 
 
+def test_kcore_fixpoint_early_exit(spark, monkeypatch):
+    """Peeling stops at the edge-count fixpoint: a clique is already its
+    own k-core, so round 1 removes nothing and rounds 2..n_iter must not
+    run.  Counted via the per-round DataFrame.count() the loop issues
+    (1 initial + 1 round), and the early-exit result must equal the full
+    unroll bit-for-bit."""
+    from inception_spark.operators.graph import kcore
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+
+    # patch the CONCRETE DataFrame class (Spark 4 classic subclass
+    # overrides count, so patching pyspark.sql.DataFrame misses it)
+    cls = type(df)
+    calls = []
+    orig_count = cls.count
+
+    def counting(self):
+        calls.append(1)
+        return orig_count(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    got = {(r.node, r.deg) for r in kcore(df, k=3, n_iter=8).collect()}
+    monkeypatch.setattr(cls, "count", orig_count)
+
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    # initial count + round-1 count (unchanged -> break); NOT 1 + 8
+    assert len(calls) == 2
+
+    # a graph that peels to empty exercises the n == 0 break the same way
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert kcore(chain, k=2, n_iter=8).count() == 0
+
+
 def test_local_clustering_known_graph(spark):
     """Triangle {1,2,3} + pendant 4-1: lcc(1)=2*1/(3*2)=1/3,
     lcc(2)=lcc(3)=1.0, lcc(4) undefined (deg 1) -> NULL."""

@@ -2300,7 +2300,10 @@ def test_r13_ingest_plans_scan_shaped(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     shapes = [
         (epub_text_stats, 2, 0, 1),
-        (tfexample_stats, 1, 1, 1),
+        # r13 optimization: the tfexample build went (shard, subshard)
+        # sub-sharded — parallelism comes from the groupBy hash
+        # exchange (32+ keys), not an upstream RoundRobin fanout
+        (tfexample_stats, 1, 1, 0),
     ]
     for fn, n_mip, n_fgp, n_rr in shapes:
         p = plan_of(fn(docs))
@@ -2309,6 +2312,7 @@ def test_r13_ingest_plans_scan_shaped(spark):
         assert p.count("MapInPandas") == n_mip, name
         assert p.count("FlatMapGroupsInPandas") == n_fgp, name
         assert p.count("RoundRobinPartitioning") == n_rr, name
+    assert "hashpartitioning" in plan_of(tfexample_stats(docs))
 
 
 def test_dlog_read_plans(spark):
