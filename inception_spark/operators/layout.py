@@ -936,7 +936,19 @@ def hilbert_key_expr(cx: Column, cy: Column, *, bits: int = 16) -> Column:
     pass per row, constant expression size (a withColumn chain would
     let CollapseProject inline each level's x/y twice per use and blow
     the tree up exponentially).  DuckDB replays the identical fold as
-    an unrolled 16-step CTE chain (:func:`hilbert_key_sql`)."""
+    an unrolled 16-step CTE chain (:func:`hilbert_key_sql`).
+
+    r13 alternatives BUILT AND MEASURED, both bit-identical (0
+    mismatches over all sf0.1 events) and both SLOWER than this fold,
+    so not kept (same-session min-of-4, full query shape, noop sink):
+    the fully unrolled select chain executes 33% faster but pays 3–4 s
+    of driver-side analysis per build (2× end-to-end loss); the
+    Lam–Shapiro 4-state automaton fold (two bit-tests + packed-table
+    lookup per level, zero ``when`` branches, tables 0x1E369CB4 /
+    0xB7CA5C21) read 1.69 s (shiftrightunsigned form) and 1.84 s
+    (element_at struct-table form) against 1.56 s for this fold — the
+    interpreted-HOF cost here is the per-level struct allocation and
+    aggregate machinery, not the branches the automaton removes."""
     if bits * 2 > 62:
         raise ValueError(f"bits={bits} overflows int64 for 2 columns")
     n = 1 << bits
