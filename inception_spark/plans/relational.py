@@ -2407,23 +2407,44 @@ def events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("_tb"),
         )
     )
-    both = pts.unionByName(spine).withColumn("t_us", usec(F.col("ts")))
+    # ev_t is pre-projected (not inlined in the window calls) so the two
+    # same-frame window functions land in ONE Window node instead of
+    # Spark splitting them across three (the inline CASE forces an
+    # intermediate Project between Window operators).
+    both = (
+        pts.unionByName(spine)
+        .withColumn("t_us", usec(F.col("ts")))
+        .withColumn(
+            "ev_t", F.when(F.col("value").isNotNull(), F.col("t_us"))
+        )
+    )
     wb = (
         Window.partitionBy("user_id")
         .orderBy("t_us", "is_grid", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    # The forward bracket runs as a RUNNING frame over the exact reverse
+    # total order: last-non-null in [start, current] under DESC order ==
+    # first-non-null in [current, end] under ASC order (the (t_us,
+    # is_grid, _tb) key is a total order within each user, so reversal
+    # is exact).  Spark evaluates a (currentRow, unboundedFollowing)
+    # frame by rescanning [current, end] for EVERY row — O(partition²);
+    # with ~766-row avg partitions at sf0.1 that quadratic scan was most
+    # of the query: same-session interleaved A/B min-of-4 at sf0.1 read
+    # 3.01 s (old) vs 0.98 s (this form), bit-identical over all
+    # 1,049,414 output rows; the r12 quiet pin for the old form was
+    # 5.68 s.  Plan: 2 Window nodes + 1 extra in-partition Sort instead
+    # of 3 Windows, two of them quadratic (guide §7.2).
+    wf_rev = (
         Window.partitionBy("user_id")
-        .orderBy("t_us", "is_grid", "_tb")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("t_us"), F.desc("is_grid"), F.desc("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ev_ts = F.when(F.col("value").isNotNull(), F.col("t_us"))
     g = (
         both.withColumn("pv", F.last("value", ignorenulls=True).over(wb))
-        .withColumn("pt", F.last(ev_ts, ignorenulls=True).over(wb))
-        .withColumn("nv", F.first("value", ignorenulls=True).over(wf))
-        .withColumn("nt", F.first(ev_ts, ignorenulls=True).over(wf))
+        .withColumn("pt", F.last("ev_t", ignorenulls=True).over(wb))
+        .withColumn("nv", F.last("value", ignorenulls=True).over(wf_rev))
+        .withColumn("nt", F.last("ev_t", ignorenulls=True).over(wf_rev))
         .filter(F.col("is_grid") == 1)
     )
     frac = (F.col("t_us") - F.col("pt")).cast("double") / (
