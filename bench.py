@@ -459,13 +459,23 @@ EXCLUDED = {
     **{n: _EXCL_REPORT for n in [
         "retrieval_quality", "lsh_eval_report", "ann_recall_report",
         "ivf_balance_report", "join_skew_report",
-        "pruning_effectiveness", "link_prediction_eval",
+        "pruning_effectiveness",
         "dedup_threshold_sweep", "lsh_tuning_curve", "lr_pr_curve",
         "lr_calibration", "lr_best_threshold", "dq_check",
         "dq_quarantine", "corpus_drift", "snapshot_diff",
         "compaction_plan_stats", "parquet_rowgroup_stats",
         "benchmark_contamination",
     ]},
+    "link_prediction_eval": (
+        "exact closed-loop eval over the DENSE co-purchase graph: its "
+        "distributed cost is one exact 7.3e7-group wedge aggregate, "
+        "measured 22-25 s min-of-3 at sf0.1 (r13 audit; down from "
+        "30-33 s / a 139 s long-session single run) — deliberately "
+        "registry-only: the benched link_prediction carries the "
+        "family's operational shape, and this eval's cost is the "
+        "honest floor of the exact aggregate it exists to verify, "
+        "priced here instead of hidden (r13 second-pass audit)"
+    ),
     **{n: _EXCL_TEXT_VARIANT for n in [
         "normalize_text", "clean_text", "validate_text",
         "extract_citations", "term_keyness", "corpus_ngram_topk",

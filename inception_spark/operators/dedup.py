@@ -1530,12 +1530,20 @@ def lsh_probe_pairs(
     by_band: dict[int, list] = {}  # keys are md5-hex strings
     for r in keys:
         by_band.setdefault(int(r["band"]), []).append(r["key"])
-    cond = None
+    # The predicate is built as ONE SQL string, not per-literal isin():
+    # Column.isin() makes a py4j round trip per element, and a probe
+    # batch can carry tens of thousands of distinct band keys —
+    # measured 12.15 s of pure driver time at 17,639 keys (sf0.1),
+    # 0.05 s as a single parsed expression.  The resulting In
+    # predicate (and its scan pushdown) is identical.
+    parts = []
     for b in sorted(by_band):
-        c = (F.col("band") == b) & F.col("key").isin(
-            sorted(by_band[b])
+        ks = ",".join(
+            "'" + str(kk).replace("'", "''") + "'"
+            for kk in sorted(by_band[b])
         )
-        cond = c if cond is None else cond | c
+        parts.append(f"(band = {int(b)} AND key IN ({ks}))")
+    cond = F.expr(" OR ".join(parts))
     idx = spark.read.parquet(index_path).where(cond)
     return (
         idx.join(F.broadcast(nb), ["band", "key"])

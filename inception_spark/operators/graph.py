@@ -536,6 +536,19 @@ def link_prediction(
             )
         ctr = ctr.filter(F.col("degw") <= max_center_degree)
     a, b = ctr.alias("a"), ctr.alias("b")
+    # The Adamic–Adar terms sum as LONG micro-units (k where
+    # round(1/ln d, 6) = k/10⁶), not DECIMAL(28,6): precision 28 is
+    # past Spark's compact-long Decimal range (18 digits), so the
+    # decimal aggregate allocates a BigDecimal per wedge row — at the
+    # dense-graph eval's 1.48×10⁸ wedges that allocation was most of
+    # the aggregate.  Exactness is unchanged: each term's micro integer
+    # is recovered exactly (the inner round(…, 6) is the oracle's
+    # per-term rounding; ×10⁶ has relative error ≤2⁻⁵¹ ≪ 0.5, so the
+    # outer round(…, 0) yields exactly k), per-pair sums stay ≤
+    # 1.45×10⁶ × deg-cap ≪ 2⁵³, and (double)(Σk)/10⁶ is the correctly
+    # rounded double of the exact rational — bit-identical to DuckDB's
+    # CAST(SUM(decimal) AS DOUBLE).  Oracle-green at sf0.001/0.01/0.1
+    # for both link_prediction and link_prediction_eval.
     wedges = a.join(
         b,
         (F.col("a.w") == F.col("b.w"))
@@ -544,35 +557,30 @@ def link_prediction(
         F.col("a.nbr").alias("u"),
         F.col("b.nbr").alias("v"),
         F.round(
-            F.lit(1.0) / F.log(F.col("a.degw").cast("double")), 6
+            F.round(
+                F.lit(1.0) / F.log(F.col("a.degw").cast("double")), 6
+            )
+            * F.lit(1000000.0),
+            0,
         )
-        .cast("decimal(28,6)")
-        .alias("_aa"),
+        .cast("long")
+        .alias("_aa_u"),
     )
     scored = (
         wedges.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
-            F.sum("_aa").alias("_aa_sum"),
+            F.sum("_aa_u").alias("_aa_usum"),
         )
         .filter(F.col("n_common") >= min_common)
         .join(e, ["u", "v"], "left_anti")
-        .join(
-            deg.selectExpr("node AS u", "deg AS du"), "u"
-        )
-        .join(
-            deg.selectExpr("node AS v", "deg AS dv"), "v"
-        )
         .select(
             F.col("u").cast("long").alias("u"),
             F.col("v").cast("long").alias("v"),
             F.col("n_common").cast("long").alias("n_common"),
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("du") + F.col("dv") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-            F.col("_aa_sum").cast("double").alias("adamic_adar"),
+            (F.col("_aa_usum").cast("double") / F.lit(1000000.0)).alias(
+                "adamic_adar"
+            ),
         )
     )
     pre = Window.partitionBy("u").orderBy(
@@ -584,13 +592,32 @@ def link_prediction(
     # per-u prune shrinks the global candidate set to <= k per u, then
     # orderBy().limit(k) lets Spark plan TakeOrderedAndProject — the
     # rank window runs over at most k rows, never a one-partition sort
-    # of the full candidate table
+    # of the full candidate table.  The degree joins sit BELOW the
+    # top-k: du/dv feed only jaccard, which no filter, window or rank
+    # reads, so joining degrees onto the <= k survivors is
+    # result-identical and removes two full exchange+sort passes of the
+    # candidate table (7.3×10⁷ rows on the dense-graph eval — the
+    # before plan exchanged it on u and again on v just to attach
+    # degrees).
     topk = (
         scored.withColumn("_pr", F.row_number().over(pre))
         .filter(F.col("_pr") <= k)
         .drop("_pr")
         .orderBy(F.col("adamic_adar").desc(), "u", "v")
         .limit(k)
+        .join(deg.selectExpr("node AS u", "deg AS du"), "u")
+        .join(deg.selectExpr("node AS v", "deg AS dv"), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
     )
     return topk.withColumn(
         "rank", F.row_number().over(glob).cast("long")
@@ -839,17 +866,37 @@ def link_prediction_eval(
                 )
             ),
         )
+        # e feeds held (×2: the hits semi-join and n_holdout), train
+        # (×2: the prediction graph and n_train_edges) — without the cut
+        # each reference re-plans the caller's full edge derivation
+        # (here: the dense co-purchase self-join), the triangle_count
+        # lineage-cut rationale (guide §7.2)
+        .localCheckpoint(eager=False)
     )
     held = e.filter(F.col("_k") % holdout_mod == 0).select("u", "v")
     train = e.filter(F.col("_k") % holdout_mod != 0).select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     )
+    # preds is ≤ k rows (control-plane sized) but is referenced TWICE
+    # (n_predicted and the hits semi-join): without this cut the whole
+    # Σ deg² wedge pipeline — 0.95×10⁸ training wedges on the sf0.1
+    # dense co-purchase graph — is EVALUATED twice (runtime exchange
+    # reuse shares most of the duplicate work, but only as a runtime
+    # accident; the checkpoint makes the single evaluation structural).
+    # Measured on that graph, alternating-session min-of-3: 30.4–33.1 s
+    # (old) → 22.0–24.7 s with this cut + the micro-unit aggregate +
+    # the post-top-k degree joins in link_prediction (a long-session
+    # single-run audit had read the old form at 139 s).  The remaining
+    # cost is the one exact 7.3×10⁷-group wedge aggregate — the
+    # algorithm's floor (wedge enumeration alone is 1.4 s; the
+    # candidate groupBy is ~21 s with near-1:1 partial-aggregation
+    # reduction).
     preds = link_prediction(
         train,
         min_common=min_common,
         k=k,
         max_center_degree=max_center_degree,
-    )
+    ).localCheckpoint(eager=False)
     hits = preds.join(held, ["u", "v"], "left_semi")
     counts = (
         train.agg(F.count(F.lit(1)).alias("n_train_edges"))

@@ -204,6 +204,37 @@ def test_link_prediction_square_graph(spark):
     assert abs(r["adamic_adar"] - 2 * round(1 / math.log(2), 6)) < 1e-9
 
 
+def test_link_prediction_micro_unit_aggregate(spark):
+    """The Adamic–Adar sum aggregates LONG micro-units (k where
+    round(1/ln d, 6) = k/10⁶), not DECIMAL(28,6) — past Spark's
+    compact-long decimal range every wedge row allocated a BigDecimal,
+    which was most of the dense-graph eval's aggregate.  Pins: (a) the
+    recovered double is exactly the decimal-sum semantics on a star
+    graph whose 36 leaf pairs each carry one round(1/ln 9, 6) term;
+    (b) no decimal(28,6) appears anywhere in the executed plan; (c)
+    the degree joins sit ABOVE the top-k limit (du/dv feed only
+    jaccard, so joining them onto the ≤ k survivors — not the full
+    candidate table — is result-identical)."""
+    import math
+
+    from inception_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 10)], "src int, dst int"
+    )
+    df = link_prediction(edges, min_common=1, k=100)
+    out = df.collect()
+    aa = round(1 / math.log(9), 6)
+    assert len(out) == 36  # C(9,2) leaf pairs through the deg-9 center
+    for r in out:
+        assert r["n_common"] == 1
+        assert r["adamic_adar"] == aa
+        assert r["jaccard"] == 1.0  # du=dv=1, 1/(1+1-1)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "decimal(28,6)" not in p
+    assert "_aa_u" in p  # the micro-unit column feeds the aggregate
+
+
 def test_link_prediction_hub_cap(spark):
     """Hub cap semantics: (a) on a cap-free graph the default capped
     path is IDENTICAL to uncapped; (b) a small cap drops exactly the
