@@ -6984,19 +6984,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness window runs
     the FIRST 50 entries, so the 50 slots rotate each round to the entries
-    with the least driver signal.  Round 13 (see ``_WINDOW_R13`` below,
-    VERDICT r12 ask 3): slots 1-41 are the staged r13 head — the 6
-    remaining new-in-r11 entries plus all 35 new-in-r12 entries, zero
-    driver signal; slots 42-50 are the first 9 of ``_COHORT_NEW_R10``,
-    the oldest-signal cohort left (last green r11).  Just past the
-    boundary sits the round-14 head: the 30 remaining r10 entries, then
-    any entries added THIS round (``_COHORT_NEW_R13``).  Cohort
-    arithmetic (41 + 9 = 50, remainder 30) is asserted by
+    with the least driver signal.  Round 14 (see ``_WINDOW_R14`` below,
+    VERDICT r13 ask 8): slots 1-30 are the 30 remaining r10-cohort
+    entries (oldest signal left, last green round 11); slots 31-50 are
+    the first 20 of ``_COHORT_NEW_R13`` (dlog, conversation/SFT,
+    tfexample, EPUB — zero driver signal since birth).  Just past the
+    boundary sit the 3 remaining r13-cohort entries as the r15 head
+    (``_STAGED_R15``; round 14 added no entries — optimization round).
+    Cohort arithmetic (30 + 20 = 50, remainder 3) is asserted by
     ``tests/test_rotation_staging.py`` so a drifted comment fails
     loudly.  The in-repo mini-driver (tests/test_entry.py) still
     verifies every oracle pair at sf0.001 regardless of position.  The
     dict literal below keeps its stable grouped-by-family order;
-    ``_WINDOW_R13 + _STAGED_R14`` does the rotation at return time so
+    ``_WINDOW_R14 + _STAGED_R15`` does the rotation at return time so
     slot moves are one-line edits."""
     reg = {
         # embedding pipeline — the reference's own surface; chunker fold
@@ -7700,7 +7700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
     }
-    order = _WINDOW_R13 + _STAGED_R14
+    order = _WINDOW_R14 + _STAGED_R15
     missing = [k for k in order if k not in reg]
     assert not missing, f"window names unknown entries: {missing}"
     head = {k: reg[k] for k in order}
@@ -7915,6 +7915,15 @@ _COHORT_NEW_R13: list[str] = [
 
 _WINDOW_R13 = _STAGED_R13 + _COHORT_NEW_R10[:9]
 _STAGED_R14 = _COHORT_NEW_R10[9:] + _COHORT_NEW_R13
+
+# Round-14 rotation (VERDICT r13 ask 8): the staged head becomes the
+# window — the 30 remaining r10 entries (oldest signal left: last
+# green r11) plus the first 20 of _COHORT_NEW_R13 (zero driver signal
+# since birth).  30 + 20 = 50 fills the r14 window exactly; the
+# 3 remaining r13-cohort entries stage as the r15 head (no entries
+# were added in r14 — an optimization round).
+_WINDOW_R14 = _STAGED_R14[:50]
+_STAGED_R15 = _STAGED_R14[50:]
 
 
 

@@ -2102,32 +2102,56 @@ def blocklist_hits_stateless(
     for p in phrases:
         terms = _phrase_terms(p)
         norm[" ".join(terms)] = len(terms)
-    entries = F.array(*[
-        F.struct(F.lit(k).alias("phrase"), F.lit(n).alias("n"))
-        for k, n in sorted(norm.items())
-    ])
+    # Gram arrays are built ONCE PER DISTINCT PHRASE LENGTH per row —
+    # not once per (row, phrase) as the previous explode-then-build
+    # shape did (guide §2.3 "project before" applied to the expression
+    # level; the measured ≈1.7× r13 probe, VERDICT r13 ask 3).  The
+    # gram transform (interpreted HOF: sequence + slice + concat_ws
+    # per position) is the expensive part; the per-phrase occurrence
+    # count is then a cheap equality filter over the pre-built array.
+    # Each per-length array column is referenced by every phrase of
+    # that length in the counts projection, and CollapseProject never
+    # inlines a non-cheap producer that is referenced more than once
+    # — and when a length has exactly one phrase, inlining it is one
+    # construction per row anyway — so the once-per-length evaluation
+    # is structural, not an optimizer accident (pinned by
+    # tests/test_text_analysis.py plan assertions).  Still row-local:
+    # no join, no aggregation — the counts array explodes into the
+    # same (doc_id, phrase, n_hits) rows, n_hits > 0, as before.
+    lengths = sorted(set(norm.values()))
+
+    def _gram_arr(n: int):
+        return F.when(
+            F.size("ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         H.words(F.col(text_col)).alias("ws"),
-        F.explode(entries).alias("p"),
+    ).select(
+        "doc_id", *[_gram_arr(n).alias(f"_g{n}") for n in lengths]
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - F.col("p.n") + 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(F.col("ws"), i, F.col("p.n"))
-        ),
-    )
-    n_hits = F.when(
-        F.size("ws") >= F.col("p.n"),
-        F.size(F.filter(grams, lambda g: g == F.col("p.phrase"))),
-    ).otherwise(F.lit(0))
-    return (
-        docs.select(
-            "doc_id",
-            F.col("p.phrase").alias("phrase"),
-            n_hits.cast("long").alias("n_hits"),
+    counts = F.array(*[
+        F.struct(
+            F.lit(k).alias("phrase"),
+            F.size(
+                F.filter(F.col(f"_g{n}"), lambda g: g == F.lit(k))
+            ).cast("long").alias("n_hits"),
         )
-        .filter(F.col("n_hits") > 0)
+        for k, n in sorted(norm.items())
+    ])
+    return (
+        docs.select("doc_id", F.explode(counts).alias("h"))
+        .filter(F.col("h.n_hits") > 0)
+        .select(
+            "doc_id",
+            F.col("h.phrase").alias("phrase"),
+            F.col("h.n_hits").alias("n_hits"),
+        )
     )
 
 

@@ -90,20 +90,46 @@ def _argmin_on(uvec, cents: list[list[int]]):
     tree (and Catalyst analysis time, which dominates when the plan is
     built per query) stays O(k·d literals + 1 lambda), not O(k lambdas).
     Python ints lower to LongType, so the literal is array<array<bigint>>
-    exactly like the per-element F.lit path it replaces."""
+    exactly like the per-element F.lit path it replaces.
+
+    ``uvec`` is LET-BOUND through a one-element-array transform before
+    the per-centroid probe (r14, guide §4.2's "materialize the word
+    array" lesson at the expression level): higher-order-function
+    lambdas are interpreted with no common-subexpression elimination,
+    so when callers pass an INLINE quantization expression
+    (``_uvec_expr(floats)``, a d-element transform) the per-centroid
+    ``zip_with`` would re-evaluate it once per centroid — k× the
+    quantize work per argmin evaluation (×3 plan references in
+    semantic_dedup).  Binding it to a lambda variable evaluates it
+    exactly once per row; a plain projection alias can't guarantee
+    that (CollapseProject re-inlines single-reference producers).
+    Measured a WASH at this fixture's shape (same-session interleaved
+    A/B min-of-4 at sf0.1: semantic_dedup 3.28 → 3.19, kmeans_train
+    2.28 → 2.38 — k=8 × d=64 quantize re-evaluation is small next to
+    the Lloyd rounds' driver-side jobs and the dup-pair matmuls) and
+    KEPT as structural insurance: the re-evaluation grows with k, and
+    this is the same interpreted-HOF inlining class that cost 10×
+    elsewhere (hashing.shingles_from_words).  Bit-identical outputs,
+    oracle-green at sf0.001/0.01, collect-equal at sf0.1."""
     lit2 = F.lit([[int(v) for v in c] for c in cents])
-    return F.array_min(
-        F.transform(
-            lit2,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(uvec, c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                i.alias("cid"),  # transform index is INT, same as F.lit(cid) was
-            ),
+
+    def _min_over(uv):
+        return F.array_min(
+            F.transform(
+                lit2,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(uv, c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.alias("cid"),  # transform index is INT, as F.lit(cid) was
+                ),
+            )
         )
+
+    return F.element_at(
+        F.transform(F.array(uvec), lambda uv: _min_over(uv)), 1
     )
 
 

@@ -549,13 +549,7 @@ def link_prediction(
     # rounded double of the exact rational — bit-identical to DuckDB's
     # CAST(SUM(decimal) AS DOUBLE).  Oracle-green at sf0.001/0.01/0.1
     # for both link_prediction and link_prediction_eval.
-    wedges = a.join(
-        b,
-        (F.col("a.w") == F.col("b.w"))
-        & (F.col("a.nbr") < F.col("b.nbr")),
-    ).select(
-        F.col("a.nbr").alias("u"),
-        F.col("b.nbr").alias("v"),
+    aa_term = (
         F.round(
             F.round(
                 F.lit(1.0) / F.log(F.col("a.degw").cast("double")), 6
@@ -564,46 +558,120 @@ def link_prediction(
             0,
         )
         .cast("long")
-        .alias("_aa_u"),
+        .alias("_aa_u")
     )
-    scored = (
-        wedges.groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.sum("_aa_u").alias("_aa_usum"),
-        )
-        .filter(F.col("n_common") >= min_common)
-        .join(e, ["u", "v"], "left_anti")
-        .select(
-            F.col("u").cast("long").alias("u"),
-            F.col("v").cast("long").alias("v"),
-            F.col("n_common").cast("long").alias("n_common"),
-            (F.col("_aa_usum").cast("double") / F.lit(1000000.0)).alias(
-                "adamic_adar"
-            ),
-        )
+    wedge_cond = (F.col("a.w") == F.col("b.w")) & (
+        F.col("a.nbr") < F.col("b.nbr")
     )
-    pre = Window.partitionBy("u").orderBy(
-        F.col("adamic_adar").desc(), F.col("v")
+    # Wedge-aggregate shape (guide §2.3/§2.5; VERDICT r13 ask 1).  The
+    # candidate groupBy is this operator's floor: on the dense
+    # co-purchase eval graph it reduces 9.5×10⁷ wedge rows into
+    # 7.3×10⁷ (u, v) groups — near-1:1, so map-side partial
+    # aggregation is pure overhead and the group-key width IS the
+    # shuffle.  One result-identical move, selected at runtime by a
+    # cheap bounds job over the (checkpoint-materialized-anyway) edge
+    # table — never assumed from the data:
+    #   1. PACKED GROUP KEY — when every node id fits in an unsigned
+    #      31-bit int, (u, v) packs into ONE long (u<<32 | v): half
+    #      the key bytes through the exchange and a single-long hash
+    #      instead of a two-field one.  The pack is a bijection and
+    #      unpack restores the exact ints, so both paths are
+    #      bit-identical (pinned by tests incl. the >2³¹ fallback).
+    #   2. (tried, measured WORSE, removed — guide §1 discipline) an
+    #      explicit ``repartition(8×defaultParallelism, key)`` before
+    #      the groupBy, to mimic the r13 ``initialPartitionNum=256``
+    #      probe query-scoped.  Unlike the conf, the repartition puts
+    #      the exchange BELOW the whole aggregate, so BOTH the partial
+    #      and the final hash aggregate run reduce-side over all
+    #      9.5×10⁷ wedge rows — a second full hash pass that costs
+    #      more than the smaller per-task maps save.  Same-session
+    #      interleaved A/B min-of-3 at sf0.1: packed+repartition
+    #      23.2 s vs old 20.1 s; packed-only numbers below.
+    bounds = e.agg(
+        F.min("u").alias("lo"),
+        F.max("v").alias("hi"),
+    ).first()
+    packable = (
+        bounds["lo"] is not None
+        and bounds["lo"] >= 0
+        and bounds["hi"] < (1 << 31)
+    )
+    # The existing-edge anti-join joins ON THE AGGREGATE'S OWN KEY
+    # (the packed _uv, or (u, v)), so the candidate table flows from
+    # the aggregate into the anti-join without re-exchanging its
+    # 7.3×10⁷ rows; the SHUFFLE_HASH hint on the (edge-table-sized,
+    # hence per-partition-tiny) build side replaces the sort-merge
+    # strategy — a streamed hash probe instead of TWO full sorts of
+    # the candidate table (guide §3.1; broadcast is deliberately NOT
+    # forced: the edge set is data-scale at 100 TB).
+    if packable:
+        wedges = a.join(b, wedge_cond).select(
+            F.shiftleft(F.col("a.nbr").cast("long"), 32)
+            .bitwiseOR(F.col("b.nbr").cast("long"))
+            .alias("_uv"),
+            aa_term,
+        )
+        e_key = e.select(
+            F.shiftleft(F.col("u").cast("long"), 32)
+            .bitwiseOR(F.col("v").cast("long"))
+            .alias("_uv")
+        )
+        cand = (
+            wedges.groupBy("_uv")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.sum("_aa_u").alias("_aa_usum"),
+            )
+            .filter(F.col("n_common") >= min_common)
+            .join(e_key.hint("SHUFFLE_HASH"), "_uv", "left_anti")
+            .select(
+                F.shiftright("_uv", 32).alias("u"),
+                F.col("_uv")
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .alias("v"),
+                "n_common",
+                "_aa_usum",
+            )
+        )
+    else:
+        wedges = a.join(b, wedge_cond).select(
+            F.col("a.nbr").alias("u"),
+            F.col("b.nbr").alias("v"),
+            aa_term,
+        )
+        cand = (
+            wedges.groupBy("u", "v")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.sum("_aa_u").alias("_aa_usum"),
+            )
+            .filter(F.col("n_common") >= min_common)
+            .join(e.hint("SHUFFLE_HASH"), ["u", "v"], "left_anti")
+        )
+    scored = cand.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("n_common").cast("long").alias("n_common"),
+        (F.col("_aa_usum").cast("double") / F.lit(1000000.0)).alias(
+            "adamic_adar"
+        ),
     )
     glob = Window.orderBy(
         F.col("adamic_adar").desc(), F.col("u"), F.col("v")
     )
-    # per-u prune shrinks the global candidate set to <= k per u, then
-    # orderBy().limit(k) lets Spark plan TakeOrderedAndProject — the
-    # rank window runs over at most k rows, never a one-partition sort
-    # of the full candidate table.  The degree joins sit BELOW the
-    # top-k: du/dv feed only jaccard, which no filter, window or rank
-    # reads, so joining degrees onto the <= k survivors is
-    # result-identical and removes two full exchange+sort passes of the
-    # candidate table (7.3×10⁷ rows on the dense-graph eval — the
-    # before plan exchanged it on u and again on v just to attach
-    # degrees).
+    # Global top-k straight off the candidate table: orderBy().limit(k)
+    # plans TakeOrderedAndProject — a per-partition size-k heap + a
+    # k-row driver merge, no exchange and no sort of the candidate
+    # table at all.  (A per-u row_number prune used to sit here; it is
+    # top-k-preserving but COSTS an extra full exchange + two
+    # in-partition sorts of the 7.3×10⁷-row table to save work
+    # TakeOrdered never does — removed r14, A/B in OPTIMIZATION_r14.)
+    # The degree joins sit BELOW the top-k: du/dv feed only jaccard,
+    # which no filter or rank reads, so joining degrees onto the ≤ k
+    # survivors is result-identical and removes two full
+    # exchange+sort passes of the candidate table.
     topk = (
-        scored.withColumn("_pr", F.row_number().over(pre))
-        .filter(F.col("_pr") <= k)
-        .drop("_pr")
-        .orderBy(F.col("adamic_adar").desc(), "u", "v")
+        scored.orderBy(F.col("adamic_adar").desc(), "u", "v")
         .limit(k)
         .join(deg.selectExpr("node AS u", "deg AS du"), "u")
         .join(deg.selectExpr("node AS v", "deg AS dv"), "v")
@@ -883,14 +951,17 @@ def link_prediction_eval(
     # dense co-purchase graph — is EVALUATED twice (runtime exchange
     # reuse shares most of the duplicate work, but only as a runtime
     # accident; the checkpoint makes the single evaluation structural).
-    # Measured on that graph, alternating-session min-of-3: 30.4–33.1 s
-    # (old) → 22.0–24.7 s with this cut + the micro-unit aggregate +
-    # the post-top-k degree joins in link_prediction (a long-session
-    # single-run audit had read the old form at 139 s).  The remaining
-    # cost is the one exact 7.3×10⁷-group wedge aggregate — the
-    # algorithm's floor (wedge enumeration alone is 1.4 s; the
-    # candidate groupBy is ~21 s with near-1:1 partial-aggregation
-    # reduction).
+    # Cost history on that graph: 30.4–33.1 s (r12 form) → 22.0–24.7 s
+    # (r13: this cut + the micro-unit aggregate + post-top-k degree
+    # joins; a long-session single-run audit had read 139 s) →
+    # 15.4–20.3 s (r14: packed single-long wedge group key behind the
+    # runtime bounds guard, anti-join keyed on the aggregate's own
+    # key with a SHUFFLE_HASH build, and the per-u window prune
+    # replaced by direct TakeOrdered — same-session interleaved A/B
+    # min-of-4 read old 26.0 / new 15.4 on a hot VM, every round
+    # ~10 s apart; outputs collect-identical).  The remaining cost is
+    # the one exact 7.3×10⁷-group wedge aggregate — the algorithm's
+    # floor (wedge enumeration alone is 1.4 s).
     preds = link_prediction(
         train,
         min_common=min_common,

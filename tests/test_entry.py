@@ -26,6 +26,44 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# ---------------------------------------------------------------------------
+# Default-vs-full sweep split (VERDICT r13 ask 4): the full 414-pair
+# oracle sweep pushed the default suite past the driver's pytest budget
+# (VERIFY_r13 truncated at ~65% of a 41-minute run with zero failures).
+# The DEFAULT invocation sweeps the entries the round actually exposes —
+# the current driver window + the staged next window + everything whose
+# execution changed this round — and stays inside the budget; the full
+# registry runs with SPARK_GRAFT_FULL_TESTS=1 (the end-of-round gate,
+# alongside scripts/oracle_sweep.py which sweeps all 414 at sf0.001 in
+# one local[32] session).
+# ---------------------------------------------------------------------------
+FULL_TESTS = os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+#: entries whose executed plan changed in round 14 — always swept
+TOUCHED_R14 = [
+    "link_prediction",
+    "link_prediction_eval",
+    "streaming_blocklist_gate",
+    "streaming_contamination_gate",
+    "contamination_13gram",
+    "blocklist_filter",
+    "semantic_dedup",
+    "docx_text_stats",
+    "streaming_docx_text",
+    "supplier_hits",
+    "part_ppr",
+]
+
+_DEFAULT_SWEEP = sorted(
+    (
+        set(entry_mod._WINDOW_R14)
+        | set(entry_mod._STAGED_R15)
+        | set(TOUCHED_R14)
+    )
+    & set(ORACLES)
+)
+SWEEP = sorted(ORACLES) if FULL_TESTS else _DEFAULT_SWEEP
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -102,12 +140,19 @@ def compare_frames(name, spark_pdf, duck_pdf):
     )
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", SWEEP)
 def test_query_matches_oracle(spark, con, name):
     assert name in QUERIES, f"oracle without query: {name}"
     sdf = QUERIES[name](spark, SF_DIR).toPandas()
     ddf = con.execute(ORACLES[name]).df()
     compare_frames(name, sdf, ddf)
+
+
+def test_oracle_coverage_is_complete():
+    """Every oracle has a query regardless of which subset is swept —
+    catches a renamed/dropped registry entry even in default mode."""
+    missing = [n for n in ORACLES if n not in QUERIES]
+    assert not missing, f"oracles without queries: {missing}"
 
 
 def test_all_queries_run(spark):
@@ -155,7 +200,7 @@ def test_entry_smoke(spark):
 # sweeps at sf0.001 — so entries born after a round's window is pinned
 # used to get their first t2-SCALE oracle signal two rounds later.  The
 # NEWBORN sweep closes that: every entry still waiting for its first
-# driver window (the staged r13 head + anything added this round) is
+# driver window (the staged r15 head + anything added this round) is
 # oracle-compared at sf0.01 on every pytest run.  The FULL registry at
 # sf0.01 runs under `-m sf001` (explicitly requested; ~the judge's
 # sweep cost) so default CI cadence stays fast.
@@ -164,7 +209,7 @@ def test_entry_smoke(spark):
 SF001_DIR = "/root/testdata/sf0.01"
 NEWBORN = [
     n
-    for n in (entry_mod._STAGED_R13 if hasattr(entry_mod, "_STAGED_R13")
+    for n in (entry_mod._STAGED_R15 if hasattr(entry_mod, "_STAGED_R15")
               else [])
     if n in ORACLES
 ]

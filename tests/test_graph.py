@@ -282,7 +282,10 @@ def test_link_prediction_hub_cap(spark):
 
 def test_link_prediction_plan_takeordered(spark):
     """The global top-k must plan TakeOrdered, never a one-partition
-    row_number sort over the full candidate table."""
+    row_number sort over the full candidate table — and since r14, no
+    per-u row_number prune either (it cost a full exchange + two
+    in-partition sorts of the candidate table to save work TakeOrdered
+    never does)."""
     from inception_spark.operators.graph import link_prediction
 
     edges = spark.createDataFrame(
@@ -291,6 +294,38 @@ def test_link_prediction_plan_takeordered(spark):
     out = link_prediction(edges, min_common=2, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+    assert "WindowGroupLimit" not in plan
+
+
+def test_link_prediction_packed_key_paths(spark):
+    """The wedge-aggregate group key packs (u, v) into ONE long when a
+    runtime bounds check proves every node id fits unsigned 31 bits —
+    and falls back to the two-column key otherwise, result-identically.
+    Pins: (a) small ids plan the packed key (shiftleft) and the
+    existing-edge anti-join keys on the aggregate's own packed key; (b)
+    the SAME graph shifted past 2³¹ takes the fallback (no shiftleft)
+    and produces the identical scores/ranks modulo the id offset."""
+    from inception_spark.operators.graph import link_prediction
+
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    big = 1 << 31
+    small = spark.createDataFrame(cyc, "src long, dst long")
+    shifted = spark.createDataFrame(
+        [(a + big, b + big) for a, b in cyc], "src long, dst long"
+    )
+    out_s = link_prediction(small, min_common=2, k=10)
+    out_b = link_prediction(shifted, min_common=2, k=10)
+    plan_s = out_s._jdf.queryExecution().executedPlan().toString()
+    plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+    assert "shiftleft" in plan_s, "31-bit ids must take the packed path"
+    assert "shiftleft" not in plan_b, "ids >= 2^31 must take the fallback"
+    rows_s = sorted(tuple(r) for r in out_s.collect())
+    rows_b = sorted(
+        (r["u"] - big, r["v"] - big, r["n_common"], r["jaccard"],
+         r["adamic_adar"], r["rank"])
+        for r in out_b.collect()
+    )
+    assert rows_s == rows_b and len(rows_s) == 2
 
 
 def test_hits_star_graph(spark):

@@ -244,6 +244,27 @@ class TestBlocklistFilter:
         )
         assert a == b
 
+    def test_stateless_builds_gram_arrays_once_per_length(self, spark):
+        """r14 restructure pin: the stateless form builds its n-gram
+        arrays once per DISTINCT PHRASE LENGTH per row, not once per
+        (row, phrase) — the gram transform is the expensive interpreted
+        HOF, the per-phrase count is a cheap equality filter over the
+        pre-built array.  PHRASES here has 4 phrases over 3 distinct
+        lengths, so exactly 3 gram builds may appear in the optimized
+        plan (CollapseProject must not have re-inlined them into
+        per-phrase copies), and the plan must stay row-local (no join,
+        no aggregate — the streaming-gate contract)."""
+        from inception_spark.functions.text_analysis import (
+            blocklist_hits_stateless,
+        )
+
+        docs = self._docs(spark, [(1, "hash join row")])
+        qe = blocklist_hits_stateless(docs, self.PHRASES)._jdf.queryExecution()
+        opt = qe.optimizedPlan().toString()
+        assert opt.count("sequence(1,") == 3
+        phys = qe.executedPlan().toString()
+        assert "Join" not in phys and "Aggregate" not in phys
+
 
 class TestTfidfCosinePairs:
     def test_hand_computed_cosine(self, spark):
