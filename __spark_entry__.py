@@ -2731,11 +2731,23 @@ def _q_streaming_semantic_contamination(spark, sf_dir):
 
 def _q_streaming_contamination_gate(spark, sf_dir):
     """The decontamination rule enforced AT INGEST, statelessly: the
-    eval suite's distinct 13-grams become a plan literal (the kmeans
-    centroid discipline — eval suites are control-plane sized;
-    broadcast-join form documented for larger suites), so the gate is
-    a pure projection (array_intersect) that streams with zero state.
-    Shares the batch oracle (identical output by construction)."""
+    eval suite's distinct 13-grams ride to the workers ONCE (eval
+    suites are control-plane sized) and each document's hit count is a
+    vectorized set probe — a pure projection, so the gate streams with
+    zero state.  Shares the batch oracle (identical output by
+    construction: exact string membership, same word/shingle rule).
+
+    r14 shape (guide §4.5, measured): the previous form made the gram
+    set a PLAN LITERAL probed by ``array_intersect`` — which (a) built
+    the 7,882-literal array one py4j call per literal, 11.0 s of pure
+    driver time at sf0.1 (the lsh_index_probe defect class), and (b)
+    re-built a 7,882-string hash set PER ROW inside ArrayIntersect,
+    ~11 s per corpus pass (swapping the argument order still probes
+    every bench gram per row, ~7 s).  The pandas UDF builds the
+    Python frozenset once per task and probes only the document's own
+    ~42 distinct grams — O(|doc grams|) per row, not O(|bench|).
+    Single-run A/B same session: 34.5 s → see OPTIMIZATION_r14.md."""
+    from inception_spark.operators.dedup import gram_hit_count_udf
     from inception_spark.streaming.pipeline import run_stream_to_parquet
 
     docs = _docs(spark, sf_dir)
@@ -2751,7 +2763,7 @@ def _q_streaming_contamination_gate(spark, sf_dir):
         .distinct()
         .collect()
     ]
-    lit_bench = F.array(*[F.lit(g) for g in bench_grams])
+    _n_hit = gram_hit_count_udf(bench_grams)
 
     def gate(stream):
         staged = stream.select(
@@ -2763,9 +2775,7 @@ def _q_streaming_contamination_gate(spark, sf_dir):
         out = staged.select(
             F.col("doc_id"),
             F.size("_g").cast("long").alias("n_grams"),
-            F.size(F.array_intersect(F.col("_g"), lit_bench))
-            .cast("long")
-            .alias("n_hit"),
+            _n_hit(F.col("_g")).alias("n_hit"),
         ).filter("n_hit > 0")
         return out.select(
             "doc_id",

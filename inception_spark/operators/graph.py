@@ -791,6 +791,18 @@ def hits(
         # left-join here removes one shuffle per half-round (the output
         # join below restores the full node set with explicit zeros;
         # result-identical to normalizing over all nodes).
+        #
+        # raw is checkpointed BEFORE the max (r14): the max's
+        # BroadcastExchange executes raw's whole subtree — the
+        # edge ⋈ score join + aggregate — as its own job, and the
+        # normalize join below would otherwise execute it AGAIN; the
+        # cut makes each half-round compute its edge join once (the
+        # persisted result is node-sized).  Interleaved A/B min-of-4
+        # at sf0.1 (supplier_hits): 6.18 → 5.77 s, better every
+        # round; at 100 TB the saved recompute is a full edge-scale
+        # join per half-round.  Outputs collect-identical (15,999
+        # rows).
+        raw = raw.localCheckpoint(eager=False)
         mx = raw.agg(F.max(col).alias("_mx"))
         return (
             raw.join(F.broadcast(mx))
@@ -1178,7 +1190,16 @@ def personalized_pagerank(
 
     Scale shape per round: identical to pagerank (edge ⋈ rank join +
     hash aggregate + node-list left join, lazy localCheckpoint); the
-    restart vector is a broadcast-joined literal set, not a shuffle."""
+    restart vector is a broadcast-joined literal set, not a shuffle.
+
+    Tried, measured WORSE, not applied (r14, guide §1): SPARSE ranks —
+    zero-rank nodes contribute nothing, so the per-round node-list
+    left join can be replaced by a union with the tiny restart rows
+    (+ one final left join restoring explicit zeros).  Interleaved
+    A/B min-of-4 at sf0.1 (part_ppr): old 4.51 s vs sparse 5.17 s,
+    worse every round — the extra union + groupBy per round costs
+    more than the saved node-sized join at this scale, and both
+    shapes are node-bounded at 100 TB.  Closed permanently."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if not source_nodes:
