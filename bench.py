@@ -804,6 +804,11 @@ SCALING_QUERIES = [
     "image_phash_dedup",
     "mime_text_stats",
     "contamination_13gram",
+    # the two most data-bound entries overall: the 7.3e7-group wedge
+    # aggregate (registry-only, the honest scaling witness) and the
+    # 2-billion-long-aggregate bootstrap scan
+    "link_prediction_eval",
+    "bootstrap_revenue_ci",
 ]
 
 
@@ -828,23 +833,49 @@ def run_scaling(cpu_points=(8, 32)) -> None:
                 queries_all[name], spark, runs=2
             )
         spark.stop()
-    lo, hi = f"c{cpu_points[0]}", f"c{cpu_points[-1]}"
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_queries_wall",
-                "unit": "sec",
-                "cpus": list(cpu_points),
-                "sf_dir": SF_DIR,
-                "queries": results,
-                "ratios": {
-                    n: round(v[lo] / v[hi], 2)
-                    for n, v in results.items()
-                    if v.get(hi)
-                },
+    lo_n, hi_n = cpu_points[0], cpu_points[-1]
+    lo, hi = f"c{lo_n}", f"c{hi_n}"
+    # Two-point Amdahl decomposition: t(c) = fixed + work/c.  At sf0.1
+    # every query carries a 0.5-1 s fixed floor (planning, scheduling,
+    # tiny-batch streaming), which caps the VISIBLE wall ratio well
+    # below cores_hi/cores_lo even when the divisible work scales
+    # perfectly — fixed_sec/work_sec make that explicit instead of
+    # letting a 1.5x wall ratio read as "doesn't parallelize".
+    amdahl = {}
+    for n, v in results.items():
+        diff = v[lo] - v[hi]
+        if diff > 0:
+            work = diff * (lo_n * hi_n) / (hi_n - lo_n)
+            amdahl[n] = {
+                "fixed_sec": round(v[hi] - work / hi_n, 3),
+                "work_sec": round(work, 2),
             }
-        )
+        else:
+            amdahl[n] = None  # noise: the low-core run was not slower
+    line = json.dumps(
+        {
+            "metric": "scaling_queries_wall",
+            "unit": "sec",
+            "cpus": list(cpu_points),
+            "sf_dir": SF_DIR,
+            "queries": results,
+            "ratios": {
+                n: round(v[lo] / v[hi], 2)
+                for n, v in results.items()
+                if v.get(hi)
+            },
+            "amdahl": amdahl,
+        }
     )
+    print(line)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SCALING.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 def run_canaries() -> None:

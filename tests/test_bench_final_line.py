@@ -84,5 +84,14 @@ def test_final_line_keeps_r13_fields():
         assert key in doc, key
 
 
-def test_scaling_query_set_is_headline_subset():
-    assert set(bench.SCALING_QUERIES) <= set(bench.HEADLINE)
+def test_scaling_query_set_is_registry_resident():
+    """Scaling probes must be real registry entries; most are headline,
+    plus link_prediction_eval (registry-only by design — the excused
+    heavyweight is exactly the best scaling witness)."""
+    import __spark_entry__ as E
+
+    reg = set(E.queries())
+    assert set(bench.SCALING_QUERIES) <= reg
+    assert set(bench.SCALING_QUERIES) - set(bench.HEADLINE) <= {
+        "link_prediction_eval"
+    }
